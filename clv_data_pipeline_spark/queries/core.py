@@ -1,0 +1,370 @@
+"""Reference-parity queries (SURVEY.md §2.1-2.3, §2.6-2.7) with oracles.
+
+Maps the reference pipeline's relational surface onto the driver
+testdata: ``events`` (user_id, ts, value) stands in for
+``transactions_staging`` (CustomerID, order_timestamp, TotalPurchase);
+``customer``/``orders``/``lineitem`` exercise the same scalar and
+aggregate operators on wider tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from clv_data_pipeline_spark.operators.features import (
+    normalize_for_model,
+    rfm_features,
+    rfm_features_window,
+)
+from clv_data_pipeline_spark.operators.quality import apply_data_quality_fixes
+from clv_data_pipeline_spark.registry import ASOF, query
+from clv_data_pipeline_spark.sources.io import load_table
+
+
+def _events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return rfm_features(
+        ev,
+        customer_col="user_id",
+        ts_col="ts",
+        amount_col="value",
+        asof=ASOF,
+        exact_monetary=True,
+    )
+
+
+def _rounded_rfm(df: DataFrame) -> DataFrame:
+    # AVG over doubles is accumulation-order dependent -> round(2) on
+    # both sides (registry.py determinism rules).
+    return df.select(
+        "customer_id",
+        "recency",
+        "T",
+        "frequency",
+        F.round("monetary_value", 2).alias("monetary_value"),
+        "first_purchase",
+        "last_purchase",
+    )
+
+
+_RFM_ORACLE_BODY = f"""
+SELECT
+    user_id AS customer_id,
+    date_diff('day', CAST(MIN(ts) AS DATE), CAST(MAX(ts) AS DATE)) AS recency,
+    date_diff('day', CAST(MIN(ts) AS DATE), DATE '{ASOF}') AS "T",
+    COUNT(DISTINCT CAST(ts AS DATE)) - 1 AS frequency,
+    ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / COUNT(value), 2)
+        AS monetary_value,
+    MIN(ts) AS first_purchase,
+    MAX(ts) AS last_purchase
+FROM events
+GROUP BY user_id
+"""
+
+
+@query("q_rfm", oracle=_RFM_ORACLE_BODY)
+def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 flagship: RFM-T hash aggregate (reference dags/clv_data_dag.py:80-93)."""
+    return _rounded_rfm(_events_rfm(spark, sf_dir))
+
+
+@query("q_rfm_window", oracle=_RFM_ORACLE_BODY)
+def q_rfm_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5: identical semantics via Window.partitionBy instead of groupBy."""
+    ev = load_table(spark, sf_dir, "events")
+    f = rfm_features_window(
+        ev,
+        customer_col="user_id",
+        ts_col="ts",
+        amount_col="value",
+        asof=ASOF,
+        exact_monetary=True,
+    )
+    return _rounded_rfm(f)
+
+
+@query("q_scan_full", oracle="SELECT * FROM customer")
+def q_scan_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4: full table scan (reference dags/clv_models.py:14)."""
+    return load_table(spark, sf_dir, "customer")
+
+
+@query(
+    "q_project",
+    oracle="SELECT o_orderkey, o_custkey, o_totalprice FROM orders",
+)
+def q_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1: column projection (reference dags/clv_models.py:93).
+
+    Catalyst prunes the scan to the three columns (check ReadSchema).
+    """
+    return load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+
+
+@query(
+    "q_total_purchase",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount,
+           l_extendedprice * (1 - l_discount) AS total_purchase
+    FROM lineitem
+    """,
+)
+def q_total_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4: derived arithmetic column (reference dags/simulate_data.py:204
+    ``TotalPurchase = Quantity * UnitPrice``).  Pure scalar IEEE math —
+    bit-deterministic, no rounding needed.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+        (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).alias(
+            "total_purchase"
+        ),
+    )
+
+
+@query(
+    "q_filter_returning",
+    oracle=f"""
+    WITH rfm AS ({_RFM_ORACLE_BODY})
+    SELECT customer_id, recency, "T" AS t, frequency,
+           monetary_value AS monetary, first_purchase, last_purchase
+    FROM rfm WHERE frequency > 0 AND monetary_value > 0
+    """,
+)
+def q_filter_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2: conjunctive filter dropping one-time buyers
+    (reference dags/clv_models.py:53) after the lowercase+rename
+    normalization (dags/clv_models.py:15-17).
+    """
+    f = normalize_for_model(_rounded_rfm(_events_rfm(spark, sf_dir)))
+    return f.filter((F.col("frequency") > 0) & (F.col("monetary") > 0))
+
+
+@query(
+    "q_sanity_count",
+    oracle=f"""
+    WITH rfm AS ({_RFM_ORACLE_BODY})
+    SELECT COUNT(*) AS invalid_count FROM rfm
+    WHERE "T" < 0 OR frequency < 0 OR recency < 0 OR monetary_value < 0
+    """,
+)
+def q_sanity_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3/A7: disjunctive-predicate COUNT(*) — the firewall sanity check
+    (reference dags/validate_features.py:47-56).
+    """
+    f = _rounded_rfm(_events_rfm(spark, sf_dir))
+    bad = (
+        (F.col("T") < 0)
+        | (F.col("frequency") < 0)
+        | (F.col("recency") < 0)
+        | (F.col("monetary_value") < 0)
+    )
+    return f.filter(bad).agg(F.count("*").alias("invalid_count"))
+
+
+@query(
+    "q_ratio_counts",
+    oracle="""
+    SELECT raw_count, feature_count,
+           CASE WHEN raw_count > 0
+                THEN CAST(feature_count AS DOUBLE) / raw_count
+                ELSE 0.0 END AS ratio
+    FROM (SELECT (SELECT COUNT(DISTINCT user_id) FROM events) AS raw_count,
+                 (SELECT COUNT(DISTINCT customer_id)
+                  FROM (SELECT user_id AS customer_id FROM events GROUP BY user_id)
+                 ) AS feature_count)
+    """,
+)
+def q_ratio_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: two global COUNT(DISTINCT) scalar subqueries + guarded ratio —
+    the firewall data-loss check (reference dags/validate_features.py:38-45
+    and the ratio guard at :9).  Spark shape: two 1-row aggregates cross
+    joined (both sides are scalars; the "join" is trivially broadcast).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    feats = _events_rfm(spark, sf_dir)
+    raw = ev.agg(F.count_distinct("user_id").alias("raw_count"))
+    feat = feats.agg(F.count_distinct("customer_id").alias("feature_count"))
+    both = raw.crossJoin(feat)
+    return both.select(
+        "raw_count",
+        "feature_count",
+        F.when(
+            F.col("raw_count") > 0,
+            F.col("feature_count").cast("double") / F.col("raw_count"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("ratio"),
+    )
+
+
+@query(
+    "q_max_id",
+    oracle="SELECT COALESCE(MAX(user_id), 0) AS max_id FROM events",
+)
+def q_max_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: global scalar MAX with empty->0 coalesce
+    (reference dags/simulate_data.py:30-42).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return ev.agg(F.coalesce(F.max("user_id"), F.lit(0).cast("long")).alias("max_id"))
+
+
+@query(
+    "q_flags",
+    oracle="""
+    SELECT c_custkey, c_acctbal,
+           CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END AS negatif_clv_flag,
+           CASE WHEN c_acctbal > 9000 THEN 1 ELSE 0 END AS outliners_flag,
+           GREATEST(c_acctbal, 0.0) AS clv_clipped
+    FROM customer
+    """,
+)
+def q_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5/P6: conditional 0/1 flags + clip-at-zero — the quality fixes
+    (reference dags/clv_models.py:24-32, np.where + clip), applied to
+    ``c_acctbal`` as the stand-in score column.  Column spellings
+    preserved from the reference.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    return apply_data_quality_fixes(
+        c.select("c_custkey", "c_acctbal"),
+        value_col="c_acctbal",
+        outlier_threshold=9000.0,
+        clipped_col="clv_clipped",
+    )
+
+
+@query(
+    "q_clip",
+    oracle="SELECT c_custkey, GREATEST(c_acctbal, 0.0) AS clv FROM customer",
+)
+def q_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6: floor at zero (reference dags/clv_models.py:25 ``clip(lower=0)``)."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey", F.greatest(F.col("c_acctbal"), F.lit(0.0)).alias("clv")
+    )
+
+
+@query(
+    "q_cast",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(l_linenumber AS BIGINT) AS ln_big,
+           CAST(l_linenumber AS DOUBLE) AS ln_dbl,
+           CAST(FLOOR(l_quantity) AS BIGINT) AS qty_floor,
+           strftime(CAST(l_shipdate AS DATE), '%Y-%m-%d') AS ship_date
+    FROM lineitem
+    """,
+)
+def q_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7/P10: casts (reference dags/clv_models.py:56-59 astype(float64);
+    DATE(ts) at dags/clv_data_dag.py:83-85).  double->int goes through an
+    explicit FLOOR: Spark truncates raw casts while DuckDB rounds them,
+    so the portable form names the rounding mode.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_linenumber").cast("long").alias("ln_big"),
+        F.col("l_linenumber").cast("double").alias("ln_dbl"),
+        F.floor("l_quantity").cast("long").alias("qty_floor"),
+        # DATE-typed outputs convert differently to pandas in Spark
+        # (datetime.date) vs DuckDB (datetime64) — string-format the
+        # date on both sides so the driver's value hash agrees.
+        F.date_format("l_shipdate", "yyyy-MM-dd").alias("ship_date"),
+    )
+
+
+@query(
+    "q_avg_value",
+    oracle="""
+    SELECT ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+                 / COUNT(value), 2) AS avg_value
+    FROM events
+    """,
+)
+def q_avg_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9: global AVG (reference dags/clv_models.py:82), computed as an
+    exact decimal sum / count so the result is partitioning-independent
+    (registry.py determinism rules).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return ev.agg(
+        (
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double")
+            / F.count("value")
+        ).alias("_avg")
+    ).select(F.round("_avg", 2).alias("avg_value"))
+
+
+@query(
+    "q_flag_sums",
+    oracle="""
+    SELECT CAST(SUM(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS negative_count,
+           CAST(SUM(CASE WHEN c_acctbal > 9000 THEN 1 ELSE 0 END) AS BIGINT)
+               AS outlier_count
+    FROM customer
+    """,
+)
+def q_flag_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8: SUM of 0/1 flags for the quality-fix log lines
+    (reference dags/clv_models.py:27,33).
+    """
+    c = load_table(spark, sf_dir, "customer")
+    neg = F.when(F.col("c_acctbal") < 0, 1).otherwise(0)
+    out = F.when(F.col("c_acctbal") > 9000, 1).otherwise(0)
+    return c.agg(
+        F.sum(neg).cast("long").alias("negative_count"),
+        F.sum(out).cast("long").alias("outlier_count"),
+    )
+
+
+@query(
+    "q_join_features_preds",
+    oracle=f"""
+    WITH rfm AS ({_RFM_ORACLE_BODY}),
+    preds AS (
+        SELECT user_id AS customer_id,
+               CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)
+                   AS purchase_events
+        FROM events GROUP BY user_id
+    )
+    SELECT r.customer_id, r.recency, r."T", r.frequency, r.monetary_value,
+           p.purchase_events
+    FROM rfm r LEFT JOIN preds p ON r.customer_id = p.customer_id
+    """,
+)
+def q_join_features_preds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.4: features ⟕ predictions equi-join on customer_id — the natural
+    Spark formulation of "write scores for a subset back against the full
+    feature table".  Both sides are 1-row-per-customer aggregates of the
+    same fact table, so they share a hash partitioning on the join key;
+    AQE picks shuffled-hash/broadcast as sizes dictate.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    feats = _rounded_rfm(_events_rfm(spark, sf_dir))
+    preds = ev.groupBy(F.col("user_id").alias("customer_id")).agg(
+        F.count(F.when(F.col("event_type") == "purchase", 1))
+        .cast("long")
+        .alias("purchase_events")
+    )
+    return feats.join(preds, "customer_id", "left").select(
+        "customer_id",
+        "recency",
+        "T",
+        "frequency",
+        "monetary_value",
+        "purchase_events",
+    )

@@ -1,0 +1,82 @@
+"""Query registry backing ``__spark_entry__.py``.
+
+Every implemented operator from SURVEY.md §2 registers a named query
+(a ``(spark, sf_dir) -> DataFrame`` callable) and, when the semantics
+are SQL-expressible, a DuckDB oracle SQL string computing the same
+result on the same parquet tables.  The driver hash-compares the two
+at sf=0.01 (row count + schema + order-insensitive value hash).
+
+Determinism rules for oracle-checked queries (SURVEY.md §7 risks):
+- never CURRENT_DATE()/rand() — fixed ``asof`` literals, seeded rand;
+- floating-point *aggregates* (AVG/SUM over doubles) are rounded to a
+  fixed scale on BOTH sides: accumulation order differs between engines
+  so raw last-bit equality is not guaranteed.  Pure scalar expressions
+  (a*b, 1-d) are bit-deterministic in IEEE754 and stay unrounded;
+- aggregate/computed columns carry identical aliases on both sides
+  (the driver sorts columns by name before hashing);
+- integer-typed results are pinned to BIGINT on both sides (Spark
+  datediff yields int32, DuckDB date_diff yields int64 — casts make the
+  schemas agree).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+#: fixed "today" replacing the reference's CURRENT_DATE()
+#: (reference dags/clv_data_dag.py:84) — after every event ts at all SFs.
+ASOF = "2024-03-01"
+
+
+@dataclass
+class RegisteredQuery:
+    name: str
+    fn: QueryFn
+    oracle: str | None = None
+
+
+_REGISTRY: dict[str, RegisteredQuery] = {}
+
+
+def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+    """Register a query; ``oracle=None`` marks it rows-only (non-SQL ops)."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        _REGISTRY[name] = RegisteredQuery(name, fn, oracle)
+        return fn
+
+    return deco
+
+
+def all_queries() -> dict[str, QueryFn]:
+    _load()
+    return {n: q.fn for n, q in _REGISTRY.items()}
+
+
+def all_oracles() -> dict[str, str]:
+    _load()
+    return {n: q.oracle for n, q in _REGISTRY.items() if q.oracle is not None}
+
+
+_LOADED = False
+
+
+def _load() -> None:
+    """Import every query module exactly once (registration side effect)."""
+    global _LOADED
+    if _LOADED:
+        return
+    from clv_data_pipeline_spark.queries import (  # noqa: F401
+        clvq,
+        core,
+        similarity,
+        textops,
+        tpch,
+    )
+
+    _LOADED = True

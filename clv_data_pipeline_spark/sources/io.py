@@ -1,0 +1,125 @@
+"""Sources and sinks (SURVEY.md §2.1, ops S1-S9).
+
+The reference moves data CSV -> GCS -> BigQuery with explicit schemas,
+append-only staging and truncate-overwrite outputs (reference
+dags/clv_data_dag.py:58-75, dags/clv_models.py:95-97).  Spark writers
+are URI-native, so "upload to object store" and "load into warehouse"
+collapse into a single ``df.write`` against the storage path; the
+append / overwrite / create-if-missing dispositions map to save modes.
+
+Scale notes: staging writes are partitioned by load date so the daily
+full-refresh feature build prunes to the partitions it needs instead of
+re-listing 100 TB of history; readers never infer schemas.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from clv_data_pipeline_spark.schemas import TESTDATA_TABLES, TRANSACTIONS_SCHEMA
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one driver testdata parquet table (columnar, prunable).
+
+    ``events.ts`` is stored as TIMESTAMP(NANOS); with
+    ``spark.sql.legacy.parquet.nanosAsLong`` it arrives as epoch-nanos
+    and is truncated to a microsecond timestamp here — exactly what
+    DuckDB's reader does, so oracles agree.  The conversion is a scalar
+    map expression: it fuses into the scan stage, costs no shuffle, and
+    does not break column pruning or predicate pushdown on the other
+    columns.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Scan every testdata table; scans are lazy so this is free."""
+    return {name: load_table(spark, sf_dir, name) for name in TESTDATA_TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register the testdata tables as temp views for spark.sql use."""
+    for name, df in load_tables(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)
+
+
+def read_transactions_csv(
+    spark: SparkSession, path: str, schema: T.StructType = TRANSACTIONS_SCHEMA
+) -> DataFrame:
+    """S3: CSV load with explicit schema, header row skipped, ','
+    delimiter, no autodetect — reference dags/clv_data_dag.py:58-75
+    (``skip_leading_rows=1``, ``autodetect=False``).
+    """
+    return (
+        spark.read.schema(schema)
+        .option("header", True)
+        .option("sep", ",")
+        .option("timestampFormat", "yyyy-MM-dd HH:mm:ss[.SSSSSS][XXX]")
+        .csv(path)
+    )
+
+
+def write_csv(df: DataFrame, path: str) -> None:
+    """S1/S2: header CSV straight to the (object-store) path —
+    reference dags/simulate_data.py:232-250 needed a local tmp file
+    plus a GCSHook upload; a Spark writer targets the URI directly.
+    """
+    df.write.mode("overwrite").option("header", True).csv(path)
+
+
+def write_append(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
+    """S3 sink half: append-only staging ingest — reference
+    dags/clv_data_dag.py:68 (``WRITE_APPEND`` + create-if-needed).
+    ``partition_by`` (e.g. load_date) gives partition pruning at scale.
+    """
+    w = df.write.mode("append")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def write_overwrite(df: DataFrame, path: str) -> None:
+    """S5/S6: full-refresh semantics — reference CTAS
+    dags/clv_data_dag.py:80 and WRITE_TRUNCATE dags/clv_models.py:95-97.
+    """
+    df.write.mode("overwrite").parquet(path)
+
+
+def table_exists(spark: SparkSession, name: str) -> bool:
+    """S8: existence probe — reference dags/simulate_data.py:62-73."""
+    return spark.catalog.tableExists(name)
+
+
+def create_table_if_not_exists(
+    spark: SparkSession, name: str, schema: T.StructType
+) -> None:
+    """S8: create empty table with explicit schema when missing —
+    reference dags/simulate_data.py:62-73 (BQ ``create_empty_table``).
+    """
+    if not table_exists(spark, name):
+        spark.createDataFrame([], schema).write.saveAsTable(name)
+
+
+def table_columns(spark: SparkSession, name: str) -> list[str]:
+    """S9: table-metadata read — reference dags/validate_features.py:58-59
+    fetches schema field names from the warehouse client.
+    """
+    return [f.name for f in spark.table(name).schema.fields]
+
+
+def append_rows(
+    spark: SparkSession, rows: list[dict], schema: T.StructType, path: str
+) -> None:
+    """S7: small-batch row insert (new customer IDs) — reference
+    dags/simulate_data.py:82-88 used the BQ streaming-insert API.
+    """
+    spark.createDataFrame(rows, schema).write.mode("append").parquet(path)

@@ -1,0 +1,33 @@
+"""Every oracle-checked query vs DuckDB at sf0.001 (fast) — the local
+replica of the driver's correctness gate.  `RUN_SF001_ONLY=0` also runs
+sf0.01 (what the driver actually uses)."""
+
+from __future__ import annotations
+
+import pytest
+
+from clv_data_pipeline_spark import registry
+from tests.conftest import SF_SMOKE
+from tests.oracle import check_query
+
+
+def _oracle_names() -> list[str]:
+    return sorted(registry.all_oracles())
+
+
+@pytest.mark.parametrize("name", _oracle_names())
+def test_query_matches_oracle_sf0001(spark, name):
+    check_query(spark, name, SF_SMOKE)
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert "customer_id" in df.columns
+
+    qs = e.queries()
+    os_ = e.oracle_sql()
+    assert set(os_) <= set(qs)
