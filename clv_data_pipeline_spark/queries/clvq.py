@@ -1,1 +1,114 @@
-"""Placeholder — populated in later milestones."""
+"""CLV model queries (SURVEY.md §2.9 M1-M5).
+
+``q_gamma_gamma_value`` is closed-form rational arithmetic — fully
+SQL-expressible, so it gets a DuckDB oracle (params fixed to exact
+binary-representable literals so every op is bit-deterministic).
+``q_clv_scores`` / ``q_predicted_purchases`` involve the MLE fit and the
+2F1 pandas UDF — not SQL-expressible, registered rows-only (the
+__spark_entry__ contract's weaker check).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from clv_data_pipeline_spark.operators.clv import (
+    BetaGeoParams,
+    GammaGammaParams,
+    expected_avg_value_col,
+    expected_purchases_udf,
+    fit_bgnbd,
+    fit_gamma_gamma,
+    predictions_projection,
+    score_customers,
+)
+from clv_data_pipeline_spark.operators.features import (
+    normalize_for_model,
+    rfm_features,
+)
+from clv_data_pipeline_spark.registry import ASOF, query
+from clv_data_pipeline_spark.sources.io import load_table
+
+#: fixed params for deterministic scoring queries — exact in binary so
+#: the arithmetic is reproducible (population mean = 15*6/(4-1) = 30).
+_GG = GammaGammaParams(p=6.0, q=4.0, v=15.0)
+_BG = BetaGeoParams(r=0.25, alpha=4.5, a=0.75, b=2.5)
+
+
+def _features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    f = rfm_features(
+        ev,
+        customer_col="user_id",
+        ts_col="ts",
+        amount_col="value",
+        asof=ASOF,
+        exact_monetary=True,
+    )
+    return normalize_for_model(
+        f.withColumn("monetary_value", F.round("monetary_value", 2))
+    )
+
+
+@query(
+    "q_gamma_gamma_value",
+    oracle=f"""
+    WITH rfm AS (
+        SELECT user_id AS customer_id,
+               COUNT(DISTINCT CAST(ts AS DATE)) - 1 AS frequency,
+               ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+                     / COUNT(value), 2) AS monetary
+        FROM events GROUP BY user_id
+    )
+    SELECT customer_id, frequency, monetary,
+           (1.0 - (6.0 * frequency) / (6.0 * frequency + 3.0)) * 30.0
+           + ((6.0 * frequency) / (6.0 * frequency + 3.0)) * monetary
+               AS predicted_avg_value
+    FROM rfm WHERE frequency > 0 AND monetary > 0
+    """,
+)
+def q_gamma_gamma_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4: Gamma-Gamma conditional expected average profit with fixed
+    params — native Column arithmetic (no UDF), mirrored exactly in the
+    oracle SQL (reference formula at dags/clv_models.py:71).
+    """
+    f = _features(spark, sf_dir).filter(
+        (F.col("frequency") > 0) & (F.col("monetary") > 0)
+    )
+    return f.select(
+        "customer_id",
+        "frequency",
+        "monetary",
+        expected_avg_value_col(_GG).alias("predicted_avg_value"),
+    )
+
+
+@query("q_predicted_purchases")  # rows-only: 2F1 is not SQL-expressible
+def q_predicted_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M2: BG/NBD conditional expected purchases (30d) with fixed params
+    via the Arrow-vectorized pandas UDF (reference dags/clv_models.py:70).
+    """
+    f = _features(spark, sf_dir)
+    p30 = expected_purchases_udf(_BG, 30.0)
+    return f.select(
+        "customer_id",
+        p30(
+            F.col("frequency").cast("double"),
+            F.col("recency").cast("double"),
+            F.col("t").cast("double"),
+        ).alias("predicted_purchases"),
+    )
+
+
+@query("q_clv_scores")  # rows-only: includes the MLE fit barrier
+def q_clv_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1-M6 end-to-end: fit BG/NBD + Gamma-Gamma on the events-derived
+    features, score, quality-fix, project the reference's 6 output
+    columns (reference dags/clv_models.py:39-97).
+    """
+    f = _features(spark, sf_dir)
+    returning = f.filter((F.col("frequency") > 0) & (F.col("monetary") > 0))
+    bg = fit_bgnbd(returning)
+    gg = fit_gamma_gamma(returning)
+    return predictions_projection(score_customers(returning, bg, gg))

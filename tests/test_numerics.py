@@ -1,0 +1,47 @@
+"""Numpy-only numerics: lgamma, hyp2f1, Nelder-Mead."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from clv_data_pipeline_spark.functions.optimize import nelder_mead
+from clv_data_pipeline_spark.functions.special import hyp2f1, lgamma
+
+
+def test_lgamma_matches_math():
+    xs = np.array([0.1, 0.5, 1.0, 1.5, 2.0, 3.7, 10.0, 100.5, 1e4])
+    ours = lgamma(xs)
+    ref = np.array([math.lgamma(v) for v in xs])
+    assert np.allclose(ours, ref, rtol=1e-11, atol=1e-11)
+
+
+def test_hyp2f1_log_identity():
+    # 2F1(1, 1; 2; z) = -ln(1-z)/z
+    z = np.array([0.01, 0.1, 0.5, 0.9, 0.95])
+    ours = hyp2f1(1.0, 1.0, 2.0, z)
+    ref = -np.log(1 - z) / z
+    assert np.allclose(ours, ref, rtol=1e-10)
+
+
+def test_hyp2f1_binomial_identity():
+    # 2F1(a, b; b; z) = (1-z)^(-a) for any b
+    z = np.array([0.0, 0.2, 0.7])
+    ours = hyp2f1(2.5, 3.0, 3.0, z)
+    ref = (1 - z) ** (-2.5)
+    assert np.allclose(ours, ref, rtol=1e-10)
+
+
+def test_nelder_mead_quadratic():
+    target = np.array([1.5, -2.0, 0.25])
+    f = lambda p: float(np.sum((p - target) ** 2))  # noqa: E731
+    x, fx = nelder_mead(f, np.zeros(3))
+    assert np.allclose(x, target, atol=1e-4)
+    assert fx < 1e-8
+
+
+def test_nelder_mead_rosenbrock_2d():
+    f = lambda p: float((1 - p[0]) ** 2 + 100 * (p[1] - p[0] ** 2) ** 2)  # noqa: E731
+    x, fx = nelder_mead(f, np.array([-1.2, 1.0]), max_iter=5000)
+    assert np.allclose(x, [1.0, 1.0], atol=1e-3)
