@@ -134,6 +134,12 @@ def fit_bgnbd(
         .agg(F.count("*").alias("w"))
         .toPandas()
     )
+    if stats.empty:
+        raise ValueError(
+            "No customers to fit BG/NBD on (cold start: a single daily "
+            "batch yields frequency=0 for everyone — accumulate history "
+            "before scoring)"
+        )
     x = stats["frequency"].to_numpy(dtype=np.float64)
     t_x = stats["recency"].to_numpy(dtype=np.float64)
     T = stats["t"].to_numpy(dtype=np.float64)
@@ -159,6 +165,8 @@ def fit_gamma_gamma(
         .select("frequency", "monetary")
         .toPandas()
     )
+    if pdf.empty:
+        raise ValueError("No returning customers to fit Gamma-Gamma on")
     x = pdf["frequency"].to_numpy(dtype=np.float64)
     m = pdf["monetary"].to_numpy(dtype=np.float64)
     w = np.ones_like(x)

@@ -1,0 +1,109 @@
+"""The 5-task reference DAG as one Spark driver program (SURVEY.md §3.1).
+
+Reference chain (dags/clv_data_dag.py:115):
+    generate_and_upload >> load_gcs_to_bq_staging >>
+    transform_to_customer_features >> validate_features_step >>
+    predict_clv_scores
+
+Airflow task boundaries (separate processes + GCS/BQ round trips)
+dissolve into DataFrame lineage.  The only true barriers remain:
+(a) the validation gate — its aggregates must materialize before the
+pass/fail decision; (b) the model-fit collects.  Everything else is one
+lazily-planned job per sink.
+
+Scale notes: staging is partitioned by ``load_date`` so the (full
+refresh) feature build reads only what it needs if later made
+incremental; features and predictions are tiny (1 row/customer) and
+written overwrite like the reference's CTAS / WRITE_TRUNCATE.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from clv_data_pipeline_spark.operators.clv import run_clv_logic
+from clv_data_pipeline_spark.operators.features import (
+    normalize_for_model,
+    rfm_features,
+)
+from clv_data_pipeline_spark.operators.validate import validate_features
+from clv_data_pipeline_spark.simulate import simulate_daily_batch
+
+
+@dataclass
+class PipelineResult:
+    staging_rows: int
+    feature_rows: int
+    prediction_rows: int
+    features_path: str
+    predictions_path: str
+
+
+def run_pipeline(
+    spark: SparkSession,
+    base_dir: str,
+    run_date: dt.date | str = "2026-01-01",
+    seed: int = 42,
+    max_existing_id: int = 400,
+) -> PipelineResult:
+    """Execute the full reference pipeline under ``base_dir``.
+
+    Task 1+2: generate one 24 h batch, append to partitioned staging.
+    Task 3: full-refresh RFM-T features (CREATE OR REPLACE semantics).
+    Task 4: firewall — raises ValueError on gate failure, aborting
+            before scoring, exactly like the failed Airflow task.
+    Task 5: fit + score + truncate-write predictions.
+    """
+    staging = os.path.join(base_dir, "transactions_staging")
+    features_path = os.path.join(base_dir, "customer_features")
+    predictions_path = os.path.join(base_dir, "predicted_clv")
+    run_date = str(run_date)
+
+    # Task 1+2 — generate & append-load (reference clv_data_dag.py:49-75).
+    # The generation window is the 24 h BEFORE the run date
+    # (START_TIME = END_TIME - 1 day, reference simulate_data.py:18-19),
+    # so T = datediff(run_date, first_purchase) >= 0 at the firewall.
+    window_start = (
+        dt.date.fromisoformat(run_date) - dt.timedelta(days=1)
+    ).isoformat()
+    batch = simulate_daily_batch(
+        spark, max_existing_id, f"{window_start} 00:00:00", seed=seed
+    ).withColumn("load_date", F.lit(run_date).cast("date"))
+    batch.write.mode("append").partitionBy("load_date").parquet(staging)
+
+    tx = spark.read.parquet(staging)
+    staging_rows = tx.count()
+
+    # Task 3 — full-refresh feature build (reference clv_data_dag.py:77-96)
+    features = rfm_features(tx, asof=run_date)
+    features.write.mode("overwrite").parquet(features_path)
+    features = spark.read.parquet(features_path)
+
+    # Task 4 — the firewall (reference clv_data_dag.py:99-103); raises on
+    # DATA LOSS / SCHEMA ERROR / SANITY ERROR.
+    validate_features(tx, features)
+
+    # Task 5 — scoring (reference clv_data_dag.py:106-110)
+    preds = run_clv_logic(normalize_for_model(features))
+    out = preds.select(
+        "customer_id",
+        "predicted_purchases",
+        "predicted_avg_value",
+        "clv",
+        "negatif_clv_flag",
+        "outliners_flag",
+    )
+    out.write.mode("overwrite").parquet(predictions_path)
+
+    return PipelineResult(
+        staging_rows=staging_rows,
+        feature_rows=features.count(),
+        prediction_rows=spark.read.parquet(predictions_path).count(),
+        features_path=features_path,
+        predictions_path=predictions_path,
+    )

@@ -1,1 +1,338 @@
-"""Placeholder — populated in later milestones."""
+"""TPC-H-shape analytics: the join/agg/sort/window surface at scale
+(SURVEY.md §2.4-2.6 + §7 step 9 extensions).
+
+The reference itself contains zero joins, sorts, or windows — BigQuery
+supplied them implicitly.  These queries make that capability surface
+explicit on the driver's star schema, shaped like the classic TPC-H
+workload so plan quality is directly judgeable:
+
+- Q1-shape: wide partial-aggregatable scan agg (no join);
+- Q3-shape: selective dim filter -> fact join -> top-k;
+- Q5-shape: star join chain with two broadcastable dims;
+- windows, top-k, union, distinct, gap-and-island sessionization.
+
+All money sums accumulate as DECIMAL (exact, associative) and round at
+the end — see registry.py determinism rules.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from clv_data_pipeline_spark.operators.sessions import session_stats
+from clv_data_pipeline_spark.registry import query
+from clv_data_pipeline_spark.sources.io import load_table
+
+
+def _dec_sum(col: F.Column, scale: str = "decimal(25,6)") -> F.Column:
+    """Exact associative money sum: per-row cast to decimal, sum, back
+    to double.  Partial aggregation still applies (decimal sums merge)."""
+    return F.sum(col.cast(scale)).cast("double")
+
+
+_REVENUE = "CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))"
+
+
+@query(
+    "q_tpch_q1",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE), 2)
+               AS sum_base_price,
+           ROUND(CAST(SUM({_REVENUE}) AS DOUBLE), 2) AS sum_disc_price,
+           ROUND(CAST(SUM(CAST((l_extendedprice * (1 - l_discount)) * (1 + l_tax)
+                          AS DECIMAL(25,6))) AS DOUBLE), 2) AS sum_charge,
+           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+                 / COUNT(*), 4) AS avg_qty,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+                 / COUNT(*), 4) AS avg_price,
+           ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE)
+                 / COUNT(*), 6) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1 pricing summary: the canonical partial-agg scan query.  One
+    shuffle of (2-key x handful of groups) partial rows; the filter
+    pushes to the parquet scan.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp")
+    )
+    disc_price = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    charge = disc_price * (F.lit(1) + F.col("l_tax"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        _dec_sum(F.col("l_quantity"), "decimal(18,4)").alias("sum_qty"),
+        F.round(
+            _dec_sum(F.col("l_extendedprice"), "decimal(18,4)"), 2
+        ).alias("sum_base_price"),
+        F.round(_dec_sum(disc_price), 2).alias("sum_disc_price"),
+        F.round(_dec_sum(charge), 2).alias("sum_charge"),
+        F.round(
+            _dec_sum(F.col("l_quantity"), "decimal(18,4)") / F.count("*"), 4
+        ).alias("avg_qty"),
+        F.round(
+            _dec_sum(F.col("l_extendedprice"), "decimal(18,4)") / F.count("*"),
+            4,
+        ).alias("avg_price"),
+        F.round(
+            _dec_sum(F.col("l_discount"), "decimal(18,6)") / F.count("*"), 6
+        ).alias("avg_disc"),
+        F.count("*").alias("count_order"),
+    )
+
+
+@query(
+    "q_tpch_q3",
+    oracle=f"""
+    SELECT l_orderkey,
+           ROUND(CAST(SUM({_REVENUE}) AS DOUBLE), 2) AS revenue,
+           strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS o_orderdate,
+           o_orderpriority
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1997-03-15 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1997-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3 shipping priority: selective dim filter -> fact joins -> top-k.
+
+    customer(BUILDING) is small after the filter — Catalyst broadcasts
+    it into the orders scan; the orders⋈lineitem join shuffles on the
+    order key.  Top-k executes as TakeOrderedAndProject (no full sort).
+    """
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1997-03-15 00:00:00").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1997-03-15 00:00:00").cast("timestamp")
+    )
+    revenue = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    joined = (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+    )
+    return (
+        joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(_dec_sum(revenue), 2).alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "q_tpch_q5",
+    oracle=f"""
+    SELECT n_name,
+           ROUND(CAST(SUM({_REVENUE}) AS DOUBLE), 2) AS revenue
+    FROM customer
+      JOIN orders   ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      JOIN nation   ON c_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+)
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5 star-join chain: region/nation/supplier are tiny dims —
+    broadcast all three (explicit hints); only customer⋈orders⋈lineitem
+    shuffle, each on its natural key.
+    """
+    r = F.broadcast(
+        load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    )
+    n = F.broadcast(load_table(spark, sf_dir, "nation"))
+    s = F.broadcast(load_table(spark, sf_dir, "supplier"))
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    revenue = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    joined = (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            s,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(n, F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(r, F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return joined.groupBy("n_name").agg(
+        F.round(_dec_sum(revenue), 2).alias("revenue")
+    )
+
+
+@query(
+    "q_topk",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+)
+def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5: global top-k — TakeOrderedAndProject, not a full sort."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "q_window_rank",
+    oracle="""
+    SELECT * FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+        FROM orders)
+    WHERE rn <= 3
+    """,
+)
+def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5: per-group top-n via row_number — one shuffle on the
+    partition key; the rank filter prunes during the window scan.
+    """
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), "o_orderkey"
+    )
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).cast("long").alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@query(
+    "q_union",
+    oracle="""
+    SELECT event_id, event_type, value FROM events WHERE event_type = 'purchase'
+    UNION ALL
+    SELECT event_id, event_type, value FROM events WHERE value > 150.0
+    """,
+)
+def q_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1/U2: union-all of homogeneous frames (reference
+    dags/simulate_data.py:228 pd.concat / :149 np.concatenate).
+    Union is metadata-only in Spark — no shuffle.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    return ev.filter(F.col("event_type") == "purchase").unionByName(
+        ev.filter(F.col("value") > 150.0)
+    )
+
+
+@query(
+    "q_distinct",
+    oracle="SELECT DISTINCT event_type, user_id FROM events",
+)
+def q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10-adjacent: distinct over two columns — hash agg, partial+final."""
+    return load_table(spark, sf_dir, "events").select(
+        "event_type", "user_id"
+    ).distinct()
+
+
+@query(
+    "q_sessionize",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, ts, event_id,
+               epoch_us(ts) - lag(epoch_us(ts)) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+        FROM events),
+    flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN gap_us IS NULL OR gap_us > 1800 * 1000000
+                    THEN 1 ELSE 0 END AS is_new
+        FROM ordered),
+    sessions AS (
+        SELECT user_id, ts,
+               CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        FROM flagged)
+    SELECT user_id, session_id, COUNT(*) AS n_events,
+           MIN(ts) AS session_start, MAX(ts) AS session_end
+    FROM sessions GROUP BY user_id, session_id
+    """,
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 extension: gap-and-island sessionization (30 min gap) — the
+    generator's burst structure (reference dags/simulate_data.py:180)
+    made queryable.  See operators/sessions.py for the plan shape.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return session_stats(ev, gap_seconds=1800)
+
+
+@query(
+    "q_events_daily",
+    oracle="""
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2)
+               AS total_value
+    FROM events GROUP BY 1
+    """,
+)
+def q_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8: tumbling daily event-time window via F.window — the batch
+    twin of the Structured Streaming windowed agg (streaming/).
+    UTC session timezone keeps Spark's window aligned with DuckDB's
+    date_trunc.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.count_distinct("user_id").alias("n_users"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,4)")).cast("double"), 2
+            ).alias("total_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd").alias("day"),
+            "n_events",
+            "n_users",
+            "total_value",
+        )
+    )

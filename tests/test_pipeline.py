@@ -1,0 +1,91 @@
+"""Generator + end-to-end pipeline (SURVEY.md §3.1, §7 step 7-8)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from clv_data_pipeline_spark.plans.pipeline import run_pipeline
+from clv_data_pipeline_spark.simulate import simulate_daily_batch
+
+
+def test_generator_shape_and_distributions(spark):
+    df = simulate_daily_batch(
+        spark, max_existing_id=400, start_time="2026-01-01 00:00:00", seed=7
+    ).cache()
+    n = df.count()
+    # ~210 customers x ~7.5 purchases (BASELINE.md): wide sanity band
+    assert 400 < n < 4000
+    stats = df.agg(
+        F.count_distinct("CustomerID").alias("cust"),
+        F.min("Quantity").alias("qmin"),
+        F.max("Quantity").alias("qmax"),
+        F.min("UnitPrice").alias("pmin"),
+        F.max("UnitPrice").alias("pmax"),
+        F.min("order_timestamp").alias("tmin"),
+        F.max("order_timestamp").alias("tmax"),
+    ).first()
+    assert stats["cust"] <= 210
+    assert 1 <= stats["qmin"] and stats["qmax"] <= 4
+    assert 5.0 <= stats["pmin"] and stats["pmax"] <= 100.0
+    assert str(stats["tmin"]).startswith("2026-01-01")
+    # TotalPurchase = Quantity * UnitPrice exactly
+    bad = df.filter(
+        F.col("TotalPurchase") != F.col("Quantity") * F.col("UnitPrice")
+    ).count()
+    assert bad == 0
+    df.unpersist()
+
+
+def test_generator_deterministic_under_seed(spark):
+    a = simulate_daily_batch(spark, 100, "2026-01-01 00:00:00", seed=3)
+    b = simulate_daily_batch(spark, 100, "2026-01-01 00:00:00", seed=3)
+    assert sorted(map(str, a.collect())) == sorted(map(str, b.collect()))
+
+
+def test_generator_empty_pool_all_new(spark):
+    # empty master table -> max=0 -> all-new-customers branch
+    # (reference dags/simulate_data.py:113-118,39)
+    df = simulate_daily_batch(spark, 0, "2026-01-01 00:00:00", seed=3)
+    ids = [r["CustomerID"] for r in df.select("CustomerID").distinct().collect()]
+    assert sorted(ids) == list(range(1, 11))
+
+
+def test_full_pipeline_end_to_end(spark, tmp_path):
+    """Three daily runs accumulate history; day 1-2 may fail scoring
+    (cold start: no returning customers yet), day 3 must succeed."""
+    for day, seed in [("2026-01-01", 1), ("2026-01-02", 2)]:
+        try:
+            run_pipeline(spark, str(tmp_path), run_date=day, seed=seed)
+        except ValueError as exc:
+            assert "No" in str(exc) or "returning" in str(exc)
+    res = run_pipeline(spark, str(tmp_path), run_date="2026-01-03", seed=3)
+    assert res.staging_rows > 1200
+    assert res.feature_rows > 0
+    # predictions only cover returning customers (frequency>0 filter)
+    assert 0 < res.prediction_rows <= res.feature_rows
+    preds = spark.read.parquet(res.predictions_path)
+    assert preds.columns == [
+        "customer_id",
+        "predicted_purchases",
+        "predicted_avg_value",
+        "clv",
+        "negatif_clv_flag",
+        "outliners_flag",
+    ]
+    assert preds.filter(F.col("clv") < 0).count() == 0
+
+
+def test_pipeline_gate_aborts_on_data_loss(spark, tmp_path):
+    """Firewall must raise before scoring when features lose >5% of
+    customers (reference validate_features.py:9-13 semantics)."""
+    from clv_data_pipeline_spark.operators.validate import validate_features
+
+    tx = simulate_daily_batch(spark, 100, "2026-01-01 00:00:00", seed=5)
+    from clv_data_pipeline_spark.operators.features import rfm_features
+
+    feats = rfm_features(tx, asof="2026-01-02").filter(
+        F.col("customer_id") % 2 == 0
+    )  # drop ~half
+    with pytest.raises(ValueError, match="DATA LOSS"):
+        validate_features(tx, feats)
