@@ -1,0 +1,119 @@
+"""Text-analysis column functions for training-data pipelines
+(BASELINE.json north star: language-ID, quality scoring, token
+counting, document fingerprinting).
+
+Everything here is built-in-function composition — JVM-side, inside
+whole-stage codegen, no UDFs — so the operators scan-scale to 100 TB of
+documents.  Each returns a Column usable in any select.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: marker words per language for the n-gram/stopword heuristic.
+#: Deliberately tiny and deterministic; real pipelines swap in fastText —
+#: the *operator shape* (argmax over per-language evidence counts) is
+#: what matters here.
+LANG_MARKERS: dict[str, list[str]] = {
+    "de": [" der ", " und ", " die ", " nicht ", " ist "],
+    "en": [" the ", " and ", " of ", " is ", " to "],
+    "es": [" el ", " los ", " que ", " es ", " para "],
+    "fr": [" le ", " les ", " est ", " une ", " pour "],
+    "zh": ["的", "是", "不", "了", "在"],
+}
+
+
+def _count_occurrences(col: Column, needle: str) -> Column:
+    """Occurrences of ``needle`` via length arithmetic — portable to any
+    SQL engine (the DuckDB oracles mirror it exactly)."""
+    return (
+        F.length(col) - F.length(F.replace(col, F.lit(needle), F.lit("")))
+    ) / len(needle)
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    """Per-language marker-occurrence counts over ' '||text||' '."""
+    padded = F.concat(F.lit(" "), text, F.lit(" "))
+    return {
+        lang: sum(
+            (_count_occurrences(padded, m) for m in markers),
+            F.lit(0).cast("double"),
+        ).cast("long")
+        for lang, markers in LANG_MARKERS.items()
+    }
+
+
+def lang_id(text: Column) -> Column:
+    """Argmax language code, 'und' when no marker fires.  Ties break
+    alphabetically (greatest-score, first language) — deterministic."""
+    scores = lang_scores(text)
+    best = None
+    for lang in sorted(scores):  # alphabetical: first max wins
+        s = scores[lang]
+        if best is None:
+            best = F.struct(s.alias("score"), F.lit(lang).alias("lang"))
+        else:
+            cand = F.struct(s.alias("score"), F.lit(lang).alias("lang"))
+            # strictly-greater keeps the earlier (alphabetical) winner on ties
+            best = F.when(cand["score"] > best["score"], cand).otherwise(best)
+    return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def whitespace_token_count(text: Column) -> Column:
+    """Whitespace tokenization count."""
+    return F.size(F.split(F.trim(text), r"\s+")).cast("long")
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """BPE-ish token count: words and single punctuation marks counted
+    separately (the ``\\w+|[^\\w\\s]`` convention)."""
+    return F.size(
+        F.expr(r"regexp_extract_all(text, '\\w+|[^\\w\\s]', 0)")
+    ).cast("long")
+
+
+def punct_ratio(text: Column) -> Column:
+    punct = F.length(F.regexp_replace(text, r"[^.,!?;:]", ""))
+    return punct.cast("double") / F.greatest(F.length(text), F.lit(1))
+
+
+def digit_ratio(text: Column) -> Column:
+    digits = F.length(F.regexp_replace(text, r"[^0-9]", ""))
+    return digits.cast("double") / F.greatest(F.length(text), F.lit(1))
+
+
+def mean_word_length(text: Column) -> Column:
+    words = F.split(F.trim(text), r"\s+")
+    return F.length(F.trim(text)).cast("double") / F.greatest(
+        F.size(words), F.lit(1)
+    )
+
+
+def quality_score(text: Column) -> Column:
+    """Heuristic document quality in [0, 1]: long enough, not
+    punctuation/digit soup, sane mean word length.  The standard
+    pre-training filter shape (C4/Gopher-style rules compressed into a
+    single score)."""
+    length_ok = F.least(F.length(text).cast("double") / 200.0, F.lit(1.0))
+    punct_pen = F.greatest(F.lit(0.0), F.lit(1.0) - punct_ratio(text) * 5.0)
+    digit_pen = F.greatest(F.lit(0.0), F.lit(1.0) - digit_ratio(text) * 5.0)
+    mwl = mean_word_length(text)
+    mwl_ok = F.when((mwl >= 3.0) & (mwl <= 12.0), F.lit(1.0)).otherwise(
+        F.lit(0.5)
+    )
+    return F.round(length_ok * punct_pen * digit_pen * mwl_ok, 6)
+
+
+def normalize_text(text: Column) -> Column:
+    """Canonical form for fingerprinting: lowercase, collapse runs of
+    whitespace, trim."""
+    return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+
+
+def fingerprint(text: Column) -> Column:
+    """Deterministic 128-bit document fingerprint: md5 hex of the
+    normalized text.  Engine-portable (DuckDB md5 produces the same
+    hex), unlike xxhash64/murmur which are engine-specific."""
+    return F.md5(normalize_text(text).cast("binary"))

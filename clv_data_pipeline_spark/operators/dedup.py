@@ -1,0 +1,324 @@
+"""Deduplication operators for training-data pipelines (BASELINE.json
+north star): exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Design for 100 TB of documents:
+
+- **Exact** shuffles a 128-bit fingerprint (not the document body) and
+  keeps the min id per group — one hash-agg pass, then a semi-join to
+  re-attach payloads.
+- **MinHash** builds signatures with pure column expressions (shingle
+  array -> xxhash64 -> k affine permutations -> array_min): map-only,
+  whole-stage codegen, no Python.  LSH banding explodes b small band
+  keys per doc (b*r = k) and groups by band hash, so candidate
+  generation shuffles k 64-bit values per doc instead of O(n^2) pairs.
+  Greedy cluster resolution keeps each doc iff it never buckets with a
+  smaller id — a single aggregation, no iterative union-find; this is
+  the standard one-pass approximation used by large corpus-dedup runs.
+- **SimHash** folds token hashes into a 64-bit signature with
+  aggregate/zip_with (JVM-side array math); near-dup candidates come
+  from exact-matching 16-bit quarters (Hamming <= 3 guarantees at least
+  one exact quarter by pigeonhole).
+- **n-gram Jaccard** verifies candidate pairs exactly via shingle-set
+  intersection (array_intersect/array_union on deduped shingle arrays).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from clv_data_pipeline_spark.functions.text import fingerprint, normalize_text
+
+# Mersenne prime 2^31-1 as the universal-hash modulus: with 31-bit
+# hashes and coefficients the affine product a*h stays < 2^62, inside
+# long range — Spark 4 runs ANSI mode and *errors* on long overflow, so
+# the classic 61-bit family would need 128-bit math the JVM lacks.
+_MERSENNE_31 = (1 << 31) - 1
+
+
+def dedup_exact(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep the smallest-id representative of every exact-duplicate
+    group (after whitespace/case normalization).  Shuffles fingerprints
+    only; the winning ids semi-join back to the full rows.
+    """
+    fp = df.select(
+        F.col(id_col), fingerprint(F.col(text_col)).alias("_fp")
+    )
+    winners = fp.groupBy("_fp").agg(F.min(id_col).alias(id_col))
+    return df.join(winners.select(id_col), id_col, "left_semi")
+
+
+def shingles(text: Column, k: int = 5) -> Column:
+    """Array of all character k-shingles of the normalized text (deduped).
+    Pure expression: sequence over start offsets -> substring slices.
+    """
+    norm = normalize_text(text)
+    n = F.greatest(F.length(norm) - F.lit(k - 1), F.lit(1))
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.substring(norm, i, F.lit(k)),
+        )
+    )
+
+
+def minhash_signature(
+    text: Column, num_hashes: int = 64, shingle_size: int = 5, seed: int = 42
+) -> Column:
+    """Length-``num_hashes`` MinHash signature as an array<long>.
+
+    Hash shingles once with xxhash64 (truncated to 31 bits), then apply
+    k affine permutations modulo 2^31-1 and take the running minimum of
+    each.  The whole signature is ONE ``aggregate`` fold with an
+    array<long> accumulator — crucial: a naive "array of 64
+    array_min(transform(...))" would let Catalyst's projection collapse
+    inline the shingle-hash array into all 64 expressions (64x
+    recompute; observed 180 s for 500 docs, 3 s after this fold).
+    """
+    base = F.transform(
+        shingles(text, shingle_size),
+        lambda s: F.xxhash64(s).bitwiseAND(F.lit(0x7FFFFFFF)),
+    )
+    rnd = _SplitMix(seed)
+    coefs = [(rnd.next_nonzero(), rnd.next()) for _ in range(num_hashes)]
+    ab = F.array(
+        *[
+            F.struct(
+                F.lit(a).cast("long").alias("a"),
+                F.lit(b).cast("long").alias("b"),
+            )
+            for a, b in coefs
+        ]
+    )
+    init = F.array_repeat(F.lit(_MERSENNE_31).cast("long"), num_hashes)
+    return F.aggregate(
+        base,
+        init,
+        lambda acc, h: F.zip_with(
+            acc,
+            ab,
+            lambda m, c: F.least(m, (h * c["a"] + c["b"]) % F.lit(_MERSENNE_31)),
+        ),
+    )
+
+
+class _SplitMix:
+    """Tiny deterministic parameter stream (SplitMix64 step function) for
+    the affine permutation constants — avoids numpy RNG state here."""
+
+    def __init__(self, seed: int):
+        self.state = seed & 0xFFFFFFFFFFFFFFFF
+
+    def next(self) -> int:
+        self.state = (self.state + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+        z = self.state
+        z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+        z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+        return (z ^ (z >> 31)) % _MERSENNE_31
+
+    def next_nonzero(self) -> int:
+        return self.next() or 1
+
+
+def minhash_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_size: int = 5,
+    seed: int = 42,
+) -> DataFrame:
+    """LSH candidate pairs (id_a < id_b) from banded MinHash signatures.
+
+    bands=16 x rows=4 over 64 hashes targets ~Jaccard>=0.5 neighbors.
+    Each doc explodes to 16 (band_idx, band_hash) keys; a self-join per
+    bucket yields candidates.  Bucket sizes are bounded in practice;
+    a skewed bucket (boilerplate spam) is exactly what AQE skew-join
+    handles.
+    """
+    rows_per_band = num_hashes // bands
+    sig = df.select(
+        F.col(id_col),
+        minhash_signature(
+            F.col(text_col), num_hashes, shingle_size, seed
+        ).alias("_sig"),
+    )
+    # Exchange barrier: banding references _sig 16 times and joins it
+    # against itself — without a materialization point, projection
+    # collapse would recompute the signature per reference.  The
+    # shuffle moves only (id, 64xlong) rows and the self-join reuses
+    # the exchange on both sides.
+    sig = sig.repartition(id_col)
+    banded = sig.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.xxhash64(
+                            F.slice(F.col("_sig"), i * rows_per_band + 1, rows_per_band)
+                        ).alias("bh"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
+def dedup_minhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    **kwargs,
+) -> DataFrame:
+    """Greedy near-dup removal: drop every doc that shares an LSH bucket
+    with a smaller id.  One anti-join against the candidate pairs —
+    no iterative clustering.
+    """
+    cands = minhash_candidates(df, text_col, id_col, **kwargs)
+    losers = cands.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, id_col, "left_anti")
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_size: int = 3,
+) -> DataFrame:
+    """Exact n-gram Jaccard for given (id_a, id_b) pairs — the verify
+    step after LSH candidate generation.  Shingle arrays join in by id;
+    set ops run per-pair, JVM-side.
+    """
+    sh = df.select(
+        F.col(id_col),
+        shingles(F.col(text_col), shingle_size).alias("_sh"),
+    )
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("_sh").alias("_sha"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("_sh").alias("_shb"))
+    joined = pairs.join(a, "id_a").join(b, "id_b")
+    inter = F.size(F.array_intersect("_sha", "_shb"))
+    union = F.size(F.array_union("_sha", "_shb"))
+    return joined.select(
+        "id_a",
+        "id_b",
+        F.round(
+            inter.cast("double") / F.greatest(union, F.lit(1)), 6
+        ).alias("jaccard"),
+    )
+
+
+def simhash(text: Column, token_pattern: str = r"\s+") -> Column:
+    """64-bit SimHash of the token multiset as a long.
+
+    Each token's xxhash64 votes +-1 per bit position; the signature
+    takes the sign of each tally.  aggregate/zip_with keep the whole
+    fold inside codegen (arrays of 64 ints per row, transient).
+    """
+    tokens = F.split(normalize_text(text), token_pattern)
+    hashes = F.transform(tokens, lambda t: F.xxhash64(t))
+    zeros = F.array_repeat(F.lit(0), 64)
+    # bit positions are Python ints (shiftright requires literal shift
+    # amounts); the vote array is one expression per position but the
+    # token fold itself is a single aggregate pass.
+    bits_of = lambda h: F.array(  # noqa: E731
+        *[
+            F.when(
+                F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+            ).otherwise(F.lit(-1))
+            for i in range(64)
+        ]
+    )
+    tally = F.aggregate(
+        hashes,
+        zeros,
+        lambda acc, h: F.zip_with(acc, bits_of(h), lambda x, y: x + y),
+    )
+    # pack sign bits into a long: zip the tally against a literal
+    # powers-of-two array (references tally exactly once — element_at
+    # indexing would inline the whole fold per bit).
+    powers = F.array(
+        *[F.lit(1 << i).cast("long") for i in range(63)]
+        + [F.lit(-(1 << 63)).cast("long")]  # bit 63: long min, avoids overflow
+    )
+    return F.aggregate(
+        F.zip_with(
+            tally,
+            powers,
+            lambda t, p: F.when(t > 0, p).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc.bitwiseOR(v),
+    )
+
+
+def simhash_candidates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Near-dup candidates with Hamming distance <= 3 on SimHash.
+
+    Pigeonhole over 4 16-bit quarters: distance <= 3 implies at least
+    one quarter matches exactly, so group by (quarter_idx, quarter
+    value) and pair within buckets, then verify true Hamming distance
+    with bit_count — all native expressions.
+    """
+    sh = df.select(F.col(id_col), simhash(F.col(text_col)).alias("_sh"))
+    # same exchange barrier as minhash_candidates: the quarter explode
+    # references _sh 4 times and the self-join doubles that.
+    sh = sh.repartition(id_col)
+    quarters = sh.select(
+        id_col,
+        "_sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("q"),
+                        F.shiftrightunsigned(F.col("_sh"), 16 * i)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("qv"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("qk"),
+    ).select(id_col, "_sh", F.col("qk.q").alias("q"), F.col("qk.qv").alias("qv"))
+    a, b = quarters.alias("a"), quarters.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.q") == F.col("b.q"))
+            & (F.col("a.qv") == F.col("b.qv"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.bit_count(
+                F.col("a._sh").bitwiseXOR(F.col("b._sh"))
+            ).alias("hamming"),
+        )
+        .distinct()
+    )
+    return pairs.filter(F.col("hamming") <= 3)

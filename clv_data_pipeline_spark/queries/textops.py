@@ -1,1 +1,244 @@
-"""Placeholder — populated in later milestones."""
+"""Text-analysis + dedup queries over ``documents`` (BASELINE.json
+north star operators).  SQL-expressible ones carry DuckDB oracles built
+from the same deterministic primitives (length/replace arithmetic,
+regexp counts, md5); hash-family ops (MinHash/SimHash — xxhash64 is
+Spark-specific) are rows-only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from clv_data_pipeline_spark.functions.text import (
+    LANG_MARKERS,
+    bpe_ish_token_count,
+    digit_ratio,
+    fingerprint,
+    lang_id,
+    mean_word_length,
+    punct_ratio,
+    quality_score,
+    whitespace_token_count,
+)
+from clv_data_pipeline_spark.operators.dedup import (
+    dedup_exact,
+    dedup_minhash,
+    jaccard_pairs,
+    minhash_candidates,
+    simhash,
+    simhash_candidates,
+)
+from clv_data_pipeline_spark.operators.multimodal import (
+    attach_fake_payload,
+    extract_media_metadata,
+    fake_decoder,
+    sample_frames,
+)
+from clv_data_pipeline_spark.registry import query
+from clv_data_pipeline_spark.sources.io import load_table
+
+
+@query(
+    "q_dedup_exact",
+    oracle="""
+    WITH fp AS (
+        SELECT doc_id,
+               md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS f
+        FROM documents),
+    winners AS (SELECT f, MIN(doc_id) AS doc_id FROM fp GROUP BY f)
+    SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+    FROM documents d JOIN winners w ON d.doc_id = w.doc_id
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: min-id winner per normalized-text fingerprint.
+    Shuffles 128-bit fingerprints, not document bodies."""
+    return dedup_exact(load_table(spark, sf_dir, "documents"))
+
+
+def _occurrences_sql(needle: str) -> str:
+    pad = "' ' || text || ' '"
+    esc = needle.replace("'", "''")
+    return (
+        f"(length({pad}) - length(replace({pad}, '{esc}', ''))) / {len(needle)}"
+    )
+
+
+def _lang_score_sql(lang: str) -> str:
+    return "CAST(" + " + ".join(
+        _occurrences_sql(m) for m in LANG_MARKERS[lang]
+    ) + " AS BIGINT)"
+
+
+_LANG_ID_SQL = f"""
+WITH scores AS (
+    SELECT doc_id,
+           {', '.join(f'{_lang_score_sql(lang)} AS s_{lang}' for lang in sorted(LANG_MARKERS))}
+    FROM documents)
+SELECT doc_id,
+       CASE WHEN GREATEST(s_de, s_en, s_es, s_fr, s_zh) = 0 THEN 'und'
+            WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+            WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+            WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+            WHEN s_fr >= s_zh THEN 'fr'
+            ELSE 'zh' END AS lang_pred
+FROM scores
+"""
+
+
+@query("q_lang_id", oracle=_LANG_ID_SQL)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID via marker-word counts, argmax with alphabetical tie
+    break — the CASE chain in the oracle encodes the same tie order."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", lang_id(F.col("text")).alias("lang_pred"))
+
+
+@query(
+    "q_text_stats",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(len(regexp_extract_all(trim(text), '\S+', 0)) AS BIGINT)
+               AS n_tokens,
+           CAST(len(regexp_extract_all(text, '\w+|[^\w\s]', 0)) AS BIGINT)
+               AS n_bpe_tokens,
+           ROUND(CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE)
+                 / GREATEST(length(text), 1), 6) AS punct_ratio,
+           ROUND(CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+                 / GREATEST(length(text), 1), 6) AS digit_ratio,
+           ROUND(CAST(length(trim(text)) AS DOUBLE)
+                 / GREATEST(len(regexp_extract_all(trim(text), '\S+', 0)), 1), 6)
+               AS mean_word_len
+    FROM documents
+    """,
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + ratio features — all built-in string functions,
+    codegen'd, scan-bound at scale."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars"),
+        whitespace_token_count(F.col("text")).alias("n_tokens"),
+        bpe_ish_token_count(F.col("text")).alias("n_bpe_tokens"),
+        F.round(punct_ratio(F.col("text")), 6).alias("punct_ratio"),
+        F.round(digit_ratio(F.col("text")), 6).alias("digit_ratio"),
+        F.round(mean_word_length(F.col("text")), 6).alias("mean_word_len"),
+    )
+
+
+@query(
+    "q_quality_score",
+    oracle=r"""
+    SELECT doc_id,
+           ROUND(
+             LEAST(CAST(length(text) AS DOUBLE) / 200.0, 1.0)
+             * GREATEST(0.0, 1.0 -
+                 (CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE)
+                  / GREATEST(length(text), 1)) * 5.0)
+             * GREATEST(0.0, 1.0 -
+                 (CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+                  / GREATEST(length(text), 1)) * 5.0)
+             * (CASE WHEN (CAST(length(trim(text)) AS DOUBLE)
+                           / GREATEST(len(regexp_extract_all(trim(text), '\S+', 0)), 1))
+                          BETWEEN 3.0 AND 12.0
+                     THEN 1.0 ELSE 0.5 END),
+           6) AS quality
+    FROM documents
+    """,
+)
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/Gopher-style quality heuristic compressed to one score."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", quality_score(F.col("text")).alias("quality")
+    )
+
+
+@query(
+    "q_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+    FROM documents
+    """,
+)
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: md5 over normalized text — engine-portable
+    by construction (functions/text.py fingerprint)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+
+
+@query(
+    "q_ngram_jaccard",
+    oracle="""
+    WITH sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   range(1, GREATEST(length(norm) - 2, 1) + 1),
+                   i -> substring(norm, CAST(i AS INT), 3))) AS s
+        FROM (SELECT doc_id,
+                     trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+              FROM documents)),
+    pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.s AS sa, b.s AS sb
+        FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1)
+    SELECT id_a, id_b,
+           ROUND(CAST(len(list_intersect(sa, sb)) AS DOUBLE)
+                 / GREATEST(len(sa) + len(sb) - len(list_intersect(sa, sb)), 1),
+                 6) AS jaccard
+    FROM pairs
+    """,
+)
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard on consecutive-id document pairs — the
+    verify primitive behind LSH dedup, bounded to O(n) pairs here."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = d.select(F.col("doc_id").alias("id_a")).join(
+        d.select(F.col("doc_id").alias("id_b")),
+        F.col("id_b") == F.col("id_a") + 1,
+    )
+    return jaccard_pairs(d, pairs, shingle_size=3)
+
+
+@query("q_minhash_dedup")  # rows-only: xxhash64 family is Spark-specific
+def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup removal (shingle -> 64 minhashes -> 16
+    bands -> bucket join -> greedy min-id winner)."""
+    return dedup_minhash(load_table(spark, sf_dir, "documents"))
+
+
+@query("q_minhash_candidates")  # rows-only
+def q_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH candidate-pair stage alone (id_a < id_b)."""
+    return minhash_candidates(load_table(spark, sf_dir, "documents"))
+
+
+@query("q_simhash")  # rows-only
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash signatures + Hamming<=3 candidate pairs count."""
+    d = load_table(spark, sf_dir, "documents")
+    sigs = d.select("doc_id", simhash(F.col("text")).alias("simhash"))
+    n_cands = simhash_candidates(d).count()
+    return sigs.withColumn("n_near_dup_pairs", F.lit(n_cands).cast("long"))
+
+
+@query("q_multimodal_meta")  # rows-only: mapInPandas plumbing
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload metadata extraction through Arrow batches
+    (deterministic fake decoder; real codecs plug into decoder=)."""
+    d = attach_fake_payload(load_table(spark, sf_dir, "documents"))
+    return extract_media_metadata(d, decoder=fake_decoder)
+
+
+@query("q_frame_sample")  # rows-only: cardinality-changing mapInPandas
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling shape: byte-stride slices, 0..8 rows per doc."""
+    d = attach_fake_payload(load_table(spark, sf_dir, "documents"))
+    frames = sample_frames(d)
+    return frames.select(
+        "doc_id", "frame_idx", F.length("frame").cast("long").alias("frame_bytes")
+    )

@@ -1,0 +1,138 @@
+"""Semantic checks for dedup and similarity operators: inject known
+duplicates/near-duplicates and verify each method catches them."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from clv_data_pipeline_spark.operators.dedup import (
+    dedup_exact,
+    dedup_minhash,
+    jaccard_pairs,
+    minhash_candidates,
+    simhash_candidates,
+)
+from clv_data_pipeline_spark.operators.similarity import (
+    cosine_topk,
+    dedup_embedding,
+    lsh_topk,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the spark engine "
+    "shuffles partitions across the cluster and aggregates the results "
+    "into a columnar table for downstream analytics and model training"
+)
+OTHER = (
+    "completely different content about gamma distributions and customer "
+    "lifetime value scoring with hypergeometric series in vectorized form "
+    "running inside arrow batches on the executor side of the barrier"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, BASE),
+        (2, BASE),                               # exact dup of 1
+        (3, BASE.replace("lazy", "sleepy")),     # near dup of 1
+        (4, OTHER),
+        (5, "short unrelated text"),
+        (6, "  " + BASE.upper() + "  "),         # normalized-exact dup of 1
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_dedup_exact_drops_normalized_duplicates(docs):
+    kept = sorted(r["doc_id"] for r in dedup_exact(docs).collect())
+    # 2 (byte dup) and 6 (case/whitespace dup) collapse into 1
+    assert kept == [1, 3, 4, 5]
+
+
+def test_minhash_catches_near_duplicate(docs):
+    cands = minhash_candidates(docs, num_hashes=64, bands=16)
+    pairs = {(r["id_a"], r["id_b"]) for r in cands.collect()}
+    assert (1, 2) in pairs          # exact dup always collides
+    assert (1, 3) in pairs          # one-word edit: jaccard ~0.9
+    assert (1, 4) not in pairs      # unrelated docs must not collide
+    kept = sorted(r["doc_id"] for r in dedup_minhash(docs).collect())
+    assert 1 in kept and 2 not in kept and 3 not in kept
+    assert 4 in kept and 5 in kept
+
+
+def test_jaccard_values(docs, spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4)], ["id_a", "id_b"]
+    )
+    j = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in jaccard_pairs(docs, pairs).collect()
+    }
+    assert j[(1, 2)] == 1.0
+    assert 0.7 < j[(1, 3)] < 1.0
+    assert j[(1, 4)] < 0.3
+
+
+def test_simhash_candidates_hamming(docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_candidates(docs).collect()
+    }
+    assert pairs.get((1, 2)) == 0    # identical text -> identical signature
+    assert (1, 4) not in pairs       # unrelated: hamming way above 3
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=8)
+    base /= np.linalg.norm(base)
+    near = base + rng.normal(scale=0.01, size=8)
+    near /= np.linalg.norm(near)
+    rows = [(1, [float(x) for x in base]), (2, [float(x) for x in near])]
+    for i in range(3, 13):
+        v = rng.normal(size=8)
+        v /= np.linalg.norm(v)
+        rows.append((i, [float(x) for x in v]))
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def test_cosine_topk_finds_planted_neighbor(vecs):
+    top1 = {r["vec_id"]: r["neighbor_id"] for r in cosine_topk(vecs, k=1).collect()}
+    assert top1[1] == 2 and top1[2] == 1
+
+
+def test_lsh_topk_finds_planted_neighbor(vecs):
+    got = {
+        r["vec_id"]: r["neighbor_id"]
+        for r in lsh_topk(vecs, k=1, dim=8, num_planes=16, bands=8).collect()
+    }
+    # near-identical vectors share all hyperplane signs -> same buckets
+    assert got.get(1) == 2 and got.get(2) == 1
+
+
+def test_dedup_embedding_drops_near_duplicate(vecs):
+    kept = sorted(
+        r["vec_id"]
+        for r in dedup_embedding(
+            vecs, threshold=0.95, dim=8, num_planes=16, bands=8
+        ).collect()
+    )
+    assert 1 in kept and 2 not in kept
+    assert len(kept) == 11
+
+
+def test_cosine_self_similarity(vecs):
+    from clv_data_pipeline_spark.operators.similarity import cosine
+
+    row = (
+        vecs.alias("a")
+        .join(vecs.alias("b"), F.col("a.vec_id") == F.col("b.vec_id"))
+        .select(cosine(F.col("a.embedding"), F.col("b.embedding")).alias("s"))
+        .agg(F.min("s").alias("lo"), F.max("s").alias("hi"))
+        .first()
+    )
+    assert abs(row["lo"] - 1.0) < 1e-9 and abs(row["hi"] - 1.0) < 1e-9
