@@ -1,0 +1,95 @@
+#!/usr/bin/env python
+"""Benchmark the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Queries execute via count() — full plan execution without collect
+transfer.  The set covers every workload family: the flagship RFM agg,
+TPC-H join/agg shapes, windows/sessionization, dedup (exact + MinHash),
+similarity (brute + LSH), text analysis, and the end-to-end CLV fit+score.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def F_sum_id():
+    from pyspark.sql import functions as F
+
+    return F.sum("id")
+
+HEADLINE = [
+    "q_rfm",
+    "q_tpch_q1",
+    "q_tpch_q3",
+    "q_tpch_q5",
+    "q_window_rank",
+    "q_sessionize",
+    "q_events_daily",
+    "q_dedup_exact",
+    "q_minhash_dedup",
+    "q_simhash",
+    "q_cosine_topk",
+    "q_ann_lsh",
+    "q_text_stats",
+    "q_lang_id",
+    "q_quality_score",
+    "q_clv_scores",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    from clv_data_pipeline_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="clv-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus),
+        extra_conf={"spark.ui.enabled": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from clv_data_pipeline_spark import registry
+
+    queries = registry.all_queries()
+    # warmup: exercise codegen, parquet reader, and Arrow paths once at
+    # the smallest SF so per-query timings reflect steady state
+    queries["q_rfm"](spark, "/root/testdata/sf0.001").count()
+    spark.range(1_000_000).select(F_sum_id()).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        queries[name](spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

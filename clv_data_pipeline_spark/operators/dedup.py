@@ -122,6 +122,60 @@ class _SplitMix:
         return self.next() or 1
 
 
+def minhash_signatures_vectorized(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    shingle_size: int = 5,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash signatures via an Arrow-batched numpy kernel — the scale
+    path.  Higher-order column functions are interpreted per element
+    (no codegen), which made the expression form ~6x slower; here each
+    batch does a vectorized rolling hash (sliding-window byte matmul
+    mod 2^31-1) and one (k-permutation x gram) broadcasted min.
+
+    Deterministic: pure integer math, no engine hash functions, no RNG
+    state — same signatures on any executor count or engine version.
+    """
+    import numpy as np
+    import pandas as pd
+
+    P = _MERSENNE_31
+    rnd = _SplitMix(seed)
+    A = np.array([[rnd.next_nonzero()] for _ in range(num_hashes)], dtype=np.int64)
+    B = np.array([[rnd.next()] for _ in range(num_hashes)], dtype=np.int64)
+    # polynomial rolling-hash coefficients base=257
+    pows = np.array(
+        [pow(257, shingle_size - 1 - j, P) for j in range(shingle_size)],
+        dtype=np.int64,
+    )
+
+    def _sign(batches):
+        for pdf in batches:
+            out_ids, out_sigs = [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                norm = " ".join(str(text).lower().split())
+                data = np.frombuffer(
+                    norm.encode("utf-8"), dtype=np.uint8
+                ).astype(np.int64)
+                if len(data) < shingle_size:
+                    data = np.pad(data, (0, shingle_size - len(data)))
+                win = np.lib.stride_tricks.sliding_window_view(
+                    data, shingle_size
+                )
+                grams = np.unique((win * pows).sum(axis=1) % P)
+                sig = ((A * grams[None, :] + B) % P).min(axis=1)
+                out_ids.append(doc_id)
+                out_sigs.append(sig.tolist())
+            yield pd.DataFrame({id_col: out_ids, "_sig": out_sigs})
+
+    return df.select(id_col, text_col).mapInPandas(
+        _sign, f"{id_col} long, _sig array<long>"
+    )
+
+
 def minhash_candidates(
     df: DataFrame,
     text_col: str = "text",
@@ -130,6 +184,7 @@ def minhash_candidates(
     bands: int = 16,
     shingle_size: int = 5,
     seed: int = 42,
+    vectorized: bool = True,
 ) -> DataFrame:
     """LSH candidate pairs (id_a < id_b) from banded MinHash signatures.
 
@@ -140,12 +195,17 @@ def minhash_candidates(
     handles.
     """
     rows_per_band = num_hashes // bands
-    sig = df.select(
-        F.col(id_col),
-        minhash_signature(
-            F.col(text_col), num_hashes, shingle_size, seed
-        ).alias("_sig"),
-    )
+    if vectorized:
+        sig = minhash_signatures_vectorized(
+            df, text_col, id_col, num_hashes, shingle_size, seed
+        )
+    else:
+        sig = df.select(
+            F.col(id_col),
+            minhash_signature(
+                F.col(text_col), num_hashes, shingle_size, seed
+            ).alias("_sig"),
+        )
     # Exchange barrier: banding references _sig 16 times and joins it
     # against itself — without a materialization point, projection
     # collapse would recompute the signature per reference.  The
@@ -273,6 +333,54 @@ def simhash(text: Column, token_pattern: str = r"\s+") -> Column:
     )
 
 
+def simhash_signatures_vectorized(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """SimHash signatures via an Arrow-batched numpy kernel (the scale
+    path; the expression form folds 64 interpreted ops per token).
+    Token hashes use the same polynomial family as the MinHash kernel
+    and are memoized per batch — natural-language vocabularies repeat,
+    so hashing amortizes to a dict lookup.
+    """
+    import numpy as np
+    import pandas as pd
+
+    P = (1 << 61) - 1
+    shifts = np.arange(64, dtype=np.uint64)
+
+    def _hash_token(t: str, cache: dict) -> int:
+        h = cache.get(t)
+        if h is None:
+            h = 0
+            for b in t.encode("utf-8"):
+                h = (h * 257 + b) % P
+            cache[t] = h
+        return h
+
+    def _sign(batches):
+        cache: dict = {}
+        for pdf in batches:
+            ids, sigs = [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                tokens = " ".join(str(text).lower().split()).split(" ")
+                hs = np.array(
+                    [_hash_token(t, cache) for t in tokens], dtype=np.uint64
+                )
+                bits = ((hs[:, None] >> shifts) & 1).astype(np.int64) * 2 - 1
+                tally = bits.sum(axis=0)
+                sig = int(((tally > 0).astype(np.uint64) << shifts).sum())
+                # wrap to signed 64-bit to match LongType
+                if sig >= 1 << 63:
+                    sig -= 1 << 64
+                ids.append(doc_id)
+                sigs.append(sig)
+            yield pd.DataFrame({id_col: ids, "_sh": sigs})
+
+    return df.select(id_col, text_col).mapInPandas(
+        _sign, f"{id_col} long, _sh long"
+    )
+
+
 def simhash_candidates(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -283,9 +391,9 @@ def simhash_candidates(
     value) and pair within buckets, then verify true Hamming distance
     with bit_count — all native expressions.
     """
-    sh = df.select(F.col(id_col), simhash(F.col(text_col)).alias("_sh"))
-    # same exchange barrier as minhash_candidates: the quarter explode
-    # references _sh 4 times and the self-join doubles that.
+    sh = simhash_signatures_vectorized(df, text_col, id_col)
+    # exchange barrier: the quarter explode references _sh 4 times and
+    # the self-join doubles that.
     sh = sh.repartition(id_col)
     quarters = sh.select(
         id_col,

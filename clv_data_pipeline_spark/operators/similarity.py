@@ -136,28 +136,73 @@ def lsh_signature(
     return out
 
 
+def lsh_signatures_vectorized(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    num_planes: int = 16,
+    seed: int = 7,
+) -> DataFrame:
+    """SRP signatures via one Arrow-batched matmul: (batch x dim) @
+    (dim x planes) -> sign bits -> packed long.  Same hyperplanes as
+    :func:`lsh_signature` (deterministic hash-derived coefficients);
+    the expression form stays for per-row composition, this is the
+    throughput path (16 interpreted fold-dots per vector otherwise).
+    """
+    import numpy as np
+    import pandas as pd
+
+    planes = np.array(
+        [_hyperplane(dim, i, seed) for i in range(num_planes)], dtype=np.float64
+    ).T  # dim x planes
+    weights = (1 << np.arange(num_planes, dtype=np.int64))
+
+    def _sign(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            bits = (V @ planes) > 0
+            sig = (bits * weights).sum(axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf[id_col],
+                    "_v": pdf[vec_col],
+                    "_sig": sig,
+                }
+            )
+
+    return embeddings.select(id_col, vec_col).mapInPandas(
+        _sign,
+        embeddings.select(
+            F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_v")
+        ).schema.add("_sig", "long"),
+    )
+
+
 def lsh_topk(
     embeddings: DataFrame,
     k: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
-    num_planes: int = 16,
+    num_planes: int = 32,
     bands: int = 4,
     seed: int = 7,
 ) -> DataFrame:
     """Approximate top-k: SRP signature split into ``bands`` chunks;
     vectors sharing any chunk value pair up, then exact cosine ranks
     within candidates.  Same output contract as :func:`cosine_topk`
-    minus recall guarantees — candidates shuffle by 4-bit-band keys, so
-    cost scales with bucket collisions, not n^2.
+    minus recall guarantees — candidates shuffle by 8-bit-band keys, so
+    cost scales with bucket collisions, not n^2.  Signature generation
+    and candidate scoring both run as Arrow-batched numpy (matmul /
+    einsum); only banding and ranking are DataFrame ops.
     """
     bits_per_band = num_planes // bands
     mask = (1 << bits_per_band) - 1
-    sig = embeddings.select(
-        F.col(id_col).alias("vec_id"),
-        F.col(vec_col).alias("_v"),
-        lsh_signature(F.col(vec_col), dim, num_planes, seed).alias("_sig"),
+    sig = lsh_signatures_vectorized(
+        embeddings, id_col, vec_col, dim, num_planes, seed
     )
     banded = sig.select(
         "vec_id",
@@ -192,10 +237,29 @@ def lsh_topk(
         )
         .dropDuplicates(["vec_id", "neighbor_id"])
     )
-    scored = cands.select(
-        "vec_id",
-        "neighbor_id",
-        F.round(cosine(F.col("_va"), F.col("_vb")), 6).alias("sim"),
+
+    import numpy as np
+    import pandas as pd
+
+    def _pair_cos(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            va = np.stack(pdf["_va"].to_numpy()).astype(np.float64)
+            vb = np.stack(pdf["_vb"].to_numpy()).astype(np.float64)
+            sims = np.einsum("ij,ij->i", va, vb) / (
+                np.linalg.norm(va, axis=1) * np.linalg.norm(vb, axis=1)
+            )
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "neighbor_id": pdf["neighbor_id"],
+                    "sim": np.round(sims, 6),
+                }
+            )
+
+    scored = cands.mapInPandas(
+        _pair_cos, "vec_id long, neighbor_id long, sim double"
     )
     w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.col("neighbor_id"))
     return scored.withColumn(

@@ -26,8 +26,8 @@ from clv_data_pipeline_spark.operators.dedup import (
     dedup_minhash,
     jaccard_pairs,
     minhash_candidates,
-    simhash,
     simhash_candidates,
+    simhash_signatures_vectorized,
 )
 from clv_data_pipeline_spark.operators.multimodal import (
     attach_fake_payload,
@@ -221,7 +221,7 @@ def q_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash signatures + Hamming<=3 candidate pairs count."""
     d = load_table(spark, sf_dir, "documents")
-    sigs = d.select("doc_id", simhash(F.col("text")).alias("simhash"))
+    sigs = simhash_signatures_vectorized(d).withColumnRenamed("_sh", "simhash")
     n_cands = simhash_candidates(d).count()
     return sigs.withColumn("n_near_dup_pairs", F.lit(n_cands).cast("long"))
 

@@ -1,0 +1,112 @@
+"""Structured Streaming formulations of the reference's incremental
+semantics (SURVEY.md §2.8).
+
+The reference is daily micro-append: each run drops one CSV into
+staging (WRITE_APPEND, reference dags/clv_data_dag.py:68) and fully
+recomputes features (CREATE OR REPLACE, :80).  That maps exactly to a
+file-source stream with ``trigger(availableNow=True)`` + a
+``foreachBatch`` full refresh: the checkpoint remembers which files
+were ingested, each trigger drains only the new ones, and the batch
+function reruns the same deterministic full-refresh the batch pipeline
+uses.  Same results, exactly-once file accounting for free.
+
+Also here: the streaming twins of the batch event analytics —
+watermarked tumbling-window counts and session windows
+(``F.session_window``), matching q_events_daily / q_sessionize.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming import StreamingQuery
+
+from clv_data_pipeline_spark.schemas import TRANSACTIONS_SCHEMA
+
+
+def ingest_stream(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    batch_fn: Callable[[DataFrame, int], None],
+    schema: T.StructType = TRANSACTIONS_SCHEMA,
+    fmt: str = "parquet",
+) -> StreamingQuery:
+    """Drain all new files from ``source_dir`` through ``batch_fn``,
+    then stop (availableNow).  ``batch_fn(batch_df, batch_id)`` gets
+    the reference's full-refresh body (RFM rebuild + validate + score).
+
+    File-source streams never infer schemas (a listing-time scan at
+    100 TB) — the explicit schema is mandatory here like everywhere
+    else in the engine.
+    """
+    reader = spark.readStream.schema(schema).format(fmt)
+    if fmt == "csv":
+        reader = reader.option("header", True)
+    stream = reader.load(source_dir)
+    return (
+        stream.writeStream.foreachBatch(batch_fn)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window: str = "1 day",
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming tumbling-window aggregate with late-data handling —
+    the streaming twin of q_events_daily.  The watermark bounds state:
+    windows older than (max event time - watermark) finalize and evict.
+    Works identically on a batch frame (watermark is a no-op there),
+    which is how the oracle test pins its semantics.
+    """
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.approx_count_distinct("user_id").alias("approx_users"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "n_events",
+            "approx_users",
+        )
+    )
+
+
+def streaming_sessions(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Session windows via the built-in ``F.session_window`` — dynamic
+    gap-close windows with watermark-driven state eviction; the
+    streaming twin of operators/sessions.py (which exists because batch
+    jobs get a cheaper plan from the gap-and-island form).
+    """
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.col(user_col),
+            F.session_window(F.col(ts_col), gap).alias("sw"),
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            user_col,
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+    )
