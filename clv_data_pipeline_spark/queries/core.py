@@ -331,6 +331,72 @@ def q_flag_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("q_rfm_incremental", oracle=_RFM_ORACLE_BODY)
+def q_rfm_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-maintenance formulation of the flagship: split events
+    at mid-month into "history" and "delta", build (customer, date)
+    partials from each independently, merge, fold to features — must
+    equal the full recompute (operators/incremental.py invariant).
+    """
+    from clv_data_pipeline_spark.operators.incremental import (
+        daily_partials,
+        merge_partials,
+        rfm_from_partials,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    split = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    history = ev.filter(F.col("ts") < split)
+    delta = ev.filter(F.col("ts") >= split)
+    partials = merge_partials(
+        daily_partials(history, "user_id", "ts", "value").unionByName(
+            daily_partials(delta, "user_id", "ts", "value")
+        )
+    )
+    feats = rfm_from_partials(partials, asof=ASOF)
+    return _rounded_rfm(feats)
+
+
+@query("q_csv_roundtrip")  # rows-only: writes a scratch CSV (S1+S3)
+def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1/S3: header-CSV sink + explicit-schema CSV scan (reference
+    dags/simulate_data.py:232-233 / dags/clv_data_dag.py:58-75) —
+    write the customer table to scratch CSV, read it back with the
+    declared schema, never inferSchema."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    c = load_table(spark, sf_dir, "customer")
+    path = tempfile.mkdtemp(prefix="csv_roundtrip_") + "/customer_csv"
+    c.write.mode("overwrite").option("header", True).csv(path)
+    schema = T.StructType(
+        [
+            T.StructField("c_custkey", T.LongType()),
+            T.StructField("c_name", T.StringType()),
+            T.StructField("c_nationkey", T.IntegerType()),
+            T.StructField("c_acctbal", T.DoubleType()),
+            T.StructField("c_mktsegment", T.StringType()),
+        ]
+    )
+    return (
+        spark.read.schema(schema).option("header", True).csv(path)
+    )
+
+
+@query("q_sample")  # rows-only: seeded rand ordering is engine-specific
+def q_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampling-without-replacement from an ID pool via seeded random
+    sort (reference dags/simulate_data.py:128-132 np.random.choice) —
+    the generator's returning-customer draw as a relational op."""
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.select("c_custkey")
+        .orderBy(F.rand(42))
+        .limit(50)
+    )
+
+
 @query(
     "q_join_features_preds",
     oracle=f"""

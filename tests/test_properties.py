@@ -1,0 +1,118 @@
+"""Property-based tests (hypothesis) — SURVEY.md §5 strategy item 5:
+invariants of the RFM features, quality fixes, and the firewall gate."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from clv_data_pipeline_spark.operators.quality import apply_data_quality_fixes
+from clv_data_pipeline_spark.operators.validate import run_validation_checks
+
+# --- pure-logic properties (no Spark needed, run fast under hypothesis)
+
+
+@given(
+    raw=st.integers(min_value=0, max_value=10_000),
+    feat=st.integers(min_value=0, max_value=10_000),
+)
+def test_ratio_gate_monotone(raw, feat):
+    """The gate passes iff feat/raw >= 0.95 (raw>0); adding feature rows
+    never flips a pass into a fail."""
+    cols = [
+        "customer_id", "recency", "T", "frequency",
+        "monetary_value", "first_purchase", "last_purchase",
+    ]
+    def gate(r, f):
+        try:
+            run_validation_checks(r, f, 0, cols)
+            return True
+        except ValueError:
+            return False
+
+    ok = gate(raw, feat)
+    if raw == 0:
+        assert not ok  # ratio defined as 0 -> always fails (reference :9)
+    else:
+        assert ok == (feat / raw >= 0.95)
+        if ok and feat < 10_000:
+            assert gate(raw, feat + 1)  # monotone in feat
+
+
+@given(invalid=st.integers(min_value=1, max_value=1_000_000))
+def test_any_invalid_rows_fail(invalid):
+    cols = [
+        "customer_id", "recency", "T", "frequency",
+        "monetary_value", "first_purchase", "last_purchase",
+    ]
+    with pytest.raises(ValueError, match="SANITY ERROR"):
+        run_validation_checks(100, 100, invalid, cols)
+
+
+# --- Spark-backed properties (single example batch per case to keep the
+# suite fast; hypothesis drives the data, Spark executes once per list)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    scores=st.lists(
+        st.floats(
+            min_value=-1e9, max_value=1e9,
+            allow_nan=False, allow_infinity=False,
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_quality_fixes_invariants(spark, scores):
+    """After fixes: clv >= 0 always; negatif flag iff input < 0; outlier
+    flag iff input > 1e6; flags are 0/1."""
+    df = spark.createDataFrame(
+        [(i, float(s)) for i, s in enumerate(scores)], ["customer_id", "clv"]
+    )
+    out = apply_data_quality_fixes(df).collect()
+    by_id = {r["customer_id"]: r for r in out}
+    for i, s in enumerate(scores):
+        r = by_id[i]
+        assert r["clv"] >= 0.0
+        assert r["negatif_clv_flag"] == (1 if s < 0 else 0)
+        assert r["outliners_flag"] == (1 if s > 1_000_000 else 0)
+        if s >= 0:
+            assert r["clv"] == s
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    data=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=5),        # customer
+            st.integers(min_value=0, max_value=59 * 86400),  # ts offset sec
+            st.floats(min_value=0.01, max_value=1e4,
+                      allow_nan=False, allow_infinity=False),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_rfm_invariants(spark, data):
+    """0 <= recency <= T, frequency >= 0, monetary > 0, first <= last —
+    for any transaction multiset with asof after every timestamp."""
+    from clv_data_pipeline_spark.operators.features import rfm_features
+
+    base = dt.datetime(2026, 1, 1)
+    rows = [
+        (c, base + dt.timedelta(seconds=off), float(v)) for c, off, v in data
+    ]
+    df = spark.createDataFrame(
+        rows, ["CustomerID", "order_timestamp", "TotalPurchase"]
+    )
+    feats = rfm_features(df, asof="2026-03-15").collect()
+    assert len(feats) == len({c for c, _, _ in data})
+    for r in feats:
+        assert 0 <= r["recency"] <= r["T"]
+        assert r["frequency"] >= 0
+        assert r["monetary_value"] > 0
+        assert r["first_purchase"] <= r["last_purchase"]
