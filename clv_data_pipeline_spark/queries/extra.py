@@ -1,0 +1,262 @@
+"""Extended SQL surface: JSON, string functions, exact percentiles,
+rollup, pivot, semi/anti joins, set ops, and TPC-H Q6 — capabilities a
+user of the reference gets implicitly from BigQuery and must not lose
+when switching engines (SURVEY.md §2 closing the substrate surface).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from clv_data_pipeline_spark.registry import query
+from clv_data_pipeline_spark.sources.io import load_table
+
+
+@query(
+    "q_tpch_q6",
+    oracle="""
+    SELECT ROUND(CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(25,6)))
+                 AS DOUBLE), 2) AS revenue,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6 forecasting revenue: pure filter+sum — every predicate pushes
+    to the parquet scan (see PushedFilters), then one scalar agg."""
+    li = load_table(spark, sf_dir, "lineitem")
+    f = li.filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return f.agg(
+        F.round(
+            F.sum(
+                (F.col("l_extendedprice") * F.col("l_discount")).cast(
+                    "decimal(25,6)"
+                )
+            ).cast("double"),
+            2,
+        ).alias("revenue"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@query(
+    "q_json_extract",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value,
+           CASE WHEN json_extract_string(props, '$.k') IS NOT NULL
+                THEN 1 ELSE 0 END AS has_k
+    FROM events
+    """,
+)
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar extraction from the events props column — BigQuery's
+    JSON functions surface, Spark-side via get_json_object."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k")
+    return ev.select(
+        "event_id",
+        k.cast("long").alias("k_value"),
+        F.when(k.isNotNull(), 1).otherwise(0).alias("has_k"),
+    )
+
+
+@query(
+    "q_string_funcs",
+    oracle="""
+    SELECT c_custkey,
+           upper(c_name) AS name_upper,
+           lower(c_mktsegment) AS seg_lower,
+           substring(c_name, 1, 8) AS name_prefix,
+           c_name || '/' || c_mktsegment AS name_seg,
+           CAST(length(c_name) AS BIGINT) AS name_len,
+           CASE WHEN c_name LIKE '%1%' THEN 1 ELSE 0 END AS has_one,
+           replace(c_name, 'Customer', 'C') AS name_short,
+           trim(leading '0' from substring(c_name, 10)) AS digits
+    FROM customer
+    """,
+)
+def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function surface: upper/lower/substr/concat/length/LIKE/
+    replace/trim — all codegen'd JVM expressions."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.lower("c_mktsegment").alias("seg_lower"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.concat(F.col("c_name"), F.lit("/"), F.col("c_mktsegment")).alias(
+            "name_seg"
+        ),
+        F.length("c_name").cast("long").alias("name_len"),
+        F.when(F.col("c_name").like("%1%"), 1).otherwise(0).alias("has_one"),
+        F.replace(F.col("c_name"), F.lit("Customer"), F.lit("C")).alias(
+            "name_short"
+        ),
+        F.expr("trim(LEADING '0' FROM substring(c_name, 10))").alias("digits"),
+    )
+
+
+@query(
+    "q_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(CAST(quantile_cont(l_quantity, 0.5) AS DOUBLE), 6) AS p50_qty,
+           ROUND(CAST(quantile_cont(l_extendedprice, 0.9) AS DOUBLE), 4) AS p90_price,
+           ROUND(CAST(MIN(l_extendedprice) AS DOUBLE), 2) AS min_price,
+           ROUND(CAST(MAX(l_extendedprice) AS DOUBLE), 2) AS max_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (Spark ``percentile`` ==
+    DuckDB ``quantile_cont``).  At 100 TB swap to percentile_approx
+    (t-digest sketch, partial-aggregable) — exact percentile needs a
+    per-group sort."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_quantity", 0.5), 6).alias("p50_qty"),
+        F.round(F.percentile("l_extendedprice", 0.9), 4).alias("p90_price"),
+        F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+        F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+    )
+
+
+@query(
+    "q_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+)
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (subtotals + grand total) — Catalyst
+    expands to grouping sets in a single aggregation pass."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("l_quantity").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("sum_qty"),
+    )
+
+
+@query(
+    "q_pivot",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'click')    AS BIGINT) AS click,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'error')    AS BIGINT) AS error,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS purchase,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'signup')   AS BIGINT) AS signup,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'view')     AS BIGINT) AS view
+    FROM events GROUP BY user_id
+    """,
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot event counts per user.  The value list is declared
+    explicitly — at scale an undeclared pivot needs an extra distinct
+    pass over the data to discover columns."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+    )
+
+
+@query(
+    "q_semi_join",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders
+                        WHERE o_orderpriority = '1-URGENT')
+    """,
+)
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS/IN) — only the probe side's columns
+    survive, so the build side shrinks to the join key."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return c.join(
+        o, c.c_custkey == o.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "q_anti_join",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    """,
+)
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (NOT EXISTS): customers with no orders."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(
+        o, c.c_custkey == o.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "q_intersect",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
+    """,
+)
+def q_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct) — customers with both urgent and low orders."""
+    o = load_table(spark, sf_dir, "orders")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    low = o.filter(F.col("o_orderpriority") == "5-LOW").select("o_custkey")
+    return urgent.intersect(low)
+
+
+@query(
+    "q_except",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
+    """,
+)
+def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct) — urgent-only customers."""
+    o = load_table(spark, sf_dir, "orders")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    low = o.filter(F.col("o_orderpriority") == "5-LOW").select("o_custkey")
+    return urgent.subtract(low)  # EXCEPT DISTINCT semantics
+
+
+@query(
+    "q_approx_distinct",
+)  # rows-only: HLL estimates are engine-specific by construction
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) next to the exact count —
+    the sketch is what survives at 100 TB (partial-aggregable, fixed
+    memory); the exact count pins the estimate's error in tests."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.count_distinct("user_id").alias("exact_users"),
+    )

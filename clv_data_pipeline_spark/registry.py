@@ -74,6 +74,7 @@ def _load() -> None:
     from clv_data_pipeline_spark.queries import (  # noqa: F401
         clvq,
         core,
+        extra,
         similarity,
         textops,
         tpch,
