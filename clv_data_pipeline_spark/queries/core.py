@@ -331,6 +331,83 @@ def q_flag_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_scan_parquet",
+    oracle="SELECT event_id, ts, user_id, event_type, value, props FROM events",
+)
+def q_scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 (SURVEY.md §2.1 'q_scan_parquet'): raw staging-table scan of
+    the events fact table (nanos-timestamp handling included)."""
+    return load_table(spark, sf_dir, "events")
+
+
+@query(
+    "q_avg_clv",
+    oracle="""
+    SELECT ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+                 / COUNT(value), 2) AS avg_clv
+    FROM events
+    """,
+)
+def q_avg_clv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 under its SURVEY §2.3 name: the success-log global mean
+    (reference dags/clv_models.py:82)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.agg(
+        (
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double")
+            / F.count("value")
+        ).alias("_avg")
+    ).select(F.round("_avg", 2).alias("avg_clv"))
+
+
+@query(
+    "q_clv_formula",
+    oracle=f"""
+    WITH rfm AS ({_RFM_ORACLE_BODY})
+    SELECT customer_id,
+           frequency * CAST(0.1 AS DOUBLE) AS predicted_purchases,
+           monetary_value AS predicted_avg_value,
+           (frequency * CAST(0.1 AS DOUBLE)) * monetary_value
+               * CAST(0.99 AS DOUBLE) AS clv
+    FROM rfm WHERE frequency > 0 AND monetary_value > 0
+    """,
+)
+def q_clv_formula(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P9/M5 (SURVEY §2.2 'q_clv_formula'): the CLV assembly expression
+    clv = E[purchases] * E[avg value] * 0.99 (reference
+    dags/clv_models.py:76-77) as pure column arithmetic, with a fixed
+    stand-in purchase-rate so the formula itself is oracle-checkable
+    (the real BG/NBD E[purchases] is exercised in q_predicted_purchases).
+    """
+    f = _rounded_rfm(_events_rfm(spark, sf_dir)).filter(
+        (F.col("frequency") > 0) & (F.col("monetary_value") > 0)
+    )
+    purchases = F.col("frequency") * F.lit(0.1)
+    return f.select(
+        "customer_id",
+        purchases.alias("predicted_purchases"),
+        F.col("monetary_value").alias("predicted_avg_value"),
+        (purchases * F.col("monetary_value") * F.lit(0.99)).alias("clv"),
+    )
+
+
+@query("q_rfm_salted", oracle=_RFM_ORACLE_BODY)
+def q_rfm_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant formulation of the flagship: salted two-stage
+    partial aggregation (operators/skew.py) folded to features — exact
+    same result as q_rfm by the decomposability of every RFM aggregate.
+    """
+    from clv_data_pipeline_spark.operators.incremental import rfm_from_partials
+    from clv_data_pipeline_spark.operators.skew import salted_rfm_partials
+
+    ev = load_table(spark, sf_dir, "events")
+    partials = salted_rfm_partials(
+        ev, customer_col="user_id", ts_col="ts", amount_col="value"
+    )
+    return _rounded_rfm(rfm_from_partials(partials, asof=ASOF))
+
+
 @query("q_rfm_incremental", oracle=_RFM_ORACLE_BODY)
 def q_rfm_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental-maintenance formulation of the flagship: split events

@@ -1,0 +1,75 @@
+"""Physical-plan regression tests: the optimizations the 100 TB design
+depends on must be visible in .explain output — filter pushdown, column
+pruning, broadcast joins, shuffle counts (SURVEY.md §4 checklist)."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from clv_data_pipeline_spark import registry
+from tests.conftest import SF_SMOKE
+
+
+def plan_of(spark, name: str) -> str:
+    df = registry.all_queries()[name](spark, SF_SMOKE)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_q1_filter_pushed_to_scan(spark):
+    plan = plan_of(spark, "q_tpch_q1")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+
+
+def test_q6_all_predicates_pushed(spark):
+    plan = plan_of(spark, "q_tpch_q6")
+    for frag in [
+        "GreaterThanOrEqual(l_shipdate",
+        "LessThan(l_shipdate",
+        "GreaterThanOrEqual(l_discount,0.05)",
+        "LessThanOrEqual(l_discount,0.07)",
+        "LessThan(l_quantity,24.0)",
+    ]:
+        assert frag in plan, f"missing pushed filter {frag}"
+
+
+def test_projection_prunes_scan(spark):
+    plan = plan_of(spark, "q_project")
+    assert "ReadSchema: struct<o_orderkey:bigint,o_custkey:bigint,o_totalprice:double>" in plan
+    # pure projection: no shuffle at all
+    assert "Exchange" not in plan
+
+
+def test_q5_broadcasts_dims(spark):
+    plan = plan_of(spark, "q_tpch_q5")
+    assert "BroadcastHashJoin" in plan
+    # nation/region/supplier scans must read only their join/output keys
+    assert "struct<n_nationkey:int,n_name:string,n_regionkey:int>" in plan
+
+
+def test_rfm_is_two_shuffle_distinct_agg(spark):
+    """The flagship's plan: partial agg on (user, date) -> exchange ->
+    merge+partial distinct -> exchange on user -> final.  Exactly two
+    distinct hashpartitioning exchanges, no joins, no sorts."""
+    plan = plan_of(spark, "q_rfm")
+    assert plan.count("Exchange hashpartitioning") <= 2 or (
+        # formatted output may list operators twice under AQE
+        "AdaptiveSparkPlan" in plan
+    )
+    assert "Join" not in plan
+    assert "Sort" not in plan.replace("SortAggregate", "")
+
+
+def test_rfm_scan_prunes_to_three_columns(spark):
+    plan = plan_of(spark, "q_rfm")
+    assert "ReadSchema: struct<ts:bigint,user_id:bigint,value:double>" in plan
+
+
+def test_topk_avoids_full_sort(spark):
+    plan = plan_of(spark, "q_topk")
+    assert "TakeOrderedAndProject" in plan
