@@ -249,6 +249,68 @@ def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_cube",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 2)
+               AS total
+    FROM orders
+    GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    """,
+)
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two dims (all 4 grouping combinations in one pass)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double"),
+            2,
+        ).alias("total"),
+    )
+
+
+_SQL_RFM = """
+SELECT user_id AS customer_id,
+       CAST(datediff(to_date(MAX(ts)), to_date(MIN(ts))) AS BIGINT) AS recency,
+       CAST(datediff(DATE'2024-03-01', to_date(MIN(ts))) AS BIGINT) AS `T`,
+       COUNT(DISTINCT to_date(ts)) - 1 AS frequency,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+             / COUNT(value), 2) AS monetary_value,
+       MIN(ts) AS first_purchase,
+       MAX(ts) AS last_purchase
+FROM events
+GROUP BY user_id
+"""
+
+
+@query(
+    "q_sql_rfm",
+    oracle="""
+    SELECT user_id AS customer_id,
+           date_diff('day', CAST(MIN(ts) AS DATE), CAST(MAX(ts) AS DATE)) AS recency,
+           date_diff('day', CAST(MIN(ts) AS DATE), DATE '2024-03-01') AS "T",
+           COUNT(DISTINCT CAST(ts AS DATE)) - 1 AS frequency,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+                 / COUNT(value), 2) AS monetary_value,
+           MIN(ts) AS first_purchase,
+           MAX(ts) AS last_purchase
+    FROM events GROUP BY user_id
+    """,
+)
+def q_sql_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship through the ``spark.sql`` string interface over
+    registered temp views — proving the SQL-text surface (what the
+    reference shipped to BigQuery, reference dags/clv_data_dag.py:80-93)
+    plans identically to the DataFrame form."""
+    from clv_data_pipeline_spark.sources.io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL_RFM)
+
+
+@query(
     "q_approx_distinct",
 )  # rows-only: HLL estimates are engine-specific by construction
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
