@@ -303,6 +303,71 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_stream_daily",
+    oracle="""
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           COUNT(*) AS n_events,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2)
+               AS total_value
+    FROM events GROUP BY 1
+    """,
+)
+def q_stream_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily tumbling-window counts computed by the REAL Structured
+    Streaming engine (file source -> windowed agg -> availableNow ->
+    memory sink), then compared against the same DuckDB oracle as the
+    batch twin — streaming and batch must agree bit-for-bit on
+    completed windows.  (No count-distinct: distinct aggregation is
+    unsupported in streaming; the HLL variant lives in streaming/.)
+    """
+    import os
+    import tempfile
+    import uuid
+
+    path = os.path.join(sf_dir, "events.parquet")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(path).schema
+    # the streaming file source requires a directory: list the SF dir
+    # and glob-filter to the events file
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict((f.name, f.dataType.simpleString()) for f in raw_schema).get("ts") == "bigint":
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    agg = (
+        stream.groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,4)")).cast("double"), 2
+            ).alias("total_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd").alias("day"),
+            "n_events",
+            "total_value",
+        )
+    )
+    sink = f"stream_daily_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="q_stream_daily_")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(sink)
+
+
+@query(
     "q_events_daily",
     oracle="""
     SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
