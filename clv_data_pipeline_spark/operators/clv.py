@@ -222,6 +222,38 @@ def expected_purchases_udf(params: BetaGeoParams, t: float):
     return _udf
 
 
+def prob_alive_col(
+    params: BetaGeoParams,
+    frequency: Column | str = "frequency",
+    recency: Column | str = "recency",
+    T: Column | str = "t",
+) -> Column:
+    """BG/NBD P(alive | x, t_x, T) (Fader-Hardie-Lee 2005):
+    1 / (1 + [x>0] * a/(b+x-1) * ((alpha+T)/(alpha+t_x))^(r+x)).
+    Pure Column arithmetic — no UDF; the denominator is the same term
+    the conditional-purchases formula divides by.
+    """
+    x = (F.col(frequency) if isinstance(frequency, str) else frequency).cast(
+        "double"
+    )
+    t_x = (F.col(recency) if isinstance(recency, str) else recency).cast(
+        "double"
+    )
+    Tc = (F.col(T) if isinstance(T, str) else T).cast("double")
+    r, alpha, a, b = (
+        F.lit(params.r),
+        F.lit(params.alpha),
+        F.lit(params.a),
+        F.lit(params.b),
+    )
+    odds = (a / (b + F.greatest(x, F.lit(1.0)) - F.lit(1.0))) * F.pow(
+        (alpha + Tc) / (alpha + t_x), r + x
+    )
+    return F.when(x > 0, F.lit(1.0) / (F.lit(1.0) + odds)).otherwise(
+        F.lit(1.0)
+    )
+
+
 def expected_avg_value_col(
     params: GammaGammaParams,
     frequency: Column | str = "frequency",

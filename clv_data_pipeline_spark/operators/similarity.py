@@ -66,6 +66,10 @@ def cosine_topk(
     import pandas as pd
 
     index_pdf = embeddings.select(id_col, vec_col).toPandas()
+    if index_pdf.empty:
+        return embeddings.sparkSession.createDataFrame(
+            [], "vec_id long, neighbor_id long, sim double, rank long"
+        )
     ids_b = index_pdf[id_col].to_numpy(dtype=np.int64)
     B = np.stack(index_pdf[vec_col].to_numpy()).astype(np.float64)
     B /= np.linalg.norm(B, axis=1, keepdims=True)
@@ -134,6 +138,90 @@ def lsh_signature(
     for b in bits[1:]:
         out = out.bitwiseOR(b)
     return out
+
+
+def cosine_topk_sharded(
+    embeddings: DataFrame,
+    k: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_shards: int = 4,
+    round_scale: int = 6,
+) -> DataFrame:
+    """Brute-force top-k when the index exceeds driver/executor memory:
+    split the index into ``num_shards`` hash shards, run
+    :func:`cosine_topk`'s kernel per shard (each broadcast is 1/shards
+    the size), union the per-shard top-k, re-rank globally.  Exact —
+    the true top-k per query is contained in the union of per-shard
+    top-ks.  Same output contract as :func:`cosine_topk`.
+    """
+    shards = [
+        embeddings.filter(F.col(id_col) % num_shards == i)
+        for i in range(num_shards)
+    ]
+    per_shard = None
+    for shard_index in shards:
+        # score every query against THIS shard of the index
+        topk = _cosine_topk_against_index(
+            embeddings, shard_index, k, id_col, vec_col, round_scale
+        )
+        per_shard = topk if per_shard is None else per_shard.unionByName(topk)
+    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.col("neighbor_id"))
+    return (
+        per_shard.drop("rank")
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _cosine_topk_against_index(
+    queries: DataFrame,
+    index: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+    round_scale: int,
+) -> DataFrame:
+    """Shared kernel: broadcast ``index`` as a dense matrix, stream
+    ``queries`` through mapInPandas, BLAS-matmul per Arrow batch."""
+    import numpy as np
+    import pandas as pd
+
+    index_pdf = index.select(id_col, vec_col).toPandas()
+    if index_pdf.empty:
+        # empty index shard -> no candidates from it
+        return queries.sparkSession.createDataFrame(
+            [], "vec_id long, neighbor_id long, sim double, rank long"
+        )
+    ids_b = index_pdf[id_col].to_numpy(dtype=np.int64)
+    B = np.stack(index_pdf[vec_col].to_numpy()).astype(np.float64)
+    B /= np.linalg.norm(B, axis=1, keepdims=True)
+    bc = queries.sparkSession.sparkContext.broadcast((ids_b, B))
+
+    def _score(batches):
+        ids_idx, Bn = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            A = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            A /= np.linalg.norm(A, axis=1, keepdims=True)
+            sims = np.round(A @ Bn.T, round_scale)
+            ids_a = pdf[id_col].to_numpy(dtype=np.int64)
+            rows = {"vec_id": [], "neighbor_id": [], "sim": [], "rank": []}
+            for i, qid in enumerate(ids_a):
+                s = sims[i]
+                mask = ids_idx != qid
+                order = np.lexsort((ids_idx[mask], -s[mask]))[:k]
+                nb = ids_idx[mask][order]
+                rows["vec_id"].extend([qid] * len(order))
+                rows["neighbor_id"].extend(nb.tolist())
+                rows["sim"].extend(s[mask][order].tolist())
+                rows["rank"].extend(range(1, len(order) + 1))
+            yield pd.DataFrame(rows)
+
+    return queries.select(id_col, vec_col).mapInPandas(
+        _score, "vec_id long, neighbor_id long, sim double, rank long"
+    )
 
 
 def lsh_signatures_vectorized(

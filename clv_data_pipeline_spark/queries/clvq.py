@@ -84,6 +84,48 @@ def q_gamma_gamma_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_prob_alive",
+    oracle="""
+    WITH rfm AS (
+        SELECT user_id AS customer_id,
+               date_diff('day', CAST(MIN(ts) AS DATE), CAST(MAX(ts) AS DATE))
+                   AS recency,
+               date_diff('day', CAST(MIN(ts) AS DATE), DATE '2024-03-01') AS t,
+               COUNT(DISTINCT CAST(ts AS DATE)) - 1 AS frequency
+        FROM events GROUP BY user_id
+    )
+    SELECT customer_id,
+           ROUND(CASE WHEN frequency > 0 THEN
+               CAST(1.0 AS DOUBLE) / (CAST(1.0 AS DOUBLE)
+                   + (CAST(0.75 AS DOUBLE) / (CAST(2.5 AS DOUBLE)
+                      + GREATEST(CAST(frequency AS DOUBLE), CAST(1.0 AS DOUBLE))
+                      - CAST(1.0 AS DOUBLE)))
+                   * POWER((CAST(4.5 AS DOUBLE) + CAST(t AS DOUBLE))
+                           / (CAST(4.5 AS DOUBLE) + CAST(recency AS DOUBLE)),
+                           CAST(0.25 AS DOUBLE) + CAST(frequency AS DOUBLE)))
+               ELSE CAST(1.0 AS DOUBLE) END, 6) AS p_alive
+    FROM rfm
+    """,
+)
+def q_prob_alive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M2-adjacent: BG/NBD P(alive) with fixed params — closed-form
+    column arithmetic (no UDF), rounded to 6 because POWER's last bit
+    is implementation-specific."""
+    from clv_data_pipeline_spark.operators.clv import prob_alive_col
+
+    ev = load_table(spark, sf_dir, "events")
+    f = rfm_features(
+        ev, customer_col="user_id", ts_col="ts", amount_col="value", asof=ASOF
+    )
+    return f.select(
+        "customer_id",
+        F.round(
+            prob_alive_col(_BG, "frequency", "recency", "T"), 6
+        ).alias("p_alive"),
+    )
+
+
 @query("q_predicted_purchases")  # rows-only: 2F1 is not SQL-expressible
 def q_predicted_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M2: BG/NBD conditional expected purchases (30d) with fixed params

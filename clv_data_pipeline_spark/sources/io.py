@@ -72,8 +72,15 @@ def write_csv(df: DataFrame, path: str) -> None:
     """S1/S2: header CSV straight to the (object-store) path —
     reference dags/simulate_data.py:232-250 needed a local tmp file
     plus a GCSHook upload; a Spark writer targets the URI directly.
+    Timestamps in the reference's sample-CSV shape (space-separated,
+    microseconds — data/*.csv), matching read_transactions_csv.
     """
-    df.write.mode("overwrite").option("header", True).csv(path)
+    (
+        df.write.mode("overwrite")
+        .option("header", True)
+        .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+        .csv(path)
+    )
 
 
 def write_append(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:

@@ -125,6 +125,14 @@ def test_dedup_embedding_drops_near_duplicate(vecs):
     assert len(kept) == 11
 
 
+def test_cosine_topk_sharded_equals_unsharded(vecs):
+    from clv_data_pipeline_spark.operators.similarity import cosine_topk_sharded
+
+    base = sorted(map(str, cosine_topk(vecs, k=2).collect()))
+    shard = sorted(map(str, cosine_topk_sharded(vecs, k=2, num_shards=3).collect()))
+    assert base == shard
+
+
 def test_cosine_self_similarity(vecs):
     from clv_data_pipeline_spark.operators.similarity import cosine
 

@@ -1,0 +1,72 @@
+"""Source/sink wrappers (SURVEY.md §2.1 S1-S9)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from clv_data_pipeline_spark.schemas import MASTER_USERS_SCHEMA, TRANSACTIONS_SCHEMA
+from clv_data_pipeline_spark.sources.io import (
+    append_rows,
+    read_transactions_csv,
+    table_columns,
+    write_csv,
+)
+
+
+def test_csv_write_read_roundtrip_with_schema(spark, tmp_path):
+    """S1+S3: header CSV out, explicit-schema read back (autodetect
+    permanently off, like reference clv_data_dag.py:73)."""
+    rows = [
+        (1, 2, 9.5, "2026-01-01 10:00:00", 19.0),
+        (2, 1, 50.25, "2026-01-01 11:30:00", 50.25),
+    ]
+    df = spark.createDataFrame(
+        rows, ["CustomerID", "Quantity", "UnitPrice", "order_timestamp", "TotalPurchase"]
+    ).withColumn("order_timestamp", F.to_timestamp("order_timestamp"))
+    path = str(tmp_path / "tx_csv")
+    write_csv(df, path)
+    back = read_transactions_csv(spark, path)
+    # Spark relaxes nullability on file reads; names/types must hold
+    assert [(f.name, f.dataType) for f in back.schema.fields] == [
+        (f.name, f.dataType) for f in TRANSACTIONS_SCHEMA.fields
+    ]
+    assert sorted(map(str, back.collect())) == sorted(map(str, df.collect()))
+
+
+def test_append_rows_streaming_insert_shape(spark, tmp_path):
+    """S7: small-batch row insert (reference simulate_data.py:82-88)."""
+    path = str(tmp_path / "master_users")
+    append_rows(spark, [{"CustomerID": 401}], MASTER_USERS_SCHEMA, path)
+    append_rows(
+        spark,
+        [{"CustomerID": 402}, {"CustomerID": 403}],
+        MASTER_USERS_SCHEMA,
+        path,
+    )
+    got = spark.read.parquet(path)
+    assert sorted(r["CustomerID"] for r in got.collect()) == [401, 402, 403]
+    # the empty->max=0 edge (reference simulate_data.py:39)
+    empty = spark.createDataFrame([], MASTER_USERS_SCHEMA)
+    mx = empty.agg(
+        F.coalesce(F.max("CustomerID"), F.lit(0).cast("long")).alias("m")
+    ).first()["m"]
+    assert mx == 0
+
+
+def test_table_exists_create_and_columns(spark):
+    """S8+S9: catalog existence probe, create-if-missing, metadata read."""
+    from clv_data_pipeline_spark.sources.io import (
+        create_table_if_not_exists,
+        table_exists,
+    )
+
+    name = "t_io_test_master"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    assert not table_exists(spark, name)
+    create_table_if_not_exists(spark, name, MASTER_USERS_SCHEMA)
+    assert table_exists(spark, name)
+    # idempotent second call (reference's create-on-demand path)
+    create_table_if_not_exists(spark, name, MASTER_USERS_SCHEMA)
+    assert table_columns(spark, name) == ["CustomerID"]
+    spark.sql(f"DROP TABLE {name}")
