@@ -249,6 +249,29 @@ def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_explode",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(unnest(generate_series(1, CAST(o_orderkey % 5 + 1 AS BIGINT)))
+                AS BIGINT) AS slot
+    FROM orders
+    """,
+)
+def q_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row fan-out via explode(sequence(1, n)) — the generator's
+    per-customer purchase expansion (reference dags/simulate_data.py:163
+    1..n rows per customer) as a relational op.  Generators run inside
+    the scan stage; no shuffle."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.explode(
+            F.sequence(F.lit(1).cast("long"), F.col("o_orderkey") % 5 + 1)
+        ).alias("slot"),
+    )
+
+
+@query(
     "q_cube",
     oracle="""
     SELECT o_orderstatus, o_orderpriority,
