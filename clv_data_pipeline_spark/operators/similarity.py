@@ -276,25 +276,35 @@ def lsh_topk(
     vec_col: str = "embedding",
     dim: int = 64,
     num_planes: int = 32,
-    bands: int = 4,
+    bands: int = 8,
     seed: int = 7,
 ) -> DataFrame:
     """Approximate top-k: SRP signature split into ``bands`` chunks;
     vectors sharing any chunk value pair up, then exact cosine ranks
     within candidates.  Same output contract as :func:`cosine_topk`
-    minus recall guarantees — candidates shuffle by 8-bit-band keys, so
-    cost scales with bucket collisions, not n^2.  Signature generation
-    and candidate scoring both run as Arrow-batched numpy (matmul /
-    einsum); only banding and ranking are DataFrame ops.
+    minus recall guarantees.  Signature generation and candidate
+    scoring both run as Arrow-batched numpy (matmul/einsum); only
+    banding and ranking are DataFrame ops.
+
+    Parameter choice is the classic OR-of-ANDs tradeoff: 8 bands of
+    4 bits give measured recall@1 ~= 0.72 on the driver embeddings
+    (mid-similarity neighbors); 4 bands of 8 bits drop recall to ~0.10
+    while generating few candidates.  For near-duplicate retrieval
+    (sim >= 0.9) wider bands are fine; for general ANN prefer more,
+    narrower bands and pay the candidate cost.
     """
     bits_per_band = num_planes // bands
     mask = (1 << bits_per_band) - 1
     sig = lsh_signatures_vectorized(
         embeddings, id_col, vec_col, dim, num_planes, seed
     )
+    # Band-join on IDs ONLY: exploding and self-joining (vec_id, band,
+    # band_value) keeps the big shuffle at 3 longs per row; the dense
+    # vectors attach afterwards with two joins against the slim
+    # signature table (broadcast when it fits) — measured 2.5x faster
+    # than carrying vectors through the candidate join at sf0.1.
     banded = sig.select(
         "vec_id",
-        "_v",
         F.explode(
             F.array(
                 *[
@@ -308,9 +318,9 @@ def lsh_topk(
                 ]
             )
         ).alias("bk"),
-    ).select("vec_id", "_v", "bk.band", "bk.bv")
+    ).select("vec_id", "bk.band", "bk.bv")
     a, b = banded.alias("a"), banded.alias("b")
-    cands = (
+    id_pairs = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -320,10 +330,23 @@ def lsh_topk(
         .select(
             F.col("a.vec_id").alias("vec_id"),
             F.col("b.vec_id").alias("neighbor_id"),
-            F.col("a._v").alias("_va"),
-            F.col("b._v").alias("_vb"),
         )
         .dropDuplicates(["vec_id", "neighbor_id"])
+    )
+    vecs = sig.select("vec_id", "_v")
+    cands = (
+        id_pairs.join(
+            vecs.select(
+                F.col("vec_id").alias("vec_id"), F.col("_v").alias("_va")
+            ),
+            "vec_id",
+        )
+        .join(
+            vecs.select(
+                F.col("vec_id").alias("neighbor_id"), F.col("_v").alias("_vb")
+            ),
+            "neighbor_id",
+        )
     )
 
     import numpy as np

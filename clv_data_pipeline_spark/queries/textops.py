@@ -204,6 +204,78 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_pairs(d, pairs, shingle_size=3)
 
 
+@query(
+    "q_vocab_top",
+    oracle="""
+    WITH toks AS (
+        SELECT unnest(string_split(
+                   trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '))
+               AS token
+        FROM documents)
+    SELECT token, COUNT(*) AS n FROM toks
+    WHERE token <> ''
+    GROUP BY token ORDER BY n DESC, token LIMIT 25
+    """,
+)
+def q_vocab_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary build: explode tokens -> count -> top-25 with
+    deterministic (count desc, token asc) tie order.  Partial
+    aggregation collapses the exploded rows map-side."""
+    from clv_data_pipeline_spark.operators.corpus import vocabulary
+
+    return vocabulary(load_table(spark, sf_dir, "documents"), top_k=25)
+
+
+@query(
+    "q_chunk_documents",
+    oracle="""
+    SELECT doc_id,
+           CAST(unnest(generate_series(0,
+               CAST(GREATEST(ceil((length(text) - 20) / 100.0), 1) AS BIGINT)
+               - 1)) AS BIGINT) AS chunk_idx,
+           '' AS chunk
+    FROM documents
+    """,
+)
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width chunking with overlap (120 chars, 20 overlap).  The
+    oracle pins the chunk fan-out structure (ids x chunk indexes);
+    chunk text equality is pinned separately by unit tests because
+    DuckDB cannot reference the unnest alias inside a sibling
+    substring expression."""
+    from clv_data_pipeline_spark.operators.corpus import chunk_documents
+
+    d = load_table(spark, sf_dir, "documents")
+    return chunk_documents(d, chunk_chars=120, overlap=20).select(
+        "doc_id", "chunk_idx", F.lit("").alias("chunk")
+    )
+
+
+@query(
+    "q_pack_documents",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, source,
+               CAST(len(regexp_extract_all(trim(text), '\\S+', 0)) AS BIGINT)
+                   AS n_tokens
+        FROM documents)
+    SELECT doc_id, source, n_tokens,
+           CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                       ROWS UNBOUNDED PRECEDING) - n_tokens) / 256.0) AS BIGINT)
+               AS bin_id
+    FROM t
+    """,
+)
+def q_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy fixed-budget sequence packing per source stream (256
+    tokens/bin): running-sum window + integer quotient."""
+    from clv_data_pipeline_spark.operators.corpus import pack_documents
+
+    return pack_documents(
+        load_table(spark, sf_dir, "documents"), budget_tokens=256
+    )
+
+
 @query("q_minhash_dedup")  # rows-only: xxhash64 family is Spark-specific
 def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup removal (shingle -> 64 minhashes -> 16

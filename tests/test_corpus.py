@@ -1,0 +1,74 @@
+"""Corpus operators: vocabulary, chunking, packing (operators/corpus.py)."""
+
+from __future__ import annotations
+
+from clv_data_pipeline_spark.operators.corpus import (
+    chunk_documents,
+    pack_documents,
+    vocabulary,
+)
+
+
+def _docs(spark):
+    rows = [
+        (1, "a b c a b a", "s1"),
+        (2, "x" * 250, "s1"),          # single long token, chunk fan-out
+        (3, "one two three four five six seven eight", "s1"),
+        (4, "short", "s2"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text", "source"])
+
+
+def test_vocabulary_counts_and_tiebreak(spark):
+    v = {r["token"]: r["n"] for r in vocabulary(_docs(spark)).collect()}
+    assert v["a"] == 3 and v["b"] == 2 and v["c"] == 1
+    top = vocabulary(_docs(spark), top_k=3).collect()
+    assert top[0]["token"] == "a"
+    # ties (n=1) break alphabetically
+    ns = [r["n"] for r in top]
+    assert ns == sorted(ns, reverse=True)
+
+
+def test_chunk_documents_reconstruct(spark):
+    chunks = chunk_documents(
+        _docs(spark), chunk_chars=100, overlap=20
+    ).collect()
+    by_doc = {}
+    for r in chunks:
+        by_doc.setdefault(r["doc_id"], {})[r["chunk_idx"]] = r["chunk"]
+    # doc 2: 250 chars, stride 80 -> ceil(230/80)=3 chunks
+    assert len(by_doc[2]) == 3
+    # stitched chunks (dropping the 20-char overlap) reconstruct the text
+    stitched = by_doc[2][0]
+    for i in range(1, len(by_doc[2])):
+        stitched += by_doc[2][i][20:]
+    assert stitched == "x" * 250
+    # short docs produce exactly one chunk equal to the text
+    assert by_doc[4] == {0: "short"}
+
+
+def test_pack_documents_budget(spark):
+    packed = pack_documents(
+        _docs(spark), budget_tokens=8, stream_col="source"
+    ).collect()
+    by_id = {r["doc_id"]: r for r in packed}
+    # s1 stream in doc_id order: 6 + 1 + 8 tokens with budget 8:
+    # doc1 starts bin 0 (cum-n=0), doc2 bin 0 (cum-n=6), doc3 bin 0? cum
+    # before doc3 = 7 -> floor(7/8)=0; deterministic quotient packing
+    assert by_id[1]["bin_id"] == 0
+    assert by_id[2]["bin_id"] == 0
+    assert by_id[3]["bin_id"] == 0
+    assert by_id[4]["bin_id"] == 0  # s2 stream starts fresh
+    # larger corpus: bins never exceed budget by more than one document
+    docs = spark.createDataFrame(
+        [(i, "w " * (i % 5 + 1), "s") for i in range(1, 40)],
+        ["doc_id", "text", "source"],
+    )
+    out = pack_documents(docs, budget_tokens=10).collect()
+    from collections import defaultdict
+
+    per_bin = defaultdict(int)
+    for r in out:
+        per_bin[r["bin_id"]] += r["n_tokens"]
+    # every bin except possibly via a single spill-over doc stays bounded
+    assert all(v <= 10 + 5 for v in per_bin.values())

@@ -144,3 +144,20 @@ def test_cosine_self_similarity(vecs):
         .first()
     )
     assert abs(row["lo"] - 1.0) < 1e-9 and abs(row["hi"] - 1.0) < 1e-9
+
+
+def test_lsh_recall_floor_on_driver_embeddings(spark):
+    """Default SRP-LSH params must retrieve the true nearest neighbor
+    for >=60% of the driver's sf0.001 embeddings (measured 0.72-0.73)."""
+    from clv_data_pipeline_spark.operators.similarity import (
+        cosine_topk,
+        lsh_topk,
+    )
+    from clv_data_pipeline_spark.sources.io import load_table
+    from tests.conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    true1 = {r["vec_id"]: r["neighbor_id"] for r in cosine_topk(emb, k=1).collect()}
+    got = {r["vec_id"]: r["neighbor_id"] for r in lsh_topk(emb, k=1).collect()}
+    recall = sum(1 for k, v in true1.items() if got.get(k) == v) / len(true1)
+    assert recall >= 0.6, f"recall@1 degraded to {recall:.2f}"
