@@ -161,3 +161,13 @@ def test_lsh_recall_floor_on_driver_embeddings(spark):
     got = {r["vec_id"]: r["neighbor_id"] for r in lsh_topk(emb, k=1).collect()}
     recall = sum(1 for k, v in true1.items() if got.get(k) == v) / len(true1)
     assert recall >= 0.6, f"recall@1 degraded to {recall:.2f}"
+
+
+def test_minhash_expression_variant_agrees(docs):
+    """The pure-expression MinHash path (vectorized=False) must produce
+    the same candidate structure as the numpy kernel on the injected
+    duplicates (different hash families, same retrieval semantics)."""
+    cands = minhash_candidates(docs, num_hashes=64, bands=16, vectorized=False)
+    pairs = {(r["id_a"], r["id_b"]) for r in cands.collect()}
+    assert (1, 2) in pairs and (1, 3) in pairs
+    assert (1, 4) not in pairs
