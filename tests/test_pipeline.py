@@ -76,6 +76,33 @@ def test_full_pipeline_end_to_end(spark, tmp_path):
     assert preds.filter(F.col("clv") < 0).count() == 0
 
 
+def test_pipeline_idempotent_day_rerun(spark, tmp_path):
+    """Re-running the same day replaces its staging partition instead of
+    duplicating it (dynamic partition overwrite)."""
+    r1 = run_pipeline(spark, str(tmp_path), run_date="2026-01-01", seed=1)
+    r2 = run_pipeline(spark, str(tmp_path), run_date="2026-01-01", seed=1)
+    assert r2.staging_rows == r1.staging_rows  # no double-load
+    r3 = run_pipeline(spark, str(tmp_path), run_date="2026-01-02", seed=2)
+    assert r3.staging_rows > r1.staging_rows   # new day appends
+
+
+def test_pipeline_registry_grows_ids(spark, tmp_path):
+    """max_existing_id=None reads the master_users registry; each run
+    allocates 10 new dense IDs above the previous max (reference
+    simulate_data.py:20,113-118)."""
+    from pyspark.sql import functions as F
+
+    run_pipeline(spark, str(tmp_path), run_date="2026-01-01", seed=1,
+                 max_existing_id=None)
+    reg = spark.read.parquet(str(tmp_path / "master_users"))
+    assert reg.agg(F.max("CustomerID")).first()[0] == 10
+    run_pipeline(spark, str(tmp_path), run_date="2026-01-02", seed=2,
+                 max_existing_id=None)
+    reg = spark.read.parquet(str(tmp_path / "master_users"))
+    assert reg.agg(F.max("CustomerID")).first()[0] == 20
+    assert reg.count() == 20
+
+
 def test_pipeline_gate_aborts_on_data_loss(spark, tmp_path):
     """Firewall must raise before scoring when features lose >5% of
     customers (reference validate_features.py:9-13 semantics)."""
