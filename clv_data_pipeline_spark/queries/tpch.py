@@ -303,6 +303,87 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_moving_avg",
+    oracle="""
+    WITH scaled AS (
+        SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+               CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS v4
+        FROM events),
+    win AS (
+        SELECT event_id, user_id,
+               CAST(SUM(v4) OVER w AS BIGINT) AS s,
+               COUNT(v4) OVER w AS n,
+               CAST(COUNT(*) OVER w AS BIGINT) AS n_events_7d
+        FROM scaled
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+                     RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW))
+    SELECT event_id, user_id,
+           FLOOR((s + 50 * n) / CAST(100 * n AS DOUBLE)) / 100.0
+               AS avg_value_7d,
+           n_events_7d
+    FROM win
+    """,
+)
+def q_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frame: per-user 7-day trailing average —
+    event-time analytics beyond row frames.  The frame bound is integer
+    epoch MICROseconds on both engines (fractional-second doubles vs
+    truncated seconds would put boundary events in different frames).
+    Small windows land the mean on exact .xx5 midpoints, where Spark
+    (shortest-repr half-up) and DuckDB (true-binary round) disagree —
+    so the 2-dp half-up rounding is done in scaled-integer arithmetic,
+    identical IEEE ops on both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-604_800_000_000, 0)
+    )
+    v4 = (F.col("value").cast("decimal(18,4)") * 10000).cast("long")
+    s = F.sum(v4).over(w)
+    n = F.count(v4).over(w)
+    return ev.select(
+        "event_id",
+        "user_id",
+        (F.floor((s + 50 * n) / (100 * n)) / 100.0).alias("avg_value_7d"),
+        F.count("*").over(w).cast("long").alias("n_events_7d"),
+    )
+
+
+@query(
+    "q_event_gaps",
+    oracle="""
+    WITH gaps AS (
+        SELECT user_id,
+               epoch_us(ts) - lag(epoch_us(ts)) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+        FROM events)
+    SELECT user_id,
+           CAST(COUNT(gap_us) AS BIGINT) AS n_gaps,
+           CAST(MIN(gap_us) AS BIGINT) AS min_gap_us,
+           CAST(MAX(gap_us) AS BIGINT) AS max_gap_us,
+           CAST(SUM(gap_us) AS BIGINT) AS total_gap_us
+    FROM gaps GROUP BY user_id
+    """,
+)
+def q_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag-based inter-event gap statistics per user — integer
+    microsecond arithmetic end to end, so no rounding is needed."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    gaps = ev.select(
+        "user_id", (us - F.lag(us).over(w)).alias("gap_us")
+    )
+    return gaps.groupBy("user_id").agg(
+        F.count("gap_us").alias("n_gaps"),
+        F.min("gap_us").alias("min_gap_us"),
+        F.max("gap_us").alias("max_gap_us"),
+        F.sum("gap_us").alias("total_gap_us"),
+    )
+
+
+@query(
     "q_stream_daily",
     oracle="""
     SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,

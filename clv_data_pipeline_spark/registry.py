@@ -21,12 +21,44 @@ Determinism rules for oracle-checked queries (SURVEY.md §7 risks):
 
 from __future__ import annotations
 
+import functools
+import os
+import tempfile
+import zipfile
 from collections.abc import Callable
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+def ensure_worker_imports(spark: SparkSession) -> None:
+    """Make this package importable on Spark Python workers.
+
+    Workers only see the driver's cwd (via ``python -m`` path
+    insertion), not the driver's ``sys.path`` — so any pandas-UDF query
+    fails with ModuleNotFoundError when the driving process runs outside
+    the repo root.  Shipping the package via ``addPyFile`` (a zip that
+    workers put on their own ``sys.path``) removes the cwd dependency;
+    on a real cluster this is also exactly how the package would reach
+    executors without a wheel deploy.
+    """
+    sc = spark.sparkContext
+    if getattr(sc, "_clv_pkg_shipped", False):
+        return
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    root = os.path.dirname(pkg_dir)
+    fd, zpath = tempfile.mkstemp(prefix="clv_data_pipeline_spark_", suffix=".zip")
+    os.close(fd)
+    with zipfile.ZipFile(zpath, "w") as zf:
+        for dirpath, _dirs, files in os.walk(pkg_dir):
+            for f in sorted(files):
+                if f.endswith(".py"):
+                    full = os.path.join(dirpath, f)
+                    zf.write(full, os.path.relpath(full, root))
+    sc.addPyFile(zpath)
+    sc._clv_pkg_shipped = True
 
 #: fixed "today" replacing the reference's CURRENT_DATE()
 #: (reference dags/clv_data_dag.py:84) — after every event ts at all SFs.
@@ -53,9 +85,18 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     return deco
 
 
+def _shipping(fn: QueryFn) -> QueryFn:
+    @functools.wraps(fn)
+    def inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ensure_worker_imports(spark)
+        return fn(spark, sf_dir)
+
+    return inner
+
+
 def all_queries() -> dict[str, QueryFn]:
     _load()
-    return {n: q.fn for n, q in _REGISTRY.items()}
+    return {n: _shipping(q.fn) for n, q in _REGISTRY.items()}
 
 
 def all_oracles() -> dict[str, str]:

@@ -123,6 +123,40 @@ def table_columns(spark: SparkSession, name: str) -> list[str]:
     return [f.name for f in spark.table(name).schema.fields]
 
 
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_files: int = 1,
+    partition_by: list[str] | None = None,
+) -> tuple[int, int]:
+    """Small-file compaction: rewrite a parquet dataset into
+    ``target_files`` files (per partition when ``partition_by``).
+
+    Daily micro-appends (the reference's load pattern) accumulate tiny
+    files; at 100 TB, scan throughput dies on file-open overhead and
+    driver listing.  Compaction is a rewrite through a staging
+    directory (write-then-swap, so a failure never destroys the
+    original), returning (files_before, files_after).
+    """
+    import glob
+    import shutil
+
+    files_before = len(glob.glob(os.path.join(path, "**", "*.parquet"),
+                                 recursive=True))
+    df = spark.read.parquet(path)
+    tmp = path.rstrip("/") + "._compact_tmp"
+    w = df.repartition(target_files)
+    writer = w.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(tmp)
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+    files_after = len(glob.glob(os.path.join(path, "**", "*.parquet"),
+                                recursive=True))
+    return files_before, files_after
+
+
 def append_rows(
     spark: SparkSession, rows: list[dict], schema: T.StructType, path: str
 ) -> None:

@@ -70,3 +70,20 @@ def test_table_exists_create_and_columns(spark):
     create_table_if_not_exists(spark, name, MASTER_USERS_SCHEMA)
     assert table_columns(spark, name) == ["CustomerID"]
     spark.sql(f"DROP TABLE {name}")
+
+
+def test_compact_parquet_reduces_files_preserves_rows(spark, tmp_path):
+    """S-ops extension: many micro-appends -> one compaction pass ->
+    fewer files, identical data."""
+    from clv_data_pipeline_spark.sources.io import compact_parquet
+
+    path = str(tmp_path / "micro")
+    for i in range(6):
+        spark.range(i * 10, i * 10 + 10).write.mode("append").parquet(path)
+    before_rows = sorted(r["id"] for r in spark.read.parquet(path).collect())
+
+    files_before, files_after = compact_parquet(spark, path, target_files=2)
+    assert files_before > files_after
+    assert files_after <= 2
+    after_rows = sorted(r["id"] for r in spark.read.parquet(path).collect())
+    assert after_rows == before_rows
