@@ -384,6 +384,68 @@ def q_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_asof_join",
+    oracle="""
+    WITH r AS (
+        SELECT user_id, epoch_us(ts) AS ts_us,
+               arg_max(value, event_id) AS pv
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY user_id, epoch_us(ts)),
+    l AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events)
+    SELECT l.event_id, l.user_id, r.pv AS last_purchase_value
+    FROM l ASOF LEFT JOIN r
+      ON l.user_id = r.user_id AND l.ts_us >= r.ts_us
+    """,
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join — an operator Spark lacks natively: each event picks
+    up the most recent purchase value at-or-before its timestamp, per
+    user (DuckDB expresses it as ASOF LEFT JOIN).
+
+    Scale-first formulation: a naive ``l.ts >= r.ts`` inequality join
+    would degenerate into a per-key cross product (Spark plans it as
+    broadcast-nested-loop).  Instead both sides are UNIONed with a side
+    tag and a single window pass takes ``last(value, ignorenulls)``
+    over (ts, side) order — one shuffle on user_id, linear in rows,
+    survives any scale.  Right rows sort before left rows at equal ts,
+    matching ASOF's ``>=`` bound; purchases are deduped per (user, µs)
+    by max event_id so ties are deterministic on both engines.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    right = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", us.alias("ts_us"))
+        .agg(F.max_by("value", "event_id").alias("pv"))
+        .select(
+            F.lit(None).cast("long").alias("event_id"),
+            "user_id",
+            "ts_us",
+            "pv",
+            F.lit(0).alias("side"),
+        )
+    )
+    left = ev.select(
+        "event_id",
+        "user_id",
+        us.alias("ts_us"),
+        F.lit(None).cast("double").alias("pv"),
+        F.lit(1).alias("side"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        left.unionByName(right)
+        .withColumn("last_purchase_value", F.last("pv", ignorenulls=True).over(w))
+        .filter(F.col("side") == 1)
+        .select("event_id", "user_id", "last_purchase_value")
+    )
+
+
+@query(
     "q_stream_daily",
     oracle="""
     SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,

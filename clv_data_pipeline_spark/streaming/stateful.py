@@ -1,0 +1,102 @@
+"""Custom stateful streaming operator: incremental per-user RFM state.
+
+The reference recomputes its feature table from scratch every run
+(CREATE OR REPLACE, reference dags/clv_data_dag.py:80).  At 100 TB of
+transaction history a full recompute per day is the dominant cost; the
+streaming-native alternative keeps one small state record per user and
+folds each micro-batch into it — O(delta) work per trigger instead of
+O(history).
+
+Built on ``applyInPandasWithState``: Spark shuffles each micro-batch by
+user, hands every user's new rows to a pandas function together with
+that user's persisted state (GroupState, stored in the checkpoint), and
+emits an updated snapshot row.  State is bounded (4 numbers per user)
+and the operator scales with distinct-users-per-batch, not history.
+
+The per-user state (n, total, first_us, last_us) is exactly the
+re-aggregable partial from operators/incremental.py — count/sum/min/max
+all fold associatively, so the streaming snapshot provably equals the
+batch recompute over the union of all batches (pinned by test).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+        T.StructField("first_us", T.LongType()),
+        T.StructField("last_us", T.LongType()),
+    ]
+)
+
+OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+        T.StructField("first_us", T.LongType()),
+        T.StructField("last_us", T.LongType()),
+    ]
+)
+
+
+def _update_user(
+    key: tuple[Any, ...],
+    pdfs: Iterable[pd.DataFrame],
+    state: GroupState,
+) -> Iterable[pd.DataFrame]:
+    """Fold this batch's rows for one user into the persisted partial."""
+    n, total, first_us, last_us = (
+        state.get if state.exists else (0, 0.0, None, None)
+    )
+    for pdf in pdfs:
+        if len(pdf) == 0:
+            continue
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+        b_first = int(pdf["ts_us"].min())
+        b_last = int(pdf["ts_us"].max())
+        first_us = b_first if first_us is None else min(first_us, b_first)
+        last_us = b_last if last_us is None else max(last_us, b_last)
+    state.update((n, total, first_us, last_us))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_events": [n],
+            "total_value": [total],
+            "first_us": [first_us],
+            "last_us": [last_us],
+        }
+    )
+
+
+def running_user_stats(events: DataFrame) -> DataFrame:
+    """Streaming (or batch) frame of per-user running RFM partials.
+
+    ``events`` needs columns ``user_id``, ``ts`` (timestamp), ``value``
+    (double).  Each trigger emits one updated snapshot row per user seen
+    in that batch; users absent from a batch keep their checkpointed
+    state untouched (no output, no recompute).
+    """
+    prepared = events.select(
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        F.col("value").cast("double").alias("value"),
+    )
+    return prepared.groupBy("user_id").applyInPandasWithState(
+        _update_user,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

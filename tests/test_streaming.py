@@ -112,3 +112,73 @@ def test_streaming_query_runs_through_memory_sink(spark, tmp_path):
     rows = spark.sql("select * from win_counts").collect()
     assert len(rows) == 30  # 30 days of events in January
     assert sum(r["n_events"] for r in rows) == 1000
+
+
+def test_stateful_running_stats_accumulate_across_batches(spark, tmp_path):
+    """applyInPandasWithState: per-user state must persist in the
+    checkpoint across two availableNow runs, and the final snapshot must
+    equal the batch aggregate over the union of both batches."""
+    from clv_data_pipeline_spark.streaming.stateful import running_user_stats
+
+    src = str(tmp_path / "ev_src")
+    out = str(tmp_path / "ev_out")
+    ckpt = str(tmp_path / "ev_ckpt")
+
+    ev = load_table(spark, SF_SMOKE, "events").select("user_id", "ts", "value")
+    # deterministic split: batch 2 overlaps batch 1 on users ≡ 0 (mod 4),
+    # so some users accumulate state across both runs
+    b1 = ev.filter(F.col("user_id") % 2 == 0)
+    b2 = ev.filter(F.col("user_id") % 2 == 1).union(
+        ev.filter(F.col("user_id") % 4 == 0)
+    )
+
+    def run(batch_df):
+        batch_df.write.mode("append").parquet(src)
+        stream = spark.readStream.schema(batch_df.schema).parquet(src)
+        q = (
+            running_user_stats(stream)
+            .writeStream.foreachBatch(
+                lambda bdf, bid: bdf.write.mode("append").parquet(out)
+            )
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    run(b1)
+    run(b2)
+
+    emitted = spark.read.parquet(out)
+    # latest snapshot per user = the row with the highest n_events
+    latest = (
+        emitted.groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max_by("total_value", "n_events").alias("total_value"),
+            F.max_by("first_us", "n_events").alias("first_us"),
+            F.max_by("last_us", "n_events").alias("last_us"),
+        )
+    )
+    want = (
+        b1.union(b2)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("value").alias("total_value"),
+            F.min(F.unix_micros("ts")).alias("first_us"),
+            F.max(F.unix_micros("ts")).alias("last_us"),
+        )
+    )
+    got = {
+        r["user_id"]: (r["n_events"], round(r["total_value"], 6),
+                       r["first_us"], r["last_us"])
+        for r in latest.collect()
+    }
+    exp = {
+        r["user_id"]: (r["n_events"], round(r["total_value"], 6),
+                       r["first_us"], r["last_us"])
+        for r in want.collect()
+    }
+    assert got == exp
