@@ -378,6 +378,153 @@ def lsh_topk(
     ).filter(F.col("rank") <= k)
 
 
+def fit_ivf_centroids(
+    embeddings: DataFrame,
+    k: int = 16,
+    sample_n: int = 10_000,
+    iters: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Spherical k-means coarse quantizer for IVF, fit on a
+    deterministic hash-ordered sample (at 100 TB you never train the
+    quantizer on the full set; xxhash64 ordering makes the sample
+    reproducible with no RNG state).  Init picks k evenly spaced
+    vectors from the id-sorted sample; Lloyd iterations run in numpy on
+    the driver — the quantizer is tiny (k x dim) and broadcasts.
+
+    Returns a unit-normalized (k x dim) float64 matrix.
+    """
+    import numpy as np
+
+    sample = (
+        embeddings.select(id_col, vec_col)
+        .orderBy(F.xxhash64(F.col(id_col)))
+        .limit(sample_n)
+        .toPandas()
+        .sort_values(id_col)
+    )
+    V = np.stack(sample[vec_col].to_numpy()).astype(np.float64)
+    V /= np.linalg.norm(V, axis=1, keepdims=True)
+    k = min(k, len(V))
+    C = V[np.linspace(0, len(V) - 1, k).astype(int)].copy()
+    for _ in range(iters):
+        assign = (V @ C.T).argmax(axis=1)
+        for c in range(k):
+            members = V[assign == c]
+            if len(members):
+                C[c] = members.mean(axis=0)
+        C /= np.linalg.norm(C, axis=1, keepdims=True)
+    return C
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    k: int = 1,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via an IVF (inverted-file) index: every vector
+    is assigned to its nearest coarse centroid's cell; each query only
+    scores vectors in its ``nprobe`` nearest cells.  Same output
+    contract as :func:`cosine_topk` minus recall guarantees; recall
+    rises with nprobe (nprobe = n_cells is exact brute force).
+
+    Distributed shape: centroids broadcast (k x dim, tiny); cell
+    assignment and probe selection are map-only Arrow matmuls; the only
+    shuffle is the candidates hash join on cell id, whose volume is
+    ~nprobe/n_cells of the full cross product.  Pair scoring reuses the
+    einsum kernel from :func:`lsh_topk`.
+    """
+    import numpy as np
+    import pandas as pd
+
+    C = fit_ivf_centroids(
+        embeddings, k=n_cells, id_col=id_col, vec_col=vec_col
+    )
+    bc = embeddings.sparkSession.sparkContext.broadcast(C)
+    nprobe = min(nprobe, len(C))
+
+    def _assign(batches):
+        cent = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf[id_col],
+                    "_v": pdf[vec_col],
+                    "cell": (Vn @ cent.T).argmax(axis=1),
+                }
+            )
+
+    assign_schema = (
+        embeddings.select(
+            F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_v")
+        ).schema.add("cell", "long")
+    )
+    assigned = embeddings.select(id_col, vec_col).mapInPandas(
+        _assign, assign_schema
+    )
+
+    def _probe(batches):
+        cent = bc.value
+        np_probe = nprobe
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+            cells = np.argsort(-(Vn @ cent.T), axis=1)[:, :np_probe]
+            n = len(pdf)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf[id_col].to_numpy().repeat(np_probe),
+                    "_vq": pdf[vec_col].to_numpy().repeat(np_probe),
+                    "cell": cells.ravel(),
+                }
+            )
+
+    probes = embeddings.select(id_col, vec_col).mapInPandas(
+        _probe,
+        embeddings.select(
+            F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_vq")
+        ).schema.add("cell", "long"),
+    )
+    cands = probes.join(assigned.withColumnRenamed("vec_id", "neighbor_id"), "cell").filter(
+        F.col("vec_id") != F.col("neighbor_id")
+    )
+
+    def _pair_cos(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            va = np.stack(pdf["_vq"].to_numpy()).astype(np.float64)
+            vb = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
+            sims = np.einsum("ij,ij->i", va, vb) / (
+                np.linalg.norm(va, axis=1) * np.linalg.norm(vb, axis=1)
+            )
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "neighbor_id": pdf["neighbor_id"],
+                    "sim": np.round(sims, 6),
+                }
+            )
+
+    scored = cands.select("vec_id", "neighbor_id", "_vq", "_v").mapInPandas(
+        _pair_cos, "vec_id long, neighbor_id long, sim double"
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.col("neighbor_id"))
+    return scored.withColumn(
+        "rank", F.row_number().over(w).cast("long")
+    ).filter(F.col("rank") <= k)
+
+
 def dedup_embedding(
     embeddings: DataFrame,
     threshold: float = 0.95,

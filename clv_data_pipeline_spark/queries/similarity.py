@@ -14,6 +14,7 @@ from clv_data_pipeline_spark.operators.similarity import (
     cosine,
     cosine_topk,
     dedup_embedding,
+    ivf_topk,
     lsh_topk,
 )
 from clv_data_pipeline_spark.registry import query
@@ -50,6 +51,17 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket candidates) — the 100 TB path: cost follows bucket
     collisions, not n^2."""
     return lsh_topk(load_table(spark, sf_dir, "embeddings"), k=1)
+
+
+@query("q_ann_ivf")  # rows-only: approximate, quantizer-specific
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate nearest neighbor (top-1 within nprobe probed
+    cells) — the other classic scale path beside LSH: candidate volume
+    is ~nprobe/n_cells of the cross product, and the coarse quantizer
+    trains on a deterministic sample, never the full set."""
+    return ivf_topk(
+        load_table(spark, sf_dir, "embeddings"), k=1, n_cells=16, nprobe=4
+    )
 
 
 @query("q_dedup_embedding")  # rows-only

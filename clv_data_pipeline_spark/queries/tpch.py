@@ -446,6 +446,79 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_range_join",
+    oracle="""
+    WITH p AS (
+        SELECT event_id AS purchase_id, user_id,
+               epoch_us(ts) AS s_us, epoch_us(ts) + 3600000000 AS e_us
+        FROM events WHERE event_type = 'purchase'),
+    e AS (
+        SELECT event_id, user_id, epoch_us(ts) AS t_us
+        FROM events WHERE event_type = 'error')
+    SELECT p.purchase_id,
+           CAST(COUNT(e.event_id) AS BIGINT) AS n_errors_1h
+    FROM p LEFT JOIN e
+      ON e.user_id = p.user_id AND e.t_us >= p.s_us AND e.t_us < p.e_us
+    GROUP BY p.purchase_id
+    """,
+)
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join: per purchase, count same-user error
+    events inside the following hour — the attribution-window shape.
+
+    Scale-first formulation: a raw ``t BETWEEN s AND e`` predicate
+    beside the equi-key still ships every same-user pair through the
+    join before filtering, and without the key it degenerates to a
+    nested-loop.  Here each 1-hour window explodes to the 1-2 hour
+    BUCKETS it overlaps and events key by their bucket, turning the
+    range condition into a hash join on (user_id, bucket) + residual
+    filter — shuffle volume proportional to matches, not to pairs.
+    Bucket arithmetic stays in integer µs (``div``) so boundary events
+    land identically on both engines.
+    """
+    hour = 3_600_000_000
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        us.alias("s_us"),
+        (us + hour).alias("e_us"),
+    )
+    e = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"),
+        F.col("user_id").alias("e_user"),
+        us.alias("t_us"),
+        F.expr(f"unix_micros(ts) div {hour}").alias("bucket"),
+    )
+    pb = p.withColumn(
+        "bucket",
+        F.explode(
+            F.array_distinct(
+                F.array(
+                    F.expr(f"s_us div {hour}"), F.expr(f"(e_us - 1) div {hour}")
+                )
+            )
+        ),
+    )
+    matched = (
+        pb.join(
+            e,
+            (pb["user_id"] == e["e_user"])
+            & (pb["bucket"] == e["bucket"])
+            & (e["t_us"] >= pb["s_us"])
+            & (e["t_us"] < pb["e_us"]),
+        )
+        .groupBy("purchase_id")
+        .agg(F.count("err_id").alias("n_errors_1h"))
+    )
+    return p.select("purchase_id").join(matched, "purchase_id", "left").select(
+        "purchase_id",
+        F.coalesce("n_errors_1h", F.lit(0)).cast("long").alias("n_errors_1h"),
+    )
+
+
+@query(
     "q_stream_daily",
     oracle="""
     SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,

@@ -171,3 +171,31 @@ def test_minhash_expression_variant_agrees(docs):
     pairs = {(r["id_a"], r["id_b"]) for r in cands.collect()}
     assert (1, 2) in pairs and (1, 3) in pairs
     assert (1, 4) not in pairs
+
+
+def test_ivf_recall_floor_on_driver_embeddings(spark):
+    """IVF with nprobe=4 of 16 cells must retrieve the true nearest
+    neighbor for most vectors, and nprobe=n_cells must be exact."""
+    from clv_data_pipeline_spark.operators.similarity import (
+        cosine_topk,
+        ivf_topk,
+    )
+    from clv_data_pipeline_spark.sources.io import load_table
+    from tests.conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    true1 = {r["vec_id"]: r["neighbor_id"] for r in cosine_topk(emb, k=1).collect()}
+
+    got = {
+        r["vec_id"]: r["neighbor_id"]
+        for r in ivf_topk(emb, k=1, n_cells=16, nprobe=4).collect()
+    }
+    recall = sum(1 for k, v in true1.items() if got.get(k) == v) / len(true1)
+    assert recall >= 0.6, f"IVF recall@1 degraded to {recall:.2f}"
+
+    # probing every cell scores every pair -> exact brute-force result
+    exact = {
+        r["vec_id"]: r["neighbor_id"]
+        for r in ivf_topk(emb, k=1, n_cells=8, nprobe=8).collect()
+    }
+    assert exact == true1
