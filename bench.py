@@ -31,6 +31,9 @@ HEADLINE = [
     "q_tpch_q3",
     "q_tpch_q5",
     "q_window_rank",
+    "q_moving_avg",
+    "q_asof_join",
+    "q_range_join",
     "q_sessionize",
     "q_events_daily",
     "q_dedup_exact",
@@ -38,6 +41,7 @@ HEADLINE = [
     "q_simhash",
     "q_cosine_topk",
     "q_ann_lsh",
+    "q_ann_ivf",
     "q_text_stats",
     "q_lang_id",
     "q_quality_score",

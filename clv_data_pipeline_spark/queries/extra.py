@@ -345,3 +345,102 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("user_id").alias("approx_users"),
         F.count_distinct("user_id").alias("exact_users"),
     )
+
+
+@query(
+    "q_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE), 2)
+               AS total_price,
+           CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+           CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                            (o_orderstatus, o_orderpriority))
+    """,
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form under rollup/cube) with
+    GROUPING() markers disambiguating NULL-as-total from NULL data.
+    One expand + one hash aggregate — Catalyst plans all sets in a
+    single pass over the fact table."""
+    o = load_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("_gs_orders")
+    return o.sparkSession.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*) AS n_orders,
+               ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE), 2)
+                   AS total_price,
+               CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+               CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority
+        FROM _gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                                (o_orderstatus, o_orderpriority))
+        """
+    )
+
+
+@query(
+    "q_ntile_lead",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(NTILE(4) OVER w AS BIGINT) AS price_quartile,
+           LEAD(o_orderkey) OVER w AS next_orderkey,
+           FIRST_VALUE(o_orderkey) OVER w AS cheapest_orderkey
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def q_ntile_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile / lead / first_value over one per-customer price ordering —
+    the remaining window-function family beside rank (q_window_rank) and
+    lag (q_event_gaps).  The order key is (price, orderkey) so ties
+    cannot reorder between engines."""
+    o = load_table(spark, sf_dir, "orders")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.ntile(4).over(w).cast("long").alias("price_quartile"),
+        F.lead("o_orderkey").over(w).alias("next_orderkey"),
+        F.first("o_orderkey").over(w).alias("cheapest_orderkey"),
+    )
+
+
+@query(
+    "q_corr_subquery",
+    oracle="""
+    SELECT c.c_custkey, c.c_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_totalprice > 300000)
+      AND (SELECT CAST(COUNT(*) AS BIGINT) FROM orders o2
+           WHERE o2.o_custkey = c.c_custkey) >= 5
+    """,
+)
+def q_corr_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS + correlated scalar COUNT subquery — Catalyst
+    decorrelates both into joins (a left-semi and an aggregate-then-
+    join), the rewrite BigQuery users rely on without knowing it."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    c.createOrReplaceTempView("_cs_customer")
+    o.createOrReplaceTempView("_cs_orders")
+    return c.sparkSession.sql(
+        """
+        SELECT c.c_custkey, c.c_name
+        FROM _cs_customer c
+        WHERE EXISTS (SELECT 1 FROM _cs_orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 300000)
+          AND (SELECT COUNT(*) FROM _cs_orders o2
+               WHERE o2.o_custkey = c.c_custkey) >= 5
+        """
+    )
