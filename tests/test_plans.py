@@ -73,3 +73,34 @@ def test_rfm_scan_prunes_to_three_columns(spark):
 def test_topk_avoids_full_sort(spark):
     plan = plan_of(spark, "q_topk")
     assert "TakeOrderedAndProject" in plan
+
+
+def test_asof_join_is_single_shuffle_no_join(spark):
+    """The as-of join compiles to union + window — one hashpartitioning
+    exchange on user_id, zero join operators, never a nested loop."""
+    plan = plan_of(spark, "q_asof_join")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_range_join_stays_hash_join(spark):
+    """The interval join must plan as an equi hash/sort-merge join on
+    (user, bucket) with a residual range filter — a raw BETWEEN-only
+    condition degenerates to BroadcastNestedLoopJoin."""
+    plan = plan_of(spark, "q_range_join")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert (
+        "SortMergeJoin" in plan
+        or "ShuffledHashJoin" in plan
+        or "BroadcastHashJoin" in plan
+    )
+
+
+def test_corr_subquery_decorrelates_to_joins(spark):
+    """EXISTS + correlated scalar COUNT must decorrelate: no per-row
+    subquery execution, just semi/outer joins over one orders scan
+    pattern."""
+    plan = plan_of(spark, "q_corr_subquery")
+    assert "LeftSemi" in plan or "ExistenceJoin" in plan.replace(" ", "")
+    assert "BroadcastNestedLoopJoin" not in plan
