@@ -104,3 +104,37 @@ def test_corr_subquery_decorrelates_to_joins(spark):
     plan = plan_of(spark, "q_corr_subquery")
     assert "LeftSemi" in plan or "ExistenceJoin" in plan.replace(" ", "")
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    """Two tables bucketed on the join key must join with zero shuffle
+    exchanges (the pre-paid-shuffle contract of write_bucketed)."""
+    import contextlib
+    import io as _io
+
+    from clv_data_pipeline_spark.sources.io import load_table, write_bucketed
+
+    o = load_table(spark, SF_SMOKE, "orders")
+    c = load_table(spark, SF_SMOKE, "customer")
+    write_bucketed(o, "t_orders_b", "o_custkey", num_buckets=8)
+    write_bucketed(
+        c.withColumnRenamed("c_custkey", "o_custkey"),
+        "t_customer_b",
+        "o_custkey",
+        num_buckets=8,
+    )
+    try:
+        joined = (
+            spark.table("t_orders_b")
+            .join(spark.table("t_customer_b").hint("merge"), "o_custkey")
+            .select("o_orderkey", "c_name")
+        )
+        buf = _io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            joined.explain("formatted")
+        plan = buf.getvalue()
+        assert "Exchange" not in plan, plan
+        assert joined.count() > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_customer_b")
