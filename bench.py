@@ -66,9 +66,14 @@ def main() -> None:
     from clv_data_pipeline_spark import registry
 
     queries = registry.all_queries()
-    # warmup: exercise codegen, parquet reader, and Arrow paths once at
-    # the smallest SF so per-query timings reflect steady state
+    # warmup: exercise codegen, the parquet reader, Arrow serde, AND the
+    # Python-UDF worker pool once at the smallest SF so per-query
+    # timings reflect steady state (daemon workers are reused; their
+    # one-time fork+import otherwise lands on whichever query runs a
+    # pandas UDF first)
     queries["q_rfm"](spark, "/root/testdata/sf0.001").count()
+    queries["q_minhash_dedup"](spark, "/root/testdata/sf0.001").count()
+    queries["q_cosine_topk"](spark, "/root/testdata/sf0.001").count()
     spark.range(1_000_000).select(F_sum_id()).count()
 
     timings: dict[str, float] = {}

@@ -397,13 +397,18 @@ def fit_ivf_centroids(
     """
     import numpy as np
 
-    sample = (
-        embeddings.select(id_col, vec_col)
-        .orderBy(F.xxhash64(F.col(id_col)))
-        .limit(sample_n)
-        .toPandas()
-        .sort_values(id_col)
-    )
+    # deterministic sample WITHOUT a global sort: keep ids whose hash
+    # falls under the target fraction (3x oversampled, then limit).  An
+    # orderBy(hash).limit(n) gives the same rows but pays a full
+    # sort-shuffle of every vector — unusable at real index sizes.
+    total = embeddings.count()
+    src = embeddings.select(id_col, vec_col)
+    if total > sample_n:
+        cut = min(1_000_000, (3 * sample_n * 1_000_000) // total)
+        src = src.filter(
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(1_000_000)) < cut
+        )
+    sample = src.limit(sample_n).toPandas().sort_values(id_col)
     V = np.stack(sample[vec_col].to_numpy()).astype(np.float64)
     V /= np.linalg.norm(V, axis=1, keepdims=True)
     k = min(k, len(V))
