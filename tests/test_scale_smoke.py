@@ -1,0 +1,77 @@
+"""Scale-shape smoke: the flagship aggregate and the as-of join on a
+generated frame ~100x the oracle SF, wide key cardinality — catches
+operators whose cost or memory curve would not survive a scale-up
+(driver-side collects, per-key cross products, full sorts)."""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from clv_data_pipeline_spark.operators.features import rfm_features
+
+N_ROWS = 3_000_000
+N_USERS = 200_000
+
+
+def _big_events(spark):
+    """3M deterministic synthetic transactions over 200k customers."""
+    base_us = 1_700_000_000_000_000  # 2023-11-14 UTC
+    month_us = 30 * 86_400_000_000
+    return spark.range(N_ROWS).select(
+        (F.col("id") % N_USERS).alias("CustomerID"),
+        F.timestamp_micros(
+            base_us + (F.col("id") * 37_000_003) % month_us
+        ).alias("order_timestamp"),
+        (F.pmod(F.col("id") * 2654435761, 990_000) / 10_000.0 + 1.0).alias(
+            "TotalPurchase"
+        ),
+    )
+
+
+def test_rfm_3m_rows_completes_and_aggregates(spark):
+    ev = _big_events(spark)
+    t0 = time.perf_counter()
+    feats = rfm_features(ev, asof="2024-03-01")
+    n = feats.count()
+    elapsed = time.perf_counter() - t0
+    assert n == N_USERS
+    # partial+final hash agg over 3M rows on local[4] must stay well
+    # under a minute; a driver-side or quadratic formulation would not
+    assert elapsed < 60, f"flagship RFM took {elapsed:.1f}s on 3M rows"
+    row = feats.filter(F.col("customer_id") == 0).first()
+    assert row["frequency"] >= 0 and row["recency"] <= row["T"]
+
+
+def test_asof_union_window_3m_rows_linear(spark):
+    """The as-of join formulation must handle 3M left rows x 600k right
+    rows without a pair explosion (the union keeps it at 3.6M rows)."""
+    ev = _big_events(spark).select(
+        F.col("CustomerID").alias("user_id"),
+        F.unix_micros("order_timestamp").alias("ts_us"),
+        F.col("TotalPurchase").alias("value"),
+    )
+    right = ev.filter(F.col("ts_us") % 5 == 0).select(
+        "user_id", "ts_us", F.col("value").alias("pv"), F.lit(0).alias("side")
+    )
+    left = ev.select(
+        "user_id", "ts_us", F.lit(None).cast("double").alias("pv"),
+        F.lit(1).alias("side"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    t0 = time.perf_counter()
+    n = (
+        left.unionByName(right)
+        .withColumn("last_pv", F.last("pv", ignorenulls=True).over(w))
+        .filter(F.col("side") == 1)
+        .count()
+    )
+    elapsed = time.perf_counter() - t0
+    assert n == N_ROWS
+    assert elapsed < 60, f"as-of took {elapsed:.1f}s on 3M rows"
