@@ -461,6 +461,29 @@ def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("q_jsonl_roundtrip")  # rows-only: writes a scratch JSONL file
+def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines sink + explicit-schema JSON scan — the third source
+    format beside parquet and CSV.  Like the CSV path, the read declares
+    its schema (inference over JSON is a full extra pass at scale) and
+    round-trips types exactly."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    n = load_table(spark, sf_dir, "nation")
+    path = tempfile.mkdtemp(prefix="jsonl_roundtrip_") + "/nation_jsonl"
+    n.write.mode("overwrite").json(path)
+    schema = T.StructType(
+        [
+            T.StructField("n_nationkey", T.IntegerType()),
+            T.StructField("n_name", T.StringType()),
+            T.StructField("n_regionkey", T.IntegerType()),
+        ]
+    )
+    return spark.read.schema(schema).json(path)
+
+
 @query("q_sample")  # rows-only: seeded rand ordering is engine-specific
 def q_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sampling-without-replacement from an ID pool via seeded random

@@ -617,3 +617,86 @@ def q_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+@query(
+    "q_tpch_q10",
+    oracle=f"""
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           ROUND(CAST(SUM({_REVENUE}) AS DOUBLE), 2) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1997-10-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 20
+    """,
+)
+def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10 returned-item reporting: quarter filter on orders, returnflag
+    filter on lineitem (both pushed to their scans), customer/nation
+    dims broadcast, top-20 by lost revenue.  Revenue sums as exact
+    decimal so the ORDER BY ... LIMIT cut is engine-deterministic
+    (ties break on c_custkey)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-10-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = load_table(spark, sf_dir, "nation")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(25,6)"
+    )
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(F.sum(rev).cast("double"), 2).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy(F.desc("revenue"), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "q_tpch_q18",
+    oracle="""
+    WITH big AS (
+        SELECT l_orderkey,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+        FROM lineitem GROUP BY l_orderkey
+        HAVING SUM(CAST(l_quantity AS DECIMAL(18,4))) > 150)
+    SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_totalprice, b.sum_qty
+    FROM big b
+    JOIN orders o ON o.o_orderkey = b.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    """,
+)
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18 large-volume customers: aggregate-then-join — the per-order
+    quantity rollup (partial+final hash agg) runs BEFORE the joins, so
+    only qualifying orderkeys reach the join at all.  HAVING on the
+    exact decimal sum keeps the qualifying set engine-identical."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,4)")).alias("_q"))
+        .filter(F.col("_q") > 150)
+        .select("l_orderkey", F.col("_q").cast("double").alias("sum_qty"))
+    )
+    return (
+        big.join(o, big["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .select("c_name", "c_custkey", "o_orderkey", "o_totalprice", "sum_qty")
+    )
