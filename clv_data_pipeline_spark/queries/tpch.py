@@ -700,3 +700,79 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(c, o["o_custkey"] == c["c_custkey"])
         .select("c_name", "c_custkey", "o_orderkey", "o_totalprice", "sum_qty")
     )
+
+
+@query(
+    "q_tpch_q12",
+    oracle="""
+    SELECT l_linestatus,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_linestatus
+    """,
+)
+def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12-shape conditional counting: CASE WHEN inside SUM folds the
+    priority split into the aggregate itself — one join, one pass,
+    integer arithmetic (no float determinism concerns at all)."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "q_tpch_q14",
+    oracle=f"""
+    SELECT ROUND(
+             100.0 * CAST(SUM(CASE WHEN p_type = 'ECONOMY'
+                              THEN {_REVENUE} ELSE CAST(0 AS DECIMAL(25,6))
+                              END) AS DOUBLE)
+                   / CAST(SUM({_REVENUE}) AS DOUBLE), 4) AS economy_revenue_pct,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-10-01 00:00:00'
+    """,
+)
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14-shape promo-revenue share: conditional decimal sum over a
+    fact-dim join (part broadcasts), one scalar output.  Both sums stay
+    exact decimal until the single final division."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-09-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01 00:00:00").cast("timestamp"))
+    )
+    p = load_table(spark, sf_dir, "part")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(25,6)"
+    )
+    zero = F.lit(0).cast("decimal(25,6)")
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "ECONOMY", rev).otherwise(zero))
+                .cast("double")
+                / F.sum(rev).cast("double"),
+                4,
+            ).alias("economy_revenue_pct"),
+            F.count("*").alias("n_items"),
+        )
+    )

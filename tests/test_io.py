@@ -87,3 +87,45 @@ def test_compact_parquet_reduces_files_preserves_rows(spark, tmp_path):
     assert files_after <= 2
     after_rows = sorted(r["id"] for r in spark.read.parquet(path).collect())
     assert after_rows == before_rows
+
+
+def test_csv_permissive_and_dropmalformed(spark, tmp_path):
+    """Malformed raw rows must be quarantined (PERMISSIVE +
+    _corrupt_record) or dropped (DROPMALFORMED), never silently
+    mis-parsed — the ingest-side companion to the quality firewall."""
+    import pyspark.sql.types as T
+
+    p = tmp_path / "bad.csv"
+    p.write_text(
+        "CustomerID,Quantity,UnitPrice\n"
+        "1,2,9.99\n"
+        "oops,not,numeric\n"
+        "3,4,1.50\n"
+    )
+    schema = T.StructType(
+        [
+            T.StructField("CustomerID", T.LongType()),
+            T.StructField("Quantity", T.LongType()),
+            T.StructField("UnitPrice", T.DoubleType()),
+            T.StructField("_corrupt_record", T.StringType()),
+        ]
+    )
+    perm = (
+        spark.read.schema(schema)
+        .option("header", True)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(str(p))
+        .cache()
+    )
+    assert perm.count() == 3
+    bad = perm.filter(perm["_corrupt_record"].isNotNull()).collect()
+    assert len(bad) == 1 and bad[0]["_corrupt_record"] == "oops,not,numeric"
+
+    dropped = (
+        spark.read.schema(schema.fields and T.StructType(schema.fields[:3]))
+        .option("header", True)
+        .option("mode", "DROPMALFORMED")
+        .csv(str(p))
+    )
+    assert sorted(r["CustomerID"] for r in dropped.collect()) == [1, 3]
