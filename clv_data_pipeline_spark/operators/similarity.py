@@ -62,48 +62,38 @@ def cosine_topk(
     barrier: at index sizes beyond driver memory, shard B and union the
     per-shard top-k (or switch to :func:`lsh_topk`).
     """
+    return _cosine_topk_against_index(
+        embeddings, embeddings, k, id_col, vec_col, round_scale
+    )
+
+
+def _pair_cosine_scores(cands: DataFrame, a_col: str, b_col: str) -> DataFrame:
+    """Exact cosine for candidate pairs: einsum over Arrow batches.
+    Input needs (vec_id, neighbor_id, a_col, b_col); output is
+    (vec_id, neighbor_id, sim) with sim rounded to 6."""
     import numpy as np
     import pandas as pd
 
-    index_pdf = embeddings.select(id_col, vec_col).toPandas()
-    if index_pdf.empty:
-        return embeddings.sparkSession.createDataFrame(
-            [], "vec_id long, neighbor_id long, sim double, rank long"
-        )
-    ids_b = index_pdf[id_col].to_numpy(dtype=np.int64)
-    B = np.stack(index_pdf[vec_col].to_numpy()).astype(np.float64)
-    B /= np.linalg.norm(B, axis=1, keepdims=True)
-    sc = embeddings.sparkSession.sparkContext
-    bc = sc.broadcast((ids_b, B))
-
-    out_schema = (
-        "vec_id long, neighbor_id long, sim double, rank long"
-    )
-
     def _score(batches):
-        ids_idx, Bn = bc.value
         for pdf in batches:
             if pdf.empty:
                 continue
-            A = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            A /= np.linalg.norm(A, axis=1, keepdims=True)
-            sims = np.round(A @ Bn.T, round_scale)
-            ids_a = pdf[id_col].to_numpy(dtype=np.int64)
-            rows = {"vec_id": [], "neighbor_id": [], "sim": [], "rank": []}
-            for i, qid in enumerate(ids_a):
-                s = sims[i]
-                mask = ids_idx != qid
-                # ORDER BY sim DESC, neighbor_id ASC — lexsort is stable
-                order = np.lexsort((ids_idx[mask], -s[mask]))[:k]
-                nb_ids = ids_idx[mask][order]
-                nb_sims = s[mask][order]
-                rows["vec_id"].extend([qid] * len(order))
-                rows["neighbor_id"].extend(nb_ids.tolist())
-                rows["sim"].extend(nb_sims.tolist())
-                rows["rank"].extend(range(1, len(order) + 1))
-            yield pd.DataFrame(rows)
+            va = np.stack(pdf[a_col].to_numpy()).astype(np.float64)
+            vb = np.stack(pdf[b_col].to_numpy()).astype(np.float64)
+            sims = np.einsum("ij,ij->i", va, vb) / (
+                np.linalg.norm(va, axis=1) * np.linalg.norm(vb, axis=1)
+            )
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "neighbor_id": pdf["neighbor_id"],
+                    "sim": np.round(sims, 6),
+                }
+            )
 
-    return embeddings.select(id_col, vec_col).mapInPandas(_score, out_schema)
+    return cands.select("vec_id", "neighbor_id", a_col, b_col).mapInPandas(
+        _score, "vec_id long, neighbor_id long, sim double"
+    )
 
 
 def _hyperplane(dim: int, plane: int, seed: int) -> list[float]:
@@ -349,29 +339,7 @@ def lsh_topk(
         )
     )
 
-    import numpy as np
-    import pandas as pd
-
-    def _pair_cos(batches):
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            va = np.stack(pdf["_va"].to_numpy()).astype(np.float64)
-            vb = np.stack(pdf["_vb"].to_numpy()).astype(np.float64)
-            sims = np.einsum("ij,ij->i", va, vb) / (
-                np.linalg.norm(va, axis=1) * np.linalg.norm(vb, axis=1)
-            )
-            yield pd.DataFrame(
-                {
-                    "vec_id": pdf["vec_id"],
-                    "neighbor_id": pdf["neighbor_id"],
-                    "sim": np.round(sims, 6),
-                }
-            )
-
-    scored = cands.mapInPandas(
-        _pair_cos, "vec_id long, neighbor_id long, sim double"
-    )
+    scored = _pair_cosine_scores(cands, "_va", "_vb")
     w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.col("neighbor_id"))
     return scored.withColumn(
         "rank", F.row_number().over(w).cast("long")
@@ -503,27 +471,7 @@ def ivf_topk(
     cands = probes.join(assigned.withColumnRenamed("vec_id", "neighbor_id"), "cell").filter(
         F.col("vec_id") != F.col("neighbor_id")
     )
-
-    def _pair_cos(batches):
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            va = np.stack(pdf["_vq"].to_numpy()).astype(np.float64)
-            vb = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
-            sims = np.einsum("ij,ij->i", va, vb) / (
-                np.linalg.norm(va, axis=1) * np.linalg.norm(vb, axis=1)
-            )
-            yield pd.DataFrame(
-                {
-                    "vec_id": pdf["vec_id"],
-                    "neighbor_id": pdf["neighbor_id"],
-                    "sim": np.round(sims, 6),
-                }
-            )
-
-    scored = cands.select("vec_id", "neighbor_id", "_vq", "_v").mapInPandas(
-        _pair_cos, "vec_id long, neighbor_id long, sim double"
-    )
+    scored = _pair_cosine_scores(cands, "_vq", "_v")
     w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.col("neighbor_id"))
     return scored.withColumn(
         "rank", F.row_number().over(w).cast("long")

@@ -57,3 +57,33 @@ def salted_rfm_partials(
         F.sum("sum_amount").alias("sum_amount"),
         F.sum("cnt_amount").alias("cnt_amount"),
     )
+
+
+def salted_join(
+    skewed: DataFrame,
+    dim: DataFrame,
+    key: str,
+    salt_buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Exact equi-join that survives a power-law key: the skewed fact
+    side gets a deterministic per-row salt (hash of all its columns),
+    the dim side replicates ``salt_buckets`` times, and the join runs on
+    (key, salt) — the hot key's rows spread over ``salt_buckets``
+    reducers instead of melting one.
+
+    Use when the dim side is too big to broadcast AND AQE's runtime
+    skew split doesn't apply (e.g. the skewed side is the output of
+    another operator without statistics).  Replication multiplies the
+    dim shuffle by ``salt_buckets`` — keep the dim side the smaller one.
+    Salt derives from xxhash64, not rand(): deterministic re-execution
+    (task retries see the same salt) and no RNG state.
+    """
+    s = skewed.withColumn(
+        "_salt",
+        F.pmod(F.xxhash64(*[F.col(c) for c in skewed.columns]), F.lit(salt_buckets)),
+    )
+    d = dim.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+    ).withColumn("_salt", F.col("_salt").cast("long"))
+    return s.join(d, [key, "_salt"], how).drop("_salt")
