@@ -444,3 +444,20 @@ def q_corr_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
                WHERE o2.o_custkey = c.c_custkey) >= 5
         """
     )
+
+
+@query("q_approx_percentiles")  # rows-only: sketch internals are engine-specific
+def q_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable approximate percentiles (``percentile_approx``) — the
+    100 TB replacement for q_percentiles: the sketch partial-aggregates
+    (no per-group sort, bounded memory), at the cost of rank error
+    <= 1/accuracy.  Accuracy 10000 keeps the p50/p90 here within ~0.01%
+    of exact; the tolerance is pinned against the exact query by test.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_quantity", 0.5, 10000).alias("p50_qty_approx"),
+        F.percentile_approx("l_extendedprice", 0.9, 10000).alias(
+            "p90_price_approx"
+        ),
+    )

@@ -27,3 +27,26 @@ def test_rows_only_query_runs(spark, name):
     # near-dup removal must never return MORE rows than input
     if name in ("q_minhash_dedup", "q_dedup_embedding"):
         assert 0 < len(rows) <= 500
+
+
+def test_approx_percentiles_near_exact(spark):
+    """The sketch percentiles must land within 0.5% of the exact
+    interpolated ones at sf0.001 — the accuracy contract that justifies
+    swapping them in at scale."""
+    from clv_data_pipeline_spark import registry
+    from tests.conftest import SF_SMOKE
+
+    qs = registry.all_queries()
+    approx = {
+        r["l_returnflag"]: (r["p50_qty_approx"], r["p90_price_approx"])
+        for r in qs["q_approx_percentiles"](spark, SF_SMOKE).collect()
+    }
+    exact = {
+        r["l_returnflag"]: (r["p50_qty"], r["p90_price"])
+        for r in qs["q_percentiles"](spark, SF_SMOKE).collect()
+    }
+    assert set(approx) == set(exact)
+    for flag, (p50e, p90e) in exact.items():
+        p50a, p90a = approx[flag]
+        assert abs(p50a - p50e) <= max(0.005 * abs(p50e), 1e-9)
+        assert abs(p90a - p90e) <= max(0.005 * abs(p90e), 1e-9)
