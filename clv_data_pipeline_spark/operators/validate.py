@@ -87,3 +87,32 @@ def validate_features(
     raw_c, feat_c = migration_counts(transactions, features, raw_customer_col)
     invalid = invalid_feature_count(features)
     return run_validation_checks(raw_c, feat_c, invalid, features.columns)
+
+
+def observed_features(features: DataFrame) -> tuple[DataFrame, "Observation"]:
+    """Attach the firewall's feature-side metrics to the frame itself
+    via ``df.observe`` — the metrics accumulate DURING whatever action
+    consumes the frame (the feature-table write), so the sanity probe
+    costs zero extra scans.  At 100 TB the standalone
+    :func:`invalid_feature_count` is a second full pass over the
+    feature table; this folds it into the write.
+
+    Returns (observed_frame, observation); read
+    ``observation.get`` after an action ran on the returned frame —
+    keys: feature_count, invalid_count.
+    """
+    from pyspark.sql import Observation
+
+    bad = (
+        (F.col("T") < 0)
+        | (F.col("frequency") < 0)
+        | (F.col("recency") < 0)
+        | (F.col("monetary_value") < 0)
+    )
+    obs = Observation("firewall")
+    observed = features.observe(
+        obs,
+        F.count(F.lit(1)).alias("feature_count"),
+        F.sum(F.when(bad, 1).otherwise(0)).alias("invalid_count"),
+    )
+    return observed, obs

@@ -116,3 +116,23 @@ def test_pipeline_gate_aborts_on_data_loss(spark, tmp_path):
     )  # drop ~half
     with pytest.raises(ValueError, match="DATA LOSS"):
         validate_features(tx, feats)
+
+
+def test_observed_firewall_metrics_ride_the_write(spark, tmp_path):
+    """observe() metrics must match the standalone probes while costing
+    zero extra scans — they accumulate during the write action itself."""
+    from clv_data_pipeline_spark.operators.features import rfm_features
+    from clv_data_pipeline_spark.operators.validate import (
+        invalid_feature_count,
+        observed_features,
+    )
+    from clv_data_pipeline_spark.simulate import simulate_daily_batch
+
+    tx = simulate_daily_batch(spark, 40, "2026-02-01 00:00:00", seed=11)
+    feats = rfm_features(tx, asof="2026-02-03")
+    observed, obs = observed_features(feats)
+    observed.write.mode("overwrite").parquet(str(tmp_path / "feats"))
+
+    metrics = obs.get
+    assert metrics["feature_count"] == feats.count()
+    assert metrics["invalid_count"] == invalid_feature_count(feats)

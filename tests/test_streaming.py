@@ -182,3 +182,32 @@ def test_stateful_running_stats_accumulate_across_batches(spark, tmp_path):
         for r in want.collect()
     }
     assert got == exp
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: exactly-once event_ids in the
+    sink even when the source delivers duplicates; watermark bounds the
+    dedup state (the unbounded-state dropDuplicates is not viable on an
+    infinite stream)."""
+    src = str(tmp_path / "dup_src")
+    ev = load_table(spark, SF_SMOKE, "events").select("event_id", "ts", "user_id")
+    ev.write.mode("append").parquet(src)
+    ev.write.mode("append").parquet(src)  # every event delivered twice
+
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    deduped = stream.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_sink")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "dup_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select event_id from dedup_sink")
+    n_total = got.count()
+    n_distinct = got.distinct().count()
+    assert n_total == n_distinct == ev.count()
