@@ -31,7 +31,10 @@ from clv_data_pipeline_spark.operators.features import (
     normalize_for_model,
     rfm_features,
 )
-from clv_data_pipeline_spark.operators.validate import validate_features
+from clv_data_pipeline_spark.operators.validate import (
+    observed_features,
+    run_validation_checks,
+)
 from clv_data_pipeline_spark.simulate import simulate_daily_batch
 
 
@@ -139,14 +142,28 @@ def run_pipeline(
     tx = spark.read.parquet(staging)
     staging_rows = tx.count()
 
-    # Task 3 — full-refresh feature build (reference clv_data_dag.py:77-96)
+    # Task 3 — full-refresh feature build (reference clv_data_dag.py:77-96).
+    # The firewall's feature-side probes (row count == distinct customers,
+    # since the build groups by customer; negative-value count) ride the
+    # write via observe() — no second pass over the feature table.
     features = rfm_features(tx, asof=run_date)
-    features.write.mode("overwrite").parquet(features_path)
+    observed, obs = observed_features(features)
+    observed.write.mode("overwrite").parquet(features_path)
+    metrics = obs.get
     features = spark.read.parquet(features_path)
 
     # Task 4 — the firewall (reference clv_data_dag.py:99-103); raises on
-    # DATA LOSS / SCHEMA ERROR / SANITY ERROR.
-    validate_features(tx, features)
+    # DATA LOSS / SCHEMA ERROR / SANITY ERROR.  Only the raw-side
+    # distinct-customer count still needs its own aggregate.
+    raw_c = int(
+        tx.agg(F.count_distinct("CustomerID").alias("c")).first()["c"]
+    )
+    run_validation_checks(
+        raw_c,
+        int(metrics["feature_count"]),
+        int(metrics["invalid_count"]),
+        features.columns,
+    )
 
     # Task 5 — scoring (reference clv_data_dag.py:106-110)
     preds = run_clv_logic(normalize_for_model(features))
