@@ -461,3 +461,39 @@ def q_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p90_price_approx"
         ),
     )
+
+
+@query(
+    "q_array_funcs",
+    oracle="""
+    SELECT user_id,
+           array_to_string(list_sort(list(DISTINCT event_type)), '|') AS types,
+           CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
+           CAST((COUNT(DISTINCT event_type)
+                 * (COUNT(DISTINCT event_type) + 1)) // 2 AS BIGINT) AS tri_types
+    FROM events GROUP BY user_id
+    """,
+)
+def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array surface: collect_set -> array_sort -> concat_ws (arrays
+    serialize to strings because Spark and DuckDB render list values
+    differently under the driver's hash), plus a lambda higher-order
+    fold (aggregate over sequence) checked against the closed form.
+    Everything stays a single hash aggregate per user."""
+    from clv_data_pipeline_spark.sources.io import load_table as _lt
+
+    ev = _lt(spark, sf_dir, "events")
+    agg = ev.groupBy("user_id").agg(
+        F.array_sort(F.collect_set("event_type")).alias("_types_arr"),
+    )
+    n = F.size("_types_arr").cast("long")
+    return agg.select(
+        "user_id",
+        F.concat_ws("|", F.col("_types_arr")).alias("types"),
+        n.alias("n_types"),
+        F.aggregate(
+            F.sequence(F.lit(1).cast("long"), n),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("tri_types"),
+    )
