@@ -810,3 +810,37 @@ def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(F.count("*").alias("order_count"))
     )
+
+
+@query(
+    "q_tpch_q13",
+    oracle="""
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM (SELECT c.c_custkey,
+                 CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+          FROM customer c
+          LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+               AND o.o_orderpriority <> '1-URGENT'
+          GROUP BY c.c_custkey) per_cust
+    GROUP BY c_count
+    """,
+)
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13 customer distribution: aggregate-of-aggregate over a
+    LEFT JOIN whose filter lives in the join condition (so customers
+    with only urgent orders still count as zero).  Two hash aggregates;
+    the second groups on the first's output and is near-free (the
+    distinct c_count domain is tiny)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(
+            o,
+            (c["c_custkey"] == o["o_custkey"])
+            & (o["o_orderpriority"] != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
