@@ -844,3 +844,115 @@ def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("o_orderkey").alias("c_count"))
     )
     return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@query(
+    "q_tpch_q17",
+    oracle="""
+    WITH selected AS (
+        SELECT l.l_partkey, l.l_quantity, l.l_extendedprice
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand = 'Brand#23' AND p.p_type = 'MEDIUM'),
+    per_part AS (
+        SELECT l_partkey,
+               SUM(CAST(l_quantity AS DECIMAL(18,4))) AS sum_qty,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM selected GROUP BY l_partkey)
+    SELECT ROUND(CAST(SUM(CAST(s.l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+                 / 7.0, 2) AS avg_yearly
+    FROM selected s
+    JOIN per_part a ON a.l_partkey = s.l_partkey
+    WHERE CAST(s.l_quantity AS DECIMAL(18,4)) * 5 * a.cnt < a.sum_qty
+    """,
+)
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17 small-quantity-order revenue: the reference's substrate runs
+    correlated scalar subqueries (the BigQuery tier, SURVEY.md §2.2 A6);
+    this is the decorrelated Spark-first plan.  The selective part
+    filter (~0.7% of parts) broadcasts as a semi-join BEFORE the
+    per-part average, so the shuffle aggregates only qualifying rows —
+    at 100 TB the naive plan (avg over ALL of lineitem, then join)
+    shuffles 150x more data.  The threshold compare is restated
+    exactly: qty < 0.2*avg  <=>  5*qty*cnt < sum, all in DECIMAL, so
+    the qualifying row set is engine-identical (no double-avg boundary
+    flips)."""
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter((F.col("p_brand") == "Brand#23") & (F.col("p_type") == "MEDIUM"))
+        .select("p_partkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    selected = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"]).drop(
+        "p_partkey"
+    )
+    per_part = selected.groupBy("l_partkey").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,4)")).alias("sum_qty"),
+        F.count("*").alias("cnt"),
+    )
+    small = selected.join(per_part, "l_partkey").filter(
+        F.col("l_quantity").cast("decimal(18,4)") * 5 * F.col("cnt")
+        < F.col("sum_qty")
+    )
+    return small.agg(
+        F.round(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).cast("double")
+            / 7.0,
+            2,
+        ).alias("avg_yearly")
+    )
+
+
+@query(
+    "q_tpch_q19",
+    oracle=f"""
+    SELECT p.p_brand, ROUND(CAST(SUM({_REVENUE}) AS DOUBLE), 2) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND l.l_quantity BETWEEN 1 AND 11
+           AND p.p_size BETWEEN 1 AND 15)
+       OR (p.p_brand = 'Brand#23' AND l.l_quantity BETWEEN 10 AND 20
+           AND p.p_size BETWEEN 1 AND 25)
+       OR (p.p_brand = 'Brand#3'  AND l.l_quantity BETWEEN 20 AND 30
+           AND p.p_size BETWEEN 1 AND 35)
+    GROUP BY p.p_brand
+    """,
+)
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19 disjunctive mixed-table predicate.  The OR spans both join
+    sides, so no single conjunct is pushable as-is; we extract the
+    implied per-table envelopes by hand (brand IN the 3-set on part,
+    quantity in the union range on lineitem) — the CNF residuals a
+    scale-aware plan pushes into both scans — and keep the full
+    disjunction as the post-join residual filter.  Part stays broadcast
+    (tiny dim), so the fact side never shuffles."""
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand").isin("Brand#12", "Brand#23", "Brand#3")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_quantity").between(1, 30)
+    )
+    q = F.col("l_quantity")
+    branch = (
+        ((F.col("p_brand") == "Brand#12") & q.between(1, 11)
+         & F.col("p_size").between(1, 15))
+        | ((F.col("p_brand") == "Brand#23") & q.between(10, 20)
+           & F.col("p_size").between(1, 25))
+        | ((F.col("p_brand") == "Brand#3") & q.between(20, 30)
+           & F.col("p_size").between(1, 35))
+    )
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(25,6)"
+    )
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .filter(branch)
+        .groupBy("p_brand")
+        .agg(
+            F.round(F.sum(rev).cast("double"), 2).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
