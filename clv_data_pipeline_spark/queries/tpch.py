@@ -956,3 +956,126 @@ def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_items"),
         )
     )
+
+
+@query(
+    "q_tpch_q7",
+    oracle=f"""
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           CAST(EXTRACT(YEAR FROM l.l_shipdate) AS BIGINT) AS l_year,
+           ROUND(CAST(SUM({_REVENUE}) AS DOUBLE), 2) AS revenue
+    FROM lineitem l
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation sn  ON sn.n_nationkey = s.s_nationkey
+    JOIN nation cn  ON cn.n_nationkey = c.c_nationkey
+    WHERE (sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+       OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1')
+    GROUP BY sn.n_name, cn.n_name, l_year
+    """,
+)
+def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7 volume shipping between two nations, by year.  The nation dim
+    joins twice (supplier side and customer side) — both broadcast, as
+    does supplier; the only real shuffle is lineitem><orders><customer.
+    The either-direction nation pair is a post-join residual (it spans
+    both dim arms), but each arm is pre-filtered to the 2-nation set,
+    so the broadcast hash tables stay minimal and non-qualifying rows
+    drop at the earliest join."""
+    two = ["NATION_1", "NATION_2"]
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name").isin(two))
+    sn = n.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    cn = n.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    s = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key")
+    )
+    c = load_table(spark, sf_dir, "customer").join(
+        F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(25,6)"
+    )
+    pair = (
+        (F.col("supp_nation") == two[0]) & (F.col("cust_nation") == two[1])
+    ) | ((F.col("supp_nation") == two[1]) & (F.col("cust_nation") == two[0]))
+    return (
+        li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .filter(pair)
+        .withColumn("l_year", F.year("l_shipdate").cast("bigint"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.round(F.sum(rev).cast("double"), 2).alias("revenue"))
+    )
+
+
+@query(
+    "q_tpch_q22",
+    oracle="""
+    WITH pos AS (
+        SELECT c_custkey, c_nationkey, c_acctbal
+        FROM customer WHERE c_acctbal > 0.0),
+    stats AS (
+        SELECT SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS bal_sum,
+               CAST(COUNT(*) AS BIGINT) AS bal_cnt
+        FROM pos)
+    SELECT p.c_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS numcust,
+           ROUND(CAST(SUM(CAST(p.c_acctbal AS DECIMAL(18,4))) AS DOUBLE), 2)
+               AS totacctbal
+    FROM pos p, stats
+    WHERE CAST(p.c_acctbal AS DECIMAL(18,4)) * stats.bal_cnt > stats.bal_sum
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = p.c_custkey
+                      AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+    GROUP BY p.c_nationkey
+    """,
+)
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22 global-market prospects: customers with above-average
+    positive balance and no RECENT orders (none since 2000-01-01 —
+    every testdata customer has some order, so the classic all-time
+    anti-join would be vacuously empty), grouped by nation.  Three pieces a
+    BigQuery-tier user relies on (SURVEY.md §2.2 A6-A7): a scalar
+    aggregate subquery (here a 1-row broadcast cross join), an
+    anti-join (left_anti against orders — at scale this is the shuffle;
+    the average threshold prunes customers BEFORE it), and a final
+    rollup.  The avg threshold is restated exactly in decimal
+    (bal * cnt > sum) so no double-average boundary flip can move a
+    customer across the cut between engines."""
+    pos = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 0.0)
+        .select("c_custkey", "c_nationkey", "c_acctbal")
+    )
+    stats = pos.agg(
+        F.sum(F.col("c_acctbal").cast("decimal(18,4)")).alias("bal_sum"),
+        F.count("*").alias("bal_cnt"),
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp")
+        )
+        .select("o_custkey")
+    )
+    rich = pos.join(F.broadcast(stats)).filter(
+        F.col("c_acctbal").cast("decimal(18,4)") * F.col("bal_cnt")
+        > F.col("bal_sum")
+    )
+    return (
+        rich.join(o, rich["c_custkey"] == o["o_custkey"], "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(
+                F.sum(F.col("c_acctbal").cast("decimal(18,4)")).cast("double"), 2
+            ).alias("totacctbal"),
+        )
+    )
