@@ -1079,3 +1079,130 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("totacctbal"),
         )
     )
+
+
+@query(
+    "q_tpch_q8",
+    oracle=f"""
+    SELECT CAST(EXTRACT(YEAR FROM o.o_orderdate) AS BIGINT) AS o_year,
+           ROUND(CAST(SUM(CASE WHEN sn.n_name = 'NATION_3'
+                               THEN {_REVENUE} ELSE CAST(0 AS DECIMAL(25,6)) END)
+                      AS DOUBLE)
+                 / CAST(SUM({_REVENUE}) AS DOUBLE), 6) AS mkt_share
+    FROM lineitem l
+    JOIN part p     ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation sn  ON sn.n_nationkey = s.s_nationkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation cn  ON cn.n_nationkey = c.c_nationkey
+    JOIN region r   ON r.r_regionkey = cn.n_regionkey
+    WHERE r.r_name = 'ASIA' AND p.p_type = 'ECONOMY'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY o_year
+    """,
+)
+def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8 national market share: one supplier nation's slice of regional
+    revenue, by year.  The share is a conditional aggregate over ONE
+    pass (CASE inside SUM), never two scans; every dim (part, supplier,
+    nation x2, region, customer) broadcasts, so the 7-table star costs
+    a single fact-side pipeline with zero dim shuffles.  Both sums
+    accumulate as exact decimal; the final ratio is one double divide
+    per group, deterministic across partitionings."""
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    cn = load_table(spark, sf_dir, "nation").join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select(F.col("n_nationkey").alias("cn_key"))
+    c = load_table(spark, sf_dir, "customer").join(
+        F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key")
+    ).select("c_custkey")
+    sn = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    s = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key")
+    ).select("s_suppkey", "supp_nation")
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_type") == "ECONOMY"
+    ).select("p_partkey")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(25,6)"
+    )
+    nat_rev = F.when(F.col("supp_nation") == "NATION_3", rev).otherwise(
+        F.lit(0).cast("decimal(25,6)")
+    )
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .withColumn("o_year", F.year("o_orderdate").cast("bigint"))
+        .groupBy("o_year")
+        .agg(
+            F.round(
+                F.sum(nat_rev).cast("double") / F.sum(rev).cast("double"), 6
+            ).alias("mkt_share")
+        )
+    )
+
+
+@query(
+    "q_tpch_q15",
+    oracle=f"""
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               SUM({_REVENUE}) AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+        GROUP BY l_suppkey)
+    SELECT s.s_suppkey, s.s_name,
+           ROUND(CAST(r.total_revenue AS DOUBLE), 2) AS total_revenue
+    FROM supplier s
+    JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    """,
+)
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15 top supplier: the classic view-plus-scalar-subquery shape.
+    The quarterly per-supplier revenue aggregates once; the scalar MAX
+    re-derives from the SAME (cached) aggregate, and the winner-pick is
+    an exact-decimal equality — ties all surface, matching SQL
+    semantics, rather than an arbitrary ORDER BY ... LIMIT 1 cut.  At
+    scale the revenue view is one shuffle of the filtered quarter; the
+    max is a 1-row broadcast back onto it."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
+    )
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(25,6)"
+    )
+    revenue = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.sum(rev).alias("total_revenue"))
+        .cache()
+    )
+    top = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        revenue.join(
+            F.broadcast(top),
+            F.col("total_revenue") == F.col("max_revenue"),
+        )
+        .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("total_revenue").cast("double"), 2).alias(
+                "total_revenue"
+            ),
+        )
+    )
