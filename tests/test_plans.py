@@ -138,3 +138,47 @@ def test_bucketed_join_has_no_exchange(spark):
     finally:
         spark.sql("DROP TABLE IF EXISTS t_orders_b")
         spark.sql("DROP TABLE IF EXISTS t_customer_b")
+
+
+def test_q7_q8_stars_broadcast_every_dim(spark):
+    """Q7/Q8 star chains: every dim arm (supplier, nation x2, part,
+    region, customer-after-region-cut) must broadcast — the fact side
+    is the only thing allowed to shuffle, and no join may degenerate
+    to a nested loop."""
+    for name in ("q_tpch_q7", "q_tpch_q8"):
+        plan = plan_of(spark, name)
+        assert "BroadcastHashJoin" in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_q17_semi_filters_before_aggregate(spark):
+    """Q17's per-part average must aggregate only brand-filtered rows:
+    the broadcast semi-style part join sits under BOTH the aggregate
+    and the final join, and the brand/type filters push to the part
+    scan."""
+    plan = plan_of(spark, "q_tpch_q17")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "EqualTo(p_brand,Brand#23)" in plan
+    assert "EqualTo(p_type,MEDIUM)" in plan
+
+
+def test_q19_pushes_implied_envelopes(spark):
+    """Q19's disjunction spans both tables, but the hand-extracted
+    envelopes (brand IN-set, quantity range) must reach the scans as
+    pushed filters; part stays broadcast."""
+    plan = plan_of(spark, "q_tpch_q19")
+    assert "BroadcastHashJoin" in plan
+    assert "In(p_brand" in plan
+    assert "GreaterThanOrEqual(l_quantity,1.0)" in plan
+    assert "LessThanOrEqual(l_quantity,30.0)" in plan
+
+
+def test_q22_anti_join_after_threshold(spark):
+    """Q22 must plan the no-recent-orders check as a real anti join
+    (never a per-row subquery), with the recent-orders filter pushed
+    to the orders scan."""
+    plan = plan_of(spark, "q_tpch_q22")
+    assert "LeftAnti" in plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan
