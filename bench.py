@@ -30,6 +30,8 @@ HEADLINE = [
     "q_tpch_q1",
     "q_tpch_q3",
     "q_tpch_q5",
+    "q_tpch_q8",
+    "q_tpch_q17",
     "q_window_rank",
     "q_moving_avg",
     "q_asof_join",
