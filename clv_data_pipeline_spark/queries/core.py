@@ -534,3 +534,56 @@ def q_join_features_preds(spark: SparkSession, sf_dir: str) -> DataFrame:
         "monetary_value",
         "purchase_events",
     )
+
+
+@query("q_orc_roundtrip")  # rows-only: writes a scratch ORC file
+def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink + scan — the fourth source format beside parquet, CSV,
+    and JSONL, free from the JVM (columnar, predicate-pushdown capable
+    like parquet).  Types round-trip exactly, no inference."""
+    import tempfile
+
+    n = load_table(spark, sf_dir, "nation")
+    path = tempfile.mkdtemp(prefix="orc_roundtrip_") + "/nation_orc"
+    n.write.mode("overwrite").orc(path)
+    return spark.read.orc(path)
+
+
+@query(
+    "q_upsert",
+    oracle="""
+    WITH src AS (
+        SELECT c_custkey, c_name, c_nationkey, c_acctbal,
+               'UPSERTED' AS c_mktsegment
+        FROM customer WHERE c_nationkey = 3
+        UNION ALL
+        SELECT c_custkey + 10000000, c_name, c_nationkey, c_acctbal,
+               'INSERTED' AS c_mktsegment
+        FROM customer WHERE c_nationkey = 4)
+    SELECT COALESCE(s.c_custkey, t.c_custkey) AS c_custkey,
+           COALESCE(s.c_name, t.c_name) AS c_name,
+           COALESCE(s.c_nationkey, t.c_nationkey) AS c_nationkey,
+           COALESCE(s.c_acctbal, t.c_acctbal) AS c_acctbal,
+           COALESCE(s.c_mktsegment, t.c_mktsegment) AS c_mktsegment
+    FROM customer t FULL JOIN src s ON t.c_custkey = s.c_custkey
+    """,
+)
+def q_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE semantics (update-matched + insert-new) via
+    operators.merge.merge_upsert: the incremental alternative to the
+    reference's WRITE_TRUNCATE full rewrite (clv_models.py:95-97).  The
+    source is a deterministic slice of customer — nation 3 re-tagged
+    (update arm), nation 4 re-keyed past the ID range (insert arm) — so
+    the oracle is the equivalent FULL JOIN + per-column COALESCE."""
+    from clv_data_pipeline_spark.operators.merge import merge_upsert
+
+    c = load_table(spark, sf_dir, "customer")
+    updates = c.filter(F.col("c_nationkey") == 3).withColumn(
+        "c_mktsegment", F.lit("UPSERTED")
+    )
+    inserts = (
+        c.filter(F.col("c_nationkey") == 4)
+        .withColumn("c_custkey", F.col("c_custkey") + F.lit(10000000))
+        .withColumn("c_mktsegment", F.lit("INSERTED"))
+    )
+    return merge_upsert(c, updates.unionByName(inserts), keys=["c_custkey"])

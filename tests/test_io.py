@@ -129,3 +129,30 @@ def test_csv_permissive_and_dropmalformed(spark, tmp_path):
         .csv(str(p))
     )
     assert sorted(r["CustomerID"] for r in dropped.collect()) == [1, 3]
+
+
+def test_merge_upsert_semantics(spark):
+    from clv_data_pipeline_spark.operators.merge import merge_upsert
+
+    target = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "id long, tag string, v double"
+    )
+    source = spark.createDataFrame(
+        [(2, "B", 99.0), (4, "d", 40.0)], "id long, tag string, v double"
+    )
+    out = {r["id"]: r for r in merge_upsert(target, source, ["id"]).collect()}
+    assert set(out) == {1, 2, 3, 4}          # passthrough + update + insert
+    assert out[2]["tag"] == "B" and out[2]["v"] == 99.0   # matched -> source
+    assert out[1]["tag"] == "a"                            # unmatched -> target
+    assert out[4]["v"] == 40.0                             # source-only -> insert
+
+
+def test_merge_upsert_rejects_schema_mismatch(spark):
+    import pytest as _pytest
+
+    from clv_data_pipeline_spark.operators.merge import merge_upsert
+
+    t = spark.createDataFrame([(1, "a")], "id long, tag string")
+    s = spark.createDataFrame([(1,)], "id long")
+    with _pytest.raises(ValueError, match="schema mismatch"):
+        merge_upsert(t, s, ["id"])
