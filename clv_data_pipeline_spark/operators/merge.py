@@ -40,9 +40,13 @@ def merge_upsert(
     s = source.select(
         *[F.col(c).alias(f"__src_{c}") for c in source.columns]
     )
+    # Plain equality, as in SQL MERGE ... ON t.k = s.k: NULL keys never
+    # match (they insert as distinct rows).  eqNullSafe would wrap the
+    # keys and break partitioning reuse — a bucketed target would
+    # re-shuffle even though it is already hash-partitioned on the key.
     cond = None
     for k in keys:
-        eq = F.col(k).eqNullSafe(F.col(f"__src_{k}"))
+        eq = F.col(k) == F.col(f"__src_{k}")
         cond = eq if cond is None else (cond & eq)
     joined = target.join(s, cond, "full_outer")
     return joined.select(

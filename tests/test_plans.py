@@ -182,3 +182,36 @@ def test_q22_anti_join_after_threshold(spark):
     plan = plan_of(spark, "q_tpch_q22")
     assert "LeftAnti" in plan
     assert "GreaterThanOrEqual(o_orderdate" in plan
+
+
+def test_merge_over_bucketed_target_shuffles_only_delta(spark):
+    """merge_upsert against a bucketed target must reuse the target's
+    hash partitioning: exactly one exchange, and it is the source
+    (delta) side being shuffled into the target's buckets."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from clv_data_pipeline_spark.operators.merge import merge_upsert
+    from clv_data_pipeline_spark.sources.io import load_table, write_bucketed
+
+    c = load_table(spark, SF_SMOKE, "customer")
+    write_bucketed(c, "t_merge_bucketed", "c_custkey", num_buckets=8)
+    try:
+        target = spark.table("t_merge_bucketed")
+        delta = c.filter(F.col("c_nationkey") == 3).withColumn(
+            "c_mktsegment", F.lit("X")
+        )
+        out = merge_upsert(target, delta, ["c_custkey"])
+        import contextlib
+        import io as _io
+
+        buf = _io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            out.explain("formatted")
+        plan = buf.getvalue()
+        exchanges = re.findall(r"\(\d+\) Exchange", plan)
+        assert len(exchanges) == 1, plan
+        assert "hashpartitioning(__src_c_custkey" in plan
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_merge_bucketed")
