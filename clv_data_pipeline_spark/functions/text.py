@@ -117,3 +117,22 @@ def fingerprint(text: Column) -> Column:
     normalized text.  Engine-portable (DuckDB md5 produces the same
     hex), unlike xxhash64/murmur which are engine-specific."""
     return F.md5(normalize_text(text).cast("binary"))
+
+
+# PII patterns kept to the regex subset Java (Spark) and RE2 (DuckDB,
+# the oracle engine) interpret identically: no backrefs, no lookaround.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\b\d{3}[-.]\d{3}[-.]\d{4}\b"
+
+
+def scrub_pii(text: Column) -> Column:
+    """Redact email addresses and phone numbers with typed markers.
+
+    Training-corpus hygiene: runs entirely JVM-side (regexp_replace is
+    codegen'd — no Python in the hot path), one pass per pattern.
+    Emails scrub before phones so digit runs inside addresses can't be
+    half-eaten by the phone pattern.
+    """
+    return F.regexp_replace(
+        F.regexp_replace(text, EMAIL_RE, "[EMAIL]"), PHONE_RE, "[PHONE]"
+    )

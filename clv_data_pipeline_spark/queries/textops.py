@@ -314,3 +314,44 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frames.select(
         "doc_id", "frame_idx", F.length("frame").cast("long").alias("frame_bytes")
     )
+
+
+@query(
+    "q_pii_scrub",
+    oracle=r"""
+    WITH dirty AS (
+        SELECT doc_id,
+               text || ' contact user' || CAST(doc_id AS VARCHAR)
+                    || '@example.com or 555-123-4567.' AS raw
+        FROM documents)
+    SELECT doc_id,
+           regexp_replace(
+               regexp_replace(raw,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                   '[EMAIL]', 'g'),
+               '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '[PHONE]', 'g') AS clean,
+           CAST(LENGTH(raw) AS BIGINT) AS dirty_len
+    FROM dirty
+    """,
+)
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over the corpus (functions.text.scrub_pii).  The
+    testdata text carries no PII, so each row deterministically gains a
+    doc-keyed email + phone before scrubbing; the oracle re-runs the
+    same regexes in DuckDB and the hash compare proves both engines
+    produce byte-identical cleaned text.  Map-only, codegen'd, no
+    shuffle — the plan a 100 TB corpus pass needs."""
+    from clv_data_pipeline_spark.functions.text import scrub_pii
+
+    d = load_table(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or 555-123-4567."),
+    )
+    return d.select(
+        "doc_id",
+        scrub_pii(raw).alias("clean"),
+        F.length(raw).cast("bigint").alias("dirty_len"),
+    )
