@@ -355,3 +355,45 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         scrub_pii(raw).alias("clean"),
         F.length(raw).cast("bigint").alias("dirty_len"),
     )
+
+
+@query(
+    "q_train_split",
+    oracle="""
+    WITH tagged AS (
+        SELECT doc_id, n_chars,
+               CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc'
+                    THEN 'train'
+                    WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+                    THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents)
+    SELECT split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM tagged GROUP BY split
+    """,
+)
+def q_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based train/val/test split (~80/10/10):
+    assignment is a pure function of the document id (md5-hex prefix
+    compared lexicographically — identical bytes from Spark and DuckDB),
+    so the split is reproducible across runs, engines, and cluster
+    sizes, and never leaks a document across sets when data is added or
+    repartitioned.  Map-only + one tiny aggregate; the same expression
+    tags a 100 TB corpus with zero shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    prefix = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    split = (
+        F.when(prefix < "cc", "train")
+        .when(prefix < "e6", "val")
+        .otherwise("test")
+    )
+    return (
+        d.withColumn("split", split)
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+    )
