@@ -397,3 +397,41 @@ def q_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").cast("bigint").alias("total_chars"),
         )
     )
+
+
+@query(
+    "q_repetition",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+               AS n_distinct,
+           ROUND(1.0 - CAST(len(list_distinct(string_split(text, ' ')))
+                            AS DOUBLE)
+                     / len(string_split(text, ' ')), 6) AS repetition_ratio
+    FROM documents
+    WHERE len(string_split(text, ' ')) > 0
+    """,
+)
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-repetition ratio per document (1 - distinct/total) — the
+    classic repetition quality filter for pretraining corpora: highly
+    repetitive documents (boilerplate, spam, degenerate generations)
+    score near 1 and get culled.  Pure array expressions inside
+    codegen: split once, array_distinct once, a single double divide —
+    no shuffle, no Python."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_tok = F.size(toks).cast("bigint")
+    n_dis = F.size(F.array_distinct(toks)).cast("bigint")
+    return (
+        d.filter(F.size(toks) > 0)
+        .select(
+            "doc_id",
+            n_tok.alias("n_tokens"),
+            n_dis.alias("n_distinct"),
+            F.round(
+                F.lit(1.0) - n_dis.cast("double") / n_tok.cast("double"), 6
+            ).alias("repetition_ratio"),
+        )
+    )
