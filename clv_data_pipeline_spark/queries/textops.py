@@ -435,3 +435,48 @@ def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("repetition_ratio"),
         )
     )
+
+
+@query(
+    "q_source_mix",
+    oracle="""
+    WITH kept AS (
+        SELECT doc_id, source, n_chars
+        FROM documents
+        WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+              CASE WHEN source IN ('src0','src1','src2','src3','src4')
+                   THEN 'ffff'
+                   WHEN source IN ('src5','src6','src7','src8','src9')
+                   THEN '8000'
+                   ELSE '4000' END)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(SUM(n_chars) AS BIGINT) AS kept_chars
+    FROM kept GROUP BY source
+    """,
+)
+def q_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus mixing: deterministic per-source subsampling to target
+    weights (here 1.0 / 0.5 / 0.25 by source tier) — the reproducible
+    scale path for domain reweighting.  Unlike sampleBy (RNG draw per
+    row, different every run and engine), the keep decision is a pure
+    hash-threshold function of doc_id, so mixes are stable across
+    reruns, engines, and cluster sizes, and a document's fate never
+    depends on partitioning.  Map-only filter + small aggregate."""
+    d = load_table(spark, sf_dir, "documents")
+    tier1 = [f"src{i}" for i in range(5)]
+    tier2 = [f"src{i}" for i in range(5, 10)]
+    threshold = (
+        F.when(F.col("source").isin(tier1), "ffff")
+        .when(F.col("source").isin(tier2), "8000")
+        .otherwise("4000")
+    )
+    prefix = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
+    return (
+        d.filter(prefix < threshold)
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.sum("n_chars").cast("bigint").alias("kept_chars"),
+        )
+    )
