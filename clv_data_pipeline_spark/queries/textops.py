@@ -480,3 +480,61 @@ def q_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").cast("bigint").alias("kept_chars"),
         )
     )
+
+
+@query(
+    "q_decontaminate",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+                  FROM documents),
+    sh AS (SELECT doc_id, list_distinct(list_transform(
+               range(1, GREATEST(len(t) - 2, 0) + 1),
+               i -> array_to_string(t[CAST(i AS INT):CAST(i + 2 AS INT)],
+                                    ' '))) AS grams
+           FROM toks WHERE len(t) >= 3),
+    bench AS (SELECT doc_id AS bench_id, unnest(grams) AS g
+              FROM sh WHERE doc_id % 97 = 0),
+    corpus AS (SELECT doc_id, unnest(grams) AS g
+               FROM sh WHERE doc_id % 97 <> 0),
+    hits AS (SELECT c.doc_id, b.bench_id, c.g
+             FROM corpus c JOIN bench b USING (g))
+    SELECT doc_id,
+           CAST(COUNT(DISTINCT bench_id) AS BIGINT) AS n_bench_docs,
+           CAST(COUNT(DISTINCT g) AS BIGINT) AS n_shared_grams
+    FROM hits GROUP BY doc_id
+    """,
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing token
+    3-grams with a held-out benchmark set (here doc_id % 97 — in
+    production, the eval suites).  The scale shape is the point: the
+    benchmark side is tiny, so its exploded gram set BROADCASTS — the
+    100 TB corpus side stays map-only (split, shingle, explode, hash
+    probe) and only the per-doc hit aggregation shuffles, with rows
+    already cut to actual hits.  Spark sequence() descends when
+    stop < start, so short docs are filtered before shingling (the
+    oracle's empty-gram rows drop identically via unnest)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 2),
+            lambda i: F.array_join(F.slice(toks, i, 3), " "),
+        )
+    )
+    sh = (
+        d.filter(F.size(toks) >= 3)
+        .select("doc_id", F.explode(grams).alias("g"))
+    )
+    bench = sh.filter(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("bench_id"), "g"
+    )
+    corpus = sh.filter(F.col("doc_id") % 97 != 0)
+    return (
+        corpus.join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("bench_id").alias("n_bench_docs"),
+            F.countDistinct("g").alias("n_shared_grams"),
+        )
+    )
