@@ -108,3 +108,41 @@ def q_embedding_class_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("avg_intra_sim"),
         F.count("*").alias("n_pairs"),
     )
+
+
+@query(
+    "q_centroids",
+    oracle="""
+    SELECT label, CAST(i AS BIGINT) AS dim_idx,
+           ROUND(CAST(SUM(CAST(v AS DECIMAL(28,14))) AS DOUBLE) / COUNT(*),
+                 6) AS centroid
+    FROM (SELECT label, unnest(embedding) AS v,
+                 generate_subscripts(embedding, 1) AS i
+          FROM embeddings)
+    GROUP BY label, i
+    """,
+)
+def q_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids in long format (label, dim, mean)
+    — the primitive under IVF coarse quantizers and class prototypes.
+    posexplode flattens (row, dim) pairs; the aggregate is one shuffle
+    keyed (label, dim) with map-side partials, and the float values
+    accumulate as exact DECIMAL so the centroid is partitioning- and
+    engine-stable.  At scale this beats per-row vector averaging in
+    Python by keeping the whole reduction inside codegen."""
+    e = load_table(spark, sf_dir, "embeddings")
+    ex = e.select(
+        "label", F.posexplode("embedding").alias("pos", "v")
+    )
+    return (
+        ex.groupBy(
+            "label", (F.col("pos") + 1).cast("bigint").alias("dim_idx")
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("v").cast("decimal(28,14)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("centroid")
+        )
+    )
