@@ -497,3 +497,33 @@ def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, x: acc + x,
         ).alias("tri_types"),
     )
+
+
+@query(
+    "q_percent_rank",
+    oracle="""
+    SELECT c_custkey, c_nationkey,
+           ROUND(percent_rank() OVER w, 6) AS pr,
+           ROUND(cume_dist() OVER w, 6) AS cd
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def q_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative-standing window functions (percent_rank, cume_dist)
+    per nation — the distribution-position family rounding out the
+    ranking surface (rank/dense_rank/ntile/lead live in
+    q_window_rank/q_ntile_lead).  Both are exact rational functions of
+    integer ranks, so cross-engine determinism is free; the tie-break
+    on c_custkey pins the frame order itself.  One shuffle on the
+    partition key, no join."""
+    from pyspark.sql.window import Window as W
+
+    c = load_table(spark, sf_dir, "customer")
+    w = W.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+    )
