@@ -291,11 +291,16 @@ def q_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("q_simhash")  # rows-only
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash signatures + Hamming<=3 candidate pairs count."""
+    """64-bit SimHash signatures + Hamming<=3 candidate pairs count.
+    The pair count rides along as a lazy 1-row broadcast cross join —
+    no eager driver-side action at plan-construction time, so building
+    the query stays free and both legs run in one job."""
     d = load_table(spark, sf_dir, "documents")
     sigs = simhash_signatures_vectorized(d).withColumnRenamed("_sh", "simhash")
-    n_cands = simhash_candidates(d).count()
-    return sigs.withColumn("n_near_dup_pairs", F.lit(n_cands).cast("long"))
+    n = simhash_candidates(d).agg(
+        F.count("*").cast("long").alias("n_near_dup_pairs")
+    )
+    return sigs.crossJoin(F.broadcast(n))
 
 
 @query("q_multimodal_meta")  # rows-only: mapInPandas plumbing
