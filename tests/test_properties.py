@@ -116,3 +116,39 @@ def test_rfm_invariants(spark, data):
         assert r["frequency"] >= 0
         assert r["monetary_value"] > 0
         assert r["first_purchase"] <= r["last_purchase"]
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    tkeys=st.lists(
+        st.integers(min_value=0, max_value=20), min_size=0, max_size=15,
+        unique=True,
+    ),
+    skeys=st.lists(
+        st.integers(min_value=0, max_value=20), min_size=0, max_size=15,
+        unique=True,
+    ),
+)
+def test_merge_upsert_invariants(spark, tkeys, skeys):
+    """merge_upsert: output keys = target ∪ source keys; source wins on
+    overlap; applying the same source twice is idempotent."""
+    from clv_data_pipeline_spark.operators.merge import merge_upsert
+
+    target = spark.createDataFrame(
+        [(k, "t") for k in tkeys] or [(None, None)], "id long, tag string"
+    ).filter("id IS NOT NULL")
+    source = spark.createDataFrame(
+        [(k, "s") for k in skeys] or [(None, None)], "id long, tag string"
+    ).filter("id IS NOT NULL")
+    once = merge_upsert(target, source, ["id"])
+    rows = {r["id"]: r["tag"] for r in once.collect()}
+    assert set(rows) == set(tkeys) | set(skeys)
+    for k in skeys:
+        assert rows[k] == "s"
+    for k in set(tkeys) - set(skeys):
+        assert rows[k] == "t"
+    twice = {
+        r["id"]: r["tag"]
+        for r in merge_upsert(once, source, ["id"]).collect()
+    }
+    assert twice == rows
