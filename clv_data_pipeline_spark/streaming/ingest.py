@@ -110,3 +110,36 @@ def streaming_sessions(
             "n_events",
         )
     )
+
+
+def upsert_sink(
+    table: str,
+    keys: list[str],
+    transform: Callable[[DataFrame], DataFrame] | None = None,
+):
+    """Build a ``foreachBatch`` body that MERGES each micro-batch into
+    ``table`` instead of fully refreshing it — the incremental upgrade
+    of the reference's WRITE_TRUNCATE cycle for state that is too big
+    to rewrite per trigger.
+
+    ``transform`` shapes the raw batch into one row per key (e.g. a
+    last-write-wins dedup or per-key partial aggregate) before the
+    merge.  First batch creates the table.  Lineage from the target
+    table is cut with ``localCheckpoint`` before overwriting (Spark
+    refuses to overwrite a path it is still reading); on a real
+    deployment the same body targets a table format with native MERGE
+    (Delta/Iceberg) and the checkpoint disappears.
+    """
+    from clv_data_pipeline_spark.operators.merge import merge_upsert
+
+    def _fn(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        delta = transform(batch_df) if transform is not None else batch_df
+        if spark.catalog.tableExists(table):
+            merged = merge_upsert(spark.table(table), delta, keys)
+            merged = merged.localCheckpoint(eager=True)
+        else:
+            merged = delta
+        merged.write.mode("overwrite").saveAsTable(table)
+
+    return _fn

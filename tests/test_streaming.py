@@ -211,3 +211,52 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     n_total = got.count()
     n_distinct = got.distinct().count()
     assert n_total == n_distinct == ev.count()
+
+
+def test_upsert_sink_accumulates_incrementally(spark, tmp_path):
+    """Two streamed batches merged through upsert_sink: batch 2 updates
+    existing keys and inserts new ones; the table never fully rebuilds
+    (the sink only sees each delta) yet ends equal to last-write-wins
+    over all staged rows."""
+    from pyspark.sql import Window
+
+    from clv_data_pipeline_spark.streaming.ingest import upsert_sink
+
+    src = str(tmp_path / "kv_staging")
+    ckpt = str(tmp_path / "kv_ckpt")
+    schema = "id LONG, v DOUBLE, ts TIMESTAMP"
+
+    def last_write_wins(df):
+        w = Window.partitionBy("id").orderBy(F.desc("ts"))
+        return (
+            df.withColumn("_rn", F.row_number().over(w))
+            .filter("_rn = 1")
+            .drop("_rn")
+        )
+
+    sink = upsert_sink("t_upsert_sink", ["id"], transform=last_write_wins)
+    try:
+        spark.createDataFrame(
+            [(1, 10.0, "2026-01-01 00:00:00"), (2, 20.0, "2026-01-01 01:00:00")],
+            ["id", "v", "ts"],
+        ).selectExpr("id", "v", "CAST(ts AS TIMESTAMP) ts").write.mode(
+            "append"
+        ).parquet(src)
+        q = ingest_stream(spark, src, ckpt, sink, schema=schema)
+        q.awaitTermination(120)
+
+        spark.createDataFrame(
+            [(2, 99.0, "2026-01-02 00:00:00"), (3, 30.0, "2026-01-02 01:00:00")],
+            ["id", "v", "ts"],
+        ).selectExpr("id", "v", "CAST(ts AS TIMESTAMP) ts").write.mode(
+            "append"
+        ).parquet(src)
+        q = ingest_stream(spark, src, ckpt, sink, schema=schema)
+        q.awaitTermination(120)
+
+        got = {
+            r["id"]: r["v"] for r in spark.table("t_upsert_sink").collect()
+        }
+        assert got == {1: 10.0, 2: 99.0, 3: 30.0}
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_upsert_sink")
