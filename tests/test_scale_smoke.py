@@ -75,3 +75,27 @@ def test_asof_union_window_3m_rows_linear(spark):
     elapsed = time.perf_counter() - t0
     assert n == N_ROWS
     assert elapsed < 60, f"as-of took {elapsed:.1f}s on 3M rows"
+
+
+def test_merge_upsert_3m_rows_linear(spark):
+    """MERGE of a 200k-row delta into a 3M-row target: one shuffle
+    join, no pair explosion, no driver-side state — and the delta wins
+    on every overlapping key."""
+    from clv_data_pipeline_spark.operators.merge import merge_upsert
+
+    target = spark.range(N_ROWS).select(
+        F.col("id").alias("k"), F.lit("old").alias("tag")
+    )
+    delta = spark.range(N_USERS).select(
+        (F.col("id") * 7).alias("k"), F.lit("new").alias("tag")
+    )
+    t0 = time.perf_counter()
+    out = merge_upsert(target, delta, ["k"])
+    n = out.count()
+    n_new = out.filter(F.col("tag") == "new").count()
+    elapsed = time.perf_counter() - t0
+    # keys 0,7,...,(200k-1)*7: those >= 3M insert; the rest update
+    inserted = sum(1 for i in range(N_USERS) if i * 7 >= N_ROWS)
+    assert n == N_ROWS + inserted
+    assert n_new == N_USERS
+    assert elapsed < 60, f"merge took {elapsed:.1f}s on 3M x 200k rows"
