@@ -527,3 +527,56 @@ def q_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("pr"),
         F.round(F.cume_dist().over(w), 6).alias("cd"),
     )
+
+
+@query(
+    "q_corr",
+    oracle="""
+    WITH s AS (
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+                   AS sy,
+               CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(25,6)))
+                    AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(l_extendedprice * l_extendedprice
+                             AS DECIMAL(32,6))) AS DOUBLE) AS syy,
+               CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(30,6)))
+                    AS DOUBLE) AS sxy
+        FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag, n,
+           ROUND((n * sxy - sx * sy)
+                 / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)),
+                 6) AS corr_qty_price
+    FROM s
+    """,
+)
+def q_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation per group from exact decimal sufficient
+    statistics (n, Σx, Σy, Σx², Σy², Σxy) — NOT the built-in corr(),
+    whose streaming co-moment accumulation is partitioning-dependent in
+    the last digits and can't hash-match across engines.  The five sums
+    are associative decimals (one partial+final agg, same shuffle as any
+    grouped sum); the closed-form combination happens once per group in
+    double.  The same trick makes covariance/stddev/regression slopes
+    mergeable and deterministic at any scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity")
+    y = F.col("l_extendedprice")
+    s = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(x.cast("decimal(18,4)")).cast("double").alias("sx"),
+        F.sum(y.cast("decimal(18,4)")).cast("double").alias("sy"),
+        F.sum((x * x).cast("decimal(25,6)")).cast("double").alias("sxx"),
+        F.sum((y * y).cast("decimal(32,6)")).cast("double").alias("syy"),
+        F.sum((x * y).cast("decimal(30,6)")).cast("double").alias("sxy"),
+    )
+    n = F.col("n")
+    corr = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.sqrt(n * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * F.sqrt(n * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return s.select(
+        "l_returnflag", "n", F.round(corr, 6).alias("corr_qty_price")
+    )
