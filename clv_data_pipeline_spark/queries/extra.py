@@ -580,3 +580,36 @@ def q_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(
         "l_returnflag", "n", F.round(corr, 6).alias("corr_qty_price")
     )
+
+
+@query(
+    "q_histogram",
+    oracle="""
+    SELECT CASE WHEN o_totalprice < 0 THEN CAST(0 AS BIGINT)
+                WHEN o_totalprice >= 500000 THEN CAST(21 AS BIGINT)
+                ELSE CAST(FLOOR(o_totalprice / 25000.0) AS BIGINT) + 1
+           END AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders GROUP BY bucket
+    """,
+)
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of order totals via width_bucket — the
+    one-pass binned-distribution shape (dashboards, drift monitors).
+    Spark's width_bucket follows the Postgres semantics (under/overflow
+    buckets 0 and n+1); DuckDB lacks the function, so the oracle spells
+    out the same floor-division formula.  One partial+final count per
+    bucket: 21-ish groups, so the shuffle is a handful of rows
+    regardless of input size."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select(
+            F.width_bucket(
+                F.col("o_totalprice"), F.lit(0), F.lit(500000), F.lit(20)
+            )
+            .cast("bigint")
+            .alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"))
+    )
