@@ -613,3 +613,37 @@ def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bucket")
         .agg(F.count("*").alias("n"))
     )
+
+
+@query(
+    "q_argmax",
+    oracle="""
+    SELECT c_nationkey,
+           arg_max(c_custkey,
+                   CAST(ROUND(c_acctbal * 100) AS BIGINT) * 100000000
+                   + c_custkey) AS top_cust,
+           ROUND(MAX(c_acctbal), 2) AS top_bal
+    FROM customer GROUP BY c_nationkey
+    """,
+)
+def q_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmax aggregate (max_by): richest customer per nation in ONE
+    hash-aggregate pass — no window, no sort, no self-join, which at
+    scale replaces the rank()-then-filter plan (full partition sort)
+    with partial+final agg.  Ties on the double balance are broken by
+    folding (balance, custkey) into a single strictly-unique integer
+    ordering key, so Spark's max_by and DuckDB's arg_max pick the same
+    winner (bare argmax on a tied column is engine-arbitrary)."""
+    c = load_table(spark, sf_dir, "customer")
+    okey = (
+        F.round(F.col("c_acctbal") * 100).cast("bigint") * F.lit(100000000)
+        + F.col("c_custkey")
+    )
+    return (
+        c.withColumn("_okey", okey)
+        .groupBy("c_nationkey")
+        .agg(
+            F.expr("max_by(c_custkey, _okey)").alias("top_cust"),
+            F.round(F.max("c_acctbal"), 2).alias("top_bal"),
+        )
+    )
