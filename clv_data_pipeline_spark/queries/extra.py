@@ -647,3 +647,35 @@ def q_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("c_acctbal"), 2).alias("top_bal"),
         )
     )
+
+
+@query(
+    "q_event_sequences",
+    oracle="""
+    SELECT user_id,
+           string_agg(event_type, '>' ORDER BY ts, event_id) AS seq,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events GROUP BY user_id
+    """,
+)
+def q_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user chronological event sequences — the construction step
+    for behavioral/sequential training data.  collect_list order is
+    partition-arbitrary, so each element carries its (ts, event_id)
+    sort key into the struct and sort_array imposes the deterministic
+    order AFTER collection — one hash aggregate, no window sort, and
+    the (ts, event_id) key is unique so every engine agrees.  The
+    joined string form keeps the oracle compare byte-exact."""
+    ev = load_table(spark, sf_dir, "events")
+    item = F.struct(
+        F.col("ts"), F.col("event_id"), F.col("event_type")
+    )
+    seq = F.array_join(
+        F.transform(
+            F.sort_array(F.collect_list(item)), lambda x: x["event_type"]
+        ),
+        ">",
+    )
+    return ev.groupBy("user_id").agg(
+        seq.alias("seq"), F.count("*").alias("n_events")
+    )
