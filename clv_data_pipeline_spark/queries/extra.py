@@ -679,3 +679,44 @@ def q_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("user_id").agg(
         seq.alias("seq"), F.count("*").alias("n_events")
     )
+
+
+@query(
+    "q_date_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+           strftime(date_trunc('week', o_orderdate), '%Y-%m-%d') AS week_start,
+           CAST(isodow(o_orderdate) AS BIGINT) AS iso_weekday,
+           strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d')
+               AS month_end,
+           strftime(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH, '%Y-%m-%d')
+               AS plus3m,
+           CAST(EXTRACT(QUARTER FROM o_orderdate) AS BIGINT) AS qtr
+    FROM orders
+    """,
+)
+def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal scalar surface: date_trunc (month/week), ISO weekday,
+    last_day, month arithmetic, quarter — the calendar toolkit behind
+    every period-over-period report.  All codegen'd; every date value
+    leaves as a formatted string because raw DATE columns compare
+    differently across engine->pandas paths (engine contract).  Note
+    the weekday trap: Spark dayofweek() is 1=Sunday but DuckDB
+    dayofweek() is 0=Sunday — only the ISO form (weekday()+1 vs
+    isodow) agrees."""
+    o = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.date_format(F.date_trunc("month", d), "yyyy-MM-dd").alias(
+            "month_start"
+        ),
+        F.date_format(F.date_trunc("week", d), "yyyy-MM-dd").alias(
+            "week_start"
+        ),
+        (F.weekday(d) + 1).cast("bigint").alias("iso_weekday"),
+        F.date_format(F.last_day(d), "yyyy-MM-dd").alias("month_end"),
+        F.date_format(F.add_months(d, 3), "yyyy-MM-dd").alias("plus3m"),
+        F.quarter(d).cast("bigint").alias("qtr"),
+    )
