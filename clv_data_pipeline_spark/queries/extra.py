@@ -720,3 +720,36 @@ def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(F.add_months(d, 3), "yyyy-MM-dd").alias("plus3m"),
         F.quarter(d).cast("bigint").alias("qtr"),
     )
+
+
+@query(
+    "q_transitions",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        FROM events)
+    SELECT prev_type, event_type AS next_type,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM seq WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, next_type
+    """,
+)
+def q_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type transition matrix (Markov bigram counts) over
+    per-user timelines — the aggregate companion to q_event_sequences
+    for behavior modeling.  One window pass ordered by the unique
+    (ts, event_id) key, then a tiny (|types|^2-row) aggregate; the
+    user_id partition key means the window sort shuffles once on the
+    same key the sessionizer uses."""
+    from pyspark.sql.window import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count("*").alias("n"))
+    )
