@@ -62,15 +62,22 @@ def lang_id(text: Column) -> Column:
 
 
 def whitespace_token_count(text: Column) -> Column:
-    """Whitespace tokenization count."""
-    return F.size(F.split(F.trim(text), r"\s+")).cast("long")
+    """Whitespace tokenization count.
+
+    Counts non-whitespace runs directly (``regexp_count('\\S+')``) so
+    empty / whitespace-only text yields 0 — ``split(trim(''))`` would
+    yield ``['']`` = 1, diverging from regexp-match-counting engines.
+    """
+    return F.regexp_count(text, F.lit(r"\S+")).cast("long")
 
 
 def bpe_ish_token_count(text: Column) -> Column:
     """BPE-ish token count: words and single punctuation marks counted
-    separately (the ``\\w+|[^\\w\\s]`` convention)."""
+    separately (the ``\\w+|[^\\w\\s]`` convention).  Operates on the
+    passed column expression, not a hardcoded column name.
+    """
     return F.size(
-        F.expr(r"regexp_extract_all(text, '\\w+|[^\\w\\s]', 0)")
+        F.regexp_extract_all(text, F.lit(r"\w+|[^\w\s]"), 0)
     ).cast("long")
 
 

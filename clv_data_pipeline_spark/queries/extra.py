@@ -546,9 +546,13 @@ def q_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
                     AS DOUBLE) AS sxy
         FROM lineitem GROUP BY l_returnflag)
     SELECT l_returnflag, n,
-           ROUND((n * sxy - sx * sy)
-                 / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)),
-                 6) AS corr_qty_price
+           CASE WHEN n * sxx - sx * sx <= 0 OR n * syy - sy * sy <= 0
+                THEN NULL
+                ELSE ROUND((n * sxy - sx * sy)
+                           / (sqrt(n * sxx - sx * sx)
+                              * sqrt(n * syy - sy * sy)),
+                           6)
+           END AS corr_qty_price
     FROM s
     """,
 )
@@ -573,13 +577,18 @@ def q_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((x * y).cast("decimal(30,6)")).cast("double").alias("sxy"),
     )
     n = F.col("n")
+    vx = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = n * F.col("syy") - F.col("sy") * F.col("sy")
     corr = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (
-        F.sqrt(n * F.col("sxx") - F.col("sx") * F.col("sx"))
-        * F.sqrt(n * F.col("syy") - F.col("sy") * F.col("sy"))
+        F.sqrt(vx) * F.sqrt(vy)
     )
-    return s.select(
-        "l_returnflag", "n", F.round(corr, 6).alias("corr_qty_price")
+    # Zero-variance guard: a constant column makes the divisor 0.0,
+    # where Spark's non-ANSI divide yields NULL but IEEE engines yield
+    # inf/nan — pin NULL explicitly on both sides.
+    guarded = F.when((vx <= 0) | (vy <= 0), F.lit(None)).otherwise(
+        F.round(corr, 6)
     )
+    return s.select("l_returnflag", "n", guarded.alias("corr_qty_price"))
 
 
 @query(

@@ -135,8 +135,11 @@ def compact_parquet(
     Daily micro-appends (the reference's load pattern) accumulate tiny
     files; at 100 TB, scan throughput dies on file-open overhead and
     driver listing.  Compaction is a rewrite through a staging
-    directory (write-then-swap, so a failure never destroys the
-    original), returning (files_before, files_after).
+    directory: write tmp, rename the original aside, rename tmp into
+    place, then delete the old copy — every failure point leaves a
+    recoverable dataset (either at ``path`` or at ``path._old``), and
+    the original is never removed before its replacement is in place.
+    Returns (files_before, files_after).
     """
     import glob
     import shutil
@@ -145,13 +148,19 @@ def compact_parquet(
                                  recursive=True))
     df = spark.read.parquet(path)
     tmp = path.rstrip("/") + "._compact_tmp"
+    old = path.rstrip("/") + "._old"
     w = df.repartition(target_files)
     writer = w.write.mode("overwrite")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(tmp)
-    shutil.rmtree(path)
-    os.rename(tmp, path)
+    os.rename(path, old)
+    try:
+        os.rename(tmp, path)
+    except OSError:
+        os.rename(old, path)  # roll back: restore the original
+        raise
+    shutil.rmtree(old)
     files_after = len(glob.glob(os.path.join(path, "**", "*.parquet"),
                                 recursive=True))
     return files_before, files_after

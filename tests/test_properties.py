@@ -152,3 +152,35 @@ def test_merge_upsert_invariants(spark, tkeys, skeys):
         for r in merge_upsert(once, source, ["id"]).collect()
     }
     assert twice == rows
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    tkeys=st.lists(
+        st.integers(min_value=0, max_value=20), min_size=1, max_size=15,
+        unique=True,
+    ),
+    svals=st.dictionaries(
+        st.integers(min_value=0, max_value=20),
+        st.one_of(st.none(), st.text(min_size=1, max_size=3)),
+        min_size=1, max_size=15,
+    ),
+)
+def test_merge_upsert_null_updates(spark, tkeys, svals):
+    """SQL MERGE UPDATE semantics: a matched row takes the source value
+    even when that value is NULL (a COALESCE-based merge would keep the
+    stale target value — the ADVICE.md regression this pins)."""
+    from clv_data_pipeline_spark.operators.merge import merge_upsert
+
+    target = spark.createDataFrame(
+        [(k, "t") for k in tkeys], "id long, tag string"
+    )
+    source = spark.createDataFrame(
+        list(svals.items()), "id long, tag string"
+    )
+    rows = {r["id"]: r["tag"] for r in merge_upsert(target, source, ["id"]).collect()}
+    assert set(rows) == set(tkeys) | set(svals)
+    for k, v in svals.items():
+        assert rows[k] == v  # source wins, including NULL
+    for k in set(tkeys) - set(svals):
+        assert rows[k] == "t"
