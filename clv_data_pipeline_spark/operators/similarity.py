@@ -40,12 +40,19 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+#: Index rows a single broadcast shard may hold before cosine_topk
+#: splits the index (100k rows x 64-dim float64 ~ 51 MB per shard —
+#: well inside executor broadcast budgets; tune per embedding dim).
+MAX_INDEX_ROWS_PER_SHARD = 100_000
+
+
 def cosine_topk(
     embeddings: DataFrame,
     k: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_scale: int = 6,
+    max_rows_per_shard: int = MAX_INDEX_ROWS_PER_SHARD,
 ) -> DataFrame:
     """Brute-force all-pairs cosine, top-k neighbors per vector.
 
@@ -53,17 +60,25 @@ def cosine_topk(
     ``round_scale`` before ranking so ordering is reproducible across
     accumulation orders (ties then break on neighbor id).
 
-    Execution: the index side collects to a dense float64 matrix and
-    broadcasts; queries stream through mapInPandas and score a whole
-    Arrow batch per BLAS matmul.  A zip_with/aggregate self-join
-    formulation is ~50x slower at 2k vectors (interpreted per-element
-    lambdas over n^2 pairs) — dense linear algebra is the one place the
-    Pandas-UDF path beats built-ins.  The collect is the documented
-    barrier: at index sizes beyond driver memory, shard B and union the
-    per-shard top-k (or switch to :func:`lsh_topk`).
+    Execution: size-gated sharding.  The index is counted (metadata-only
+    on parquet) and split into ``ceil(n / max_rows_per_shard)`` hash
+    shards; each shard collects to a dense float64 matrix and
+    broadcasts, queries stream through mapInPandas and score a whole
+    Arrow batch per BLAS matmul, and the per-shard top-ks re-rank
+    globally (exact: the true top-k is contained in the union).  No
+    single collect ever exceeds one shard, so driver/executor memory is
+    bounded regardless of index size — the previous full-index
+    ``toPandas()`` was the one scale-killer flagged in round 1.  A
+    zip_with/aggregate self-join formulation is ~50x slower at 2k
+    vectors (interpreted per-element lambdas over n^2 pairs) — dense
+    linear algebra is the one place the Pandas-UDF path beats built-ins.
+    For sub-quadratic cost switch to :func:`lsh_topk` / :func:`ivf_topk`.
     """
-    return _cosine_topk_against_index(
-        embeddings, embeddings, k, id_col, vec_col, round_scale
+    n = embeddings.count()
+    num_shards = max(1, -(-n // max_rows_per_shard))
+    return cosine_topk_sharded(
+        embeddings, k, id_col, vec_col,
+        num_shards=num_shards, round_scale=round_scale,
     )
 
 
@@ -146,7 +161,7 @@ def cosine_topk_sharded(
     top-ks.  Same output contract as :func:`cosine_topk`.
     """
     shards = [
-        embeddings.filter(F.col(id_col) % num_shards == i)
+        embeddings.filter(F.pmod(F.col(id_col), F.lit(num_shards)) == i)
         for i in range(num_shards)
     ]
     per_shard = None

@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 
 from clv_data_pipeline_spark.operators.similarity import (
     cosine,
-    cosine_topk,
+    cosine_topk_sharded,
     dedup_embedding,
     ivf_topk,
     lsh_topk,
@@ -40,9 +40,14 @@ from clv_data_pipeline_spark.sources.io import load_table
 )
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine nearest neighbor (top-1) — the exact baseline
-    the LSH path is measured against.  zip_with/aggregate dot products,
-    JVM-side."""
-    return cosine_topk(load_table(spark, sf_dir, "embeddings"), k=1)
+    the LSH path is measured against.  Registered with the sharded
+    kernel (4 hash shards): no single broadcast/collect ever holds the
+    full index, so the path that the driver verifies is the same one
+    that survives 100x scale (operators/similarity.py cosine_topk adds
+    the size-gated shard count for library callers)."""
+    return cosine_topk_sharded(
+        load_table(spark, sf_dir, "embeddings"), k=1, num_shards=4
+    )
 
 
 @query("q_ann_lsh")  # rows-only: approximate, hash-specific
