@@ -260,6 +260,104 @@ def dedup_minhash(
     return df.join(losers, id_col, "left_anti")
 
 
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Exact duplicate clustering: connected components by iterative
+    min-label propagation, the audit-grade alternative to the greedy
+    one-pass in :func:`dedup_minhash` (ref: the reference pipeline has
+    no clustering at all — this serves SURVEY.md §2's dedup extension).
+
+    Returns ``(node, cluster_id)`` where ``cluster_id`` is the smallest
+    node id reachable from ``node`` — the canonical representative of
+    its component (transitive closure, unlike the greedy pass).
+
+    Scale design:
+
+    - each iteration is ONE shuffle: neighbor labels flow along edges
+      (join on the neighbor side) and fold with ``min`` per node;
+    - labels only decrease, so ``SUM(label)`` is strictly monotone and
+      a scalar sum comparison detects the fixpoint — no join-based
+      diffing, one cheap action per iteration;
+    - ``localCheckpoint`` after every step truncates lineage — without
+      it the plan doubles per iteration and Catalyst analysis time
+      explodes long before data size matters;
+    - iterations needed = graph diameter.  Corpus-dedup graphs are
+      near-cliques around shared fingerprints/buckets (diameter 2-4),
+      so the loop count is small and independent of corpus size.
+    """
+    e = edges.select(F.col(src).alias("node"), F.col(dst).alias("nbr"))
+    sym = e.union(
+        e.select(F.col("nbr").alias("node"), F.col("node").alias("nbr"))
+    ).filter(F.col("node") != F.col("nbr"))
+    sym = sym.distinct().localCheckpoint(eager=False)
+    labels = (
+        sym.select("node")
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=False)
+    )
+    prev_sum = None
+    for _ in range(max_iter):
+        msgs = sym.join(
+            labels.select(
+                F.col("node").alias("nbr"), F.col("label")
+            ),
+            "nbr",
+        ).select("node", "label")
+        labels = (
+            labels.select("node", "label")
+            .union(msgs)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=False)
+        )
+        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels.select(
+        F.col("node"), F.col("label").alias("cluster_id")
+    )
+
+
+def cluster_documents(
+    df: DataFrame,
+    key_cols: list[list[str]],
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cluster rows whose key tuples collide, transitively across ALL
+    key sets: rows sharing key-set-1 OR key-set-2 land in one cluster.
+
+    Each key group contributes *star edges* to its min-id member — same
+    connectivity as the full clique at O(n) instead of O(n^2) edges, so
+    a boilerplate blob of 1M near-identical docs ships 1M edges, not
+    10^12.  Rows isolated under every key become singleton clusters.
+    """
+    from pyspark.sql.window import Window
+
+    stars = None
+    for cols in key_cols:
+        w = Window.partitionBy(*cols)
+        star = df.select(
+            F.col(id_col).alias("id_a"),
+            F.min(id_col).over(w).alias("id_b"),
+        ).filter(F.col("id_a") != F.col("id_b"))
+        stars = star if stars is None else stars.union(star)
+    cc = connected_components(stars, "id_a", "id_b")
+    return (
+        df.select(F.col(id_col))
+        .join(cc, F.col(id_col) == F.col("node"), "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("cluster_id"), F.col(id_col)).alias("cluster_id"),
+        )
+    )
+
+
 def jaccard_pairs(
     df: DataFrame,
     pairs: DataFrame,

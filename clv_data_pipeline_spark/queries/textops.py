@@ -22,6 +22,7 @@ from clv_data_pipeline_spark.functions.text import (
     whitespace_token_count,
 )
 from clv_data_pipeline_spark.operators.dedup import (
+    cluster_documents,
     dedup_exact,
     dedup_minhash,
     jaccard_pairs,
@@ -55,6 +56,52 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: min-id winner per normalized-text fingerprint.
     Shuffles 128-bit fingerprints, not document bodies."""
     return dedup_exact(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "q_dedup_clusters",
+    oracle="""
+    WITH RECURSIVE star AS (
+        SELECT doc_id AS a,
+               MIN(doc_id) OVER (PARTITION BY lang, n_chars // 20) AS b
+        FROM documents
+        UNION ALL
+        SELECT doc_id,
+               MIN(doc_id) OVER (PARTITION BY source, n_chars // 20)
+        FROM documents
+    ),
+    edges AS (
+        SELECT a, b FROM star WHERE a <> b
+        UNION
+        SELECT b, a FROM star WHERE a <> b
+    ),
+    reach(node, r) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.a, reach.r FROM edges e JOIN reach ON reach.node = e.b
+    )
+    SELECT CAST(node AS BIGINT) AS doc_id,
+           CAST(MIN(r) AS BIGINT) AS cluster_id
+    FROM reach GROUP BY node
+    """,
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive duplicate clustering: connected components over the
+    union of two bucket-collision edge sets ((lang, size-bucket) and
+    (source, size-bucket)) via iterative min-label propagation — the
+    exact-closure counterpart to the greedy one-pass dedup.  The DuckDB
+    oracle computes the same components with a recursive reachability
+    CTE, so transitivity itself is hash-verified."""
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "_bucket", F.expr("n_chars DIV 20")
+    )
+    out = cluster_documents(
+        docs, [["lang", "_bucket"], ["source", "_bucket"]]
+    )
+    return out.select(
+        F.col("doc_id").cast("long"),
+        F.col("cluster_id").cast("long"),
+    )
 
 
 def _occurrences_sql(needle: str) -> str:

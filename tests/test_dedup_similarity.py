@@ -199,3 +199,68 @@ def test_ivf_recall_floor_on_driver_embeddings(spark):
         for r in ivf_topk(emb, k=1, n_cells=8, nprobe=8).collect()
     }
     assert exact == true1
+
+
+def _union_find_components(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # path-compress to final representatives
+    return {n: find(n) for n in parent}
+
+
+def test_connected_components_matches_union_find(spark):
+    """Min-label propagation must compute the exact transitive closure:
+    (a,b),(b,c) implies one cluster — including long chains, which the
+    greedy one-pass dedup deliberately does not guarantee."""
+    import random
+
+    from clv_data_pipeline_spark.operators.dedup import connected_components
+
+    rnd = random.Random(7)
+    cases = [
+        [(1, 2), (2, 3), (3, 4)],                      # chain
+        [(10, 11), (12, 13), (11, 12)],                # chains merging
+        [(5, 6)],                                      # single edge
+        [(i, i + 1) for i in range(20)],               # diameter-20 path
+        [(rnd.randrange(60), rnd.randrange(60)) for _ in range(80)],
+    ]
+    for edges in cases:
+        edges = [(a, b) for a, b in edges if a != b]
+        expected = _union_find_components(edges)
+        df = spark.createDataFrame(edges, "id_a long, id_b long")
+        got = {
+            r["node"]: r["cluster_id"]
+            for r in connected_components(df).collect()
+        }
+        assert got == expected, f"edges={edges}"
+
+
+def test_cluster_documents_transitive_across_keys(spark):
+    """Docs chained through DIFFERENT key sets (a~b via key1, b~c via
+    key2) must land in one cluster; isolated docs become singletons."""
+    from clv_data_pipeline_spark.operators.dedup import cluster_documents
+
+    rows = [
+        # (doc_id, k1, k2): 1~2 share k1, 2~3 share k2 -> {1,2,3}
+        (1, "x", "p"),
+        (2, "x", "q"),
+        (3, "y", "q"),
+        (4, "z", "r"),  # isolated
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, k1 string, k2 string")
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in cluster_documents(df, [["k1"], ["k2"]]).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4}
