@@ -32,8 +32,9 @@ from clv_data_pipeline_spark.operators.dedup import (
 )
 from clv_data_pipeline_spark.operators.multimodal import (
     attach_fake_payload,
+    attach_real_payload,
+    default_decoder,
     extract_media_metadata,
-    fake_decoder,
     sample_frames,
 )
 from clv_data_pipeline_spark.registry import query
@@ -350,12 +351,32 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sigs.crossJoin(F.broadcast(n))
 
 
-@query("q_multimodal_meta")  # rows-only: mapInPandas plumbing
+@query(
+    "q_multimodal_meta",
+    oracle="""
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CASE doc_id % 3 WHEN 0 THEN 'image/png'
+                           WHEN 1 THEN 'audio/wav'
+                           ELSE 'video/mp4' END AS media_type,
+           CAST(CASE doc_id % 3 WHEN 0 THEN 16 + doc_id % 32
+                                WHEN 1 THEN 1 + doc_id % 2
+                                ELSE 320 + doc_id % 64 END AS INT) AS width,
+           CAST(CASE doc_id % 3 WHEN 0 THEN 16 + doc_id % 17
+                                WHEN 1 THEN 8000 + 100 * (doc_id % 5)
+                                ELSE 240 + doc_id % 48 END AS INT) AS height
+    FROM documents
+    """,
+)
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary-payload metadata extraction through Arrow batches
-    (deterministic fake decoder; real codecs plug into decoder=)."""
-    d = attach_fake_payload(load_table(spark, sf_dir, "documents"))
-    return extract_media_metadata(d, decoder=fake_decoder)
+    """Real codec path: synthesize valid PNG/WAV/MP4 container bytes
+    per doc (executor-side), then parse dimensions back out of the
+    genuine headers with struct arithmetic (PIL when importable).  The
+    oracle recomputes the known synthesis parameters analytically, so
+    a hash match proves the bytes really round-tripped through the
+    container formats."""
+    d = attach_real_payload(load_table(spark, sf_dir, "documents"))
+    meta = extract_media_metadata(d, decoder=default_decoder)
+    return meta.select("doc_id", "media_type", "width", "height")
 
 
 @query("q_frame_sample")  # rows-only: cardinality-changing mapInPandas
