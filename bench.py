@@ -89,17 +89,61 @@ def main() -> None:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_runtime",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_val,
-            }
-        )
-    )
+    regressions = _regressions(timings, sf=sf_val)
+    out = {
+        "metric": "headline_queries_total_runtime",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+    }
+    if regressions:
+        out["regressions"] = regressions
+    print(json.dumps(out))
+    if regressions and "--check" in sys.argv:
+        sys.exit(1)
+
+
+def _regressions(
+    timings: dict[str, float],
+    sf: float | str | None = None,
+    threshold: float = 1.5,
+    floor: float = 0.5,
+) -> dict[str, dict[str, float]]:
+    """Per-query diff vs the newest BENCH_r*.json: flag anything more
+    than ``threshold``x slower than the last recorded round (ignoring
+    sub-``floor``-second queries, which are noise-dominated, and
+    baselines taken at a different scale factor).  Printed on stderr +
+    included in the JSON; ``--check`` turns flags into a non-zero exit
+    for use as a local perf gate.
+    """
+    import glob
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    prior = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
+    if not prior:
+        return {}
+    try:
+        with open(prior[-1]) as f:
+            rec = json.load(f)
+        # driver-recorded BENCH_r*.json wraps our JSON line in "parsed"
+        rec = rec.get("parsed", rec)
+        base = rec.get("queries", {})
+        if sf is not None and rec.get("sf") != sf:
+            return {}
+    except (OSError, json.JSONDecodeError):
+        return {}
+    flagged = {}
+    for name, sec in timings.items():
+        ref = base.get(name)
+        if ref and max(sec, ref) >= floor and sec > threshold * ref:
+            flagged[name] = {"now": sec, "was": ref}
+            print(
+                f"bench: REGRESSION {name}: {sec:.2f}s vs {ref:.2f}s "
+                f"({sec / ref:.1f}x, baseline {os.path.basename(prior[-1])})",
+                file=sys.stderr,
+            )
+    return flagged
 
 
 if __name__ == "__main__":
