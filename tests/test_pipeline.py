@@ -136,3 +136,44 @@ def test_observed_firewall_metrics_ride_the_write(spark, tmp_path):
     metrics = obs.get
     assert metrics["feature_count"] == feats.count()
     assert metrics["invalid_count"] == invalid_feature_count(feats)
+
+
+def test_observed_firewall_metrics_parity_on_dirty_data(spark, tmp_path):
+    """Dirty-fixture parity (nonzero counts actually exercised): the
+    observe()-based metrics must equal the standalone probes when
+    negatives ARE present, and feed run_validation_checks identically —
+    same SANITY ERROR either way."""
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from clv_data_pipeline_spark.operators.validate import (
+        invalid_feature_count,
+        observed_features,
+        run_validation_checks,
+    )
+
+    # 20 customers; 3 with a negative feature apiece (rows 0, 7, 14)
+    feats = spark.range(20).select(
+        F.col("id").alias("customer_id"),
+        F.when(F.col("id") % 7 == 0, -1.0).otherwise(2.0).alias("frequency"),
+        F.lit(10.0).alias("recency"),
+        F.lit(30.0).alias("T"),
+        F.lit(25.0).alias("monetary_value"),
+    )
+    observed, obs = observed_features(feats)
+    observed.write.mode("overwrite").parquet(str(tmp_path / "dirty"))
+
+    metrics = obs.get
+    standalone = invalid_feature_count(feats)
+    assert standalone == 3
+    assert metrics["invalid_count"] == standalone
+    assert metrics["feature_count"] == feats.count() == 20
+
+    from clv_data_pipeline_spark.schemas import FIREWALL_REQUIRED_COLUMNS
+
+    with _pytest.raises(ValueError, match="SANITY ERROR: Found 3 rows"):
+        run_validation_checks(
+            20, int(metrics["feature_count"]), int(metrics["invalid_count"]),
+            list(FIREWALL_REQUIRED_COLUMNS),
+        )
