@@ -1,0 +1,316 @@
+"""Behavioral / corpus analytics extensions: retention cohorts, funnel
+conversion, TF-IDF, stratified sampling, embedding quantization, n-gram
+statistics.  All pure DataFrame expressions (no Python in the hot
+path), each with a DuckDB oracle.
+
+Scale shapes: every query here is scan -> (map-side) expand ->
+hash-aggregate; the only shuffles are on the aggregation keys
+(cohort_week, user_id, term, bigram).  TF-IDF's document frequency is
+a second aggregate over distinct (term, doc) — both stages partial-
+aggregate before shuffling.  Quantization is map-only.  The stratified
+sample's keep/drop decision is a pure integer function of the id, so
+the sample is identical on any partitioning, engine, or rerun — the
+same governance contract as the corpus split/mix queries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from clv_data_pipeline_spark.functions.text import normalize_text
+from clv_data_pipeline_spark.registry import query
+from clv_data_pipeline_spark.sources.io import load_table
+
+
+@query(
+    "q_retention_cohorts",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id,
+               MIN(date_trunc('week', ts)) AS cohort_week
+        FROM events GROUP BY user_id),
+    activity AS (
+        SELECT DISTINCT e.user_id,
+               f.cohort_week,
+               date_diff('day', f.cohort_week,
+                         date_trunc('week', e.ts)) // 7 AS week_offset
+        FROM events e JOIN firsts f ON e.user_id = f.user_id)
+    SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort_week,
+           CAST(week_offset AS BIGINT) AS week_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_active
+    FROM activity
+    GROUP BY cohort_week, week_offset
+    """,
+)
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohorts: users keyed by first-activity week,
+    counted in each later week they return.  Two hash aggregates (first
+    week per user, then distinct user-week activity); the firsts frame
+    is per-user-small and joins back on the already-shuffled key."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("week", "ts").alias("week")
+    )
+    firsts = ev.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    activity = (
+        ev.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (F.datediff("week", "cohort_week") / 7)
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .distinct()
+    )
+    return activity.groupBy("cohort_week", "week_offset").agg(
+        F.count("*").cast("long").alias("n_active")
+    ).select(
+        F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+        "week_offset",
+        "n_active",
+    )
+
+
+@query(
+    "q_funnel",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+               MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click_any,
+               MIN(CASE WHEN event_type = 'purchase' THEN ts END)
+                   AS t_purchase_any
+        FROM events GROUP BY user_id),
+    staged AS (
+        SELECT user_id, t_view,
+               CASE WHEN t_click_any >= t_view THEN t_click_any END AS t_click
+        FROM per_user),
+    staged2 AS (
+        SELECT s.user_id, s.t_view, s.t_click,
+               (SELECT MIN(ts) FROM events e
+                WHERE e.user_id = s.user_id AND e.event_type = 'purchase'
+                  AND e.ts >= s.t_click) AS t_purchase
+        FROM staged s)
+    SELECT CAST(COUNT(t_view) AS BIGINT) AS step1_view,
+           CAST(COUNT(t_click) AS BIGINT) AS step2_click,
+           CAST(COUNT(t_purchase) AS BIGINT) AS step3_purchase
+    FROM staged2
+    """,
+)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view -> click -> purchase: a user
+    advances a step only with an event at-or-after their previous
+    step's time.  ONE aggregate computes all stage times via
+    conditional MINs (the click >= first-view refinement folds in
+    afterwards as pure column math; the purchase step needs the
+    post-click MIN, a second conditional aggregate over the join).
+
+    Spark-first: no per-step self-joins of the event log; the log is
+    scanned once, aggregated by user, and the funnel logic runs on the
+    150-row (per-user) frame."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias(
+            "t_click_any"
+        ),
+    )
+    staged = per_user.select(
+        "user_id",
+        "t_view",
+        F.when(F.col("t_click_any") >= F.col("t_view"), F.col("t_click_any"))
+        .alias("t_click"),
+    )
+    # post-click purchase: conditional MIN over one more join-aggregate
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts")
+    )
+    t_purchase = (
+        staged.join(purchases, "user_id", "left")
+        .groupBy("user_id")
+        .agg(
+            F.min(
+                F.when(F.col("p_ts") >= F.col("t_click"), F.col("p_ts"))
+            ).alias("t_purchase")
+        )
+    )
+    full = staged.join(t_purchase, "user_id")
+    return full.agg(
+        F.count("t_view").cast("long").alias("step1_view"),
+        F.count("t_click").cast("long").alias("step2_click"),
+        F.count("t_purchase").cast("long").alias("step3_purchase"),
+    )
+
+
+_TOKENIZE_SQL = (
+    "string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),"
+    " ' ')"
+)
+
+
+@query(
+    "q_tfidf_top_terms",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_TOKENIZE_SQL}) AS term FROM documents),
+    tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf
+        FROM toks WHERE term <> '' GROUP BY doc_id, term),
+    df AS (
+        SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.term,
+               ROUND(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6)
+                   AS tfidf
+        FROM tf JOIN df USING (term) CROSS JOIN n),
+    ranked AS (
+        SELECT doc_id, term, tfidf,
+               ROW_NUMBER() OVER (
+                   PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rnk
+        FROM scored)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, term, tfidf,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM ranked WHERE rnk <= 3
+    """,
+)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document.  Term frequency and document
+    frequency are two partial-aggregating shuffles on (doc, term) /
+    (term); N is a 1-row broadcast; ranking windows over the already
+    doc-partitioned score frame.  Scores round to 6 places BEFORE
+    ranking so ordering (and the oracle hash) is engine-stable."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(normalize_text(F.col("text")), " ")).alias("term"),
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf")
+                * F.log(F.col("n_docs").cast("double") / F.col("df")),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "term")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 3)
+        .select(F.col("doc_id").cast("long"), "term", "tfidf", "rnk")
+    )
+
+
+@query(
+    "q_stratified_sample",
+    oracle="""
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, source
+    FROM documents
+    WHERE (doc_id * 1103515245 + 12345) % 1000 <
+          CASE WHEN lang = 'en' THEN 500 ELSE 200 END
+    """,
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: 50% of English docs, 20% of
+    everything else, via a pure integer hash of the id — identical
+    membership on any engine, partitioning, or rerun (the governance
+    property exact-Bernoulli `sample()` cannot give).  Map-only."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (F.col("doc_id") * 1103515245 + 12345) % 1000
+    rate = F.when(F.col("lang") == "en", 500).otherwise(200)
+    return docs.filter(bucket < rate).select(
+        F.col("doc_id").cast("long"), "lang", "source"
+    )
+
+
+@query(
+    "q_quantize_embeddings",
+    oracle="""
+    WITH scaled AS (
+        SELECT vec_id,
+               list_max(list_transform(embedding,
+                   x -> abs(CAST(x AS DOUBLE)))) AS mx
+        FROM embeddings)
+    SELECT CAST(e.vec_id AS BIGINT) AS vec_id,
+           array_to_string(list_transform(e.embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * 127.0 / s.mx) AS INT)),
+               ',') AS q,
+           ROUND(s.mx / 127.0, 6) AS scale
+    FROM embeddings e JOIN scaled s ON e.vec_id = s.vec_id
+    """,
+)
+def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 scalar quantization of the embedding column —
+    the 4x memory/bandwidth lever for 100 TB ANN (scores rerank against
+    the fp32 originals).  Map-only: per-vector max-abs then a rounded
+    rescale, all JVM array expressions.  The int8 vector serializes to
+    a comma-joined string — raw array columns stringify differently
+    across engines (Python list vs numpy array), so the driver's canon
+    hash could never match them."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    mx = F.array_max(
+        F.transform(F.col("embedding"), lambda x: F.abs(x.cast("double")))
+    )
+    return emb.select(
+        F.col("vec_id").cast("long"),
+        F.array_join(
+            F.transform(
+                F.col("embedding"),
+                lambda x: F.round(x.cast("double") * 127.0 / mx)
+                .cast("int")
+                .cast("string"),
+            ),
+            ",",
+        ).alias("q"),
+        F.round(mx / 127.0, 6).alias("scale"),
+    )
+
+
+@query(
+    "q_bigram_counts",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {_TOKENIZE_SQL} AS ts FROM documents),
+    bigrams AS (
+        SELECT doc_id,
+               unnest(list_transform(
+                   range(1, len(ts)),
+                   i -> ts[i] || ' ' || ts[i + 1])) AS bigram
+        FROM toks WHERE len(ts) >= 2)
+    SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n
+    FROM bigrams GROUP BY bigram HAVING COUNT(*) >= 3
+    """,
+)
+def q_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram statistics (the n-gram LM / collocation primitive):
+    adjacent-token pairs via one zip_with over the token array — no
+    self-join — then a single hash aggregate with map-side combine.
+    HAVING >= 3 keeps the long tail off the wire."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.split(normalize_text(F.col("text")), " ").alias("ts")
+    ).filter(F.size("ts") >= 2)
+    bigrams = toks.select(
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("ts"), 1, F.size("ts") - 1),
+                F.slice(F.col("ts"), 2, F.size("ts") - 1),
+                lambda a, b: F.concat_ws(" ", a, b),
+            )
+        ).alias("bigram")
+    )
+    return (
+        bigrams.groupBy("bigram")
+        .agg(F.count("*").cast("long").alias("n"))
+        .filter(F.col("n") >= 3)
+    )

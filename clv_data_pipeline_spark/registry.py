@@ -149,6 +149,7 @@ def _load() -> None:
     if _LOADED:
         return
     from clv_data_pipeline_spark.queries import (  # noqa: F401
+        analytics,
         clvq,
         core,
         extra,
