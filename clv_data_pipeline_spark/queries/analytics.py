@@ -314,3 +314,166 @@ def q_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("n"))
         .filter(F.col("n") >= 3)
     )
+
+
+@query(
+    "q_zscore",
+    oracle="""
+    WITH stats AS (
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6)))
+                    AS DOUBLE) AS s,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))
+                        * CAST(l_extendedprice AS DECIMAL(38,6)))
+                    AS DOUBLE) AS ss
+        FROM lineitem GROUP BY l_returnflag)
+    SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag,
+           ROUND((l.l_extendedprice - s.s / s.n)
+                 / sqrt((s.ss - s.s * s.s / s.n) / (s.n - 1)), 6) AS z
+    FROM lineitem l JOIN stats s ON l.l_returnflag = s.l_returnflag
+    """,
+)
+def q_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score normalization (the feature-scaling primitive):
+    group mean/std from exact decimal sufficient statistics (one
+    aggregate), broadcast back, then map-only standardization.  Decimal
+    sums make mean/std bit-identical across partitionings; the per-row
+    z is pure scalar double math after that."""
+    li = load_table(spark, sf_dir, "lineitem")
+    stats = li.groupBy("l_returnflag").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("l_extendedprice").cast("decimal(25,6)"))
+        .cast("double")
+        .alias("s"),
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(38,6)")
+            * F.col("l_extendedprice").cast("decimal(38,6)")
+        )
+        .cast("double")
+        .alias("ss"),
+    )
+    return (
+        li.join(F.broadcast(stats), "l_returnflag")
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_returnflag",
+            F.round(
+                (F.col("l_extendedprice") - F.col("s") / F.col("n"))
+                / F.sqrt(
+                    (F.col("ss") - F.col("s") * F.col("s") / F.col("n"))
+                    / (F.col("n") - 1)
+                ),
+                6,
+            ).alias("z"),
+        )
+    )
+
+
+#: count-min sketch geometry + universal-hash constants (31-bit family,
+#: same overflow-safe construction as operators/dedup.py)
+_CM_WIDTH = 32
+_CM_HASHES = [(1103515245, 12345), (214013, 2531011), (69069, 362437)]
+
+
+def _cm_bucket_sql(key: str, a: int, b: int) -> str:
+    return f"(({key} * {a} + {b}) % 2147483647) % {_CM_WIDTH}"
+
+
+@query(
+    "q_heavy_hitters",
+    oracle=f"""
+    WITH sketch AS (
+        SELECT d, bucket, CAST(COUNT(*) AS BIGINT) AS c
+        FROM (
+            {' UNION ALL '.join(
+                f"SELECT {i} AS d, {_cm_bucket_sql('user_id', a, b)} AS bucket"
+                f" FROM events"
+                for i, (a, b) in enumerate(_CM_HASHES)
+            )}
+        ) GROUP BY d, bucket),
+    keys AS (SELECT DISTINCT user_id FROM events),
+    est AS (
+        SELECT k.user_id,
+               MIN(s.c) AS cm_estimate
+        FROM keys k JOIN sketch s
+          ON s.bucket = CASE s.d
+               {' '.join(
+                   f"WHEN {i} THEN {_cm_bucket_sql('k.user_id', a, b)}"
+                   for i, (a, b) in enumerate(_CM_HASHES)
+               )} END
+        GROUP BY k.user_id),
+    truth AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS true_count
+        FROM events GROUP BY user_id)
+    SELECT t.user_id, t.true_count, e.cm_estimate
+    FROM truth t JOIN est e ON t.user_id = e.user_id
+    WHERE t.true_count >= (SELECT COUNT(*) FROM events)
+                          // (SELECT COUNT(DISTINCT user_id) FROM events)
+    """,
+)
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters via an explicit count-min sketch: 3 universal
+    hash rows x 32 buckets, built as ONE hash aggregate over exploded
+    (row, bucket) pairs — the sketch is 96 cells regardless of key
+    cardinality, and merging partial sketches is plain addition (the
+    mergeability that makes CM work on 1000 executors).  Estimates
+    (min over rows) ride a broadcast join; exact counts come along to
+    exhibit the overestimate-only guarantee.  Deterministic: explicit
+    31-bit affine hashes, identical in the SQL oracle."""
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    pairs = ev.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("d"),
+                        ((F.col("user_id") * a + b) % 2147483647 % _CM_WIDTH)
+                        .alias("bucket"),
+                    )
+                    for i, (a, b) in enumerate(_CM_HASHES)
+                ]
+            )
+        ).alias("p")
+    ).select("p.d", "p.bucket")
+    sketch = pairs.groupBy("d", "bucket").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    truth = ev.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("true_count")
+    )
+    keys = truth.select("user_id")
+    probe = keys.select(
+        "user_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("d"),
+                        ((F.col("user_id") * a + b) % 2147483647 % _CM_WIDTH)
+                        .alias("bucket"),
+                    )
+                    for i, (a, b) in enumerate(_CM_HASHES)
+                ]
+            )
+        ).alias("p"),
+    ).select("user_id", "p.d", "p.bucket")
+    est = (
+        probe.join(F.broadcast(sketch), ["d", "bucket"])
+        .groupBy("user_id")
+        .agg(F.min("c").alias("cm_estimate"))
+    )
+    # adaptive heavy-hitter bar: users at or above the mean event count
+    # (integer division, same arithmetic as the oracle's scalar subqueries)
+    mean_bar = ev.agg(
+        (
+            F.count("*") / F.countDistinct("user_id")
+        ).cast("long").alias("bar")
+    )
+    return (
+        truth.join(est, "user_id")
+        .crossJoin(F.broadcast(mean_bar))
+        .filter(F.col("true_count") >= F.col("bar"))
+        .select("user_id", "true_count", "cm_estimate")
+    )

@@ -1,0 +1,153 @@
+"""Temporal warehouse primitives over the event log: SCD Type 2
+interval construction, time-windowed deduplication, and sweep-line
+concurrency analysis.
+
+Scale shapes: all three are one shuffle on the natural partition key
+(user for SCD2/dedup; the global sweep orders within event_type
+partitions) followed by window functions — no interval self-joins, no
+per-key cross products.  The sweep-line trick turns "count overlapping
+intervals" (naively O(n^2) pairs) into +1/-1 deltas with a running
+sum: O(n log n) per partition and linear shuffle volume.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from clv_data_pipeline_spark.registry import query
+from clv_data_pipeline_spark.sources.io import load_table
+
+
+@query(
+    "q_scd2",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, event_type, ts, event_id,
+               LAG(event_type) OVER w AS prev_type
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    changes AS (
+        SELECT user_id, event_type, ts AS valid_from, event_id
+        FROM ordered
+        WHERE prev_type IS NULL OR prev_type <> event_type)
+    SELECT user_id, event_type, valid_from,
+           LEAD(valid_from) OVER w2 AS valid_to,
+           CAST(LEAD(valid_from) OVER w2 IS NULL AS BIGINT) AS is_current
+    FROM changes
+    WINDOW w2 AS (PARTITION BY user_id ORDER BY valid_from, event_id)
+    """,
+)
+def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension Type 2 from an event stream: collapse
+    per-user runs of the same event_type into validity intervals
+    [valid_from, valid_to), open-ended for the current state.  One
+    shuffle on user_id; both window passes reuse the same partitioning.
+    Ties break on event_id so the intervals are engine-deterministic."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(
+            F.col("prev_type").isNull()
+            | (F.col("prev_type") != F.col("event_type"))
+        )
+        .select(
+            "user_id", "event_type", F.col("ts").alias("valid_from"), "event_id"
+        )
+    )
+    w2 = Window.partitionBy("user_id").orderBy("valid_from", "event_id")
+    return changes.select(
+        "user_id",
+        "event_type",
+        "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+        F.lead("valid_from").over(w2).isNull().cast("long").alias("is_current"),
+    )
+
+
+@query(
+    "q_window_dedup",
+    oracle="""
+    WITH bucketed AS (
+        SELECT event_id, user_id, event_type, ts,
+               epoch_us(ts) // 300000000 AS bucket
+        FROM events),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+                   PARTITION BY user_id, event_type, bucket
+                   ORDER BY ts, event_id) AS rn
+        FROM bucketed)
+    SELECT event_id, user_id, event_type, ts
+    FROM ranked WHERE rn = 1
+    """,
+)
+def q_window_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-windowed deduplication: keep the first event per (user,
+    type) within each 5-minute bucket — the batch twin of streaming
+    `dropDuplicatesWithinWatermark`.  One shuffle on the composite
+    key; ties break on event_id.  Bucketing compares integer
+    microseconds (never float seconds — frame-boundary rule)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    bucketed = ev.withColumn(
+        "bucket", F.expr("unix_micros(ts) DIV 300000000")
+    )
+    w = Window.partitionBy("user_id", "event_type", "bucket").orderBy(
+        "ts", "event_id"
+    )
+    return (
+        bucketed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_id", "user_id", "event_type", "ts")
+    )
+
+
+@query(
+    "q_concurrency",
+    oracle="""
+    WITH deltas AS (
+        SELECT event_type, epoch_us(ts) AS t, 1 AS delta FROM events
+        UNION ALL
+        SELECT event_type, epoch_us(ts) + 300000000, -1 FROM events),
+    summed AS (
+        SELECT event_type,
+               SUM(delta) OVER (
+                   PARTITION BY event_type ORDER BY t, delta
+                   ROWS UNBOUNDED PRECEDING) AS live
+        FROM deltas)
+    SELECT event_type, CAST(MAX(live) AS BIGINT) AS max_concurrent
+    FROM summed GROUP BY event_type
+    """,
+)
+def q_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrency of 5-minute activity intervals per event type,
+    by sweep line: every interval contributes a +1 at start and a -1
+    at end; the running sum's maximum is the answer.  Linear in events
+    (the naive overlap self-join is quadratic).  At equal timestamps
+    the -1 sorts first (delta ascending), so back-to-back intervals
+    never double-count — pinned identically in both engines."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.unix_micros("ts").alias("t")
+    )
+    deltas = ev.select("event_type", "t", F.lit(1).alias("delta")).unionByName(
+        ev.select(
+            "event_type",
+            (F.col("t") + F.lit(300_000_000)).alias("t"),
+            F.lit(-1).alias("delta"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("t", "delta")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        deltas.withColumn("live", F.sum("delta").over(w))
+        .groupBy("event_type")
+        .agg(F.max("live").cast("long").alias("max_concurrent"))
+    )

@@ -154,6 +154,7 @@ def _load() -> None:
         core,
         extra,
         similarity,
+        temporal,
         textops,
         tpch,
     )
