@@ -151,3 +151,31 @@ def q_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("centroid")
         )
     )
+
+
+@query("q_semantic_clusters")  # rows-only: SRP-LSH is engine-specific
+def q_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic duplicate clusters over the embedding space: SRP-LSH
+    candidates at cosine >= 0.9, resolved to exact connected components
+    (transitive closure) instead of the greedy pair drop.  Returns one
+    (vec_id, cluster_id) row per vector; singletons cluster with
+    themselves.  The CC iteration touches only the thresholded pair
+    list — tiny next to the vector table."""
+    from clv_data_pipeline_spark.operators.dedup import connected_components
+    from clv_data_pipeline_spark.operators.similarity import lsh_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = lsh_topk(emb, k=1_000_000).filter(
+        (F.col("sim") >= 0.9) & (F.col("vec_id") < F.col("neighbor_id"))
+    )
+    cc = connected_components(pairs, "vec_id", "neighbor_id")
+    return (
+        emb.select(F.col("vec_id"))
+        .join(cc, F.col("vec_id") == F.col("node"), "left")
+        .select(
+            F.col("vec_id").cast("long"),
+            F.coalesce(F.col("cluster_id"), F.col("vec_id"))
+            .cast("long")
+            .alias("cluster_id"),
+        )
+    )

@@ -611,3 +611,30 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("g").alias("n_shared_grams"),
         )
     )
+
+
+@query("q_minhash_clusters")  # rows-only: MinHash is engine-specific math
+def q_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERS (not just removal): LSH candidate pairs
+    resolved to exact transitive components by min-label propagation —
+    the audit-grade view a corpus curator needs (cluster sizes, chain
+    shapes) that the greedy one-pass drop cannot give.  Candidate
+    generation shuffles band keys only; the CC loop runs on the pair
+    list, which is orders of magnitude smaller than the corpus."""
+    from clv_data_pipeline_spark.operators.dedup import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    cands = minhash_candidates(docs)
+    cc = connected_components(cands, "id_a", "id_b")
+    # singleton docs (never bucketed with anyone) join in as their own
+    # cluster, so the output partitions the whole corpus
+    return (
+        docs.select(F.col("doc_id"))
+        .join(cc, F.col("doc_id") == F.col("node"), "left")
+        .select(
+            F.col("doc_id").cast("long"),
+            F.coalesce(F.col("cluster_id"), F.col("doc_id"))
+            .cast("long")
+            .alias("cluster_id"),
+        )
+    )
