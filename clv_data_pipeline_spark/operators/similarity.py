@@ -380,18 +380,21 @@ def fit_ivf_centroids(
     """
     import numpy as np
 
-    # deterministic sample WITHOUT a global sort: keep ids whose hash
-    # falls under the target fraction (3x oversampled, then limit).  An
-    # orderBy(hash).limit(n) gives the same rows but pays a full
-    # sort-shuffle of every vector — unusable at real index sizes.
-    total = embeddings.count()
+    # deterministic sample WITHOUT a global sort or a pre-count: keep
+    # ids whose hash falls in a fixed 1% band and limit.  At index
+    # scale (>= ~1M vectors) the band holds >= sample_n rows, so the
+    # whole fit costs ONE job that scans ~1% of ids; only when the
+    # band comes back short (small tables) does a second, trivially
+    # cheap unfiltered limit run.  An orderBy(hash).limit(n) would give
+    # the same rows but pays a full sort-shuffle of every vector.
     src = embeddings.select(id_col, vec_col)
-    if total > sample_n:
-        cut = min(1_000_000, (3 * sample_n * 1_000_000) // total)
-        src = src.filter(
-            F.pmod(F.xxhash64(F.col(id_col)), F.lit(1_000_000)) < cut
-        )
-    sample = src.limit(sample_n).toPandas().sort_values(id_col)
+    banded = src.filter(
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(1_000_000)) < 10_000
+    )
+    sample = banded.limit(sample_n).toPandas()
+    if len(sample) < sample_n:
+        sample = src.limit(sample_n).toPandas()
+    sample = sample.sort_values(id_col)
     V = np.stack(sample[vec_col].to_numpy()).astype(np.float64)
     V /= np.linalg.norm(V, axis=1, keepdims=True)
     k = min(k, len(V))
