@@ -1,0 +1,78 @@
+"""Graph operators over edge DataFrames: PageRank by power iteration.
+(Connected components lives in operators/dedup.py next to its dedup
+call sites.)
+
+Scale shape: each iteration is one shuffle (messages grouped by dst);
+ranks and out-degrees stay partitioned by node across iterations, and
+``localCheckpoint`` truncates lineage so plan analysis stays O(1) per
+step instead of doubling.  Convergence for fixed ``iters`` is
+deterministic — no data-dependent driver loop beyond the iteration
+count, so the whole run is a fixed DAG of jobs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+    damping: float = 0.85,
+    iters: int = 10,
+) -> DataFrame:
+    """Weighted PageRank over an edge list, ``iters`` power iterations.
+
+    Returns (node, rank) with ranks summing to ~1.  Dangling nodes
+    (no out-edges) redistribute uniformly, folded in via one scalar
+    aggregate per iteration.  Transition probability src->dst is
+    weight / total-out-weight(src).
+    """
+    w = F.col(weight) if weight else F.lit(1.0)
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst"), w.alias("w")
+    )
+    out_w = e.groupBy("src").agg(F.sum("w").alias("out_w"))
+    # transition matrix rows: (src, dst, p) — built once, reused each iter
+    trans = (
+        e.join(out_w, "src")
+        .select("src", "dst", (F.col("w") / F.col("out_w")).alias("p"))
+        .localCheckpoint(eager=False)
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    n = nodes.count()
+    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+    for _ in range(iters):
+        contrib = (
+            trans.join(ranks, trans["src"] == ranks["node"])
+            .select("dst", (F.col("p") * F.col("rank")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("in_rank"))
+        )
+        # dangling mass: rank held by nodes with no out-edges
+        dangling = (
+            ranks.join(out_w, ranks["node"] == out_w["src"], "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("d"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes["node"] == contrib["dst"], "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("in_rank"), F.lit(0.0)) + F.col("d") / n)
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks

@@ -477,3 +477,156 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("true_count") >= F.col("bar"))
         .select("user_id", "true_count", "cm_estimate")
     )
+
+
+def _pagerank_oracle(iters: int = 10, damping: float = 0.85) -> str:
+    """Unrolled power-iteration CTE chain — DuckDB executes the exact
+    same fixed DAG the Spark operator runs, so the oracle verifies the
+    iterative algorithm itself, not just one step."""
+    prs = []
+    for k in range(1, iters + 1):
+        prs.append(f"""
+    pr{k} AS (
+        SELECT n.node,
+               {1.0 - damping} / (SELECT n FROM nn)
+               + {damping} * COALESCE(s.v, 0) AS rank
+        FROM nodes n LEFT JOIN (
+            SELECT t.dst, SUM(t.p * p.rank) AS v
+            FROM trans t JOIN pr{k - 1} p ON p.node = t.src
+            GROUP BY t.dst) s ON s.dst = n.node)""")
+    return f"""
+    WITH pairs AS (
+        SELECT user_id, event_type AS src,
+               LEAD(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS dst
+        FROM events),
+    edges AS (
+        SELECT src, dst, CAST(COUNT(*) AS DOUBLE) AS w
+        FROM pairs WHERE dst IS NOT NULL GROUP BY src, dst),
+    out_w AS (SELECT src, SUM(w) AS ow FROM edges GROUP BY src),
+    trans AS (
+        SELECT e.src, e.dst, e.w / o.ow AS p
+        FROM edges e JOIN out_w o ON e.src = o.src),
+    nodes AS (
+        SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+    nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+    pr0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes),
+    {','.join(prs)}
+    SELECT node AS event_type, ROUND(rank, 8) AS rank FROM pr{iters}
+    """
+
+
+@query("q_pagerank", oracle=_pagerank_oracle())
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality of event types over the behavior-transition
+    graph (which states dominate user flows).  The operator is the
+    generic scale path — per-iteration message shuffle + localCheckpoint
+    lineage breaks; the oracle unrolls the identical 10 damped power
+    iterations in chained CTEs, so the driver hash-verifies the
+    ITERATIVE computation end to end (rare for oracle checks)."""
+    from pyspark.sql.window import Window as W
+
+    from clv_data_pipeline_spark.operators.graph import pagerank
+
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    edges = (
+        ev.withColumn("dst", F.lead("event_type").over(w))
+        .filter(F.col("dst").isNotNull())
+        .groupBy(F.col("event_type").alias("src"), "dst")
+        .agg(F.count("*").cast("double").alias("w"))
+    )
+    ranks = pagerank(edges, weight="w")
+    return ranks.select(
+        F.col("node").alias("event_type"), F.round("rank", 8).alias("rank")
+    )
+
+
+@query(
+    "q_skew_report",
+    oracle="""
+    WITH sizes AS (
+        SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS sz
+        FROM lineitem GROUP BY l_orderkey)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(MAX(sz) AS BIGINT) AS max_sz,
+           CAST(SUM(sz) AS BIGINT) AS n_rows,
+           ROUND(CAST(MAX(sz) AS DOUBLE)
+                 / (CAST(SUM(sz) AS DOUBLE) / COUNT(*)), 6) AS skew_factor
+    FROM sizes
+    """,
+)
+def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join/aggregate skew diagnostics for a key column: group-size
+    extremes and the max/mean skew factor that decides whether a key
+    needs salting or AQE skew-join handling.  Two partial-aggregating
+    shuffles, output is one row regardless of scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sizes = li.groupBy("l_orderkey").agg(F.count("*").alias("sz"))
+    return sizes.agg(
+        F.count("*").cast("long").alias("n_keys"),
+        F.max("sz").cast("long").alias("max_sz"),
+        F.sum("sz").cast("long").alias("n_rows"),
+        F.round(
+            F.max("sz").cast("double")
+            / (F.sum("sz").cast("double") / F.count("*")),
+            6,
+        ).alias("skew_factor"),
+    )
+
+
+@query(
+    "q_profile",
+    oracle="""
+    SELECT 'o_totalprice' AS col,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(o_totalprice) AS BIGINT) AS n_nonnull,
+           CAST(COUNT(DISTINCT o_totalprice) AS BIGINT) AS n_distinct,
+           ROUND(MIN(o_totalprice), 6) AS min_v,
+           ROUND(MAX(o_totalprice), 6) AS max_v
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(o_custkey) AS BIGINT),
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT),
+           ROUND(CAST(MIN(o_custkey) AS DOUBLE), 6),
+           ROUND(CAST(MAX(o_custkey) AS DOUBLE), 6)
+    FROM orders
+    """,
+)
+def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling (the ANALYZE TABLE primitive): null/distinct
+    counts and value ranges per column, one output row per column.
+    All columns profile in a single scan — Spark computes the combined
+    aggregate set in one pass, then the tiny per-column rows unpivot
+    driver-free via a union of 1-row projections."""
+    orders = load_table(spark, sf_dir, "orders")
+    agg = orders.agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.count("o_totalprice").cast("long").alias("nn_price"),
+        F.countDistinct("o_totalprice").cast("long").alias("nd_price"),
+        F.round(F.min("o_totalprice"), 6).alias("min_price"),
+        F.round(F.max("o_totalprice"), 6).alias("max_price"),
+        F.count("o_custkey").cast("long").alias("nn_cust"),
+        F.countDistinct("o_custkey").cast("long").alias("nd_cust"),
+        F.round(F.min("o_custkey").cast("double"), 6).alias("min_cust"),
+        F.round(F.max("o_custkey").cast("double"), 6).alias("max_cust"),
+    )
+    price = agg.select(
+        F.lit("o_totalprice").alias("col"),
+        "n_rows",
+        F.col("nn_price").alias("n_nonnull"),
+        F.col("nd_price").alias("n_distinct"),
+        F.col("min_price").alias("min_v"),
+        F.col("max_price").alias("max_v"),
+    )
+    cust = agg.select(
+        F.lit("o_custkey").alias("col"),
+        "n_rows",
+        F.col("nn_cust").alias("n_nonnull"),
+        F.col("nd_cust").alias("n_distinct"),
+        F.col("min_cust").alias("min_v"),
+        F.col("max_cust").alias("max_v"),
+    )
+    return price.unionByName(cust)
