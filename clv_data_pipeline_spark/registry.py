@@ -148,15 +148,21 @@ def _load() -> None:
     global _LOADED
     if _LOADED:
         return
+    # Import order IS registration order IS the driver's verification
+    # order (its per-round oracle budget covers ~50 registrations, and
+    # _ordered_names pushes round-1-verified queries to the back).  The
+    # round-1 backlog modules (tpch/textops/similarity/extra) come
+    # first so their still-unverified queries drain before this round's
+    # brand-new ones consume budget.
     from clv_data_pipeline_spark.queries import (  # noqa: F401
-        analytics,
-        clvq,
-        core,
-        extra,
-        similarity,
-        temporal,
-        textops,
         tpch,
+        textops,
+        similarity,
+        extra,
+        core,
+        clvq,
+        temporal,
+        analytics,
     )
 
     _LOADED = True
