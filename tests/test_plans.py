@@ -215,3 +215,63 @@ def test_merge_over_bucketed_target_shuffles_only_delta(spark):
         assert "hashpartitioning(__src_c_custkey" in plan
     finally:
         spark.sql("DROP TABLE IF EXISTS t_merge_bucketed")
+
+
+def test_zscore_broadcasts_group_stats(spark):
+    """Per-group stats are 3 rows — they must broadcast back onto the
+    60k-row fact side, never shuffle it."""
+    plan = plan_of(spark, "q_zscore")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_tfidf_aggregates_partially_before_shuffle(spark):
+    """TF and DF stages must partial-aggregate map-side; the corpus
+    size joins in as a broadcast, not a shuffled join."""
+    plan = plan_of(spark, "q_tfidf_top_terms")
+    assert plan.count("HashAggregate") >= 4  # partial+final for TF and DF
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_concurrency_single_shuffle_for_window(spark):
+    """Sweep line: both delta branches union THEN shuffle once on
+    event_type for the running sum — no join, no extra exchange."""
+    import re
+
+    plan = plan_of(spark, "q_concurrency")
+    assert "Join" not in plan
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert 1 <= n_exchanges <= 2, (
+        f"{n_exchanges} exchanges (want union-then-one + agg reuse)"
+    )
+
+
+def test_window_dedup_one_shuffle(spark):
+    """Bucketed first-event dedup: one hash exchange on the composite
+    key feeds both the window and nothing else."""
+    import re
+
+    plan = plan_of(spark, "q_window_dedup")
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert "Join" not in plan
+    # rn=1 must push down as a per-partition group limit BEFORE the
+    # shuffle — Spark's WindowGroupLimit turns top-1 dedup into a
+    # partial "keep first per key" on the map side
+    assert "WindowGroupLimit" in plan
+
+
+def test_heavy_hitters_sketch_broadcasts(spark):
+    """The 96-cell sketch and the 1-row threshold must broadcast; the
+    only hash shuffles are the sketch build and the truth counts."""
+    plan = plan_of(spark, "q_heavy_hitters")
+    assert "BroadcastExchange" in plan
+
+
+def test_stratified_sample_is_map_only(spark):
+    """Hash-threshold sampling is a pure filter: no exchange at all."""
+    plan = plan_of(spark, "q_stratified_sample")
+    assert "Exchange" not in plan
+
+
+def test_quantize_is_map_only(spark):
+    plan = plan_of(spark, "q_quantize_embeddings")
+    assert "Exchange" not in plan
