@@ -47,18 +47,21 @@ def lang_scores(text: Column) -> dict[str, Column]:
 
 def lang_id(text: Column) -> Column:
     """Argmax language code, 'und' when no marker fires.  Ties break
-    alphabetically (greatest-score, first language) — deterministic."""
+    alphabetically (first CASE branch wins) — deterministic.
+
+    Shaped as GREATEST + a flat CASE chain, mirroring the SQL oracle:
+    every score expression appears a constant (~2x) number of times.
+    The previous nested when(struct) fold embedded each accumulated
+    struct TWICE per step, duplicating the marker arithmetic 2^5 times
+    — the generated processNext() blew past Janino's method limit
+    (19k lines), silently dropping the whole stage to interpreted mode."""
     scores = lang_scores(text)
-    best = None
-    for lang in sorted(scores):  # alphabetical: first max wins
-        s = scores[lang]
-        if best is None:
-            best = F.struct(s.alias("score"), F.lit(lang).alias("lang"))
-        else:
-            cand = F.struct(s.alias("score"), F.lit(lang).alias("lang"))
-            # strictly-greater keeps the earlier (alphabetical) winner on ties
-            best = F.when(cand["score"] > best["score"], cand).otherwise(best)
-    return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
+    langs = sorted(scores)
+    g = F.greatest(*[scores[lang] for lang in langs])
+    pred = F.when(g == 0, F.lit("und"))
+    for lang in langs:
+        pred = pred.when(scores[lang] == g, F.lit(lang))
+    return pred
 
 
 def whitespace_token_count(text: Column) -> Column:
