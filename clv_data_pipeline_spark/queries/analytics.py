@@ -630,3 +630,96 @@ def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("max_cust").alias("max_v"),
     )
     return price.unionByName(cust)
+
+
+@query(
+    "q_source_report",
+    oracle=r"""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(SUM(CAST(len(regexp_extract_all(trim(text), '\S+', 0))
+                         AS BIGINT)) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           ROUND(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 4) AS mean_chars
+    FROM documents GROUP BY source
+    """,
+)
+def q_source_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus dashboard: the governance aggregate a curator
+    reads before reweighting (volume, language spread, token budget).
+    One partial-aggregating shuffle on source; token counting stays in
+    the scan stage as a regexp_count expression."""
+    from clv_data_pipeline_spark.functions.text import whitespace_token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        F.sum(whitespace_token_count(F.col("text"))).cast("long").alias(
+            "total_tokens"
+        ),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.round(
+            F.sum("n_chars").cast("double") / F.count("*"), 4
+        ).alias("mean_chars"),
+    )
+
+
+@query(
+    "q_anomaly_days",
+    oracle="""
+    WITH daily AS (
+        SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY day),
+    stats AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(SUM(n) AS DOUBLE) AS s,
+               CAST(SUM(n * n) AS DOUBLE) AS ss
+        FROM daily),
+    scored AS (
+        SELECT d.day, d.n,
+               CASE WHEN s.k <= 1 OR s.ss - s.s * s.s / s.k <= 0 THEN NULL
+                    ELSE (d.n - s.s / s.k)
+                         / sqrt((s.ss - s.s * s.s / s.k) / (s.k - 1)) END AS z
+        FROM daily d CROSS JOIN stats s)
+    SELECT day, n, ROUND(z, 6) AS z,
+           CAST(COALESCE(ABS(z) > 2.0, FALSE) AS BIGINT) AS is_anomaly
+    FROM scored
+    """,
+)
+def q_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-volume anomaly detection: per-day event counts scored as
+    z-scores against the whole series (|z| > 2 flags).  Two tiny
+    aggregates — the stats row broadcasts; integer sufficient
+    statistics make mean/std exact, so the z is engine-deterministic
+    pure double math."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day")
+    ).agg(F.count("*").cast("long").alias("n"))
+    # decimal square-sum: day counts at 100 TB square past long range
+    # (ANSI overflow error); decimal(38) stays exact like DuckDB HUGEINT
+    stats = daily.agg(
+        F.count("*").cast("long").alias("k"),
+        F.sum("n").cast("double").alias("s"),
+        F.sum(
+            F.col("n").cast("decimal(19,0)") * F.col("n").cast("decimal(19,0)")
+        )
+        .cast("double")
+        .alias("ss"),
+    )
+    var_num = F.col("ss") - F.col("s") * F.col("s") / F.col("k")
+    z = F.when(
+        (F.col("k") <= 1) | (var_num <= 0), F.lit(None).cast("double")
+    ).otherwise(
+        (F.col("n") - F.col("s") / F.col("k"))
+        / F.sqrt(var_num / (F.col("k") - 1))
+    )
+    return daily.crossJoin(F.broadcast(stats)).select(
+        "day",
+        "n",
+        F.round(z, 6).alias("z"),
+        F.coalesce(F.abs(z) > 2.0, F.lit(False)).cast("long").alias("is_anomaly"),
+    )

@@ -277,26 +277,27 @@ def q_vocab_top(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_chunk_documents",
     oracle="""
-    SELECT doc_id,
-           CAST(unnest(generate_series(0,
-               CAST(GREATEST(ceil((length(text) - 20) / 100.0), 1) AS BIGINT)
-               - 1)) AS BIGINT) AS chunk_idx,
-           '' AS chunk
-    FROM documents
+    WITH c AS (
+        SELECT doc_id, text,
+               unnest(generate_series(0,
+                   CAST(GREATEST(ceil((length(text) - 20) / 100.0), 1)
+                        AS BIGINT) - 1)) AS chunk_idx
+        FROM documents)
+    SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+           substring(text, CAST(chunk_idx * 100 + 1 AS BIGINT), 120) AS chunk
+    FROM c
+    WHERE length(substring(text, CAST(chunk_idx * 100 + 1 AS BIGINT), 120)) > 0
     """,
 )
 def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-width chunking with overlap (120 chars, 20 overlap).  The
-    oracle pins the chunk fan-out structure (ids x chunk indexes);
-    chunk text equality is pinned separately by unit tests because
-    DuckDB cannot reference the unnest alias inside a sibling
-    substring expression."""
+    oracle verifies the CHUNK TEXT itself, not just the fan-out —
+    unnest moves into a CTE so the outer substring can reference the
+    chunk index (a sibling-select reference would not bind)."""
     from clv_data_pipeline_spark.operators.corpus import chunk_documents
 
     d = load_table(spark, sf_dir, "documents")
-    return chunk_documents(d, chunk_chars=120, overlap=20).select(
-        "doc_id", "chunk_idx", F.lit("").alias("chunk")
-    )
+    return chunk_documents(d, chunk_chars=120, overlap=20)
 
 
 @query(
