@@ -723,3 +723,125 @@ def q_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(z, 6).alias("z"),
         F.coalesce(F.abs(z) > 2.0, F.lit(False)).cast("long").alias("is_anomaly"),
     )
+
+
+@query(
+    "q_python_datasource",
+    oracle="""
+    WITH gen AS (
+        SELECT i AS txn_id,
+               (i * 1103515245 + 12345) % 2147483647 AS h
+        FROM (SELECT unnest(generate_series(0, 1999)) AS i)),
+    rows_ AS (
+        SELECT txn_id,
+               h % 200 AS customer_id,
+               (h % 99000) / 100.0 + 1.0 AS amount,
+               h % 30 AS day_offset
+        FROM gen)
+    SELECT CAST(customer_id AS BIGINT) AS customer_id,
+           CAST(COUNT(*) AS BIGINT) AS n_txns,
+           ROUND(CAST(SUM(CAST(amount AS DECIMAL(18,4))) AS DOUBLE), 2)
+               AS total_amount,
+           CAST(MIN(day_offset) AS BIGINT) AS first_day
+    FROM rows_ GROUP BY customer_id
+    """,
+)
+def q_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom CONNECTOR coverage (Spark 4 Python DataSource API): scan
+    the `clv_synthetic` source — partition-parallel executor-side row
+    generation, the Spark-native answer to the reference's single-host
+    row-loop generator — and aggregate per customer.  The source's
+    integer arithmetic is mirrored in the oracle's generate_series, so
+    the driver hash-verifies a custom data source end to end."""
+    from clv_data_pipeline_spark.sources.pyds import register
+
+    register(spark)
+    txns = (
+        spark.read.format("clv_synthetic")
+        .option("n_rows", 2000)
+        .option("partitions", 8)
+        .load()
+    )
+    return txns.groupBy("customer_id").agg(
+        F.count("*").cast("long").alias("n_txns"),
+        F.round(
+            F.sum(F.col("amount").cast("decimal(18,4)")).cast("double"), 2
+        ).alias("total_amount"),
+        F.min("day_offset").cast("long").alias("first_day"),
+    )
+
+
+@query(
+    "q_variant_extract",
+    oracle="""
+    SELECT event_id, event_type,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT))
+                OVER (PARTITION BY event_type) AS BIGINT) AS k_total
+    FROM events
+    """,
+)
+def q_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured VARIANT surface (Spark 4): parse the JSON props
+    column once into a variant, extract a typed path, and window over
+    it — the modern engine path for schemaless columns (parse once,
+    binary-encoded, no per-access JSON re-parse like get_json_object)."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_id",
+        "event_type",
+        F.try_variant_get(F.parse_json("props"), "$.k", "bigint").alias("k"),
+    )
+    w = Window.partitionBy("event_type")
+    return v.select(
+        "event_id",
+        "event_type",
+        "k",
+        F.sum("k").over(w).cast("long").alias("k_total"),
+    )
+
+
+@query(
+    "q_udtf_sentences",
+    oracle=r"""
+    WITH s AS (
+        SELECT doc_id, string_split_regex(text, '[.!?]+\s*') AS parts
+        FROM documents),
+    ex AS (
+        SELECT doc_id, unnest(parts) AS sentence,
+               unnest(generate_series(1, len(parts))) AS pos
+        FROM s)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) - 1
+                AS BIGINT) AS sent_idx,
+           sentence
+    FROM ex WHERE sentence <> ''
+    """,
+)
+def q_udtf_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF surface (table function, Arrow-batched): sentence
+    splitting as a 1-to-N lateral expansion.  UDTFs are the escape
+    hatch for expansions with per-row Python logic; this one is also
+    SQL-expressible, so it carries a full oracle — the UDTF mechanism
+    itself gets hash-verified.  (For pure regex splits the built-in
+    explode/split is the hot path; the UDTF exists to pin the API.)"""
+    import re
+
+    from pyspark.sql.functions import lit, udtf
+
+    @udtf(returnType="sent_idx bigint, sentence string", useArrow=True)
+    class SentenceSplit:
+        def eval(self, text: str):
+            parts = [p for p in re.split(r"[.!?]+\s*", text or "") if p]
+            for i, s in enumerate(parts):
+                yield i, s
+
+    spark.udtf.register("sentence_split", SentenceSplit)
+    docs = load_table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("_udtf_docs")
+    return spark.sql(
+        """
+        SELECT CAST(d.doc_id AS BIGINT) AS doc_id, s.sent_idx, s.sentence
+        FROM _udtf_docs d, LATERAL sentence_split(d.text) s
+        """
+    )
