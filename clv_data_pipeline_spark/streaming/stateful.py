@@ -100,3 +100,76 @@ def running_user_stats(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+try:  # Spark 4 arbitrary-state API; batch-only 3.5 deployments lack it
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+except ImportError:  # pragma: no cover
+    StatefulProcessor = object
+
+
+class _RFMProcessor(StatefulProcessor):
+    """transformWithStateInPandas processor holding the same
+    re-aggregable RFM partial as :func:`running_user_stats` — the
+    Spark 4 arbitrary-state API (typed state handles, RocksDB-backed,
+    timers available) instead of the single GroupState blob."""
+
+    def init(self, handle) -> None:
+        self._state = handle.getValueState("rfm", STATE_SCHEMA)
+
+    def handleInputRows(self, key, rows, timerValues):
+        if self._state.exists():
+            n, total, first_us, last_us = self._state.get()
+        else:
+            n, total, first_us, last_us = 0, 0.0, None, None
+        for pdf in rows:
+            if len(pdf) == 0:
+                continue
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+            b_first = int(pdf["ts_us"].min())
+            b_last = int(pdf["ts_us"].max())
+            first_us = b_first if first_us is None else min(first_us, b_first)
+            last_us = b_last if last_us is None else max(last_us, b_last)
+        self._state.update((n, total, first_us, last_us))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [total],
+                "first_us": [first_us],
+                "last_us": [last_us],
+            }
+        )
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+        return iter(())
+
+    def handleInitialState(self, key, initialState, timerValues) -> None:
+        pass
+
+    def close(self) -> None:
+        pass
+
+
+def running_user_stats_tws(events: DataFrame) -> DataFrame:
+    """:func:`running_user_stats` on the Spark 4
+    ``transformWithStateInPandas`` API.  Same contract and the same
+    provably-batch-equal partials; requires the RocksDB state store
+    provider (``spark.sql.streaming.stateStore.providerClass``) — the
+    store TWS is designed for, with changelog checkpointing and bounded
+    memory at 100 TB state sizes.
+    """
+    proc = _RFMProcessor()
+
+    prepared = events.select(
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        F.col("value").cast("double").alias("value"),
+    )
+    return prepared.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=proc,
+        outputStructType=OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

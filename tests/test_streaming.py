@@ -4,6 +4,8 @@ from __future__ import annotations
 
 import os
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from clv_data_pipeline_spark.operators.features import rfm_features
@@ -260,3 +262,96 @@ def test_upsert_sink_accumulates_incrementally(spark, tmp_path):
         assert got == {1: 10.0, 2: 99.0, 3: 30.0}
     finally:
         spark.sql("DROP TABLE IF EXISTS t_upsert_sink")
+
+
+def test_transform_with_state_matches_batch(spark, tmp_path):
+    """transformWithStateInPandas (Spark 4 arbitrary-state API, RocksDB
+    store): the running snapshot over two availableNow runs must equal
+    the batch aggregate over the union — same invariant as the
+    applyInPandasWithState twin.
+
+    The TWS runtime speaks protobuf to its state server; skipped where
+    google.protobuf is not installed (this container).  The
+    applyInPandasWithState twin above pins the same state invariant on
+    an API with no such dependency."""
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithStateInPandas needs protobuf for its "
+        "state-server protocol",
+    )
+    from clv_data_pipeline_spark.streaming.stateful import (
+        running_user_stats_tws,
+    )
+
+    src = str(tmp_path / "tws_src")
+    out = str(tmp_path / "tws_out")
+    ckpt = str(tmp_path / "tws_ckpt")
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        ev = load_table(spark, SF_SMOKE, "events").select(
+            "user_id", "ts", "value"
+        )
+        b1 = ev.filter(F.col("user_id") % 2 == 0)
+        b2 = ev.filter(F.col("user_id") % 2 == 1).union(
+            ev.filter(F.col("user_id") % 4 == 0)
+        )
+
+        def run(batch_df):
+            batch_df.write.mode("append").parquet(src)
+            stream = spark.readStream.schema(batch_df.schema).parquet(src)
+            q = (
+                running_user_stats_tws(stream)
+                .writeStream.foreachBatch(
+                    lambda bdf, bid: bdf.write.mode("append").parquet(out)
+                )
+                .option("checkpointLocation", ckpt)
+                .outputMode("update")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(180)
+
+        run(b1)
+        run(b2)
+
+        emitted = spark.read.parquet(out)
+        latest = emitted.groupBy("user_id").agg(
+            F.max("n_events").alias("n_events"),
+            F.max_by("total_value", "n_events").alias("total_value"),
+            F.max_by("first_us", "n_events").alias("first_us"),
+            F.max_by("last_us", "n_events").alias("last_us"),
+        )
+        want = (
+            b1.union(b2)
+            .groupBy("user_id")
+            .agg(
+                F.count("*").alias("n_events"),
+                F.sum("value").alias("total_value"),
+                F.min(F.unix_micros("ts")).alias("first_us"),
+                F.max(F.unix_micros("ts")).alias("last_us"),
+            )
+        )
+        got = {
+            r["user_id"]: (r["n_events"], round(r["total_value"], 6),
+                           r["first_us"], r["last_us"])
+            for r in latest.collect()
+        }
+        exp = {
+            r["user_id"]: (r["n_events"], round(r["total_value"], 6),
+                           r["first_us"], r["last_us"])
+            for r in want.collect()
+        }
+        assert got == exp
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
