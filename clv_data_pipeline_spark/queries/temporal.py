@@ -151,3 +151,92 @@ def q_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.max("live").cast("long").alias("max_concurrent"))
     )
+
+
+@query(
+    "q_sliding_windows",
+    oracle="""
+    WITH offsets AS (
+        SELECT unnest(generate_series(0, 1)) AS k),
+    assigned AS (
+        SELECT strftime(date_trunc('day', e.ts) - INTERVAL (o.k) DAY,
+                        '%Y-%m-%d') AS window_start,
+               e.value
+        FROM events e CROSS JOIN offsets o)
+    SELECT window_start,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2)
+               AS total_value
+    FROM assigned GROUP BY window_start
+    """,
+)
+def q_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping-window aggregation (2-day windows, 1-day hop): every
+    event contributes to exactly 2 windows via ``F.window`` with a
+    slide — the engine expands window membership map-side, then one
+    hash aggregate on window start.  The oracle mirrors the expansion
+    with an explicit 2-offset cross join."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "2 days", "1 day").alias("w"))
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,4)")).cast("double"), 2
+            ).alias("total_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd").alias("window_start"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def _interleave_bits_sql(a: str, b: str, bits: int = 8) -> str:
+    """SQL for bit-interleaving two small ints into a z-value —
+    identical text works in DuckDB and Spark SQL."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({a} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({b} >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+_ZEXPR = _interleave_bits_sql(
+    "(o_custkey % 256)", "(epoch_days % 256)"
+)
+
+
+@query(
+    "q_zorder",
+    oracle=f"""
+    WITH base AS (
+        SELECT o_orderkey, o_custkey,
+               date_diff('day', DATE '1992-01-01',
+                         CAST(o_orderdate AS DATE)) AS epoch_days
+        FROM orders)
+    SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+           CAST({_ZEXPR} AS BIGINT) AS zval
+    FROM base
+    """,
+)
+def q_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) index over (customer, order-day) — the
+    multi-dimensional clustering key lakehouse table formats sort files
+    by, so range predicates on EITHER dimension prune.  Pure bit
+    interleaving, map-only; at write time the table would be
+    repartitionByRange(zval) so each parquet file covers a compact
+    z-range.  The identical bit-arithmetic SQL runs on both engines."""
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1992-01-01").cast("date")
+        ).cast("long").alias("epoch_days"),
+    )
+    return base.select(
+        F.col("o_orderkey").cast("long"),
+        F.expr(_ZEXPR).cast("long").alias("zval"),
+    )
