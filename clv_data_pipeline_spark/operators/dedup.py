@@ -528,3 +528,90 @@ def simhash_candidates(
         .distinct()
     )
     return pairs.filter(F.col("hamming") <= 3)
+
+
+def set_similarity_join(
+    df: DataFrame,
+    threshold_pct: int = 90,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """EXACT set-similarity self-join (PPJoin-style prefix filtering):
+    all pairs with word-set Jaccard >= threshold_pct/100 — no LSH
+    recall loss.
+
+    Prefix-filter principle: order each doc's tokens rare-first by
+    global frequency; two docs with J >= t MUST share a token inside
+    each one's first ``sz - ceil(t*sz) + 1`` tokens, so the candidate
+    join runs only on those prefixes — high-frequency tokens never
+    generate candidates, which is what makes the join subquadratic on
+    realistic corpora.  Verification then computes exact intersection
+    counts on the candidate pairs only.
+
+    Determinism: the threshold stays in INTEGER arithmetic
+    (``ceil(t*sz)`` as ``(pct*sz + 99) DIV 100`` and the final test as
+    ``100*inter >= pct*union``) — ``0.9 * sz`` differs between
+    binary-double engines and decimal-literal engines at exact
+    integers.  Rank ties break on (freq, token), unique per doc.
+    """
+    from pyspark.sql.window import Window
+
+    toks = (
+        df.select(
+            F.col(id_col),
+            F.explode(
+                F.array_distinct(F.split(normalize_text(F.col(text_col)), " "))
+            ).alias("token"),
+        )
+        .filter(F.col("token") != "")
+    )
+    freq = toks.groupBy("token").agg(F.count("*").alias("tf"))
+    sizes = toks.groupBy(id_col).agg(F.count("*").alias("sz"))
+    w = Window.partitionBy(id_col).orderBy("tf", "token")
+    ranked = (
+        toks.join(freq, "token")
+        .withColumn("rn", F.row_number().over(w))
+        .join(sizes, id_col)
+    )
+    prefix_len = (
+        F.col("sz")
+        - F.expr(f"({threshold_pct} * sz + 99) DIV 100")
+        + F.lit(1)
+    )
+    pref = ranked.filter(F.col("rn") <= prefix_len).select(id_col, "token")
+    a, b = pref.alias("a"), pref.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.token") == F.col("b.token"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    ta = toks.select(F.col(id_col).alias("id_a"), "token")
+    tb = toks.select(F.col(id_col).alias("id_b"), "token")
+    inter = (
+        cands.join(ta, "id_a")
+        .join(tb, ["id_b", "token"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sza"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("szb"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("uni", F.col("sza") + F.col("szb") - F.col("inter"))
+        .filter(F.lit(100) * F.col("inter") >= F.lit(threshold_pct) * F.col("uni"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("inter").cast("double") / F.col("uni"), 6
+            ).alias("jaccard"),
+        )
+    )

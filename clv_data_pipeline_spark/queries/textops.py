@@ -639,3 +639,53 @@ def q_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cluster_id"),
         )
     )
+
+
+@query(
+    "q_set_similarity_join",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, unnest(list_distinct(string_split_regex(
+                   trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')))
+                   AS token
+        FROM documents),
+    toks_f AS (SELECT doc_id, token FROM toks WHERE token <> ''),
+    freq AS (SELECT token, COUNT(*) AS tf FROM toks_f GROUP BY token),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM toks_f GROUP BY doc_id),
+    ranked AS (
+        SELECT t.doc_id, t.token, s.sz,
+               ROW_NUMBER() OVER (
+                   PARTITION BY t.doc_id ORDER BY f.tf, t.token) AS rn
+        FROM toks_f t JOIN freq f ON t.token = f.token
+                      JOIN sizes s ON t.doc_id = s.doc_id),
+    pref AS (
+        SELECT doc_id, token FROM ranked
+        WHERE rn <= sz - (90 * sz + 99) // 100 + 1),
+    cands AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM pref a JOIN pref b
+          ON a.token = b.token AND a.doc_id < b.doc_id),
+    inter AS (
+        SELECT c.id_a, c.id_b, COUNT(*) AS i
+        FROM cands c
+        JOIN toks_f ta ON ta.doc_id = c.id_a
+        JOIN toks_f tb ON tb.doc_id = c.id_b AND tb.token = ta.token
+        GROUP BY c.id_a, c.id_b)
+    SELECT CAST(i.id_a AS BIGINT) AS id_a,
+           CAST(i.id_b AS BIGINT) AS id_b,
+           ROUND(CAST(i.i AS DOUBLE) / (sa.sz + sb.sz - i.i), 6) AS jaccard
+    FROM inter i JOIN sizes sa ON sa.doc_id = i.id_a
+                 JOIN sizes sb ON sb.doc_id = i.id_b
+    WHERE 100 * i.i >= 90 * (sa.sz + sb.sz - i.i)
+    """,
+)
+def q_set_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT set-similarity self-join at word-Jaccard >= 0.9 via PPJoin
+    prefix filtering — the no-recall-loss alternative to MinHash: only
+    rare-first token prefixes generate candidates, verified exactly.
+    Integer-only threshold arithmetic keeps both engines identical
+    (see operators/dedup.py set_similarity_join)."""
+    from clv_data_pipeline_spark.operators.dedup import set_similarity_join
+
+    docs = load_table(spark, sf_dir, "documents")
+    return set_similarity_join(docs, threshold_pct=90)
