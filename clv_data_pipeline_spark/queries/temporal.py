@@ -240,3 +240,104 @@ def q_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderkey").cast("long"),
         F.expr(_ZEXPR).cast("long").alias("zval"),
     )
+
+
+def scd2_intervals(
+    events: DataFrame,
+    key: str = "user_id",
+    attr: str = "event_type",
+    ts: str = "ts",
+    tiebreak: str = "event_id",
+) -> DataFrame:
+    """SCD Type 2 interval construction (the q_scd2 core), reusable on
+    any change-event frame.  Keeps the tiebreak column so downstream
+    merges stay order-deterministic."""
+    w = Window.partitionBy(key).orderBy(ts, tiebreak)
+    changes = (
+        events.withColumn("_prev", F.lag(attr).over(w))
+        .filter(F.col("_prev").isNull() | (F.col("_prev") != F.col(attr)))
+        .select(
+            key,
+            attr,
+            F.col(ts).alias("valid_from"),
+            F.col(tiebreak).alias("_tb"),
+        )
+    )
+    w2 = Window.partitionBy(key).orderBy("valid_from", "_tb")
+    return changes.select(
+        key,
+        attr,
+        "valid_from",
+        "_tb",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+        F.lead("valid_from").over(w2).isNull().cast("long").alias("is_current"),
+    )
+
+
+def scd2_merge(
+    target: DataFrame,
+    delta: DataFrame,
+    key: str = "user_id",
+    attr: str = "event_type",
+    ts: str = "ts",
+    tiebreak: str = "event_id",
+) -> DataFrame:
+    """Incremental SCD2 maintenance: fold a change-event delta into an
+    existing interval table touching ONLY the affected keys — O(delta)
+    work, not O(history).
+
+    Untouched keys pass through without recompute (anti-join).  For
+    affected keys, the target's change points (valid_from rows ARE the
+    change log, one per attribute run) union with the delta's events
+    and the interval construction reruns on that per-key change log —
+    consecutive same-attribute runs re-collapse, the formerly-open
+    interval closes at the first differing delta event.  Equivalence
+    with a full batch recompute over (history + delta) is exact, and
+    the registered query's oracle checks precisely that."""
+    affected = delta.select(key).distinct()
+    keep = target.join(affected, key, "left_anti")
+    old_changes = target.join(affected, key, "left_semi").select(
+        key, attr, F.col("valid_from").alias(ts), F.col("_tb").alias(tiebreak)
+    )
+    new_events = delta.select(key, attr, ts, tiebreak)
+    rebuilt = scd2_intervals(
+        old_changes.unionByName(new_events), key, attr, ts, tiebreak
+    )
+    return keep.unionByName(rebuilt)
+
+
+@query(
+    "q_scd2_merge",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, event_type, ts, event_id,
+               LAG(event_type) OVER w AS prev_type
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    changes AS (
+        SELECT user_id, event_type, ts AS valid_from, event_id
+        FROM ordered
+        WHERE prev_type IS NULL OR prev_type <> event_type)
+    SELECT user_id, event_type, valid_from,
+           LEAD(valid_from) OVER w2 AS valid_to,
+           CAST(LEAD(valid_from) OVER w2 IS NULL AS BIGINT) AS is_current
+    FROM changes
+    WINDOW w2 AS (PARTITION BY user_id ORDER BY valid_from, event_id)
+    """,
+)
+def q_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SCD2: build the interval table from the first 20
+    days of events, then MERGE the remaining days' changes in
+    (only affected users recompute).  The oracle is the FULL batch
+    recompute over all events — the driver hash-verifies that
+    incremental maintenance is exactly equivalent to rebuild."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    cutoff = F.lit("2024-01-21")
+    target = scd2_intervals(ev.filter(F.col("ts") < cutoff))
+    delta = ev.filter(F.col("ts") >= cutoff)
+    merged = scd2_merge(target, delta)
+    return merged.select(
+        "user_id", "event_type", "valid_from", "valid_to", "is_current"
+    )

@@ -264,3 +264,42 @@ def test_cluster_documents_transitive_across_keys(spark):
         for r in cluster_documents(df, [["k1"], ["k2"]]).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 4: 4}
+
+
+def test_scd2_merge_only_affected_users_rebuild(spark):
+    """scd2_merge: untouched keys' rows pass through IDENTICALLY
+    (same objects, no interval changes), affected keys rebuild to the
+    batch-equivalent result."""
+    import datetime
+
+    from clv_data_pipeline_spark.queries.temporal import (
+        scd2_intervals,
+        scd2_merge,
+    )
+
+    def ev(uid, etype, minute, eid):
+        return (uid, etype, datetime.datetime(2024, 1, 1, 0, minute), eid)
+
+    hist = [
+        ev(1, "a", 0, 1), ev(1, "b", 10, 2),          # user 1: a->b
+        ev(2, "x", 0, 3), ev(2, "x", 5, 4),           # user 2: x (run)
+    ]
+    newer = [
+        ev(1, "b", 20, 5), ev(1, "c", 30, 6),         # user 1: still b, then c
+    ]
+    schema = "user_id long, event_type string, ts timestamp, event_id long"
+    target = scd2_intervals(spark.createDataFrame(hist, schema))
+    merged = scd2_merge(target, spark.createDataFrame(newer, schema))
+    batch = scd2_intervals(spark.createDataFrame(hist + newer, schema))
+
+    cols = ["user_id", "event_type", "valid_from", "valid_to", "is_current"]
+    got = sorted(map(str, merged.select(*cols).collect()))
+    want = sorted(map(str, batch.select(*cols).collect()))
+    assert got == want
+    # user 2 untouched: still one open interval
+    u2 = merged.filter("user_id = 2").collect()
+    assert len(u2) == 1 and u2[0]["is_current"] == 1
+    # user 1: b did NOT re-open at minute 20 (run collapsed), c is current
+    u1 = {r["event_type"]: r for r in merged.filter("user_id = 1").collect()}
+    assert set(u1) == {"a", "b", "c"}
+    assert u1["c"]["is_current"] == 1 and u1["b"]["is_current"] == 0
