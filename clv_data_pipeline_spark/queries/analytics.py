@@ -845,3 +845,81 @@ def q_udtf_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM _udtf_docs d, LATERAL sentence_split(d.text) s
         """
     )
+
+
+@query(
+    "q_cogroup_reconcile",
+    oracle="""
+    WITH o AS (
+        SELECT o_custkey, COUNT(*) AS n_orders,
+               SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS order_total
+        FROM orders GROUP BY o_custkey),
+    l AS (
+        SELECT o_custkey, COUNT(*) AS n_lines,
+               SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS line_total
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_custkey)
+    SELECT CAST(o.o_custkey AS BIGINT) AS custkey,
+           CAST(o.n_orders AS BIGINT) AS n_orders,
+           CAST(COALESCE(l.n_lines, 0) AS BIGINT) AS n_lines,
+           ROUND(CAST(o.order_total AS DOUBLE), 2) AS order_total,
+           ROUND(CAST(COALESCE(l.line_total, 0) AS DOUBLE), 2) AS line_total
+    FROM o LEFT JOIN l ON o.o_custkey = l.o_custkey
+    """,
+)
+def q_cogroup_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped-pandas API surface: reconcile per-customer order
+    headers against their lineitems with ``cogroup().applyInPandas`` —
+    both sides shuffle once on the key and arrive as aligned pandas
+    frames (the escape hatch for custom two-table merge logic that a
+    join can't express).  This instance IS join-expressible, so the
+    oracle hash-verifies the cogroup mechanism end to end.  Decimal
+    sums inside the Python side keep totals order-independent."""
+    import decimal
+
+    import pandas as pd
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey"), F.col("o_totalprice")
+    )
+    lines = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_extendedprice")
+        .join(
+            load_table(spark, sf_dir, "orders").select(
+                "o_orderkey", F.col("o_custkey").alias("c2")
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(F.col("c2").alias("o_custkey"), "l_extendedprice")
+    )
+
+    def _reconcile(key, odf: pd.DataFrame, ldf: pd.DataFrame) -> pd.DataFrame:
+        q = decimal.Decimal("0.0001")
+        order_total = sum(
+            (decimal.Decimal(str(v)).quantize(q) for v in odf["o_totalprice"]),
+            decimal.Decimal(0),
+        )
+        line_total = sum(
+            (decimal.Decimal(str(v)).quantize(q) for v in ldf["l_extendedprice"]),
+            decimal.Decimal(0),
+        )
+        return pd.DataFrame(
+            {
+                "custkey": [key[0]],
+                "n_orders": [len(odf)],
+                "n_lines": [len(ldf)],
+                "order_total": [round(float(order_total), 2)],
+                "line_total": [round(float(line_total), 2)],
+            }
+        )
+
+    return (
+        orders.groupBy("o_custkey")
+        .cogroup(lines.groupBy("o_custkey"))
+        .applyInPandas(
+            _reconcile,
+            "custkey long, n_orders long, n_lines long, "
+            "order_total double, line_total double",
+        )
+    )
