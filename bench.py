@@ -76,6 +76,9 @@ def main() -> None:
     queries["q_rfm"](spark, "/root/testdata/sf0.001").count()
     queries["q_minhash_dedup"](spark, "/root/testdata/sf0.001").count()
     queries["q_cosine_topk"](spark, "/root/testdata/sf0.001").count()
+    queries["q_ann_lsh"](spark, "/root/testdata/sf0.001").count()
+    queries["q_ann_ivf"](spark, "/root/testdata/sf0.001").count()
+    queries["q_clv_scores"](spark, "/root/testdata/sf0.001").count()
     spark.range(1_000_000).select(F_sum_id()).count()
 
     timings: dict[str, float] = {}
