@@ -450,9 +450,17 @@ def ivf_topk(
 
     Distributed shape: centroids broadcast (k x dim, tiny); cell
     assignment and probe selection are map-only Arrow matmuls; the only
-    shuffle is the candidates hash join on cell id, whose volume is
-    ~nprobe/n_cells of the full cross product.  Pair scoring reuses the
-    einsum kernel from :func:`lsh_topk`.
+    wide shuffle is the union of member rows (n vectors) and probe
+    replicas (n*nprobe vectors) hash-partitioned by cell — scoring
+    happens INSIDE each cell group as one blocked matmul, so candidate
+    pairs only ever exist as narrow (id, id, sim) rows.  The earlier
+    shape (hash join probes><members on cell, then score the joined
+    pairs) materialized two dense vectors per candidate pair —
+    ~nprobe/n_cells of the full cross product — through Arrow; this
+    ships each vector at most 1+nprobe times regardless of how many
+    pairs it participates in.  A member belongs to exactly one cell, so
+    each (query, member) pair arises in at most one group and needs no
+    cross-cell dedup.
     """
     import numpy as np
     import pandas as pd
@@ -496,11 +504,10 @@ def ivf_topk(
             V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
             cells = np.argsort(-(Vn @ cent.T), axis=1)[:, :np_probe]
-            n = len(pdf)
             yield pd.DataFrame(
                 {
                     "vec_id": pdf[id_col].to_numpy().repeat(np_probe),
-                    "_vq": pdf[vec_col].to_numpy().repeat(np_probe),
+                    "_v": pdf[vec_col].to_numpy().repeat(np_probe),
                     "cell": cells.ravel(),
                 }
             )
@@ -508,13 +515,47 @@ def ivf_topk(
     probes = embeddings.select(id_col, vec_col).mapInPandas(
         _probe,
         embeddings.select(
-            F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_vq")
+            F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_v")
         ).schema.add("cell", "long"),
     )
-    cands = probes.join(assigned.withColumnRenamed("vec_id", "neighbor_id"), "cell").filter(
-        F.col("vec_id") != F.col("neighbor_id")
+    both = assigned.withColumn("_q", F.lit(False)).unionByName(
+        probes.withColumn("_q", F.lit(True))
     )
-    scored = _pair_cosine_scores(cands, "_vq", "_v")
+
+    block = 1024  # bounds peak memory to block x cell-members floats
+
+    def _cell_scores(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"vec_id": [], "neighbor_id": [], "sim": []}
+        ).astype({"vec_id": "int64", "neighbor_id": "int64", "sim": "float64"})
+        q, m = pdf[pdf["_q"]], pdf[~pdf["_q"]]
+        if q.empty or m.empty:
+            return empty
+        qids = q["vec_id"].to_numpy()
+        mids = m["vec_id"].to_numpy()
+        Q = np.stack(q["_v"].to_numpy()).astype(np.float64)
+        M = np.stack(m["_v"].to_numpy()).astype(np.float64)
+        Q /= np.linalg.norm(Q, axis=1, keepdims=True)
+        M /= np.linalg.norm(M, axis=1, keepdims=True)
+        out_q, out_m, out_s = [], [], []
+        for lo in range(0, len(Q), block):
+            hi = min(lo + block, len(Q))
+            S = np.round(Q[lo:hi] @ M.T, 6)  # (block x members)
+            out_q.append(np.repeat(qids[lo:hi], len(mids)))
+            out_m.append(np.tile(mids, hi - lo))
+            out_s.append(S.ravel())
+        res = pd.DataFrame(
+            {
+                "vec_id": np.concatenate(out_q),
+                "neighbor_id": np.concatenate(out_m),
+                "sim": np.concatenate(out_s),
+            }
+        )
+        return res[res["vec_id"] != res["neighbor_id"]]
+
+    scored = both.groupBy("cell").applyInPandas(
+        _cell_scores, "vec_id long, neighbor_id long, sim double"
+    )
     w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.col("neighbor_id"))
     return scored.withColumn(
         "rank", F.row_number().over(w).cast("long")
