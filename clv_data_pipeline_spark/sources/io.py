@@ -23,22 +23,47 @@ from pyspark.sql import types as T
 from clv_data_pipeline_spark.schemas import TESTDATA_TABLES, TRANSACTIONS_SCHEMA
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Scan one driver testdata parquet table (columnar, prunable).
+def normalize_timestamps(df: DataFrame, name: str | None = None) -> DataFrame:
+    """Normalize every timestamp encoding a parquet file can deliver to
+    plain TIMESTAMP (session-tz, pinned UTC in session.py).
 
-    ``events.ts`` is stored as TIMESTAMP(NANOS); with
-    ``spark.sql.legacy.parquet.nanosAsLong`` it arrives as epoch-nanos
-    and is truncated to a microsecond timestamp here — exactly what
-    DuckDB's reader does, so oracles agree.  The conversion is a scalar
-    map expression: it fuses into the scan stage, costs no shuffle, and
-    does not break column pruning or predicate pushdown on the other
+    Real-world parquet arrives with three different physical encodings
+    for the same logical event time, and all three must behave
+    identically downstream (``unix_micros``, watermarks, window ranges):
+
+    - ``timestamp[us]`` with a timezone -> Spark TIMESTAMP (no-op);
+    - ``timestamp[us]`` with NO timezone (the pandas/pyarrow default)
+      -> Spark reads TIMESTAMP_NTZ; cast to TIMESTAMP.  With the session
+      tz pinned to UTC the cast is a type retag of the same micros value
+      — deterministic and DuckDB-hash-compatible (DuckDB TIMESTAMP is
+      naive);
+    - TIMESTAMP(NANOS) -> with ``spark.sql.legacy.parquet.nanosAsLong``
+      it arrives as epoch-nanos bigint; truncate to micros like DuckDB's
+      reader does.
+
+    All conversions are scalar map expressions: they fuse into the scan
+    stage, cost no shuffle, and don't break pruning/pushdown on other
     columns.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    for col, dtype in df.dtypes:
+        if dtype == "timestamp_ntz":
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
+        elif name == "events" and col == "ts" and dtype == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one driver testdata parquet table (columnar, prunable),
+    with timestamp encodings normalized (see normalize_timestamps)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # The NTZ->TIMESTAMP retag (normalize_timestamps) and all window /
+    # unix_micros arithmetic are only deterministic under a fixed session
+    # tz; a vanilla session (the driver's) inherits the host tz, so pin
+    # it here like nanosAsLong rather than relying on session.py.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    return normalize_timestamps(df, name)
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -27,6 +27,21 @@ from pyspark.sql.streaming import StreamingQuery
 from clv_data_pipeline_spark.schemas import TRANSACTIONS_SCHEMA
 
 
+def ensure_event_time(df: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Cast an event-time column to plain TIMESTAMP if a file source
+    delivered it as TIMESTAMP_NTZ (the pandas/pyarrow parquet default).
+
+    ``withWatermark`` / ``dropDuplicatesWithinWatermark`` reject NTZ
+    event time (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE) and ``unix_micros``
+    rejects it outright — and any real file stream can deliver NTZ, so
+    every event-time consumer normalizes first.  With the session tz
+    pinned UTC (session.py) the cast retags the same micros value.
+    """
+    if dict(df.dtypes).get(ts_col) == "timestamp_ntz":
+        df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return df
+
+
 def ingest_stream(
     spark: SparkSession,
     source_dir: str,
@@ -67,6 +82,7 @@ def windowed_event_counts(
     Works identically on a batch frame (watermark is a no-op there),
     which is how the oracle test pins its semantics.
     """
+    events = ensure_event_time(events, ts_col)
     return (
         events.withWatermark(ts_col, watermark)
         .groupBy(F.window(ts_col, window).alias("w"))
@@ -96,6 +112,7 @@ def streaming_sessions(
     streaming twin of operators/sessions.py (which exists because batch
     jobs get a cheaper plan from the gap-and-island form).
     """
+    events = ensure_event_time(events, ts_col)
     return (
         events.withWatermark(ts_col, watermark)
         .groupBy(

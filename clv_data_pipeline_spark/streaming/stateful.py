@@ -30,6 +30,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from clv_data_pipeline_spark.streaming.ingest import ensure_event_time
+
 STATE_SCHEMA = T.StructType(
     [
         T.StructField("n_events", T.LongType()),
@@ -88,7 +90,7 @@ def running_user_stats(events: DataFrame) -> DataFrame:
     in that batch; users absent from a batch keep their checkpointed
     state untouched (no output, no recompute).
     """
-    prepared = events.select(
+    prepared = ensure_event_time(events).select(
         "user_id",
         F.unix_micros(F.col("ts")).alias("ts_us"),
         F.col("value").cast("double").alias("value"),
@@ -162,7 +164,7 @@ def running_user_stats_tws(events: DataFrame) -> DataFrame:
     """
     proc = _RFMProcessor()
 
-    prepared = events.select(
+    prepared = ensure_event_time(events).select(
         "user_id",
         F.unix_micros(F.col("ts")).alias("ts_us"),
         F.col("value").cast("double").alias("value"),

@@ -156,3 +156,64 @@ def test_merge_upsert_rejects_schema_mismatch(spark):
     s = spark.createDataFrame([(1,)], "id long")
     with _pytest.raises(ValueError, match="schema mismatch"):
         merge_upsert(t, s, ["id"])
+
+
+def test_load_table_normalizes_all_timestamp_encodings(spark):
+    """Regression gate for the round-2 breakage: whatever physical
+    timestamp encoding the driver testdata uses (TIMESTAMP(NANOS) ->
+    bigint shim, us-no-tz -> TIMESTAMP_NTZ, us+tz -> TIMESTAMP), no
+    timestamp_ntz or bigint-ts column may escape load_table — every
+    downstream unix_micros / withWatermark consumer requires TIMESTAMP."""
+    from clv_data_pipeline_spark.schemas import TESTDATA_TABLES
+    from clv_data_pipeline_spark.sources.io import load_table
+    from tests.conftest import SF_SMOKE
+
+    ts_like = ("ts", "o_orderdate", "l_shipdate")
+    for name in TESTDATA_TABLES:
+        df = load_table(spark, SF_SMOKE, name)
+        types = dict(df.dtypes)
+        for col, dtype in types.items():
+            assert dtype != "timestamp_ntz", f"{name}.{col} escaped as NTZ"
+        for col in ts_like:
+            if col in types:
+                assert types[col] in ("timestamp", "date"), (
+                    f"{name}.{col} is {types[col]}, want timestamp/date"
+                )
+
+
+def test_normalize_timestamps_casts_ntz_parquet(spark, tmp_path):
+    """A parquet file written by pandas/pyarrow without tz (the most
+    common way event data arrives) must come back as plain TIMESTAMP
+    with identical micros under the UTC session."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from clv_data_pipeline_spark.sources.io import normalize_timestamps
+
+    path = str(tmp_path / "ntz")
+    tbl = pa.table(
+        {
+            "id": pa.array([1, 2], pa.int64()),
+            "ts": pa.array(
+                pd.to_datetime(
+                    ["2024-01-01 00:00:00.000001", "2024-01-02 12:34:56.789012"]
+                ),
+                pa.timestamp("us"),  # no tz -> Spark reads TIMESTAMP_NTZ
+            ),
+        }
+    )
+    import os as _os
+
+    _os.makedirs(path, exist_ok=True)
+    pq.write_table(tbl, _os.path.join(path, "part-0.parquet"))
+
+    raw = spark.read.parquet(path)
+    assert dict(raw.dtypes)["ts"] == "timestamp_ntz"
+    fixed = normalize_timestamps(raw)
+    assert dict(fixed.dtypes)["ts"] == "timestamp"
+    micros = [
+        r["us"]
+        for r in fixed.select(F.unix_micros("ts").alias("us")).orderBy("us").collect()
+    ]
+    assert micros == [1704067200000001, 1704198896789012]

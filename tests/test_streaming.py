@@ -355,3 +355,73 @@ def test_transform_with_state_matches_batch(spark, tmp_path):
             spark.conf.set(
                 "spark.sql.streaming.stateStore.providerClass", prev
             )
+
+
+def test_streaming_event_time_survives_ntz_source(spark, tmp_path):
+    """A file stream whose parquet stores ts as us-no-tz (TIMESTAMP_NTZ,
+    the pandas/pyarrow default) must still flow through watermarked
+    windows and the stateful operator — ensure_event_time retags NTZ to
+    TIMESTAMP before withWatermark/unix_micros see it."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from clv_data_pipeline_spark.streaming.stateful import running_user_stats
+
+    src = str(tmp_path / "ntz_src")
+    os.makedirs(src, exist_ok=True)
+    tbl = pa.table(
+        {
+            "user_id": pa.array([1, 1, 2], pa.int64()),
+            "ts": pa.array(
+                pd.to_datetime(
+                    [
+                        "2026-01-01 00:00:00",
+                        "2026-01-01 06:00:00",
+                        "2026-01-02 00:00:00",
+                    ]
+                ),
+                pa.timestamp("us"),  # no tz -> TIMESTAMP_NTZ
+            ),
+            "value": pa.array([10.0, 20.0, 5.0], pa.float64()),
+        }
+    )
+    pq.write_table(tbl, os.path.join(src, "part-0.parquet"))
+
+    raw = spark.read.parquet(src)
+    assert dict(raw.dtypes)["ts"] == "timestamp_ntz"
+    stream = spark.readStream.schema(raw.schema).parquet(src)
+
+    # watermarked tumbling windows over the NTZ source
+    agg = windowed_event_counts(stream)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("ntz_win")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ntz_ckpt1"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    win = {r["window_start"]: r["n_events"]
+           for r in spark.sql("select * from ntz_win").collect()}
+    assert win == {"2026-01-01 00:00:00": 2, "2026-01-02 00:00:00": 1}
+
+    # stateful per-user fold (unix_micros path) over the same source
+    out = str(tmp_path / "ntz_out")
+    q = (
+        running_user_stats(spark.readStream.schema(raw.schema).parquet(src))
+        .writeStream.foreachBatch(
+            lambda bdf, bid: bdf.write.mode("append").parquet(out)
+        )
+        .option("checkpointLocation", str(tmp_path / "ntz_ckpt2"))
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["user_id"]: (r["n_events"], r["total_value"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == {1: (2, 30.0), 2: (1, 5.0)}
