@@ -129,8 +129,17 @@ def _regressions(
     try:
         with open(prior[-1]) as f:
             rec = json.load(f)
-        # driver-recorded BENCH_r*.json wraps our JSON line in "parsed"
-        rec = rec.get("parsed", rec)
+        # driver-recorded BENCH_r*.json wraps our JSON line in "parsed";
+        # a crashed round records "parsed": null — skip back to older
+        # baselines rather than dying on it
+        while prior and not (rec.get("parsed") or "queries" in rec):
+            prior.pop()
+            if prior:
+                with open(prior[-1]) as f:
+                    rec = json.load(f)
+        if not prior:
+            return {}
+        rec = rec.get("parsed") or rec
         base = rec.get("queries", {})
         if sf is not None and rec.get("sf") != sf:
             return {}
