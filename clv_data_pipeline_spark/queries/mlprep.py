@@ -1,0 +1,406 @@
+"""ML-data-prep extensions, round 3: ranking-quality scoring (BM25),
+information-theoretic quality signals (token entropy), label propagation
+over the embedding space (kNN classification), reshaping (unpivot),
+robust statistics (winsorized means), and the Arrow-native batch API
+(mapInArrow).
+
+These extend the LLM-training-data surface beyond the reference's
+feature pipeline (reference dags/clv_data_dag.py computes only the RFM
+aggregate); each is a shape a 100 TB corpus pipeline actually runs:
+BM25 for retrieval-based decontamination/quality ranking, entropy for
+gibberish filtering, kNN labels for classifier-free label spreading,
+winsorization for heavy-tailed feature clipping.
+
+Determinism follows registry.py's rules: decimal-accumulated float
+aggregates, scores rounded BEFORE ranking, identical aliases both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from clv_data_pipeline_spark.functions.text import normalize_text
+from clv_data_pipeline_spark.registry import query
+from clv_data_pipeline_spark.sources.io import load_table
+
+#: DuckDB twin of the Spark tokenizer (normalize_text + split on space).
+_TOKENIZE_SQL = (
+    "string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),"
+    " ' ')"
+)
+
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+@query(
+    "q_bm25",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_TOKENIZE_SQL}) AS term FROM documents),
+    tf AS (
+        SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM toks WHERE term <> '' GROUP BY doc_id, term),
+    dl AS (
+        SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+    df AS (
+        SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+        FROM tf GROUP BY term),
+    corpus AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CAST(dl AS DECIMAL(18,0))) AS DOUBLE) / COUNT(*)
+                   AS avgdl
+        FROM dl),
+    scored AS (
+        SELECT tf.doc_id, tf.term,
+               ROUND(
+                 ln(1 + (CAST(corpus.n_docs AS DOUBLE) - df.df + 0.5)
+                        / (df.df + 0.5))
+                 * (tf.tf * ({_BM25_K1} + 1.0))
+                 / (tf.tf + {_BM25_K1}
+                    * (1.0 - {_BM25_B} + {_BM25_B} * dl.dl / corpus.avgdl)),
+                 6) AS bm25
+        FROM tf JOIN df USING (term) JOIN dl USING (doc_id)
+        CROSS JOIN corpus),
+    ranked AS (
+        SELECT doc_id, term, bm25,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY doc_id ORDER BY bm25 DESC, term) AS BIGINT)
+                   AS rnk
+        FROM scored)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, term, bm25, rnk
+    FROM ranked WHERE rnk <= 3
+    """,
+)
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 BM25 terms per document (Okapi, k1=1.2, b=0.75) — the
+    retrieval scoring behind dedup-by-retrieval and benchmark
+    decontamination.  Same two partial-aggregating shuffles as TF-IDF
+    (term frequency on (doc, term), document frequency on term) plus a
+    per-doc length, with the 1-row corpus stats (N, avgdl) broadcast.
+    avgdl accumulates as exact DECIMAL then divides once; scores round
+    to 6 BEFORE ranking so ordering is engine-stable."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(normalize_text(F.col("text")), " ")).alias("term"),
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    df = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    corpus = dl.agg(
+        F.count("*").alias("n_docs"),
+        (
+            F.sum(F.col("dl").cast("decimal(18,0)")).cast("double")
+            / F.count("*")
+        ).alias("avgdl"),
+    )
+    idf = F.log(
+        1
+        + (F.col("n_docs").cast("double") - F.col("df") + 0.5)
+        / (F.col("df") + 0.5)
+    )
+    score = (
+        idf
+        * (F.col("tf") * (_BM25_K1 + 1.0))
+        / (
+            F.col("tf")
+            + _BM25_K1
+            * (1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    scored = (
+        tf.join(df, "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(corpus))
+        .select("doc_id", "term", F.round(score, 6).alias("bm25"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("bm25"), "term")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 3)
+        .select(F.col("doc_id").cast("long"), "term", "bm25", "rnk")
+    )
+
+
+@query(
+    "q_token_entropy",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_TOKENIZE_SQL}) AS term FROM documents),
+    tf AS (
+        SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM toks WHERE term <> '' GROUP BY doc_id, term),
+    parts AS (
+        SELECT doc_id,
+               CAST(SUM(tf) AS BIGINT) AS n_tokens,
+               SUM(CAST(ROUND(tf * log2(CAST(tf AS DOUBLE)), 9)
+                        AS DECIMAL(28,9))) AS plogp
+        FROM tf GROUP BY doc_id)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, n_tokens,
+           ROUND(log2(CAST(n_tokens AS DOUBLE))
+                 - CAST(plogp AS DOUBLE) / n_tokens, 6) AS entropy
+    FROM parts
+    """,
+)
+def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram token Shannon entropy per document — the gibberish /
+    boilerplate signal (near-0 = one token repeated, high = diverse
+    vocabulary).  Uses the aggregation-friendly identity
+    H = log2(L) - (1/L) * sum(tf * log2(tf)): one (doc, term) count
+    shuffle then one per-doc fold, never materializing probabilities.
+    The only float sum (tf*log2(tf)) rounds each term to 9 places and
+    accumulates as exact DECIMAL, so the result is independent of
+    partitioning/accumulation order."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(normalize_text(F.col("text")), " ")).alias("term"),
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    parts = tf.groupBy("doc_id").agg(
+        F.sum("tf").alias("n_tokens"),
+        F.sum(
+            F.round(
+                F.col("tf") * F.log2(F.col("tf").cast("double")), 9
+            ).cast("decimal(28,9)")
+        ).alias("plogp"),
+    )
+    return parts.select(
+        F.col("doc_id").cast("long"),
+        "n_tokens",
+        F.round(
+            F.log2(F.col("n_tokens").cast("double"))
+            - F.col("plogp").cast("double") / F.col("n_tokens"),
+            6,
+        ).alias("entropy"),
+    )
+
+
+@query(
+    "q_knn_label",
+    oracle="""
+    WITH pairs AS (
+        SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+               b.label AS nlabel,
+               ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                            CAST(b.embedding AS DOUBLE[])), 6)
+                   AS sim
+        FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
+    knn AS (
+        SELECT vec_id, neighbor_id, nlabel,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                   ORDER BY sim DESC, neighbor_id) AS rnk
+        FROM pairs),
+    votes AS (
+        SELECT vec_id, nlabel, CAST(COUNT(*) AS BIGINT) AS votes
+        FROM knn WHERE rnk <= 5 GROUP BY vec_id, nlabel),
+    winner AS (
+        SELECT vec_id, nlabel, votes,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                   ORDER BY votes DESC, nlabel) AS vr
+        FROM votes)
+    SELECT w.vec_id,
+           CAST(e.label AS BIGINT) AS true_label,
+           CAST(w.nlabel AS BIGINT) AS pred_label,
+           w.votes,
+           CAST(e.label = w.nlabel AS BIGINT) AS correct
+    FROM winner w JOIN embeddings e ON w.vec_id = e.vec_id
+    WHERE w.vr = 1
+    """,
+)
+def q_knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN label prediction (k=5, majority vote, ties to the smaller
+    label) — classifier-free label spreading over the embedding space,
+    the standard way a corpus pipeline extends a small labeled seed set.
+    Neighbor search reuses the sharded brute-force cosine kernel
+    (bounded broadcast shards, BLAS-scored batches — the same path the
+    driver verifies in q_cosine_topk); the label table rides a broadcast
+    join because ids+labels are tiny next to the vectors.  Swap the
+    kernel for lsh_topk/ivf_topk at 100 TB; the vote logic is unchanged.
+    """
+    from clv_data_pipeline_spark.operators.similarity import (
+        cosine_topk_sharded,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    labels = emb.select("vec_id", F.col("label").cast("long").alias("label"))
+    knn = cosine_topk_sharded(emb, k=5, num_shards=4)
+    votes = (
+        knn.join(
+            F.broadcast(
+                labels.select(
+                    F.col("vec_id").alias("neighbor_id"),
+                    F.col("label").alias("nlabel"),
+                )
+            ),
+            "neighbor_id",
+        )
+        .groupBy("vec_id", "nlabel")
+        .agg(F.count("*").alias("votes"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("votes"), "nlabel")
+    winner = votes.withColumn("vr", F.row_number().over(w)).filter(
+        F.col("vr") == 1
+    )
+    return (
+        winner.join(F.broadcast(labels), "vec_id")
+        .select(
+            "vec_id",
+            F.col("label").alias("true_label"),
+            F.col("nlabel").alias("pred_label"),
+            "votes",
+            (F.col("label") == F.col("nlabel")).cast("long").alias("correct"),
+        )
+    )
+
+
+_SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+
+
+@query(
+    "q_unpivot",
+    oracle=" UNION ALL ".join(
+        f"""
+        SELECT n.n_name, '{seg}' AS segment,
+               CAST(SUM(CASE WHEN c.c_mktsegment = '{seg}' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_customers
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name"""
+        for seg in _SEGMENTS
+    ),
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-to-long reshape via the native ``DataFrame.unpivot`` (melt):
+    a per-nation segment-count matrix flattens back to
+    (nation, segment, count) rows — the inverse of q_pivot and the shape
+    feature stores ingest.  The wide frame is one hash aggregate with
+    conditional counts (zero-filled, so empty combinations survive the
+    reshape); unpivot itself is a map-only Expand, no extra shuffle."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    wide = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            *[
+                F.sum(
+                    F.when(F.col("c_mktsegment") == seg, 1).otherwise(0)
+                ).alias(seg)
+                for seg in _SEGMENTS
+            ]
+        )
+    )
+    return wide.unpivot(
+        ["n_name"], _SEGMENTS, "segment", "n_customers"
+    ).select("n_name", "segment", F.col("n_customers").cast("long"))
+
+
+@query(
+    "q_winsorize",
+    oracle="""
+    WITH stats AS (
+        SELECT c_mktsegment,
+               CAST(quantile_cont(c_acctbal, 0.05) AS DOUBLE) AS p05,
+               CAST(quantile_cont(c_acctbal, 0.95) AS DOUBLE) AS p95
+        FROM customer GROUP BY c_mktsegment)
+    SELECT c.c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN c.c_acctbal < s.p05 OR c.c_acctbal > s.p95
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
+           ROUND(CAST(SUM(CAST(LEAST(GREATEST(c.c_acctbal, s.p05), s.p95)
+                               AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 4)
+               AS mean_winsorized,
+           ROUND(s.p05, 4) AS p05, ROUND(s.p95, 4) AS p95
+    FROM customer c JOIN stats s USING (c_mktsegment)
+    GROUP BY c.c_mktsegment, s.p05, s.p95
+    """,
+)
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized (5%/95%-clipped) per-segment account-balance mean —
+    the robust-mean feature heavy-tailed pipelines use instead of raw
+    AVG.  Per-group exact percentiles (one sort-based aggregate, the
+    same Spark percentile == DuckDB quantile_cont parity q_percentiles
+    pins) broadcast back onto the fact rows — the group-stats side is
+    tiny, so the 150k-row side never reshuffles; clipped values
+    accumulate as exact DECIMAL for order-independence.  At 100 TB swap
+    percentile for percentile_approx and nothing else changes."""
+    c = load_table(spark, sf_dir, "customer")
+    stats = c.groupBy("c_mktsegment").agg(
+        F.percentile("c_acctbal", 0.05).alias("p05"),
+        F.percentile("c_acctbal", 0.95).alias("p95"),
+    )
+    clipped = c.join(F.broadcast(stats), "c_mktsegment")
+    val = F.least(F.greatest(F.col("c_acctbal"), F.col("p05")), F.col("p95"))
+    return (
+        clipped.groupBy("c_mktsegment", "p05", "p95")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(
+                F.when(
+                    (F.col("c_acctbal") < F.col("p05"))
+                    | (F.col("c_acctbal") > F.col("p95")),
+                    1,
+                ).otherwise(0)
+            ).alias("n_clipped"),
+            F.round(
+                F.sum(val.cast("decimal(18,4)")).cast("double") / F.count("*"),
+                4,
+            ).alias("mean_winsorized"),
+        )
+        .select(
+            "c_mktsegment",
+            "n",
+            "n_clipped",
+            "mean_winsorized",
+            F.round("p05", 4).alias("p05"),
+            F.round("p95", 4).alias("p95"),
+        )
+    )
+
+
+@query(
+    "q_mapinarrow",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(FLOOR(value / 10.0) AS BIGINT) AS value_bucket
+    FROM events
+    WHERE event_type = 'purchase' AND value > 50.0
+    """,
+)
+def q_mapinarrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-native batch transform (``mapInArrow``): filter + bucket
+    directly on Arrow RecordBatches with zero pandas materialization —
+    the lowest-overhead Python hook for columnar custom logic (media
+    decode, tokenizers) because batches cross the JVM<->Python boundary
+    once, already columnar.  The Spark-side filter runs FIRST so
+    predicate pushdown still reaches the scan; the Arrow stage only
+    sees surviving rows."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    ev = load_table(spark, sf_dir, "events")
+    filtered = ev.filter(
+        (F.col("event_type") == "purchase") & (F.col("value") > 50.0)
+    ).select("event_id", "user_id", "value")
+
+    def bucket(batches):
+        for batch in batches:
+            tbl = pa.Table.from_batches([batch])
+            buckets = pc.cast(
+                pc.floor(pc.divide(tbl.column("value"), pa.scalar(10.0))),
+                pa.int64(),
+            )
+            out = pa.table(
+                {
+                    "event_id": tbl.column("event_id"),
+                    "user_id": tbl.column("user_id"),
+                    "value_bucket": buckets,
+                }
+            )
+            yield from out.to_batches()
+
+    return filtered.mapInArrow(
+        bucket, "event_id long, user_id long, value_bucket long"
+    )

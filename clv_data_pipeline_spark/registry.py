@@ -193,6 +193,7 @@ def _load() -> None:
         clvq,
         temporal,
         analytics,
+        mlprep,
     )
 
     _LOADED = True

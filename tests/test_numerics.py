@@ -45,3 +45,25 @@ def test_nelder_mead_rosenbrock_2d():
     f = lambda p: float((1 - p[0]) ** 2 + 100 * (p[1] - p[0] ** 2) ** 2)  # noqa: E731
     x, fx = nelder_mead(f, np.array([-1.2, 1.0]), max_iter=5000)
     assert np.allclose(x, [1.0, 1.0], atol=1e-3)
+
+
+def test_float_aggregates_partition_independent(spark):
+    """The round-3 float-aggregate queries (BM25, token entropy,
+    winsorized mean) must produce bit-identical results under different
+    shuffle partitioning — the decimal-accumulation + round-before-rank
+    discipline, probed by flipping spark.sql.shuffle.partitions."""
+    from clv_data_pipeline_spark import registry
+    from tests.conftest import SF_SMOKE
+
+    qs = registry.all_queries()
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        for name in ("q_bm25", "q_token_entropy", "q_winsorize"):
+            results = []
+            for n_part in ("3", "17"):
+                spark.conf.set("spark.sql.shuffle.partitions", n_part)
+                rows = sorted(map(str, qs[name](spark, SF_SMOKE).collect()))
+                results.append(rows)
+            assert results[0] == results[1], f"{name} partition-dependent"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
