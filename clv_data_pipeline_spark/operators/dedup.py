@@ -480,7 +480,10 @@ def simhash_signatures_vectorized(
 
 
 def simhash_candidates(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup candidates with Hamming distance <= 3 on SimHash.
 
@@ -488,8 +491,16 @@ def simhash_candidates(
     one quarter matches exactly, so group by (quarter_idx, quarter
     value) and pair within buckets, then verify true Hamming distance
     with bit_count — all native expressions.
+
+    ``sigs`` accepts a precomputed ``(id_col, _sh)`` signature frame so
+    callers that also emit signatures don't pay the Python hashing
+    kernel twice (the kernel dominates; the join is cheap next to it).
     """
-    sh = simhash_signatures_vectorized(df, text_col, id_col)
+    sh = (
+        sigs
+        if sigs is not None
+        else simhash_signatures_vectorized(df, text_col, id_col)
+    )
     # exchange barrier: the quarter explode references _sh 4 times and
     # the self-join doubles that.
     sh = sh.repartition(id_col)

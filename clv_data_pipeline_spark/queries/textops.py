@@ -345,8 +345,13 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     no eager driver-side action at plan-construction time, so building
     the query stays free and both legs run in one job."""
     d = load_table(spark, sf_dir, "documents")
-    sigs = simhash_signatures_vectorized(d).withColumnRenamed("_sh", "simhash")
-    n = simhash_candidates(d).agg(
+    # persist the signature frame: the broadcast (pair-count) job and
+    # the main output job otherwise EACH run the Python hashing kernel
+    # — materializing the k-longs-per-doc signatures once halves the
+    # query's dominant cost at any scale
+    sh = simhash_signatures_vectorized(d).persist()
+    sigs = sh.withColumnRenamed("_sh", "simhash")
+    n = simhash_candidates(d, sigs=sh).agg(
         F.count("*").cast("long").alias("n_near_dup_pairs")
     )
     return sigs.crossJoin(F.broadcast(n))
