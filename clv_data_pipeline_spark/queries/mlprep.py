@@ -87,9 +87,16 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.split(normalize_text(F.col("text")), " ")).alias("term"),
     ).filter(F.col("term") != "")
     tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    # doc length as a window over the TF frame, not a separate
+    # aggregate-plus-join: the one exchange onto doc_id then serves the
+    # length window AND (because the broadcast joins below preserve
+    # partitioning) the final rank window — 3 exchanges total instead
+    # of the naive 9
+    tf_dl = tf.withColumn(
+        "dl", F.sum("tf").over(Window.partitionBy("doc_id"))
+    )
     df = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-    corpus = dl.agg(
+    corpus = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl")).agg(
         F.count("*").alias("n_docs"),
         (
             F.sum(F.col("dl").cast("decimal(18,0)")).cast("double")
@@ -111,8 +118,7 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     scored = (
-        tf.join(df, "term")
-        .join(dl, "doc_id")
+        tf_dl.join(F.broadcast(df), "term")
         .crossJoin(F.broadcast(corpus))
         .select("doc_id", "term", F.round(score, 6).alias("bm25"))
     )
