@@ -150,7 +150,13 @@ def q_clv_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     columns (reference dags/clv_models.py:39-97).
     """
     f = _features(spark, sf_dir)
-    returning = f.filter((F.col("frequency") > 0) & (F.col("monetary") > 0))
+    # one row per returning customer — persist so the two fit collects
+    # and the scoring job all reuse a single RFM aggregation over the
+    # event history instead of rescanning it three times (the feature
+    # frame is users-sized, tiny next to the event log it summarizes)
+    returning = f.filter(
+        (F.col("frequency") > 0) & (F.col("monetary") > 0)
+    ).persist()
     bg = fit_bgnbd(returning)
     gg = fit_gamma_gamma(returning)
     return predictions_projection(score_customers(returning, bg, gg))
