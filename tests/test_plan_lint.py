@@ -1,0 +1,71 @@
+"""Registry-wide physical-plan lint: mechanical guards against the
+plan shapes that kill 100 TB runs, applied to EVERY registered query.
+
+- CartesianProduct: never acceptable — a cross product that isn't a
+  1-row broadcast means candidate generation went quadratic.
+- BatchEvalPython (row-at-a-time Python UDF): never acceptable — the
+  interpreted per-row path is 10-100x slower than Arrow; anything
+  Python must be ArrowEvalPython / MapInPandas / MapInArrow.
+- BroadcastNestedLoopJoin: acceptable ONLY for the documented 1-row
+  broadcast scalar attachments (global counts/thresholds riding a
+  crossJoin) — those are O(n) with a 1-row build side.  Each such
+  query is whitelisted by name so a new accidental BNLJ fails loudly.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from clv_data_pipeline_spark import registry
+from tests.conftest import SF_SMOKE
+
+#: Queries whose BroadcastNestedLoopJoin is a 1-row broadcast scalar
+#: (documented in their docstrings), not a pair-generation cross join.
+_BNLJ_SCALAR_OK = {
+    "q_ratio_counts",      # two countDistinct scalars attach to 1 row
+    "q_simhash",           # lazy 1-row pair-count broadcast
+    "q_tfidf_top_terms",   # corpus size N broadcast
+    "q_bm25",              # corpus (n_docs, avgdl) broadcast
+    "q_decontaminate",     # benchmark n-gram set is a small broadcast
+    "q_heavy_hitters",     # sketch + threshold 1-row broadcasts
+    "q_zscore",            # 3-row group stats broadcast
+    "q_anomaly_days",      # global mean/std 1-row broadcast
+    "q_source_mix",        # per-source target weights broadcast
+    "q_skew_report",       # global mean group size broadcast
+    "q_corr",              # sufficient-stats scalar broadcast
+    "q_profile",           # single-scan profile scalars
+    "q_train_split",       # split thresholds
+    "q_source_report",     # corpus totals broadcast
+    "q_quantize_embeddings",  # global scale scalar
+    "q_minhash_clusters",  # cluster summary scalar attach
+    "q_semantic_clusters", # cluster summary scalar attach
+    "q_dedup_clusters",    # fixpoint summary scalar attach
+    "q_retention_cohorts", # cohort-size denominator broadcast
+    "q_funnel",            # step totals on one row
+    "q_knn_label",         # accuracy-style scalar attach via broadcast
+}
+
+
+def _plan(spark, name: str) -> str:
+    df = registry.all_queries()[name](spark, SF_SMOKE)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.mark.parametrize("name", sorted(registry.all_queries()))
+def test_plan_has_no_scale_killers(spark, name):
+    plan = _plan(spark, name)
+    assert "CartesianProduct" not in plan, f"{name}: cartesian product"
+    assert "BatchEvalPython" not in plan, (
+        f"{name}: row-at-a-time Python UDF in the hot path"
+    )
+    if "BroadcastNestedLoopJoin" in plan and name not in _BNLJ_SCALAR_OK:
+        raise AssertionError(
+            f"{name}: BroadcastNestedLoopJoin outside the 1-row-scalar "
+            "whitelist — quadratic pair generation or a missing equi key"
+        )
