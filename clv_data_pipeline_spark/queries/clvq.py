@@ -153,7 +153,9 @@ def q_clv_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one row per returning customer — persist so the two fit collects
     # and the scoring job all reuse a single RFM aggregation over the
     # event history instead of rescanning it three times (the feature
-    # frame is users-sized, tiny next to the event log it summarizes)
+    # frame is users-sized, tiny next to the event log it summarizes).
+    # The returned scoring frame still reads these blocks, so the
+    # caller owns cache lifetime (bench.py clearCache()s per query).
     returning = f.filter(
         (F.col("frequency") > 0) & (F.col("monetary") > 0)
     ).persist()

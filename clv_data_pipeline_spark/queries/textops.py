@@ -348,7 +348,10 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persist the signature frame: the broadcast (pair-count) job and
     # the main output job otherwise EACH run the Python hashing kernel
     # — materializing the k-longs-per-doc signatures once halves the
-    # query's dominant cost at any scale
+    # query's dominant cost at any scale.  Cache lifetime is owned by
+    # the caller (the returned lazy frame still needs these blocks):
+    # long-lived sessions should spark.catalog.clearCache() between
+    # queries, as bench.py does.
     sh = simhash_signatures_vectorized(d).persist()
     sigs = sh.withColumnRenamed("_sh", "simhash")
     n = simhash_candidates(d, sigs=sh).agg(

@@ -1065,7 +1065,7 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("o_custkey")
     )
-    rich = pos.join(F.broadcast(stats)).filter(
+    rich = pos.crossJoin(F.broadcast(stats)).filter(
         F.col("c_acctbal").cast("decimal(18,4)") * F.col("bal_cnt")
         > F.col("bal_sum")
     )

@@ -60,7 +60,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # The NTZ->TIMESTAMP retag (normalize_timestamps) and all window /
     # unix_micros arithmetic are only deterministic under a fixed session
     # tz; a vanilla session (the driver's) inherits the host tz, so pin
-    # it here like nanosAsLong rather than relying on session.py.
+    # it here like nanosAsLong rather than relying on session.py.  The
+    # override is session-global: warn (once per session) if it changes
+    # a timezone someone explicitly configured to something non-UTC.
+    tz = spark.conf.get("spark.sql.session.timeZone", None)
+    if tz not in (None, "UTC", "Etc/UTC", "GMT"):
+        import warnings
+
+        warnings.warn(
+            f"load_table pins spark.sql.session.timeZone=UTC for "
+            f"deterministic timestamp semantics, overriding the session "
+            f"value {tz!r}",
+            stacklevel=2,
+        )
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     return normalize_timestamps(df, name)

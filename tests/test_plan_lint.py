@@ -46,6 +46,7 @@ _BNLJ_SCALAR_OK = {
     "q_retention_cohorts", # cohort-size denominator broadcast
     "q_funnel",            # step totals on one row
     "q_knn_label",         # accuracy-style scalar attach via broadcast
+    "q_tpch_q22",          # 1-row avg-balance threshold broadcast
 }
 
 
