@@ -193,7 +193,8 @@ def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
                ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                             CAST(b.embedding AS DOUBLE[])), 6)
                    AS sim
-        FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
+        FROM embeddings a JOIN embeddings b
+        ON a.vec_id <> b.vec_id AND b.label IS NOT NULL),
     knn AS (
         SELECT vec_id, neighbor_id, nlabel,
                ROW_NUMBER() OVER (PARTITION BY vec_id
@@ -223,20 +224,33 @@ def q_knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     Neighbor search reuses the sharded brute-force cosine kernel
     (bounded broadcast shards, BLAS-scored batches — the same path the
     driver verifies in q_cosine_topk); the label table rides a broadcast
-    join because ids+labels are tiny next to the vectors.  Swap the
-    kernel for lsh_topk/ivf_topk at 100 TB; the vote logic is unchanged.
+    join because ids+labels are tiny next to the vectors.  Exact but
+    O(n^2) compute — q_knn_label_ann is the same vote logic on the
+    sub-quadratic IVF kernel for 100 TB corpora.
     """
     from clv_data_pipeline_spark.operators.similarity import (
         cosine_topk_sharded,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    labels = emb.select("vec_id", F.col("label").cast("long").alias("label"))
     knn = cosine_topk_sharded(emb, k=5, num_shards=4)
+    return _knn_vote(knn, emb)
+
+
+def _knn_vote(knn: DataFrame, emb: DataFrame) -> DataFrame:
+    """Majority vote over a (vec_id, neighbor_id, ...) neighbor frame:
+    each vector takes the most common label among its neighbors (ties to
+    the smaller label).  Kernel-agnostic — the exact and ANN queries
+    share this verbatim, so the ANN variant differs ONLY in neighbor
+    retrieval.  Null-labeled neighbors are excluded from voting (engines
+    disagree on NULL sort order, and an unlabeled neighbor carries no
+    signal); the true_label join keeps nulls so unlabeled vectors still
+    receive predictions."""
+    labels = emb.select("vec_id", F.col("label").cast("long").alias("label"))
     votes = (
         knn.join(
             F.broadcast(
-                labels.select(
+                labels.filter(F.col("label").isNotNull()).select(
                     F.col("vec_id").alias("neighbor_id"),
                     F.col("label").alias("nlabel"),
                 )
@@ -260,6 +274,28 @@ def q_knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("label") == F.col("nlabel")).cast("long").alias("correct"),
         )
     )
+
+
+@query("q_knn_label_ann")  # rows-only: ANN retrieval is seed-dependent
+def q_knn_label_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN label prediction on the IVF kernel — the 100 TB path
+    q_knn_label's docstring promises.  Identical vote logic
+    (:func:`_knn_vote`); only neighbor retrieval changes: coarse
+    centroids broadcast, each vector scores against its nprobe of
+    n_cells cells, so compute is ~nprobe/n_cells of brute force and
+    every vector ships at most 1+nprobe times instead of once per shard
+    of the full index.  nprobe=24/32 here because the driver embeddings
+    are near-uniform random (no cluster structure, the IVF worst case) —
+    measured prediction agreement with exact: 8/16 0.74, 12/16 0.91,
+    24/32 0.95; real corpora cluster, so production fractions are
+    ~1/8.  No oracle by design (IVF recall depends on the sampled
+    quantizer); tests/test_mlprep.py pins >=0.9 prediction agreement
+    with the exact q_knn_label on driver testdata."""
+    from clv_data_pipeline_spark.operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    knn = ivf_topk(emb, k=5, n_cells=32, nprobe=24)
+    return _knn_vote(knn, emb)
 
 
 _SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]

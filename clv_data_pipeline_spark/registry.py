@@ -120,21 +120,55 @@ _R2_VERIFIED: frozenset[str] = frozenset(
     }
 )
 
-_VERIFIED: frozenset[str] = _R1_VERIFIED | _R2_VERIFIED
+#: Queries the driver checked in round 3 (``CORRECTNESS_r03.json``):
+#: 47 hash-green + 3 rows-only-by-contract (q_ann_ivf q_dedup_embedding
+#: q_semantic_clusters).  All 50 sampled names count as round-3
+#: freshness for rotation purposes.
+_R3_VERIFIED: frozenset[str] = frozenset(
+    {
+        "q_anomaly_days", "q_argmax", "q_asof_join", "q_bigram_counts",
+        "q_bm25", "q_centroids", "q_cogroup_reconcile", "q_concurrency",
+        "q_date_funcs", "q_embedding_class_sim", "q_event_gaps",
+        "q_event_sequences", "q_funnel", "q_heavy_hitters", "q_histogram",
+        "q_knn_label", "q_mapinarrow", "q_moving_avg", "q_pagerank",
+        "q_profile", "q_python_datasource", "q_quantize_embeddings",
+        "q_range_join", "q_retention_cohorts", "q_scd2", "q_scd2_merge",
+        "q_sessionize", "q_skew_report", "q_sliding_windows",
+        "q_source_report", "q_stratified_sample", "q_tfidf_top_terms",
+        "q_token_entropy", "q_topk", "q_tpch_q1", "q_tpch_q3", "q_tpch_q5",
+        "q_transitions", "q_udtf_sentences", "q_union", "q_unpivot",
+        "q_variant_extract", "q_window_dedup", "q_window_rank",
+        "q_winsorize", "q_zorder", "q_zscore", "q_ann_ivf",
+        "q_dedup_embedding", "q_semantic_clusters",
+    }
+)
+
+_VERIFIED: frozenset[str] = _R1_VERIFIED | _R2_VERIFIED | _R3_VERIFIED
 
 
 def _ordered_names() -> list[str]:
-    """Registration order with driver-verified queries moved to the back.
+    """Registration order tiered by driver-verification staleness.
 
     The driver's per-round oracle budget covers ~50 names in dict
-    order, so ordering is scheduling: round 3's front 40 = the 7
-    NTZ-fixed queries (must land green re-verification rows) + the 33
-    never-driver-checked, leaving every registered query with a
-    cumulative driver row."""
+    order, so ordering is scheduling.  Round 4's front of the queue =
+    never-driver-checked queries (new this round), then the round-1
+    cohort (their rows are now two rounds stale), then round-2, with
+    the just-verified round-3 cohort at the back.  A name's tier is the
+    LATEST round that sampled it, so nothing re-verifies ahead of
+    something staler."""
     names = list(_REGISTRY)
-    fresh = [n for n in names if n not in _VERIFIED]
-    seen = [n for n in names if n in _VERIFIED]
-    return fresh + seen
+    tier = {}
+    for n in names:
+        if n in _R3_VERIFIED:
+            tier[n] = 3
+        elif n in _R2_VERIFIED:
+            tier[n] = 2
+        elif n in _R1_VERIFIED:
+            tier[n] = 1
+        else:
+            tier[n] = 0  # never sampled — always first
+    order = {n: i for i, n in enumerate(names)}
+    return sorted(names, key=lambda n: (tier[n], order[n]))
 
 
 def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
