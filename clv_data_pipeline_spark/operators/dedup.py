@@ -245,6 +245,56 @@ def minhash_candidates(
     )
 
 
+def fingerprint_index(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """The stored state of incremental exact dedup: one (fingerprint,
+    winner-id) row per distinct normalized text.  In production this is
+    a persisted table (partitioned/bucketed by fingerprint prefix so
+    collision probes prune); building it from scratch costs one
+    fingerprint-only shuffle over the corpus — the amortized part that
+    :func:`dedup_incremental` avoids re-paying per delta."""
+    fp = df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("_fp"))
+    return fp.groupBy("_fp").agg(F.min(id_col).alias(id_col))
+
+
+def dedup_incremental(
+    index: DataFrame,
+    delta: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Admit the delta documents that survive exact dedup against an
+    existing :func:`fingerprint_index` — O(delta), never re-deduping
+    the corpus.  A delta doc survives iff (a) it is the min-id winner
+    of its fingerprint WITHIN the delta and (b) its fingerprint is
+    absent from the index.
+
+    Distributed shape: only delta-sized frames ever shuffle.  The
+    delta's fingerprints broadcast to probe the index map-side
+    (left_semi against a broadcast build side — the 100 TB index is
+    scanned, never exchanged; with the index bucketed by fingerprint
+    prefix the scan prunes too), colliding fingerprints come back as a
+    tiny frame, and the surviving ids broadcast for the final semi-join
+    so the delta is re-read map-side.  First-seen-wins semantics:
+    an index entry beats any delta doc with the same fingerprint even
+    if the delta id is smaller — the invariant real append-only
+    pipelines keep (admitted docs are immutable)."""
+    delta_fp = delta.select(
+        F.col(id_col), fingerprint(F.col(text_col)).alias("_fp")
+    )
+    delta_win = delta_fp.groupBy("_fp").agg(F.min(id_col).alias(id_col))
+    collisions = index.join(
+        F.broadcast(delta_win.select("_fp")), "_fp", "left_semi"
+    ).select("_fp")
+    survivors = delta_win.join(
+        F.broadcast(collisions), "_fp", "left_anti"
+    )
+    return delta.join(
+        F.broadcast(survivors.select(id_col)), id_col, "left_semi"
+    )
+
+
 def dedup_minhash(
     df: DataFrame,
     text_col: str = "text",

@@ -283,3 +283,18 @@ def test_stratified_sample_is_map_only(spark):
 def test_quantize_is_map_only(spark):
     plan = plan_of(spark, "q_quantize_embeddings")
     assert "Exchange" not in plan
+
+
+def test_dedup_incremental_merge_is_broadcast_only(spark):
+    """Incremental dedup's merge path must never shuffle the index for
+    a join: the collision probe and the admission anti-join are
+    broadcast hash joins of delta-sized frames, so the only hash
+    exchanges are the two fingerprint aggregates (index build — the
+    amortized stored-state stand-in — and delta winners).  A
+    SortMergeJoin here would mean the 100 TB index re-shuffles per
+    daily delta."""
+    plan = plan_of(spark, "q_dedup_incremental")
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+    assert "BroadcastHashJoin LeftSemi" in plan
+    assert "BroadcastHashJoin LeftAnti" in plan

@@ -277,7 +277,11 @@ def test_transform_with_state_matches_batch(spark, tmp_path):
     pytest.importorskip(
         "google.protobuf",
         reason="transformWithStateInPandas needs protobuf for its "
-        "state-server protocol",
+        "state-server protocol; `pip install protobuf` was attempted "
+        "(round 4) and fails with 'No matching distribution found' — "
+        "the container has no package index, and the runtime can't be "
+        "vendored by hand (pyspark ships generated _pb2 modules that "
+        "need the real google.protobuf package)",
     )
     from clv_data_pipeline_spark.streaming.stateful import (
         running_user_stats_tws,
