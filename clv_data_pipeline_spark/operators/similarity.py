@@ -562,6 +562,35 @@ def ivf_topk(
     ).filter(F.col("rank") <= k)
 
 
+def semantic_decontaminate(
+    corpus: DataFrame,
+    bench: DataFrame,
+    threshold: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_scale: int = 6,
+) -> DataFrame:
+    """Embedding-space benchmark decontamination: flag every corpus
+    vector whose nearest benchmark vector scores cosine >= threshold —
+    the semantic form of n-gram decontamination (paraphrased benchmark
+    answers share no 3-grams but land next to the original in
+    embedding space).
+
+    Scale shape mirrors the n-gram variant: eval suites are tiny, so
+    the benchmark matrix broadcasts whole and the 100 TB corpus streams
+    through one map-only BLAS pass (:func:`_cosine_topk_against_index`
+    with k=1); output rows exist only for actual hits.  Exact — no LSH
+    recall caveat to argue about in a governance decision.  If the
+    benchmark ever outgrows one broadcast, shard it like
+    :func:`cosine_topk_sharded` does the index."""
+    hits = _cosine_topk_against_index(
+        corpus, bench, 1, id_col, vec_col, round_scale
+    )
+    return hits.filter(F.col("sim") >= threshold).select(
+        "vec_id", F.col("neighbor_id").alias("bench_id"), "sim"
+    )
+
+
 def dedup_embedding(
     embeddings: DataFrame,
     threshold: float = 0.95,

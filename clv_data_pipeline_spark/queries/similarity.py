@@ -50,6 +50,47 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_decontaminate_semantic",
+    oracle="""
+    WITH pairs AS (
+        SELECT c.vec_id, b.vec_id AS bench_id,
+               ROUND(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+                                            CAST(b.embedding AS DOUBLE[])), 6)
+                   AS sim
+        FROM embeddings c JOIN embeddings b
+          ON c.vec_id % 97 <> 0 AND b.vec_id % 97 = 0),
+    ranked AS (
+        SELECT vec_id, bench_id, sim,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                   ORDER BY sim DESC, bench_id) AS rnk
+        FROM pairs)
+    SELECT vec_id, bench_id, sim FROM ranked
+    WHERE rnk = 1 AND sim >= CAST(0.35 AS DOUBLE)
+    """,
+)
+def q_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic benchmark decontamination: corpus vectors (vec_id % 97
+    != 0) whose nearest benchmark vector (vec_id % 97 == 0 — in
+    production, the embedded eval suites) scores cosine >= 0.35 — the
+    embedding-space twin of q_decontaminate, catching paraphrases that
+    share no n-grams.  Benchmark matrix broadcasts; the corpus side is
+    one map-only BLAS pass; only hit rows leave the scan stage
+    (operators/similarity.py semantic_decontaminate).  0.35 sits at
+    ~p99 of the max-sim distribution on the driver embeddings (median
+    0.16, max 0.47), so flags are selective but non-empty at every SF.
+    Exact and oracle-checked — unlike the ANN queries there is no
+    recall asterisk, which is what a governance op needs."""
+    from clv_data_pipeline_spark.operators.similarity import (
+        semantic_decontaminate,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 97 != 0)
+    bench = emb.filter(F.col("vec_id") % 97 == 0)
+    return semantic_decontaminate(corpus, bench, threshold=0.35)
+
+
 @query("q_ann_lsh")  # rows-only: approximate, hash-specific
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH approximate nearest neighbor (top-1 among

@@ -303,3 +303,34 @@ def test_scd2_merge_only_affected_users_rebuild(spark):
     u1 = {r["event_type"]: r for r in merged.filter("user_id = 1").collect()}
     assert set(u1) == {"a", "b", "c"}
     assert u1["c"]["is_current"] == 1 and u1["b"]["is_current"] == 0
+
+
+def test_semantic_decontaminate_flags_planted_contamination(spark):
+    """Plant a paraphrase-grade contaminant (the benchmark vector plus
+    tiny noise) and a scaled exact copy in a corpus of orthogonal
+    vectors: both must be flagged against the right benchmark id with
+    sim ~= 1.0, and the orthogonal vectors must not be."""
+    from clv_data_pipeline_spark.operators.similarity import (
+        semantic_decontaminate,
+    )
+
+    bench_vec = [1.0, 0.0, 0.0, 0.0]
+    rows = [
+        (100, [0.999, 0.04, 0.0, 0.0]),  # near-copy -> flag
+        (101, [5.0, 0.0, 0.0, 0.0]),     # scaled copy (cosine=1) -> flag
+        (102, [0.0, 1.0, 0.0, 0.0]),     # orthogonal -> clean
+        (103, [0.0, 0.0, 1.0, 0.0]),     # orthogonal -> clean
+    ]
+    schema = "vec_id long, embedding array<double>"
+    corpus = spark.createDataFrame(rows, schema)
+    bench = spark.createDataFrame([(1, bench_vec)], schema)
+    got = {
+        r["vec_id"]: r
+        for r in semantic_decontaminate(
+            corpus, bench, threshold=0.9
+        ).collect()
+    }
+    assert set(got) == {100, 101}
+    assert all(r["bench_id"] == 1 for r in got.values())
+    assert got[101]["sim"] == 1.0
+    assert got[100]["sim"] > 0.99
