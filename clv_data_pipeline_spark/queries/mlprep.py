@@ -446,3 +446,114 @@ def q_mapinarrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return filtered.mapInArrow(
         bucket, "event_id long, user_id long, value_bucket long"
     )
+
+
+_QC_DIM = 256        #: feature-hash buckets
+_QC_WSCALE = 4096    #: integer weight range [-4096, 4096)
+_QC_MULT = 2654435761  #: Knuth multiplicative hash constant
+
+
+def _qc_weights():
+    """The 'trained model': one int64 weight per hash bucket, derived
+    from the bucket index by a multiplicative hash so both engines can
+    reproduce it exactly in integer arithmetic.  Stands in for real
+    fastText-style weights — swap in a trained vector and everything
+    downstream (broadcast, matmul, thresholding) is unchanged."""
+    import numpy as np
+
+    j = np.arange(_QC_DIM, dtype=np.int64)
+    return (j * _QC_MULT) % (2 * _QC_WSCALE) - _QC_WSCALE
+
+
+@query(
+    "q_quality_classifier",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_TOKENIZE_SQL}) AS term FROM documents),
+    tf AS (
+        SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM toks WHERE term <> '' GROUP BY doc_id, term),
+    feat AS (
+        SELECT doc_id, tf,
+               CAST('0x' || substr(md5(term), 1, 8) AS BIGINT) % {_QC_DIM}
+                   AS bucket
+        FROM tf),
+    dots AS (
+        SELECT doc_id,
+               CAST(SUM(tf * ((bucket * {_QC_MULT}) % {2 * _QC_WSCALE}
+                              - {_QC_WSCALE})) AS BIGINT) AS dot,
+               CAST(SUM(tf) AS BIGINT) AS n_tokens
+        FROM feat GROUP BY doc_id)
+    SELECT d.doc_id,
+           COALESCE(t.dot, 0) AS dot,
+           ROUND(1.0 / (1.0 + EXP(-(CAST(COALESCE(t.dot, 0) AS DOUBLE)
+                / ({_QC_WSCALE}.0 * GREATEST(COALESCE(t.n_tokens, 0), 1))))),
+               6) AS score,
+           CAST(COALESCE(t.dot, 0) >= 0 AS BIGINT) AS keep
+    FROM documents d LEFT JOIN dots t USING (doc_id)
+    """,
+)
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style linear quality classifier, scored as ONE map-only
+    pass: tokens feature-hash into {_QC_DIM} buckets, the weight vector
+    broadcasts to executors as a model artifact, and each Arrow batch
+    scores as a single int64 matmul — zero shuffles, the learned third
+    leg of the quality triad (heuristics q_quality_score, entropy
+    q_token_entropy).
+
+    Cross-engine determinism is engineered, not hoped for: the token
+    bucket is an md5-hex-prefix integer (portable), weights derive from
+    the bucket index in integer arithmetic, and the dot product stays
+    in int64 end to end — the oracle compares EXACT integers, with the
+    keep decision taken on `dot >= 0` (sigmoid(z) >= 0.5 iff z >= 0)
+    rather than on a rounded float.  Only the reported sigmoid score
+    touches doubles, after the comparison is already decided."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    bc = spark.sparkContext.broadcast(_qc_weights())
+
+    def _score(batches):
+        import re
+
+        w = bc.value
+        bucket_cache: dict = {}
+
+        def bucket(term: str) -> int:
+            b = bucket_cache.get(term)
+            if b is None:
+                h = hashlib.md5(term.encode("utf-8")).hexdigest()[:8]
+                b = bucket_cache[term] = int(h, 16) % _QC_DIM
+            return b
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.zeros((len(pdf), _QC_DIM), dtype=np.int64)
+            for i, text in enumerate(pdf["text"]):
+                toks = re.sub(r"\s+", " ", (text or "").lower()).strip()
+                for t in toks.split(" "):
+                    if t:
+                        mat[i, bucket(t)] += 1
+            dot = mat @ w                       # exact int64 matmul
+            n_tok = np.maximum(mat.sum(axis=1), 1)
+            score = np.round(
+                1.0 / (1.0 + np.exp(-(dot.astype(np.float64)
+                                      / (float(_QC_WSCALE) * n_tok)))),
+                6,
+            )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].to_numpy(),
+                    "dot": dot,
+                    "score": score,
+                    "keep": (dot >= 0).astype(np.int64),
+                }
+            )
+
+    return docs.mapInPandas(
+        _score, "doc_id long, dot long, score double, keep long"
+    )

@@ -298,3 +298,11 @@ def test_dedup_incremental_merge_is_broadcast_only(spark):
     assert "ShuffledHashJoin" not in plan
     assert "BroadcastHashJoin LeftSemi" in plan
     assert "BroadcastHashJoin LeftAnti" in plan
+
+
+def test_quality_classifier_is_map_only(spark):
+    """Broadcast-weights linear scoring must be a single map pass: no
+    exchange anywhere — the 100 TB corpus is scored at scan speed."""
+    plan = plan_of(spark, "q_quality_classifier")
+    assert "Exchange" not in plan
+    assert "MapInPandas" in plan
