@@ -295,6 +295,107 @@ def dedup_incremental(
     )
 
 
+def minhash_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_size: int = 5,
+    seed: int = 42,
+) -> DataFrame:
+    """The stored state of incremental near-dup dedup: every processed
+    document's banded MinHash keys, one (doc_id, band, bh) row per
+    band.  Kept for ALL processed docs — dropped ones too — so that
+    incremental admission (:func:`dedup_minhash_incremental`) decides
+    exactly like a full-corpus greedy pass: a new doc that collides
+    only with an already-dropped doc must still drop.  In production a
+    persisted table partitioned by (band, bh prefix); building from
+    scratch costs one signature pass over the corpus — the amortized
+    part the incremental merge never re-pays."""
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures_vectorized(
+        df, text_col, id_col, num_hashes, shingle_size, seed
+    )
+    return sig.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.xxhash64(
+                            F.slice(
+                                F.col("_sig"), i * rows_per_band + 1,
+                                rows_per_band,
+                            )
+                        ).alias("bh"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
+
+
+def dedup_minhash_incremental(
+    index: DataFrame,
+    delta: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_size: int = 5,
+    seed: int = 42,
+) -> DataFrame:
+    """Admit the delta documents that survive greedy MinHash near-dup
+    removal against a corpus summarized by :func:`minhash_index` —
+    O(delta), never re-shingling the corpus.  A delta doc drops iff it
+    shares any LSH bucket with an indexed doc (all of which have
+    smaller ids) or with a smaller-id delta doc; with delta ids
+    appended last this equals :func:`dedup_minhash` over the full
+    corpus restricted to the delta (pinned in tests).
+
+    Distributed shape: only delta-sized frames shuffle.  The delta's
+    distinct band keys broadcast to probe the index map-side (the
+    100 TB index is scanned, never exchanged; partitioned by band it
+    prunes too), colliding keys come back tiny, and both the collision
+    re-attach and the within-delta pair join run on delta-sized banded
+    frames.  After admission, append the DELTA's index rows (all docs,
+    admitted or not) to the stored index."""
+    delta_keys = minhash_index(
+        delta, text_col, id_col, num_hashes, bands, shingle_size, seed
+    )
+    # Exchange barrier (same rationale as minhash_candidates): the
+    # banded frame feeds three consumers below.
+    delta_keys = delta_keys.repartition(id_col)
+    probe = delta_keys.select("band", "bh").distinct()
+    hit_keys = (
+        index.select("band", "bh")
+        .join(F.broadcast(probe), ["band", "bh"], "left_semi")
+        .distinct()
+    )
+    dropped_vs_index = (
+        delta_keys.join(F.broadcast(hit_keys), ["band", "bh"], "left_semi")
+        .select(id_col)
+        .distinct()
+    )
+    a = delta_keys.alias("a")
+    b = delta_keys.alias("b")
+    dropped_in_delta = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"b.{id_col}").alias(id_col))
+        .distinct()
+    )
+    losers = dropped_vs_index.unionByName(dropped_in_delta).distinct()
+    return delta.join(losers, id_col, "left_anti")
+
+
 def dedup_minhash(
     df: DataFrame,
     text_col: str = "text",

@@ -26,7 +26,9 @@ from clv_data_pipeline_spark.operators.dedup import (
     dedup_exact,
     dedup_incremental,
     dedup_minhash,
+    dedup_minhash_incremental,
     fingerprint_index,
+    minhash_index,
     jaccard_pairs,
     minhash_candidates,
     simhash_candidates,
@@ -92,6 +94,16 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     maintenance must produce byte-identical admissions to re-deduping
     100% of the data."""
     docs = load_table(spark, sf_dir, "documents")
+    base, delta = _delta_split(docs)
+    admitted = dedup_incremental(fingerprint_index(base), delta)
+    return admitted.select("doc_id", "text", "lang", "source", "n_chars")
+
+
+def _delta_split(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Deterministic append-only split of ``documents``: the newest
+    ~10% of ids are 'today's delta', the rest the already-processed
+    corpus.  The cut is a 1-row scalar broadcast (whitelisted in the
+    plan lint)."""
     stats = docs.agg(
         (
             F.max("doc_id")
@@ -101,7 +113,24 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     with_cut = docs.crossJoin(F.broadcast(stats))
     base = with_cut.filter(F.col("doc_id") <= F.col("cut")).drop("cut")
     delta = with_cut.filter(F.col("doc_id") > F.col("cut")).drop("cut")
-    admitted = dedup_incremental(fingerprint_index(base), delta)
+    return base, delta
+
+
+@query("q_minhash_incremental")  # rows-only: MinHash is engine-specific
+def q_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup maintenance: the newest ~10% of documents
+    merge against the banded-MinHash index of the older 90% in
+    O(delta) — the near-dup twin of q_dedup_incremental and the op a
+    daily corpus pipeline actually runs (re-shingling 100 TB per day is
+    not an option).  The index keeps band keys for all processed docs
+    (dropped ones too), so admission decides exactly like a full greedy
+    pass; tests pin byte-equality with dedup_minhash over the full
+    corpus restricted to the delta.  Only delta-sized frames shuffle:
+    the delta's band keys broadcast to probe the index map-side
+    (operators/dedup.py dedup_minhash_incremental)."""
+    docs = load_table(spark, sf_dir, "documents")
+    base, delta = _delta_split(docs)
+    admitted = dedup_minhash_incremental(minhash_index(base), delta)
     return admitted.select("doc_id", "text", "lang", "source", "n_chars")
 
 

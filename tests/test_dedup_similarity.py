@@ -334,3 +334,41 @@ def test_semantic_decontaminate_flags_planted_contamination(spark):
     assert all(r["bench_id"] == 1 for r in got.values())
     assert got[101]["sim"] == 1.0
     assert got[100]["sim"] > 0.99
+
+
+def test_minhash_incremental_equals_full_greedy(spark):
+    """Incremental near-dup admission against a minhash_index must
+    byte-match the full-corpus greedy pass restricted to the delta
+    (delta ids are the largest, so greedy order is preserved).  The
+    index keeps dropped docs' band keys — the property that makes this
+    equality exact."""
+    from clv_data_pipeline_spark.operators.dedup import (
+        dedup_minhash,
+        dedup_minhash_incremental,
+        minhash_index,
+    )
+    from clv_data_pipeline_spark.sources.io import load_table
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    cut = docs.agg(
+        (F.max("doc_id") - F.floor(F.count("*") / 10.0).cast("long"))
+    ).collect()[0][0]
+    base = docs.filter(F.col("doc_id") <= cut)
+    delta = docs.filter(F.col("doc_id") > cut)
+
+    incremental = sorted(
+        r["doc_id"]
+        for r in dedup_minhash_incremental(
+            minhash_index(base), delta
+        ).select("doc_id").collect()
+    )
+    full = sorted(
+        r["doc_id"]
+        for r in dedup_minhash(docs)
+        .filter(F.col("doc_id") > cut)
+        .select("doc_id")
+        .collect()
+    )
+    assert incremental == full
+    assert 0 < len(incremental) <= delta.count()

@@ -48,6 +48,7 @@ _BNLJ_SCALAR_OK = {
     "q_knn_label",         # accuracy-style scalar attach via broadcast
     "q_tpch_q22",          # 1-row avg-balance threshold broadcast
     "q_dedup_incremental", # 1-row delta-cut threshold broadcast
+    "q_minhash_incremental",  # 1-row delta-cut threshold broadcast
 }
 
 

@@ -306,3 +306,13 @@ def test_quality_classifier_is_map_only(spark):
     plan = plan_of(spark, "q_quality_classifier")
     assert "Exchange" not in plan
     assert "MapInPandas" in plan
+
+
+def test_minhash_incremental_index_probe_is_broadcast(spark):
+    """The near-dup index probe must be a broadcast-semi against the
+    delta's band keys (the index is scanned map-side, never exchanged
+    for the join) — re-shuffling the 100 TB index per daily delta is
+    the failure mode this pin guards."""
+    plan = plan_of(spark, "q_minhash_incremental")
+    assert "BroadcastHashJoin LeftSemi" in plan
+    assert "CartesianProduct" not in plan
