@@ -47,6 +47,11 @@ HEADLINE = [
     "q_text_stats",
     "q_lang_id",
     "q_quality_score",
+    "q_quality_classifier",
+    "q_dedup_incremental",
+    "q_minhash_incremental",
+    "q_decontaminate_semantic",
+    "q_knn_label_ann",
     "q_clv_scores",
 ]
 

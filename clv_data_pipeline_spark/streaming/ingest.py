@@ -160,3 +160,50 @@ def upsert_sink(
         merged.write.mode("overwrite").saveAsTable(table)
 
     return _fn
+
+
+def dedup_admission_sink(
+    index_table: str,
+    admitted_table: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Build a ``foreachBatch`` body that runs incremental exact-dedup
+    admission per micro-batch — the streaming form of
+    ``operators.dedup.dedup_incremental``: a document is appended to
+    ``admitted_table`` iff its fingerprint has never been seen, and the
+    admitted fingerprints append to ``index_table`` so later triggers
+    (and later restarts — the index is a table, not executor state) see
+    them.  Work per trigger is O(batch): the batch's fingerprints
+    broadcast to probe the stored index map-side, exactly like the
+    batch operator, so a 100 TB index is scanned (pruned, if
+    partitioned by fingerprint prefix), never shuffled.  Replay safety:
+    once a batch's fingerprints land in the index, replaying that batch
+    admits nothing (the probe rejects every doc), so the sink is
+    idempotent except for a crash BETWEEN the two appends — closing
+    that window needs the appends atomic, i.e. a transactional table
+    format (Delta/Iceberg) where both become one commit keyed by
+    ``batch_id``.
+    """
+    from clv_data_pipeline_spark.operators.dedup import (
+        dedup_incremental,
+        fingerprint_index,
+    )
+
+    def _fn(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if spark.catalog.tableExists(index_table):
+            index = spark.table(index_table)
+        else:
+            index = fingerprint_index(batch_df.limit(0), text_col, id_col)
+        # admission must materialize BEFORE the index append below cuts
+        # in, and the write below must not read a table it appends to
+        admitted = dedup_incremental(
+            index, batch_df, text_col, id_col
+        ).localCheckpoint(eager=True)
+        admitted.write.mode("append").saveAsTable(admitted_table)
+        fingerprint_index(admitted, text_col, id_col).localCheckpoint(
+            eager=True
+        ).write.mode("append").saveAsTable(index_table)
+
+    return _fn

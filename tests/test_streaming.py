@@ -429,3 +429,44 @@ def test_streaming_event_time_survives_ntz_source(spark, tmp_path):
         for r in spark.read.parquet(out).collect()
     }
     assert got == {1: (2, 30.0), 2: (1, 5.0)}
+
+
+def test_dedup_admission_sink_admits_first_seen_only(spark, tmp_path):
+    """Two availableNow triggers over a document stream with duplicate
+    content within AND across batches: the admitted table must hold
+    exactly the first-seen doc per fingerprint — equal to batch
+    dedup_exact over everything streamed — and the second trigger must
+    reject content already admitted by the first (index persisted
+    across triggers as a table, not executor state)."""
+    from clv_data_pipeline_spark.operators.dedup import dedup_exact
+    from clv_data_pipeline_spark.streaming.ingest import (
+        dedup_admission_sink,
+        ingest_stream,
+    )
+
+    src = str(tmp_path / "docs_src")
+    ckpt = str(tmp_path / "docs_ckpt")
+    index_table = "t_dedup_idx"
+    admitted_table = "t_dedup_admitted"
+    spark.sql(f"DROP TABLE IF EXISTS {index_table}")
+    spark.sql(f"DROP TABLE IF EXISTS {admitted_table}")
+
+    schema = "doc_id long, text string"
+    b1 = [(1, "alpha beta"), (2, "ALPHA  beta"), (3, "gamma")]
+    b2 = [(4, "alpha beta"), (5, "delta"), (6, "delta")]
+    spark.createDataFrame(b1, schema).write.mode("append").parquet(src)
+
+    sink = dedup_admission_sink(index_table, admitted_table)
+    q = ingest_stream(spark, src, ckpt, sink, schema=schema)
+    q.awaitTermination(120)
+
+    spark.createDataFrame(b2, schema).write.mode("append").parquet(src)
+    q = ingest_stream(spark, src, ckpt, sink, schema=schema)
+    q.awaitTermination(120)
+
+    got = sorted(r["doc_id"] for r in spark.table(admitted_table).collect())
+    everything = spark.createDataFrame(b1 + b2, schema)
+    want = sorted(r["doc_id"] for r in dedup_exact(everything).collect())
+    assert got == want == [1, 3, 5]
+    # the index holds one row per distinct fingerprint
+    assert spark.table(index_table).count() == 3
