@@ -51,6 +51,7 @@ HEADLINE = [
     "q_dedup_incremental",
     "q_minhash_incremental",
     "q_decontaminate_semantic",
+    "q_dedup_embedding_incremental",
     "q_knn_label_ann",
     "q_clv_scores",
 ]

@@ -591,6 +591,112 @@ def semantic_decontaminate(
     )
 
 
+def embedding_index(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    num_planes: int = 32,
+    bands: int = 8,
+    seed: int = 7,
+) -> DataFrame:
+    """The stored state of incremental embedding dedup: SRP-LSH posting
+    lists — one (vec_id, _v, band, bv) row per band per processed
+    vector (dropped ones too, so incremental admission decides exactly
+    like a full greedy pass).  In production a persisted table
+    partitioned by (band, bv prefix); the banding matches
+    :func:`lsh_topk`'s so incremental and full candidates coincide."""
+    bits_per_band = num_planes // bands
+    mask = (1 << bits_per_band) - 1
+    sig = lsh_signatures_vectorized(
+        embeddings, id_col, vec_col, dim, num_planes, seed
+    )
+    return sig.select(
+        "vec_id",
+        "_v",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftrightunsigned(F.col("_sig"), i * bits_per_band)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("bv"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("vec_id", "_v", "bk.band", "bk.bv")
+
+
+def dedup_embedding_incremental(
+    index: DataFrame,
+    delta: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    **lsh_kwargs,
+) -> DataFrame:
+    """Admit the delta vectors that survive greedy embedding near-dup
+    removal against a corpus summarized by :func:`embedding_index` —
+    O(delta), never re-hashing the corpus.  A delta vector drops iff
+    it shares an LSH bucket with an indexed vector (all smaller ids)
+    or a smaller-id delta vector AND the exact cosine clears the
+    threshold; with delta ids appended last this equals
+    :func:`dedup_embedding` over the full corpus restricted to the
+    delta (pinned in tests).
+
+    Distributed shape: the delta's distinct bucket keys broadcast to
+    probe the index map-side (the index is scanned, never exchanged;
+    partitioned by band it prunes); the colliding posting rows come
+    back candidate-sized and broadcast onto the delta's banded frame,
+    so only delta- and candidate-sized rows ever shuffle.  Exact
+    scoring runs :func:`_pair_cosine_scores` on the deduped candidate
+    pairs.  A spam bucket whose postings outgrow the broadcast is the
+    same skew the batch path has — salt the band value or cap posting
+    lists upstream."""
+    delta_keys = embedding_index(delta, id_col, vec_col, **lsh_kwargs)
+    delta_keys = delta_keys.repartition("vec_id")
+    probe = delta_keys.select("band", "bv").distinct()
+    hits = index.join(F.broadcast(probe), ["band", "bv"], "left_semi")
+    d, x = delta_keys.alias("d"), hits.alias("x")
+    vs_index = (
+        d.join(F.broadcast(x), ["band", "bv"])
+        .select(
+            F.col("d.vec_id").alias("vec_id"),
+            F.col("x.vec_id").alias("neighbor_id"),
+            F.col("d._v").alias("_va"),
+            F.col("x._v").alias("_vb"),
+        )
+    )
+    a, b = delta_keys.alias("a"), delta_keys.alias("b")
+    in_delta = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.vec_id") > F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_id"),
+            F.col("b.vec_id").alias("neighbor_id"),
+            F.col("a._v").alias("_va"),
+            F.col("b._v").alias("_vb"),
+        )
+    )
+    cands = vs_index.unionByName(in_delta).dropDuplicates(
+        ["vec_id", "neighbor_id"]
+    )
+    losers = (
+        _pair_cosine_scores(cands, "_va", "_vb")
+        .filter(F.col("sim") >= threshold)
+        .select(F.col("vec_id").alias(id_col))
+        .distinct()
+    )
+    return delta.join(losers, id_col, "left_anti")
+
+
 def dedup_embedding(
     embeddings: DataFrame,
     threshold: float = 0.95,

@@ -118,6 +118,39 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_embedding(e, threshold=0.95).select("vec_id", "label")
 
 
+@query("q_dedup_embedding_incremental")  # rows-only: SRP-LSH hashing
+def q_dedup_embedding_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental embedding near-dup maintenance: the newest ~10% of
+    vectors (by id — the daily delta) merge against the LSH posting
+    lists of the older 90% in O(delta), completing the incremental
+    trio (exact q_dedup_incremental, MinHash q_minhash_incremental).
+    Threshold 0.38 (not q_dedup_embedding's 0.95) because the driver
+    embeddings are near-uniform (max pairwise sim ~0.47) — at 0.95 the
+    query would trivially admit everything, while 0.38 drops a
+    selective ~18% of the delta; tests pin byte-equality with the full
+    greedy pass (at a harsher 0.3) AND at 0.9 on planted duplicates.
+    Only delta- and candidate-sized frames shuffle
+    (operators/similarity.py dedup_embedding_incremental)."""
+    from clv_data_pipeline_spark.operators.similarity import (
+        dedup_embedding_incremental,
+        embedding_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    stats = emb.agg(
+        (
+            F.max("vec_id") - F.floor(F.count("*") / F.lit(10.0)).cast("long")
+        ).alias("cut")
+    )
+    with_cut = emb.crossJoin(F.broadcast(stats))
+    base = with_cut.filter(F.col("vec_id") <= F.col("cut")).drop("cut")
+    delta = with_cut.filter(F.col("vec_id") > F.col("cut")).drop("cut")
+    admitted = dedup_embedding_incremental(
+        embedding_index(base), delta, threshold=0.38
+    )
+    return admitted.select("vec_id", "label")
+
+
 @query(
     "q_embedding_class_sim",
     oracle="""

@@ -372,3 +372,67 @@ def test_minhash_incremental_equals_full_greedy(spark):
     )
     assert incremental == full
     assert 0 < len(incremental) <= delta.count()
+
+
+def test_embedding_incremental_equals_full_greedy(spark):
+    """Incremental embedding-dedup admission against an embedding_index
+    must match the full greedy dedup_embedding restricted to the delta
+    (delta ids are the largest) — at a threshold (0.3) where drops
+    actually occur on the near-uniform driver embeddings."""
+    from clv_data_pipeline_spark.operators.similarity import (
+        dedup_embedding,
+        dedup_embedding_incremental,
+        embedding_index,
+    )
+    from clv_data_pipeline_spark.sources.io import load_table
+    from tests.conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    cut = emb.agg(
+        (F.max("vec_id") - F.floor(F.count("*") / 10.0).cast("long"))
+    ).collect()[0][0]
+    base = emb.filter(F.col("vec_id") <= cut)
+    delta = emb.filter(F.col("vec_id") > cut)
+
+    incremental = sorted(
+        r["vec_id"]
+        for r in dedup_embedding_incremental(
+            embedding_index(base), delta, threshold=0.3
+        ).select("vec_id").collect()
+    )
+    full = sorted(
+        r["vec_id"]
+        for r in dedup_embedding(emb, threshold=0.3)
+        .filter(F.col("vec_id") > cut)
+        .select("vec_id")
+        .collect()
+    )
+    assert incremental == full
+    # the threshold bites: some delta vectors must actually drop
+    assert len(incremental) < delta.count()
+
+
+def test_embedding_incremental_drops_planted_duplicate(spark):
+    """A delta vector nearly identical to an indexed one must drop; a
+    distant one must be admitted."""
+    from clv_data_pipeline_spark.operators.similarity import (
+        dedup_embedding_incremental,
+        embedding_index,
+    )
+
+    dim = 64
+    e0 = [1.0] + [0.0] * (dim - 1)
+    e1 = [0.0, 1.0] + [0.0] * (dim - 2)
+    near0 = [1.0, 0.02] + [0.0] * (dim - 2)
+    schema = "vec_id long, embedding array<double>"
+    base = spark.createDataFrame([(1, e0), (2, e1)], schema)
+    delta = spark.createDataFrame(
+        [(10, near0), (11, [0.0, 0.0, 1.0] + [0.0] * (dim - 3))], schema
+    )
+    admitted = sorted(
+        r["vec_id"]
+        for r in dedup_embedding_incremental(
+            embedding_index(base), delta, threshold=0.9
+        ).select("vec_id").collect()
+    )
+    assert admitted == [11]

@@ -49,6 +49,7 @@ _BNLJ_SCALAR_OK = {
     "q_tpch_q22",          # 1-row avg-balance threshold broadcast
     "q_dedup_incremental", # 1-row delta-cut threshold broadcast
     "q_minhash_incremental",  # 1-row delta-cut threshold broadcast
+    "q_dedup_embedding_incremental",  # 1-row delta-cut threshold broadcast
 }
 
 
