@@ -303,6 +303,7 @@ def minhash_index(
     bands: int = 16,
     shingle_size: int = 5,
     seed: int = 42,
+    sig: DataFrame | None = None,
 ) -> DataFrame:
     """The stored state of incremental near-dup dedup: every processed
     document's banded MinHash keys, one (doc_id, band, bh) row per
@@ -312,11 +313,17 @@ def minhash_index(
     only with an already-dropped doc must still drop.  In production a
     persisted table partitioned by (band, bh prefix); building from
     scratch costs one signature pass over the corpus — the amortized
-    part the incremental merge never re-pays."""
+    part the incremental merge never re-pays.
+
+    ``sig`` short-circuits the signature pass with a precomputed
+    (id, _sig) frame — a caller holding signatures for base AND delta
+    (one shingle pass over everything, like q_minhash_incremental)
+    bands each side from the shared frame instead of re-hashing."""
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures_vectorized(
-        df, text_col, id_col, num_hashes, shingle_size, seed
-    )
+    if sig is None:
+        sig = minhash_signatures_vectorized(
+            df, text_col, id_col, num_hashes, shingle_size, seed
+        )
     return sig.select(
         id_col,
         F.explode(
@@ -347,6 +354,7 @@ def dedup_minhash_incremental(
     bands: int = 16,
     shingle_size: int = 5,
     seed: int = 42,
+    delta_keys: DataFrame | None = None,
 ) -> DataFrame:
     """Admit the delta documents that survive greedy MinHash near-dup
     removal against a corpus summarized by :func:`minhash_index` —
@@ -362,10 +370,13 @@ def dedup_minhash_incremental(
     prunes too), colliding keys come back tiny, and both the collision
     re-attach and the within-delta pair join run on delta-sized banded
     frames.  After admission, append the DELTA's index rows (all docs,
-    admitted or not) to the stored index."""
-    delta_keys = minhash_index(
-        delta, text_col, id_col, num_hashes, bands, shingle_size, seed
-    )
+    admitted or not) to the stored index.  ``delta_keys`` accepts the
+    delta's precomputed band keys (see :func:`minhash_index`'s
+    ``sig``)."""
+    if delta_keys is None:
+        delta_keys = minhash_index(
+            delta, text_col, id_col, num_hashes, bands, shingle_size, seed
+        )
     # Exchange barrier (same rationale as minhash_candidates): the
     # banded frame feeds three consumers below.
     delta_keys = delta_keys.repartition(id_col)

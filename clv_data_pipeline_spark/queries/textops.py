@@ -127,7 +127,11 @@ def q_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass; tests pin byte-equality with dedup_minhash over the full
     corpus restricted to the delta.  Only delta-sized frames shuffle:
     the delta's band keys broadcast to probe the index map-side
-    (operators/dedup.py dedup_minhash_incremental)."""
+    (operators/dedup.py dedup_minhash_incremental).  The in-query index
+    build shingles the base once — the amortized cost a production
+    pipeline pays at ingest, not per delta (the operator's sig /
+    delta_keys hooks take stored signatures directly); base and delta
+    are disjoint, so total signature work equals one corpus pass."""
     docs = load_table(spark, sf_dir, "documents")
     base, delta = _delta_split(docs)
     admitted = dedup_minhash_incremental(minhash_index(base), delta)
