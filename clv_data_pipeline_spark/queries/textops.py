@@ -116,6 +116,69 @@ def _delta_split(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
     return base, delta
 
 
+@query(
+    "q_stream_dedup",
+    oracle="""
+    WITH fp AS (
+        SELECT doc_id,
+               md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS f
+        FROM documents),
+    winners AS (SELECT f, MIN(doc_id) AS doc_id FROM fp GROUP BY f)
+    SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+    FROM documents d JOIN winners w ON d.doc_id = w.doc_id
+    """,
+)
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once corpus-ingest dedup run by the REAL Structured
+    Streaming engine: documents stream through
+    streaming/ingest.py:dedup_admission_sink (foreachBatch incremental
+    admission with a table-persisted fingerprint index), and the
+    admitted table must hash-match the same DuckDB oracle as the batch
+    q_dedup_exact — streaming admission and batch dedup must agree
+    bit-for-bit.  Per-trigger work is O(batch): the batch's
+    fingerprints broadcast to probe the stored index map-side.  The
+    uuid-suffixed state tables are dropped after materializing the
+    result, so repeated invocations don't accumulate warehouse
+    state."""
+    import tempfile
+    import uuid
+
+    from clv_data_pipeline_spark.streaming.ingest import (
+        dedup_admission_sink,
+    )
+
+    suffix = uuid.uuid4().hex[:8]
+    index_table = f"stream_dedup_idx_{suffix}"
+    admitted_table = f"stream_dedup_adm_{suffix}"
+    raw_schema = spark.read.parquet(
+        f"{sf_dir}/documents.parquet"
+    ).schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            dedup_admission_sink(index_table, admitted_table)
+        )
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="q_stream_dedup_")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    out = (
+        spark.table(admitted_table)
+        .select("doc_id", "text", "lang", "source", "n_chars")
+        .localCheckpoint(eager=True)
+    )
+    spark.sql(f"DROP TABLE IF EXISTS {admitted_table}")
+    spark.sql(f"DROP TABLE IF EXISTS {index_table}")
+    return out
+
+
 @query("q_minhash_incremental")  # rows-only: MinHash is engine-specific
 def q_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental NEAR-dup maintenance: the newest ~10% of documents
