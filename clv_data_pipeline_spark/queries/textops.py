@@ -116,6 +116,45 @@ def _delta_split(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
     return base, delta
 
 
+@query("q_bpe_merges")  # rows-only: iterative greedy loop, not SQL
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training (top-20 merges) — the missing first step
+    of the tokenize/chunk/pack chain.  The corpus contributes exactly
+    one shuffle (word -> frequency); the greedy merge loop runs on the
+    vocab-sized result, a bounded driver barrier like the CLV MLE fit
+    (operators/corpus.py bpe_train; at 100 TB the vocabulary is still
+    ~1e5 rows).  Deterministic: highest pair count, ties
+    lexicographic; tests pin the merges against an independent
+    reference BPE on a fixture corpus."""
+    from clv_data_pipeline_spark.operators.corpus import bpe_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe_train(docs, num_merges=20)
+    return spark.createDataFrame(
+        [(i + 1, left, right, n) for i, (left, right, n) in enumerate(merges)],
+        "merge_rank long, left string, right string, pair_count long",
+    )
+
+
+@query("q_bpe_tokenize")  # rows-only: learned-merge segmentation
+def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-then-apply BPE: learn 20 merges from the corpus
+    (q_bpe_merges' path), broadcast them, and tokenize every document
+    in one map-only Arrow pass with a per-word memo — real token
+    counting with a real learned tokenizer, at scan speed with zero
+    corpus shuffles (operators/corpus.py bpe_segment_counts).
+    n_bpe_tokens <= characters and >= n_words by construction; the
+    ratio is the compression the tokenizer achieves."""
+    from clv_data_pipeline_spark.operators.corpus import (
+        bpe_segment_counts,
+        bpe_train,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe_train(docs, num_merges=20)
+    return bpe_segment_counts(docs, merges)
+
+
 @query(
     "q_stream_dedup",
     oracle="""

@@ -72,3 +72,74 @@ def test_pack_documents_budget(spark):
         per_bin[r["bin_id"]] += r["n_tokens"]
     # every bin except possibly via a single spill-over doc stays bounded
     assert all(v <= 10 + 5 for v in per_bin.values())
+
+
+def test_bpe_train_matches_reference_on_fixture(spark):
+    """bpe_train's merges must equal an independently coded reference
+    BPE (Sennrich-style, word-frequency dict, end-of-word marker) on
+    the classic low/lower fixture."""
+    from clv_data_pipeline_spark.operators.corpus import bpe_train
+
+    docs = spark.createDataFrame(
+        [(1, "low low low low low"), (2, "lower lower widest widest"),
+         (3, "newest newest newest widest")],
+        "doc_id long, text string",
+    )
+
+    # independent reference implementation (dict-based, no Spark)
+    vocab = {"low": 5, "lower": 2, "widest": 3, "newest": 3}
+    seqs = {w: tuple(w) + ("</w>",) for w in vocab}
+    want = []
+    for _ in range(6):
+        pc = {}
+        for w, f in vocab.items():
+            s = seqs[w]
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] = pc.get((s[i], s[i + 1]), 0) + f
+        top = max(pc.values())
+        best = min(p for p, c in pc.items() if c == top)
+        want.append((best[0], best[1], top))
+        m = best[0] + best[1]
+        for w in seqs:
+            s, out, i = seqs[w], [], 0
+            while i < len(s):
+                if i < len(s) - 1 and (s[i], s[i + 1]) == best:
+                    out.append(m); i += 2
+                else:
+                    out.append(s[i]); i += 1
+            seqs[w] = tuple(out)
+
+    got = bpe_train(docs, num_merges=6)
+    assert got == want
+    # hand-check the first merge: ('l','o') rides low(5) + lower(2)
+    assert got[0] == ("l", "o", 7)
+
+
+def test_bpe_segment_counts_applies_merges(spark):
+    """Segmentation with learned merges: fully-merged words collapse
+    to one token; unseen words fall back to characters + marker."""
+    from clv_data_pipeline_spark.operators.corpus import (
+        bpe_segment_counts,
+        bpe_train,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "low low low low low"), (2, "lower lower widest widest"),
+         (3, "newest newest newest widest")],
+        "doc_id long, text string",
+    )
+    # enough merges to fully merge every vocab word
+    merges = bpe_train(docs, num_merges=30)
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_bpe_tokens"])
+        for r in bpe_segment_counts(docs, merges).collect()
+    }
+    # every in-vocab word collapses to a single token
+    assert got == {1: (5, 5), 2: (4, 4), 3: (4, 4)}
+
+    # unseen word: no merge applies beyond learned pairs; 'zzz' has no
+    # learned merges so it stays 3 chars + </w> = 4 pieces
+    other = spark.createDataFrame([(9, "zzz low")], "doc_id long, text string")
+    got9 = bpe_segment_counts(other, merges).collect()[0]
+    assert got9["n_words"] == 2
+    assert got9["n_bpe_tokens"] == 4 + 1
