@@ -48,6 +48,7 @@ HEADLINE = [
     "q_lang_id",
     "q_quality_score",
     "q_quality_classifier",
+    "q_bpe_tokenize",
     "q_dedup_incremental",
     "q_minhash_incremental",
     "q_decontaminate_semantic",

@@ -316,3 +316,20 @@ def test_minhash_incremental_index_probe_is_broadcast(spark):
     plan = plan_of(spark, "q_minhash_incremental")
     assert "BroadcastHashJoin LeftSemi" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_decontaminate_semantic_is_map_only(spark):
+    """Benchmark matrix broadcast + BLAS scan: the corpus side must
+    show zero exchanges — decontamination at scan speed."""
+    plan = plan_of(spark, "q_decontaminate_semantic")
+    assert "Exchange" not in plan
+    assert "MapInPandas" in plan
+
+
+def test_embedding_incremental_index_probe_is_broadcast(spark):
+    """Embedding near-dup maintenance: the posting-list probe and the
+    candidate re-attach must both be broadcast joins — the stored LSH
+    index is scanned map-side, never exchanged for a join."""
+    plan = plan_of(spark, "q_dedup_embedding_incremental")
+    assert "BroadcastHashJoin LeftSemi" in plan
+    assert "CartesianProduct" not in plan
