@@ -444,12 +444,16 @@ def test_dedup_admission_sink_admits_first_seen_only(spark, tmp_path):
         ingest_stream,
     )
 
+    import uuid
+
     src = str(tmp_path / "docs_src")
     ckpt = str(tmp_path / "docs_ckpt")
-    index_table = "t_dedup_idx"
-    admitted_table = "t_dedup_admitted"
-    spark.sql(f"DROP TABLE IF EXISTS {index_table}")
-    spark.sql(f"DROP TABLE IF EXISTS {admitted_table}")
+    # uuid table names: a fixed name leaves warehouse files behind that
+    # a later session's DROP TABLE IF EXISTS (empty catalog) won't
+    # remove, and append-mode saveAsTable would resurrect them
+    suffix = uuid.uuid4().hex[:8]
+    index_table = f"t_dedup_idx_{suffix}"
+    admitted_table = f"t_dedup_adm_{suffix}"
 
     schema = "doc_id long, text string"
     b1 = [(1, "alpha beta"), (2, "ALPHA  beta"), (3, "gamma")]
@@ -464,9 +468,17 @@ def test_dedup_admission_sink_admits_first_seen_only(spark, tmp_path):
     q = ingest_stream(spark, src, ckpt, sink, schema=schema)
     q.awaitTermination(120)
 
-    got = sorted(r["doc_id"] for r in spark.table(admitted_table).collect())
-    everything = spark.createDataFrame(b1 + b2, schema)
-    want = sorted(r["doc_id"] for r in dedup_exact(everything).collect())
-    assert got == want == [1, 3, 5]
-    # the index holds one row per distinct fingerprint
-    assert spark.table(index_table).count() == 3
+    try:
+        got = sorted(
+            r["doc_id"] for r in spark.table(admitted_table).collect()
+        )
+        everything = spark.createDataFrame(b1 + b2, schema)
+        want = sorted(
+            r["doc_id"] for r in dedup_exact(everything).collect()
+        )
+        assert got == want == [1, 3, 5]
+        # the index holds one row per distinct fingerprint
+        assert spark.table(index_table).count() == 3
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {admitted_table}")
+        spark.sql(f"DROP TABLE IF EXISTS {index_table}")
