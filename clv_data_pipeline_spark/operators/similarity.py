@@ -562,6 +562,96 @@ def ivf_topk(
     ).filter(F.col("rank") <= k)
 
 
+def hard_negatives(
+    embeddings: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    num_shards: int = 4,
+    round_scale: int = 6,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for every labeled
+    vector, the top-k most-similar vectors with a DIFFERENT label —
+    the pairs that teach a metric model the most.  Same sharded
+    broadcast/BLAS shape as :func:`cosine_topk_sharded` (bounded
+    per-shard broadcast, exact global re-rank), with the label mask
+    applied inside the kernel against the broadcast (ids, labels,
+    matrix) triple, so cross-label pairs never materialize outside the
+    top-k.  Null-labeled vectors are excluded on both sides (a null
+    label is neither same nor different).
+    """
+    import numpy as np
+    import pandas as pd
+
+    labeled = embeddings.filter(F.col(label_col).isNotNull())
+
+    def _vs_shard(shard: DataFrame) -> DataFrame:
+        pdf = shard.select(id_col, vec_col, label_col).toPandas()
+        if pdf.empty:
+            return labeled.sparkSession.createDataFrame(
+                [],
+                "vec_id long, label long, neg_id long, neg_label long,"
+                " sim double, rank long",
+            )
+        ids_b = pdf[id_col].to_numpy(dtype=np.int64)
+        labels_b = pdf[label_col].to_numpy(dtype=np.int64)
+        B = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+        B /= np.linalg.norm(B, axis=1, keepdims=True)
+        bc = labeled.sparkSession.sparkContext.broadcast(
+            (ids_b, labels_b, B)
+        )
+
+        def _score(batches):
+            idx_ids, idx_labels, Bn = bc.value
+            for qdf in batches:
+                if qdf.empty:
+                    continue
+                A = np.stack(qdf[vec_col].to_numpy()).astype(np.float64)
+                A /= np.linalg.norm(A, axis=1, keepdims=True)
+                sims = np.round(A @ Bn.T, round_scale)
+                q_ids = qdf[id_col].to_numpy(dtype=np.int64)
+                q_labels = qdf[label_col].to_numpy(dtype=np.int64)
+                rows = {
+                    "vec_id": [], "label": [], "neg_id": [],
+                    "neg_label": [], "sim": [], "rank": [],
+                }
+                for i, qid in enumerate(q_ids):
+                    mask = idx_labels != q_labels[i]
+                    if not mask.any():
+                        continue
+                    s = sims[i][mask]
+                    nb_ids = idx_ids[mask]
+                    nb_labels = idx_labels[mask]
+                    order = np.lexsort((nb_ids, -s))[:k]
+                    rows["vec_id"].extend([qid] * len(order))
+                    rows["label"].extend([q_labels[i]] * len(order))
+                    rows["neg_id"].extend(nb_ids[order].tolist())
+                    rows["neg_label"].extend(nb_labels[order].tolist())
+                    rows["sim"].extend(s[order].tolist())
+                    rows["rank"].extend(range(1, len(order) + 1))
+                yield pd.DataFrame(rows)
+
+        return labeled.select(id_col, vec_col, label_col).mapInPandas(
+            _score,
+            "vec_id long, label long, neg_id long, neg_label long,"
+            " sim double, rank long",
+        )
+
+    per_shard = None
+    for i in range(num_shards):
+        topk = _vs_shard(
+            labeled.filter(F.pmod(F.col(id_col), F.lit(num_shards)) == i)
+        )
+        per_shard = topk if per_shard is None else per_shard.unionByName(topk)
+    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.col("neg_id"))
+    return (
+        per_shard.drop("rank")
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def semantic_decontaminate(
     corpus: DataFrame,
     bench: DataFrame,

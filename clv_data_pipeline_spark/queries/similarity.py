@@ -118,6 +118,40 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_embedding(e, threshold=0.95).select("vec_id", "label")
 
 
+@query(
+    "q_hard_negatives",
+    oracle="""
+    WITH pairs AS (
+        SELECT a.vec_id, CAST(a.label AS BIGINT) AS label,
+               b.vec_id AS neg_id, CAST(b.label AS BIGINT) AS neg_label,
+               ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                            CAST(b.embedding AS DOUBLE[])), 6)
+                   AS sim
+        FROM embeddings a JOIN embeddings b
+          ON a.label <> b.label
+         AND a.label IS NOT NULL AND b.label IS NOT NULL),
+    ranked AS (
+        SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY vec_id
+                       ORDER BY sim DESC, neg_id) AS BIGINT) AS rank
+        FROM pairs)
+    SELECT vec_id, label, neg_id, neg_label, sim, rank
+    FROM ranked WHERE rank <= 3
+    """,
+)
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining: each labeled vector's top-3 most-similar
+    OTHER-label vectors — the training pairs contrastive/metric models
+    learn most from, and the standard companion to q_knn_label in an
+    embedding-curation pipeline.  Exact, via the sharded broadcast/BLAS
+    kernel with the label mask applied inside the kernel, so
+    cross-label pairs never exist outside each shard's top-k
+    (operators/similarity.py hard_negatives)."""
+    from clv_data_pipeline_spark.operators.similarity import hard_negatives
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return hard_negatives(emb, k=3, num_shards=4)
+
+
 @query("q_dedup_embedding_incremental")  # rows-only: SRP-LSH hashing
 def q_dedup_embedding_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental embedding near-dup maintenance: the newest ~10% of
