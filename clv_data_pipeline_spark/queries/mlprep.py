@@ -557,3 +557,75 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(
         _score, "doc_id long, dot long, score double, keep long"
     )
+
+
+@query(
+    "q_perplexity",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_TOKENIZE_SQL}) AS term FROM documents),
+    tf AS (
+        SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM toks WHERE term <> '' GROUP BY doc_id, term),
+    lm AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS n_t FROM tf GROUP BY term),
+    corpus AS (SELECT CAST(SUM(n_t) AS BIGINT) AS n_total FROM lm),
+    scored AS (
+        SELECT tf.doc_id,
+               CAST(SUM(tf.tf) AS BIGINT) AS n_tokens,
+               SUM(CAST(ROUND(-tf.tf * ln(CAST(lm.n_t AS DOUBLE)
+                                          / corpus.n_total), 9)
+                        AS DECIMAL(28,9))) AS nll
+        FROM tf JOIN lm USING (term) CROSS JOIN corpus
+        GROUP BY tf.doc_id)
+    SELECT doc_id, n_tokens,
+           ROUND(CAST(nll AS DOUBLE) / n_tokens, 6) AS avg_nll,
+           ROUND(EXP(ROUND(CAST(nll AS DOUBLE) / n_tokens, 6)), 2) AS ppl
+    FROM scored
+    """,
+)
+def q_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM perplexity per document (CCNet-style quality filter):
+    train the LM on the corpus itself — term -> global count, one
+    vocabulary-sized aggregation — then score each document's average
+    negative log-likelihood.  Gibberish and boilerplate score high /
+    low against the corpus distribution; the standard companion to the
+    heuristic, entropy, and classifier quality signals.
+
+    Scale shape: the (doc, term) frequency shuffle is shared with
+    BM25/entropy; the LM is vocabulary-sized so the term join is a
+    plain shuffle join (broadcast it if the vocab is capped); the
+    1-row total rides a broadcast.  Determinism: each term's NLL
+    contribution rounds to 9 places and accumulates as exact DECIMAL;
+    ppl exponentiates the already-rounded avg_nll so both engines
+    exponentiate the identical double."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(normalize_text(F.col("text")), " ")).alias("term"),
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    lm = tf.groupBy("term").agg(F.sum("tf").alias("n_t"))
+    corpus = lm.agg(F.sum("n_t").alias("n_total"))
+    nll_term = F.round(
+        -F.col("tf")
+        * F.log(F.col("n_t").cast("double") / F.col("n_total")),
+        9,
+    ).cast("decimal(28,9)")
+    scored = (
+        tf.join(lm, "term")
+        .crossJoin(F.broadcast(corpus))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.sum(nll_term).alias("nll"),
+        )
+    )
+    avg_nll = F.round(
+        F.col("nll").cast("double") / F.col("n_tokens"), 6
+    )
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        avg_nll.alias("avg_nll"),
+        F.round(F.exp(avg_nll), 2).alias("ppl"),
+    )

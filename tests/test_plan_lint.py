@@ -50,6 +50,7 @@ _BNLJ_SCALAR_OK = {
     "q_dedup_incremental", # 1-row delta-cut threshold broadcast
     "q_minhash_incremental",  # 1-row delta-cut threshold broadcast
     "q_dedup_embedding_incremental",  # 1-row delta-cut threshold broadcast
+    "q_perplexity",        # 1-row corpus-total broadcast
 }
 
 
