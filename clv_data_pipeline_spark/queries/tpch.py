@@ -584,6 +584,102 @@ def q_stream_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_stream_join",
+    oracle="""
+    SELECT CAST(p.event_id AS BIGINT) AS purchase_id,
+           CAST(v.event_id AS BIGINT) AS view_id,
+           CAST(p.user_id AS BIGINT) AS user_id
+    FROM events p JOIN events v
+      ON p.event_type = 'purchase' AND v.event_type = 'view'
+     AND p.user_id = v.user_id
+     AND v.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
+    """,
+)
+def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join on the REAL Structured Streaming
+    engine: purchases join the same user's views from the preceding
+    hour (attribution), both sides watermarked so the view-side state
+    is bounded — the watermark plus the join's time-range condition is
+    what lets an infinite stream drop view state once no future
+    purchase can reach it.  availableNow + memory sink; the emitted
+    pair set must hash-match the DuckDB batch self-join — streaming
+    and batch attribution agree exactly.
+    """
+    import os
+    import tempfile
+    import uuid
+
+    path = os.path.join(sf_dir, "events.parquet")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(path).schema
+    ts_is_bigint = (
+        dict((f.name, f.dataType.simpleString()) for f in raw_schema).get(
+            "ts"
+        )
+        == "bigint"
+    )
+
+    def _events_stream():
+        from clv_data_pipeline_spark.streaming.ingest import (
+            ensure_event_time,
+        )
+
+        s = (
+            spark.readStream.schema(raw_schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+        if ts_is_bigint:
+            s = s.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return ensure_event_time(s)
+
+    views = (
+        _events_stream()
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "1 hour")
+    )
+    purchases = (
+        _events_stream()
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = purchases.join(
+        views,
+        F.expr(
+            "user_id = v_user AND "
+            "view_ts BETWEEN purchase_ts - INTERVAL 1 HOUR AND purchase_ts"
+        ),
+    ).select(
+        F.col("purchase_id").cast("long"),
+        F.col("view_id").cast("long"),
+        F.col("user_id").cast("long"),
+    )
+    sink = f"stream_join_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="q_stream_join_")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(sink)
+
+
+@query(
     "q_events_daily",
     oracle="""
     SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
