@@ -179,6 +179,7 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     uuid-suffixed state tables are dropped after materializing the
     result, so repeated invocations don't accumulate warehouse
     state."""
+    import shutil
     import tempfile
     import uuid
 
@@ -197,17 +198,17 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "documents.parquet")
         .parquet(sf_dir)
     )
+    ckpt = tempfile.mkdtemp(prefix="q_stream_dedup_")
     q = (
         stream.writeStream.foreachBatch(
             dedup_admission_sink(index_table, admitted_table)
         )
-        .option(
-            "checkpointLocation", tempfile.mkdtemp(prefix="q_stream_dedup_")
-        )
+        .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination(300)
+    shutil.rmtree(ckpt, ignore_errors=True)
     out = (
         spark.table(admitted_table)
         .select("doc_id", "text", "lang", "source", "n_chars")

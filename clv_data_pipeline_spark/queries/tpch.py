@@ -569,17 +569,22 @@ def q_stream_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     sink = f"stream_daily_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="q_stream_daily_")
     q = (
         agg.writeStream.format("memory")
         .queryName(sink)
         .outputMode("complete")
-        .option(
-            "checkpointLocation", tempfile.mkdtemp(prefix="q_stream_daily_")
-        )
+        .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination(300)
+    # the memory sink holds the rows; the checkpoint is only needed
+    # while the query runs — reclaim it so repeated invocations don't
+    # accumulate tmp dirs
+    import shutil
+
+    shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(sink)
 
 
@@ -665,17 +670,19 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("user_id").cast("long"),
     )
     sink = f"stream_join_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="q_stream_join_")
     q = (
         joined.writeStream.format("memory")
         .queryName(sink)
         .outputMode("append")
-        .option(
-            "checkpointLocation", tempfile.mkdtemp(prefix="q_stream_join_")
-        )
+        .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination(300)
+    import shutil
+
+    shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(sink)
 
 
