@@ -333,3 +333,21 @@ def test_embedding_incremental_index_probe_is_broadcast(spark):
     plan = plan_of(spark, "q_dedup_embedding_incremental")
     assert "BroadcastHashJoin LeftSemi" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_hard_negatives_single_exchange(spark):
+    """Label-masked mining scores inside the broadcast kernel; the only
+    exchange is the global top-k re-rank window."""
+    import re
+
+    plan = plan_of(spark, "q_hard_negatives")
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert "MapInPandas" in plan
+
+
+def test_bpe_tokenize_is_map_only(spark):
+    """Applying learned merges is a broadcast + map pass: zero
+    exchanges — the corpus tokenizes at scan speed."""
+    plan = plan_of(spark, "q_bpe_tokenize")
+    assert "Exchange" not in plan
+    assert "MapInPandas" in plan
