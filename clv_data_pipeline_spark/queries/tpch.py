@@ -351,6 +351,70 @@ def q_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_ewma",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, CAST(value AS DOUBLE) AS v,
+               ROW_NUMBER() OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+               COUNT(*) OVER (PARTITION BY user_id) AS n
+        FROM events),
+    terms AS (
+        SELECT user_id, n,
+               CASE WHEN rn = 1
+                    THEN v * POWER(0.7, n - 1)
+                    ELSE v * 0.3 * POWER(0.7, n - rn) END AS t
+        FROM ordered)
+    SELECT user_id, CAST(n AS BIGINT) AS n_events,
+           ROUND(CAST(SUM(CAST(ROUND(t, 9) AS DECIMAL(28,9))) AS DOUBLE), 6)
+               AS ewma_value
+    FROM terms GROUP BY user_id, n
+    """,
+)
+def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially weighted moving average of event value
+    (alpha=0.3) — the recency-weighted signal feature stores keep next
+    to plain trailing means (q_moving_avg).  The recursion s_n =
+    a*v_n + (1-a)*s_(n-1) unrolls to a closed-form weighted sum, so it
+    computes as ONE window pass + one aggregation instead of a
+    sequential fold: weight_i = a*(1-a)^(n-i), with the first
+    observation carrying (1-a)^(n-1).  Determinism: each term rounds
+    to 9 places and accumulates as exact DECIMAL (POWER is one libm
+    call on identical doubles in both engines, same precedent as
+    q_bm25's ln)."""
+    ev = load_table(spark, sf_dir, "events")
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wn = Window.partitionBy("user_id")
+    alpha = 0.3
+    ordered = ev.select(
+        "user_id",
+        F.col("value").cast("double").alias("v"),
+        F.row_number().over(wo).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+    term = F.when(
+        F.col("rn") == 1,
+        F.col("v") * F.pow(F.lit(1 - alpha), F.col("n") - 1),
+    ).otherwise(
+        F.col("v")
+        * F.lit(alpha)
+        * F.pow(F.lit(1 - alpha), F.col("n") - F.col("rn"))
+    )
+    return (
+        ordered.select(
+            "user_id", "n", F.round(term, 9).cast("decimal(28,9)").alias("t")
+        )
+        .groupBy("user_id", "n")
+        .agg(F.round(F.sum("t").cast("double"), 6).alias("ewma_value"))
+        .select(
+            "user_id",
+            F.col("n").cast("long").alias("n_events"),
+            "ewma_value",
+        )
+    )
+
+
+@query(
     "q_event_gaps",
     oracle="""
     WITH gaps AS (

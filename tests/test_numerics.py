@@ -67,3 +67,34 @@ def test_float_aggregates_partition_independent(spark):
             assert results[0] == results[1], f"{name} partition-dependent"
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def test_ewma_closed_form_equals_sequential_fold(spark):
+    """q_ewma's one-pass closed form must equal the textbook sequential
+    recursion s_n = a*v_n + (1-a)*s_(n-1) folded per user in plain
+    Python."""
+    from collections import defaultdict
+
+    from clv_data_pipeline_spark import registry
+    from clv_data_pipeline_spark.sources.io import load_table
+    from tests.conftest import SF_SMOKE
+
+    got = {
+        r["user_id"]: (r["n_events"], r["ewma_value"])
+        for r in registry.all_queries()["q_ewma"](spark, SF_SMOKE).collect()
+    }
+    ev = defaultdict(list)
+    for r in (
+        load_table(spark, SF_SMOKE, "events")
+        .select("user_id", "ts", "event_id", "value")
+        .collect()
+    ):
+        ev[r["user_id"]].append((r["ts"], r["event_id"], float(r["value"])))
+    for uid, rows in ev.items():
+        rows.sort()
+        s = rows[0][2]
+        for _, _, v in rows[1:]:
+            s = 0.3 * v + 0.7 * s
+        n, ewma = got[uid]
+        assert n == len(rows)
+        assert abs(ewma - s) < 1e-5, (uid, ewma, s)

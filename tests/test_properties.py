@@ -184,3 +184,51 @@ def test_merge_upsert_null_updates(spark, tkeys, svals):
         assert rows[k] == v  # source wins, including NULL
     for k in set(tkeys) - set(svals):
         assert rows[k] == "t"
+
+
+@given(
+    words=st.lists(
+        st.text(alphabet="abcd", min_size=1, max_size=6),
+        min_size=1,
+        max_size=12,
+    ),
+    n_merges=st.integers(min_value=1, max_value=8),
+)
+@settings(max_examples=25, deadline=None)
+def test_bpe_train_matches_reference_property(spark, words, n_merges):
+    """bpe_train == an independently coded reference BPE for ANY small
+    corpus: same merges, same counts, same order (greedy max count,
+    lexicographic ties)."""
+    from clv_data_pipeline_spark.operators.corpus import bpe_train
+
+    docs = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(words)], "doc_id long, text string"
+    )
+
+    # reference: dict-based BPE on the word-frequency table
+    vocab: dict = {}
+    for w in words:
+        vocab[w] = vocab.get(w, 0) + 1
+    seqs = {w: tuple(w) + ("</w>",) for w in vocab}
+    want = []
+    for _ in range(n_merges):
+        pc: dict = {}
+        for w, f in vocab.items():
+            s = seqs[w]
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] = pc.get((s[i], s[i + 1]), 0) + f
+        if not pc:
+            break
+        top = max(pc.values())
+        best = min(p for p, c in pc.items() if c == top)
+        want.append((best[0], best[1], top))
+        for w in seqs:
+            s, out, i = seqs[w], [], 0
+            while i < len(s):
+                if i < len(s) - 1 and (s[i], s[i + 1]) == best:
+                    out.append(best[0] + best[1]); i += 2
+                else:
+                    out.append(s[i]); i += 1
+            seqs[w] = tuple(out)
+
+    assert bpe_train(docs, num_merges=n_merges) == want
