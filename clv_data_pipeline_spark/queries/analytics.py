@@ -234,6 +234,41 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_sample_exact_n",
+    oracle="""
+    WITH ranked AS (
+        SELECT doc_id, source,
+               CAST(ROW_NUMBER() OVER (PARTITION BY source
+                    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+                    AS BIGINT) AS pick
+        FROM documents)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, source, pick
+    FROM ranked WHERE pick <= 20
+    """,
+)
+def q_sample_exact_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-n-per-stratum sampling (20 docs per source) by md5-hash
+    order — how eval/holdout sets of a FIXED size are drawn when the
+    rate-based q_stratified_sample's binomial size variance is
+    unacceptable.  Hash order makes the pick uniform-ish,
+    engine-portable, and stable under reruns and repartitioning; the
+    doc_id tiebreak pins md5 collisions.  One shuffle on the stratum
+    key; rn<=20 pushes down as a per-partition group limit
+    (WindowGroupLimit) so the shuffle carries only survivors of the
+    map-side top-20, not the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        docs.select("doc_id", "source")
+        .withColumn("pick", F.row_number().over(w).cast("long"))
+        .filter(F.col("pick") <= 20)
+        .select(F.col("doc_id").cast("long"), "source", "pick")
+    )
+
+
+@query(
     "q_quantize_embeddings",
     oracle="""
     WITH scaled AS (
