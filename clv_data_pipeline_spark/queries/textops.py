@@ -879,3 +879,96 @@ def q_set_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return set_similarity_join(docs, threshold_pct=90)
+
+
+_LINE_W = 3  #: words per segment ("line" — the corpus has no newlines)
+_LINE_MIN_DF = 3  #: segments in >= this many distinct docs are boilerplate
+
+
+@query(
+    "q_dedup_lines",
+    oracle=f"""
+    WITH expl AS (
+      SELECT doc_id, l,
+             UNNEST(range(CAST(ceil(len(l) / {_LINE_W}.0) AS BIGINT))) AS seg
+      FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents) d),
+    segs AS (
+      SELECT doc_id, CAST(seg AS BIGINT) AS seg,
+             array_to_string(
+               l[seg * {_LINE_W} + 1 : seg * {_LINE_W} + {_LINE_W}],
+               ' ') AS seg_text
+      FROM expl),
+    banned AS (
+      SELECT seg_text FROM segs
+      GROUP BY seg_text
+      HAVING COUNT(DISTINCT doc_id) >= {_LINE_MIN_DF}),
+    kept AS (
+      SELECT s.doc_id, s.seg, s.seg_text
+      FROM segs s LEFT JOIN banned b USING (seg_text)
+      WHERE b.seg_text IS NULL)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           STRING_AGG(seg_text, ' ' ORDER BY seg) AS clean_text,
+           CAST(COUNT(*) AS BIGINT) AS n_kept_segments
+    FROM kept GROUP BY doc_id
+    """,
+)
+def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-segment (line-level) dedup — the RefinedWeb/CCNet-style
+    boilerplate scrub that removes lines recurring across many documents
+    (headers, footers, nav chrome) while keeping each document's unique
+    content.  This corpus has no newlines, so a "line" is a fixed
+    3-word segment; any segment appearing verbatim in >= 3 distinct docs is dropped and the survivors are
+    stitched back in order.  Documents whose every segment is
+    boilerplate disappear entirely (ref behavior: full-document dedup
+    is dags/transform_data.py:31; this is its sub-document refinement).
+
+    Scale shape: segmentization is map-only (split + explode over a
+    sequence); the segment-frequency aggregation is one partial-agg
+    shuffle keyed on seg_text; the banned set (frequency >= min_df) is
+    small BY CONSTRUCTION — high-frequency boilerplate — so it
+    broadcasts into a left-anti BroadcastHashJoin (no second shuffle of
+    the corpus); reassembly is one shuffle keyed on doc_id.  At 100 TB:
+    2 corpus shuffles total, banned-set broadcast bounded by distinct
+    boilerplate volume (hash the seg_text to 8 bytes first if memory
+    gets tight).  array_sort over (seg, text) structs makes reassembly
+    order deterministic under any partitioning.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    expl = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        w.alias("l"),
+    ).select(
+        "doc_id",
+        "l",
+        F.explode(
+            F.sequence(
+                F.lit(0).cast("long"),
+                F.ceil(F.size("l") / float(_LINE_W)).cast("long") - 1,
+            )
+        ).alias("seg"),
+    )
+    segs = expl.select(
+        "doc_id",
+        "seg",
+        F.array_join(
+            F.slice("l", F.col("seg") * _LINE_W + 1, _LINE_W), " "
+        ).alias("seg_text"),
+    )
+    banned = (
+        segs.groupBy("seg_text")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") >= _LINE_MIN_DF)
+        .select("seg_text")
+    )
+    kept = segs.join(F.broadcast(banned), "seg_text", "left_anti")
+    pair = F.struct(F.col("seg"), F.col("seg_text"))
+    return kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(pair)), lambda x: x["seg_text"]
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count("*").alias("n_kept_segments"),
+    )

@@ -351,3 +351,14 @@ def test_bpe_tokenize_is_map_only(spark):
     plan = plan_of(spark, "q_bpe_tokenize")
     assert "Exchange" not in plan
     assert "MapInPandas" in plan
+
+
+def test_dedup_lines_banned_set_broadcasts(spark):
+    """Line-level dedup filters the corpus through a BROADCAST
+    left-anti join on the (small-by-construction) boilerplate set —
+    the probe side must not shuffle for the filter; the only probe
+    exchange is the doc_id reassembly."""
+    plan = plan_of(spark, "q_dedup_lines")
+    assert "BroadcastHashJoin LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
