@@ -287,3 +287,60 @@ def q_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cluster_id"),
         )
     )
+
+
+@query("q_ann_recall")  # rows-only: evaluates the hash-family kernels
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k harness for the ANN kernels: runs the EXACT sharded
+    brute-force top-k and both approximate kernels (SRP-LSH, IVF) over
+    the same embeddings, then reports micro-averaged recall@10 per
+    method — |ann ∩ exact| / |exact| over all (query, neighbor) pairs.
+    This is the "measure, don't guess" loop a 100 TB deployment runs on
+    a sample before trusting an ANN index: the recall/cost tradeoff
+    (LSH band width, IVF nprobe) is a measured number, not a vibe.
+
+    Scale shape: the exact baseline runs on a SAMPLE by design (here
+    the whole sf table; cap with a .limit on the query side at scale) —
+    recall estimation never needs the full corpus.  The intersection is
+    a broadcast-able semi-join on (vec_id, neighbor_id) pairs (n*k
+    narrow rows), and each method reduces to one scalar row.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    k = 10
+    # one exact run feeds both method evaluations — persist the narrow
+    # (query, neighbor) pair list; the bench/driver owns cache lifetime
+    # (spark.catalog.clearCache() between queries).
+    exact = (
+        cosine_topk_sharded(emb, k=k)
+        .select("vec_id", "neighbor_id")
+        .persist()
+    )
+    methods = {
+        "lsh": lsh_topk(emb, k=k),
+        "ivf": ivf_topk(emb, k=k),
+    }
+    out = None
+    for name, ann in methods.items():
+        hits = exact.join(
+            ann.select("vec_id", "neighbor_id"),
+            ["vec_id", "neighbor_id"],
+            "left_semi",
+        )
+        row = (
+            exact.agg(F.count("*").alias("n_exact_pairs"))
+            .crossJoin(hits.agg(F.count("*").alias("n_hits")))
+            .select(
+                F.lit(name).alias("method"),
+                F.lit(k).cast("long").alias("k"),
+                "n_exact_pairs",
+                "n_hits",
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.select(
+        "method",
+        "k",
+        "n_exact_pairs",
+        "n_hits",
+        F.round(F.col("n_hits") / F.col("n_exact_pairs"), 4).alias("recall"),
+    )

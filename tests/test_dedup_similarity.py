@@ -436,3 +436,26 @@ def test_embedding_incremental_drops_planted_duplicate(spark):
         ).select("vec_id").collect()
     )
     assert admitted == [11]
+
+
+def test_ann_recall_harness_floors(spark):
+    """The recall@10 harness must report sane, method-shaped numbers:
+    both ANN kernels clear a recall floor on the fixture embeddings
+    (measured ~0.66 lsh / ~0.56 ivf), hits never exceed exact pairs,
+    and the exact denominator is n_vectors * k."""
+    from clv_data_pipeline_spark import registry
+    from tests.conftest import SF_SMOKE
+
+    rows = {
+        r["method"]: r
+        for r in registry.all_queries()["q_ann_recall"](
+            spark, SF_SMOKE
+        ).collect()
+    }
+    spark.catalog.clearCache()
+    assert set(rows) == {"lsh", "ivf"}
+    for m, r in rows.items():
+        assert r["n_hits"] <= r["n_exact_pairs"]
+        assert r["n_exact_pairs"] == 500 * 10
+    assert rows["lsh"]["recall"] >= 0.5
+    assert rows["ivf"]["recall"] >= 0.4
