@@ -49,6 +49,8 @@ HEADLINE = [
     "q_quality_score",
     "q_quality_classifier",
     "q_bpe_tokenize",
+    "q_dedup_lines",
+    "q_corpus_curate",
     "q_dedup_incremental",
     "q_minhash_incremental",
     "q_decontaminate_semantic",

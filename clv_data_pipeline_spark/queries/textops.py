@@ -972,3 +972,156 @@ def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("clean_text"),
         F.count("*").alias("n_kept_segments"),
     )
+
+
+_CURATE_QUALITY_FLOOR = 0.5
+_CURATE_CONTAM_MIN_GRAMS = 2
+
+
+@query(
+    "q_corpus_curate",
+    oracle=r"""
+    WITH scored AS (
+      SELECT doc_id, text, n_chars,
+             ROUND(
+               LEAST(CAST(length(text) AS DOUBLE) / 200.0, 1.0)
+               * GREATEST(0.0, 1.0 -
+                   (CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE)
+                    / GREATEST(length(text), 1)) * 5.0)
+               * GREATEST(0.0, 1.0 -
+                   (CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+                    / GREATEST(length(text), 1)) * 5.0)
+               * (CASE WHEN (CAST(length(trim(text)) AS DOUBLE)
+                             / GREATEST(len(regexp_extract_all(trim(text), '\S+', 0)), 1))
+                            BETWEEN 3.0 AND 12.0
+                       THEN 1.0 ELSE 0.5 END),
+             6) AS quality
+      FROM documents),
+    base AS (
+      SELECT * FROM scored
+      WHERE quality >= 0.5 AND doc_id % 97 <> 0),
+    winners AS (
+      SELECT MIN(doc_id) AS doc_id
+      FROM (SELECT doc_id,
+                   md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS f
+            FROM base)
+      GROUP BY f),
+    deduped AS (
+      SELECT b.* FROM base b JOIN winners w ON b.doc_id = w.doc_id),
+    bench AS (
+      SELECT DISTINCT unnest(list_distinct(list_transform(
+               range(1, GREATEST(len(t) - 2, 0) + 1),
+               i -> array_to_string(t[CAST(i AS INT):CAST(i + 2 AS INT)],
+                                    ' ')))) AS g
+      FROM (SELECT string_split(text, ' ') AS t FROM documents
+            WHERE doc_id % 97 = 0)
+      WHERE len(t) >= 3),
+    cor AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               range(1, GREATEST(len(t) - 2, 0) + 1),
+               i -> array_to_string(t[CAST(i AS INT):CAST(i + 2 AS INT)],
+                                    ' ')))) AS g
+      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM deduped)
+      WHERE len(t) >= 3),
+    contaminated AS (
+      SELECT c.doc_id FROM cor c JOIN bench b USING (g)
+      GROUP BY c.doc_id HAVING COUNT(DISTINCT c.g) >= 2),
+    clean AS (
+      SELECT d.* FROM deduped d
+      LEFT JOIN contaminated x USING (doc_id)
+      WHERE x.doc_id IS NULL),
+    tagged AS (
+      SELECT *, CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc'
+                     THEN 'train'
+                     WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+                     THEN 'val'
+                     ELSE 'test' END AS split
+      FROM clean)
+    SELECT split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           ROUND(CAST(SUM(CAST(quality AS DECIMAL(18,6))) AS DOUBLE)
+                 / COUNT(*), 6) AS avg_quality
+    FROM tagged GROUP BY split
+    """,
+)
+def q_corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END corpus curation — the full pre-training data pipeline
+    as ONE declarative plan: quality-filter (C4/Gopher heuristic >=
+    0.5), benchmark holdout exclusion, exact dedup (min-id winner per
+    md5 fingerprint), 3-gram benchmark decontamination (drop docs
+    sharing >= 2 distinct shingles with the eval set), deterministic
+    train/val/test tagging, and a per-split audit summary.  Every stage
+    is the already-oracle-checked primitive (q_quality_score,
+    q_dedup_exact, q_decontaminate, q_train_split) composed end to end
+    — what a reference user's daily curation DAG actually runs.
+
+    Scale shape, in stage order: scoring + both filters are MAP-ONLY
+    (the corpus is cut before anything shuffles); dedup is the single
+    fingerprint shuffle; the benchmark gram set is tiny by construction
+    and BROADCASTS into the probe (corpus grams never shuffle); the
+    contaminated-id set (rarer still) broadcasts into a left-anti
+    join; the final summary is a 3-row aggregate.  One corpus-wide
+    shuffle total at any scale.  Catalyst fuses the whole thing —
+    nothing materializes between stages.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id", "text", "n_chars",
+        quality_score(F.col("text")).alias("quality"),
+    )
+    base = scored.filter(
+        (F.col("quality") >= _CURATE_QUALITY_FLOOR)
+        & (F.col("doc_id") % 97 != 0)
+    )
+    winners = (
+        base.select("doc_id", fingerprint(F.col("text")).alias("f"))
+        .groupBy("f")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    deduped = base.join(winners, "doc_id", "left_semi")
+
+    toks = F.split(F.col("text"), " ")
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 2),
+            lambda i: F.array_join(F.slice(toks, i, 3), " "),
+        )
+    )
+    bench = (
+        d.filter(F.col("doc_id") % 97 == 0)
+        .filter(F.size(toks) >= 3)
+        .select(F.explode(grams).alias("g"))
+        .distinct()
+    )
+    contaminated = (
+        deduped.filter(F.size(toks) >= 3)
+        .select("doc_id", F.explode(grams).alias("g"))
+        .join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("g").alias("n"))
+        .filter(F.col("n") >= _CURATE_CONTAM_MIN_GRAMS)
+        .select("doc_id")
+    )
+    clean = deduped.join(F.broadcast(contaminated), "doc_id", "left_anti")
+
+    prefix = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    split = (
+        F.when(prefix < "cc", "train")
+        .when(prefix < "e6", "val")
+        .otherwise("test")
+    )
+    return (
+        clean.withColumn("split", split)
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.round(
+                F.sum(F.col("quality").cast("decimal(18,6)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("avg_quality"),
+        )
+    )

@@ -362,3 +362,14 @@ def test_dedup_lines_banned_set_broadcasts(spark):
     assert "BroadcastHashJoin LeftAnti" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_corpus_curate_single_corpus_shuffle(spark):
+    """The end-to-end curation plan cuts the corpus with map-only
+    filters, dedups through the one fingerprint shuffle, and attaches
+    the benchmark/contaminated sets via broadcast joins — the corpus
+    side must never SortMergeJoin."""
+    plan = plan_of(spark, "q_corpus_curate")
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin LeftAnti" in plan
