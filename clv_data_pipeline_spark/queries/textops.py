@@ -1125,3 +1125,76 @@ def q_corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_quality"),
         )
     )
+
+
+@query("q_minhash_eval")  # rows-only: MinHash banding is engine-specific
+def q_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall/precision for the MinHash+LSH banding — the
+    dedup twin of q_ann_recall's "measure, don't guess" loop.  Ground
+    truth is the EXACT char-5-shingle Jaccard >= 0.5 pair set found via
+    an inverted shingle index (docs sharing a shingle pair up, set
+    overlap counted by aggregation — exact, and never a cartesian);
+    candidates come from the production banding (16 bands x 4 rows over
+    64 hashes, the ~J>=0.5 operating point).  Output is one audit row:
+    true pairs, candidate pairs, hits, recall (how much real
+    duplication the bands surface) and precision (how much of the
+    candidate volume survives exact verification — the wasted-verify
+    cost).
+
+    Scale shape: this harness runs on a SAMPLE by design — truth
+    discovery is the textbook exact algorithm whose cost is the reason
+    LSH exists.  The banding path itself stays sub-quadratic; only the
+    audit is quadratic-ish, and only on the sampled slice.
+    """
+    from clv_data_pipeline_spark.operators.dedup import shingles
+
+    d = load_table(spark, sf_dir, "documents")
+    t = 0.5
+    sh = d.select(
+        F.col("doc_id"), shingles(F.col("text"), 5).alias("sh")
+    )
+    sizes = sh.select("doc_id", F.size("sh").alias("sz"))
+    inv = sh.select("doc_id", F.explode("sh").alias("s"))
+    inter = (
+        inv.alias("a")
+        .join(
+            inv.alias("b"),
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+        )
+        .agg(F.count("*").alias("i"))
+    )
+    truth = (
+        inter.join(sizes.withColumnRenamed("doc_id", "id_a"), "id_a")
+        .withColumnRenamed("sz", "sz_a")
+        .join(sizes.withColumnRenamed("doc_id", "id_b"), "id_b")
+        .withColumnRenamed("sz", "sz_b")
+        .filter(
+            F.col("i")
+            >= t * (F.col("sz_a") + F.col("sz_b") - F.col("i"))
+        )
+        .select("id_a", "id_b")
+    )
+    cands = minhash_candidates(d).select("id_a", "id_b")
+    hits = truth.join(cands, ["id_a", "id_b"], "left_semi")
+    row = (
+        truth.agg(F.count("*").alias("n_true_pairs"))
+        .crossJoin(cands.agg(F.count("*").alias("n_candidates")))
+        .crossJoin(hits.agg(F.count("*").alias("n_hits")))
+    )
+    return row.select(
+        F.lit(t).alias("jaccard_threshold"),
+        "n_true_pairs",
+        "n_candidates",
+        "n_hits",
+        F.round(
+            F.col("n_hits") / F.greatest(F.col("n_true_pairs"), F.lit(1)), 4
+        ).alias("recall"),
+        F.round(
+            F.col("n_hits") / F.greatest(F.col("n_candidates"), F.lit(1)), 4
+        ).alias("precision"),
+    )

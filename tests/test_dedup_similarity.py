@@ -459,3 +459,20 @@ def test_ann_recall_harness_floors(spark):
         assert r["n_exact_pairs"] == 500 * 10
     assert rows["lsh"]["recall"] >= 0.5
     assert rows["ivf"]["recall"] >= 0.4
+
+
+def test_minhash_eval_recall_floor(spark):
+    """The MinHash banding audit must show the banding operating as
+    designed at its ~J>=0.5 point: measured recall 1.0 on the fixture
+    (floor 0.9), a non-empty truth set, and precision > 0 (candidates
+    do contain the true pairs)."""
+    from clv_data_pipeline_spark import registry
+    from tests.conftest import SF_SMOKE
+
+    r = registry.all_queries()["q_minhash_eval"](spark, SF_SMOKE).collect()
+    assert len(r) == 1
+    row = r[0]
+    assert row["n_true_pairs"] > 0
+    assert row["recall"] >= 0.9
+    assert 0 < row["precision"] <= 1.0
+    assert row["n_hits"] <= min(row["n_true_pairs"], row["n_candidates"])
