@@ -917,10 +917,12 @@ def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     boilerplate scrub that removes lines recurring across many documents
     (headers, footers, nav chrome) while keeping each document's unique
     content.  This corpus has no newlines, so a "line" is a fixed
-    3-word segment; any segment appearing verbatim in >= 3 distinct docs is dropped and the survivors are
-    stitched back in order.  Documents whose every segment is
-    boilerplate disappear entirely (ref behavior: full-document dedup
-    is dags/transform_data.py:31; this is its sub-document refinement).
+    3-word segment; any segment appearing verbatim in >= 3 distinct
+    docs is dropped and the survivors are stitched back in order.
+    Documents whose every segment is boilerplate disappear entirely.
+    (Extension surface: the reference has no sub-document dedup — this
+    refines the engine's own q_dedup_exact full-document fingerprint
+    dedup for the LLM-corpus use case.)
 
     Scale shape: segmentization is map-only (split + explode over a
     sequence); the segment-frequency aggregation is one partial-agg
