@@ -1,8 +1,8 @@
 """Custom Python DataSource (Spark 4 ``pyspark.sql.datasource`` API):
 a deterministic synthetic-transactions connector, the Spark-native
 replacement for the reference's row-loop generator
-(reference dags/generate_data.py — its Python loop appends one row at
-a time on a single host).
+(reference dags/simulate_data.py:225 — its Python loop builds
+per-user frames and appends them on a single host).
 
 ``spark.read.format("clv_synthetic").option("n_rows", ...)`` plans one
 InputPartition per ``partitions`` option; every partition generates its
