@@ -122,11 +122,49 @@ def main() -> None:
         "queries": timings,
         "sf": sf_val,
     }
+    # The headline set GROWS as operators land (r4 added q_dedup_lines
+    # and q_corpus_curate), so the raw total is not comparable across
+    # rounds.  comparable_total restricts to the names present in the
+    # newest recorded same-sf baseline — the apples-to-apples number.
+    found = _baseline_queries(sf_val)
+    if found:
+        shared = [n for n in timings if n in found[0]]
+        out["comparable_total"] = round(sum(timings[n] for n in shared), 3)
+        out["comparable_n"] = len(shared)
     if regressions:
         out["regressions"] = regressions
     print(json.dumps(out))
     if regressions and "--check" in sys.argv:
         sys.exit(1)
+
+
+def _baseline_queries(
+    sf: float | str | None = None,
+) -> tuple[dict[str, float], str] | None:
+    """Newest usable per-query baseline from BENCH_r*.json, or None.
+
+    Driver-recorded BENCH_r*.json wraps our JSON line in "parsed"; a
+    crashed round records "parsed": null, and a round benched at a
+    different scale factor is not comparable — skip back past BOTH
+    until a valid same-sf baseline is found.
+    """
+    import glob
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    for path in sorted(glob.glob(os.path.join(here, "BENCH_r*.json")),
+                       reverse=True):
+        try:
+            with open(path) as f:
+                rec = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            continue
+        rec = rec.get("parsed") or rec
+        if not isinstance(rec, dict) or "queries" not in rec:
+            continue
+        if sf is not None and rec.get("sf") != sf:
+            continue
+        return rec["queries"], path
+    return None
 
 
 def _regressions(
@@ -142,33 +180,10 @@ def _regressions(
     included in the JSON; ``--check`` turns flags into a non-zero exit
     for use as a local perf gate.
     """
-    import glob
-
-    here = os.path.dirname(os.path.abspath(__file__))
-    prior = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
-    if not prior:
+    found = _baseline_queries(sf)
+    if not found:
         return {}
-    # driver-recorded BENCH_r*.json wraps our JSON line in "parsed"; a
-    # crashed round records "parsed": null, and a round benched at a
-    # different scale factor is not comparable — skip back past BOTH
-    # until a valid same-sf baseline is found.
-    base: dict[str, float] = {}
-    for path in reversed(prior):
-        try:
-            with open(path) as f:
-                rec = json.load(f)
-        except (OSError, json.JSONDecodeError):
-            continue
-        rec = rec.get("parsed") or rec
-        if not isinstance(rec, dict) or "queries" not in rec:
-            continue
-        if sf is not None and rec.get("sf") != sf:
-            continue
-        base = rec["queries"]
-        prior = [path]
-        break
-    if not base:
-        return {}
+    base, path = found
     flagged = {}
     for name, sec in timings.items():
         ref = base.get(name)
@@ -176,7 +191,7 @@ def _regressions(
             flagged[name] = {"now": sec, "was": ref}
             print(
                 f"bench: REGRESSION {name}: {sec:.2f}s vs {ref:.2f}s "
-                f"({sec / ref:.1f}x, baseline {os.path.basename(prior[-1])})",
+                f"({sec / ref:.1f}x, baseline {os.path.basename(path)})",
                 file=sys.stderr,
             )
     return flagged
