@@ -1,0 +1,247 @@
+"""Co-occurrence / graph / fuzzy-matching analytics: market-basket
+association rules, triangle counting over the co-purchase graph, and
+edit-distance fuzzy joins.
+
+Capability extensions beyond the reference surface (the reference's
+relational core is the RFM CTAS at dags/clv_data_dag.py:80-93); these
+are the standard retail-analytics shapes a warehouse user of the
+reference would run next, re-expressed Spark-first.
+
+Scale shapes:
+- Market basket never self-joins the fact table on orderkey: items
+  collapse to one sorted set per order (ONE shuffle on orderkey), and
+  pair expansion is map-side over each set — per-order C(k,2) with k
+  bounded by the number of distinct brands, not by line items.  Brand
+  marginals and the order-count scalar are broadcast back.
+- Triangle counting runs on ORDERED edges (u < v lexicographically),
+  so each triangle is found exactly once; at real graph scale the same
+  join chain runs on degree-oriented edges (low-degree endpoint
+  first), bounding join fan-out by graph arboricity.  Here the brand
+  projection is dictionary-small and broadcast.
+- The fuzzy join blocks on string length (levenshtein(a,b) >=
+  |len(a)-len(b)|, so distance <= K implies a length band of +/-K):
+  the dictionary of DISTINCT names is extracted first (the classic
+  dictionary trick — fuzzy-match the vocabulary, then re-attach
+  counts), each name expands to its K+1..2K+1 candidate lengths
+  map-side, and the join is an EQUI-join on candidate length — never
+  an all-pairs cross product.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from clv_data_pipeline_spark.registry import query
+from clv_data_pipeline_spark.sources.io import load_table
+
+
+def _order_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (order, brand) membership: lineitem x broadcast part
+    dimension, collapsed so repeat purchases of a brand within one
+    order count once."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+
+
+def _brand_pairs(ob: DataFrame) -> DataFrame:
+    """Per-order brand sets -> co-occurrence pair counts (brand_a <
+    brand_b).  groupBy(orderkey) is the only wide shuffle; the double
+    explode expands each order's sorted set map-side."""
+    sets = ob.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("p_brand")).alias("brands")
+    )
+    return (
+        sets.select(F.explode("brands").alias("brand_a"), "brands")
+        .select("brand_a", F.explode("brands").alias("brand_b"))
+        .filter(F.col("brand_a") < F.col("brand_b"))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count("*").cast("long").alias("n_ab"))
+    )
+
+
+#: shared oracle CTE prefix: order-brand membership, order count,
+#: brand marginals, pair counts — mirrored by the helpers above.
+_BASKET_CTES = """
+    WITH ob AS (
+        SELECT DISTINCT l.l_orderkey, p.p_brand
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+    tot AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM ob),
+    bc AS (SELECT p_brand, COUNT(*) AS n FROM ob GROUP BY p_brand),
+    pairs AS (
+        SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+               COUNT(*) AS n_ab
+        FROM ob a JOIN ob b
+          ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+        GROUP BY 1, 2)
+"""
+
+
+@query(
+    "q_market_basket",
+    oracle=_BASKET_CTES
+    + """
+    SELECT p.brand_a, p.brand_b, CAST(p.n_ab AS BIGINT) AS n_ab,
+           CAST(p.n_ab AS DOUBLE) / t.n_orders AS support,
+           CAST(p.n_ab AS DOUBLE) / ca.n AS confidence,
+           (CAST(p.n_ab AS DOUBLE) * t.n_orders)
+               / (CAST(ca.n AS DOUBLE) * cb.n) AS lift
+    FROM pairs p
+    CROSS JOIN tot t
+    JOIN bc ca ON ca.p_brand = p.brand_a
+    JOIN bc cb ON cb.p_brand = p.brand_b
+    WHERE p.n_ab * 50 >= t.n_orders
+    """,
+)
+def q_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules over co-purchased brands: support, confidence
+    and lift for every brand pair clearing 2% order support.  The
+    min-support gate compares integers (n_ab * 50 >= n_orders) so the
+    surviving edge set is engine-exact; the ratio metrics are single
+    IEEE754 divisions written identically on both engines.
+
+    Pair generation is the collect_set/explode shape (see module
+    docstring) — one shuffle on orderkey, one on the pair key; the
+    25-row brand marginals broadcast, the order count is a 1-row
+    crossJoin broadcast (plan-lint whitelisted)."""
+    ob = _order_brands(spark, sf_dir)
+    pairs = _brand_pairs(ob)
+    marg = ob.groupBy("p_brand").agg(F.count("*").cast("long").alias("n"))
+    n_orders = ob.select(
+        F.countDistinct("l_orderkey").cast("long").alias("n_orders")
+    )
+    ca = marg.select(
+        F.col("p_brand").alias("brand_a"), F.col("n").alias("n_a")
+    )
+    cb = marg.select(
+        F.col("p_brand").alias("brand_b"), F.col("n").alias("n_b")
+    )
+    return (
+        pairs.crossJoin(F.broadcast(n_orders))
+        .join(F.broadcast(ca), "brand_a")
+        .join(F.broadcast(cb), "brand_b")
+        .filter(F.col("n_ab") * 50 >= F.col("n_orders"))
+        .select(
+            "brand_a",
+            "brand_b",
+            "n_ab",
+            (F.col("n_ab").cast("double") / F.col("n_orders")).alias(
+                "support"
+            ),
+            (F.col("n_ab").cast("double") / F.col("n_a")).alias("confidence"),
+            (
+                (F.col("n_ab").cast("double") * F.col("n_orders"))
+                / (F.col("n_a").cast("double") * F.col("n_b"))
+            ).alias("lift"),
+        )
+    )
+
+
+@query(
+    "q_triangles",
+    oracle=_BASKET_CTES
+    + """,
+    edges AS (
+        SELECT brand_a AS u, brand_b AS v
+        FROM pairs CROSS JOIN tot WHERE n_ab * 50 >= n_orders),
+    tri AS (
+        SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        FROM edges e1
+        JOIN edges e2 ON e1.v = e2.u
+        JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v),
+    nodes AS (
+        SELECT a AS brand FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri)
+    SELECT brand, CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM nodes GROUP BY brand
+    """,
+)
+def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle participation per node of the brand co-purchase graph
+    (edges = pairs with >=2% order support, the q_market_basket gate).
+    Ordered edges u < v make the e1(a,b) |><| e2(b,c) |><| e3(a,c)
+    chain enumerate each triangle exactly once — the standard
+    compact-forward algorithm; on a billion-edge graph the same chain
+    runs degree-oriented so fan-out is bounded by arboricity, and the
+    closing e3 probe is the only big shuffle.  Here the edge list is
+    dictionary-small, so both joins broadcast."""
+    ob = _order_brands(spark, sf_dir)
+    pairs = _brand_pairs(ob)
+    n_orders = ob.select(
+        F.countDistinct("l_orderkey").cast("long").alias("n_orders")
+    )
+    edges = (
+        pairs.crossJoin(F.broadcast(n_orders))
+        .filter(F.col("n_ab") * 50 >= F.col("n_orders"))
+        .select(F.col("brand_a").alias("u"), F.col("brand_b").alias("v"))
+    )
+    e1 = edges.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = edges.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    e3 = edges.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    tri = e1.join(F.broadcast(e2), "b").join(F.broadcast(e3), ["a", "c"])
+    return (
+        tri.select(
+            F.explode(F.array("a", "b", "c")).alias("brand")
+        )
+        .groupBy("brand")
+        .agg(F.count("*").cast("long").alias("n_triangles"))
+    )
+
+
+@query(
+    "q_fuzzy_join",
+    oracle="""
+    WITH names AS (
+        SELECT p_name, COUNT(*) AS n FROM part GROUP BY p_name)
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist,
+           CAST(a.n AS BIGINT) AS n_parts_a,
+           CAST(b.n AS BIGINT) AS n_parts_b
+    FROM names a JOIN names b
+      ON a.p_name < b.p_name
+     AND abs(length(a.p_name) - length(b.p_name)) <= 2
+    WHERE levenshtein(a.p_name, b.p_name) <= 2
+    """,
+)
+def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance fuzzy self-join of the part-name vocabulary
+    (levenshtein <= 2), the record-linkage primitive.  Dictionary
+    trick: dedupe to distinct names WITH their part counts first, so
+    the quadratic-ish matching runs on the vocabulary (64 names), not
+    the fact table, and counts ride along for free.  Blocking is an
+    EQUI-join on candidate length — each left name expands to its 5
+    admissible right lengths map-side (levenshtein >= |len diff|
+    makes the band exact, not approximate) — so the plan is a hash
+    join, never a cross product.  The name_a < name_b guard keeps one
+    row per unordered pair and no self-matches."""
+    part = load_table(spark, sf_dir, "part").select("p_name")
+    names = part.groupBy("p_name").agg(F.count("*").cast("long").alias("n"))
+    left = names.select(
+        F.col("p_name").alias("name_a"),
+        F.col("n").alias("n_parts_a"),
+        F.explode(
+            F.sequence(
+                F.length("p_name") - F.lit(2), F.length("p_name") + F.lit(2)
+            )
+        ).alias("len_b"),
+    )
+    right = names.select(
+        F.col("p_name").alias("name_b"),
+        F.col("n").alias("n_parts_b"),
+        F.length("p_name").alias("len_b"),
+    )
+    return (
+        left.join(right, "len_b")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .withColumn(
+            "dist", F.levenshtein("name_a", "name_b").cast("long")
+        )
+        .filter(F.col("dist") <= 2)
+        .select("name_a", "name_b", "dist", "n_parts_a", "n_parts_b")
+    )

@@ -242,6 +242,125 @@ def q_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_interpolate",
+    oracle="""
+    WITH daily AS (
+        SELECT user_id, CAST(ts AS DATE) AS day,
+               SUM(CAST(value AS DECIMAL(18,4))) AS v
+        FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+    span AS (
+        SELECT user_id, MIN(day) AS d0, MAX(day) AS d1
+        FROM daily GROUP BY user_id),
+    cal AS (
+        SELECT user_id,
+               CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE)
+                   AS day
+        FROM span),
+    filled AS (
+        SELECT c.user_id, c.day, d.v
+        FROM cal c LEFT JOIN daily d
+          ON c.user_id = d.user_id AND c.day = d.day),
+    anno AS (
+        SELECT user_id, day, v,
+               LAST_VALUE(v IGNORE NULLS) OVER wp AS pv,
+               LAST_VALUE(CASE WHEN v IS NOT NULL THEN day END
+                          IGNORE NULLS) OVER wp AS pd,
+               FIRST_VALUE(v IGNORE NULLS) OVER wn AS nv,
+               FIRST_VALUE(CASE WHEN v IS NOT NULL THEN day END
+                           IGNORE NULLS) OVER wn AS nd
+        FROM filled
+        WINDOW wp AS (PARTITION BY user_id ORDER BY day
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               wn AS (PARTITION BY user_id ORDER BY day
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+    SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+           FLOOR((CASE WHEN v IS NOT NULL THEN CAST(v AS DOUBLE)
+                  ELSE CAST(pv AS DOUBLE)
+                       + (CAST(nv AS DOUBLE) - CAST(pv AS DOUBLE))
+                         * (date_diff('day', pd, day)
+                            / date_diff('day', pd, nd)) END)
+                 * 10000 + 0.5) / 10000 AS value_filled,
+           CAST(v IS NOT NULL AS BIGINT) AS is_observed
+    FROM anno
+    """,
+)
+def q_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap fill with linear interpolation: densify each
+    user's purchase history to a daily calendar over their own
+    [first, last] span, then fill missing days on the line between
+    the bracketing observations — the standard feature-store /
+    forecasting preprocessing step.
+
+    Spark-first: the calendar comes from ``sequence()`` exploded off
+    the per-user span (map-side expansion of an already-aggregated
+    frame — never a calendar cross join), and the bracketing
+    neighbors come from two IGNORE-NULLS window passes (running
+    ``last`` forward, ``first`` backward) that both reuse the single
+    user_id shuffle.  Daily sums accumulate in decimal so both
+    engines agree exactly; the interpolation itself is one identical
+    IEEE754 expression per row, rounded to 4dp via floor(x*1e4+0.5)/1e4
+    — arithmetic rounding written identically on both engines, because
+    the engines' native ROUND(double) disagree on representation ties
+    (Spark rounds the shortest decimal repr half-up; DuckDB rounds the
+    binary value).  Endpoints are always
+    observed (the span is the data's own min/max), so no
+    extrapolation branch exists."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    daily = ev.groupBy(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).agg(F.sum(F.col("value").cast("decimal(18,4)")).alias("v"))
+    span = daily.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    cal = span.select(
+        "user_id",
+        F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day"),
+    )
+    filled = cal.join(daily, ["user_id", "day"], "left")
+    wp = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_day = F.when(F.col("v").isNotNull(), F.col("day"))
+    anno = filled.select(
+        "user_id",
+        "day",
+        "v",
+        F.last("v", ignorenulls=True).over(wp).alias("pv"),
+        F.last(obs_day, ignorenulls=True).over(wp).alias("pd"),
+        F.first("v", ignorenulls=True).over(wn).alias("nv"),
+        F.first(obs_day, ignorenulls=True).over(wn).alias("nd"),
+    )
+    interp = F.col("pv").cast("double") + (
+        F.col("nv").cast("double") - F.col("pv").cast("double")
+    ) * (
+        F.datediff("day", "pd") / F.datediff("nd", "pd")
+    )
+    return anno.select(
+        "user_id",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        (
+            F.floor(
+                F.when(F.col("v").isNotNull(), F.col("v").cast("double"))
+                .otherwise(interp)
+                * 10000
+                + 0.5
+            )
+            / 10000
+        ).alias("value_filled"),
+        F.col("v").isNotNull().cast("long").alias("is_observed"),
+    )
+
+
 def scd2_intervals(
     events: DataFrame,
     key: str = "user_id",

@@ -228,6 +228,7 @@ def _load() -> None:
         temporal,
         analytics,
         mlprep,
+        affinity,
     )
 
     _LOADED = True

@@ -53,6 +53,8 @@ _BNLJ_SCALAR_OK = {
     "q_perplexity",        # 1-row corpus-total broadcast
     "q_ann_recall",        # two 1-row count scalars attach per method
     "q_minhash_eval",      # three 1-row audit counts attach
+    "q_market_basket",     # 1-row order-count (support denominator) broadcast
+    "q_triangles",         # 1-row order-count (edge threshold) broadcast
 }
 
 
