@@ -958,3 +958,199 @@ def q_cogroup_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "order_total double, line_total double",
         )
     )
+
+
+@query(
+    "q_chisq",
+    oracle="""
+    WITH obs AS (
+        SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS o
+        FROM documents GROUP BY lang, source),
+    rt AS (SELECT lang, CAST(SUM(o) AS BIGINT) AS n_l FROM obs GROUP BY lang),
+    ct AS (SELECT source, CAST(SUM(o) AS BIGINT) AS n_s
+           FROM obs GROUP BY source),
+    tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM obs),
+    grid AS (
+        SELECT rt.lang, rt.n_l, ct.source, ct.n_s, tot.n
+        FROM rt CROSS JOIN ct CROSS JOIN tot),
+    cells AS (
+        SELECT g.lang, g.source, g.n_l, g.n_s, g.n,
+               COALESCE(obs.o, 0) AS o,
+               CAST(g.n_l AS DOUBLE) * g.n_s / g.n AS e
+        FROM grid g LEFT JOIN obs
+          ON g.lang = obs.lang AND g.source = obs.source),
+    summed AS (
+        SELECT SUM(CAST(ROUND((o - e) * (o - e) / e, 9)
+                        AS DECIMAL(28,9))) AS chi2_acc,
+               CAST(COUNT(DISTINCT lang) AS BIGINT) AS r,
+               CAST(COUNT(DISTINCT source) AS BIGINT) AS c,
+               CAST(SUM(o) AS BIGINT) AS n
+        FROM cells)
+    SELECT ROUND(CAST(chi2_acc AS DOUBLE), 6) AS chi2,
+           (r - 1) * (c - 1) AS dof,
+           n,
+           ROUND(SQRT(ROUND(CAST(chi2_acc AS DOUBLE), 6)
+                      / (n * LEAST(r - 1, c - 1))), 6) AS cramers_v
+    FROM summed
+    """,
+)
+def q_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence between two categorical columns
+    (document language x source) plus Cramer's V effect size — the
+    feature-selection / stratification-audit primitive for training
+    pipelines (is the corpus's language mix independent of its
+    sources?).
+
+    Spark-first: observed counts are ONE hash aggregate over the fact
+    table; marginals re-aggregate the already-tiny contingency frame;
+    the full r x c grid (zero-observed cells included — they carry
+    expected mass) comes from crossing the two dimension-sized
+    marginal frames, a broadcast nested-loop over 5 x 20 rows
+    (plan-lint whitelisted).  Determinism: each cell's (o-e)^2/e term
+    rounds to 9 places and accumulates as exact DECIMAL (the
+    q_perplexity pattern), so partitioning never changes the sum;
+    Cramer's V takes the square root of the already-rounded chi2."""
+    docs = load_table(spark, sf_dir, "documents")
+    obs = docs.groupBy("lang", "source").agg(
+        F.count("*").cast("long").alias("o")
+    )
+    rt = obs.groupBy("lang").agg(F.sum("o").cast("long").alias("n_l"))
+    ct = obs.groupBy("source").agg(F.sum("o").cast("long").alias("n_s"))
+    tot = obs.agg(F.sum("o").cast("long").alias("n"))
+    grid = rt.crossJoin(F.broadcast(ct)).crossJoin(F.broadcast(tot))
+    cells = grid.join(F.broadcast(obs), ["lang", "source"], "left").select(
+        "lang",
+        "source",
+        "n_l",
+        "n_s",
+        "n",
+        F.coalesce("o", F.lit(0)).alias("o"),
+        (F.col("n_l").cast("double") * F.col("n_s") / F.col("n")).alias("e"),
+    )
+    term = F.round(
+        (F.col("o") - F.col("e")) * (F.col("o") - F.col("e")) / F.col("e"), 9
+    ).cast("decimal(28,9)")
+    summed = cells.agg(
+        F.sum(term).alias("chi2_acc"),
+        F.countDistinct("lang").cast("long").alias("r"),
+        F.countDistinct("source").cast("long").alias("c"),
+        F.sum("o").cast("long").alias("n"),
+    )
+    chi2 = F.round(F.col("chi2_acc").cast("double"), 6)
+    return summed.select(
+        chi2.alias("chi2"),
+        ((F.col("r") - 1) * (F.col("c") - 1)).alias("dof"),
+        "n",
+        F.round(
+            F.sqrt(chi2 / (F.col("n") * F.least(F.col("r") - 1, F.col("c") - 1))),
+            6,
+        ).alias("cramers_v"),
+    )
+
+
+@query(
+    "q_psi_drift",
+    oracle="""
+    WITH binned AS (
+        SELECT event_type,
+               CASE WHEN value < 0 THEN CAST(0 AS BIGINT)
+                    WHEN value >= 500 THEN CAST(11 AS BIGINT)
+                    ELSE CAST(FLOOR(value / 50.0) AS BIGINT) + 1
+               END AS bucket,
+               CAST(ts < TIMESTAMP '2024-01-16' AS BIGINT) AS in_a
+        FROM events),
+    counts AS (
+        SELECT event_type, bucket,
+               CAST(SUM(in_a) AS BIGINT) AS ca,
+               CAST(SUM(1 - in_a) AS BIGINT) AS cb
+        FROM binned GROUP BY event_type, bucket),
+    grid AS (
+        SELECT t.event_type, b.bucket
+        FROM (SELECT DISTINCT event_type FROM events) t
+        CROSS JOIN (SELECT unnest(generate_series(0, 11)) AS bucket) b),
+    cells AS (
+        SELECT g.event_type, g.bucket,
+               COALESCE(c.ca, 0) AS ca, COALESCE(c.cb, 0) AS cb
+        FROM grid g LEFT JOIN counts c
+          ON g.event_type = c.event_type AND g.bucket = c.bucket),
+    tots AS (
+        SELECT event_type, CAST(SUM(ca) AS BIGINT) AS na,
+               CAST(SUM(cb) AS BIGINT) AS nb
+        FROM cells GROUP BY event_type),
+    terms AS (
+        SELECT c.event_type, t.na, t.nb,
+               (CAST(c.ca + 1 AS DOUBLE) / (t.na + 12)) AS pa,
+               (CAST(c.cb + 1 AS DOUBLE) / (t.nb + 12)) AS pb
+        FROM cells c JOIN tots t ON c.event_type = t.event_type)
+    SELECT event_type,
+           ROUND(CAST(SUM(CAST(ROUND((pa - pb) * ln(pa / pb), 9)
+                                AS DECIMAL(28,9))) AS DOUBLE), 6) AS psi,
+           na AS n_before, nb AS n_after
+    FROM terms GROUP BY event_type, na, nb
+    """,
+)
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index per event type between the first 15
+    days of the event log and everything after — the standard
+    distribution-drift monitor a training pipeline runs before
+    admitting a new data window (PSI > 0.2 means the feature moved).
+
+    Spark-first: ONE scan of the log with conditional partial
+    aggregation splits the two periods (no second scan, no self
+    join); fixed-width value bins via width_bucket so both engines
+    bin identically (no engine-specific quantiles); the full
+    type x bin grid — empty bins carry add-one-smoothed mass — is a
+    map-side sequence explode off the distinct-type frame, never a
+    calendar join.  Laplace smoothing ((c+1)/(n+12)) keeps ln finite
+    on empty bins with integer-exact inputs; each bin's PSI term
+    rounds to 9 places and accumulates as DECIMAL (the q_perplexity
+    pattern)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.width_bucket(F.col("value"), F.lit(0), F.lit(500), F.lit(10))
+        .cast("long")
+        .alias("bucket"),
+        (F.col("ts") < F.lit("2024-01-16")).cast("long").alias("in_a"),
+    )
+    counts = ev.groupBy("event_type", "bucket").agg(
+        F.sum("in_a").cast("long").alias("ca"),
+        F.sum(F.lit(1) - F.col("in_a")).cast("long").alias("cb"),
+    )
+    grid = (
+        ev.select("event_type")
+        .distinct()
+        .select(
+            "event_type",
+            F.explode(F.sequence(F.lit(0), F.lit(11))).alias("bucket"),
+        )
+    )
+    cells = grid.join(counts, ["event_type", "bucket"], "left").select(
+        "event_type",
+        "bucket",
+        F.coalesce("ca", F.lit(0)).alias("ca"),
+        F.coalesce("cb", F.lit(0)).alias("cb"),
+    )
+    tots = cells.groupBy("event_type").agg(
+        F.sum("ca").cast("long").alias("na"),
+        F.sum("cb").cast("long").alias("nb"),
+    )
+    terms = cells.join(F.broadcast(tots), "event_type").select(
+        "event_type",
+        "na",
+        "nb",
+        ((F.col("ca") + 1).cast("double") / (F.col("na") + 12)).alias("pa"),
+        ((F.col("cb") + 1).cast("double") / (F.col("nb") + 12)).alias("pb"),
+    )
+    term = F.round(
+        (F.col("pa") - F.col("pb")) * F.log(F.col("pa") / F.col("pb")), 9
+    ).cast("decimal(28,9)")
+    return (
+        terms.groupBy("event_type", "na", "nb")
+        .agg(F.round(F.sum(term).cast("double"), 6).alias("psi"))
+        .select(
+            "event_type",
+            "psi",
+            F.col("na").alias("n_before"),
+            F.col("nb").alias("n_after"),
+        )
+    )
