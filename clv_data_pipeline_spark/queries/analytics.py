@@ -1154,3 +1154,49 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("nb").alias("n_after"),
         )
     )
+
+
+@query(
+    "q_weighted_sample",
+    oracle="""
+    WITH keyed AS (
+        SELECT doc_id, source, n_chars,
+               -ln(((doc_id * 1103515245 + 12345) % 1000000 + 0.5)
+                   / 1000000.0) / n_chars AS k
+        FROM documents),
+    ranked AS (
+        SELECT doc_id, source,
+               CAST(ROW_NUMBER() OVER (PARTITION BY source
+                    ORDER BY k, doc_id) AS BIGINT) AS pick
+        FROM keyed)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, source, pick
+    FROM ranked WHERE pick <= 10
+    """,
+)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (10 docs per source,
+    inclusion probability proportional to document length) via the
+    Efraimidis-Spirakis exponential race: each doc draws key
+    -ln(u)/weight and the k smallest keys per stratum win — the
+    distributed one-pass answer to "sample proportional to size",
+    used when corpus mixing should favor long documents without a
+    multinomial draw on the driver.
+
+    Governance determinism (the q_stratified_sample contract): u comes
+    from the same pure-integer LCG hash of the id, offset by 0.5 so
+    ln never sees 0 — membership is identical on any engine,
+    partitioning, or rerun; doc_id breaks key ties.  One shuffle on
+    the stratum key, and rn<=10 pushes down as WindowGroupLimit so
+    only each partition's local top-10 ever shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    u = (
+        (F.col("doc_id") * 1103515245 + 12345) % 1000000 + 0.5
+    ) / 1000000.0
+    key = -F.log(u) / F.col("n_chars")
+    w = Window.partitionBy("source").orderBy(key.alias("k"), "doc_id")
+    return (
+        docs.select("doc_id", "source", "n_chars")
+        .withColumn("pick", F.row_number().over(w).cast("long"))
+        .filter(F.col("pick") <= 10)
+        .select(F.col("doc_id").cast("long"), "source", "pick")
+    )
