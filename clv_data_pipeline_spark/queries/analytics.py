@@ -1200,3 +1200,81 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("pick") <= 10)
         .select(F.col("doc_id").cast("long"), "source", "pick")
     )
+
+
+@query(
+    "q_robust_z",
+    oracle="""
+    WITH med AS (
+        SELECT event_type,
+               CAST(quantile_cont(value, 0.5) AS DOUBLE) AS med
+        FROM events GROUP BY event_type),
+    mad AS (
+        SELECT e.event_type,
+               CAST(quantile_cont(abs(e.value - m.med), 0.5) AS DOUBLE)
+                   AS mad
+        FROM events e JOIN med m ON e.event_type = m.event_type
+        GROUP BY e.event_type)
+    SELECT e.event_type,
+           ROUND(m.med, 4) AS med, ROUND(d.mad, 4) AS mad,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN 0.6745 * abs(e.value - m.med) / d.mad > 3.5
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM events e
+    JOIN med m ON e.event_type = m.event_type
+    JOIN mad d ON e.event_type = d.event_type
+    GROUP BY e.event_type, m.med, d.mad
+    """,
+)
+def q_robust_z(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection per event type by modified z-score
+    (0.6745*|x-median|/MAD > 3.5, the Iglewicz-Hoaglin rule) — the
+    median/MAD twin of q_zscore that heavy-tailed value columns need,
+    since mean/std are themselves dragged by the outliers being hunted.
+
+    Exact two-level medians cost two aggregation passes over the fact
+    table plus a counting pass — the honest price of exactness (the
+    approx path is percentile_approx in ONE pass; q_approx_percentiles
+    covers that trade).  The per-type median/MAD frames are
+    dimension-sized and broadcast back, so each pass is scan +
+    partial/final agg, no sort of the fact table.  Determinism: exact
+    percentile is order-free selection (midpoint averaging of two
+    doubles is a single identical IEEE op), the outlier predicate
+    compares identical doubles on both engines, and only the reported
+    med/mad round."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    mad = (
+        ev.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.expr("percentile(abs(value - med), 0.5)").alias("mad"),
+        )
+    )
+    flagged = (
+        ev.join(F.broadcast(med), "event_type")
+        .join(F.broadcast(mad), "event_type")
+        .groupBy("event_type", "med", "mad")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(
+                (
+                    F.lit(0.6745)
+                    * F.abs(F.col("value") - F.col("med"))
+                    / F.col("mad")
+                    > 3.5
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("n_outliers"),
+        )
+    )
+    return flagged.select(
+        "event_type",
+        F.round("med", 4).alias("med"),
+        F.round("mad", 4).alias("mad"),
+        "n",
+        "n_outliers",
+    )
