@@ -1130,11 +1130,18 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("ca", F.lit(0)).alias("ca"),
         F.coalesce("cb", F.lit(0)).alias("cb"),
     )
-    tots = cells.groupBy("event_type").agg(
-        F.sum("ca").cast("long").alias("na"),
-        F.sum("cb").cast("long").alias("nb"),
-    )
-    terms = cells.join(F.broadcast(tots), "event_type").select(
+    # period totals as WINDOW sums over the 60-row cells frame — a
+    # groupBy+join-back here would branch the lineage and make Spark
+    # re-execute the whole counts subtree (an extra corpus scan per
+    # branch); the window keeps one linear plan.
+    wt = Window.partitionBy("event_type")
+    terms = cells.select(
+        "event_type",
+        F.sum("ca").over(wt).cast("long").alias("na"),
+        F.sum("cb").over(wt).cast("long").alias("nb"),
+        "ca",
+        "cb",
+    ).select(
         "event_type",
         "na",
         "nb",

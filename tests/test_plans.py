@@ -373,3 +373,46 @@ def test_corpus_curate_single_corpus_shuffle(spark):
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin LeftAnti" in plan
+
+
+def test_market_basket_single_fact_shuffle(spark):
+    """Pair expansion must ride the ONE orderkey shuffle: the part
+    dimension broadcasts into the fact scan, pairs expand map-side from
+    collect_set arrays, and the marginal/total frames re-aggregate tiny
+    intermediates — never a fact-table self-join."""
+    plan = plan_of(spark, "q_market_basket")
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan  # part dim + marginal attaches
+
+
+def test_fuzzy_join_is_equi_join(spark):
+    """Length-band blocking must plan as a hash join on the candidate
+    length — a cross product here means blocking silently regressed to
+    all-pairs."""
+    plan = plan_of(spark, "q_fuzzy_join")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_interpolate_single_user_shuffle_for_windows(spark):
+    """The calendar explodes map-side off the per-user span and both
+    IGNORE-NULLS window passes reuse one user_id partitioning: the
+    plan must not re-exchange between the two window operators."""
+    plan = plan_of(spark, "q_interpolate")
+    # daily agg shuffle + span agg reuse + calendar join + window:
+    # the join and windows all hashpartition on user-keyed columns;
+    # what must NOT appear is a range/round-robin re-exchange between
+    # the forward and backward window passes
+    assert "Exchange rangepartitioning" not in plan
+    assert "SortMergeJoin" not in plan or plan.count("Exchange hashpartitioning") <= 4
+
+
+def test_psi_drift_single_scan(spark):
+    """The period split is conditional aggregation (one full scan of
+    the log plus the single-column distinct-types scan for the grid) —
+    and totals come from a window over the tiny cells frame, so the
+    counts subtree is never branch-duplicated.  formatted explain
+    prints each node twice (tree + detail), hence <= 4."""
+    plan = plan_of(spark, "q_psi_drift")
+    assert plan.count("Scan parquet") <= 4
+    assert "SortMergeJoin" not in plan
