@@ -283,7 +283,11 @@ def dedup_incremental(
     delta_fp = delta.select(
         F.col(id_col), fingerprint(F.col(text_col)).alias("_fp")
     )
-    delta_win = delta_fp.groupBy("_fp").agg(F.min(id_col).alias(id_col))
+    # persist: delta_win feeds both the index probe and the survivor
+    # anti-join; delta-sized, so the cache is O(delta) by contract.
+    delta_win = delta_fp.groupBy("_fp").agg(
+        F.min(id_col).alias(id_col)
+    ).persist()
     collisions = index.join(
         F.broadcast(delta_win.select("_fp")), "_fp", "left_semi"
     ).select("_fp")
@@ -377,9 +381,12 @@ def dedup_minhash_incremental(
         delta_keys = minhash_index(
             delta, text_col, id_col, num_hashes, bands, shingle_size, seed
         )
-    # Exchange barrier (same rationale as minhash_candidates): the
-    # banded frame feeds three consumers below.
-    delta_keys = delta_keys.repartition(id_col)
+    # Persist barrier: the banded frame feeds three consumers below,
+    # and each would otherwise re-run the delta's signature kernel
+    # (an exchange alone only dedupes when AQE stage-reuse happens to
+    # fire).  Delta-sized — exactly the artifact a production pipeline
+    # materializes per batch; cache lifetime owned by the caller/bench.
+    delta_keys = delta_keys.persist()
     probe = delta_keys.select("band", "bh").distinct()
     hit_keys = (
         index.select("band", "bh")

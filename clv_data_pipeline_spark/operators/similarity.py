@@ -747,7 +747,9 @@ def dedup_embedding_incremental(
     same skew the batch path has — salt the band value or cap posting
     lists upstream."""
     delta_keys = embedding_index(delta, id_col, vec_col, **lsh_kwargs)
-    delta_keys = delta_keys.repartition("vec_id")
+    # Persist barrier (see dedup_minhash_incremental): three consumers,
+    # each would re-run the delta's SRP hashing without it; delta-sized.
+    delta_keys = delta_keys.persist()
     probe = delta_keys.select("band", "bv").distinct()
     hits = index.join(F.broadcast(probe), ["band", "bv"], "left_semi")
     d, x = delta_keys.alias("d"), hits.alias("x")

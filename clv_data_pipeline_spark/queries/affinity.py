@@ -176,10 +176,14 @@ def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_orders = ob.select(
         F.countDistinct("l_orderkey").cast("long").alias("n_orders")
     )
+    # persist: e1/e2/e3 are three aliases of this frame — without the
+    # persist each join input re-runs the whole orderkey shuffle and
+    # pair expansion.  Dictionary-sized (<= brands^2 rows).
     edges = (
         pairs.crossJoin(F.broadcast(n_orders))
         .filter(F.col("n_ab") * 50 >= F.col("n_orders"))
         .select(F.col("brand_a").alias("u"), F.col("brand_b").alias("v"))
+        .persist()
     )
     e1 = edges.select(F.col("u").alias("a"), F.col("v").alias("b"))
     e2 = edges.select(F.col("u").alias("b"), F.col("v").alias("c"))

@@ -171,11 +171,14 @@ def q_dedup_embedding_incremental(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
+    # 1-row cut scalar persisted — embedded in both base and delta
+    # subtrees, which branch again inside the incremental operator
+    # (same rationale as textops._delta_split).
     stats = emb.agg(
         (
             F.max("vec_id") - F.floor(F.count("*") / F.lit(10.0)).cast("long")
         ).alias("cut")
-    )
+    ).persist()
     with_cut = emb.crossJoin(F.broadcast(stats))
     base = with_cut.filter(F.col("vec_id") <= F.col("cut")).drop("cut")
     delta = with_cut.filter(F.col("vec_id") > F.col("cut")).drop("cut")

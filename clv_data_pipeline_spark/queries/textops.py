@@ -104,12 +104,17 @@ def _delta_split(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
     ~10% of ids are 'today's delta', the rest the already-processed
     corpus.  The cut is a 1-row scalar broadcast (whitelisted in the
     plan lint)."""
+    # persist: the 1-row cut scalar is embedded (via crossJoin) in both
+    # the base and delta subtrees, and those branch again downstream —
+    # without the persist every branch re-runs the full count/max scan.
+    # Cache lifetime is owned by the bench/driver (clearCache between
+    # queries), same contract as q_simhash.
     stats = docs.agg(
         (
             F.max("doc_id")
             - F.floor(F.count("*") / F.lit(10.0)).cast("long")
         ).alias("cut")
-    )
+    ).persist()
     with_cut = docs.crossJoin(F.broadcast(stats))
     base = with_cut.filter(F.col("doc_id") <= F.col("cut")).drop("cut")
     delta = with_cut.filter(F.col("doc_id") > F.col("cut")).drop("cut")
