@@ -746,7 +746,9 @@ def set_similarity_join(
         .filter(F.col("token") != "")
     )
     freq = toks.groupBy("token").agg(F.count("*").alias("tf"))
-    sizes = toks.groupBy(id_col).agg(F.count("*").alias("sz"))
+    # persist: sizes feeds the rank join AND both verification sides —
+    # doc-count-sized, so the cache is O(docs), not O(tokens).
+    sizes = toks.groupBy(id_col).agg(F.count("*").alias("sz")).persist()
     w = Window.partitionBy(id_col).orderBy("tf", "token")
     ranked = (
         toks.join(freq, "token")
@@ -758,7 +760,14 @@ def set_similarity_join(
         - F.expr(f"({threshold_pct} * sz + 99) DIV 100")
         + F.lit(1)
     )
-    pref = ranked.filter(F.col("rn") <= prefix_len).select(id_col, "token")
+    # persist: pref is aliased as both join sides — without it the
+    # whole freq-join + per-doc window subtree runs twice.  Prefix
+    # tokens are small by construction (sz - ceil(t*sz) + 1 per doc).
+    pref = (
+        ranked.filter(F.col("rn") <= prefix_len)
+        .select(id_col, "token")
+        .persist()
+    )
     a, b = pref.alias("a"), pref.alias("b")
     cands = (
         a.join(

@@ -454,7 +454,11 @@ def q_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "event_type", "ts", "event_id"
     )
     cutoff = F.lit("2024-01-21")
-    target = scd2_intervals(ev.filter(F.col("ts") < cutoff))
+    # persist: the merge consumes target twice (pass-through anti-join
+    # + affected-key change log) — in production this frame is READ
+    # from the stored interval table, so materializing it here mirrors
+    # the real access pattern instead of re-running the window build.
+    target = scd2_intervals(ev.filter(F.col("ts") < cutoff)).persist()
     delta = ev.filter(F.col("ts") >= cutoff)
     merged = scd2_merge(target, delta)
     return merged.select(

@@ -1163,9 +1163,12 @@ def q_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     t = 0.5
+    # persist: sh feeds sizes and both inverted-index aliases (4
+    # subtree branches); the audit runs on a sampled slice by design,
+    # so the shingle cache is bounded by the sample.
     sh = d.select(
         F.col("doc_id"), shingles(F.col("text"), 5).alias("sh")
-    )
+    ).persist()
     sizes = sh.select("doc_id", F.size("sh").alias("sz"))
     inv = sh.select("doc_id", F.explode("sh").alias("s"))
     inter = (
@@ -1192,7 +1195,11 @@ def q_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("id_a", "id_b")
     )
-    cands = minhash_candidates(d).select("id_a", "id_b")
+    # persist: truth and cands each feed both the hit semi-join and
+    # their own count — pair-sized frames, but their LINEAGES are the
+    # quadratic-ish audit join and the full banding pass respectively.
+    truth = truth.persist()
+    cands = minhash_candidates(d).select("id_a", "id_b").persist()
     hits = truth.join(cands, ["id_a", "id_b"], "left_semi")
     row = (
         truth.agg(F.count("*").alias("n_true_pairs"))
