@@ -1011,9 +1011,12 @@ def q_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_perplexity pattern), so partitioning never changes the sum;
     Cramer's V takes the square root of the already-rounded chi2."""
     docs = load_table(spark, sf_dir, "documents")
+    # persist: obs feeds the two marginals, the total, and the grid
+    # join — r x c rows, but its lineage is the corpus scan+aggregate,
+    # which would otherwise run once per branch.
     obs = docs.groupBy("lang", "source").agg(
         F.count("*").cast("long").alias("o")
-    )
+    ).persist()
     rt = obs.groupBy("lang").agg(F.sum("o").cast("long").alias("n_l"))
     ct = obs.groupBy("source").agg(F.sum("o").cast("long").alias("n_s"))
     tot = obs.agg(F.sum("o").cast("long").alias("n"))
