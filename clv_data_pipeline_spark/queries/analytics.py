@@ -1288,3 +1288,161 @@ def q_robust_z(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "n_outliers",
     )
+
+
+@query(
+    "q_ab_test",
+    oracle="""
+    WITH stats AS (
+        SELECT event_type,
+               CAST(ts < TIMESTAMP '2024-01-16' AS BIGINT) AS grp,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS s,
+               CAST(SUM(CAST(value AS DECIMAL(18,4))
+                        * CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS ss
+        FROM events GROUP BY 1, 2),
+    sides AS (
+        SELECT a.event_type,
+               a.n AS na, b.n AS nb,
+               a.s / a.n AS ma, b.s / b.n AS mb,
+               (a.ss - a.s * a.s / a.n) / (a.n - 1) AS va,
+               (b.ss - b.s * b.s / b.n) / (b.n - 1) AS vb
+        FROM stats a JOIN stats b ON a.event_type = b.event_type
+        WHERE a.grp = 1 AND b.grp = 0)
+    SELECT event_type, na, nb,
+           ROUND(ma - mb, 6) AS mean_diff,
+           ROUND((ma - mb) / sqrt(va / na + vb / nb), 6) AS t_stat,
+           ROUND(POW(va / na + vb / nb, 2)
+                 / (POW(va / na, 2) / (na - 1)
+                    + POW(vb / nb, 2) / (nb - 1)), 2) AS dof
+    FROM sides
+    """,
+)
+def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's two-sample t-test per event type between the first 15
+    days and the rest of the log (unequal variances, the A/B-testing
+    default) — completing the statistical-testing trio: q_chisq for
+    categorical association, q_psi_drift for distribution shift, this
+    for mean shift.
+
+    ONE conditionally-grouped scan computes both periods' sufficient
+    statistics (n, sum, sum-of-squares accumulated as exact DECIMAL so
+    the inputs to the float math are engine- and partitioning-exact);
+    the t statistic and Welch-Satterthwaite dof are then identical
+    IEEE754 expressions per 5-row group.  The period self-join runs on
+    the 10-row stats frame, never the log."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        (F.col("ts") < F.lit("2024-01-16")).cast("long").alias("grp"),
+        F.col("value").cast("decimal(18,4)").alias("v"),
+    )
+    stats = ev.groupBy("event_type", "grp").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("v").cast("double").alias("s"),
+        F.sum(F.col("v") * F.col("v")).cast("double").alias("ss"),
+    )
+    a = stats.filter(F.col("grp") == 1).drop("grp")
+    b = stats.filter(F.col("grp") == 0).drop("grp")
+    sides = a.alias("a").join(b.alias("b"), "event_type").select(
+        "event_type",
+        F.col("a.n").alias("na"),
+        F.col("b.n").alias("nb"),
+        (F.col("a.s") / F.col("a.n")).alias("ma"),
+        (F.col("b.s") / F.col("b.n")).alias("mb"),
+        (
+            (F.col("a.ss") - F.col("a.s") * F.col("a.s") / F.col("a.n"))
+            / (F.col("a.n") - 1)
+        ).alias("va"),
+        (
+            (F.col("b.ss") - F.col("b.s") * F.col("b.s") / F.col("b.n"))
+            / (F.col("b.n") - 1)
+        ).alias("vb"),
+    )
+    se2 = F.col("va") / F.col("na") + F.col("vb") / F.col("nb")
+    return sides.select(
+        "event_type",
+        "na",
+        "nb",
+        F.round(F.col("ma") - F.col("mb"), 6).alias("mean_diff"),
+        F.round((F.col("ma") - F.col("mb")) / F.sqrt(se2), 6).alias("t_stat"),
+        F.round(
+            F.pow(se2, 2)
+            / (
+                F.pow(F.col("va") / F.col("na"), 2) / (F.col("na") - 1)
+                + F.pow(F.col("vb") / F.col("nb"), 2) / (F.col("nb") - 1)
+            ),
+            2,
+        ).alias("dof"),
+    )
+
+
+@query(
+    "q_trend",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type,
+               date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS x,
+               CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS y
+        FROM events GROUP BY 1, 2),
+    suff AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(CAST(x AS BIGINT) * x) AS BIGINT) AS sxx,
+               CAST(SUM(CAST(y AS DECIMAL(28,9))) AS DOUBLE) AS sy,
+               CAST(SUM(x * CAST(y AS DECIMAL(28,9))) AS DOUBLE) AS sxy
+        FROM daily GROUP BY event_type)
+    SELECT event_type, n,
+           ROUND((n * sxy - sx * sy) / (n * sxx - CAST(sx AS BIGINT) * sx),
+                 6) AS slope,
+           ROUND((sy - ((n * sxy - sx * sy)
+                        / (n * sxx - CAST(sx AS BIGINT) * sx)) * sx) / n,
+                 4) AS intercept
+    FROM suff
+    """,
+)
+def q_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type linear trend of daily volume: ordinary-least-squares
+    slope/intercept of SUM(value) over the day index, the one-number
+    answer to "is this metric growing?" that monitoring dashboards fit
+    constantly.
+
+    Two aggregation passes, both tiny after the first: daily sums
+    accumulate as exact DECIMAL (deterministic y), then the OLS
+    closed form runs on per-type sufficient statistics (n, Σx, Σx²,
+    Σy, Σxy — x integer-exact, Σy/Σxy decimal-accumulated), so the
+    final slope is one identical IEEE754 expression per group.  No
+    window sorts, no driver math."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(
+            F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+        ).alias("x"),
+    ).agg(
+        F.sum(F.col("value").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("y")
+    )
+    suff = daily.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(F.col("x").cast("long") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y").cast("decimal(28,9)")).cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y").cast("decimal(28,9)"))
+        .cast("double")
+        .alias("sxy"),
+    )
+    slope = (
+        F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    ) / (
+        F.col("n") * F.col("sxx") - F.col("sx").cast("long") * F.col("sx")
+    )
+    return suff.select(
+        "event_type",
+        "n",
+        F.round(slope, 6).alias("slope"),
+        F.round(
+            (F.col("sy") - slope * F.col("sx")) / F.col("n"), 4
+        ).alias("intercept"),
+    )

@@ -175,3 +175,53 @@ def test_chisq_matches_scipy_free_formula(spark):
     assert abs(row.chi2 - chi2) < 1e-5
     assert row.dof == (len(langs) - 1) * (len(sources) - 1)
     assert row.n == n
+
+
+def test_ab_test_matches_pandas_welch(spark):
+    """Recompute Welch's t per event type with pandas/numpy and
+    compare statistic and dof."""
+    import pandas as pd
+
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet").toPandas()
+    ev["grp"] = (pd.to_datetime(ev["ts"]) < pd.Timestamp("2024-01-16")).astype(int)
+    got = {
+        r.event_type: (r.na, r.nb, r.mean_diff, r.t_stat, r.dof)
+        for r in _q("q_ab_test")(spark, SF_SMOKE).collect()
+    }
+    for et, g in ev.groupby("event_type"):
+        a = g[g.grp == 1]["value"]
+        b = g[g.grp == 0]["value"]
+        na, nb = len(a), len(b)
+        va, vb = a.var(ddof=1), b.var(ddof=1)
+        se2 = va / na + vb / nb
+        t = (a.mean() - b.mean()) / se2**0.5
+        dof = se2**2 / ((va / na) ** 2 / (na - 1) + (vb / nb) ** 2 / (nb - 1))
+        gna, gnb, gdiff, gt, gdof = got[et]
+        assert (gna, gnb) == (na, nb)
+        assert abs(gdiff - (a.mean() - b.mean())) < 1e-4
+        assert abs(gt - t) < 1e-4
+        assert abs(gdof - dof) < 0.05
+
+
+def test_trend_matches_numpy_polyfit(spark):
+    """OLS slope/intercept per type must agree with numpy.polyfit over
+    the same daily sums."""
+    import numpy as np
+    import pandas as pd
+
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet").toPandas()
+    ev["x"] = (
+        pd.to_datetime(ev["ts"]).dt.normalize()
+        - pd.Timestamp("2024-01-01")
+    ).dt.days
+    daily = ev.groupby(["event_type", "x"])["value"].sum().reset_index()
+    got = {
+        r.event_type: (r.n, r.slope, r.intercept)
+        for r in _q("q_trend")(spark, SF_SMOKE).collect()
+    }
+    for et, g in daily.groupby("event_type"):
+        slope, intercept = np.polyfit(g["x"], g["value"], 1)
+        n, gslope, gint = got[et]
+        assert n == len(g)
+        assert abs(gslope - slope) < 1e-3
+        assert abs(gint - intercept) < 1e-2
