@@ -653,6 +653,95 @@ def q_stream_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_stream_sessions",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, ts, event_id,
+               epoch_us(ts) - lag(epoch_us(ts)) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+        FROM events),
+    flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN gap_us IS NULL OR gap_us >= 1800 * 1000000
+                    THEN 1 ELSE 0 END AS is_new
+        FROM ordered),
+    sessions AS (
+        SELECT user_id, ts,
+               CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+        FROM flagged)
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events
+    FROM sessions GROUP BY user_id, sid
+    """,
+)
+def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization on the REAL Structured Streaming engine:
+    ``F.session_window`` (dynamic gap-close windows, the stateful op
+    batch can't express with a plain tumbling window) over the event
+    file stream, availableNow + memory sink — hash-checked against the
+    batch gap-and-island oracle, so streaming and batch agree on every
+    session boundary.
+
+    Boundary semantics pinned deliberately: session_window merges two
+    events iff the gap is STRICTLY less than 30 min (the second event
+    must start before the first window closes), so the oracle's
+    new-session test is ``gap >= 30 min`` — the batch q_sessionize
+    uses > (SQL gap-and-island convention); identical on this data but
+    asserted correctly per engine.  session_window.end is close time
+    (last event + gap), mirrored as MAX(ts) + INTERVAL in the oracle.
+    Complete output mode: with availableNow there is no unbounded
+    state concern; the production path adds a watermark and append
+    mode (streaming/ingest.py streaming_sessions)."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    path = os.path.join(sf_dir, "events.parquet")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(path).schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(
+        (f.name, f.dataType.simpleString()) for f in raw_schema
+    ).get("ts") == "bigint":
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    sess = (
+        stream.groupBy(
+            "user_id", F.session_window("ts", "30 minutes").alias("sw")
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    sink = f"stream_sessions_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="q_stream_sessions_")
+    q = (
+        sess.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.table(sink)
+
+
+@query(
     "q_stream_join",
     oracle="""
     SELECT CAST(p.event_id AS BIGINT) AS purchase_id,
