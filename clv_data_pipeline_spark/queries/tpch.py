@@ -742,6 +742,86 @@ def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_stream_rfm",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+               AS total_value,
+           CAST(MIN(epoch_us(ts)) AS BIGINT) AS first_us,
+           CAST(MAX(epoch_us(ts)) AS BIGINT) AS last_us
+    FROM events GROUP BY user_id
+    """,
+)
+def q_stream_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The custom STATEFUL streaming operator end-to-end:
+    ``applyInPandasWithState`` folds each micro-batch into one small
+    per-user RFM partial (count/sum/min/max — O(delta) per trigger,
+    the streaming answer to the reference's full CREATE-OR-REPLACE
+    recompute, dags/clv_data_dag.py:80), run over the event file
+    stream with availableNow and hash-checked against the batch
+    aggregate oracle — proving the stateful fold is exactly
+    re-aggregable, not just plausible.
+
+    Determinism: values fold as integer CENTS (exact in float64 up to
+    2^53), so the pandas accumulation order inside the state function
+    cannot perturb the sum; the /100.0 at the end is one identical
+    IEEE754 division on both engines.  Multiple triggers emit multiple
+    snapshots per user in update mode; the final state row per user is
+    selected by max n_events (snapshots are monotone)."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from clv_data_pipeline_spark.streaming.stateful import running_user_stats
+
+    path = os.path.join(sf_dir, "events.parquet")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(path).schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(
+        (f.name, f.dataType.simpleString()) for f in raw_schema
+    ).get("ts") == "bigint":
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    cents = stream.withColumn("value", F.round(F.col("value") * 100))
+    snap = running_user_stats(cents)
+    sink = f"stream_rfm_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="q_stream_rfm_")
+    q = (
+        snap.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    out = spark.table(sink)
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("n_events"), F.desc("last_us")
+    )
+    return (
+        out.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "n_events",
+            (F.col("total_value") / 100.0).alias("total_value"),
+            "first_us",
+            "last_us",
+        )
+    )
+
+
+@query(
     "q_stream_join",
     oracle="""
     SELECT CAST(p.event_id AS BIGINT) AS purchase_id,
