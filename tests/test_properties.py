@@ -8,6 +8,7 @@ import datetime as dt
 import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
+from pyspark.sql import functions as F
 
 from clv_data_pipeline_spark.operators.quality import apply_data_quality_fixes
 from clv_data_pipeline_spark.operators.validate import run_validation_checks
@@ -232,3 +233,88 @@ def test_bpe_train_matches_reference_property(spark, words, n_merges):
             seqs[w] = tuple(out)
 
     assert bpe_train(docs, num_merges=n_merges) == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    texts=st.lists(
+        st.sampled_from(["aaaa", "bbbb", "cccc", "aaaa ", " aaaa", "dd dd"]),
+        min_size=2,
+        max_size=20,
+    ),
+    cut_frac=st.floats(min_value=0.1, max_value=0.9),
+)
+def test_dedup_incremental_equals_full_property(spark, texts, cut_frac):
+    """For ANY corpus with duplicates and ANY id-ordered base/delta cut,
+    incremental admission against the fingerprint index must equal the
+    full greedy dedup restricted to the delta (first-seen-wins: the
+    normalized-text winner is always the smallest id, which lives in
+    the base whenever the fingerprint exists there)."""
+    from clv_data_pipeline_spark.operators.dedup import (
+        dedup_exact,
+        dedup_incremental,
+        fingerprint_index,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    cut = int(len(texts) * cut_frac)
+    base = docs.filter(F.col("doc_id") < cut)
+    delta = docs.filter(F.col("doc_id") >= cut)
+    incremental = {
+        r.doc_id
+        for r in dedup_incremental(fingerprint_index(base), delta).collect()
+    }
+    full = {
+        r.doc_id
+        for r in dedup_exact(docs).collect()
+        if r.doc_id >= cut
+    }
+    assert incremental == full
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=3),   # user
+            st.sampled_from(["a", "b"]),             # state attr
+            st.integers(min_value=0, max_value=1000),  # ts offset min
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+    cut_min=st.integers(min_value=0, max_value=1000),
+)
+def test_scd2_merge_equals_rebuild_property(spark, events, cut_min):
+    """For ANY change-event stream and ANY time cut, folding the
+    post-cut delta into the pre-cut interval table must produce exactly
+    the intervals of a full rebuild over all events."""
+    import datetime as dt
+
+    from clv_data_pipeline_spark.queries.temporal import (
+        scd2_intervals,
+        scd2_merge,
+    )
+
+    base_ts = dt.datetime(2026, 1, 1)
+    rows = [
+        (u, a, base_ts + dt.timedelta(minutes=m), i)
+        for i, (u, a, m) in enumerate(events)
+    ]
+    ev = spark.createDataFrame(
+        rows, ["user_id", "event_type", "ts", "event_id"]
+    )
+    cut = base_ts + dt.timedelta(minutes=cut_min)
+    target = scd2_intervals(ev.filter(F.col("ts") < cut))
+    delta = ev.filter(F.col("ts") >= cut)
+    merged = {
+        (r.user_id, r.event_type, r.valid_from, r.valid_to, r.is_current)
+        for r in scd2_merge(target, delta).collect()
+    }
+    rebuilt = {
+        (r.user_id, r.event_type, r.valid_from, r.valid_to, r.is_current)
+        for r in scd2_intervals(ev).collect()
+    }
+    assert merged == rebuilt
