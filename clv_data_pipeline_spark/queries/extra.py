@@ -762,3 +762,76 @@ def q_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("prev_type", F.col("event_type").alias("next_type"))
         .agg(F.count("*").alias("n"))
     )
+
+
+@query(
+    "q_full_outer",
+    oracle="""
+    WITH o_daily AS (
+        SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS day,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                          AS DOUBLE), 2) AS order_total
+        FROM orders GROUP BY 1),
+    l_daily AS (
+        SELECT strftime(CAST(l_shipdate AS DATE), '%Y-%m-%d') AS day,
+               CAST(COUNT(*) AS BIGINT) AS n_lines,
+               ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)))
+                          AS DOUBLE), 2) AS ship_total
+        FROM lineitem GROUP BY 1)
+    SELECT COALESCE(o.day, l.day) AS day,
+           COALESCE(o.n_orders, 0) AS n_orders,
+           COALESCE(l.n_lines, 0) AS n_lines,
+           COALESCE(o.order_total, 0.0) AS order_total,
+           COALESCE(l.ship_total, 0.0) AS ship_total,
+           CASE WHEN o.day IS NULL THEN 'ship_only'
+                WHEN l.day IS NULL THEN 'order_only'
+                ELSE 'both' END AS status
+    FROM o_daily o FULL OUTER JOIN l_daily l ON o.day = l.day
+    """,
+)
+def q_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER reconciliation of two independently-aggregated daily
+    ledgers (order intake by order date vs shipments by ship date) —
+    the audit query that surfaces days present on only one side, which
+    inner/left joins silently drop.  Both sides pre-aggregate to
+    day-sized frames BEFORE the join, so the full-outer shuffle carries
+    calendar-sized rows, never facts; decimal sums keep the totals
+    engine-exact."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    o_daily = o.groupBy(
+        F.date_format(F.col("o_orderdate").cast("date"), "yyyy-MM-dd")
+        .alias("day")
+    ).agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double"),
+            2,
+        ).alias("order_total"),
+    )
+    l_daily = li.groupBy(
+        F.date_format(F.col("l_shipdate").cast("date"), "yyyy-MM-dd")
+        .alias("day")
+    ).agg(
+        F.count("*").cast("long").alias("n_lines"),
+        F.round(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,4)"))
+            .cast("double"),
+            2,
+        ).alias("ship_total"),
+    )
+    oo = o_daily.alias("o")
+    ll = l_daily.alias("l")
+    joined = oo.join(ll, F.col("o.day") == F.col("l.day"), "full_outer")
+    return joined.select(
+        F.coalesce(F.col("o.day"), F.col("l.day")).alias("day"),
+        F.coalesce(F.col("o.n_orders"), F.lit(0)).alias("n_orders"),
+        F.coalesce(F.col("l.n_lines"), F.lit(0)).alias("n_lines"),
+        F.coalesce(F.col("o.order_total"), F.lit(0.0)).alias("order_total"),
+        F.coalesce(F.col("l.ship_total"), F.lit(0.0)).alias("ship_total"),
+        F.when(F.col("o.day").isNull(), F.lit("ship_only"))
+        .when(F.col("l.day").isNull(), F.lit("order_only"))
+        .otherwise(F.lit("both"))
+        .alias("status"),
+    )
