@@ -1011,12 +1011,13 @@ def q_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_perplexity pattern), so partitioning never changes the sum;
     Cramer's V takes the square root of the already-rounded chi2."""
     docs = load_table(spark, sf_dir, "documents")
-    # persist: obs feeds the two marginals, the total, and the grid
-    # join — r x c rows, but its lineage is the corpus scan+aggregate,
-    # which would otherwise run once per branch.
+    # NOT persisted although obs feeds four branches: all of them share
+    # obs's identical (lang, source) exchange, which AQE stage-reuse
+    # dedupes — measured A/B at sf0.1: 0.25 s no-persist vs 0.41 s
+    # persist (docs/SCALE.md, persist barriers).
     obs = docs.groupBy("lang", "source").agg(
         F.count("*").cast("long").alias("o")
-    ).persist()
+    )
     rt = obs.groupBy("lang").agg(F.sum("o").cast("long").alias("n_l"))
     ct = obs.groupBy("source").agg(F.sum("o").cast("long").alias("n_s"))
     tot = obs.agg(F.sum("o").cast("long").alias("n"))

@@ -454,11 +454,13 @@ def q_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "event_type", "ts", "event_id"
     )
     cutoff = F.lit("2024-01-21")
-    # persist: the merge consumes target twice (pass-through anti-join
-    # + affected-key change log) — in production this frame is READ
-    # from the stored interval table, so materializing it here mirrors
-    # the real access pattern instead of re-running the window build.
-    target = scd2_intervals(ev.filter(F.col("ts") < cutoff)).persist()
+    # NOT persisted although the merge consumes target twice: both
+    # branches share target's identical internal user_id exchange,
+    # which AQE stage-reuse dedupes — measured A/B at sf0.1: 0.74 s
+    # no-persist vs 0.93-1.44 s persist (see docs/SCALE.md, persist
+    # barriers).  In production target is read from the stored
+    # interval table anyway.
+    target = scd2_intervals(ev.filter(F.col("ts") < cutoff))
     delta = ev.filter(F.col("ts") >= cutoff)
     merged = scd2_merge(target, delta)
     return merged.select(

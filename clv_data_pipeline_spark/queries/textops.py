@@ -1161,11 +1161,19 @@ def q_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from clv_data_pipeline_spark.operators.dedup import shingles
 
-    d = load_table(spark, sf_dir, "documents")
+    # The audit slice: a deterministic id-capped sample.  Truth
+    # discovery is quadratic-ish in slice size — at sf<=0.01 the cap is
+    # a no-op (all docs), at larger SFs it bounds the audit (measured:
+    # uncapped sf0.1 exceeds 10 min; the capped slice stays seconds).
+    # Candidates are computed on the SAME slice so recall/precision
+    # stay well-defined.
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 1000
+    )
     t = 0.5
     # persist: sh feeds sizes and both inverted-index aliases (4
-    # subtree branches); the audit runs on a sampled slice by design,
-    # so the shingle cache is bounded by the sample.
+    # subtree branches); the audit runs on the sampled slice by design,
+    # so the shingle cache is bounded by the cap.
     sh = d.select(
         F.col("doc_id"), shingles(F.col("text"), 5).alias("sh")
     ).persist()
