@@ -1447,3 +1447,67 @@ def q_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("sy") - slope * F.col("sx")) / F.col("n"), 4
         ).alias("intercept"),
     )
+
+
+@query(
+    "q_stream_pyds",
+    oracle="""
+    WITH gen AS (
+        SELECT i AS txn_id,
+               (i * 1103515245 + 12345) % 2147483647 AS h
+        FROM (SELECT unnest(generate_series(0, 1999)) AS i)),
+    rows_ AS (
+        SELECT txn_id,
+               h % 200 AS customer_id,
+               (h % 99000) / 100.0 + 1.0 AS amount,
+               h % 30 AS day_offset
+        FROM gen)
+    SELECT CAST(customer_id AS BIGINT) AS customer_id,
+           CAST(COUNT(*) AS BIGINT) AS n_txns,
+           ROUND(CAST(SUM(CAST(amount AS DECIMAL(18,4))) AS DOUBLE), 2)
+               AS total_amount,
+           CAST(MIN(day_offset) AS BIGINT) AS first_day
+    FROM rows_ GROUP BY customer_id
+    """,
+)
+def q_stream_pyds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom STREAMING connector coverage (Spark 4 streaming Python
+    DataSource API): readStream the `clv_synthetic` source — offset
+    ranges partition executor-side exactly like the batch reader, and
+    reads are replayable from pure integer arithmetic — through an
+    append memory sink, then aggregate the landed rows and hash-check
+    against the same generate_series oracle as the batch connector
+    (q_python_datasource).  Proves the engine's source API surface is
+    complete in BOTH execution modes with one arithmetic contract."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from clv_data_pipeline_spark.sources.pyds import register
+
+    register(spark)
+    stream = (
+        spark.readStream.format("clv_synthetic")
+        .option("n_rows", 2000)
+        .option("partitions", 8)
+        .load()
+    )
+    sink = f"stream_pyds_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="q_stream_pyds_")
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.table(sink).groupBy("customer_id").agg(
+        F.count("*").cast("long").alias("n_txns"),
+        F.round(
+            F.sum(F.col("amount").cast("decimal(18,4)")).cast("double"), 2
+        ).alias("total_amount"),
+        F.min("day_offset").cast("long").alias("first_day"),
+    )
