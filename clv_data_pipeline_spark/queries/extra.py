@@ -217,6 +217,53 @@ def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_bloom_join",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                               AS DECIMAL(25,6))) AS DOUBLE), 2) AS revenue
+    FROM lineitem
+    WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                         WHERE o_totalprice > 450000)
+    GROUP BY l_returnflag
+    """,
+)
+def q_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-pruned semi-join: revenue of lineitems belonging to
+    top-decile-value orders.
+
+    The scale pattern under test (operators/bloom.py): a 16 KiB Bloom
+    bitmap built from the selective order subset (bounded <=2048-row
+    bit_or collect) rides a 1-row broadcast and drops ~90% of lineitem
+    BEFORE the exact semi-join's shuffle — map-only, zero Python.  The
+    trailing exact join removes Bloom false positives, so the result
+    hash-matches the plain IN-subquery oracle while the shuffle sees
+    only the selected fraction.  This is BigQuery's implicit runtime
+    pruning (which the reference relies on) as an explicit, composable
+    Spark operator.
+    """
+    from clv_data_pipeline_spark.operators.bloom import bloom_semi_join
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 450000.0
+    )
+    pruned = bloom_semi_join(li, "l_orderkey", o.select("o_orderkey"),
+                             "o_orderkey")
+    return pruned.groupBy("l_returnflag").agg(
+        F.count("*").cast("long").alias("n_items"),
+        F.round(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                .cast("decimal(25,6)")
+            ).cast("double"),
+            2,
+        ).alias("revenue"),
+    )
+
+
+@query(
     "q_intersect",
     oracle="""
     SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
