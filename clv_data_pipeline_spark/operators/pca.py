@@ -1,0 +1,128 @@
+"""Distributed PCA over the embedding column via sufficient statistics.
+
+The 100 TB shape: PCA needs only (n, Σx, ΣxxT) — count, column sums,
+and the d x d Gram matrix.  Those are computed in ONE pass with
+map-side partials (each Arrow batch contributes a single
+(n, d, d*d)-sized row via BLAS), and the driver barrier is bounded by
+``num_batches x d^2`` doubles — for d = 64 that is 33 KB per partial —
+NEVER by the row count.  This is the same bounded-barrier contract as
+the BG/NBD fit (operators/clv.py:123): the model is tiny, the data
+never leaves the cluster.
+
+Eigendecomposition of the d x d covariance happens on the driver
+(d = 64 -> trivial), with a deterministic sign convention (the
+largest-|.| component of each eigenvector is made positive) so repeated
+fits produce identical projections.  Projection back over the data is a
+map-only Arrow-batched matmul with the (d x k) component matrix closed
+over — no shuffle at all.
+
+Reference parity: the reference has no dimensionality reduction; this
+extends the LLM-data-pipeline surface (embedding whitening / visualiza-
+tion / IVF-prep) the way SURVEY.md §2's extension section commits to.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def fit_pca(
+    embeddings: DataFrame,
+    vec_col: str = "embedding",
+    n_components: int = 4,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """One distributed pass -> (mean, components, explained_var).
+
+    ``components`` is (d, k) column-orthonormal; ``explained_var`` the
+    top-k eigenvalues of the sample covariance (descending).
+    """
+
+    def partials(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            yield pd.DataFrame(
+                {
+                    "n": [len(x)],
+                    "s": [x.sum(axis=0).tolist()],
+                    "g": [(x.T @ x).ravel().tolist()],
+                }
+            )
+
+    rows = (
+        embeddings.select(vec_col)
+        .mapInPandas(partials, "n long, s array<double>, g array<double>")
+        .collect()
+    )
+    n = sum(r["n"] for r in rows)
+    if n < 2:
+        raise ValueError("fit_pca needs at least 2 vectors")
+    s = np.sum([r["s"] for r in rows], axis=0)
+    d = s.shape[0]
+    g = np.sum([r["g"] for r in rows], axis=0).reshape(d, d)
+    mu = s / n
+    cov = (g - n * np.outer(mu, mu)) / (n - 1)
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(evals)[::-1][:n_components]
+    w = evecs[:, order]
+    # deterministic sign: largest-|.| loading of each component positive
+    flip = np.sign(w[np.abs(w).argmax(axis=0), np.arange(w.shape[1])])
+    flip[flip == 0] = 1.0
+    return mu, w * flip, evals[order]
+
+
+def pca_project(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_components: int = 4,
+    round_scale: int = 6,
+) -> DataFrame:
+    """(id, pc: array<double>[k]) — fit once, then a map-only projection.
+
+    Coordinates round to ``round_scale`` so results are stable across
+    partition/accumulation orders at the precision anything downstream
+    (plots, coarse clustering, IVF seeding) consumes.
+    """
+    mu, w, _ = fit_pca(embeddings, vec_col, n_components)
+
+    def project(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            p = np.round((x - mu) @ w, round_scale)
+            yield pd.DataFrame({id_col: pdf[id_col], "pc": list(p)})
+
+    return embeddings.select(id_col, vec_col).mapInPandas(
+        project, f"{id_col} long, pc array<double>"
+    ).select(id_col, "pc")
+
+
+def pca_explained_variance(
+    embeddings: DataFrame,
+    vec_col: str = "embedding",
+    n_components: int = 4,
+) -> DataFrame:
+    """(component, explained_var, explained_pct) — the scree table."""
+    spark = embeddings.sparkSession
+    mu, w, ev = fit_pca(embeddings, vec_col, n_components)
+    total = float(ev.sum())
+    rows = [
+        (i + 1, round(float(v), 6), round(float(v) / total * 100.0, 4))
+        for i, v in enumerate(ev)
+    ]
+    df = spark.createDataFrame(
+        rows, "component int, explained_var double, explained_pct double"
+    )
+    return df.select(
+        F.col("component").cast("long").alias("component"),
+        "explained_var",
+        "explained_pct",
+    )

@@ -629,3 +629,35 @@ def q_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         avg_nll.alias("avg_nll"),
         F.round(F.exp(avg_nll), 2).alias("ppl"),
     )
+
+
+@query("q_pca_project")  # rows-only: eigendecomposition is not SQL-expressible
+def q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA projection of the embedding table to 4 components.
+
+    Sufficient-statistics fit (one mapInPandas pass -> n, sum-x, Gram;
+    driver barrier bounded by batches x d^2, operators/pca.py) followed
+    by a map-only Arrow-batched projection — the whitening/reduction
+    step an embedding pipeline runs before IVF training or coarse
+    clustering.  Deterministic sign convention + rounded coordinates;
+    pinned against an in-driver numpy PCA in tests/test_pca.py.
+    """
+    from clv_data_pipeline_spark.operators.pca import pca_project
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    p = pca_project(emb, n_components=4)
+    return p.select(
+        "vec_id", *[F.col("pc")[i].alias(f"pc{i + 1}") for i in range(4)]
+    )
+
+
+@query("q_pca_variance")  # rows-only: eigenvalues are not SQL-expressible
+def q_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scree table (component, explained_var, explained_pct) for the
+    embedding table — the fit diagnostic consumed before choosing a
+    reduced dimension.  Same bounded sufficient-stats barrier as
+    q_pca_project; the result is k rows, k = 4."""
+    from clv_data_pipeline_spark.operators.pca import pca_explained_variance
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pca_explained_variance(emb, n_components=4)

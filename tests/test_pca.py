@@ -1,0 +1,72 @@
+"""Distributed PCA (operators/pca.py) vs an in-driver numpy PCA on the
+same rows: the sufficient-stats pass must reproduce exact full-data
+results, the sign convention must make projections deterministic, and
+the plan must stay Arrow-batched (no row-at-a-time Python)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from clv_data_pipeline_spark.operators.pca import (
+    fit_pca,
+    pca_explained_variance,
+    pca_project,
+)
+from clv_data_pipeline_spark.sources.io import load_table
+from tests.conftest import SF_SMOKE
+
+
+def _numpy_pca(x: np.ndarray, k: int):
+    mu = x.mean(axis=0)
+    cov = np.cov(x, rowvar=False)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:k]
+    w = evecs[:, order]
+    flip = np.sign(w[np.abs(w).argmax(axis=0), np.arange(w.shape[1])])
+    flip[flip == 0] = 1.0
+    return mu, w * flip, evals[order]
+
+
+def _collect_matrix(df, id_col="vec_id", vec_col="embedding"):
+    rows = df.select(id_col, vec_col).collect()
+    rows.sort(key=lambda r: r[id_col])
+    ids = [r[id_col] for r in rows]
+    return ids, np.array([list(r[vec_col]) for r in rows], dtype=np.float64)
+
+
+def test_fit_matches_numpy_full_data(spark):
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    _, x = _collect_matrix(emb)
+    mu_s, w_s, ev_s = fit_pca(emb, n_components=4)
+    mu_n, w_n, ev_n = _numpy_pca(x, 4)
+    assert np.allclose(mu_s, mu_n, atol=1e-9)
+    assert np.allclose(ev_s, ev_n, atol=1e-7)
+    assert np.allclose(np.abs(w_s.T @ w_n), np.eye(4), atol=1e-6)
+    assert np.allclose(w_s, w_n, atol=1e-6)  # sign convention agrees
+
+
+def test_projection_matches_numpy_and_is_partition_invariant(spark):
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    ids, x = _collect_matrix(emb)
+    mu_n, w_n, _ = _numpy_pca(x, 4)
+    expected = np.round((x - mu_n) @ w_n, 6)
+
+    got = {r["vec_id"]: list(r["pc"]) for r in pca_project(emb).collect()}
+    p = np.array([got[i] for i in ids])
+    assert np.allclose(p, expected, atol=1e-5)
+
+    got17 = {
+        r["vec_id"]: list(r["pc"])
+        for r in pca_project(emb.repartition(17)).collect()
+    }
+    p17 = np.array([got17[i] for i in ids])
+    assert np.allclose(p17, p, atol=1e-5)
+
+
+def test_variance_table_is_descending_and_sums_sane(spark):
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    rows = pca_explained_variance(emb).collect()
+    evs = [r["explained_var"] for r in rows]
+    assert evs == sorted(evs, reverse=True)
+    assert all(v > 0 for v in evs)
+    assert abs(sum(r["explained_pct"] for r in rows) - 100.0) < 1e-6
