@@ -110,6 +110,22 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("q_ann_pq")  # rows-only: approximate, codebook-specific
+def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN: ADC retrieval over 16x64 codebooks +
+    exact re-rank of the shortlist — the memory-bound scale path.  The
+    broadcast index is CODES (16 small ints/vector, 32x smaller than
+    the floats, operators/pq.py); full vectors are touched only for the
+    per-query shortlist via two equi joins.  Recall vs the exact kernel
+    is pinned in tests/test_pq.py (~1.0 with re-rank at shortlist=50,
+    ~0.6 ADC-only)."""
+    from clv_data_pipeline_spark.operators.pq import pq_topk_rerank
+
+    return pq_topk_rerank(
+        load_table(spark, sf_dir, "embeddings"), k=1, shortlist=50
+    )
+
+
 @query("q_dedup_embedding")  # rows-only
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup removal at 0.95 — greedy min-id winner
