@@ -56,6 +56,9 @@ HEADLINE = [
     "q_decontaminate_semantic",
     "q_dedup_embedding_incremental",
     "q_knn_label_ann",
+    "q_bloom_join",
+    "q_ann_pq",
+    "q_pca_project",
     "q_market_basket",
     "q_interpolate",
     "q_clv_scores",
