@@ -76,3 +76,49 @@ def pagerank(
             .localCheckpoint(eager=False)
         )
     return ranks
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 3,
+) -> DataFrame:
+    """Synchronous label propagation (community detection), fully
+    deterministic: every node starts labeled with itself; each
+    iteration every node adopts the most frequent label among its
+    (undirected) neighbors, ties broken by MIN label.
+
+    Returns (node, lab).  Scale shape mirrors :func:`pagerank`: one
+    message shuffle per iteration (edges join labels on the neighbor,
+    count by (node, label), window-pick the winner), labels stay
+    partitioned by node, ``localCheckpoint`` truncates lineage so the
+    plan does not double per step.  Fixed ``iters`` keeps the whole
+    run a static DAG — no convergence collect at all, and synchronous
+    updates make the result independent of execution order (the
+    classic async-LPA nondeterminism is defined away).
+    """
+    from pyspark.sql.window import Window
+
+    und = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    labels = und.select(F.col("a").alias("node")).distinct().select(
+        "node", F.col("node").alias("lab")
+    )
+    w = Window.partitionBy("node").orderBy(F.desc("cnt"), F.asc("lab"))
+    for _ in range(iters):
+        msgs = und.join(labels, und["b"] == labels["node"]).select(
+            und["a"].alias("node"), "lab"
+        )
+        cnt = msgs.groupBy("node", "lab").agg(F.count("*").alias("cnt"))
+        labels = (
+            cnt.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", "lab")
+            .localCheckpoint(eager=False)
+        )
+    return labels

@@ -126,6 +126,64 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lpa_oracle(iters: int = 3, k: int = 5) -> str:
+    """Unrolled-iteration DuckDB twin of q_communities: exact kNN edges
+    (same rounding/tie rules as q_cosine_topk's oracle) + ``iters``
+    synchronous min-tie-break label adoptions as chained CTEs — the
+    driver hash-verifies the ITERATIVE community computation end to end,
+    same pattern as q_pagerank's unrolled oracle."""
+    ctes = [f"""pairs AS (
+        SELECT a.vec_id AS va, b.vec_id AS vb,
+               ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                            CAST(b.embedding AS DOUBLE[])), 6)
+                   AS sim
+        FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
+    knn AS (
+        SELECT va AS a, vb AS b FROM (
+            SELECT va, vb, ROW_NUMBER() OVER (PARTITION BY va
+                   ORDER BY sim DESC, vb) AS rank FROM pairs)
+        WHERE rank <= {k}),
+    und AS (SELECT a, b FROM knn UNION SELECT b, a FROM knn),
+    l0 AS (SELECT DISTINCT a AS node, a AS lab FROM und)"""]
+    for i in range(1, iters + 1):
+        ctes.append(f"""m{i} AS (
+        SELECT u.a AS node, l.lab, COUNT(*) AS cnt
+        FROM und u JOIN l{i - 1} l ON u.b = l.node GROUP BY u.a, l.lab),
+    l{i} AS (
+        SELECT node, lab FROM (
+            SELECT node, lab, ROW_NUMBER() OVER (PARTITION BY node
+                   ORDER BY cnt DESC, lab) AS rn FROM m{i})
+        WHERE rn = 1)""")
+    return (
+        "WITH " + ",\n    ".join(ctes)
+        + f"\n    SELECT node AS vec_id, CAST(lab AS BIGINT) AS community"
+          f" FROM l{iters}"
+    )
+
+
+@query("q_communities", oracle=_lpa_oracle())
+def q_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph communities of the embedding space: exact 5-NN graph ->
+    3 rounds of synchronous label propagation (operators/graph.py).
+
+    The LLM-pipeline shape: cluster a corpus's embedding neighborhood
+    graph into topical groups without choosing a cluster count (vs
+    q_semantic_clusters' threshold-based near-dup components).  Each
+    round is one message shuffle; the kNN edges come from the same
+    sharded-broadcast kernel as q_cosine_topk, so nothing here exceeds
+    its memory bounds."""
+    from clv_data_pipeline_spark.operators.graph import label_propagation
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    edges = cosine_topk_sharded(emb, k=5, num_shards=1).select(
+        F.col("vec_id").alias("src"), F.col("neighbor_id").alias("dst")
+    )
+    labels = label_propagation(edges, iters=3)
+    return labels.select(
+        F.col("node").alias("vec_id"), F.col("lab").cast("long").alias("community")
+    )
+
+
 @query("q_dedup_embedding")  # rows-only
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup removal at 0.95 — greedy min-id winner

@@ -466,3 +466,55 @@ def q_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.select(
         "user_id", "event_type", "valid_from", "valid_to", "is_current"
     )
+
+
+@query(
+    "q_attribution",
+    oracle="""
+    WITH attributed AS (
+        SELECT event_type, value,
+               COALESCE(LAST_VALUE(CASE WHEN event_type <> 'purchase'
+                                        THEN event_type END IGNORE NULLS)
+                        OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND 1 PRECEDING),
+                        'direct') AS channel
+        FROM events)
+    SELECT channel,
+           CAST(COUNT(*) AS BIGINT) AS n_conversions,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2)
+               AS revenue
+    FROM attributed WHERE event_type = 'purchase'
+    GROUP BY channel
+    """,
+)
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch conversion attribution: each purchase credits the
+    most recent prior non-purchase event in the same user's timeline
+    ('direct' when none).
+
+    One shuffle on user_id, then a running last-non-null window — the
+    same single-pass sweep shape as q_sessionize; no self-join of the
+    event log against itself.  Revenue sums as DECIMAL before the one
+    double division (registry.py determinism rules)."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    last_touch = F.last(
+        F.when(F.col("event_type") != "purchase", F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        e.withColumn("channel", F.coalesce(last_touch, F.lit("direct")))
+        .filter(F.col("event_type") == "purchase")
+        .groupBy("channel")
+        .agg(
+            F.count("*").cast("long").alias("n_conversions"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,4)")).cast("double"), 2
+            ).alias("revenue"),
+        )
+    )

@@ -1,0 +1,78 @@
+"""Label propagation (operators/graph.py): planted-partition recovery,
+determinism across partitionings, and the attribution query's window
+semantics on a hand-built timeline."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from clv_data_pipeline_spark.operators.graph import label_propagation
+
+
+def _labels(df):
+    return {r["node"]: r["lab"] for r in df.collect()}
+
+
+def test_lpa_recovers_planted_cliques(spark):
+    # two 4-cliques joined by a single bridge edge
+    c1 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    c2 = [(a, b) for a in range(10, 14) for b in range(10, 14) if a < b]
+    edges = spark.createDataFrame(c1 + c2 + [(3, 10)], "src long, dst long")
+    got = _labels(label_propagation(edges, iters=3))
+    # every clique collapses to one label; min-tie-break makes it the
+    # smallest member
+    assert len({got[n] for n in range(4)}) == 1
+    assert len({got[n] for n in range(10, 14)}) == 1
+    assert got[0] != got[12]
+
+
+def test_lpa_partition_invariant(spark):
+    edges = spark.createDataFrame(
+        [(a, b) for a in range(8) for b in range(8) if a < b and (a + b) % 3],
+        "src long, dst long",
+    )
+    one = _labels(label_propagation(edges.coalesce(1), iters=3))
+    many = _labels(label_propagation(edges.repartition(7), iters=3))
+    assert one == many
+
+
+def test_attribution_window_semantics(spark):
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        # user 1: view -> click -> purchase (credit: click), then a
+        # bare purchase later still credits click (last non-purchase)
+        (1, 1, base, "view", 0.0),
+        (2, 1, base + dt.timedelta(minutes=1), "click", 0.0),
+        (3, 1, base + dt.timedelta(minutes=2), "purchase", 10.0),
+        (4, 1, base + dt.timedelta(minutes=3), "purchase", 5.0),
+        # user 2: purchase with no prior events -> direct
+        (5, 2, base, "purchase", 7.0),
+    ]
+    e = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, "
+              "event_type string, value double"
+    )
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    last_touch = F.last(
+        F.when(F.col("event_type") != "purchase", F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    got = {
+        (r["channel"], r["n"]): r["rev"]
+        for r in e.withColumn(
+            "channel", F.coalesce(last_touch, F.lit("direct"))
+        )
+        .filter(F.col("event_type") == "purchase")
+        .groupBy("channel")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("rev"))
+        .collect()
+    }
+    assert got == {("click", 2): 15.0, ("direct", 1): 7.0}
