@@ -203,6 +203,12 @@ def pq_topk(
         )
         per_shard = topk if per_shard is None else per_shard.unionByName(topk)
 
+    if num_shards > 1:
+        # codes were only consumed by the per-shard collects above —
+        # nothing in the returned plan reads them, so release eagerly
+        # instead of leaning on the caller's cache lifetime
+        codes_df.unpersist()
+
     if per_shard is None:
         return spark.createDataFrame(
             [], "vec_id long, neighbor_id long, sim double, rank long"
