@@ -661,3 +661,159 @@ def q_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return pca_explained_variance(emb, n_components=4)
+
+
+_LAMBDA_BIGRAM = 0.7  # interpolation weight on the bigram ML estimate
+
+
+@query(
+    "q_perplexity_bigram",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {_TOKENIZE_SQL} AS ts FROM documents),
+    pb AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(ts)), i -> ts[i])) AS w1,
+               unnest(list_transform(range(1, len(ts)), i -> ts[i + 1])) AS w2
+        FROM toks WHERE len(ts) >= 2),
+    bf AS (
+        SELECT doc_id, w1, w2, CAST(COUNT(*) AS BIGINT) AS bf
+        FROM pb GROUP BY doc_id, w1, w2),
+    big AS (
+        SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+        FROM pb GROUP BY w1, w2),
+    ctx AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM big GROUP BY w1),
+    uni AS (
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS n_t
+        FROM (SELECT unnest(ts) AS term FROM toks) GROUP BY term),
+    corpus AS (SELECT CAST(SUM(n_t) AS BIGINT) AS n_total FROM uni),
+    scored AS (
+        SELECT bf.doc_id,
+               CAST(SUM(bf.bf) AS BIGINT) AS n_bigrams,
+               SUM(CAST(ROUND(-bf.bf * ln(
+                     CAST({_LAMBDA_BIGRAM} AS DOUBLE)
+                       * (CAST(big.c12 AS DOUBLE) / ctx.c1)
+                     + CAST({1 - _LAMBDA_BIGRAM:.1f} AS DOUBLE)
+                       * (CAST(uni.n_t AS DOUBLE) / corpus.n_total)), 9)
+                   AS DECIMAL(28,9))) AS nll
+        FROM bf JOIN big USING (w1, w2) JOIN ctx USING (w1)
+             JOIN uni ON bf.w2 = uni.term CROSS JOIN corpus
+        GROUP BY bf.doc_id)
+    SELECT doc_id, n_bigrams,
+           ROUND(CAST(nll AS DOUBLE) / n_bigrams, 6) AS avg_nll,
+           ROUND(EXP(ROUND(CAST(nll AS DOUBLE) / n_bigrams, 6)), 2) AS ppl
+    FROM scored
+    """,
+)
+def q_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram-LM perplexity per document — the next rung
+    of the LM quality ladder above q_perplexity's unigram model:
+    p(w2|w1) = 0.7 * c(w1,w2)/c(w1.) + 0.3 * c(w2)/N, so unseen-context
+    backoff never zeroes a probability while repeated boilerplate
+    bigrams drive perplexity down (how a KenLM-style filter separates
+    fluent text from shuffled-word gibberish that unigram models can't
+    tell apart).
+
+    Scale shape: bigram extraction is the same zip_with map as
+    q_bigram_counts (no self-join); the LM tables (bigram, context,
+    unigram) are vocabulary-sized aggregations the doc-level frequency
+    table joins back on their natural keys; the 1-row corpus total
+    rides a broadcast.  Determinism follows q_perplexity exactly:
+    per-bigram NLL rounds to 9 places, accumulates as DECIMAL, and ppl
+    exponentiates the already-rounded average."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.split(normalize_text(F.col("text")), " ").alias("ts")
+    ).filter(F.size("ts") >= 2)
+    pairs = toks.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("ts"), 1, F.size("ts") - 1),
+                F.slice(F.col("ts"), 2, F.size("ts") - 1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("bg"),
+    ).select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    bf = pairs.groupBy("doc_id", "w1", "w2").agg(F.count("*").alias("bf"))
+    big = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    ctx = big.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    uni = (
+        toks.select(F.explode("ts").alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("n_t"))
+    )
+    corpus = uni.agg(F.sum("n_t").alias("n_total"))
+    p = (
+        F.lit(_LAMBDA_BIGRAM)
+        * (F.col("c12").cast("double") / F.col("c1"))
+        + F.lit(1 - _LAMBDA_BIGRAM)
+        * (F.col("n_t").cast("double") / F.col("n_total"))
+    )
+    nll_term = F.round(-F.col("bf") * F.log(p), 9).cast("decimal(28,9)")
+    scored = (
+        bf.join(big, ["w1", "w2"])
+        .join(ctx, "w1")
+        .join(uni, bf["w2"] == uni["term"])
+        .crossJoin(F.broadcast(corpus))
+        .groupBy("doc_id")
+        .agg(F.sum("bf").alias("n_bigrams"), F.sum(nll_term).alias("nll"))
+    )
+    avg_nll = F.round(F.col("nll").cast("double") / F.col("n_bigrams"), 6)
+    return scored.select(
+        "doc_id",
+        "n_bigrams",
+        avg_nll.alias("avg_nll"),
+        F.round(F.exp(avg_nll), 2).alias("ppl"),
+    )
+
+
+@query(
+    "q_applyinarrow",
+    oracle="""
+    WITH g AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CAST(n_chars AS DECIMAL(18,0))) AS BIGINT)
+                   AS sum_chars
+        FROM documents GROUP BY source)
+    SELECT source, n_docs,
+           ROUND(CAST(sum_chars AS DOUBLE) / n_docs, 2) AS avg_chars
+    FROM g
+    """,
+)
+def q_applyinarrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped Arrow aggregation (``GroupedData.applyInArrow``) — the
+    Spark-4 grouped twin of q_mapinarrow: each source group arrives as
+    one Arrow table, is reduced with pyarrow.compute kernels (no pandas
+    materialization at all), and returns a 1-row table.  The group
+    emits EXACT integers (count, sum); the float division+round happens
+    in Spark afterwards so both engines round the same double —
+    keeping the Python stage integer-only is what makes a grouped
+    Arrow hook hash-verifiable."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    docs = load_table(spark, sf_dir, "documents").select("source", "n_chars")
+
+    def stats(key: tuple, tbl: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "source": pa.array([key[0]], pa.string()),
+                "n_docs": pa.array([tbl.num_rows], pa.int64()),
+                "sum_chars": pa.array(
+                    [pc.sum(tbl.column("n_chars")).as_py()], pa.int64()
+                ),
+            }
+        )
+
+    g = docs.groupBy("source").applyInArrow(
+        stats, "source string, n_docs long, sum_chars long"
+    )
+    return g.select(
+        "source",
+        "n_docs",
+        F.round(
+            F.col("sum_chars").cast("double") / F.col("n_docs"), 2
+        ).alias("avg_chars"),
+    )

@@ -52,6 +52,7 @@ _BNLJ_SCALAR_OK = {
     "q_minhash_incremental",  # 1-row delta-cut threshold broadcast
     "q_dedup_embedding_incremental",  # 1-row delta-cut threshold broadcast
     "q_perplexity",        # 1-row corpus-total broadcast
+    "q_perplexity_bigram", # 1-row corpus-total broadcast
     "q_ann_recall",        # two 1-row count scalars attach per method
     "q_minhash_eval",      # three 1-row audit counts attach
     "q_market_basket",     # 1-row order-count (support denominator) broadcast
