@@ -421,3 +421,129 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_hits",
         F.round(F.col("n_hits") / F.col("n_exact_pairs"), 4).alias("recall"),
     )
+
+
+@query(
+    "q_embedding_drift",
+    oracle="""
+    WITH stats AS (
+        SELECT MAX(vec_id) - CAST(FLOOR(COUNT(*) / 2.0) AS BIGINT) AS cut
+        FROM embeddings),
+    tagged AS (
+        SELECT label,
+               CASE WHEN vec_id <= cut THEN 'old' ELSE 'new' END AS period,
+               embedding
+        FROM embeddings CROSS JOIN stats),
+    dims AS (
+        SELECT label, period,
+               generate_subscripts(embedding, 1) AS idx,
+               unnest(embedding) AS val
+        FROM tagged),
+    cent AS (
+        SELECT label, period, idx,
+               ROUND(CAST(SUM(CAST(val AS DECIMAL(27,12))) AS DOUBLE)
+                     / COUNT(*), 9) AS c
+        FROM dims GROUP BY label, period, idx),
+    paired AS (
+        SELECT o.label, o.idx, o.c AS co, n.c AS cn
+        FROM cent o JOIN cent n
+          ON o.label = n.label AND o.idx = n.idx
+         AND o.period = 'old' AND n.period = 'new'),
+    sums AS (
+        SELECT label,
+               CAST(SUM(CAST(ROUND(co * cn, 12) AS DECIMAL(28,12)))
+                    AS DOUBLE) AS ab,
+               CAST(SUM(CAST(ROUND(co * co, 12) AS DECIMAL(28,12)))
+                    AS DOUBLE) AS aa,
+               CAST(SUM(CAST(ROUND(cn * cn, 12) AS DECIMAL(28,12)))
+                    AS DOUBLE) AS bb
+        FROM paired GROUP BY label),
+    counts AS (
+        SELECT label,
+               CAST(SUM(CASE WHEN period = 'old' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_old,
+               CAST(SUM(CASE WHEN period = 'new' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_new
+        FROM tagged GROUP BY label)
+    SELECT CAST(s.label AS BIGINT) AS label, c.n_old, c.n_new,
+           ROUND(s.ab / (SQRT(s.aa) * SQRT(s.bb)), 6) AS centroid_cos
+    FROM sums s JOIN counts c USING (label)
+    """,
+)
+def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding drift monitor: per-label centroid cosine between the
+    older and newer half of the corpus (by vec_id — the arrival order)
+    — the embedding-space analogue of q_psi_drift's scalar PSI.  A
+    label whose centroid_cos sags below ~0.9 is drifting: its new
+    vectors no longer agree with its historical center, the signal a
+    retrieval/classifier pipeline watches to schedule re-indexing or
+    re-training.
+
+    Scale: one posexplode shuffle keyed (label, period, dim) — 64 rows
+    per vector, partial-aggregated map-side — then dimension-count-
+    sized frames; nothing else touches the full table.  Determinism:
+    per-dim sums accumulate as DECIMAL, centroids round to 9 BEFORE the
+    cosine products, products round to 12 and sum as DECIMAL again, so
+    both engines assemble the identical doubles (registry.py rules).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    stats = emb.agg(
+        (
+            F.max("vec_id")
+            - F.floor(F.count("*") / F.lit(2.0)).cast("long")
+        ).alias("cut")
+    )
+    tagged = emb.crossJoin(F.broadcast(stats)).select(
+        "label",
+        F.when(F.col("vec_id") <= F.col("cut"), "old")
+        .otherwise("new")
+        .alias("period"),
+        "embedding",
+    )
+    dims = tagged.select(
+        "label", "period", F.posexplode("embedding").alias("idx", "val")
+    )
+    cent = dims.groupBy("label", "period", "idx").agg(
+        F.round(
+            F.sum(F.col("val").cast("decimal(27,12)")).cast("double")
+            / F.count("*"),
+            9,
+        ).alias("c")
+    )
+    old = cent.filter(F.col("period") == "old").select(
+        "label", "idx", F.col("c").alias("co")
+    )
+    new = cent.filter(F.col("period") == "new").select(
+        "label", "idx", F.col("c").alias("cn")
+    )
+    sums = (
+        old.join(new, ["label", "idx"])
+        .groupBy("label")
+        .agg(
+            F.sum(
+                F.round(F.col("co") * F.col("cn"), 12).cast("decimal(28,12)")
+            ).cast("double").alias("ab"),
+            F.sum(
+                F.round(F.col("co") * F.col("co"), 12).cast("decimal(28,12)")
+            ).cast("double").alias("aa"),
+            F.sum(
+                F.round(F.col("cn") * F.col("cn"), 12).cast("decimal(28,12)")
+            ).cast("double").alias("bb"),
+        )
+    )
+    counts = tagged.groupBy("label").agg(
+        F.sum(F.when(F.col("period") == "old", 1).otherwise(0))
+        .cast("long")
+        .alias("n_old"),
+        F.sum(F.when(F.col("period") == "new", 1).otherwise(0))
+        .cast("long")
+        .alias("n_new"),
+    )
+    return sums.join(counts, "label").select(
+        F.col("label").cast("long").alias("label"),
+        "n_old",
+        "n_new",
+        F.round(
+            F.col("ab") / (F.sqrt("aa") * F.sqrt("bb")), 6
+        ).alias("centroid_cos"),
+    )
