@@ -333,3 +333,206 @@ def sample_frames(
             yield pd.DataFrame(out)
 
     return df.select(id_col, "payload").mapInPandas(_sample, schema)
+
+
+# ---------------------------------------------------------------------------
+# Real pixel operations — stdlib-zlib PNG decode, nearest-neighbor
+# resize, channel statistics.  No codec library needed for the 8-bit
+# grayscale PNGs this pipeline synthesizes; foreign/corrupt payloads
+# fall back deterministically instead of failing the job (same
+# contract as default_decoder).
+# ---------------------------------------------------------------------------
+
+
+def decode_png_gray(p: bytes):
+    """Decode an 8-bit grayscale PNG to an (h, w) uint8 array.
+
+    Real decode: IHDR parse, IDAT concatenation, zlib inflate, and
+    scanline de-filtering (filter types 0/1/2 — None/Sub/Up — which
+    cover every encoder this repo ships and most grayscale encoders).
+    Raises ValueError on anything else; callers catch and fall back.
+    """
+    import numpy as np
+
+    if p[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG")
+    w, h = struct.unpack(">II", p[16:24])
+    bit_depth, color_type = p[24], p[25]
+    if bit_depth != 8 or color_type != 0:
+        raise ValueError("only 8-bit grayscale supported")
+    idat, off = b"", 8
+    while off < len(p):
+        (ln,) = struct.unpack(">I", p[off:off + 4])
+        typ = p[off + 4:off + 8]
+        if typ == b"IDAT":
+            idat += p[off + 8:off + 8 + ln]
+        off += 12 + ln
+    raw = zlib.decompress(idat)
+    stride = w + 1
+    img = np.empty((h, w), dtype=np.uint8)
+    prev = np.zeros(w, dtype=np.uint8)
+    for y in range(h):
+        line = raw[y * stride:(y + 1) * stride]
+        filt, data = line[0], np.frombuffer(line[1:], dtype=np.uint8)
+        if filt == 0:
+            row = data.copy()
+        elif filt == 1:  # Sub: add left neighbor (sequential by nature)
+            row = data.copy()
+            for x in range(1, w):
+                row[x] = (int(row[x]) + int(row[x - 1])) & 0xFF
+        elif filt == 2:  # Up: add the row above
+            row = (data.astype(np.int16) + prev).astype(np.uint8)
+        else:
+            raise ValueError(f"unsupported PNG filter {filt}")
+        img[y] = row
+        prev = row
+    return img
+
+
+def encode_png_gray(img) -> bytes:
+    """(h, w) uint8 -> valid 8-bit grayscale PNG (filter 0 rows)."""
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", binascii.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    h, w = img.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    raw = b"".join(b"\x00" + img[y].tobytes() for y in range(h))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def resize_nearest(img, tw: int, th: int):
+    """Nearest-neighbor resample to (th, tw) — pure index arithmetic."""
+    import numpy as np
+
+    h, w = img.shape
+    ys = (np.arange(th) * h // th).clip(0, h - 1)
+    xs = (np.arange(tw) * w // tw).clip(0, w - 1)
+    return img[ys][:, xs]
+
+
+def resize_images(
+    df: DataFrame,
+    target_w: int = 8,
+    target_h: int = 8,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Decode -> nearest-resize -> re-encode, Arrow batch at a time.
+
+    The Spark-side ``media_type = 'image/png'`` filter runs FIRST so
+    scan pruning/pushdown still applies and only image rows cross into
+    Python (the q_mapinarrow rule).  Undecodable payloads emit
+    ok = false with a null output instead of failing the batch — at
+    100 TB a corrupt row must never kill the job.
+    """
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("in_w", T.IntegerType()),
+            T.StructField("in_h", T.IntegerType()),
+            T.StructField("resized", T.BinaryType()),
+            T.StructField("n_bytes_out", T.IntegerType()),
+            T.StructField("ok", T.BooleanType()),
+        ]
+    )
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {k.name: [] for k in schema.fields}
+            for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                out["doc_id"].append(doc_id)
+                try:
+                    img = decode_png_gray(payload or b"")
+                    small = encode_png_gray(
+                        resize_nearest(img, target_w, target_h)
+                    )
+                    out["in_h"].append(int(img.shape[0]))
+                    out["in_w"].append(int(img.shape[1]))
+                    out["resized"].append(small)
+                    out["n_bytes_out"].append(len(small))
+                    out["ok"].append(True)
+                except (ValueError, IndexError, zlib.error, struct.error):
+                    out["in_h"].append(None)
+                    out["in_w"].append(None)
+                    out["resized"].append(None)
+                    out["n_bytes_out"].append(None)
+                    out["ok"].append(False)
+            yield pd.DataFrame(out)
+
+    return (
+        df.filter(F.col("media_type") == "image/png")
+        .select(id_col, "payload")
+        .mapInPandas(_resize, schema)
+    )
+
+
+def image_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Pixel-statistics feature extraction per image: mean/std/min/max
+    plus a 4-bin intensity histogram — the fixed-width feature row an
+    image-quality filter or dedup stage consumes.  Same filter-first /
+    never-fail contract as :func:`resize_images`."""
+    import numpy as np
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("mean_px", T.DoubleType()),
+            T.StructField("std_px", T.DoubleType()),
+            T.StructField("min_px", T.IntegerType()),
+            T.StructField("max_px", T.IntegerType()),
+            T.StructField("hist", T.ArrayType(T.LongType())),
+            T.StructField("ok", T.BooleanType()),
+        ]
+    )
+
+    def _feat(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {k.name: [] for k in schema.fields}
+            for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                out["doc_id"].append(doc_id)
+                try:
+                    img = decode_png_gray(payload or b"")
+                    # exact integer sufficient stats, then ONE double
+                    # division sequence — the identical arithmetic a
+                    # SQL oracle runs, so results are bit-comparable
+                    # (np.mean/np.std accumulate differently)
+                    n = img.size
+                    s1 = int(img.astype(np.int64).sum())
+                    s2 = int((img.astype(np.int64) ** 2).sum())
+                    mean = s1 / n
+                    out["width"].append(int(img.shape[1]))
+                    out["height"].append(int(img.shape[0]))
+                    # emit UNROUNDED doubles: python round() is
+                    # banker's, Spark/DuckDB ROUND is half-up — the
+                    # registered query rounds Spark-side so both
+                    # engines round the identical double identically
+                    out["mean_px"].append(mean)
+                    out["std_px"].append((s2 / n - mean * mean) ** 0.5)
+                    out["min_px"].append(int(img.min()))
+                    out["max_px"].append(int(img.max()))
+                    out["hist"].append(
+                        np.bincount(img.ravel() >> 6, minlength=4)
+                        .astype("int64").tolist()
+                    )
+                    out["ok"].append(True)
+                except (ValueError, IndexError, zlib.error, struct.error):
+                    for k in ("width", "height", "mean_px", "std_px",
+                              "min_px", "max_px", "hist"):
+                        out[k].append(None)
+                    out["ok"].append(False)
+            yield pd.DataFrame(out)
+
+    return (
+        df.filter(F.col("media_type") == "image/png")
+        .select(id_col, "payload")
+        .mapInPandas(_feat, schema)
+    )

@@ -586,6 +586,134 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_image_features",
+    oracle="""
+    WITH imgs AS (
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               CAST(16 + doc_id % 32 AS INT) AS w,
+               CAST(16 + doc_id % 17 AS INT) AS h
+        FROM documents WHERE doc_id % 3 = 0),
+    px AS (
+        SELECT doc_id, w, h,
+               unnest(flatten(list_transform(range(h), y ->
+                   list_transform(range(w), x -> (x*31 + y*17) % 256))))
+                   AS v
+        FROM imgs),
+    agg AS (
+        SELECT doc_id, w, h,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(v) AS BIGINT) AS s1,
+               CAST(SUM(v*v) AS BIGINT) AS s2,
+               CAST(MIN(v) AS INT) AS min_px,
+               CAST(MAX(v) AS INT) AS max_px,
+               CAST(SUM(CASE WHEN v // 64 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS h0,
+               CAST(SUM(CASE WHEN v // 64 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS h1,
+               CAST(SUM(CASE WHEN v // 64 = 2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS h2,
+               CAST(SUM(CASE WHEN v // 64 = 3 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS h3
+        FROM px GROUP BY doc_id, w, h)
+    SELECT doc_id, w AS width, h AS height,
+           ROUND(CAST(s1 AS DOUBLE) / n, 4) AS mean_px,
+           ROUND(SQRT(CAST(s2 AS DOUBLE) / n
+                      - (CAST(s1 AS DOUBLE) / n)
+                        * (CAST(s1 AS DOUBLE) / n)), 4) AS std_px,
+           min_px, max_px, h0, h1, h2, h3
+    FROM agg
+    """,
+)
+def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image feature extraction: synthesize valid zlib-compressed
+    PNGs executor-side, inflate + de-filter the scanlines back to pixel
+    arrays (stdlib zlib, operators/multimodal.py:decode_png_gray), and
+    reduce to mean/std/min/max + a 4-bin intensity histogram per image.
+
+    The oracle recomputes every statistic ANALYTICALLY from the known
+    pixel formula ((x*31 + y*17) % 256) — a hash match therefore proves
+    the compressed bytes round-tripped through a genuine PNG decode,
+    not just header reads.  Both sides reduce exact integer sufficient
+    stats and run the identical double division sequence before ROUND
+    (registry.py determinism rules)."""
+    from clv_data_pipeline_spark.operators.multimodal import (
+        attach_real_payload,
+        image_features,
+    )
+
+    d = attach_real_payload(load_table(spark, sf_dir, "documents"))
+    f = image_features(d)
+    return f.select(
+        "doc_id",
+        "width",
+        "height",
+        F.round("mean_px", 4).alias("mean_px"),
+        F.round("std_px", 4).alias("std_px"),
+        "min_px",
+        "max_px",
+        F.col("hist")[0].alias("h0"),
+        F.col("hist")[1].alias("h1"),
+        F.col("hist")[2].alias("h2"),
+        F.col("hist")[3].alias("h3"),
+    )
+
+
+@query(
+    "q_image_resize",
+    oracle="""
+    WITH imgs AS (
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               CAST(16 + doc_id % 32 AS INT) AS w,
+               CAST(16 + doc_id % 17 AS INT) AS h
+        FROM documents WHERE doc_id % 3 = 0),
+    px AS (
+        SELECT doc_id, w, h,
+               unnest(flatten(list_transform(range(8), yy ->
+                   list_transform(range(8), xx ->
+                       (((xx * w) // 8) * 31 + ((yy * h) // 8) * 17)
+                       % 256)))) AS v
+        FROM imgs)
+    SELECT doc_id, w AS in_w, h AS in_h,
+           CAST(8 AS INT) AS out_w, CAST(8 AS INT) AS out_h,
+           ROUND(CAST(SUM(v) AS DOUBLE) / 64, 4) AS resized_mean
+    FROM px GROUP BY doc_id, w, h
+    """,
+)
+def q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image resize: decode the synthesized PNGs, nearest-neighbor
+    resample to 8x8, RE-ENCODE to valid PNG bytes, then decode the
+    re-encoded output again and reduce it — so the hash check covers
+    decode -> resize -> encode -> decode, the full thumbnailing path a
+    multimodal pipeline runs.  The oracle computes the nearest-neighbor
+    grid analytically (src index = (dst*size)//8) from the known pixel
+    formula.  All per-image work is map-only Arrow batches; only PNG
+    rows cross into Python (media_type filter runs Spark-side first)."""
+    from clv_data_pipeline_spark.operators.multimodal import (
+        attach_real_payload,
+        image_features,
+        resize_images,
+    )
+
+    d = attach_real_payload(load_table(spark, sf_dir, "documents"))
+    r = resize_images(d, target_w=8, target_h=8)
+    back = image_features(
+        r.select(
+            "doc_id",
+            F.col("resized").alias("payload"),
+            F.lit("image/png").alias("media_type"),
+        )
+    )
+    return r.select("doc_id", "in_w", "in_h").join(back, "doc_id").select(
+        "doc_id",
+        "in_w",
+        "in_h",
+        F.col("width").alias("out_w"),
+        F.col("height").alias("out_h"),
+        F.round("mean_px", 4).alias("resized_mean"),
+    )
+
+
+@query(
     "q_pii_scrub",
     oracle=r"""
     WITH dirty AS (

@@ -1,0 +1,102 @@
+"""Real PNG pixel ops (operators/multimodal.py): decode fidelity
+against the known synthesis formula, encode->decode round trip,
+nearest-neighbor resize indexing, filter-type support, and the
+never-fail contract for corrupt payloads."""
+
+from __future__ import annotations
+
+import binascii
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from clv_data_pipeline_spark.operators.multimodal import (
+    attach_real_payload,
+    decode_png_gray,
+    encode_png_gray,
+    image_features,
+    make_png,
+    resize_images,
+    resize_nearest,
+)
+
+
+def _expected(w, h):
+    x = np.arange(w)[None, :]
+    y = np.arange(h)[:, None]
+    return ((x * 31 + y * 17) % 256).astype(np.uint8)
+
+
+def test_decode_matches_synthesis_formula():
+    for w, h in [(16, 16), (47, 32), (20, 17)]:
+        assert np.array_equal(decode_png_gray(make_png(w, h)), _expected(w, h))
+
+
+def test_encode_decode_roundtrip():
+    img = _expected(23, 19)
+    assert np.array_equal(decode_png_gray(encode_png_gray(img)), img)
+
+
+def test_decode_sub_and_up_filters():
+    # hand-build a 3x3 PNG using filter 1 (Sub) then 2 (Up) rows
+    img = np.array([[10, 20, 30], [13, 24, 35], [113, 4, 215]],
+                   dtype=np.uint8)
+
+    def chunk(typ, data):
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", binascii.crc32(typ + data) & 0xFFFFFFFF))
+
+    row0 = b"\x00" + img[0].tobytes()  # None
+    sub = np.diff(img[1].astype(np.int16), prepend=0) % 256
+    row1 = b"\x01" + sub.astype(np.uint8).tobytes()  # Sub
+    up = (img[2].astype(np.int16) - img[1]) % 256
+    row2 = b"\x02" + up.astype(np.uint8).tobytes()  # Up
+    ihdr = struct.pack(">IIBBBBB", 3, 3, 8, 0, 0, 0, 0)
+    p = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+         + chunk(b"IDAT", zlib.compress(row0 + row1 + row2))
+         + chunk(b"IEND", b""))
+    assert np.array_equal(decode_png_gray(p), img)
+
+
+def test_decode_rejects_garbage():
+    with pytest.raises(ValueError):
+        decode_png_gray(b"not a png at all")
+
+
+def test_resize_nearest_indexing():
+    img = _expected(16, 16)
+    half = resize_nearest(img, 8, 8)
+    assert half.shape == (8, 8)
+    assert np.array_equal(half, img[::2, ::2])
+
+
+def test_resize_images_never_fails_on_corrupt_payload(spark):
+    df = spark.createDataFrame(
+        [(1, bytearray(make_png(16, 16)), "image/png"),
+         (2, bytearray(b"\x89PNG\r\n\x1a\ncorrupt!!"), "image/png"),
+         (3, bytearray(b"RIFF...."), "audio/wav")],
+        "doc_id long, payload binary, media_type string",
+    )
+    rows = {r["doc_id"]: r for r in resize_images(df, 8, 8).collect()}
+    assert rows[1]["ok"] and rows[1]["in_w"] == 16
+    assert decode_png_gray(bytes(rows[1]["resized"])).shape == (8, 8)
+    assert rows[2]["ok"] is False and rows[2]["resized"] is None
+    assert 3 not in rows  # non-image rows filtered Spark-side
+
+
+def test_image_features_match_numpy(spark):
+    docs = spark.createDataFrame([(0,), (3,), (6,)], "doc_id long")
+    d = attach_real_payload(docs)
+    feats = {r["doc_id"]: r for r in image_features(d).collect()}
+    for i in (0, 3, 6):
+        w, h = 16 + i % 32, 16 + i % 17
+        img = _expected(w, h)
+        r = feats[i]
+        assert (r["width"], r["height"]) == (w, h)
+        assert abs(r["mean_px"] - img.mean()) < 1e-9
+        assert r["min_px"] == int(img.min())
+        assert r["max_px"] == int(img.max())
+        assert r["hist"] == np.bincount(
+            img.ravel() >> 6, minlength=4).tolist()
