@@ -536,3 +536,82 @@ def image_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
         .select(id_col, "payload")
         .mapInPandas(_feat, schema)
     )
+
+
+def decode_wav_pcm16(p: bytes):
+    """Decode a PCM16 RIFF/WAVE payload to (channels, sample_rate,
+    int16 sample array) — real chunk walk (fmt / data), stdlib struct +
+    numpy frombuffer.  Raises ValueError on anything non-PCM16."""
+    import numpy as np
+
+    if p[:4] != b"RIFF" or p[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    off, channels, rate, bits, data = 12, None, None, None, None
+    while off + 8 <= len(p):
+        typ = p[off:off + 4]
+        (ln,) = struct.unpack("<I", p[off + 4:off + 8])
+        body = p[off + 8:off + 8 + ln]
+        if typ == b"fmt ":
+            fmt_code, channels, rate = struct.unpack("<HHI", body[:8])
+            bits = struct.unpack("<H", body[14:16])[0]
+            if fmt_code != 1 or bits != 16:
+                raise ValueError("only PCM16 supported")
+        elif typ == b"data":
+            data = body
+        off += 8 + ln
+    if channels is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    return channels, rate, np.frombuffer(data, dtype="<i2")
+
+
+def audio_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Amplitude features per audio payload: sample count, mean, RMS,
+    peak — the fixed-width row an audio-quality filter consumes.
+    Exact integer sufficient stats, unrounded doubles out (the query
+    rounds Spark-side); same filter-first / never-fail contract as
+    :func:`image_features`."""
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("channels", T.IntegerType()),
+            T.StructField("sample_rate", T.IntegerType()),
+            T.StructField("n_samples", T.LongType()),
+            T.StructField("mean_amp", T.DoubleType()),
+            T.StructField("rms", T.DoubleType()),
+            T.StructField("peak", T.IntegerType()),
+            T.StructField("ok", T.BooleanType()),
+        ]
+    )
+
+    def _feat(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out: dict[str, list] = {k.name: [] for k in schema.fields}
+            for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                out["doc_id"].append(doc_id)
+                try:
+                    ch, rate, v = decode_wav_pcm16(bytes(payload or b""))
+                    n = len(v)
+                    s1 = int(v.astype(np.int64).sum())
+                    s2 = int((v.astype(np.int64) ** 2).sum())
+                    out["channels"].append(ch)
+                    out["sample_rate"].append(rate)
+                    out["n_samples"].append(n)
+                    out["mean_amp"].append(s1 / n)
+                    out["rms"].append((s2 / n) ** 0.5)
+                    out["peak"].append(int(np.abs(v.astype(np.int64)).max()))
+                    out["ok"].append(True)
+                except (ValueError, IndexError, struct.error,
+                        ZeroDivisionError):
+                    for k in ("channels", "sample_rate", "n_samples",
+                              "mean_amp", "rms", "peak"):
+                        out[k].append(None)
+                    out["ok"].append(False)
+            yield pd.DataFrame(out)
+
+    return (
+        df.filter(F.col("media_type") == "audio/wav")
+        .select(id_col, "payload")
+        .mapInPandas(_feat, schema)
+    )

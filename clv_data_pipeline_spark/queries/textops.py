@@ -714,6 +714,63 @@ def q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_audio_features",
+    oracle="""
+    WITH wavs AS (
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               CAST(1 + doc_id % 2 AS INT) AS channels,
+               CAST(8000 + 100 * (doc_id % 5) AS INT) AS sample_rate,
+               CAST(64 * (1 + doc_id % 2) AS BIGINT) AS n_samples
+        FROM documents WHERE doc_id % 3 = 1),
+    samples AS (
+        SELECT doc_id, channels, sample_rate, n_samples,
+               unnest(list_transform(range(n_samples), j ->
+                   ((((2 * j) * 7) % 251)
+                    + 256 * (((2 * j + 1) * 7) % 251)
+                    + 32768) % 65536 - 32768)) AS v
+        FROM wavs),
+    agg AS (
+        SELECT doc_id, channels, sample_rate, n_samples,
+               CAST(SUM(v) AS BIGINT) AS s1,
+               CAST(SUM(v * v) AS BIGINT) AS s2,
+               CAST(MAX(ABS(v)) AS INT) AS peak
+        FROM samples GROUP BY doc_id, channels, sample_rate, n_samples)
+    SELECT doc_id, channels, sample_rate, n_samples,
+           ROUND(CAST(s1 AS DOUBLE) / n_samples, 4) AS mean_amp,
+           ROUND(SQRT(CAST(s2 AS DOUBLE) / n_samples), 4) AS rms,
+           peak
+    FROM agg
+    """,
+)
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio feature extraction: synthesize valid PCM16 RIFF/WAVE
+    payloads executor-side, decode them back through a genuine chunk
+    walk + int16 frombuffer (operators/multimodal.py:decode_wav_pcm16),
+    and reduce to amplitude statistics (mean, RMS, peak).  The oracle
+    regenerates the samples analytically from the synthesis formula
+    ((k*7) % 251 bytes, little-endian int16), so a hash match proves a
+    real waveform decode — the audio twin of q_image_features.
+    Integer sufficient stats + one double division sequence, rounded
+    Spark-side (registry.py rules)."""
+    from clv_data_pipeline_spark.operators.multimodal import (
+        attach_real_payload,
+        audio_features,
+    )
+
+    d = attach_real_payload(load_table(spark, sf_dir, "documents"))
+    f = audio_features(d)
+    return f.select(
+        "doc_id",
+        "channels",
+        "sample_rate",
+        "n_samples",
+        F.round("mean_amp", 4).alias("mean_amp"),
+        F.round("rms", 4).alias("rms"),
+        "peak",
+    )
+
+
+@query(
     "q_pii_scrub",
     oracle=r"""
     WITH dirty AS (

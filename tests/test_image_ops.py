@@ -100,3 +100,39 @@ def test_image_features_match_numpy(spark):
         assert r["max_px"] == int(img.max())
         assert r["hist"] == np.bincount(
             img.ravel() >> 6, minlength=4).tolist()
+
+
+def test_wav_decode_matches_formula():
+    import numpy as np
+
+    from clv_data_pipeline_spark.operators.multimodal import (
+        decode_wav_pcm16,
+        make_wav,
+    )
+
+    ch, rate, v = decode_wav_pcm16(make_wav(2, 8100, 64))
+    assert (ch, rate, len(v)) == (2, 8100, 128)
+    exp = np.array(
+        [(((2 * j * 7) % 251) + 256 * (((2 * j + 1) * 7) % 251)
+          + 32768) % 65536 - 32768 for j in range(128)],
+        dtype=np.int16,
+    )
+    assert np.array_equal(v, exp)
+
+
+def test_audio_features_never_fail_and_filter_first(spark):
+    from clv_data_pipeline_spark.operators.multimodal import (
+        audio_features,
+        make_wav,
+    )
+
+    df = spark.createDataFrame(
+        [(1, bytearray(make_wav(1, 8000, 4)), "audio/wav"),
+         (2, bytearray(b"RIFFbroken"), "audio/wav"),
+         (3, bytearray(b"\x89PNG"), "image/png")],
+        "doc_id long, payload binary, media_type string",
+    )
+    rows = {r["doc_id"]: r for r in audio_features(df).collect()}
+    assert rows[1]["ok"] and rows[1]["n_samples"] == 4
+    assert rows[2]["ok"] is False
+    assert 3 not in rows
