@@ -110,3 +110,26 @@ def test_cosine_topk_sharded_stays_bounded(spark):
     elapsed = time.perf_counter() - t0
     assert n == 4_000
     assert elapsed < 120, f"sharded cosine took {elapsed:.1f}s on 4k vectors"
+
+
+def test_pq_ann_20k_vectors(spark):
+    from clv_data_pipeline_spark.operators.pq import pq_topk
+
+    vecs = _synthetic_vecs(spark, n=N_VECS)
+    t0 = time.perf_counter()
+    n = pq_topk(vecs, k=1, num_shards=4).count()
+    elapsed = time.perf_counter() - t0
+    assert n == N_VECS
+    assert elapsed < 120, f"PQ ANN took {elapsed:.1f}s on 20k vectors"
+
+
+def test_bloom_semi_join_3m_rows_linear(spark):
+    from clv_data_pipeline_spark.operators.bloom import bloom_semi_join
+
+    big = spark.range(3_000_000).select(F.col("id").alias("k"))
+    small = spark.range(0, 3_000_000, 100).select(F.col("id").alias("j"))
+    t0 = time.perf_counter()
+    n = bloom_semi_join(big, "k", small, "j").count()
+    elapsed = time.perf_counter() - t0
+    assert n == 30_000
+    assert elapsed < 60, f"bloom semi-join took {elapsed:.1f}s on 3M rows"
