@@ -318,3 +318,74 @@ def test_scd2_merge_equals_rebuild_property(spark, events, cut_min):
         for r in scd2_intervals(ev).collect()
     }
     assert merged == rebuilt
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    bkeys=st.lists(
+        st.integers(min_value=0, max_value=200), min_size=1, max_size=40,
+    ),
+    skeys=st.lists(
+        st.integers(min_value=0, max_value=200), min_size=0, max_size=20,
+        unique=True,
+    ),
+)
+def test_bloom_semi_join_equals_exact_property(spark, bkeys, skeys):
+    """bloom_semi_join is EXACTLY the plain left-semi join for any key
+    sets (duplicates on the big side preserved, empty small side ->
+    empty result)."""
+    from clv_data_pipeline_spark.operators.bloom import bloom_semi_join
+
+    big = spark.createDataFrame([(k,) for k in bkeys], "k long")
+    small = spark.createDataFrame(
+        [(k,) for k in skeys] or [(None,)], "j long"
+    ).filter("j IS NOT NULL")
+    got = sorted(
+        r["k"] for r in bloom_semi_join(big, "k", small, "j").collect()
+    )
+    expect = sorted(k for k in bkeys if k in set(skeys))
+    assert got == expect
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=12),
+            st.integers(min_value=0, max_value=12),
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+)
+def test_lpa_fixed_iteration_reference_property(spark, edges):
+    """label_propagation matches a literal python implementation of the
+    same synchronous min-tie-break rule on arbitrary small graphs."""
+    from collections import Counter
+
+    from clv_data_pipeline_spark.operators.graph import label_propagation
+
+    edges = [(a, b) for a, b in edges if a != b]
+    if not edges:
+        return
+    und = set()
+    for a, b in edges:
+        und.add((a, b))
+        und.add((b, a))
+    nodes = sorted({a for a, _ in und})
+    nbrs = {n: [b for a, b in und if a == n] for n in nodes}
+    lab = {n: n for n in nodes}
+    for _ in range(3):
+        new = {}
+        for n in nodes:
+            votes = Counter(lab[m] for m in nbrs[n])
+            top = max(votes.values())
+            new[n] = min(l for l, c in votes.items() if c == top)
+        lab = new
+
+    df = spark.createDataFrame(list(edges), "src long, dst long")
+    got = {
+        r["node"]: r["lab"]
+        for r in label_propagation(df, iters=3).collect()
+    }
+    assert got == lab
