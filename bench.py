@@ -59,6 +59,12 @@ HEADLINE = [
     "q_bloom_join",
     "q_ann_pq",
     "q_pca_project",
+    "q_communities",
+    "q_perplexity_bigram",
+    "q_image_features",
+    "q_audio_features",
+    "q_embedding_drift",
+    "q_attribution",
     "q_market_basket",
     "q_interpolate",
     "q_clv_scores",
