@@ -67,15 +67,18 @@ def attach_fake_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _png_chunk(typ: bytes, data: bytes) -> bytes:
+    """length + type + data + CRC32 — the PNG chunk frame shared by the
+    synthesizer (make_png) and the re-encoder (encode_png_gray)."""
+    return (
+        struct.pack(">I", len(data)) + typ + data
+        + struct.pack(">I", binascii.crc32(typ + data) & 0xFFFFFFFF)
+    )
+
+
 def make_png(width: int, height: int) -> bytes:
     """A valid 8-bit grayscale PNG (signature, IHDR, zlib IDAT, IEND,
     correct CRCs) with deterministic pixel data."""
-    def chunk(typ: bytes, data: bytes) -> bytes:
-        return (
-            struct.pack(">I", len(data)) + typ + data
-            + struct.pack(">I", binascii.crc32(typ + data) & 0xFFFFFFFF)
-        )
-
     ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
     raw = b"".join(
         b"\x00" + bytes((x * 31 + y * 17) % 256 for x in range(width))
@@ -83,9 +86,9 @@ def make_png(width: int, height: int) -> bytes:
     )
     return (
         b"\x89PNG\r\n\x1a\n"
-        + chunk(b"IHDR", ihdr)
-        + chunk(b"IDAT", zlib.compress(raw))
-        + chunk(b"IEND", b"")
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
     )
 
 
@@ -357,9 +360,16 @@ def decode_png_gray(p: bytes):
     if p[:8] != b"\x89PNG\r\n\x1a\n":
         raise ValueError("not a PNG")
     w, h = struct.unpack(">II", p[16:24])
+    if w == 0 or h == 0:
+        raise ValueError("degenerate zero-dimension PNG")
     bit_depth, color_type = p[24], p[25]
     if bit_depth != 8 or color_type != 0:
         raise ValueError("only 8-bit grayscale supported")
+    if p[26] != 0 or p[27] != 0 or p[28] != 0:
+        # nonzero compression/filter-method/interlace: Adam7 streams
+        # would otherwise de-filter "successfully" into scrambled
+        # pixels — reject deterministically instead
+        raise ValueError("unsupported PNG compression/filter/interlace")
     idat, off = b"", 8
     while off < len(p):
         (ln,) = struct.unpack(">I", p[off:off + 4])
@@ -391,20 +401,14 @@ def decode_png_gray(p: bytes):
 
 def encode_png_gray(img) -> bytes:
     """(h, w) uint8 -> valid 8-bit grayscale PNG (filter 0 rows)."""
-    def chunk(typ: bytes, data: bytes) -> bytes:
-        return (
-            struct.pack(">I", len(data)) + typ + data
-            + struct.pack(">I", binascii.crc32(typ + data) & 0xFFFFFFFF)
-        )
-
     h, w = img.shape
     ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
     raw = b"".join(b"\x00" + img[y].tobytes() for y in range(h))
     return (
         b"\x89PNG\r\n\x1a\n"
-        + chunk(b"IHDR", ihdr)
-        + chunk(b"IDAT", zlib.compress(raw))
-        + chunk(b"IEND", b"")
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
     )
 
 
@@ -498,37 +502,37 @@ def image_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
         for pdf in batches:
             out: dict[str, list] = {k.name: [] for k in schema.fields}
             for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
-                out["doc_id"].append(doc_id)
+                # compute EVERYTHING before appending anything, so a
+                # failure mid-row can never leave ragged columns
                 try:
                     img = decode_png_gray(payload or b"")
                     # exact integer sufficient stats, then ONE double
                     # division sequence — the identical arithmetic a
                     # SQL oracle runs, so results are bit-comparable
-                    # (np.mean/np.std accumulate differently)
+                    # (np.mean/np.std accumulate differently).  Emit
+                    # UNROUNDED doubles: python round() is banker's,
+                    # Spark/DuckDB ROUND is half-up — the registered
+                    # query rounds Spark-side so both engines round
+                    # the identical double identically.
                     n = img.size
                     s1 = int(img.astype(np.int64).sum())
                     s2 = int((img.astype(np.int64) ** 2).sum())
                     mean = s1 / n
-                    out["width"].append(int(img.shape[1]))
-                    out["height"].append(int(img.shape[0]))
-                    # emit UNROUNDED doubles: python round() is
-                    # banker's, Spark/DuckDB ROUND is half-up — the
-                    # registered query rounds Spark-side so both
-                    # engines round the identical double identically
-                    out["mean_px"].append(mean)
-                    out["std_px"].append((s2 / n - mean * mean) ** 0.5)
-                    out["min_px"].append(int(img.min()))
-                    out["max_px"].append(int(img.max()))
-                    out["hist"].append(
+                    row = (
+                        int(img.shape[1]), int(img.shape[0]), mean,
+                        (s2 / n - mean * mean) ** 0.5,
+                        int(img.min()), int(img.max()),
                         np.bincount(img.ravel() >> 6, minlength=4)
-                        .astype("int64").tolist()
+                        .astype("int64").tolist(),
+                        True,
                     )
-                    out["ok"].append(True)
-                except (ValueError, IndexError, zlib.error, struct.error):
-                    for k in ("width", "height", "mean_px", "std_px",
-                              "min_px", "max_px", "hist"):
-                        out[k].append(None)
-                    out["ok"].append(False)
+                except (ValueError, IndexError, zlib.error, struct.error,
+                        ZeroDivisionError):
+                    row = (None,) * 7 + (False,)
+                out["doc_id"].append(doc_id)
+                for k, v in zip(("width", "height", "mean_px", "std_px",
+                                 "min_px", "max_px", "hist", "ok"), row):
+                    out[k].append(v)
             yield pd.DataFrame(out)
 
     return (
@@ -558,7 +562,7 @@ def decode_wav_pcm16(p: bytes):
                 raise ValueError("only PCM16 supported")
         elif typ == b"data":
             data = body
-        off += 8 + ln
+        off += 8 + ln + (ln & 1)  # RIFF pads odd-length chunks
     if channels is None or data is None:
         raise ValueError("missing fmt/data chunk")
     return channels, rate, np.frombuffer(data, dtype="<i2")
@@ -589,25 +593,26 @@ def audio_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
         for pdf in batches:
             out: dict[str, list] = {k.name: [] for k in schema.fields}
             for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
-                out["doc_id"].append(doc_id)
+                # compute everything before appending anything (an
+                # empty data chunk raises ZeroDivisionError mid-row;
+                # partial appends would leave ragged columns and kill
+                # the task at DataFrame construction)
                 try:
                     ch, rate, v = decode_wav_pcm16(bytes(payload or b""))
                     n = len(v)
                     s1 = int(v.astype(np.int64).sum())
                     s2 = int((v.astype(np.int64) ** 2).sum())
-                    out["channels"].append(ch)
-                    out["sample_rate"].append(rate)
-                    out["n_samples"].append(n)
-                    out["mean_amp"].append(s1 / n)
-                    out["rms"].append((s2 / n) ** 0.5)
-                    out["peak"].append(int(np.abs(v.astype(np.int64)).max()))
-                    out["ok"].append(True)
+                    row = (
+                        ch, rate, n, s1 / n, (s2 / n) ** 0.5,
+                        int(np.abs(v.astype(np.int64)).max()), True,
+                    )
                 except (ValueError, IndexError, struct.error,
                         ZeroDivisionError):
-                    for k in ("channels", "sample_rate", "n_samples",
-                              "mean_amp", "rms", "peak"):
-                        out[k].append(None)
-                    out["ok"].append(False)
+                    row = (None,) * 6 + (False,)
+                out["doc_id"].append(doc_id)
+                for k, val in zip(("channels", "sample_rate", "n_samples",
+                                   "mean_amp", "rms", "peak", "ok"), row):
+                    out[k].append(val)
             yield pd.DataFrame(out)
 
     return (

@@ -31,16 +31,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def fit_pca(
-    embeddings: DataFrame,
-    vec_col: str = "embedding",
-    n_components: int = 4,
+def _fit_eig(
+    embeddings: DataFrame, vec_col: str
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """One distributed pass -> (mean, components, explained_var).
-
-    ``components`` is (d, k) column-orthonormal; ``explained_var`` the
-    top-k eigenvalues of the sample covariance (descending).
-    """
+    """The shared sufficient-stats pass -> (mean, ALL eigenvalues
+    ascending, eigenvectors) of the sample covariance."""
 
     def partials(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -69,6 +64,20 @@ def fit_pca(
     mu = s / n
     cov = (g - n * np.outer(mu, mu)) / (n - 1)
     evals, evecs = np.linalg.eigh(cov)  # ascending
+    return mu, evals, evecs
+
+
+def fit_pca(
+    embeddings: DataFrame,
+    vec_col: str = "embedding",
+    n_components: int = 4,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """One distributed pass -> (mean, components, explained_var).
+
+    ``components`` is (d, k) column-orthonormal; ``explained_var`` the
+    top-k eigenvalues of the sample covariance (descending).
+    """
+    mu, evals, evecs = _fit_eig(embeddings, vec_col)
     order = np.argsort(evals)[::-1][:n_components]
     w = evecs[:, order]
     # deterministic sign: largest-|.| loading of each component positive
@@ -110,12 +119,25 @@ def pca_explained_variance(
     vec_col: str = "embedding",
     n_components: int = 4,
 ) -> DataFrame:
-    """(component, explained_var, explained_pct) — the scree table."""
+    """(component, explained_var, explained_pct) — the scree table.
+
+    ``explained_pct`` is measured against the FULL covariance trace
+    (the sum of all d eigenvalues), not just the retained top-k — the
+    whole point of a scree plot is seeing how much variance the k
+    components leave behind.  A zero-variance (constant) table yields
+    pct 0.0 rather than dividing by zero.
+    """
     spark = embeddings.sparkSession
-    mu, w, ev = fit_pca(embeddings, vec_col, n_components)
-    total = float(ev.sum())
+    mu, evals, _ = _fit_eig(embeddings, vec_col)
+    order = np.argsort(evals)[::-1][:n_components]
+    ev = evals[order]
+    trace = float(evals.sum())
     rows = [
-        (i + 1, round(float(v), 6), round(float(v) / total * 100.0, 4))
+        (
+            i + 1,
+            round(float(v), 6),
+            round(float(v) / trace * 100.0, 4) if trace > 0 else 0.0,
+        )
         for i, v in enumerate(ev)
     ]
     df = spark.createDataFrame(

@@ -722,9 +722,12 @@ def q_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-bigram NLL rounds to 9 places, accumulates as DECIMAL, and ppl
     exponentiates the already-rounded average."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
+    # the unigram LM trains on ALL documents (matching the oracle's
+    # unfiltered toks CTE); only the bigram extraction needs >= 2 tokens
+    toks_all = docs.select(
         "doc_id", F.split(normalize_text(F.col("text")), " ").alias("ts")
-    ).filter(F.size("ts") >= 2)
+    )
+    toks = toks_all.filter(F.size("ts") >= 2)
     pairs = toks.select(
         "doc_id",
         F.explode(
@@ -739,7 +742,7 @@ def q_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     big = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
     ctx = big.groupBy("w1").agg(F.sum("c12").alias("c1"))
     uni = (
-        toks.select(F.explode("ts").alias("term"))
+        toks_all.select(F.explode("ts").alias("term"))
         .groupBy("term")
         .agg(F.count("*").alias("n_t"))
     )
@@ -747,7 +750,10 @@ def q_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = (
         F.lit(_LAMBDA_BIGRAM)
         * (F.col("c12").cast("double") / F.col("c1"))
-        + F.lit(1 - _LAMBDA_BIGRAM)
+        # the SAME double literal the oracle's '{1-lambda:.1f}' emits —
+        # python (1 - 0.7) is one ULP above 0.3 and would round a
+        # boundary-straddling NLL term differently per engine
+        + F.lit(float(f"{1 - _LAMBDA_BIGRAM:.1f}"))
         * (F.col("n_t").cast("double") / F.col("n_total"))
     )
     nll_term = F.round(-F.col("bf") * F.log(p), 9).cast("decimal(28,9)")

@@ -136,3 +136,77 @@ def test_audio_features_never_fail_and_filter_first(spark):
     assert rows[1]["ok"] and rows[1]["n_samples"] == 4
     assert rows[2]["ok"] is False
     assert 3 not in rows
+
+
+def test_image_features_zero_dim_png_emits_not_ok(spark):
+    import struct as st
+    import zlib as zl
+
+    from clv_data_pipeline_spark.operators.multimodal import (
+        _png_chunk,
+        image_features,
+    )
+
+    ihdr = st.pack(">IIBBBBB", 0, 0, 8, 0, 0, 0, 0)
+    degenerate = (b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+                  + _png_chunk(b"IDAT", zl.compress(b""))
+                  + _png_chunk(b"IEND", b""))
+    df = spark.createDataFrame(
+        [(1, bytearray(degenerate), "image/png")],
+        "doc_id long, payload binary, media_type string",
+    )
+    rows = image_features(df).collect()
+    assert len(rows) == 1 and rows[0]["ok"] is False
+
+
+def test_decode_rejects_interlaced_png():
+    import struct as st
+    import zlib as zl
+
+    from clv_data_pipeline_spark.operators.multimodal import (
+        _png_chunk,
+        decode_png_gray,
+    )
+
+    ihdr = st.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 1)  # interlace=1
+    p = (b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+         + _png_chunk(b"IDAT", zl.compress(bytes(20)))
+         + _png_chunk(b"IEND", b""))
+    with pytest.raises(ValueError):
+        decode_png_gray(p)
+
+
+def test_audio_features_empty_data_chunk_emits_not_ok(spark):
+    import struct as st
+
+    from clv_data_pipeline_spark.operators.multimodal import audio_features
+
+    fmt = st.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    body = (b"WAVE" + b"fmt " + st.pack("<I", len(fmt)) + fmt
+            + b"data" + st.pack("<I", 0))
+    empty_wav = b"RIFF" + st.pack("<I", len(body)) + body
+    df = spark.createDataFrame(
+        [(1, bytearray(empty_wav), "audio/wav")],
+        "doc_id long, payload binary, media_type string",
+    )
+    rows = audio_features(df).collect()
+    assert len(rows) == 1 and rows[0]["ok"] is False
+
+
+def test_wav_decode_skips_odd_length_chunks():
+    import struct as st
+
+    from clv_data_pipeline_spark.operators.multimodal import (
+        decode_wav_pcm16,
+    )
+
+    # a 3-byte LIST chunk (odd -> 1 pad byte) precedes fmt/data
+    fmt = st.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    data = st.pack("<hh", 100, -100)
+    body = (b"WAVE"
+            + b"LIST" + st.pack("<I", 3) + b"abc" + b"\x00"  # pad
+            + b"fmt " + st.pack("<I", len(fmt)) + fmt
+            + b"data" + st.pack("<I", len(data)) + data)
+    wav = b"RIFF" + st.pack("<I", len(body)) + body
+    ch, rate, v = decode_wav_pcm16(wav)
+    assert (ch, rate, list(v)) == (1, 8000, [100, -100])

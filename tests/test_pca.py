@@ -63,10 +63,26 @@ def test_projection_matches_numpy_and_is_partition_invariant(spark):
     assert np.allclose(p17, p, atol=1e-5)
 
 
-def test_variance_table_is_descending_and_sums_sane(spark):
+def test_variance_table_is_descending_and_trace_based(spark):
     emb = load_table(spark, SF_SMOKE, "embeddings")
     rows = pca_explained_variance(emb).collect()
     evs = [r["explained_var"] for r in rows]
     assert evs == sorted(evs, reverse=True)
     assert all(v > 0 for v in evs)
-    assert abs(sum(r["explained_pct"] for r in rows) - 100.0) < 1e-6
+    # pct is measured against the FULL covariance trace, so 4 of 64
+    # near-isotropic components explain well under 100%
+    _, x = _collect_matrix(emb)
+    trace = float(np.trace(np.cov(x, rowvar=False)))
+    for r in rows:
+        expect = r["explained_var"] / trace * 100.0
+        assert abs(r["explained_pct"] - expect) < 1e-3
+    assert sum(r["explained_pct"] for r in rows) < 99.0
+
+
+def test_variance_of_constant_embeddings_is_zero_not_crash(spark):
+    emb = spark.createDataFrame(
+        [(i, [1.0] * 8) for i in range(10)],
+        "vec_id long, embedding array<double>",
+    )
+    rows = pca_explained_variance(emb, n_components=2).collect()
+    assert [r["explained_pct"] for r in rows] == [0.0, 0.0]
