@@ -176,26 +176,37 @@ def pq_topk(
                     np.stack(qdf[vec_col].to_numpy()).astype(np.float64)
                 )
                 qids = qdf[id_col].to_numpy(dtype=np.int64)
-                # per-subspace IP tables for the whole batch:
-                # tables[j] is (batch, ksub)
-                tables = [
-                    q[:, j * dsub:(j + 1) * dsub] @ bks[j].T
-                    for j in range(mm)
-                ]
                 out = {"vec_id": [], "neighbor_id": [], "sim": [],
                        "rank": []}
-                for i, qid in enumerate(qids):
-                    s = np.zeros(len(ids_idx))
+                # ADC in query chunks: one (chunk, ksub) IP matmul +
+                # one (chunk, n_index) gather per subspace — mm numpy
+                # ops per chunk instead of mm per query, while the
+                # score matrix stays <=256 x n_index (a full Arrow
+                # batch x 1M-row shard would be GBs)
+                for c0 in range(0, len(qids), 256):
+                    qc = q[c0:c0 + 256]
+                    scores = np.zeros((len(qc), len(ids_idx)))
                     for j in range(mm):
-                        s += tables[j][i][codes[:, j]]
-                    s = np.round(s, round_scale)
-                    mask = ids_idx != qid
-                    order = np.lexsort((ids_idx[mask], -s[mask]))[:k]
-                    nb = ids_idx[mask][order]
-                    out["vec_id"].extend([qid] * len(order))
-                    out["neighbor_id"].extend(nb.tolist())
-                    out["sim"].extend(s[mask][order].tolist())
-                    out["rank"].extend(range(1, len(order) + 1))
+                        table = qc[:, j * dsub:(j + 1) * dsub] @ bks[j].T
+                        scores += table[:, codes[:, j]]
+                    scores = np.round(scores, round_scale)
+                    for i, qid in enumerate(qids[c0:c0 + 256]):
+                        mask = ids_idx != qid
+                        s, nb_ids = scores[i][mask], ids_idx[mask]
+                        # O(n) partition to the k-th score, keep ALL
+                        # boundary ties, then sort only the survivors —
+                        # identical output to a full (sim desc, id)
+                        # lexsort because every candidate tied at the
+                        # threshold stays in the sorted pool
+                        if len(s) > 2 * k:
+                            thresh = np.partition(s, len(s) - k)[len(s) - k]
+                            sel = np.flatnonzero(s >= thresh)
+                            s, nb_ids = s[sel], nb_ids[sel]
+                        order = np.lexsort((nb_ids, -s))[:k]
+                        out["vec_id"].extend([qid] * len(order))
+                        out["neighbor_id"].extend(nb_ids[order].tolist())
+                        out["sim"].extend(s[order].tolist())
+                        out["rank"].extend(range(1, len(order) + 1))
                 yield pd.DataFrame(out)
 
         topk = embeddings.select(id_col, vec_col).mapInPandas(
