@@ -122,3 +122,53 @@ def label_propagation(
             .localCheckpoint(eager=False)
         )
     return labels
+
+
+def ancestor_paths(
+    edges: DataFrame,
+    node: str = "node",
+    parent: str = "parent",
+    max_depth: int = 20,
+) -> DataFrame:
+    """Root-ward hierarchy traversal — Spark's answer to WITH RECURSIVE.
+
+    ``edges`` is (node, parent) with parent NULL at roots.  Returns
+    (node, depth, root, path) where ``path`` is the /-joined id chain
+    from the root down to the node.  Executes as ``max_depth``
+    iterative hash joins of the walking state against the edge table
+    (a node already at its root passes through unchanged), with
+    ``localCheckpoint`` lineage breaks every 4 hops so plan analysis
+    stays linear.  Correct whenever the true depth never exceeds
+    ``max_depth``; size it from the hierarchy's advertised depth (a
+    balanced taxonomy is log2(n); only pathological chains approach n,
+    and those want a pointer-doubling variant where ``cur`` jumps to
+    its 2^i-th ancestor per round instead).
+    """
+    state = edges.select(
+        F.col(node).alias("n0"),
+        F.col(node).alias("cur"),
+        F.lit(0).cast("long").alias("depth"),
+        F.col(node).cast("string").alias("path"),
+    )
+    e = edges.select(
+        F.col(node).alias("e_n"), F.col(parent).alias("e_p")
+    ).localCheckpoint(eager=False)
+    for i in range(max_depth):
+        j = state.join(e, state["cur"] == e["e_n"], "left")
+        at_root = F.col("e_p").isNull()
+        state = j.select(
+            "n0",
+            F.when(at_root, F.col("cur")).otherwise(F.col("e_p"))
+            .alias("cur"),
+            F.when(at_root, F.col("depth")).otherwise(F.col("depth") + 1)
+            .alias("depth"),
+            F.when(at_root, F.col("path")).otherwise(
+                F.concat(F.col("e_p").cast("string"), F.lit("/"),
+                         F.col("path"))
+            ).alias("path"),
+        )
+        if (i + 1) % 4 == 0:
+            state = state.localCheckpoint(eager=False)
+    return state.select(
+        F.col("n0").alias(node), "depth", F.col("cur").alias("root"), "path"
+    )

@@ -551,6 +551,60 @@ def _pagerank_oracle(iters: int = 10, damping: float = 0.85) -> str:
     """
 
 
+@query(
+    "q_tree_paths",
+    oracle="""
+    WITH RECURSIVE edges AS (
+        SELECT CAST(doc_id AS BIGINT) AS node,
+               CASE WHEN doc_id = 0 THEN NULL
+                    ELSE CAST((doc_id - 1) // 2 AS BIGINT) END AS parent
+        FROM documents),
+    walk AS (
+        SELECT node, node AS cur, CAST(0 AS BIGINT) AS depth,
+               CAST(node AS VARCHAR) AS path
+        FROM edges
+        UNION ALL
+        SELECT w.node, e.parent, w.depth + 1,
+               CAST(e.parent AS VARCHAR) || '/' || w.path
+        FROM walk w JOIN edges e ON w.cur = e.node
+        WHERE e.parent IS NOT NULL)
+    SELECT node AS doc_id,
+           CAST(MAX(depth) AS BIGINT) AS depth,
+           CAST(0 AS BIGINT) AS root,
+           arg_max(path, depth) AS path
+    FROM walk GROUP BY node
+    """,
+)
+def q_tree_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchy traversal WITHOUT recursive CTEs: every document's
+    ancestor path to the root of the binary-heap taxonomy
+    (parent = (id-1)/2 materialized as an explicit edge table — the
+    traversal only ever touches edges, never the formula).
+
+    Spark has no WITH RECURSIVE; the operator (operators/graph.py
+    ancestor_paths) re-expresses it as ceil(log2(n))+1 iterative hash
+    joins with lineage breaks — the category-tree/org-chart shape every
+    warehouse migration hits.  The DuckDB oracle IS a recursive CTE, so
+    the driver hash-verifies the unrolled-join reformulation against
+    the genuine recursive semantics (path strings, depths, roots)."""
+    import math
+
+    from clv_data_pipeline_spark.operators.graph import ancestor_paths
+
+    docs = load_table(spark, sf_dir, "documents")
+    edges = docs.select(
+        F.col("doc_id").cast("long").alias("node"),
+        F.when(F.col("doc_id") == 0, F.lit(None).cast("long"))
+        .otherwise(F.floor((F.col("doc_id") - 1) / 2).cast("long"))
+        .alias("parent"),
+    )
+    # bounded metadata barrier: one count to size the unroll depth
+    depth = int(math.ceil(math.log2(docs.count() + 1))) + 1
+    return ancestor_paths(edges, max_depth=depth).select(
+        F.col("node").alias("doc_id"), "depth", "root", "path"
+    )
+
+
 @query("q_pagerank", oracle=_pagerank_oracle())
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank centrality of event types over the behavior-transition

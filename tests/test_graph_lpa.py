@@ -76,3 +76,18 @@ def test_attribution_window_semantics(spark):
         .collect()
     }
     assert got == {("click", 2): 15.0, ("direct", 1): 7.0}
+
+
+def test_ancestor_paths_chain_and_forest(spark):
+    from clv_data_pipeline_spark.operators.graph import ancestor_paths
+
+    # chain 3->2->1->0 plus a second root 10 with one child 11
+    edges = spark.createDataFrame(
+        [(0, None), (1, 0), (2, 1), (3, 2), (10, None), (11, 10)],
+        "node long, parent long",
+    )
+    got = {r["node"]: r for r in ancestor_paths(edges, max_depth=6).collect()}
+    assert got[3]["path"] == "0/1/2/3" and got[3]["depth"] == 3
+    assert got[3]["root"] == 0
+    assert got[0]["path"] == "0" and got[0]["depth"] == 0
+    assert got[11]["path"] == "10/11" and got[11]["root"] == 10
