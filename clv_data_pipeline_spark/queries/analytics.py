@@ -605,6 +605,49 @@ def q_tree_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_tree_depth_doubling",
+    oracle="""
+    WITH RECURSIVE edges AS (
+        SELECT CAST(doc_id AS BIGINT) AS node,
+               CASE WHEN doc_id = 0 THEN NULL
+                    ELSE CAST((doc_id - 1) // 2 AS BIGINT) END AS parent
+        FROM documents),
+    walk AS (
+        SELECT node, node AS cur, CAST(0 AS BIGINT) AS depth FROM edges
+        UNION ALL
+        SELECT w.node, e.parent, w.depth + 1
+        FROM walk w JOIN edges e ON w.cur = e.node
+        WHERE e.parent IS NOT NULL)
+    SELECT node AS doc_id, CAST(MAX(depth) AS BIGINT) AS depth,
+           CAST(0 AS BIGINT) AS root
+    FROM walk GROUP BY node
+    """,
+)
+def q_tree_depth_doubling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The POINTER-DOUBLING twin of q_tree_paths: depth/root of every
+    node in O(log D) rounds (jump table squared each round) instead of
+    D sequential joins — 4 rounds cover the depth-12 taxonomy here, 30
+    rounds would cover a billion-deep chain.  Hash-verified against
+    the same genuine recursive CTE, so BOTH reformulations of
+    WITH RECURSIVE (linear unroll and doubling) carry driver-checked
+    proofs (operators/graph.py ancestor_depths_doubling)."""
+    from clv_data_pipeline_spark.operators.graph import (
+        ancestor_depths_doubling,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    edges = docs.select(
+        F.col("doc_id").cast("long").alias("node"),
+        F.when(F.col("doc_id") == 0, F.lit(None).cast("long"))
+        .otherwise(F.floor((F.col("doc_id") - 1) / 2).cast("long"))
+        .alias("parent"),
+    )
+    return ancestor_depths_doubling(edges, rounds=5).select(
+        F.col("node").alias("doc_id"), "depth", "root"
+    )
+
+
 @query("q_pagerank", oracle=_pagerank_oracle())
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank centrality of event types over the behavior-transition

@@ -91,3 +91,27 @@ def test_ancestor_paths_chain_and_forest(spark):
     assert got[3]["root"] == 0
     assert got[0]["path"] == "0" and got[0]["depth"] == 0
     assert got[11]["path"] == "10/11" and got[11]["root"] == 10
+
+
+def test_doubling_matches_linear_on_deep_chain(spark):
+    from clv_data_pipeline_spark.operators.graph import (
+        ancestor_depths_doubling,
+        ancestor_paths,
+    )
+
+    # a 20-deep chain: doubling needs 5 rounds, linear needs 20 hops
+    edges = spark.createDataFrame(
+        [(i, i - 1 if i else None) for i in range(21)],
+        "node long, parent long",
+    )
+    lin = {
+        (r["node"], r["depth"], r["root"])
+        for r in ancestor_paths(edges, max_depth=21)
+        .select("node", "depth", "root").collect()
+    }
+    dbl = {
+        (r["node"], r["depth"], r["root"])
+        for r in ancestor_depths_doubling(edges, rounds=5).collect()
+    }
+    assert lin == dbl
+    assert (20, 20, 0) in dbl
