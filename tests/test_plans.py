@@ -416,3 +416,40 @@ def test_psi_drift_single_scan(spark):
     plan = plan_of(spark, "q_psi_drift")
     assert plan.count("Scan parquet") <= 4
     assert "SortMergeJoin" not in plan
+
+
+def test_bloom_join_pushdown_and_pruning(spark):
+    """The Bloom pre-filter must not break scan-level optimization: the
+    orders selectivity filter pushes into its scan, the lineitem scan
+    reads only the 4 needed columns, and the exact semi-join is a hash
+    join (the bitmap attach is the only BNLJ, whitelisted)."""
+    plan = plan_of(spark, "q_bloom_join")
+    assert "GreaterThan(o_totalprice,450000.0)" in plan
+    assert (
+        "ReadSchema: struct<l_orderkey:bigint,l_extendedprice:double,"
+        "l_discount:double,l_returnflag:string>" in plan
+    )
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_attribution_single_user_shuffle(spark):
+    """Window + filtered aggregate: one hashpartitioning exchange on
+    user_id feeds the running window; the channel group-by re-shuffles
+    the (tiny) post-filter rows — no join, no sort beyond the window's."""
+    plan = plan_of(spark, "q_attribution")
+    assert plan.count("hashpartitioning(user_id") == 1
+    assert "Join" not in plan
+
+
+def test_tree_paths_uses_hash_joins(spark):
+    """The unrolled recursion must stay hash joins per hop — a nested
+    loop would make the traversal quadratic per level."""
+    plan = plan_of(spark, "q_tree_paths")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pca_projection_is_arrow_only(spark):
+    plan = plan_of(spark, "q_pca_project")
+    assert "BatchEvalPython" not in plan
+    assert "MapInPandas" in plan or "ArrowEvalPython" in plan
