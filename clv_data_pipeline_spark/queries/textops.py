@@ -771,6 +771,74 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_media_curate",
+    oracle="""
+    WITH meta AS (
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               CASE doc_id % 3 WHEN 0 THEN 'image/png'
+                               WHEN 1 THEN 'audio/wav'
+                               ELSE 'video/mp4' END AS media_type,
+               CASE doc_id % 3 WHEN 0 THEN 16 + doc_id % 32
+                               WHEN 1 THEN 1 + doc_id % 2
+                               ELSE 320 + doc_id % 64 END AS width,
+               CASE doc_id % 3 WHEN 0 THEN 16 + doc_id % 17
+                               WHEN 1 THEN 8000 + 100 * (doc_id % 5)
+                               ELSE 240 + doc_id % 48 END AS height
+        FROM documents)
+    SELECT media_type,
+           CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(COUNT(DISTINCT width * 100000 + height) AS BIGINT)
+               AS n_distinct_content,
+           CAST(SUM(CASE
+                WHEN media_type = 'image/png' AND width * height >= 600
+                    THEN 1
+                WHEN media_type = 'audio/wav' AND height >= 8200 THEN 1
+                WHEN media_type = 'video/mp4' AND width >= 350 THEN 1
+                ELSE 0 END) AS BIGINT) AS n_quality
+    FROM meta GROUP BY media_type
+    """,
+)
+def q_media_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end multimodal curation summary — the media twin of
+    q_corpus_curate: synthesize real container payloads, run the REAL
+    decode paths (PNG header parse, RIFF fmt walk, MP4 box walk), then
+    reduce per media type to corpus-governance numbers: total assets,
+    distinct content signatures (the exact-dup groups a curation pass
+    collapses), and a per-type quality gate (image area, audio sample
+    rate, video width).  One decode pass, one aggregation — the oracle
+    recomputes everything analytically from the synthesis parameters,
+    so the hash check covers all three container decoders at once."""
+    from clv_data_pipeline_spark.operators.multimodal import (
+        attach_real_payload,
+        extract_media_metadata,
+    )
+
+    d = attach_real_payload(load_table(spark, sf_dir, "documents"))
+    meta = extract_media_metadata(d)
+    quality = (
+        F.when(
+            (F.col("media_type") == "image/png")
+            & (F.col("width") * F.col("height") >= 600), 1,
+        )
+        .when(
+            (F.col("media_type") == "audio/wav") & (F.col("height") >= 8200),
+            1,
+        )
+        .when(
+            (F.col("media_type") == "video/mp4") & (F.col("width") >= 350), 1,
+        )
+        .otherwise(0)
+    )
+    return meta.groupBy("media_type").agg(
+        F.count("*").cast("long").alias("n_total"),
+        F.countDistinct(
+            F.col("width").cast("long") * 100000 + F.col("height")
+        ).cast("long").alias("n_distinct_content"),
+        F.sum(quality).cast("long").alias("n_quality"),
+    )
+
+
+@query(
     "q_pii_scrub",
     oracle=r"""
     WITH dirty AS (
