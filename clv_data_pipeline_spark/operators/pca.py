@@ -31,11 +31,18 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _fit_eig(
-    embeddings: DataFrame, vec_col: str
-) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """The shared sufficient-stats pass -> (mean, ALL eigenvalues
-    ascending, eigenvectors) of the sample covariance."""
+def pca_sufficient_stats(
+    embeddings: DataFrame, vec_col: str = "embedding"
+) -> tuple[int, np.ndarray, np.ndarray]:
+    """One pass -> (n, sum-x, Gram) — the ADDITIVE model state.
+
+    Additivity is the whole incremental story: stats of (base + delta)
+    are exactly the element-wise sums of each side's stats, so a daily
+    pipeline stores this tiny (1 + d + d^2 doubles) object and refits
+    from ``merge_pca_stats(stored, stats(delta))`` in O(delta) instead
+    of rescanning the corpus (the same contract as the dedup/SCD2
+    incremental family).
+    """
 
     def partials(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -55,16 +62,41 @@ def _fit_eig(
         .mapInPandas(partials, "n long, s array<double>, g array<double>")
         .collect()
     )
+    if not rows:
+        raise ValueError("no vectors")
     n = sum(r["n"] for r in rows)
-    if n < 2:
-        raise ValueError("fit_pca needs at least 2 vectors")
     s = np.sum([r["s"] for r in rows], axis=0)
     d = s.shape[0]
     g = np.sum([r["g"] for r in rows], axis=0).reshape(d, d)
+    return n, s, g
+
+
+def merge_pca_stats(
+    a: tuple[int, np.ndarray, np.ndarray],
+    b: tuple[int, np.ndarray, np.ndarray],
+) -> tuple[int, np.ndarray, np.ndarray]:
+    """Exact merge of two sufficient-stats tuples (pure addition)."""
+    return a[0] + b[0], a[1] + b[1], a[2] + b[2]
+
+
+def eig_from_stats(
+    n: int, s: np.ndarray, g: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(mean, ALL eigenvalues ascending, eigenvectors) from stats."""
+    if n < 2:
+        raise ValueError("fit_pca needs at least 2 vectors")
     mu = s / n
     cov = (g - n * np.outer(mu, mu)) / (n - 1)
     evals, evecs = np.linalg.eigh(cov)  # ascending
     return mu, evals, evecs
+
+
+def _fit_eig(
+    embeddings: DataFrame, vec_col: str
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """The shared sufficient-stats pass -> (mean, ALL eigenvalues
+    ascending, eigenvectors) of the sample covariance."""
+    return eig_from_stats(*pca_sufficient_stats(embeddings, vec_col))
 
 
 def fit_pca(

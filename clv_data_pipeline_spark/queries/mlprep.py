@@ -823,3 +823,92 @@ def q_applyinarrow(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("sum_chars").cast("double") / F.col("n_docs"), 2
         ).alias("avg_chars"),
     )
+
+
+@query("q_pca_incremental")  # rows-only: eigendecomposition, self-auditing
+def q_pca_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O(delta) PCA model maintenance: the newest ~10% of vectors (the
+    daily delta) contribute ONE sufficient-stats pass that merges into
+    the stored base stats by pure addition (operators/pca.py
+    merge_pca_stats) — the corpus is never rescanned, completing the
+    incremental family (exact/MinHash/embedding dedup, RFM, SCD2, now
+    the embedding model).
+
+    Self-auditing output, q_ann_recall style: the scree of the MERGED
+    model plus, per component, the max |projection difference| vs a
+    full refit over the whole table — additivity means the two models
+    differ only by float summation order, so max_proj_diff ~ 1e-12
+    certifies the merge IS the full fit.  Each row: (component,
+    explained_var, explained_pct, max_proj_diff)."""
+    import numpy as np
+    import pandas as pd
+
+    from clv_data_pipeline_spark.operators.pca import (
+        eig_from_stats,
+        merge_pca_stats,
+        pca_sufficient_stats,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    stats = emb.agg(
+        (
+            F.max("vec_id")
+            - F.floor(F.count("*") / F.lit(10.0)).cast("long")
+        ).alias("cut")
+    )
+    with_cut = emb.crossJoin(F.broadcast(stats))
+    base = with_cut.filter(F.col("vec_id") <= F.col("cut")).drop("cut")
+    delta = with_cut.filter(F.col("vec_id") > F.col("cut")).drop("cut")
+
+    merged = merge_pca_stats(
+        pca_sufficient_stats(base), pca_sufficient_stats(delta)
+    )
+    full = pca_sufficient_stats(emb)
+    k = 4
+
+    def model(stats_tuple):
+        mu, evals, evecs = eig_from_stats(*stats_tuple)
+        order = np.argsort(evals)[::-1][:k]
+        w = evecs[:, order]
+        flip = np.sign(w[np.abs(w).argmax(axis=0), np.arange(k)])
+        flip[flip == 0] = 1.0
+        return mu, w * flip, evals[order], float(evals.sum())
+
+    mu_m, w_m, ev_m, trace_m = model(merged)
+    mu_f, w_f, ev_f, _ = model(full)
+
+    def diffs(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            d = np.abs((x - mu_m) @ w_m - (x - mu_f) @ w_f).max(axis=0)
+            yield pd.DataFrame({"c": list(range(1, k + 1)), "d": d})
+
+    max_diff = {
+        r["c"]: r["md"]
+        for r in emb.select("embedding")
+        .mapInPandas(diffs, "c int, d double")
+        .groupBy("c")
+        .agg(F.max("d").alias("md"))
+        .collect()
+    }
+    rows = [
+        (
+            i + 1,
+            round(float(v), 6),
+            round(float(v) / trace_m * 100.0, 4) if trace_m > 0 else 0.0,
+            float(max_diff[i + 1]),
+        )
+        for i, v in enumerate(ev_m)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "component int, explained_var double, explained_pct double, "
+        "max_proj_diff double",
+    ).select(
+        F.col("component").cast("long").alias("component"),
+        "explained_var",
+        "explained_pct",
+        "max_proj_diff",
+    )

@@ -184,6 +184,28 @@ def q_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("q_communities_ann")  # rows-only: LSH retrieval is hash-specific
+def q_communities_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-propagation communities on the LSH ANN kernel — the 100 TB
+    path q_communities' exact 5-NN build can't take (its kNN graph is
+    O(n^2) compute even sharded).  Identical LPA vote logic
+    (operators/graph.py label_propagation); only the edge retrieval
+    swaps to lsh_topk, mirroring the q_knn_label -> q_knn_label_ann
+    pattern.  Community agreement with the exact variant is pinned in
+    tests/test_graph_lpa.py."""
+    from clv_data_pipeline_spark.operators.graph import label_propagation
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    edges = lsh_topk(emb, k=5).select(
+        F.col("vec_id").alias("src"), F.col("neighbor_id").alias("dst")
+    )
+    labels = label_propagation(edges, iters=3)
+    return labels.select(
+        F.col("node").alias("vec_id"),
+        F.col("lab").cast("long").alias("community"),
+    )
+
+
 @query("q_dedup_embedding")  # rows-only
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup removal at 0.95 — greedy min-id winner

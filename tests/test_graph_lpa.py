@@ -115,3 +115,36 @@ def test_doubling_matches_linear_on_deep_chain(spark):
     }
     assert lin == dbl
     assert (20, 20, 0) in dbl
+
+
+def test_communities_ann_agrees_with_exact(spark):
+    """The LSH-kernel variant must reproduce the exact variant's
+    community structure on the fixture: same schema, full node
+    coverage, and high pairwise same-community agreement."""
+    from itertools import combinations
+    from random import Random
+
+    from clv_data_pipeline_spark import registry
+    from tests.conftest import SF_SMOKE
+
+    exact = {
+        r["vec_id"]: r["community"]
+        for r in registry.all_queries()["q_communities"](
+            spark, SF_SMOKE
+        ).collect()
+    }
+    ann = {
+        r["vec_id"]: r["community"]
+        for r in registry.all_queries()["q_communities_ann"](
+            spark, SF_SMOKE
+        ).collect()
+    }
+    assert set(ann) == set(exact)
+    # pairwise same-community agreement over a fixed sample of pairs
+    ids = sorted(exact)
+    rng = Random(7)
+    pairs = [tuple(rng.sample(ids, 2)) for _ in range(2000)]
+    agree = sum(
+        (exact[a] == exact[b]) == (ann[a] == ann[b]) for a, b in pairs
+    )
+    assert agree / len(pairs) >= 0.8, agree / len(pairs)
