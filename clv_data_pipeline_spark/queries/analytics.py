@@ -648,6 +648,35 @@ def q_tree_depth_doubling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_k_anonymity",
+    oracle="""
+    SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS group_size
+    FROM customer
+    GROUP BY c_nationkey, c_mktsegment
+    HAVING COUNT(*) < 8
+    """,
+)
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the (nation, market-segment) quasi-
+    identifier: every combination whose population is below k = 8 —
+    the privacy-governance pass a dataset release runs to find
+    re-identifiable cohorts before publishing aggregates.  One
+    partial-aggregated group-by with the HAVING filter applied at the
+    aggregate, so only violating combos (11 of 125 here) leave the
+    shuffle."""
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.groupBy("c_nationkey", "c_mktsegment")
+        .agg(F.count("*").cast("long").alias("group_size"))
+        .filter(F.col("group_size") < 8)
+        .select(
+            F.col("c_nationkey").cast("long"), "c_mktsegment", "group_size"
+        )
+    )
+
+
 @query("q_pagerank", oracle=_pagerank_oracle())
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank centrality of event types over the behavior-transition
