@@ -677,6 +677,38 @@ def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("q_hll_merge")  # rows-only: DataSketches HLL binaries are engine-specific
+def q_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch pre-aggregation — THE incremental distinct-count
+    pattern at 100 TB: per-(type, day) HyperLogLog sketches of user_id
+    (what a daily rollup job would persist) union-merge into per-type
+    distinct-user estimates WITHOUT rescanning raw events — a day's
+    late data just re-merges one sketch.  Self-auditing q_ann_recall
+    style: the output carries the exact countDistinct and the relative
+    error (DataSketches HLL at default lgk=12 is ~2%), so the driver
+    row certifies the estimate quality, not just that it ran."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    merged = daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_users")
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    return merged.join(exact, "event_type").select(
+        "event_type",
+        "est_users",
+        "exact_users",
+        F.round(
+            F.abs(F.col("est_users") - F.col("exact_users"))
+            / F.col("exact_users"),
+            4,
+        ).alias("rel_err"),
+    )
+
+
 @query("q_pagerank", oracle=_pagerank_oracle())
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank centrality of event types over the behavior-transition
