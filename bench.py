@@ -65,6 +65,9 @@ HEADLINE = [
     "q_audio_features",
     "q_embedding_drift",
     "q_attribution",
+    "q_tree_paths",
+    "q_media_curate",
+    "q_hll_merge",
     "q_market_basket",
     "q_interpolate",
     "q_clv_scores",
