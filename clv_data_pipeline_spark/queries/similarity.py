@@ -388,12 +388,12 @@ def q_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_ann_recall")  # rows-only: evaluates the hash-family kernels
+@query("q_ann_recall")  # rows-only: evaluates the hash/codebook kernels
 def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@k harness for the ANN kernels: runs the EXACT sharded
-    brute-force top-k and both approximate kernels (SRP-LSH, IVF) over
-    the same embeddings, then reports micro-averaged recall@10 per
-    method — |ann ∩ exact| / |exact| over all (query, neighbor) pairs.
+    brute-force top-k and all four approximate kernels (SRP-LSH, IVF,
+    PQ ADC-only, PQ with exact re-rank) over the same embeddings, then
+    reports micro-averaged recall@10 per method — |ann ∩ exact| / |exact| over all (query, neighbor) pairs.
     This is the "measure, don't guess" loop a 100 TB deployment runs on
     a sample before trusting an ANN index: the recall/cost tradeoff
     (LSH band width, IVF nprobe) is a measured number, not a vibe.
@@ -414,9 +414,16 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "neighbor_id")
         .persist()
     )
+    from clv_data_pipeline_spark.operators.pq import (
+        pq_topk,
+        pq_topk_rerank,
+    )
+
     methods = {
         "lsh": lsh_topk(emb, k=k),
         "ivf": ivf_topk(emb, k=k),
+        "pq_adc": pq_topk(emb, k=k),
+        "pq_rerank": pq_topk_rerank(emb, k=k, shortlist=50),
     }
     out = None
     for name, ann in methods.items():

@@ -440,9 +440,10 @@ def test_embedding_incremental_drops_planted_duplicate(spark):
 
 def test_ann_recall_harness_floors(spark):
     """The recall@10 harness must report sane, method-shaped numbers:
-    both ANN kernels clear a recall floor on the fixture embeddings
-    (measured ~0.66 lsh / ~0.56 ivf), hits never exceed exact pairs,
-    and the exact denominator is n_vectors * k."""
+    all four ANN kernels clear a recall floor on the fixture embeddings
+    (measured ~0.66 lsh / ~0.56 ivf / ~0.62 pq_adc / ~0.98 pq_rerank),
+    hits never exceed exact pairs, and the exact denominator is
+    n_vectors * k."""
     from clv_data_pipeline_spark import registry
     from tests.conftest import SF_SMOKE
 
@@ -453,12 +454,14 @@ def test_ann_recall_harness_floors(spark):
         ).collect()
     }
     spark.catalog.clearCache()
-    assert set(rows) == {"lsh", "ivf"}
+    assert set(rows) == {"lsh", "ivf", "pq_adc", "pq_rerank"}
     for m, r in rows.items():
         assert r["n_hits"] <= r["n_exact_pairs"]
         assert r["n_exact_pairs"] == 500 * 10
     assert rows["lsh"]["recall"] >= 0.5
     assert rows["ivf"]["recall"] >= 0.4
+    assert rows["pq_adc"]["recall"] >= 0.45
+    assert rows["pq_rerank"]["recall"] >= 0.9
 
 
 def test_minhash_eval_recall_floor(spark):
