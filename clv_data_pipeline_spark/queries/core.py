@@ -434,12 +434,20 @@ def q_rfm_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _rounded_rfm(feats)
 
 
-@query("q_csv_roundtrip")  # rows-only: writes a scratch CSV (S1+S3)
+@query(
+    "q_csv_roundtrip",
+    oracle="""
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+    FROM customer
+    """,
+)
 def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S1/S3: header-CSV sink + explicit-schema CSV scan (reference
     dags/simulate_data.py:232-233 / dags/clv_data_dag.py:58-75) —
     write the customer table to scratch CSV, read it back with the
-    declared schema, never inferSchema."""
+    declared schema, never inferSchema.  Oracle-checked against the
+    source table: text transit must round-trip every value exactly
+    (Double.toString -> parse is the identity on doubles)."""
     import tempfile
 
     from pyspark.sql import types as T
@@ -461,12 +469,16 @@ def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_jsonl_roundtrip")  # rows-only: writes a scratch JSONL file
+@query(
+    "q_jsonl_roundtrip",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
 def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON-lines sink + explicit-schema JSON scan — the third source
     format beside parquet and CSV.  Like the CSV path, the read declares
     its schema (inference over JSON is a full extra pass at scale) and
-    round-trips types exactly."""
+    round-trips types exactly — pinned by the oracle against the source
+    table."""
     import tempfile
 
     from pyspark.sql import types as T
@@ -536,11 +548,15 @@ def q_join_features_preds(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_orc_roundtrip")  # rows-only: writes a scratch ORC file
+@query(
+    "q_orc_roundtrip",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
 def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORC sink + scan — the fourth source format beside parquet, CSV,
     and JSONL, free from the JVM (columnar, predicate-pushdown capable
-    like parquet).  Types round-trip exactly, no inference."""
+    like parquet).  Types round-trip exactly, no inference — pinned by
+    the oracle against the source table."""
     import tempfile
 
     n = load_table(spark, sf_dir, "nation")

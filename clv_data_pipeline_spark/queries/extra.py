@@ -382,15 +382,31 @@ def q_sql_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_approx_distinct",
-)  # rows-only: HLL estimates are engine-specific by construction
+    oracle="""
+    SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS approx_ok
+    FROM events
+    """,
+)
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++) next to the exact count —
     the sketch is what survives at 100 TB (partial-aggregable, fixed
-    memory); the exact count pins the estimate's error in tests."""
+    memory).  The HLL estimate is deterministic (xxhash64 registers,
+    commutative merge) but engine-specific, so the output carries the
+    exact count plus a within-5%-relative-error verdict the oracle can
+    reproduce as a literal — the driver row certifies sketch quality,
+    not just that it ran."""
     ev = load_table(spark, sf_dir, "events")
-    return ev.agg(
-        F.approx_count_distinct("user_id").alias("approx_users"),
+    agg = ev.agg(
+        F.approx_count_distinct("user_id").alias("_approx"),
         F.count_distinct("user_id").alias("exact_users"),
+    )
+    return agg.select(
+        "exact_users",
+        (
+            F.abs(F.col("_approx") - F.col("exact_users"))
+            <= 0.05 * F.col("exact_users")
+        ).alias("approx_ok"),
     )
 
 
@@ -493,20 +509,45 @@ def q_corr_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_approx_percentiles")  # rows-only: sketch internals are engine-specific
+@query(
+    "q_approx_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(CAST(quantile_cont(l_quantity, 0.5) AS DOUBLE), 6) AS p50_qty,
+           ROUND(CAST(quantile_cont(l_extendedprice, 0.9) AS DOUBLE), 4)
+               AS p90_price,
+           TRUE AS p50_ok, TRUE AS p90_ok
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def q_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable approximate percentiles (``percentile_approx``) — the
     100 TB replacement for q_percentiles: the sketch partial-aggregates
     (no per-group sort, bounded memory), at the cost of rank error
-    <= 1/accuracy.  Accuracy 10000 keeps the p50/p90 here within ~0.01%
-    of exact; the tolerance is pinned against the exact query by test.
-    """
+    <= 1/accuracy.  The sketch values are engine-specific, so the
+    output carries the exact interpolated percentiles plus a
+    within-0.5% verdict per sketch that the oracle reproduces as a
+    literal — the driver row certifies the sketch's accuracy contract,
+    not just that it ran."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.percentile_approx("l_quantity", 0.5, 10000).alias("p50_qty_approx"),
-        F.percentile_approx("l_extendedprice", 0.9, 10000).alias(
-            "p90_price_approx"
-        ),
+    agg = li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_quantity", 0.5, 10000).alias("_p50_a"),
+        F.percentile_approx("l_extendedprice", 0.9, 10000).alias("_p90_a"),
+        F.round(F.percentile("l_quantity", 0.5), 6).alias("p50_qty"),
+        F.round(F.percentile("l_extendedprice", 0.9), 4).alias("p90_price"),
+    )
+
+    def _ok(approx, exact):
+        return F.abs(approx - exact) <= F.greatest(
+            0.005 * F.abs(exact), F.lit(1e-9)
+        )
+
+    return agg.select(
+        "l_returnflag",
+        "p50_qty",
+        "p90_price",
+        _ok(F.col("_p50_a"), F.col("p50_qty")).alias("p50_ok"),
+        _ok(F.col("_p90_a"), F.col("p90_price")).alias("p90_ok"),
     )
 
 

@@ -518,3 +518,49 @@ def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue"),
         )
     )
+
+
+@query(
+    "q_sessionize_incremental",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, ts, event_id,
+               epoch_us(ts) - lag(epoch_us(ts)) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+        FROM events),
+    flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN gap_us IS NULL OR gap_us > 1800 * 1000000
+                    THEN 1 ELSE 0 END AS is_new
+        FROM ordered),
+    sessions AS (
+        SELECT user_id, ts,
+               CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        FROM flagged)
+    SELECT user_id, session_id, COUNT(*) AS n_events,
+           MIN(ts) AS session_start, MAX(ts) AS session_end
+    FROM sessions GROUP BY user_id, session_id
+    """,
+)
+def q_sessionize_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O(delta) session-table maintenance: split the event log at
+    mid-month into "history" and "delta", build the session-stats table
+    from history once, then fold the delta in WITHOUT re-sessionizing
+    history (operators/sessions.py merge_session_delta) — only each
+    delta user's tail session is touched.  The oracle is the full
+    recompute over all events (q_sessionize's SQL), so the driver
+    hash-verifies the maintenance algebra end to end.  Real daily
+    pipelines never re-sessionize the whole log; this is the session
+    analogue of q_rfm_incremental / q_dedup_incremental / q_scd2_merge.
+    """
+    from clv_data_pipeline_spark.operators.sessions import (
+        merge_session_delta,
+        session_stats,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    split = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    base = session_stats(ev.filter(F.col("ts") < split), gap_seconds=1800)
+    delta = ev.filter(F.col("ts") >= split)
+    return merge_session_delta(base, delta, gap_seconds=1800)

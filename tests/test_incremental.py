@@ -46,3 +46,29 @@ def test_merge_partials_idempotent_on_reprocessed_day(spark):
     assert _canon(
         rfm_from_partials(merged_once, asof="2026-01-03")
     ) == _canon(rfm_from_partials(merged_twice, asof="2026-01-03"))
+
+
+def test_session_merge_equals_full_recompute_across_splits(spark):
+    """merge_session_delta(base, delta) == session_stats(all) for every
+    split point — including splits landing inside a session (island 0
+    extends the tail), between sessions (new island), and the all-delta
+    edge (no base rows for a user)."""
+    from clv_data_pipeline_spark.operators.sessions import (
+        merge_session_delta,
+        session_stats,
+    )
+    from clv_data_pipeline_spark.sources.io import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    full = sorted(map(str, session_stats(ev, gap_seconds=1800).collect()))
+    for split in (
+        "2024-01-02 12:00:00",   # nearly all delta; many users base-less
+        "2024-01-15 06:30:00",   # mid-month, mid-day: splits inside bursts
+        "2024-01-31 00:00:00",   # nearly all base; sparse delta
+    ):
+        s = F.lit(split).cast("timestamp")
+        base = session_stats(ev.filter(F.col("ts") < s), gap_seconds=1800)
+        merged = merge_session_delta(
+            base, ev.filter(F.col("ts") >= s), gap_seconds=1800
+        )
+        assert sorted(map(str, merged.collect())) == full, split

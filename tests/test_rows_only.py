@@ -32,21 +32,39 @@ def test_rows_only_query_runs(spark, name):
 def test_approx_percentiles_near_exact(spark):
     """The sketch percentiles must land within 0.5% of the exact
     interpolated ones at sf0.001 — the accuracy contract that justifies
-    swapping them in at scale."""
+    swapping them in at scale.  The query self-audits (p50_ok/p90_ok
+    booleans the driver hash-checks against literal TRUE); here we
+    assert the verdicts and cross-check the exact values against
+    q_percentiles."""
     from clv_data_pipeline_spark import registry
     from tests.conftest import SF_SMOKE
 
     qs = registry.all_queries()
-    approx = {
-        r["l_returnflag"]: (r["p50_qty_approx"], r["p90_price_approx"])
+    audited = {
+        r["l_returnflag"]: r
         for r in qs["q_approx_percentiles"](spark, SF_SMOKE).collect()
     }
     exact = {
         r["l_returnflag"]: (r["p50_qty"], r["p90_price"])
         for r in qs["q_percentiles"](spark, SF_SMOKE).collect()
     }
-    assert set(approx) == set(exact)
+    assert set(audited) == set(exact)
     for flag, (p50e, p90e) in exact.items():
-        p50a, p90a = approx[flag]
-        assert abs(p50a - p50e) <= max(0.005 * abs(p50e), 1e-9)
-        assert abs(p90a - p90e) <= max(0.005 * abs(p90e), 1e-9)
+        r = audited[flag]
+        assert r["p50_ok"] and r["p90_ok"]
+        assert r["p50_qty"] == p50e
+        assert r["p90_price"] == p90e
+
+
+def test_approx_distinct_self_audit(spark):
+    """The HLL estimate must land within 5% of the exact count — the
+    approx_ok verdict the driver hash-checks against literal TRUE."""
+    from clv_data_pipeline_spark import registry
+    from tests.conftest import SF_SMOKE
+
+    rows = registry.all_queries()["q_approx_distinct"](
+        spark, SF_SMOKE
+    ).collect()
+    assert len(rows) == 1
+    assert rows[0]["approx_ok"]
+    assert rows[0]["exact_users"] > 0
