@@ -1669,3 +1669,68 @@ def q_stream_pyds(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("total_amount"),
         F.min("day_offset").cast("long").alias("first_day"),
     )
+
+
+@query(
+    "q_rolling_distinct",
+    oracle="""
+    WITH pairs AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+    days AS (SELECT DISTINCT day FROM pairs),
+    wau AS (
+        SELECT d.day, CAST(COUNT(DISTINCT p.user_id) AS BIGINT) AS wau
+        FROM days d JOIN pairs p ON p.day BETWEEN d.day - 6 AND d.day
+        GROUP BY d.day),
+    dau AS (
+        SELECT day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau
+        FROM pairs GROUP BY day)
+    SELECT CAST(w.day AS VARCHAR) AS day, u.dau, w.wau,
+           ROUND(CAST(u.dau AS DOUBLE) / w.wau, 6) AS stickiness
+    FROM wau w JOIN dau u ON w.day = u.day
+    """,
+)
+def q_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-window distinct users (DAU / 7-day WAU / stickiness) —
+    the engagement metric every event pipeline computes, and a shape
+    plain windows cannot express (COUNT(DISTINCT) has no frame form).
+
+    Scale shape: dedup to (user, day) pairs first (one partial-agg
+    shuffle collapses the raw log), then EXPLODE each pair to the <=7
+    observation days it contributes to — turning the oracle's range
+    join into an equi-aggregate with bounded 7x fan-out of the deduped
+    pair list, linear shuffle volume, no self-join of the log.  The
+    observed-day restriction is a broadcast semi-join against the tiny
+    day dimension.  At 100 TB the same plan holds: the fan-out rides
+    the deduped pairs (|users| x |days|), not the raw events; for
+    90-day windows swap the explode for per-day HLL sketch merges
+    (q_hll_merge pattern)."""
+    ev = load_table(spark, sf_dir, "events")
+    pairs = ev.select(
+        "user_id", F.to_date("ts").alias("day")
+    ).distinct()
+    days = pairs.select("day").distinct()
+    expanded = pairs.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+        ).alias("obs_day"),
+    )
+    wau = (
+        expanded.join(
+            F.broadcast(days), expanded["obs_day"] == days["day"], "left_semi"
+        )
+        .groupBy("obs_day")
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+    dau = pairs.groupBy("day").agg(F.countDistinct("user_id").alias("dau"))
+    return (
+        wau.join(dau, wau["obs_day"] == dau["day"])
+        .select(
+            F.col("obs_day").cast("string").alias("day"),
+            "dau",
+            "wau",
+            F.round(F.col("dau").cast("double") / F.col("wau"), 6).alias(
+                "stickiness"
+            ),
+        )
+    )

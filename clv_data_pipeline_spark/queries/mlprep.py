@@ -912,3 +912,51 @@ def q_pca_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         "explained_pct",
         "max_proj_diff",
     )
+
+
+@query(
+    "q_feature_hash",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(string_split(
+                   trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '))
+                   AS token
+        FROM documents),
+    h AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(token), 1, 8))::BIGINT % 256 AS bucket,
+               CASE WHEN substr(md5(token), 9, 1) < '8'
+                    THEN 1 ELSE -1 END AS sign
+        FROM toks WHERE token <> '')
+    SELECT doc_id, bucket, CAST(SUM(sign) AS BIGINT) AS feat
+    FROM h GROUP BY doc_id, bucket
+    """,
+)
+def q_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signed feature hashing ("hashing trick", Weinberger et al. 2009):
+    project each document's token counts into a fixed 256-dim sparse
+    vector with NO vocabulary — bucket = hash(token) mod d, value
+    accumulates a second-hash sign (+1/-1) so collisions cancel in
+    expectation.  The stateless path to bounded-width features at
+    100 TB: no vocab build, no dictionary broadcast, new tokens never
+    resize anything.
+
+    Scale shape: explode -> pure JVM column hashing (md5, engine-
+    portable like functions/text.fingerprint) -> partial hash agg on
+    (doc_id, bucket) collapses the exploded rows map-side before the
+    one shuffle.  Output is the sparse COO form (doc_id, bucket, feat);
+    downstream consumers pivot or pack as needed."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(normalize_text(F.col("text")), " ")).alias("token"),
+    ).filter(F.col("token") != "")
+    h = F.md5(F.col("token").cast("binary"))
+    bucket = F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % 256
+    sign = F.when(F.substring(h, 9, 1) < "8", 1).otherwise(-1)
+    return (
+        toks.select("doc_id", bucket.alias("bucket"), sign.alias("sign"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.sum("sign").cast("long").alias("feat"))
+    )
