@@ -1734,3 +1734,71 @@ def q_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "q_erasure",
+    oracle="""
+    WITH erase AS (
+        SELECT DISTINCT user_id FROM events WHERE user_id % 97 = 0),
+    ev AS (
+        SELECT 'events' AS table_name,
+               CAST(COUNT(*) AS BIGINT) AS rows_before,
+               CAST(COUNT(*) FILTER (WHERE user_id IN (SELECT user_id
+                    FROM erase)) AS BIGINT) AS rows_erased
+        FROM events),
+    feat AS (
+        SELECT 'customer_features' AS table_name,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS rows_before,
+               CAST(COUNT(DISTINCT user_id) FILTER (WHERE user_id IN
+                    (SELECT user_id FROM erase)) AS BIGINT) AS rows_erased
+        FROM events),
+    u AS (SELECT * FROM ev UNION ALL SELECT * FROM feat)
+    SELECT table_name, rows_before, rows_erased,
+           rows_before - rows_erased AS rows_after,
+           CAST(0 AS BIGINT) AS residual_refs
+    FROM u
+    """,
+)
+def q_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-erasure (GDPR art. 17) propagation audit: delete a
+    deterministic user set from the event log AND every derived table
+    (here the per-user feature grain), then PROVE completeness — the
+    audit row carries before/erased/after counts per table plus
+    residual_refs, the number of erased-user rows still reachable
+    after the delete (must be 0, and is computed from the post-delete
+    frames, not assumed).
+
+    Scale shape: the erasure set broadcasts (it is always small
+    relative to the corpus); deletion is one broadcast anti-join per
+    table — no shuffle of the fact table; the residual audit is a
+    broadcast semi-join over the already-filtered result.  The same
+    plan drives a MERGE DELETE against a bucketed production table
+    (operators/merge.py pattern)."""
+    ev = load_table(spark, sf_dir, "events")
+    erase = ev.filter(F.col("user_id") % 97 == 0).select("user_id").distinct()
+    feats = ev.select("user_id").distinct()
+
+    def audit(df: DataFrame, name: str) -> DataFrame:
+        kept = df.join(F.broadcast(erase), "user_id", "left_anti")
+        residual = kept.join(F.broadcast(erase), "user_id", "left_semi")
+        before = df.agg(F.count("*").alias("rows_before"))
+        after = kept.agg(F.count("*").alias("rows_after"))
+        res = residual.agg(F.count("*").alias("residual_refs"))
+        return (
+            before.crossJoin(after)
+            .crossJoin(res)
+            .select(
+                F.lit(name).alias("table_name"),
+                "rows_before",
+                (F.col("rows_before") - F.col("rows_after")).alias(
+                    "rows_erased"
+                ),
+                "rows_after",
+                "residual_refs",
+            )
+        )
+
+    return audit(ev, "events").unionByName(
+        audit(feats, "customer_features")
+    )

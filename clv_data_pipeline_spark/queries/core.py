@@ -603,3 +603,40 @@ def q_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("c_mktsegment", F.lit("INSERTED"))
     )
     return merge_upsert(c, updates.unionByName(inserts), keys=["c_custkey"])
+
+
+@query(
+    "q_schema_evolution",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey,
+           CAST(NULL AS VARCHAR) AS n_name_upper
+    FROM nation
+    UNION ALL
+    SELECT n_nationkey, n_name, n_regionkey, upper(n_name) FROM nation
+    """,
+)
+def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on the parquet source: two batches of the same
+    table written with DIFFERENT schemas (the second adds a column, as
+    a pipeline upgrade would) read back as ONE table via mergeSchema —
+    old-batch rows surface NULL for the new column, no rewrite of
+    historical files.  The capability that lets a 100 TB append-only
+    lake add columns without a backfill.
+
+    mergeSchema is read-time (it unions footers at planning); steady
+    state pins the merged schema explicitly so planning cost does not
+    grow with file count — documented here, exercised with the option
+    on."""
+    import tempfile
+
+    n = load_table(spark, sf_dir, "nation")
+    path = tempfile.mkdtemp(prefix="schema_evo_") + "/nation_evo"
+    n.write.mode("overwrite").parquet(path + "/batch=1")
+    n.withColumn("n_name_upper", F.upper("n_name")).write.mode(
+        "overwrite"
+    ).parquet(path + "/batch=2")
+    return (
+        spark.read.option("mergeSchema", True)
+        .parquet(path + "/batch=1", path + "/batch=2")
+        .select("n_nationkey", "n_name", "n_regionkey", "n_name_upper")
+    )

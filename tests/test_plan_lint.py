@@ -59,6 +59,7 @@ _BNLJ_SCALAR_OK = {
     "q_market_basket",     # 1-row order-count (support denominator) broadcast
     "q_triangles",         # 1-row order-count (edge threshold) broadcast
     "q_chisq",             # dimension-marginal grid cross (5x20) + 1-row total
+    "q_erasure",           # three 1-row audit counts attach per table
 }
 
 
