@@ -923,3 +923,47 @@ def q_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("both"))
         .alias("status"),
     )
+
+
+@query(
+    "q_bucketed_join",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, c_mktsegment
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    """,
+)
+def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pre-paid shuffle: both join sides persisted as bucketed
+    tables on the join key (sources.io.write_bucketed), then joined
+    with ZERO exchanges — the sort-merge join reads co-bucketed,
+    pre-sorted files directly.  At 100 TB a nightly staging⋈features
+    join on customer_id pays its shuffle once at write time, not per
+    query; this registers the capability so the driver verifies the
+    bucketed read path returns exactly what the shuffled join would
+    (oracle = the plain join).  Exchange-freedom is pinned by
+    tests/test_plans.py.  The bucket count (8 here) is the knob that
+    must divide executor parallelism at scale."""
+    import tempfile
+
+    from clv_data_pipeline_spark.sources.io import write_bucketed
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    base = tempfile.mkdtemp(prefix="bucketed_join_")
+    write_bucketed(
+        o, "q_bucketed_orders", "o_custkey", num_buckets=8,
+        sort_col="o_custkey", path=base + "/orders",
+    )
+    write_bucketed(
+        c, "q_bucketed_customer", "o_custkey", num_buckets=8,
+        sort_col="o_custkey", path=base + "/customer",
+    )
+    return (
+        spark.table("q_bucketed_orders")
+        .join(spark.table("q_bucketed_customer").hint("merge"), "o_custkey")
+        .select("o_orderkey", "o_totalprice", "c_mktsegment")
+    )

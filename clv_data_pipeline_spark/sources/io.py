@@ -210,6 +210,7 @@ def write_bucketed(
     num_buckets: int = 32,
     sort_col: str | None = None,
     mode: str = "overwrite",
+    path: str | None = None,
 ) -> None:
     """Persist as a bucketed (hash-clustered) table on ``bucket_col``.
 
@@ -226,6 +227,8 @@ def write_bucketed(
     )
     if sort_col:
         writer = writer.sortBy(sort_col)
+    if path:
+        writer = writer.option("path", path)
     writer.saveAsTable(table)
 
 

@@ -453,3 +453,12 @@ def test_pca_projection_is_arrow_only(spark):
     plan = plan_of(spark, "q_pca_project")
     assert "BatchEvalPython" not in plan
     assert "MapInPandas" in plan or "ArrowEvalPython" in plan
+
+
+def test_q_bucketed_join_plan_is_exchange_free(spark):
+    """The registered bucketed-join query must plan with zero Exchange
+    nodes end to end — the entire point of paying the shuffle at write
+    time."""
+    plan = plan_of(spark, "q_bucketed_join")
+    assert "Exchange" not in plan, plan
+    assert "SortMergeJoin" in plan, plan
