@@ -70,6 +70,11 @@ HEADLINE = [
     "q_hll_merge",
     "q_market_basket",
     "q_interpolate",
+    "q_sessionize_incremental",
+    "q_feature_hash",
+    "q_rolling_distinct",
+    "q_bucketed_join",
+    "q_erasure",
     "q_clv_scores",
 ]
 
