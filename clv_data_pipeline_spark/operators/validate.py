@@ -116,3 +116,53 @@ def observed_features(features: DataFrame) -> tuple[DataFrame, "Observation"]:
         F.sum(F.when(bad, 1).otherwise(0)).alias("invalid_count"),
     )
     return observed, obs
+
+
+def expectations(df: DataFrame, rules: list[dict]) -> DataFrame:
+    """Declarative data-quality rules -> one violations report row per
+    rule (the dbt-test / expectations-suite shape, generalizing the
+    reference's fixed firewall checks, dags/validate_features.py:16-56).
+
+    Each rule is ``{"rule": str, "column": str, "kind": ..., ...}``
+    with kinds: ``not_null``, ``unique``, ``min`` (param: exclusive
+    lower bound), ``accepted_values`` (param: list), ``regex``
+    (param: pattern, must fully anchor itself).
+
+    Scale shape: EVERY rule compiles to a conditional-count expression
+    in ONE aggregate over ONE scan — adding rules never adds passes;
+    uniqueness folds in as count(col) - count_distinct(col) (the only
+    rule that is not map-side-partial; swap for an HLL estimate when
+    approximate uniqueness suffices at extreme scale).  The per-rule
+    report rows come from unpivoting the single 1-row aggregate.
+    """
+    aggs = []
+    for i, r in enumerate(rules):
+        c = F.col(r["column"])
+        kind = r["kind"]
+        if kind == "not_null":
+            v = F.count(F.when(c.isNull(), 1))
+        elif kind == "unique":
+            v = F.count(c) - F.count_distinct(c)
+        elif kind == "min":
+            v = F.count(F.when(c <= r["param"], 1))
+        elif kind == "accepted_values":
+            v = F.count(F.when(~c.isin(*r["param"]), 1))
+        elif kind == "regex":
+            v = F.count(F.when(~c.rlike(r["param"]), 1))
+        else:  # pragma: no cover - caller error
+            raise ValueError(f"unknown expectation kind: {kind}")
+        aggs.append(v.cast("long").alias(f"_v{i}"))
+    one = df.agg(*aggs)
+    stack = F.expr(
+        "stack({}, {})".format(
+            len(rules),
+            ", ".join(
+                f"'{r['rule']}', '{r['column']}', _v{i}"
+                for i, r in enumerate(rules)
+            ),
+        )
+    ).alias("rule", "column", "n_violations")
+    return one.select(stack).select(
+        "rule", "column", "n_violations",
+        (F.col("n_violations") == 0).alias("passed"),
+    )

@@ -967,3 +967,50 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(spark.table("q_bucketed_customer").hint("merge"), "o_custkey")
         .select("o_orderkey", "o_totalprice", "c_mktsegment")
     )
+
+
+@query(
+    "q_expectations",
+    oracle="""
+    WITH a AS (SELECT
+        CAST(COUNT(*) FILTER (WHERE o_orderkey IS NULL) AS BIGINT) AS v0,
+        CAST(COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS v1,
+        CAST(COUNT(*) FILTER (WHERE o_totalprice <= 0) AS BIGINT) AS v2,
+        CAST(COUNT(*) FILTER (WHERE o_orderstatus NOT IN ('O', 'F', 'P'))
+             AS BIGINT) AS v3,
+        CAST(COUNT(*) FILTER (WHERE NOT regexp_matches(o_orderpriority,
+             '^[1-5]-')) AS BIGINT) AS v4
+        FROM orders)
+    SELECT r.rule, r."column", r.n_violations, r.n_violations = 0 AS passed
+    FROM a, LATERAL (VALUES
+        ('key_not_null',    'o_orderkey',      a.v0),
+        ('key_unique',      'o_orderkey',      a.v1),
+        ('price_positive',  'o_totalprice',    a.v2),
+        ('status_domain',   'o_orderstatus',   a.v3),
+        ('priority_format', 'o_orderpriority', a.v4)
+    ) AS r(rule, "column", n_violations)
+    """,
+)
+def q_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative expectations suite over orders — five rules
+    (not-null key, unique key, positive price, status domain, priority
+    format) compiled by operators/validate.py expectations() into ONE
+    aggregate over ONE scan, then unpivoted to a per-rule report.  The
+    generalization of the reference's hard-coded firewall
+    (dags/validate_features.py) into the rules-as-data shape quality
+    platforms actually run."""
+    from clv_data_pipeline_spark.operators.validate import expectations
+
+    o = load_table(spark, sf_dir, "orders")
+    rules = [
+        {"rule": "key_not_null", "column": "o_orderkey",
+         "kind": "not_null"},
+        {"rule": "key_unique", "column": "o_orderkey", "kind": "unique"},
+        {"rule": "price_positive", "column": "o_totalprice",
+         "kind": "min", "param": 0},
+        {"rule": "status_domain", "column": "o_orderstatus",
+         "kind": "accepted_values", "param": ["O", "F", "P"]},
+        {"rule": "priority_format", "column": "o_orderpriority",
+         "kind": "regex", "param": "^[1-5]-"},
+    ]
+    return expectations(o, rules)

@@ -564,3 +564,74 @@ def q_sessionize_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = session_stats(ev.filter(F.col("ts") < split), gap_seconds=1800)
     delta = ev.filter(F.col("ts") >= split)
     return merge_session_delta(base, delta, gap_seconds=1800)
+
+
+@query(
+    "q_snapshot_diff",
+    oracle="""
+    WITH old AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 7 = 0 THEN 'P'
+                    ELSE o_orderstatus END AS o_orderstatus,
+               o_totalprice
+        FROM orders WHERE o_orderkey % 10 <> 0),
+    new AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders)
+    SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+           CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+                WHEN n.o_orderkey IS NULL THEN 'delete'
+                ELSE 'update' END AS change_type,
+           o.o_orderstatus AS old_status,
+           n.o_orderstatus AS new_status
+    FROM old o FULL JOIN new n ON o.o_orderkey = n.o_orderkey
+    WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+       OR o.o_orderstatus <> n.o_orderstatus
+       OR o.o_totalprice <> n.o_totalprice
+    """,
+)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC change extraction between two table versions: full-outer
+    join on the key classifies every row as insert / delete / update
+    and drops the unchanged majority — the diff a lakehouse emits as a
+    change feed when the upstream cannot.  The "old" snapshot is a
+    deterministic derivation of orders (10% of keys absent -> inserts,
+    every 7th status rewritten -> updates) so the oracle reproduces it
+    exactly.
+
+    Scale shape: one shuffle per side on the key (or ZERO with both
+    snapshots bucket-persisted on it — q_bucketed_join's contract);
+    the unchanged filter runs inside the join's output before anything
+    else materializes, so the change feed, not the table, is what
+    flows downstream.  At 100 TB add a per-row content hash column at
+    write time and compare hashes instead of N columns."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    old = o.filter(F.col("o_orderkey") % 10 != 0).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit("P"))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("o_orderstatus"),
+        "o_totalprice",
+    )
+    j = old.alias("o").join(
+        o.alias("n"),
+        F.col("o.o_orderkey") == F.col("n.o_orderkey"),
+        "full",
+    )
+    changed = (
+        F.col("o.o_orderkey").isNull()
+        | F.col("n.o_orderkey").isNull()
+        | (F.col("o.o_orderstatus") != F.col("n.o_orderstatus"))
+        | (F.col("o.o_totalprice") != F.col("n.o_totalprice"))
+    )
+    return j.filter(changed).select(
+        F.coalesce(F.col("o.o_orderkey"), F.col("n.o_orderkey")).alias(
+            "o_orderkey"
+        ),
+        F.when(F.col("o.o_orderkey").isNull(), "insert")
+        .when(F.col("n.o_orderkey").isNull(), "delete")
+        .otherwise("update")
+        .alias("change_type"),
+        F.col("o.o_orderstatus").alias("old_status"),
+        F.col("n.o_orderstatus").alias("new_status"),
+    )
