@@ -960,3 +960,106 @@ def q_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "bucket")
         .agg(F.sum("sign").cast("long").alias("feat"))
     )
+
+
+_RRF_K = 60
+
+
+@query(
+    "q_rank_fusion",
+    oracle=f"""
+    WITH q AS (
+        SELECT doc_id,
+               ROUND(
+                 LEAST(CAST(length(text) AS DOUBLE) / 200.0, 1.0)
+                 * GREATEST(0.0, 1.0 -
+                     (CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g'))
+                           AS DOUBLE)
+                      / GREATEST(length(text), 1)) * 5.0)
+                 * GREATEST(0.0, 1.0 -
+                     (CAST(length(regexp_replace(text, '[^0-9]', '', 'g'))
+                           AS DOUBLE)
+                      / GREATEST(length(text), 1)) * 5.0)
+                 * (CASE WHEN (CAST(length(trim(text)) AS DOUBLE)
+                               / GREATEST(len(regexp_extract_all(trim(text),
+                                              '\\S+', 0)), 1))
+                              BETWEEN 3.0 AND 12.0
+                         THEN 1.0 ELSE 0.5 END),
+               6) AS quality
+        FROM documents),
+    toks AS (
+        SELECT doc_id, unnest({{tok}}) AS term FROM documents),
+    tf AS (
+        SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM toks WHERE term <> '' GROUP BY doc_id, term),
+    e AS (
+        SELECT doc_id,
+               ROUND(log2(CAST(SUM(tf) AS DOUBLE))
+                     - CAST(SUM(CAST(ROUND(tf * log2(CAST(tf AS DOUBLE)), 9)
+                                AS DECIMAL(28,9))) AS DOUBLE) / SUM(tf), 6)
+                   AS entropy
+        FROM tf GROUP BY doc_id),
+    rq AS (
+        SELECT d.source, q.doc_id,
+               CAST(ROW_NUMBER() OVER (PARTITION BY d.source
+                    ORDER BY q.quality DESC, q.doc_id) AS BIGINT) AS r_q
+        FROM q JOIN documents d USING (doc_id)),
+    re AS (
+        SELECT d.source, e.doc_id,
+               CAST(ROW_NUMBER() OVER (PARTITION BY d.source
+                    ORDER BY e.entropy DESC, e.doc_id) AS BIGINT) AS r_e
+        FROM e JOIN documents d USING (doc_id)),
+    f AS (
+        SELECT rq.source, rq.doc_id, rq.r_q, re.r_e,
+               ROUND(CAST(1.0 AS DOUBLE) / ({_RRF_K} + rq.r_q)
+                     + CAST(1.0 AS DOUBLE) / ({_RRF_K} + re.r_e), 9) AS rrf
+        FROM rq JOIN re ON rq.doc_id = re.doc_id)
+    SELECT source, doc_id, r_q, r_e, rrf, rnk
+    FROM (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY source
+                         ORDER BY rrf DESC, doc_id) AS BIGINT) AS rnk
+          FROM f)
+    WHERE rnk <= 10
+    """.replace("{tok}", _TOKENIZE_SQL).replace("{{", "{").replace("}}", "}"),
+)
+def q_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal rank fusion (RRF, k=60) of two independent document
+    rankings — the heuristic quality score and the token-entropy signal
+    — per source: the hybrid-retrieval/fusion shape (lexical + dense
+    lists fused by 1/(k+rank)) applied to curation ranking, where it
+    picks documents that EVERY signal ranks well without calibrating
+    score scales against each other.
+
+    Scale shape: both rankings are per-source window ranks (partitioned,
+    never global); the fusion is an equi-join on doc_id and the final
+    top-10 filter is WindowGroupLimit (rank pushes map-side).  In a
+    per-query retrieval setting the same operator fuses top-k candidate
+    lists, so the window partitions are query ids and stay bounded.
+    Scores are rounded BEFORE ranking and ranks are integers, so the
+    fused score is bit-identical across engines."""
+    from clv_data_pipeline_spark.queries.textops import q_quality_score
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    q = q_quality_score(spark, sf_dir).join(d, "doc_id")
+    e = q_token_entropy(spark, sf_dir).join(d, "doc_id")
+    wq = Window.partitionBy("source").orderBy(F.desc("quality"), "doc_id")
+    we = Window.partitionBy("source").orderBy(F.desc("entropy"), "doc_id")
+    rq = q.select(
+        "source", "doc_id", F.row_number().over(wq).cast("long").alias("r_q")
+    )
+    re_ = e.select(
+        F.col("doc_id").alias("_eid"),
+        F.row_number().over(we).cast("long").alias("r_e"),
+    )
+    rrf = F.round(
+        F.lit(1.0) / (_RRF_K + F.col("r_q"))
+        + F.lit(1.0) / (_RRF_K + F.col("r_e")),
+        9,
+    )
+    fused = rq.join(re_, rq["doc_id"] == re_["_eid"]).select(
+        "source", "doc_id", "r_q", "r_e", rrf.alias("rrf")
+    )
+    wf = Window.partitionBy("source").orderBy(F.desc("rrf"), "doc_id")
+    return (
+        fused.withColumn("rnk", F.row_number().over(wf).cast("long"))
+        .filter(F.col("rnk") <= 10)
+    )
