@@ -1014,3 +1014,36 @@ def q_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
          "kind": "regex", "param": "^[1-5]-"},
     ]
     return expectations(o, rules)
+
+
+@query(
+    "q_salted_join",
+    oracle="""
+    SELECT e.event_id, e.event_type, c.type_count
+    FROM events e
+    JOIN (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS type_count
+          FROM events GROUP BY event_type) c
+      ON e.event_type = c.event_type
+    """,
+)
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manual join salting on a power-law key (operators/skew.py
+    salted_join): the event log joins its 5-value event_type dimension
+    — without salting at most 5 reducers ever work, the hottest key
+    melting one of them at 100 TB.  The fact side gets a deterministic
+    xxhash64 salt, the dimension replicates salt_buckets times, and the
+    join runs on (key, salt) — exact (oracle = the plain join), no
+    RNG, task-retry safe.  Use over AQE's runtime skew split when the
+    skewed side has no statistics (mid-pipeline operator output) or a
+    single key exceeds what one split can hold."""
+    from clv_data_pipeline_spark.operators.skew import salted_join
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type"
+    )
+    dim = ev.groupBy("event_type").agg(
+        F.count("*").alias("type_count")
+    )
+    return salted_join(ev, dim, "event_type", salt_buckets=8).select(
+        "event_id", "event_type", "type_count"
+    )
