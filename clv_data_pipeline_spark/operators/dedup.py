@@ -819,3 +819,63 @@ def set_similarity_join(
             ).alias("jaccard"),
         )
     )
+
+
+def weighted_minhash_signatures(
+    docs: DataFrame,
+    num_hashes: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Probability-MinHash signatures over tf-weighted tokens (the
+    exponential race: per hash k the winning token minimizes
+    -ln(u_k(token)) / tf).  Collision probability between two docs
+    estimates their probability-Jaccard over tf distributions — scale
+    invariant (doubling every tf changes nothing) and sensitive to
+    frequency shifts plain set-MinHash cannot see.
+
+    Race uniforms derive from md5 (engine-portable), so unlike the
+    xxhash64 families the signatures themselves are oracle-checkable
+    (see q_minhash_weighted).  One shuffle on (doc, token), a bounded
+    x num_hashes map-side expand, and a partial-aggregable
+    min-of-struct — no window sort.
+    """
+    from clv_data_pipeline_spark.functions.text import normalize_text
+
+    toks = docs.select(
+        id_col,
+        F.explode(
+            F.split(normalize_text(F.col(text_col)), " ")
+        ).alias("token"),
+    ).filter(F.col("token") != "")
+    tf = toks.groupBy(id_col, "token").agg(
+        F.count("*").cast("long").alias("tf")
+    )
+    ex = tf.withColumn(
+        "k", F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1)))
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("token"), F.lit("|"), F.col("k").cast("string")
+                ).cast("binary")
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (h + F.lit(0.5)) / F.lit(4294967296.0)
+    score = -F.log(u) / F.col("tf")
+    sig = ex.groupBy(id_col, "k").agg(
+        F.min(
+            F.struct(score.alias("s"), F.col("token").alias("t"))
+        ).alias("m")
+    )
+    return sig.select(
+        id_col,
+        F.col("k").cast("long").alias("k"),
+        F.col("m.t").alias("sig_token"),
+    )

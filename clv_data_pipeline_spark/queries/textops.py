@@ -1479,3 +1479,55 @@ def q_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_hits") / F.greatest(F.col("n_candidates"), F.lit(1)), 4
         ).alias("precision"),
     )
+
+
+@query(
+    "q_minhash_weighted",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(string_split(
+                   trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '))
+                   AS token
+        FROM documents),
+    tf AS (
+        SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM toks WHERE token <> '' GROUP BY doc_id, token),
+    ex AS (SELECT doc_id, token, tf, unnest(range(16)) AS k FROM tf),
+    sc AS (
+        SELECT doc_id, k, token,
+               -ln((('0x' || substr(md5(token || '|' || k), 1, 8))::BIGINT
+                    + 0.5) / 4294967296.0) / tf AS score
+        FROM ex),
+    rk AS (
+        SELECT doc_id, k, token,
+               ROW_NUMBER() OVER (PARTITION BY doc_id, k
+                                  ORDER BY score, token) AS rn
+        FROM sc)
+    SELECT doc_id, CAST(k AS BIGINT) AS k, token AS sig_token
+    FROM rk WHERE rn = 1
+    """,
+)
+def q_minhash_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted MinHash (probability-MinHash via the exponential race,
+    cf. Moulton & Jiang 2018): per (doc, hash k) the winning token
+    minimizes -ln(u_k(token))/tf — collision probability between two
+    docs estimates their probability-Jaccard over tf-weight
+    distributions, so near-dups with the same words at DIFFERENT
+    frequencies (the case plain set-MinHash is blind to) still collide.
+
+    Unlike every other hash family here, the signature itself is
+    oracle-checked: the race uniforms come from engine-portable md5
+    (like q_feature_hash), and a measured winner margin (min 1.1e-5 at
+    sf0.01, vs ~1e-16 libm ln ulp) proves no cross-engine argmin flip
+    is possible.  Scale shape: tf partial-aggregates map-side, the x16
+    hash expand rides the (doc, token) frame not raw tokens, and the
+    argmin is a partial-aggregable min-of-struct — one shuffle on
+    (doc, k), no window sort.  Banding/bucketing downstream is
+    identical to q_minhash_dedup."""
+    from clv_data_pipeline_spark.operators.dedup import (
+        weighted_minhash_signatures,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return weighted_minhash_signatures(d, num_hashes=16)

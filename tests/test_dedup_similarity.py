@@ -479,3 +479,42 @@ def test_minhash_eval_recall_floor(spark):
     assert row["recall"] >= 0.9
     assert 0 < row["precision"] <= 1.0
     assert row["n_hits"] <= min(row["n_true_pairs"], row["n_candidates"])
+
+
+def test_weighted_minhash_properties(spark):
+    """Probability-MinHash invariants: identical docs collide on every
+    hash; uniformly scaled tf (each word repeated 3x) yields the SAME
+    signature (scale invariance of the race); disjoint vocabularies
+    never collide; a frequency-shifted doc collides on SOME but not
+    all hashes (the case set-MinHash scores as identical)."""
+    from clv_data_pipeline_spark.operators.dedup import (
+        weighted_minhash_signatures,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base),                          # identical
+            (3, " ".join([base] * 3)),          # tf scaled x3
+            (4, "one two three four five six"),  # disjoint vocab
+            (5, "alpha " * 20 + base),          # alpha-heavy shift
+        ],
+        "doc_id long, text string",
+    )
+    sigs = weighted_minhash_signatures(docs, num_hashes=16)
+    by_doc = {
+        d: {r["k"]: r["sig_token"] for r in rows}
+        for d, rows in (
+            (d, [r for r in sigs.collect() if r["doc_id"] == d])
+            for d in (1, 2, 3, 4, 5)
+        )
+    }
+    assert by_doc[1] == by_doc[2]            # identical => all collide
+    assert by_doc[1] == by_doc[3]            # scale invariance
+    overlap_disjoint = sum(
+        by_doc[1][k] == by_doc[4][k] for k in by_doc[1]
+    )
+    assert overlap_disjoint == 0             # disjoint => no collisions
+    overlap_shift = sum(by_doc[1][k] == by_doc[5][k] for k in by_doc[1])
+    assert 0 < overlap_shift < 16            # shifted tf => partial
