@@ -168,7 +168,18 @@ def _ordered_names() -> list[str]:
         else:
             tier[n] = 0  # never sampled — always first
     order = {n: i for i, n in enumerate(names)}
-    return sorted(names, key=lambda n: (tier[n], order[n]))
+    # Within a staleness tier, oracle-checked names outrank rows-only
+    # ones: an oracle row is a hash-verified result, a rows-only row
+    # only proves execution — when the budget cuts a tier, spend it on
+    # the stronger check first.
+    return sorted(
+        names,
+        key=lambda n: (
+            tier[n],
+            0 if _REGISTRY[n].oracle is not None else 1,
+            order[n],
+        ),
+    )
 
 
 def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
