@@ -1802,3 +1802,69 @@ def q_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audit(ev, "events").unionByName(
         audit(feats, "customer_features")
     )
+
+
+_DP_EPS = 0.5  # per-release epsilon; sensitivity-1 counts
+
+
+@query(
+    "q_dp_counts",
+    oracle=f"""
+    WITH c AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS exact_n
+        FROM events GROUP BY event_type),
+    u AS (
+        SELECT event_type, exact_n,
+               (('0x' || substr(md5(event_type || '|dp'), 1, 8))::BIGINT
+                + 0.5) / 4294967296.0 AS u
+        FROM c)
+    SELECT event_type, exact_n,
+           ROUND(exact_n + CASE WHEN u < 0.5
+                 THEN  ln(2.0 * u)       / {_DP_EPS}
+                 ELSE -ln(2.0 * (1.0 - u)) / {_DP_EPS} END, 6) AS noisy_n,
+           ABS(ROUND(exact_n + CASE WHEN u < 0.5
+                 THEN  ln(2.0 * u)       / {_DP_EPS}
+                 ELSE -ln(2.0 * (1.0 - u)) / {_DP_EPS} END, 6) - exact_n)
+               <= 20.0 AS within_bound
+    FROM u
+    """,
+)
+def q_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private count release (Laplace mechanism,
+    sensitivity 1, eps=0.5): per-type event counts plus
+    inverse-CDF-sampled Laplace(1/eps) noise, and a within-bound
+    verdict (|noise| <= 20 = the 1-in-22000 tail at this eps) so the
+    driver row certifies the mechanism's calibration.  exact_n is the
+    AUDIT side of this test query — a production release publishes
+    only noisy_n.
+
+    The noise uniform here derives from md5 of the release key —
+    DETERMINISTIC, so the oracle reproduces the release bit-for-bit
+    and rerunning never burns extra privacy budget for the same
+    release id; production DP swaps in a sealed RNG seeded per
+    release, with everything else (sensitivity-1 aggregate, inverse
+    CDF, post-processing) unchanged.  Scale shape: one partial
+    aggregate; noise is a map-only expression on the tiny grouped
+    result."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy("event_type").agg(F.count("*").alias("exact_n"))
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("event_type"), F.lit("|dp")).cast("binary")),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (h + F.lit(0.5)) / F.lit(4294967296.0)
+    noise = F.when(
+        u < 0.5, F.log(2.0 * u) / _DP_EPS
+    ).otherwise(-F.log(2.0 * (1.0 - u)) / _DP_EPS)
+    noisy = F.round(F.col("exact_n") + noise, 6)
+    return c.select(
+        "event_type",
+        "exact_n",
+        noisy.alias("noisy_n"),
+        (F.abs(noisy - F.col("exact_n")) <= 20.0).alias("within_bound"),
+    )
