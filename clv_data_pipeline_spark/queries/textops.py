@@ -1531,3 +1531,61 @@ def q_minhash_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return weighted_minhash_signatures(d, num_hashes=16)
+
+
+@query(
+    "q_containment",
+    oracle="""
+    WITH sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   range(1, GREATEST(length(norm) - 2, 1) + 1),
+                   i -> substring(norm, CAST(i AS INT), 3))) AS s
+        FROM (SELECT doc_id,
+                     trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+              FROM documents)),
+    pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.s AS sa, b.s AS sb
+        FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1)
+    SELECT id_a, id_b,
+           ROUND(CAST(len(list_intersect(sa, sb)) AS DOUBLE)
+                 / GREATEST(len(sa), 1), 6) AS contain_ab,
+           ROUND(CAST(len(list_intersect(sa, sb)) AS DOUBLE)
+                 / GREATEST(len(sb), 1), 6) AS contain_ba,
+           GREATEST(
+               CAST(len(list_intersect(sa, sb)) AS DOUBLE)
+                   / GREATEST(len(sa), 1),
+               CAST(len(list_intersect(sa, sb)) AS DOUBLE)
+                   / GREATEST(len(sb), 1)) >= 0.9 AS is_contained
+    FROM pairs
+    """,
+)
+def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle containment |A∩B|/|A| per direction — the
+    quote/subset detector Jaccard resemblance misses: a short doc fully
+    embedded in a long one has low Jaccard (union is large) but
+    containment ~1.0 from the short side.  Broder's two measures
+    together are the standard near-dup decision pair; the candidate
+    pairing here is the same bounded consecutive-id scheme as
+    q_ngram_jaccard (at scale: LSH candidates, with banding on the
+    SHORT side's shingles so subsets still bucket together).
+    """
+    from clv_data_pipeline_spark.operators.dedup import shingles
+
+    d = load_table(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id", shingles(F.col("text"), 3).alias("_sh")
+    )
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("_sh").alias("_sha"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("_sh").alias("_shb"))
+    pairs = a.join(b, F.col("id_b") == F.col("id_a") + 1)
+    inter = F.size(F.array_intersect("_sha", "_shb")).cast("double")
+    c_ab = inter / F.greatest(F.size("_sha"), F.lit(1))
+    c_ba = inter / F.greatest(F.size("_shb"), F.lit(1))
+    return pairs.select(
+        "id_a",
+        "id_b",
+        F.round(c_ab, 6).alias("contain_ab"),
+        F.round(c_ba, 6).alias("contain_ba"),
+        (F.greatest(c_ab, c_ba) >= 0.9).alias("is_contained"),
+    )
