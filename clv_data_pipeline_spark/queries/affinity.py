@@ -258,3 +258,73 @@ def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("dist") <= 2)
         .select("name_a", "name_b", "dist", "n_parts_a", "n_parts_b")
     )
+
+
+def _kcore_oracle(k: int = 3, rounds: int = 4) -> str:
+    """Unrolled DuckDB twin of q_kcore: the same fixed number of
+    degree-prune rounds as chained CTEs (the q_pagerank / q_communities
+    pattern: the ITERATION itself is hash-verified)."""
+    ctes = [
+        _BASKET_CTES
+        + """,
+    edges AS (
+        SELECT brand_a AS u, brand_b AS v
+        FROM pairs CROSS JOIN tot WHERE n_ab * 50 >= n_orders),
+    e0 AS (SELECT u, v FROM edges UNION ALL SELECT v, u FROM edges)"""
+    ]
+    for i in range(1, rounds + 1):
+        ctes.append(f"""k{i} AS (
+        SELECT u FROM e{i - 1} GROUP BY u HAVING COUNT(*) >= {k}),
+    e{i} AS (
+        SELECT e.u, e.v FROM e{i - 1} e
+        JOIN k{i} a ON e.u = a.u JOIN k{i} b ON e.v = b.u)""")
+    return (
+        ",\n    ".join(ctes)
+        + f"""
+    SELECT u AS brand, CAST(COUNT(*) AS BIGINT) AS core_deg
+    FROM e{rounds} GROUP BY u"""
+    )
+
+
+@query("q_kcore", oracle=_kcore_oracle())
+def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core of the brand co-purchase graph by iterative degree
+    pruning (4 synchronized rounds): repeatedly drop nodes with fewer
+    than k surviving neighbors — the standard dense-subgraph /
+    spam-cluster extractor.  The oracle unrolls the identical rounds as
+    chained CTEs, so the driver hash-verifies the iteration end to end
+    (the q_pagerank pattern).
+
+    Scale shape: each round is one degree aggregate + two semi-joins
+    against the (always shrinking) survivor set, which broadcasts; on
+    a billion-edge graph the same loop runs with localCheckpoint
+    lineage breaks every few rounds (operators/graph.py pattern) and
+    converges in O(degeneracy) rounds."""
+    sets = _order_brand_sets(spark, sf_dir)
+    pairs = _brand_pairs(sets)
+    n_orders = sets.select(F.count("*").cast("long").alias("n_orders"))
+    edges = (
+        pairs.crossJoin(F.broadcast(n_orders))
+        .filter(F.col("n_ab") * 50 >= F.col("n_orders"))
+        .select(F.col("brand_a").alias("u"), F.col("brand_b").alias("v"))
+    )
+    # localCheckpoint each round (operators/graph.py pattern): the
+    # survivor set feeds THREE consumers per round (degree agg + two
+    # semi-joins), so without lineage truncation the basket subtree
+    # re-plans 3^rounds times.
+    und = edges.unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint()
+    for _ in range(4):
+        keep = (
+            und.groupBy("u")
+            .agg(F.count("*").alias("deg"))
+            .filter(F.col("deg") >= 3)
+            .select("u")
+        )
+        und = und.join(F.broadcast(keep), "u", "left_semi").join(
+            F.broadcast(keep.select(F.col("u").alias("v"))), "v", "left_semi"
+        ).localCheckpoint()
+    return und.groupBy("u").agg(
+        F.count("*").cast("long").alias("core_deg")
+    ).select(F.col("u").alias("brand"), "core_deg")
