@@ -1589,3 +1589,95 @@ def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(c_ba, 6).alias("contain_ba"),
         (F.greatest(c_ab, c_ba) >= 0.9).alias("is_contained"),
     )
+
+
+@query(
+    "q_vocab_oov",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id, source,
+               substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' AS is_train,
+               string_split(
+                   trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')
+                   AS ws
+        FROM documents),
+    bg AS (
+        SELECT doc_id, source, is_train,
+               unnest(list_transform(range(1, len(ws)),
+                      i -> ws[i] || ' ' || ws[i + 1])) AS bigram
+        FROM w WHERE len(ws) >= 2),
+    tv AS (
+        SELECT bigram, COUNT(*) AS n FROM bg
+        WHERE is_train GROUP BY bigram),
+    vocab AS (SELECT bigram FROM tv ORDER BY n DESC, bigram LIMIT 400),
+    ev AS (SELECT source, bigram FROM bg WHERE NOT is_train)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(COUNT(*) FILTER (WHERE bigram NOT IN
+                (SELECT bigram FROM vocab)) AS BIGINT) AS n_oov,
+           ROUND(CAST(COUNT(*) FILTER (WHERE bigram NOT IN
+                (SELECT bigram FROM vocab)) AS DOUBLE) / COUNT(*), 6)
+               AS oov_rate
+    FROM ev GROUP BY source
+    """,
+)
+def q_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer/phrase-coverage audit: build a 400-entry bigram
+    vocabulary from the TRAIN split only (q_train_split's leakage-free
+    md5 assignment), then measure the out-of-vocabulary rate of the
+    held-out splits per source (~50% at sf0.01 — the corpus has 916
+    distinct bigrams) — the eval a tokenizer/vocab change ships with,
+    and a per-domain drift signal: a source whose OOV rate climbs is
+    drifting away from the training distribution.
+
+    Scale shape: one zip_with bigram explode feeds both sides (train
+    counts, eval probes); the vocabulary cut is sort-limit
+    (TakeOrderedAndProject, never a single-partition window) and
+    broadcasts to the eval side as a null-probe left join — the corpus
+    shuffles once on the bigram key, eval bigrams never shuffle."""
+    from clv_data_pipeline_spark.functions.text import normalize_text
+
+    d = load_table(spark, sf_dir, "documents")
+    is_train = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < "cc"
+    toks = d.select(
+        "doc_id",
+        "source",
+        is_train.alias("is_train"),
+        F.split(normalize_text(F.col("text")), " ").alias("ts"),
+    ).filter(F.size("ts") >= 2)
+    bg = toks.select(
+        "source",
+        "is_train",
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("ts"), 1, F.size("ts") - 1),
+                F.slice(F.col("ts"), 2, F.size("ts") - 1),
+                lambda a, b: F.concat_ws(" ", a, b),
+            )
+        ).alias("bigram"),
+    )
+    vocab = (
+        bg.filter("is_train")
+        .groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "bigram")
+        .limit(400)
+        .select("bigram")
+    )
+    ev = bg.filter(~F.col("is_train"))
+    flagged = ev.join(
+        F.broadcast(vocab.withColumn("_in_vocab", F.lit(1))),
+        "bigram",
+        "left",
+    )
+    return flagged.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_bigrams"),
+        F.count(F.when(F.col("_in_vocab").isNull(), 1))
+        .cast("long")
+        .alias("n_oov"),
+        F.round(
+            F.count(F.when(F.col("_in_vocab").isNull(), 1)).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("oov_rate"),
+    )
