@@ -328,3 +328,118 @@ def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return und.groupBy("u").agg(
         F.count("*").cast("long").alias("core_deg")
     ).select(F.col("u").alias("brand"), "core_deg")
+
+
+@query(
+    "q_entity_resolution",
+    oracle="""
+    WITH RECURSIVE names AS (
+        SELECT p_name, COUNT(*) AS n FROM part GROUP BY p_name),
+    pairs AS (
+        SELECT a.p_name AS na, b.p_name AS nb
+        FROM names a JOIN names b
+          ON a.p_name < b.p_name
+         AND abs(length(a.p_name) - length(b.p_name)) <= 2
+         AND levenshtein(a.p_name, b.p_name) <= 2),
+    edges AS (
+        SELECT na AS a, nb AS b FROM pairs
+        UNION SELECT nb, na FROM pairs),
+    reach(node, r) AS (
+        SELECT p_name, p_name FROM names
+        UNION
+        SELECT e.a, reach.r FROM edges e JOIN reach ON reach.node = e.b),
+    comp AS (
+        SELECT node AS p_name, MIN(r) AS cluster_key
+        FROM reach GROUP BY node),
+    canon AS (
+        SELECT cluster_key, p_name AS canonical_name
+        FROM (SELECT c.cluster_key, n.p_name,
+                     ROW_NUMBER() OVER (PARTITION BY c.cluster_key
+                         ORDER BY n.n DESC, n.p_name) AS rn
+              FROM comp c JOIN names n USING (p_name))
+        WHERE rn = 1)
+    SELECT c.p_name, c.cluster_key, canon.canonical_name,
+           CAST(n.n AS BIGINT) AS n_parts,
+           c.p_name = canon.canonical_name AS is_canonical
+    FROM comp c JOIN names n USING (p_name) JOIN canon USING (cluster_key)
+    """,
+)
+def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end entity resolution over the part-name vocabulary: the
+    composed record-linkage DAG (q_corpus_curate's role for the
+    matching domain).  Stages: (1) dictionary extraction with counts;
+    (2) length-banded blocking + levenshtein<=2 scoring (q_fuzzy_join's
+    exact equi-join blocking); (3) TRANSITIVE clustering by iterative
+    min-label propagation (operators/dedup.py connected_components —
+    pairwise matches alone split entities: a~b, b~c but a!~c must still
+    merge); (4) canonical-record election per cluster by max support
+    with a deterministic tie-break.  The oracle's recursive CTE
+    reachability hash-verifies the whole composition, iteration
+    included.
+
+    Scale shape: matching runs on the DISTINCT-name dictionary (never
+    the fact table), the CC loop touches only the match edge list, and
+    node ids are dense ranks of the dictionary (vocabulary-sized by
+    construction, so the rank window is bounded)."""
+    from pyspark.sql.window import Window as W
+
+    from clv_data_pipeline_spark.operators.dedup import connected_components
+
+    part = load_table(spark, sf_dir, "part").select("p_name")
+    names = part.groupBy("p_name").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    ids = names.withColumn(
+        "nid", F.row_number().over(W.orderBy("p_name")).cast("long")
+    ).localCheckpoint()
+    left = ids.select(
+        F.col("p_name").alias("name_a"),
+        F.col("nid").alias("ida"),
+        F.explode(
+            F.sequence(
+                F.length("p_name") - F.lit(2), F.length("p_name") + F.lit(2)
+            )
+        ).alias("len_b"),
+    )
+    right = ids.select(
+        F.col("p_name").alias("name_b"),
+        F.col("nid").alias("idb"),
+        F.length("p_name").alias("len_b"),
+    )
+    edges = (
+        left.join(right, "len_b")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .filter(F.levenshtein("name_a", "name_b") <= 2)
+        .select("ida", "idb")
+    )
+    comp = connected_components(edges, "ida", "idb")
+    with_cluster = ids.join(
+        comp, ids["nid"] == comp["node"], "left"
+    ).select(
+        "p_name",
+        "n",
+        F.coalesce(F.col("cluster_id"), F.col("nid")).alias("_cid"),
+    )
+    key_names = ids.select(
+        F.col("nid").alias("_cid"), F.col("p_name").alias("cluster_key")
+    )
+    labeled = with_cluster.join(F.broadcast(key_names), "_cid")
+    wc = W.partitionBy("_cid").orderBy(F.desc("n"), "p_name")
+    return (
+        labeled.withColumn("_rn", F.row_number().over(wc))
+        .withColumn(
+            "canonical_name",
+            F.first("p_name").over(
+                wc.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+            ),
+        )
+        .select(
+            "p_name",
+            "cluster_key",
+            "canonical_name",
+            F.col("n").alias("n_parts"),
+            (F.col("p_name") == F.col("canonical_name")).alias(
+                "is_canonical"
+            ),
+        )
+    )
