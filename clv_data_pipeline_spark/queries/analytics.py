@@ -1868,3 +1868,61 @@ def q_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         noisy.alias("noisy_n"),
         (F.abs(noisy - F.col("exact_n")) <= 20.0).alias("within_bound"),
     )
+
+
+@query(
+    "q_benford",
+    oracle="""
+    WITH d AS (
+        SELECT substr(CAST(o_totalprice AS VARCHAR), 1, 1) AS digit
+        FROM orders WHERE o_totalprice >= 1),
+    c AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY digit),
+    t AS (SELECT digit, n, SUM(n) OVER () AS total FROM c)
+    SELECT digit, n,
+           ROUND(CAST(n AS DOUBLE) / total, 6) AS obs_freq,
+           ROUND(log10(1.0 + CAST(1.0 AS DOUBLE)
+                 / CAST(digit AS BIGINT)), 6) AS benford_freq,
+           ROUND(power(CAST(n AS DOUBLE) / total
+                 - log10(1.0 + CAST(1.0 AS DOUBLE) / CAST(digit AS BIGINT)),
+                 2)
+                 / log10(1.0 + CAST(1.0 AS DOUBLE) / CAST(digit AS BIGINT)),
+                 9) AS chi_term
+    FROM t
+    """,
+)
+def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order totals — the classic
+    forensic-accounting / synthetic-data detector: natural multi-scale
+    amounts follow P(d) = log10(1 + 1/d); per-digit deviation terms
+    localize where a distribution breaks the law (TPC-H-style uniform
+    prices break it loudly, which is exactly what the audit should
+    report for generated data).
+
+    The first digit comes from the STRING prefix of the value, not
+    floor(x / 10^floor(log10 x)) — float log10 at exact powers of ten
+    rounds differently per libm and misclassifies; shortest-repr
+    double formatting agrees between engines on the leading digit by
+    construction.  One aggregate; the 9-row total reuses a window over
+    the grouped result (no 1-row broadcast needed)."""
+    from pyspark.sql.window import Window as W
+
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") >= 1
+    )
+    c = o.select(
+        F.substring(F.col("o_totalprice").cast("string"), 1, 1).alias(
+            "digit"
+        )
+    ).groupBy("digit").agg(F.count("*").cast("long").alias("n"))
+    t = c.withColumn(
+        "total", F.sum("n").over(W.partitionBy(F.lit(1)))
+    )
+    obs = F.col("n").cast("double") / F.col("total")
+    exp = F.log10(1.0 + F.lit(1.0) / F.col("digit").cast("long"))
+    return t.select(
+        "digit",
+        "n",
+        F.round(obs, 6).alias("obs_freq"),
+        F.round(exp, 6).alias("benford_freq"),
+        F.round(F.pow(obs - exp, 2) / exp, 9).alias("chi_term"),
+    )
