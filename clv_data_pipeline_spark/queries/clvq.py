@@ -162,3 +162,116 @@ def q_clv_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     bg = fit_bgnbd(returning)
     gg = fit_gamma_gamma(returning)
     return predictions_projection(score_customers(returning, bg, gg))
+
+
+@query(
+    "q_survival",
+    oracle="""
+    WITH p AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+        FROM events WHERE event_type = 'purchase'),
+    f AS (SELECT user_id, MIN(day) AS first_day FROM p GROUP BY user_id),
+    s AS (
+        SELECT p.user_id, MIN(p.day) AS second_day
+        FROM p JOIN f USING (user_id) WHERE p.day > f.first_day
+        GROUP BY p.user_id),
+    m AS (SELECT MAX(day) AS max_day FROM p),
+    cust AS (
+        SELECT f.user_id,
+               CAST(date_diff('day', f.first_day,
+                    COALESCE(s.second_day, m.max_day)) AS BIGINT) AS t,
+               s.second_day IS NOT NULL AS ev
+        FROM f LEFT JOIN s USING (user_id) CROSS JOIN m),
+    c AS (
+        SELECT t, COUNT(*) AS c_all,
+               COUNT(*) FILTER (WHERE ev) AS d
+        FROM cust GROUP BY t),
+    r AS (
+        SELECT t, d,
+               SUM(c_all) OVER (ORDER BY t DESC
+                   ROWS UNBOUNDED PRECEDING) AS n_risk
+        FROM c)
+    SELECT t, CAST(n_risk AS BIGINT) AS n_risk, CAST(d AS BIGINT) AS n_events,
+           CASE WHEN MIN(n_risk - d) OVER (ORDER BY t
+                     ROWS UNBOUNDED PRECEDING) = 0 THEN 0.0
+                ELSE ROUND(EXP(CAST(SUM(CAST(ROUND(
+                     LN(CASE WHEN n_risk = d THEN 1.0
+                             ELSE (CAST(n_risk AS DOUBLE) - d) / n_risk
+                        END), 9)
+                     AS DECIMAL(28,9))) OVER (ORDER BY t
+                     ROWS UNBOUNDED PRECEDING) AS DOUBLE)), 6) END AS surv
+    FROM r WHERE d > 0
+    """,
+)
+def q_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve of time-to-repeat-purchase — the
+    nonparametric churn view next to the BG/NBD parametric model:
+    S(t) = prod over event times <= t of (1 - d_i / n_i), with
+    customers who never repurchase right-censored at the observation
+    horizon.  Output is the full KM table (event time, risk set,
+    events, survival).
+
+    Determinism: the cumulative product runs as EXP of a
+    DECIMAL-accumulated sum of per-factor LN terms ROUNDED at 9 dp
+    (the q_token_entropy / q_perplexity pattern — identical IEEE
+    divisions feed ln on both engines, rounding absorbs libm ulp),
+    and a risk-set-drained tail (factor 0) short-circuits to exact
+    0.0 via a running min rather than ln(0).  Scale shape: one
+    dedup shuffle to (customer, day), per-customer min/second-min
+    aggregates, then ALL windows run on the per-event-time frame —
+    bounded by the calendar, not the customer count; the horizon
+    scalar is a 1-row broadcast."""
+    from pyspark.sql.window import Window as W
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    p = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    f = p.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    s = (
+        p.join(f, "user_id")
+        .filter(F.col("day") > F.col("first_day"))
+        .groupBy("user_id")
+        .agg(F.min("day").alias("second_day"))
+    )
+    m = p.agg(F.max("day").alias("max_day"))
+    cust = f.join(s, "user_id", "left").crossJoin(F.broadcast(m)).select(
+        F.datediff(
+            F.coalesce("second_day", "max_day"), F.col("first_day")
+        )
+        .cast("long")
+        .alias("t"),
+        F.col("second_day").isNotNull().alias("ev"),
+    )
+    c = cust.groupBy("t").agg(
+        F.count("*").alias("c_all"),
+        F.count(F.when(F.col("ev"), 1)).alias("d"),
+    )
+    w_desc = W.orderBy(F.desc("t")).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    r = c.select(
+        "t", "d", F.sum("c_all").over(w_desc).alias("n_risk")
+    )
+    w_asc = W.orderBy("t").rowsBetween(W.unboundedPreceding, W.currentRow)
+    # drained rows (n_risk == d) feed 1.0 into ln (term 0) — their
+    # OUTPUT is overridden to exact 0.0 below, but the window still
+    # evaluates every row's term, so ln(0) must never occur
+    factor = F.when(F.col("n_risk") == F.col("d"), F.lit(1.0)).otherwise(
+        (F.col("n_risk").cast("double") - F.col("d")) / F.col("n_risk")
+    )
+    ln_term = F.round(F.log(factor), 9).cast("decimal(28,9)")
+    drained = F.min(F.col("n_risk") - F.col("d")).over(w_asc) == 0
+    surv = F.when(drained, F.lit(0.0)).otherwise(
+        F.round(F.exp(F.sum(ln_term).over(w_asc).cast("double")), 6)
+    )
+    return (
+        r.withColumn("_surv", surv)
+        .filter(F.col("d") > 0)
+        .select(
+            "t",
+            F.col("n_risk").cast("long").alias("n_risk"),
+            F.col("d").cast("long").alias("n_events"),
+            F.col("_surv").alias("surv"),
+        )
+    )

@@ -60,6 +60,7 @@ _BNLJ_SCALAR_OK = {
     "q_triangles",         # 1-row order-count (edge threshold) broadcast
     "q_chisq",             # dimension-marginal grid cross (5x20) + 1-row total
     "q_erasure",           # three 1-row audit counts attach per table
+    "q_survival",          # 1-row censoring-horizon (max day) broadcast
 }
 
 
