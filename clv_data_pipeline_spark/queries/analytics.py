@@ -1926,3 +1926,107 @@ def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(exp, 6).alias("benford_freq"),
         F.round(F.pow(obs - exp, 2) / exp, 9).alias("chi_term"),
     )
+
+
+@query(
+    "q_lorenz_gini",
+    oracle="""
+    WITH cust AS (
+        SELECT user_id,
+               CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS v
+        FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+    b AS (
+        SELECT CASE WHEN v < 0 THEN CAST(0 AS BIGINT)
+                    WHEN v >= 2000 THEN CAST(21 AS BIGINT)
+                    ELSE CAST(FLOOR(v / 100.0) AS BIGINT) + 1 END AS bucket,
+               v
+        FROM cust),
+    g AS (
+        SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_customers,
+               SUM(CAST(v AS DECIMAL(28,6))) AS sv
+        FROM b GROUP BY bucket),
+    c AS (
+        SELECT bucket, n_customers,
+               CAST(SUM(n_customers) OVER w AS DOUBLE)
+                   / SUM(n_customers) OVER () AS x,
+               CAST(SUM(sv) OVER w AS DOUBLE)
+                   / CAST(SUM(sv) OVER () AS DOUBLE) AS y
+        FROM g
+        WINDOW w AS (ORDER BY bucket ROWS UNBOUNDED PRECEDING)),
+    t AS (
+        SELECT bucket, n_customers, x, y,
+               (x - COALESCE(LAG(x) OVER (ORDER BY bucket), 0.0))
+               * (y + COALESCE(LAG(y) OVER (ORDER BY bucket), 0.0)) AS term
+        FROM c)
+    SELECT bucket, n_customers,
+           ROUND(x, 6) AS cum_cust_share,
+           ROUND(y, 6) AS cum_value_share,
+           ROUND(1.0 - SUM(term) OVER (), 6) AS gini
+    FROM t
+    """,
+)
+def q_lorenz_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz curve + Gini coefficient of customer-value concentration
+    (how much revenue the top customers hold — the inequality lens on
+    the CLV distribution).  Histogram-based: per-customer value folds
+    into fixed 100-unit buckets, the Lorenz points are cumulative
+    (customers, value) shares over the ~21-row bucket frame, and Gini
+    is the trapezoid integral 1 - sum((x_i - x_{i-1})(y_i + y_{i-1})).
+
+    Scale shape: one per-customer aggregate, one ~21-group aggregate;
+    every window runs on the BUCKET frame (bounded by the bin count,
+    never by customers) — the exact-rank Gini would need a global sort
+    of all customers; the histogram version is the 100 TB formulation,
+    with resolution set by bin width.  Bucket edges use the identical
+    floor-division formula on both engines (q_histogram's pattern), so
+    boundary values cannot flip bins."""
+    from pyspark.sql.window import Window as W
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    cust = ev.groupBy("user_id").agg(
+        F.sum(F.col("value").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("v")
+    )
+    bucket = (
+        F.when(F.col("v") < 0, F.lit(0))
+        .when(F.col("v") >= 2000, F.lit(21))
+        .otherwise(F.floor(F.col("v") / 100.0) + 1)
+        .cast("long")
+    )
+    g = cust.select(bucket.alias("bucket"), "v").groupBy("bucket").agg(
+        F.count("*").cast("long").alias("n_customers"),
+        F.sum(F.col("v").cast("decimal(28,6)")).alias("sv"),
+    )
+    w = W.orderBy("bucket").rowsBetween(W.unboundedPreceding, W.currentRow)
+    wall = W.partitionBy(F.lit(1))
+    c = g.select(
+        "bucket",
+        "n_customers",
+        (
+            F.sum("n_customers").over(w).cast("double")
+            / F.sum("n_customers").over(wall)
+        ).alias("x"),
+        (
+            F.sum("sv").over(w).cast("double")
+            / F.sum("sv").over(wall).cast("double")
+        ).alias("y"),
+    )
+    lx = F.coalesce(F.lag("x").over(W.orderBy("bucket")), F.lit(0.0))
+    ly = F.coalesce(F.lag("y").over(W.orderBy("bucket")), F.lit(0.0))
+    t = c.select(
+        "bucket",
+        "n_customers",
+        "x",
+        "y",
+        ((F.col("x") - lx) * (F.col("y") + ly)).alias("term"),
+    )
+    return t.select(
+        "bucket",
+        "n_customers",
+        F.round("x", 6).alias("cum_cust_share"),
+        F.round("y", 6).alias("cum_value_share"),
+        F.round(F.lit(1.0) - F.sum("term").over(wall), 6).alias("gini"),
+    )
