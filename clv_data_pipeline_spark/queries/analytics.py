@@ -2030,3 +2030,106 @@ def q_lorenz_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("y", 6).alias("cum_value_share"),
         F.round(F.lit(1.0) - F.sum("term").over(wall), 6).alias("gini"),
     )
+
+
+@query(
+    "q_pmi",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               string_split(
+                   trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')
+                   AS ws
+        FROM documents),
+    uni AS (
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(COUNT(*)) OVER () AS n_uni
+        FROM (SELECT unnest(ws) AS token FROM toks)
+        WHERE token <> '' GROUP BY token),
+    bg AS (
+        SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n_ab,
+               SUM(COUNT(*)) OVER () AS n_bg
+        FROM (SELECT unnest(list_transform(range(1, len(ws)),
+                     i -> ws[i] || ' ' || ws[i + 1])) AS bigram
+              FROM toks WHERE len(ws) >= 2)
+        GROUP BY bigram)
+    SELECT bg.bigram, bg.n_ab,
+           ROUND(log2((CAST(bg.n_ab AS DOUBLE) / bg.n_bg)
+                 / ((CAST(a.n AS DOUBLE) / a.n_uni)
+                    * (CAST(b.n AS DOUBLE) / b.n_uni))), 6) AS pmi
+    FROM bg
+    JOIN uni a ON a.token = string_split(bg.bigram, ' ')[1]
+    JOIN uni b ON b.token = string_split(bg.bigram, ' ')[2]
+    WHERE bg.n_ab >= 3
+    """,
+)
+def q_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information of adjacent-token bigrams —
+    collocation strength, the statistic behind phrase mining and
+    tokenizer-merge candidate ranking: PMI = log2(p(ab) / (p(a)p(b)))
+    with bigram and unigram probabilities from their own totals.
+
+    Scale shape: one zip_with bigram explode (no self-join), unigram
+    counts broadcast back onto the bigram frame; the totals ride
+    windows over the COUNT frames (vocabulary- and vocabulary^2-
+    bounded, never the corpus).  All PMI inputs are integer-count
+    ratios — identical IEEE doubles on both engines — rounded after
+    the one log2."""
+    from pyspark.sql.window import Window as W
+
+    from clv_data_pipeline_spark.functions.text import normalize_text
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        F.split(normalize_text(F.col("text")), " ").alias("ws")
+    )
+    wall = W.partitionBy(F.lit(1))
+    uni = (
+        toks.select(F.explode("ws").alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").cast("long").alias("n"))
+        .withColumn("n_uni", F.sum("n").over(wall))
+    )
+    bg = (
+        toks.filter(F.size("ws") >= 2)
+        .select(
+            F.explode(
+                F.zip_with(
+                    F.slice(F.col("ws"), 1, F.size("ws") - 1),
+                    F.slice(F.col("ws"), 2, F.size("ws") - 1),
+                    lambda a, b: F.concat_ws(" ", a, b),
+                )
+            ).alias("bigram")
+        )
+        .groupBy("bigram")
+        .agg(F.count("*").cast("long").alias("n_ab"))
+        .withColumn("n_bg", F.sum("n_ab").over(wall))
+        .filter(F.col("n_ab") >= 3)
+    )
+    wa = F.split(F.col("bigram"), " ").getItem(0)
+    wb = F.split(F.col("bigram"), " ").getItem(1)
+    a = uni.select(
+        F.col("token").alias("_ta"),
+        F.col("n").alias("_na"),
+        F.col("n_uni").alias("_ua"),
+    )
+    b = uni.select(
+        F.col("token").alias("_tb"),
+        F.col("n").alias("_nb"),
+        F.col("n_uni").alias("_ub"),
+    )
+    joined = (
+        bg.withColumn("_wa", wa)
+        .withColumn("_wb", wb)
+        .join(F.broadcast(a), F.col("_wa") == F.col("_ta"))
+        .join(F.broadcast(b), F.col("_wb") == F.col("_tb"))
+    )
+    pmi = F.log2(
+        (F.col("n_ab").cast("double") / F.col("n_bg"))
+        / (
+            (F.col("_na").cast("double") / F.col("_ua"))
+            * (F.col("_nb").cast("double") / F.col("_ub"))
+        )
+    )
+    return joined.select("bigram", "n_ab", F.round(pmi, 6).alias("pmi"))

@@ -635,3 +635,232 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o.o_orderstatus").alias("old_status"),
         F.col("n.o_orderstatus").alias("new_status"),
     )
+
+
+@query(
+    "q_apply_changes",
+    oracle="SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders",
+)
+def q_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC apply — the inverse of q_snapshot_diff: given the OLD
+    snapshot and the change feed (insert/update/delete rows carrying
+    new values), reconstruct the NEW table: anti-join out deleted and
+    updated keys, union in the feed's insert/update images.  The
+    oracle is the current table itself, so the driver hash-verifies
+    diff -> apply as an exact round trip — the apply_changes /
+    MERGE-from-feed primitive every lakehouse CDC pipeline runs.
+
+    Scale shape: one anti-join on the key (zero-exchange if the target
+    is bucket-persisted, q_bucketed_join's contract) + a union with
+    the feed, which is delta-sized; nothing rescans or rewrites
+    unchanged data except the anti-join probe."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    old = o.filter(F.col("o_orderkey") % 10 != 0).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit("P"))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("o_orderstatus"),
+        "o_totalprice",
+    )
+    j = old.alias("o").join(
+        o.alias("n"),
+        F.col("o.o_orderkey") == F.col("n.o_orderkey"),
+        "full",
+    )
+    changed = (
+        F.col("o.o_orderkey").isNull()
+        | F.col("n.o_orderkey").isNull()
+        | (F.col("o.o_orderstatus") != F.col("n.o_orderstatus"))
+        | (F.col("o.o_totalprice") != F.col("n.o_totalprice"))
+    )
+    feed = j.filter(changed).select(
+        F.coalesce(F.col("o.o_orderkey"), F.col("n.o_orderkey")).alias(
+            "o_orderkey"
+        ),
+        F.when(F.col("o.o_orderkey").isNull(), "insert")
+        .when(F.col("n.o_orderkey").isNull(), "delete")
+        .otherwise("update")
+        .alias("change_type"),
+        F.col("n.o_orderstatus").alias("o_orderstatus"),
+        F.col("n.o_totalprice").alias("o_totalprice"),
+    )
+    touched = feed.select("o_orderkey")
+    survivors = old.join(touched, "o_orderkey", "left_anti")
+    images = feed.filter(F.col("change_type") != "delete").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    return survivors.unionByName(images)
+
+
+@query(
+    "q_seasonality",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY day),
+    t AS (
+        SELECT day, n,
+               date_diff('day', DATE '2024-01-01', day) % 7 AS dow,
+               CAST(SUM(n) OVER w7 AS DOUBLE) / COUNT(n) OVER w7 AS trend
+        FROM daily
+        WINDOW w7 AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+    d AS (
+        SELECT day, n, dow, trend,
+               CAST(ROUND(n - trend, 9) AS DECIMAL(28,9)) AS det
+        FROM t),
+    s AS (
+        SELECT day, n, trend,
+               CAST(SUM(det) OVER (PARTITION BY dow) AS DOUBLE)
+                   / COUNT(det) OVER (PARTITION BY dow) AS seasonal
+        FROM d)
+    SELECT CAST(day AS VARCHAR) AS day, n,
+           ROUND(trend, 6) AS trend,
+           ROUND(seasonal, 6) AS seasonal,
+           ROUND(n - trend - seasonal, 6) AS residual
+    FROM s
+    """,
+)
+def q_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive decomposition of the daily event volume:
+    trend (centered 7-day moving average), day-of-week seasonal
+    component (mean detrended value per weekday), residual — the
+    monitoring shape behind 'is this drop a weekend or an incident'.
+
+    Determinism: the weekday index is pure date arithmetic
+    (days-since-epoch mod 7 — engine dayofweek() conventions differ),
+    and the seasonal means accumulate ROUNDED detrended values as
+    DECIMAL before one double division.  Scale shape: one shuffle to
+    the daily grain; every window runs on the calendar-bounded daily
+    frame."""
+    from pyspark.sql.window import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count("*").cast("long").alias("n")
+    )
+    dow = F.datediff(F.col("day"), F.lit("2024-01-01").cast("date")) % 7
+    w7 = W.orderBy("day").rowsBetween(-3, 3)
+    t = daily.select(
+        "day",
+        "n",
+        dow.alias("dow"),
+        (F.sum("n").over(w7).cast("double") / F.count("n").over(w7)).alias(
+            "trend"
+        ),
+    )
+    det = F.round(F.col("n") - F.col("trend"), 9).cast("decimal(28,9)")
+    d = t.withColumn("det", det)
+    wd = W.partitionBy("dow")
+    s = d.select(
+        "day",
+        "n",
+        "trend",
+        (
+            F.sum("det").over(wd).cast("double") / F.count("det").over(wd)
+        ).alias("seasonal"),
+    )
+    return s.select(
+        F.col("day").cast("string").alias("day"),
+        "n",
+        F.round("trend", 6).alias("trend"),
+        F.round("seasonal", 6).alias("seasonal"),
+        F.round(
+            F.col("n") - F.col("trend") - F.col("seasonal"), 6
+        ).alias("residual"),
+    )
+
+
+@query(
+    "q_cusum",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY day),
+    stats AS (
+        SELECT day, n,
+               CAST(SUM(n) OVER () AS DOUBLE) / COUNT(*) OVER () AS mu,
+               SQRT(GREATEST(
+                   CAST(SUM(CAST(n AS DECIMAL(28,6)) * n) OVER () AS DOUBLE)
+                       / COUNT(*) OVER ()
+                   - POWER(CAST(SUM(n) OVER () AS DOUBLE)
+                           / COUNT(*) OVER (), 2), 0.0)) AS sigma
+        FROM daily),
+    dev AS (
+        SELECT day, n, mu, sigma,
+               SUM(n - mu - 0.5 * sigma) OVER wo AS up_prefix,
+               SUM(mu - n - 0.5 * sigma) OVER wo AS dn_prefix
+        FROM stats
+        WINDOW wo AS (ORDER BY day ROWS UNBOUNDED PRECEDING)),
+    c AS (
+        SELECT day, n, sigma,
+               up_prefix - LEAST(MIN(up_prefix) OVER wo, 0.0) AS s_up,
+               dn_prefix - LEAST(MIN(dn_prefix) OVER wo, 0.0) AS s_dn
+        FROM dev
+        WINDOW wo AS (ORDER BY day ROWS UNBOUNDED PRECEDING))
+    SELECT CAST(day AS VARCHAR) AS day, n,
+           ROUND(s_up, 6) AS cusum_up,
+           ROUND(s_dn, 6) AS cusum_down,
+           s_up > 4.0 * sigma OR s_dn > 4.0 * sigma AS alarm
+    FROM c
+    """,
+)
+def q_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided CUSUM changepoint detection on the daily event volume
+    (slack k = 0.5 sigma, threshold h = 4 sigma — the standard tabular
+    CUSUM): flags sustained level shifts that single-day z-scores
+    (q_anomaly_days) miss.  The reset recursion
+    S_t = max(0, S_{t-1} + dev_t) is NOT directly window-expressible;
+    it runs as the identity S_t = prefix_t - min(0, running_min of
+    prefix) — two ordered windows, no recursion.
+
+    Determinism: mu/sigma come from decimal sufficient statistics;
+    ordered running sums accumulate in the same sequence on both
+    engines.  Scale shape: one shuffle to the daily grain; all windows
+    run on the calendar-bounded frame."""
+    from pyspark.sql.window import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count("*").cast("long").alias("n")
+    )
+    wall = W.partitionBy(F.lit(1))
+    mu = F.sum("n").over(wall).cast("double") / F.count("*").over(wall)
+    ex2 = (
+        F.sum(F.col("n").cast("decimal(28,6)") * F.col("n"))
+        .over(wall)
+        .cast("double")
+        / F.count("*").over(wall)
+    )
+    sigma = F.sqrt(F.greatest(ex2 - F.pow(mu, 2), F.lit(0.0)))
+    stats = daily.select(
+        "day", "n", mu.alias("mu"), sigma.alias("sigma")
+    )
+    wo = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    dev = stats.select(
+        "day",
+        "n",
+        "sigma",
+        F.sum(
+            F.col("n") - F.col("mu") - 0.5 * F.col("sigma")
+        ).over(wo).alias("up_prefix"),
+        F.sum(
+            F.col("mu") - F.col("n") - 0.5 * F.col("sigma")
+        ).over(wo).alias("dn_prefix"),
+    )
+    s_up = F.col("up_prefix") - F.least(
+        F.min("up_prefix").over(wo), F.lit(0.0)
+    )
+    s_dn = F.col("dn_prefix") - F.least(
+        F.min("dn_prefix").over(wo), F.lit(0.0)
+    )
+    return dev.select(
+        F.col("day").cast("string").alias("day"),
+        "n",
+        F.round(s_up, 6).alias("cusum_up"),
+        F.round(s_dn, 6).alias("cusum_down"),
+        (
+            (s_up > 4.0 * F.col("sigma")) | (s_dn > 4.0 * F.col("sigma"))
+        ).alias("alarm"),
+    )
