@@ -2133,3 +2133,84 @@ def q_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return joined.select("bigram", "n_ab", F.round(pmi, 6).alias("pmi"))
+
+
+@query(
+    "q_cohort_ltv",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id, MIN(date_trunc('week', ts)) AS cohort_week
+        FROM events GROUP BY user_id),
+    sizes AS (
+        SELECT cohort_week, CAST(COUNT(*) AS BIGINT) AS cohort_size
+        FROM firsts GROUP BY cohort_week),
+    rev AS (
+        SELECT f.cohort_week,
+               date_diff('day', f.cohort_week,
+                         date_trunc('week', e.ts)) // 7 AS age_week,
+               SUM(CAST(e.value AS DECIMAL(18,4))) AS revenue
+        FROM events e JOIN firsts f ON e.user_id = f.user_id
+        WHERE e.event_type = 'purchase'
+        GROUP BY 1, 2),
+    cum AS (
+        SELECT cohort_week, age_week, revenue,
+               SUM(revenue) OVER (PARTITION BY cohort_week ORDER BY age_week
+                   ROWS UNBOUNDED PRECEDING) AS cum_revenue
+        FROM rev)
+    SELECT strftime(c.cohort_week, '%Y-%m-%d') AS cohort_week,
+           CAST(c.age_week AS BIGINT) AS age_week,
+           ROUND(CAST(c.revenue AS DOUBLE), 2) AS revenue,
+           ROUND(CAST(c.cum_revenue AS DOUBLE) / s.cohort_size, 4)
+               AS cum_ltv_per_customer
+    FROM cum c JOIN sizes s USING (cohort_week)
+    """,
+)
+def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV curves — cumulative purchase revenue per acquisition
+    cohort, normalized per cohort member by age week: the standard
+    'how much is a week-N customer worth by week M' payback table that
+    the CLV model's predictions are validated against.
+
+    Scale shape: one per-user firsts aggregate (reused for cohort
+    sizes), one (cohort, age) revenue aggregate with DECIMAL
+    accumulation, then a running sum over the cohort-by-age frame —
+    bounded by calendar^2, never by users; cohort sizes broadcast
+    back."""
+    from pyspark.sql.window import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    weeks = ev.select(
+        "user_id",
+        "event_type",
+        "value",
+        F.date_trunc("week", "ts").alias("week"),
+    )
+    firsts = weeks.groupBy("user_id").agg(
+        F.min("week").alias("cohort_week")
+    )
+    sizes = firsts.groupBy("cohort_week").agg(
+        F.count("*").cast("long").alias("cohort_size")
+    )
+    rev = (
+        weeks.filter(F.col("event_type") == "purchase")
+        .join(firsts, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff("week", "cohort_week") / 7)
+            .cast("long")
+            .alias("age_week"),
+        )
+        .agg(F.sum(F.col("value").cast("decimal(18,4)")).alias("revenue"))
+    )
+    wc = W.partitionBy("cohort_week").orderBy("age_week").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    cum = rev.withColumn("cum_revenue", F.sum("revenue").over(wc))
+    return cum.join(F.broadcast(sizes), "cohort_week").select(
+        F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+        "age_week",
+        F.round(F.col("revenue").cast("double"), 2).alias("revenue"),
+        F.round(
+            F.col("cum_revenue").cast("double") / F.col("cohort_size"), 4
+        ).alias("cum_ltv_per_customer"),
+    )

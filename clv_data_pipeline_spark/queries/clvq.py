@@ -27,6 +27,7 @@ from clv_data_pipeline_spark.operators.features import (
     normalize_for_model,
     rfm_features,
 )
+from clv_data_pipeline_spark.queries.core import _RFM_ORACLE_BODY
 from clv_data_pipeline_spark.registry import ASOF, query
 from clv_data_pipeline_spark.sources.io import load_table
 
@@ -274,4 +275,81 @@ def q_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("d").cast("long").alias("n_events"),
             F.col("_surv").alias("surv"),
         )
+    )
+
+
+@query(
+    "q_rfm_segments",
+    oracle=f"""
+    WITH rfm AS ({_RFM_ORACLE_BODY}),
+    cuts AS (
+        SELECT ROUND(CAST(quantile_cont(recency, 0.5) AS DOUBLE), 6) AS r_med,
+               ROUND(CAST(quantile_cont(frequency, 0.5) AS DOUBLE), 6)
+                   AS f_med,
+               ROUND(CAST(quantile_cont(monetary_value, 0.5) AS DOUBLE), 6)
+                   AS m_med
+        FROM rfm),
+    tagged AS (
+        SELECT CASE
+                 WHEN frequency > f_med AND monetary_value > m_med
+                      THEN 'champions'
+                 WHEN frequency > f_med THEN 'loyal'
+                 WHEN monetary_value > m_med THEN 'big_spenders'
+                 WHEN recency > r_med THEN 'promising'
+                 ELSE 'hibernating'
+               END AS segment,
+               monetary_value
+        FROM rfm CROSS JOIN cuts)
+    SELECT segment, CAST(COUNT(*) AS BIGINT) AS n_customers,
+           ROUND(CAST(SUM(CAST(monetary_value AS DECIMAL(18,4)))
+                 AS DOUBLE) / COUNT(*), 4) AS avg_monetary
+    FROM tagged GROUP BY segment
+    """,
+)
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM behavioral segmentation — the marketing product built on the
+    reference's feature table (reference dags/clv_data_dag.py:80-93
+    computes the features; segmentation is what the business does with
+    them): customers split by exact median cuts of frequency, monetary
+    value, and recency into champions / loyal / big-spenders /
+    promising / hibernating, reported with sizes and average value.
+
+    Median cuts use the exact interpolated percentile (q_percentiles'
+    proven quantile_cont parity), broadcast as a 1-row scalar; the
+    tagging is a map-only CASE — so the segmentation is one feature
+    aggregate + one pass, no per-customer window.  At extreme scale
+    swap the exact medians for percentile_approx (q_approx_percentiles'
+    audited sketch) — everything else is unchanged."""
+    from clv_data_pipeline_spark.queries.core import (
+        _events_rfm,
+        _rounded_rfm,
+    )
+
+    feats = _rounded_rfm(_events_rfm(spark, sf_dir))
+    cuts = feats.agg(
+        F.round(F.percentile("recency", 0.5), 6).alias("r_med"),
+        F.round(F.percentile("frequency", 0.5), 6).alias("f_med"),
+        F.round(F.percentile("monetary_value", 0.5), 6).alias("m_med"),
+    )
+    tagged = feats.crossJoin(F.broadcast(cuts)).select(
+        F.when(
+            (F.col("frequency") > F.col("f_med"))
+            & (F.col("monetary_value") > F.col("m_med")),
+            "champions",
+        )
+        .when(F.col("frequency") > F.col("f_med"), "loyal")
+        .when(F.col("monetary_value") > F.col("m_med"), "big_spenders")
+        .when(F.col("recency") > F.col("r_med"), "promising")
+        .otherwise("hibernating")
+        .alias("segment"),
+        "monetary_value",
+    )
+    return tagged.groupBy("segment").agg(
+        F.count("*").cast("long").alias("n_customers"),
+        F.round(
+            F.sum(F.col("monetary_value").cast("decimal(18,4)"))
+            .cast("double")
+            / F.count("*"),
+            4,
+        ).alias("avg_monetary"),
     )

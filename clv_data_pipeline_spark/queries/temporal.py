@@ -864,3 +864,73 @@ def q_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
             (s_up > 4.0 * F.col("sigma")) | (s_dn > 4.0 * F.col("sigma"))
         ).alias("alarm"),
     )
+
+
+@query(
+    "q_session_funnel",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, ts, event_id, event_type,
+               epoch_us(ts) - lag(epoch_us(ts)) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+        FROM events),
+    flagged AS (
+        SELECT user_id, ts, event_type,
+               CASE WHEN gap_us IS NULL OR gap_us > 1800 * 1000000
+                    THEN 1 ELSE 0 END AS is_new,
+               event_id
+        FROM ordered),
+    sess AS (
+        SELECT user_id, ts, event_type,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM flagged),
+    per AS (
+        SELECT user_id, session_id,
+               MIN(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+               MAX(CASE WHEN event_type = 'purchase' THEN ts END)
+                   AS last_purchase
+        FROM sess GROUP BY user_id, session_id)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(COUNT(first_view) AS BIGINT) AS sessions_with_view,
+           CAST(COUNT(CASE WHEN last_purchase >= first_view THEN 1 END)
+                AS BIGINT) AS converted,
+           ROUND(CAST(COUNT(CASE WHEN last_purchase >= first_view THEN 1 END)
+                 AS DOUBLE) / COUNT(first_view), 6) AS conversion_rate
+    FROM per
+    """,
+)
+def q_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-session funnel: the fraction of sessions where a view leads
+    to a purchase WITHIN THE SAME SESSION (purchase at-or-after the
+    first view) — q_funnel measures lifetime ordering; this measures
+    intent-to-conversion inside one visit, the number a checkout change
+    actually moves.
+
+    Composes operators/sessions.py sessionize with a per-session
+    conditional min/max — one user shuffle (window) + one
+    (user, session) aggregate that reuses its partitioning; the final
+    scalar is a 4-column 1-row reduce."""
+    from clv_data_pipeline_spark.operators.sessions import sessionize
+
+    ev = load_table(spark, sf_dir, "events")
+    s = sessionize(ev, gap_seconds=1800)
+    per = s.groupBy("user_id", "session_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "view", F.col("ts"))
+        ).alias("first_view"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("last_purchase"),
+    )
+    converted = F.count(
+        F.when(F.col("last_purchase") >= F.col("first_view"), 1)
+    )
+    return per.agg(
+        F.count("*").cast("long").alias("n_sessions"),
+        F.count("first_view").cast("long").alias("sessions_with_view"),
+        converted.cast("long").alias("converted"),
+        F.round(
+            converted.cast("double") / F.count("first_view"), 6
+        ).alias("conversion_rate"),
+    )

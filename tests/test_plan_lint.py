@@ -61,6 +61,7 @@ _BNLJ_SCALAR_OK = {
     "q_chisq",             # dimension-marginal grid cross (5x20) + 1-row total
     "q_erasure",           # three 1-row audit counts attach per table
     "q_survival",          # 1-row censoring-horizon (max day) broadcast
+    "q_rfm_segments",      # 1-row median-cuts broadcast
 }
 
 
