@@ -934,3 +934,50 @@ def q_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             converted.cast("double") / F.count("first_view"), 6
         ).alias("conversion_rate"),
     )
+
+
+@query(
+    "q_forecast_backtest",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY day),
+    f AS (
+        SELECT day, n,
+               LAG(n, 7) OVER (ORDER BY day) AS forecast
+        FROM daily)
+    SELECT CAST(day AS VARCHAR) AS day, n,
+           CAST(forecast AS BIGINT) AS forecast,
+           ROUND(ABS(CAST(n - forecast AS DOUBLE)) / n, 6) AS ape
+    FROM f WHERE forecast IS NOT NULL
+    """,
+)
+def q_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest: predict each day's volume as
+    the same weekday last week (lag 7 on the daily grain) and report
+    the absolute percentage error per day — the baseline every real
+    forecaster must beat, and the simplest honest backtest (no
+    training window leaks: lag only looks backward).
+
+    Scale shape: one shuffle to the daily grain; the lag window runs
+    on the calendar-bounded frame.  The same lag-k shape backtests any
+    stored forecast column."""
+    from pyspark.sql.window import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count("*").cast("long").alias("n")
+    )
+    f = daily.withColumn(
+        "forecast", F.lag("n", 7).over(W.orderBy("day"))
+    )
+    return f.filter(F.col("forecast").isNotNull()).select(
+        F.col("day").cast("string").alias("day"),
+        "n",
+        F.col("forecast").cast("long").alias("forecast"),
+        F.round(
+            F.abs((F.col("n") - F.col("forecast")).cast("double"))
+            / F.col("n"),
+            6,
+        ).alias("ape"),
+    )

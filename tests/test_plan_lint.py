@@ -62,6 +62,7 @@ _BNLJ_SCALAR_OK = {
     "q_erasure",           # three 1-row audit counts attach per table
     "q_survival",          # 1-row censoring-horizon (max day) broadcast
     "q_rfm_segments",      # 1-row median-cuts broadcast
+    "q_cuped",             # 1-row theta/variance stats broadcasts
 }
 
 
