@@ -2247,7 +2247,7 @@ def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT u.grp_a, u.y,
                CAST(ROUND(CAST(u.y AS DOUBLE)
                     - t.theta * (CAST(u.x AS DOUBLE) - t.sx / t.n), 9)
-                    AS DECIMAL(28,9)) AS yc
+                    AS DECIMAL(18,9)) AS yc
         FROM u CROSS JOIN t),
     v AS (
         SELECT CAST(SUM(yc * yc) AS DOUBLE) / COUNT(*)
@@ -2332,13 +2332,16 @@ def q_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
         "syy",
         "sy",
         "n",
+        # DECIMAL(18,9): yc*yc must fit precision 38 exactly ((18,9)^2
+        # -> (37,18)); larger operand precisions make each engine
+        # truncate the product differently (see q_zipf_fit)
         F.round(
             F.col("y").cast("double")
             - F.col("theta")
             * (F.col("x").cast("double") - F.col("sx") / F.col("n")),
             9,
         )
-        .cast("decimal(28,9)")
+        .cast("decimal(18,9)")
         .alias("yc"),
     )
     v = adj.agg(
@@ -2376,4 +2379,108 @@ def q_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("var_reduction"),
         )
+    )
+
+
+@query(
+    "q_bootstrap",
+    oracle="""
+    WITH u AS (
+        SELECT user_id,
+               CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS v
+        FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+    reps AS (
+        SELECT u.user_id, u.v, r.b,
+               (('0x' || substr(md5(CAST(u.user_id AS VARCHAR) || '|'
+                    || CAST(r.b AS VARCHAR)), 1, 8))::BIGINT + 0.5)
+                   / 4294967296.0 AS p
+        FROM u CROSS JOIN (SELECT unnest(range(100)) AS b) r),
+    m AS (
+        SELECT b,
+               CASE WHEN p < 0.367879441 THEN 0
+                    WHEN p < 0.735758882 THEN 1
+                    WHEN p < 0.919698603 THEN 2
+                    WHEN p < 0.981011843 THEN 3
+                    WHEN p < 0.996340153 THEN 4 ELSE 5 END AS mult,
+               v
+        FROM reps),
+    means AS (
+        SELECT b,
+               CAST(SUM(CAST(ROUND(mult * v, 6) AS DECIMAL(28,6)))
+                    AS DOUBLE) / SUM(mult) AS rep_mean
+        FROM m GROUP BY b HAVING SUM(mult) > 0)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_replicates,
+           ROUND(CAST(quantile_cont(rep_mean, 0.025) AS DOUBLE), 6)
+               AS ci_lo,
+           ROUND(CAST(quantile_cont(rep_mean, 0.5) AS DOUBLE), 6)
+               AS ci_mid,
+           ROUND(CAST(quantile_cont(rep_mean, 0.975) AS DOUBLE), 6)
+               AS ci_hi
+    FROM means
+    """,
+)
+def q_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap confidence interval for mean customer value —
+    THE resampling technique that survives scale (Chamandy et al.,
+    Google 2012): instead of drawing n-out-of-n samples (impossible
+    distributed), each row gets an independent Poisson(1) multiplicity
+    per replicate, so 100 replicates are one map-side 100x expand +
+    one aggregate — no shuffling of resampled data, no coordination.
+
+    Multiplicities come from inverse-CDF thresholds on md5 uniforms
+    (engine-portable, like q_minhash_weighted's race), making the
+    whole bootstrap deterministic and oracle-checkable; production
+    swaps a seeded RNG with everything else unchanged.  Replicate
+    means accumulate rounded products as DECIMAL; the CI quantiles run
+    on the 100-row replicate frame."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    u = ev.groupBy("user_id").agg(
+        F.sum(F.col("value").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("v")
+    )
+    reps = u.withColumn("b", F.explode(F.sequence(F.lit(0), F.lit(99))))
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("user_id").cast("string"),
+                    F.lit("|"),
+                    F.col("b").cast("string"),
+                ).cast("binary")
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    p = (h + F.lit(0.5)) / F.lit(4294967296.0)
+    mult = (
+        F.when(p < 0.367879441, 0)
+        .when(p < 0.735758882, 1)
+        .when(p < 0.919698603, 2)
+        .when(p < 0.981011843, 3)
+        .when(p < 0.996340153, 4)
+        .otherwise(5)
+    )
+    m = reps.select("b", mult.alias("mult"), "v")
+    means = (
+        m.groupBy("b")
+        .agg(
+            F.sum(
+                F.round(F.col("mult") * F.col("v"), 6).cast("decimal(28,6)")
+            ).alias("_s"),
+            F.sum("mult").alias("_n"),
+        )
+        .filter(F.col("_n") > 0)
+        .select((F.col("_s").cast("double") / F.col("_n")).alias("rep_mean"))
+    )
+    return means.agg(
+        F.count("*").cast("long").alias("n_replicates"),
+        F.round(F.percentile("rep_mean", 0.025), 6).alias("ci_lo"),
+        F.round(F.percentile("rep_mean", 0.5), 6).alias("ci_mid"),
+        F.round(F.percentile("rep_mean", 0.975), 6).alias("ci_hi"),
     )

@@ -1681,3 +1681,158 @@ def q_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("oov_rate"),
     )
+
+
+@query(
+    "q_zipf_fit",
+    oracle="""
+    WITH toks AS (
+        SELECT unnest(string_split(
+                   trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '))
+                   AS token
+        FROM documents),
+    tf AS (
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS n FROM toks
+        WHERE token <> '' GROUP BY token),
+    ranked AS (
+        SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, token) AS rnk
+        FROM tf),
+    pts AS (
+        SELECT CAST(ROUND(ln(CAST(rnk AS DOUBLE)), 9) AS DECIMAL(18,9)) AS x,
+               CAST(ROUND(ln(CAST(n AS DOUBLE)), 9) AS DECIMAL(18,9)) AS y
+        FROM ranked),
+    s AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+               CAST(SUM(x * x) AS DOUBLE) AS sxx,
+               CAST(SUM(x * y) AS DOUBLE) AS sxy
+        FROM pts)
+    SELECT CAST(n AS BIGINT) AS n_terms,
+           ROUND((sxy - sx * sy / n) / (sxx - sx * sx / n), 6)
+               AS zipf_slope,
+           ROUND(sy / n - (sxy - sx * sy / n) / (sxx - sx * sx / n)
+                 * sx / n, 6) AS intercept
+    FROM s
+    """,
+)
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit of the corpus frequency distribution: OLS slope of
+    ln(freq) on ln(rank) — natural text sits near -1; a synthetic or
+    templated corpus (like this one: slope far from -1) reads
+    differently, making the slope a corpus-authenticity fingerprint.
+
+    Scale shape: one token-count aggregate; the rank window runs on
+    the VOCABULARY frame; the regression is closed-form from
+    decimal-accumulated rounded-ln sufficient statistics (the q_trend
+    pattern)."""
+    from pyspark.sql.window import Window as W
+
+    from clv_data_pipeline_spark.functions.text import normalize_text
+
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select(
+            F.explode(
+                F.split(normalize_text(F.col("text")), " ")
+            ).alias("token")
+        )
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    ranked = tf.withColumn(
+        "rnk", F.row_number().over(W.orderBy(F.desc("n"), "token"))
+    )
+    # DECIMAL(18,9): the x*x / x*y products must fit precision 38
+    # exactly ((18,9)^2 -> (37,18)); at (28,9) each engine truncates
+    # the oversized product differently and the 6th decimal drifts
+    pts = ranked.select(
+        F.round(F.log(F.col("rnk").cast("double")), 9)
+        .cast("decimal(18,9)")
+        .alias("x"),
+        F.round(F.log(F.col("n").cast("double")), 9)
+        .cast("decimal(18,9)")
+        .alias("y"),
+    )
+    s = pts.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+    )
+    slope = (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n")) / (
+        F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")
+    )
+    return s.select(
+        F.col("n").cast("long").alias("n_terms"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round(
+            F.col("sy") / F.col("n") - slope * F.col("sx") / F.col("n"), 6
+        ).alias("intercept"),
+    )
+
+
+@query(
+    "q_burstiness",
+    oracle="""
+    WITH tf AS (
+        SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM (SELECT doc_id,
+                     unnest(string_split(trim(regexp_replace(lower(text),
+                         '\\s+', ' ', 'g')), ' ')) AS token
+              FROM documents)
+        WHERE token <> '' GROUP BY doc_id, token),
+    nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+    t AS (
+        SELECT token,
+               CAST(COUNT(*) AS BIGINT) AS n_docs_with,
+               CAST(SUM(tf) AS BIGINT) AS total_tf,
+               CAST(SUM(tf * tf) AS BIGINT) AS total_tf2
+        FROM tf GROUP BY token)
+    SELECT token, n_docs_with, total_tf,
+           ROUND((CAST(total_tf2 AS DOUBLE) / n_docs
+                  - POWER(CAST(total_tf AS DOUBLE) / n_docs, 2))
+                 / (CAST(total_tf AS DOUBLE) / n_docs), 6) AS vmr
+    FROM t CROSS JOIN nd
+    """,
+)
+def q_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term burstiness: variance-to-mean ratio of per-document counts
+    (zeros included via the corpus doc count) — VMR ~1 means Poisson
+    scatter (function words), VMR >> 1 means the term clumps into few
+    documents (topical/boilerplate terms).  The dispersion signal
+    behind stopword induction and boilerplate detection.
+
+    Scale shape: one (doc, term) partial aggregate, one term rollup;
+    the doc-count scalar is a 1-row broadcast; everything else is
+    integer sufficient statistics with one double division at the
+    end."""
+    from clv_data_pipeline_spark.functions.text import normalize_text
+
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.split(normalize_text(F.col("text")), " ")
+            ).alias("token"),
+        )
+        .filter(F.col("token") != "")
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    nd = d.agg(F.count("*").cast("long").alias("n_docs"))
+    t = tf.groupBy("token").agg(
+        F.count("*").cast("long").alias("n_docs_with"),
+        F.sum("tf").cast("long").alias("total_tf"),
+        F.sum(F.col("tf") * F.col("tf")).cast("long").alias("total_tf2"),
+    )
+    mean = F.col("total_tf").cast("double") / F.col("n_docs")
+    ex2 = F.col("total_tf2").cast("double") / F.col("n_docs")
+    return t.crossJoin(F.broadcast(nd)).select(
+        "token",
+        "n_docs_with",
+        "total_tf",
+        F.round((ex2 - F.pow(mean, 2)) / mean, 6).alias("vmr"),
+    )

@@ -63,6 +63,7 @@ _BNLJ_SCALAR_OK = {
     "q_survival",          # 1-row censoring-horizon (max day) broadcast
     "q_rfm_segments",      # 1-row median-cuts broadcast
     "q_cuped",             # 1-row theta/variance stats broadcasts
+    "q_burstiness",        # 1-row corpus doc-count broadcast
 }
 
 
