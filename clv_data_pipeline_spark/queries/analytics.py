@@ -2484,3 +2484,43 @@ def q_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("rep_mean", 0.5), 6).alias("ci_mid"),
         F.round(F.percentile("rep_mean", 0.975), 6).alias("ci_hi"),
     )
+
+
+@query(
+    "q_l_diversity",
+    oracle="""
+    SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS group_size,
+           CAST(COUNT(DISTINCT FLOOR(c_acctbal / 2000.0)) AS BIGINT)
+               AS l_distinct,
+           COUNT(DISTINCT FLOOR(c_acctbal / 2000.0)) >= 3 AS diverse
+    FROM customer
+    GROUP BY c_nationkey, c_mktsegment
+    """,
+)
+def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit — k-anonymity's necessary complement: a
+    quasi-identifier group can be large (k-safe) yet still leak if
+    everyone in it shares the same sensitive value.  Reports every
+    (nation, segment) group with the distinct-value count of its
+    sensitive attribute (account-balance band) and the l >= 3
+    verdict — the full audit table, so the release decision (and the
+    driver hash) sees passing and failing groups alike.  Same single
+    partial-aggregated group-by shape as q_k_anonymity, with the
+    distinct-count folded into the aggregate."""
+    c = load_table(spark, sf_dir, "customer")
+    band = F.floor(F.col("c_acctbal") / 2000.0)
+    return (
+        c.groupBy("c_nationkey", "c_mktsegment")
+        .agg(
+            F.count("*").cast("long").alias("group_size"),
+            F.countDistinct(band).cast("long").alias("l_distinct"),
+        )
+        .select(
+            F.col("c_nationkey").cast("long"),
+            "c_mktsegment",
+            "group_size",
+            "l_distinct",
+            (F.col("l_distinct") >= 3).alias("diverse"),
+        )
+    )

@@ -1063,3 +1063,131 @@ def q_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         fused.withColumn("rnk", F.row_number().over(wf).cast("long"))
         .filter(F.col("rnk") <= 10)
     )
+
+
+@query(
+    "q_auc",
+    oracle="""
+    WITH q AS (
+        SELECT doc_id,
+               ROUND(
+                 LEAST(CAST(length(text) AS DOUBLE) / 200.0, 1.0)
+                 * GREATEST(0.0, 1.0 -
+                     (CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g'))
+                           AS DOUBLE)
+                      / GREATEST(length(text), 1)) * 5.0)
+                 * GREATEST(0.0, 1.0 -
+                     (CAST(length(regexp_replace(text, '[^0-9]', '', 'g'))
+                           AS DOUBLE)
+                      / GREATEST(length(text), 1)) * 5.0)
+                 * (CASE WHEN (CAST(length(trim(text)) AS DOUBLE)
+                               / GREATEST(len(regexp_extract_all(trim(text),
+                                              '\\S+', 0)), 1))
+                              BETWEEN 3.0 AND 12.0
+                         THEN 1.0 ELSE 0.5 END),
+               6) AS score
+        FROM documents),
+    toks AS (
+        SELECT doc_id, unnest(string_split(
+                   trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '))
+                   AS term
+        FROM documents),
+    tf AS (
+        SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM toks WHERE term <> '' GROUP BY doc_id, term),
+    e AS (
+        SELECT doc_id,
+               ROUND(log2(CAST(SUM(tf) AS DOUBLE))
+                     - CAST(SUM(CAST(ROUND(tf * log2(CAST(tf AS DOUBLE)), 9)
+                                AS DECIMAL(28,9))) AS DOUBLE) / SUM(tf), 6)
+                   AS entropy
+        FROM tf GROUP BY doc_id),
+    pts AS (
+        SELECT LEAST(CAST(FLOOR(q.score * 100) AS BIGINT), 99) AS bin,
+               CASE WHEN e.entropy >= 4.4 THEN 1 ELSE 0 END AS pos
+        FROM q JOIN e USING (doc_id)),
+    bins AS (
+        SELECT bin,
+               CAST(SUM(pos) AS BIGINT) AS n_pos,
+               CAST(COUNT(*) - SUM(pos) AS BIGINT) AS n_neg
+        FROM pts GROUP BY bin),
+    sweep AS (
+        SELECT bin, n_pos, n_neg,
+               CAST(SUM(n_pos) OVER wd AS DOUBLE)
+                   / SUM(n_pos) OVER () AS tpr,
+               CAST(SUM(n_neg) OVER wd AS DOUBLE)
+                   / SUM(n_neg) OVER () AS fpr
+        FROM bins
+        WINDOW wd AS (ORDER BY bin DESC ROWS UNBOUNDED PRECEDING)),
+    terms AS (
+        SELECT bin, n_pos, n_neg, tpr, fpr,
+               (fpr - COALESCE(LAG(fpr) OVER wu, 0.0))
+               * (tpr + COALESCE(LAG(tpr) OVER wu, 0.0)) / 2.0 AS tri
+        FROM sweep
+        WINDOW wu AS (ORDER BY bin DESC))
+    SELECT bin, n_pos, n_neg,
+           ROUND(tpr, 6) AS tpr, ROUND(fpr, 6) AS fpr,
+           ROUND(SUM(tri) OVER (), 6) AS auc
+    FROM terms
+    """,
+)
+def q_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC curve + AUC of the heuristic quality score predicting
+    high-entropy documents — the model-eval primitive, in the
+    HISTOGRAM formulation that scales: scores fold into 100 fixed
+    bins, the threshold sweep and the trapezoid AUC integral run as
+    windows over the BIN frame — never a global rank of all examples
+    (the textbook Mann-Whitney AUC needs one).
+
+    One doc-level join of two already-verified signals
+    (q_quality_score, q_token_entropy), one bin aggregate, bounded
+    windows.  Rank-free AUC loses only within-bin resolution (1/100
+    of score range)."""
+    from pyspark.sql.window import Window as W
+
+    from clv_data_pipeline_spark.queries.textops import q_quality_score
+
+    q = q_quality_score(spark, sf_dir)
+    e = q_token_entropy(spark, sf_dir).select("doc_id", "entropy")
+    pts = q.join(e, "doc_id").select(
+        F.least(
+            F.floor(F.col("quality") * 100).cast("long"), F.lit(99)
+        ).alias("bin"),
+        F.when(F.col("entropy") >= 4.4, 1).otherwise(0).alias("pos"),
+    )
+    bins = pts.groupBy("bin").agg(
+        F.sum("pos").cast("long").alias("n_pos"),
+        (F.count("*") - F.sum("pos")).cast("long").alias("n_neg"),
+    )
+    wd = W.orderBy(F.desc("bin")).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    wall = W.partitionBy(F.lit(1))
+    sweep = bins.select(
+        "bin",
+        "n_pos",
+        "n_neg",
+        (
+            F.sum("n_pos").over(wd).cast("double")
+            / F.sum("n_pos").over(wall)
+        ).alias("tpr"),
+        (
+            F.sum("n_neg").over(wd).cast("double")
+            / F.sum("n_neg").over(wall)
+        ).alias("fpr"),
+    )
+    wu = W.orderBy(F.desc("bin"))
+    tri = (
+        (F.col("fpr") - F.coalesce(F.lag("fpr").over(wu), F.lit(0.0)))
+        * (F.col("tpr") + F.coalesce(F.lag("tpr").over(wu), F.lit(0.0)))
+        / 2.0
+    )
+    terms = sweep.withColumn("tri", tri)
+    return terms.select(
+        "bin",
+        "n_pos",
+        "n_neg",
+        F.round("tpr", 6).alias("tpr"),
+        F.round("fpr", 6).alias("fpr"),
+        F.round(F.sum("tri").over(wall), 6).alias("auc"),
+    )
