@@ -620,3 +620,60 @@ def audio_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
         .select(id_col, "payload")
         .mapInPandas(_feat, schema)
     )
+
+
+def image_dhash(
+    df: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Perceptual difference-hash (dHash) per image: decode -> nearest-
+    resize to 9x8 -> 64 horizontal-gradient bits, returned as two
+    32-bit halves (``dhash_hi``, ``dhash_lo`` — two BIGINTs instead of
+    one unsigned 64-bit value, so no signed-overflow games in either
+    engine).  Near-duplicate images differ in few bits under Hamming
+    distance regardless of scale/brightness shifts; pairing +
+    bit_count(xor) happens JVM-side on the hashes, never on pixels.
+
+    The Spark-side media_type filter runs FIRST (scan pushdown
+    survives); undecodable payloads yield ok=false rows.
+    """
+    import numpy as np
+
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("dhash_hi", T.LongType()),
+            T.StructField("dhash_lo", T.LongType()),
+            T.StructField("ok", T.BooleanType()),
+        ]
+    )
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {id_col: [], "dhash_hi": [], "dhash_lo": [], "ok": []}
+            for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                hi = lo = 0
+                ok = True
+                try:
+                    img = decode_png_gray(bytes(payload))
+                    small = resize_nearest(img, 9, 8).astype(np.int16)
+                    grad = (small[:, :8] > small[:, 1:]).astype(np.int64)
+                    for k in range(8):
+                        for j in range(8):
+                            if grad[k, j]:
+                                if k < 4:
+                                    hi |= 1 << (k * 8 + j)
+                                else:
+                                    lo |= 1 << ((k - 4) * 8 + j)
+                except Exception:
+                    ok = False
+                out[id_col].append(int(doc_id))
+                out["dhash_hi"].append(hi)
+                out["dhash_lo"].append(lo)
+                out["ok"].append(ok)
+            yield pd.DataFrame(out)
+
+    return (
+        df.filter(F.col("media_type") == "image/png")
+        .select(id_col, "payload")
+        .mapInPandas(_hash, schema)
+    )

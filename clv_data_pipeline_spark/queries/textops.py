@@ -1836,3 +1836,86 @@ def q_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total_tf",
         F.round((ex2 - F.pow(mean, 2)) / mean, 6).alias("vmr"),
     )
+
+
+@query(
+    "q_image_dedup",
+    oracle="""
+    WITH imgs AS (
+        SELECT CAST(doc_id AS BIGINT) AS id,
+               CAST(16 + doc_id % 32 AS BIGINT) AS w,
+               CAST(16 + doc_id % 17 AS BIGINT) AS h
+        FROM documents WHERE doc_id % 3 = 0),
+    bits AS (
+        SELECT i.id, g.k, g.j,
+               CASE WHEN (((g.j * i.w // 9) * 31 + (g.k * i.h // 8) * 17)
+                          % 256)
+                  > ((((g.j + 1) * i.w // 9) * 31 + (g.k * i.h // 8) * 17)
+                          % 256)
+                    THEN 1 ELSE 0 END AS b
+        FROM imgs i CROSS JOIN (
+            SELECT k.k, j.j
+            FROM (SELECT unnest(range(8)) AS k) k,
+                 (SELECT unnest(range(8)) AS j) j) g),
+    hashes AS (
+        SELECT id,
+               CAST(SUM(CASE WHEN k < 4
+                    THEN b * (1::BIGINT << (k * 8 + j)) ELSE 0 END)
+                    AS BIGINT) AS hi,
+               CAST(SUM(CASE WHEN k >= 4
+                    THEN b * (1::BIGINT << ((k - 4) * 8 + j)) ELSE 0 END)
+                    AS BIGINT) AS lo
+        FROM bits GROUP BY id)
+    SELECT a.id AS id_a, b.id AS id_b,
+           CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo))
+                AS BIGINT) AS hamming,
+           bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 10
+               AS near_dup
+    FROM hashes a JOIN hashes b ON b.id = a.id + 3
+    """,
+)
+def q_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image dedup: REAL PNG payloads (zlib-compressed,
+    synthesized executor-side) decode -> nearest-resize to 9x8 ->
+    64-bit difference hash, then consecutive image pairs compare by
+    Hamming distance on the hashes.  The oracle recomputes every hash
+    ANALYTICALLY from the known pixel formula, so a hash match proves
+    the decode + resample + gradient pipeline bit-for-bit — multimodal
+    near-dup detection with the same candidate-pair scheme as
+    q_ngram_jaccard (at scale: band the hash bytes into an LSH-style
+    bucket join, q_simhash's pigeonhole trick — 2 of 8 bytes must
+    match at Hamming<=10).
+
+    Scale shape: hashing is one Arrow pass over image rows (the
+    media_type filter precedes Python); pairing joins 16 bytes per
+    image, never pixels."""
+    from clv_data_pipeline_spark.operators.multimodal import (
+        attach_real_payload,
+        image_dhash,
+    )
+
+    d = attach_real_payload(load_table(spark, sf_dir, "documents"))
+    hashes = image_dhash(d)
+    a = hashes.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("dhash_hi").alias("_ha"),
+        F.col("dhash_lo").alias("_la"),
+    )
+    b = hashes.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("dhash_hi").alias("_hb"),
+        F.col("dhash_lo").alias("_lb"),
+    )
+    hamming = (
+        F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb")))
+        + F.bit_count(F.col("_la").bitwiseXOR(F.col("_lb")))
+    ).cast("long")
+    return (
+        a.join(b, F.col("id_b") == F.col("id_a") + 3)
+        .select(
+            "id_a",
+            "id_b",
+            hamming.alias("hamming"),
+            (hamming <= 10).alias("near_dup"),
+        )
+    )

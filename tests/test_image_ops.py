@@ -210,3 +210,36 @@ def test_wav_decode_skips_odd_length_chunks():
     wav = b"RIFF" + st.pack("<I", len(body)) + body
     ch, rate, v = decode_wav_pcm16(wav)
     assert (ch, rate, list(v)) == (1, 8000, [100, -100])
+
+
+def test_dhash_invariant_under_exact_upscale(spark):
+    """dHash of a 9x8 image equals the dHash of its exact 2x nearest
+    upscale (18x16): the resample index maps align (j*2w//9 == 2*(j*w//9)
+    when w=9), so the gradient bits are identical — the property that
+    makes Hamming-on-dHash a scale-robust near-dup detector."""
+    import numpy as np
+
+    from clv_data_pipeline_spark.operators.multimodal import (
+        decode_png_gray,
+        encode_png_gray,
+        image_dhash,
+    )
+
+    base = np.array(
+        [[(x * 31 + y * 17) % 256 for x in range(9)] for y in range(8)],
+        dtype=np.uint8,
+    )
+    up = np.kron(base, np.ones((2, 2), dtype=np.uint8))
+    rows = [
+        (1, encode_png_gray(base), "image/png"),
+        (2, encode_png_gray(up), "image/png"),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, payload binary, media_type string"
+    )
+    got = {r["doc_id"]: (r["dhash_hi"], r["dhash_lo"], r["ok"])
+           for r in image_dhash(df).collect()}
+    assert got[1][2] and got[2][2]
+    assert got[1][:2] == got[2][:2]
+    # sanity: decode round-trips the exact pixels
+    assert (decode_png_gray(encode_png_gray(base)) == base).all()
