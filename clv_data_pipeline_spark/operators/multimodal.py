@@ -677,3 +677,51 @@ def image_dhash(
         .select(id_col, "payload")
         .mapInPandas(_hash, schema)
     )
+
+
+def audio_fingerprint(
+    df: DataFrame, id_col: str = "doc_id", n_bits: int = 32
+) -> DataFrame:
+    """Waveform fingerprint per audio payload: decode PCM16, take the
+    first channel's first ``n_bits``+1 samples, hash the SIGN OF THE
+    DERIVATIVE (sample[j+1] > sample[j]) into one BIGINT — the shape
+    (not the level) of the waveform, so gain changes don't move the
+    fingerprint.  The audio analogue of image_dhash; near-dup pairing
+    happens on the 8-byte fingerprints, never on samples.
+    """
+    import numpy as np
+
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("fp", T.LongType()),
+            T.StructField("n_samples", T.LongType()),
+            T.StructField("ok", T.BooleanType()),
+        ]
+    )
+
+    def _fp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {id_col: [], "fp": [], "n_samples": [], "ok": []}
+            for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                fp, n, ok = 0, 0, True
+                try:
+                    ch, _rate, v = decode_wav_pcm16(bytes(payload))
+                    mono = v[::ch][: n_bits + 1].astype(np.int32)
+                    n = len(v) // ch
+                    for j in range(min(n_bits, len(mono) - 1)):
+                        if mono[j + 1] > mono[j]:
+                            fp |= 1 << j
+                except Exception:
+                    ok = False
+                out[id_col].append(int(doc_id))
+                out["fp"].append(fp)
+                out["n_samples"].append(n)
+                out["ok"].append(ok)
+            yield pd.DataFrame(out)
+
+    return (
+        df.filter(F.col("media_type") == "audio/wav")
+        .select(id_col, "payload")
+        .mapInPandas(_fp, schema)
+    )

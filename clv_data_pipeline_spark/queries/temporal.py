@@ -981,3 +981,85 @@ def q_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("ape"),
     )
+
+
+@query(
+    "q_crosscorr",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(COUNT(*) FILTER (WHERE event_type = 'view') AS BIGINT)
+                   AS views,
+               CAST(COUNT(*) FILTER (WHERE event_type = 'purchase')
+                    AS BIGINT) AS purchases
+        FROM events GROUP BY day),
+    lags AS (SELECT unnest(range(-7, 8)) AS lag),
+    pairs AS (
+        SELECT l.lag, a.views AS x, b.purchases AS y
+        FROM lags l
+        JOIN daily a ON TRUE
+        JOIN daily b ON b.day = a.day + CAST(l.lag AS INT)),
+    s AS (
+        SELECT lag, CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(x AS DECIMAL(18,0)) * x) AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(y AS DECIMAL(18,0)) * y) AS DOUBLE) AS syy,
+               CAST(SUM(CAST(x AS DECIMAL(18,0)) * y) AS DOUBLE) AS sxy
+        FROM pairs GROUP BY lag)
+    SELECT CAST(lag AS BIGINT) AS lag, CAST(n AS BIGINT) AS n_days,
+           ROUND((sxy - sx * sy / n)
+                 / SQRT((sxx - sx * sx / n) * (syy - sy * sy / n)), 6)
+               AS corr
+    FROM s WHERE n >= 10
+    """,
+)
+def q_crosscorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead-lag cross-correlation of the daily views and purchases
+    series (lags -7..+7): which signal leads conversions and by how
+    many days — the marketing-mix diagnostic behind attribution
+    windows.  The r at each lag comes from decimal sufficient
+    statistics (q_corr's pattern) over the day-aligned pairs.
+
+    Scale shape: one shuffle to the daily grain; the 15-lag expand is
+    a map-side explode of the calendar-bounded daily frame and the
+    alignment is an equi-join on day — series length x 15 rows total,
+    independent of event volume."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.when(F.col("event_type") == "view", 1))
+        .cast("long")
+        .alias("views"),
+        F.count(F.when(F.col("event_type") == "purchase", 1))
+        .cast("long")
+        .alias("purchases"),
+    )
+    a = daily.select("day", "views").withColumn(
+        "lag", F.explode(F.sequence(F.lit(-7), F.lit(7)))
+    )
+    b = daily.select(
+        F.col("day").alias("_bday"), F.col("purchases").alias("y")
+    )
+    pairs = a.join(
+        b, F.col("_bday") == F.date_add(F.col("day"), F.col("lag"))
+    ).select("lag", F.col("views").alias("x"), "y")
+    d18 = "decimal(18,0)"
+    s = pairs.groupBy("lag").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x").cast(d18) * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("y").cast(d18) * F.col("y")).cast("double").alias("syy"),
+        F.sum(F.col("x").cast(d18) * F.col("y")).cast("double").alias("sxy"),
+    )
+    corr = (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n")) / F.sqrt(
+        (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"))
+        * (F.col("syy") - F.col("sy") * F.col("sy") / F.col("n"))
+    )
+    return (
+        s.filter(F.col("n") >= 10)
+        .select(
+            F.col("lag").cast("long").alias("lag"),
+            F.col("n").cast("long").alias("n_days"),
+            F.round(corr, 6).alias("corr"),
+        )
+    )

@@ -1919,3 +1919,66 @@ def q_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             (hamming <= 10).alias("near_dup"),
         )
     )
+
+
+@query(
+    "q_audio_dedup",
+    oracle="""
+    WITH auds AS (
+        SELECT CAST(doc_id AS BIGINT) AS id,
+               CAST(1 + doc_id % 2 AS BIGINT) AS ch
+        FROM documents WHERE doc_id % 3 = 1),
+    smp AS (
+        SELECT a.id, j.j,
+               ((a.ch * j.j * 2 * 7) % 251
+                + 256 * ((a.ch * j.j * 2 + 1) * 7 % 251)) AS u16
+        FROM auds a CROSS JOIN (SELECT unnest(range(33)) AS j) j),
+    sgn AS (
+        SELECT id, j,
+               CASE WHEN u16 >= 32768 THEN u16 - 65536 ELSE u16 END AS s
+        FROM smp),
+    bits AS (
+        SELECT a.id, a.j,
+               CASE WHEN b.s > a.s THEN 1 ELSE 0 END AS bit
+        FROM sgn a JOIN sgn b ON b.id = a.id AND b.j = a.j + 1
+        WHERE a.j < 32),
+    fps AS (
+        SELECT id, CAST(SUM(bit * (1::BIGINT << j)) AS BIGINT) AS fp
+        FROM bits GROUP BY id)
+    SELECT a.id AS id_a, b.id AS id_b,
+           CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming,
+           bit_count(xor(a.fp, b.fp)) <= 6 AS near_dup
+    FROM fps a JOIN fps b ON b.id = a.id + 3
+    """,
+)
+def q_audio_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Waveform-fingerprint audio dedup: REAL RIFF/WAVE payloads decode
+    (chunk walk + PCM16 frombuffer), the first channel's first 33
+    samples hash by sign-of-derivative into a 32-bit fingerprint, and
+    consecutive audio pairs compare by Hamming distance — the audio
+    analogue of q_image_dedup, gain-invariant by construction.  The
+    oracle recomputes every fingerprint ANALYTICALLY from the known
+    byte formula ((i*7) % 251 as little-endian PCM16, stride = channel
+    count), so a hash match certifies the real decode end to end.
+
+    Scale shape: one Arrow pass over audio rows (media_type filter
+    precedes Python); pairing joins 8 bytes per clip."""
+    from clv_data_pipeline_spark.operators.multimodal import (
+        attach_real_payload,
+        audio_fingerprint,
+    )
+
+    d = attach_real_payload(load_table(spark, sf_dir, "documents"))
+    fps = audio_fingerprint(d)
+    a = fps.select(F.col("doc_id").alias("id_a"), F.col("fp").alias("_fa"))
+    b = fps.select(F.col("doc_id").alias("id_b"), F.col("fp").alias("_fb"))
+    hamming = F.bit_count(F.col("_fa").bitwiseXOR(F.col("_fb"))).cast("long")
+    return (
+        a.join(b, F.col("id_b") == F.col("id_a") + 3)
+        .select(
+            "id_a",
+            "id_b",
+            hamming.alias("hamming"),
+            (hamming <= 6).alias("near_dup"),
+        )
+    )
