@@ -1063,3 +1063,100 @@ def q_crosscorr(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(corr, 6).alias("corr"),
         )
     )
+
+
+@query(
+    "q_robust_trend",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY day),
+    idx AS (
+        SELECT day, n,
+               CAST(date_diff('day', DATE '2024-01-01', day) AS BIGINT) AS i
+        FROM daily),
+    pairs AS (
+        SELECT a.i AS ia, b.i AS ib, a.n AS na, b.n AS nb
+        FROM idx a JOIN idx b ON b.i > a.i),
+    mk AS (
+        SELECT CAST(SUM(CASE WHEN nb > na THEN 1
+                             WHEN nb < na THEN -1 ELSE 0 END) AS BIGINT)
+                   AS s_stat,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               ROUND(CAST(quantile_cont(
+                   CAST(nb - na AS DOUBLE) / (ib - ia), 0.5) AS DOUBLE), 6)
+                   AS theil_sen_slope
+        FROM pairs),
+    nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM daily)
+    SELECT s_stat, n_pairs, theil_sen_slope,
+           ROUND((CASE WHEN s_stat > 0 THEN s_stat - 1
+                       WHEN s_stat < 0 THEN s_stat + 1
+                       ELSE 0 END)
+                 / SQRT(nn.n * (nn.n - 1) * (2 * nn.n + 5) / 18.0), 6)
+               AS z_score
+    FROM mk CROSS JOIN nn
+    """,
+)
+def q_robust_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust monotone-trend analysis of the daily volume: the
+    Mann-Kendall S statistic with its continuity-corrected z-score
+    (is there a trend at all, outlier-proof) and the Theil-Sen slope
+    (median of pairwise slopes — HOW steep, 29% breakdown point) —
+    the nonparametric pair to q_trend's OLS.
+
+    Scale shape: pairwise enumeration runs on the DAILY frame
+    (calendar^2 pairs, ~400 here — never raw events); both statistics
+    are integer/exact until one final division.  For multi-year series
+    the same pair join runs per window-chunk with merged S counts."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count("*").cast("long").alias("n")
+    )
+    idx = daily.select(
+        F.datediff(F.col("day"), F.lit("2024-01-01").cast("date"))
+        .cast("long")
+        .alias("i"),
+        "n",
+    )
+    a = idx.select(F.col("i").alias("ia"), F.col("n").alias("na"))
+    b = idx.select(F.col("i").alias("ib"), F.col("n").alias("nb"))
+    pairs = a.join(b, F.col("ib") > F.col("ia"))
+    mk = pairs.agg(
+        F.sum(
+            F.when(F.col("nb") > F.col("na"), 1)
+            .when(F.col("nb") < F.col("na"), -1)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("s_stat"),
+        F.count("*").cast("long").alias("n_pairs"),
+        F.round(
+            F.percentile(
+                (F.col("nb") - F.col("na")).cast("double")
+                / (F.col("ib") - F.col("ia")),
+                0.5,
+            ),
+            6,
+        ).alias("theil_sen_slope"),
+    )
+    nn = daily.agg(F.count("*").cast("double").alias("n"))
+    corrected = (
+        F.when(F.col("s_stat") > 0, F.col("s_stat") - 1)
+        .when(F.col("s_stat") < 0, F.col("s_stat") + 1)
+        .otherwise(0)
+    )
+    return mk.crossJoin(F.broadcast(nn)).select(
+        "s_stat",
+        "n_pairs",
+        "theil_sen_slope",
+        F.round(
+            corrected
+            / F.sqrt(
+                F.col("n")
+                * (F.col("n") - 1)
+                * (2 * F.col("n") + 5)
+                / 18.0
+            ),
+            6,
+        ).alias("z_score"),
+    )

@@ -64,6 +64,7 @@ _BNLJ_SCALAR_OK = {
     "q_rfm_segments",      # 1-row median-cuts broadcast
     "q_cuped",             # 1-row theta/variance stats broadcasts
     "q_burstiness",        # 1-row corpus doc-count broadcast
+    "q_robust_trend",      # calendar-bounded day-pair grid + 1-row n
 }
 
 
