@@ -75,6 +75,11 @@ HEADLINE = [
     "q_rolling_distinct",
     "q_bucketed_join",
     "q_erasure",
+    "q_minhash_weighted",
+    "q_entity_resolution",
+    "q_image_dedup",
+    "q_rank_fusion",
+    "q_bootstrap",
     "q_clv_scores",
 ]
 
