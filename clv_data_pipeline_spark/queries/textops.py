@@ -1982,3 +1982,174 @@ def q_audio_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             (hamming <= 6).alias("near_dup"),
         )
     )
+
+
+@query(
+    "q_cdc_chunks",
+    oracle="""
+    WITH norm AS (
+        SELECT doc_id,
+               trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+        FROM documents),
+    pos AS (
+        SELECT doc_id, t, unnest(range(1, length(t) - 6)) AS p
+        FROM norm WHERE length(t) >= 8),
+    b AS (
+        SELECT doc_id, t, p,
+               CASE WHEN p = 1 OR
+                    ('0x' || substr(md5(substring(t, CAST(p AS INT), 8)),
+                     1, 8))::BIGINT % 64 = 0
+                    THEN 1 ELSE 0 END AS is_boundary
+        FROM pos),
+    cid AS (
+        SELECT doc_id, t, p,
+               SUM(is_boundary) OVER (PARTITION BY doc_id ORDER BY p
+                   ROWS UNBOUNDED PRECEDING) AS chunk_id
+        FROM b),
+    chunks AS (
+        SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+               MIN(p) AS lo, MAX(p) AS hi, t
+        FROM cid GROUP BY doc_id, chunk_id, t)
+    SELECT doc_id, chunk_id,
+           CAST(lo AS BIGINT) AS chunk_start,
+           md5(substring(t, CAST(lo AS INT),
+               CAST(CASE WHEN hi = length(t) - 7
+                    THEN length(t) - lo + 1
+                    ELSE hi - lo + 1 END AS INT))) AS chunk_md5,
+           CAST(CASE WHEN hi = length(t) - 7
+                THEN length(t) - lo + 1
+                ELSE hi - lo + 1 END AS BIGINT) AS chunk_len
+    FROM chunks
+    """,
+)
+def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking — the dedup-storage primitive (rsync /
+    LBFS / chunk-level corpus dedup): chunk boundaries fall where the
+    hash of an 8-char sliding window hits 0 mod 64 (expected ~64-char
+    chunks), so an insertion early in a document only re-chunks ONE
+    chunk — fixed-width chunking would shift every boundary after the
+    edit.  Output is each chunk's position, length, and md5 (the
+    dedup key a chunk store indexes on).
+
+    Engine-portable by the md5-window trick (q_feature_hash's family);
+    a production rolling hash (Rabin/Gear, O(1) per position) slots in
+    behind the same boundary predicate.  Scale shape: the position
+    explode is length-bounded per document and collapses back via one
+    (doc, chunk) aggregate; the boundary window reuses the doc
+    partitioning."""
+    from pyspark.sql.window import Window as W
+
+    from clv_data_pipeline_spark.functions.text import normalize_text
+
+    d = load_table(spark, sf_dir, "documents")
+    norm = d.select(
+        "doc_id", normalize_text(F.col("text")).alias("t")
+    ).filter(F.length("t") >= 8)
+    pos = norm.select(
+        "doc_id",
+        "t",
+        F.explode(
+            F.sequence(F.lit(1), F.length("t") - 7)
+        ).alias("p"),
+    )
+    win = F.substring(F.col("t"), F.col("p"), F.lit(8))
+    h = F.conv(F.substring(F.md5(win.cast("binary")), 1, 8), 16, 10).cast(
+        "long"
+    )
+    is_boundary = F.when(
+        (F.col("p") == 1) | (h % 64 == 0), 1
+    ).otherwise(0)
+    wo = W.partitionBy("doc_id").orderBy("p").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    cid = pos.withColumn("_b", is_boundary).withColumn(
+        "chunk_id", F.sum("_b").over(wo).cast("long")
+    )
+    chunks = cid.groupBy("doc_id", "chunk_id").agg(
+        F.min("p").alias("lo"),
+        F.max("p").alias("hi"),
+        F.first("t").alias("t"),
+    )
+    # interior chunk spans [lo, next_boundary-1] = [lo, hi] -> hi-lo+1;
+    # the final chunk extends past its last window start to document end
+    length = F.when(
+        F.col("hi") == F.length("t") - 7,
+        F.length("t") - F.col("lo") + 1,
+    ).otherwise(F.col("hi") - F.col("lo") + 1)
+    return chunks.select(
+        "doc_id",
+        "chunk_id",
+        F.col("lo").cast("long").alias("chunk_start"),
+        F.md5(
+            F.substring(F.col("t"), F.col("lo"), length).cast("binary")
+        ).alias("chunk_md5"),
+        length.cast("long").alias("chunk_len"),
+    )
+
+
+@query(
+    "q_ngram_novelty",
+    oracle="""
+    WITH norm AS (
+        SELECT doc_id,
+               trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+        FROM documents),
+    grams AS (
+        SELECT DISTINCT doc_id,
+               substring(t, CAST(unnest(range(1, length(t) - 18)) AS INT),
+                         20) AS g
+        FROM norm WHERE length(t) >= 20),
+    firsts AS (
+        SELECT g, MIN(doc_id) AS first_doc FROM grams GROUP BY g),
+    flags AS (
+        SELECT gr.doc_id,
+               CASE WHEN f.first_doc = gr.doc_id THEN 1 ELSE 0 END AS novel
+        FROM grams gr JOIN firsts f ON gr.g = f.g)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(novel) AS BIGINT) AS n_novel,
+           ROUND(CAST(SUM(novel) AS DOUBLE) / COUNT(*), 6) AS novelty
+    FROM flags GROUP BY doc_id
+    """,
+)
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 20-gram novelty in corpus order: the fraction of a
+    document's character 20-grams whose FIRST corpus occurrence is this
+    document — the memorization/repetition lens used to measure how
+    much of a training shard is verbatim recall of earlier shards
+    (near-zero novelty = the document is stitched from seen text).
+
+    Scale shape: distinct (doc, gram) collapses map-side, the first-
+    occurrence table is one min-aggregate on the gram key, and the
+    flag join shuffles gram keys once — no doc-by-doc comparisons, no
+    quadratics; at corpus scale grams hash to 8-byte fingerprints
+    before the shuffle (q_dedup_exact's trick)."""
+    from clv_data_pipeline_spark.functions.text import normalize_text
+
+    d = load_table(spark, sf_dir, "documents")
+    norm = d.select(
+        "doc_id", normalize_text(F.col("text")).alias("t")
+    ).filter(F.length("t") >= 20)
+    grams = norm.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(1), F.length("t") - 19)
+        ).alias("p"),
+        "t",
+    ).select(
+        "doc_id", F.substring(F.col("t"), F.col("p"), F.lit(20)).alias("g")
+    ).distinct()
+    firsts = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    flags = grams.join(firsts, "g").select(
+        "doc_id",
+        F.when(F.col("first_doc") == F.col("doc_id"), 1)
+        .otherwise(0)
+        .alias("novel"),
+    )
+    return flags.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_grams"),
+        F.sum("novel").cast("long").alias("n_novel"),
+        F.round(
+            F.sum("novel").cast("double") / F.count("*"), 6
+        ).alias("novelty"),
+    )

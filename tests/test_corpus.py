@@ -143,3 +143,30 @@ def test_bpe_segment_counts_applies_merges(spark):
     got9 = bpe_segment_counts(other, merges).collect()[0]
     assert got9["n_words"] == 2
     assert got9["n_bpe_tokens"] == 4 + 1
+
+
+def test_cdc_chunks_tile_documents_exactly(spark):
+    """Content-defined chunks must partition each normalized document:
+    per-doc chunk lengths sum to the document length, starts are the
+    cumulative lengths, and re-running produces identical boundaries
+    (determinism of the md5 window hash)."""
+    from pyspark.sql import functions as F
+
+    from clv_data_pipeline_spark import registry
+    from clv_data_pipeline_spark.functions.text import normalize_text
+    from clv_data_pipeline_spark.sources.io import load_table
+    from tests.conftest import SF_SMOKE
+
+    df = registry.all_queries()["q_cdc_chunks"](spark, SF_SMOKE)
+    lens = df.groupBy("doc_id").agg(F.sum("chunk_len").alias("s"))
+    docs = load_table(spark, SF_SMOKE, "documents").select(
+        "doc_id", F.length(normalize_text(F.col("text"))).alias("L")
+    ).filter(F.col("L") >= 8)
+    assert lens.join(docs, "doc_id").filter("s <> L").count() == 0
+    rows1 = sorted(map(str, df.collect()))
+    rows2 = sorted(
+        map(str, registry.all_queries()["q_cdc_chunks"](
+            spark, SF_SMOKE
+        ).collect())
+    )
+    assert rows1 == rows2
