@@ -2153,3 +2153,88 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("novel").cast("double") / F.count("*"), 6
         ).alias("novelty"),
     )
+
+
+@query(
+    "q_dedup_chunks",
+    oracle="""
+    WITH norm AS (
+        SELECT doc_id,
+               trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+        FROM documents),
+    pos AS (
+        SELECT doc_id, t, unnest(range(1, length(t) - 6)) AS p
+        FROM norm WHERE length(t) >= 8),
+    b AS (
+        SELECT doc_id, t, p,
+               CASE WHEN p = 1 OR
+                    ('0x' || substr(md5(substring(t, CAST(p AS INT), 8)),
+                     1, 8))::BIGINT % 64 = 0
+                    THEN 1 ELSE 0 END AS is_boundary
+        FROM pos),
+    cid AS (
+        SELECT doc_id, t, p,
+               SUM(is_boundary) OVER (PARTITION BY doc_id ORDER BY p
+                   ROWS UNBOUNDED PRECEDING) AS chunk_id
+        FROM b),
+    chunks AS (
+        SELECT doc_id, chunk_id, MIN(p) AS lo, MAX(p) AS hi, t
+        FROM cid GROUP BY doc_id, chunk_id, t),
+    hashed AS (
+        SELECT md5(substring(t, CAST(lo AS INT),
+                   CAST(CASE WHEN hi = length(t) - 7
+                        THEN length(t) - lo + 1
+                        ELSE hi - lo + 1 END AS INT))) AS h,
+               CASE WHEN hi = length(t) - 7
+                    THEN length(t) - lo + 1
+                    ELSE hi - lo + 1 END AS len
+        FROM chunks)
+    SELECT CAST(COUNT(*) AS BIGINT) AS total_chunks,
+           CAST(COUNT(DISTINCT h) AS BIGINT) AS unique_chunks,
+           CAST(SUM(len) AS BIGINT) AS total_bytes,
+           CAST(SUM(len) - SUM(CASE WHEN rn = 1 THEN len ELSE 0 END)
+                AS BIGINT) AS dup_bytes,
+           ROUND(1.0 - CAST(SUM(CASE WHEN rn = 1 THEN len ELSE 0 END)
+                 AS DOUBLE) / SUM(len), 6) AS savings_ratio
+    FROM (SELECT h, len,
+                 ROW_NUMBER() OVER (PARTITION BY h ORDER BY len) AS rn
+          FROM hashed)
+    """,
+)
+def q_dedup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-store dedup accounting on the content-defined chunks: how
+    many chunks are distinct, how many bytes a store that keeps one
+    copy per chunk hash saves — the measurement that justifies CDC
+    chunking over whole-document dedup (shared boilerplate dedups at
+    chunk grain even when documents differ elsewhere).
+
+    Scale shape: reuses q_cdc_chunks' bounded position expand; the
+    store simulation is one hash-key aggregate (first copy kept per
+    chunk hash) and a scalar rollup — chunk hashes shuffle, bodies
+    never do."""
+    from pyspark.sql.window import Window as W
+
+    chunks = q_cdc_chunks(spark, sf_dir)
+    hashed = chunks.select(
+        F.col("chunk_md5").alias("h"), F.col("chunk_len").alias("len")
+    )
+    rn = F.row_number().over(W.partitionBy("h").orderBy("len"))
+    kept = hashed.withColumn("rn", rn)
+    return kept.agg(
+        F.count("*").cast("long").alias("total_chunks"),
+        F.countDistinct("h").cast("long").alias("unique_chunks"),
+        F.sum("len").cast("long").alias("total_bytes"),
+        (
+            F.sum("len")
+            - F.sum(F.when(F.col("rn") == 1, F.col("len")).otherwise(0))
+        )
+        .cast("long")
+        .alias("dup_bytes"),
+        F.round(
+            F.lit(1.0)
+            - F.sum(F.when(F.col("rn") == 1, F.col("len")).otherwise(0))
+            .cast("double")
+            / F.sum("len"),
+            6,
+        ).alias("savings_ratio"),
+    )
