@@ -143,7 +143,33 @@ _R3_VERIFIED: frozenset[str] = frozenset(
     }
 )
 
-_VERIFIED: frozenset[str] = _R1_VERIFIED | _R2_VERIFIED | _R3_VERIFIED
+#: Queries the driver checked in round 4 (``CORRECTNESS_r04.json``):
+#: all 50 sampled names green (45 hash-match + 5 rows-only-by-contract).
+#: Folding them into the tiers keeps round 5's budget pointed at the
+#: 41 late-round-4 registrations the driver has never seen.
+_R4_VERIFIED: frozenset[str] = frozenset(
+    {
+        "q_apply_changes", "q_attribution", "q_audio_dedup",
+        "q_audio_features", "q_bloom_join", "q_bucketed_join",
+        "q_burstiness", "q_cdc_chunks", "q_chisq", "q_communities",
+        "q_containment", "q_corpus_curate", "q_crosscorr", "q_cusum",
+        "q_decontaminate_semantic", "q_dedup_chunks", "q_dedup_incremental",
+        "q_dedup_lines", "q_embedding_drift", "q_ewma", "q_expectations",
+        "q_forecast_backtest", "q_full_outer", "q_hard_negatives",
+        "q_image_dedup", "q_image_features", "q_image_resize",
+        "q_interpolate", "q_k_anonymity", "q_media_curate",
+        "q_minhash_weighted", "q_ngram_novelty", "q_rfm_segments",
+        "q_robust_trend", "q_salted_join", "q_sample_exact_n",
+        "q_schema_evolution", "q_seasonality", "q_session_funnel",
+        "q_sessionize_incremental", "q_snapshot_diff", "q_stream_dedup",
+        "q_stream_join", "q_stream_rfm", "q_stream_sessions", "q_survival",
+        "q_tree_depth_doubling", "q_tree_paths", "q_vocab_oov", "q_zipf_fit",
+    }
+)
+
+_VERIFIED: frozenset[str] = (
+    _R1_VERIFIED | _R2_VERIFIED | _R3_VERIFIED | _R4_VERIFIED
+)
 
 
 def _ordered_names() -> list[str]:
@@ -159,7 +185,9 @@ def _ordered_names() -> list[str]:
     names = list(_REGISTRY)
     tier = {}
     for n in names:
-        if n in _R3_VERIFIED:
+        if n in _R4_VERIFIED:
+            tier[n] = 4
+        elif n in _R3_VERIFIED:
             tier[n] = 3
         elif n in _R2_VERIFIED:
             tier[n] = 2
