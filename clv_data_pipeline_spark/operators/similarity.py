@@ -152,6 +152,7 @@ def cosine_topk_sharded(
     vec_col: str = "embedding",
     num_shards: int = 4,
     round_scale: int = 6,
+    index: DataFrame | None = None,
 ) -> DataFrame:
     """Brute-force top-k when the index exceeds driver/executor memory:
     split the index into ``num_shards`` hash shards, run
@@ -159,9 +160,14 @@ def cosine_topk_sharded(
     the size), union the per-shard top-k, re-rank globally.  Exact —
     the true top-k per query is contained in the union of per-shard
     top-ks.  Same output contract as :func:`cosine_topk`.
+
+    ``index`` restricts the searched side to a subset (e.g. only
+    labeled vectors for kNN label spreading) while every row of
+    ``embeddings`` still gets neighbors; default is self-kNN.
     """
+    searched = embeddings if index is None else index
     shards = [
-        embeddings.filter(F.pmod(F.col(id_col), F.lit(num_shards)) == i)
+        searched.filter(F.pmod(F.col(id_col), F.lit(num_shards)) == i)
         for i in range(num_shards)
     ]
     per_shard = None

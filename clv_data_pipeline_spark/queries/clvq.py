@@ -160,8 +160,16 @@ def q_clv_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     returning = f.filter(
         (F.col("frequency") > 0) & (F.col("monetary") > 0)
     ).persist()
-    bg = fit_bgnbd(returning)
-    gg = fit_gamma_gamma(returning)
+    try:
+        bg = fit_bgnbd(returning)
+        gg = fit_gamma_gamma(returning)
+    finally:
+        # Both fit barriers have collected their sufficient statistics;
+        # release the cache now so a long-lived session doesn't
+        # accumulate blocks.  The returned lazy scoring frame recomputes
+        # the RFM aggregation once when consumed — one extra event-log
+        # scan, bounded and cheaper than an unbounded cache leak.
+        returning.unpersist(blocking=False)
     return predictions_projection(score_customers(returning, bg, gg))
 
 

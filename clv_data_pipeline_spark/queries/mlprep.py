@@ -233,7 +233,13 @@ def q_knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    knn = cosine_topk_sharded(emb, k=5, num_shards=4)
+    # Search only labeled vectors: the oracle takes the top-5 among
+    # labeled neighbors, so restricting the index (not just the vote)
+    # keeps the two sides identical even when unlabeled vectors exist.
+    knn = cosine_topk_sharded(
+        emb, k=5, num_shards=4,
+        index=emb.filter(F.col("label").isNotNull()),
+    )
     return _knn_vote(knn, emb)
 
 

@@ -64,16 +64,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # override is session-global: warn (once per session) if it changes
     # a timezone someone explicitly configured to something non-UTC.
     tz = spark.conf.get("spark.sql.session.timeZone", None)
-    if tz not in (None, "UTC", "Etc/UTC", "GMT"):
-        import warnings
+    if tz not in ("UTC", "Etc/UTC", "GMT"):
+        if tz is not None:
+            import warnings
 
-        warnings.warn(
-            f"load_table pins spark.sql.session.timeZone=UTC for "
-            f"deterministic timestamp semantics, overriding the session "
-            f"value {tz!r}",
-            stacklevel=2,
-        )
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+            warnings.warn(
+                f"load_table pins spark.sql.session.timeZone=UTC for "
+                f"deterministic timestamp semantics, overriding the "
+                f"session value {tz!r}",
+                stacklevel=2,
+            )
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     return normalize_timestamps(df, name)
 
