@@ -83,6 +83,39 @@ HEADLINE = [
     "q_clv_scores",
 ]
 
+#: Frozen comparable subsets — apples-to-apples totals across rounds.
+#: COMPARABLE_R3: the 22 queries benched every round since r3 (the
+#: set VERDICT r4 tracked at 14.14 s vs the ~28 s round-1 baseline).
+#: COMPARABLE_R4: the full 55-query r4 headline list, frozen so later
+#: rounds' additions can't hide regressions in round-4 operators.
+#: Append-only: new rounds may add new frozen sets, never edit these.
+COMPARABLE_R3 = (
+    "q_rfm", "q_tpch_q1", "q_tpch_q3", "q_tpch_q5", "q_tpch_q8",
+    "q_tpch_q17", "q_window_rank", "q_moving_avg", "q_asof_join",
+    "q_range_join", "q_sessionize", "q_events_daily", "q_dedup_exact",
+    "q_minhash_dedup", "q_simhash", "q_cosine_topk", "q_ann_lsh",
+    "q_ann_ivf", "q_text_stats", "q_lang_id", "q_quality_score",
+    "q_clv_scores",
+)
+COMPARABLE_R4 = (
+    "q_rfm", "q_tpch_q1", "q_tpch_q3", "q_tpch_q5", "q_tpch_q8",
+    "q_tpch_q17", "q_window_rank", "q_moving_avg", "q_asof_join",
+    "q_range_join", "q_sessionize", "q_events_daily", "q_dedup_exact",
+    "q_minhash_dedup", "q_simhash", "q_cosine_topk", "q_ann_lsh",
+    "q_ann_ivf", "q_text_stats", "q_lang_id", "q_quality_score",
+    "q_quality_classifier", "q_bpe_tokenize", "q_dedup_lines",
+    "q_corpus_curate", "q_dedup_incremental", "q_minhash_incremental",
+    "q_decontaminate_semantic", "q_dedup_embedding_incremental",
+    "q_knn_label_ann", "q_bloom_join", "q_ann_pq", "q_pca_project",
+    "q_communities", "q_perplexity_bigram", "q_image_features",
+    "q_audio_features", "q_embedding_drift", "q_attribution",
+    "q_tree_paths", "q_media_curate", "q_hll_merge", "q_market_basket",
+    "q_interpolate", "q_sessionize_incremental", "q_feature_hash",
+    "q_rolling_distinct", "q_bucketed_join", "q_erasure",
+    "q_minhash_weighted", "q_entity_resolution", "q_image_dedup",
+    "q_rank_fusion", "q_bootstrap", "q_clv_scores",
+)
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -155,6 +188,14 @@ def main() -> None:
         shared = [n for n in timings if n in found[0]]
         out["comparable_total"] = round(sum(timings[n] for n in shared), 3)
         out["comparable_n"] = len(shared)
+    # Frozen-subset totals: immune to headline-set growth, so every
+    # future round reports the SAME two numbers for cross-round diffs.
+    for key, names in (
+        ("comparable_r3_total", COMPARABLE_R3),
+        ("comparable_r4_total", COMPARABLE_R4),
+    ):
+        if all(n in timings for n in names):
+            out[key] = round(sum(timings[n] for n in names), 3)
     if regressions:
         out["regressions"] = regressions
     print(json.dumps(out))

@@ -281,7 +281,12 @@ def test_transform_with_state_matches_batch(spark, tmp_path):
         "(round 4) and fails with 'No matching distribution found' — "
         "the container has no package index, and the runtime can't be "
         "vendored by hand (pyspark ships generated _pb2 modules that "
-        "need the real google.protobuf package)",
+        "need the real google.protobuf package).  Re-attempted round 5: "
+        "`pip download protobuf` fails with NewConnectionError "
+        "'[Errno -2] Name or service not known' (no DNS/network), and a "
+        "filesystem-wide search for a protobuf wheel or installed "
+        "google.protobuf found only typeshed stubs — no vendorable "
+        "artifact exists on this host",
     )
     from clv_data_pipeline_spark.streaming.stateful import (
         running_user_stats_tws,
