@@ -145,12 +145,32 @@ def pq_topk(
     at 100 TB.  Shards union and re-rank globally, exact with respect
     to the approximate scores.
     """
-    spark = embeddings.sparkSession
     books = train_pq_codebooks(
         embeddings, vec_col, m=m, ksub=ksub, seed=seed
     )
-    dsub = books.shape[2]
     codes_df = encode_pq(embeddings, books, id_col, vec_col)
+    return pq_topk_from_codes(
+        codes_df, embeddings, books, k=k, id_col=id_col, vec_col=vec_col,
+        num_shards=num_shards, round_scale=round_scale,
+    )
+
+
+def pq_topk_from_codes(
+    codes_df: DataFrame,
+    queries: DataFrame,
+    books: np.ndarray,
+    k: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_shards: int = 1,
+    round_scale: int = 6,
+) -> DataFrame:
+    """ADC top-k of ``queries`` against a PRE-ENCODED codes index —
+    the kernel :func:`pq_topk` wraps, split out so an incremental
+    pipeline can feed stored codes plus a freshly-encoded delta
+    (:func:`pq_incremental`) without re-encoding the corpus."""
+    spark = queries.sparkSession
+    dsub = books.shape[2]
     if num_shards > 1:
         codes_df = codes_df.persist()
 
@@ -209,7 +229,7 @@ def pq_topk(
                         out["rank"].extend(range(1, len(order) + 1))
                 yield pd.DataFrame(out)
 
-        topk = embeddings.select(id_col, vec_col).mapInPandas(
+        topk = queries.select(id_col, vec_col).mapInPandas(
             _score, "vec_id long, neighbor_id long, sim double, rank long"
         )
         per_shard = topk if per_shard is None else per_shard.unionByName(topk)
@@ -282,3 +302,41 @@ def pq_topk_rerank(
         .filter(F.col("rank") <= k)
         .select("vec_id", "neighbor_id", "sim", "rank")
     )
+
+
+def pq_incremental(
+    index_codes: DataFrame,
+    delta: DataFrame,
+    books: np.ndarray,
+    k: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_shards: int = 1,
+    round_scale: int = 6,
+) -> tuple[DataFrame, DataFrame]:
+    """O(delta) maintenance of a PQ index: encode ONLY the delta
+    against FROZEN codebooks, append to the stored codes, and answer
+    the delta's top-k over the combined index — the daily shape for a
+    1B-vector store where re-encoding (let alone re-training) the
+    corpus per batch is not an option.
+
+    Returns ``(delta_codes, topk)``: the codes to append to the stored
+    index, and the delta queries' neighbors over base+delta.  Because
+    :func:`encode_pq` is row-wise deterministic, the appended index is
+    byte-identical to a full re-encode with the same books, and the
+    retrieval equals :func:`pq_topk_from_codes` over the full set
+    restricted to delta queries (pinned in tests/test_pq.py).
+
+    Codebook drift is the one approximation this admits: frozen books
+    quantize a shifting distribution progressively worse.  Production
+    retrains on a sample when recall audits (q_ann_recall's shape) sag
+    — retraining is bounded (PQ_SAMPLE rows); RE-ENCODING the corpus is
+    the O(n) step this function exists to avoid paying per delta.
+    """
+    delta_codes = encode_pq(delta, books, id_col, vec_col)
+    combined = index_codes.unionByName(delta_codes)
+    topk = pq_topk_from_codes(
+        combined, delta, books, k=k, id_col=id_col, vec_col=vec_col,
+        num_shards=num_shards, round_scale=round_scale,
+    )
+    return delta_codes, topk

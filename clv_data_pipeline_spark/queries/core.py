@@ -496,6 +496,49 @@ def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.schema(schema).json(path)
 
 
+@query(
+    "q_small_files",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2)
+               AS total_value,
+           TRUE AS compacted
+    FROM events GROUP BY user_id
+    """,
+)
+def q_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction, the operational op every 100 TB pipeline
+    runs nightly: write the event log as 64 tiny files (the shape daily
+    micro-appends leave behind), compact to 4 via the staged-rename
+    rewrite (sources/io.py compact_parquet), then aggregate the
+    COMPACTED copy.  The oracle aggregates the original table, so a
+    hash match proves the rewrite is content-preserving; the
+    ``compacted`` flag carries the file-count assertion (64 -> <=4)
+    through the driver check instead of only through pytest."""
+    import tempfile
+
+    from clv_data_pipeline_spark.sources.io import compact_parquet
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "value"
+    )
+    path = tempfile.mkdtemp(prefix="small_files_") + "/events_small"
+    ev.repartition(64).write.parquet(path)
+    before, after = compact_parquet(spark, path, target_files=4)
+    return (
+        spark.read.parquet(path)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,4)")).cast("double"), 2
+            ).alias("total_value"),
+        )
+        .withColumn("compacted", F.lit(before >= 64 and after <= 4))
+    )
+
+
 @query("q_sample")  # rows-only: seeded rand ordering is engine-specific
 def q_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sampling-without-replacement from an ID pool via seeded random

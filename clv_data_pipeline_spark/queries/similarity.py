@@ -126,6 +126,39 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("q_ann_pq_incremental")  # rows-only: approximate, codebook-specific
+def q_ann_pq_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O(delta) PQ-index maintenance: the newest ~10% of vectors encode
+    against FROZEN codebooks trained on the older 90%, append to the
+    stored codes, and retrieve their top-1 over the combined index —
+    completing the incremental story for the compressed-index ANN path
+    the way q_pca_incremental did for PCA.  Re-encoding (or worse,
+    retraining on) a 1B-vector corpus per daily batch is the O(n) cost
+    this shape avoids; only delta rows touch the encode kernel.  The
+    in-query base encode is the amortized ingest cost a production
+    store pays once (operators/pq.py pq_incremental takes stored codes
+    directly); tests/test_pq.py pins byte-equality of the incremental
+    retrieval with a full-index pass under the same books."""
+    from clv_data_pipeline_spark.operators.pq import (
+        encode_pq,
+        pq_incremental,
+        train_pq_codebooks,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    stats = emb.agg(
+        (
+            F.max("vec_id") - F.floor(F.count("*") / F.lit(10.0)).cast("long")
+        ).alias("cut")
+    ).persist()
+    with_cut = emb.crossJoin(F.broadcast(stats))
+    base = with_cut.filter(F.col("vec_id") <= F.col("cut")).drop("cut")
+    delta = with_cut.filter(F.col("vec_id") > F.col("cut")).drop("cut")
+    books = train_pq_codebooks(base)
+    _delta_codes, topk = pq_incremental(encode_pq(base, books), delta, books)
+    return topk
+
+
 def _lpa_oracle(iters: int = 3, k: int = 5) -> str:
     """Unrolled-iteration DuckDB twin of q_communities: exact kNN edges
     (same rounding/tie rules as q_cosine_topk's oracle) + ``iters``

@@ -62,3 +62,37 @@ def test_plan_is_arrow_only(spark):
     with contextlib.redirect_stdout(buf):
         df.explain("formatted")
     assert "BatchEvalPython" not in buf.getvalue()
+
+
+def test_incremental_equals_full_pass_same_books(spark):
+    """pq_incremental invariant: encoding only the delta against frozen
+    base-trained books and unioning with the stored codes answers delta
+    queries BYTE-IDENTICALLY to scoring them over a full re-encode with
+    the same books — the maintenance algebra is exact; only codebook
+    staleness (documented) separates incremental from batch."""
+    from pyspark.sql import functions as F
+
+    from clv_data_pipeline_spark.operators.pq import (
+        pq_incremental,
+        pq_topk_from_codes,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    cut = emb.agg(F.expr("max(vec_id) - count(*) / 10")).first()[0]
+    base = emb.filter(F.col("vec_id") <= cut)
+    delta = emb.filter(F.col("vec_id") > cut)
+    books = train_pq_codebooks(base)
+
+    base_codes = encode_pq(base, books)
+    delta_codes, inc_topk = pq_incremental(base_codes, delta, books, k=3)
+
+    full_codes = encode_pq(emb, books)
+    full_topk = pq_topk_from_codes(full_codes, delta, books, k=3)
+
+    key = lambda df: sorted(map(tuple, df.collect()))
+    assert key(inc_topk) == key(full_topk)
+    # appended index == full re-encode restricted to delta ids
+    assert key(delta_codes) == key(
+        full_codes.join(delta.select("vec_id"), "vec_id")
+    )
+    assert inc_topk.count() == delta.count() * 3
