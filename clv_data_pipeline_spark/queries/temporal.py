@@ -469,6 +469,88 @@ def q_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_scd2_stream",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, event_type, ts, event_id,
+               LAG(event_type) OVER w AS prev_type
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    changes AS (
+        SELECT user_id, event_type, ts AS valid_from, event_id
+        FROM ordered
+        WHERE prev_type IS NULL OR prev_type <> event_type)
+    SELECT user_id, event_type, valid_from,
+           LEAD(valid_from) OVER w2 AS valid_to,
+           CAST(LEAD(valid_from) OVER w2 IS NULL AS BIGINT) AS is_current
+    FROM changes
+    WINDOW w2 AS (PARTITION BY user_id ORDER BY valid_from, event_id)
+    """,
+)
+def q_scd2_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 maintenance run by the REAL Structured Streaming engine —
+    q_scd2_merge's streaming twin: the event log arrives as three
+    chronological micro-batches (maxFilesPerTrigger=1 over slice files,
+    simulating daily arrivals) and each trigger folds its batch into
+    the stored interval table via streaming/ingest.py
+    scd2_maintenance_sink (O(batch) per trigger, only affected keys
+    recompute).  The oracle is the FULL batch recompute over all
+    events, so the driver hash-verifies that three sequential
+    incremental merges are exactly equivalent to rebuild — the
+    dimension-table maintenance loop every warehouse runs, on the
+    streaming engine with checkpointed exactly-once file progress."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from clv_data_pipeline_spark.streaming.ingest import (
+        scd2_maintenance_sink,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    # fixture prep, not pipeline work: write three chronological slice
+    # files (the shape real daily arrivals already have).  Sequential
+    # single-file writes give strictly increasing mtimes, which is the
+    # file source's processing order at maxFilesPerTrigger=1.
+    src = tempfile.mkdtemp(prefix="q_scd2_stream_") + "/arrivals"
+    cuts = ("2024-01-11", "2024-01-21")
+    slices = (
+        ev.filter(F.col("ts") < cuts[0]),
+        ev.filter((F.col("ts") >= cuts[0]) & (F.col("ts") < cuts[1])),
+        ev.filter(F.col("ts") >= cuts[1]),
+    )
+    for s in slices:
+        s.coalesce(1).write.mode("append").parquet(src)
+
+    target_table = f"scd2_stream_{uuid.uuid4().hex[:8]}"
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("pathGlobFilter", "*.parquet")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    ckpt = tempfile.mkdtemp(prefix="q_scd2_stream_ckpt_")
+    q = (
+        stream.writeStream.foreachBatch(scd2_maintenance_sink(target_table))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    out = (
+        spark.table(target_table)
+        .select("user_id", "event_type", "valid_from", "valid_to",
+                "is_current")
+        .localCheckpoint(eager=True)
+    )
+    spark.sql(f"DROP TABLE IF EXISTS {target_table}")
+    return out
+
+
+@query(
     "q_attribution",
     oracle="""
     WITH attributed AS (

@@ -392,6 +392,124 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+@query(
+    "q_gopher_rules",
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id,
+               regexp_extract_all(trim(text), '\S+') AS toks,
+               length(text) - length(replace(text, '#', '')) AS n_hash,
+               CAST((length(text) - length(replace(text, '...', ''))) / 3
+                    AS BIGINT) AS n_ellipsis
+        FROM documents),
+    m AS (
+        SELECT doc_id,
+               CAST(len(toks) AS BIGINT) AS n_words,
+               ROUND(CAST(list_sum(list_transform(toks, x -> length(x)))
+                          AS DOUBLE)
+                     / GREATEST(len(toks), 1), 6) AS mean_word_len,
+               ROUND(CAST(len(list_filter(toks,
+                          x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+                     / GREATEST(len(toks), 1), 6) AS alpha_frac,
+               ROUND(CAST(n_hash + n_ellipsis AS DOUBLE)
+                     / GREATEST(len(toks), 1), 6) AS symbol_ratio,
+               CAST(len(list_intersect(
+                        list_transform(toks, x -> lower(x)),
+                        ['the','be','to','of','and','that','have','with']))
+                    AS BIGINT) AS stop_hits
+        FROM t)
+    SELECT doc_id, n_words, mean_word_len, alpha_frac, symbol_ratio,
+           stop_hits,
+           CAST(n_words BETWEEN 50 AND 100000 AS BIGINT) AS r_word_count,
+           CAST(mean_word_len BETWEEN 3 AND 10 AS BIGINT) AS r_word_len,
+           CAST(symbol_ratio <= 0.1 AS BIGINT) AS r_symbols,
+           CAST(alpha_frac >= 0.8 AS BIGINT) AS r_alpha,
+           CAST(stop_hits >= 2 AS BIGINT) AS r_stopwords,
+           CAST(n_words BETWEEN 50 AND 100000
+                AND mean_word_len BETWEEN 3 AND 10
+                AND symbol_ratio <= 0.1
+                AND alpha_frac >= 0.8
+                AND stop_hits >= 2 AS BIGINT) AS pass_gopher
+    FROM m
+    """,
+)
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher/MassiveText repetition-free quality-rule battery as
+    individual auditable columns (word-count bounds, mean word length
+    3-10, symbol-to-word ratio, alphabetic-word fraction, >=2 distinct
+    stop words) plus the conjunctive pass flag — the per-rule view a
+    corpus curator tunes, next to q_quality_score's single compressed
+    score.  Pure column expressions over one projection: split once,
+    every rule derives from the token array map-side, zero shuffles,
+    zero Python — the cheapest possible 100 TB pass."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.trim(F.col("text")), r"\s+"), lambda x: x != ""
+    )
+    n_hash = F.length("text") - F.length(F.regexp_replace("text", "#", ""))
+    n_ellipsis = (
+        (
+            F.length("text")
+            - F.length(F.regexp_replace("text", r"\.\.\.", ""))
+        )
+        / 3
+    ).cast("long")
+    base = d.select(
+        "doc_id",
+        toks.alias("_t"),
+        n_hash.alias("_nh"),
+        n_ellipsis.alias("_ne"),
+    )
+    n_words = F.size("_t").cast("long")
+    denom = F.greatest(n_words, F.lit(1))
+    sum_len = F.aggregate(
+        "_t", F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+    mean_word_len = F.round(sum_len.cast("double") / denom, 6)
+    alpha_frac = F.round(
+        F.size(F.filter("_t", lambda x: x.rlike("[A-Za-z]"))).cast("double")
+        / denom,
+        6,
+    )
+    symbol_ratio = F.round(
+        (F.col("_nh") + F.col("_ne")).cast("double") / denom, 6
+    )
+    stop_hits = F.size(
+        F.array_intersect(
+            F.transform("_t", F.lower),
+            F.array(*[F.lit(s) for s in _GOPHER_STOPWORDS]),
+        )
+    ).cast("long")
+    m = base.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mean_word_len.alias("mean_word_len"),
+        alpha_frac.alias("alpha_frac"),
+        symbol_ratio.alias("symbol_ratio"),
+        stop_hits.alias("stop_hits"),
+    )
+    flag = lambda c: c.cast("long")
+    r_word_count = flag(F.col("n_words").between(50, 100000))
+    r_word_len = flag(F.col("mean_word_len").between(3, 10))
+    r_symbols = flag(F.col("symbol_ratio") <= 0.1)
+    r_alpha = flag(F.col("alpha_frac") >= 0.8)
+    r_stopwords = flag(F.col("stop_hits") >= 2)
+    return m.select(
+        "*",
+        r_word_count.alias("r_word_count"),
+        r_word_len.alias("r_word_len"),
+        r_symbols.alias("r_symbols"),
+        r_alpha.alias("r_alpha"),
+        r_stopwords.alias("r_stopwords"),
+        (
+            r_word_count * r_word_len * r_symbols * r_alpha * r_stopwords
+        ).alias("pass_gopher"),
+    )
+
+
 @query(
     "q_fingerprint",
     oracle="""

@@ -207,3 +207,48 @@ def dedup_admission_sink(
         ).write.mode("append").saveAsTable(index_table)
 
     return _fn
+
+
+def scd2_maintenance_sink(
+    target_table: str,
+    key: str = "user_id",
+    attr: str = "event_type",
+    ts: str = "ts",
+    tiebreak: str = "event_id",
+):
+    """Build a ``foreachBatch`` body that maintains an SCD Type 2
+    interval table from a chronological change-event stream — the
+    streaming form of ``queries.temporal.scd2_merge``: each trigger
+    folds its micro-batch into the stored intervals touching ONLY the
+    affected keys (O(batch) work; untouched keys pass through by
+    anti-join inside the merge).
+
+    Batches must arrive in event-time order ACROSS triggers (the daily
+    -append contract scd2_merge documents: an interval table collapses
+    same-attribute runs, so an event older than a collapsed run cannot
+    be folded in later).  Within a batch, order is free — the merge
+    sorts.  The rewrite is a full overwrite of the interval table; in
+    production on a transactional format this becomes a keyed MERGE
+    touching only affected-key rows (operators/merge.py pattern), and
+    replaying a trigger after a crash-before-commit is idempotent
+    because the merge of already-folded events changes nothing.
+    """
+    from clv_data_pipeline_spark.queries.temporal import (
+        scd2_intervals,
+        scd2_merge,
+    )
+
+    def _fn(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if spark.catalog.tableExists(target_table):
+            merged = scd2_merge(
+                spark.table(target_table), batch_df, key, attr, ts, tiebreak
+            )
+        else:
+            merged = scd2_intervals(batch_df, key, attr, ts, tiebreak)
+        # materialize BEFORE overwriting the table the plan reads from
+        merged.localCheckpoint(eager=True).write.mode(
+            "overwrite"
+        ).saveAsTable(target_table)
+
+    return _fn
