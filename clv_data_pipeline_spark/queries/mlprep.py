@@ -1197,3 +1197,124 @@ def q_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("fpr", 6).alias("fpr"),
         F.round(F.sum("tri").over(wall), 6).alias("auc"),
     )
+
+
+@query(
+    "q_dsir",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, doc_id % 97 = 0 AS is_target,
+               {_TOKENIZE_SQL} AS t
+        FROM documents),
+    grams AS (
+        SELECT doc_id, is_target, unnest(
+            list_concat(
+                list_filter(t, x -> x <> ''),
+                list_transform(range(1, GREATEST(len(t) - 1, 0) + 1),
+                               i -> t[CAST(i AS INT)] || ' ' ||
+                                    t[CAST(i + 1 AS INT)])
+            )) AS g
+        FROM toks),
+    hashed AS (
+        SELECT doc_id, is_target,
+               ('0x' || substr(md5(g), 1, 8))::BIGINT % 256 AS bucket
+        FROM grams),
+    dist AS (
+        SELECT bucket,
+               CAST(SUM(CASE WHEN is_target THEN 1 ELSE 0 END) AS BIGINT)
+                   AS ct,
+               CAST(SUM(CASE WHEN is_target THEN 0 ELSE 1 END) AS BIGINT)
+                   AS cr
+        FROM hashed GROUP BY bucket),
+    tot AS (SELECT SUM(ct) AS tt, SUM(cr) AS tr FROM dist),
+    lr AS (
+        SELECT bucket,
+               CAST(ROUND(LN((ct + 1.0) / (tt + 256.0))
+                          - LN((cr + 1.0) / (tr + 256.0)), 9)
+                    AS DECIMAL(18,9)) AS lw
+        FROM dist CROSS JOIN tot),
+    doc_feats AS (
+        SELECT doc_id, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM hashed WHERE NOT is_target GROUP BY doc_id, bucket)
+    SELECT d.doc_id,
+           CAST(SUM(d.cnt) AS BIGINT) AS n_feats,
+           ROUND(CAST(SUM(CAST(CAST(d.cnt AS DECIMAL(10,0)) * l.lw
+                                AS DECIMAL(28,9))) AS DOUBLE), 6)
+               AS dsir_logw
+    FROM doc_feats d JOIN lr l ON d.bucket = l.bucket
+    GROUP BY d.doc_id
+    """,
+)
+def q_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR, Xie et al.
+    2023): score every raw document by how target-like it is under
+    hashed-n-gram bag models — the published, classifier-free way to
+    upsample quality domains when curating a pretraining mix.
+    Features are unigrams+bigrams hashed into 256 buckets
+    (engine-portable md5, same trick as q_feature_hash); the target
+    set (here doc_id % 97, standing in for a curated corpus) and the
+    raw rest each fit a Laplace-smoothed categorical, and a doc's
+    weight is sum_b count_b * log(p_target(b) / p_raw(b)).
+
+    Scale shape: one exploded-gram pass computes BOTH distributions
+    (conditional partial aggs, 256 rows out — broadcast-sized however
+    big the corpus); per-doc scoring re-aggregates the exploded grams
+    map-combined on (doc, bucket) and joins the 256-row weight table
+    broadcast — one wide shuffle total.  Determinism: log-ratios round
+    to 9 and accumulate as decimals, so float addition order cannot
+    move the hash."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(normalize_text(F.col("text")), " "), lambda x: x != ""
+    )
+    base = d.select(
+        "doc_id", (F.col("doc_id") % 97 == 0).alias("is_target"),
+        toks.alias("_t"),
+    )
+    bigrams = F.expr(
+        "transform(sequence(1, greatest(size(_t) - 1, 0)),"
+        " i -> concat(element_at(_t, i), ' ', element_at(_t, i + 1)))"
+    )
+    grams = base.select(
+        "doc_id", "is_target",
+        F.explode(F.concat(F.col("_t"), bigrams)).alias("g"),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("g").cast("binary")), 1, 8), 16, 10)
+        .cast("long") % 256
+    )
+    hashed = grams.select("doc_id", "is_target", bucket.alias("bucket"))
+    dist = hashed.groupBy("bucket").agg(
+        F.sum(F.when(F.col("is_target"), 1).otherwise(0)).alias("ct"),
+        F.sum(F.when(F.col("is_target"), 0).otherwise(1)).alias("cr"),
+    )
+    tot = dist.agg(
+        F.sum("ct").alias("tt"), F.sum("cr").alias("tr")
+    )
+    lr = dist.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        F.round(
+            F.log((F.col("ct") + 1.0) / (F.col("tt") + 256.0))
+            - F.log((F.col("cr") + 1.0) / (F.col("tr") + 256.0)),
+            9,
+        ).cast("decimal(18,9)").alias("lw"),
+    )
+    doc_feats = (
+        hashed.filter(~F.col("is_target"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+    return (
+        doc_feats.join(F.broadcast(lr), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_feats"),
+            F.round(
+                F.sum(
+                    (F.col("cnt").cast("decimal(10,0)") * F.col("lw"))
+                    .cast("decimal(28,9)")
+                ).cast("double"),
+                6,
+            ).alias("dsir_logw"),
+        )
+    )

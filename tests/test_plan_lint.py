@@ -52,6 +52,7 @@ _BNLJ_SCALAR_OK = {
     "q_minhash_incremental",  # 1-row delta-cut threshold broadcast
     "q_dedup_embedding_incremental",  # 1-row delta-cut threshold broadcast
     "q_ann_pq_incremental",  # same 1-row delta-cut scalar attach
+    "q_dsir",  # 1-row corpus gram-total broadcast onto the 256-bucket dist
     "q_embedding_drift",   # 1-row half-split cut broadcast
     "q_perplexity",        # 1-row corpus-total broadcast
     "q_perplexity_bigram", # 1-row corpus-total broadcast
