@@ -81,6 +81,12 @@ HEADLINE = [
     "q_rank_fusion",
     "q_bootstrap",
     "q_clv_scores",
+    # round-5 additions
+    "q_small_files",
+    "q_ann_pq_incremental",
+    "q_scd2_stream",
+    "q_gopher_rules",
+    "q_dsir",
 ]
 
 #: Frozen comparable subsets — apples-to-apples totals across rounds.
