@@ -2524,3 +2524,90 @@ def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_distinct") >= 3).alias("diverse"),
         )
     )
+
+
+@query(
+    "q_t_closeness",
+    oracle="""
+    WITH gb AS (
+        SELECT c_nationkey, c_mktsegment,
+               FLOOR(c_acctbal / 2000.0) AS band,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM customer GROUP BY c_nationkey, c_mktsegment, band),
+    g AS (
+        SELECT c_nationkey, c_mktsegment, band, cnt,
+               SUM(cnt) OVER (PARTITION BY c_nationkey, c_mktsegment)
+                   AS group_size
+        FROM gb),
+    b AS (
+        SELECT band, SUM(cnt) AS bn, SUM(SUM(cnt)) OVER () AS n
+        FROM gb GROUP BY band),
+    terms AS (
+        SELECT g.c_nationkey, g.c_mktsegment, g.group_size,
+               CAST(ROUND(ABS(CAST(g.cnt AS DOUBLE) / g.group_size
+                              - CAST(b.bn AS DOUBLE) / b.n), 9)
+                    AS DECIMAL(28,9)) AS term,
+               CAST(ROUND(CAST(b.bn AS DOUBLE) / b.n, 9)
+                    AS DECIMAL(28,9)) AS cover
+        FROM g JOIN b USING (band))
+    SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, c_mktsegment,
+           CAST(group_size AS BIGINT) AS group_size,
+           ROUND(0.5 * CAST(SUM(term) + (1 - SUM(cover)) AS DOUBLE), 6)
+               AS tvd,
+           ROUND(0.5 * CAST(SUM(term) + (1 - SUM(cover)) AS DOUBLE), 6)
+               <= 0.2 AS close
+    FROM terms GROUP BY c_nationkey, c_mktsegment, group_size
+    """,
+)
+def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit — the third privacy gate after q_k_anonymity
+    and q_l_diversity: a group passes iff the distribution of its
+    sensitive attribute (acctbal band) is within total-variation
+    distance t=0.2 of the GLOBAL distribution (a group can be k-large
+    and l-diverse yet still skewed enough to leak).  Grid-free TVD:
+    over a group's OBSERVED bands sum |p_group - p_global|, and bands
+    absent from the group contribute their full global mass — exactly
+    (1 - sum of covered global mass) — so no (group x band) zero-fill
+    grid ever materializes.  One (group, band) partial-agg shuffle;
+    the band-level global distribution is six rows and broadcasts.
+    Terms round to 9 and accumulate as decimals for order-free hashes."""
+    c = load_table(spark, sf_dir, "customer")
+    band = F.floor(F.col("c_acctbal") / 2000.0)
+    gb = (
+        c.groupBy("c_nationkey", "c_mktsegment", band.alias("band"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    g = gb.withColumn(
+        "group_size",
+        F.sum("cnt").over(
+            Window.partitionBy("c_nationkey", "c_mktsegment")
+        ),
+    )
+    b = (
+        gb.groupBy("band")
+        .agg(F.sum("cnt").alias("bn"))
+        .withColumn("n", F.sum("bn").over(Window.partitionBy()))
+    )
+    p_g = F.col("cnt").cast("double") / F.col("group_size")
+    p_b = F.col("bn").cast("double") / F.col("n")
+    terms = g.join(F.broadcast(b), "band").select(
+        "c_nationkey",
+        "c_mktsegment",
+        "group_size",
+        F.round(F.abs(p_g - p_b), 9).cast("decimal(28,9)").alias("term"),
+        F.round(p_b, 9).cast("decimal(28,9)").alias("cover"),
+    )
+    tvd = F.round(
+        0.5 * (F.sum("term") + (1 - F.sum("cover"))).cast("double"), 6
+    )
+    return (
+        terms.groupBy("c_nationkey", "c_mktsegment", "group_size")
+        .agg(tvd.alias("tvd"))
+        .select(
+            F.col("c_nationkey").cast("long"),
+            "c_mktsegment",
+            F.col("group_size").cast("long"),
+            "tvd",
+            (F.col("tvd") <= 0.2).alias("close"),
+        )
+    )
