@@ -670,9 +670,19 @@ def simhash_candidates(
         if sigs is not None
         else simhash_signatures_vectorized(df, text_col, id_col)
     )
-    # exchange barrier: the quarter explode references _sh 4 times and
-    # the self-join doubles that.
+    # exchange barrier, twice useful: the quarter explode + self-join
+    # reference _sh multiple times (the Python kernel must not run per
+    # reference), and a caller-provided signature table read from a
+    # few parquet files would otherwise probe the join from 1-2 tasks —
+    # the repartition restores full-core parallelism for the pair
+    # generation, which dominates on near-dup-heavy corpora.
     sh = sh.repartition(id_col)
+
+    def _qv(col: str, i: int):
+        return F.shiftrightunsigned(F.col(col), 16 * i).bitwiseAND(
+            F.lit(0xFFFF)
+        )
+
     quarters = sh.select(
         id_col,
         "_sh",
@@ -680,10 +690,7 @@ def simhash_candidates(
             F.array(
                 *[
                     F.struct(
-                        F.lit(i).alias("q"),
-                        F.shiftrightunsigned(F.col("_sh"), 16 * i)
-                        .bitwiseAND(F.lit(0xFFFF))
-                        .alias("qv"),
+                        F.lit(i).alias("q"), _qv("_sh", i).alias("qv")
                     )
                     for i in range(4)
                 ]
@@ -691,21 +698,30 @@ def simhash_candidates(
         ).alias("qk"),
     ).select(id_col, "_sh", F.col("qk.q").alias("q"), F.col("qk.qv").alias("qv"))
     a, b = quarters.alias("a"), quarters.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.q") == F.col("b.q"))
-            & (F.col("a.qv") == F.col("b.qv"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    # first-match dedup instead of a post-join distinct(): a pair whose
+    # signatures agree on several quarters would surface once per
+    # matching quarter, so the join keeps it ONLY at its first matching
+    # quarter (all earlier quarters must differ — a residual predicate
+    # on the two _sh columns, evaluated post-probe).  Each pair then
+    # appears exactly once and the full pair-set shuffle distinct()
+    # required is gone.
+    first_match = F.lit(True)
+    for j in range(3):
+        first_match = first_match & (
+            (F.col("a.q") <= j) | (_qv("a._sh", j) != _qv("b._sh", j))
         )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            F.bit_count(
-                F.col("a._sh").bitwiseXOR(F.col("b._sh"))
-            ).alias("hamming"),
-        )
-        .distinct()
+    pairs = a.join(
+        b,
+        (F.col("a.q") == F.col("b.q"))
+        & (F.col("a.qv") == F.col("b.qv"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        & first_match,
+    ).select(
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+        F.bit_count(
+            F.col("a._sh").bitwiseXOR(F.col("b._sh"))
+        ).alias("hamming"),
     )
     return pairs.filter(F.col("hamming") <= 3)
 

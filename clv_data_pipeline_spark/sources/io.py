@@ -204,6 +204,63 @@ def compact_parquet(
     return files_before, files_after
 
 
+def materialize_temp(
+    df: DataFrame, prefix: str, key: str | None = None
+) -> DataFrame:
+    """Write ``df`` once to a session-temp parquet dataset and return a
+    scan of it — the multi-consumer branch-point pattern WITHOUT
+    executor-cache residency.
+
+    ``persist()`` keeps blocks pinned in executor storage until someone
+    unpersists (a leak in long-lived sessions), while unpersisting
+    after the first consumer re-runs the producing subtree for every
+    later one.  Materializing to parquet pays the compute exactly once
+    and every consumer is a cheap columnar scan; the artifact is also
+    exactly what a production pipeline stores at these branch points
+    (a features table, a signature index), just at a managed path
+    instead of a tmpdir.  Lifecycle: the OS/container reaps the
+    tempdir; nothing stays resident in the Spark session.
+
+    ``key`` opts into DERIVED-ARTIFACT semantics: a deterministic
+    content key (e.g. source path + mtime) maps to a stable path, and a
+    later call with the same key reuses the stored dataset instead of
+    recomputing — exactly how a production pipeline treats a signature
+    index or features table (immutable derived data, built once per
+    source version).  Concurrent builders race safely: each writes to a
+    unique staging dir and the first atomic rename wins.
+    """
+    import hashlib
+    import shutil
+    import tempfile
+
+    spark = df.sparkSession
+    if key is None:
+        path = tempfile.mkdtemp(prefix=prefix) + "/data"
+        df.write.parquet(path)
+        return spark.read.parquet(path)
+
+    digest = hashlib.md5(key.encode()).hexdigest()[:16]
+    root = os.path.join(tempfile.gettempdir(), "clv_artifacts")
+    os.makedirs(root, exist_ok=True)
+    path = os.path.join(root, f"{prefix}{digest}")
+    if not os.path.exists(path):
+        stage = tempfile.mkdtemp(prefix=prefix, dir=root) + "/stage"
+        df.write.parquet(stage)
+        try:
+            os.rename(stage, path)
+        except OSError:
+            shutil.rmtree(stage, ignore_errors=True)  # concurrent winner
+    return spark.read.parquet(path)
+
+
+def source_key(sf_dir: str, name: str) -> str:
+    """Content key for derived artifacts over a testdata table: path +
+    mtime + size, so a republished source invalidates the artifact."""
+    p = os.path.join(sf_dir, f"{name}.parquet")
+    st = os.stat(p)
+    return f"{p}:{st.st_mtime_ns}:{st.st_size}"
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,
