@@ -217,3 +217,42 @@ def test_normalize_timestamps_casts_ntz_parquet(spark, tmp_path):
         for r in fixed.select(F.unix_micros("ts").alias("us")).orderBy("us").collect()
     ]
     assert micros == [1704067200000001, 1704198896789012]
+
+
+def test_materialize_temp_keyed_reuses_artifact(spark, tmp_path):
+    """Content-keyed materialization: same key -> the dataset is built
+    once and later calls scan the stored artifact; different key ->
+    fresh build.  This is the derived-artifact contract q_simhash /
+    q_clv_scores rely on to avoid re-running their kernels per
+    invocation without any executor-cache residency."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from clv_data_pipeline_spark.sources.io import materialize_temp
+
+    src = str(tmp_path / "src")
+    spark.range(100).withColumn("v", F.col("id") * 2).write.parquet(src)
+    df = spark.read.parquet(src)
+
+    key = f"test-materialize-{tmp_path.name}"
+    out1 = materialize_temp(df, "test_mat_", key=key)
+    path1 = out1.inputFiles()[0]
+    # same key: no rebuild — the scan points at the same stored files
+    out2 = materialize_temp(
+        df.filter(F.col("id") < 0), "test_mat_", key=key
+    )
+    assert sorted(out2.inputFiles()) == sorted(out1.inputFiles())
+    assert out2.count() == 100  # stored artifact wins over the new plan
+    # different key: fresh build
+    out3 = materialize_temp(
+        df.filter(F.col("id") < 10), "test_mat_", key=key + "-other"
+    )
+    assert out3.count() == 10
+    assert sorted(out3.inputFiles()) != sorted(out1.inputFiles())
+    # unkeyed: always a fresh tempdir
+    out4 = materialize_temp(df, "test_mat_")
+    assert os.path.dirname(out4.inputFiles()[0]) != os.path.dirname(path1)
+    local_dir = os.path.dirname(path1).removeprefix("file:")
+    assert glob.glob(os.path.join(local_dir, "*.parquet"))
