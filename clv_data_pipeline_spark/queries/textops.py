@@ -396,6 +396,106 @@ _GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
 
 
 @query(
+    "q_gopher_repetition",
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id, regexp_extract_all(trim(text), '\S+') AS toks,
+               CAST(length(replace(trim(text), ' ', '')) AS BIGINT)
+                   AS n_chars_tok
+        FROM documents),
+    grams AS (
+        SELECT doc_id, n_chars_tok, n,
+               unnest(list_transform(
+                   range(1, GREATEST(len(toks) - n + 1, 0) + 1),
+                   i -> array_to_string(toks[CAST(i AS INT):
+                                             CAST(i + n - 1 AS INT)], ' ')))
+                   AS g
+        FROM t CROSS JOIN (SELECT unnest([2, 3, 4]) AS n)),
+    counts AS (
+        SELECT doc_id, n_chars_tok, n, g, CAST(COUNT(*) AS BIGINT) AS c
+        FROM grams GROUP BY doc_id, n_chars_tok, n, g),
+    top AS (
+        SELECT doc_id, n_chars_tok, n, g, c,
+               ROW_NUMBER() OVER (PARTITION BY doc_id, n
+                                  ORDER BY c DESC, g) AS rn
+        FROM counts)
+    SELECT doc_id, n,
+           CAST(c AS BIGINT) AS top_count,
+           ROUND(CAST(c * (length(g) - (n - 1)) AS DOUBLE)
+                 / GREATEST(n_chars_tok, 1), 6) AS top_gram_char_frac,
+           CAST(ROUND(CAST(c * (length(g) - (n - 1)) AS DOUBLE)
+                      / GREATEST(n_chars_tok, 1), 6)
+                <= CASE n WHEN 2 THEN 0.20
+                          WHEN 3 THEN 0.18 ELSE 0.16 END AS BIGINT)
+               AS passes
+    FROM top WHERE rn = 1
+    """,
+)
+def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher's other repetition family next to q_repetition's
+    distinct-token ratio: for n in {2,3,4}, the fraction of a
+    document's (non-space) characters covered by its MOST FREQUENT
+    word n-gram, with the published per-n thresholds (0.20/0.18/0.16)
+    — the filter that catches looping generations and boilerplate that
+    token-level dedup misses.  Tie-break: smallest gram
+    lexicographically, so the reported top gram is engine-stable.
+    One (doc, n, gram) partial-agg shuffle; the per-(doc, n) winner is
+    a WindowGroupLimit top-1, never a full sort."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.expr(r"regexp_extract_all(trim(text), '\\S+', 0)")
+    base = d.select(
+        "doc_id",
+        toks.alias("_t"),
+        (
+            F.length(F.regexp_replace(F.trim(F.col("text")), " ", ""))
+        ).cast("long").alias("n_chars_tok"),
+    )
+    per_n = []
+    for n in (2, 3, 4):
+        # guard: Spark's sequence(1, m) DESCENDS when m < 1
+        grams = F.expr(
+            f"case when size(_t) >= {n} then"
+            f" transform(sequence(1, size(_t) - {n} + 1),"
+            f" i -> array_join(slice(_t, i, {n}), ' '))"
+            f" else array() end"
+        )
+        per_n.append(
+            base.select(
+                "doc_id", "n_chars_tok", F.lit(n).alias("n"),
+                F.explode(grams).alias("g"),
+            )
+        )
+    grams_df = per_n[0].unionByName(per_n[1]).unionByName(per_n[2])
+    counts = grams_df.groupBy("doc_id", "n_chars_tok", "n", "g").agg(
+        F.count("*").alias("c")
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("doc_id", "n").orderBy(F.desc("c"), "g")
+    frac = F.round(
+        (F.col("c") * (F.length("g") - (F.col("n") - 1))).cast("double")
+        / F.greatest(F.col("n_chars_tok"), F.lit(1)),
+        6,
+    )
+    thresh = (
+        F.when(F.col("n") == 2, 0.20)
+        .when(F.col("n") == 3, 0.18)
+        .otherwise(0.16)
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            "n",
+            F.col("c").cast("long").alias("top_count"),
+            frac.alias("top_gram_char_frac"),
+            (frac <= thresh).cast("long").alias("passes"),
+        )
+    )
+
+
+@query(
     "q_gopher_rules",
     oracle=r"""
     WITH t AS (
