@@ -87,6 +87,8 @@ HEADLINE = [
     "q_scd2_stream",
     "q_gopher_rules",
     "q_dsir",
+    "q_t_closeness",
+    "q_gopher_repetition",
 ]
 
 #: Frozen comparable subsets — apples-to-apples totals across rounds.
