@@ -36,6 +36,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from clv_data_pipeline_spark.operators.similarity import spread_partitions
+
 #: subspaces (d must divide evenly), centroids per subspace, training
 #: sample cap, k-means iterations.  16 x 64 on 64-dim = 16 codes/vector
 #: (32x compression); measured recall@10 vs brute on the synthetic
@@ -120,7 +122,7 @@ def encode_pq(
                 {id_col: pdf[id_col], "codes": list(codes)}
             )
 
-    return embeddings.select(id_col, vec_col).mapInPandas(
+    return spread_partitions(embeddings.select(id_col, vec_col)).mapInPandas(
         _enc, f"{id_col} long, codes array<bigint>"
     )
 
@@ -229,7 +231,9 @@ def pq_topk_from_codes(
                         out["rank"].extend(range(1, len(order) + 1))
                 yield pd.DataFrame(out)
 
-        topk = queries.select(id_col, vec_col).mapInPandas(
+        topk = spread_partitions(
+            queries.select(id_col, vec_col)
+        ).mapInPandas(
             _score, "vec_id long, neighbor_id long, sim double, rank long"
         )
         per_shard = topk if per_shard is None else per_shard.unionByName(topk)

@@ -185,6 +185,17 @@ def cosine_topk_sharded(
     )
 
 
+def spread_partitions(df: DataFrame) -> DataFrame:
+    """Widen a frame to the cluster's parallelism when the source gave
+    it fewer partitions (a single parquet file -> 1-2 tasks -> a
+    single-threaded Python kernel).  No-op when already at or above
+    ``defaultParallelism`` — at 100 TB the input is thousands of
+    partitions and this never shuffles; it only rescues the small-file
+    case where an Arrow kernel would otherwise serialize."""
+    p = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(p) if df.rdd.getNumPartitions() < p else df
+
+
 def _cosine_topk_against_index(
     queries: DataFrame,
     index: DataFrame,
@@ -230,7 +241,7 @@ def _cosine_topk_against_index(
                 rows["rank"].extend(range(1, len(order) + 1))
             yield pd.DataFrame(rows)
 
-    return queries.select(id_col, vec_col).mapInPandas(
+    return spread_partitions(queries.select(id_col, vec_col)).mapInPandas(
         _score, "vec_id long, neighbor_id long, sim double, rank long"
     )
 
