@@ -122,7 +122,7 @@ def encode_pq(
                 {id_col: pdf[id_col], "codes": list(codes)}
             )
 
-    return spread_partitions(embeddings.select(id_col, vec_col)).mapInPandas(
+    return embeddings.select(id_col, vec_col).mapInPandas(
         _enc, f"{id_col} long, codes array<bigint>"
     )
 

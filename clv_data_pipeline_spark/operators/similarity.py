@@ -241,7 +241,7 @@ def _cosine_topk_against_index(
                 rows["rank"].extend(range(1, len(order) + 1))
             yield pd.DataFrame(rows)
 
-    return spread_partitions(queries.select(id_col, vec_col)).mapInPandas(
+    return queries.select(id_col, vec_col).mapInPandas(
         _score, "vec_id long, neighbor_id long, sim double, rank long"
     )
 
