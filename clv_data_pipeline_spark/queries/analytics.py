@@ -2542,21 +2542,23 @@ def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     b AS (
         SELECT band, SUM(cnt) AS bn, SUM(SUM(cnt)) OVER () AS n
         FROM gb GROUP BY band),
-    terms AS (
-        SELECT g.c_nationkey, g.c_mktsegment, g.group_size,
-               CAST(ROUND(ABS(CAST(g.cnt AS DOUBLE) / g.group_size
-                              - CAST(b.bn AS DOUBLE) / b.n), 9)
-                    AS DECIMAL(28,9)) AS term,
-               CAST(ROUND(CAST(b.bn AS DOUBLE) / b.n, 9)
-                    AS DECIMAL(28,9)) AS cover
-        FROM g JOIN b USING (band))
+    parts AS (
+        SELECT g.c_nationkey, g.c_mktsegment, g.group_size, b.n,
+               SUM(ABS(g.cnt * b.n - b.bn * g.group_size)) AS moved,
+               SUM(b.bn) AS covered
+        FROM g JOIN b USING (band)
+        GROUP BY g.c_nationkey, g.c_mktsegment, g.group_size, b.n)
     SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, c_mktsegment,
            CAST(group_size AS BIGINT) AS group_size,
-           ROUND(0.5 * CAST(SUM(term) + (1 - SUM(cover)) AS DOUBLE), 6)
-               AS tvd,
-           ROUND(0.5 * CAST(SUM(term) + (1 - SUM(cover)) AS DOUBLE), 6)
-               <= 0.2 AS close
-    FROM terms GROUP BY c_nationkey, c_mktsegment, group_size
+           CAST((CAST(moved + group_size * (n - covered) AS HUGEINT)
+                 * 1000000 + group_size * n)
+                // (2 * CAST(group_size AS HUGEINT) * n) AS BIGINT)
+               AS tvd_ppm,
+           CAST((CAST(moved + group_size * (n - covered) AS HUGEINT)
+                 * 1000000 + group_size * n)
+                // (2 * CAST(group_size AS HUGEINT) * n) AS BIGINT)
+               <= 200000 AS close
+    FROM parts
     """,
 )
 def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2567,10 +2569,17 @@ def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     and l-diverse yet still skewed enough to leak).  Grid-free TVD:
     over a group's OBSERVED bands sum |p_group - p_global|, and bands
     absent from the group contribute their full global mass — exactly
-    (1 - sum of covered global mass) — so no (group x band) zero-fill
-    grid ever materializes.  One (group, band) partial-agg shuffle;
-    the band-level global distribution is six rows and broadcasts.
-    Terms round to 9 and accumulate as decimals for order-free hashes."""
+    (1 - covered global mass) — so no (group x band) zero-fill grid
+    ever materializes.  One (group, band) partial-agg shuffle; the
+    band-level global distribution is six rows and broadcasts.
+
+    Determinism: TVD rationals here routinely land EXACTLY on 6-digit
+    round-half boundaries (small integer denominators x the 1/2
+    factor), where double rounding diverges across engines — so the
+    result is pure integer arithmetic end to end: TVD in parts-per-
+    million = (moved*1e6 + den) DIV (2*den) with
+    moved = sum |cnt*n - bn*gs| + gs*(n - covered), den = gs*n, run in
+    DECIMAL(38,0)/HUGEINT so it is exact at any corpus size."""
     c = load_table(spark, sf_dir, "customer")
     band = F.floor(F.col("c_acctbal") / 2000.0)
     gb = (
@@ -2588,26 +2597,28 @@ def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("cnt").alias("bn"))
         .withColumn("n", F.sum("bn").over(Window.partitionBy()))
     )
-    p_g = F.col("cnt").cast("double") / F.col("group_size")
-    p_b = F.col("bn").cast("double") / F.col("n")
-    terms = g.join(F.broadcast(b), "band").select(
-        "c_nationkey",
-        "c_mktsegment",
-        "group_size",
-        F.round(F.abs(p_g - p_b), 9).cast("decimal(28,9)").alias("term"),
-        F.round(p_b, 9).cast("decimal(28,9)").alias("cover"),
-    )
-    tvd = F.round(
-        0.5 * (F.sum("term") + (1 - F.sum("cover"))).cast("double"), 6
-    )
-    return (
-        terms.groupBy("c_nationkey", "c_mktsegment", "group_size")
-        .agg(tvd.alias("tvd"))
-        .select(
-            F.col("c_nationkey").cast("long"),
-            "c_mktsegment",
-            F.col("group_size").cast("long"),
-            "tvd",
-            (F.col("tvd") <= 0.2).alias("close"),
+    parts = (
+        g.join(F.broadcast(b), "band")
+        .groupBy("c_nationkey", "c_mktsegment", "group_size", "n")
+        .agg(
+            F.sum(
+                F.abs(F.col("cnt") * F.col("n")
+                      - F.col("bn") * F.col("group_size"))
+            ).alias("moved"),
+            F.sum("bn").alias("covered"),
         )
     )
+    # integral DIV, not decimal '/': Spark's decimal division rounds at
+    # the derived result scale, which can flip the half-up boundary the
+    # +den term encodes; DIV is the exact integral quotient.
+    tvd_ppm = F.expr(
+        "CAST((CAST(moved + group_size * (n - covered) AS DECIMAL(38,0))"
+        " * 1000000 + CAST(group_size AS DECIMAL(38,0)) * n)"
+        " DIV (2 * CAST(group_size AS DECIMAL(38,0)) * n) AS BIGINT)"
+    )
+    return parts.select(
+        F.col("c_nationkey").cast("long"),
+        "c_mktsegment",
+        F.col("group_size").cast("long"),
+        tvd_ppm.alias("tvd_ppm"),
+    ).withColumn("close", F.col("tvd_ppm") <= 200000)
