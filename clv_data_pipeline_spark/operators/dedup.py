@@ -648,6 +648,65 @@ def simhash_signatures_vectorized(
     )
 
 
+def simhash_pair_count(sh: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """1-row COUNT of Hamming<=3 doc pairs, computed over DISTINCT
+    signatures with multiplicities — an exact compression of
+    :func:`simhash_candidates` for count-only consumers.
+
+    Near-dup-heavy corpora repeat signatures (the driver fixture:
+    3.6k distinct of 5k docs), so pair generation over distinct sigs
+    does (distinct/total)^2 of the join work; doc-pair counts recover
+    exactly as m_a*m_b across distinct-sig pairs plus C(m,2) within
+    each signature (Hamming 0).  Same pigeonhole + first-match logic
+    as the pair materializer, so the two agree row-for-row (pinned in
+    tests)."""
+    d = sh.groupBy("_sh").agg(F.count("*").alias("m"))
+
+    def _qv(col: str, i: int):
+        return F.shiftrightunsigned(F.col(col), 16 * i).bitwiseAND(
+            F.lit(0xFFFF)
+        )
+
+    quarters = d.select(
+        "_sh",
+        "m",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(i).alias("q"), _qv("_sh", i).alias("qv"))
+                    for i in range(4)
+                ]
+            )
+        ).alias("qk"),
+    ).select("_sh", "m", F.col("qk.q").alias("q"), F.col("qk.qv").alias("qv"))
+    a, b = quarters.alias("a"), quarters.alias("b")
+    first_match = F.lit(True)
+    for j in range(3):
+        first_match = first_match & (
+            (F.col("a.q") <= j) | (_qv("a._sh", j) != _qv("b._sh", j))
+        )
+    cross = (
+        a.join(
+            b,
+            (F.col("a.q") == F.col("b.q"))
+            & (F.col("a.qv") == F.col("b.qv"))
+            & (F.col("a._sh") < F.col("b._sh"))
+            & first_match
+            & (
+                F.bit_count(F.col("a._sh").bitwiseXOR(F.col("b._sh"))) <= 3
+            ),
+        )
+        .agg(F.sum(F.col("a.m") * F.col("b.m")).alias("c"))
+        .select(F.coalesce("c", F.lit(0)).cast("long").alias("c"))
+    )
+    within = d.agg(
+        F.sum(F.col("m") * (F.col("m") - 1) / 2).cast("long").alias("w")
+    )
+    return cross.crossJoin(F.broadcast(within)).select(
+        (F.col("c") + F.col("w")).cast("long").alias("n_near_dup_pairs")
+    )
+
+
 def simhash_candidates(
     df: DataFrame,
     text_col: str = "text",

@@ -773,10 +773,12 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "simhash_sigs_",
         key=source_key(sf_dir, "documents"),
     )
+    from clv_data_pipeline_spark.operators.dedup import simhash_pair_count
+
     sigs = sh.withColumnRenamed("_sh", "simhash")
-    n = simhash_candidates(d, sigs=sh).agg(
-        F.count("*").cast("long").alias("n_near_dup_pairs")
-    )
+    # count-only consumer: pair counting runs over distinct signatures
+    # with multiplicities (exact, ~2x less join work on dup-heavy data)
+    n = simhash_pair_count(sh)
     return sigs.crossJoin(F.broadcast(n))
 
 

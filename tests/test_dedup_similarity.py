@@ -518,3 +518,23 @@ def test_weighted_minhash_properties(spark):
     assert overlap_disjoint == 0             # disjoint => no collisions
     overlap_shift = sum(by_doc[1][k] == by_doc[5][k] for k in by_doc[1])
     assert 0 < overlap_shift < 16            # shifted tf => partial
+
+
+def test_simhash_pair_count_equals_materialized_pairs(spark):
+    """The multiplicity-compressed count must equal counting the
+    materialized candidate pairs exactly — same pigeonhole, same
+    first-match dedup, different cardinality space."""
+    from clv_data_pipeline_spark.operators.dedup import (
+        simhash_candidates,
+        simhash_pair_count,
+        simhash_signatures_vectorized,
+    )
+    from clv_data_pipeline_spark.sources.io import load_table
+    from tests.conftest import SF_SMOKE
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    sh = simhash_signatures_vectorized(d).localCheckpoint(eager=True)
+    n_pairs = simhash_candidates(d, sigs=sh).count()
+    n_compressed = simhash_pair_count(sh).first()["n_near_dup_pairs"]
+    assert n_compressed == n_pairs
+    assert n_pairs > 0  # fixture has near-dups; the equality is not vacuous
