@@ -270,6 +270,8 @@ def pq_topk_rerank(
     ksub: int = PQ_KSUB,
     num_shards: int = 1,
     seed: int = 7,
+    books=None,
+    codes_df: DataFrame | None = None,
 ) -> DataFrame:
     """PQ retrieve + exact re-rank — the production PQ shape.
 
@@ -280,15 +282,24 @@ def pq_topk_rerank(
     re-score exactly.  Quantization error decides which candidates are
     seen, not their final order — measured recall@10 ~1.0 at
     shortlist=50 on the synthetic table vs ~0.62 ADC-only.
+
+    ``books``/``codes_df`` accept a stored codebook + encoded index so
+    a caller with artifact state (q_ann_pq) skips train/encode.
     """
     from clv_data_pipeline_spark.operators.similarity import (
         _pair_cosine_scores,
     )
 
-    cand = pq_topk(
-        embeddings, k=shortlist, id_col=id_col, vec_col=vec_col,
-        m=m, ksub=ksub, num_shards=num_shards, seed=seed,
-    ).select("vec_id", "neighbor_id")
+    if books is not None and codes_df is not None:
+        cand = pq_topk_from_codes(
+            codes_df, embeddings, books, k=shortlist,
+            id_col=id_col, vec_col=vec_col, num_shards=num_shards,
+        ).select("vec_id", "neighbor_id")
+    else:
+        cand = pq_topk(
+            embeddings, k=shortlist, id_col=id_col, vec_col=vec_col,
+            m=m, ksub=ksub, num_shards=num_shards, seed=seed,
+        ).select("vec_id", "neighbor_id")
     a = embeddings.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_va")
     )

@@ -253,6 +253,33 @@ def materialize_temp(
     return spark.read.parquet(path)
 
 
+def artifact_numpy(prefix: str, key: str, builder):
+    """Driver-side numpy twin of keyed :func:`materialize_temp`: build
+    a small ndarray artifact (a PQ codebook, a quantizer) once per
+    content key and reuse it from disk afterwards — the stored-model
+    half of a stored index.  Same staging-rename race safety."""
+    import hashlib
+    import tempfile
+
+    import numpy as np
+
+    digest = hashlib.md5(key.encode()).hexdigest()[:16]
+    root = os.path.join(tempfile.gettempdir(), "clv_artifacts")
+    os.makedirs(root, exist_ok=True)
+    path = os.path.join(root, f"{prefix}{digest}.npy")
+    if os.path.exists(path):
+        return np.load(path)
+    arr = builder()
+    fd, stage = tempfile.mkstemp(prefix=prefix, suffix=".npy", dir=root)
+    os.close(fd)
+    np.save(stage, arr)
+    try:
+        os.replace(stage, path)
+    except OSError:
+        os.unlink(stage)
+    return arr
+
+
 def source_key(sf_dir: str, name: str) -> str:
     """Content key for derived artifacts over a testdata table: path +
     mtime + size, so a republished source invalidates the artifact."""
