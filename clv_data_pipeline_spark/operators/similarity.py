@@ -451,6 +451,46 @@ def fit_ivf_centroids(
     return C
 
 
+def ivf_assign(
+    embeddings: DataFrame,
+    centroids,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cell assignment — IVF's INVERTED FILE (vec_id, _v, cell), one
+    map-only Arrow matmul.  In production this is the stored index
+    table (partitioned by cell); q_ann_ivf / q_knn_label_ann
+    materialize it as a keyed artifact with that lifecycle."""
+    import numpy as np
+    import pandas as pd
+
+    bc = embeddings.sparkSession.sparkContext.broadcast(centroids)
+
+    def _assign(batches):
+        cent = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf[id_col],
+                    "_v": pdf[vec_col],
+                    "cell": (Vn @ cent.T).argmax(axis=1),
+                }
+            )
+
+    assign_schema = (
+        embeddings.select(
+            F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_v")
+        ).schema.add("cell", "long")
+    )
+    return embeddings.select(id_col, vec_col).mapInPandas(
+        _assign, assign_schema
+    )
+
+
 def ivf_topk(
     embeddings: DataFrame,
     k: int = 1,
@@ -458,6 +498,8 @@ def ivf_topk(
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids=None,
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k via an IVF (inverted-file) index: every vector
     is assigned to its nearest coarse centroid's cell; each query only
@@ -482,35 +524,18 @@ def ivf_topk(
     import numpy as np
     import pandas as pd
 
-    C = fit_ivf_centroids(
-        embeddings, k=n_cells, id_col=id_col, vec_col=vec_col
+    C = (
+        centroids
+        if centroids is not None
+        else fit_ivf_centroids(
+            embeddings, k=n_cells, id_col=id_col, vec_col=vec_col
+        )
     )
     bc = embeddings.sparkSession.sparkContext.broadcast(C)
     nprobe = min(nprobe, len(C))
 
-    def _assign(batches):
-        cent = bc.value
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
-            yield pd.DataFrame(
-                {
-                    "vec_id": pdf[id_col],
-                    "_v": pdf[vec_col],
-                    "cell": (Vn @ cent.T).argmax(axis=1),
-                }
-            )
-
-    assign_schema = (
-        embeddings.select(
-            F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_v")
-        ).schema.add("cell", "long")
-    )
-    assigned = embeddings.select(id_col, vec_col).mapInPandas(
-        _assign, assign_schema
-    )
+    if assigned is None:
+        assigned = ivf_assign(embeddings, C, id_col, vec_col)
 
     def _probe(batches):
         cent = bc.value

@@ -297,10 +297,31 @@ def q_knn_label_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~1/8.  No oracle by design (IVF recall depends on the sampled
     quantizer); tests/test_mlprep.py pins >=0.9 prediction agreement
     with the exact q_knn_label on driver testdata."""
-    from clv_data_pipeline_spark.operators.similarity import ivf_topk
+    from clv_data_pipeline_spark.operators.similarity import (
+        fit_ivf_centroids,
+        ivf_assign,
+        ivf_topk,
+    )
+    from clv_data_pipeline_spark.sources.io import (
+        artifact_numpy,
+        materialize_temp,
+        source_key,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    knn = ivf_topk(emb, k=5, n_cells=32, nprobe=24)
+    # stored-index lifecycle (same as q_ann_ivf): quantizer + inverted
+    # file are keyed artifacts, so invocations pay probe + vote only
+    skey = source_key(sf_dir, "embeddings") + ":ivf32"
+    cents = artifact_numpy(
+        "ivf_cents_", skey, lambda: fit_ivf_centroids(emb, k=32)
+    )
+    assigned = materialize_temp(
+        ivf_assign(emb, cents), "ivf_cells_", key=skey
+    )
+    knn = ivf_topk(
+        emb, k=5, n_cells=32, nprobe=24,
+        centroids=cents, assigned=assigned,
+    )
     return _knn_vote(knn, emb)
 
 
