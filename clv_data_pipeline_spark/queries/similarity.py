@@ -40,14 +40,16 @@ from clv_data_pipeline_spark.sources.io import load_table
 )
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine nearest neighbor (top-1) — the exact baseline
-    the LSH path is measured against.  Registered with the sharded
-    kernel (4 hash shards): no single broadcast/collect ever holds the
-    full index, so the path that the driver verifies is the same one
-    that survives 100x scale (operators/similarity.py cosine_topk adds
-    the size-gated shard count for library callers)."""
-    return cosine_topk_sharded(
-        load_table(spark, sf_dir, "embeddings"), k=1, num_shards=4
-    )
+    the LSH path is measured against.  Registered with the size-gated
+    library entry point (operators/similarity.py cosine_topk): the
+    shard count derives from the index row count, so no single
+    broadcast/collect ever exceeds one bounded shard at any scale,
+    and a small index pays one collect instead of a fixed four.  The
+    multi-shard kernel itself stays driver-hash-verified through
+    q_knn_label (cosine_topk_sharded, num_shards=4, oracle-checked)."""
+    from clv_data_pipeline_spark.operators.similarity import cosine_topk
+
+    return cosine_topk(load_table(spark, sf_dir, "embeddings"), k=1)
 
 
 @query(
