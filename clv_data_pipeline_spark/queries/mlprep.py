@@ -1304,10 +1304,28 @@ def q_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.conv(F.substring(F.md5(F.col("g").cast("binary")), 1, 8), 16, 10)
         .cast("long") % 256
     )
+    from clv_data_pipeline_spark.sources.io import (
+        materialize_temp,
+        source_key,
+    )
+
     hashed = grams.select("doc_id", "is_target", bucket.alias("bucket"))
-    dist = hashed.groupBy("bucket").agg(
-        F.sum(F.when(F.col("is_target"), 1).otherwise(0)).alias("ct"),
-        F.sum(F.when(F.col("is_target"), 0).otherwise(1)).alias("cr"),
+    # ONE exploded-gram pass: the (doc, bucket) count table is the
+    # stored hashed-feature artifact (keyed per source version); both
+    # the bucket distributions and the per-doc scoring derive from it
+    # by cheap scans instead of re-exploding the corpus twice.
+    doc_bucket = materialize_temp(
+        hashed.groupBy("doc_id", "is_target", "bucket").agg(
+            F.count("*").alias("cnt")
+        ),
+        "dsir_feats_",
+        key=source_key(sf_dir, "documents") + ":dsir256",
+    )
+    dist = doc_bucket.groupBy("bucket").agg(
+        F.sum(F.when(F.col("is_target"), F.col("cnt")).otherwise(0))
+        .alias("ct"),
+        F.sum(F.when(F.col("is_target"), 0).otherwise(F.col("cnt")))
+        .alias("cr"),
     )
     tot = dist.agg(
         F.sum("ct").alias("tt"), F.sum("cr").alias("tr")
@@ -1320,10 +1338,8 @@ def q_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).cast("decimal(18,9)").alias("lw"),
     )
-    doc_feats = (
-        hashed.filter(~F.col("is_target"))
-        .groupBy("doc_id", "bucket")
-        .agg(F.count("*").alias("cnt"))
+    doc_feats = doc_bucket.filter(~F.col("is_target")).select(
+        "doc_id", "bucket", "cnt"
     )
     return (
         doc_feats.join(F.broadcast(lr), "bucket")
