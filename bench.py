@@ -89,6 +89,9 @@ HEADLINE = [
     "q_dsir",
     "q_t_closeness",
     "q_gopher_repetition",
+    "q_mix_budget",
+    "q_normalize_ladder",
+    "q_group_split",
 ]
 
 #: Frozen comparable subsets — apples-to-apples totals across rounds.

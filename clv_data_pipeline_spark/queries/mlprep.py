@@ -1355,3 +1355,52 @@ def q_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dsir_logw"),
         )
     )
+
+
+@query(
+    "q_group_split",
+    oracle="""
+    WITH tagged AS (
+        SELECT user_id,
+               CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 2)
+                         < 'cc' THEN 'train'
+                    WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 2)
+                         < 'e6' THEN 'val'
+                    ELSE 'test' END AS split
+        FROM events)
+    SELECT split,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM tagged
+    GROUP BY split
+    """,
+)
+def q_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe grouped train/val/test split: the split is a pure
+    hash function of the GROUP key (user_id), so every event of a user
+    lands in the same set — the entity-level discipline that prevents
+    train/test leakage through correlated rows, which q_train_split's
+    row-level split cannot give on grouped data.  Map-only tag (no join
+    against a user dimension — the hash recomputes anywhere) + one
+    aggregate; adding new events never moves an existing user across
+    sets, so the split is stable under incremental ingest at 100 TB.
+
+    Extends reference dags/transform_features.py's observed/future
+    time-based split with the entity-hash split ML prep needs when
+    the unit of generalization is the user, not the event.
+    """
+    d = load_table(spark, sf_dir, "events")
+    prefix = F.substring(F.md5(F.col("user_id").cast("string")), 1, 2)
+    split = (
+        F.when(prefix < "cc", "train")
+        .when(prefix < "e6", "val")
+        .otherwise("test")
+    )
+    return (
+        d.select(F.col("user_id"), split.alias("split"))
+        .groupBy("split")
+        .agg(
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+            F.count("*").cast("long").alias("n_events"),
+        )
+    )

@@ -2497,3 +2497,113 @@ def q_dedup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("savings_ratio"),
     )
+
+
+@query(
+    "q_mix_budget",
+    oracle="""
+    WITH ordered AS (
+        SELECT source, n_chars,
+               SUM(n_chars) OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cum_chars
+        FROM documents)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(SUM(n_chars) AS BIGINT) AS kept_chars,
+           ROUND(SUM(n_chars) / 4000.0, 6) AS budget_frac
+    FROM ordered
+    WHERE cum_chars <= 4000
+    GROUP BY source
+    """,
+)
+def q_mix_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budget-capped corpus mixing: each source contributes documents
+    up to a fixed character budget (the char count proxies token count
+    so the scan never reads ``text`` — column pruning keeps this a
+    metadata-width job even on a 100 TB corpus).  Docs are admitted in
+    deterministic md5(doc_id) order, so the selection is a pure
+    function of content ids — stable across reruns, engines, cluster
+    sizes, and insertion order — unlike sampleBy's per-row RNG.  Plan:
+    one shuffle on ``source`` for the running-sum window, then the
+    same partitioning is reused by the aggregate (no second exchange).
+    Skew note: a window per source is safe while each source's doc
+    list fits a partition's disk spill; for a pathological single
+    source at 100 TB the same admission rule composes hierarchically
+    (budget per (source, shard) then one merge pass over shard
+    boundaries), because the cumulative order is partition-independent.
+
+    Extends reference dags/transform_features.py's static mixing with
+    the budgeted variant every LLM data pipeline runs to hit a token
+    target per domain.
+    """
+    from pyspark.sql.window import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    order_key = F.md5(F.col("doc_id").cast("string"))
+    w = (
+        W.partitionBy("source")
+        .orderBy(order_key, "doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    budget = 4000
+    return (
+        d.select("source", "n_chars", "doc_id")
+        .withColumn("cum_chars", F.sum("n_chars").over(w))
+        .filter(F.col("cum_chars") <= budget)
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_kept"),
+            F.sum("n_chars").cast("long").alias("kept_chars"),
+            F.round(F.sum("n_chars") / F.lit(float(budget)), 6).alias(
+                "budget_frac"
+            ),
+        )
+    )
+
+
+@query(
+    "q_normalize_ladder",
+    oracle="""
+    WITH forms AS (
+        SELECT md5(text) AS raw_fp,
+               md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+                   AS ws_fp,
+               md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ',
+                                       'g'))) AS canon_fp
+        FROM documents)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT raw_fp) AS BIGINT) AS distinct_raw,
+           CAST(COUNT(DISTINCT ws_fp) AS BIGINT) AS distinct_ws,
+           CAST(COUNT(DISTINCT canon_fp) AS BIGINT) AS distinct_canon
+    FROM forms
+    """,
+)
+def q_normalize_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization-ladder dedup audit: how many documents collapse at
+    each canonicalization tier — byte-exact, whitespace-normalized
+    (``normalize_text``), and punctuation-stripped canonical form.  The
+    gap between tiers is exactly the extra dedup a pipeline buys by
+    normalizing before fingerprinting (the reason CCNet/RefinedWeb
+    lowercase+strip before hashing).  Map-only md5 per tier, then one
+    multi-distinct aggregate; only 128-bit fingerprints shuffle, never
+    document bodies — at 100 TB the exchange is ~32 B x n_docs per
+    tier.  Regexes stay in the Java/RE2 common subset so Spark and the
+    DuckDB oracle canonicalize identically.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    lower = F.lower(F.col("text"))
+    ws = F.trim(F.regexp_replace(lower, r"\s+", " "))
+    canon = F.trim(F.regexp_replace(lower, "[^a-z0-9]+", " "))
+    return d.select(
+        F.md5(F.col("text")).alias("raw_fp"),
+        F.md5(ws).alias("ws_fp"),
+        F.md5(canon).alias("canon_fp"),
+    ).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.countDistinct("raw_fp").cast("long").alias("distinct_raw"),
+        F.countDistinct("ws_fp").cast("long").alias("distinct_ws"),
+        F.countDistinct("canon_fp").cast("long").alias("distinct_canon"),
+    )
