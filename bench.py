@@ -92,6 +92,7 @@ HEADLINE = [
     "q_mix_budget",
     "q_normalize_ladder",
     "q_group_split",
+    "q_naive_bayes",
 ]
 
 #: Frozen comparable subsets — apples-to-apples totals across rounds.

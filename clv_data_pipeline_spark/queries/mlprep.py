@@ -1404,3 +1404,163 @@ def q_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("long").alias("n_events"),
         )
     )
+
+
+@query(
+    "q_naive_bayes",
+    oracle=f"""
+    WITH docs AS (
+        SELECT doc_id, lang, {_TOKENIZE_SQL} AS toks,
+               substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' AS is_train
+        FROM documents),
+    ttok AS (
+        SELECT lang, unnest(toks) AS tok FROM docs WHERE is_train),
+    cc AS (
+        SELECT lang, tok, COUNT(*) AS c FROM ttok GROUP BY lang, tok),
+    ct AS (SELECT lang, COUNT(*) AS tot FROM ttok GROUP BY lang),
+    v AS (SELECT COUNT(DISTINCT tok) AS vsz FROM ttok),
+    ntr AS (SELECT COUNT(*) AS n_train FROM docs WHERE is_train),
+    pri AS (
+        SELECT lang AS cls,
+               CAST(ROUND(ln(COUNT(*) * 1.0 / ntr.n_train), 9)
+                    AS DECIMAL(20,9)) AS lp0
+        FROM docs, ntr WHERE is_train GROUP BY lang, ntr.n_train),
+    lp AS (
+        SELECT cc.lang AS cls, cc.tok,
+               CAST(ROUND(ln((cc.c + 1.0) / (ct.tot + v.vsz)), 9)
+                    AS DECIMAL(20,9)) AS lp
+        FROM cc JOIN ct ON cc.lang = ct.lang, v),
+    oov AS (
+        SELECT ct.lang AS cls,
+               CAST(ROUND(ln(1.0 / (ct.tot + v.vsz)), 9)
+                    AS DECIMAL(20,9)) AS lpo
+        FROM ct, v),
+    ttest AS (
+        SELECT doc_id, lang AS true_lang, unnest(toks) AS tok
+        FROM docs WHERE NOT is_train),
+    scored AS (
+        SELECT t.doc_id, t.true_lang, o.cls,
+               SUM(COALESCE(lp.lp, o.lpo)) AS s
+        FROM ttest t
+        CROSS JOIN oov o
+        LEFT JOIN lp ON lp.tok = t.tok AND lp.cls = o.cls
+        GROUP BY t.doc_id, t.true_lang, o.cls),
+    final AS (
+        SELECT s.doc_id, s.true_lang, s.cls, s.s + p.lp0 AS score
+        FROM scored s JOIN pri p ON p.cls = s.cls),
+    pred AS (
+        SELECT doc_id, true_lang, cls,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY score DESC, cls) AS rn
+        FROM final)
+    SELECT true_lang, cls AS pred_lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM pred WHERE rn = 1
+    GROUP BY true_lang, cls
+    """,
+)
+def q_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes trained AND scored in-engine — the
+    CCNet/GPT-3-style learned document classifier (here: language from
+    token counts), with no model library and no driver-side math.
+    Train on the md5 80% split (Laplace-smoothed per-class token
+    log-probs + class priors), score the held-out 20%, emit the
+    confusion matrix.  Completes the classifier ladder: heuristic
+    (q_quality_score) -> fixed broadcast weights (q_quality_classifier)
+    -> in-engine TRAINED model.
+
+    Determinism: every log-prob is ROUND(ln(x), 9) cast to DECIMAL and
+    summed exactly, so per-doc scores are partition-order independent
+    and the argmax (row_number tie-broken by class name) is
+    engine-portable — the rounded-ln discipline proven by q_survival /
+    q_zipf_fit.
+
+    Scale shape: training is one (class, token) shuffle with map-side
+    combine — the model is vocab x C rows.  Scoring expands test
+    tokens by the C-row class grid (bounded broadcast), joins the
+    model on (token, class) — broadcast while the model fits, AQE
+    picks sort-merge beyond — then one (doc, class) partial-agg
+    shuffle.  No iteration, no collect: NB's closed-form MLE is why
+    it remains the 100 TB-scale baseline classifier.
+
+    Extends reference dags/transform_features.py (static feature math)
+    with the learned-filter surface of a modern corpus pipeline.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(normalize_text(F.col("text")), " ")
+    is_train = (
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < "cc"
+    )
+    docs = d.select(
+        "doc_id", "lang", toks.alias("toks"), is_train.alias("is_train")
+    )
+    train = docs.filter(F.col("is_train"))
+    test = docs.filter(~F.col("is_train"))
+
+    ttok = train.select("lang", F.explode("toks").alias("tok"))
+    cc = ttok.groupBy("lang", "tok").agg(F.count("*").alias("c"))
+    ct = ttok.groupBy("lang").agg(F.count("*").alias("tot"))
+    v = ttok.agg(F.countDistinct("tok").alias("vsz"))
+    ntr = train.agg(F.count("*").alias("n_train"))
+
+    dec = "decimal(20,9)"
+    pri = (
+        train.groupBy("lang")
+        .agg(F.count("*").alias("nd"))
+        .crossJoin(F.broadcast(ntr))
+        .select(
+            F.col("lang").alias("cls"),
+            F.round(F.log(F.col("nd") * 1.0 / F.col("n_train")), 9)
+            .cast(dec)
+            .alias("lp0"),
+        )
+    )
+    lp = (
+        cc.join(ct, "lang")
+        .crossJoin(F.broadcast(v))
+        .select(
+            F.col("lang").alias("cls"),
+            "tok",
+            F.round(
+                F.log((F.col("c") + F.lit(1.0)) / (F.col("tot") + F.col("vsz"))),
+                9,
+            )
+            .cast(dec)
+            .alias("lp"),
+        )
+    )
+    oov = (
+        ct.crossJoin(F.broadcast(v))
+        .select(
+            F.col("lang").alias("cls"),
+            F.round(F.log(F.lit(1.0) / (F.col("tot") + F.col("vsz"))), 9)
+            .cast(dec)
+            .alias("lpo"),
+        )
+    )
+
+    ttest = test.select(
+        "doc_id",
+        F.col("lang").alias("true_lang"),
+        F.explode("toks").alias("tok"),
+    )
+    scored = (
+        ttest.crossJoin(F.broadcast(oov))
+        .join(F.broadcast(lp), ["tok", "cls"], "left")
+        .groupBy("doc_id", "true_lang", "cls")
+        .agg(F.sum(F.coalesce(F.col("lp"), F.col("lpo"))).alias("s"))
+    )
+    final = scored.join(F.broadcast(pri), "cls").withColumn(
+        "score", F.col("s") + F.col("lp0")
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score"), F.asc("cls")
+    )
+    return (
+        final.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .groupBy(
+            "true_lang", F.col("cls").alias("pred_lang")
+        )
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )
