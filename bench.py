@@ -93,6 +93,7 @@ HEADLINE = [
     "q_normalize_ladder",
     "q_group_split",
     "q_naive_bayes",
+    "q_ann_ivf_pq",
 ]
 
 #: Frozen comparable subsets — apples-to-apples totals across rounds.

@@ -355,3 +355,215 @@ def pq_incremental(
         num_shards=num_shards, round_scale=round_scale,
     )
     return delta_codes, topk
+
+
+def build_ivf_pq_index(
+    embeddings: DataFrame,
+    centroids: np.ndarray,
+    books: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cell, codes) — the stored IVF-PQ inverted file: one map-only
+    Arrow pass does BOTH the coarse-cell assignment and the PQ encode,
+    so building the index reads each vector exactly once and the stored
+    row is ~``m`` small ints + a cell id (never the float vector)."""
+    spark = embeddings.sparkSession
+    bc = spark.sparkContext.broadcast((centroids, books))
+    m, ksub, dsub = books.shape
+
+    def _enc(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cent, bks = bc.value
+        for pdf in it:
+            if not len(pdf):
+                continue
+            x = _normalize(
+                np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            )
+            cells = (x @ cent.T).argmax(axis=1)
+            codes = np.empty((len(x), m), dtype=np.int64)
+            for j in range(m):
+                sub = x[:, j * dsub:(j + 1) * dsub]
+                c = bks[j]
+                d2 = (c * c).sum(axis=1)[None, :] - 2.0 * (sub @ c.T)
+                codes[:, j] = d2.argmin(axis=1)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "cell": cells, "codes": list(codes)}
+            )
+
+    return embeddings.select(id_col, vec_col).mapInPandas(
+        _enc, f"{id_col} long, cell long, codes array<bigint>"
+    )
+
+
+def ivf_pq_topk(
+    embeddings: DataFrame,
+    k: int = 1,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    shortlist: int = 50,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids=None,
+    books=None,
+    index_df: DataFrame | None = None,
+    round_scale: int = 6,
+    seed: int = 7,
+) -> DataFrame:
+    """IVF-PQ: coarse-quantizer cell pruning x PQ-compressed ADC scoring
+    x exact shortlist re-rank — the composition production 1B-vector
+    stores actually run (FAISS ``IVFxx,PQyy``), built from this repo's
+    two proven kernels.
+
+    Why the composition wins at 100 TB: plain IVF's probed cells still
+    shuffle FULL vectors into each cell group; plain PQ still scores
+    every code against every query.  Here the inverted file carries
+    only (cell, codes) — members cross the wire at ~m bytes each, a
+    32x smaller cell-group footprint — and each query ADC-scores only
+    its ``nprobe`` cells, ~nprobe/n_cells of the corpus.  Cost per
+    query: nprobe LUT matmuls (m x ksub each) + code gathers + an
+    exact re-rank of ``shortlist`` candidate pairs (two equi joins —
+    the only stage that touches full-precision member vectors).
+
+    Same output contract as cosine_topk/lsh_topk/ivf_topk/pq_topk:
+    (vec_id, neighbor_id, sim, rank), sim = exact cosine after
+    re-rank.  ``centroids``/``books``/``index_df`` accept stored
+    artifacts (q_ann_ivf_pq wires the keyed-artifact lifecycle).
+    Recall floors vs the exact kernel are pinned in tests/test_pq.py.
+    """
+    from clv_data_pipeline_spark.operators.similarity import (
+        _pair_cosine_scores,
+        fit_ivf_centroids,
+    )
+
+    spark = embeddings.sparkSession
+    C = (
+        centroids
+        if centroids is not None
+        else fit_ivf_centroids(
+            embeddings, k=n_cells, id_col=id_col, vec_col=vec_col
+        )
+    )
+    bks = (
+        books
+        if books is not None
+        else train_pq_codebooks(
+            embeddings, vec_col, m=m, ksub=ksub, seed=seed
+        )
+    )
+    if index_df is None:
+        index_df = build_ivf_pq_index(embeddings, C, bks, id_col, vec_col)
+    nprobe = min(nprobe, len(C))
+    bc = spark.sparkContext.broadcast((C, bks))
+    dsub = bks.shape[2]
+    sl = shortlist
+    vec_type = embeddings.schema[vec_col].dataType.simpleString()
+
+    def _probe(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cent, _ = bc.value
+        for pdf in it:
+            if not len(pdf):
+                continue
+            xq = _normalize(
+                np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            )
+            cells = np.argsort(-(xq @ cent.T), axis=1)[:, :nprobe]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy().repeat(nprobe),
+                    "_v": pdf[vec_col].to_numpy().repeat(nprobe),
+                    "cell": cells.ravel(),
+                }
+            )
+
+    probes = embeddings.select(id_col, vec_col).mapInPandas(
+        _probe, f"{id_col} long, _v {vec_type}, cell long"
+    )
+    members = index_df.select(
+        F.col(id_col).alias("vec_id"),
+        "cell",
+        "codes",
+        F.lit(None).cast(vec_type).alias("_v"),
+        F.lit(False).alias("_q"),
+    )
+    queries = probes.select(
+        F.col(id_col).alias("vec_id"),
+        "cell",
+        F.lit(None).cast("array<bigint>").alias("codes"),
+        "_v",
+        F.lit(True).alias("_q"),
+    )
+    both = members.unionByName(queries)
+
+    def _cell_adc(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"vec_id": [], "neighbor_id": [], "sim": []}
+        ).astype(
+            {"vec_id": "int64", "neighbor_id": "int64", "sim": "float64"}
+        )
+        qd, md = pdf[pdf["_q"]], pdf[~pdf["_q"]]
+        if qd.empty or md.empty:
+            return empty
+        _, books_v = bc.value
+        mm = books_v.shape[0]
+        mids = md["vec_id"].to_numpy(dtype=np.int64)
+        codes = np.stack(md["codes"].to_numpy()).astype(np.int64)
+        qids = qd["vec_id"].to_numpy(dtype=np.int64)
+        Q = _normalize(np.stack(qd["_v"].to_numpy()).astype(np.float64))
+        out_q: list[int] = []
+        out_m: list[int] = []
+        out_s: list[float] = []
+        # chunked ADC: one (chunk x ksub) LUT matmul + one gather per
+        # subspace — scores stay <=256 x cell-members (pq.py rationale)
+        for c0 in range(0, len(qids), 256):
+            qc = Q[c0:c0 + 256]
+            scores = np.zeros((len(qc), len(mids)))
+            for j in range(mm):
+                table = qc[:, j * dsub:(j + 1) * dsub] @ books_v[j].T
+                scores += table[:, codes[:, j]]
+            scores = np.round(scores, round_scale)
+            for i, qid in enumerate(qids[c0:c0 + 256]):
+                mask = mids != qid
+                s, nb = scores[i][mask], mids[mask]
+                if len(s) > 2 * sl:
+                    thresh = np.partition(s, len(s) - sl)[len(s) - sl]
+                    sel = np.flatnonzero(s >= thresh)
+                    s, nb = s[sel], nb[sel]
+                order = np.lexsort((nb, -s))[:sl]
+                out_q.extend([qid] * len(order))
+                out_m.extend(nb[order].tolist())
+                out_s.extend(s[order].tolist())
+        return pd.DataFrame(
+            {"vec_id": out_q, "neighbor_id": out_m, "sim": out_s}
+        )
+
+    adc = both.groupBy("cell").applyInPandas(
+        _cell_adc, "vec_id long, neighbor_id long, sim double"
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc("sim"), F.col("neighbor_id")
+    )
+    cand = (
+        adc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= sl)
+        .select("vec_id", "neighbor_id")
+    )
+    a = embeddings.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_va")
+    )
+    b = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_vb")
+    )
+    scored = _pair_cosine_scores(
+        cand.join(a, "vec_id").join(b, "neighbor_id"), "_va", "_vb"
+    )
+    w2 = Window.partitionBy("vec_id").orderBy(
+        F.desc("sim"), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w2).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("vec_id", "neighbor_id", "sim", "rank")
+    )

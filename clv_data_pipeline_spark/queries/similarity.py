@@ -171,6 +171,53 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("q_ann_ivf_pq")  # rows-only: approximate, quantizer+codebook-specific
+def q_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ approximate nearest neighbor (top-1) — the production
+    1B-vector composition (FAISS ``IVF16,PQ16``-shaped): coarse cells
+    prune the search to nprobe/n_cells of the corpus, the inverted
+    file carries 32x-compressed PQ codes instead of vectors, and an
+    exact re-rank of the 50-candidate shortlist restores full
+    precision where it matters.  Members cross the cell shuffle at
+    ~16 bytes each (vs 512 for plain IVF); queries ADC-score only
+    their probed cells (vs the whole code table for plain PQ).
+    Quantizer, codebooks, and the inverted file follow the stored
+    keyed-artifact lifecycle, so repeat invocations pay probe +
+    table-lookup + shortlist re-rank only.  Recall floor vs the exact
+    kernel pinned in tests/test_pq.py."""
+    from clv_data_pipeline_spark.operators.pq import (
+        build_ivf_pq_index,
+        ivf_pq_topk,
+        train_pq_codebooks,
+    )
+    from clv_data_pipeline_spark.operators.similarity import (
+        fit_ivf_centroids,
+    )
+    from clv_data_pipeline_spark.sources.io import (
+        artifact_numpy,
+        materialize_temp,
+        source_key,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    skey = source_key(sf_dir, "embeddings")
+    cents = artifact_numpy(
+        "ivfpq_cents_", skey + ":ivf16", lambda: fit_ivf_centroids(emb, k=16)
+    )
+    books = artifact_numpy(
+        "ivfpq_books_", skey + ":pq16x64", lambda: train_pq_codebooks(emb)
+    )
+    index = materialize_temp(
+        build_ivf_pq_index(emb, cents, books),
+        "ivfpq_index_",
+        key=skey + ":ivfpq16",
+    )
+    return ivf_pq_topk(
+        emb, k=1, n_cells=16, nprobe=4, shortlist=50,
+        centroids=cents, books=books, index_df=index,
+    )
+
+
 @query("q_ann_pq_incremental")  # rows-only: approximate, codebook-specific
 def q_ann_pq_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O(delta) PQ-index maintenance: the newest ~10% of vectors encode

@@ -96,3 +96,36 @@ def test_incremental_equals_full_pass_same_books(spark):
         full_codes.join(delta.select("vec_id"), "vec_id")
     )
     assert inc_topk.count() == delta.count() * 3
+
+
+def test_ivf_pq_recall_and_pruning_bound(spark):
+    """IVF-PQ recall at nprobe=4/16 tracks plain IVF's pruning bound
+    (~0.57 measured — cells not probed can never surface a neighbor,
+    re-rank only fixes ordering INSIDE the probed set); probing every
+    cell removes the pruning error and the exact re-rank pushes
+    recall to ~1.0 — together they isolate the two error sources."""
+    from clv_data_pipeline_spark.operators.pq import ivf_pq_topk
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    exact = _pairs(cosine_topk(emb, k=10))
+    pruned = _pairs(ivf_pq_topk(emb, k=10, n_cells=16, nprobe=4,
+                                shortlist=50))
+    assert len(exact & pruned) / len(exact) >= 0.40
+    allcells = _pairs(ivf_pq_topk(emb, k=10, n_cells=16, nprobe=16,
+                                  shortlist=50))
+    assert len(exact & allcells) / len(exact) >= 0.90
+
+
+def test_ivf_pq_output_contract(spark):
+    """Same (vec_id, neighbor_id, sim, rank) contract as the other ANN
+    kernels: one row per query at k=1, rank==1, no self-pairs, sim is
+    the EXACT re-ranked cosine (within [-1, 1])."""
+    from clv_data_pipeline_spark.operators.pq import ivf_pq_topk
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    rows = ivf_pq_topk(emb, k=1, shortlist=20).collect()
+    n = emb.count()
+    assert len(rows) == n
+    assert all(r["rank"] == 1 for r in rows)
+    assert all(r["vec_id"] != r["neighbor_id"] for r in rows)
+    assert all(-1.0 <= r["sim"] <= 1.0 for r in rows)
