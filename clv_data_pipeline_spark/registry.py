@@ -171,6 +171,21 @@ _VERIFIED: frozenset[str] = (
     _R1_VERIFIED | _R2_VERIFIED | _R3_VERIFIED | _R4_VERIFIED
 )
 
+#: Queries REGISTERED during round 5 itself.  VERDICT r4's top ask is
+#: that the 41 registered-but-never-driver-sampled round-4 names all
+#: land in CORRECTNESS_r05; new round-5 registrations must not crowd
+#: them out of the ~50-name budget, so within tier 0 they sort AFTER
+#: that backlog (they are locally oracle/pytest-verified and can take
+#: their driver row in round 6 if the budget cuts).
+_R5_NEW: frozenset[str] = frozenset(
+    {
+        "q_small_files", "q_ann_pq_incremental", "q_scd2_stream",
+        "q_gopher_rules", "q_dsir", "q_t_closeness", "q_gopher_repetition",
+        "q_mix_budget", "q_normalize_ladder", "q_group_split",
+        "q_naive_bayes", "q_ann_ivf_pq",
+    }
+)
+
 
 def _ordered_names() -> list[str]:
     """Registration order tiered by driver-verification staleness.
@@ -204,6 +219,7 @@ def _ordered_names() -> list[str]:
         names,
         key=lambda n: (
             tier[n],
+            1 if (tier[n] == 0 and n in _R5_NEW) else 0,
             0 if _REGISTRY[n].oracle is not None else 1,
             order[n],
         ),
