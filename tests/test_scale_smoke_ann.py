@@ -133,3 +133,33 @@ def test_bloom_semi_join_3m_rows_linear(spark):
     elapsed = time.perf_counter() - t0
     assert n == 30_000
     assert elapsed < 60, f"bloom semi-join took {elapsed:.1f}s on 3M rows"
+
+
+def test_ivf_pq_ann_20k_vectors(spark):
+    """IVF-PQ at 20k vectors / 64 cells: wall-time bound plus the
+    composition's defining property — the inverted file that crosses
+    the cell shuffle carries codes and a cell id, never float
+    vectors (the 32x member-shuffle saving over plain IVF)."""
+    from clv_data_pipeline_spark.operators.pq import (
+        build_ivf_pq_index,
+        ivf_pq_topk,
+        train_pq_codebooks,
+    )
+    from clv_data_pipeline_spark.operators.similarity import (
+        fit_ivf_centroids,
+    )
+
+    vecs = _synthetic_vecs(spark, n=N_VECS)
+    cents = fit_ivf_centroids(vecs, k=64)
+    books = train_pq_codebooks(vecs)
+    index = build_ivf_pq_index(vecs, cents, books)
+    # member rows are (id, cell, codes) — no vector column at all
+    assert set(index.columns) == {"vec_id", "cell", "codes"}
+    t0 = time.perf_counter()
+    n = ivf_pq_topk(
+        vecs, k=1, n_cells=64, nprobe=2, shortlist=20,
+        centroids=cents, books=books, index_df=index,
+    ).count()
+    elapsed = time.perf_counter() - t0
+    assert n == N_VECS
+    assert elapsed < 120, f"IVF-PQ took {elapsed:.1f}s on 20k vectors"
