@@ -94,6 +94,7 @@ HEADLINE = [
     "q_group_split",
     "q_naive_bayes",
     "q_ann_ivf_pq",
+    "q_stream_mix",
 ]
 
 #: Frozen comparable subsets — apples-to-apples totals across rounds.

@@ -2607,3 +2607,90 @@ def q_normalize_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("ws_fp").cast("long").alias("distinct_ws"),
         F.countDistinct("canon_fp").cast("long").alias("distinct_canon"),
     )
+
+
+@query(
+    "q_stream_mix",
+    oracle="""
+    WITH ordered AS (
+        SELECT doc_id, source, n_chars,
+               SUM(n_chars) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cum_chars
+        FROM documents)
+    SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars
+    FROM ordered WHERE cum_chars <= 4000
+    """,
+)
+def q_stream_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONLINE budget-capped mixing on the REAL Structured Streaming
+    engine — q_mix_budget's streaming twin: documents arrive as three
+    chronological micro-batches (doc_id slices, simulating daily
+    drops) and streaming/ingest.py budget_admission_sink admits each
+    source's docs greedily in arrival order until its 4000-char budget
+    fills, carrying cumulative per-source state across triggers in a
+    stored table.  A stream cannot re-order by md5 (it can't see
+    future arrivals), so admission here is first-come-first-served —
+    which makes the whole run a pure function of doc_id order, and the
+    batch oracle (prefix-sum over doc_id per source) hash-verifies
+    the THREE sequential stateful triggers end-to-end.  Admission
+    decisions deliberately straddle batch boundaries: a source whose
+    budget half-fills in batch 1 must admit only the remainder in
+    batch 2, which is exactly what the stored cum_seen state proves.
+    """
+    import shutil
+    import tempfile
+    import uuid
+
+    from clv_data_pipeline_spark.streaming.ingest import (
+        budget_admission_sink,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    # fixture prep: three doc_id-sliced arrival files; sequential
+    # single-file writes give increasing mtimes = the file source's
+    # processing order at maxFilesPerTrigger=1 (q_scd2_stream pattern),
+    # so arrival order == doc_id order and the oracle can model it.
+    stats = d.agg(F.max("doc_id").alias("mx")).collect()[0]
+    c1, c2 = stats["mx"] // 3, 2 * stats["mx"] // 3
+    src = tempfile.mkdtemp(prefix="q_stream_mix_") + "/arrivals"
+    for lo, hi in ((None, c1), (c1, c2), (c2, None)):
+        s = d
+        if lo is not None:
+            s = s.filter(F.col("doc_id") > lo)
+        if hi is not None:
+            s = s.filter(F.col("doc_id") <= hi)
+        s.coalesce(1).write.mode("append").parquet(src)
+
+    suffix = uuid.uuid4().hex[:8]
+    state_table = f"stream_mix_state_{suffix}"
+    admitted_table = f"stream_mix_adm_{suffix}"
+    stream = (
+        spark.readStream.schema(d.schema)
+        .option("pathGlobFilter", "*.parquet")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    ckpt = tempfile.mkdtemp(prefix="q_stream_mix_ckpt_")
+    q = (
+        stream.writeStream.foreachBatch(
+            budget_admission_sink(state_table, admitted_table, budget=4000)
+        )
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    out = (
+        spark.table(admitted_table)
+        .select("doc_id", "source", F.col("n_chars").cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    spark.sql(f"DROP TABLE IF EXISTS {admitted_table}")
+    spark.sql(f"DROP TABLE IF EXISTS {state_table}")
+    shutil.rmtree(src, ignore_errors=True)
+    return out

@@ -182,7 +182,7 @@ _R5_NEW: frozenset[str] = frozenset(
         "q_small_files", "q_ann_pq_incremental", "q_scd2_stream",
         "q_gopher_rules", "q_dsir", "q_t_closeness", "q_gopher_repetition",
         "q_mix_budget", "q_normalize_ladder", "q_group_split",
-        "q_naive_bayes", "q_ann_ivf_pq",
+        "q_naive_bayes", "q_ann_ivf_pq", "q_stream_mix",
     }
 )
 

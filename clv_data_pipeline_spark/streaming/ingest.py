@@ -252,3 +252,74 @@ def scd2_maintenance_sink(
         ).saveAsTable(target_table)
 
     return _fn
+
+
+def budget_admission_sink(
+    state_table: str,
+    admitted_table: str,
+    budget: int = 4000,
+    src_col: str = "source",
+    size_col: str = "n_chars",
+    id_col: str = "doc_id",
+):
+    """Build a ``foreachBatch`` body for ONLINE budget-capped mixing —
+    the streaming twin of q_mix_budget: each source may contribute
+    documents until a fixed size budget is reached, decided greedily in
+    arrival order (a stream cannot see future arrivals, so unlike the
+    batch op there is no md5 re-ordering — admission is
+    first-come-first-served within the budget).
+
+    The persisted state is one row per source: cumulative size SEEN so
+    far (admitted or not — the admission rule is "prefix sum <= budget",
+    a pure function of the ordered stream, so replays and restarts
+    recompute identical decisions from the stored offset).  Per-trigger
+    work is O(batch): the state table is a per-source scalar that
+    broadcasts; the only shuffle is the batch-local running-sum window.
+    At 100 TB/day the state stays sources-count-sized — the whole
+    reason budget tracking belongs in a table, not in executor memory.
+    """
+    from pyspark.sql import Window as W
+
+    def _fn(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if spark.catalog.tableExists(state_table):
+            state = spark.table(state_table)
+        else:
+            state = spark.createDataFrame(
+                [], f"{src_col} string, cum_seen long"
+            )
+        w = (
+            W.partitionBy(src_col)
+            .orderBy(id_col)
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        with_cum = (
+            batch_df.join(F.broadcast(state), src_col, "left")
+            .withColumn(
+                "_cum",
+                F.coalesce(F.col("cum_seen"), F.lit(0))
+                + F.sum(size_col).over(w),
+            )
+        )
+        admitted = (
+            with_cum.filter(F.col("_cum") <= budget)
+            .drop("cum_seen", "_cum")
+            .localCheckpoint(eager=True)
+        )
+        admitted.write.mode("append").saveAsTable(admitted_table)
+        new_state = (
+            batch_df.groupBy(src_col)
+            .agg(F.sum(size_col).cast("long").alias("batch_chars"))
+            .join(state, src_col, "full")  # sources-count-sized frames
+            .select(
+                src_col,
+                (
+                    F.coalesce(F.col("cum_seen"), F.lit(0))
+                    + F.coalesce(F.col("batch_chars"), F.lit(0))
+                ).alias("cum_seen"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        new_state.write.mode("overwrite").saveAsTable(state_table)
+
+    return _fn
