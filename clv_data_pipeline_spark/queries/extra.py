@@ -6,7 +6,7 @@ when switching engines (SURVEY.md §2 closing the substrate surface).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from clv_data_pipeline_spark.registry import query
@@ -1046,4 +1046,55 @@ def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return salted_join(ev, dim, "event_type", salt_buckets=8).select(
         "event_id", "event_type", "type_count"
+    )
+
+
+@query(
+    "q_assign_ids",
+    oracle="""
+    SELECT doc_id,
+           CAST(ROW_NUMBER() OVER (
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT)
+               AS new_id
+    FROM documents
+    """,
+)
+def q_assign_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous global id assignment (1..n) in a deterministic total
+    order — the shard/row-id step every corpus snapshot runs before
+    tokenization, and the classic trap: ``ROW_NUMBER() OVER (ORDER BY
+    ...)`` with no PARTITION BY funnels the whole corpus through ONE
+    reducer.  Distributed form: the order key (md5 of the natural key)
+    is bucketed by its first hex byte — lowercase hex compares
+    lexicographically like the number it encodes, so bucket order IS
+    hash order — then (1) per-bucket ROW_NUMBER over one 256-way hash
+    exchange, (2) per-bucket counts collapse map-side to a 256-row
+    frame whose cumulative sum yields each bucket's global offset, and
+    (3) the offsets broadcast back: new_id = offset + local rank.  No
+    global sort, no single-partition window over the corpus, and —
+    unlike repartitionByRange + monotonically_increasing_id — every
+    stage is deterministic, so task retries and plan-subtree
+    re-execution cannot shift an id."""
+    d = load_table(spark, sf_dir, "documents")
+    hb = d.select(
+        "doc_id", F.md5(F.col("doc_id").cast("string")).alias("h")
+    ).withColumn("bucket", F.substring("h", 1, 2))
+    counts = hb.groupBy("bucket").agg(F.count("*").alias("cnt"))
+    # 256-row metadata frame: the single-partition window is bounded
+    # by the bucket fanout, never the corpus.
+    wo = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = counts.select(
+        "bucket",
+        F.coalesce(F.sum("cnt").over(wo), F.lit(0)).alias("off"),
+    )
+    wr = Window.partitionBy("bucket").orderBy("h", "doc_id")
+    return (
+        hb.withColumn("rn", F.row_number().over(wr))
+        .join(F.broadcast(offsets), "bucket")
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            (F.col("off") + F.col("rn")).cast("long").alias("new_id"),
+        )
     )

@@ -1564,3 +1564,137 @@ def q_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").cast("long").alias("n_docs"))
     )
+
+
+#: Fixed retrieval query set (terms drawn from the corpus vocabulary) —
+#: literal on both engines so the oracle builds the identical table.
+_RETRIEVAL_QUERIES = [
+    (1, "spark join filter"),
+    (2, "window scan merge"),
+    (3, "fast hash table"),
+    (4, "customer batch value"),
+]
+
+_RETRIEVAL_VALUES = ", ".join(
+    f"({i}, '{t}')" for i, t in _RETRIEVAL_QUERIES
+)
+
+
+@query(
+    "q_bm25_retrieval",
+    oracle=f"""
+    WITH q(query_id, qtext) AS (VALUES {_RETRIEVAL_VALUES}),
+    qt AS (
+        SELECT query_id, unnest(string_split(qtext, ' ')) AS term FROM q),
+    toks AS (
+        SELECT doc_id, unnest({_TOKENIZE_SQL}) AS term FROM documents),
+    tf AS (
+        SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM toks WHERE term <> '' GROUP BY doc_id, term),
+    dl AS (
+        SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+    df AS (
+        SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+        FROM tf GROUP BY term),
+    corpus AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CAST(dl AS DECIMAL(18,0))) AS DOUBLE) / COUNT(*)
+                   AS avgdl
+        FROM dl),
+    scored AS (
+        SELECT qt.query_id, tf.doc_id,
+               SUM(CAST(ROUND(
+                 ln(1 + (CAST(corpus.n_docs AS DOUBLE) - df.df + 0.5)
+                        / (df.df + 0.5))
+                 * (tf.tf * ({_BM25_K1} + 1.0))
+                 / (tf.tf + {_BM25_K1}
+                    * (1.0 - {_BM25_B} + {_BM25_B} * dl.dl / corpus.avgdl)),
+                 6) AS DECIMAL(18,6))) AS s
+        FROM qt JOIN tf USING (term) JOIN df USING (term)
+        JOIN dl ON tf.doc_id = dl.doc_id
+        CROSS JOIN corpus
+        GROUP BY qt.query_id, tf.doc_id),
+    ranked AS (
+        SELECT query_id, doc_id, CAST(s AS DOUBLE) AS score,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY query_id ORDER BY s DESC, doc_id) AS BIGINT)
+                   AS rnk
+        FROM scored)
+    SELECT CAST(query_id AS BIGINT) AS query_id,
+           CAST(doc_id AS BIGINT) AS doc_id, score, rnk
+    FROM ranked WHERE rnk <= 5
+    """,
+)
+def q_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 documents per query for a fixed query set under Okapi BM25
+    — the retrieval shape behind RAG indexing, dedup-by-retrieval, and
+    benchmark decontamination, where q_bm25's per-doc term ranking
+    becomes a doc ranking per query.
+
+    Scale shape: the query-term table is tiny and BROADCASTS into the
+    (doc, term) frequency frame, so the corpus-sized side is cut to
+    docs containing at least one query term BEFORE anything else joins;
+    df (vocab-bounded) and the 1-row corpus stats broadcast likewise;
+    per-(query, doc) partial sums combine map-side into one shuffle;
+    and the final top-5 runs as a WindowGroupLimit (rank filter applied
+    map-side per partition), so the per-query single-reducer merge sees
+    only ~5 rows per map task, not the candidate set.  Per-term scores
+    round to 6 then accumulate as DECIMAL so the sum — and therefore
+    the ranking — is identical across engines and partitionings."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(normalize_text(F.col("text")), " ")).alias("term"),
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    # doc length via window over the tf frame — reuses the doc_id
+    # exchange instead of aggregate+join (same trick as q_bm25)
+    tf_dl = tf.withColumn(
+        "dl", F.sum("tf").over(Window.partitionBy("doc_id"))
+    )
+    df = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    corpus = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl")).agg(
+        F.count("*").alias("n_docs"),
+        (
+            F.sum(F.col("dl").cast("decimal(18,0)")).cast("double")
+            / F.count("*")
+        ).alias("avgdl"),
+    )
+    qt = spark.createDataFrame(
+        _RETRIEVAL_QUERIES, "query_id long, qtext string"
+    ).select(
+        "query_id", F.explode(F.split("qtext", " ")).alias("term")
+    )
+    idf = F.log(
+        1
+        + (F.col("n_docs").cast("double") - F.col("df") + 0.5)
+        / (F.col("df") + 0.5)
+    )
+    per_term = F.round(
+        idf
+        * (F.col("tf") * (_BM25_K1 + 1.0))
+        / (
+            F.col("tf")
+            + _BM25_K1
+            * (1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+        ),
+        6,
+    ).cast("decimal(18,6)")
+    scored = (
+        tf_dl.join(F.broadcast(qt), "term")
+        .join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(corpus))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum(per_term).alias("s"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("s"), "doc_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 5)
+        .select(
+            F.col("query_id").cast("long").alias("query_id"),
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("s").cast("double").alias("score"),
+            "rnk",
+        )
+    )

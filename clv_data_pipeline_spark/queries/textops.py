@@ -2694,3 +2694,80 @@ def q_stream_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.sql(f"DROP TABLE IF EXISTS {state_table}")
     shutil.rmtree(src, ignore_errors=True)
     return out
+
+
+#: Sequence-length bucket ladder for q_padding_audit (powers of two up
+#: to a 4096-token cap; longer documents truncate into the top bucket).
+_PAD_BUCKETS = [16, 32, 64, 128, 256, 512, 1024, 2048, 4096]
+
+_PAD_CASE_SQL = (
+    "CASE "
+    + " ".join(
+        f"WHEN n_tokens <= {b} THEN {b}" for b in _PAD_BUCKETS[:-1]
+    )
+    + f" ELSE {_PAD_BUCKETS[-1]} END"
+)
+
+
+@query(
+    "q_padding_audit",
+    oracle=f"""
+    WITH t AS (
+        SELECT len(list_filter(
+                   string_split_regex(trim(text), '\\s+'), x -> x <> ''))
+                   AS n_tokens
+        FROM documents),
+    b AS (
+        SELECT n_tokens, {_PAD_CASE_SQL} AS bucket FROM t),
+    g AS (
+        SELECT bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(LEAST(n_tokens, bucket)) AS BIGINT) AS kept_tokens
+        FROM b GROUP BY bucket)
+    SELECT CAST(bucket AS BIGINT) AS bucket, n_docs, kept_tokens,
+           CAST(bucket * n_docs AS BIGINT) AS padded_tokens,
+           ROUND(1.0 - CAST(kept_tokens AS DOUBLE) / (bucket * n_docs), 6)
+               AS waste_frac
+    FROM g
+    """,
+)
+def q_padding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-length bucketing / padding-waste audit: assign each
+    document's token count to the smallest power-of-two bucket in a
+    16..4096 ladder (longer docs truncate into the top bucket) and
+    report per-bucket doc counts, kept tokens, padded slots, and the
+    padding waste fraction — the number a training pipeline reads to
+    pick its batch-shape ladder, since every padded token is paid-for
+    compute; q_pack_documents is the remedy this audit motivates.
+
+    Scale shape: the bucket is a pure CASE over an integer computed
+    map-side from the token array, so the whole audit is one projection
+    plus one 9-group partial-aggregating shuffle — token arrays never
+    shuffle, and integer kept/padded sums make waste_frac
+    engine-exact."""
+    d = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(
+        F.filter(
+            F.split(F.trim(F.col("text")), r"\s+"), lambda x: x != ""
+        )
+    ).cast("long")
+    bucket = F.lit(_PAD_BUCKETS[-1])
+    for b in reversed(_PAD_BUCKETS[:-1]):
+        bucket = F.when(F.col("n_tokens") <= b, F.lit(b)).otherwise(bucket)
+    t = d.select(n_tokens.alias("n_tokens")).withColumn("bucket", bucket)
+    g = t.groupBy("bucket").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.least(F.col("n_tokens"), F.col("bucket")))
+        .cast("long")
+        .alias("kept_tokens"),
+    )
+    padded = F.col("bucket").cast("long") * F.col("n_docs")
+    return g.select(
+        F.col("bucket").cast("long").alias("bucket"),
+        "n_docs",
+        "kept_tokens",
+        padded.alias("padded_tokens"),
+        F.round(
+            F.lit(1.0) - F.col("kept_tokens").cast("double") / padded, 6
+        ).alias("waste_frac"),
+    )

@@ -183,6 +183,7 @@ _R5_NEW: frozenset[str] = frozenset(
         "q_gopher_rules", "q_dsir", "q_t_closeness", "q_gopher_repetition",
         "q_mix_budget", "q_normalize_ladder", "q_group_split",
         "q_naive_bayes", "q_ann_ivf_pq", "q_stream_mix",
+        "q_assign_ids", "q_bm25_retrieval", "q_padding_audit",
     }
 )
 

@@ -462,3 +462,34 @@ def test_q_bucketed_join_plan_is_exchange_free(spark):
     plan = plan_of(spark, "q_bucketed_join")
     assert "Exchange" not in plan, plan
     assert "SortMergeJoin" in plan, plan
+
+
+def test_assign_ids_avoids_global_sort(spark):
+    """q_assign_ids must never degenerate into the single-reducer
+    global ROW_NUMBER: the corpus-sized window is partitioned by the
+    hash bucket (one hash exchange), there is no range partitioning
+    (no global sort), and the offsets frame joins back by broadcast."""
+    plan = plan_of(spark, "q_assign_ids")
+    assert "rangepartitioning" not in plan.lower()
+    assert "hashpartitioning(bucket" in plan
+    assert "BroadcastHashJoin" in plan
+    # the corpus scan prunes to the natural key only
+    assert "ReadSchema: struct<doc_id:bigint>" in plan
+
+
+def test_bm25_retrieval_broadcasts_queries_and_stats(spark):
+    """The query-term table and vocab df both broadcast; the only
+    corpus-sized exchanges are the (doc, term) aggregate and the final
+    per-(query, doc) partial sum; top-5 rides WindowGroupLimit so rank
+    filtering happens map-side."""
+    plan = plan_of(spark, "q_bm25_retrieval")
+    assert plan.count("BroadcastExchange") >= 2
+    assert "WindowGroupLimit" in plan
+
+
+def test_padding_audit_is_one_aggregate(spark):
+    """Token arrays never shuffle: the plan is scan -> project ->
+    partial agg -> one 9-group exchange -> final agg."""
+    plan = plan_of(spark, "q_padding_audit")
+    assert plan.count("Exchange (") == 1
+    assert "ReadSchema: struct<text:string>" in plan
