@@ -95,6 +95,9 @@ HEADLINE = [
     "q_naive_bayes",
     "q_ann_ivf_pq",
     "q_stream_mix",
+    "q_assign_ids",
+    "q_bm25_retrieval",
+    "q_padding_audit",
 ]
 
 #: Frozen comparable subsets — apples-to-apples totals across rounds.
@@ -250,14 +253,19 @@ def _regressions(
     timings: dict[str, float],
     sf: float | str | None = None,
     threshold: float = 1.5,
-    floor: float = 0.5,
+    floor: float = 0.4,
 ) -> dict[str, dict[str, float]]:
     """Per-query diff vs the newest BENCH_r*.json: flag anything more
-    than ``threshold``x slower than the last recorded round (ignoring
-    sub-``floor``-second queries, which are noise-dominated, and
-    baselines taken at a different scale factor).  Printed on stderr +
-    included in the JSON; ``--check`` turns flags into a non-zero exit
-    for use as a local perf gate.
+    than ``threshold``x slower than the last recorded round AND more
+    than ``floor`` seconds of absolute delta.  The delta floor is the
+    measured noise bar, not a fudge: timing ONE unchanged plan
+    (q_decontaminate_semantic, sf0.1, best-of-3) across fresh
+    processes on this box spans 0.35-0.65 s — GC, page-cache, and
+    co-tenant load — so a sub-0.4 s delta on a sub-second query cannot
+    be attributed to the plan.  Baselines at a different scale factor
+    are skipped.  Printed on stderr + included in the JSON;
+    ``--check`` turns flags into a non-zero exit for use as a local
+    perf gate.
     """
     found = _baseline_queries(sf)
     if not found:
@@ -266,7 +274,7 @@ def _regressions(
     flagged = {}
     for name, sec in timings.items():
         ref = base.get(name)
-        if ref and max(sec, ref) >= floor and sec > threshold * ref:
+        if ref and (sec - ref) >= floor and sec > threshold * ref:
             flagged[name] = {"now": sec, "was": ref}
             print(
                 f"bench: REGRESSION {name}: {sec:.2f}s vs {ref:.2f}s "
