@@ -1,0 +1,63 @@
+"""Distributed global row numbering.
+
+``ROW_NUMBER() OVER (ORDER BY ...)`` with no PARTITION BY moves the
+whole input through ONE reducer — the classic scale killer in id
+assignment and corpus ordering (reference-scale engines hide this
+behind their own range services; Spark makes you compose it).  The
+composition here reconstructs the exact global rank from one hash
+exchange:
+
+1. the fine order key must be (or start with) a lowercase-hex hash
+   column; its first byte is its own range bucket, because lowercase
+   hex strings compare lexicographically exactly like the numbers they
+   encode ('0' < '9' < 'a' < 'f' in ASCII);
+2. rank locally per (coarse..., bucket) — one corpus-sized hash
+   exchange, 256 x |coarse| groups;
+3. per-group counts collapse map-side into a metadata-sized frame
+   whose cumulative sum (ordered by the same (coarse..., bucket)
+   tuple) is each group's global offset; the single-partition window
+   over it is bounded by the group fanout, never the corpus;
+4. offsets broadcast back: global = offset + local rank.
+
+Every stage is deterministic — unlike repartitionByRange (sampled
+boundaries) + monotonically_increasing_id (physical row order), task
+retries and plan-subtree re-execution cannot shift an id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def distributed_row_number(
+    df: DataFrame,
+    hash_col: str,
+    tiebreak_col: str,
+    out_col: str = "pos",
+    coarse_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Add ``out_col`` = 1-based global ROW_NUMBER over
+    ``(*coarse_cols, hash_col, tiebreak_col)`` without a global sort.
+
+    ``hash_col`` must hold lowercase hex (e.g. ``F.md5``) so its
+    2-char prefix buckets preserve the sort order; ``coarse_cols``
+    (e.g. a curriculum stage) order ahead of the hash and must be
+    non-null and low-cardinality (the offsets frame is
+    |distinct coarse| x 256 rows).
+    """
+    bucketed = df.withColumn("_b", F.substring(hash_col, 1, 2))
+    keys = [*coarse_cols, "_b"]
+    order = [F.col(c).asc() for c in keys]
+    counts = bucketed.groupBy(*keys).agg(F.count("*").alias("_cnt"))
+    wo = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        *keys, F.coalesce(F.sum("_cnt").over(wo), F.lit(0)).alias("_off")
+    )
+    wr = Window.partitionBy(*keys).orderBy(hash_col, tiebreak_col)
+    return (
+        bucketed.withColumn("_rn", F.row_number().over(wr))
+        .join(F.broadcast(offsets), keys)
+        .withColumn(out_col, (F.col("_off") + F.col("_rn")).cast("long"))
+        .drop("_b", "_rn", "_off")
+    )

@@ -846,3 +846,77 @@ def dedup_embedding(
     ).filter((F.col("sim") >= threshold) & (F.col("vec_id") < F.col("neighbor_id")))
     losers = cands.select(F.col("neighbor_id").alias(id_col)).distinct()
     return embeddings.join(losers, id_col, "left_anti")
+
+
+def semdedup(
+    embeddings: DataFrame,
+    n_cells: int = 16,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids=None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by k-means clustering + WITHIN-cluster pairwise
+    cosine — the method used to prune web-scale image/text corpora
+    where MinHash misses paraphrases andall-pairs cosine is quadratic.
+
+    Clustering makes the quadratic local: pairwise similarity is only
+    computed inside a cell, so the cost is sum(|cell|^2) ≈ n^2/k
+    rather than n^2, and each cell's Gram matrix fits one Arrow batch.
+    Admission is greedy by ascending id (the q_minhash_dedup
+    convention, deterministic and partition-independent — the
+    published farthest-from-centroid keep rule is a one-line swap):
+    a vector is kept unless some already-kept vector in its cell
+    scores >= threshold; duplicates record which keeper absorbed them.
+
+    Returns (vec_id, cell, kept, dup_of, max_sim) — max_sim is the
+    best score against earlier-kept vectors (NULL for each cell's
+    first vector).  Cross-cell near-dups at the quantizer boundary are
+    the documented approximation (the paper's too); raise n_cells
+    accuracy-vs-cost like nprobe in IVF."""
+    import numpy as np
+    import pandas as pd
+
+    if centroids is None:
+        centroids = fit_ivf_centroids(
+            embeddings, k=n_cells, id_col=id_col, vec_col=vec_col
+        )
+    assigned = ivf_assign(embeddings, centroids, id_col, vec_col)
+
+    def _dedup_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        V = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
+        V /= np.linalg.norm(V, axis=1, keepdims=True)
+        G = V @ V.T
+        kept_idx: list[int] = []
+        kept, dup_of, max_sim = [], [], []
+        for j in range(len(pdf)):
+            if kept_idx:
+                sims = G[j, kept_idx]
+                b = int(np.argmax(sims))
+                s = round(float(sims[b]), 6)
+            else:
+                b, s = -1, None
+            if s is not None and s >= threshold:
+                kept.append(False)
+                dup_of.append(int(pdf["vec_id"].iloc[kept_idx[b]]))
+            else:
+                kept.append(True)
+                dup_of.append(None)
+                kept_idx.append(j)
+            max_sim.append(s)
+        return pd.DataFrame(
+            {
+                "vec_id": pdf["vec_id"],
+                "cell": pdf["cell"],
+                "kept": kept,
+                "dup_of": pd.array(dup_of, dtype="Int64"),
+                "max_sim": pd.array(max_sim, dtype="float64"),
+            }
+        )
+
+    return assigned.groupBy("cell").applyInPandas(
+        _dedup_cell,
+        "vec_id long, cell long, kept boolean, dup_of long, max_sim double",
+    )

@@ -1074,27 +1074,15 @@ def q_assign_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     global sort, no single-partition window over the corpus, and —
     unlike repartitionByRange + monotonically_increasing_id — every
     stage is deterministic, so task retries and plan-subtree
-    re-execution cannot shift an id."""
+    re-execution cannot shift an id (operators/ids.py
+    distributed_row_number, the reusable core q_curriculum also
+    composes on)."""
+    from clv_data_pipeline_spark.operators.ids import distributed_row_number
+
     d = load_table(spark, sf_dir, "documents")
     hb = d.select(
         "doc_id", F.md5(F.col("doc_id").cast("string")).alias("h")
-    ).withColumn("bucket", F.substring("h", 1, 2))
-    counts = hb.groupBy("bucket").agg(F.count("*").alias("cnt"))
-    # 256-row metadata frame: the single-partition window is bounded
-    # by the bucket fanout, never the corpus.
-    wo = Window.orderBy("bucket").rowsBetween(
-        Window.unboundedPreceding, -1
     )
-    offsets = counts.select(
-        "bucket",
-        F.coalesce(F.sum("cnt").over(wo), F.lit(0)).alias("off"),
-    )
-    wr = Window.partitionBy("bucket").orderBy("h", "doc_id")
-    return (
-        hb.withColumn("rn", F.row_number().over(wr))
-        .join(F.broadcast(offsets), "bucket")
-        .select(
-            F.col("doc_id").cast("long").alias("doc_id"),
-            (F.col("off") + F.col("rn")).cast("long").alias("new_id"),
-        )
-    )
+    return distributed_row_number(
+        hb, hash_col="h", tiebreak_col="doc_id", out_col="new_id"
+    ).select(F.col("doc_id").cast("long").alias("doc_id"), "new_id")

@@ -711,3 +711,19 @@ def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("ab") / (F.sqrt("aa") * F.sqrt("bb")), 6
         ).alias("centroid_cos"),
     )
+
+
+@query("q_semdedup")  # rows-only: quantizer cells are engine-specific
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic near-dup pruning over the embeddings table
+    (operators/similarity.py semdedup): k-means cells bound the
+    pairwise cosine to within-cell Gram blocks (sum|cell|^2 ~ n^2/k,
+    one Arrow batch each), greedy-by-id admission keeps the decision
+    deterministic, and only (id, cell, verdict) rows leave the kernel.
+    The within-cell exactness is pinned against a numpy brute-force
+    in tests/test_dedup_similarity.py; threshold 0.92 flags the
+    planted-style extremes of the synthetic embedding distribution."""
+    from clv_data_pipeline_spark.operators.similarity import semdedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semdedup(emb, n_cells=16, threshold=0.92)

@@ -388,11 +388,9 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q_quality_score",
-    oracle=r"""
-    SELECT doc_id,
-           ROUND(
+#: DuckDB twin of functions/text.py quality_score — shared by
+#: q_quality_score and q_curriculum so both stages score identically.
+_QUALITY_SQL = r"""ROUND(
              LEAST(CAST(length(text) AS DOUBLE) / 200.0, 1.0)
              * GREATEST(0.0, 1.0 -
                  (CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE)
@@ -404,7 +402,13 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                            / GREATEST(len(regexp_extract_all(trim(text), '\S+', 0)), 1))
                           BETWEEN 3.0 AND 12.0
                      THEN 1.0 ELSE 0.5 END),
-           6) AS quality
+           6)"""
+
+
+@query(
+    "q_quality_score",
+    oracle=f"""
+    SELECT doc_id, {_QUALITY_SQL} AS quality
     FROM documents
     """,
 )
@@ -2771,3 +2775,59 @@ def q_padding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1.0) - F.col("kept_tokens").cast("double") / padded, 6
         ).alias("waste_frac"),
     )
+
+
+@query(
+    "q_curriculum",
+    oracle=f"""
+    WITH s AS (
+        SELECT doc_id,
+               CASE WHEN {_QUALITY_SQL} >= 0.75 THEN 1
+                    WHEN {_QUALITY_SQL} >= 0.5  THEN 2
+                    WHEN {_QUALITY_SQL} >= 0.25 THEN 3
+                    ELSE 4 END AS stage
+        FROM documents)
+    SELECT doc_id, CAST(stage AS BIGINT) AS stage,
+           CAST(ROW_NUMBER() OVER (
+               ORDER BY stage, md5(CAST(doc_id AS VARCHAR)), doc_id)
+               AS BIGINT) AS pos
+    FROM s
+    """,
+)
+def q_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum ordering: assign each document a quality stage
+    (1 = cleanest, by fixed quality_score thresholds) and a global
+    training position that visits stage 1 first, shuffled WITHIN each
+    stage by md5 — the easy-to-hard data ordering a curriculum-trained
+    run consumes, with deterministic within-stage shuffling so the
+    epoch order is reproducible.
+
+    Scale shape: the global position composes operators/ids.py
+    distributed_row_number with the stage as its coarse key — per
+    (stage, hex-prefix) local ranks plus a (4 x 256)-row broadcast
+    cumulative-offset frame reconstruct the exact global ROW_NUMBER
+    from ONE corpus exchange; the quality score itself is map-side
+    column math, so no stage of the pipeline sorts or single-threads
+    the corpus."""
+    from clv_data_pipeline_spark.functions.text import quality_score
+    from clv_data_pipeline_spark.operators.ids import distributed_row_number
+
+    d = load_table(spark, sf_dir, "documents")
+    q = quality_score(F.col("text"))
+    staged = d.select(
+        "doc_id",
+        F.when(q >= 0.75, 1)
+        .when(q >= 0.5, 2)
+        .when(q >= 0.25, 3)
+        .otherwise(4)
+        .cast("long")
+        .alias("stage"),
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    )
+    return distributed_row_number(
+        staged,
+        hash_col="h",
+        tiebreak_col="doc_id",
+        out_col="pos",
+        coarse_cols=("stage",),
+    ).select(F.col("doc_id").cast("long").alias("doc_id"), "stage", "pos")

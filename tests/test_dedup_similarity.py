@@ -538,3 +538,60 @@ def test_simhash_pair_count_equals_materialized_pairs(spark):
     n_compressed = simhash_pair_count(sh).first()["n_near_dup_pairs"]
     assert n_compressed == n_pairs
     assert n_pairs > 0  # fixture has near-dups; the equality is not vacuous
+
+
+def test_semdedup_matches_bruteforce_greedy(spark):
+    """With one cell, semdedup's within-cell admission must equal an
+    independent numpy brute-force greedy pass over ids ascending."""
+    import numpy as np
+
+    from clv_data_pipeline_spark.operators.similarity import semdedup
+
+    rng = np.random.RandomState(7)
+    V = rng.randn(40, 8)
+    # plant near-dups: 3 vectors are tiny perturbations of earlier ones
+    for src, dst in [(0, 30), (5, 31), (12, 32)]:
+        V[dst] = V[src] * 2.0 + rng.randn(8) * 1e-3
+    rows = [(i, V[i].tolist()) for i in range(len(V))]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    thr = 0.95
+    got = {
+        r["vec_id"]: r
+        for r in semdedup(emb, n_cells=1, threshold=thr).collect()
+    }
+    # independent reference
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    kept_ref: list[int] = []
+    expect = {}
+    for j in range(len(V)):
+        sims = [float(Vn[j] @ Vn[i]) for i in kept_ref]
+        if sims and round(max(sims), 6) >= thr:
+            expect[j] = ("dup", kept_ref[int(np.argmax(sims))])
+        else:
+            expect[j] = ("keep", None)
+            kept_ref.append(j)
+    assert set(got) == set(range(len(V)))
+    for j, (verdict, dup_of) in expect.items():
+        assert got[j]["kept"] == (verdict == "keep"), j
+        assert got[j]["dup_of"] == dup_of, j
+    # the planted dups specifically
+    assert got[30]["dup_of"] == 0
+    assert got[31]["dup_of"] == 5
+    assert got[32]["dup_of"] == 12
+
+
+def test_semdedup_partition_independent(spark):
+    """The admission decision must not depend on input partitioning
+    (greedy runs per cell on the sorted cell, never per partition)."""
+    import numpy as np
+
+    from clv_data_pipeline_spark.operators.similarity import semdedup
+
+    rng = np.random.RandomState(11)
+    rows = [(i, (rng.randn(8)).tolist()) for i in range(120)]
+    schema = "vec_id long, embedding array<double>"
+    a = spark.createDataFrame(rows, schema)
+    b = spark.createDataFrame(rows, schema).repartition(13)
+    ra = sorted(map(str, semdedup(a, n_cells=4, threshold=0.8).collect()))
+    rb = sorted(map(str, semdedup(b, n_cells=4, threshold=0.8).collect()))
+    assert ra == rb
