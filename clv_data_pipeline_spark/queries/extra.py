@@ -1086,3 +1086,71 @@ def q_assign_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return distributed_row_number(
         hb, hash_col="h", tiebreak_col="doc_id", out_col="new_id"
     ).select(F.col("doc_id").cast("long").alias("doc_id"), "new_id")
+
+
+@query(
+    "q_assign_ids_incremental",
+    oracle="""
+    WITH s AS (
+        SELECT MAX(doc_id) - CAST(FLOOR(COUNT(*) / 10.0) AS BIGINT) AS cut
+        FROM documents),
+    b AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_base
+        FROM documents, s WHERE doc_id <= cut),
+    d AS (SELECT doc_id FROM documents, s WHERE doc_id > cut)
+    SELECT doc_id,
+           CAST(n_base + ROW_NUMBER() OVER (
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+               AS BIGINT) AS new_id
+    FROM d, b
+    """,
+)
+def q_assign_ids_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O(delta) id assignment for an append-only corpus: the stored id
+    table (built once per base version, the same keyed-artifact
+    lifecycle as the dedup indexes) keeps every already-issued id
+    frozen — re-running q_assign_ids over base+delta would renumber
+    EVERYTHING, invalidating every downstream shard/checkpoint that
+    references an id — and the delta alone ranks in md5 order starting
+    at n_base + 1.  The only contact with stored state is a count over
+    the id table (metadata-sized, rides a 1-row broadcast), so the
+    daily cost is the delta's single 256-way exchange regardless of
+    corpus size.  Output = the delta's newly-issued ids; the oracle
+    recomputes the same append semantics declaratively."""
+    from clv_data_pipeline_spark.operators.ids import distributed_row_number
+    from clv_data_pipeline_spark.queries.textops import _delta_split
+    from clv_data_pipeline_spark.sources.io import (
+        materialize_temp,
+        source_key,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    base, delta = _delta_split(docs)
+    stored = materialize_temp(
+        distributed_row_number(
+            base.select(
+                "doc_id", F.md5(F.col("doc_id").cast("string")).alias("h")
+            ),
+            hash_col="h",
+            tiebreak_col="doc_id",
+            out_col="new_id",
+        ).select("doc_id", "new_id"),
+        "ids_base_",
+        key=source_key(sf_dir, "documents") + ":ids_base",
+    )
+    n_base = stored.agg(F.count("*").alias("n_base"))
+    return (
+        distributed_row_number(
+            delta.select(
+                "doc_id", F.md5(F.col("doc_id").cast("string")).alias("h")
+            ),
+            hash_col="h",
+            tiebreak_col="doc_id",
+            out_col="pos",
+        )
+        .crossJoin(F.broadcast(n_base))
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            (F.col("n_base") + F.col("pos")).cast("long").alias("new_id"),
+        )
+    )

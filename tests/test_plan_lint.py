@@ -69,6 +69,7 @@ _BNLJ_SCALAR_OK = {
     "q_robust_trend",      # calendar-bounded day-pair grid + 1-row n
     "q_naive_bayes",       # bounded class-grid (C~5 rows) + 1-row vocab size
     "q_bm25_retrieval",    # corpus (n_docs, avgdl) 1-row broadcast
+    "q_assign_ids_incremental",  # 1-row delta-cut + n_base scalar attaches
 }
 
 

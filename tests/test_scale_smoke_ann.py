@@ -163,3 +163,25 @@ def test_ivf_pq_ann_20k_vectors(spark):
     elapsed = time.perf_counter() - t0
     assert n == N_VECS
     assert elapsed < 120, f"IVF-PQ took {elapsed:.1f}s on 20k vectors"
+
+
+def test_semdedup_20k_vectors(spark):
+    """SemDeDup at 20k vectors / 64 cells: wall-time bound (the
+    within-cell Gram blocks are ~(n/k)^2 = ~100k dot products each,
+    not n^2 = 400M) plus the kernel contract — every vector appears
+    exactly once, and duplicates only reference earlier-admitted ids
+    within their own cell."""
+    from clv_data_pipeline_spark.operators.similarity import semdedup
+
+    vecs = _synthetic_vecs(spark, n=N_VECS)
+    t0 = time.perf_counter()
+    rows = semdedup(vecs, n_cells=64, threshold=0.95).collect()
+    elapsed = time.perf_counter() - t0
+    assert len(rows) == N_VECS
+    by_id = {r["vec_id"]: r for r in rows}
+    dups = [r for r in rows if not r["kept"]]
+    for r in dups:
+        keeper = by_id[r["dup_of"]]
+        assert keeper["kept"] and keeper["cell"] == r["cell"]
+        assert keeper["vec_id"] < r["vec_id"]
+    assert elapsed < 120, f"semdedup took {elapsed:.1f}s on 20k vectors"
