@@ -98,6 +98,11 @@ HEADLINE = [
     "q_assign_ids",
     "q_bm25_retrieval",
     "q_padding_audit",
+    "q_curriculum",
+    "q_semdedup",
+    "q_assign_ids_incremental",
+    "q_lateral_topk",
+    "q_unigram_tokenize",
 ]
 
 #: Frozen comparable subsets — apples-to-apples totals across rounds.

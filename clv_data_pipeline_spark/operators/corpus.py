@@ -254,3 +254,165 @@ def bpe_segment_counts(
     return documents.select(id_col, text_col).mapInPandas(
         _seg, "doc_id long, n_words long, n_bpe_tokens long"
     )
+
+
+def unigram_train(
+    documents: DataFrame,
+    vocab_size: int = 512,
+    max_piece_len: int = 5,
+    word_cap: int = 20_000,
+    text_col: str = "text",
+) -> dict[str, float]:
+    """Train a unigram-LM tokenizer vocabulary — the SentencePiece
+    family (Kudo 2018), the other production tokenizer beside BPE.
+    Simplified but faithful shape: substring candidates are counted
+    over the word-frequency dict (weighted by word frequency), the top
+    ``vocab_size`` by count become pieces, single characters are always
+    included (coverage guarantee), and piece log-probs derive from the
+    counts.  The full EM refinement prunes this same seed vocabulary;
+    the seed already exhibits the family's defining property —
+    maximum-likelihood Viterbi segmentation under piece probabilities
+    instead of greedy merge application.
+
+    Scale shape mirrors bpe_train: the corpus contributes ONE
+    word->frequency aggregation; substring candidate counting runs
+    COLUMN-SIDE over that vocab-capped table (explode of l in
+    2..max_piece_len and start offsets — |word| x L rows per DISTINCT
+    word, never per corpus token), collapses in a partial-aggregating
+    piece shuffle, and the final cut is a bounded sort-limit.  The
+    returned dict is vocab_size+|alphabet| entries — broadcast-sized.
+    """
+    import math
+
+    words = (
+        documents.select(
+            F.explode(
+                F.split(normalize_text(F.col(text_col)), " ")
+            ).alias("word")
+        )
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.desc("freq"), "word")
+        .limit(word_cap)
+    )
+    lens = F.explode(
+        F.sequence(F.lit(1), F.least(F.length("word"), F.lit(max_piece_len)))
+    )
+    subs = (
+        words.select("word", "freq", lens.alias("l"))
+        .select(
+            "word",
+            "freq",
+            "l",
+            F.explode(
+                F.sequence(F.lit(1), F.length("word") - F.col("l") + 1)
+            ).alias("i"),
+        )
+        .select(
+            F.expr("substring(word, i, l)").alias("piece"),
+            "freq",
+            F.col("l"),
+        )
+    )
+    counts = subs.groupBy("piece", "l").agg(
+        F.sum("freq").alias("count")
+    )
+    top = (
+        counts.filter(F.col("l") > 1)
+        .orderBy(F.desc("count"), "piece")
+        .limit(vocab_size)
+    )
+    chars = counts.filter(F.col("l") == 1)
+    rows = top.unionByName(chars).select("piece", "count").collect()
+    total = sum(r["count"] for r in rows)
+    return {r["piece"]: math.log(r["count"] / total) for r in rows}
+
+
+#: log-prob charged to a character absent from the vocabulary (cannot
+#: happen after unigram_train's single-char coverage, but keeps the
+#: segmenter total on unseen alphabets).
+_UNK_LOGP = -20.0
+
+
+def viterbi_segment(
+    word: str, logp: dict[str, float], max_piece_len: int = 5
+) -> list[str]:
+    """Maximum-likelihood segmentation of one word under piece
+    log-probs — the unigram-LM decoder.  O(|word| x max_piece_len)
+    dynamic program; deterministic (ties keep the longer final piece,
+    checked last in ascending-l order with strict improvement)."""
+    n = len(word)
+    neg = float("-inf")
+    dp = [0.0] + [neg] * n
+    back = [0] * (n + 1)
+    for j in range(1, n + 1):
+        for l in range(1, min(max_piece_len, j) + 1):
+            piece = word[j - l : j]
+            lp = logp.get(piece, _UNK_LOGP if l == 1 else None)
+            if lp is None:
+                continue
+            cand = dp[j - l] + lp
+            if cand >= dp[j]:
+                dp[j] = cand
+                back[j] = l
+    pieces: list[str] = []
+    j = n
+    while j > 0:
+        l = back[j]
+        pieces.append(word[j - l : j])
+        j -= l
+    pieces.reverse()
+    return pieces
+
+
+def unigram_tokenize_counts(
+    documents: DataFrame,
+    logp: dict[str, float],
+    max_piece_len: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply the unigram tokenizer corpus-wide: Viterbi runs ONCE per
+    DISTINCT word (the dictionary, vocabulary-sized) in an Arrow batch
+    with the piece table broadcast, and the per-word piece counts join
+    back to the corpus word stream by broadcast — the fact table never
+    enters Python (the q_fuzzy_join dictionary discipline).  Returns
+    (doc_id, n_words, n_pieces)."""
+    import pandas as pd
+
+    toks = documents.select(
+        id_col,
+        F.explode(
+            F.split(normalize_text(F.col(text_col)), " ")
+        ).alias("word"),
+    ).filter(F.col("word") != "")
+    dictionary = toks.select("word").distinct()
+    bc = documents.sparkSession.sparkContext.broadcast(
+        (logp, max_piece_len)
+    )
+
+    def _segment(batches):
+        lp, mpl = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            yield pd.DataFrame(
+                {
+                    "word": pdf["word"],
+                    "n_pieces": [
+                        len(viterbi_segment(w, lp, mpl))
+                        for w in pdf["word"]
+                    ],
+                }
+            )
+
+    seg = dictionary.mapInPandas(_segment, "word string, n_pieces long")
+    return (
+        toks.join(F.broadcast(seg), "word")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("n_pieces").alias("n_pieces"),
+        )
+    )

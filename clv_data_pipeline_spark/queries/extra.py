@@ -1154,3 +1154,37 @@ def q_assign_ids_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_base") + F.col("pos")).cast("long").alias("new_id"),
         )
     )
+
+
+@query(
+    "q_lateral_topk",
+    oracle="""
+    SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+    FROM customer c,
+    LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+             WHERE o.o_custkey = c.c_custkey
+             ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+    """,
+)
+def q_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery — the per-row-subquery SQL surface
+    (top-2 orders per customer) a BigQuery/DuckDB user writes without
+    thinking.  The naive execution re-runs the subquery per outer row;
+    Catalyst DECORRELATES it into a WindowGroupLimit (per-key top-k
+    pre-filtered map-side) + one equi-join — the identical physical
+    plan as the hand-written q_topk window, which is the point: the
+    declarative surface carries no scale penalty.  The oracle runs the
+    very same SQL text on DuckDB's genuine LATERAL executor."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "customer"
+    )
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM customer c,
+        LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+                 WHERE o.o_custkey = c.c_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        """
+    )

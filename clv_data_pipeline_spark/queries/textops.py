@@ -2831,3 +2831,29 @@ def q_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
         out_col="pos",
         coarse_cols=("stage",),
     ).select(F.col("doc_id").cast("long").alias("doc_id"), "stage", "pos")
+
+
+@query("q_unigram_tokenize")  # rows-only: Viterbi DP is not SQL
+def q_unigram_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM (SentencePiece-family) tokenization end-to-end:
+    train the piece vocabulary on the corpus (one word-frequency
+    shuffle + vocab-sized substring counting, operators/corpus.py
+    unigram_train), then Viterbi-segment the DISTINCT-word dictionary
+    in one Arrow batch and broadcast the counts back — completing the
+    production tokenizer pair next to q_bpe_merges/q_bpe_tokenize.
+    Per-doc output (n_words, n_pieces); maximum-likelihood parity of
+    the decoder against exhaustive enumeration is pinned in
+    tests/test_corpus.py."""
+    from clv_data_pipeline_spark.operators.corpus import (
+        unigram_tokenize_counts,
+        unigram_train,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    logp = unigram_train(docs, vocab_size=256, max_piece_len=5)
+    out = unigram_tokenize_counts(docs, logp, max_piece_len=5)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_words").cast("long").alias("n_words"),
+        F.col("n_pieces").cast("long").alias("n_pieces"),
+    )

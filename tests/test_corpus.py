@@ -170,3 +170,71 @@ def test_cdc_chunks_tile_documents_exactly(spark):
         ).collect())
     )
     assert rows1 == rows2
+
+
+def test_viterbi_segmentation_is_maximum_likelihood():
+    """The DP must reach the same best total log-prob as exhaustive
+    enumeration of every segmentation (tie-break-free check)."""
+    import itertools
+    import math
+
+    from clv_data_pipeline_spark.operators.corpus import viterbi_segment
+
+    logp = {
+        "a": math.log(0.3), "b": math.log(0.2), "ab": math.log(0.25),
+        "ba": math.log(0.05), "abb": math.log(0.1), "bb": math.log(0.1),
+    }
+
+    def brute_best(word):
+        best = float("-inf")
+        n = len(word)
+        for cuts in itertools.product([0, 1], repeat=n - 1):
+            bounds = [0] + [i + 1 for i, c in enumerate(cuts) if c] + [n]
+            pieces = [word[bounds[k]:bounds[k + 1]]
+                      for k in range(len(bounds) - 1)]
+            if any(p not in logp for p in pieces):
+                continue
+            best = max(best, sum(logp[p] for p in pieces))
+        return best
+
+    for word in ["ab", "abb", "abab", "babba", "aabbab"]:
+        got = viterbi_segment(word, logp, max_piece_len=3)
+        assert "".join(got) == word
+        assert math.isclose(
+            sum(logp[p] for p in got), brute_best(word), rel_tol=1e-12
+        ), word
+
+
+def test_unigram_tokenize_counts_dictionary_discipline(spark):
+    """End-to-end on a tiny corpus: coverage (pieces tile each word) is
+    implied by n_pieces <= n_chars; per-doc counts must be exact and
+    partition-independent."""
+    from clv_data_pipeline_spark.operators.corpus import (
+        unigram_tokenize_counts,
+        unigram_train,
+    )
+
+    rows = [
+        (1, "banana band ban"),
+        (2, "banana banana"),
+        (3, "ban nab and band"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    logp = unigram_train(docs, vocab_size=16, max_piece_len=4)
+    assert all(len(p) == 1 for p in logp if len(p) == 1)  # chars covered
+    got = {
+        r["doc_id"]: r
+        for r in unigram_tokenize_counts(docs, logp).collect()
+    }
+    assert got[1]["n_words"] == 3 and got[2]["n_words"] == 2
+    # repartitioned input must give identical counts
+    got13 = {
+        r["doc_id"]: r
+        for r in unigram_tokenize_counts(docs.repartition(7), logp).collect()
+    }
+    assert {k: (v["n_words"], v["n_pieces"]) for k, v in got.items()} == {
+        k: (v["n_words"], v["n_pieces"]) for k, v in got13.items()
+    }
+    # frequent substrings become multi-char pieces, so segmentation
+    # compresses below character count
+    assert got[2]["n_pieces"] < len("banana banana".replace(" ", ""))

@@ -493,3 +493,10 @@ def test_padding_audit_is_one_aggregate(spark):
     plan = plan_of(spark, "q_padding_audit")
     assert plan.count("Exchange (") == 1
     assert "ReadSchema: struct<text:string>" in plan
+
+
+def test_lateral_topk_decorrelates_to_window_group_limit(spark):
+    """The correlated LATERAL subquery must not execute per outer row:
+    Catalyst rewrites it to a per-key WindowGroupLimit + one join."""
+    plan = plan_of(spark, "q_lateral_topk")
+    assert "WindowGroupLimit" in plan
