@@ -103,6 +103,8 @@ HEADLINE = [
     "q_assign_ids_incremental",
     "q_lateral_topk",
     "q_unigram_tokenize",
+    "q_prefix_sum",
+    "q_adamic_adar",
 ]
 
 #: Frozen comparable subsets — apples-to-apples totals across rounds.

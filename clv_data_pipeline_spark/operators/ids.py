@@ -61,3 +61,57 @@ def distributed_row_number(
         .withColumn(out_col, (F.col("_off") + F.col("_rn")).cast("long"))
         .drop("_b", "_rn", "_off")
     )
+
+
+def distributed_prefix_sum(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    out_col: str = "running",
+    n_buckets: int = 2048,
+) -> DataFrame:
+    """Global running SUM over ``order_col`` without the
+    single-partition window — the Blelloch scan composed from
+    DataFrame ops: (1) a 1-row (min, max) broadcast derives a
+    deterministic integer bucket (fixed width, never sampled range
+    boundaries), (2) each bucket computes its local running sum after
+    ONE hash exchange, (3) bucket totals collapse to an
+    ``n_buckets``-row frame whose exclusive cumulative sum is each
+    bucket's global offset, broadcast back.  ``value_col`` must be
+    exactly summable (bigint/decimal) so the recomposition is
+    bit-identical to the sequential scan; ``order_col`` must be a
+    non-null orderable integer (ids, epoch days).  Corpora whose
+    bucket count would outgrow one offsets frame recurse the same
+    three steps per level (log_B n levels)."""
+    stats = df.agg(
+        F.min(order_col).alias("_lo"), F.max(order_col).alias("_hi")
+    )
+    width = (
+        F.floor(
+            (F.col("_hi") - F.col("_lo")) / F.lit(float(n_buckets))
+        ).cast("long")
+        + 1
+    )
+    b = (
+        df.crossJoin(F.broadcast(stats))
+        .withColumn(
+            "_bk", F.floor((F.col(order_col) - F.col("_lo")) / width)
+        )
+        .drop("_lo", "_hi")
+    )
+    wr = (
+        Window.partitionBy("_bk")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = b.withColumn("_run", F.sum(value_col).over(wr))
+    totals = b.groupBy("_bk").agg(F.sum(value_col).alias("_tot"))
+    wo = Window.orderBy("_bk").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "_bk", F.coalesce(F.sum("_tot").over(wo), F.lit(0)).alias("_off")
+    )
+    return (
+        local.join(F.broadcast(offsets), "_bk")
+        .withColumn(out_col, F.col("_off") + F.col("_run"))
+        .drop("_bk", "_run", "_off")
+    )

@@ -443,3 +443,89 @@ def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "q_adamic_adar",
+    oracle=_BASKET_CTES
+    + """,
+    edges AS (
+        SELECT brand_a AS u, brand_b AS v
+        FROM pairs CROSS JOIN tot WHERE n_ab * 50 >= n_orders),
+    adj AS (
+        SELECT u AS node, v AS nbr FROM edges
+        UNION ALL SELECT v, u FROM edges),
+    deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg
+            FROM adj GROUP BY node),
+    wedge AS (
+        SELECT a1.node AS a, a2.node AS b, a1.nbr AS w
+        FROM adj a1 JOIN adj a2
+          ON a1.nbr = a2.nbr AND a1.node < a2.node),
+    nonedge AS (
+        SELECT wg.a, wg.b, wg.w FROM wedge wg
+        LEFT JOIN edges e ON e.u = wg.a AND e.v = wg.b
+        WHERE e.u IS NULL),
+    scored AS (
+        SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n_common,
+               SUM(CAST(ROUND(1.0 / ln(d.deg), 9) AS DECIMAL(18,9))) AS s
+        FROM nonedge n JOIN deg d ON d.node = n.w
+        GROUP BY a, b)
+    SELECT a AS brand_a, b AS brand_b, n_common,
+           CAST(s AS DOUBLE) AS aa_score
+    FROM scored
+    """,
+)
+def q_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction on the brand co-purchase graph:
+    score every NON-edge pair sharing at least one common neighbor by
+    sum over common neighbors of 1/ln(degree) — rare shared neighbors
+    count more — the classic who-to-connect-next / complementary-
+    product signal, completing the graph suite next to q_triangles'
+    closed wedges (this op scores the OPEN ones).
+
+    Scale shape: wedges come from one self-join of the symmetric
+    adjacency on the CENTER node — each wedge is emitted exactly once
+    (a < b), volume = sum(deg(w)^2), the same bound as triangle
+    counting, with degree-oriented orientation the fix on power-law
+    graphs; existing edges drop via an anti-join; per-term 1/ln(deg)
+    rounds then sums as DECIMAL so the score is partitioning- and
+    engine-exact."""
+    sets = _order_brand_sets(spark, sf_dir)
+    pairs = _brand_pairs(sets)
+    n_orders = sets.select(F.count("*").cast("long").alias("n_orders"))
+    edges = (
+        pairs.crossJoin(F.broadcast(n_orders))
+        .filter(F.col("n_ab") * 50 >= F.col("n_orders"))
+        .select(F.col("brand_a").alias("u"), F.col("brand_b").alias("v"))
+    )
+    adj = edges.select(
+        F.col("u").alias("node"), F.col("v").alias("nbr")
+    ).unionByName(edges.select(F.col("v").alias("node"), F.col("u").alias("nbr")))
+    deg = adj.groupBy("node").agg(F.count("*").alias("deg"))
+    a1 = adj.select(F.col("node").alias("a"), F.col("nbr").alias("w"))
+    a2 = adj.select(F.col("node").alias("b"), F.col("nbr").alias("w"))
+    wedge = a1.join(a2, "w").filter(F.col("a") < F.col("b"))
+    nonedge = wedge.join(
+        edges,
+        (wedge["a"] == edges["u"]) & (wedge["b"] == edges["v"]),
+        "left_anti",
+    )
+    term = F.round(
+        F.lit(1.0) / F.log(F.col("deg").cast("double")), 9
+    ).cast("decimal(18,9)")
+    return (
+        nonedge.join(
+            F.broadcast(deg.select(F.col("node").alias("w"), "deg")), "w"
+        )
+        .groupBy("a", "b")
+        .agg(
+            F.count("*").cast("long").alias("n_common"),
+            F.sum(term).cast("double").alias("aa_score"),
+        )
+        .select(
+            F.col("a").alias("brand_a"),
+            F.col("b").alias("brand_b"),
+            "n_common",
+            "aa_score",
+        )
+    )

@@ -1188,3 +1188,41 @@ def q_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
         """
     )
+
+
+@query(
+    "q_prefix_sum",
+    oracle="""
+    SELECT event_id,
+           CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) OVER (
+               ORDER BY event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS running_cents
+    FROM events
+    """,
+)
+def q_prefix_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global running revenue in event order — the cumulative-total /
+    watermark-accounting shape, and the third classic single-reducer
+    trap after global ROW_NUMBER and global sort: ``SUM() OVER (ORDER
+    BY ...)`` with no PARTITION BY.  Distributed as a Blelloch scan
+    (operators/ids.py distributed_prefix_sum): deterministic
+    fixed-width buckets from a 1-row (min, max) broadcast, per-bucket
+    running sums after one hash exchange, and a 2048-row exclusive
+    bucket-total cumsum broadcast back.  Values fold to integer cents
+    first, so the recomposition is bit-identical to the sequential
+    scan at any partitioning — which is exactly what the oracle's
+    genuine sequential window computes."""
+    from clv_data_pipeline_spark.operators.ids import (
+        distributed_prefix_sum,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    return distributed_prefix_sum(
+        ev, order_col="event_id", value_col="cents", out_col="running_cents"
+    ).select(
+        "event_id", F.col("running_cents").cast("long").alias("running_cents")
+    )

@@ -185,7 +185,8 @@ _R5_NEW: frozenset[str] = frozenset(
         "q_naive_bayes", "q_ann_ivf_pq", "q_stream_mix",
         "q_assign_ids", "q_bm25_retrieval", "q_padding_audit",
         "q_curriculum", "q_semdedup", "q_assign_ids_incremental",
-        "q_lateral_topk", "q_unigram_tokenize",
+        "q_lateral_topk", "q_unigram_tokenize", "q_prefix_sum",
+        "q_adamic_adar",
     }
 )
 

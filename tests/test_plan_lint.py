@@ -70,6 +70,8 @@ _BNLJ_SCALAR_OK = {
     "q_naive_bayes",       # bounded class-grid (C~5 rows) + 1-row vocab size
     "q_bm25_retrieval",    # corpus (n_docs, avgdl) 1-row broadcast
     "q_assign_ids_incremental",  # 1-row delta-cut + n_base scalar attaches
+    "q_prefix_sum",        # 1-row (min, max) bucket-stats broadcast
+    "q_adamic_adar",       # 1-row order-count (edge threshold) broadcast
 }
 
 
