@@ -105,6 +105,7 @@ HEADLINE = [
     "q_unigram_tokenize",
     "q_prefix_sum",
     "q_adamic_adar",
+    "q_late_events",
 ]
 
 #: Frozen comparable subsets — apples-to-apples totals across rounds.

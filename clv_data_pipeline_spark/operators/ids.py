@@ -115,3 +115,57 @@ def distributed_prefix_sum(
         .withColumn(out_col, F.col("_off") + F.col("_run"))
         .drop("_bk", "_run", "_off")
     )
+
+
+def distributed_prefix_max(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    out_col: str = "running_max",
+    n_buckets: int = 2048,
+) -> DataFrame:
+    """Global running MAX over ``order_col`` — same Blelloch
+    decomposition as :func:`distributed_prefix_sum` with (max,
+    greatest) as the monoid: per-bucket running max after one
+    exchange, exclusive prefix-max of the bucket maxima broadcast
+    back.  Max is idempotent and exact on any orderable type, so the
+    recomposition equals the sequential scan with no numeric caveats —
+    this is the streaming-watermark computation (running max event
+    time) in batch form."""
+    stats = df.agg(
+        F.min(order_col).alias("_lo"), F.max(order_col).alias("_hi")
+    )
+    width = (
+        F.floor(
+            (F.col("_hi") - F.col("_lo")) / F.lit(float(n_buckets))
+        ).cast("long")
+        + 1
+    )
+    b = (
+        df.crossJoin(F.broadcast(stats))
+        .withColumn(
+            "_bk", F.floor((F.col(order_col) - F.col("_lo")) / width)
+        )
+        .drop("_lo", "_hi")
+    )
+    wr = (
+        Window.partitionBy("_bk")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = b.withColumn("_run", F.max(value_col).over(wr))
+    totals = b.groupBy("_bk").agg(F.max(value_col).alias("_tot"))
+    wo = Window.orderBy("_bk").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "_bk", F.max("_tot").over(wo).alias("_off")
+    )
+    return (
+        local.join(F.broadcast(offsets), "_bk")
+        .withColumn(
+            out_col,
+            F.when(F.col("_off").isNull(), F.col("_run")).otherwise(
+                F.greatest(F.col("_run"), F.col("_off"))
+            ),
+        )
+        .drop("_bk", "_run", "_off")
+    )

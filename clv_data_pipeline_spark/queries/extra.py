@@ -1226,3 +1226,55 @@ def q_prefix_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "event_id", F.col("running_cents").cast("long").alias("running_cents")
     )
+
+
+@query(
+    "q_late_events",
+    oracle="""
+    WITH t AS (
+        SELECT event_id, ts, epoch_us(ts) AS us,
+               MAX(epoch_us(ts)) OVER (
+                   ORDER BY event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS wm
+        FROM events)
+    SELECT strftime(ts, '%Y-%m-%d') AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(*) FILTER (WHERE us < wm - 3600000000) AS BIGINT)
+               AS n_late
+    FROM t GROUP BY day
+    """,
+)
+def q_late_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-late accounting in batch form: an event is LATE if,
+    at its arrival (event_id order), the running-max event time — the
+    exact quantity a Structured Streaming watermark tracks — already
+    exceeded its timestamp by more than the 1-hour delay; per-day
+    totals tell an operator how much data a given watermark would
+    drop before they deploy it.  The running max is the distributed
+    Blelloch scan (operators/ids.py distributed_prefix_max — max is
+    idempotent, so the recomposition is exact with no numeric
+    caveats); everything after it is one day-grain aggregate."""
+    from clv_data_pipeline_spark.operators.ids import (
+        distributed_prefix_max,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", F.unix_micros(F.col("ts")).alias("us")
+    )
+    wm = distributed_prefix_max(
+        ev, order_col="event_id", value_col="us", out_col="wm"
+    )
+    return (
+        wm.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum(
+                (F.col("us") < F.col("wm") - F.lit(3_600_000_000)).cast(
+                    "long"
+                )
+            )
+            .cast("long")
+            .alias("n_late"),
+        )
+    )

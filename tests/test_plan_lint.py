@@ -72,6 +72,7 @@ _BNLJ_SCALAR_OK = {
     "q_assign_ids_incremental",  # 1-row delta-cut + n_base scalar attaches
     "q_prefix_sum",        # 1-row (min, max) bucket-stats broadcast
     "q_adamic_adar",       # 1-row order-count (edge threshold) broadcast
+    "q_late_events",       # 1-row (min, max) bucket-stats broadcast
 }
 
 

@@ -389,3 +389,89 @@ def test_lpa_fixed_iteration_reference_property(spark, edges):
         for r in label_propagation(df, iters=3).collect()
     }
     assert got == lab
+
+
+# --- distributed scan/rank operators vs the naive single-partition
+# window (operators/ids.py): the decomposition must be EXACTLY the
+# sequential semantics on arbitrary inputs.
+
+@settings(max_examples=8, deadline=None)
+@given(
+    ids=st.lists(
+        st.integers(min_value=0, max_value=10_000),
+        min_size=1, max_size=60, unique=True,
+    ),
+    vals=st.data(),
+)
+def test_distributed_prefix_scans_equal_sequential(spark, ids, vals):
+    from pyspark.sql import Window
+
+    from clv_data_pipeline_spark.operators.ids import (
+        distributed_prefix_max,
+        distributed_prefix_sum,
+    )
+
+    rows = [
+        (i, vals.draw(st.integers(min_value=-1000, max_value=1000)))
+        for i in ids
+    ]
+    df = spark.createDataFrame(rows, "k long, v long").repartition(5)
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+    naive = {
+        r["k"]: (r["s"], r["m"])
+        for r in df.select(
+            "k",
+            F.sum("v").over(w).alias("s"),
+            F.max("v").over(w).alias("m"),
+        ).collect()
+    }
+    got_s = {
+        r["k"]: r["running"]
+        for r in distributed_prefix_sum(
+            df, "k", "v", out_col="running", n_buckets=7
+        ).collect()
+    }
+    got_m = {
+        r["k"]: r["running_max"]
+        for r in distributed_prefix_max(
+            df, "k", "v", n_buckets=7
+        ).collect()
+    }
+    assert got_s == {k: v[0] for k, v in naive.items()}
+    assert got_m == {k: v[1] for k, v in naive.items()}
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    ids=st.lists(
+        st.integers(min_value=0, max_value=100_000),
+        min_size=1, max_size=60, unique=True,
+    )
+)
+def test_distributed_row_number_equals_sequential(spark, ids):
+    from pyspark.sql import Window
+
+    from clv_data_pipeline_spark.operators.ids import (
+        distributed_row_number,
+    )
+
+    df = (
+        spark.createDataFrame([(i,) for i in ids], "doc_id long")
+        .select("doc_id", F.md5(F.col("doc_id").cast("string")).alias("h"))
+        .repartition(3)
+    )
+    naive = {
+        r["doc_id"]: r["rn"]
+        for r in df.select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy("h", "doc_id"))
+            .cast("long")
+            .alias("rn"),
+        ).collect()
+    }
+    got = {
+        r["doc_id"]: r["pos"]
+        for r in distributed_row_number(df, "h", "doc_id").collect()
+    }
+    assert got == naive
