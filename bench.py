@@ -106,6 +106,8 @@ HEADLINE = [
     "q_prefix_sum",
     "q_adamic_adar",
     "q_late_events",
+    "q_calibration",
+    "q_quantiles_incremental",
 ]
 
 #: Frozen comparable subsets — apples-to-apples totals across rounds.

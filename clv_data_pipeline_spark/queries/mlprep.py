@@ -1698,3 +1698,129 @@ def q_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rnk",
         )
     )
+
+
+@query(
+    "q_calibration",
+    oracle=r"""
+    WITH q AS (
+        SELECT doc_id,
+               ROUND(
+                 LEAST(CAST(length(text) AS DOUBLE) / 200.0, 1.0)
+                 * GREATEST(0.0, 1.0 -
+                     (CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g'))
+                           AS DOUBLE)
+                      / GREATEST(length(text), 1)) * 5.0)
+                 * GREATEST(0.0, 1.0 -
+                     (CAST(length(regexp_replace(text, '[^0-9]', '', 'g'))
+                           AS DOUBLE)
+                      / GREATEST(length(text), 1)) * 5.0)
+                 * (CASE WHEN (CAST(length(trim(text)) AS DOUBLE)
+                               / GREATEST(len(regexp_extract_all(trim(text),
+                                              '\S+', 0)), 1))
+                              BETWEEN 3.0 AND 12.0
+                         THEN 1.0 ELSE 0.5 END),
+               6) AS score
+        FROM documents),
+    toks AS (
+        SELECT doc_id, unnest(string_split(
+                   trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '))
+                   AS term
+        FROM documents),
+    tf AS (
+        SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM toks WHERE term <> '' GROUP BY doc_id, term),
+    e AS (
+        SELECT doc_id,
+               ROUND(log2(CAST(SUM(tf) AS DOUBLE))
+                     - CAST(SUM(CAST(ROUND(tf * log2(CAST(tf AS DOUBLE)), 9)
+                                AS DECIMAL(28,9))) AS DOUBLE) / SUM(tf), 6)
+                   AS entropy
+        FROM tf GROUP BY doc_id),
+    pts AS (
+        SELECT LEAST(CAST(FLOOR(q.score * 10) AS BIGINT), 9) AS bin,
+               CAST(q.score AS DECIMAL(18,6)) AS score,
+               CASE WHEN e.entropy >= 4.4 THEN 1 ELSE 0 END AS pos
+        FROM q JOIN e USING (doc_id)),
+    bins AS (
+        SELECT bin,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(pos) AS BIGINT) AS n_pos,
+               SUM(score) AS sum_score
+        FROM pts GROUP BY bin),
+    g AS (
+        SELECT bin, n_docs, n_pos,
+               CAST(sum_score AS DOUBLE) / n_docs AS conf,
+               CAST(n_pos AS DOUBLE) / n_docs AS acc
+        FROM bins),
+    t AS (
+        SELECT bin, n_docs, n_pos,
+               ROUND(conf, 6) AS conf, ROUND(acc, 6) AS acc,
+               ROUND(ABS(acc - conf), 6) AS gap,
+               CAST(ROUND(ABS(acc - conf), 6) AS DECIMAL(18,6)) * n_docs
+                   AS w
+        FROM g)
+    SELECT bin, n_docs, n_pos, conf, acc, gap,
+           ROUND(CAST(SUM(w) OVER () AS DOUBLE)
+                 / SUM(n_docs) OVER (), 6) AS ece
+    FROM t
+    """,
+)
+def q_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram + Expected Calibration Error of the
+    heuristic quality score predicting high-entropy documents — the
+    calibration half of model eval next to q_auc's discrimination
+    half: AUC tells you the ranking is right, calibration tells you
+    the SCORE MAGNITUDE can be trusted as a probability (what a
+    filtering threshold actually assumes).
+
+    Histogram formulation like q_auc: scores fold into 10 fixed bins
+    map-side, every statistic derives from the 10-row bin frame, and
+    the ECE weights fold per-bin rounded gaps through DECIMAL so the
+    headline number is engine- and partitioning-exact."""
+    from pyspark.sql.window import Window as W
+
+    from clv_data_pipeline_spark.queries.textops import q_quality_score
+
+    q = q_quality_score(spark, sf_dir)
+    e = q_token_entropy(spark, sf_dir).select("doc_id", "entropy")
+    pts = q.join(e, "doc_id").select(
+        F.least(
+            F.floor(F.col("quality") * 10).cast("long"), F.lit(9)
+        ).alias("bin"),
+        F.col("quality").cast("decimal(18,6)").alias("score"),
+        F.when(F.col("entropy") >= 4.4, 1).otherwise(0).alias("pos"),
+    )
+    bins = pts.groupBy("bin").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("pos").cast("long").alias("n_pos"),
+        F.sum("score").alias("sum_score"),
+    )
+    conf = F.col("sum_score").cast("double") / F.col("n_docs")
+    acc = F.col("n_pos").cast("double") / F.col("n_docs")
+    g = bins.select(
+        "bin",
+        "n_docs",
+        "n_pos",
+        F.round(conf, 6).alias("conf"),
+        F.round(acc, 6).alias("acc"),
+        F.round(F.abs(acc - conf), 6).alias("gap"),
+        (
+            F.round(F.abs(acc - conf), 6).cast("decimal(18,6)")
+            * F.col("n_docs")
+        ).alias("w"),
+    )
+    wall = W.partitionBy(F.lit(1))
+    return g.select(
+        "bin",
+        "n_docs",
+        "n_pos",
+        "conf",
+        "acc",
+        "gap",
+        F.round(
+            F.sum("w").over(wall).cast("double")
+            / F.sum("n_docs").over(wall),
+            6,
+        ).alias("ece"),
+    )

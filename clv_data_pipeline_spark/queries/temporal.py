@@ -1242,3 +1242,139 @@ def q_robust_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("z_score"),
     )
+
+
+@query(
+    "q_quantiles_incremental",
+    oracle="""
+    WITH stats AS (
+        SELECT MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi,
+               COUNT(*) AS n
+        FROM lineitem),
+    pts AS (
+        SELECT LEAST(CAST(FLOOR((l_extendedprice - lo)
+                                / ((hi - lo) / 2048.0)) AS BIGINT),
+                     2047) AS bin
+        FROM lineitem, stats),
+    hist AS (
+        SELECT bin, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM pts GROUP BY bin),
+    cum AS (
+        SELECT bin, cnt,
+               SUM(cnt) OVER (ORDER BY bin
+                   ROWS UNBOUNDED PRECEDING) AS c
+        FROM hist),
+    qs(q) AS (VALUES (0.5), (0.9), (0.99)),
+    est AS (
+        SELECT q, MIN(bin) AS qbin
+        FROM qs JOIN cum ON c >= q * (SELECT n FROM stats)
+        GROUP BY q),
+    ex AS (
+        SELECT 0.5 AS q,
+               quantile_cont(l_extendedprice, 0.5) AS exact FROM lineitem
+        UNION ALL SELECT 0.9, quantile_cont(l_extendedprice, 0.9)
+        FROM lineitem
+        UNION ALL SELECT 0.99, quantile_cont(l_extendedprice, 0.99)
+        FROM lineitem)
+    SELECT CAST(e.q AS DOUBLE) AS q,
+           ROUND(s.lo + (est.qbin + 1) * ((s.hi - s.lo) / 2048.0), 6)
+               AS est,
+           ROUND(CAST(e.exact AS DOUBLE), 6) AS exact,
+           ROUND(ABS((s.lo + (est.qbin + 1) * ((s.hi - s.lo) / 2048.0))
+                     - e.exact), 6) AS abs_err,
+           ROUND((s.hi - s.lo) / 2048.0, 6) AS bin_width
+    FROM est JOIN ex e ON est.q = e.q CROSS JOIN stats s
+    """,
+)
+def q_quantiles_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-summary quantiles — the daily-rollup percentile
+    primitive (the deterministic stand-in for t-digest/KLL, which
+    Spark does not expose as mergeable values): per-day fixed-bin
+    histograms are stored state (keyed artifact, same lifecycle as the
+    dedup indexes and q_hll_merge's sketches), a new day adds one
+    delta-sized pass, and merging is plain SUM over bin counts — no
+    re-rank, no rescans.  Each estimate self-audits against the exact
+    percentile: the error is bounded by one bin width ((max-min)/2048)
+    by construction, and the output reports est, exact, abs_err, and
+    the bound so the reader sees the audit, not a claim.
+
+    Determinism: bins derive from IEEE-exact double arithmetic on
+    identical parquet values; cumulative counts are integers; the
+    interpolation-free right-edge estimate makes the whole summary
+    engine-portable."""
+    from clv_data_pipeline_spark.sources.io import (
+        materialize_temp,
+        source_key,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    stats = li.agg(
+        F.min("l_extendedprice").alias("lo"),
+        F.max("l_extendedprice").alias("hi"),
+        F.count("*").alias("n"),
+    )
+    with_stats = li.select("l_extendedprice", "l_shipdate").crossJoin(
+        F.broadcast(stats)
+    )
+    width = (F.col("hi") - F.col("lo")) / F.lit(2048.0)
+    day = F.date_format("l_shipdate", "yyyy-MM-dd")
+    # per-day histograms ARE the stored daily state; the merge below
+    # never touches raw rows again
+    daily = materialize_temp(
+        with_stats.groupBy(
+            day.alias("day"),
+            F.least(
+                F.floor((F.col("l_extendedprice") - F.col("lo")) / width)
+                .cast("long"),
+                F.lit(2047),
+            ).alias("bin"),
+        ).agg(F.count("*").alias("cnt")),
+        "qhist_daily_",
+        key=source_key(sf_dir, "lineitem") + ":qhist2048",
+    )
+    hist = daily.groupBy("bin").agg(F.sum("cnt").alias("cnt"))
+    wcum = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = hist.withColumn("c", F.sum("cnt").over(wcum))
+    qs = spark.createDataFrame([(0.5,), (0.9,), (0.99,)], "q double")
+    est = (
+        cum.crossJoin(F.broadcast(stats.select("n")))
+        .join(F.broadcast(qs), F.col("c") >= F.col("q") * F.col("n"))
+        .groupBy("q")
+        .agg(F.min("bin").alias("qbin"))
+    )
+    exact = li.agg(
+        *[
+            F.percentile("l_extendedprice", p).alias(f"e{int(p * 100)}")
+            for p in (0.5, 0.9, 0.99)
+        ]
+    ).select(
+        F.explode(
+            F.array(
+                F.struct(F.lit(0.5).alias("q"), F.col("e50").alias("exact")),
+                F.struct(F.lit(0.9).alias("q"), F.col("e90").alias("exact")),
+                F.struct(
+                    F.lit(0.99).alias("q"), F.col("e99").alias("exact")
+                ),
+            )
+        ).alias("s")
+    ).select("s.q", "s.exact")
+    w2 = (F.col("hi") - F.col("lo")) / F.lit(2048.0)
+    return (
+        est.join(F.broadcast(exact), "q")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            F.col("q").cast("double").alias("q"),
+            F.round(F.col("lo") + (F.col("qbin") + 1) * w2, 6).alias("est"),
+            F.round(F.col("exact"), 6).alias("exact"),
+            F.round(
+                F.abs(
+                    (F.col("lo") + (F.col("qbin") + 1) * w2)
+                    - F.col("exact")
+                ),
+                6,
+            ).alias("abs_err"),
+            F.round(w2, 6).alias("bin_width"),
+        )
+    )

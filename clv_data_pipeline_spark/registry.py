@@ -186,7 +186,8 @@ _R5_NEW: frozenset[str] = frozenset(
         "q_assign_ids", "q_bm25_retrieval", "q_padding_audit",
         "q_curriculum", "q_semdedup", "q_assign_ids_incremental",
         "q_lateral_topk", "q_unigram_tokenize", "q_prefix_sum",
-        "q_adamic_adar", "q_late_events",
+        "q_adamic_adar", "q_late_events", "q_calibration",
+        "q_quantiles_incremental",
     }
 )
 
