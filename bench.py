@@ -108,6 +108,7 @@ HEADLINE = [
     "q_late_events",
     "q_calibration",
     "q_quantiles_incremental",
+    "q_attribution_linear",
 ]
 
 #: Frozen comparable subsets — apples-to-apples totals across rounds.

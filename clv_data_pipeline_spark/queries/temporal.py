@@ -1378,3 +1378,128 @@ def q_quantiles_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(w2, 6).alias("bin_width"),
         )
     )
+
+
+#: Non-conversion channels of the events table (q_pivot's value list).
+_TOUCH_CHANNELS = ["click", "error", "signup", "view"]
+
+_ATTR_WINDOW_US = 7 * 24 * 3600 * 1_000_000  # 7-day lookback
+
+
+@query(
+    "q_attribution_linear",
+    oracle=f"""
+    WITH t AS (
+        SELECT user_id, epoch_us(ts) AS us, event_type, value
+        FROM events),
+    w AS (
+        SELECT user_id, us, event_type, value,
+               {", ".join(
+                   f"COUNT(CASE WHEN event_type = '{c}' THEN 1 END) OVER "
+                   f"(PARTITION BY user_id ORDER BY us "
+                   f"RANGE BETWEEN {_ATTR_WINDOW_US} PRECEDING "
+                   f"AND 1 PRECEDING) AS c_{c}"
+                   for c in _TOUCH_CHANNELS)}
+        FROM t),
+    p AS (
+        SELECT value,
+               {" + ".join(f"c_{c}" for c in _TOUCH_CHANNELS)} AS k,
+               {", ".join(f"c_{c}" for c in _TOUCH_CHANNELS)}
+        FROM w WHERE event_type = 'purchase'),
+    x AS (
+        {" UNION ALL ".join(
+            f"SELECT '{c}' AS channel, c_{c} AS cnt, "
+            f"CASE WHEN k > 0 AND c_{c} > 0 "
+            f"THEN ROUND(value * c_{c} / k, 6) ELSE 0 END AS credit "
+            f"FROM p"
+            for c in _TOUCH_CHANNELS)}
+        UNION ALL
+        SELECT 'direct', CASE WHEN k = 0 THEN 1 ELSE 0 END,
+               CASE WHEN k = 0 THEN ROUND(value, 6) ELSE 0 END
+        FROM p)
+    SELECT channel,
+           CAST(SUM(CASE WHEN cnt > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_conversions,
+           ROUND(CAST(SUM(CAST(credit AS DECIMAL(18,6))) AS DOUBLE), 2)
+               AS revenue
+    FROM x GROUP BY channel HAVING SUM(cnt) > 0
+    """,
+)
+def q_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: each purchase splits its value
+    EQUALLY across every touch (non-purchase event) in the user's
+    7-day lookback; no touches = 'direct' — the position-independent
+    credit model next to q_attribution's last-touch.
+
+    The classic implementation self-joins conversions to touches;
+    here per-channel touch counts are RANGE-frame window counts over
+    ONE user shuffle (the frame is [-7d, -1us] by event time), so
+    channel credit = value x cnt_channel / k needs only the counts —
+    pairs never materialize, join count is zero.  Per-conversion
+    credits round to 6 then sum as DECIMAL (registry determinism
+    rules); the oracle replays the same integer-microsecond range
+    frames on DuckDB."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("us"),
+        "event_type",
+        "value",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(-_ATTR_WINDOW_US, -1)
+    )
+    cnts = {
+        c: F.count(F.when(F.col("event_type") == c, 1)).over(w)
+        for c in _TOUCH_CHANNELS
+    }
+    p = (
+        e.select(
+            "event_type",
+            "value",
+            *[cnts[c].alias(f"c_{c}") for c in _TOUCH_CHANNELS],
+        )
+        .filter(F.col("event_type") == "purchase")
+        .withColumn(
+            "k", sum(F.col(f"c_{c}") for c in _TOUCH_CHANNELS)
+        )
+    )
+    credit = lambda c: F.when(
+        (F.col("k") > 0) & (F.col(f"c_{c}") > 0),
+        F.round(F.col("value") * F.col(f"c_{c}") / F.col("k"), 6),
+    ).otherwise(F.lit(0.0))
+    branches = [
+        F.struct(
+            F.lit(c).alias("channel"),
+            F.col(f"c_{c}").cast("long").alias("cnt"),
+            credit(c).alias("credit"),
+        )
+        for c in _TOUCH_CHANNELS
+    ] + [
+        F.struct(
+            F.lit("direct").alias("channel"),
+            F.when(F.col("k") == 0, 1).otherwise(0).cast("long").alias("cnt"),
+            F.when(F.col("k") == 0, F.round(F.col("value"), 6))
+            .otherwise(F.lit(0.0))
+            .alias("credit"),
+        )
+    ]
+    x = p.select(F.explode(F.array(*branches)).alias("s")).select(
+        "s.channel", "s.cnt", "s.credit"
+    )
+    return (
+        x.groupBy("channel")
+        .agg(
+            F.sum((F.col("cnt") > 0).cast("long"))
+            .cast("long")
+            .alias("n_conversions"),
+            F.round(
+                F.sum(F.col("credit").cast("decimal(18,6)")).cast("double"),
+                2,
+            ).alias("revenue"),
+            F.sum("cnt").alias("_tot"),
+        )
+        .filter(F.col("_tot") > 0)
+        .drop("_tot")
+    )

@@ -187,7 +187,7 @@ _R5_NEW: frozenset[str] = frozenset(
         "q_curriculum", "q_semdedup", "q_assign_ids_incremental",
         "q_lateral_topk", "q_unigram_tokenize", "q_prefix_sum",
         "q_adamic_adar", "q_late_events", "q_calibration",
-        "q_quantiles_incremental",
+        "q_quantiles_incremental", "q_attribution_linear",
     }
 )
 

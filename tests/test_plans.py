@@ -471,7 +471,7 @@ def test_assign_ids_avoids_global_sort(spark):
     (no global sort), and the offsets frame joins back by broadcast."""
     plan = plan_of(spark, "q_assign_ids")
     assert "rangepartitioning" not in plan.lower()
-    assert "hashpartitioning(bucket" in plan
+    assert "hashpartitioning(_b" in plan
     assert "BroadcastHashJoin" in plan
     # the corpus scan prunes to the natural key only
     assert "ReadSchema: struct<doc_id:bigint>" in plan
