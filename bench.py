@@ -109,6 +109,8 @@ HEADLINE = [
     "q_calibration",
     "q_quantiles_incremental",
     "q_attribution_linear",
+    "q_auc_sliced",
+    "q_word_vectors",
 ]
 
 #: Frozen comparable subsets — apples-to-apples totals across rounds.

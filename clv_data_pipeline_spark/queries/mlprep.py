@@ -1824,3 +1824,386 @@ def q_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("ece"),
     )
+
+
+@query(
+    "q_auc_sliced",
+    oracle=r"""
+    WITH q AS (
+        SELECT doc_id, lang,
+               ROUND(
+                 LEAST(CAST(length(text) AS DOUBLE) / 200.0, 1.0)
+                 * GREATEST(0.0, 1.0 -
+                     (CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g'))
+                           AS DOUBLE)
+                      / GREATEST(length(text), 1)) * 5.0)
+                 * GREATEST(0.0, 1.0 -
+                     (CAST(length(regexp_replace(text, '[^0-9]', '', 'g'))
+                           AS DOUBLE)
+                      / GREATEST(length(text), 1)) * 5.0)
+                 * (CASE WHEN (CAST(length(trim(text)) AS DOUBLE)
+                               / GREATEST(len(regexp_extract_all(trim(text),
+                                              '\S+', 0)), 1))
+                              BETWEEN 3.0 AND 12.0
+                         THEN 1.0 ELSE 0.5 END),
+               6) AS score
+        FROM documents),
+    toks AS (
+        SELECT doc_id, unnest(string_split(
+                   trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '))
+                   AS term
+        FROM documents),
+    tf AS (
+        SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM toks WHERE term <> '' GROUP BY doc_id, term),
+    e AS (
+        SELECT doc_id,
+               ROUND(log2(CAST(SUM(tf) AS DOUBLE))
+                     - CAST(SUM(CAST(ROUND(tf * log2(CAST(tf AS DOUBLE)), 9)
+                                AS DECIMAL(28,9))) AS DOUBLE) / SUM(tf), 6)
+                   AS entropy
+        FROM tf GROUP BY doc_id),
+    pts AS (
+        SELECT q.lang,
+               LEAST(CAST(FLOOR(q.score * 100) AS BIGINT), 99) AS bin,
+               CASE WHEN e.entropy >= 4.4 THEN 1 ELSE 0 END AS pos
+        FROM q JOIN e USING (doc_id)),
+    bins AS (
+        SELECT lang, bin,
+               CAST(SUM(pos) AS BIGINT) AS n_pos,
+               CAST(COUNT(*) - SUM(pos) AS BIGINT) AS n_neg
+        FROM pts GROUP BY lang, bin),
+    sweep AS (
+        SELECT lang, bin, n_pos, n_neg,
+               CAST(SUM(n_pos) OVER wd AS DOUBLE)
+                   / SUM(n_pos) OVER wl AS tpr,
+               CAST(SUM(n_neg) OVER wd AS DOUBLE)
+                   / SUM(n_neg) OVER wl AS fpr
+        FROM bins
+        WINDOW wd AS (PARTITION BY lang ORDER BY bin DESC
+                      ROWS UNBOUNDED PRECEDING),
+               wl AS (PARTITION BY lang)),
+    terms AS (
+        SELECT lang, n_pos, n_neg,
+               (fpr - COALESCE(LAG(fpr) OVER wu, 0.0))
+               * (tpr + COALESCE(LAG(tpr) OVER wu, 0.0)) / 2.0 AS tri
+        FROM sweep
+        WINDOW wu AS (PARTITION BY lang ORDER BY bin DESC))
+    SELECT lang,
+           CAST(SUM(n_pos) AS BIGINT) AS n_pos,
+           CAST(SUM(n_neg) AS BIGINT) AS n_neg,
+           ROUND(CAST(SUM(CAST(ROUND(tri, 9) AS DECIMAL(18,9)))
+                      AS DOUBLE), 6) AS auc
+    FROM terms GROUP BY lang
+    HAVING SUM(n_pos) > 0 AND SUM(n_neg) > 0
+    """,
+)
+def q_auc_sliced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-slice model eval: q_auc's histogram ROC computed PER
+    LANGUAGE — the sliced-metrics discipline (a global AUC hides a
+    slice where the quality score is noise; per-language rows are what
+    a curation review actually reads).  Same scale shape with lang
+    added to every key: bin counts partial-aggregate per (lang, bin),
+    the sweep windows partition by lang over bin-sized frames, and
+    trapezoid terms round-then-DECIMAL-sum so each slice's AUC is
+    engine-exact; slices missing a class drop (AUC undefined there)."""
+    from pyspark.sql.window import Window as W
+
+    from clv_data_pipeline_spark.queries.textops import q_quality_score
+    from clv_data_pipeline_spark.sources.io import load_table as _lt
+
+    q = q_quality_score(spark, sf_dir)
+    lang = _lt(spark, sf_dir, "documents").select("doc_id", "lang")
+    e = q_token_entropy(spark, sf_dir).select("doc_id", "entropy")
+    pts = q.join(e, "doc_id").join(lang, "doc_id").select(
+        "lang",
+        F.least(
+            F.floor(F.col("quality") * 100).cast("long"), F.lit(99)
+        ).alias("bin"),
+        F.when(F.col("entropy") >= 4.4, 1).otherwise(0).alias("pos"),
+    )
+    bins = pts.groupBy("lang", "bin").agg(
+        F.sum("pos").cast("long").alias("n_pos"),
+        (F.count("*") - F.sum("pos")).cast("long").alias("n_neg"),
+    )
+    wd = (
+        W.partitionBy("lang")
+        .orderBy(F.desc("bin"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wl = W.partitionBy("lang")
+    sweep = bins.select(
+        "lang",
+        "bin",
+        "n_pos",
+        "n_neg",
+        (
+            F.sum("n_pos").over(wd).cast("double")
+            / F.sum("n_pos").over(wl)
+        ).alias("tpr"),
+        (
+            F.sum("n_neg").over(wd).cast("double")
+            / F.sum("n_neg").over(wl)
+        ).alias("fpr"),
+    )
+    wu = W.partitionBy("lang").orderBy(F.desc("bin"))
+    terms = sweep.select(
+        "lang",
+        "n_pos",
+        "n_neg",
+        (
+            (F.col("fpr") - F.coalesce(F.lag("fpr").over(wu), F.lit(0.0)))
+            * (F.col("tpr") + F.coalesce(F.lag("tpr").over(wu), F.lit(0.0)))
+            / 2.0
+        ).alias("tri"),
+    )
+    return (
+        terms.groupBy("lang")
+        .agg(
+            F.sum("n_pos").cast("long").alias("n_pos"),
+            F.sum("n_neg").cast("long").alias("n_neg"),
+            F.round(
+                F.sum(
+                    F.round(F.col("tri"), 9).cast("decimal(18,9)")
+                ).cast("double"),
+                6,
+            ).alias("auc"),
+        )
+        .filter((F.col("n_pos") > 0) & (F.col("n_neg") > 0))
+    )
+
+
+_WV_V = 64  # vocabulary = context dimensions (top words by frequency)
+
+
+@query(
+    "q_word_vectors",
+    oracle=f"""
+    WITH toks AS (
+        SELECT {_TOKENIZE_SQL} AS ts FROM documents),
+    adj AS (
+        SELECT unnest(list_transform(
+            range(1, len(ts)),
+            i -> struct_pack(x := ts[i], y := ts[i + 1]))) AS p
+        FROM toks WHERE len(ts) >= 2),
+    sym AS (
+        SELECT p.x AS w, p.y AS c FROM adj
+        UNION ALL SELECT p.y, p.x FROM adj),
+    wf AS (
+        SELECT word, COUNT(*) AS freq
+        FROM (SELECT unnest({_TOKENIZE_SQL}) AS word FROM documents)
+        WHERE word <> '' GROUP BY word),
+    topv AS (
+        SELECT word,
+               CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, word) - 1
+                    AS BIGINT) AS j
+        FROM wf ORDER BY freq DESC, word LIMIT {_WV_V}),
+    counts AS (
+        SELECT s.w, s.c, tc.j, CAST(COUNT(*) AS BIGINT) AS n
+        FROM sym s
+        JOIN topv tw ON tw.word = s.w
+        JOIN topv tc ON tc.word = s.c
+        GROUP BY s.w, s.c, tc.j),
+    marg AS (SELECT w, CAST(SUM(n) AS BIGINT) AS nw
+             FROM counts GROUP BY w),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM counts),
+    trip AS (
+        SELECT w, j, micro FROM (
+            SELECT counts.w, counts.j,
+                   CAST(ROUND(GREATEST(0.0,
+                       ln(CAST(counts.n AS DOUBLE) * tot.t
+                          / (m1.nw * m2.nw))) * 1000000, 0) AS BIGINT)
+                       AS micro
+            FROM counts
+            JOIN marg m1 ON m1.w = counts.w
+            JOIN marg m2 ON m2.w = counts.c
+            CROSS JOIN tot)
+        WHERE micro > 0),
+    norms AS (
+        SELECT w, CAST(SUM(micro * micro) AS BIGINT) AS ss
+        FROM trip GROUP BY w),
+    dots AS (
+        SELECT t1.w AS w1, t2.w AS w2,
+               CAST(SUM(t1.micro * t2.micro) AS BIGINT) AS dot
+        FROM trip t1 JOIN trip t2 ON t1.j = t2.j AND t1.w <> t2.w
+        GROUP BY t1.w, t2.w),
+    sims AS (
+        SELECT w1, w2,
+               ROUND(CAST(dot AS DOUBLE)
+                     / (sqrt(CAST(n1.ss AS DOUBLE))
+                        * sqrt(CAST(n2.ss AS DOUBLE))), 6) AS cos
+        FROM dots
+        JOIN norms n1 ON n1.w = w1
+        JOIN norms n2 ON n2.w = w2),
+    nn AS (
+        SELECT w1 AS word, w2 AS nn_word, cos AS nn_sim,
+               ROW_NUMBER() OVER (PARTITION BY w1
+                   ORDER BY cos DESC, w2) AS r
+        FROM sims),
+    grid AS (
+        SELECT word, r.i AS j FROM topv CROSS JOIN range(0, {_WV_V}) r(i)),
+    dr AS (
+        SELECT g.word, g.j, COALESCE(t.micro, 0) AS v
+        FROM grid g LEFT JOIN trip t ON t.w = g.word AND t.j = g.j),
+    vecs AS (
+        SELECT word, list(v ORDER BY j) AS vec FROM dr GROUP BY word)
+    SELECT v.word, v.vec, n.nn_word, n.nn_sim
+    FROM vecs v
+    LEFT JOIN (SELECT word, nn_word, nn_sim FROM nn WHERE r = 1) n
+      USING (word)
+    """,
+)
+def q_word_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word embeddings trained IN-ENGINE: the PPMI co-occurrence
+    matrix over the top-64 vocabulary (Levy & Goldberg 2014 — explicit
+    PPMI vectors are the closed-form baseline word2vec implicitly
+    factorizes) plus each word's nearest neighbor by cosine — the
+    train-your-own-embeddings step of a text pipeline, with no model
+    server in sight.
+
+    Scale shape: co-occurrence is one adjacent-pair explode (zip_with,
+    no self-join) cut to vocab² by two broadcast joins; PPMI is column
+    math over the vocabulary-bounded count table; the NN cosine runs
+    as a SPARSE dot product — an equi-join on the context index j
+    (inverted-index formulation), never a dense cross product — and
+    vectors densify against a 64x64 broadcast grid.  Everything is
+    exact integers (micro-PPMI units) until the final cosine, so
+    vectors and rankings are engine- and partitioning-exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.split(normalize_text(F.col("text")), " ").alias("ts")
+    ).filter(F.size("ts") >= 2)
+    adj = toks.select(
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("ts"), 1, F.size("ts") - 1),
+                F.slice(F.col("ts"), 2, F.size("ts") - 1),
+                lambda a, b: F.struct(a.alias("x"), b.alias("y")),
+            )
+        ).alias("p")
+    )
+    sym = adj.select(
+        F.col("p.x").alias("w"), F.col("p.y").alias("c")
+    ).unionAll(adj.select(F.col("p.y").alias("w"), F.col("p.x").alias("c")))
+    wf = (
+        docs.select(
+            F.explode(F.split(normalize_text(F.col("text")), " ")).alias(
+                "word"
+            )
+        )
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+    wj = Window.orderBy(F.desc("freq"), "word")
+    topv = (
+        wf.orderBy(F.desc("freq"), "word")
+        .limit(_WV_V)
+        .withColumn("j", (F.row_number().over(wj) - 1).cast("long"))
+        .select("word", "j")
+    )
+    counts = (
+        sym.join(F.broadcast(topv.select(F.col("word").alias("w"))), "w")
+        .join(F.broadcast(topv.select(F.col("word").alias("c"), "j")), "c")
+        .groupBy("w", "c", "j")
+        .agg(F.count("*").alias("n"))
+    )
+    marg = counts.groupBy("w").agg(F.sum("n").alias("nw"))
+    tot = counts.agg(F.sum("n").alias("t"))
+    trip = (
+        counts.join(F.broadcast(marg), "w")
+        .join(
+            F.broadcast(
+                marg.select(F.col("w").alias("c"), F.col("nw").alias("nc"))
+            ),
+            "c",
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w",
+            "j",
+            F.round(
+                F.greatest(
+                    F.lit(0.0),
+                    F.log(
+                        F.col("n").cast("double")
+                        * F.col("t")
+                        / (F.col("nw") * F.col("nc"))
+                    ),
+                )
+                * 1e6,
+                0,
+            )
+            .cast("long")
+            .alias("micro"),
+        )
+        .filter(F.col("micro") > 0)
+    )
+    norms = trip.groupBy("w").agg(
+        F.sum(F.col("micro") * F.col("micro")).alias("ss")
+    )
+    t1 = trip.select(F.col("w").alias("w1"), "j", F.col("micro").alias("m1"))
+    t2 = trip.select(F.col("w").alias("w2"), "j", F.col("micro").alias("m2"))
+    dots = (
+        t1.join(t2, "j")
+        .filter(F.col("w1") != F.col("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.sum(F.col("m1") * F.col("m2")).alias("dot"))
+    )
+    sims = (
+        dots.join(
+            F.broadcast(
+                norms.select(F.col("w").alias("w1"), F.col("ss").alias("s1"))
+            ),
+            "w1",
+        )
+        .join(
+            F.broadcast(
+                norms.select(F.col("w").alias("w2"), F.col("ss").alias("s2"))
+            ),
+            "w2",
+        )
+        .select(
+            "w1",
+            "w2",
+            F.round(
+                F.col("dot").cast("double")
+                / (
+                    F.sqrt(F.col("s1").cast("double"))
+                    * F.sqrt(F.col("s2").cast("double"))
+                ),
+                6,
+            ).alias("cos"),
+        )
+    )
+    wnn = Window.partitionBy("w1").orderBy(F.desc("cos"), "w2")
+    nn = (
+        sims.withColumn("r", F.row_number().over(wnn))
+        .filter(F.col("r") == 1)
+        .select(
+            F.col("w1").alias("word"),
+            F.col("w2").alias("nn_word"),
+            F.col("cos").alias("nn_sim"),
+        )
+    )
+    grid = topv.select("word").crossJoin(
+        F.broadcast(spark.range(_WV_V).select(F.col("id").alias("j")))
+    )
+    dense = (
+        grid.join(
+            trip.select(F.col("w").alias("word"), "j", "micro"),
+            ["word", "j"],
+            "left",
+        )
+        .select("word", "j", F.coalesce("micro", F.lit(0)).alias("v"))
+        .groupBy("word")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("j", "v"))),
+                lambda s: s["v"],
+            ).alias("vec")
+        )
+    )
+    return dense.join(F.broadcast(nn), "word", "left").select(
+        "word", "vec", "nn_word", "nn_sim"
+    )

@@ -188,6 +188,7 @@ _R5_NEW: frozenset[str] = frozenset(
         "q_lateral_topk", "q_unigram_tokenize", "q_prefix_sum",
         "q_adamic_adar", "q_late_events", "q_calibration",
         "q_quantiles_incremental", "q_attribution_linear",
+        "q_auc_sliced", "q_word_vectors",
     }
 )
 
