@@ -111,6 +111,8 @@ HEADLINE = [
     "q_attribution_linear",
     "q_auc_sliced",
     "q_word_vectors",
+    "q_churn_labels",
+    "q_conversion_lag",
 ]
 
 #: Frozen comparable subsets — apples-to-apples totals across rounds.

@@ -1503,3 +1503,145 @@ def q_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_tot") > 0)
         .drop("_tot")
     )
+
+
+@query(
+    "q_churn_labels",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(CASE WHEN event_type = 'purchase'
+                            AND ts <= TIMESTAMP '2024-01-16 00:00:00'
+                           THEN 1 END) AS BIGINT) AS n_purchases,
+           CAST(SUM(CASE WHEN event_type = 'purchase'
+                          AND ts <= TIMESTAMP '2024-01-16 00:00:00'
+                         THEN CAST(ROUND(value * 100, 0) AS BIGINT)
+                         ELSE 0 END) AS BIGINT) AS total_cents,
+           CAST(date_diff('day',
+                MAX(CASE WHEN event_type = 'purchase'
+                          AND ts <= TIMESTAMP '2024-01-16 00:00:00'
+                         THEN CAST(ts AS DATE) END),
+                DATE '2024-01-16') AS BIGINT) AS days_since_last,
+           CAST(COUNT(CASE WHEN ts <= TIMESTAMP '2024-01-16 00:00:00'
+                           THEN 1 END) AS BIGINT) AS n_events,
+           CAST(CASE WHEN COUNT(CASE WHEN event_type = 'purchase'
+                     AND ts >  TIMESTAMP '2024-01-16 00:00:00'
+                     AND ts <= TIMESTAMP '2024-01-30 00:00:00'
+                    THEN 1 END) = 0 THEN 1 ELSE 0 END AS BIGINT)
+               AS churned
+    FROM events
+    GROUP BY user_id
+    HAVING COUNT(CASE WHEN event_type = 'purchase'
+                       AND ts <= TIMESTAMP '2024-01-16 00:00:00'
+                      THEN 1 END) > 0
+    """,
+)
+def q_churn_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe churn training-set construction — the
+    label-generation step every supervised pipeline runs and the
+    classic place temporal leakage sneaks in: features may only see
+    events up to the cutoff (2024-01-16), the label only the window
+    AFTER it (no purchase in the next 14 days = churned).  Both sides
+    are CASE-gated aggregates over ONE user shuffle of ONE scan — the
+    cutoff is enforced per-expression, so no join, no second pass,
+    and no way for a future event to contaminate a feature column.
+    Integer cents keep monetary features engine-exact; users with no
+    pre-cutoff purchase drop (nothing to featurize)."""
+    ev = load_table(spark, sf_dir, "events")
+    cut = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    horizon = F.lit("2024-01-30 00:00:00").cast("timestamp")
+    is_purchase = F.col("event_type") == "purchase"
+    pre = F.col("ts") <= cut
+    fut = is_purchase & (F.col("ts") > cut) & (F.col("ts") <= horizon)
+    n_purchases = F.count(F.when(is_purchase & pre, 1))
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            n_purchases.cast("long").alias("n_purchases"),
+            F.sum(
+                F.when(
+                    is_purchase & pre,
+                    F.round(F.col("value") * 100, 0).cast("long"),
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("total_cents"),
+            F.datediff(
+                F.lit("2024-01-16").cast("date"),
+                F.max(F.when(is_purchase & pre, F.to_date("ts"))),
+            )
+            .cast("long")
+            .alias("days_since_last"),
+            F.count(F.when(pre, 1)).cast("long").alias("n_events"),
+            F.when(F.count(F.when(fut, 1)) == 0, 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("churned"),
+        )
+        .filter(F.col("n_purchases") > 0)
+    )
+
+
+@query(
+    "q_conversion_lag",
+    oracle="""
+    WITH lagged AS (
+        SELECT event_type,
+               epoch_us(ts) - LAST_VALUE(CASE WHEN event_type = 'view'
+                                              THEN epoch_us(ts) END
+                                         IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING) AS lag_us
+        FROM events),
+    conv AS (
+        SELECT CASE WHEN lag_us IS NULL THEN -1
+                    ELSE LEAST(CAST(FLOOR(lag_us / 1800000000.0) AS BIGINT)
+                               * 30, 1440) END AS bucket_minutes
+        FROM lagged WHERE event_type = 'purchase')
+    SELECT bucket_minutes,
+           CAST(COUNT(*) AS BIGINT) AS n_conversions
+    FROM conv GROUP BY bucket_minutes
+    """,
+)
+def q_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """View-to-purchase latency distribution: each purchase pairs with
+    the user's most recent prior view (running IGNORE-NULLS window —
+    the as-of shape, no self-join) and the lag folds into 30-minute
+    histogram buckets capped at 24h (-1 = no prior view) — the
+    conversion-latency curve that sizes attribution windows and
+    session gaps (q_attribution_linear's 7-day lookback is the knob
+    this chart justifies).  One user shuffle, then a bucket-sized
+    aggregate; integer-microsecond lag arithmetic is engine-exact."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.unix_micros(F.col("ts")).alias("us"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    last_view = F.last(
+        F.when(F.col("event_type") == "view", F.col("us")),
+        ignorenulls=True,
+    ).over(w)
+    # materialize lag_us BEFORE filtering: deriving the bucket from the
+    # window expression after the purchase filter would re-plan the
+    # window over purchases only
+    lagc = F.col("lag_us")
+    bucket = F.when(lagc.isNull(), F.lit(-1)).otherwise(
+        F.least(
+            F.floor(lagc / 1_800_000_000.0).cast("long") * 30,
+            F.lit(1440),
+        )
+    )
+    return (
+        e.withColumn("lag_us", F.col("us") - last_view)
+        .filter(F.col("event_type") == "purchase")
+        .select(bucket.cast("long").alias("bucket_minutes"))
+        .groupBy("bucket_minutes")
+        .agg(F.count("*").cast("long").alias("n_conversions"))
+    )

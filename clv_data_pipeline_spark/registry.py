@@ -188,7 +188,8 @@ _R5_NEW: frozenset[str] = frozenset(
         "q_lateral_topk", "q_unigram_tokenize", "q_prefix_sum",
         "q_adamic_adar", "q_late_events", "q_calibration",
         "q_quantiles_incremental", "q_attribution_linear",
-        "q_auc_sliced", "q_word_vectors",
+        "q_auc_sliced", "q_word_vectors", "q_churn_labels",
+        "q_conversion_lag",
     }
 )
 
