@@ -113,6 +113,8 @@ HEADLINE = [
     "q_word_vectors",
     "q_churn_labels",
     "q_conversion_lag",
+    "q_point_in_time",
+    "q_temperature_mix",
 ]
 
 #: Frozen comparable subsets — apples-to-apples totals across rounds.

@@ -1645,3 +1645,103 @@ def q_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bucket_minutes")
         .agg(F.count("*").cast("long").alias("n_conversions"))
     )
+
+
+@query(
+    "q_point_in_time",
+    oracle="""
+    WITH daily AS (
+        SELECT user_id, CAST(ts AS DATE) AS day,
+               CAST(COUNT(*) AS BIGINT) AS day_np,
+               CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT)
+                   AS day_cents
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY user_id, CAST(ts AS DATE)),
+    snap AS (
+        SELECT user_id, day,
+               CAST(SUM(day_np) OVER w AS BIGINT) AS feat_n_purchases,
+               CAST(SUM(day_cents) OVER w AS BIGINT) AS feat_cents
+        FROM daily
+        WINDOW w AS (PARTITION BY user_id ORDER BY day
+                     ROWS UNBOUNDED PRECEDING)),
+    labels AS (
+        SELECT event_id, user_id, CAST(ts AS DATE) AS day
+        FROM events WHERE event_type = 'purchase')
+    SELECT l.event_id, l.user_id,
+           strftime(l.day, '%Y-%m-%d') AS day,
+           s.feat_n_purchases, s.feat_cents
+    FROM labels l ASOF LEFT JOIN snap s
+      ON l.user_id = s.user_id AND l.day > s.day
+    """,
+)
+def q_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-store point-in-time join: each label row (a purchase)
+    picks up the latest daily feature snapshot STRICTLY BEFORE its
+    day — the correctness core of a feature store, where `>=` instead
+    of `>` silently trains on the event being predicted.  The oracle
+    states the semantics as DuckDB's native ASOF JOIN with a strict
+    bound; the Spark plan is the union-window as-of (one user_id
+    shuffle, no inequality join): snapshots and labels union with a
+    side tag ordered so a label at day d sees only snapshots at day
+    <= d-1, and every feature column rides the same window as its own
+    last(ignorenulls).  Features here are cumulative purchase
+    count/cents — the multi-column snapshot shape; NULL features mark
+    first-ever purchases (nothing to know yet), which is the honest
+    cold-start answer."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    daily = ev.groupBy(
+        "user_id", F.to_date("ts").alias("day")
+    ).agg(
+        F.count("*").alias("day_np"),
+        F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias(
+            "day_cents"
+        ),
+    )
+    wc = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    snap = daily.select(
+        "user_id",
+        "day",
+        F.sum("day_np").over(wc).cast("long").alias("np"),
+        F.sum("day_cents").over(wc).cast("long").alias("cents"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(0).alias("side"),
+    )
+    labels = ev.select(
+        "user_id",
+        F.to_date("ts").alias("day"),
+        F.lit(None).cast("long").alias("np"),
+        F.lit(None).cast("long").alias("cents"),
+        "event_id",
+        F.lit(1).alias("side"),
+    )
+    # order by (day, 1-side) puts same-day LABELS before the snapshot,
+    # so the -1 frame cannot reach a label's own-day snapshot — this
+    # ordering IS the strict `>` bound (with plain (day, side) the
+    # same-day snapshot would leak into the frame)
+    u = snap.unionByName(labels)
+    wl = (
+        Window.partitionBy("user_id")
+        .orderBy("day", (F.lit(1) - F.col("side")))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    out = u.select(
+        "event_id",
+        "user_id",
+        "day",
+        "side",
+        F.last("np", ignorenulls=True).over(wl).alias("feat_n_purchases"),
+        F.last("cents", ignorenulls=True).over(wl).alias("feat_cents"),
+    )
+    return out.filter(F.col("side") == 1).select(
+        "event_id",
+        "user_id",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "feat_n_purchases",
+        "feat_cents",
+    )

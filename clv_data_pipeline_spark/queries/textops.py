@@ -7,7 +7,7 @@ Spark-specific) are rows-only.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from clv_data_pipeline_spark.functions.text import (
@@ -2856,4 +2856,73 @@ def q_unigram_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").cast("long").alias("doc_id"),
         F.col("n_words").cast("long").alias("n_words"),
         F.col("n_pieces").cast("long").alias("n_pieces"),
+    )
+
+
+@query(
+    "q_temperature_mix",
+    oracle="""
+    WITH sc AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM documents GROUP BY source),
+    tot AS (
+        SELECT CAST(SUM(n_docs) AS BIGINT) AS n,
+               SUM(sqrt(CAST(n_docs AS DOUBLE))) AS z
+        FROM sc),
+    targets AS (
+        SELECT source, n_docs,
+               CAST(FLOOR(FLOOR(n / 2.0)
+                          * sqrt(CAST(n_docs AS DOUBLE)) / z)
+                    AS BIGINT) AS target_n
+        FROM sc CROSS JOIN tot),
+    ranked AS (
+        SELECT d.doc_id, d.source,
+               ROW_NUMBER() OVER (PARTITION BY d.source
+                   ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id)
+                   AS rn
+        FROM documents d)
+    SELECT r.doc_id, r.source
+    FROM ranked r JOIN targets t ON t.source = r.source
+    WHERE r.rn <= t.target_n
+    """,
+)
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted domain sampling (the multilingual
+    alpha-sampling of mBERT/XLM-R): each source's share of the
+    half-corpus budget is proportional to sqrt(its document count) —
+    T=2 up-samples tails and down-samples heads, the standard fix for
+    head-domain dominance — and each source admits its first target_n
+    documents in deterministic md5 order.
+
+    Engine-exactness note: the exponent is 1/2 BECAUSE sqrt is
+    IEEE-correctly-rounded on every platform while pow(x, 0.7) is
+    libm-dependent — an arbitrary-temperature variant must round the
+    weights before the floor or risk an off-by-one at a quota
+    boundary.  One source-partitioned window over a doc_id-pruned
+    scan; quotas ride a source-count broadcast."""
+    d = load_table(spark, sf_dir, "documents")
+    sc = d.groupBy("source").agg(F.count("*").alias("n_docs"))
+    tot = sc.agg(
+        F.sum("n_docs").alias("n"),
+        F.sum(F.sqrt(F.col("n_docs").cast("double"))).alias("z"),
+    )
+    targets = sc.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.floor(
+            F.floor(F.col("n") / 2.0)
+            * F.sqrt(F.col("n_docs").cast("double"))
+            / F.col("z")
+        )
+        .cast("long")
+        .alias("target_n"),
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        d.select("doc_id", "source")
+        .withColumn("rn", F.row_number().over(w))
+        .join(F.broadcast(targets), "source")
+        .filter(F.col("rn") <= F.col("target_n"))
+        .select(F.col("doc_id").cast("long").alias("doc_id"), "source")
     )

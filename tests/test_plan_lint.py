@@ -75,6 +75,7 @@ _BNLJ_SCALAR_OK = {
     "q_late_events",       # 1-row (min, max) bucket-stats broadcast
     "q_quantiles_incremental",  # 1-row histogram-stats + 3-row q grid
     "q_word_vectors",      # 1-row pair total + 64x64 vocab grid cross
+    "q_temperature_mix",   # 1-row (N, Z) normalizer broadcast
 }
 
 
