@@ -115,6 +115,8 @@ HEADLINE = [
     "q_conversion_lag",
     "q_point_in_time",
     "q_temperature_mix",
+    "q_tokenizer_fertility",
+    "q_semdedup_eval",
 ]
 
 #: Frozen comparable subsets — apples-to-apples totals across rounds.

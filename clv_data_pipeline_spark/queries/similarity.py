@@ -727,3 +727,35 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return semdedup(emb, n_cells=16, threshold=0.92)
+
+
+@query("q_semdedup_eval")  # rows-only: audits the engine-specific kernel
+def q_semdedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall/precision of SemDeDup's cell approximation —
+    the q_minhash_eval discipline applied to the semantic tier: the
+    clustered dedup (n_cells=16) is compared against the EXACT global
+    greedy (n_cells=1, every pair scored) on a deterministic 2000-id
+    sample, reporting how many true near-dups the quantizer boundary
+    loses.  An operator tunes n_cells with this number, not a hope;
+    the recall floor is pinned in tests/test_dedup_similarity.py."""
+    from clv_data_pipeline_spark.operators.similarity import semdedup
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < 2000
+    )
+    thr = 0.92
+    cells = semdedup(emb, n_cells=16, threshold=thr)
+    exact = semdedup(emb, n_cells=1, threshold=thr)
+    c_dups = cells.filter(~F.col("kept")).select("vec_id")
+    e_dups = exact.filter(~F.col("kept")).select("vec_id")
+    n_c = c_dups.count()
+    n_e = e_dups.count()
+    n_common = c_dups.join(e_dups, "vec_id").count()
+    n = emb.count()
+    recall = round(n_common / n_e, 6) if n_e else 1.0
+    precision = round(n_common / n_c, 6) if n_c else 1.0
+    return spark.createDataFrame(
+        [(n, n_e, n_c, n_common, recall, precision)],
+        "n_vecs long, n_dup_exact long, n_dup_cells long, "
+        "n_common long, recall double, precision double",
+    )

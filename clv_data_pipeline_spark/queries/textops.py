@@ -2926,3 +2926,58 @@ def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= F.col("target_n"))
         .select(F.col("doc_id").cast("long").alias("doc_id"), "source")
     )
+
+
+@query("q_tokenizer_fertility")  # rows-only: both tokenizers are kernels
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility (pieces per word) per language for BOTH
+    in-engine tokenizers — the eval a tokenizer choice is actually
+    made on: high fertility on a language means its text costs more
+    context window and trains worse, so this table is read per-lang,
+    never as a corpus average.  Completes the tokenizer story:
+    q_bpe_merges/q_unigram_tokenize train, this evaluates them
+    side by side.
+
+    One pass per tokenizer (each a broadcast-table Arrow kernel with
+    zero shuffles), one doc-level join, one lang-grain aggregate;
+    integer piece counts make the ratios engine-stable."""
+    from clv_data_pipeline_spark.operators.corpus import (
+        bpe_segment_counts,
+        bpe_train,
+        unigram_tokenize_counts,
+        unigram_train,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe_train(docs, num_merges=30)
+    bpe = bpe_segment_counts(docs, merges).select(
+        "doc_id", "n_words", "n_bpe_tokens"
+    )
+    logp = unigram_train(docs, vocab_size=256, max_piece_len=5)
+    uni = unigram_tokenize_counts(docs, logp, max_piece_len=5).select(
+        "doc_id", F.col("n_pieces").alias("n_uni_pieces")
+    )
+    lang = docs.select("doc_id", "lang")
+    j = lang.join(bpe, "doc_id").join(uni, "doc_id")
+    return (
+        j.groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_words").cast("long").alias("n_words"),
+            F.sum("n_bpe_tokens").cast("long").alias("n_bpe_tokens"),
+            F.sum("n_uni_pieces").cast("long").alias("n_uni_pieces"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "n_words",
+            "n_bpe_tokens",
+            "n_uni_pieces",
+            F.round(
+                F.col("n_bpe_tokens").cast("double") / F.col("n_words"), 6
+            ).alias("bpe_fertility"),
+            F.round(
+                F.col("n_uni_pieces").cast("double") / F.col("n_words"), 6
+            ).alias("uni_fertility"),
+        )
+    )

@@ -595,3 +595,17 @@ def test_semdedup_partition_independent(spark):
     ra = sorted(map(str, semdedup(a, n_cells=4, threshold=0.8).collect()))
     rb = sorted(map(str, semdedup(b, n_cells=4, threshold=0.8).collect()))
     assert ra == rb
+
+
+def test_semdedup_eval_recall_floor(spark):
+    """The 16-cell approximation must recover most of the exact global
+    greedy's duplicates on the driver embeddings sample — the floor a
+    deployment reads before trusting n_cells."""
+    from clv_data_pipeline_spark.registry import all_queries
+
+    row = all_queries()["q_semdedup_eval"](
+        spark, "/root/testdata/sf0.01"
+    ).collect()[0]
+    assert 0 < row["n_vecs"] <= 2000
+    if row["n_dup_exact"]:
+        assert row["recall"] >= 0.5, row
