@@ -117,6 +117,7 @@ HEADLINE = [
     "q_temperature_mix",
     "q_tokenizer_fertility",
     "q_semdedup_eval",
+    "q_recursive_cte",
 ]
 
 #: Frozen comparable subsets — apples-to-apples totals across rounds.

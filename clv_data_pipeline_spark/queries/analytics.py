@@ -581,12 +581,16 @@ def q_tree_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     (parent = (id-1)/2 materialized as an explicit edge table — the
     traversal only ever touches edges, never the formula).
 
-    Spark has no WITH RECURSIVE; the operator (operators/graph.py
-    ancestor_paths) re-expresses it as ceil(log2(n))+1 iterative hash
-    joins with lineage breaks — the category-tree/org-chart shape every
-    warehouse migration hits.  The DuckDB oracle IS a recursive CTE, so
-    the driver hash-verifies the unrolled-join reformulation against
-    the genuine recursive semantics (path strings, depths, roots)."""
+    The operator (operators/graph.py ancestor_paths) re-expresses the
+    recursion as ceil(log2(n))+1 iterative hash joins with lineage
+    breaks — the category-tree/org-chart shape every warehouse
+    migration hits.  Spark 4 does run genuine WITH RECURSIVE
+    (q_recursive_cte is the same traversal on that runtime, one join
+    per LEVEL); this unrolled form stays registered as the
+    extreme-depth strategy — log2 D doubling rounds instead of D
+    sequential levels.  The DuckDB oracle IS a recursive CTE, so the
+    driver hash-verifies the unrolled-join reformulation against the
+    genuine recursive semantics (path strings, depths, roots)."""
     import math
 
     from clv_data_pipeline_spark.operators.graph import ancestor_paths
@@ -2622,3 +2626,65 @@ def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("group_size").cast("long"),
         tvd_ppm.alias("tvd_ppm"),
     ).withColumn("close", F.col("tvd_ppm") <= 200000)
+
+
+@query(
+    "q_recursive_cte",
+    oracle="""
+    WITH RECURSIVE edges AS (
+        SELECT CAST(doc_id AS BIGINT) AS node,
+               CASE WHEN doc_id = 0 THEN NULL
+                    ELSE CAST((doc_id - 1) // 2 AS BIGINT) END AS parent
+        FROM documents),
+    walk AS (
+        SELECT node, node AS cur, CAST(0 AS BIGINT) AS depth,
+               CAST(node AS VARCHAR) AS path
+        FROM edges
+        UNION ALL
+        SELECT w.node, e.parent, w.depth + 1,
+               CAST(e.parent AS VARCHAR) || '/' || w.path
+        FROM walk w JOIN edges e ON w.cur = e.node
+        WHERE e.parent IS NOT NULL)
+    SELECT node AS doc_id,
+           CAST(MAX(depth) AS BIGINT) AS depth,
+           arg_max(path, depth) AS path
+    FROM walk GROUP BY node
+    """,
+)
+def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GENUINE `WITH RECURSIVE` on the Spark engine (new in Spark 4):
+    the same binary-heap ancestor traversal as q_tree_paths, but
+    declared recursively and executed by Spark's own recursion
+    runtime — one equi-join per level, depth-bounded by
+    spark.sql.cteRecursionLevelLimit.  q_tree_paths' hand-unrolled
+    pointer-halving form remains the extreme-depth strategy (log2 D
+    rounds vs D here); this query closes the SQL-surface gap so a
+    BigQuery/DuckDB user's recursive query runs verbatim.  The oracle
+    is the SAME recursive CTE on DuckDB's executor — two genuine
+    recursion engines hash-compared."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "documents"
+    )
+    return spark.sql(
+        """
+        WITH RECURSIVE edges AS (
+            SELECT CAST(doc_id AS BIGINT) AS node,
+                   CASE WHEN doc_id = 0 THEN NULL
+                        ELSE CAST((doc_id - 1) DIV 2 AS BIGINT) END
+                       AS parent
+            FROM documents),
+        walk AS (
+            SELECT node, node AS cur, CAST(0 AS BIGINT) AS depth,
+                   CAST(node AS STRING) AS path
+            FROM edges
+            UNION ALL
+            SELECT w.node, e.parent, w.depth + CAST(1 AS BIGINT),
+                   CAST(e.parent AS STRING) || '/' || w.path
+            FROM walk w JOIN edges e ON w.cur = e.node
+            WHERE e.parent IS NOT NULL)
+        SELECT node AS doc_id,
+               CAST(MAX(depth) AS BIGINT) AS depth,
+               max_by(path, depth) AS path
+        FROM walk GROUP BY node
+        """
+    )
