@@ -118,6 +118,7 @@ HEADLINE = [
     "q_tokenizer_fertility",
     "q_semdedup_eval",
     "q_recursive_cte",
+    "q_sql_udf",
 ]
 
 #: Frozen comparable subsets — apples-to-apples totals across rounds.

@@ -1278,3 +1278,44 @@ def q_late_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_late"),
         )
     )
+
+
+@query(
+    "q_sql_udf",
+    oracle="""
+    SELECT o_custkey,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(CAST(SUM(CAST(ROUND(o_totalprice * 0.04 + 1.5, 2)
+                               AS DECIMAL(18,2))) AS DOUBLE), 2)
+               AS total_margin
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def q_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative SQL UDF surface (new in Spark 4): the margin
+    formula is defined ONCE as `CREATE TEMPORARY FUNCTION ... RETURN
+    <expr>` and called like a built-in — the warehouse pattern for
+    sharing business logic without shipping Python, and unlike a
+    Python UDF the body INLINES into the plan (whole-stage codegen,
+    full pushdown — zero UDF-boundary cost at 100 TB).  The oracle
+    states the same arithmetic inline, so the check proves the UDF
+    indirection changes nothing.  Per-row results round to cents and
+    sum as DECIMAL (registry determinism rules)."""
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION order_margin(p DOUBLE)
+        RETURNS DOUBLE
+        RETURN round(p * 0.04 + 1.5, 2)
+        """
+    )
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_custkey,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               ROUND(CAST(SUM(CAST(order_margin(o_totalprice)
+                                   AS DECIMAL(18,2))) AS DOUBLE), 2)
+                   AS total_margin
+        FROM orders GROUP BY o_custkey
+        """
+    )
