@@ -119,6 +119,7 @@ HEADLINE = [
     "q_semdedup_eval",
     "q_recursive_cte",
     "q_sql_udf",
+    "q_shard_manifest",
 ]
 
 #: Frozen comparable subsets — apples-to-apples totals across rounds.

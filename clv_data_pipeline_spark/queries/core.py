@@ -683,3 +683,51 @@ def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(path + "/batch=1", path + "/batch=2")
         .select("n_nationkey", "n_name", "n_regionkey", "n_name_upper")
     )
+
+
+@query(
+    "q_shard_manifest",
+    oracle="""
+    WITH s AS (
+        SELECT text, n_chars,
+               CAST((ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) * 31
+                     + ascii(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)))
+                    % 8 AS BIGINT) AS shard
+        FROM documents)
+    SELECT shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_distinct
+    FROM s GROUP BY shard
+    """,
+)
+def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset sharding + manifest — the WebDataset/tfrecord-style
+    LAST MILE of a training-data pipeline: documents hash-assign to 8
+    shards (engine-portable md5-derived bucket), the shards are
+    physically WRITTEN as a partitioned dataset, and the manifest a
+    training job consumes (per-shard doc counts, byte totals, distinct
+    content fingerprints) is computed from the READBACK of what was
+    written — so the driver's hash match against the oracle (which
+    aggregates the source directly) proves the write path dropped and
+    duplicated nothing.  Hash sharding keeps shard sizes balanced and
+    assignment stable under re-runs; partitioned write means each
+    shard lands as its own directory for independent consumption."""
+    import tempfile
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "n_chars"
+    )
+    h = F.md5(F.col("doc_id").cast("string"))
+    shard = F.pmod(
+        F.ascii(F.substring(h, 1, 1)) * 31 + F.ascii(F.substring(h, 2, 1)),
+        F.lit(8),
+    ).cast("long")
+    path = tempfile.mkdtemp(prefix="shards_") + "/documents_sharded"
+    d.withColumn("shard", shard).write.partitionBy("shard").parquet(path)
+    back = spark.read.parquet(path)
+    return back.groupBy(F.col("shard").cast("long").alias("shard")).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.countDistinct(F.md5("text")).cast("long").alias("n_distinct"),
+    )
