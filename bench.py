@@ -120,6 +120,7 @@ HEADLINE = [
     "q_recursive_cte",
     "q_sql_udf",
     "q_shard_manifest",
+    "q_pareto_nbd",
 ]
 
 #: Frozen comparable subsets — apples-to-apples totals across rounds.

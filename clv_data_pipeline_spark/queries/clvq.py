@@ -363,3 +363,57 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("avg_monetary"),
     )
+
+
+@query("q_pareto_nbd")  # rows-only: own-MLE fit + 2F1, not SQL
+def q_pareto_nbd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto/NBD fit + score end-to-end — the second lifetimes model
+    beside BG/NBD (operators/clv.py fit_pareto_nbd): dropout is a
+    continuous exponential death process, so silence BETWEEN purchases
+    lowers P(alive) where BG/NBD only reconsiders at purchases.  Fit
+    uses the same grouped-(x, t_x, T) sufficient-compression barrier;
+    scoring broadcasts the 4 fitted params into one Arrow batch pass.
+    Parameter recovery from model-simulated data and the MLE-beats-
+    truth property are pinned in tests/test_clv_logic.py."""
+    import pandas as pd
+
+    from clv_data_pipeline_spark.operators.clv import (
+        fit_pareto_nbd,
+        pnbd_expected_purchases_np,
+        pnbd_prob_alive_np,
+    )
+    from clv_data_pipeline_spark.registry import ensure_worker_imports
+
+    ensure_worker_imports(spark)
+    f = _features(spark, sf_dir).select(
+        "customer_id",
+        F.col("frequency").cast("double").alias("frequency"),
+        F.col("recency").cast("double").alias("recency"),
+        F.col("T").cast("double").alias("T"),
+    )
+    params = fit_pareto_nbd(
+        f.select("frequency", "recency", F.col("T").alias("t"))
+    )
+    bc = spark.sparkContext.broadcast(params)
+
+    def _score(batches):
+        p = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            x = pdf["frequency"].to_numpy()
+            t_x = pdf["recency"].to_numpy()
+            T = pdf["T"].to_numpy()
+            yield pd.DataFrame(
+                {
+                    "customer_id": pdf["customer_id"],
+                    "p_alive": pnbd_prob_alive_np(p, x, t_x, T).round(6),
+                    "pred_30d": pnbd_expected_purchases_np(
+                        p, 30.0, x, t_x, T
+                    ).round(6),
+                }
+            )
+
+    return f.mapInPandas(
+        _score, "customer_id long, p_alive double, pred_30d double"
+    )

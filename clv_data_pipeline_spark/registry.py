@@ -191,7 +191,7 @@ _R5_NEW: frozenset[str] = frozenset(
         "q_auc_sliced", "q_word_vectors", "q_churn_labels",
         "q_conversion_lag", "q_point_in_time", "q_temperature_mix",
         "q_tokenizer_fertility", "q_semdedup_eval", "q_recursive_cte",
-        "q_sql_udf", "q_shard_manifest",
+        "q_sql_udf", "q_shard_manifest", "q_pareto_nbd",
     }
 )
 
