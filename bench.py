@@ -121,6 +121,7 @@ HEADLINE = [
     "q_sql_udf",
     "q_shard_manifest",
     "q_pareto_nbd",
+    "q_clv_compare",
 ]
 
 #: Frozen comparable subsets — apples-to-apples totals across rounds.

@@ -417,3 +417,101 @@ def q_pareto_nbd(spark: SparkSession, sf_dir: str) -> DataFrame:
     return f.mapInPandas(
         _score, "customer_id long, p_alive double, pred_30d double"
     )
+
+
+@query("q_clv_compare")  # rows-only: two own-MLE fits, not SQL
+def q_clv_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holdout model validation: fit BG/NBD AND Pareto/NBD on the
+    calibration half of the event log (features as of 2024-01-16,
+    leakage-safe by construction), predict each customer's holdout
+    transactions, and report per-model MAE/bias against what actually
+    happened — the which-model-should-score-production readout the
+    reference pipeline implies but never runs.  Both fits use the
+    grouped-triple compression barrier; scoring is one Arrow pass
+    with both 4-param models broadcast; the comparison is 2 rows."""
+    import pandas as pd
+
+    from clv_data_pipeline_spark.operators.clv import (
+        expected_purchases_np,
+        fit_bgnbd,
+        fit_pareto_nbd,
+        pnbd_expected_purchases_np,
+    )
+    from clv_data_pipeline_spark.registry import ensure_worker_imports
+
+    ensure_worker_imports(spark)
+    ev = load_table(spark, sf_dir, "events")
+    cut = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    cal = ev.filter(F.col("ts") <= cut)
+    f = rfm_features(
+        cal,
+        customer_col="user_id",
+        ts_col="ts",
+        amount_col="value",
+        asof="2024-01-16",
+    ).select(
+        "customer_id",
+        F.col("frequency").cast("double").alias("frequency"),
+        F.col("recency").cast("double").alias("recency"),
+        F.col("T").cast("double").alias("T"),
+    )
+    actual = (
+        ev.filter(F.col("ts") > cut)
+        .groupBy(F.col("user_id").alias("customer_id"))
+        .agg(
+            F.countDistinct(F.to_date("ts")).cast("double").alias("actual_n")
+        )
+    )
+    joined = f.join(actual, "customer_id", "left").na.fill(
+        {"actual_n": 0.0}
+    )
+    bg = fit_bgnbd(f.withColumnRenamed("T", "t"))
+    pn = fit_pareto_nbd(f.withColumnRenamed("T", "t"))
+    horizon = 14.0
+    bc = spark.sparkContext.broadcast((bg, pn, horizon))
+
+    def _score(batches):
+        b, p, t = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            x = pdf["frequency"].to_numpy()
+            t_x = pdf["recency"].to_numpy()
+            T = pdf["T"].to_numpy()
+            yield pd.DataFrame(
+                {
+                    "actual_n": pdf["actual_n"],
+                    "pred_bg": expected_purchases_np(b, t, x, t_x, T),
+                    "pred_pn": pnbd_expected_purchases_np(p, t, x, t_x, T),
+                }
+            )
+
+    scored = joined.mapInPandas(
+        _score, "actual_n double, pred_bg double, pred_pn double"
+    )
+    # one aggregate pass scores BOTH models — a per-model .agg would
+    # re-execute the fit-feature-join subtree once per model
+    agg = scored.agg(
+        F.count("*").alias("n"),
+        F.avg(F.abs(F.col("pred_bg") - F.col("actual_n"))).alias("mae_bg"),
+        F.avg(F.col("pred_bg") - F.col("actual_n")).alias("bias_bg"),
+        F.avg(F.abs(F.col("pred_pn") - F.col("actual_n"))).alias("mae_pn"),
+        F.avg(F.col("pred_pn") - F.col("actual_n")).alias("bias_pn"),
+    ).collect()[0]
+    rows = [
+        (
+            "bg_nbd",
+            int(agg["n"]),
+            round(float(agg["mae_bg"]), 6),
+            round(float(agg["bias_bg"]), 6),
+        ),
+        (
+            "pareto_nbd",
+            int(agg["n"]),
+            round(float(agg["mae_pn"]), 6),
+            round(float(agg["bias_pn"]), 6),
+        ),
+    ]
+    return spark.createDataFrame(
+        rows, "model string, n_customers long, mae double, bias double"
+    )
