@@ -122,6 +122,7 @@ HEADLINE = [
     "q_shard_manifest",
     "q_pareto_nbd",
     "q_clv_compare",
+    "q_dedup_keep_best",
 ]
 
 #: Frozen comparable subsets — apples-to-apples totals across rounds.

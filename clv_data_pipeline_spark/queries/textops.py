@@ -2981,3 +2981,76 @@ def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("uni_fertility"),
         )
     )
+
+
+@query(
+    "q_dedup_keep_best",
+    oracle=f"""
+    WITH RECURSIVE star AS (
+        SELECT doc_id AS a,
+               MIN(doc_id) OVER (PARTITION BY lang, n_chars // 20) AS b
+        FROM documents
+        UNION ALL
+        SELECT doc_id,
+               MIN(doc_id) OVER (PARTITION BY source, n_chars // 20)
+        FROM documents
+    ),
+    edges AS (
+        SELECT a, b FROM star WHERE a <> b
+        UNION
+        SELECT b, a FROM star WHERE a <> b
+    ),
+    reach(node, r) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.a, reach.r FROM edges e JOIN reach ON reach.node = e.b
+    ),
+    clusters AS (
+        SELECT CAST(node AS BIGINT) AS doc_id,
+               CAST(MIN(r) AS BIGINT) AS cluster_id
+        FROM reach GROUP BY node),
+    quality AS (
+        SELECT doc_id, {_QUALITY_SQL} AS q FROM documents),
+    ranked AS (
+        SELECT c.doc_id, c.cluster_id, q.q,
+               ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                   ORDER BY q.q DESC, c.doc_id) AS rnk,
+               FIRST_VALUE(c.doc_id) OVER (PARTITION BY c.cluster_id
+                   ORDER BY q.q DESC, c.doc_id) AS kept_id
+        FROM clusters c JOIN quality q USING (doc_id))
+    SELECT doc_id, cluster_id,
+           CAST(rnk = 1 AS BIGINT) AS kept,
+           CAST(kept_id AS BIGINT) AS kept_id
+    FROM ranked
+    """,
+)
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-BEST dedup — the production cluster-resolution rule:
+    within each near-dup cluster (q_dedup_clusters' connected
+    components), survive the member with the HIGHEST quality score
+    (min-id tie-break), not the arbitrary first-seen — first-seen
+    dedup systematically keeps whichever copy crawled first, which on
+    the web is usually the scraped/mangled mirror, not the original.
+
+    One window over the cluster id after the CC resolution; quality
+    is map-side column math, so keep-best costs one rank pass more
+    than keep-first.  kept_id lets a lineage-tracking pipeline record
+    what absorbed each drop (the q_semdedup dup_of convention)."""
+    from clv_data_pipeline_spark.functions.text import quality_score
+
+    clusters = q_dedup_clusters(spark, sf_dir)
+    quality = load_table(spark, sf_dir, "documents").select(
+        "doc_id", quality_score(F.col("text")).alias("q")
+    )
+    j = clusters.join(quality, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("q"), "doc_id")
+    return (
+        j.withColumn("rnk", F.row_number().over(w))
+        .withColumn("kept_id", F.first("doc_id").over(w))
+        .select(
+            "doc_id",
+            "cluster_id",
+            (F.col("rnk") == 1).cast("long").alias("kept"),
+            F.col("kept_id").cast("long").alias("kept_id"),
+        )
+    )
