@@ -123,6 +123,7 @@ HEADLINE = [
     "q_pareto_nbd",
     "q_clv_compare",
     "q_dedup_keep_best",
+    "q_join_explosion_audit",
 ]
 
 #: Frozen comparable subsets — apples-to-apples totals across rounds.

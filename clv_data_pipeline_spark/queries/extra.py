@@ -1319,3 +1319,68 @@ def q_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM orders GROUP BY o_custkey
         """
     )
+
+
+@query(
+    "q_join_explosion_audit",
+    oracle="""
+    WITH l AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_left
+        FROM events GROUP BY event_type),
+    r AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_right
+        FROM events WHERE value > 50 GROUP BY event_type),
+    k AS (
+        SELECT l.event_type, l.n_left, COALESCE(r.n_right, 0) AS n_right,
+               l.n_left * COALESCE(r.n_right, 0) AS est_pairs
+        FROM l LEFT JOIN r USING (event_type)),
+    tot AS (
+        SELECT CAST(SUM(n_left) AS BIGINT) AS in_left,
+               CAST(SUM(n_right) AS BIGINT) AS in_right,
+               CAST(SUM(est_pairs) AS BIGINT) AS est_out
+        FROM k)
+    SELECT k.event_type, k.n_left, k.n_right,
+           CAST(k.est_pairs AS BIGINT) AS est_pairs,
+           t.est_out,
+           CAST(k.est_pairs * 100 >= t.est_out AS BIGINT) AS hot_key
+    FROM k CROSS JOIN tot t
+    """,
+)
+def q_join_explosion_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-join cardinality audit — the guard a 100 TB pipeline runs
+    BEFORE an unfamiliar join: per-key counts on both sides multiply
+    into the exact join output size (sum over keys of n_l x n_r), so
+    a fan-out explosion or a melt-one-reducer hot key (>= 1% of
+    output here) is caught from two cheap aggregates instead of
+    discovered as a dead executor three hours in.  The numbers also
+    decide strategy: hot_key rows are the salting candidates
+    (q_salted_join), small n_right totals mean broadcast.  Two
+    partial-aggregating key shuffles, key-cardinality-sized output,
+    1-row totals broadcast."""
+    ev = load_table(spark, sf_dir, "events")
+    left = ev.groupBy("event_type").agg(F.count("*").alias("n_left"))
+    right = (
+        ev.filter(F.col("value") > 50)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_right"))
+    )
+    k = (
+        left.join(right, "event_type", "left")
+        .na.fill({"n_right": 0})
+        .withColumn("est_pairs", F.col("n_left") * F.col("n_right"))
+    )
+    tot = k.agg(
+        F.sum("n_left").cast("long").alias("in_left"),
+        F.sum("n_right").cast("long").alias("in_right"),
+        F.sum("est_pairs").cast("long").alias("est_out"),
+    )
+    return k.crossJoin(F.broadcast(tot)).select(
+        "event_type",
+        F.col("n_left").cast("long").alias("n_left"),
+        F.col("n_right").cast("long").alias("n_right"),
+        F.col("est_pairs").cast("long").alias("est_pairs"),
+        "est_out",
+        (F.col("est_pairs") * 100 >= F.col("est_out"))
+        .cast("long")
+        .alias("hot_key"),
+    )
