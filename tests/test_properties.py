@@ -475,3 +475,34 @@ def test_distributed_row_number_equals_sequential(spark, ids):
         for r in distributed_row_number(df, "h", "doc_id").collect()
     }
     assert got == naive
+
+
+def test_distributed_scans_edge_cases(spark):
+    """Single-row and two-row-one-bucket inputs must not break the
+    bucket decomposition (empty offsets frame, width-0 guards)."""
+    from pyspark.sql import Window
+
+    from clv_data_pipeline_spark.operators.ids import (
+        distributed_prefix_max,
+        distributed_prefix_sum,
+        distributed_row_number,
+    )
+
+    one = spark.createDataFrame([(5, 10)], "k long, v long")
+    assert distributed_prefix_sum(one, "k", "v").collect()[0]["running"] == 10
+    assert (
+        distributed_prefix_max(one, "k", "v").collect()[0]["running_max"]
+        == 10
+    )
+    h = one.select("k", F.md5(F.col("k").cast("string")).alias("h"))
+    assert distributed_row_number(h, "h", "k").collect()[0]["pos"] == 1
+
+    # equal order keys in one bucket: running sum over ties is
+    # frame-order dependent per ROW frame; final value must still be
+    # the total
+    ties = spark.createDataFrame([(7, 1), (7, 2), (7, 3)], "k long, v long")
+    vals = sorted(
+        r["running"]
+        for r in distributed_prefix_sum(ties, "k", "v").collect()
+    )
+    assert vals[-1] == 6
