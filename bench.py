@@ -200,13 +200,23 @@ def main() -> None:
     # accumulate executor memory across the run.
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    for i, name in enumerate(HEADLINE):
         best = float("inf")
         for _ in range(reps):
             t0 = time.perf_counter()
             queries[name](spark, sf_dir).count()
             best = min(best, time.perf_counter() - t0)
         spark.catalog.clearCache()
+        # Long-session hygiene: ~100 queries accumulate unreferenced
+        # broadcast/shuffle blocks that Spark's ContextCleaner only
+        # releases after a driver GC notices the weak refs — without a
+        # nudge, heap pressure builds and mid-list queries measure
+        # 1.5-3x slower late in the run (observed: same plans, fresh
+        # session at baseline).  A periodic System.gc() lets the
+        # cleaner drain; every 10 queries keeps the pause off any
+        # single timing.
+        if (i + 1) % 10 == 0:
+            spark.sparkContext._jvm.System.gc()
         timings[name] = round(best, 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
