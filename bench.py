@@ -124,6 +124,7 @@ HEADLINE = [
     "q_clv_compare",
     "q_dedup_keep_best",
     "q_join_explosion_audit",
+    "q_target_encode",
 ]
 
 #: Frozen comparable subsets — apples-to-apples totals across rounds.

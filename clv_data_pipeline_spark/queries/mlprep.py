@@ -2207,3 +2207,84 @@ def q_word_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dense.join(F.broadcast(nn), "word", "left").select(
         "word", "vec", "nn_word", "nn_sim"
     )
+
+
+@query(
+    "q_target_encode",
+    oracle="""
+    WITH base AS (
+        SELECT event_type AS cat,
+               CAST(ascii(substr(md5(CAST(user_id AS VARCHAR)), 1, 1)) % 5
+                    AS BIGINT) AS fold,
+               CASE WHEN value > 50 THEN 1 ELSE 0 END AS y
+        FROM events),
+    cf AS (
+        SELECT cat, fold, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(y) AS BIGINT) AS s
+        FROM base GROUP BY cat, fold),
+    c AS (
+        SELECT cat, CAST(SUM(n) AS BIGINT) AS n_tot,
+               CAST(SUM(s) AS BIGINT) AS s_tot
+        FROM cf GROUP BY cat),
+    g AS (
+        SELECT CAST(SUM(s) AS DOUBLE) / SUM(n) AS prior FROM cf)
+    SELECT cf.cat, cf.fold, cf.n AS n_rows,
+           ROUND((c.s_tot - cf.s + 20.0 * g.prior)
+                 / (c.n_tot - cf.n + 20.0), 6) AS encoding
+    FROM cf JOIN c USING (cat) CROSS JOIN g
+    """,
+)
+def q_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-fold target (mean) encoding with Bayesian smoothing —
+    the production form of the ubiquitous categorical encoder, and a
+    famous leakage trap: naive target encoding feeds each row its own
+    label back through the category mean.  Hygiene is structural here
+    on BOTH axes: folds hash the ENTITY (user_id — q_group_split's
+    rule, so a user's rows share a fold) and each fold's encoding
+    subtracts its own fold's (count, sum) from the category totals,
+    so no row's label reaches its own encoding; m=20 pseudo-counts of
+    the global prior shrink rare categories.
+
+    Cost: two partial-aggregating shuffles of (category x fold) size —
+    the per-ROW encoded table is this tiny frame broadcast-joined back,
+    so the encoder itself never scans twice.  All inputs to the final
+    division are exact integers + one exact prior, so the encodings
+    are engine-identical."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        F.col("event_type").alias("cat"),
+        (
+            F.ascii(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 1)
+            )
+            % 5
+        )
+        .cast("long")
+        .alias("fold"),
+        F.when(F.col("value") > 50, 1).otherwise(0).alias("y"),
+    )
+    cf = base.groupBy("cat", "fold").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("y").cast("long").alias("s"),
+    )
+    c = cf.groupBy("cat").agg(
+        F.sum("n").cast("long").alias("n_tot"),
+        F.sum("s").cast("long").alias("s_tot"),
+    )
+    g = cf.agg(
+        (F.sum("s").cast("double") / F.sum("n")).alias("prior")
+    )
+    return (
+        cf.join(F.broadcast(c), "cat")
+        .crossJoin(F.broadcast(g))
+        .select(
+            "cat",
+            "fold",
+            F.col("n").alias("n_rows"),
+            F.round(
+                (F.col("s_tot") - F.col("s") + 20.0 * F.col("prior"))
+                / (F.col("n_tot") - F.col("n") + 20.0),
+                6,
+            ).alias("encoding"),
+        )
+    )

@@ -77,6 +77,7 @@ _BNLJ_SCALAR_OK = {
     "q_word_vectors",      # 1-row pair total + 64x64 vocab grid cross
     "q_temperature_mix",   # 1-row (N, Z) normalizer broadcast
     "q_join_explosion_audit",  # 1-row totals broadcast onto the key grid
+    "q_target_encode",     # 1-row global-prior broadcast
 }
 
 
