@@ -125,6 +125,8 @@ HEADLINE = [
     "q_dedup_keep_best",
     "q_join_explosion_audit",
     "q_target_encode",
+    "q_ks_test",
+    "q_mannwhitney",
 ]
 
 #: Frozen comparable subsets — apples-to-apples totals across rounds.

@@ -2688,3 +2688,211 @@ def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM walk GROUP BY node
         """
     )
+
+
+@query(
+    "q_ks_test",
+    oracle="""
+    WITH s AS (
+        SELECT MIN(value) AS lo, MAX(value) AS hi FROM events),
+    b AS (
+        SELECT CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+                    THEN 0 ELSE 1 END AS grp,
+               LEAST(CAST(FLOOR((value - lo) / ((hi - lo) / 100.0))
+                          AS BIGINT), 99) AS bin
+        FROM events, s),
+    c AS (
+        SELECT bin,
+               CAST(COUNT(CASE WHEN grp = 0 THEN 1 END) AS BIGINT) AS n_a,
+               CAST(COUNT(CASE WHEN grp = 1 THEN 1 END) AS BIGINT) AS n_b
+        FROM b GROUP BY bin),
+    e AS (
+        SELECT bin, n_a, n_b,
+               SUM(n_a) OVER w AS ca, SUM(n_b) OVER w AS cb,
+               SUM(n_a) OVER () AS na, SUM(n_b) OVER () AS nb
+        FROM c WINDOW w AS (ORDER BY bin ROWS UNBOUNDED PRECEDING)),
+    d AS (
+        SELECT MAX(ABS(CAST(ca AS DOUBLE) / na
+                       - CAST(cb AS DOUBLE) / nb)) AS ks,
+               CAST(MAX(na) AS BIGINT) AS n_a,
+               CAST(MAX(nb) AS BIGINT) AS n_b
+        FROM e)
+    SELECT ROUND(ks, 6) AS ks_stat, n_a, n_b,
+           ROUND(1.358 * sqrt(CAST(n_a + n_b AS DOUBLE)
+                              / (CAST(n_a AS DOUBLE) * n_b)), 6)
+               AS crit_05,
+           CAST(ks > 1.358 * sqrt(CAST(n_a + n_b AS DOUBLE)
+                                  / (CAST(n_a AS DOUBLE) * n_b))
+                AS BIGINT) AS reject_05
+    FROM d
+    """,
+)
+def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift test between event periods
+    — completes the drift battery (PSI for binned population shift,
+    chi-square for categorical independence, KS for continuous
+    distribution equality) in the histogram formulation: ECDFs come
+    from cumulative sums over a 100-bin frame, so the sup-distance
+    costs bounded windows, never a global value sort; the binned KS
+    statistic lower-bounds the exact one (resolution 1/100 of the
+    value range).  Integer cumulative counts make the statistic
+    engine-exact; the 1.358 coefficient is the alpha=0.05
+    Smirnov critical value."""
+    from pyspark.sql.window import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    b = ev.crossJoin(F.broadcast(s)).select(
+        F.when(
+            F.col("ts") < F.lit("2024-01-16 00:00:00").cast("timestamp"), 0
+        )
+        .otherwise(1)
+        .alias("grp"),
+        F.least(
+            F.floor(
+                (F.col("value") - F.col("lo"))
+                / ((F.col("hi") - F.col("lo")) / 100.0)
+            ).cast("long"),
+            F.lit(99),
+        ).alias("bin"),
+    )
+    c = b.groupBy("bin").agg(
+        F.count(F.when(F.col("grp") == 0, 1)).cast("long").alias("n_a"),
+        F.count(F.when(F.col("grp") == 1, 1)).cast("long").alias("n_b"),
+    )
+    w = W.orderBy("bin").rowsBetween(W.unboundedPreceding, 0)
+    wall = W.partitionBy(F.lit(1))
+    e = c.select(
+        F.sum("n_a").over(w).alias("ca"),
+        F.sum("n_b").over(w).alias("cb"),
+        F.sum("n_a").over(wall).alias("na"),
+        F.sum("n_b").over(wall).alias("nb"),
+    )
+    d = e.agg(
+        F.max(
+            F.abs(
+                F.col("ca").cast("double") / F.col("na")
+                - F.col("cb").cast("double") / F.col("nb")
+            )
+        ).alias("ks"),
+        F.max("na").cast("long").alias("n_a"),
+        F.max("nb").cast("long").alias("n_b"),
+    )
+    crit = 1.358 * F.sqrt(
+        (F.col("n_a") + F.col("n_b")).cast("double")
+        / (F.col("n_a").cast("double") * F.col("n_b"))
+    )
+    return d.select(
+        F.round(F.col("ks"), 6).alias("ks_stat"),
+        "n_a",
+        "n_b",
+        F.round(crit, 6).alias("crit_05"),
+        (F.col("ks") > crit).cast("long").alias("reject_05"),
+    )
+
+
+@query(
+    "q_mannwhitney",
+    oracle="""
+    WITH g AS (
+        SELECT CAST(l_quantity AS BIGINT) AS v,
+               CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS grp
+        FROM lineitem WHERE l_returnflag IN ('R', 'N')),
+    c AS (
+        SELECT v,
+               CAST(COUNT(CASE WHEN grp = 0 THEN 1 END) AS BIGINT) AS n0,
+               CAST(COUNT(CASE WHEN grp = 1 THEN 1 END) AS BIGINT) AS n1
+        FROM g GROUP BY v),
+    e AS (
+        SELECT v, n0, n1,
+               COALESCE(SUM(n1) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING), 0) AS c1_below,
+               SUM(n0) OVER () AS na, SUM(n1) OVER () AS nb,
+               SUM((n0 + n1) * (n0 + n1) * (n0 + n1) - (n0 + n1))
+                   OVER () AS tie3
+        FROM c),
+    u AS (
+        SELECT CAST(MAX(na) AS BIGINT) AS na,
+               CAST(MAX(nb) AS BIGINT) AS nb,
+               CAST(MAX(tie3) AS BIGINT) AS tie3,
+               CAST(SUM(n0 * (2 * c1_below + n1)) AS BIGINT) AS u2x
+        FROM e)
+    SELECT na, nb,
+           ROUND(u2x / 2.0, 1) AS u_stat,
+           ROUND((u2x / 2.0 - CAST(na AS DOUBLE) * nb / 2.0)
+                 / sqrt(CAST(na AS DOUBLE) * nb / 12.0
+                        * ((na + nb + 1)
+                           - CAST(tie3 AS DOUBLE)
+                             / ((na + nb) * (na + nb - 1.0)))), 6)
+               AS z,
+           CAST(ABS((u2x / 2.0 - CAST(na AS DOUBLE) * nb / 2.0)
+                 / sqrt(CAST(na AS DOUBLE) * nb / 12.0
+                        * ((na + nb + 1)
+                           - CAST(tie3 AS DOUBLE)
+                             / ((na + nb) * (na + nb - 1.0))))) > 1.96
+                AS BIGINT) AS reject_05
+    FROM u
+    """,
+)
+def q_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U — the nonparametric two-sample location test
+    beside Welch's t (q_ab_test): does returned-lineitem quantity
+    stochastically dominate non-returned?  EXACT, not approximate:
+    l_quantity's small integer domain means U computes from per-value
+    counts — U = sum over values of n0_v x (count of group-1 below +
+    half the ties) — as pure integers (doubled to dodge the .5), with
+    the normal approximation's tie-corrected variance also exact-
+    integer until one final sqrt.  One 50-row value-count shuffle,
+    bounded windows; no rank sort of 600k rows anywhere."""
+    from pyspark.sql.window import Window as W
+
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag").isin("R", "N")
+    )
+    g = li.select(
+        F.col("l_quantity").cast("long").alias("v"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("grp"),
+    )
+    c = g.groupBy("v").agg(
+        F.count(F.when(F.col("grp") == 0, 1)).cast("long").alias("n0"),
+        F.count(F.when(F.col("grp") == 1, 1)).cast("long").alias("n1"),
+    )
+    wb = W.orderBy("v").rowsBetween(W.unboundedPreceding, -1)
+    wall = W.partitionBy(F.lit(1))
+    t = F.col("n0") + F.col("n1")
+    e = c.select(
+        "n0",
+        "n1",
+        F.coalesce(F.sum("n1").over(wb), F.lit(0)).alias("c1_below"),
+        F.sum("n0").over(wall).alias("na"),
+        F.sum("n1").over(wall).alias("nb"),
+        F.sum(t * t * t - t).over(wall).alias("tie3"),
+    )
+    u = e.agg(
+        F.max("na").cast("long").alias("na"),
+        F.max("nb").cast("long").alias("nb"),
+        F.max("tie3").cast("long").alias("tie3"),
+        F.sum(F.col("n0") * (2 * F.col("c1_below") + F.col("n1")))
+        .cast("long")
+        .alias("u2x"),
+    )
+    mean = F.col("na").cast("double") * F.col("nb") / 2.0
+    var = (
+        F.col("na").cast("double")
+        * F.col("nb")
+        / 12.0
+        * (
+            (F.col("na") + F.col("nb") + 1)
+            - F.col("tie3").cast("double")
+            / ((F.col("na") + F.col("nb")) * (F.col("na") + F.col("nb") - 1.0))
+        )
+    )
+    z = (F.col("u2x") / 2.0 - mean) / F.sqrt(var)
+    return u.select(
+        "na",
+        "nb",
+        F.round(F.col("u2x") / 2.0, 1).alias("u_stat"),
+        F.round(z, 6).alias("z"),
+        (F.abs(z) > 1.96).cast("long").alias("reject_05"),
+    )

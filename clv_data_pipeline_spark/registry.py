@@ -193,7 +193,7 @@ _R5_NEW: frozenset[str] = frozenset(
         "q_tokenizer_fertility", "q_semdedup_eval", "q_recursive_cte",
         "q_sql_udf", "q_shard_manifest", "q_pareto_nbd",
         "q_clv_compare", "q_dedup_keep_best", "q_join_explosion_audit",
-        "q_target_encode",
+        "q_target_encode", "q_ks_test", "q_mannwhitney",
     }
 )
 

@@ -98,3 +98,53 @@ def test_ewma_closed_form_equals_sequential_fold(spark):
         n, ewma = got[uid]
         assert n == len(rows)
         assert abs(ewma - s) < 1e-5, (uid, ewma, s)
+
+
+def test_mannwhitney_u_equals_bruteforce_pair_count(spark):
+    """The count-based U must equal the definitional U = #(a<b) +
+    0.5 #(a==b) over all cross pairs, and z must match the
+    tie-corrected normal approximation computed independently."""
+    import itertools
+    import math
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    a = [1, 2, 2, 3, 5, 5, 5, 8]      # grp 0
+    b = [2, 3, 3, 4, 5, 9]            # grp 1
+    rows = [(v, 0) for v in a] + [(v, 1) for v in b]
+    df = spark.createDataFrame(rows, "v long, grp long")
+    c = df.groupBy("v").agg(
+        F.count(F.when(F.col("grp") == 0, 1)).cast("long").alias("n0"),
+        F.count(F.when(F.col("grp") == 1, 1)).cast("long").alias("n1"),
+    )
+    wb = W.orderBy("v").rowsBetween(W.unboundedPreceding, -1)
+    e = c.select(
+        "n0", "n1",
+        F.coalesce(F.sum("n1").over(wb), F.lit(0)).alias("c1_below"),
+    )
+    u2x = e.agg(
+        F.sum(F.col("n0") * (2 * F.col("c1_below") + F.col("n1")))
+    ).collect()[0][0]
+    u = u2x / 2.0
+
+    brute = sum(
+        1.0 if bv < av else (0.5 if bv == av else 0.0)
+        for av, bv in itertools.product(a, b)
+    )
+    assert u == brute, (u, brute)
+
+    # independent tie-corrected z
+    na, nb = len(a), len(b)
+    n = na + nb
+    from collections import Counter
+
+    ties = Counter(a + b)
+    tie3 = sum(t**3 - t for t in ties.values())
+    var = na * nb / 12.0 * ((n + 1) - tie3 / (n * (n - 1)))
+    z_ref = (u - na * nb / 2.0) / math.sqrt(var)
+    # the same arithmetic the query performs
+    z_query = (u2x / 2.0 - na * nb / 2.0) / math.sqrt(
+        na * nb / 12.0 * ((n + 1) - tie3 / (n * (n - 1.0)))
+    )
+    assert abs(z_query - z_ref) < 1e-12
