@@ -127,6 +127,7 @@ HEADLINE = [
     "q_target_encode",
     "q_ks_test",
     "q_mannwhitney",
+    "q_isotonic_calibration",
 ]
 
 #: Frozen comparable subsets — apples-to-apples totals across rounds.

@@ -153,3 +153,27 @@ def normalize_for_model(features: DataFrame) -> DataFrame:
     if "monetary_value" in df.columns:
         df = df.withColumnRenamed("monetary_value", "monetary")
     return df
+
+
+def pav_isotonic(values, weights):
+    """Pool-Adjacent-Violators: weighted isotonic (non-decreasing)
+    regression in one left-to-right stack pass — the calibration
+    fitter behind q_isotonic_calibration.  Returns the fitted value
+    per input position.  O(n); inputs here are bin frames (<= ~100
+    rows), a bounded driver step like the CLV MLE collect."""
+    blocks: list[list[float]] = []  # [sum_wv, sum_w, count]
+    for v, w in zip(values, weights):
+        blocks.append([v * w, w, 1])
+        while len(blocks) >= 2 and (
+            blocks[-2][0] * blocks[-1][1]
+            > blocks[-1][0] * blocks[-2][1]  # mean[-2] > mean[-1]
+        ):
+            b = blocks.pop()
+            blocks[-1][0] += b[0]
+            blocks[-1][1] += b[1]
+            blocks[-1][2] += b[2]
+        # w > 0 throughout, so cross-multiplied means avoid division
+    out: list[float] = []
+    for swv, sw, cnt in blocks:
+        out.extend([swv / sw] * cnt)
+    return out

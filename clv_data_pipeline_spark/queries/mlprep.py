@@ -2288,3 +2288,42 @@ def q_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("encoding"),
         )
     )
+
+
+@query("q_isotonic_calibration")  # rows-only: PAV is a sequential fold
+def q_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic recalibration of the quality score — the FIX for what
+    q_calibration measures: Pool-Adjacent-Violators fits the best
+    monotone mapping from score bins to observed positive rates, so a
+    threshold on the calibrated output means what it says.  PAV runs
+    driver-side over the 10-row bin frame (a bounded barrier — the
+    fitter's input is the aggregate, never examples); the calibrated
+    table then broadcasts wherever scores need mapping.  Monotonicity,
+    block-mean preservation, and parity with an independent O(n^2)
+    reference are pinned in tests/test_mlprep.py."""
+    from clv_data_pipeline_spark.operators.features import pav_isotonic
+
+    bins = (
+        q_calibration(spark, sf_dir)
+        .select("bin", "n_docs", "n_pos", "conf", "acc")
+        .orderBy("bin")
+        .collect()
+    )
+    fitted = pav_isotonic(
+        [r["acc"] for r in bins], [float(r["n_docs"]) for r in bins]
+    )
+    rows = [
+        (
+            int(r["bin"]),
+            int(r["n_docs"]),
+            float(r["conf"]),
+            float(r["acc"]),
+            round(float(v), 6),
+        )
+        for r, v in zip(bins, fitted)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "bin long, n_docs long, conf double, raw_acc double, "
+        "calibrated double",
+    )

@@ -41,3 +41,45 @@ def test_knn_label_ignores_null_neighbor_labels(spark):
         rows = qs[name](spark, SF_SMOKE).collect()
         assert rows, name
         assert all(r["pred_label"] is not None for r in rows), name
+
+
+def test_pav_matches_quadratic_reference_and_invariants():
+    """PAV output must be monotone, preserve the global weighted mean,
+    and equal an independently-written O(n^2) repeated-scan PAV."""
+    import numpy as np
+
+    from clv_data_pipeline_spark.operators.features import pav_isotonic
+
+    rng = np.random.RandomState(3)
+    for _ in range(25):
+        n = rng.randint(2, 30)
+        v = rng.rand(n).tolist()
+        w = (rng.randint(1, 50, size=n)).astype(float).tolist()
+        got = pav_isotonic(v, w)
+        # monotone
+        assert all(a <= b + 1e-12 for a, b in zip(got, got[1:]))
+        # weighted mean preserved
+        assert abs(
+            sum(g * wi for g, wi in zip(got, w))
+            - sum(vi * wi for vi, wi in zip(v, w))
+        ) < 1e-9
+        # independent reference: repeatedly merge any violating pair
+        blocks = [[vi * wi, wi, 1] for vi, wi in zip(v, w)]
+        changed = True
+        while changed:
+            changed = False
+            for i in range(len(blocks) - 1):
+                if (
+                    blocks[i][0] / blocks[i][1]
+                    > blocks[i + 1][0] / blocks[i + 1][1] + 1e-15
+                ):
+                    a = blocks.pop(i + 1)
+                    blocks[i][0] += a[0]
+                    blocks[i][1] += a[1]
+                    blocks[i][2] += a[2]
+                    changed = True
+                    break
+        ref = []
+        for swv, sw, cnt in blocks:
+            ref.extend([swv / sw] * cnt)
+        assert np.allclose(got, ref, atol=1e-10), (v, w)
