@@ -128,6 +128,7 @@ HEADLINE = [
     "q_ks_test",
     "q_mannwhitney",
     "q_isotonic_calibration",
+    "q_mmr_diversify",
 ]
 
 #: Frozen comparable subsets — apples-to-apples totals across rounds.

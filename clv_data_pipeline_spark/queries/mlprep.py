@@ -2327,3 +2327,77 @@ def q_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bin long, n_docs long, conf double, raw_acc double, "
         "calibrated double",
     )
+
+
+@query("q_mmr_diversify")  # rows-only: greedy selection is sequential
+def q_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking of retrieval results —
+    the diversity pass a RAG stack runs after BM25: from each query's
+    retrieval candidates, greedily select (and ORDER) 5 maximizing
+    lambda x relevance - (1 - lambda) x max-similarity-to-selected
+    (token Jaccard, relevance min-max normalized per query so both
+    terms share the [0,1] scale), so near-duplicate passages don't
+    crowd the context window.  The greedy loop is sequential BUT per-query over
+    <= 20 candidates: one applyInPandas group per query, candidates
+    arrive pre-cut by the retrieval top-k, so the Python stage is
+    O(queries x k^2) regardless of corpus size.  Greedy-vs-brute
+    parity on small cases is pinned in tests/test_mlprep.py."""
+    import pandas as pd
+
+    from clv_data_pipeline_spark.registry import ensure_worker_imports
+
+    ensure_worker_imports(spark)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", normalize_text(F.col("text")).alias("norm")
+    )
+    cands = q_bm25_retrieval(spark, sf_dir).drop("rnk")
+    joined = cands.join(docs, "doc_id").select(
+        "query_id", "doc_id", "score", "norm"
+    )
+
+    def _mmr(pdf: pd.DataFrame) -> pd.DataFrame:
+        lam = 0.5
+        pdf = pdf.sort_values(["score", "doc_id"], ascending=[False, True])
+        toks = [set(t.split()) for t in pdf["norm"]]
+        ids = pdf["doc_id"].tolist()
+        raw = pdf["score"].tolist()
+        # min-max normalize relevance per query so it mixes with the
+        # [0,1] Jaccard penalty on one scale (standard MMR practice —
+        # unnormalized BM25 magnitudes would drown the diversity term)
+        lo, hi = min(raw), max(raw)
+        scores = [
+            (s - lo) / (hi - lo) if hi > lo else 1.0 for s in raw
+        ]
+        qid = int(pdf["query_id"].iloc[0])
+        chosen: list[int] = []
+        out = []
+        while len(chosen) < min(5, len(ids)):
+            best_i, best_v = -1, None
+            for i in range(len(ids)):
+                if i in chosen:
+                    continue
+                if chosen:
+                    div = max(
+                        len(toks[i] & toks[j])
+                        / max(len(toks[i] | toks[j]), 1)
+                        for j in chosen
+                    )
+                else:
+                    div = 0.0
+                v = lam * scores[i] - (1 - lam) * div
+                if best_v is None or v > best_v + 1e-12 or (
+                    abs(v - best_v) <= 1e-12 and ids[i] < ids[best_i]
+                ):
+                    best_i, best_v = i, v
+            chosen.append(best_i)
+            out.append(
+                (qid, ids[best_i], len(out) + 1, round(best_v, 6))
+            )
+        return pd.DataFrame(
+            out, columns=["query_id", "doc_id", "mmr_rank", "mmr_score"]
+        )
+
+    return joined.groupBy("query_id").applyInPandas(
+        _mmr,
+        "query_id long, doc_id long, mmr_rank long, mmr_score double",
+    )
