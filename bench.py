@@ -129,6 +129,7 @@ HEADLINE = [
     "q_mannwhitney",
     "q_isotonic_calibration",
     "q_mmr_diversify",
+    "q_stream_assign_ids",
 ]
 
 #: Frozen comparable subsets — apples-to-apples totals across rounds.

@@ -1384,3 +1384,75 @@ def q_join_explosion_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("hot_key"),
     )
+
+
+@query(
+    "q_stream_assign_ids",
+    oracle="""
+    WITH s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+    b AS (
+        SELECT doc_id,
+               CASE WHEN doc_id < n // 3 THEN 0
+                    WHEN doc_id < (2 * n) // 3 THEN 1
+                    ELSE 2 END AS batch
+        FROM documents, s)
+    SELECT doc_id,
+           CAST(ROW_NUMBER() OVER (
+               ORDER BY batch, md5(CAST(doc_id AS VARCHAR)), doc_id)
+               AS BIGINT) AS new_id
+    FROM b
+    """,
+)
+def q_stream_assign_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONLINE id issuance on the real Structured Streaming engine —
+    q_assign_ids_incremental's streaming twin and the ninth
+    streaming/batch parity proof: the corpus arrives as three
+    chronological micro-batches, each trigger ranks its batch in md5
+    order (the distributed-rank composition, no single-reducer window
+    even inside a batch) and appends assignments continuing from the
+    stored count (streaming/ingest.py id_issuance_sink).  The oracle
+    states the whole issuance declaratively — ROW_NUMBER over (batch,
+    md5) — so the driver hash-verifies that three sequential online
+    issuances with persisted state equal the one-shot batch
+    assignment."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from clv_data_pipeline_spark.streaming.ingest import id_issuance_sink
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    n = d.count()
+    c1, c2 = n // 3, (2 * n) // 3
+    src = tempfile.mkdtemp(prefix="q_stream_ids_") + "/arrivals"
+    slices = (
+        d.filter(F.col("doc_id") < c1),
+        d.filter((F.col("doc_id") >= c1) & (F.col("doc_id") < c2)),
+        d.filter(F.col("doc_id") >= c2),
+    )
+    for s in slices:
+        s.coalesce(1).write.mode("append").parquet(src)
+
+    target_table = f"ids_stream_{uuid.uuid4().hex[:8]}"
+    stream = (
+        spark.readStream.schema(d.schema)
+        .option("pathGlobFilter", "*.parquet")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    ckpt = tempfile.mkdtemp(prefix="q_stream_ids_ckpt_")
+    q = (
+        stream.writeStream.foreachBatch(id_issuance_sink(target_table))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    out = (
+        spark.table(target_table)
+        .select("doc_id", "new_id")
+        .localCheckpoint(eager=True)
+    )
+    spark.sql(f"DROP TABLE IF EXISTS {target_table}")
+    return out

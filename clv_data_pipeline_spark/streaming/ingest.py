@@ -323,3 +323,47 @@ def budget_admission_sink(
         new_state.write.mode("overwrite").saveAsTable(state_table)
 
     return _fn
+
+
+def id_issuance_sink(target_table: str):
+    """Build a ``foreachBatch`` body that issues contiguous global ids
+    to newly-arrived documents — the streaming form of
+    ``q_assign_ids_incremental``: each trigger ranks its micro-batch
+    in md5 order via the distributed-rank composition
+    (operators/ids.py, no single-reducer window even inside a batch)
+    and appends the batch's assignments starting at stored-count + 1.
+    Issued ids are immutable state: the sink only ever APPENDS, so a
+    replayed trigger after a crash-before-commit would re-issue the
+    same ids for the same batch (the md5 order is deterministic), and
+    downstream shard references stay valid forever.
+    """
+    from pyspark.sql import functions as F
+
+    from clv_data_pipeline_spark.operators.ids import distributed_row_number
+
+    def _sink(batch_df, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if batch_df.isEmpty():
+            return
+        if spark.catalog.tableExists(target_table):
+            n_base = spark.table(target_table).count()
+        else:
+            n_base = 0
+        assigned = (
+            distributed_row_number(
+                batch_df.select(
+                    "doc_id",
+                    F.md5(F.col("doc_id").cast("string")).alias("h"),
+                ),
+                hash_col="h",
+                tiebreak_col="doc_id",
+                out_col="pos",
+            )
+            .select(
+                F.col("doc_id").cast("long").alias("doc_id"),
+                (F.col("pos") + F.lit(n_base)).cast("long").alias("new_id"),
+            )
+        )
+        assigned.write.mode("append").saveAsTable(target_table)
+
+    return _sink
