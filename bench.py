@@ -130,6 +130,7 @@ HEADLINE = [
     "q_isotonic_calibration",
     "q_mmr_diversify",
     "q_stream_assign_ids",
+    "q_bootstrap_auc",
 ]
 
 #: Frozen comparable subsets — apples-to-apples totals across rounds.

@@ -2401,3 +2401,208 @@ def q_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
         _mmr,
         "query_id long, doc_id long, mmr_rank long, mmr_score double",
     )
+
+
+@query(
+    "q_bootstrap_auc",
+    oracle=r"""
+    WITH q AS (
+        SELECT doc_id,
+               ROUND(
+                 LEAST(CAST(length(text) AS DOUBLE) / 200.0, 1.0)
+                 * GREATEST(0.0, 1.0 -
+                     (CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g'))
+                           AS DOUBLE)
+                      / GREATEST(length(text), 1)) * 5.0)
+                 * GREATEST(0.0, 1.0 -
+                     (CAST(length(regexp_replace(text, '[^0-9]', '', 'g'))
+                           AS DOUBLE)
+                      / GREATEST(length(text), 1)) * 5.0)
+                 * (CASE WHEN (CAST(length(trim(text)) AS DOUBLE)
+                               / GREATEST(len(regexp_extract_all(trim(text),
+                                              '\S+', 0)), 1))
+                              BETWEEN 3.0 AND 12.0
+                         THEN 1.0 ELSE 0.5 END),
+               6) AS score
+        FROM documents),
+    toks AS (
+        SELECT doc_id, unnest(string_split(
+                   trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '))
+                   AS term
+        FROM documents),
+    tf AS (
+        SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM toks WHERE term <> '' GROUP BY doc_id, term),
+    e AS (
+        SELECT doc_id,
+               ROUND(log2(CAST(SUM(tf) AS DOUBLE))
+                     - CAST(SUM(CAST(ROUND(tf * log2(CAST(tf AS DOUBLE)), 9)
+                                AS DECIMAL(28,9))) AS DOUBLE) / SUM(tf), 6)
+                   AS entropy
+        FROM tf GROUP BY doc_id),
+    pts AS (
+        SELECT q.doc_id,
+               LEAST(CAST(FLOOR(q.score * 100) AS BIGINT), 99) AS bin,
+               CASE WHEN e.entropy >= 4.4 THEN 1 ELSE 0 END AS pos
+        FROM q JOIN e USING (doc_id)),
+    reps AS (
+        SELECT pts.doc_id, pts.bin, pts.pos, r.b,
+               (('0x' || substr(md5(CAST(pts.doc_id AS VARCHAR) || '|'
+                    || CAST(r.b AS VARCHAR)), 1, 8))::BIGINT + 0.5)
+                   / 4294967296.0 AS p
+        FROM pts CROSS JOIN (SELECT unnest(range(50)) AS b) r),
+    m AS (
+        SELECT b, bin, pos,
+               CASE WHEN p < 0.367879441 THEN 0
+                    WHEN p < 0.735758882 THEN 1
+                    WHEN p < 0.919698603 THEN 2
+                    WHEN p < 0.981011843 THEN 3
+                    WHEN p < 0.996340153 THEN 4 ELSE 5 END AS mult
+        FROM reps),
+    bins AS (
+        SELECT b, bin,
+               CAST(SUM(mult * pos) AS BIGINT) AS n_pos,
+               CAST(SUM(mult * (1 - pos)) AS BIGINT) AS n_neg
+        FROM m GROUP BY b, bin),
+    sweep AS (
+        SELECT b, bin, n_pos, n_neg,
+               CAST(SUM(n_pos) OVER wd AS DOUBLE)
+                   / SUM(n_pos) OVER wb AS tpr,
+               CAST(SUM(n_neg) OVER wd AS DOUBLE)
+                   / SUM(n_neg) OVER wb AS fpr
+        FROM bins
+        WINDOW wd AS (PARTITION BY b ORDER BY bin DESC
+                      ROWS UNBOUNDED PRECEDING),
+               wb AS (PARTITION BY b)),
+    terms AS (
+        SELECT b, n_pos, n_neg,
+               (fpr - COALESCE(LAG(fpr) OVER wu, 0.0))
+               * (tpr + COALESCE(LAG(tpr) OVER wu, 0.0)) / 2.0 AS tri
+        FROM sweep
+        WINDOW wu AS (PARTITION BY b ORDER BY bin DESC)),
+    aucs AS (
+        SELECT b,
+               ROUND(CAST(SUM(CAST(ROUND(tri, 9) AS DECIMAL(18,9)))
+                          AS DOUBLE), 6) AS auc
+        FROM terms GROUP BY b
+        HAVING SUM(n_pos) > 0 AND SUM(n_neg) > 0)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_replicates,
+           ROUND(CAST(quantile_cont(auc, 0.025) AS DOUBLE), 6) AS ci_lo,
+           ROUND(CAST(quantile_cont(auc, 0.5) AS DOUBLE), 6) AS ci_mid,
+           ROUND(CAST(quantile_cont(auc, 0.975) AS DOUBLE), 6) AS ci_hi
+    FROM aucs
+    """,
+)
+def q_bootstrap_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confidence interval on the AUC via Poisson bootstrap — the
+    uncertainty every eval readout should ship with (a 0.71 vs 0.73
+    AUC difference means nothing if the CI spans 0.05): each document
+    draws a Poisson(1) multiplicity per replicate from md5 uniforms
+    (deterministic, oracle-checkable), replicate AUCs come from
+    multiplicity-WEIGHTED bin counts through the same histogram sweep
+    as q_auc, and the CI is exact quantiles over the 50-row replicate
+    frame.  Cost: the expand is 50x of the BIN-assignment rows (two
+    integers each, map-side), never of documents — at 100 TB the
+    whole bootstrap rides one (replicate x bin) shuffle of 5000
+    rows."""
+    from pyspark.sql.window import Window as W
+
+    from clv_data_pipeline_spark.queries.textops import q_quality_score
+
+    q = q_quality_score(spark, sf_dir)
+    e = q_token_entropy(spark, sf_dir).select("doc_id", "entropy")
+    pts = q.join(e, "doc_id").select(
+        "doc_id",
+        F.least(
+            F.floor(F.col("quality") * 100).cast("long"), F.lit(99)
+        ).alias("bin"),
+        F.when(F.col("entropy") >= 4.4, 1).otherwise(0).alias("pos"),
+    )
+    reps = pts.withColumn(
+        "b", F.explode(F.sequence(F.lit(0), F.lit(49)))
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("doc_id").cast("string"),
+                    F.lit("|"),
+                    F.col("b").cast("string"),
+                ).cast("binary")
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    p = (h + F.lit(0.5)) / F.lit(4294967296.0)
+    mult = (
+        F.when(p < 0.367879441, 0)
+        .when(p < 0.735758882, 1)
+        .when(p < 0.919698603, 2)
+        .when(p < 0.981011843, 3)
+        .when(p < 0.996340153, 4)
+        .otherwise(5)
+    )
+    bins = (
+        reps.select("b", "bin", "pos", mult.alias("mult"))
+        .groupBy("b", "bin")
+        .agg(
+            F.sum(F.col("mult") * F.col("pos")).cast("long").alias("n_pos"),
+            F.sum(F.col("mult") * (1 - F.col("pos")))
+            .cast("long")
+            .alias("n_neg"),
+        )
+    )
+    wd = (
+        W.partitionBy("b")
+        .orderBy(F.desc("bin"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wb = W.partitionBy("b")
+    sweep = bins.select(
+        "b",
+        "bin",
+        "n_pos",
+        "n_neg",
+        (
+            F.sum("n_pos").over(wd).cast("double")
+            / F.sum("n_pos").over(wb)
+        ).alias("tpr"),
+        (
+            F.sum("n_neg").over(wd).cast("double")
+            / F.sum("n_neg").over(wb)
+        ).alias("fpr"),
+    )
+    wu = W.partitionBy("b").orderBy(F.desc("bin"))
+    terms = sweep.select(
+        "b",
+        "n_pos",
+        "n_neg",
+        (
+            (F.col("fpr") - F.coalesce(F.lag("fpr").over(wu), F.lit(0.0)))
+            * (F.col("tpr") + F.coalesce(F.lag("tpr").over(wu), F.lit(0.0)))
+            / 2.0
+        ).alias("tri"),
+    )
+    aucs = (
+        terms.groupBy("b")
+        .agg(
+            F.round(
+                F.sum(
+                    F.round(F.col("tri"), 9).cast("decimal(18,9)")
+                ).cast("double"),
+                6,
+            ).alias("auc"),
+            F.sum("n_pos").alias("_p"),
+            F.sum("n_neg").alias("_n"),
+        )
+        .filter((F.col("_p") > 0) & (F.col("_n") > 0))
+    )
+    return aucs.agg(
+        F.count("*").cast("long").alias("n_replicates"),
+        F.round(F.percentile("auc", 0.025), 6).alias("ci_lo"),
+        F.round(F.percentile("auc", 0.5), 6).alias("ci_mid"),
+        F.round(F.percentile("auc", 0.975), 6).alias("ci_hi"),
+    )
