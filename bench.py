@@ -131,6 +131,8 @@ HEADLINE = [
     "q_mmr_diversify",
     "q_stream_assign_ids",
     "q_bootstrap_auc",
+    "q_grouped_bootstrap",
+    "q_stream_quantiles",
 ]
 
 #: Frozen comparable subsets — apples-to-apples totals across rounds.

@@ -2896,3 +2896,103 @@ def q_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(z, 6).alias("z"),
         (F.abs(z) > 1.96).cast("long").alias("reject_05"),
     )
+
+
+@query(
+    "q_grouped_bootstrap",
+    oracle="""
+    WITH ev AS (
+        SELECT user_id, CAST(value AS DECIMAL(18,4)) AS v
+        FROM events WHERE event_type = 'purchase'),
+    reps AS (
+        SELECT ev.user_id, ev.v, r.b,
+               (('0x' || substr(md5(CAST(ev.user_id AS VARCHAR) || '#'
+                    || CAST(r.b AS VARCHAR)), 1, 8))::BIGINT + 0.5)
+                   / 4294967296.0 AS p
+        FROM ev CROSS JOIN (SELECT unnest(range(100)) AS b) r),
+    m AS (
+        SELECT b,
+               CASE WHEN p < 0.367879441 THEN 0
+                    WHEN p < 0.735758882 THEN 1
+                    WHEN p < 0.919698603 THEN 2
+                    WHEN p < 0.981011843 THEN 3
+                    WHEN p < 0.996340153 THEN 4 ELSE 5 END AS mult,
+               v
+        FROM reps),
+    means AS (
+        SELECT b,
+               CAST(SUM(CAST(ROUND(mult * v, 6) AS DECIMAL(28,6)))
+                    AS DOUBLE) / SUM(mult) AS rep_mean
+        FROM m GROUP BY b HAVING SUM(mult) > 0)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_replicates,
+           ROUND(CAST(quantile_cont(rep_mean, 0.025) AS DOUBLE), 6)
+               AS ci_lo,
+           ROUND(CAST(quantile_cont(rep_mean, 0.5) AS DOUBLE), 6)
+               AS ci_mid,
+           ROUND(CAST(quantile_cont(rep_mean, 0.975) AS DOUBLE), 6)
+               AS ci_hi
+    FROM means
+    """,
+)
+def q_grouped_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLUSTER (user-level) Poisson bootstrap CI for mean purchase
+    value — the statistically honest variant when observations within
+    a user are correlated: q_bootstrap resamples customer TOTALS, and
+    an event-level bootstrap would treat a user's purchases as
+    independent, understating the variance; here the multiplicity
+    hashes ONLY the user id per replicate, so every purchase of a user
+    rides the same draw and whole clusters resample together (the CI
+    that survives a referee).  Same map-side-only cost shape: the
+    multiplicity is a column expression, replicate means accumulate
+    rounded products as DECIMAL, and the CI quantiles run on the
+    100-row replicate frame."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    reps = ev.select(
+        "user_id", F.col("value").cast("decimal(18,4)").alias("v")
+    ).withColumn("b", F.explode(F.sequence(F.lit(0), F.lit(99))))
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("user_id").cast("string"),
+                    F.lit("#"),
+                    F.col("b").cast("string"),
+                ).cast("binary")
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    p = (h + F.lit(0.5)) / F.lit(4294967296.0)
+    mult = (
+        F.when(p < 0.367879441, 0)
+        .when(p < 0.735758882, 1)
+        .when(p < 0.919698603, 2)
+        .when(p < 0.981011843, 3)
+        .when(p < 0.996340153, 4)
+        .otherwise(5)
+    )
+    means = (
+        reps.select("b", mult.alias("mult"), "v")
+        .groupBy("b")
+        .agg(
+            F.sum(
+                F.round(F.col("mult") * F.col("v"), 6).cast("decimal(28,6)")
+            ).alias("_s"),
+            F.sum("mult").alias("_n"),
+        )
+        .filter(F.col("_n") > 0)
+        .select(
+            (F.col("_s").cast("double") / F.col("_n")).alias("rep_mean")
+        )
+    )
+    return means.agg(
+        F.count("*").cast("long").alias("n_replicates"),
+        F.round(F.percentile("rep_mean", 0.025), 6).alias("ci_lo"),
+        F.round(F.percentile("rep_mean", 0.5), 6).alias("ci_mid"),
+        F.round(F.percentile("rep_mean", 0.975), 6).alias("ci_hi"),
+    )

@@ -1456,3 +1456,100 @@ def q_stream_assign_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     spark.sql(f"DROP TABLE IF EXISTS {target_table}")
     return out
+
+
+@query(
+    "q_stream_quantiles",
+    oracle="""
+    WITH b AS (
+        SELECT LEAST(GREATEST(CAST(FLOOR(value / 0.25) AS BIGINT), 0),
+                     2047) AS bin
+        FROM events),
+    hist AS (
+        SELECT bin, CAST(COUNT(*) AS BIGINT) AS cnt FROM b GROUP BY bin),
+    cum AS (
+        SELECT bin, cnt,
+               SUM(cnt) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS c,
+               SUM(cnt) OVER () AS n
+        FROM hist),
+    qs(q) AS (VALUES (0.5), (0.9), (0.99)),
+    est AS (
+        SELECT q, MIN(bin) AS qbin, MAX(n) AS n
+        FROM qs JOIN cum ON c >= q * n GROUP BY q)
+    SELECT CAST(q AS DOUBLE) AS q,
+           ROUND((qbin + 1) * CAST(0.25 AS DOUBLE), 6) AS est,
+           CAST(n AS BIGINT) AS n
+    FROM est
+    """,
+)
+def q_stream_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming quantile-sketch maintenance — the TENTH
+    streaming/batch parity proof and q_quantiles_incremental's online
+    twin: three chronological triggers fold micro-batch histograms
+    into a stored 2048-bin summary by ADDITION
+    (streaming/ingest.py histogram_merge_sink; boundaries fixed a
+    priori at [0, 512), as a production streaming sketch must be),
+    then the percentile estimates read off the merged state.  The
+    oracle computes the same fixed-bin estimate over all events in
+    one batch pass, so the driver hash-verifies that merge-as-you-go
+    equals compute-at-once — the mergeability property itself."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from clv_data_pipeline_spark.streaming.ingest import (
+        histogram_merge_sink,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("ts", "value")
+    src = tempfile.mkdtemp(prefix="q_stream_q_") + "/arrivals"
+    cuts = ("2024-01-11", "2024-01-21")
+    slices = (
+        ev.filter(F.col("ts") < cuts[0]),
+        ev.filter((F.col("ts") >= cuts[0]) & (F.col("ts") < cuts[1])),
+        ev.filter(F.col("ts") >= cuts[1]),
+    )
+    for s in slices:
+        s.coalesce(1).write.mode("append").parquet(src)
+
+    target_table = f"hist_stream_{uuid.uuid4().hex[:8]}"
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("pathGlobFilter", "*.parquet")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    ckpt = tempfile.mkdtemp(prefix="q_stream_q_ckpt_")
+    q = (
+        stream.writeStream.foreachBatch(
+            histogram_merge_sink(target_table, lo=0.0, hi=512.0)
+        )
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    hist = spark.table(target_table)
+    from pyspark.sql.window import Window as W
+
+    wc = W.orderBy("bin").rowsBetween(W.unboundedPreceding, 0)
+    wall = W.partitionBy(F.lit(1))
+    cum = hist.select(
+        "bin",
+        F.sum("cnt").over(wc).alias("c"),
+        F.sum("cnt").over(wall).alias("n"),
+    )
+    qs = spark.createDataFrame([(0.5,), (0.9,), (0.99,)], "q double")
+    est = (
+        cum.join(F.broadcast(qs), F.col("c") >= F.col("q") * F.col("n"))
+        .groupBy("q")
+        .agg(F.min("bin").alias("qbin"), F.max("n").alias("n"))
+    )
+    out = est.select(
+        F.col("q").cast("double").alias("q"),
+        F.round((F.col("qbin") + 1) * 0.25, 6).alias("est"),
+        F.col("n").cast("long").alias("n"),
+    ).localCheckpoint(eager=True)
+    spark.sql(f"DROP TABLE IF EXISTS {target_table}")
+    return out

@@ -195,7 +195,8 @@ _R5_NEW: frozenset[str] = frozenset(
         "q_clv_compare", "q_dedup_keep_best", "q_join_explosion_audit",
         "q_target_encode", "q_ks_test", "q_mannwhitney",
         "q_isotonic_calibration", "q_mmr_diversify",
-        "q_stream_assign_ids", "q_bootstrap_auc",
+        "q_stream_assign_ids", "q_bootstrap_auc", "q_grouped_bootstrap",
+        "q_stream_quantiles",
     }
 )
 

@@ -367,3 +367,51 @@ def id_issuance_sink(target_table: str):
         assigned.write.mode("append").saveAsTable(target_table)
 
     return _sink
+
+
+def histogram_merge_sink(
+    target_table: str,
+    value_col: str = "value",
+    lo: float = 0.0,
+    hi: float = 512.0,
+    n_bins: int = 2048,
+):
+    """Build a ``foreachBatch`` body maintaining a mergeable fixed-bin
+    histogram — the streaming form of ``q_quantiles_incremental``'s
+    daily rollup: each trigger folds its micro-batch into per-bin
+    counts and MERGES into the stored histogram by addition (the
+    defining property of the summary; boundaries are fixed a priori,
+    which is exactly how a production streaming sketch must be
+    configured since the stream's min/max are unknowable upfront).
+    State is n_bins rows regardless of stream volume."""
+    from pyspark.sql import functions as F
+
+    width = (hi - lo) / float(n_bins)
+
+    def _sink(batch_df, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if batch_df.isEmpty():
+            return
+        binned = batch_df.groupBy(
+            F.least(
+                F.greatest(
+                    F.floor((F.col(value_col) - lo) / width), F.lit(0)
+                ),
+                F.lit(n_bins - 1),
+            )
+            .cast("long")
+            .alias("bin")
+        ).agg(F.count("*").alias("cnt"))
+        if spark.catalog.tableExists(target_table):
+            merged = (
+                spark.table(target_table)
+                .unionByName(binned)
+                .groupBy("bin")
+                .agg(F.sum("cnt").alias("cnt"))
+                .localCheckpoint(eager=True)
+            )
+        else:
+            merged = binned
+        merged.write.mode("overwrite").saveAsTable(target_table)
+
+    return _sink
