@@ -133,6 +133,7 @@ HEADLINE = [
     "q_bootstrap_auc",
     "q_grouped_bootstrap",
     "q_stream_quantiles",
+    "q_als_recommend",
 ]
 
 #: Frozen comparable subsets — apples-to-apples totals across rounds.

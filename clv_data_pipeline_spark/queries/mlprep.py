@@ -2606,3 +2606,77 @@ def q_bootstrap_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("auc", 0.5), 6).alias("ci_mid"),
         F.round(F.percentile("auc", 0.975), 6).alias("ci_hi"),
     )
+
+
+@query("q_als_recommend")  # rows-only: iterative factorization
+def q_als_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALS matrix-factorization recommendations — the canonical
+    collaborative-filtering workload, trained in-engine from first
+    principles (operators/recsys.py): user x brand implicit feedback
+    (log1p of purchase-line counts from lineitem x part x orders),
+    4 alternating half-iterations, then each user's TOP UNPURCHASED
+    brand by factor dot product — the next-best-offer column a CRM
+    pipeline joins onto the CLV scores.
+
+    Scale shapes are split by side: the item step joins the BIG
+    user-factor table to interactions (hash shuffle, holds at 1B
+    users) while the user step broadcasts the tiny item matrix; the
+    recommendation scan is map-only with the item matrix broadcast.
+    Monotone objective descent and rerun determinism are pinned in
+    tests/test_mlprep.py."""
+    import pandas as pd
+
+    from clv_data_pipeline_spark.operators.recsys import als_fit
+    from clv_data_pipeline_spark.registry import ensure_worker_imports
+
+    ensure_worker_imports(spark)
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    pt = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    od = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    ratings = (
+        li.join(F.broadcast(pt), li["l_partkey"] == pt["p_partkey"])
+        .join(od, li["l_orderkey"] == od["o_orderkey"])
+        .groupBy(
+            F.col("o_custkey").alias("user"),
+            F.col("p_brand").alias("item"),
+        )
+        .agg(F.log1p(F.count("*")).alias("rating"))
+    ).localCheckpoint(eager=True)
+    uf, Y = als_fit(ratings, k=8, iters=4, reg=0.1)
+    seen = ratings.groupBy("user").agg(
+        F.collect_set("item").alias("seen")
+    )
+    bc = spark.sparkContext.broadcast(
+        {i: v.tolist() for i, v in Y.items()}
+    )
+
+    def _rec(batches):
+        import numpy as np
+
+        yb = {i: np.array(v) for i, v in bc.value.items()}
+        names = sorted(yb)
+        M = np.stack([yb[n] for n in names])
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out_u, out_b, out_s = [], [], []
+            for u, vec, sn in zip(pdf["user"], pdf["uf"], pdf["seen"]):
+                scores = M @ np.array(vec)
+                mask = np.array([n in set(sn) for n in names])
+                scores = np.where(mask, -np.inf, scores)
+                j = int(np.argmax(scores))
+                out_u.append(u)
+                out_b.append(names[j])
+                out_s.append(round(float(scores[j]), 6))
+            yield pd.DataFrame(
+                {"user_id": out_u, "brand": out_b, "score": out_s}
+            )
+
+    return (
+        uf.join(seen, "user")
+        .mapInPandas(_rec, "user_id long, brand string, score double")
+    )
