@@ -134,6 +134,7 @@ HEADLINE = [
     "q_grouped_bootstrap",
     "q_stream_quantiles",
     "q_als_recommend",
+    "q_als_eval",
 ]
 
 #: Frozen comparable subsets — apples-to-apples totals across rounds.

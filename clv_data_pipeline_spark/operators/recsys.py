@@ -166,3 +166,82 @@ def als_objective(
         )
     )
     return float(se) + reg_term
+
+
+def als_leave_one_out(
+    ratings: DataFrame, k: int = 8, iters: int = 4, reg: float = 0.1
+):
+    """Leave-one-out recommender eval: hold out one deterministically
+    chosen item per multi-item user (max md5 of (user, item) — an
+    unbiased reproducible draw), train on the rest, rank the held-out
+    item among that user's unseen items.  Returns (n_users,
+    hit_rate_5, mrr, random_baseline) where the baseline is
+    E[min(1, 5/|unseen|)] — the number hit@5 must beat to mean
+    anything."""
+    import pandas as pd
+    from pyspark.sql.window import Window as W
+
+    spark = ratings.sparkSession
+    w = W.partitionBy("user").orderBy(
+        F.desc(
+            F.md5(
+                F.concat(F.col("user").cast("string"), F.col("item"))
+            )
+        )
+    )
+    marked = ratings.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n_items", F.count("*").over(W.partitionBy("user"))
+    )
+    held = marked.filter(
+        (F.col("rn") == 1) & (F.col("n_items") >= 2)
+    ).select("user", F.col("item").alias("held"))
+    train = (
+        marked.filter(~((F.col("rn") == 1) & (F.col("n_items") >= 2)))
+        .select("user", "item", "rating")
+        .localCheckpoint(eager=True)
+    )
+    uf, Y = als_fit(train, k=k, iters=iters, reg=reg)
+    seen = train.groupBy("user").agg(F.collect_set("item").alias("seen"))
+    bc = spark.sparkContext.broadcast({i: v.tolist() for i, v in Y.items()})
+
+    def _rank(batches):
+        yb = {i: np.array(v) for i, v in bc.value.items()}
+        names = sorted(yb)
+        M = np.stack([yb[n] for n in names])
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            hits, rrs, base = [], [], []
+            for vec, sn, hd in zip(pdf["uf"], pdf["seen"], pdf["held"]):
+                scores = M @ np.array(vec)
+                sset = set(sn)
+                order = [
+                    n for _, n in sorted(zip(-scores, names))
+                    if n not in sset
+                ]
+                if hd not in order:
+                    continue
+                r = order.index(hd) + 1
+                hits.append(1 if r <= 5 else 0)
+                rrs.append(1.0 / r)
+                base.append(min(1.0, 5.0 / len(order)))
+            yield pd.DataFrame({"hit": hits, "rr": rrs, "base": base})
+
+    agg = (
+        uf.join(seen, "user")
+        .join(held, "user")
+        .mapInPandas(_rank, "hit long, rr double, base double")
+        .agg(
+            F.count("*").alias("n_users"),
+            F.avg("hit").alias("hr"),
+            F.avg("rr").alias("mrr"),
+            F.avg("base").alias("baseline"),
+        )
+        .collect()[0]
+    )
+    return (
+        int(agg["n_users"]),
+        round(float(agg["hr"]), 6),
+        round(float(agg["mrr"]), 6),
+        round(float(agg["baseline"]), 6),
+    )

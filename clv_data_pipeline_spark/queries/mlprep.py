@@ -2680,3 +2680,46 @@ def q_als_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
         uf.join(seen, "user")
         .mapInPandas(_rec, "user_id long, brand string, score double")
     )
+
+
+@query("q_als_eval")  # rows-only: trained-model eval
+def q_als_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out evaluation of the ALS recommender (hit-rate@5,
+    MRR, and the random baseline E[min(1, 5/|unseen|)] the hit rate
+    must beat) — the q_ann_recall discipline applied to the
+    recommender.  On THIS fixture the readout is a NEGATIVE CONTROL:
+    TPC-H-ish purchases carry no latent taste structure, so the model
+    lands at ~the random baseline — which is the honest answer, and
+    exactly what the harness should say about structureless data.
+    The POSITIVE control lives in tests/test_mlprep.py: on planted
+    block-preference data the same harness reports hit-rate >> the
+    baseline, proving the metric detects structure when it exists.
+    Holdout choice is max md5 of (user, item) — an unbiased,
+    reproducible draw."""
+    from clv_data_pipeline_spark.operators.recsys import (
+        als_leave_one_out,
+    )
+    from clv_data_pipeline_spark.registry import ensure_worker_imports
+
+    ensure_worker_imports(spark)
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    pt = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    od = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    ratings = (
+        li.join(F.broadcast(pt), li["l_partkey"] == pt["p_partkey"])
+        .join(od, li["l_orderkey"] == od["o_orderkey"])
+        .groupBy(
+            F.col("o_custkey").alias("user"),
+            F.col("p_brand").alias("item"),
+        )
+        .agg(F.log1p(F.count("*")).alias("rating"))
+    )
+    n, hr, mrr, base = als_leave_one_out(ratings, k=8, iters=4, reg=0.1)
+    return spark.createDataFrame(
+        [(n, hr, mrr, base)],
+        "n_users long, hit_rate_5 double, mrr double, random_baseline double",
+    )

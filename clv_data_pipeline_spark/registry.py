@@ -196,7 +196,7 @@ _R5_NEW: frozenset[str] = frozenset(
         "q_target_encode", "q_ks_test", "q_mannwhitney",
         "q_isotonic_calibration", "q_mmr_diversify",
         "q_stream_assign_ids", "q_bootstrap_auc", "q_grouped_bootstrap",
-        "q_stream_quantiles", "q_als_recommend",
+        "q_stream_quantiles", "q_als_recommend", "q_als_eval",
     }
 )
 

@@ -177,3 +177,31 @@ def test_als_objective_decreases_and_is_deterministic(spark):
     mean_r = float(np.mean([r[2] for r in rows]))
     sse_base = sum((r[2] - mean_r) ** 2 for r in rows)
     assert objs[-1] < 0.3 * sse_base, (objs[-1], sse_base)
+
+
+def test_als_loo_detects_planted_structure(spark):
+    """Positive control for the recommender eval: on planted
+    block-preference data (two user groups, disjoint preferred item
+    blocks), leave-one-out hit-rate@5 must decisively beat the random
+    baseline — the metric detects structure when it exists (on the
+    structureless driver fixture the same harness honestly reports
+    ~baseline; q_als_eval's docstring states both)."""
+    from clv_data_pipeline_spark.operators.recsys import als_leave_one_out
+
+    rows = []
+    for u in range(60):
+        block = u % 2
+        # each user rates 6 of the 8 items in their block highly
+        # (deterministic subset) and 1 cross-block item weakly
+        items = [f"b{block}_{j}" for j in range(8)]
+        keep = [items[(u + j) % 8] for j in range(6)]
+        for it in keep:
+            rows.append((u, it, 5.0))
+        rows.append((u, f"b{1 - block}_{u % 8}", 0.5))
+    ratings = spark.createDataFrame(
+        rows, "user long, item string, rating double"
+    )
+    n, hr, mrr, base = als_leave_one_out(ratings, k=4, iters=4, reg=0.05)
+    assert n == 60
+    assert hr >= base + 0.15, (hr, base)
+    assert mrr > 0.3, mrr
