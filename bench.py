@@ -135,6 +135,7 @@ HEADLINE = [
     "q_stream_quantiles",
     "q_als_recommend",
     "q_als_eval",
+    "q_best_split",
 ]
 
 #: Frozen comparable subsets — apples-to-apples totals across rounds.

@@ -2723,3 +2723,172 @@ def q_als_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(n, hr, mrr, base)],
         "n_users long, hit_rate_5 double, mrr double, random_baseline double",
     )
+
+
+@query(
+    "q_best_split",
+    oracle=r"""
+    WITH q AS (
+        SELECT doc_id,
+               ROUND(
+                 LEAST(CAST(length(text) AS DOUBLE) / 200.0, 1.0)
+                 * GREATEST(0.0, 1.0 -
+                     (CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g'))
+                           AS DOUBLE)
+                      / GREATEST(length(text), 1)) * 5.0)
+                 * GREATEST(0.0, 1.0 -
+                     (CAST(length(regexp_replace(text, '[^0-9]', '', 'g'))
+                           AS DOUBLE)
+                      / GREATEST(length(text), 1)) * 5.0)
+                 * (CASE WHEN (CAST(length(trim(text)) AS DOUBLE)
+                               / GREATEST(len(regexp_extract_all(trim(text),
+                                              '\S+', 0)), 1))
+                              BETWEEN 3.0 AND 12.0
+                         THEN 1.0 ELSE 0.5 END),
+               6) AS score
+        FROM documents),
+    toks AS (
+        SELECT doc_id, unnest(string_split(
+                   trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '))
+                   AS term
+        FROM documents),
+    tf AS (
+        SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM toks WHERE term <> '' GROUP BY doc_id, term),
+    e AS (
+        SELECT doc_id,
+               ROUND(log2(CAST(SUM(tf) AS DOUBLE))
+                     - CAST(SUM(CAST(ROUND(tf * log2(CAST(tf AS DOUBLE)), 9)
+                                AS DECIMAL(28,9))) AS DOUBLE) / SUM(tf), 6)
+                   AS entropy
+        FROM tf GROUP BY doc_id),
+    pts AS (
+        SELECT LEAST(CAST(FLOOR(q.score * 100) AS BIGINT), 99) AS bin,
+               CASE WHEN e.entropy >= 4.4 THEN 1 ELSE 0 END AS pos
+        FROM q JOIN e USING (doc_id)),
+    bins AS (
+        SELECT bin, CAST(SUM(pos) AS BIGINT) AS p,
+               CAST(COUNT(*) - SUM(pos) AS BIGINT) AS n
+        FROM pts GROUP BY bin),
+    c AS (
+        SELECT bin,
+               SUM(p) OVER w AS pl, SUM(n) OVER w AS nl,
+               SUM(p) OVER () AS pt, SUM(n) OVER () AS nt
+        FROM bins WINDOW w AS (ORDER BY bin ROWS UNBOUNDED PRECEDING)),
+    ig AS (
+        SELECT bin, pl, nl, pt - pl AS pr, nt - nl AS nr, pt, nt,
+               ROUND(
+                 (CASE WHEN pt > 0 AND nt > 0 THEN
+                    -(CAST(pt AS DOUBLE)/(pt+nt))
+                        * log2(CAST(pt AS DOUBLE)/(pt+nt))
+                    - (CAST(nt AS DOUBLE)/(pt+nt))
+                        * log2(CAST(nt AS DOUBLE)/(pt+nt))
+                  ELSE 0 END)
+                 - (CAST(pl + nl AS DOUBLE)/(pt+nt)) * (
+                    CASE WHEN pl > 0 AND nl > 0 THEN
+                      -(CAST(pl AS DOUBLE)/(pl+nl))
+                          * log2(CAST(pl AS DOUBLE)/(pl+nl))
+                      - (CAST(nl AS DOUBLE)/(pl+nl))
+                          * log2(CAST(nl AS DOUBLE)/(pl+nl))
+                    ELSE 0 END)
+                 - (CAST(pr + nr AS DOUBLE)/(pt+nt)) * (
+                    CASE WHEN pr > 0 AND nr > 0 THEN
+                      -(CAST(pr AS DOUBLE)/(pr+nr))
+                          * log2(CAST(pr AS DOUBLE)/(pr+nr))
+                      - (CAST(nr AS DOUBLE)/(pr+nr))
+                          * log2(CAST(nr AS DOUBLE)/(pr+nr))
+                    ELSE 0 END), 6) AS gain
+        FROM c WHERE pl + nl > 0 AND pr + nr > 0),
+    best AS (
+        SELECT bin, pl, nl, pr, nr, pt, nt, gain,
+               ROW_NUMBER() OVER (ORDER BY gain DESC, bin) AS rk
+        FROM ig)
+    SELECT ROUND((bin + 1) / 100.0, 6) AS threshold, gain,
+           CAST(pl + nl AS BIGINT) AS n_left,
+           CAST(pr + nr AS BIGINT) AS n_right,
+           ROUND((CAST(GREATEST(pl, nl) + GREATEST(pr, nr) AS DOUBLE))
+                 / (pt + nt), 6) AS stump_accuracy
+    FROM best WHERE rk = 1
+    """,
+)
+def q_best_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Optimal decision stump: the single quality-score threshold
+    maximizing information gain against the entropy label — the
+    simplest LEARNED filter and the baseline every fancier quality
+    classifier must beat (it is also exactly one boosting round / one
+    tree split, so this is the primitive a distributed GBDT builds
+    from).  All 99 candidate thresholds evaluate from ONE cumulative
+    pass over the 100-bin frame — integer cumulative counts, scalar
+    entropy arithmetic, round-then-argmax with a deterministic
+    tie-break; the returned stump_accuracy is the majority-vote
+    accuracy of the split, the number to compare against
+    q_quality_classifier."""
+    from pyspark.sql.window import Window as W
+
+    from clv_data_pipeline_spark.queries.textops import q_quality_score
+
+    q = q_quality_score(spark, sf_dir)
+    e = q_token_entropy(spark, sf_dir).select("doc_id", "entropy")
+    pts = q.join(e, "doc_id").select(
+        F.least(
+            F.floor(F.col("quality") * 100).cast("long"), F.lit(99)
+        ).alias("bin"),
+        F.when(F.col("entropy") >= 4.4, 1).otherwise(0).alias("pos"),
+    )
+    bins = pts.groupBy("bin").agg(
+        F.sum("pos").cast("long").alias("p"),
+        (F.count("*") - F.sum("pos")).cast("long").alias("n"),
+    )
+    w = W.orderBy("bin").rowsBetween(W.unboundedPreceding, 0)
+    wall = W.partitionBy(F.lit(1))
+    c = bins.select(
+        "bin",
+        F.sum("p").over(w).alias("pl"),
+        F.sum("n").over(w).alias("nl"),
+        F.sum("p").over(wall).alias("pt"),
+        F.sum("n").over(wall).alias("nt"),
+    )
+
+    def _h(a, b):
+        tot = (a + b).cast("double")
+        pa = a.cast("double") / tot
+        pb = b.cast("double") / tot
+        return F.when(
+            (a > 0) & (b > 0), -pa * F.log2(pa) - pb * F.log2(pb)
+        ).otherwise(F.lit(0.0))
+
+    pr = F.col("pt") - F.col("pl")
+    nr = F.col("nt") - F.col("nl")
+    nL = (F.col("pl") + F.col("nl")).cast("double")
+    nR = (pr + nr).cast("double")
+    nT = (F.col("pt") + F.col("nt")).cast("double")
+    gain = F.round(
+        _h(F.col("pt"), F.col("nt"))
+        - (nL / nT) * _h(F.col("pl"), F.col("nl"))
+        - (nR / nT) * _h(pr, nr),
+        6,
+    )
+    ig = c.filter(
+        ((F.col("pl") + F.col("nl")) > 0) & ((pr + nr) > 0)
+    ).select(
+        "bin", "pl", "nl", pr.alias("pr"), nr.alias("nr"),
+        "pt", "nt", gain.alias("gain"),
+    )
+    rk = W.orderBy(F.desc("gain"), "bin")
+    return (
+        ig.withColumn("rk", F.row_number().over(rk))
+        .filter(F.col("rk") == 1)
+        .select(
+            F.round((F.col("bin") + 1) / 100.0, 6).alias("threshold"),
+            "gain",
+            (F.col("pl") + F.col("nl")).cast("long").alias("n_left"),
+            (F.col("pr") + F.col("nr")).cast("long").alias("n_right"),
+            F.round(
+                (
+                    F.greatest("pl", "nl") + F.greatest("pr", "nr")
+                ).cast("double")
+                / (F.col("pt") + F.col("nt")),
+                6,
+            ).alias("stump_accuracy"),
+        )
+    )

@@ -197,6 +197,7 @@ _R5_NEW: frozenset[str] = frozenset(
         "q_isotonic_calibration", "q_mmr_diversify",
         "q_stream_assign_ids", "q_bootstrap_auc", "q_grouped_bootstrap",
         "q_stream_quantiles", "q_als_recommend", "q_als_eval",
+        "q_best_split",
     }
 )
 
