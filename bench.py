@@ -170,6 +170,47 @@ COMPARABLE_R4 = (
     "q_minhash_weighted", "q_entity_resolution", "q_image_dedup",
     "q_rank_fusion", "q_bootstrap", "q_clv_scores",
 )
+#: COMPARABLE_R5: the full 109-query r5 headline list (as of aef9751),
+#: frozen before any round-6 additions so those can't hide regressions
+#: in round-5 operators.
+COMPARABLE_R5 = (
+    "q_rfm", "q_tpch_q1", "q_tpch_q3", "q_tpch_q5", "q_tpch_q8",
+    "q_tpch_q17", "q_window_rank", "q_moving_avg", "q_asof_join",
+    "q_range_join", "q_sessionize", "q_events_daily",
+    "q_dedup_exact", "q_minhash_dedup", "q_simhash",
+    "q_cosine_topk", "q_ann_lsh", "q_ann_ivf", "q_text_stats",
+    "q_lang_id", "q_quality_score", "q_quality_classifier",
+    "q_bpe_tokenize", "q_dedup_lines", "q_corpus_curate",
+    "q_dedup_incremental", "q_minhash_incremental",
+    "q_decontaminate_semantic", "q_dedup_embedding_incremental",
+    "q_knn_label_ann", "q_bloom_join", "q_ann_pq", "q_pca_project",
+    "q_communities", "q_perplexity_bigram", "q_image_features",
+    "q_audio_features", "q_embedding_drift", "q_attribution",
+    "q_tree_paths", "q_media_curate", "q_hll_merge",
+    "q_market_basket", "q_interpolate", "q_sessionize_incremental",
+    "q_feature_hash", "q_rolling_distinct", "q_bucketed_join",
+    "q_erasure", "q_minhash_weighted", "q_entity_resolution",
+    "q_image_dedup", "q_rank_fusion", "q_bootstrap", "q_clv_scores",
+    "q_small_files", "q_ann_pq_incremental", "q_scd2_stream",
+    "q_gopher_rules", "q_dsir", "q_t_closeness",
+    "q_gopher_repetition", "q_mix_budget", "q_normalize_ladder",
+    "q_group_split", "q_naive_bayes", "q_ann_ivf_pq",
+    "q_stream_mix", "q_assign_ids", "q_bm25_retrieval",
+    "q_padding_audit", "q_curriculum", "q_semdedup",
+    "q_assign_ids_incremental", "q_lateral_topk",
+    "q_unigram_tokenize", "q_prefix_sum", "q_adamic_adar",
+    "q_late_events", "q_calibration", "q_quantiles_incremental",
+    "q_attribution_linear", "q_auc_sliced", "q_word_vectors",
+    "q_churn_labels", "q_conversion_lag", "q_point_in_time",
+    "q_temperature_mix", "q_tokenizer_fertility", "q_semdedup_eval",
+    "q_recursive_cte", "q_sql_udf", "q_shard_manifest",
+    "q_pareto_nbd", "q_clv_compare", "q_dedup_keep_best",
+    "q_join_explosion_audit", "q_target_encode", "q_ks_test",
+    "q_mannwhitney", "q_isotonic_calibration", "q_mmr_diversify",
+    "q_stream_assign_ids", "q_bootstrap_auc", "q_grouped_bootstrap",
+    "q_stream_quantiles", "q_als_recommend", "q_als_eval",
+    "q_best_split",
+)
 
 
 def main() -> None:
@@ -254,16 +295,32 @@ def main() -> None:
         out["comparable_total"] = round(sum(timings[n] for n in shared), 3)
         out["comparable_n"] = len(shared)
     # Frozen-subset totals: immune to headline-set growth, so every
-    # future round reports the SAME two numbers for cross-round diffs.
+    # future round reports the SAME numbers for cross-round diffs.
     for key, names in (
         ("comparable_r3_total", COMPARABLE_R3),
         ("comparable_r4_total", COMPARABLE_R4),
+        ("comparable_r5_total", COMPARABLE_R5),
     ):
         if all(n in timings for n in names):
             out[key] = round(sum(timings[n] for n in names), 3)
     if regressions:
         out["regressions"] = regressions
-    print(json.dumps(out))
+    # Round 5's full record (109 queries, one ~4 KB JSON line) overran
+    # the driver's bounded output capture and BENCH_r05.parsed came
+    # back null.  Emit a COMPACT summary line FIRST (always parseable
+    # on its own), then the full per-query record, and persist the
+    # full record to BENCH_LOCAL.json so per-query baselines survive
+    # regardless of what the capture window keeps.
+    summary = {k: v for k, v in out.items() if k != "queries"}
+    summary["n_queries"] = len(timings)
+    print(json.dumps(summary), flush=True)
+    print(json.dumps(out), flush=True)
+    try:
+        here = os.path.dirname(os.path.abspath(__file__))
+        with open(os.path.join(here, "BENCH_LOCAL.json"), "w") as f:
+            json.dump(out, f)
+    except OSError:
+        pass
     if regressions and "--check" in sys.argv:
         sys.exit(1)
 
@@ -281,8 +338,15 @@ def _baseline_queries(
     import glob
 
     here = os.path.dirname(os.path.abspath(__file__))
-    for path in sorted(glob.glob(os.path.join(here, "BENCH_r*.json")),
-                       reverse=True):
+    candidates = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")),
+                        reverse=True)
+    # BENCH_LOCAL.json (written by the previous bench run here) is the
+    # freshest per-query record — driver BENCH_r*.json may hold only
+    # the compact summary line (no "queries"), which is skipped below.
+    local = os.path.join(here, "BENCH_LOCAL.json")
+    if os.path.exists(local):
+        candidates.insert(0, local)
+    for path in candidates:
         try:
             with open(path) as f:
                 rec = json.load(f)

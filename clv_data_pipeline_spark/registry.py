@@ -167,8 +167,33 @@ _R4_VERIFIED: frozenset[str] = frozenset(
     }
 )
 
+#: Queries the driver checked in round 5 (``CORRECTNESS_r05.json``):
+#: all 50 sampled names green (37 hash-match + 13 rows-only-by-contract,
+#: 0 failures).  Folding them into the tiers points round 6's budget at
+#: the 45 round-5 registrations the driver has never seen.
+_R5_VERIFIED: frozenset[str] = frozenset(
+    {
+        "q_ab_test", "q_ann_pq", "q_ann_recall", "q_applyinarrow",
+        "q_auc", "q_benford", "q_bootstrap", "q_bpe_merges",
+        "q_bpe_tokenize", "q_cohort_ltv", "q_communities_ann", "q_cuped",
+        "q_curriculum", "q_dedup_embedding_incremental",
+        "q_dedup_keep_best", "q_dp_counts", "q_entity_resolution",
+        "q_erasure", "q_feature_hash", "q_fuzzy_join",
+        "q_gopher_repetition", "q_gopher_rules", "q_hll_merge", "q_kcore",
+        "q_knn_label_ann", "q_l_diversity", "q_lorenz_gini",
+        "q_market_basket", "q_minhash_eval", "q_minhash_incremental",
+        "q_mix_budget", "q_normalize_ladder", "q_padding_audit",
+        "q_pca_incremental", "q_pca_project", "q_pca_variance",
+        "q_perplexity", "q_perplexity_bigram", "q_pmi", "q_psi_drift",
+        "q_quality_classifier", "q_rank_fusion", "q_robust_z",
+        "q_rolling_distinct", "q_stream_mix", "q_stream_pyds",
+        "q_temperature_mix", "q_trend", "q_triangles", "q_weighted_sample",
+    }
+)
+
 _VERIFIED: frozenset[str] = (
     _R1_VERIFIED | _R2_VERIFIED | _R3_VERIFIED | _R4_VERIFIED
+    | _R5_VERIFIED
 )
 
 #: Queries REGISTERED during round 5 itself.  VERDICT r4's top ask is
@@ -202,6 +227,13 @@ _R5_NEW: frozenset[str] = frozenset(
 )
 
 
+#: Queries REGISTERED during round 6.  VERDICT r5's top ask: the 45
+#: round-5 registrations that never got a driver row must fill
+#: CORRECTNESS_r06 first; round-6 additions sort behind them within
+#: tier 0 and take their driver row in round 7 if the budget cuts.
+_R6_NEW: set[str] = set()
+
+
 def _ordered_names() -> list[str]:
     """Registration order tiered by driver-verification staleness.
 
@@ -215,7 +247,9 @@ def _ordered_names() -> list[str]:
     names = list(_REGISTRY)
     tier = {}
     for n in names:
-        if n in _R4_VERIFIED:
+        if n in _R5_VERIFIED:
+            tier[n] = 5
+        elif n in _R4_VERIFIED:
             tier[n] = 4
         elif n in _R3_VERIFIED:
             tier[n] = 3
@@ -234,7 +268,7 @@ def _ordered_names() -> list[str]:
         names,
         key=lambda n: (
             tier[n],
-            1 if (tier[n] == 0 and n in _R5_NEW) else 0,
+            1 if (tier[n] == 0 and n in _R6_NEW) else 0,
             0 if _REGISTRY[n].oracle is not None else 1,
             order[n],
         ),
