@@ -46,6 +46,7 @@ def als_fit(
     user_col: str = "user",
     item_col: str = "item",
     rating_col: str = "rating",
+    max_items: int = 100_000,
 ):
     """Run ALS; returns (user_factors DataFrame [user, uf array],
     item_factors dict {item: np.ndarray}).  Each half-iteration is one
@@ -60,6 +61,21 @@ def als_fit(
         F.col(rating_col).cast("double").alias("rating"),
     )
     items = [row["item"] for row in r.select("item").distinct().collect()]
+    # Hard scale guard (VERDICT r5): this implementation's item step
+    # collects items x k factors to the driver and broadcasts them each
+    # iteration — sound for bounded vocabularies (brands, categories,
+    # genres), UNSOUND for open item spaces (SKUs, documents).  Fail
+    # loudly instead of degrading: the fix at high item cardinality is
+    # a symmetric join-shaped item step (mirror the user step's
+    # mapInPandas over item-grouped observations with user factors
+    # joined in), not a bigger broadcast.
+    if len(items) > max_items:
+        raise ValueError(
+            f"als_fit: {len(items)} distinct items exceeds max_items="
+            f"{max_items}; the driver-side item-factor broadcast only "
+            "holds for bounded item vocabularies. Raise max_items "
+            "deliberately or add a join-shaped item step."
+        )
     Y = _init_item_factors(items, k)
 
     def _solve(obs_vecs: np.ndarray, obs_r: np.ndarray) -> np.ndarray:
@@ -122,6 +138,57 @@ def als_fit(
     return uf_df, Y
 
 
+def als_fit_cached(
+    ratings: DataFrame,
+    key: str,
+    k: int = 8,
+    iters: int = 4,
+    reg: float = 0.1,
+):
+    """Stored-model lifecycle around :func:`als_fit` (VERDICT r5 #3):
+    train once per (source version, hyperparameters) content key,
+    persist both factor tables as parquet artifacts, and serve every
+    later call from the stored model — so recommendation/eval probes
+    cost a scan + scoring pass, not a retraining.  This mirrors how a
+    production recommender runs: training on the nightly cadence,
+    scoring on the query path against the last published factors.
+
+    Returns the same (user_factors DataFrame, {item: ndarray}) shape
+    as ``als_fit``; determinism of the trained factors (pinned in
+    tests/test_mlprep.py) makes cached and fresh results identical.
+    """
+    import os
+
+    from clv_data_pipeline_spark.sources.io import (
+        artifact_path,
+        materialize_temp,
+    )
+
+    spark = ratings.sparkSession
+    full_key = f"{key}:k={k}:iters={iters}:reg={reg}"
+    uf_path = artifact_path("als_uf_", full_key)
+    yf_path = artifact_path("als_yf_", full_key)
+    if not (os.path.exists(uf_path) and os.path.exists(yf_path)):
+        uf, Y = als_fit(ratings, k=k, iters=iters, reg=reg)
+        materialize_temp(uf, "als_uf_", key=full_key)
+        # schema inferred so item keys keep their native type (brand
+        # strings here, int ids in tests) across the disk roundtrip
+        materialize_temp(
+            spark.createDataFrame(
+                [(i, v.tolist()) for i, v in sorted(Y.items())],
+                ["item", "yf"],
+            ),
+            "als_yf_",
+            key=full_key,
+        )
+    uf_df = spark.read.parquet(uf_path)
+    Y = {
+        row["item"]: np.array(row["yf"])
+        for row in spark.read.parquet(yf_path).collect()
+    }
+    return uf_df, Y
+
+
 def als_objective(
     ratings: DataFrame, uf_df: DataFrame, Y: dict, reg: float = 0.1
 ) -> float:
@@ -169,7 +236,11 @@ def als_objective(
 
 
 def als_leave_one_out(
-    ratings: DataFrame, k: int = 8, iters: int = 4, reg: float = 0.1
+    ratings: DataFrame,
+    k: int = 8,
+    iters: int = 4,
+    reg: float = 0.1,
+    key: str | None = None,
 ):
     """Leave-one-out recommender eval: hold out one deterministically
     chosen item per multi-item user (max md5 of (user, item) — an
@@ -200,7 +271,12 @@ def als_leave_one_out(
         .select("user", "item", "rating")
         .localCheckpoint(eager=True)
     )
-    uf, Y = als_fit(train, k=k, iters=iters, reg=reg)
+    # the holdout draw is deterministic, so the train split shares the
+    # source's content key — the eval model trains once per version too
+    if key is not None:
+        uf, Y = als_fit_cached(train, f"{key}:loo", k=k, iters=iters, reg=reg)
+    else:
+        uf, Y = als_fit(train, k=k, iters=iters, reg=reg)
     seen = train.groupBy("user").agg(F.collect_set("item").alias("seen"))
     bc = spark.sparkContext.broadcast({i: v.tolist() for i, v in Y.items()})
 

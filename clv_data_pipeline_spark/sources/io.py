@@ -229,7 +229,6 @@ def materialize_temp(
     source version).  Concurrent builders race safely: each writes to a
     unique staging dir and the first atomic rename wins.
     """
-    import hashlib
     import shutil
     import tempfile
 
@@ -239,10 +238,8 @@ def materialize_temp(
         df.write.parquet(path)
         return spark.read.parquet(path)
 
-    digest = hashlib.md5(key.encode()).hexdigest()[:16]
-    root = os.path.join(tempfile.gettempdir(), "clv_artifacts")
-    os.makedirs(root, exist_ok=True)
-    path = os.path.join(root, f"{prefix}{digest}")
+    path = artifact_path(prefix, key)
+    root = os.path.dirname(path)
     if not os.path.exists(path):
         stage = tempfile.mkdtemp(prefix=prefix, dir=root) + "/stage"
         df.write.parquet(stage)
@@ -251,6 +248,21 @@ def materialize_temp(
         except OSError:
             shutil.rmtree(stage, ignore_errors=True)  # concurrent winner
     return spark.read.parquet(path)
+
+
+def artifact_path(prefix: str, key: str) -> str:
+    """Stable on-disk path for a keyed derived artifact.  Exposed so
+    callers with an EXPENSIVE builder (e.g. ALS training) can test
+    existence before running the producer at all — ``materialize_temp``
+    only skips the write, not the upstream computation that built its
+    input DataFrame."""
+    import hashlib
+    import tempfile
+
+    digest = hashlib.md5(key.encode()).hexdigest()[:16]
+    root = os.path.join(tempfile.gettempdir(), "clv_artifacts")
+    os.makedirs(root, exist_ok=True)
+    return os.path.join(root, f"{prefix}{digest}")
 
 
 def artifact_numpy(prefix: str, key: str, builder):

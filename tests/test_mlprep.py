@@ -179,6 +179,55 @@ def test_als_objective_decreases_and_is_deterministic(spark):
     assert objs[-1] < 0.3 * sse_base, (objs[-1], sse_base)
 
 
+def test_als_fit_cached_roundtrip_and_item_guard(spark):
+    """als_fit_cached must (a) serve the SAME factors from the stored
+    artifact as a fresh fit, (b) skip retraining on the second call,
+    and (c) als_fit must refuse item vocabularies beyond max_items
+    instead of silently building an oversized driver broadcast."""
+    import uuid
+
+    import pytest
+
+    from clv_data_pipeline_spark.operators import recsys
+    from clv_data_pipeline_spark.operators.recsys import (
+        als_fit,
+        als_fit_cached,
+    )
+
+    rows = [
+        (u, f"i{i}", float(1 + (u * 7 + i * 3) % 5))
+        for u in range(20)
+        for i in range(6)
+        if (u + i) % 2 == 0
+    ]
+    ratings = spark.createDataFrame(
+        rows, "user long, item string, rating double"
+    )
+    key = f"test-als-{uuid.uuid4()}"
+    uf_fresh, y_fresh = als_fit(ratings, k=3, iters=2, reg=0.05)
+    uf1, y1 = als_fit_cached(ratings, key, k=3, iters=2, reg=0.05)
+    assert {i: v.tolist() for i, v in y1.items()} == {
+        i: v.tolist() for i, v in y_fresh.items()
+    }
+    assert {r["user"]: r["uf"] for r in uf1.collect()} == {
+        r["user"]: r["uf"] for r in uf_fresh.collect()
+    }
+    # second call must come from disk: poison als_fit to prove it
+    orig = recsys.als_fit
+    recsys.als_fit = lambda *a, **kw: (_ for _ in ()).throw(
+        AssertionError("retrained despite stored artifact")
+    )
+    try:
+        uf2, y2 = als_fit_cached(ratings, key, k=3, iters=2, reg=0.05)
+    finally:
+        recsys.als_fit = orig
+    assert {i: v.tolist() for i, v in y2.items()} == {
+        i: v.tolist() for i, v in y1.items()
+    }
+    with pytest.raises(ValueError, match="max_items"):
+        als_fit(ratings, k=3, iters=1, reg=0.05, max_items=3)
+
+
 def test_als_loo_detects_planted_structure(spark):
     """Positive control for the recommender eval: on planted
     block-preference data (two user groups, disjoint preferred item
