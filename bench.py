@@ -136,6 +136,8 @@ HEADLINE = [
     "q_als_recommend",
     "q_als_eval",
     "q_best_split",
+    # round-6 additions
+    "q_dedup_substring",
 ]
 
 #: Frozen comparable subsets — apples-to-apples totals across rounds.

@@ -50,6 +50,81 @@ def dedup_exact(
     return df.join(winners.select(id_col), id_col, "left_semi")
 
 
+def substring_duplicate_windows(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 50,
+) -> DataFrame:
+    """Exact substring deduplication, Lee et al. 2021 ("Deduplicating
+    Training Data Makes Language Models Better") — flag every document
+    that shares a verbatim ``window``-token span with an earlier
+    (smaller-id) document, and measure how much of it is duplicated.
+
+    The paper's single-machine ExactSubstr builds a suffix array over
+    the whole corpus; the distributed re-expression is the standard
+    token-window-hash scan the paper's own MapReduce appendix sketches:
+
+    1. slide a ``window``-token window at stride 1 over each doc and
+       md5 the joined span — pure column expressions (sequence ->
+       transform(slice) -> md5), whole-stage codegen, O(total tokens)
+       grams, no Python;
+    2. ONE shuffle keyed by the 128-bit gram hash computes each gram's
+       minimum owning doc id (the "keeper");
+    3. re-join grams to keepers and aggregate per doc: a window is
+       duplicated iff its gram also occurs in a smaller-id doc, so
+       within-doc repetition never self-flags.
+
+    Nothing pairwise ever materializes — candidate volume is
+    O(tokens), the shuffle carries 16-byte hashes, and skew is bounded
+    because a gram shared by m docs contributes m rows, not m^2 pairs.
+    At 100 TB this is the same shape as the MinHash banding path.
+
+    Returns one row per doc with >= 1 full window: ``doc_id,
+    n_windows, dup_windows, dup_ratio, substring_dup``.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.split(F.lower(F.col(text_col)), " ").alias("_toks"),
+    ).withColumn("_n", F.size("_toks"))
+    grams = (
+        toks.filter(F.col("_n") >= window)
+        .select(
+            id_col,
+            F.explode(
+                F.sequence(F.lit(1), F.col("_n") - F.lit(window - 1))
+            ).alias("_i"),
+            "_toks",
+        )
+        .select(
+            id_col,
+            F.md5(
+                F.array_join(F.slice("_toks", F.col("_i"), window), " ")
+            ).alias("_g"),
+        )
+    )
+    keepers = grams.groupBy("_g").agg(F.min(id_col).alias("_keeper"))
+    return (
+        grams.join(keepers, "_g")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_windows"),
+            F.sum(
+                (F.col(id_col) > F.col("_keeper")).cast("long")
+            ).alias("dup_windows"),
+        )
+        .select(
+            id_col,
+            "n_windows",
+            "dup_windows",
+            F.round(
+                F.col("dup_windows") / F.col("n_windows"), 6
+            ).alias("dup_ratio"),
+            (F.col("dup_windows") > 0).alias("substring_dup"),
+        )
+    )
+
+
 def shingles(text: Column, k: int = 5) -> Column:
     """Array of all character k-shingles of the normalized text (deduped).
     Pure expression: sequence over start offsets -> substring slices.

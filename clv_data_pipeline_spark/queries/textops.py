@@ -24,6 +24,7 @@ from clv_data_pipeline_spark.functions.text import (
 from clv_data_pipeline_spark.operators.dedup import (
     cluster_documents,
     dedup_exact,
+    substring_duplicate_windows,
     dedup_incremental,
     dedup_minhash,
     dedup_minhash_incremental,
@@ -1494,6 +1495,58 @@ def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ",
         ).alias("clean_text"),
         F.count("*").alias("n_kept_segments"),
+    )
+
+
+_SUBSTR_W = 50  #: Lee et al. 2021's 50-token exact-substring threshold
+
+
+@query(
+    "q_dedup_substring",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS toks
+      FROM documents),
+    grams AS (
+      SELECT doc_id,
+             md5(array_to_string(toks[i : i + {_SUBSTR_W - 1}], ' ')) AS g
+      FROM t, UNNEST(generate_series(1, len(toks) - {_SUBSTR_W - 1}))
+           AS u(i)
+      WHERE len(toks) >= {_SUBSTR_W}),
+    keepers AS (SELECT g, MIN(doc_id) AS keeper FROM grams GROUP BY g)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_windows,
+           CAST(SUM(CASE WHEN doc_id > keeper THEN 1 ELSE 0 END)
+                AS BIGINT) AS dup_windows,
+           ROUND(SUM(CASE WHEN doc_id > keeper THEN 1 ELSE 0 END)
+                 * 1.0 / COUNT(*), 6) AS dup_ratio,
+           (SUM(CASE WHEN doc_id > keeper THEN 1 ELSE 0 END) > 0)
+               AS substring_dup
+    FROM grams JOIN keepers USING (g)
+    GROUP BY doc_id
+    """,
+)
+def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring dedup (Lee et al. 2021, ExactSubstr) — flag
+    documents sharing a verbatim 50-token span with an earlier doc and
+    measure the duplicated fraction of each doc's windows.  Completes
+    the dedup ladder between line-level (q_dedup_lines) and
+    fuzzy-shingle (q_minhash_dedup) tiers: MinHash misses a long copied
+    passage inside an otherwise-unique doc; this catches exactly that.
+
+    Scale shape (operators/dedup.py substring_duplicate_windows): the
+    suffix array of the paper's single-node tool becomes a stride-1
+    token-window md5 scan — O(total tokens) grams built by pure column
+    expressions, ONE shuffle keyed on the 16-byte gram hash to elect
+    each gram's smallest owning doc, one re-join + per-doc aggregate.
+    No pairwise candidates ever materialize, so a boilerplate gram
+    shared by m docs costs m rows, never m^2.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    return substring_duplicate_windows(
+        docs, text_col="text", id_col="doc_id", window=_SUBSTR_W
     )
 
 

@@ -231,7 +231,9 @@ _R5_NEW: frozenset[str] = frozenset(
 #: round-5 registrations that never got a driver row must fill
 #: CORRECTNESS_r06 first; round-6 additions sort behind them within
 #: tier 0 and take their driver row in round 7 if the budget cuts.
-_R6_NEW: set[str] = set()
+_R6_NEW: set[str] = {
+    "q_dedup_substring",
+}
 
 
 def _ordered_names() -> list[str]:

@@ -609,3 +609,50 @@ def test_semdedup_eval_recall_floor(spark):
     assert 0 < row["n_vecs"] <= 2000
     if row["n_dup_exact"]:
         assert row["recall"] >= 0.5, row
+
+
+def test_substring_dedup_planted_overlap(spark):
+    """Lee-et-al. exact-substring semantics on a planted fixture: a doc
+    that copies a full 50-token passage from an earlier doc is flagged
+    with exactly the right window counts; unique docs and WITHIN-doc
+    repetition are not flagged; the result is partition-independent."""
+    from clv_data_pipeline_spark.operators.dedup import (
+        substring_duplicate_windows,
+    )
+
+    passage = " ".join(f"w{i}" for i in range(50))       # 50 tokens
+    unique_a = " ".join(f"a{i}" for i in range(30))
+    unique_b = " ".join(f"b{i}" for i in range(10))
+    rows = [
+        (0, passage + " " + unique_a),        # source: 80 tokens
+        (1, unique_b + " " + passage),        # copies the passage
+        (2, " ".join(f"c{i}" for i in range(60))),  # unique
+        (3, passage.replace("w", "d") + " " + passage.replace("w", "d")),
+        (4, "too short"),                     # < 50 tokens: no windows
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r
+        for r in substring_duplicate_windows(docs, window=50).collect()
+    }
+    assert set(got) == {0, 1, 2, 3}           # doc 4 has no window
+    assert not got[0]["substring_dup"]        # earliest owner keeps
+    assert got[0]["n_windows"] == 31          # 80 - 50 + 1
+    assert got[1]["substring_dup"]
+    # doc 1 = 10 unique + 50 copied tokens: only the window starting
+    # exactly at the passage (position 11) is fully duplicated
+    assert got[1]["n_windows"] == 11
+    assert got[1]["dup_windows"] == 1
+    assert got[1]["dup_ratio"] == round(1 / 11, 6)
+    assert not got[2]["substring_dup"]
+    # doc 3 repeats its own passage twice — self-repetition never flags
+    assert not got[3]["substring_dup"]
+    rep = {
+        r["doc_id"]: r
+        for r in substring_duplicate_windows(
+            docs.repartition(7), window=50
+        ).collect()
+    }
+    assert {k: tuple(v) for k, v in got.items()} == {
+        k: tuple(v) for k, v in rep.items()
+    }
