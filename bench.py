@@ -138,6 +138,8 @@ HEADLINE = [
     "q_best_split",
     # round-6 additions
     "q_dedup_substring",
+    "q_tpch_q9_derived",
+    "q_tpch_q21_derived",
 ]
 
 #: Frozen comparable subsets — apples-to-apples totals across rounds.

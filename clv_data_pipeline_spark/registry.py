@@ -233,6 +233,8 @@ _R5_NEW: frozenset[str] = frozenset(
 #: tier 0 and take their driver row in round 7 if the budget cuts.
 _R6_NEW: set[str] = {
     "q_dedup_substring",
+    "q_tpch_q2_derived", "q_tpch_q9_derived", "q_tpch_q11_derived",
+    "q_tpch_q16_derived", "q_tpch_q20_derived", "q_tpch_q21_derived",
 }
 
 
@@ -335,6 +337,7 @@ def _load() -> None:
         analytics,
         mlprep,
         affinity,
+        tpch_derived,
     )
 
     _LOADED = True
