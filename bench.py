@@ -140,6 +140,8 @@ HEADLINE = [
     "q_dedup_substring",
     "q_tpch_q9_derived",
     "q_tpch_q21_derived",
+    "q_bradley_terry",
+    "q_logreg",
 ]
 
 #: Frozen comparable subsets — apples-to-apples totals across rounds.

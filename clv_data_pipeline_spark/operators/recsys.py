@@ -321,3 +321,79 @@ def als_leave_one_out(
         round(float(agg["mrr"]), 6),
         round(float(agg["baseline"]), 6),
     )
+
+
+def bradley_terry(
+    matches: DataFrame,
+    iters: int = 5,
+    i_col: str = "i",
+    j_col: str = "j",
+    n_col: str = "n",
+    wins_i_col: str = "wins_i",
+) -> DataFrame:
+    """Bradley-Terry pairwise-preference strengths via Hunter (2004)'s
+    MM algorithm: with n_ij comparisons between items i and j and W_i
+    total wins, iterate pi_i <- W_i / sum_j n_ij / (pi_i + pi_j) from
+    pi = 1.  The model behind chatbot-arena-style Elo boards, A/B
+    preference aggregation, and judge-vote reconciliation.
+
+    ``matches`` has one row per unordered pair (i < j): total
+    comparisons ``n`` and wins for the i side ``wins_i``.  The pair
+    table is bounded by the item vocabulary (brands here), so the MM
+    loop runs on a tiny frame with a localCheckpoint barrier per
+    iteration (the pagerank discipline) — corpus-sized work happens
+    only upstream, in whatever aggregation built ``matches``.
+
+    Determinism: per-iteration values round to 12 decimals, so the
+    iterates are pinned exactly (an unrolled-CTE oracle reproduces the
+    whole trajectory — q_pagerank's discipline).  Items that never won
+    converge to 0, which is the MLE boundary answer.
+    """
+    m = matches.select(
+        F.col(i_col).alias("i"),
+        F.col(j_col).alias("j"),
+        F.col(n_col).cast("double").alias("n"),
+        F.col(wins_i_col).cast("double").alias("wi"),
+    )
+    # symmetric view: one row per ordered (item, opponent)
+    sym = m.select("i", "j", "n", F.col("wi").alias("w")).unionByName(
+        m.select(
+            F.col("j").alias("i"),
+            F.col("i").alias("j"),
+            "n",
+            (F.col("n") - F.col("wi")).alias("w"),
+        )
+    ).localCheckpoint(eager=True)
+    wins = sym.groupBy("i").agg(F.sum("w").alias("W"))
+    pi = sym.select("i").distinct().select(
+        "i", F.lit(1.0).alias("pi")
+    ).localCheckpoint(eager=True)
+    for _ in range(iters):
+        pa = pi.select(F.col("i").alias("_a"), F.col("pi").alias("_pa"))
+        pb = pi.select(F.col("i").alias("_b"), F.col("pi").alias("_pb"))
+        denom = (
+            sym.join(F.broadcast(pa), sym["i"] == F.col("_a"))
+            .join(F.broadcast(pb), sym["j"] == F.col("_b"))
+            .groupBy("i")
+            .agg(
+                F.sum(
+                    F.round(
+                        F.col("n") / (F.col("_pa") + F.col("_pb")), 12
+                    ).cast("decimal(28,12)")
+                ).alias("D")
+            )
+        )
+        pi = (
+            wins.join(denom, "i")
+            .select(
+                "i",
+                F.when(
+                    F.col("D") > 0,
+                    F.round(F.col("W") / F.col("D").cast("double"), 12),
+                )
+                .otherwise(F.lit(0.0))
+                .alias("pi"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return pi

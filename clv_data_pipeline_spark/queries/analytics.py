@@ -3006,3 +3006,124 @@ def q_grouped_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("rep_mean", 0.5), 6).alias("ci_mid"),
         F.round(F.percentile("rep_mean", 0.975), 6).alias("ci_hi"),
     )
+
+
+def _bradley_terry_oracle(iters: int = 5) -> str:
+    """Unrolled MM-iteration CTE chain (the q_pagerank discipline):
+    DuckDB replays the exact fixed trajectory the Spark operator runs —
+    per-iteration terms rounded to 12 decimals and summed as DECIMAL,
+    so both engines' iterates are pinned bit-for-bit."""
+    pis = []
+    for k in range(1, iters + 1):
+        pis.append(f"""
+    pi{k} AS (
+        SELECT w.i,
+               CASE WHEN d.D > 0
+                    THEN ROUND(w.W / CAST(d.D AS DOUBLE), 12)
+                    ELSE CAST(0 AS DOUBLE) END AS pi
+        FROM wins w JOIN (
+            SELECT s.i,
+                   SUM(CAST(ROUND(s.n / (pa.pi + pb.pi), 12)
+                        AS DECIMAL(28,12))) AS D
+            FROM sym s
+            JOIN pi{k - 1} pa ON s.i = pa.i
+            JOIN pi{k - 1} pb ON s.j = pb.i
+            GROUP BY s.i) d ON w.i = d.i)""")
+    return f"""
+    WITH bq AS (
+        SELECT l.l_orderkey AS o, p.p_brand AS b,
+               SUM(CAST(l.l_quantity AS DECIMAL(18,4))) AS q
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY 1, 2),
+    duels AS (
+        SELECT a.b AS i, bb.b AS j,
+               CASE WHEN a.q > bb.q THEN 1 ELSE 0 END AS wi,
+               CASE WHEN a.q < bb.q THEN 1 ELSE 0 END AS wj
+        FROM bq a JOIN bq bb ON a.o = bb.o AND a.b < bb.b),
+    m AS (
+        SELECT i, j, CAST(SUM(wi + wj) AS DOUBLE) AS n,
+               CAST(SUM(wi) AS DOUBLE) AS wi
+        FROM duels GROUP BY i, j HAVING SUM(wi + wj) > 0),
+    sym AS (
+        SELECT i, j, n, wi AS w FROM m
+        UNION ALL SELECT j, i, n, n - wi FROM m),
+    wins AS (SELECT i, SUM(w) AS W FROM sym GROUP BY i),
+    totals AS (SELECT i, SUM(n) AS T FROM sym GROUP BY i),
+    pi0 AS (SELECT DISTINCT i, CAST(1 AS DOUBLE) AS pi FROM sym),
+    {','.join(pis)}
+    SELECT p.i AS brand,
+           CAST(t.T AS BIGINT) AS n_matches,
+           CAST(w.W AS BIGINT) AS wins,
+           ROUND(p.pi, 6) AS strength
+    FROM pi{iters} p JOIN wins w ON p.i = w.i
+    JOIN totals t ON p.i = t.i
+    """
+
+
+@query("q_bradley_terry", oracle=_bradley_terry_oracle())
+def q_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bradley-Terry preference strengths over brand "duels" — the
+    model behind chatbot-arena Elo boards and judge-vote aggregation,
+    run here on purchase behavior: within each order, the brand with
+    the larger total quantity beats the smaller (exact DECIMAL sums so
+    the duel outcomes are engine-deterministic; ties are no-contests),
+    then 5 MM iterations (Hunter 2004) fit the strengths.
+
+    Scale shape: the corpus-sized work is one (order, brand) aggregate
+    and a within-order pair join (orders hold few distinct brands, so
+    pair volume is per-order-bounded, never corpus-quadratic); the MM
+    loop then runs on the brand-pair table — bounded by the item
+    vocabulary like the ALS item step — with a localCheckpoint barrier
+    per iteration.  The oracle unrolls the identical 5-iteration
+    trajectory in chained CTEs, hash-verifying the iterative fit end
+    to end (q_pagerank's discipline)."""
+    from clv_data_pipeline_spark.operators.recsys import bradley_terry
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    pt = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    bq = (
+        li.join(F.broadcast(pt), li["l_partkey"] == pt["p_partkey"])
+        .groupBy(
+            F.col("l_orderkey").alias("o"), F.col("p_brand").alias("b")
+        )
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,4)")).alias("q")
+        )
+    )
+    a = bq.alias("a")
+    b = bq.alias("b")
+    duels = a.join(
+        b,
+        (F.col("a.o") == F.col("b.o")) & (F.col("a.b") < F.col("b.b")),
+    ).select(
+        F.col("a.b").alias("i"),
+        F.col("b.b").alias("j"),
+        F.when(F.col("a.q") > F.col("b.q"), 1).otherwise(0).alias("wi"),
+        F.when(F.col("a.q") < F.col("b.q"), 1).otherwise(0).alias("wj"),
+    )
+    m = (
+        duels.groupBy("i", "j")
+        .agg(
+            F.sum(F.col("wi") + F.col("wj")).cast("double").alias("n"),
+            F.sum("wi").cast("double").alias("wins_i"),
+        )
+        .filter(F.col("n") > 0)
+    )
+    pi = bradley_terry(m, iters=5)
+    sym = m.select("i", "n", F.col("wins_i").alias("w")).unionByName(
+        m.select(
+            F.col("j").alias("i"), "n", (F.col("n") - F.col("wins_i")).alias("w")
+        )
+    )
+    stats = sym.groupBy("i").agg(
+        F.sum("n").cast("long").alias("n_matches"),
+        F.sum("w").cast("long").alias("wins"),
+    )
+    return pi.join(stats, "i").select(
+        F.col("i").alias("brand"),
+        "n_matches",
+        "wins",
+        F.round("pi", 6).alias("strength"),
+    )

@@ -2925,3 +2925,166 @@ def q_best_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("stump_accuracy"),
         )
     )
+
+
+def _logreg_oracle(iters: int = 4) -> str:
+    """Unrolled IRLS CTE chain: each iteration's weighted-least-squares
+    sums are rounded-then-DECIMAL (the q_perplexity ln discipline, so
+    libm exp/ln deviations below 1e-9 are absorbed) and the 2x2 normal
+    equations solve in closed form — DuckDB replays the exact training
+    trajectory, hash-verifying the fitted GLM itself."""
+    steps = []
+    for t in range(1, iters + 1):
+        steps.append(f"""
+    s{t} AS (
+        SELECT
+          SUM(CAST(ROUND(w, 9) AS DECIMAL(28,9))) AS sw,
+          SUM(CAST(ROUND(w * x, 9) AS DECIMAL(28,9))) AS swx,
+          SUM(CAST(ROUND(w * x * x, 9) AS DECIMAL(28,9))) AS swxx,
+          SUM(CAST(ROUND(w * z, 9) AS DECIMAL(28,9))) AS swz,
+          SUM(CAST(ROUND(w * x * z, 9) AS DECIMAL(28,9))) AS swxz
+        FROM (
+          SELECT x, y, w, ROUND(eta + (y - p) / w, 9) AS z
+          FROM (
+            SELECT x, y, eta, p,
+                   ROUND(GREATEST(p * (1 - p),
+                                  CAST(0.000001 AS DOUBLE)), 9) AS w
+            FROM (
+              SELECT x, y,
+                     ROUND(b0 + b1 * x, 9) AS eta,
+                     ROUND(1 / (1 + exp(-ROUND(b0 + b1 * x, 9))), 9) AS p
+              FROM base CROSS JOIN beta{t - 1}) e) pw)),
+    beta{t} AS (
+        SELECT
+          ROUND((CAST(swxx AS DOUBLE) * CAST(swz AS DOUBLE)
+                 - CAST(swx AS DOUBLE) * CAST(swxz AS DOUBLE))
+                / (CAST(sw AS DOUBLE) * CAST(swxx AS DOUBLE)
+                   - CAST(swx AS DOUBLE) * CAST(swx AS DOUBLE)), 12)
+              AS b0,
+          ROUND((CAST(sw AS DOUBLE) * CAST(swxz AS DOUBLE)
+                 - CAST(swx AS DOUBLE) * CAST(swz AS DOUBLE))
+                / (CAST(sw AS DOUBLE) * CAST(swxx AS DOUBLE)
+                   - CAST(swx AS DOUBLE) * CAST(swx AS DOUBLE)), 12)
+              AS b1
+        FROM s{t})""")
+    return f"""
+    WITH base AS (
+        SELECT ROUND(ln(1 + CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                            AS DOUBLE)), 9) AS x,
+               CASE WHEN COUNT(*) >= 2 THEN 1 ELSE 0 END AS y
+        FROM orders GROUP BY o_custkey),
+    beta0 AS (SELECT CAST(0 AS DOUBLE) AS b0, CAST(0 AS DOUBLE) AS b1),
+    {','.join(steps)}
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM base) AS n_customers,
+           ROUND(b0, 6) AS b0,
+           ROUND(b1, 6) AS b1,
+           (SELECT ROUND(AVG(CASE WHEN (ROUND(b.b0 + b.b1 * x, 9) >= 0)
+                                       = (y = 1)
+                                  THEN 1 ELSE 0 END), 6)
+            FROM base, beta{iters} b) AS accuracy
+    FROM beta{iters}
+    """
+
+
+@query("q_logreg", oracle=_logreg_oracle())
+def q_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Logistic regression trained IN-ENGINE by IRLS (4 Newton
+    iterations, weighted-least-squares step solved in closed 2x2 form)
+    — predicting returning customers (>= 2 orders) from log spend.
+    The workhorse GLM of churn/quality/propensity models, expressed so
+    the TRAINED coefficients are driver-hash-verified: the oracle
+    unrolls the identical 4-iteration trajectory (q_pagerank's
+    discipline), with per-term round-then-DECIMAL sums absorbing libm
+    exp/ln differences (q_perplexity's discipline).
+
+    Scale shape: each iteration is ONE partial-aggregable pass over
+    the feature table producing 5 scalars (the sufficient statistics
+    of the weighted normal equations); beta lives on a 1-row frame
+    broadcast back — nothing row-sized ever reaches the driver, and
+    d features would make this a (d+1)^2-scalar pass solved by the
+    same barrier, exactly the BG/NBD fit-barrier pattern."""
+    od = load_table(spark, sf_dir, "orders")
+    base = (
+        od.groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("k"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("tot"),
+        )
+        .select(
+            F.round(
+                F.log(F.lit(1) + F.col("tot").cast("double")), 9
+            ).alias("x"),
+            (F.col("k") >= 2).cast("int").alias("y"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    beta = spark.range(1).select(
+        F.lit(0.0).alias("b0"), F.lit(0.0).alias("b1")
+    )
+    for _ in range(4):
+        j = base.crossJoin(F.broadcast(beta))
+        eta = F.round(F.col("b0") + F.col("b1") * F.col("x"), 9)
+        p = F.round(F.lit(1) / (F.lit(1) + F.exp(-eta)), 9)
+        w = F.round(
+            F.greatest(p * (F.lit(1) - p), F.lit(1e-6).cast("double")), 9
+        )
+        z = F.round(eta + (F.col("y") - p) / w, 9)
+        sums = j.agg(
+            F.sum(F.round(w, 9).cast("decimal(28,9)")).alias("sw"),
+            F.sum(F.round(w * F.col("x"), 9).cast("decimal(28,9)")).alias(
+                "swx"
+            ),
+            F.sum(
+                F.round(w * F.col("x") * F.col("x"), 9).cast(
+                    "decimal(28,9)"
+                )
+            ).alias("swxx"),
+            F.sum(F.round(w * z, 9).cast("decimal(28,9)")).alias("swz"),
+            F.sum(
+                F.round(w * F.col("x") * z, 9).cast("decimal(28,9)")
+            ).alias("swxz"),
+        )
+        det = (
+            F.col("sw").cast("double") * F.col("swxx").cast("double")
+            - F.col("swx").cast("double") * F.col("swx").cast("double")
+        )
+        beta = sums.select(
+            F.round(
+                (
+                    F.col("swxx").cast("double") * F.col("swz").cast("double")
+                    - F.col("swx").cast("double")
+                    * F.col("swxz").cast("double")
+                )
+                / det,
+                12,
+            ).alias("b0"),
+            F.round(
+                (
+                    F.col("sw").cast("double") * F.col("swxz").cast("double")
+                    - F.col("swx").cast("double")
+                    * F.col("swz").cast("double")
+                )
+                / det,
+                12,
+            ).alias("b1"),
+        ).localCheckpoint(eager=True)
+    scored = base.crossJoin(F.broadcast(beta))
+    return scored.agg(
+        F.count("*").cast("long").alias("n_customers"),
+        F.round(F.first("b0"), 6).alias("b0"),
+        F.round(F.first("b1"), 6).alias("b1"),
+        F.round(
+            F.avg(
+                (
+                    (
+                        F.round(
+                            F.col("b0") + F.col("b1") * F.col("x"), 9
+                        )
+                        >= 0
+                    )
+                    == (F.col("y") == 1)
+                ).cast("int")
+            ),
+            6,
+        ).alias("accuracy"),
+    )
