@@ -142,6 +142,8 @@ HEADLINE = [
     "q_tpch_q21_derived",
     "q_bradley_terry",
     "q_logreg",
+    "q_skyline",
+    "q_bitext_mining",
 ]
 
 #: Frozen comparable subsets — apples-to-apples totals across rounds.

@@ -3127,3 +3127,99 @@ def q_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
         "wins",
         F.round("pi", 6).alias("strength"),
     )
+
+
+@query(
+    "q_skyline",
+    oracle="""
+    WITH base AS (
+        SELECT o_custkey AS customer_id,
+               CAST(date_diff('day', CAST(MAX(o_orderdate) AS DATE),
+                              DATE '2002-01-01') AS BIGINT)
+                   AS recency_days,
+               ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                          AS DOUBLE), 2) AS monetary
+        FROM orders GROUP BY o_custkey)
+    SELECT p.customer_id, p.recency_days, p.monetary
+    FROM base p
+    WHERE NOT EXISTS (
+        SELECT 1 FROM base q
+        WHERE q.recency_days <= p.recency_days
+          AND q.monetary >= p.monetary
+          AND (q.recency_days < p.recency_days
+               OR q.monetary > p.monetary))
+    """,
+)
+def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (Pareto frontier) of customers on recency-vs-spend: no
+    other customer is both at least as recent AND at least as valuable
+    (strictly better on one) — the "best tradeoffs" segmentation a CRM
+    shortlist uses.  The oracle runs the textbook all-pairs NOT EXISTS
+    domination; the engine runs the bucket-pruned distributed shape
+    (operators/skyline.py): a 1-row (min,max) broadcast fixes 1024
+    recency buckets, per-bucket spend maxima cumulate on a B-row frame
+    and broadcast back to prune almost everything map-side, and exact
+    domination resolves per bucket with running-max windows — never a
+    global sort, never a pairwise join."""
+    od = load_table(spark, sf_dir, "orders")
+    base = od.groupBy(F.col("o_custkey").alias("customer_id")).agg(
+        F.datediff(
+            F.lit("2002-01-01").cast("date"),
+            F.to_date(F.max("o_orderdate")),
+        )
+        .cast("long")
+        .alias("recency_days"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast(
+                "double"
+            ),
+            2,
+        ).alias("monetary"),
+    )
+    from clv_data_pipeline_spark.operators.skyline import skyline_2d
+
+    return skyline_2d(base, "recency_days", "monetary")
+
+
+@query(
+    "q_null_safe_join",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, NULLIF(lang, 'de') AS lang_key FROM documents),
+    g AS (
+        SELECT lang_key, CAST(COUNT(*) AS BIGINT) AS group_size
+        FROM d GROUP BY lang_key)
+    SELECT d.doc_id, COALESCE(d.lang_key, '<null>') AS lang_key,
+           g.group_size
+    FROM d JOIN g ON d.lang_key IS NOT DISTINCT FROM g.lang_key
+    """,
+)
+def q_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (<=> / IS NOT DISTINCT FROM) — the join
+    variant ETL needs when a key column legitimately carries NULL as a
+    value ("unknown" buckets, optional dimensions): plain equality
+    silently drops those rows, null-safe equality groups them.  Here
+    'de' docs are nulled into an unknown bucket and each doc joins back
+    its group size INCLUDING the null group.  Catalyst plans <=> as a
+    hash join on a null-coalesced key (no BNLJ), so the shape scales
+    exactly like a plain equi-join."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.nullif(F.col("lang"), F.lit("de")).alias("lang_key"),
+    )
+    g = d.groupBy("lang_key").agg(
+        F.count("*").cast("long").alias("group_size")
+    )
+    gg = g.select(
+        F.col("lang_key").alias("_gk"), "group_size"
+    )
+    return (
+        d.join(gg, d["lang_key"].eqNullSafe(F.col("_gk")))
+        .select(
+            "doc_id",
+            F.coalesce(F.col("lang_key"), F.lit("<null>")).alias(
+                "lang_key"
+            ),
+            "group_size",
+        )
+    )

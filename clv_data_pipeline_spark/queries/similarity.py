@@ -19,6 +19,7 @@ from clv_data_pipeline_spark.operators.similarity import (
 )
 from clv_data_pipeline_spark.registry import query
 from clv_data_pipeline_spark.sources.io import load_table
+from pyspark.sql.window import Window
 
 
 @query(
@@ -758,4 +759,110 @@ def q_semdedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(n, n_e, n_c, n_common, recall, precision)],
         "n_vecs long, n_dup_exact long, n_dup_cells long, "
         "n_common long, recall double, precision double",
+    )
+
+
+@query(
+    "q_bitext_mining",
+    oracle="""
+    WITH a AS (SELECT vec_id, embedding FROM embeddings
+               WHERE vec_id % 2 = 0),
+    b AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 1),
+    pairs AS (
+        SELECT a.vec_id AS src_id, b.vec_id AS tgt_id,
+               ROUND(list_cosine_similarity(
+                   CAST(a.embedding AS DOUBLE[]),
+                   CAST(b.embedding AS DOUBLE[])), 6) AS sim
+        FROM a, b),
+    ar AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY src_id
+               ORDER BY sim DESC, tgt_id) AS ra FROM pairs),
+    br AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY tgt_id
+               ORDER BY sim DESC, src_id) AS rb FROM pairs),
+    ma AS (SELECT src_id,
+                  CAST(SUM(CAST(sim AS DECIMAL(18,6))) AS DOUBLE) / 4
+                      AS m_src
+           FROM ar WHERE ra <= 4 GROUP BY src_id),
+    mb AS (SELECT tgt_id,
+                  CAST(SUM(CAST(sim AS DECIMAL(18,6))) AS DOUBLE) / 4
+                      AS m_tgt
+           FROM br WHERE rb <= 4 GROUP BY tgt_id),
+    scored AS (
+        SELECT c.src_id, c.tgt_id, c.sim,
+               ROUND(c.sim / ((ma.m_src + mb.m_tgt) / 2), 6) AS margin
+        FROM ar c JOIN ma USING (src_id) JOIN mb USING (tgt_id)
+        WHERE c.ra <= 16),
+    best AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY src_id
+                   ORDER BY margin DESC, tgt_id) AS r
+        FROM scored)
+    SELECT src_id, tgt_id, sim, margin
+    FROM best WHERE r = 1 AND margin > 1
+    """,
+)
+def q_bitext_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based parallel-pair mining (Artetxe & Schwenk 2019, the
+    LASER/CCMatrix recipe): split the embedding table into two "sides"
+    (even ids = source, odd = target), score candidate pairs by the
+    RATIO of their cosine to the mean of both sides' 4-NN cosines —
+    the margin denominator normalizes away hubness, which is exactly
+    what raw-cosine thresholding gets wrong at corpus scale — and keep
+    each source's best target when the margin clears 1.
+
+    Scale shape: both k-NN passes run the sharded-BLAS kernel
+    (operators/similarity.py cosine_topk_sharded — bounded broadcast
+    per shard, Arrow-batch matmuls), margins are computed only on each
+    source's top-16 candidates (the standard mining practice: the
+    margin-best pair is searched within the cosine shortlist), and the
+    final pick is one rank window.  Swap the shortlist kernel for
+    ivf_topk to go sub-quadratic at 100 TB; rounded-sim DECIMAL means
+    keep the whole pipeline engine-deterministic (the oracle replays
+    it exactly)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.filter(F.col("vec_id") % 2 == 0)
+    b = emb.filter(F.col("vec_id") % 2 == 1)
+    top_a = cosine_topk_sharded(a, k=16, num_shards=2, index=b).select(
+        F.col("vec_id").alias("src_id"),
+        F.col("neighbor_id").alias("tgt_id"),
+        "sim",
+        F.col("rank").alias("ra"),
+    )
+    top_b = cosine_topk_sharded(b, k=4, num_shards=2, index=a).select(
+        F.col("vec_id").alias("tgt_id"), "sim"
+    )
+    ma = (
+        top_a.filter(F.col("ra") <= 4)
+        .groupBy("src_id")
+        .agg(
+            (
+                F.sum(F.col("sim").cast("decimal(18,6)")).cast("double")
+                / 4
+            ).alias("m_src")
+        )
+    )
+    mb = top_b.groupBy("tgt_id").agg(
+        (
+            F.sum(F.col("sim").cast("decimal(18,6)")).cast("double") / 4
+        ).alias("m_tgt")
+    )
+    scored = (
+        top_a.join(ma, "src_id")
+        .join(mb, "tgt_id")
+        .select(
+            "src_id",
+            "tgt_id",
+            "sim",
+            F.round(
+                F.col("sim")
+                / ((F.col("m_src") + F.col("m_tgt")) / 2),
+                6,
+            ).alias("margin"),
+        )
+    )
+    w = Window.partitionBy("src_id").orderBy(
+        F.desc("margin"), "tgt_id"
+    )
+    return (
+        scored.withColumn("r", F.row_number().over(w))
+        .filter((F.col("r") == 1) & (F.col("margin") > 1))
+        .select("src_id", "tgt_id", "sim", "margin")
     )

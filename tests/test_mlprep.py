@@ -254,3 +254,32 @@ def test_als_loo_detects_planted_structure(spark):
     assert n == 60
     assert hr >= base + 0.15, (hr, base)
     assert mrr > 0.3, mrr
+
+
+def test_skyline_planted_points(spark):
+    """Textbook domination semantics on a planted frontier: strict
+    dominance removes, exact duplicates both survive, and the bucket-
+    pruned shape is partition-independent."""
+    from clv_data_pipeline_spark.operators.skyline import skyline_2d
+
+    rows = [
+        (1, 1, 10.0),   # frontier (most recent)
+        (2, 5, 50.0),   # frontier
+        (3, 5, 50.0),   # exact duplicate of 2 -> both survive
+        (4, 6, 50.0),   # dominated by 2 (worse recency, equal spend)
+        (5, 5, 40.0),   # dominated by 2 (equal recency, worse spend)
+        (6, 9, 90.0),   # frontier (highest spend)
+        (7, 10, 89.0),  # dominated by 6
+        (8, 2, 9.0),    # dominated by 1
+    ]
+    df = spark.createDataFrame(
+        rows, "customer_id long, recency_days long, monetary double"
+    )
+    for part in (df, df.repartition(7)):
+        got = sorted(
+            r["customer_id"]
+            for r in skyline_2d(
+                part, "recency_days", "monetary", n_buckets=4
+            ).collect()
+        )
+        assert got == [1, 2, 3, 6], got
