@@ -144,6 +144,7 @@ HEADLINE = [
     "q_logreg",
     "q_skyline",
     "q_bitext_mining",
+    "q_adaboost_stumps",
 ]
 
 #: Frozen comparable subsets — apples-to-apples totals across rounds.

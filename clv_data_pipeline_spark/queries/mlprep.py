@@ -3088,3 +3088,304 @@ def q_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("accuracy"),
     )
+
+
+def _adaboost_oracle(rounds: int = 3) -> str:
+    """Unrolled 3-round AdaBoost CTE chain: per-round weighted stump
+    search over both feature bin-frames (cumulative weighted class
+    sums -> error for both polarities), argmin with deterministic
+    tie-break, alpha, and the multiplicative weight update with a
+    DECIMAL-sum normalizer — DuckDB replays the exact training
+    trajectory (the q_pagerank discipline at a full-ensemble scale)."""
+    from clv_data_pipeline_spark.queries.textops import _QUALITY_SQL
+
+    steps = []
+    for r in range(1, rounds + 1):
+        p = r - 1
+        steps.append(f"""
+    cand{r} AS (
+        SELECT f, t, pol,
+               ROUND(CAST(CASE WHEN pol = 1
+                    THEN wpl + (wnt - wnl)
+                    ELSE (wpt - wpl) + wnl END AS DOUBLE), 9) AS eps
+        FROM (
+          SELECT f, bin AS t, wpl, wnl,
+                 SUM(wp) OVER (PARTITION BY f) AS wpt,
+                 SUM(wn) OVER (PARTITION BY f) AS wnt
+          FROM (
+            SELECT f, bin, wp, wn,
+                   SUM(wp) OVER (PARTITION BY f ORDER BY bin
+                       ROWS UNBOUNDED PRECEDING) AS wpl,
+                   SUM(wn) OVER (PARTITION BY f ORDER BY bin
+                       ROWS UNBOUNDED PRECEDING) AS wnl
+            FROM (
+              SELECT 1 AS f, b1 AS bin,
+                     SUM(CAST(ROUND(w * (CASE WHEN y = 1 THEN 1
+                                              ELSE 0 END), 12)
+                          AS DECIMAL(28,12))) AS wp,
+                     SUM(CAST(ROUND(w * (CASE WHEN y = 1 THEN 0
+                                              ELSE 1 END), 12)
+                          AS DECIMAL(28,12))) AS wn
+              FROM d{p} GROUP BY b1
+              UNION ALL
+              SELECT 2, b2,
+                     SUM(CAST(ROUND(w * (CASE WHEN y = 1 THEN 1
+                                              ELSE 0 END), 12)
+                          AS DECIMAL(28,12))),
+                     SUM(CAST(ROUND(w * (CASE WHEN y = 1 THEN 0
+                                              ELSE 1 END), 12)
+                          AS DECIMAL(28,12)))
+              FROM d{p} GROUP BY b2) bins) cum) c
+        CROSS JOIN (SELECT unnest([1, -1]) AS pol) pols),
+    best{r} AS (
+        SELECT f, t, pol, eps,
+               ROUND(0.5 * ln((1 - epsc) / epsc), 9) AS alpha
+        FROM (
+          SELECT *,
+                 LEAST(GREATEST(eps, CAST(0.000000001 AS DOUBLE)),
+                       1 - CAST(0.000000001 AS DOUBLE)) AS epsc,
+                 ROW_NUMBER() OVER (ORDER BY eps, f, t, pol) AS rk
+          FROM cand{r}) x
+        WHERE rk = 1),
+    u{r} AS (
+        SELECT d.doc_id, d.b1, d.b2, d.y,
+               ROUND(d.w * exp(-b.alpha * d.y *
+                   (b.pol * (CASE WHEN (CASE WHEN b.f = 1 THEN d.b1
+                                             ELSE d.b2 END) > b.t
+                             THEN 1 ELSE -1 END))), 12) AS wu,
+               ROUND(d.score + b.alpha *
+                   (b.pol * (CASE WHEN (CASE WHEN b.f = 1 THEN d.b1
+                                             ELSE d.b2 END) > b.t
+                             THEN 1 ELSE -1 END)), 9) AS score
+        FROM d{p} d CROSS JOIN best{r} b),
+    z{r} AS (SELECT SUM(CAST(wu AS DECIMAL(28,12))) AS z FROM u{r}),
+    d{r} AS (
+        SELECT doc_id, b1, b2, y,
+               ROUND(wu / CAST(z AS DOUBLE), 12) AS w, score
+        FROM u{r} CROSS JOIN z{r}),
+    acc{r} AS (
+        SELECT ROUND(AVG(CASE WHEN (CASE WHEN score > 0 THEN 1
+                                         ELSE -1 END) = y
+                              THEN 1 ELSE 0 END), 6) AS acc
+        FROM d{r})""")
+    outs = "\n    UNION ALL\n".join(
+        f"""    SELECT CAST({r} AS BIGINT) AS round,
+           CAST(f AS BIGINT) AS feature, CAST(t AS BIGINT) AS threshold,
+           CAST(pol AS BIGINT) AS polarity, eps AS epsilon, alpha,
+           (SELECT acc FROM acc{r}) AS ensemble_accuracy
+    FROM best{r}"""
+        for r in range(1, rounds + 1)
+    )
+    return f"""
+    WITH q AS (SELECT doc_id, {_QUALITY_SQL} AS quality FROM documents),
+    toks AS (
+        SELECT doc_id, unnest(string_split_regex(
+            trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '))
+            AS term
+        FROM documents),
+    tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM toks WHERE term <> '' GROUP BY doc_id, term),
+    ent AS (
+        SELECT doc_id,
+               ROUND(log2(CAST(SUM(tf) AS DOUBLE))
+                     - CAST(SUM(CAST(ROUND(tf * log2(CAST(tf AS DOUBLE)),
+                                           9) AS DECIMAL(28,9)))
+                            AS DOUBLE) / SUM(tf), 6) AS entropy
+        FROM tf GROUP BY doc_id),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+    d0 AS (
+        SELECT d.doc_id,
+               LEAST(CAST(FLOOR(q.quality * 100) AS BIGINT), 99) AS b1,
+               LEAST(d.n_chars // 10, 99) AS b2,
+               CASE WHEN ent.entropy >= 4.4 THEN 1 ELSE -1 END AS y,
+               ROUND(1.0 / (SELECT n FROM nn), 12) AS w,
+               CAST(0 AS DOUBLE) AS score
+        FROM documents d JOIN q USING (doc_id) JOIN ent USING (doc_id)),
+    {','.join(steps)}
+{outs}
+    """
+
+
+@query("q_adaboost_stumps", oracle=_adaboost_oracle())
+def q_adaboost_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AdaBoost over decision stumps, trained IN-ENGINE with the whole
+    trajectory driver-hash-verified — the boosting composition built
+    on q_best_split's single-stump primitive: 3 rounds, each choosing
+    the (feature, threshold, polarity) stump minimizing the WEIGHTED
+    error over two quality features (quality-score bins, length bins)
+    against the entropy label, then re-weighting examples
+    multiplicatively (Freund & Schapire).  The output row per round
+    carries epsilon, alpha, and the ensemble's training accuracy so
+    the driver row certifies boosting actually improves the fit.
+
+    Scale shape: each round is (a) one corpus pass aggregating the
+    ~200-row weighted bin frame (partial-aggregable DECIMAL sums of
+    rounded weights), (b) stump argmin + alpha on that bounded frame,
+    (c) one map-side weight update with the 1-row stump broadcast and
+    a scalar normalizer.  Per-round cost is O(corpus) with bounded
+    shuffles — the classic distributed-boosting layout; weights/scores
+    round to 12/9 decimals so the trajectory is engine- and
+    partitioning-exact (stability probed)."""
+    from pyspark.sql.window import Window as W
+
+    from clv_data_pipeline_spark.queries.textops import q_quality_score
+
+    qd = q_quality_score(spark, sf_dir)
+    ent = q_token_entropy(spark, sf_dir).select("doc_id", "entropy")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars"
+    )
+    n = docs.count()
+    d = (
+        docs.join(qd, "doc_id")
+        .join(ent, "doc_id")
+        .select(
+            "doc_id",
+            F.least(
+                F.floor(F.col("quality") * 100).cast("long"), F.lit(99)
+            ).alias("b1"),
+            F.least(F.col("n_chars").cast("long") / F.lit(10), F.lit(99))
+            .cast("long")
+            .alias("b2"),
+            F.when(F.col("entropy") >= 4.4, 1).otherwise(-1).alias("y"),
+            F.round(F.lit(1.0) / n, 12).alias("w"),
+            F.lit(0.0).alias("score"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    out_rows = []
+    for r in range(1, 4):
+        wp = F.sum(
+            F.round(
+                F.col("w") * F.when(F.col("y") == 1, 1).otherwise(0), 12
+            ).cast("decimal(28,12)")
+        ).alias("wp")
+        wn = F.sum(
+            F.round(
+                F.col("w") * F.when(F.col("y") == 1, 0).otherwise(1), 12
+            ).cast("decimal(28,12)")
+        ).alias("wn")
+        bins = (
+            d.groupBy(F.lit(1).alias("f"), F.col("b1").alias("bin"))
+            .agg(wp, wn)
+            .unionByName(
+                d.groupBy(
+                    F.lit(2).alias("f"), F.col("b2").alias("bin")
+                ).agg(wp, wn)
+            )
+        )
+        wcum = (
+            W.partitionBy("f")
+            .orderBy("bin")
+            .rowsBetween(W.unboundedPreceding, 0)
+        )
+        wall = W.partitionBy("f")
+        cum = bins.select(
+            "f",
+            F.col("bin").alias("t"),
+            F.sum("wp").over(wcum).alias("wpl"),
+            F.sum("wn").over(wcum).alias("wnl"),
+            F.sum("wp").over(wall).alias("wpt"),
+            F.sum("wn").over(wall).alias("wnt"),
+        )
+        pols = spark.range(1).select(
+            F.explode(F.array(F.lit(1), F.lit(-1))).alias("pol")
+        )
+        cand = cum.crossJoin(F.broadcast(pols)).select(
+            "f",
+            "t",
+            "pol",
+            F.round(
+                F.when(
+                    F.col("pol") == 1,
+                    F.col("wpl") + (F.col("wnt") - F.col("wnl")),
+                )
+                .otherwise(
+                    (F.col("wpt") - F.col("wpl")) + F.col("wnl")
+                )
+                .cast("double"),
+                9,
+            ).alias("eps"),
+        )
+        epsc = F.least(
+            F.greatest(F.col("eps"), F.lit(1e-9).cast("double")),
+            F.lit(1) - F.lit(1e-9).cast("double"),
+        )
+        rk = W.orderBy("eps", "f", "t", "pol")
+        best = (
+            cand.withColumn("rk", F.row_number().over(rk))
+            .filter(F.col("rk") == 1)
+            .select(
+                "f",
+                "t",
+                "pol",
+                "eps",
+                F.round(
+                    F.lit(0.5)
+                    * F.log((F.lit(1) - epsc) / epsc),
+                    9,
+                ).alias("alpha"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        jb = d.crossJoin(F.broadcast(best))
+        h = F.col("pol") * F.when(
+            F.when(F.col("f") == 1, F.col("b1")).otherwise(F.col("b2"))
+            > F.col("t"),
+            1,
+        ).otherwise(-1)
+        u = jb.select(
+            "doc_id",
+            "b1",
+            "b2",
+            "y",
+            F.round(
+                F.col("w") * F.exp(-F.col("alpha") * F.col("y") * h), 12
+            ).alias("wu"),
+            F.round(F.col("score") + F.col("alpha") * h, 9).alias(
+                "score"
+            ),
+        )
+        z = u.agg(
+            F.sum(F.col("wu").cast("decimal(28,12)")).alias("z")
+        )
+        d = (
+            u.crossJoin(F.broadcast(z))
+            .select(
+                "doc_id",
+                "b1",
+                "b2",
+                "y",
+                F.round(
+                    F.col("wu") / F.col("z").cast("double"), 12
+                ).alias("w"),
+                "score",
+            )
+            .localCheckpoint(eager=True)
+        )
+        acc = d.agg(
+            F.round(
+                F.avg(
+                    (
+                        F.when(F.col("score") > 0, 1).otherwise(-1)
+                        == F.col("y")
+                    ).cast("int")
+                ),
+                6,
+            ).alias("ensemble_accuracy")
+        )
+        out_rows.append(
+            best.crossJoin(F.broadcast(acc)).select(
+                F.lit(r).cast("long").alias("round"),
+                F.col("f").cast("long").alias("feature"),
+                F.col("t").cast("long").alias("threshold"),
+                F.col("pol").cast("long").alias("polarity"),
+                F.col("eps").alias("epsilon"),
+                "alpha",
+                "ensemble_accuracy",
+            )
+        )
+    out = out_rows[0]
+    for extra in out_rows[1:]:
+        out = out.unionByName(extra)
+    return out

@@ -49,6 +49,7 @@ _BNLJ_SCALAR_OK = {
     "q_tpch_q22",          # 1-row avg-balance threshold broadcast
     "q_tpch_q11_derived",  # 1-row inventory-value threshold broadcast
     "q_logreg",            # 1-row IRLS beta broadcast per iteration
+    "q_adaboost_stumps",   # 2-row polarity grid + 1-row stump/Z/acc attaches
     "q_bloom_join",        # 1-row Bloom-bitmap (array<bigint>) broadcast
     "q_dedup_incremental", # 1-row delta-cut threshold broadcast
     "q_minhash_incremental",  # 1-row delta-cut threshold broadcast
