@@ -145,6 +145,7 @@ HEADLINE = [
     "q_skyline",
     "q_bitext_mining",
     "q_adaboost_stumps",
+    "q_holt_winters",
 ]
 
 #: Frozen comparable subsets — apples-to-apples totals across rounds.

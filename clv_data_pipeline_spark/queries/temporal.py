@@ -1745,3 +1745,98 @@ def q_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         "feat_n_purchases",
         "feat_cents",
     )
+
+
+@query(
+    "q_holt_winters",
+    oracle="""
+    WITH RECURSIVE daily AS (
+        SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d')
+                   AS d,
+               CAST(COUNT(*) AS DOUBLE) AS y
+        FROM events GROUP BY 1, 2),
+    idx AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                      ORDER BY d) AS rn
+        FROM daily),
+    mx AS (SELECT event_type, CAST(MAX(rn) AS BIGINT) AS n
+           FROM idx GROUP BY event_type),
+    hw(event_type, rn, l, b, sae) AS (
+        SELECT event_type, CAST(1 AS BIGINT), y, CAST(0 AS DOUBLE),
+               CAST(0 AS DECIMAL(28,9))
+        FROM idx WHERE rn = 1
+        UNION ALL
+        SELECT i.event_type, i.rn,
+               ROUND(CAST(0.3 AS DOUBLE) * i.y
+                     + CAST(0.7 AS DOUBLE) * (h.l + h.b), 9),
+               ROUND(CAST(0.1 AS DOUBLE)
+                       * (ROUND(CAST(0.3 AS DOUBLE) * i.y
+                                + CAST(0.7 AS DOUBLE) * (h.l + h.b), 9)
+                          - h.l)
+                     + CAST(0.9 AS DOUBLE) * h.b, 9),
+               CAST(h.sae + CAST(ROUND(ABS(i.y - (h.l + h.b)), 9)
+                                 AS DECIMAL(28,9)) AS DECIMAL(28,9))
+        FROM hw h JOIN idx i
+          ON i.event_type = h.event_type AND i.rn = h.rn + 1)
+    SELECT h.event_type, m.n AS n_days,
+           ROUND(h.l, 6) AS level, ROUND(h.b, 6) AS trend,
+           ROUND(h.l + 7 * h.b, 6) AS forecast_7,
+           ROUND(CAST(h.sae AS DOUBLE) / (m.n - 1), 6) AS mae
+    FROM hw h JOIN mx m USING (event_type)
+    WHERE h.rn = m.n
+    """,
+)
+def q_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential smoothing (level + trend) of each event
+    type's daily volume, with the one-step-ahead MAE of the fitted run
+    and a 7-day-out forecast — the workhorse capacity/anomaly
+    forecaster one notch above q_forecast_backtest's seasonal-naive
+    baseline.
+
+    Scale shape: the recursion is inherently sequential IN TIME but
+    embarrassingly parallel ACROSS series — the standard forecasting
+    layout at scale (M series x bounded calendar): one shuffle to the
+    (series, day) grain, then applyInPandas runs each series'
+    recurrence in one Arrow batch.  Per-step level/trend round to 9
+    decimals and the error total accumulates in integer nanounits, so
+    the trajectory is engine-exact; the oracle replays it with a
+    recursive CTE stepping all series in lockstep."""
+    import pandas as pd
+
+    from clv_data_pipeline_spark.registry import ensure_worker_imports
+
+    ensure_worker_imports(spark)
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("d"),
+    ).agg(F.count("*").cast("double").alias("y"))
+
+    def _fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("d")
+        ys = pdf["y"].to_list()
+        lvl, b = ys[0], 0.0
+        sae_nano = 0
+        for y in ys[1:]:
+            err = round(abs(y - (lvl + b)), 9)
+            sae_nano += int(round(err * 1e9))
+            l_new = round(0.3 * y + 0.7 * (lvl + b), 9)
+            b = round(0.1 * (l_new - lvl) + 0.9 * b, 9)
+            lvl = l_new
+        n = len(ys)
+        return pd.DataFrame(
+            {
+                "event_type": [pdf["event_type"].iloc[0]],
+                "n_days": [n],
+                "level": [round(lvl, 6)],
+                "trend": [round(b, 6)],
+                "forecast_7": [round(lvl + 7 * b, 6)],
+                "mae": [round((sae_nano / 1e9) / (n - 1), 6)],
+            }
+        )
+
+    return daily.groupBy("event_type").applyInPandas(
+        _fit,
+        "event_type string, n_days long, level double, trend double, "
+        "forecast_7 double, mae double",
+    )
