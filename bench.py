@@ -146,6 +146,7 @@ HEADLINE = [
     "q_bitext_mining",
     "q_adaboost_stumps",
     "q_holt_winters",
+    "q_dedup_substring_incremental",
 ]
 
 #: Frozen comparable subsets — apples-to-apples totals across rounds.

@@ -83,11 +83,38 @@ def substring_duplicate_windows(
     Returns one row per doc with >= 1 full window: ``doc_id,
     n_windows, dup_windows, dup_ratio, substring_dup``.
     """
+    grams = _substring_grams(df, text_col, id_col, window)
+    keepers = grams.groupBy("_g").agg(F.min(id_col).alias("_keeper"))
+    return (
+        grams.join(keepers, "_g")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_windows"),
+            F.sum(
+                (F.col(id_col) > F.col("_keeper")).cast("long")
+            ).alias("dup_windows"),
+        )
+        .select(
+            id_col,
+            "n_windows",
+            "dup_windows",
+            F.round(
+                F.col("dup_windows") / F.col("n_windows"), 6
+            ).alias("dup_ratio"),
+            (F.col("dup_windows") > 0).alias("substring_dup"),
+        )
+    )
+
+
+def _substring_grams(
+    df: DataFrame, text_col: str, id_col: str, window: int
+) -> DataFrame:
+    """(id, _g) — one md5 gram per stride-1 ``window``-token span."""
     toks = df.select(
         F.col(id_col),
         F.split(F.lower(F.col(text_col)), " ").alias("_toks"),
     ).withColumn("_n", F.size("_toks"))
-    grams = (
+    return (
         toks.filter(F.col("_n") >= window)
         .select(
             id_col,
@@ -103,15 +130,62 @@ def substring_duplicate_windows(
             ).alias("_g"),
         )
     )
-    keepers = grams.groupBy("_g").agg(F.min(id_col).alias("_keeper"))
+
+
+def substring_gram_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 50,
+) -> DataFrame:
+    """Stored state of incremental substring dedup: one (gram hash,
+    earliest owning doc id) row per distinct ``window``-token span in
+    the corpus — the Lee-et-al. index as a persisted table (partition/
+    bucket by gram prefix in production so probes prune)."""
     return (
-        grams.join(keepers, "_g")
-        .groupBy(id_col)
+        _substring_grams(df, text_col, id_col, window)
+        .groupBy("_g")
+        .agg(F.min(id_col).alias("_keeper"))
+    )
+
+
+def substring_dedup_incremental(
+    index: DataFrame,
+    delta: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 50,
+) -> DataFrame:
+    """Per-delta-doc duplicated-window stats against a stored
+    :func:`substring_gram_index` — O(delta), never re-scanning the
+    corpus.  A delta window is duplicated iff its gram exists in the
+    stored index (any base doc precedes every delta doc) OR a
+    smaller-id delta doc owns the same gram.  Because base ids all
+    precede delta ids, this equals the full recompute restricted to
+    the delta — byte-for-byte (pinned in tests).
+
+    Scale shape: only delta-sized frames shuffle.  The delta's
+    distinct grams broadcast to semi-probe the index (the index is
+    scanned map-side, never exchanged), matches come back as a
+    delta-bounded frame, and the within-delta keeper election runs on
+    delta grams alone.  Output matches q_dedup_substring's schema.
+    """
+    dg = _substring_grams(delta, text_col, id_col, window)
+    dmin = dg.groupBy("_g").agg(F.min(id_col).alias("_dkeeper"))
+    hits = index.join(
+        F.broadcast(dmin.select("_g")), "_g", "left_semi"
+    ).select("_g", F.lit(1).alias("_in_index"))
+    joined = dg.join(F.broadcast(dmin), "_g").join(
+        F.broadcast(hits), "_g", "left"
+    )
+    dup = (F.col("_in_index").isNotNull()) | (
+        F.col("_dkeeper") < F.col(id_col)
+    )
+    return (
+        joined.groupBy(id_col)
         .agg(
             F.count("*").cast("long").alias("n_windows"),
-            F.sum(
-                (F.col(id_col) > F.col("_keeper")).cast("long")
-            ).alias("dup_windows"),
+            F.sum(dup.cast("long")).alias("dup_windows"),
         )
         .select(
             id_col,

@@ -24,7 +24,9 @@ from clv_data_pipeline_spark.functions.text import (
 from clv_data_pipeline_spark.operators.dedup import (
     cluster_documents,
     dedup_exact,
+    substring_dedup_incremental,
     substring_duplicate_windows,
+    substring_gram_index,
     dedup_incremental,
     dedup_minhash,
     dedup_minhash_incremental,
@@ -3166,4 +3168,69 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("rnk") == 1).cast("long").alias("kept"),
             F.col("kept_id").cast("long").alias("kept_id"),
         )
+    )
+
+
+@query(
+    "q_dedup_substring_incremental",
+    oracle=f"""
+    WITH s AS (
+        SELECT MAX(doc_id) - CAST(FLOOR(COUNT(*) / 10.0) AS BIGINT)
+                   AS cut
+        FROM documents),
+    t AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS toks
+      FROM documents),
+    grams AS (
+      SELECT doc_id,
+             md5(array_to_string(toks[i : i + {_SUBSTR_W - 1}], ' ')) AS g
+      FROM t, UNNEST(generate_series(1, len(toks) - {_SUBSTR_W - 1}))
+           AS u(i)
+      WHERE len(toks) >= {_SUBSTR_W}),
+    keepers AS (SELECT g, MIN(doc_id) AS keeper FROM grams GROUP BY g)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_windows,
+           CAST(SUM(CASE WHEN doc_id > keeper THEN 1 ELSE 0 END)
+                AS BIGINT) AS dup_windows,
+           ROUND(SUM(CASE WHEN doc_id > keeper THEN 1 ELSE 0 END)
+                 * 1.0 / COUNT(*), 6) AS dup_ratio,
+           (SUM(CASE WHEN doc_id > keeper THEN 1 ELSE 0 END) > 0)
+               AS substring_dup
+    FROM grams JOIN keepers USING (g), s
+    WHERE doc_id > cut
+    GROUP BY doc_id
+    """,
+)
+def q_dedup_substring_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """O(delta) maintenance of exact substring dedup: the newest ~10%
+    of docs check their 50-token spans against the STORED gram index
+    of the older corpus (operators/dedup.py substring_gram_index /
+    substring_dedup_incremental) plus a within-delta keeper election —
+    only delta-sized frames shuffle; the index is probed by a
+    broadcast of the delta's distinct grams, never exchanged.  Because
+    base ids precede delta ids, incremental admission equals the full
+    recompute restricted to the delta (the oracle states exactly
+    that; byte-equality is also pinned in tests)."""
+    from clv_data_pipeline_spark.operators.dedup import (
+        substring_dedup_incremental,
+        substring_gram_index,
+    )
+    from clv_data_pipeline_spark.sources.io import (
+        materialize_temp,
+        source_key,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    base, delta = _delta_split(docs)
+    index = materialize_temp(
+        substring_gram_index(base, window=_SUBSTR_W),
+        "substr_idx_",
+        key=source_key(sf_dir, "documents") + f":substr{_SUBSTR_W}_base",
+    )
+    return substring_dedup_incremental(
+        index, delta, window=_SUBSTR_W
     )

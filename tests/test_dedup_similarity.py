@@ -656,3 +656,38 @@ def test_substring_dedup_planted_overlap(spark):
     assert {k: tuple(v) for k, v in got.items()} == {
         k: tuple(v) for k, v in rep.items()
     }
+
+
+def test_substring_incremental_equals_full_recompute(spark):
+    """O(delta) substring dedup against the stored gram index must be
+    byte-equal to the full recompute restricted to the delta (base ids
+    precede delta ids, so index-hit == earlier-owner)."""
+    from clv_data_pipeline_spark.operators.dedup import (
+        substring_dedup_incremental,
+        substring_duplicate_windows,
+        substring_gram_index,
+    )
+
+    passage = " ".join(f"w{i}" for i in range(50))
+    rows = [
+        (i, passage + " " + " ".join(f"u{i}_{j}" for j in range(10)))
+        if i % 3 == 0
+        else (i, " ".join(f"v{i}_{j}" for j in range(55)))
+        for i in range(30)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    base = docs.filter("doc_id < 24")
+    delta = docs.filter("doc_id >= 24")
+    inc = {
+        r["doc_id"]: tuple(r)
+        for r in substring_dedup_incremental(
+            substring_gram_index(base, window=50), delta, window=50
+        ).collect()
+    }
+    full = {
+        r["doc_id"]: tuple(r)
+        for r in substring_duplicate_windows(docs, window=50)
+        .filter("doc_id >= 24")
+        .collect()
+    }
+    assert inc == full and len(inc) == 6
