@@ -147,6 +147,7 @@ HEADLINE = [
     "q_adaboost_stumps",
     "q_holt_winters",
     "q_dedup_substring_incremental",
+    "q_markov_attribution",
 ]
 
 #: Frozen comparable subsets — apples-to-apples totals across rounds.

@@ -1840,3 +1840,207 @@ def q_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type string, n_days long, level double, trend double, "
         "forecast_7 double, mae double",
     )
+
+
+_MARKOV_CHANNELS = ("click", "error", "signup", "view")
+_MARKOV_ITERS = 12
+
+
+def _markov_attribution_oracle() -> str:
+    """Unrolled absorption iterations for the full chain + one
+    removed-channel variant per channel (q_pagerank discipline: the
+    oracle replays the exact fixed trajectory, with per-term
+    round-12 DECIMAL sums and round-9 state values)."""
+    def p_chain(tag: str, removed: str | None) -> str:
+        ctes = [f"""
+    p_{tag}_0 AS MATERIALIZED (
+        SELECT state,
+               CASE WHEN state = 'conv' THEN CAST(1 AS DOUBLE)
+                    ELSE CAST(0 AS DOUBLE) END AS p
+        FROM st)"""]
+        rm = (
+            f"WHEN s.state = '{removed}' THEN CAST(0 AS DOUBLE)"
+            if removed
+            else ""
+        )
+        for k in range(1, _MARKOV_ITERS + 1):
+            ctes.append(f"""
+    p_{tag}_{k} AS MATERIALIZED (
+        SELECT s.state,
+               CASE WHEN s.state = 'conv' THEN CAST(1 AS DOUBLE)
+                    WHEN s.state = 'null' THEN CAST(0 AS DOUBLE)
+                    {rm}
+                    ELSE ROUND(COALESCE(CAST(agg.v AS DOUBLE), 0), 9)
+               END AS p
+        FROM st s LEFT JOIN (
+            SELECT t.src,
+                   SUM(CAST(ROUND(t.p * pk.p, 12) AS DECIMAL(28,12)))
+                       AS v
+            FROM tr t JOIN p_{tag}_{k - 1} pk ON t.dst = pk.state
+            GROUP BY t.src) agg ON s.state = agg.src)""")
+        return ",".join(ctes)
+
+    chains = [p_chain("full", None)] + [
+        p_chain(c, c) for c in _MARKOV_CHANNELS
+    ]
+    effects = "\n    UNION ALL\n".join(
+        f"""    SELECT '{c}' AS channel,
+           ROUND(1 - (SELECT p FROM p_{c}_{_MARKOV_ITERS}
+                      WHERE state = 'start')
+                     / (SELECT p FROM p_full_{_MARKOV_ITERS}
+                        WHERE state = 'start'), 6) AS removal_effect"""
+        for c in _MARKOV_CHANNELS
+    )
+    return f"""
+    WITH ord AS (
+        SELECT user_id, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id) AS rn
+        FROM events),
+    fp AS (SELECT user_id, MIN(rn) AS prn FROM ord
+           WHERE event_type = 'purchase' GROUP BY user_id),
+    path AS (
+        SELECT o.user_id, o.rn,
+               CASE WHEN o.event_type = 'purchase' THEN 'conv'
+                    ELSE o.event_type END AS state
+        FROM ord o LEFT JOIN fp USING (user_id)
+        WHERE fp.prn IS NULL OR o.rn <= fp.prn),
+    hops AS (
+        SELECT user_id, rn, state,
+               LAG(state) OVER (PARTITION BY user_id ORDER BY rn)
+                   AS prev,
+               MAX(rn) OVER (PARTITION BY user_id) AS mx
+        FROM path),
+    edges AS (
+        SELECT COALESCE(prev, 'start') AS src, state AS dst FROM hops
+        UNION ALL
+        SELECT state, 'null' FROM hops WHERE rn = mx AND state <> 'conv'),
+    tc AS MATERIALIZED (SELECT src, dst, CAST(COUNT(*) AS DOUBLE) AS n
+           FROM edges GROUP BY src, dst),
+    tot AS (SELECT src, SUM(n) AS o FROM tc GROUP BY src),
+    tr AS MATERIALIZED (SELECT tc.src, tc.dst, ROUND(tc.n / tot.o, 9) AS p
+           FROM tc JOIN tot USING (src)),
+    st AS MATERIALIZED (
+        SELECT src AS state FROM tc
+        UNION SELECT dst FROM tc
+        UNION SELECT 'conv' UNION SELECT 'null'),
+    {','.join(chains)},
+    eff AS (
+{effects}
+    ),
+    tot_eff AS (SELECT SUM(CAST(ROUND(GREATEST(removal_effect, 0), 6)
+                                 AS DECIMAL(18,6))) AS te FROM eff)
+    SELECT e.channel, e.removal_effect,
+           ROUND(CAST(GREATEST(e.removal_effect, 0) AS DOUBLE)
+                 / CAST(t.te AS DOUBLE), 6) AS attribution
+    FROM eff e CROSS JOIN tot_eff t
+    """
+
+
+@query("q_markov_attribution", oracle=_markov_attribution_oracle())
+def q_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov removal-effect attribution — the data-driven credit
+    model above q_attribution (last-touch) and q_attribution_linear
+    (equal split): build the first-order journey chain (start ->
+    touches -> conv at the first purchase / null at journey end),
+    then credit each channel by how much the conversion probability
+    drops when that channel's state is absorbed to null (Anderl et
+    al.'s removal effect), normalized to attribution shares.
+
+    Scale shape: the corpus-sized work is ONE user-partitioned window
+    sweep + a (src, dst) count aggregation; the chain itself is
+    bounded by the channel vocabulary (~7 states), so the absorption
+    solve — 12 fixed damped-free iterations per variant, values
+    rounded to 9, term sums in exact 1e-12 units — runs driver-side
+    on the collected transition table, exactly the BG/NBD fit-barrier
+    pattern.  The oracle unrolls every variant's trajectory, so the
+    driver hash-verifies the Markov solve end to end."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordd = e.select(
+        "user_id", "event_type", F.row_number().over(w).alias("rn")
+    )
+    fp = (
+        ordd.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("rn").alias("prn"))
+    )
+    path = (
+        ordd.join(fp, "user_id", "left")
+        .filter(F.col("prn").isNull() | (F.col("rn") <= F.col("prn")))
+        .select(
+            "user_id",
+            "rn",
+            F.when(F.col("event_type") == "purchase", "conv")
+            .otherwise(F.col("event_type"))
+            .alias("state"),
+        )
+    )
+    w2 = Window.partitionBy("user_id").orderBy("rn")
+    wmx = Window.partitionBy("user_id")
+    hops = path.select(
+        "rn",
+        "state",
+        F.lag("state").over(w2).alias("prev"),
+        F.max("rn").over(wmx).alias("mx"),
+    )
+    edges = hops.select(
+        F.coalesce("prev", F.lit("start")).alias("src"),
+        F.col("state").alias("dst"),
+    ).unionByName(
+        hops.filter(
+            (F.col("rn") == F.col("mx")) & (F.col("state") != "conv")
+        ).select(
+            F.col("state").alias("src"), F.lit("null").alias("dst")
+        )
+    )
+    tc = edges.groupBy("src", "dst").agg(
+        F.count("*").cast("double").alias("n")
+    )
+    tot = tc.groupBy("src").agg(F.sum("n").alias("o"))
+    tr_rows = (
+        tc.join(tot, "src")
+        .select("src", "dst", F.round(F.col("n") / F.col("o"), 9).alias("p"))
+        .collect()
+    )  # bounded: <= (channels + 3)^2 rows — the fit-barrier collect
+    trans: dict[str, list[tuple[str, float]]] = {}
+    states = {"conv", "null"}
+    for r in tr_rows:
+        trans.setdefault(r["src"], []).append((r["dst"], r["p"]))
+        states.add(r["src"])
+        states.add(r["dst"])
+
+    def absorb(removed: str | None) -> float:
+        p = {s: (1.0 if s == "conv" else 0.0) for s in states}
+        for _ in range(_MARKOV_ITERS):
+            nxt = {}
+            for s in states:
+                if s == "conv":
+                    nxt[s] = 1.0
+                elif s == "null" or s == removed:
+                    nxt[s] = 0.0
+                else:
+                    units = sum(
+                        int(round(round(pr * p[d], 12) * 1e12))
+                        for d, pr in sorted(trans.get(s, []))
+                    )
+                    nxt[s] = round(units / 1e12, 9)
+            p = nxt
+        return p.get("start", 0.0)
+
+    p_full = absorb(None)
+    effects = [
+        (c, round(1 - absorb(c) / p_full, 6)) for c in _MARKOV_CHANNELS
+    ]
+    te_units = sum(int(round(max(x, 0) * 1e6)) for _, x in effects)
+    rows = [
+        (
+            c,
+            x,
+            round((int(round(max(x, 0) * 1e6)) / 1e6) / (te_units / 1e6), 6),
+        )
+        for c, x in effects
+    ]
+    return spark.createDataFrame(
+        rows, "channel string, removal_effect double, attribution double"
+    )
