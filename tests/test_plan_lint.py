@@ -50,8 +50,10 @@ _BNLJ_SCALAR_OK = {
     "q_tpch_q11_derived",  # 1-row inventory-value threshold broadcast
     "q_logreg",            # 1-row IRLS beta broadcast per iteration
     "q_adaboost_stumps",   # 2-row polarity grid + 1-row stump/Z/acc attaches
+    "q_skyline",           # 1-row (min,max) bucket-stats broadcast
     "q_bloom_join",        # 1-row Bloom-bitmap (array<bigint>) broadcast
     "q_dedup_incremental", # 1-row delta-cut threshold broadcast
+    "q_dedup_substring_incremental",  # 1-row delta-cut threshold broadcast
     "q_minhash_incremental",  # 1-row delta-cut threshold broadcast
     "q_dedup_embedding_incremental",  # 1-row delta-cut threshold broadcast
     "q_ann_pq_incremental",  # same 1-row delta-cut scalar attach
