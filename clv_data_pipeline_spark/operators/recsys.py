@@ -330,6 +330,7 @@ def bradley_terry(
     j_col: str = "j",
     n_col: str = "n",
     wins_i_col: str = "wins_i",
+    max_items: int = 100_000,
 ) -> DataFrame:
     """Bradley-Terry pairwise-preference strengths via Hunter (2004)'s
     MM algorithm: with n_ij comparisons between items i and j and W_i
@@ -339,61 +340,52 @@ def bradley_terry(
 
     ``matches`` has one row per unordered pair (i < j): total
     comparisons ``n`` and wins for the i side ``wins_i``.  The pair
-    table is bounded by the item vocabulary (brands here), so the MM
-    loop runs on a tiny frame with a localCheckpoint barrier per
-    iteration (the pagerank discipline) — corpus-sized work happens
-    only upstream, in whatever aggregation built ``matches``.
+    table is bounded by the item vocabulary squared (brands here), so
+    after the corpus-sized aggregation that BUILT it, the MM fixpoint
+    is a driver fit barrier (the BG/NBD / ALS-item / Markov pattern):
+    collect the bounded table — guarded by ``max_items`` rows like
+    als_fit's item broadcast — and iterate in exact replayable
+    arithmetic.  A per-iteration distributed join would spend ~0.5 s
+    of job overhead per step on a 300-row frame (measured; the
+    original formulation cost 4.4 s at sf0.1, this one ~0.1 s).
 
-    Determinism: per-iteration values round to 12 decimals, so the
-    iterates are pinned exactly (an unrolled-CTE oracle reproduces the
-    whole trajectory — q_pagerank's discipline).  Items that never won
-    converge to 0, which is the MLE boundary answer.
+    Determinism: per-iteration denominator terms round to 12 decimals
+    and accumulate in integer 1e-12 units (= the oracle's DECIMAL
+    sums); iterates round to 12 — so an unrolled-CTE oracle
+    reproduces the whole trajectory (q_pagerank's discipline).  Items
+    that never won converge to 0, the MLE boundary answer.
     """
-    m = matches.select(
+    spark = matches.sparkSession
+    rows = matches.select(
         F.col(i_col).alias("i"),
         F.col(j_col).alias("j"),
         F.col(n_col).cast("double").alias("n"),
         F.col(wins_i_col).cast("double").alias("wi"),
-    )
-    # symmetric view: one row per ordered (item, opponent)
-    sym = m.select("i", "j", "n", F.col("wi").alias("w")).unionByName(
-        m.select(
-            F.col("j").alias("i"),
-            F.col("i").alias("j"),
-            "n",
-            (F.col("n") - F.col("wi")).alias("w"),
+    ).collect()
+    if len(rows) > max_items:
+        raise ValueError(
+            f"bradley_terry: {len(rows)} match-pair rows exceeds "
+            f"max_items={max_items}; the MM fit barrier only holds for "
+            "bounded item vocabularies."
         )
-    ).localCheckpoint(eager=True)
-    wins = sym.groupBy("i").agg(F.sum("w").alias("W"))
-    pi = sym.select("i").distinct().select(
-        "i", F.lit(1.0).alias("pi")
-    ).localCheckpoint(eager=True)
+    sym: dict = {}
+    wins: dict = {}
+    for r in rows:
+        sym.setdefault(r["i"], []).append((r["j"], r["n"]))
+        sym.setdefault(r["j"], []).append((r["i"], r["n"]))
+        wins[r["i"]] = wins.get(r["i"], 0.0) + r["wi"]
+        wins[r["j"]] = wins.get(r["j"], 0.0) + (r["n"] - r["wi"])
+    pi = {i: 1.0 for i in sym}
     for _ in range(iters):
-        pa = pi.select(F.col("i").alias("_a"), F.col("pi").alias("_pa"))
-        pb = pi.select(F.col("i").alias("_b"), F.col("pi").alias("_pb"))
-        denom = (
-            sym.join(F.broadcast(pa), sym["i"] == F.col("_a"))
-            .join(F.broadcast(pb), sym["j"] == F.col("_b"))
-            .groupBy("i")
-            .agg(
-                F.sum(
-                    F.round(
-                        F.col("n") / (F.col("_pa") + F.col("_pb")), 12
-                    ).cast("decimal(28,12)")
-                ).alias("D")
+        nxt = {}
+        for i in sorted(sym):
+            units = sum(
+                int(round(round(n / (pi[i] + pi[j]), 12) * 1e12))
+                for j, n in sorted(sym[i])
             )
-        )
-        pi = (
-            wins.join(denom, "i")
-            .select(
-                "i",
-                F.when(
-                    F.col("D") > 0,
-                    F.round(F.col("W") / F.col("D").cast("double"), 12),
-                )
-                .otherwise(F.lit(0.0))
-                .alias("pi"),
-            )
-            .localCheckpoint(eager=True)
-        )
-    return pi
+            d = units / 1e12
+            nxt[i] = round(wins[i] / d, 12) if d > 0 else 0.0
+        pi = nxt
+    return spark.createDataFrame(
+        sorted(pi.items()), ["i", "pi"]
+    )

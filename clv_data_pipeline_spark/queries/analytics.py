@@ -3092,16 +3092,37 @@ def q_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("l_quantity").cast("decimal(18,4)")).alias("q")
         )
     )
-    a = bq.alias("a")
-    b = bq.alias("b")
-    duels = a.join(
-        b,
-        (F.col("a.o") == F.col("b.o")) & (F.col("a.b") < F.col("b.b")),
-    ).select(
-        F.col("a.b").alias("i"),
-        F.col("b.b").alias("j"),
-        F.when(F.col("a.q") > F.col("b.q"), 1).otherwise(0).alias("wi"),
-        F.when(F.col("a.q") < F.col("b.q"), 1).otherwise(0).alias("wj"),
+    # pair expansion via per-order collect_list (the q_market_basket
+    # discipline): orders hold few distinct brands, so exploding the
+    # in-order combination pairs costs one shuffle of bq and no
+    # self-join — the bq x bq join formulation measured 2x slower at
+    # sf0.1.  Pair SETS are list-order independent, and win indicators
+    # derive from the (least, greatest) normalization, so the duel
+    # table is deterministic under any collect_list order.
+    per_order = bq.groupBy("o").agg(
+        F.collect_list(F.struct(F.col("b"), F.col("q"))).alias("bs")
+    )
+    pairs = per_order.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(bs, (x, i) -> "
+                "transform(slice(bs, i + 2, size(bs) - i - 1), "
+                "y -> struct(x.b AS ba, x.q AS qa, "
+                "y.b AS bb, y.q AS qb))))"
+            )
+        ).alias("p")
+    )
+    qi = F.when(
+        F.col("p.ba") < F.col("p.bb"), F.col("p.qa")
+    ).otherwise(F.col("p.qb"))
+    qj = F.when(
+        F.col("p.ba") < F.col("p.bb"), F.col("p.qb")
+    ).otherwise(F.col("p.qa"))
+    duels = pairs.select(
+        F.least("p.ba", "p.bb").alias("i"),
+        F.greatest("p.ba", "p.bb").alias("j"),
+        F.when(qi > qj, 1).otherwise(0).alias("wi"),
+        F.when(qi < qj, 1).otherwise(0).alias("wj"),
     )
     m = (
         duels.groupBy("i", "j")
@@ -3110,6 +3131,10 @@ def q_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("wi").cast("double").alias("wins_i"),
         )
         .filter(F.col("n") > 0)
+        # two consumers (the MM fit-barrier collect and the stats
+        # join) — checkpoint the 300-row frame so the corpus-sized
+        # duel chain executes once, not per consumer
+        .localCheckpoint(eager=True)
     )
     pi = bradley_terry(m, iters=5)
     sym = m.select("i", "n", F.col("wins_i").alias("w")).unionByName(
