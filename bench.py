@@ -148,6 +148,7 @@ HEADLINE = [
     "q_holt_winters",
     "q_dedup_substring_incremental",
     "q_markov_attribution",
+    "q_interval_join",
 ]
 
 #: Frozen comparable subsets — apples-to-apples totals across rounds.

@@ -2044,3 +2044,106 @@ def q_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "channel string, removal_effect double, attribution double"
     )
+
+
+@query(
+    "q_interval_join",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, ts, event_id,
+               epoch_us(ts) - lag(epoch_us(ts)) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+        FROM events),
+    flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN gap_us IS NULL OR gap_us > 1800 * 1000000
+                    THEN 1 ELSE 0 END AS is_new
+        FROM ordered),
+    sessions AS (
+        SELECT user_id,
+               CAST(session_id AS BIGINT) AS session_id,
+               MIN(epoch_us(ts)) AS s_s, MAX(epoch_us(ts)) AS s_e
+        FROM (
+            SELECT user_id, ts,
+                   SUM(is_new) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS session_id
+            FROM flagged)
+        GROUP BY user_id, session_id),
+    pw AS (
+        SELECT event_id AS purchase_id, user_id,
+               epoch_us(ts) AS p_s, epoch_us(ts) + 3600000000 AS p_e
+        FROM events WHERE event_type = 'purchase')
+    SELECT s.user_id, s.session_id, p.purchase_id,
+           CAST(LEAST(s.s_e, p.p_e) - GREATEST(s.s_s, p.p_s)
+                AS BIGINT) AS overlap_us
+    FROM sessions s JOIN pw p
+      ON s.user_id = p.user_id
+     AND s.s_s <= p.p_e AND p.p_s <= s.s_e
+    """,
+)
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-OVERLAP join (both sides are intervals) — the shape
+    q_range_join's point-in-interval bucketing does not cover: user
+    sessions [start, end] x 1-hour post-purchase windows, emitting
+    the overlap duration per (session, purchase) pair — the
+    "which sessions did this promotion window touch" primitive.
+
+    Scale shape: a raw two-sided range predicate beside the user key
+    still ships every same-user pair; here BOTH interval sides
+    explode to the 1-hour buckets they cover (sessions are gap-30min
+    bounded so their bucket fan-out is small), the join becomes a
+    hash join on (user_id, bucket) + residual overlap filter, and a
+    distinct on the id pair removes multi-bucket double-counts —
+    shuffle volume tracks matches, not same-user pairs.  Bucket
+    arithmetic stays in integer microseconds (div) so boundaries land
+    identically on both engines."""
+    from clv_data_pipeline_spark.operators.sessions import session_stats
+
+    hour = 3_600_000_000
+    ev = load_table(spark, sf_dir, "events")
+    sess = session_stats(ev, gap_seconds=1800).select(
+        "user_id",
+        F.col("session_id").cast("long").alias("session_id"),
+        F.unix_micros("session_start").alias("s_s"),
+        F.unix_micros("session_end").alias("s_e"),
+    )
+    pw = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.unix_micros("ts").alias("p_s"),
+        (F.unix_micros("ts") + hour).alias("p_e"),
+    )
+    sb = sess.withColumn(
+        "bucket",
+        F.explode(
+            F.sequence(
+                F.expr(f"s_s div {hour}"), F.expr(f"s_e div {hour}")
+            )
+        ),
+    )
+    pb = pw.withColumn(
+        "bucket",
+        F.explode(
+            F.sequence(
+                F.expr(f"p_s div {hour}"), F.expr(f"p_e div {hour}")
+            )
+        ),
+    )
+    joined = sb.join(
+        pb,
+        (sb["user_id"] == pb["p_user"]) & (sb["bucket"] == pb["bucket"]),
+    ).filter(
+        (F.col("s_s") <= F.col("p_e")) & (F.col("p_s") <= F.col("s_e"))
+    )
+    return (
+        joined.select(
+            "user_id",
+            "session_id",
+            "purchase_id",
+            (
+                F.least("s_e", "p_e") - F.greatest("s_s", "p_s")
+            ).cast("long").alias("overlap_us"),
+        )
+        .distinct()
+    )
