@@ -149,6 +149,7 @@ HEADLINE = [
     "q_dedup_substring_incremental",
     "q_markov_attribution",
     "q_interval_join",
+    "q_label_noise",
 ]
 
 #: Frozen comparable subsets — apples-to-apples totals across rounds.

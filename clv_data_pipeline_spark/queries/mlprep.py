@@ -3389,3 +3389,200 @@ def q_adaboost_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
     for extra in out_rows[1:]:
         out = out.unionByName(extra)
     return out
+
+
+def _label_noise_fold_sql(tag: str, train: str, test: str) -> str:
+    """One fold's NB train+score CTE chain (q_naive_bayes's exact
+    rounded-ln DECIMAL discipline, parameterized by fold predicate)."""
+    return f"""
+    ttok_{tag} AS (
+        SELECT lang, unnest(toks) AS tok FROM docs WHERE {train}),
+    cc_{tag} AS (
+        SELECT lang, tok, COUNT(*) AS c FROM ttok_{tag}
+        GROUP BY lang, tok),
+    ct_{tag} AS (SELECT lang, COUNT(*) AS tot FROM ttok_{tag}
+                 GROUP BY lang),
+    v_{tag} AS (SELECT COUNT(DISTINCT tok) AS vsz FROM ttok_{tag}),
+    ntr_{tag} AS (SELECT COUNT(*) AS n_train FROM docs WHERE {train}),
+    pri_{tag} AS (
+        SELECT lang AS cls,
+               CAST(ROUND(ln(COUNT(*) * 1.0 / ntr_{tag}.n_train), 9)
+                    AS DECIMAL(20,9)) AS lp0
+        FROM docs, ntr_{tag} WHERE {train}
+        GROUP BY lang, ntr_{tag}.n_train),
+    lp_{tag} AS (
+        SELECT cc_{tag}.lang AS cls, cc_{tag}.tok,
+               CAST(ROUND(ln((cc_{tag}.c + 1.0)
+                             / (ct_{tag}.tot + v_{tag}.vsz)), 9)
+                    AS DECIMAL(20,9)) AS lp
+        FROM cc_{tag} JOIN ct_{tag}
+          ON cc_{tag}.lang = ct_{tag}.lang, v_{tag}),
+    oov_{tag} AS (
+        SELECT ct_{tag}.lang AS cls,
+               CAST(ROUND(ln(1.0 / (ct_{tag}.tot + v_{tag}.vsz)), 9)
+                    AS DECIMAL(20,9)) AS lpo
+        FROM ct_{tag}, v_{tag}),
+    ttest_{tag} AS (
+        SELECT doc_id, lang AS true_lang, unnest(toks) AS tok
+        FROM docs WHERE {test}),
+    scored_{tag} AS (
+        SELECT t.doc_id, t.true_lang, o.cls,
+               SUM(COALESCE(l.lp, o.lpo)) AS s
+        FROM ttest_{tag} t
+        CROSS JOIN oov_{tag} o
+        LEFT JOIN lp_{tag} l ON l.tok = t.tok AND l.cls = o.cls
+        GROUP BY t.doc_id, t.true_lang, o.cls),
+    final_{tag} AS (
+        SELECT s.doc_id, s.true_lang, s.cls, s.s + p.lp0 AS score
+        FROM scored_{tag} s JOIN pri_{tag} p ON p.cls = s.cls)"""
+
+
+_NOISE_MARGIN = 2.0  # ln-units: flagged disagreements are >= e^2 likelier
+
+
+@query(
+    "q_label_noise",
+    oracle=f"""
+    WITH docs AS MATERIALIZED (
+        SELECT doc_id, lang, {{tok}} AS toks FROM documents),
+    {_label_noise_fold_sql('a', 'doc_id % 2 = 0', 'doc_id % 2 = 1')},
+    {_label_noise_fold_sql('b', 'doc_id % 2 = 1', 'doc_id % 2 = 0')},
+    allsc AS (SELECT * FROM final_a UNION ALL SELECT * FROM final_b),
+    ranked AS (
+        SELECT doc_id, true_lang, cls, score,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                   ORDER BY score DESC, cls) AS rn
+        FROM allsc),
+    best AS (SELECT doc_id, true_lang, cls AS pred_lang,
+                    score AS best_score
+             FROM ranked WHERE rn = 1),
+    given AS (SELECT doc_id, score AS given_score FROM allsc
+              WHERE cls = true_lang)
+    SELECT CAST(b.doc_id AS BIGINT) AS doc_id,
+           b.true_lang AS lang, b.pred_lang,
+           ROUND(CAST(b.best_score - g.given_score AS DOUBLE), 6)
+               AS margin,
+           (b.pred_lang <> b.true_lang
+            AND (g.given_score IS NULL
+                 OR b.best_score - g.given_score
+                    >= CAST({_NOISE_MARGIN} AS DOUBLE))) AS suspect
+    FROM best b LEFT JOIN given g USING (doc_id)
+    """.replace("{tok}", _TOKENIZE_SQL),
+)
+def q_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-noise detection by confident learning (Northcutt et al.):
+    every document is scored by a Naive Bayes model trained on the
+    OTHER fold (2 folds by doc_id parity — no doc influences its own
+    audit), and a doc is flagged SUSPECT when the out-of-fold model
+    confidently prefers a different class (log-likelihood margin >=
+    {_NOISE_MARGIN} nats) — the mislabeled-annotation scrub a corpus
+    pipeline runs before training on weak labels.  On THIS fixture
+    (language labels vs synthetic token noise) the readout is the
+    honest negative control; the positive control in
+    tests/test_mlprep.py plants vocabulary-correlated classes with
+    flipped labels and the flags recover the flips.
+
+    Scale shape: 2x the q_naive_bayes layout — per fold one (class,
+    token) training shuffle, bounded class-grid scoring joins, one
+    (doc, class) partial agg; the fold column is data-derived so both
+    models build in the same job graph.  Same rounded-ln DECIMAL
+    discipline, so the full audit is driver-hash-verified."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(normalize_text(F.col("text")), " ")
+    docs = d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "lang",
+        toks.alias("toks"),
+    ).localCheckpoint(eager=True)
+
+    def fold_scores(train, test):
+        ttok = train.select("lang", F.explode("toks").alias("tok"))
+        cc = ttok.groupBy("lang", "tok").agg(F.count("*").alias("c"))
+        ct = ttok.groupBy("lang").agg(F.count("*").alias("tot"))
+        v = ttok.agg(F.countDistinct("tok").alias("vsz"))
+        ntr = train.agg(F.count("*").alias("n_train"))
+        dec = "decimal(20,9)"
+        pri = (
+            train.groupBy("lang")
+            .agg(F.count("*").alias("nd"))
+            .crossJoin(F.broadcast(ntr))
+            .select(
+                F.col("lang").alias("cls"),
+                F.round(F.log(F.col("nd") * 1.0 / F.col("n_train")), 9)
+                .cast(dec)
+                .alias("lp0"),
+            )
+        )
+        lp = (
+            cc.join(ct, "lang")
+            .crossJoin(F.broadcast(v))
+            .select(
+                F.col("lang").alias("cls"),
+                "tok",
+                F.round(
+                    F.log(
+                        (F.col("c") + F.lit(1.0))
+                        / (F.col("tot") + F.col("vsz"))
+                    ),
+                    9,
+                )
+                .cast(dec)
+                .alias("lp"),
+            )
+        )
+        oov = ct.crossJoin(F.broadcast(v)).select(
+            F.col("lang").alias("cls"),
+            F.round(
+                F.log(F.lit(1.0) / (F.col("tot") + F.col("vsz"))), 9
+            )
+            .cast(dec)
+            .alias("lpo"),
+        )
+        ttest = test.select(
+            "doc_id",
+            F.col("lang").alias("true_lang"),
+            F.explode("toks").alias("tok"),
+        )
+        scored = (
+            ttest.crossJoin(F.broadcast(oov))
+            .join(F.broadcast(lp), ["tok", "cls"], "left")
+            .groupBy("doc_id", "true_lang", "cls")
+            .agg(F.sum(F.coalesce(F.col("lp"), F.col("lpo"))).alias("s"))
+        )
+        return scored.join(F.broadcast(pri), "cls").select(
+            "doc_id", "true_lang", "cls",
+            (F.col("s") + F.col("lp0")).alias("score"),
+        )
+
+    even = docs.filter(F.col("doc_id") % 2 == 0)
+    odd = docs.filter(F.col("doc_id") % 2 == 1)
+    allsc = fold_scores(even, odd).unionByName(fold_scores(odd, even))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "cls")
+    best = (
+        allsc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            "true_lang",
+            F.col("cls").alias("pred_lang"),
+            F.col("score").alias("best_score"),
+        )
+    )
+    given = allsc.filter(F.col("cls") == F.col("true_lang")).select(
+        "doc_id", F.col("score").alias("given_score")
+    )
+    j = best.join(given, "doc_id", "left")
+    margin = F.col("best_score") - F.col("given_score")
+    return j.select(
+        "doc_id",
+        F.col("true_lang").alias("lang"),
+        "pred_lang",
+        F.round(margin.cast("double"), 6).alias("margin"),
+        (
+            (F.col("pred_lang") != F.col("true_lang"))
+            & (
+                F.col("given_score").isNull()
+                | (margin >= F.lit(_NOISE_MARGIN).cast("double"))
+            )
+        ).alias("suspect"),
+    )

@@ -283,3 +283,35 @@ def test_skyline_planted_points(spark):
             ).collect()
         )
         assert got == [1, 2, 3, 6], got
+
+
+def test_label_noise_positive_control(spark, tmp_path):
+    """Confident learning must CATCH planted label flips: classes with
+    disjoint vocabularies, 4 docs mislabeled — the flips are flagged
+    suspect, clean docs overwhelmingly are not."""
+    from clv_data_pipeline_spark.registry import all_queries
+
+    rows = []
+    for i in range(80):
+        cls = "en" if i % 2 == 0 else "de"
+        words = [f"{cls}tok{(i * 7 + j) % 30}" for j in range(20)]
+        label = cls
+        if i in (4, 11, 22, 37):  # planted flips
+            label = "de" if cls == "en" else "en"
+        text = " ".join(words)
+        rows.append((i, text, label, "s", len(text)))
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+        "n_chars long"
+    ).coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        r["doc_id"]: r
+        for r in all_queries()["q_label_noise"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert len(got) == 80
+    flagged = {i for i, r in got.items() if r["suspect"]}
+    assert {4, 11, 22, 37} <= flagged, flagged
+    # clean docs: no more than a stray handful flagged
+    assert len(flagged - {4, 11, 22, 37}) <= 4, flagged
