@@ -73,6 +73,7 @@ _BNLJ_SCALAR_OK = {
     "q_burstiness",        # 1-row corpus doc-count broadcast
     "q_robust_trend",      # calendar-bounded day-pair grid + 1-row n
     "q_naive_bayes",       # bounded class-grid (C~5 rows) + 1-row vocab size
+    "q_label_noise",       # same bounded class-grid/vocab scalars, per fold
     "q_bm25_retrieval",    # corpus (n_docs, avgdl) 1-row broadcast
     "q_assign_ids_incremental",  # 1-row delta-cut + n_base scalar attaches
     "q_prefix_sum",        # 1-row (min, max) bucket-stats broadcast
