@@ -150,6 +150,7 @@ HEADLINE = [
     "q_markov_attribution",
     "q_interval_join",
     "q_label_noise",
+    "q_lm_generate",
 ]
 
 #: Frozen comparable subsets — apples-to-apples totals across rounds.

@@ -3586,3 +3586,105 @@ def q_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("suspect"),
     )
+
+
+_LM_STEPS = 12
+
+
+@query(
+    "q_lm_generate",
+    oracle=f"""
+    WITH RECURSIVE toks AS MATERIALIZED (
+        SELECT doc_id, {_TOKENIZE_SQL} AS ts FROM documents),
+    pb AS (
+        SELECT unnest(list_transform(range(1, len(ts)), i -> ts[i]))
+                   AS w1,
+               unnest(list_transform(range(1, len(ts)), i -> ts[i + 1]))
+                   AS w2
+        FROM toks WHERE len(ts) >= 2),
+    big AS MATERIALIZED (
+        SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c
+        FROM pb WHERE w1 <> '' AND w2 <> '' GROUP BY w1, w2),
+    nxt AS MATERIALIZED (
+        SELECT w1, w2, c FROM (
+            SELECT w1, w2, c,
+                   ROW_NUMBER() OVER (PARTITION BY w1
+                       ORDER BY c DESC, w2) AS rn
+            FROM big) x WHERE rn = 1),
+    uni AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS n
+            FROM (SELECT unnest(ts) AS term FROM toks) u
+            WHERE term <> '' GROUP BY term),
+    seed AS (SELECT term FROM (
+            SELECT term, ROW_NUMBER() OVER (ORDER BY n DESC, term) AS rn
+            FROM uni) s WHERE rn = 1),
+    walk(step, tok) AS (
+        SELECT CAST(1 AS BIGINT), term FROM seed
+        UNION ALL
+        SELECT w.step + 1, n.w2
+        FROM walk w JOIN nxt n ON n.w1 = w.tok
+        WHERE w.step < {_LM_STEPS})
+    SELECT step, tok FROM walk
+    """,
+)
+def q_lm_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy text generation from the in-engine bigram LM — decode
+    the corpus's maximum-likelihood continuation: seed with the most
+    frequent token, then repeatedly follow the argmax bigram successor
+    (count desc, lexicographic tie-break) for {_LM_STEPS} steps.  The
+    toy-scale twin of "sample from the model you just trained", and a
+    sharp determinism exercise: the oracle replays the walk with a
+    recursive CTE over the same argmax transition table.
+
+    Scale shape: the corpus-sized work is the (w1, w2) bigram count
+    shuffle + one rank window electing each token's successor — both
+    partial-aggregable; the {_LM_STEPS}-step walk then probes the
+    checkpointed successor table with 1-row lookups (each a bounded
+    job), exactly how a decode step consults a materialized n-gram
+    model.  A token with no successor ends the walk early on both
+    engines."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        F.split(normalize_text(F.col("text")), " ").alias("ts")
+    ).filter(F.size("ts") >= 2)
+    pairs = toks.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice("ts", 1, F.size("ts") - 1),
+                F.slice("ts", 2, F.size("ts") - 1),
+            )
+        ).alias("p")
+    ).select(F.col("p.0").alias("w1"), F.col("p.1").alias("w2"))
+    big = (
+        pairs.filter((F.col("w1") != "") & (F.col("w2") != ""))
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("c"))
+    )
+    w = Window.partitionBy("w1").orderBy(F.desc("c"), "w2")
+    nxt = (
+        big.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("w1", "w2")
+        .localCheckpoint(eager=True)
+    )
+    uni = (
+        d.select(
+            F.explode(
+                F.split(normalize_text(F.col("text")), " ")
+            ).alias("term")
+        )
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count("*").alias("n"))
+    )
+    seed = (
+        uni.orderBy(F.desc("n"), "term").limit(1).collect()[0]["term"]
+    )
+    path = [(1, seed)]
+    cur = seed
+    for step in range(2, _LM_STEPS + 1):
+        row = nxt.filter(F.col("w1") == cur).collect()
+        if not row:
+            break
+        cur = row[0]["w2"]
+        path.append((step, cur))
+    return spark.createDataFrame(path, "step long, tok string")
