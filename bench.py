@@ -151,6 +151,7 @@ HEADLINE = [
     "q_interval_join",
     "q_label_noise",
     "q_lm_generate",
+    "q_stream_dedup_substring",
 ]
 
 #: Frozen comparable subsets — apples-to-apples totals across rounds.

@@ -3234,3 +3234,87 @@ def q_dedup_substring_incremental(
     return substring_dedup_incremental(
         index, delta, window=_SUBSTR_W
     )
+
+
+@query(
+    "q_stream_dedup_substring",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS toks
+      FROM documents),
+    grams AS (
+      SELECT doc_id,
+             md5(array_to_string(toks[i : i + {_SUBSTR_W - 1}], ' ')) AS g
+      FROM t, UNNEST(generate_series(1, len(toks) - {_SUBSTR_W - 1}))
+           AS u(i)
+      WHERE len(toks) >= {_SUBSTR_W}),
+    keepers AS (SELECT g, MIN(doc_id) AS keeper FROM grams GROUP BY g)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_windows,
+           CAST(SUM(CASE WHEN doc_id > keeper THEN 1 ELSE 0 END)
+                AS BIGINT) AS dup_windows,
+           ROUND(SUM(CASE WHEN doc_id > keeper THEN 1 ELSE 0 END)
+                 * 1.0 / COUNT(*), 6) AS dup_ratio,
+           (SUM(CASE WHEN doc_id > keeper THEN 1 ELSE 0 END) > 0)
+               AS substring_dup
+    FROM grams JOIN keepers USING (g)
+    GROUP BY doc_id
+    """,
+)
+def q_stream_dedup_substring(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ONLINE exact-substring audit on the real Structured Streaming
+    engine — the streaming/batch parity proof for the Lee-et-al. tier:
+    the corpus arrives as three chronological micro-batches, each
+    trigger audits its docs against the TABLE-persisted gram index and
+    extends it (streaming/ingest.py substring_audit_sink), and the
+    accumulated per-doc stats must hash-match the SAME DuckDB oracle
+    as the one-shot batch q_dedup_substring — online and offline
+    substring dedup must agree bit-for-bit.  Per-trigger work is
+    O(batch); uuid-suffixed state tables are dropped afterwards."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from clv_data_pipeline_spark.streaming.ingest import (
+        substring_audit_sink,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    ids = d.agg(F.max("doc_id").alias("mx")).collect()[0]["mx"]
+    c1, c2 = ids // 3, (2 * ids) // 3
+    src = tempfile.mkdtemp(prefix="q_stream_substr_") + "/arrivals"
+    for lo, hi in ((None, c1), (c1, c2), (c2, None)):
+        sl = d
+        if lo is not None:
+            sl = sl.filter(F.col("doc_id") >= lo)
+        if hi is not None:
+            sl = sl.filter(F.col("doc_id") < hi)
+        sl.coalesce(1).write.mode("append").parquet(src)
+    suffix = uuid.uuid4().hex[:8]
+    index_table = f"substr_stream_idx_{suffix}"
+    out_table = f"substr_stream_out_{suffix}"
+    stream = (
+        spark.readStream.schema(d.schema)
+        .option("pathGlobFilter", "*.parquet")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    ckpt = tempfile.mkdtemp(prefix="q_stream_substr_ckpt_")
+    q = (
+        stream.writeStream.foreachBatch(
+            substring_audit_sink(index_table, out_table, window=_SUBSTR_W)
+        )
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    out = spark.table(out_table).localCheckpoint(eager=True)
+    spark.sql(f"DROP TABLE IF EXISTS {out_table}")
+    spark.sql(f"DROP TABLE IF EXISTS {index_table}")
+    return out

@@ -209,6 +209,55 @@ def dedup_admission_sink(
     return _fn
 
 
+def substring_audit_sink(
+    index_table: str,
+    out_table: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 50,
+):
+    """Build a ``foreachBatch`` body that runs the exact-substring
+    duplicated-window audit per micro-batch — the streaming form of
+    ``operators.dedup.substring_dedup_incremental``: each arriving
+    doc's ``window``-token spans check against the STORED gram index
+    (plus a within-batch keeper election), its per-doc stats append to
+    ``out_table``, and the batch's not-yet-seen grams append to
+    ``index_table`` so later triggers see them.  Work per trigger is
+    O(batch): the batch's distinct grams broadcast to probe the index
+    map-side, never shuffling it.  With chronological arrival (ids
+    ascending across triggers) the accumulated audit equals the batch
+    q_dedup_substring recompute bit-for-bit — the oracle states
+    exactly that.  Same replay story as dedup_admission_sink: replayed
+    batches re-emit identical rows; atomicity of the two appends is a
+    transactional-format concern.
+    """
+    from clv_data_pipeline_spark.operators.dedup import (
+        substring_dedup_incremental,
+        substring_gram_index,
+    )
+
+    def _fn(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if batch_df.isEmpty():
+            return
+        if spark.catalog.tableExists(index_table):
+            index = spark.table(index_table)
+        else:
+            index = substring_gram_index(
+                batch_df.limit(0), text_col, id_col, window
+            )
+        stats = substring_dedup_incremental(
+            index, batch_df, text_col, id_col, window
+        ).localCheckpoint(eager=True)
+        stats.write.mode("append").saveAsTable(out_table)
+        bg = substring_gram_index(batch_df, text_col, id_col, window)
+        bg.join(index, "_g", "left_anti").localCheckpoint(
+            eager=True
+        ).write.mode("append").saveAsTable(index_table)
+
+    return _fn
+
+
 def scd2_maintenance_sink(
     target_table: str,
     key: str = "user_id",
