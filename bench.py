@@ -152,6 +152,7 @@ HEADLINE = [
     "q_label_noise",
     "q_lm_generate",
     "q_stream_dedup_substring",
+    "q_observe",
 ]
 
 #: Frozen comparable subsets — apples-to-apples totals across rounds.

@@ -1553,3 +1553,68 @@ def q_stream_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=True)
     spark.sql(f"DROP TABLE IF EXISTS {target_table}")
     return out
+
+
+@query(
+    "q_observe",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_nonpositive_qty,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)))
+                      AS DOUBLE), 2) AS total_price,
+           CAST(MIN(l_orderkey) AS BIGINT) AS min_key,
+           CAST(MAX(l_orderkey) AS BIGINT) AS max_key
+    FROM lineitem
+    """,
+)
+def q_observe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline data-quality counters via Spark's Observation API
+    (``df.observe``) — the zero-extra-pass way to collect validation
+    metrics: the observation's aggregates ride ALONG the scan that a
+    downstream consumer triggers anyway, instead of costing a second
+    job like the reference's separate COUNT queries (validate_features
+    firewall, reference dags/validate_features.py:13-24).  Here the
+    monitored scan is consumed by a count and the observed metrics —
+    row count, non-positive-quantity violations, exact DECIMAL revenue
+    total, key bounds — come back through the observation handle and
+    form the result row the driver hash-verifies.
+
+    Scale note: observe() attaches an AggregatingAccumulator to the
+    physical scan, so the metrics are exact at any parallelism and
+    free at 100 TB (no second read); this is how production firewalls
+    should meter ingest instead of re-scanning."""
+    from pyspark.sql import Observation
+
+    li = load_table(spark, sf_dir, "lineitem")
+    obs = Observation("dq")
+    monitored = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            (F.col("l_quantity") <= 0).cast("long")
+        ).alias("n_nonpositive_qty"),
+        F.round(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).cast(
+                "double"
+            ),
+            2,
+        ).alias("total_price"),
+        F.min("l_orderkey").alias("min_key"),
+        F.max("l_orderkey").alias("max_key"),
+    )
+    monitored.count()  # the consumer action the metrics ride along
+    m = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                m["n_rows"],
+                m["n_nonpositive_qty"],
+                m["total_price"],
+                m["min_key"],
+                m["max_key"],
+            )
+        ],
+        "n_rows long, n_nonpositive_qty long, total_price double, "
+        "min_key long, max_key long",
+    )
