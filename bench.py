@@ -153,6 +153,11 @@ HEADLINE = [
     "q_lm_generate",
     "q_stream_dedup_substring",
     "q_observe",
+    "q_null_safe_join",
+    "q_tpch_q2_derived",
+    "q_tpch_q11_derived",
+    "q_tpch_q16_derived",
+    "q_tpch_q20_derived",
 ]
 
 #: Frozen comparable subsets — apples-to-apples totals across rounds.
