@@ -158,6 +158,7 @@ HEADLINE = [
     "q_tpch_q11_derived",
     "q_tpch_q16_derived",
     "q_tpch_q20_derived",
+    "q_dp_quantiles",
 ]
 
 #: Frozen comparable subsets — apples-to-apples totals across rounds.

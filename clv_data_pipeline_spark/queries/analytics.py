@@ -3248,3 +3248,140 @@ def q_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "group_size",
         )
     )
+
+
+_DPQ_EPS = 1.0
+_DPQ_BIN = 0.25
+
+
+@query(
+    "q_dp_quantiles",
+    oracle=f"""
+    WITH b AS (
+        SELECT LEAST(GREATEST(CAST(FLOOR(value / {_DPQ_BIN}) AS BIGINT),
+                              0), 2047) AS bin
+        FROM events),
+    hist AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS cnt
+             FROM b GROUP BY bin),
+    cum AS (
+        SELECT bin, SUM(cnt) OVER (ORDER BY bin
+                    ROWS UNBOUNDED PRECEDING) AS c,
+               SUM(cnt) OVER () AS n
+        FROM hist),
+    qs(q) AS (VALUES (0.5), (0.9)),
+    scored AS (
+        SELECT q, bin, c, n,
+               ROUND(CAST({_DPQ_EPS} AS DOUBLE)
+                       * (-ABS(c - q * n)) / 2
+                     - ln(-ln((CAST(CAST('0x' ||
+                         substr(md5(CAST(q AS VARCHAR) || '|'
+                                    || CAST(bin AS VARCHAR)), 1, 8)
+                         AS BIGINT) AS DOUBLE) + 0.5) / 4294967296.0)),
+                     9) AS score
+        FROM qs CROSS JOIN cum),
+    pick AS (
+        SELECT q, bin, c, n,
+               ROW_NUMBER() OVER (PARTITION BY q
+                   ORDER BY score DESC, bin) AS rn
+        FROM scored),
+    exact AS (
+        SELECT q, MIN(bin) AS ebin
+        FROM qs JOIN cum ON c >= q * n GROUP BY q)
+    SELECT CAST(p.q AS DOUBLE) AS q,
+           ROUND((p.bin + 1) * CAST({_DPQ_BIN} AS DOUBLE), 6)
+               AS released_value,
+           ROUND((e.ebin + 1) * CAST({_DPQ_BIN} AS DOUBLE), 6)
+               AS exact_value,
+           CAST(ABS(p.c - p.q * p.n) AS DOUBLE) AS rank_err,
+           (ABS(p.c - p.q * p.n) <= 0.05 * p.n) AS within_tolerance
+    FROM pick p JOIN exact e ON p.q = e.q
+    WHERE p.rn = 1
+    """,
+)
+def q_dp_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private quantile release via the EXPONENTIAL
+    mechanism (McSherry-Talwar) — q_dp_counts' counting twin for order
+    statistics, where Laplace-on-the-value doesn't work: each
+    histogram bin competes with utility -|rank error| (sensitivity 1),
+    Gumbel-max sampling realizes the exponential mechanism, and the
+    released value is the winning bin's edge.  The rank-error audit
+    column certifies calibration (the 5%-of-n tolerance is the
+    eps=1 concentration bound at this n, NOT slack).
+
+    Determinism: the Gumbel uniforms derive from md5 of (q, bin) — the
+    q_dp_counts convention — so the release is engine-reproducible and
+    re-running never burns extra budget for the same release id;
+    production swaps a sealed per-release RNG.  Scale shape: one
+    partial-aggregable histogram shuffle; scoring/argmax run on the
+    2048-bin frame."""
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.select(
+        F.least(
+            F.greatest(
+                F.floor(F.col("value") / _DPQ_BIN).cast("long"), F.lit(0)
+            ),
+            F.lit(2047),
+        ).alias("bin")
+    )
+    hist = b.groupBy("bin").agg(F.count("*").alias("cnt"))
+    wc = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy(F.lit(1))
+    cum = hist.select(
+        "bin",
+        F.sum("cnt").over(wc).alias("c"),
+        F.sum("cnt").over(wall).alias("n"),
+    )
+    qs = spark.range(1).select(
+        F.explode(F.array(F.lit(0.5), F.lit(0.9))).alias("q")
+    )
+    j = qs.crossJoin(cum)
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("q").cast("string"),
+                    F.lit("|"),
+                    F.col("bin").cast("string"),
+                ).cast("binary")
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (h + F.lit(0.5)) / F.lit(4294967296.0)
+    score = F.round(
+        F.lit(_DPQ_EPS)
+        * (-F.abs(F.col("c") - F.col("q") * F.col("n")))
+        / 2
+        - F.log(-F.log(u)),
+        9,
+    )
+    wpick = Window.partitionBy("q").orderBy(F.desc("score"), "bin")
+    pick = (
+        j.withColumn("score", score)
+        .withColumn("rn", F.row_number().over(wpick))
+        .filter(F.col("rn") == 1)
+    )
+    exact = (
+        j.filter(F.col("c") >= F.col("q") * F.col("n"))
+        .groupBy("q")
+        .agg(F.min("bin").alias("ebin"))
+    )
+    return pick.join(exact, "q").select(
+        F.col("q").cast("double").alias("q"),
+        F.round((F.col("bin") + 1) * F.lit(_DPQ_BIN), 6).alias(
+            "released_value"
+        ),
+        F.round((F.col("ebin") + 1) * F.lit(_DPQ_BIN), 6).alias(
+            "exact_value"
+        ),
+        F.abs(F.col("c") - F.col("q") * F.col("n"))
+        .cast("double")
+        .alias("rank_err"),
+        (
+            F.abs(F.col("c") - F.col("q") * F.col("n"))
+            <= 0.05 * F.col("n")
+        ).alias("within_tolerance"),
+    )
