@@ -159,6 +159,7 @@ HEADLINE = [
     "q_tpch_q16_derived",
     "q_tpch_q20_derived",
     "q_dp_quantiles",
+    "q_mahalanobis",
 ]
 
 #: Frozen comparable subsets — apples-to-apples totals across rounds.

@@ -3385,3 +3385,158 @@ def q_dp_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 0.05 * F.col("n")
         ).alias("within_tolerance"),
     )
+
+
+_MAHA_CHI2_999 = 16.266  # chi-square 0.999 quantile, 3 dof
+
+
+@query(
+    "q_mahalanobis",
+    oracle=f"""
+    WITH feats AS (
+        SELECT o_custkey AS customer_id,
+               CAST(date_diff('day', CAST(MAX(o_orderdate) AS DATE),
+                              DATE '2002-01-01') AS DOUBLE) AS x,
+               CAST(COUNT(*) AS DOUBLE) AS y,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                   AS z
+        FROM orders GROUP BY o_custkey),
+    s AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM(CAST(ROUND(x, 6) AS DECIMAL(28,6))) AS DOUBLE)
+                   AS sx,
+               CAST(SUM(CAST(ROUND(y, 6) AS DECIMAL(28,6))) AS DOUBLE)
+                   AS sy,
+               CAST(SUM(CAST(ROUND(z, 6) AS DECIMAL(28,6))) AS DOUBLE)
+                   AS sz,
+               CAST(SUM(CAST(ROUND(x * x, 6) AS DECIMAL(28,6)))
+                    AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(ROUND(x * y, 6) AS DECIMAL(28,6)))
+                    AS DOUBLE) AS sxy,
+               CAST(SUM(CAST(ROUND(x * z, 6) AS DECIMAL(28,6)))
+                    AS DOUBLE) AS sxz,
+               CAST(SUM(CAST(ROUND(y * y, 6) AS DECIMAL(28,6)))
+                    AS DOUBLE) AS syy,
+               CAST(SUM(CAST(ROUND(y * z, 6) AS DECIMAL(28,6)))
+                    AS DOUBLE) AS syz,
+               CAST(SUM(CAST(ROUND(z * z, 6) AS DECIMAL(28,6)))
+                    AS DOUBLE) AS szz
+        FROM feats),
+    m AS (
+        SELECT n, sx / n AS mx, sy / n AS my, sz / n AS mz,
+               (sxx - n * (sx / n) * (sx / n)) / (n - 1) AS c11,
+               (sxy - n * (sx / n) * (sy / n)) / (n - 1) AS c12,
+               (sxz - n * (sx / n) * (sz / n)) / (n - 1) AS c13,
+               (syy - n * (sy / n) * (sy / n)) / (n - 1) AS c22,
+               (syz - n * (sy / n) * (sz / n)) / (n - 1) AS c23,
+               (szz - n * (sz / n) * (sz / n)) / (n - 1) AS c33
+        FROM s),
+    inv AS (
+        SELECT mx, my, mz,
+               (c22 * c33 - c23 * c23) / det AS a11,
+               (c13 * c23 - c12 * c33) / det AS a12,
+               (c12 * c23 - c13 * c22) / det AS a13,
+               (c11 * c33 - c13 * c13) / det AS a22,
+               (c13 * c12 - c11 * c23) / det AS a23,
+               (c11 * c22 - c12 * c12) / det AS a33
+        FROM (SELECT *,
+                     c11 * (c22 * c33 - c23 * c23)
+                     - c12 * (c12 * c33 - c23 * c13)
+                     + c13 * (c12 * c23 - c22 * c13) AS det
+              FROM m) d),
+    scored AS (
+        SELECT f.customer_id,
+               ROUND(
+                 (f.x - i.mx) * (f.x - i.mx) * i.a11
+                 + (f.y - i.my) * (f.y - i.my) * i.a22
+                 + (f.z - i.mz) * (f.z - i.mz) * i.a33
+                 + 2 * (f.x - i.mx) * (f.y - i.my) * i.a12
+                 + 2 * (f.x - i.mx) * (f.z - i.mz) * i.a13
+                 + 2 * (f.y - i.my) * (f.z - i.mz) * i.a23, 6) AS d2
+        FROM feats f CROSS JOIN inv i)
+    SELECT customer_id, d2
+    FROM scored
+    WHERE d2 > CAST({_MAHA_CHI2_999} AS DOUBLE)
+    """,
+)
+def q_mahalanobis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multivariate customer-anomaly detection: Mahalanobis distance
+    on the 3-D (recency, order count, total spend) feature vector,
+    flagging customers beyond the chi-square(3) 99.9% contour — the
+    covariance-aware outlier screen that per-feature z-scores
+    (q_zscore / q_robust_z) cannot express (a customer can be normal
+    on every marginal but impossible jointly).
+
+    Fully oracle-checked BECAUSE d=3: the covariance inverse is the
+    closed-form adjugate/determinant, written as the identical
+    formula text in the Spark plan and the SQL oracle.  Sufficient
+    stats accumulate as rounded-product DECIMAL sums (partition-order
+    exact), the 1-row inverse broadcasts, and the quadratic form is
+    map-side scalar math — one aggregate pass + one map pass at any
+    scale.  For d~64 embeddings the same shape holds with the inverse
+    computed at the fit barrier (operators/pca.py stats); the audit
+    then rides tests instead of SQL."""
+    od = load_table(spark, sf_dir, "orders")
+    feats = od.groupBy(F.col("o_custkey").alias("customer_id")).agg(
+        F.datediff(
+            F.lit("2002-01-01").cast("date"),
+            F.to_date(F.max("o_orderdate")),
+        )
+        .cast("double")
+        .alias("x"),
+        F.count("*").cast("double").alias("y"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("z"),
+    )
+
+    def dsum(c):
+        return F.sum(F.round(c, 6).cast("decimal(28,6)")).cast("double")
+
+    s = feats.agg(
+        F.count("*").cast("double").alias("n"),
+        dsum(F.col("x")).alias("sx"),
+        dsum(F.col("y")).alias("sy"),
+        dsum(F.col("z")).alias("sz"),
+        dsum(F.col("x") * F.col("x")).alias("sxx"),
+        dsum(F.col("x") * F.col("y")).alias("sxy"),
+        dsum(F.col("x") * F.col("z")).alias("sxz"),
+        dsum(F.col("y") * F.col("y")).alias("syy"),
+        dsum(F.col("y") * F.col("z")).alias("syz"),
+        dsum(F.col("z") * F.col("z")).alias("szz"),
+    ).collect()[0]
+    n = s["n"]
+    mx, my, mz = s["sx"] / n, s["sy"] / n, s["sz"] / n
+    c11 = (s["sxx"] - n * (s["sx"] / n) * (s["sx"] / n)) / (n - 1)
+    c12 = (s["sxy"] - n * (s["sx"] / n) * (s["sy"] / n)) / (n - 1)
+    c13 = (s["sxz"] - n * (s["sx"] / n) * (s["sz"] / n)) / (n - 1)
+    c22 = (s["syy"] - n * (s["sy"] / n) * (s["sy"] / n)) / (n - 1)
+    c23 = (s["syz"] - n * (s["sy"] / n) * (s["sz"] / n)) / (n - 1)
+    c33 = (s["szz"] - n * (s["sz"] / n) * (s["sz"] / n)) / (n - 1)
+    det = (
+        c11 * (c22 * c33 - c23 * c23)
+        - c12 * (c12 * c33 - c23 * c13)
+        + c13 * (c12 * c23 - c22 * c13)
+    )
+    a11 = (c22 * c33 - c23 * c23) / det
+    a12 = (c13 * c23 - c12 * c33) / det
+    a13 = (c12 * c23 - c13 * c22) / det
+    a22 = (c11 * c33 - c13 * c13) / det
+    a23 = (c13 * c12 - c11 * c23) / det
+    a33 = (c11 * c22 - c12 * c12) / det
+    dx = F.col("x") - F.lit(mx)
+    dy = F.col("y") - F.lit(my)
+    dz = F.col("z") - F.lit(mz)
+    d2 = F.round(
+        dx * dx * F.lit(a11)
+        + dy * dy * F.lit(a22)
+        + dz * dz * F.lit(a33)
+        + F.lit(2) * dx * dy * F.lit(a12)
+        + F.lit(2) * dx * dz * F.lit(a13)
+        + F.lit(2) * dy * dz * F.lit(a23),
+        6,
+    )
+    return (
+        feats.select("customer_id", d2.alias("d2"))
+        .filter(F.col("d2") > F.lit(_MAHA_CHI2_999).cast("double"))
+    )
