@@ -160,6 +160,7 @@ HEADLINE = [
     "q_tpch_q20_derived",
     "q_dp_quantiles",
     "q_mahalanobis",
+    "q_msprt",
 ]
 
 #: Frozen comparable subsets — apples-to-apples totals across rounds.

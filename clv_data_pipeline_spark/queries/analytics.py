@@ -3540,3 +3540,180 @@ def q_mahalanobis(spark: SparkSession, sf_dir: str) -> DataFrame:
         feats.select("customer_id", d2.alias("d2"))
         .filter(F.col("d2") > F.lit(_MAHA_CHI2_999).cast("double"))
     )
+
+
+_MSPRT_ALPHA = 20.0  # 1/alpha: crossing Lambda >= 20 <=> alpha = 0.05
+
+
+@query(
+    "q_msprt",
+    oracle="""
+    WITH daily AS (
+        SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+               CAST(SUM(CASE WHEN user_id % 2 = 0
+                    THEN CAST(ROUND(value, 6) AS DECIMAL(18,6))
+                    ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+                   AS sa,
+               CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+                    AS DOUBLE) AS na,
+               CAST(SUM(CASE WHEN user_id % 2 = 1
+                    THEN CAST(ROUND(value, 6) AS DECIMAL(18,6))
+                    ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+                   AS sb,
+               CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
+                    AS DOUBLE) AS nb
+        FROM events GROUP BY 1),
+    diffs AS (
+        SELECT day, ROUND(sa / na - sb / nb, 6) AS d
+        FROM daily WHERE na > 0 AND nb > 0),
+    var AS (
+        SELECT GREATEST(
+                 ROUND((CAST(SUM(CAST(ROUND(d * d, 9) AS DECIMAL(28,9)))
+                             AS DOUBLE)
+                        - COUNT(*) *
+                          (CAST(SUM(CAST(ROUND(d, 9) AS DECIMAL(28,9)))
+                                AS DOUBLE) / COUNT(*))
+                          * (CAST(SUM(CAST(ROUND(d, 9)
+                                           AS DECIMAL(28,9)))
+                                  AS DOUBLE) / COUNT(*)))
+                       / (COUNT(*) - 1), 9),
+                 CAST(0.000001 AS DOUBLE)) AS s2
+        FROM diffs),
+    walk AS (
+        SELECT day, d,
+               CAST(ROW_NUMBER() OVER (ORDER BY day) AS DOUBLE) AS t,
+               CAST(SUM(CAST(ROUND(d, 9) AS DECIMAL(28,9)))
+                    OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+                    AS DOUBLE) AS cs
+        FROM diffs),
+    lam AS (
+        SELECT w.day, w.t,
+               ROUND(sqrt(v.s2 / (v.s2 + w.t * v.s2))
+                     * exp((w.cs / w.t) * (w.cs / w.t) * w.t * w.t
+                           * v.s2
+                           / (2 * v.s2 * (v.s2 + w.t * v.s2))), 6)
+                   AS lambda
+        FROM walk w CROSS JOIN var v)
+    SELECT day, CAST(t AS BIGINT) AS t, lambda,
+           (lambda >= CAST(20.0 AS DOUBLE)) AS crossed
+    FROM lam
+    """,
+)
+def q_msprt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Always-valid sequential A/B monitoring via the mixture SPRT
+    (Robbins; Johari et al.'s "peeking problem" fix): the day-by-day
+    likelihood-ratio trajectory for the A-vs-B difference in mean
+    event value (deterministic user-parity assignment), with mixture
+    variance tau^2 = sigma^2 and the alpha = 0.05 crossing flag per
+    day.  Unlike q_ab_test's fixed-horizon t-test, this readout stays
+    valid under continuous monitoring — the experimentation-platform
+    primitive for early stopping.
+
+    Scale shape: one corpus pass to the daily (variant-sum, count)
+    grain; the trajectory is windows over the calendar-bounded daily
+    frame.  Daily diffs round to 6 and cumulate as DECIMAL, the
+    variance uses the exact-moments form, and every Lambda rounds to
+    6 — the whole trajectory hash-verifies."""
+    ev = load_table(spark, sf_dir, "events")
+    isa = (F.col("user_id") % 2 == 0).cast("int")
+    daily = ev.groupBy(
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias(
+            "day"
+        )
+    ).agg(
+        F.sum(
+            F.when(
+                F.col("user_id") % 2 == 0,
+                F.round(F.col("value"), 6).cast("decimal(18,6)"),
+            ).otherwise(F.lit(0).cast("decimal(18,6)"))
+        )
+        .cast("double")
+        .alias("sa"),
+        F.sum(isa).cast("double").alias("na"),
+        F.sum(
+            F.when(
+                F.col("user_id") % 2 == 1,
+                F.round(F.col("value"), 6).cast("decimal(18,6)"),
+            ).otherwise(F.lit(0).cast("decimal(18,6)"))
+        )
+        .cast("double")
+        .alias("sb"),
+        F.sum(F.lit(1) - isa).cast("double").alias("nb"),
+    )
+    diffs = daily.filter((F.col("na") > 0) & (F.col("nb") > 0)).select(
+        "day",
+        F.round(
+            F.col("sa") / F.col("na") - F.col("sb") / F.col("nb"), 6
+        ).alias("d"),
+    )
+    var = diffs.agg(
+        F.greatest(
+            F.round(
+                (
+                    F.sum(
+                        F.round(F.col("d") * F.col("d"), 9).cast(
+                            "decimal(28,9)"
+                        )
+                    ).cast("double")
+                    - F.count("*")
+                    * (
+                        F.sum(
+                            F.round(F.col("d"), 9).cast("decimal(28,9)")
+                        ).cast("double")
+                        / F.count("*")
+                    )
+                    * (
+                        F.sum(
+                            F.round(F.col("d"), 9).cast("decimal(28,9)")
+                        ).cast("double")
+                        / F.count("*")
+                    )
+                )
+                / (F.count("*") - 1),
+                9,
+            ),
+            F.lit(1e-6).cast("double"),
+        ).alias("s2")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    walk = diffs.select(
+        "day",
+        F.row_number()
+        .over(Window.orderBy("day"))
+        .cast("double")
+        .alias("t"),
+        F.sum(F.round(F.col("d"), 9).cast("decimal(28,9)"))
+        .over(w)
+        .cast("double")
+        .alias("cs"),
+    )
+    lam = walk.crossJoin(F.broadcast(var)).select(
+        "day",
+        "t",
+        F.round(
+            F.sqrt(
+                F.col("s2") / (F.col("s2") + F.col("t") * F.col("s2"))
+            )
+            * F.exp(
+                (F.col("cs") / F.col("t"))
+                * (F.col("cs") / F.col("t"))
+                * F.col("t")
+                * F.col("t")
+                * F.col("s2")
+                / (
+                    F.lit(2)
+                    * F.col("s2")
+                    * (F.col("s2") + F.col("t") * F.col("s2"))
+                )
+            ),
+            6,
+        ).alias("lambda"),
+    )
+    return lam.select(
+        "day",
+        F.col("t").cast("long").alias("t"),
+        "lambda",
+        (F.col("lambda") >= F.lit(_MSPRT_ALPHA).cast("double")).alias(
+            "crossed"
+        ),
+    )

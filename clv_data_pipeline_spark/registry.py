@@ -238,7 +238,7 @@ _R6_NEW: set[str] = {
     "q_dedup_substring_incremental", "q_markov_attribution",
     "q_interval_join", "q_label_noise", "q_lm_generate",
     "q_stream_dedup_substring", "q_observe", "q_dp_quantiles",
-    "q_mahalanobis",
+    "q_mahalanobis", "q_msprt",
     "q_tpch_q2_derived", "q_tpch_q9_derived", "q_tpch_q11_derived",
     "q_tpch_q16_derived", "q_tpch_q20_derived", "q_tpch_q21_derived",
 }

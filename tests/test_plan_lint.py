@@ -81,6 +81,7 @@ _BNLJ_SCALAR_OK = {
     "q_late_events",       # 1-row (min, max) bucket-stats broadcast
     "q_quantiles_incremental",  # 1-row histogram-stats + 3-row q grid
     "q_dp_quantiles",      # 2-row q grid x 2048-bin frame cross
+    "q_msprt",             # 1-row pooled-variance broadcast
     "q_word_vectors",      # 1-row pair total + 64x64 vocab grid cross
     "q_temperature_mix",   # 1-row (N, Z) normalizer broadcast
     "q_join_explosion_audit",  # 1-row totals broadcast onto the key grid
