@@ -161,6 +161,7 @@ HEADLINE = [
     "q_dp_quantiles",
     "q_mahalanobis",
     "q_msprt",
+    "q_binary_ingest",
 ]
 
 #: Frozen comparable subsets — apples-to-apples totals across rounds.

@@ -1618,3 +1618,53 @@ def q_observe(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows long, n_nonpositive_qty long, total_price double, "
         "min_key long, max_key long",
     )
+
+
+@query(
+    "q_binary_ingest",
+    oracle="""
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS content_md5
+    FROM documents WHERE doc_id < 10
+    """,
+)
+def q_binary_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``binaryFile`` source round trip — the raw-bytes ingest path a
+    multimodal pipeline starts from (images/audio arrive as files, not
+    rows): ten documents are written out as individual files, read
+    back through ``spark.read.format("binaryFile")`` (one row per
+    file: path, length, content bytes), and identified by md5 of the
+    content — which the oracle reproduces straight from the source
+    table, proving the connector preserved every byte.
+
+    Scale notes: binaryFile parallelizes by file; content is NOT
+    splittable, so this is the LANDING reader — production flows
+    immediately re-shard into parquet with binary columns
+    (q_multimodal_meta's layout) for columnar pruning.  The filename
+    carries the record key, the standard object-store convention."""
+    import os
+    import tempfile
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 10)
+        .select(F.col("doc_id").cast("long").alias("doc_id"), "text")
+        .collect()
+    )
+    root = tempfile.mkdtemp(prefix="q_binary_ingest_")
+    for r in d:
+        with open(os.path.join(root, f"{r['doc_id']:04d}.bin"), "wb") as f:
+            f.write(r["text"].encode("utf-8"))
+    files = spark.read.format("binaryFile").load(root)
+    return files.select(
+        F.regexp_extract(
+            F.element_at(F.split(F.col("path"), "/"), -1),
+            r"(\d+)\.bin",
+            1,
+        )
+        .cast("long")
+        .alias("doc_id"),
+        F.col("length").cast("long").alias("n_bytes"),
+        F.md5(F.col("content")).alias("content_md5"),
+    )
