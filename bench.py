@@ -162,6 +162,7 @@ HEADLINE = [
     "q_mahalanobis",
     "q_msprt",
     "q_binary_ingest",
+    "q_ridge",
 ]
 
 #: Frozen comparable subsets — apples-to-apples totals across rounds.

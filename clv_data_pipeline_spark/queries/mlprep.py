@@ -17,6 +17,8 @@ aggregates, scores rounded BEFORE ranking, identical aliases both sides.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -3688,3 +3690,152 @@ def q_lm_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
         cur = row[0]["w2"]
         path.append((step, cur))
     return spark.createDataFrame(path, "step long, tok string")
+
+
+_RIDGE_LAMBDA = 100.0  # L2 penalty on the two slope terms (not intercept)
+
+
+@query(
+    "q_ridge",
+    oracle=f"""
+    WITH s AS MATERIALIZED (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM(CAST(ROUND(l_quantity, 6) AS DECIMAL(28,6)))
+                    AS DOUBLE) AS sx1,
+               CAST(SUM(CAST(ROUND(l_discount, 6) AS DECIMAL(28,6)))
+                    AS DOUBLE) AS sx2,
+               CAST(SUM(CAST(ROUND(l_extendedprice, 6)
+                    AS DECIMAL(28,6))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(ROUND(l_quantity * l_quantity, 6)
+                    AS DECIMAL(28,6))) AS DOUBLE) AS s11,
+               CAST(SUM(CAST(ROUND(l_quantity * l_discount, 6)
+                    AS DECIMAL(28,6))) AS DOUBLE) AS s12,
+               CAST(SUM(CAST(ROUND(l_discount * l_discount, 6)
+                    AS DECIMAL(28,6))) AS DOUBLE) AS s22,
+               CAST(SUM(CAST(ROUND(l_quantity * l_extendedprice, 6)
+                    AS DECIMAL(28,6))) AS DOUBLE) AS s1y,
+               CAST(SUM(CAST(ROUND(l_discount * l_extendedprice, 6)
+                    AS DECIMAL(28,6))) AS DOUBLE) AS s2y
+        FROM lineitem),
+    m AS (
+        SELECT n, sx1, sx2, sy, s1y, s2y,
+               n AS m11, sx1 AS m12, sx2 AS m13,
+               s11 + CAST({_RIDGE_LAMBDA} AS DOUBLE) AS m22,
+               s12 AS m23,
+               s22 + CAST({_RIDGE_LAMBDA} AS DOUBLE) AS m33
+        FROM s),
+    inv AS (
+        SELECT n, sy, s1y, s2y,
+               (m22 * m33 - m23 * m23) / det AS a11,
+               (m13 * m23 - m12 * m33) / det AS a12,
+               (m12 * m23 - m13 * m22) / det AS a13,
+               (m11 * m33 - m13 * m13) / det AS a22,
+               (m13 * m12 - m11 * m23) / det AS a23,
+               (m11 * m22 - m12 * m12) / det AS a33
+        FROM (SELECT *,
+                     m11 * (m22 * m33 - m23 * m23)
+                     - m12 * (m12 * m33 - m23 * m13)
+                     + m13 * (m12 * m23 - m22 * m13) AS det
+              FROM m) d),
+    beta AS MATERIALIZED (
+        SELECT n, sy,
+               ROUND(a11 * sy + a12 * s1y + a13 * s2y, 9) AS b0,
+               ROUND(a12 * sy + a22 * s1y + a23 * s2y, 9) AS b1,
+               ROUND(a13 * sy + a23 * s1y + a33 * s2y, 9) AS b2
+        FROM inv),
+    resid AS (
+        SELECT CAST(SUM(CAST(ROUND(
+                 (l.l_extendedprice
+                  - (b.b0 + b.b1 * l.l_quantity
+                     + b.b2 * l.l_discount))
+                 * (l.l_extendedprice
+                    - (b.b0 + b.b1 * l.l_quantity
+                       + b.b2 * l.l_discount)), 4)
+                 AS DECIMAL(38,4))) AS DOUBLE) AS sse,
+               CAST(SUM(CAST(ROUND(
+                 (l.l_extendedprice - b.sy / b.n)
+                 * (l.l_extendedprice - b.sy / b.n), 4)
+                 AS DECIMAL(38,4))) AS DOUBLE) AS sst
+        FROM lineitem l CROSS JOIN beta b)
+    SELECT b.b0, b.b1, b.b2,
+           ROUND(sqrt(r.sse / b.n), 6) AS rmse,
+           ROUND(1 - r.sse / r.sst, 6) AS r2
+    FROM beta b CROSS JOIN resid r
+    """,
+)
+def q_ridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form ridge regression, trained distributedly: predict
+    l_extendedprice from (l_quantity, l_discount) by solving the 3x3
+    normal equations (X'X + lambda*I_slopes) beta = X'y — the linear
+    twin of q_logreg's IRLS, and the workhorse for wide-but-shallow
+    feature models (bias-corrected price curves, demand elasticities).
+
+    The TRAINING is hash-verified, not just the scoring: sufficient
+    stats accumulate as rounded-product DECIMAL sums (partition-order
+    exact, one scan), the 3x3 solve is the closed-form adjugate
+    inverse written as identical formula text in the Spark driver and
+    the SQL oracle (q_mahalanobis discipline), betas round to 9 dp,
+    and a second scan scores train RMSE / R^2 from the broadcast
+    betas.  Scale shape: two scans + one bounded 1-row collect — at
+    100 TB the Gram matrix for d features is d^2 doubles regardless of
+    row count, so the same pattern holds to d~10^3 before the solve
+    itself needs to distribute (then: Gram via outer-product
+    aggregation into operators/pca.py's block form)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x1, x2, y = F.col("l_quantity"), F.col("l_discount"), F.col(
+        "l_extendedprice"
+    )
+
+    def dsum(c, sc=6, p=28):
+        return F.sum(F.round(c, sc).cast(f"decimal({p},{sc})")).cast(
+            "double"
+        )
+
+    s = li.agg(
+        F.count("*").cast("double").alias("n"),
+        dsum(x1).alias("sx1"),
+        dsum(x2).alias("sx2"),
+        dsum(y).alias("sy"),
+        dsum(x1 * x1).alias("s11"),
+        dsum(x1 * x2).alias("s12"),
+        dsum(x2 * x2).alias("s22"),
+        dsum(x1 * y).alias("s1y"),
+        dsum(x2 * y).alias("s2y"),
+    ).collect()[0]
+    n, sy, s1y, s2y = s["n"], s["sy"], s["s1y"], s["s2y"]
+    m11, m12, m13 = n, s["sx1"], s["sx2"]
+    m22 = s["s11"] + _RIDGE_LAMBDA
+    m23 = s["s12"]
+    m33 = s["s22"] + _RIDGE_LAMBDA
+    det = (
+        m11 * (m22 * m33 - m23 * m23)
+        - m12 * (m12 * m33 - m23 * m13)
+        + m13 * (m12 * m23 - m22 * m13)
+    )
+    a11 = (m22 * m33 - m23 * m23) / det
+    a12 = (m13 * m23 - m12 * m33) / det
+    a13 = (m12 * m23 - m13 * m22) / det
+    a22 = (m11 * m33 - m13 * m13) / det
+    a23 = (m13 * m12 - m11 * m23) / det
+    a33 = (m11 * m22 - m12 * m12) / det
+    b0 = round(a11 * sy + a12 * s1y + a13 * s2y, 9)
+    b1 = round(a12 * sy + a22 * s1y + a23 * s2y, 9)
+    b2 = round(a13 * sy + a23 * s1y + a33 * s2y, 9)
+    pred = F.lit(b0) + F.lit(b1) * x1 + F.lit(b2) * x2
+    ybar = F.lit(sy) / F.lit(n)
+    r = li.agg(
+        dsum((y - pred) * (y - pred), 4, 38).alias("sse"),
+        dsum((y - ybar) * (y - ybar), 4, 38).alias("sst"),
+    ).collect()[0]
+    return spark.createDataFrame(
+        [
+            (
+                b0,
+                b1,
+                b2,
+                round(math.sqrt(r["sse"] / n), 6),
+                round(1 - r["sse"] / r["sst"], 6),
+            )
+        ],
+        "b0 double, b1 double, b2 double, rmse double, r2 double",
+    )
