@@ -163,6 +163,7 @@ HEADLINE = [
     "q_msprt",
     "q_binary_ingest",
     "q_ridge",
+    "q_woe_iv",
 ]
 
 #: Frozen comparable subsets — apples-to-apples totals across rounds.

@@ -3839,3 +3839,119 @@ def q_ridge(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "b0 double, b1 double, b2 double, rmse double, r2 double",
     )
+
+
+@query(
+    "q_woe_iv",
+    oracle="""
+    WITH base AS (
+        SELECT CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END
+                   AS bad,
+               o.o_orderpriority AS priority,
+               c.c_mktsegment AS segment
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+    long AS (
+        SELECT 'priority' AS feature, priority AS value, bad FROM base
+        UNION ALL
+        SELECT 'segment' AS feature, segment AS value, bad FROM base),
+    cnt AS (
+        SELECT feature, value,
+               CAST(SUM(1 - bad) AS DOUBLE) AS n_good,
+               CAST(SUM(bad) AS DOUBLE) AS n_bad
+        FROM long GROUP BY feature, value),
+    tot AS (
+        SELECT *,
+               SUM(n_good) OVER (PARTITION BY feature) AS tg,
+               SUM(n_bad) OVER (PARTITION BY feature) AS tb
+        FROM cnt),
+    w AS (
+        SELECT feature, value,
+               CAST(n_good AS BIGINT) AS n_good,
+               CAST(n_bad AS BIGINT) AS n_bad,
+               ROUND(ln((n_good / tg) / (n_bad / tb)), 9) AS woe,
+               n_good / tg - n_bad / tb AS share_diff
+        FROM tot)
+    SELECT feature, value, n_good, n_bad, woe,
+           ROUND(share_diff * woe, 9) AS iv_term,
+           CAST(SUM(CAST(ROUND(share_diff * woe, 9)
+                    AS DECIMAL(18,9)))
+                OVER (PARTITION BY feature) AS DOUBLE) AS iv
+    FROM w
+    """,
+)
+def q_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence encoding + information value — the classic
+    credit-scoring feature screen: for each categorical feature, how
+    strongly does each level separate the binary target (order landed
+    in final status 'F'), and how much total predictive power does the
+    feature carry (IV < 0.02 useless, > 0.3 strong)?  Complements
+    q_target_encode (which encodes; this RANKS features before you
+    encode them).
+
+    Shape: one broadcast join, one unpivot (two features stacked into
+    a long frame in the same scan), one groupBy to a
+    cardinality-bounded frame, then windows over that tiny frame —
+    per-feature totals and the IV sum never touch row-level data
+    again.  ln() is libm-dependent across engines, so each WoE/IV
+    term rounds to 9 dp before the DECIMAL IV sum (the q_perplexity
+    discipline); count ratios are exact-integer doubles, so every
+    other scalar is bit-deterministic."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    base = o.join(
+        F.broadcast(c), o["o_custkey"] == c["c_custkey"]
+    ).select(
+        F.when(F.col("o_orderstatus") == "F", 1)
+        .otherwise(0)
+        .alias("bad"),
+        F.col("o_orderpriority").alias("priority"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    long = base.select(
+        F.expr(
+            "stack(2, 'priority', priority, 'segment', segment)"
+        ).alias("feature", "value"),
+        "bad",
+    )
+    cnt = long.groupBy("feature", "value").agg(
+        F.sum(1 - F.col("bad")).cast("double").alias("n_good"),
+        F.sum("bad").cast("double").alias("n_bad"),
+    )
+    wf = Window.partitionBy("feature")
+    tot = cnt.withColumn("tg", F.sum("n_good").over(wf)).withColumn(
+        "tb", F.sum("n_bad").over(wf)
+    )
+    woe = F.round(
+        F.log(
+            (F.col("n_good") / F.col("tg"))
+            / (F.col("n_bad") / F.col("tb"))
+        ),
+        9,
+    )
+    share_diff = F.col("n_good") / F.col("tg") - F.col("n_bad") / F.col(
+        "tb"
+    )
+    w = tot.select(
+        "feature",
+        "value",
+        F.col("n_good").cast("long").alias("n_good"),
+        F.col("n_bad").cast("long").alias("n_bad"),
+        woe.alias("woe"),
+        share_diff.alias("share_diff"),
+    )
+    return w.select(
+        "feature",
+        "value",
+        "n_good",
+        "n_bad",
+        "woe",
+        F.round(F.col("share_diff") * F.col("woe"), 9).alias("iv_term"),
+        F.sum(
+            F.round(F.col("share_diff") * F.col("woe"), 9).cast(
+                "decimal(18,9)"
+            )
+        )
+        .over(wf)
+        .cast("double")
+        .alias("iv"),
+    )
