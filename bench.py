@@ -164,6 +164,7 @@ HEADLINE = [
     "q_binary_ingest",
     "q_ridge",
     "q_woe_iv",
+    "q_ndcg",
 ]
 
 #: Frozen comparable subsets — apples-to-apples totals across rounds.

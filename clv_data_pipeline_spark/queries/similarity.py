@@ -866,3 +866,152 @@ def q_bitext_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("r") == 1) & (F.col("margin") > 1))
         .select("src_id", "tgt_id", "sim", "margin")
     )
+
+
+@query(
+    "q_ndcg",
+    oracle="""
+    WITH probes AS (
+        SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv,
+               label AS qlabel
+        FROM embeddings WHERE vec_id < 5),
+    cands AS (
+        SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv,
+               label AS clabel
+        FROM embeddings WHERE vec_id >= 5),
+    pairs AS MATERIALIZED (
+        SELECT qid, qlabel, cid, clabel,
+               ROUND(list_cosine_similarity(qv, cv), 6) AS sim
+        FROM probes, cands),
+    ranked AS (
+        SELECT qid, qlabel, cid, clabel, sim,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                   ORDER BY sim DESC, cid) AS rnk
+        FROM pairs),
+    nrel AS MATERIALIZED (
+        SELECT qid,
+               CAST(SUM(CASE WHEN clabel = qlabel THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_rel
+        FROM pairs GROUP BY qid),
+    dcg AS (
+        SELECT qid,
+               CAST(SUM(CASE WHEN clabel = qlabel THEN 1 ELSE 0 END)
+                    AS BIGINT) AS hits,
+               CAST(SUM(CAST(ROUND(
+                   CASE WHEN clabel = qlabel
+                        THEN CAST(1 AS DOUBLE)
+                             / log2(CAST(rnk + 1 AS DOUBLE))
+                        ELSE CAST(0 AS DOUBLE) END, 9)
+                   AS DECIMAL(18,9))) AS DOUBLE) AS dcg
+        FROM ranked WHERE rnk <= 10 GROUP BY qid),
+    idcg AS (
+        SELECT qid,
+               CAST(SUM(CAST(ROUND(
+                   CAST(1 AS DOUBLE)
+                   / log2(CAST(i + 1 AS DOUBLE)), 9)
+                   AS DECIMAL(18,9))) AS DOUBLE) AS idcg
+        FROM (SELECT qid,
+                     UNNEST(generate_series(
+                         1, CAST(LEAST(10, n_rel) AS INT))) AS i
+              FROM nrel) g
+        GROUP BY qid)
+    SELECT d.qid AS query_id, n.n_rel, d.hits, d.dcg, i.idcg,
+           ROUND(d.dcg / i.idcg, 6) AS ndcg
+    FROM dcg d JOIN idcg i ON d.qid = i.qid
+    JOIN nrel n ON d.qid = n.qid
+    """,
+)
+def q_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 — THE ranking-quality metric for retrieval stacks
+    (complements q_ann_recall's set-overlap recall and q_auc's
+    classification ranking): five probe vectors retrieve by exact
+    cosine, a hit is a same-label candidate, and position-discounted
+    gain over the ideal ordering yields normalized DCG per query.
+
+    Determinism: cosine rounds to 6 dp BEFORE ranking (ties break on
+    candidate id), each 1/log2(rank+1) discount term rounds to 9 dp
+    before its DECIMAL sum (libm log2 differs across engines), and
+    the ideal DCG enumerates min(10, n_rel) ranks by exploding a
+    bounded sequence on the 5-row frame — no join against row-level
+    data after the one scoring pass.  Scale: the probe set broadcasts
+    (bounded query batch), scoring is one map-side pass over the
+    index shard — the eval never shuffles the corpus, so it runs at
+    any index size; swap the exact kernel for q_ann_ivf's and this
+    same harness measures production NDCG."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qv"),
+        F.col("label").alias("qlabel"),
+    )
+    cands = emb.filter(F.col("vec_id") >= 5).select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("cv"),
+        F.col("label").alias("clabel"),
+    )
+    pairs = cands.crossJoin(F.broadcast(probes)).select(
+        "qid",
+        "qlabel",
+        "cid",
+        "clabel",
+        F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("sim"),
+    )
+    rel = F.when(F.col("clabel") == F.col("qlabel"), 1).otherwise(0)
+    ranked = pairs.withColumn(
+        "rnk",
+        F.row_number().over(
+            Window.partitionBy("qid").orderBy(F.desc("sim"), "cid")
+        ),
+    )
+    nrel = pairs.groupBy("qid").agg(
+        F.sum(rel).cast("long").alias("n_rel")
+    )
+    one = F.lit(1).cast("double")
+    dcg = (
+        ranked.filter(F.col("rnk") <= 10)
+        .groupBy("qid")
+        .agg(
+            F.sum(rel).cast("long").alias("hits"),
+            F.sum(
+                F.round(
+                    F.when(
+                        F.col("clabel") == F.col("qlabel"),
+                        one / F.log2((F.col("rnk") + 1).cast("double")),
+                    ).otherwise(F.lit(0.0)),
+                    9,
+                ).cast("decimal(18,9)")
+            )
+            .cast("double")
+            .alias("dcg"),
+        )
+    )
+    idcg = (
+        nrel.select(
+            "qid",
+            F.explode(
+                F.sequence(F.lit(1), F.least(F.lit(10), F.col("n_rel")).cast("int"))
+            ).alias("i"),
+        )
+        .groupBy("qid")
+        .agg(
+            F.sum(
+                F.round(
+                    one / F.log2((F.col("i") + 1).cast("double")), 9
+                ).cast("decimal(18,9)")
+            )
+            .cast("double")
+            .alias("idcg")
+        )
+    )
+    return (
+        dcg.join(idcg, "qid")
+        .join(nrel, "qid")
+        .select(
+            F.col("qid").alias("query_id"),
+            "n_rel",
+            "hits",
+            "dcg",
+            "idcg",
+            F.round(F.col("dcg") / F.col("idcg"), 6).alias("ndcg"),
+        )
+    )
