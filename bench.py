@@ -165,6 +165,7 @@ HEADLINE = [
     "q_ridge",
     "q_woe_iv",
     "q_ndcg",
+    "q_did",
 ]
 
 #: Frozen comparable subsets — apples-to-apples totals across rounds.

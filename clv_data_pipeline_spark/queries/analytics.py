@@ -3717,3 +3717,144 @@ def q_msprt(spark: SparkSession, sf_dir: str) -> DataFrame:
             "crossed"
         ),
     )
+
+
+@query(
+    "q_did",
+    oracle="""
+    WITH cells AS (
+        SELECT event_type,
+               CAST(SUM(CASE WHEN user_id % 2 = 0 AND ts >= TIMESTAMP '2024-01-16'
+                    THEN 1 ELSE 0 END) AS DOUBLE) AS n_tp,
+               CAST(SUM(CASE WHEN user_id % 2 = 0 AND ts >= TIMESTAMP '2024-01-16'
+                    THEN CAST(value AS DECIMAL(18,4))
+                    ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS s_tp,
+               CAST(SUM(CASE WHEN user_id % 2 = 0 AND ts >= TIMESTAMP '2024-01-16'
+                    THEN CAST(value AS DECIMAL(18,4)) * CAST(value AS DECIMAL(18,4))
+                    ELSE CAST(0 AS DECIMAL(36,8)) END) AS DOUBLE) AS ss_tp,
+               CAST(SUM(CASE WHEN user_id % 2 = 0 AND ts < TIMESTAMP '2024-01-16'
+                    THEN 1 ELSE 0 END) AS DOUBLE) AS n_t0,
+               CAST(SUM(CASE WHEN user_id % 2 = 0 AND ts < TIMESTAMP '2024-01-16'
+                    THEN CAST(value AS DECIMAL(18,4))
+                    ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS s_t0,
+               CAST(SUM(CASE WHEN user_id % 2 = 0 AND ts < TIMESTAMP '2024-01-16'
+                    THEN CAST(value AS DECIMAL(18,4)) * CAST(value AS DECIMAL(18,4))
+                    ELSE CAST(0 AS DECIMAL(36,8)) END) AS DOUBLE) AS ss_t0,
+               CAST(SUM(CASE WHEN user_id % 2 = 1 AND ts >= TIMESTAMP '2024-01-16'
+                    THEN 1 ELSE 0 END) AS DOUBLE) AS n_cp,
+               CAST(SUM(CASE WHEN user_id % 2 = 1 AND ts >= TIMESTAMP '2024-01-16'
+                    THEN CAST(value AS DECIMAL(18,4))
+                    ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS s_cp,
+               CAST(SUM(CASE WHEN user_id % 2 = 1 AND ts >= TIMESTAMP '2024-01-16'
+                    THEN CAST(value AS DECIMAL(18,4)) * CAST(value AS DECIMAL(18,4))
+                    ELSE CAST(0 AS DECIMAL(36,8)) END) AS DOUBLE) AS ss_cp,
+               CAST(SUM(CASE WHEN user_id % 2 = 1 AND ts < TIMESTAMP '2024-01-16'
+                    THEN 1 ELSE 0 END) AS DOUBLE) AS n_c0,
+               CAST(SUM(CASE WHEN user_id % 2 = 1 AND ts < TIMESTAMP '2024-01-16'
+                    THEN CAST(value AS DECIMAL(18,4))
+                    ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS s_c0,
+               CAST(SUM(CASE WHEN user_id % 2 = 1 AND ts < TIMESTAMP '2024-01-16'
+                    THEN CAST(value AS DECIMAL(18,4)) * CAST(value AS DECIMAL(18,4))
+                    ELSE CAST(0 AS DECIMAL(36,8)) END) AS DOUBLE) AS ss_c0
+        FROM events GROUP BY event_type),
+    m AS (
+        SELECT event_type,
+               CAST(n_tp AS BIGINT) + CAST(n_t0 AS BIGINT)
+               + CAST(n_cp AS BIGINT) + CAST(n_c0 AS BIGINT) AS n,
+               s_tp / n_tp AS mtp, s_t0 / n_t0 AS mt0,
+               s_cp / n_cp AS mcp, s_c0 / n_c0 AS mc0,
+               (ss_tp - s_tp * s_tp / n_tp) / (n_tp - 1) / n_tp
+               + (ss_t0 - s_t0 * s_t0 / n_t0) / (n_t0 - 1) / n_t0
+               + (ss_cp - s_cp * s_cp / n_cp) / (n_cp - 1) / n_cp
+               + (ss_c0 - s_c0 * s_c0 / n_c0) / (n_c0 - 1) / n_c0
+                   AS se2
+        FROM cells)
+    SELECT event_type, n,
+           ROUND(mtp - mt0, 6) AS treat_delta,
+           ROUND(mcp - mc0, 6) AS control_delta,
+           ROUND((mtp - mt0) - (mcp - mc0), 6) AS did,
+           ROUND(sqrt(se2), 6) AS se,
+           ROUND(((mtp - mt0) - (mcp - mc0)) / sqrt(se2), 6) AS t_stat
+    FROM m
+    """,
+)
+def q_did(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences — the causal readout when treatment
+    wasn't randomized per-unit but switched ON at a date (pricing
+    change, rollout): per event type, the treated cohort's pre->post
+    mean shift minus the control cohort's shift removes the shared
+    time trend q_ab_test would confound.  Completes the
+    experimentation shelf: q_ab_test (fixed horizon), q_cuped
+    (variance reduction), q_msprt (sequential), this (quasi-
+    experiments).
+
+    ONE conditionally-aggregated scan computes all four cells'
+    (n, sum, sum-of-squares) per group — no period/cohort self-join
+    of the log, and the DECIMAL accumulators make the float inputs
+    partition-order exact (q_ab_test discipline).  The DiD estimate,
+    its large-sample SE (sum of four cell variances of the mean), and
+    the t statistic are identical IEEE754 scalar expressions per
+    5-row group."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        (F.col("user_id") % 2 == 0).alias("treat"),
+        (F.col("ts") >= F.lit("2024-01-16")).alias("post"),
+        F.col("value").cast("decimal(18,4)").alias("v"),
+    )
+
+    def cell(t, p):
+        cond = (F.col("treat") == t) & (F.col("post") == p)
+        z4 = F.lit(0).cast("decimal(18,4)")
+        z8 = F.lit(0).cast("decimal(36,8)")
+        return (
+            F.sum(F.when(cond, 1).otherwise(0)).cast("double"),
+            F.sum(F.when(cond, F.col("v")).otherwise(z4)).cast("double"),
+            F.sum(
+                F.when(cond, F.col("v") * F.col("v")).otherwise(z8)
+            ).cast("double"),
+        )
+
+    n_tp, s_tp, ss_tp = cell(True, True)
+    n_t0, s_t0, ss_t0 = cell(True, False)
+    n_cp, s_cp, ss_cp = cell(False, True)
+    n_c0, s_c0, ss_c0 = cell(False, False)
+    cells = ev.groupBy("event_type").agg(
+        n_tp.alias("n_tp"), s_tp.alias("s_tp"), ss_tp.alias("ss_tp"),
+        n_t0.alias("n_t0"), s_t0.alias("s_t0"), ss_t0.alias("ss_t0"),
+        n_cp.alias("n_cp"), s_cp.alias("s_cp"), ss_cp.alias("ss_cp"),
+        n_c0.alias("n_c0"), s_c0.alias("s_c0"), ss_c0.alias("ss_c0"),
+    )
+
+    def mean(s, n):
+        return F.col(s) / F.col(n)
+
+    def varm(ss, s, n):
+        return (
+            (F.col(ss) - F.col(s) * F.col(s) / F.col(n))
+            / (F.col(n) - 1)
+            / F.col(n)
+        )
+
+    mtp, mt0 = mean("s_tp", "n_tp"), mean("s_t0", "n_t0")
+    mcp, mc0 = mean("s_cp", "n_cp"), mean("s_c0", "n_c0")
+    se2 = (
+        varm("ss_tp", "s_tp", "n_tp")
+        + varm("ss_t0", "s_t0", "n_t0")
+        + varm("ss_cp", "s_cp", "n_cp")
+        + varm("ss_c0", "s_c0", "n_c0")
+    )
+    did = (mtp - mt0) - (mcp - mc0)
+    return cells.select(
+        "event_type",
+        (
+            F.col("n_tp").cast("long")
+            + F.col("n_t0").cast("long")
+            + F.col("n_cp").cast("long")
+            + F.col("n_c0").cast("long")
+        ).alias("n"),
+        F.round(mtp - mt0, 6).alias("treat_delta"),
+        F.round(mcp - mc0, 6).alias("control_delta"),
+        F.round(did, 6).alias("did"),
+        F.round(F.sqrt(se2), 6).alias("se"),
+        F.round(did / F.sqrt(se2), 6).alias("t_stat"),
+    )
