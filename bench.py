@@ -166,6 +166,7 @@ HEADLINE = [
     "q_woe_iv",
     "q_ndcg",
     "q_did",
+    "q_shapley_attribution",
 ]
 
 #: Frozen comparable subsets — apples-to-apples totals across rounds.

@@ -3858,3 +3858,155 @@ def q_did(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sqrt(se2), 6).alias("se"),
         F.round(did / F.sqrt(se2), 6).alias("t_stat"),
     )
+
+
+@query(
+    "q_shapley_attribution",
+    oracle="""
+    WITH j AS (
+        SELECT user_id, CAST(ts AS DATE) AS day,
+               MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                   AS v,
+               MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                   AS c,
+               MAX(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+                   AS s,
+               MAX(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                   AS e,
+               MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS conv
+        FROM events GROUP BY 1, 2),
+    sets AS MATERIALIZED (
+        SELECT v + 2 * c + 4 * s + 8 * e AS mask,
+               CAST(SUM(conv) AS BIGINT) AS conv
+        FROM j WHERE v + 2 * c + 4 * s + 8 * e > 0 GROUP BY 1),
+    grid AS (SELECT UNNEST(generate_series(0, 15)) AS coal),
+    vs AS MATERIALIZED (
+        SELECT g.coal,
+               COALESCE(CAST(SUM(t.conv) AS BIGINT), 0) AS v
+        FROM grid g LEFT JOIN sets t ON (t.mask & g.coal) = t.mask
+        GROUP BY g.coal),
+    ch AS (SELECT * FROM (VALUES ('view', 1), ('click', 2),
+                                 ('signup', 4), ('error', 8))
+           AS t(channel, bit)),
+    terms AS (
+        SELECT ch.channel,
+               ROUND((CASE bit_count(a.coal)
+                      WHEN 0 THEN CAST(1 AS DOUBLE) / 4
+                      WHEN 1 THEN CAST(1 AS DOUBLE) / 12
+                      WHEN 2 THEN CAST(1 AS DOUBLE) / 12
+                      ELSE CAST(1 AS DOUBLE) / 4 END)
+                     * (b.v - a.v), 9) AS term
+        FROM ch JOIN vs a ON (a.coal & ch.bit) = 0
+        JOIN vs b ON b.coal = a.coal + ch.bit),
+    tot AS (SELECT v AS vfull FROM vs WHERE coal = 15)
+    SELECT channel,
+           CAST(SUM(CAST(term AS DECIMAL(18,9))) AS DOUBLE)
+               AS shapley,
+           ROUND(CAST(SUM(CAST(term AS DECIMAL(18,9))) AS DOUBLE)
+                 / t.vfull, 6) AS share
+    FROM terms CROSS JOIN tot t GROUP BY channel, t.vfull
+    """,
+)
+def q_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Shapley-value channel attribution — the game-theoretic
+    credit model next to q_markov_attribution's removal effects: each
+    (user, day) journey contributes its touched-channel SET and
+    whether it converted; the worth of a channel coalition is the
+    conversions of journeys it fully covers; each channel's credit is
+    its exact Shapley value (axiomatic fair split — efficiency,
+    symmetry, dummy all hold by construction, and the efficiency
+    axiom Sum(shapley) = v(full) doubles as a built-in audit).
+
+    Exact, not sampled, BECAUSE the channel set is bounded: 4
+    channels -> 16 coalitions, so after ONE groupBy compressing the
+    log to journeys and one more to <=15 (mask, conversions) rows,
+    every remaining frame is a 16-row grid — subset-containment
+    semi-sums, the 8-coalition-per-channel marginal sweep, and the
+    factorial-weighted DECIMAL sum never touch row-level data.  At
+    100 TB only the first groupBy scales (hash-partitioned on
+    (user, day)); with k channels the grid is 2^k — exact to k~20,
+    then sample permutations (Castro et al.) with this same frame as
+    the estimator's input.  Weights s!(k-1-s)!/k! are written as the
+    identical double division in plan and oracle; v(S) is integer."""
+    ev = load_table(spark, sf_dir, "events")
+    j = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.max(
+            F.when(F.col("event_type") == "view", 1).otherwise(0)
+        ).alias("v"),
+        F.max(
+            F.when(F.col("event_type") == "click", 1).otherwise(0)
+        ).alias("c"),
+        F.max(
+            F.when(F.col("event_type") == "signup", 1).otherwise(0)
+        ).alias("s"),
+        F.max(
+            F.when(F.col("event_type") == "error", 1).otherwise(0)
+        ).alias("e"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("conv"),
+    )
+    mask = (
+        F.col("v") + 2 * F.col("c") + 4 * F.col("s") + 8 * F.col("e")
+    )
+    sets = (
+        j.select(mask.alias("mask"), "conv")
+        .filter(F.col("mask") > 0)
+        .groupBy("mask")
+        .agg(F.sum("conv").cast("long").alias("conv"))
+    )
+    grid = spark.range(16).select(F.col("id").cast("int").alias("coal"))
+    vs = (
+        grid.join(
+            F.broadcast(sets),
+            (F.col("mask").bitwiseAND(F.col("coal")) == F.col("mask")),
+            "left",
+        )
+        .groupBy("coal")
+        .agg(F.coalesce(F.sum("conv"), F.lit(0)).cast("long").alias("v"))
+    )
+    ch = spark.createDataFrame(
+        [("view", 1), ("click", 2), ("signup", 4), ("error", 8)],
+        "channel string, bit int",
+    )
+    a = vs.alias("a")
+    b = vs.alias("b")
+    one = F.lit(1).cast("double")
+    w = (
+        F.when(F.bit_count(F.col("a.coal")) == 0, one / 4)
+        .when(F.bit_count(F.col("a.coal")) == 1, one / 12)
+        .when(F.bit_count(F.col("a.coal")) == 2, one / 12)
+        .otherwise(one / 4)
+    )
+    terms = (
+        ch.join(
+            F.broadcast(a),
+            F.col("a.coal").bitwiseAND(F.col("bit")) == 0,
+        )
+        .join(
+            F.broadcast(b),
+            F.col("b.coal") == F.col("a.coal") + F.col("bit"),
+        )
+        .select(
+            "channel",
+            F.round(w * (F.col("b.v") - F.col("a.v")), 9).alias("term"),
+        )
+    )
+    tot = vs.filter(F.col("coal") == 15).select(
+        F.col("v").alias("vfull")
+    )
+    return (
+        terms.crossJoin(F.broadcast(tot))
+        .groupBy("channel", "vfull")
+        .agg(
+            F.sum(F.col("term").cast("decimal(18,9)"))
+            .cast("double")
+            .alias("shapley")
+        )
+        .select(
+            "channel",
+            "shapley",
+            F.round(F.col("shapley") / F.col("vfull"), 6).alias("share"),
+        )
+    )
