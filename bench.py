@@ -167,6 +167,7 @@ HEADLINE = [
     "q_ndcg",
     "q_did",
     "q_shapley_attribution",
+    "q_conformal",
 ]
 
 #: Frozen comparable subsets — apples-to-apples totals across rounds.

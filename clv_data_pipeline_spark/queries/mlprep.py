@@ -3955,3 +3955,167 @@ def q_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("iv"),
     )
+
+
+_CONF_BIN = 500  # conformal score histogram bin width (price units)
+
+
+@query(
+    "q_conformal",
+    oracle=f"""
+    WITH tagged AS (
+        SELECT l_quantity AS q, l_extendedprice AS y,
+               CASE WHEN substr(md5(CAST(l_orderkey AS VARCHAR) || '-'
+                         || CAST(l_linenumber AS VARCHAR)), 1, 2) < '99'
+                    THEN 'train'
+                    WHEN substr(md5(CAST(l_orderkey AS VARCHAR) || '-'
+                         || CAST(l_linenumber AS VARCHAR)), 1, 2) < 'cc'
+                    THEN 'cal'
+                    ELSE 'test' END AS split
+        FROM lineitem),
+    model AS MATERIALIZED (
+        SELECT q,
+               ROUND(CAST(SUM(CAST(y AS DECIMAL(18,4))) AS DOUBLE)
+                     / COUNT(*), 6) AS pred
+        FROM tagged WHERE split = 'train' GROUP BY q),
+    cal AS MATERIALIZED (
+        SELECT ABS(t.y - m.pred) AS s
+        FROM tagged t JOIN model m ON t.q = m.q
+        WHERE t.split = 'cal'),
+    nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cal,
+                  (9 * (CAST(COUNT(*) AS BIGINT) + 1) + 9) // 10 AS k
+           FROM cal),
+    hist AS (
+        SELECT CAST(FLOOR(s / CAST({_CONF_BIN} AS DOUBLE)) AS BIGINT)
+                   AS bin,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM cal GROUP BY 1),
+    qhat AS (
+        SELECT CAST(MIN(CAST({_CONF_BIN} AS BIGINT) * (h.bin + 1))
+                    AS DOUBLE) AS q_hat
+        FROM (SELECT bin, SUM(c) OVER (ORDER BY bin) AS cum
+              FROM hist) h CROSS JOIN nc
+        WHERE h.cum >= nc.k),
+    test AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_test,
+               CAST(SUM(CASE WHEN ABS(t.y - m.pred) <= qh.q_hat
+                        THEN 1 ELSE 0 END) AS BIGINT) AS covered
+        FROM tagged t JOIN model m ON t.q = m.q
+        CROSS JOIN qhat qh
+        WHERE t.split = 'test')
+    SELECT nc.n_cal, nc.k, qh.q_hat,
+           CAST(2 AS DOUBLE) * qh.q_hat AS width,
+           t.n_test, t.covered,
+           ROUND(CAST(t.covered AS DOUBLE) / t.n_test, 6) AS coverage
+    FROM nc CROSS JOIN qhat qh CROSS JOIN test t
+    """,
+)
+def q_conformal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split conformal prediction — distribution-free intervals with a
+    finite-sample coverage guarantee, the calibration layer any
+    deployed regressor (q_ridge, the CLV scores) should ship with:
+    a train split fits the predictor (per-quantity mean price), a
+    calibration split takes the ceil((n+1)*0.9)-th smallest absolute
+    residual as the interval half-width q_hat, and a held-out test
+    split reports realized coverage of pred +/- q_hat.
+
+    The conformal quantile is selected from a HISTOGRAM of scores
+    (bin-bounded cumulative window, never a global sort of the
+    calibration set) and rounded UP to its bin's upper edge — which
+    only widens intervals, so the >= 90% marginal-coverage guarantee
+    survives the approximation; the rank threshold k uses pure
+    integer arithmetic on both engines.  Splits are md5-prefix
+    assignments (q_train_split discipline): engine-, partitioning-,
+    and rerun-exact.  Scale: two broadcast model joins + one bounded
+    histogram — no step touches more than one scan of lineitem."""
+    li = load_table(spark, sf_dir, "lineitem")
+    prefix = F.substring(
+        F.md5(
+            F.concat(
+                F.col("l_orderkey").cast("string"),
+                F.lit("-"),
+                F.col("l_linenumber").cast("string"),
+            )
+        ),
+        1,
+        2,
+    )
+    tagged = li.select(
+        F.col("l_quantity").alias("q"),
+        F.col("l_extendedprice").alias("y"),
+        F.when(prefix < "99", "train")
+        .when(prefix < "cc", "cal")
+        .otherwise("test")
+        .alias("split"),
+    )
+    model = (
+        tagged.filter(F.col("split") == "train")
+        .groupBy("q")
+        .agg(
+            F.round(
+                F.sum(F.col("y").cast("decimal(18,4)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("pred")
+        )
+    )
+    cal = (
+        tagged.filter(F.col("split") == "cal")
+        .join(F.broadcast(model), "q")
+        .select(F.abs(F.col("y") - F.col("pred")).alias("s"))
+    )
+    nc = cal.agg(
+        F.count("*").cast("long").alias("n_cal"),
+        F.expr("(9 * (count(*) + 1) + 9) div 10").alias("k"),
+    )
+    hist = cal.groupBy(
+        F.floor(F.col("s") / F.lit(float(_CONF_BIN)))
+        .cast("long")
+        .alias("bin")
+    ).agg(F.count("*").cast("long").alias("c"))
+    cum = hist.select(
+        "bin",
+        F.sum("c")
+        .over(Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum"),
+    )
+    qhat = (
+        cum.crossJoin(F.broadcast(nc))
+        .filter(F.col("cum") >= F.col("k"))
+        .agg(
+            F.min(F.lit(_CONF_BIN).cast("long") * (F.col("bin") + 1))
+            .cast("double")
+            .alias("q_hat")
+        )
+    )
+    test = (
+        tagged.filter(F.col("split") == "test")
+        .join(F.broadcast(model), "q")
+        .crossJoin(F.broadcast(qhat))
+        .agg(
+            F.count("*").cast("long").alias("n_test"),
+            F.sum(
+                F.when(
+                    F.abs(F.col("y") - F.col("pred")) <= F.col("q_hat"),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("covered"),
+        )
+    )
+    return (
+        nc.crossJoin(F.broadcast(qhat))
+        .crossJoin(F.broadcast(test))
+        .select(
+            "n_cal",
+            "k",
+            "q_hat",
+            (F.lit(2).cast("double") * F.col("q_hat")).alias("width"),
+            "n_test",
+            "covered",
+            F.round(
+                F.col("covered").cast("double") / F.col("n_test"), 6
+            ).alias("coverage"),
+        )
+    )
