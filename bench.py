@@ -168,6 +168,7 @@ HEADLINE = [
     "q_did",
     "q_shapley_attribution",
     "q_conformal",
+    "q_changepoint",
 ]
 
 #: Frozen comparable subsets — apples-to-apples totals across rounds.

@@ -4010,3 +4010,136 @@ def q_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("shapley") / F.col("vfull"), 6).alias("share"),
         )
     )
+
+
+@query(
+    "q_changepoint",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                    AS BIGINT) AS x,
+               CAST(SUM(CAST(value AS DECIMAL(18,4)))
+                    AS DECIMAL(18,4)) AS y
+        FROM events GROUP BY 1, 2),
+    cum AS (
+        SELECT event_type, x,
+               SUM(y) OVER (PARTITION BY event_type ORDER BY x
+                            ROWS UNBOUNDED PRECEDING) AS cs,
+               SUM(CAST(y * y AS DECIMAL(38,8)))
+                   OVER (PARTITION BY event_type ORDER BY x
+                         ROWS UNBOUNDED PRECEDING) AS css,
+               CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                    ORDER BY x) AS BIGINT) AS k,
+               CAST(COUNT(*) OVER (PARTITION BY event_type)
+                    AS BIGINT) AS n,
+               SUM(y) OVER (PARTITION BY event_type) AS ts,
+               SUM(CAST(y * y AS DECIMAL(38,8)))
+                   OVER (PARTITION BY event_type) AS tss
+        FROM daily),
+    scored AS (
+        SELECT event_type, x, k, n,
+               ROUND(CAST(cs AS DOUBLE) / k, 6) AS mean_before,
+               ROUND((CAST(ts AS DOUBLE) - CAST(cs AS DOUBLE))
+                     / (n - k), 6) AS mean_after,
+               ROUND(CAST(tss AS DOUBLE)
+                     - CAST(ts AS DOUBLE) * CAST(ts AS DOUBLE) / n, 6)
+                   AS sse_total,
+               ROUND((CAST(css AS DOUBLE)
+                      - CAST(cs AS DOUBLE) * CAST(cs AS DOUBLE) / k)
+                     + ((CAST(tss AS DOUBLE) - CAST(css AS DOUBLE))
+                        - (CAST(ts AS DOUBLE) - CAST(cs AS DOUBLE))
+                          * (CAST(ts AS DOUBLE) - CAST(cs AS DOUBLE))
+                          / (n - k)), 6) AS sse_split
+        FROM cum WHERE k < n),
+    best AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                      ORDER BY sse_split, x) AS rn
+        FROM scored)
+    SELECT event_type, x AS change_day, n AS n_days,
+           mean_before, mean_after, sse_total, sse_split,
+           ROUND(1 - sse_split / sse_total, 6) AS pct_reduction
+    FROM best WHERE rn = 1
+    """,
+)
+def q_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline changepoint detection (binary segmentation, one split):
+    per event type, the day boundary whose two-segment piecewise-mean
+    fit most reduces SSE over the daily-revenue series — the batch
+    twin of q_cusum's online drift alarm, and the first split of the
+    full binary-segmentation recursion (re-run per segment to find
+    more breaks).
+
+    The log compresses to a days x types daily frame in one groupBy;
+    prefix sums accumulate as exact DECIMAL inside deterministic-order
+    windows (so both engines see bit-identical cumulative stats), and
+    every candidate split's SSE is closed-form from (cum sum, cum
+    sumsq, totals) — the O(n^2)-naive scan becomes O(n) window math
+    on a bounded frame.  Scale: only the daily aggregation touches
+    row-level data; a 100 TB log still reduces to days x types rows."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
+        .cast("long")
+        .alias("x"),
+    ).agg(
+        F.sum(F.col("value").cast("decimal(18,4)"))
+        .cast("decimal(18,4)")
+        .alias("y")
+    )
+    wo = (
+        Window.partitionBy("event_type")
+        .orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wp = Window.partitionBy("event_type")
+    yy = (F.col("y") * F.col("y")).cast("decimal(38,8)")
+    cum = daily.select(
+        "event_type",
+        "x",
+        F.sum("y").over(wo).alias("cs"),
+        F.sum(yy).over(wo).alias("css"),
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("x"))
+        .cast("long")
+        .alias("k"),
+        F.count("*").over(wp).cast("long").alias("n"),
+        F.sum("y").over(wp).alias("ts"),
+        F.sum(yy).over(wp).alias("tss"),
+    )
+    cs, css = F.col("cs").cast("double"), F.col("css").cast("double")
+    ts, tss = F.col("ts").cast("double"), F.col("tss").cast("double")
+    k, n = F.col("k"), F.col("n")
+    scored = cum.filter(k < n).select(
+        "event_type",
+        "x",
+        "k",
+        "n",
+        F.round(cs / k, 6).alias("mean_before"),
+        F.round((ts - cs) / (n - k), 6).alias("mean_after"),
+        F.round(tss - ts * ts / n, 6).alias("sse_total"),
+        F.round(
+            (css - cs * cs / k)
+            + ((tss - css) - (ts - cs) * (ts - cs) / (n - k)),
+            6,
+        ).alias("sse_split"),
+    )
+    best = scored.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("event_type").orderBy("sse_split", "x")
+        ),
+    ).filter(F.col("rn") == 1)
+    return best.select(
+        "event_type",
+        F.col("x").alias("change_day"),
+        F.col("n").alias("n_days"),
+        "mean_before",
+        "mean_after",
+        "sse_total",
+        "sse_split",
+        F.round(1 - F.col("sse_split") / F.col("sse_total"), 6).alias(
+            "pct_reduction"
+        ),
+    )
