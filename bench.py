@@ -169,6 +169,7 @@ HEADLINE = [
     "q_shapley_attribution",
     "q_conformal",
     "q_changepoint",
+    "q_item_cf",
 ]
 
 #: Frozen comparable subsets — apples-to-apples totals across rounds.

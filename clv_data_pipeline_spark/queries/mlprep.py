@@ -4119,3 +4119,119 @@ def q_conformal(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("coverage"),
         )
     )
+
+
+@query(
+    "q_item_cf",
+    oracle="""
+    WITH ui AS MATERIALIZED (
+        SELECT DISTINCT o.o_custkey AS u, p.p_brand AS b
+        FROM orders o
+        JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        JOIN part p ON l.l_partkey = p.p_partkey),
+    cnt AS (SELECT b, CAST(COUNT(*) AS DOUBLE) AS n
+            FROM ui GROUP BY b),
+    co AS (
+        SELECT a.b AS i, c.b AS j, CAST(COUNT(*) AS DOUBLE) AS co
+        FROM ui a JOIN ui c ON a.u = c.u AND a.b <> c.b
+        GROUP BY 1, 2),
+    sim AS MATERIALIZED (
+        SELECT i, j, ROUND(co.co / sqrt(ni.n * nj.n), 9) AS s
+        FROM co JOIN cnt ni ON co.i = ni.b
+        JOIN cnt nj ON co.j = nj.b),
+    scores AS (
+        SELECT ui.u, s.j AS b,
+               CAST(SUM(CAST(s.s AS DECIMAL(18,9))) AS DOUBLE)
+                   AS score
+        FROM ui JOIN sim s ON ui.b = s.i
+        GROUP BY 1, 2),
+    unseen AS (
+        SELECT sc.u, sc.b, sc.score FROM scores sc
+        WHERE NOT EXISTS (SELECT 1 FROM ui
+                          WHERE ui.u = sc.u AND ui.b = sc.b)),
+    best AS (
+        SELECT u, b, score,
+               ROW_NUMBER() OVER (PARTITION BY u
+                   ORDER BY score DESC, b) AS rn
+        FROM unseen)
+    SELECT u AS customer_id, b AS rec_brand, score
+    FROM best WHERE rn = 1
+    """,
+)
+def q_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering (the classic Amazon
+    memory-based recommender) — next-best-brand per customer from
+    cosine similarity of brands' customer-incidence vectors, the
+    training-free twin of q_als_recommend (ALS learns latent factors;
+    this reads co-occurrence straight off the interaction matrix).
+
+    Shape that scales: the co-occurrence self-join is keyed on
+    customer with per-customer fan-out bounded by the brand
+    vocabulary (cap heavy users in production), the similarity matrix
+    is vocab^2-bounded and BROADCASTS, and scoring is one broadcast
+    join + a (customer, brand) partial-aggregable sum — the only
+    full shuffle in the plan is keyed on customer.  Similarities
+    round to 9 dp before the DECIMAL score sums (libm sqrt is
+    IEEE-exact, but the division result still rounds before
+    accumulation so score sums are order-free); seen brands drop via
+    an anti-join; rank ties break on brand."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    ui = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .select(
+            F.col("o_custkey").alias("u"), F.col("p_brand").alias("b")
+        )
+        .distinct()
+    )
+    cnt = ui.groupBy("b").agg(F.count("*").cast("double").alias("n"))
+    a, c = ui.alias("a"), ui.alias("c")
+    co = (
+        a.join(
+            c,
+            (F.col("a.u") == F.col("c.u"))
+            & (F.col("a.b") != F.col("c.b")),
+        )
+        .groupBy(F.col("a.b").alias("i"), F.col("c.b").alias("j"))
+        .agg(F.count("*").cast("double").alias("co"))
+    )
+    ni = cnt.select(F.col("b").alias("i"), F.col("n").alias("n_i"))
+    nj = cnt.select(F.col("b").alias("j"), F.col("n").alias("n_j"))
+    sim = (
+        co.join(F.broadcast(ni), "i")
+        .join(F.broadcast(nj), "j")
+        .select(
+            "i",
+            "j",
+            F.round(
+                F.col("co") / F.sqrt(F.col("n_i") * F.col("n_j")), 9
+            ).alias("s"),
+        )
+    )
+    scores = (
+        ui.join(F.broadcast(sim), ui["b"] == sim["i"])
+        .groupBy("u", F.col("j").alias("rb"))
+        .agg(
+            F.sum(F.col("s").cast("decimal(18,9)"))
+            .cast("double")
+            .alias("score")
+        )
+    )
+    unseen = scores.join(
+        ui,
+        (scores["u"] == ui["u"]) & (scores["rb"] == ui["b"]),
+        "left_anti",
+    )
+    best = unseen.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("u").orderBy(F.desc("score"), "rb")
+        ),
+    ).filter(F.col("rn") == 1)
+    return best.select(
+        F.col("u").alias("customer_id"),
+        F.col("rb").alias("rec_brand"),
+        "score",
+    )
