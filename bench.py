@@ -170,6 +170,7 @@ HEADLINE = [
     "q_conformal",
     "q_changepoint",
     "q_item_cf",
+    "q_jl_projection",
 ]
 
 #: Frozen comparable subsets — apples-to-apples totals across rounds.

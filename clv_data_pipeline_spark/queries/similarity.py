@@ -1015,3 +1015,155 @@ def q_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("dcg") / F.col("idcg"), 6).alias("ndcg"),
         )
     )
+
+
+@query(
+    "q_jl_projection",
+    oracle="""
+    WITH sample AS MATERIALIZED (
+        SELECT vec_id,
+               generate_subscripts(embedding, 1) AS c,
+               CAST(unnest(embedding) AS DOUBLE) AS x
+        FROM embeddings WHERE vec_id < 20),
+    r_grid AS (
+        SELECT r.r, c.c,
+               CASE WHEN substr(md5('jl|' || CAST(r.r AS VARCHAR)
+                         || '|' || CAST(c.c AS VARCHAR)), 1, 1) < '8'
+                    THEN CAST(0.25 AS DOUBLE)
+                    ELSE CAST(-0.25 AS DOUBLE) END AS sgn
+        FROM (SELECT UNNEST(generate_series(0, 15)) AS r) r,
+             (SELECT UNNEST(generate_series(1, 64)) AS c) c),
+    proj AS MATERIALIZED (
+        SELECT s.vec_id, g.r,
+               CAST(SUM(CAST(ROUND(s.x * g.sgn, 9) AS DECIMAL(18,9)))
+                    AS DOUBLE) AS py
+        FROM sample s JOIN r_grid g ON s.c = g.c
+        GROUP BY 1, 2),
+    dproj AS (
+        SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+               CAST(SUM(CAST(ROUND((a.py - b.py) * (a.py - b.py), 9)
+                    AS DECIMAL(18,9))) AS DOUBLE) AS d_proj
+        FROM proj a JOIN proj b
+          ON a.r = b.r AND a.vec_id < b.vec_id
+        GROUP BY 1, 2),
+    dorig AS (
+        SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+               CAST(SUM(CAST(ROUND((a.x - b.x) * (a.x - b.x), 9)
+                    AS DECIMAL(18,9))) AS DOUBLE) AS d_orig
+        FROM sample a JOIN sample b
+          ON a.c = b.c AND a.vec_id < b.vec_id
+        GROUP BY 1, 2)
+    SELECT p.a_id, p.b_id,
+           ROUND(o.d_orig, 6) AS d_orig,
+           ROUND(p.d_proj, 6) AS d_proj,
+           ROUND(p.d_proj / o.d_orig, 6) AS ratio,
+           ABS(p.d_proj / o.d_orig - 1) <= CAST(0.5 AS DOUBLE)
+               AS within_bound
+    FROM dproj p JOIN dorig o
+      ON p.a_id = o.a_id AND p.b_id = o.b_id
+    """,
+)
+def q_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection 64 -> 16 dims with a
+    measured pairwise-distortion audit — the dimensionality-reduction
+    step that makes downstream ANN/dedup kernels 4x cheaper, plus the
+    "measure your approximation" receipt: every sampled pair's
+    squared-distance ratio after/before projection, flagged against
+    the eps=0.5 JL band.
+
+    The projection matrix is DATA-FREE and engine-portable: entry
+    (r, c) is +-1/sqrt(16) = +-0.25 (exactly representable) by an
+    md5 coin — no RNG state, so any executor regenerates any tile
+    and both engines agree bit-for-bit.  Matrix-multiply runs
+    long-form here (explode -> broadcast sign grid -> partial-
+    aggregable DECIMAL sum) so the whole audit is hash-verified; the
+    production projection of a full corpus rides the same Arrow-BLAS
+    kernel as operators/similarity.py scoring (one mapInArrow pass,
+    no shuffle), with this query as its distortion monitor.  Scale:
+    audit cost is pairs(sample) x dim, sample-bounded by design."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    sample = emb.filter(F.col("vec_id") < 20).select(
+        "vec_id",
+        F.posexplode("embedding").alias("c0", "x0"),
+    ).select(
+        "vec_id",
+        (F.col("c0") + 1).alias("c"),
+        F.col("x0").cast("double").alias("x"),
+    )
+    rg = spark.range(16).select(
+        F.col("id").alias("r"),
+        F.explode(F.sequence(F.lit(1), F.lit(64))).alias("c"),
+    )
+    sgn = F.when(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit("jl|"),
+                    F.col("r").cast("string"),
+                    F.lit("|"),
+                    F.col("c").cast("string"),
+                )
+            ),
+            1,
+            1,
+        )
+        < "8",
+        F.lit(0.25),
+    ).otherwise(F.lit(-0.25))
+    r_grid = rg.select("r", "c", sgn.alias("sgn"))
+
+    def dsum9(c):
+        return F.sum(F.round(c, 9).cast("decimal(18,9)")).cast("double")
+
+    proj = (
+        sample.join(F.broadcast(r_grid), "c")
+        .groupBy("vec_id", "r")
+        .agg(dsum9(F.col("x") * F.col("sgn")).alias("py"))
+    )
+    pa, pb = proj.alias("a"), proj.alias("b")
+    dproj = (
+        pa.join(
+            pb,
+            (F.col("a.r") == F.col("b.r"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .groupBy(
+            F.col("a.vec_id").alias("a_id"),
+            F.col("b.vec_id").alias("b_id"),
+        )
+        .agg(
+            dsum9(
+                (F.col("a.py") - F.col("b.py"))
+                * (F.col("a.py") - F.col("b.py"))
+            ).alias("d_proj")
+        )
+    )
+    sa, sb = sample.alias("a"), sample.alias("b")
+    dorig = (
+        sa.join(
+            sb,
+            (F.col("a.c") == F.col("b.c"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .groupBy(
+            F.col("a.vec_id").alias("a_id"),
+            F.col("b.vec_id").alias("b_id"),
+        )
+        .agg(
+            dsum9(
+                (F.col("a.x") - F.col("b.x"))
+                * (F.col("a.x") - F.col("b.x"))
+            ).alias("d_orig")
+        )
+    )
+    ratio = F.col("d_proj") / F.col("d_orig")
+    return dproj.join(dorig, ["a_id", "b_id"]).select(
+        "a_id",
+        "b_id",
+        F.round("d_orig", 6).alias("d_orig"),
+        F.round("d_proj", 6).alias("d_proj"),
+        F.round(ratio, 6).alias("ratio"),
+        (F.abs(ratio - 1) <= F.lit(0.5).cast("double")).alias(
+            "within_bound"
+        ),
+    )
