@@ -171,6 +171,7 @@ HEADLINE = [
     "q_changepoint",
     "q_item_cf",
     "q_jl_projection",
+    "q_srm",
 ]
 
 #: Frozen comparable subsets — apples-to-apples totals across rounds.

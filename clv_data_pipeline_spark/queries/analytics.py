@@ -4143,3 +4143,65 @@ def q_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pct_reduction"
         ),
     )
+
+
+@query(
+    "q_srm",
+    oracle="""
+    WITH arms AS (
+        SELECT event_type,
+               CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_a,
+               CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_b
+        FROM events GROUP BY event_type)
+    SELECT event_type, n_a, n_b,
+           ROUND(CAST(n_a AS DOUBLE) / (n_a + n_b), 6) AS share_a,
+           ROUND((n_a - (n_a + n_b) / CAST(2 AS DOUBLE))
+                 * (n_a - (n_a + n_b) / CAST(2 AS DOUBLE))
+                 / ((n_a + n_b) / CAST(2 AS DOUBLE))
+                 + (n_b - (n_a + n_b) / CAST(2 AS DOUBLE))
+                 * (n_b - (n_a + n_b) / CAST(2 AS DOUBLE))
+                 / ((n_a + n_b) / CAST(2 AS DOUBLE)), 6) AS chi2,
+           (n_a - (n_a + n_b) / CAST(2 AS DOUBLE))
+           * (n_a - (n_a + n_b) / CAST(2 AS DOUBLE))
+           / ((n_a + n_b) / CAST(2 AS DOUBLE))
+           + (n_b - (n_a + n_b) / CAST(2 AS DOUBLE))
+           * (n_b - (n_a + n_b) / CAST(2 AS DOUBLE))
+           / ((n_a + n_b) / CAST(2 AS DOUBLE))
+           > CAST(3.841 AS DOUBLE) AS srm_flag
+    FROM arms
+    """,
+)
+def q_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch guardrail — the first thing every
+    experimentation platform checks before reading any metric: does
+    the realized arm split match the designed 50/50 allocation?  A
+    chi-square goodness-of-fit per event type against the expected
+    half-and-half; chi2 > 3.841 (p < 0.05, 1 dof) flags a broken
+    randomizer, bot skew, or logging loss — conditions under which
+    q_ab_test / q_did readouts are invalid no matter how significant.
+
+    One conditionally-aggregated scan to a 5-row frame; all counts
+    are integers so every downstream double is bit-deterministic
+    (no rounding discipline needed beyond the display ROUND)."""
+    ev = load_table(spark, sf_dir, "events")
+    arms = ev.groupBy("event_type").agg(
+        F.sum(F.when(F.col("user_id") % 2 == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_a"),
+        F.sum(F.when(F.col("user_id") % 2 == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_b"),
+    )
+    n_a, n_b = F.col("n_a"), F.col("n_b")
+    e = (n_a + n_b) / F.lit(2).cast("double")
+    chi2 = (n_a - e) * (n_a - e) / e + (n_b - e) * (n_b - e) / e
+    return arms.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        F.round(n_a.cast("double") / (n_a + n_b), 6).alias("share_a"),
+        F.round(chi2, 6).alias("chi2"),
+        (chi2 > F.lit(3.841).cast("double")).alias("srm_flag"),
+    )
