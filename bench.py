@@ -172,6 +172,7 @@ HEADLINE = [
     "q_item_cf",
     "q_jl_projection",
     "q_srm",
+    "q_rake",
 ]
 
 #: Frozen comparable subsets — apples-to-apples totals across rounds.

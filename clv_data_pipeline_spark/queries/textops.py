@@ -3318,3 +3318,125 @@ def q_stream_dedup_substring(
     spark.sql(f"DROP TABLE IF EXISTS {out_table}")
     spark.sql(f"DROP TABLE IF EXISTS {index_table}")
     return out
+
+
+@query(
+    "q_rake",
+    oracle=r"""
+    WITH phr AS (
+        SELECT trim(p) AS phrase
+        FROM (SELECT unnest(string_split(
+                  regexp_replace(text, '\b(a|the)\b', '|', 'g'),
+                  '|')) AS p
+              FROM documents)
+        WHERE trim(p) <> ''),
+    inst AS MATERIALIZED (
+        SELECT phrase,
+               list_filter(string_split(phrase, ' '),
+                           x -> x <> '') AS ws
+        FROM phr),
+    wstat AS (
+        SELECT unnest(ws) AS w, len(ws) AS L FROM inst),
+    wscore AS MATERIALIZED (
+        SELECT w,
+               ROUND(CAST(SUM(L) AS DOUBLE) / COUNT(*), 9) AS s
+        FROM wstat GROUP BY w),
+    dphr AS (
+        SELECT phrase, CAST(COUNT(*) AS BIGINT) AS n_occ
+        FROM inst GROUP BY phrase),
+    dw AS (
+        SELECT phrase, n_occ,
+               unnest(list_filter(string_split(phrase, ' '),
+                                  x -> x <> '')) AS w
+        FROM dphr),
+    ps AS (
+        SELECT phrase, n_occ,
+               CAST(COUNT(*) AS BIGINT) AS n_words,
+               CAST(SUM(CAST(sc.s AS DECIMAL(18,9))) AS DOUBLE)
+                   AS score
+        FROM dw JOIN wscore sc ON dw.w = sc.w
+        GROUP BY phrase, n_occ)
+    SELECT phrase, n_occ, n_words, score
+    FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY score DESC, phrase)
+                        AS rn
+          FROM ps)
+    WHERE rn <= 10
+    """,
+)
+def q_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010) — the unsupervised
+    keyphrase miner: candidate phrases are maximal stopword-free runs
+    (stopwords 'a'/'the' split the text), each word scores
+    degree/frequency over all phrase instances (words that appear in
+    LONG phrases rank above merely frequent ones), and a phrase's
+    score is the sum of its member word scores — surfacing the
+    multi-word technical terms TF-IDF's unigram view misses.
+
+    Shape: phrase extraction is map-only regex+split inside codegen;
+    word stats aggregate to a vocabulary-bounded frame that
+    BROADCASTS back onto the distinct-phrase frame; phrase scores are
+    9 dp-rounded DECIMAL sums (order-free); global top-10 rides the
+    rank-filter WindowGroupLimit (map-side top-n per partition, never
+    a full sort).  At 100 TB every stage is one scan + vocab-bounded
+    exchange."""
+    d = load_table(spark, sf_dir, "documents")
+    phr = (
+        d.select(
+            F.explode(
+                F.split(
+                    F.regexp_replace(
+                        F.col("text"), r"\b(a|the)\b", "|"
+                    ),
+                    r"\|",
+                )
+            ).alias("p")
+        )
+        .select(F.trim(F.col("p")).alias("phrase"))
+        .filter(F.col("phrase") != "")
+    )
+    inst = phr.select(
+        "phrase",
+        F.filter(
+            F.split(F.col("phrase"), " "), lambda x: x != ""
+        ).alias("ws"),
+    )
+    wstat = inst.select(
+        F.explode("ws").alias("w"), F.size("ws").alias("L")
+    )
+    wscore = wstat.groupBy("w").agg(
+        F.round(
+            F.sum("L").cast("double") / F.count("*"), 9
+        ).alias("s")
+    )
+    dphr = inst.groupBy("phrase").agg(
+        F.count("*").cast("long").alias("n_occ")
+    )
+    dw = dphr.select(
+        "phrase",
+        "n_occ",
+        F.explode(
+            F.filter(
+                F.split(F.col("phrase"), " "), lambda x: x != ""
+            )
+        ).alias("w"),
+    )
+    ps = (
+        dw.join(F.broadcast(wscore), "w")
+        .groupBy("phrase", "n_occ")
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.sum(F.col("s").cast("decimal(18,9)"))
+            .cast("double")
+            .alias("score"),
+        )
+    )
+    return (
+        ps.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.orderBy(F.desc("score"), "phrase")
+            ),
+        )
+        .filter(F.col("rn") <= 10)
+        .select("phrase", "n_occ", "n_words", "score")
+    )

@@ -243,7 +243,7 @@ _R6_NEW: set[str] = {
     "q_tpch_q16_derived", "q_tpch_q20_derived", "q_tpch_q21_derived",
     "q_binary_ingest", "q_ridge", "q_woe_iv", "q_ndcg", "q_did",
     "q_shapley_attribution", "q_conformal", "q_changepoint",
-    "q_item_cf", "q_jl_projection", "q_srm",
+    "q_item_cf", "q_jl_projection", "q_srm", "q_rake",
 }
 
 
