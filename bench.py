@@ -173,6 +173,8 @@ HEADLINE = [
     "q_jl_projection",
     "q_srm",
     "q_rake",
+    "q_power_analysis",
+    "q_stratified_ate",
 ]
 
 #: Frozen comparable subsets — apples-to-apples totals across rounds.

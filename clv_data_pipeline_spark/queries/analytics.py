@@ -4205,3 +4205,195 @@ def q_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(chi2, 6).alias("chi2"),
         (chi2 > F.lit(3.841).cast("double")).alias("srm_flag"),
     )
+
+
+@query(
+    "q_power_analysis",
+    oracle="""
+    WITH stats AS (
+        SELECT event_type,
+               CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_a,
+               CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_b,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS s,
+               CAST(SUM(CAST(value AS DECIMAL(18,4))
+                        * CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+                   AS ss
+        FROM events GROUP BY event_type),
+    m AS (
+        SELECT event_type, n_a, n_b, s / n AS mean,
+               (ss - s * s / n) / (n - 1) AS var,
+               CASE WHEN n_a < n_b THEN n_a ELSE n_b END AS n_arm
+        FROM stats)
+    SELECT event_type, n_arm,
+           ROUND(mean, 6) AS mean,
+           ROUND(sqrt(var), 6) AS sd,
+           ROUND((CAST(1.959964 AS DOUBLE) + CAST(0.841621 AS DOUBLE))
+                 * sqrt(2 * var / n_arm), 6) AS mde_abs,
+           ROUND((CAST(1.959964 AS DOUBLE) + CAST(0.841621 AS DOUBLE))
+                 * sqrt(2 * var / n_arm) / mean, 6) AS mde_rel,
+           CAST(CEIL(ROUND(
+               2 * var
+               * (CAST(1.959964 AS DOUBLE) + CAST(0.841621 AS DOUBLE))
+               * (CAST(1.959964 AS DOUBLE) + CAST(0.841621 AS DOUBLE))
+               / ((CAST(0.01 AS DOUBLE) * mean)
+                  * (CAST(0.01 AS DOUBLE) * mean)), 6))
+               AS BIGINT) AS n_per_arm_for_1pct
+    FROM m
+    """,
+)
+def q_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment power analysis from observed data — the planning
+    step BEFORE q_ab_test: per event type, the minimum detectable
+    effect at the current per-arm sample size (alpha=0.05 two-sided,
+    80% power) and the per-arm n required to detect a 1% lift, both
+    from the metric's measured variance.  Teams that skip this ship
+    underpowered tests; this makes the cost of a 1%-lift readout a
+    query away.
+
+    One DECIMAL sufficient-stats scan to a 5-row frame; z-quantile
+    constants (1.959964, 0.841621) are identical double literals on
+    both engines, sqrt is IEEE-exact, and the required-n CEIL is
+    taken after a 6 dp round so the integer boundary is engine-safe."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.col("value").cast("decimal(18,4)")
+    stats = ev.groupBy("event_type").agg(
+        F.sum(F.when(F.col("user_id") % 2 == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_a"),
+        F.sum(F.when(F.col("user_id") % 2 == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_b"),
+        F.count("*").cast("long").alias("n"),
+        F.sum(v).cast("double").alias("s"),
+        F.sum(v * v).cast("double").alias("ss"),
+    )
+    mean = F.col("s") / F.col("n")
+    var = (F.col("ss") - F.col("s") * F.col("s") / F.col("n")) / (
+        F.col("n") - 1
+    )
+    n_arm = F.when(F.col("n_a") < F.col("n_b"), F.col("n_a")).otherwise(
+        F.col("n_b")
+    )
+    z = F.lit(1.959964).cast("double") + F.lit(0.841621).cast("double")
+    mde = z * F.sqrt(2 * var / n_arm)
+    eps = F.lit(0.01).cast("double") * mean
+    return stats.select(
+        "event_type",
+        n_arm.alias("n_arm"),
+        F.round(mean, 6).alias("mean"),
+        F.round(F.sqrt(var), 6).alias("sd"),
+        F.round(mde, 6).alias("mde_abs"),
+        F.round(mde / mean, 6).alias("mde_rel"),
+        F.ceil(F.round(2 * var * z * z / (eps * eps), 6))
+        .cast("long")
+        .alias("n_per_arm_for_1pct"),
+    )
+
+
+@query(
+    "q_stratified_ate",
+    oracle="""
+    WITH cells AS (
+        SELECT event_type,
+               CAST(user_id % 2 = 0 AS BIGINT) AS treat,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS s,
+               CAST(SUM(CAST(value AS DECIMAL(18,4))
+                        * CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+                   AS ss
+        FROM events GROUP BY 1, 2),
+    strata AS (
+        SELECT t.event_type,
+               t.n + c.n AS n_s,
+               t.s / t.n - c.s / c.n AS delta,
+               (t.ss - t.s * t.s / t.n) / (t.n - 1) / t.n
+               + (c.ss - c.s * c.s / c.n) / (c.n - 1) / c.n AS var_s
+        FROM cells t JOIN cells c ON t.event_type = c.event_type
+        WHERE t.treat = 1 AND c.treat = 0),
+    tot AS (SELECT CAST(SUM(n_s) AS DOUBLE) AS n FROM strata)
+    SELECT CAST(SUM(s.n_s) AS BIGINT) AS n,
+           CAST(SUM(CAST(ROUND(s.n_s / t.n * s.delta, 9)
+                    AS DECIMAL(18,9))) AS DOUBLE) AS ate,
+           ROUND(sqrt(CAST(SUM(CAST(ROUND(
+               (s.n_s / t.n) * (s.n_s / t.n) * s.var_s, 9)
+               AS DECIMAL(18,9))) AS DOUBLE)), 6) AS se,
+           ROUND(CAST(SUM(CAST(ROUND(s.n_s / t.n * s.delta, 9)
+                         AS DECIMAL(18,9))) AS DOUBLE)
+                 / sqrt(CAST(SUM(CAST(ROUND(
+                     (s.n_s / t.n) * (s.n_s / t.n) * s.var_s, 9)
+                     AS DECIMAL(18,9))) AS DOUBLE)), 6) AS t_stat
+    FROM strata s CROSS JOIN tot t GROUP BY t.n
+    """,
+)
+def q_stratified_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-stratification average treatment effect — the adjustment
+    that de-confounds a lopsided assignment: the per-stratum
+    (event type) treated-vs-control mean gaps combine with
+    stratum-size weights, so a treatment over-represented in
+    high-value strata no longer fakes a lift (Simpson's-paradox-proof
+    where the naive q_ab_test pooled difference is not).  With
+    user_id%2 assignment the strata are balanced and this converges
+    to the pooled estimate — the point is the estimator, verified
+    end-to-end.
+
+    One conditionally-grouped scan to 10 cells, a 5-row stratum
+    self-join, weighted combination as 9 dp-rounded DECIMAL sums
+    (order-free), and the stratified SE from within-cell variances —
+    nothing after the first aggregate touches row-level data."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.col("value").cast("decimal(18,4)")
+    cells = ev.groupBy(
+        "event_type",
+        (F.col("user_id") % 2 == 0).cast("long").alias("treat"),
+    ).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(v).cast("double").alias("s"),
+        F.sum(v * v).cast("double").alias("ss"),
+    )
+    t = cells.filter(F.col("treat") == 1).drop("treat")
+    c = cells.filter(F.col("treat") == 0).drop("treat")
+    strata = t.alias("t").join(c.alias("c"), "event_type").select(
+        "event_type",
+        (F.col("t.n") + F.col("c.n")).alias("n_s"),
+        (
+            F.col("t.s") / F.col("t.n") - F.col("c.s") / F.col("c.n")
+        ).alias("delta"),
+        (
+            (
+                F.col("t.ss")
+                - F.col("t.s") * F.col("t.s") / F.col("t.n")
+            )
+            / (F.col("t.n") - 1)
+            / F.col("t.n")
+            + (
+                F.col("c.ss")
+                - F.col("c.s") * F.col("c.s") / F.col("c.n")
+            )
+            / (F.col("c.n") - 1)
+            / F.col("c.n")
+        ).alias("var_s"),
+    )
+    tot = strata.agg(F.sum("n_s").cast("double").alias("n"))
+    w = F.col("n_s") / F.col("n")
+    ate = F.sum(
+        F.round(w * F.col("delta"), 9).cast("decimal(18,9)")
+    ).cast("double")
+    var = F.sum(
+        F.round(w * w * F.col("var_s"), 9).cast("decimal(18,9)")
+    ).cast("double")
+    return (
+        strata.crossJoin(F.broadcast(tot))
+        .groupBy("n")
+        .agg(
+            F.sum("n_s").cast("long").alias("n_total"),
+            ate.alias("ate"),
+            F.round(F.sqrt(var), 6).alias("se"),
+            F.round(ate / F.sqrt(var), 6).alias("t_stat"),
+        )
+        .select(
+            F.col("n_total").alias("n"), "ate", "se", "t_stat"
+        )
+    )
