@@ -175,6 +175,7 @@ HEADLINE = [
     "q_rake",
     "q_power_analysis",
     "q_stratified_ate",
+    "q_ucb_bandit",
 ]
 
 #: Frozen comparable subsets — apples-to-apples totals across rounds.

@@ -4397,3 +4397,168 @@ def q_stratified_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_total").alias("n"), "ate", "se", "t_stat"
         )
     )
+
+
+_UCB_ARMS = ["click", "error", "purchase", "signup", "view"]
+_UCB_DAYS = 30
+
+
+def _ucb_oracle() -> str:
+    """Unrolled UCB1 replay: 30 chained CTE steps, each picking the
+    max-UCB arm (9 dp-rounded, tie on arm name) from the previous
+    state and folding that day's DECIMAL reward back in — DuckDB
+    replays the exact decision trajectory, hash-verifying the POLICY,
+    not just per-arm stats."""
+    arms_list = ", ".join(f"'{a}'" for a in _UCB_ARMS)
+    steps = []
+    for t in range(1, _UCB_DAYS + 1):
+        if t <= len(_UCB_ARMS):
+            pick = f"pick{t} AS (SELECT '{_UCB_ARMS[t - 1]}' AS arm)"
+        else:
+            pick = f"""pick{t} AS (
+        SELECT arm FROM (
+            SELECT arm,
+                   ROUND(CAST(s AS DOUBLE) / n
+                         + sqrt(2 * ln(CAST({t} AS DOUBLE)) / n), 9)
+                       AS u
+            FROM st{t - 1})
+        ORDER BY u DESC, arm LIMIT 1)"""
+        steps.append(f"""
+    {pick},
+    rew{t} AS MATERIALIZED (
+        SELECT g.arm, g.r FROM grid g JOIN pick{t} p ON g.arm = p.arm
+        WHERE g.day = {t}),
+    st{t} AS MATERIALIZED (
+        SELECT s.arm,
+               s.n + CASE WHEN s.arm = c.arm THEN 1 ELSE 0 END AS n,
+               CAST(s.s + CASE WHEN s.arm = c.arm THEN c.r
+                           ELSE CAST(0 AS DECIMAL(18,6)) END
+                    AS DECIMAL(18,6)) AS s
+        FROM st{t - 1} s CROSS JOIN rew{t} c)""")
+    traj_union = "\n        UNION ALL ".join(
+        f"SELECT {t} AS day, arm, r FROM rew{t}"
+        for t in range(1, _UCB_DAYS + 1)
+    )
+    return f"""
+    WITH daily AS MATERIALIZED (
+        SELECT CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                    + 1 AS BIGINT) AS day,
+               event_type AS arm,
+               ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+                     / COUNT(*), 6) AS r
+        FROM events GROUP BY 1, 2),
+    grid AS MATERIALIZED (
+        SELECT d.day, a.arm,
+               CAST(COALESCE(dd.r, 0) AS DECIMAL(18,6)) AS r
+        FROM (SELECT UNNEST(generate_series(1, {_UCB_DAYS})) AS day) d
+        CROSS JOIN (SELECT UNNEST([{arms_list}]) AS arm) a
+        LEFT JOIN daily dd ON dd.day = d.day AND dd.arm = a.arm),
+    st0 AS (SELECT arm, 0 AS n, CAST(0 AS DECIMAL(18,6)) AS s
+            FROM (SELECT UNNEST([{arms_list}]) AS arm)),
+    {','.join(steps)},
+    traj AS ({traj_union}),
+    cums AS (
+        SELECT day, arm, CAST(r AS DOUBLE) AS reward,
+               CAST(SUM(r) OVER (ORDER BY day) AS DOUBLE) AS cum_reward
+        FROM traj),
+    bestcum AS (
+        SELECT day, MAX(cs) AS best
+        FROM (SELECT day,
+                     CAST(SUM(r) OVER (PARTITION BY arm ORDER BY day)
+                          AS DECIMAL(18,6)) AS cs
+              FROM grid) g
+        GROUP BY day)
+    SELECT c.day, c.arm, c.reward, c.cum_reward,
+           CAST(b.best AS DOUBLE) AS cum_best,
+           ROUND(CAST(b.best AS DOUBLE) - c.cum_reward, 6) AS regret
+    FROM cums c JOIN bestcum b ON b.day = c.day
+    """
+
+
+@query("q_ucb_bandit", oracle=_ucb_oracle())
+def q_ucb_bandit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline UCB1 bandit replay — the sequential-decisioning
+    primitive (adaptive campaign/arm selection) the batch experiment
+    shelf lacks: days are rounds, event types are arms, the day's
+    mean value is the pulled arm's reward, and UCB1
+    (mean + sqrt(2 ln t / n), each arm initialized once) balances
+    exploration against exploitation.  The output trajectory carries
+    realized cumulative reward against the best-fixed-arm-in-
+    hindsight benchmark — regret, the quantity bandit deployments
+    monitor.
+
+    The log compresses to a days x arms reward frame in one scan;
+    the 30-step replay is inherently sequential, so it runs at the
+    driver over that BOUNDED frame (the ALS/q_lm_generate fit-barrier
+    pattern: collect is days*arms rows, never the log), with rewards
+    accumulated as exact Decimals.  The oracle unrolls all 30
+    decisions as chained CTEs — the POLICY's every pick is
+    hash-verified, the q_markov_attribution discipline.  UCB scores
+    round to 9 dp before the argmax (libm ln); ties break on arm
+    name."""
+    import decimal
+    import math
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        (
+            F.datediff(
+                F.to_date("ts"), F.lit("2024-01-01").cast("date")
+            )
+            + 1
+        )
+        .cast("long")
+        .alias("day"),
+        F.col("event_type").alias("arm"),
+    ).agg(
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("r")
+    )
+    zero = decimal.Decimal(0)
+    rew = {
+        (row["day"], row["arm"]): decimal.Decimal(str(row["r"]))
+        for row in daily.collect()
+    }
+    n = {a: 0 for a in _UCB_ARMS}
+    s = {a: zero for a in _UCB_ARMS}
+    cum = zero
+    bc = {a: zero for a in _UCB_ARMS}
+    out = []
+    for t in range(1, _UCB_DAYS + 1):
+        if t <= len(_UCB_ARMS):
+            arm = _UCB_ARMS[t - 1]
+        else:
+            u = {
+                a: round(
+                    float(s[a]) / n[a]
+                    + math.sqrt(2 * math.log(float(t)) / n[a]),
+                    9,
+                )
+                for a in _UCB_ARMS
+            }
+            arm = min(_UCB_ARMS, key=lambda a: (-u[a], a))
+        r = rew.get((t, arm), zero)
+        n[arm] += 1
+        s[arm] += r
+        cum += r
+        for a in _UCB_ARMS:
+            bc[a] += rew.get((t, a), zero)
+        best = max(bc.values())
+        out.append(
+            (
+                t,
+                arm,
+                float(r),
+                float(cum),
+                float(best),
+                round(float(best) - float(cum), 6),
+            )
+        )
+    return spark.createDataFrame(
+        out,
+        "day long, arm string, reward double, cum_reward double, "
+        "cum_best double, regret double",
+    )
