@@ -22,7 +22,7 @@ descent).
 from __future__ import annotations
 
 import numpy as np
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -388,4 +388,66 @@ def bradley_terry(
         pi = nxt
     return spark.createDataFrame(
         sorted(pi.items()), ["i", "pi"]
+    )
+
+
+def item_cf_recommend(ui: DataFrame) -> DataFrame:
+    """Item-item collaborative filtering: top-1 unseen item per user.
+
+    ``ui`` is the distinct (u, b) user-item incidence frame.  Cosine
+    over item incidence vectors computed from co-occurrence counts:
+    sim(i, j) = co(i, j) / sqrt(n_i * n_j), rounded to 9 dp before
+    the per-(user, item) DECIMAL score sums so accumulation is
+    order-free.  Scale shape: the co-occurrence self-join keys on the
+    user (per-user fan-out bounded by the item vocabulary — cap heavy
+    users upstream), the vocab^2-bounded similarity matrix BROADCASTS,
+    and scoring shuffles once on the user key.  Backs q_item_cf."""
+    cnt = ui.groupBy("b").agg(F.count("*").cast("double").alias("n"))
+    a, c = ui.alias("a"), ui.alias("c")
+    co = (
+        a.join(
+            c,
+            (F.col("a.u") == F.col("c.u"))
+            & (F.col("a.b") != F.col("c.b")),
+        )
+        .groupBy(F.col("a.b").alias("i"), F.col("c.b").alias("j"))
+        .agg(F.count("*").cast("double").alias("co"))
+    )
+    ni = cnt.select(F.col("b").alias("i"), F.col("n").alias("n_i"))
+    nj = cnt.select(F.col("b").alias("j"), F.col("n").alias("n_j"))
+    sim = (
+        co.join(F.broadcast(ni), "i")
+        .join(F.broadcast(nj), "j")
+        .select(
+            "i",
+            "j",
+            F.round(
+                F.col("co") / F.sqrt(F.col("n_i") * F.col("n_j")), 9
+            ).alias("s"),
+        )
+    )
+    scores = (
+        ui.join(F.broadcast(sim), ui["b"] == sim["i"])
+        .groupBy("u", F.col("j").alias("rb"))
+        .agg(
+            F.sum(F.col("s").cast("decimal(18,9)"))
+            .cast("double")
+            .alias("score")
+        )
+    )
+    unseen = scores.join(
+        ui,
+        (scores["u"] == ui["u"]) & (scores["rb"] == ui["b"]),
+        "left_anti",
+    )
+    best = unseen.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("u").orderBy(F.desc("score"), "rb")
+        ),
+    ).filter(F.col("rn") == 1)
+    return best.select(
+        F.col("u").alias("customer_id"),
+        F.col("rb").alias("rec_brand"),
+        "score",
     )

@@ -4175,6 +4175,10 @@ def q_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
     IEEE-exact, but the division result still rounds before
     accumulation so score sums are order-free); seen brands drop via
     an anti-join; rank ties break on brand."""
+    from clv_data_pipeline_spark.operators.recsys import (
+        item_cf_recommend,
+    )
+
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part")
@@ -4186,52 +4190,4 @@ def q_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    cnt = ui.groupBy("b").agg(F.count("*").cast("double").alias("n"))
-    a, c = ui.alias("a"), ui.alias("c")
-    co = (
-        a.join(
-            c,
-            (F.col("a.u") == F.col("c.u"))
-            & (F.col("a.b") != F.col("c.b")),
-        )
-        .groupBy(F.col("a.b").alias("i"), F.col("c.b").alias("j"))
-        .agg(F.count("*").cast("double").alias("co"))
-    )
-    ni = cnt.select(F.col("b").alias("i"), F.col("n").alias("n_i"))
-    nj = cnt.select(F.col("b").alias("j"), F.col("n").alias("n_j"))
-    sim = (
-        co.join(F.broadcast(ni), "i")
-        .join(F.broadcast(nj), "j")
-        .select(
-            "i",
-            "j",
-            F.round(
-                F.col("co") / F.sqrt(F.col("n_i") * F.col("n_j")), 9
-            ).alias("s"),
-        )
-    )
-    scores = (
-        ui.join(F.broadcast(sim), ui["b"] == sim["i"])
-        .groupBy("u", F.col("j").alias("rb"))
-        .agg(
-            F.sum(F.col("s").cast("decimal(18,9)"))
-            .cast("double")
-            .alias("score")
-        )
-    )
-    unseen = scores.join(
-        ui,
-        (scores["u"] == ui["u"]) & (scores["rb"] == ui["b"]),
-        "left_anti",
-    )
-    best = unseen.withColumn(
-        "rn",
-        F.row_number().over(
-            Window.partitionBy("u").orderBy(F.desc("score"), "rb")
-        ),
-    ).filter(F.col("rn") == 1)
-    return best.select(
-        F.col("u").alias("customer_id"),
-        F.col("rb").alias("rec_brand"),
-        "score",
-    )
+    return item_cf_recommend(ui)
