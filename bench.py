@@ -176,6 +176,7 @@ HEADLINE = [
     "q_power_analysis",
     "q_stratified_ate",
     "q_ucb_bandit",
+    "q_ipf_raking",
 ]
 
 #: Frozen comparable subsets — apples-to-apples totals across rounds.

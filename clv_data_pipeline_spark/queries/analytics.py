@@ -4562,3 +4562,156 @@ def q_ucb_bandit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day long, arm string, reward double, cum_reward double, "
         "cum_best double, regret double",
     )
+
+
+_IPF_ITERS = 4
+
+
+def _ipf_oracle(iters: int = _IPF_ITERS) -> str:
+    """Unrolled IPF/raking: alternating row (event_type) and column
+    (weekday) scalings on the bounded cell grid, each weight rounded
+    to 9 dp and each marginal a DECIMAL sum — DuckDB replays the
+    whole calibration trajectory, hash-verifying the fitted weights."""
+    steps = []
+    prev = "w0"
+    for t in range(1, iters + 1):
+        steps.append(f"""
+    rs{t} AS (
+        SELECT e, CAST(SUM(CAST(ROUND(n * w, 6) AS DECIMAL(18,6)))
+                       AS DOUBLE) AS cur
+        FROM {prev} GROUP BY e),
+    wr{t} AS MATERIALIZED (
+        SELECT c.e, c.wd, c.n,
+               ROUND(c.w * tr.t / rs.cur, 9) AS w
+        FROM {prev} c JOIN rowt tr ON c.e = tr.e
+        JOIN rs{t} rs ON c.e = rs.e),
+    cs{t} AS (
+        SELECT wd, CAST(SUM(CAST(ROUND(n * w, 6) AS DECIMAL(18,6)))
+                        AS DOUBLE) AS cur
+        FROM wr{t} GROUP BY wd),
+    w{t} AS MATERIALIZED (
+        SELECT c.e, c.wd, c.n,
+               ROUND(c.w * tc.t / cs.cur, 9) AS w
+        FROM wr{t} c JOIN colt tc ON c.wd = tc.wd
+        JOIN cs{t} cs ON c.wd = cs.wd)""")
+        prev = f"w{t}"
+    return f"""
+    WITH cells AS MATERIALIZED (
+        SELECT event_type AS e,
+               CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                    % 7 AS BIGINT) AS wd,
+               CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16'
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                        THEN 1 ELSE 0 END) AS BIGINT) AS tgt
+        FROM events GROUP BY 1, 2),
+    w0 AS (SELECT e, wd, n, CAST(1 AS DOUBLE) AS w FROM cells),
+    rowt AS (SELECT e, CAST(SUM(tgt) AS DOUBLE) AS t
+             FROM cells GROUP BY e),
+    colt AS (SELECT wd, CAST(SUM(tgt) AS DOUBLE) AS t
+             FROM cells GROUP BY wd),
+    {','.join(steps)}
+    SELECT f.e AS event_type, f.wd AS weekday, f.n,
+           ROUND(f.w, 6) AS weight,
+           ROUND(f.n * f.w, 4) AS fitted
+    FROM {prev} f
+    """
+
+
+@query("q_ipf_raking", oracle=_ipf_oracle())
+def q_ipf_raking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survey raking / iterative proportional fitting — the marginal
+    calibration every panel-to-population adjustment runs: reweight
+    the first half-month's (event_type x weekday) cells so BOTH
+    weighted marginals match the second half's row and column totals,
+    by alternately scaling rows and columns to their targets (4
+    rounds).  The same primitive balances training-data mixtures to
+    target marginals when only marginals — not joint cells — are
+    specified (q_source_mix fixes one margin; this fixes two
+    simultaneously).
+
+    ONE conditionally-aggregated scan compresses the log to the 35
+    observed/target cell grid; all 8 scaling steps are joins on 5- or
+    7-key bounded frames.  Weights round to 9 dp per scaling and
+    marginals accumulate as DECIMAL sums, so DuckDB replays the whole
+    trajectory bit-for-bit (the q_logreg unrolled-training
+    discipline)."""
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        F.col("event_type").alias("e"),
+        (
+            F.datediff(
+                F.to_date("ts"), F.lit("2024-01-01").cast("date")
+            )
+            % 7
+        )
+        .cast("long")
+        .alias("wd"),
+    ).agg(
+        F.sum(
+            F.when(F.col("ts") < F.lit("2024-01-16"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n"),
+        F.sum(
+            F.when(F.col("ts") >= F.lit("2024-01-16"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("tgt"),
+    )
+    cells = cells.localCheckpoint()
+    rowt = cells.groupBy("e").agg(
+        F.sum("tgt").cast("double").alias("rt")
+    )
+    colt = cells.groupBy("wd").agg(
+        F.sum("tgt").cast("double").alias("ct")
+    )
+    w = cells.select(
+        "e", "wd", "n", F.lit(1).cast("double").alias("w")
+    )
+
+    def marg_sum():
+        return (
+            F.sum(
+                F.round(F.col("n") * F.col("w"), 6).cast(
+                    "decimal(18,6)"
+                )
+            )
+            .cast("double")
+            .alias("cur")
+        )
+
+    for _ in range(_IPF_ITERS):
+        rs = w.groupBy("e").agg(marg_sum())
+        w = (
+            w.join(F.broadcast(rowt), "e")
+            .join(F.broadcast(rs), "e")
+            .select(
+                "e",
+                "wd",
+                "n",
+                F.round(
+                    F.col("w") * F.col("rt") / F.col("cur"), 9
+                ).alias("w"),
+            )
+        )
+        cs = w.groupBy("wd").agg(marg_sum())
+        w = (
+            w.join(F.broadcast(colt), "wd")
+            .join(F.broadcast(cs), "wd")
+            .select(
+                "e",
+                "wd",
+                "n",
+                F.round(
+                    F.col("w") * F.col("ct") / F.col("cur"), 9
+                ).alias("w"),
+            )
+        )
+    return w.select(
+        F.col("e").alias("event_type"),
+        F.col("wd").alias("weekday"),
+        "n",
+        F.round("w", 6).alias("weight"),
+        F.round(F.col("n") * F.col("w"), 4).alias("fitted"),
+    )
