@@ -177,6 +177,7 @@ HEADLINE = [
     "q_stratified_ate",
     "q_ucb_bandit",
     "q_ipf_raking",
+    "q_fellegi_sunter",
 ]
 
 #: Frozen comparable subsets — apples-to-apples totals across rounds.

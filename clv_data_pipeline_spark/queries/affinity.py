@@ -29,6 +29,8 @@ Scale shapes:
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -528,4 +530,222 @@ def q_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_common",
             "aa_score",
         )
+    )
+
+
+_FS_ITERS = 3
+
+
+def _fs_estep(params: str) -> str:
+    """E-step SQL fragment: posterior match probability per pattern
+    from the given params CTE (left-to-right multiply order matches
+    the Python replay exactly)."""
+    return f"""
+        SELECT pat.g1, pat.g2, pat.g3, pat.c,
+               ROUND(
+                 (p.p
+                  * CASE pat.g1 WHEN 1 THEN p.m1 ELSE 1 - p.m1 END
+                  * CASE pat.g2 WHEN 1 THEN p.m2 ELSE 1 - p.m2 END
+                  * CASE pat.g3 WHEN 1 THEN p.m3 ELSE 1 - p.m3 END)
+                 / ((p.p
+                     * CASE pat.g1 WHEN 1 THEN p.m1 ELSE 1 - p.m1 END
+                     * CASE pat.g2 WHEN 1 THEN p.m2 ELSE 1 - p.m2 END
+                     * CASE pat.g3 WHEN 1 THEN p.m3 ELSE 1 - p.m3 END)
+                    + ((1 - p.p)
+                       * CASE pat.g1 WHEN 1 THEN p.u1 ELSE 1 - p.u1 END
+                       * CASE pat.g2 WHEN 1 THEN p.u2 ELSE 1 - p.u2 END
+                       * CASE pat.g3 WHEN 1 THEN p.u3 ELSE 1 - p.u3
+                         END)), 9) AS w
+        FROM pat CROSS JOIN {params} p"""
+
+
+def _fs_oracle(iters: int = _FS_ITERS) -> str:
+    """Unrolled Fellegi-Sunter EM: each iteration's E-step posteriors
+    and M-step DECIMAL-summed parameter updates are replayed as CTEs,
+    hash-verifying the fitted linkage model (q_logreg discipline)."""
+    steps = []
+    for t in range(1, iters + 1):
+        steps.append(f"""
+    e{t} AS MATERIALIZED ({_fs_estep(f"par{t - 1}")}),
+    s{t} AS (
+        SELECT CAST(SUM(c) AS DOUBLE) AS ct,
+               CAST(SUM(CAST(ROUND(c * w, 6) AS DECIMAL(18,6)))
+                    AS DOUBLE) AS sw,
+               CAST(SUM(CAST(ROUND(c * (1 - w), 6) AS DECIMAL(18,6)))
+                    AS DOUBLE) AS su,
+               CAST(SUM(CAST(ROUND(c * w * g1, 6) AS DECIMAL(18,6)))
+                    AS DOUBLE) AS sm1,
+               CAST(SUM(CAST(ROUND(c * w * g2, 6) AS DECIMAL(18,6)))
+                    AS DOUBLE) AS sm2,
+               CAST(SUM(CAST(ROUND(c * w * g3, 6) AS DECIMAL(18,6)))
+                    AS DOUBLE) AS sm3,
+               CAST(SUM(CAST(ROUND(c * (1 - w) * g1, 6)
+                    AS DECIMAL(18,6))) AS DOUBLE) AS su1,
+               CAST(SUM(CAST(ROUND(c * (1 - w) * g2, 6)
+                    AS DECIMAL(18,6))) AS DOUBLE) AS su2,
+               CAST(SUM(CAST(ROUND(c * (1 - w) * g3, 6)
+                    AS DECIMAL(18,6))) AS DOUBLE) AS su3
+        FROM e{t}),
+    par{t} AS MATERIALIZED (
+        SELECT ROUND(sw / ct, 9) AS p,
+               ROUND(sm1 / sw, 9) AS m1, ROUND(sm2 / sw, 9) AS m2,
+               ROUND(sm3 / sw, 9) AS m3,
+               ROUND(su1 / su, 9) AS u1, ROUND(su2 / su, 9) AS u2,
+               ROUND(su3 / su, 9) AS u3
+        FROM s{t})""")
+    return f"""
+    WITH pairs AS (
+        SELECT CAST(a.c_mktsegment = b.c_mktsegment AS BIGINT) AS g1,
+               CAST(FLOOR(a.c_acctbal / 1000)
+                    = FLOOR(b.c_acctbal / 1000) AS BIGINT) AS g2,
+               CAST(length(a.c_name) = length(b.c_name) AS BIGINT)
+                   AS g3
+        FROM customer a JOIN customer b
+          ON a.c_nationkey = b.c_nationkey
+         AND a.c_custkey < b.c_custkey),
+    pat AS MATERIALIZED (
+        SELECT g1, g2, g3, CAST(COUNT(*) AS BIGINT) AS c
+        FROM pairs GROUP BY 1, 2, 3),
+    par0 AS (SELECT CAST(0.1 AS DOUBLE) AS p,
+                    CAST(0.9 AS DOUBLE) AS m1,
+                    CAST(0.9 AS DOUBLE) AS m2,
+                    CAST(0.9 AS DOUBLE) AS m3,
+                    CAST(0.1 AS DOUBLE) AS u1,
+                    CAST(0.1 AS DOUBLE) AS u2,
+                    CAST(0.1 AS DOUBLE) AS u3),
+    {','.join(steps)},
+    final AS ({_fs_estep(f"par{iters}")})
+    SELECT f.g1, f.g2, f.g3, f.c, f.w AS posterior,
+           ROUND(log2(
+             (CASE f.g1 WHEN 1 THEN p.m1 ELSE 1 - p.m1 END
+              * CASE f.g2 WHEN 1 THEN p.m2 ELSE 1 - p.m2 END
+              * CASE f.g3 WHEN 1 THEN p.m3 ELSE 1 - p.m3 END)
+             / (CASE f.g1 WHEN 1 THEN p.u1 ELSE 1 - p.u1 END
+                * CASE f.g2 WHEN 1 THEN p.u2 ELSE 1 - p.u2 END
+                * CASE f.g3 WHEN 1 THEN p.u3 ELSE 1 - p.u3 END)), 6)
+               AS match_weight
+    FROM final f CROSS JOIN par{iters} p
+    """
+
+
+@query("q_fellegi_sunter", oracle=_fs_oracle())
+def q_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter probabilistic record linkage, fitted by EM —
+    the UNSUPERVISED complement to q_entity_resolution's rule-based
+    matching: blocked customer pairs compare on three fields
+    (segment, balance band, name length); EM fits the match
+    proportion and per-field m/u agreement probabilities from the
+    8-pattern agreement-vector histogram alone (no labels), yielding
+    each pattern's log2 match weight and posterior match probability
+    — the splink/Splink-style linkage model.
+
+    Scale: pair comparison is nation-blocked (swap in q_fuzzy_join's
+    length bands for finer blocks) and immediately compresses to the
+    2^k-pattern frame — EM iterations never touch pairs again, so
+    fitting costs the same at any corpus size once patterns are
+    counted.  The 3-iteration trajectory is fully unrolled in the
+    oracle: posteriors round to 9 dp, M-step sums accumulate as
+    DECIMAL of 6 dp terms (order-free), so the FITTED MODEL itself
+    is hash-verified.  The sequential EM recursion over the bounded
+    8-row frame runs at the driver (ALS/q_ucb_bandit fit-barrier
+    pattern)."""
+    import decimal
+
+    cust = load_table(spark, sf_dir, "customer")
+    a, b = cust.alias("a"), cust.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+        & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+    ).select(
+        (F.col("a.c_mktsegment") == F.col("b.c_mktsegment"))
+        .cast("long")
+        .alias("g1"),
+        (
+            F.floor(F.col("a.c_acctbal") / 1000)
+            == F.floor(F.col("b.c_acctbal") / 1000)
+        )
+        .cast("long")
+        .alias("g2"),
+        (F.length("a.c_name") == F.length("b.c_name"))
+        .cast("long")
+        .alias("g3"),
+    )
+    pat = [
+        (r["g1"], r["g2"], r["g3"], r["c"])
+        for r in pairs.groupBy("g1", "g2", "g3")
+        .agg(F.count("*").cast("long").alias("c"))
+        .collect()
+    ]
+    p, m, u = 0.1, [0.9, 0.9, 0.9], [0.1, 0.1, 0.1]
+
+    def lik(g, probs):
+        out = 1.0
+        for k in range(3):
+            out = out * (probs[k] if g[k] == 1 else 1 - probs[k])
+        return out
+
+    def estep():
+        ws = {}
+        for g1, g2, g3, c in pat:
+            num = p * lik((g1, g2, g3), m)
+            den = num + (1 - p) * lik((g1, g2, g3), u)
+            ws[(g1, g2, g3)] = round(num / den, 9)
+        return ws
+
+    dz = decimal.Decimal(0)
+
+    def dsum(vals):
+        return sum(
+            (decimal.Decimal(str(round(v, 6))) for v in vals), dz
+        )
+
+    for _ in range(_FS_ITERS):
+        w = estep()
+        ct = float(sum(c for *_g, c in pat))
+        sw = float(dsum(c * w[(g1, g2, g3)] for g1, g2, g3, c in pat))
+        su = float(
+            dsum(c * (1 - w[(g1, g2, g3)]) for g1, g2, g3, c in pat)
+        )
+        sm = [
+            float(
+                dsum(
+                    c * w[(g1, g2, g3)] * g
+                    for g1, g2, g3, c in pat
+                    for g in [(g1, g2, g3)[k]]
+                )
+            )
+            for k in range(3)
+        ]
+        sU = [
+            float(
+                dsum(
+                    c * (1 - w[(g1, g2, g3)]) * g
+                    for g1, g2, g3, c in pat
+                    for g in [(g1, g2, g3)[k]]
+                )
+            )
+            for k in range(3)
+        ]
+        p = round(sw / ct, 9)
+        m = [round(sm[k] / sw, 9) for k in range(3)]
+        u = [round(sU[k] / su, 9) for k in range(3)]
+    w = estep()
+    out = []
+    for g1, g2, g3, c in pat:
+        g = (g1, g2, g3)
+        out.append(
+            (
+                g1,
+                g2,
+                g3,
+                c,
+                w[g],
+                round(math.log2(lik(g, m) / lik(g, u)), 6),
+            )
+        )
+    return spark.createDataFrame(
+        out,
+        "g1 long, g2 long, g3 long, c long, posterior double, "
+        "match_weight double",
     )
