@@ -4659,59 +4659,50 @@ def q_ipf_raking(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("tgt"),
     )
-    cells = cells.localCheckpoint()
-    rowt = cells.groupBy("e").agg(
-        F.sum("tgt").cast("double").alias("rt")
-    )
-    colt = cells.groupBy("wd").agg(
-        F.sum("tgt").cast("double").alias("ct")
-    )
-    w = cells.select(
-        "e", "wd", "n", F.lit(1).cast("double").alias("w")
-    )
+    import decimal
 
-    def marg_sum():
-        return (
-            F.sum(
-                F.round(F.col("n") * F.col("w"), 6).cast(
-                    "decimal(18,6)"
-                )
+    # The 35-cell grid is bounded by construction, so the 8 scaling
+    # steps replay at the driver (the q_ucb_bandit fit-barrier
+    # pattern) — keeping the loop in-plan costs ~10 stages of pure
+    # scheduler overhead for the same arithmetic.
+    rows = [
+        (r["e"], r["wd"], r["n"], r["tgt"]) for r in cells.collect()
+    ]
+    rowt = {}
+    colt = {}
+    for e, wd, _n, tgt in rows:
+        rowt[e] = rowt.get(e, 0) + tgt
+        colt[wd] = colt.get(wd, 0) + tgt
+    w = {(e, wd): 1.0 for e, wd, _n, _t in rows}
+    n_of = {(e, wd): n for e, wd, n, _t in rows}
+    dz = decimal.Decimal(0)
+
+    def marg(keyfn):
+        cur: dict = {}
+        for (e, wd), wv in w.items():
+            k = keyfn(e, wd)
+            cur[k] = cur.get(k, dz) + decimal.Decimal(
+                str(round(n_of[(e, wd)] * wv, 6))
             )
-            .cast("double")
-            .alias("cur")
-        )
+        return {k: float(v) for k, v in cur.items()}
 
     for _ in range(_IPF_ITERS):
-        rs = w.groupBy("e").agg(marg_sum())
-        w = (
-            w.join(F.broadcast(rowt), "e")
-            .join(F.broadcast(rs), "e")
-            .select(
-                "e",
-                "wd",
-                "n",
-                F.round(
-                    F.col("w") * F.col("rt") / F.col("cur"), 9
-                ).alias("w"),
-            )
-        )
-        cs = w.groupBy("wd").agg(marg_sum())
-        w = (
-            w.join(F.broadcast(colt), "wd")
-            .join(F.broadcast(cs), "wd")
-            .select(
-                "e",
-                "wd",
-                "n",
-                F.round(
-                    F.col("w") * F.col("ct") / F.col("cur"), 9
-                ).alias("w"),
-            )
-        )
-    return w.select(
-        F.col("e").alias("event_type"),
-        F.col("wd").alias("weekday"),
-        "n",
-        F.round("w", 6).alias("weight"),
-        F.round(F.col("n") * F.col("w"), 4).alias("fitted"),
+        cur = marg(lambda e, wd: e)
+        w = {
+            (e, wd): round(wv * float(rowt[e]) / cur[e], 9)
+            for (e, wd), wv in w.items()
+        }
+        cur = marg(lambda e, wd: wd)
+        w = {
+            (e, wd): round(wv * float(colt[wd]) / cur[wd], 9)
+            for (e, wd), wv in w.items()
+        }
+    out = [
+        (e, wd, n, round(w[(e, wd)], 6), round(n * w[(e, wd)], 4))
+        for e, wd, n, _t in rows
+    ]
+    return spark.createDataFrame(
+        out,
+        "event_type string, weekday long, n long, weight double, "
+        "fitted double",
     )
