@@ -178,6 +178,7 @@ HEADLINE = [
     "q_ucb_bandit",
     "q_ipf_raking",
     "q_fellegi_sunter",
+    "q_active_learning",
 ]
 
 #: Frozen comparable subsets — apples-to-apples totals across rounds.

@@ -1429,9 +1429,10 @@ def q_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q_naive_bayes",
-    oracle=f"""
+#: Shared Naive Bayes train+score CTE chain (through ``final``:
+#: per-(doc, class) DECIMAL scores on the held-out split) — the SQL
+#: twin of ``_nb_scored``, reused by q_naive_bayes / q_active_learning.
+_NB_CTES = f"""
     WITH docs AS (
         SELECT doc_id, lang, {_TOKENIZE_SQL} AS toks,
                substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' AS is_train
@@ -1470,7 +1471,12 @@ def q_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY t.doc_id, t.true_lang, o.cls),
     final AS (
         SELECT s.doc_id, s.true_lang, s.cls, s.s + p.lp0 AS score
-        FROM scored s JOIN pri p ON p.cls = s.cls),
+        FROM scored s JOIN pri p ON p.cls = s.cls)"""
+
+
+@query(
+    "q_naive_bayes",
+    oracle=f"""{_NB_CTES},
     pred AS (
         SELECT doc_id, true_lang, cls,
                ROW_NUMBER() OVER (PARTITION BY doc_id
@@ -1509,6 +1515,25 @@ def q_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
     Extends reference dags/transform_features.py (static feature math)
     with the learned-filter surface of a modern corpus pipeline.
     """
+    final = _nb_scored(spark, sf_dir)
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score"), F.asc("cls")
+    )
+    return (
+        final.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .groupBy(
+            "true_lang", F.col("cls").alias("pred_lang")
+        )
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )
+
+
+def _nb_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared Naive Bayes train+score pipeline: md5-80%-split training
+    (Laplace-smoothed DECIMAL log-probs), held-out scoring; returns
+    the per-(doc, class) score frame backing q_naive_bayes (argmax ->
+    confusion matrix) and q_active_learning (top-2 margin)."""
     d = load_table(spark, sf_dir, "documents")
     toks = F.split(normalize_text(F.col("text")), " ")
     is_train = (
@@ -1573,19 +1598,8 @@ def q_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "true_lang", "cls")
         .agg(F.sum(F.coalesce(F.col("lp"), F.col("lpo"))).alias("s"))
     )
-    final = scored.join(F.broadcast(pri), "cls").withColumn(
+    return scored.join(F.broadcast(pri), "cls").withColumn(
         "score", F.col("s") + F.col("lp0")
-    )
-    w = Window.partitionBy("doc_id").orderBy(
-        F.desc("score"), F.asc("cls")
-    )
-    return (
-        final.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .groupBy(
-            "true_lang", F.col("cls").alias("pred_lang")
-        )
-        .agg(F.count("*").cast("long").alias("n_docs"))
     )
 
 
@@ -4191,3 +4205,69 @@ def q_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return item_cf_recommend(ui)
+
+
+@query(
+    "q_active_learning",
+    oracle=f"""{_NB_CTES},
+    ranked AS (
+        SELECT doc_id, cls, score,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY score DESC, cls) AS rn
+        FROM final),
+    marg AS (
+        SELECT a.doc_id, a.cls AS pred_lang,
+               CAST(a.score - b.score AS DOUBLE) AS margin
+        FROM ranked a JOIN ranked b
+          ON a.doc_id = b.doc_id AND a.rn = 1 AND b.rn = 2)
+    SELECT doc_id, pred_lang, ROUND(margin, 6) AS margin
+    FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY margin, doc_id)
+                        AS pick
+          FROM marg)
+    WHERE pick <= 20
+    """,
+)
+def q_active_learning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Active learning by margin-based uncertainty sampling — the
+    labeling-budget allocator for data-centric pipelines: score the
+    unlabeled pool with the in-engine Naive Bayes model (shared
+    ``_nb_scored`` pipeline), measure each document's top-1 minus
+    top-2 class log-score margin, and surface the 20 most ambiguous
+    documents — exactly the examples a human (or teacher-model) label
+    improves the classifier most per dollar.
+
+    Margins are exact DECIMAL score differences (the log-prob sums
+    are DECIMAL by the rounded-ln discipline), so the selection order
+    is engine- and partitioning-exact; the global bottom-20 rides the
+    rank-filter WindowGroupLimit.  Scale: identical to
+    q_naive_bayes's scoring pass plus one per-doc window — pool size
+    is the only scaling axis, and the pool never leaves its
+    partitions until the 20-row result."""
+    final = _nb_scored(spark, sf_dir)
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score"), F.asc("cls")
+    )
+    ranked = final.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= 2
+    )
+    a = ranked.filter(F.col("rn") == 1).select(
+        "doc_id",
+        F.col("cls").alias("pred_lang"),
+        F.col("score").alias("s1"),
+    )
+    b = ranked.filter(F.col("rn") == 2).select(
+        "doc_id", F.col("score").alias("s2")
+    )
+    marg = a.join(b, "doc_id").select(
+        "doc_id",
+        "pred_lang",
+        (F.col("s1") - F.col("s2")).cast("double").alias("margin"),
+    )
+    return (
+        marg.withColumn(
+            "pick",
+            F.row_number().over(Window.orderBy("margin", "doc_id")),
+        )
+        .filter(F.col("pick") <= 20)
+        .select("doc_id", "pred_lang", F.round("margin", 6).alias("margin"))
+    )

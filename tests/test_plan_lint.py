@@ -92,6 +92,7 @@ _BNLJ_SCALAR_OK = {
     "q_shapley_attribution",  # 16-row coalition grid x bounded set frame
     "q_conformal",         # 1-row n_cal/k and q_hat scalar broadcasts
     "q_stratified_ate",    # 1-row stratum-total broadcast
+    "q_active_learning",   # inherits q_naive_bayes's class-grid/vocab scalars
 }
 
 
