@@ -179,6 +179,7 @@ HEADLINE = [
     "q_ipf_raking",
     "q_fellegi_sunter",
     "q_active_learning",
+    "q_kneser_ney",
 ]
 
 #: Frozen comparable subsets — apples-to-apples totals across rounds.

@@ -4271,3 +4271,178 @@ def q_active_learning(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("pick") <= 20)
         .select("doc_id", "pred_lang", F.round("margin", 6).alias("margin"))
     )
+
+
+@query(
+    "q_kneser_ney",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, lang, {_TOKENIZE_SQL} AS ts,
+               substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc'
+                   AS is_train
+        FROM documents),
+    tb AS (
+        SELECT unnest(list_transform(range(1, len(ts)), i -> ts[i]))
+                   AS w1,
+               unnest(list_transform(range(1, len(ts)),
+                                     i -> ts[i + 1])) AS w2
+        FROM toks WHERE is_train AND len(ts) >= 2),
+    big AS MATERIALIZED (
+        SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+        FROM tb GROUP BY 1, 2),
+    ctx AS MATERIALIZED (
+        SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1,
+               CAST(COUNT(*) AS BIGINT) AS n1r
+        FROM big GROUP BY w1),
+    pcl AS MATERIALIZED (
+        SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1l
+        FROM big GROUP BY w2),
+    btot AS (SELECT CAST(COUNT(*) AS BIGINT) AS b FROM big),
+    test AS (
+        SELECT lang,
+               unnest(list_transform(range(1, len(ts)), i -> ts[i]))
+                   AS w1,
+               unnest(list_transform(range(1, len(ts)),
+                                     i -> ts[i + 1])) AS w2
+        FROM toks WHERE NOT is_train AND len(ts) >= 2),
+    tf AS (
+        SELECT lang, w1, w2, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM test GROUP BY 1, 2, 3),
+    prob AS (
+        SELECT t.lang, t.tf,
+               CASE WHEN ctx.c1 IS NOT NULL THEN
+                   GREATEST(
+                     (GREATEST(COALESCE(big.c12, 0)
+                               - CAST(0.75 AS DOUBLE),
+                               CAST(0 AS DOUBLE))
+                      + CAST(0.75 AS DOUBLE) * ctx.n1r
+                        * (CAST(COALESCE(pcl.n1l, 0) AS DOUBLE)
+                           / bt.b))
+                     / ctx.c1,
+                     CAST(0.000000001 AS DOUBLE))
+               ELSE
+                   GREATEST(CAST(COALESCE(pcl.n1l, 0) AS DOUBLE)
+                            / bt.b,
+                            CAST(0.000000001 AS DOUBLE))
+               END AS p
+        FROM tf t
+        LEFT JOIN ctx ON t.w1 = ctx.w1
+        LEFT JOIN big ON t.w1 = big.w1 AND t.w2 = big.w2
+        LEFT JOIN pcl ON t.w2 = pcl.w2
+        CROSS JOIN btot bt),
+    scored AS (
+        SELECT lang, CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+               SUM(CAST(ROUND(-tf * ln(p), 9) AS DECIMAL(28,9)))
+                   AS nll
+        FROM prob GROUP BY lang)
+    SELECT lang, n_bigrams,
+           ROUND(CAST(nll AS DOUBLE) / n_bigrams, 6) AS avg_nll,
+           ROUND(EXP(ROUND(CAST(nll AS DOUBLE) / n_bigrams, 6)), 2)
+               AS ppl
+    FROM scored
+    """,
+)
+def q_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kneser-Ney smoothed bigram-LM perplexity on a held-out split —
+    the top rung of the LM quality ladder (unigram q_perplexity ->
+    interpolated bigram q_perplexity_bigram -> KN): absolute
+    discounting (D=0.75, exactly representable) reserves mass for a
+    CONTINUATION distribution — how many distinct contexts a word
+    follows, not how often it occurs — which is what makes KN the
+    KenLM default for corpus quality filtering ("francisco" is
+    frequent but predictable; KN scores it properly).  Train on the
+    md5-80% split, score the held-out 20% per language.
+
+    The LM tables (bigram, left/right continuation, context totals)
+    are vocabulary-bounded aggregations joined back on natural keys;
+    the 1-row distinct-bigram total broadcasts; unseen contexts back
+    off to the continuation probability with a 1e-9 floor, written as
+    identical CASE text both engines.  Per-bigram NLL rounds to 9 dp
+    before DECIMAL sums (libm ln), ppl exponentiates the rounded
+    average (q_perplexity discipline)."""
+    docs = load_table(spark, sf_dir, "documents")
+    is_train = (
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < "cc"
+    )
+    toks = docs.select(
+        "lang",
+        F.split(normalize_text(F.col("text")), " ").alias("ts"),
+        is_train.alias("is_train"),
+    ).filter(F.size("ts") >= 2)
+
+    def bigrams(df):
+        return df.select(
+            "lang",
+            F.explode(
+                F.zip_with(
+                    F.slice(F.col("ts"), 1, F.size("ts") - 1),
+                    F.slice(F.col("ts"), 2, F.size("ts") - 1),
+                    lambda a, b: F.struct(
+                        a.alias("w1"), b.alias("w2")
+                    ),
+                )
+            ).alias("bg"),
+        ).select(
+            "lang",
+            F.col("bg.w1").alias("w1"),
+            F.col("bg.w2").alias("w2"),
+        )
+
+    tb = bigrams(toks.filter(F.col("is_train")))
+    big = tb.groupBy("w1", "w2").agg(
+        F.count("*").cast("long").alias("c12")
+    )
+    ctx = big.groupBy("w1").agg(
+        F.sum("c12").cast("long").alias("c1"),
+        F.count("*").cast("long").alias("n1r"),
+    )
+    pcl = big.groupBy("w2").agg(
+        F.count("*").cast("long").alias("n1l")
+    )
+    btot = big.agg(F.count("*").cast("long").alias("b"))
+    tf = (
+        bigrams(toks.filter(~F.col("is_train")))
+        .groupBy("lang", "w1", "w2")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    d75 = F.lit(0.75).cast("double")
+    floor = F.lit(0.000000001).cast("double")
+    zero = F.lit(0).cast("double")
+    pcont = F.coalesce(F.col("n1l"), F.lit(0)).cast("double") / F.col(
+        "b"
+    )
+    p = F.when(
+        F.col("c1").isNotNull(),
+        F.greatest(
+            (
+                F.greatest(
+                    F.coalesce(F.col("c12"), F.lit(0)) - d75, zero
+                )
+                + d75 * F.col("n1r") * pcont
+            )
+            / F.col("c1"),
+            floor,
+        ),
+    ).otherwise(F.greatest(pcont, floor))
+    prob = (
+        tf.join(F.broadcast(ctx), "w1", "left")
+        .join(F.broadcast(big), ["w1", "w2"], "left")
+        .join(F.broadcast(pcl), "w2", "left")
+        .crossJoin(F.broadcast(btot))
+        .select("lang", "tf", p.alias("p"))
+    )
+    scored = prob.groupBy("lang").agg(
+        F.sum("tf").cast("long").alias("n_bigrams"),
+        F.sum(
+            F.round(-F.col("tf") * F.log("p"), 9).cast("decimal(28,9)")
+        ).alias("nll"),
+    )
+    avg = F.round(
+        F.col("nll").cast("double") / F.col("n_bigrams"), 6
+    )
+    return scored.select(
+        "lang",
+        "n_bigrams",
+        avg.alias("avg_nll"),
+        F.round(F.exp(avg), 2).alias("ppl"),
+    )

@@ -93,6 +93,7 @@ _BNLJ_SCALAR_OK = {
     "q_conformal",         # 1-row n_cal/k and q_hat scalar broadcasts
     "q_stratified_ate",    # 1-row stratum-total broadcast
     "q_active_learning",   # inherits q_naive_bayes's class-grid/vocab scalars
+    "q_kneser_ney",        # 1-row distinct-bigram total broadcast
 }
 
 
