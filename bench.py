@@ -180,6 +180,7 @@ HEADLINE = [
     "q_fellegi_sunter",
     "q_active_learning",
     "q_kneser_ney",
+    "q_skipgram_pairs",
 ]
 
 #: Frozen comparable subsets — apples-to-apples totals across rounds.

@@ -4446,3 +4446,156 @@ def q_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
         avg.alias("avg_nll"),
         F.round(F.exp(avg), 2).alias("ppl"),
     )
+
+
+@query(
+    "q_skipgram_pairs",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {_TOKENIZE_SQL} AS ts FROM documents),
+    fwd AS (
+        SELECT unnest(list_transform(range(1, len(ts)), i -> ts[i]))
+                   AS a,
+               unnest(list_transform(range(1, len(ts)),
+                                     i -> ts[i + 1])) AS b
+        FROM toks WHERE len(ts) >= 2
+        UNION ALL
+        SELECT unnest(list_transform(range(1, len(ts) - 1),
+                                     i -> ts[i])) AS a,
+               unnest(list_transform(range(1, len(ts) - 1),
+                                     i -> ts[i + 2])) AS b
+        FROM toks WHERE len(ts) >= 3),
+    pairs AS MATERIALIZED (
+        SELECT center, context, CAST(COUNT(*) AS BIGINT) AS n_pos
+        FROM (SELECT a AS center, b AS context FROM fwd
+              UNION ALL SELECT b, a FROM fwd) sym
+        GROUP BY 1, 2),
+    uni AS (
+        SELECT term, COUNT(*) AS c
+        FROM (SELECT unnest(ts) AS term FROM toks) u GROUP BY term),
+    cdf AS MATERIALIZED (
+        SELECT term,
+               SUM(CAST(ROUND(pow(CAST(c AS DOUBLE),
+                                  CAST(0.75 AS DOUBLE)), 6)
+                        AS DECIMAL(18,6)))
+                   OVER (ORDER BY term) AS cum
+        FROM uni),
+    wtot AS (SELECT CAST(MAX(cum) AS DOUBLE) AS w FROM cdf),
+    draws AS (
+        SELECT p.center, p.context, p.n_pos,
+               ((('0x' || substr(md5(p.center || '|' || p.context),
+                                 1, 8))::BIGINT + 0.5)
+                / 4294967296.0) * wt.w AS target
+        FROM pairs p CROSS JOIN wtot wt),
+    neg AS (
+        SELECT d.center, d.context, d.n_pos,
+               arg_min(c.term, CAST(c.cum AS DOUBLE)) AS neg
+        FROM draws d JOIN cdf c
+          ON CAST(c.cum AS DOUBLE) >= d.target
+        GROUP BY 1, 2, 3)
+    SELECT center, context, n_pos, neg FROM neg
+    """,
+)
+def q_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """word2vec training-data generation: skip-gram positive pairs
+    (symmetric window of 2) plus one negative per pair drawn from the
+    unigram^0.75 noise distribution (Mikolov et al. 2013) — the
+    map-reduce shape every embedding-training data pipeline runs
+    before the SGD stage (q_word_vectors learns from co-occurrence
+    counts; this EMITS the pair/negative stream SGD consumes).
+
+    Negative draws are RNG-free: an md5 coin per pair inverse-CDFs
+    the vocabulary's cumulative 0.75-tempered weights (pow rounds to
+    6 dp before the DECIMAL cumsum; the draw can't overshoot because
+    target = u * W with u < 1) — reproducible across engines,
+    partitionings, and reruns.  Scale: pair extraction is zip_with
+    map-side (never a self-join), the CDF is vocabulary-bounded and
+    broadcasts, and the inverse-CDF containment join is
+    vocab-bounded per pair (bucketize the CDF for 100k+ vocabularies
+    to make probes O(log V))."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.split(normalize_text(F.col("text")), " ").alias("ts")
+    )
+
+    def shifted(off):
+        return (
+            toks.filter(F.size("ts") >= off + 1)
+            .select(
+                F.explode(
+                    F.zip_with(
+                        F.slice(F.col("ts"), 1, F.size("ts") - off),
+                        F.slice(
+                            F.col("ts"), 1 + off, F.size("ts") - off
+                        ),
+                        lambda a, b: F.struct(
+                            a.alias("a"), b.alias("b")
+                        ),
+                    )
+                ).alias("p")
+            )
+            .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        )
+
+    fwd = shifted(1).unionAll(shifted(2))
+    sym = fwd.select(
+        F.col("a").alias("center"), F.col("b").alias("context")
+    ).unionAll(
+        fwd.select(
+            F.col("b").alias("center"), F.col("a").alias("context")
+        )
+    )
+    pairs = sym.groupBy("center", "context").agg(
+        F.count("*").cast("long").alias("n_pos")
+    )
+    uni = (
+        toks.select(F.explode("ts").alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("c"))
+    )
+    wt = F.round(
+        F.pow(F.col("c").cast("double"), F.lit(0.75).cast("double")), 6
+    ).cast("decimal(18,6)")
+    cdf = uni.select(
+        "term",
+        F.sum(wt)
+        .over(
+            Window.orderBy("term").rowsBetween(
+                Window.unboundedPreceding, 0
+            )
+        )
+        .alias("cum"),
+    )
+    wtot = cdf.agg(F.max("cum").cast("double").alias("w"))
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("center"), F.lit("|"), F.col("context")
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    draws = pairs.crossJoin(F.broadcast(wtot)).select(
+        "center",
+        "context",
+        "n_pos",
+        (((h + F.lit(0.5)) / F.lit(4294967296.0)) * F.col("w")).alias(
+            "target"
+        ),
+    )
+    neg = (
+        draws.join(
+            F.broadcast(cdf),
+            F.col("cum").cast("double") >= F.col("target"),
+        )
+        .groupBy("center", "context", "n_pos")
+        .agg(
+            F.min_by("term", F.col("cum").cast("double")).alias("neg")
+        )
+    )
+    return neg.select("center", "context", "n_pos", "neg")
