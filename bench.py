@@ -181,6 +181,7 @@ HEADLINE = [
     "q_active_learning",
     "q_kneser_ney",
     "q_skipgram_pairs",
+    "q_spearman",
 ]
 
 #: Frozen comparable subsets — apples-to-apples totals across rounds.

@@ -4706,3 +4706,117 @@ def q_ipf_raking(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type string, weekday long, n long, weight double, "
         "fitted double",
     )
+
+
+@query(
+    "q_spearman",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(SUM(CASE WHEN event_type = 'view'
+                    THEN 1 ELSE 0 END) AS BIGINT) AS x,
+               CAST(SUM(CASE WHEN event_type = 'purchase'
+                    THEN CAST(ROUND(value, 6) AS DECIMAL(18,6))
+                    ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+                   AS y
+        FROM events GROUP BY 1),
+    ranked AS MATERIALIZED (
+        SELECT day,
+               CAST(RANK() OVER (ORDER BY x, day) AS BIGINT) AS rx,
+               CAST(RANK() OVER (ORDER BY y, day) AS BIGINT) AS ry
+        FROM daily),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(rx) AS BIGINT) AS sx,
+               CAST(SUM(ry) AS BIGINT) AS sy,
+               CAST(SUM(rx * rx) AS BIGINT) AS sxx,
+               CAST(SUM(ry * ry) AS BIGINT) AS syy,
+               CAST(SUM(rx * ry) AS BIGINT) AS sxy
+        FROM ranked),
+    kt AS (
+        SELECT CAST(SUM(CASE WHEN (a.rx - b.rx) * (a.ry - b.ry) > 0
+                    THEN 1 ELSE 0 END) AS BIGINT) AS conc,
+               CAST(SUM(CASE WHEN (a.rx - b.rx) * (a.ry - b.ry) < 0
+                    THEN 1 ELSE 0 END) AS BIGINT) AS disc,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs
+        FROM ranked a JOIN ranked b ON a.day < b.day)
+    SELECT s.n,
+           ROUND((CAST(s.n AS DOUBLE) * s.sxy - CAST(s.sx AS DOUBLE) * s.sy)
+                 / (sqrt(CAST(s.n AS DOUBLE) * s.sxx
+                         - CAST(s.sx AS DOUBLE) * s.sx)
+                    * sqrt(CAST(s.n AS DOUBLE) * s.syy
+                           - CAST(s.sy AS DOUBLE) * s.sy)), 6)
+               AS spearman_rho,
+           kt.conc, kt.disc,
+           ROUND((CAST(kt.conc AS DOUBLE) - kt.disc) / kt.n_pairs, 6)
+               AS kendall_tau
+    FROM s CROSS JOIN kt
+    """,
+)
+def q_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank correlation between daily view traffic and daily purchase
+    revenue — Spearman's rho (Pearson on ranks, monotone-not-linear
+    association) and Kendall's tau (concordant-pair fraction) side by
+    side; the outlier-proof complements to q_corr's Pearson, which a
+    single spike day can fake or destroy.
+
+    The log compresses to one row per day in a single conditional
+    scan; ranks, rank sufficient stats, and the all-pairs concordance
+    count all live on that BOUNDED daily frame (the 435-pair grid is
+    days^2, never events^2).  Rank stats are pure integers, so every
+    double downstream is bit-deterministic; ties share RANK() with a
+    day tie-break written identically on both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .cast("long")
+        .alias("x"),
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.round(F.col("value"), 6).cast("decimal(18,6)"),
+            ).otherwise(F.lit(0).cast("decimal(18,6)"))
+        )
+        .cast("double")
+        .alias("y"),
+    )
+    ranked = daily.select(
+        "day",
+        F.rank().over(Window.orderBy("x", "day")).cast("long").alias("rx"),
+        F.rank().over(Window.orderBy("y", "day")).cast("long").alias("ry"),
+    )
+    s = ranked.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("rx").cast("long").alias("sx"),
+        F.sum("ry").cast("long").alias("sy"),
+        F.sum(F.col("rx") * F.col("rx")).cast("long").alias("sxx"),
+        F.sum(F.col("ry") * F.col("ry")).cast("long").alias("syy"),
+        F.sum(F.col("rx") * F.col("ry")).cast("long").alias("sxy"),
+    )
+    a, b = ranked.alias("a"), ranked.alias("b")
+    prod = (F.col("a.rx") - F.col("b.rx")) * (
+        F.col("a.ry") - F.col("b.ry")
+    )
+    kt = a.join(b, F.col("a.day") < F.col("b.day")).agg(
+        F.sum(F.when(prod > 0, 1).otherwise(0)).cast("long").alias("conc"),
+        F.sum(F.when(prod < 0, 1).otherwise(0)).cast("long").alias("disc"),
+        F.count("*").cast("long").alias("n_pairs"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    rho = (n.cast("double") * F.col("sxy") - sx.cast("double") * sy) / (
+        F.sqrt(n.cast("double") * F.col("sxx") - sx.cast("double") * sx)
+        * F.sqrt(
+            n.cast("double") * F.col("syy") - sy.cast("double") * sy
+        )
+    )
+    return s.crossJoin(F.broadcast(kt)).select(
+        "n",
+        F.round(rho, 6).alias("spearman_rho"),
+        "conc",
+        "disc",
+        F.round(
+            (F.col("conc").cast("double") - F.col("disc"))
+            / F.col("n_pairs"),
+            6,
+        ).alias("kendall_tau"),
+    )

@@ -95,6 +95,7 @@ _BNLJ_SCALAR_OK = {
     "q_active_learning",   # inherits q_naive_bayes's class-grid/vocab scalars
     "q_kneser_ney",        # 1-row distinct-bigram total broadcast
     "q_skipgram_pairs",    # vocab-bounded CDF containment join + 1-row W
+    "q_spearman",          # days^2-bounded concordance grid + 1-row stats
 }
 
 
