@@ -182,6 +182,7 @@ HEADLINE = [
     "q_kneser_ney",
     "q_skipgram_pairs",
     "q_spearman",
+    "q_geometric_median",
 ]
 
 #: Frozen comparable subsets — apples-to-apples totals across rounds.

@@ -1167,3 +1167,182 @@ def q_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
             "within_bound"
         ),
     )
+
+
+_GM_ITERS = 3
+
+
+def _gm_oracle(iters: int = _GM_ITERS) -> str:
+    """Unrolled Weiszfeld iterations: each round's per-vector inverse
+    distances and reweighted centroids are replayed as CTEs with
+    9 dp-rounded terms inside DECIMAL sums — the robust prototype's
+    whole trajectory is hash-verified."""
+    steps = []
+    prev = "c0"
+    for t in range(1, iters + 1):
+        steps.append(f"""
+    d{t} AS (
+        SELECT l.vec_id, l.label,
+               GREATEST(sqrt(CAST(SUM(CAST(ROUND(
+                   (l.x - c.c) * (l.x - c.c), 9) AS DECIMAL(28,9)))
+                   AS DOUBLE)), CAST(0.000001 AS DOUBLE)) AS d
+        FROM long l JOIN {prev} c
+          ON l.label = c.label AND l.i = c.i
+        GROUP BY l.vec_id, l.label),
+    w{t} AS MATERIALIZED (
+        SELECT vec_id, label, ROUND(CAST(1 AS DOUBLE) / d, 9) AS w
+        FROM d{t}),
+    c{t} AS MATERIALIZED (
+        SELECT l.label, l.i,
+               ROUND(CAST(SUM(CAST(ROUND(w.w * l.x, 9)
+                        AS DECIMAL(28,9))) AS DOUBLE)
+                     / CAST(SUM(CAST(w.w AS DECIMAL(18,9)))
+                            AS DOUBLE), 9) AS c
+        FROM long l JOIN w{t} w ON l.vec_id = w.vec_id
+        GROUP BY l.label, l.i)""")
+        prev = f"c{t}"
+    return f"""
+    WITH long AS MATERIALIZED (
+        SELECT vec_id, label,
+               generate_subscripts(embedding, 1) AS i,
+               CAST(unnest(embedding) AS DOUBLE) AS x
+        FROM embeddings),
+    c0 AS MATERIALIZED (
+        SELECT label, i,
+               ROUND(CAST(SUM(CAST(ROUND(x, 7) AS DECIMAL(28,7)))
+                          AS DOUBLE) / COUNT(*), 9) AS c
+        FROM long GROUP BY label, i),
+    {','.join(steps)},
+    n AS (SELECT label, CAST(COUNT(DISTINCT vec_id) AS BIGINT)
+                     AS n_vecs
+          FROM long GROUP BY label)
+    SELECT n.label, n.n_vecs,
+           ROUND(sqrt(CAST(SUM(CAST(ROUND(
+               (g.c - m.c) * (g.c - m.c), 9) AS DECIMAL(28,9)))
+               AS DOUBLE)), 6) AS shift_l2,
+           ROUND(sqrt(CAST(SUM(CAST(ROUND(g.c * g.c, 9)
+               AS DECIMAL(28,9))) AS DOUBLE)), 6) AS gm_norm
+    FROM {prev} g JOIN c0 m ON g.label = m.label AND g.i = m.i
+    JOIN n ON n.label = g.label
+    GROUP BY n.label, n.n_vecs
+    """
+
+
+@query("q_geometric_median", oracle=_gm_oracle())
+def q_geometric_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label geometric median of the embedding cloud (3 Weiszfeld
+    iterations) — the ROBUST prototype next to q_centroids' means: a
+    handful of mislabeled or outlier vectors drags a mean arbitrarily
+    far but moves the geometric median almost nothing, which is what
+    you want for class prototypes feeding q_knn_label /
+    q_embedding_class_sim on noisy corpora.  Output: per label, how
+    far the robust prototype sits from the mean (shift_l2 — a direct
+    label-noise signal) and its norm.
+
+    Each Weiszfeld round is two partial-aggregable passes over the
+    exploded (vector, dim) frame — inverse-distance weights per
+    vector, then the reweighted per-dim centroid — with every term
+    9 dp-rounded inside DECIMAL sums and the tiny centroid frame
+    broadcast back; the oracle unrolls all three rounds.  Scale:
+    cost is 2 x iters scans of N x d rows, shuffles keyed on
+    (label, dim) / vec_id only — no pairwise anything."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    long = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("i0", "x0"),
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("i0") + 1).alias("i"),
+        F.col("x0").cast("double").alias("x"),
+    )
+    long = long.localCheckpoint()
+    c = long.groupBy("label", "i").agg(
+        F.round(
+            F.sum(F.round(F.col("x"), 7).cast("decimal(28,7)")).cast(
+                "double"
+            )
+            / F.count("*"),
+            9,
+        ).alias("c")
+    )
+    c0 = c
+    for _ in range(_GM_ITERS):
+        d = (
+            long.join(F.broadcast(c), ["label", "i"])
+            .groupBy("vec_id", "label")
+            .agg(
+                F.greatest(
+                    F.sqrt(
+                        F.sum(
+                            F.round(
+                                (F.col("x") - F.col("c"))
+                                * (F.col("x") - F.col("c")),
+                                9,
+                            ).cast("decimal(28,9)")
+                        ).cast("double")
+                    ),
+                    F.lit(0.000001).cast("double"),
+                ).alias("d")
+            )
+        )
+        w = d.select(
+            "vec_id",
+            "label",
+            F.round(F.lit(1).cast("double") / F.col("d"), 9).alias(
+                "w"
+            ),
+        )
+        c = (
+            long.join(F.broadcast(w.drop("label")), "vec_id")
+            .groupBy("label", "i")
+            .agg(
+                F.round(
+                    F.sum(
+                        F.round(F.col("w") * F.col("x"), 9).cast(
+                            "decimal(28,9)"
+                        )
+                    ).cast("double")
+                    / F.sum(
+                        F.col("w").cast("decimal(18,9)")
+                    ).cast("double"),
+                    9,
+                ).alias("c")
+            )
+        )
+    n = long.groupBy("label").agg(
+        F.countDistinct("vec_id").cast("long").alias("n_vecs")
+    )
+    g = c.select("label", "i", F.col("c").alias("g"))
+    m = c0.select("label", "i", F.col("c").alias("m"))
+    return (
+        g.join(m, ["label", "i"])
+        .groupBy("label")
+        .agg(
+            F.round(
+                F.sqrt(
+                    F.sum(
+                        F.round(
+                            (F.col("g") - F.col("m"))
+                            * (F.col("g") - F.col("m")),
+                            9,
+                        ).cast("decimal(28,9)")
+                    ).cast("double")
+                ),
+                6,
+            ).alias("shift_l2"),
+            F.round(
+                F.sqrt(
+                    F.sum(
+                        F.round(
+                            F.col("g") * F.col("g"), 9
+                        ).cast("decimal(28,9)")
+                    ).cast("double")
+                ),
+                6,
+            ).alias("gm_norm"),
+        )
+        .join(F.broadcast(n), "label")
+        .select("label", "n_vecs", "shift_l2", "gm_norm")
+    )
