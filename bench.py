@@ -183,6 +183,7 @@ HEADLINE = [
     "q_skipgram_pairs",
     "q_spearman",
     "q_geometric_median",
+    "q_tail_index",
 ]
 
 #: Frozen comparable subsets — apples-to-apples totals across rounds.

@@ -4820,3 +4820,90 @@ def q_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("kendall_tau"),
     )
+
+
+_HILL_K = 100  # order statistics in the Hill tail estimate
+
+
+@query(
+    "q_tail_index",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT o_custkey, spend,
+               ROW_NUMBER() OVER (ORDER BY spend DESC, o_custkey)
+                   AS rn
+        FROM (SELECT o_custkey,
+                     CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                          AS DOUBLE) AS spend
+              FROM orders GROUP BY o_custkey) s),
+    topk AS MATERIALIZED (
+        SELECT spend, rn FROM ranked WHERE rn <= {_HILL_K + 1}),
+    xmin AS (
+        SELECT spend AS x_k FROM topk WHERE rn = {_HILL_K + 1}),
+    hill AS (
+        SELECT CAST(SUM(CAST(ROUND(ln(t.spend / x.x_k), 9)
+                    AS DECIMAL(18,9))) AS DOUBLE) AS s,
+               CAST(COUNT(*) AS BIGINT) AS k
+        FROM topk t CROSS JOIN xmin x
+        WHERE t.rn <= {_HILL_K})
+    SELECT h.k,
+           ROUND(x.x_k, 4) AS x_min,
+           ROUND(h.s / h.k, 6) AS mean_log_excess,
+           ROUND(h.k / h.s, 6) AS hill_alpha,
+           h.k / h.s < CAST(2 AS DOUBLE) AS infinite_variance_flag
+    FROM hill h CROSS JOIN xmin x
+    """,
+)
+def q_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill estimator of the customer-spend tail index — the
+    heavy-tail diagnostic behind capacity planning and whale-risk
+    monitoring: alpha from the top-{_HILL_K} order statistics
+    (mean log-excess over the k+1-st largest spend, inverted).
+    alpha < 2 means infinite variance — averages and A/B tests on
+    this metric stop converging, exactly the regime q_ab_test's
+    t-statistics silently break in; the flag says switch to
+    median/trimmed readouts (q_robust_z / q_winsorize).
+
+    The global top-(k+1) rides the rank-filter WindowGroupLimit
+    (map-side top-n per partition, never a full sort of customers);
+    everything after is a bounded {_HILL_K + 1}-row frame with
+    9 dp-rounded log terms inside a DECIMAL sum and the 1-row x_min
+    broadcast."""
+    od = load_table(spark, sf_dir, "orders")
+    spend = od.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("spend")
+    )
+    ranked = spend.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.orderBy(F.desc("spend"), "o_custkey")
+        ),
+    ).filter(F.col("rn") <= _HILL_K + 1)
+    xmin = ranked.filter(F.col("rn") == _HILL_K + 1).select(
+        F.col("spend").alias("x_k")
+    )
+    hill = (
+        ranked.filter(F.col("rn") <= _HILL_K)
+        .crossJoin(F.broadcast(xmin))
+        .agg(
+            F.sum(
+                F.round(F.log(F.col("spend") / F.col("x_k")), 9).cast(
+                    "decimal(18,9)"
+                )
+            )
+            .cast("double")
+            .alias("s"),
+            F.count("*").cast("long").alias("k"),
+        )
+    )
+    return hill.crossJoin(F.broadcast(xmin)).select(
+        "k",
+        F.round("x_k", 4).alias("x_min"),
+        F.round(F.col("s") / F.col("k"), 6).alias("mean_log_excess"),
+        F.round(F.col("k") / F.col("s"), 6).alias("hill_alpha"),
+        (F.col("k") / F.col("s") < F.lit(2).cast("double")).alias(
+            "infinite_variance_flag"
+        ),
+    )

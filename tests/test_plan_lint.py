@@ -96,6 +96,7 @@ _BNLJ_SCALAR_OK = {
     "q_kneser_ney",        # 1-row distinct-bigram total broadcast
     "q_skipgram_pairs",    # vocab-bounded CDF containment join + 1-row W
     "q_spearman",          # days^2-bounded concordance grid + 1-row stats
+    "q_tail_index",        # 1-row x_min order-statistic broadcast
 }
 
 
