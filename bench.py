@@ -184,6 +184,7 @@ HEADLINE = [
     "q_spearman",
     "q_geometric_median",
     "q_tail_index",
+    "q_segment_migration",
 ]
 
 #: Frozen comparable subsets — apples-to-apples totals across rounds.

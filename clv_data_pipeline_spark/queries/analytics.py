@@ -4907,3 +4907,114 @@ def q_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             "infinite_variance_flag"
         ),
     )
+
+
+@query(
+    "q_segment_migration",
+    oracle="""
+    WITH u AS MATERIALIZED (
+        SELECT user_id,
+               CAST(SUM(CASE WHEN event_type = 'purchase'
+                        AND ts < TIMESTAMP '2024-01-16'
+                        THEN 1 ELSE 0 END) AS BIGINT) AS p1,
+               CAST(SUM(CASE WHEN event_type = 'purchase'
+                        AND ts >= TIMESTAMP '2024-01-16'
+                        THEN 1 ELSE 0 END) AS BIGINT) AS p2
+        FROM events GROUP BY user_id),
+    cuts AS (
+        SELECT (SELECT ROUND(CAST(quantile_cont(p1, 0.5) AS DOUBLE), 6)
+                FROM u WHERE p1 > 0) AS m1,
+               (SELECT ROUND(CAST(quantile_cont(p2, 0.5) AS DOUBLE), 6)
+                FROM u WHERE p2 > 0) AS m2),
+    tagged AS (
+        SELECT CASE WHEN p1 = 0 THEN 'none'
+                    WHEN p1 > m1 THEN 'high' ELSE 'low' END
+                   AS from_segment,
+               CASE WHEN p2 = 0 THEN 'none'
+                    WHEN p2 > m2 THEN 'high' ELSE 'low' END
+                   AS to_segment
+        FROM u CROSS JOIN cuts),
+    m AS (
+        SELECT from_segment, to_segment,
+               CAST(COUNT(*) AS BIGINT) AS n_users
+        FROM tagged GROUP BY 1, 2)
+    SELECT from_segment, to_segment, n_users,
+           ROUND(CAST(n_users AS DOUBLE)
+                 / SUM(n_users) OVER (PARTITION BY from_segment), 6)
+               AS row_share
+    FROM m
+    """,
+)
+def q_segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer segment-migration matrix — the lifecycle view RFM
+    snapshots miss: each user's purchase-activity tier (high / low /
+    none, split at the active-user median) in the first half-month
+    crossed with their tier in the second, as counts and row-share
+    transition probabilities.  The high->none cell IS the churn rate
+    of your best customers; none->high is reactivation — the numbers
+    retention teams actually act on (and the empirical transition
+    matrix a Markov LTV model consumes).
+
+    One conditional scan builds both periods' per-user counts (no
+    period self-join of the log); median cuts are exact interpolated
+    percentiles over the active subset (q_percentiles parity),
+    broadcast as a 1-row scalar; the matrix and its row-normalized
+    shares live on the <=9-cell frame.  Integer counts keep every
+    ratio bit-deterministic."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.sum(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("ts") < F.lit("2024-01-16")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("p1"),
+        F.sum(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("ts") >= F.lit("2024-01-16")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("p2"),
+    )
+    u = u.localCheckpoint()
+    m1 = u.filter(F.col("p1") > 0).agg(
+        F.round(F.percentile("p1", 0.5), 6).alias("m1")
+    )
+    m2 = u.filter(F.col("p2") > 0).agg(
+        F.round(F.percentile("p2", 0.5), 6).alias("m2")
+    )
+    tagged = (
+        u.crossJoin(F.broadcast(m1))
+        .crossJoin(F.broadcast(m2))
+        .select(
+            F.when(F.col("p1") == 0, "none")
+            .when(F.col("p1") > F.col("m1"), "high")
+            .otherwise("low")
+            .alias("from_segment"),
+            F.when(F.col("p2") == 0, "none")
+            .when(F.col("p2") > F.col("m2"), "high")
+            .otherwise("low")
+            .alias("to_segment"),
+        )
+    )
+    m = tagged.groupBy("from_segment", "to_segment").agg(
+        F.count("*").cast("long").alias("n_users")
+    )
+    return m.select(
+        "from_segment",
+        "to_segment",
+        "n_users",
+        F.round(
+            F.col("n_users").cast("double")
+            / F.sum("n_users").over(
+                Window.partitionBy("from_segment")
+            ),
+            6,
+        ).alias("row_share"),
+    )
