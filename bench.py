@@ -185,6 +185,8 @@ HEADLINE = [
     "q_geometric_median",
     "q_tail_index",
     "q_segment_migration",
+    "q_freshness",
+    "q_lift_curve",
 ]
 
 #: Frozen comparable subsets — apples-to-apples totals across rounds.

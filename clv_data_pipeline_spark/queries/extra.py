@@ -1668,3 +1668,198 @@ def q_binary_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("length").cast("long").alias("n_bytes"),
         F.md5(F.col("content")).alias("content_md5"),
     )
+
+
+@query(
+    "q_freshness",
+    oracle="""
+    WITH f AS (
+        SELECT 'events' AS table_name,
+               strftime(CAST(MAX(ts) AS DATE), '%Y-%m-%d') AS max_date,
+               CAST(date_diff('day', CAST(MAX(ts) AS DATE),
+                              DATE '2024-03-01') AS BIGINT)
+                   AS staleness_days
+        FROM events
+        UNION ALL
+        SELECT 'orders',
+               strftime(CAST(MAX(o_orderdate) AS DATE), '%Y-%m-%d'),
+               CAST(date_diff('day', CAST(MAX(o_orderdate) AS DATE),
+                              DATE '2024-03-01') AS BIGINT)
+        FROM orders
+        UNION ALL
+        SELECT 'lineitem',
+               strftime(CAST(MAX(l_shipdate) AS DATE), '%Y-%m-%d'),
+               CAST(date_diff('day', CAST(MAX(l_shipdate) AS DATE),
+                              DATE '2024-03-01') AS BIGINT)
+        FROM lineitem)
+    SELECT table_name, max_date, staleness_days,
+           staleness_days <= 35 AS within_slo
+    FROM f
+    """,
+)
+def q_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-freshness SLO audit — the first page of every pipeline
+    runbook: per source table, the latest business date, how stale it
+    is against the pipeline's fixed as-of date, and a 35-day SLO
+    verdict.  A silently-stalled upstream feed fails here before it
+    poisons every downstream aggregate (the reference's DAG trusts
+    BigQuery ingestion implicitly; this is the guard it lacked,
+    composing with q_observe's row-level counters).
+
+    MAX over a date/timestamp column is answered by parquet
+    footer statistics — at 100 TB this reads metadata, not data
+    (min/max scan pruning), and the result frame is one row per
+    table."""
+    ev = load_table(spark, sf_dir, "events")
+    od = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    asof = F.lit("2024-03-01").cast("date")
+
+    def audit(df, name, col, is_ts):
+        d = F.to_date(F.max(col)) if is_ts else F.to_date(F.max(col))
+        return df.agg(
+            F.lit(name).alias("table_name"),
+            F.date_format(d, "yyyy-MM-dd").alias("max_date"),
+            F.datediff(asof, d).cast("long").alias("staleness_days"),
+        )
+
+    f = (
+        audit(ev, "events", "ts", True)
+        .unionAll(audit(od, "orders", "o_orderdate", False))
+        .unionAll(audit(li, "lineitem", "l_shipdate", False))
+    )
+    return f.select(
+        "table_name",
+        "max_date",
+        "staleness_days",
+        (F.col("staleness_days") <= 35).alias("within_slo"),
+    )
+
+
+@query(
+    "q_lift_curve",
+    oracle="""
+    WITH u AS (
+        SELECT user_id,
+               CAST(SUM(CASE WHEN event_type = 'purchase'
+                        AND ts < TIMESTAMP '2024-01-16'
+                        THEN 1 ELSE 0 END) AS BIGINT) AS score,
+               CAST(MAX(CASE WHEN event_type = 'purchase'
+                        AND ts >= TIMESTAMP '2024-01-16'
+                        THEN 1 ELSE 0 END) AS BIGINT) AS response
+        FROM events GROUP BY user_id),
+    r AS (
+        SELECT response,
+               CAST(ROW_NUMBER() OVER (
+                   ORDER BY -score, md5(CAST(user_id AS VARCHAR)),
+                            user_id) AS BIGINT) AS i,
+               CAST(COUNT(*) OVER () AS BIGINT) AS n
+        FROM u),
+    d AS (
+        SELECT CAST((i - 1) * 10 // n + 1 AS BIGINT) AS decile,
+               response
+        FROM r),
+    agg AS (
+        SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_users,
+               CAST(SUM(response) AS BIGINT) AS n_resp
+        FROM d GROUP BY decile),
+    tot AS (SELECT CAST(SUM(n_resp) AS DOUBLE) AS tr,
+                   CAST(SUM(n_users) AS DOUBLE) AS tn
+            FROM agg)
+    SELECT a.decile, a.n_users, a.n_resp,
+           ROUND(CAST(a.n_resp AS DOUBLE) / a.n_users, 6)
+               AS response_rate,
+           ROUND((CAST(a.n_resp AS DOUBLE) / a.n_users)
+                 / (t.tr / t.tn), 6) AS lift,
+           ROUND(CAST(SUM(a.n_resp)
+                      OVER (ORDER BY a.decile) AS DOUBLE) / t.tr, 6)
+               AS cum_gain
+    FROM agg a CROSS JOIN tot t
+    """,
+)
+def q_lift_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile lift and cumulative-gains table — how marketing actually
+    consumes a propensity score (q_auc ranks, q_calibration trusts,
+    THIS allocates budget): users ranked by first-half purchase
+    activity, split into score deciles, each decile's second-half
+    response rate against the base rate (lift) and the running share
+    of all responders captured (gains) — 'the top 2 deciles hold 40%
+    of conversions' is the sentence campaigns are sized with.
+
+    One conditional scan builds leak-free (score, response) pairs
+    (score strictly earlier than the response window); the global
+    rank comes from operators/ids.distributed_row_number (score as
+    the coarse range key, md5 fine order — never a single-partition
+    window), and decile = (rank-1)*10 div n + 1 is pure integer math
+    written identically on both sides; everything after lives on the
+    10-row decile frame, so all ratios are bit-deterministic."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.sum(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("ts") < F.lit("2024-01-16")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("score"),
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("ts") >= F.lit("2024-01-16")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("response"),
+    )
+    from clv_data_pipeline_spark.operators.ids import (
+        distributed_row_number,
+    )
+
+    ranked = distributed_row_number(
+        u.withColumn("neg", -F.col("score")).withColumn(
+            "h", F.md5(F.col("user_id").cast("string"))
+        ),
+        hash_col="h",
+        tiebreak_col="user_id",
+        out_col="i",
+        coarse_cols=("neg",),
+    )
+    n = u.agg(F.count("*").cast("long").alias("n"))
+    d = ranked.crossJoin(F.broadcast(n)).select(
+        (
+            F.expr("(i - 1) * 10 div n") + 1
+        )
+        .cast("long")
+        .alias("decile"),
+        "response",
+    )
+    agg = d.groupBy("decile").agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.sum("response").cast("long").alias("n_resp"),
+    )
+    tot = agg.agg(
+        F.sum("n_resp").cast("double").alias("tr"),
+        F.sum("n_users").cast("double").alias("tn"),
+    )
+    rate = F.col("n_resp").cast("double") / F.col("n_users")
+    return agg.crossJoin(F.broadcast(tot)).select(
+        "decile",
+        "n_users",
+        "n_resp",
+        F.round(rate, 6).alias("response_rate"),
+        F.round(rate / (F.col("tr") / F.col("tn")), 6).alias("lift"),
+        F.round(
+            F.sum("n_resp")
+            .over(
+                Window.orderBy("decile").rowsBetween(
+                    Window.unboundedPreceding, 0
+                )
+            )
+            .cast("double")
+            / F.col("tr"),
+            6,
+        ).alias("cum_gain"),
+    )
