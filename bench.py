@@ -187,6 +187,7 @@ HEADLINE = [
     "q_segment_migration",
     "q_freshness",
     "q_lift_curve",
+    "q_price_elasticity",
 ]
 
 #: Frozen comparable subsets — apples-to-apples totals across rounds.

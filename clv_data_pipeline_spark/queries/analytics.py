@@ -5018,3 +5018,87 @@ def q_segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("row_share"),
     )
+
+
+@query(
+    "q_price_elasticity",
+    oracle="""
+    WITH obs AS (
+        SELECT p.p_brand AS brand,
+               ROUND(ln(l.l_extendedprice / l.l_quantity), 9) AS x,
+               ROUND(ln(CAST(l.l_quantity AS DOUBLE)), 9) AS y
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE l.l_quantity > 0 AND l.l_extendedprice > 0),
+    s AS (
+        SELECT brand,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(x AS DECIMAL(28,9))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(y AS DECIMAL(28,9))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(ROUND(x * x, 9) AS DECIMAL(28,9)))
+                    AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(ROUND(x * y, 9) AS DECIMAL(28,9)))
+                    AS DOUBLE) AS sxy
+        FROM obs GROUP BY brand)
+    SELECT brand, n,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+               AS elasticity,
+           ROUND((sy - ((n * sxy - sx * sy)
+                        / (n * sxx - sx * sx)) * sx) / n, 6)
+               AS ln_q_at_unit_price,
+           (n * sxy - sx * sy) / (n * sxx - sx * sx)
+               < CAST(-1 AS DOUBLE) AS elastic_flag
+    FROM s
+    """,
+)
+def q_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand price elasticity of demand — the log-log OLS
+    (ln quantity on ln unit price) whose slope is THE pricing-team
+    number: elasticity < -1 means revenue rises when price drops
+    (flagged), > -1 means the brand tolerates increases.  The
+    econometric twin of q_trend's time OLS, on economic axes.
+
+    One join + one grouped sufficient-stats scan: per-observation ln
+    terms round to 9 dp before DECIMAL sums (libm), the closed-form
+    slope/intercept are identical IEEE expressions on the 25-row
+    brand frame, and the part dimension broadcasts.  A 100 TB
+    lineitem costs exactly one shuffle keyed on brand."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    obs = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .filter(
+            (F.col("l_quantity") > 0) & (F.col("l_extendedprice") > 0)
+        )
+        .select(
+            F.col("p_brand").alias("brand"),
+            F.round(
+                F.log(F.col("l_extendedprice") / F.col("l_quantity")),
+                9,
+            ).alias("x"),
+            F.round(
+                F.log(F.col("l_quantity").cast("double")), 9
+            ).alias("y"),
+        )
+    )
+
+    def d9(c):
+        return F.sum(c.cast("decimal(28,9)")).cast("double")
+
+    s = obs.groupBy("brand").agg(
+        F.count("*").cast("long").alias("n"),
+        d9(F.col("x")).alias("sx"),
+        d9(F.col("y")).alias("sy"),
+        d9(F.round(F.col("x") * F.col("x"), 9)).alias("sxx"),
+        d9(F.round(F.col("x") * F.col("y"), 9)).alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    slope = (n * F.col("sxy") - sx * sy) / (
+        n * F.col("sxx") - sx * sx
+    )
+    return s.select(
+        "brand",
+        "n",
+        F.round(slope, 6).alias("elasticity"),
+        F.round((sy - slope * sx) / n, 6).alias("ln_q_at_unit_price"),
+        (slope < F.lit(-1).cast("double")).alias("elastic_flag"),
+    )

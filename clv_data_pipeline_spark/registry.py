@@ -248,7 +248,7 @@ _R6_NEW: set[str] = {
     "q_ipf_raking", "q_fellegi_sunter", "q_active_learning",
     "q_kneser_ney", "q_skipgram_pairs", "q_spearman",
     "q_geometric_median", "q_tail_index", "q_segment_migration",
-    "q_freshness", "q_lift_curve",
+    "q_freshness", "q_lift_curve", "q_price_elasticity",
 }
 
 
