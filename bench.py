@@ -188,6 +188,7 @@ HEADLINE = [
     "q_freshness",
     "q_lift_curve",
     "q_price_elasticity",
+    "q_offpolicy_eval",
 ]
 
 #: Frozen comparable subsets — apples-to-apples totals across rounds.

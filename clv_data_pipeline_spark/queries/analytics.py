@@ -5102,3 +5102,161 @@ def q_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((sy - slope * sx) / n, 6).alias("ln_q_at_unit_price"),
         (slope < F.lit(-1).cast("double")).alias("elastic_flag"),
     )
+
+
+@query(
+    "q_offpolicy_eval",
+    oracle="""
+    WITH logged AS MATERIALIZED (
+        SELECT CAST(date_diff('day', DATE '2024-01-01',
+                    CAST(ts AS DATE)) + 1 AS BIGINT) AS day,
+               event_type AS action,
+               CAST(ROUND(value, 6) AS DECIMAL(18,6)) AS r
+        FROM events),
+    prop AS (
+        SELECT day, action,
+               CAST(COUNT(*) AS DOUBLE)
+               / SUM(COUNT(*)) OVER (PARTITION BY day) AS p
+        FROM logged GROUP BY day, action),
+    hist AS (
+        SELECT day, action,
+               ROUND(CAST(SUM(r) AS DOUBLE) / COUNT(*), 6) AS mr
+        FROM logged GROUP BY day, action),
+    pi AS MATERIALIZED (
+        SELECT day, action AS target
+        FROM (SELECT h.day + 1 AS day, h.action,
+                     ROW_NUMBER() OVER (PARTITION BY h.day
+                         ORDER BY h.mr DESC, h.action) AS rn
+              FROM hist h) x
+        WHERE rn = 1),
+    scored AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN l.action = pi.target
+                    THEN CAST(ROUND(CAST(l.r AS DOUBLE) / pr.p, 6)
+                         AS DECIMAL(28,6))
+                    ELSE CAST(0 AS DECIMAL(28,6)) END) AS DOUBLE)
+                   AS sw_r,
+               CAST(SUM(CASE WHEN l.action = pi.target
+                    THEN CAST(ROUND(CAST(1 AS DOUBLE) / pr.p, 6)
+                         AS DECIMAL(28,6))
+                    ELSE CAST(0 AS DECIMAL(28,6)) END) AS DOUBLE)
+                   AS sw,
+               CAST(SUM(CASE WHEN l.action = pi.target
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_matched
+        FROM logged l
+        JOIN pi ON l.day = pi.day
+        JOIN prop pr ON l.day = pr.day AND l.action = pr.action),
+    base AS (
+        SELECT CAST(SUM(r) AS DOUBLE) / COUNT(*) AS avg_logged
+        FROM logged WHERE day >= 2)
+    SELECT s.n, s.n_matched,
+           ROUND(s.sw_r / s.n, 6) AS ips_value,
+           ROUND(s.sw_r / s.sw, 6) AS snips_value,
+           ROUND(b.avg_logged, 6) AS logged_value
+    FROM scored s CROSS JOIN base b
+    """,
+)
+def q_offpolicy_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Off-policy evaluation by inverse propensity scoring — the
+    counterfactual question every recommender change starts with:
+    WITHOUT deploying, what value would the greedy
+    yesterday's-best-arm policy have earned on the logged traffic?
+    IPS reweights logged rewards by 1/p(action|day) where the target
+    agrees with the log; SNIPS (self-normalized) divides by realized
+    weight mass to cut variance; both sit next to the logged
+    average for the lift readout.  Pairs with q_ucb_bandit: that
+    replays a LEARNING policy, this evaluates a FIXED one
+    counterfactually.
+
+    Empirical propensities and the target policy both come from
+    bounded day x arm frames (the target uses day-1 means — leak-free
+    by construction); the scoring scan joins the log against those
+    two small broadcasts once.  Per-row IPS weights round to 6 dp
+    before DECIMAL sums, so the estimate is partition-order exact."""
+    ev = load_table(spark, sf_dir, "events")
+    logged = ev.select(
+        (
+            F.datediff(
+                F.to_date("ts"), F.lit("2024-01-01").cast("date")
+            )
+            + 1
+        )
+        .cast("long")
+        .alias("day"),
+        F.col("event_type").alias("action"),
+        F.round(F.col("value"), 6).cast("decimal(18,6)").alias("r"),
+    )
+    logged = logged.localCheckpoint()
+    prop = logged.groupBy("day", "action").agg(
+        F.count("*").alias("c")
+    )
+    prop = prop.select(
+        "day",
+        "action",
+        (
+            F.col("c").cast("double")
+            / F.sum("c").over(Window.partitionBy("day"))
+        ).alias("p"),
+    )
+    hist = logged.groupBy("day", "action").agg(
+        F.round(
+            F.sum("r").cast("double") / F.count("*"), 6
+        ).alias("mr")
+    )
+    pi = (
+        hist.select(
+            (F.col("day") + 1).alias("day"),
+            "action",
+            F.row_number()
+            .over(
+                Window.partitionBy("day").orderBy(
+                    F.desc("mr"), "action"
+                )
+            )
+            .alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .select("day", F.col("action").alias("target"))
+    )
+    match = F.col("action") == F.col("target")
+    z = F.lit(0).cast("decimal(28,6)")
+    scored = (
+        logged.join(F.broadcast(pi), "day")
+        .join(F.broadcast(prop), ["day", "action"])
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(
+                F.when(
+                    match,
+                    F.round(
+                        F.col("r").cast("double") / F.col("p"), 6
+                    ).cast("decimal(28,6)"),
+                ).otherwise(z)
+            )
+            .cast("double")
+            .alias("sw_r"),
+            F.sum(
+                F.when(
+                    match,
+                    F.round(
+                        F.lit(1).cast("double") / F.col("p"), 6
+                    ).cast("decimal(28,6)"),
+                ).otherwise(z)
+            )
+            .cast("double")
+            .alias("sw"),
+            F.sum(F.when(match, 1).otherwise(0))
+            .cast("long")
+            .alias("n_matched"),
+        )
+    )
+    base = logged.filter(F.col("day") >= 2).agg(
+        (F.sum("r").cast("double") / F.count("*")).alias("avg_logged")
+    )
+    return scored.crossJoin(F.broadcast(base)).select(
+        "n",
+        "n_matched",
+        F.round(F.col("sw_r") / F.col("n"), 6).alias("ips_value"),
+        F.round(F.col("sw_r") / F.col("sw"), 6).alias("snips_value"),
+        F.round("avg_logged", 6).alias("logged_value"),
+    )

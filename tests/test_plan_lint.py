@@ -99,6 +99,7 @@ _BNLJ_SCALAR_OK = {
     "q_tail_index",        # 1-row x_min order-statistic broadcast
     "q_segment_migration", # two 1-row median-cut broadcasts
     "q_lift_curve",        # 1-row base-rate totals broadcast
+    "q_offpolicy_eval",    # 1-row logged-baseline broadcast
 }
 
 
