@@ -189,6 +189,7 @@ HEADLINE = [
     "q_lift_curve",
     "q_price_elasticity",
     "q_offpolicy_eval",
+    "q_range_window",
 ]
 
 #: Frozen comparable subsets — apples-to-apples totals across rounds.

@@ -2147,3 +2147,85 @@ def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+
+
+@query(
+    "q_range_window",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(date_diff('day', DATE '2024-01-01',
+                    CAST(ts AS DATE)) AS BIGINT) AS day,
+               CAST(SUM(CAST(ROUND(value, 6) AS DECIMAL(18,6)))
+                    AS DECIMAL(18,6)) AS rev
+        FROM events
+        WHERE CAST(ts AS DATE) <> DATE '2024-01-10'
+        GROUP BY 1, 2)
+    SELECT event_type, day,
+           CAST(rev AS DOUBLE) AS rev,
+           CAST(SUM(rev) OVER (PARTITION BY event_type ORDER BY day
+                RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS rev_7d_range,
+           CAST(SUM(rev) OVER (PARTITION BY event_type ORDER BY day
+                ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS rev_7row,
+           CAST(COUNT(*) OVER (PARTITION BY event_type ORDER BY day
+                RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS days_present
+    FROM daily
+    """,
+)
+def q_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame windows vs ROWS frames — the SQL-surface
+    distinction that silently corrupts trailing metrics when the
+    calendar has holes: a trailing "7-day revenue" must be RANGE
+    BETWEEN 6 PRECEDING (value-based, skips missing days correctly),
+    not ROWS BETWEEN 6 PRECEDING (physical rows — reaches back PAST
+    the gap).  One day is excluded from the log to plant a real gap,
+    and both frames are emitted side by side so the divergence after
+    the gap is part of the hash-verified result, with days_present
+    counting the actual RANGE population.
+
+    Daily totals accumulate as DECIMAL (window sums exact and
+    order-free); the frame is days x types.  Spark's rangeBetween on
+    the integer day key compiles to the same specified-window
+    RangeFrame Catalyst emits for SQL RANGE — no per-row expansion."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.filter(
+            F.to_date("ts") != F.lit("2024-01-10").cast("date")
+        )
+        .groupBy(
+            "event_type",
+            F.datediff(
+                F.to_date("ts"), F.lit("2024-01-01").cast("date")
+            )
+            .cast("long")
+            .alias("day"),
+        )
+        .agg(
+            F.sum(
+                F.round(F.col("value"), 6).cast("decimal(18,6)")
+            )
+            .cast("decimal(18,6)")
+            .alias("rev")
+        )
+    )
+    wrange = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rangeBetween(-6, 0)
+    )
+    wrows = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-6, 0)
+    )
+    return daily.select(
+        "event_type",
+        "day",
+        F.col("rev").cast("double").alias("rev"),
+        F.sum("rev").over(wrange).cast("double").alias("rev_7d_range"),
+        F.sum("rev").over(wrows).cast("double").alias("rev_7row"),
+        F.count("*").over(wrange).cast("long").alias("days_present"),
+    )
