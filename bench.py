@@ -190,6 +190,7 @@ HEADLINE = [
     "q_price_elasticity",
     "q_offpolicy_eval",
     "q_range_window",
+    "q_dbscan",
 ]
 
 #: Frozen comparable subsets — apples-to-apples totals across rounds.

@@ -749,3 +749,189 @@ def q_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "g1 long, g2 long, g3 long, c long, posterior double, "
         "match_weight double",
     )
+
+
+_DBSCAN_EPS2 = 0.0009  # eps = 0.03 in the ln-spend x ln-orders plane
+_DBSCAN_MINPTS = 5
+
+
+@query(
+    "q_dbscan",
+    oracle=f"""
+    WITH RECURSIVE pts AS (
+        SELECT o_custkey AS id,
+               ROUND(ln(1 + CAST(SUM(CAST(o_totalprice
+                    AS DECIMAL(18,4))) AS DOUBLE)), 6) AS x,
+               ROUND(ln(1 + COUNT(*)), 6) AS y
+        FROM orders GROUP BY o_custkey),
+    nbr AS (
+        SELECT a.id AS ia, b.id AS ib
+        FROM pts a JOIN pts b
+          ON (a.x - b.x) * (a.x - b.x)
+             + (a.y - b.y) * (a.y - b.y)
+             <= CAST({_DBSCAN_EPS2} AS DOUBLE)),
+    deg AS (SELECT ia AS id, CAST(COUNT(*) AS BIGINT) AS nn
+            FROM nbr GROUP BY ia),
+    core AS (SELECT id FROM deg WHERE nn >= {_DBSCAN_MINPTS}),
+    ce AS (SELECT n.ia, n.ib FROM nbr n
+           JOIN core c1 ON n.ia = c1.id
+           JOIN core c2 ON n.ib = c2.id),
+    reach(node, r) AS (
+        SELECT id, id FROM core
+        UNION
+        SELECT e.ia, reach.r FROM ce e JOIN reach
+          ON reach.node = e.ib),
+    comp AS (SELECT node, MIN(r) AS cl FROM reach GROUP BY node),
+    border AS (
+        SELECT n.ia AS id, MIN(c.cl) AS cl
+        FROM nbr n JOIN comp c ON n.ib = c.node
+        WHERE n.ia NOT IN (SELECT id FROM core)
+        GROUP BY n.ia),
+    labeled AS (
+        SELECT node AS id, cl, 1 AS is_core FROM comp
+        UNION ALL
+        SELECT id, cl, 0 FROM border
+        UNION ALL
+        SELECT id, CAST(-1 AS BIGINT), 0 FROM pts
+        WHERE id NOT IN (SELECT node FROM comp)
+          AND id NOT IN (SELECT id FROM border))
+    SELECT CAST(cl AS BIGINT) AS cluster_id,
+           CAST(COUNT(*) AS BIGINT) AS n_points,
+           CAST(SUM(is_core) AS BIGINT) AS n_core,
+           CAST(SUM(1 - is_core) AS BIGINT) AS n_border
+    FROM labeled GROUP BY cl
+    """,
+)
+def q_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBSCAN density clustering of customers in the (ln spend,
+    ln order-count) plane — the cluster-without-choosing-k
+    segmentation that also DEFINES outliers (noise = cluster -1),
+    completing the clustering shelf: k-means cells (q_semdedup),
+    prototypes (q_centroids / q_geometric_median), connectivity
+    (q_dedup_clusters), now density.
+
+    Scale shape is the textbook grid-blocked composition:
+    eps-neighborhoods come from a 3x3 CELL equi-join (cell width =
+    2*eps so a true neighbor can never straddle more than adjacent
+    cells — the exploded build side is 9 rows per point, never a
+    cross join); degrees give core points; core-core edges feed the
+    SAME iterative min-label connected_components operator the dedup
+    stack uses; border points attach to their minimum adjacent core
+    cluster.  The oracle replays everything with a direct quadratic
+    join + recursive reachability CTE, so the grid blocking is
+    hash-verified against the unblocked definition.  Coordinates
+    round to 6 dp before ALL distance math (both engines see
+    identical doubles)."""
+    from clv_data_pipeline_spark.operators.dedup import (
+        connected_components,
+    )
+
+    od = load_table(spark, sf_dir, "orders")
+    pts = od.groupBy(F.col("o_custkey").alias("id")).agg(
+        F.round(
+            F.log(
+                1
+                + F.sum(
+                    F.col("o_totalprice").cast("decimal(18,4)")
+                ).cast("double")
+            ),
+            6,
+        ).alias("x"),
+        F.round(F.log(1 + F.count("*")), 6).alias("y"),
+    )
+    pts = pts.localCheckpoint()
+    w = 0.06  # cell width = 2 * eps
+    cells = pts.select(
+        "id",
+        "x",
+        "y",
+        F.floor(F.col("x") / w).cast("long").alias("cx"),
+        F.floor(F.col("y") / w).cast("long").alias("cy"),
+    )
+    offsets = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
+    probe = cells.select(
+        F.col("id").alias("ia"),
+        F.col("x").alias("xa"),
+        F.col("y").alias("ya"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        (F.col("cx") + dx).alias("cx"),
+                        (F.col("cy") + dy).alias("cy"),
+                    )
+                    for dx, dy in offsets
+                ]
+            )
+        ).alias("c"),
+    ).select("ia", "xa", "ya", F.col("c.cx").alias("cx"), F.col("c.cy").alias("cy"))
+    build = cells.select(
+        F.col("id").alias("ib"),
+        F.col("x").alias("xb"),
+        F.col("y").alias("yb"),
+        "cx",
+        "cy",
+    )
+    d2 = (F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb")) + (
+        F.col("ya") - F.col("yb")
+    ) * (F.col("ya") - F.col("yb"))
+    nbr = (
+        probe.join(build, ["cx", "cy"])
+        .filter(d2 <= F.lit(_DBSCAN_EPS2).cast("double"))
+        .select("ia", "ib")
+    )
+    nbr = nbr.localCheckpoint()
+    deg = nbr.groupBy(F.col("ia").alias("id")).agg(
+        F.count("*").cast("long").alias("nn")
+    )
+    core = deg.filter(F.col("nn") >= _DBSCAN_MINPTS).select("id")
+    ca = core.select(F.col("id").alias("ia"))
+    cb = core.select(F.col("id").alias("ib"))
+    ce = nbr.join(ca, "ia").join(cb, "ib")
+    # singleton core points (only a self-edge) get no CC row — they
+    # are their own cluster, exactly the oracle's MIN(reach) = self
+    comp = core.join(
+        connected_components(ce, "ia", "ib"),
+        core["id"] == F.col("node"),
+        "left",
+    ).select(
+        F.col("id").alias("node"),
+        F.coalesce(F.col("cluster_id"), F.col("id")).alias(
+            "cluster_id"
+        ),
+    )
+    border = (
+        nbr.join(core.select(F.col("id").alias("ia")), "ia", "left_anti")
+        .join(
+            comp.select(
+                F.col("node").alias("ib"), F.col("cluster_id").alias("cl")
+            ),
+            "ib",
+        )
+        .groupBy(F.col("ia").alias("id"))
+        .agg(F.min("cl").alias("cl"))
+    )
+    core_labeled = comp.select(
+        F.col("node").alias("id"),
+        F.col("cluster_id").alias("cl"),
+        F.lit(1).alias("is_core"),
+    )
+    border_labeled = border.select("id", "cl", F.lit(0).alias("is_core"))
+    noise = (
+        pts.select("id")
+        .join(core_labeled.select("id"), "id", "left_anti")
+        .join(border_labeled.select("id"), "id", "left_anti")
+        .select(
+            "id",
+            F.lit(-1).cast("long").alias("cl"),
+            F.lit(0).alias("is_core"),
+        )
+    )
+    labeled = core_labeled.unionAll(border_labeled).unionAll(noise)
+    return labeled.groupBy(
+        F.col("cl").cast("long").alias("cluster_id")
+    ).agg(
+        F.count("*").cast("long").alias("n_points"),
+        F.sum("is_core").cast("long").alias("n_core"),
+        F.sum(1 - F.col("is_core")).cast("long").alias("n_border"),
+    )

@@ -249,7 +249,7 @@ _R6_NEW: set[str] = {
     "q_kneser_ney", "q_skipgram_pairs", "q_spearman",
     "q_geometric_median", "q_tail_index", "q_segment_migration",
     "q_freshness", "q_lift_curve", "q_price_elasticity",
-    "q_offpolicy_eval", "q_range_window",
+    "q_offpolicy_eval", "q_range_window", "q_dbscan",
 }
 
 
