@@ -5260,3 +5260,249 @@ def q_offpolicy_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("sw_r") / F.col("sw"), 6).alias("snips_value"),
         F.round("avg_logged", 6).alias("logged_value"),
     )
+
+
+@query(
+    "q_growth_accounting",
+    oracle="""
+    WITH ud AS (
+        SELECT DISTINCT user_id,
+               CAST(date_diff('day', DATE '2024-01-01',
+                    CAST(ts AS DATE)) AS BIGINT) AS day
+        FROM events),
+    seq AS (
+        SELECT user_id, day,
+               LAG(day) OVER (PARTITION BY user_id ORDER BY day)
+                   AS prev
+        FROM ud),
+    tagged AS (
+        SELECT day,
+               CASE WHEN prev IS NULL THEN 'new'
+                    WHEN day - prev = 1 THEN 'retained'
+                    ELSE 'resurrected' END AS kind
+        FROM seq),
+    daily AS (
+        SELECT day,
+               CAST(COUNT(*) AS BIGINT) AS n_active,
+               CAST(SUM(CASE kind WHEN 'new' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_new,
+               CAST(SUM(CASE kind WHEN 'retained' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_retained,
+               CAST(SUM(CASE kind WHEN 'resurrected' THEN 1 ELSE 0
+                    END) AS BIGINT) AS n_resurrected
+        FROM tagged GROUP BY day),
+    acc AS (
+        SELECT *,
+               LAG(n_active) OVER (ORDER BY day) - n_retained
+                   AS n_churned
+        FROM daily)
+    SELECT day, n_active, n_new, n_retained, n_resurrected,
+           n_churned,
+           CASE WHEN n_churned > 0
+                THEN ROUND(CAST(n_new + n_resurrected AS DOUBLE)
+                           / n_churned, 6)
+           END AS quick_ratio
+    FROM acc
+    """,
+)
+def q_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth accounting — the a16z/Social-Capital DAU decomposition
+    every consumer dashboard leads with: each day's actives split
+    into new (first-ever day), retained (also active yesterday), and
+    resurrected (returning after a gap); churned = yesterday's
+    actives who didn't return; quick ratio = (new + resurrected) /
+    churned, the single number that says whether growth is
+    acquisition or leakage.
+
+    One DISTINCT shuffle to (user, day), one per-user LAG window
+    (partitioned — never global), then everything lives on the
+    30-row daily frame.  Pure integer counts: every ratio is
+    bit-deterministic; days with zero churn yield NULL quick ratio
+    identically on both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id",
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
+        .cast("long")
+        .alias("day"),
+    ).distinct()
+    seq = ud.withColumn(
+        "prev",
+        F.lag("day").over(
+            Window.partitionBy("user_id").orderBy("day")
+        ),
+    )
+    kind = (
+        F.when(F.col("prev").isNull(), "new")
+        .when(F.col("day") - F.col("prev") == 1, "retained")
+        .otherwise("resurrected")
+    )
+    daily = (
+        seq.select("day", kind.alias("kind"))
+        .groupBy("day")
+        .agg(
+            F.count("*").cast("long").alias("n_active"),
+            F.sum(F.when(F.col("kind") == "new", 1).otherwise(0))
+            .cast("long")
+            .alias("n_new"),
+            F.sum(
+                F.when(F.col("kind") == "retained", 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_retained"),
+            F.sum(
+                F.when(F.col("kind") == "resurrected", 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_resurrected"),
+        )
+    )
+    acc = daily.withColumn(
+        "n_churned",
+        F.lag("n_active").over(Window.orderBy("day"))
+        - F.col("n_retained"),
+    )
+    return acc.select(
+        "day",
+        "n_active",
+        "n_new",
+        "n_retained",
+        "n_resurrected",
+        "n_churned",
+        F.when(
+            F.col("n_churned") > 0,
+            F.round(
+                (F.col("n_new") + F.col("n_resurrected")).cast(
+                    "double"
+                )
+                / F.col("n_churned"),
+                6,
+            ),
+        ).alias("quick_ratio"),
+    )
+
+
+@query(
+    "q_threshold_tuning",
+    oracle="""
+    WITH u AS (
+        SELECT user_id,
+               CAST(SUM(CASE WHEN event_type = 'purchase'
+                        AND ts < TIMESTAMP '2024-01-16'
+                        THEN 1 ELSE 0 END) AS BIGINT) AS score,
+               CAST(MAX(CASE WHEN event_type = 'purchase'
+                        AND ts >= TIMESTAMP '2024-01-16'
+                        THEN 1 ELSE 0 END) AS BIGINT) AS label
+        FROM events GROUP BY user_id),
+    bins AS (
+        SELECT score, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(label) AS BIGINT) AS pos
+        FROM u GROUP BY score),
+    tot AS (SELECT CAST(SUM(pos) AS BIGINT) AS p,
+                   CAST(SUM(n) AS BIGINT) AS nn FROM bins),
+    sweep AS (
+        SELECT b.score AS threshold,
+               SUM(b2.pos) AS tp,
+               SUM(b2.n - b2.pos) AS fp
+        FROM bins b JOIN bins b2 ON b2.score >= b.score
+        GROUP BY b.score),
+    scored AS (
+        SELECT s.threshold,
+               CAST(s.tp AS BIGINT) AS tp,
+               CAST(s.fp AS BIGINT) AS fp,
+               CAST(t.p - s.tp AS BIGINT) AS fn,
+               ROUND(CAST(s.tp AS DOUBLE) / (s.tp + s.fp), 6)
+                   AS precision,
+               ROUND(CAST(s.tp AS DOUBLE) / t.p, 6) AS recall,
+               ROUND(CAST(2 * s.tp AS DOUBLE)
+                     / (2 * s.tp + s.fp + (t.p - s.tp)), 6) AS f1
+        FROM sweep s CROSS JOIN tot t)
+    SELECT *,
+           CAST(ROW_NUMBER() OVER (ORDER BY f1 DESC, threshold DESC)
+                AS BIGINT) = 1 AS is_best
+    FROM scored
+    """,
+)
+def q_threshold_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decision-threshold tuning — the step between a scored model
+    and a shipped classifier that q_auc (ranking) and q_calibration
+    (probability trust) don't answer: sweep every candidate cut of
+    the score, report the confusion counts / precision / recall /
+    F1 at each, and flag the F1-argmax (ties to the higher, more
+    conservative threshold).  F1 = 2TP/(2TP+FP+FN) written as one
+    integer-ratio expression.
+
+    Scores compress to a value-bounded bin frame in one scan; the
+    sweep is a bins x bins containment join on that BOUNDED frame
+    (distinct integer scores, never users^2), and all metrics are
+    ratios of integers — bit-deterministic everywhere."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.sum(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("ts") < F.lit("2024-01-16")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("score"),
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("ts") >= F.lit("2024-01-16")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("label"),
+    )
+    bins = u.groupBy("score").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("label").cast("long").alias("pos"),
+    )
+    bins = bins.localCheckpoint()
+    tot = bins.agg(
+        F.sum("pos").cast("long").alias("p"),
+        F.sum("n").cast("long").alias("nn"),
+    )
+    b, b2 = bins.alias("b"), bins.alias("b2")
+    sweep = (
+        b.join(F.broadcast(b2), F.col("b2.score") >= F.col("b.score"))
+        .groupBy(F.col("b.score").alias("threshold"))
+        .agg(
+            F.sum("b2.pos").cast("long").alias("tp"),
+            F.sum(F.col("b2.n") - F.col("b2.pos"))
+            .cast("long")
+            .alias("fp"),
+        )
+    )
+    scored = sweep.crossJoin(F.broadcast(tot)).select(
+        "threshold",
+        "tp",
+        "fp",
+        (F.col("p") - F.col("tp")).cast("long").alias("fn"),
+        F.round(
+            F.col("tp").cast("double") / (F.col("tp") + F.col("fp")),
+            6,
+        ).alias("precision"),
+        F.round(F.col("tp").cast("double") / F.col("p"), 6).alias(
+            "recall"
+        ),
+        F.round(
+            (2 * F.col("tp")).cast("double")
+            / (
+                2 * F.col("tp")
+                + F.col("fp")
+                + (F.col("p") - F.col("tp"))
+            ),
+            6,
+        ).alias("f1"),
+    )
+    return scored.withColumn(
+        "is_best",
+        F.row_number().over(
+            Window.orderBy(F.desc("f1"), F.desc("threshold"))
+        ).cast("long")
+        == 1,
+    )

@@ -4135,9 +4135,9 @@ def q_conformal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q_item_cf",
-    oracle="""
+#: Shared item-item CF oracle CTE chain (through ``best``: per-user
+#: ranked unseen-brand scores) — reused by q_item_cf / q_rec_coverage.
+_ITEM_CF_CTES = """
     WITH ui AS MATERIALIZED (
         SELECT DISTINCT o.o_custkey AS u, p.p_brand AS b
         FROM orders o
@@ -4167,7 +4167,12 @@ def q_conformal(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT u, b, score,
                ROW_NUMBER() OVER (PARTITION BY u
                    ORDER BY score DESC, b) AS rn
-        FROM unseen)
+        FROM unseen)"""
+
+
+@query(
+    "q_item_cf",
+    oracle=f"""{_ITEM_CF_CTES}
     SELECT u AS customer_id, b AS rec_brand, score
     FROM best WHERE rn = 1
     """,
@@ -4599,3 +4604,100 @@ def q_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return neg.select("center", "context", "n_pos", "neg")
+
+
+@query(
+    "q_rec_coverage",
+    oracle=f"""{_ITEM_CF_CTES},
+    recs AS (SELECT u, b FROM best WHERE rn = 1),
+    pop AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS c
+            FROM ui GROUP BY b),
+    uit AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM ui),
+    cat AS (SELECT CAST(COUNT(DISTINCT p_brand) AS BIGINT) AS n_cat
+            FROM part),
+    nov AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_recs,
+               CAST(COUNT(DISTINCT recs.b) AS BIGINT)
+                   AS n_brands_recommended,
+               CAST(SUM(CAST(ROUND(
+                   -log2(CAST(pop.c AS DOUBLE) / uit.t), 9)
+                   AS DECIMAL(18,9))) AS DOUBLE) AS nov_sum
+        FROM recs JOIN pop ON recs.b = pop.b CROSS JOIN uit)
+    SELECT n.n_recs, n.n_brands_recommended, c.n_cat,
+           ROUND(CAST(n.n_brands_recommended AS DOUBLE) / c.n_cat, 6)
+               AS catalog_coverage,
+           ROUND(n.nov_sum / n.n_recs, 6) AS avg_novelty_bits
+    FROM nov n CROSS JOIN cat c
+    """,
+)
+def q_rec_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recommender beyond-accuracy eval — catalog coverage and
+    novelty, the two numbers that catch a degenerate
+    popularity-parroting recommender that hit-rate metrics
+    (q_als_eval) reward: what share of the catalog does the item-CF
+    top-1 ever surface, and how many information bits
+    (-log2 popularity) does the average recommendation carry?  Low
+    coverage + low novelty = everyone gets the same bestseller.
+
+    Rides the exact q_item_cf pipeline (shared oracle CTEs /
+    item_cf_recommend operator), then two vocabulary-bounded
+    aggregates: brand popularities broadcast onto the 1-per-user rec
+    frame, novelty terms round to 9 dp before the DECIMAL sum (libm
+    log2)."""
+    from clv_data_pipeline_spark.operators.recsys import (
+        item_cf_recommend,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    ui = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .select(
+            F.col("o_custkey").alias("u"), F.col("p_brand").alias("b")
+        )
+        .distinct()
+    )
+    ui = ui.localCheckpoint()
+    recs = item_cf_recommend(ui).select(
+        F.col("rec_brand").alias("b")
+    )
+    pop = ui.groupBy("b").agg(F.count("*").cast("long").alias("c"))
+    uit = ui.agg(F.count("*").cast("long").alias("t"))
+    cat = p.agg(
+        F.countDistinct("p_brand").cast("long").alias("n_cat")
+    )
+    nov = (
+        recs.join(F.broadcast(pop), "b")
+        .crossJoin(F.broadcast(uit))
+        .agg(
+            F.count("*").cast("long").alias("n_recs"),
+            F.countDistinct("b")
+            .cast("long")
+            .alias("n_brands_recommended"),
+            F.sum(
+                F.round(
+                    -F.log2(
+                        F.col("c").cast("double") / F.col("t")
+                    ),
+                    9,
+                ).cast("decimal(18,9)")
+            )
+            .cast("double")
+            .alias("nov_sum"),
+        )
+    )
+    return nov.crossJoin(F.broadcast(cat)).select(
+        "n_recs",
+        "n_brands_recommended",
+        "n_cat",
+        F.round(
+            F.col("n_brands_recommended").cast("double")
+            / F.col("n_cat"),
+            6,
+        ).alias("catalog_coverage"),
+        F.round(F.col("nov_sum") / F.col("n_recs"), 6).alias(
+            "avg_novelty_bits"
+        ),
+    )

@@ -100,6 +100,8 @@ _BNLJ_SCALAR_OK = {
     "q_segment_migration", # two 1-row median-cut broadcasts
     "q_lift_curve",        # 1-row base-rate totals broadcast
     "q_offpolicy_eval",    # 1-row logged-baseline broadcast
+    "q_threshold_tuning",  # score-bin containment sweep + 1-row totals
+    "q_rec_coverage",      # 1-row interaction-total/catalog broadcasts
 }
 
 
