@@ -191,6 +191,9 @@ HEADLINE = [
     "q_offpolicy_eval",
     "q_range_window",
     "q_dbscan",
+    "q_growth_accounting",
+    "q_threshold_tuning",
+    "q_rec_coverage",
 ]
 
 #: Frozen comparable subsets — apples-to-apples totals across rounds.
