@@ -194,6 +194,7 @@ HEADLINE = [
     "q_growth_accounting",
     "q_threshold_tuning",
     "q_rec_coverage",
+    "q_wasserstein",
 ]
 
 #: Frozen comparable subsets — apples-to-apples totals across rounds.

@@ -5506,3 +5506,103 @@ def q_threshold_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long")
         == 1,
     )
+
+
+_EMD_BIN = 2.0  # value-histogram bin width for the 1-D EMD
+
+
+@query(
+    "q_wasserstein",
+    oracle=f"""
+    WITH b AS (
+        SELECT event_type,
+               CAST(FLOOR(value / CAST({_EMD_BIN} AS DOUBLE))
+                    AS BIGINT) AS bin,
+               CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16'
+                        THEN 1 ELSE 0 END) AS DOUBLE) AS c1,
+               CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                        THEN 1 ELSE 0 END) AS DOUBLE) AS c2
+        FROM events GROUP BY 1, 2),
+    t AS (
+        SELECT event_type,
+               SUM(c1) AS n1, SUM(c2) AS n2
+        FROM b GROUP BY event_type),
+    cdf AS (
+        SELECT b.event_type, b.bin,
+               SUM(b.c1) OVER (PARTITION BY b.event_type
+                   ORDER BY b.bin) / t.n1 AS f1,
+               SUM(b.c2) OVER (PARTITION BY b.event_type
+                   ORDER BY b.bin) / t.n2 AS f2
+        FROM b JOIN t ON b.event_type = t.event_type)
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_bins,
+           ROUND(CAST(SUM(CAST(ROUND(
+               ABS(f1 - f2) * CAST({_EMD_BIN} AS DOUBLE), 9)
+               AS DECIMAL(18,9))) AS DOUBLE), 6) AS emd,
+           ROUND(MAX(ABS(f1 - f2)), 6) AS ks_stat
+    FROM cdf GROUP BY event_type
+    """,
+)
+def q_wasserstein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-D Wasserstein (earth mover's) distance between each event
+    type's first- and second-half value distributions — completing
+    the drift-metric trio with the one that carries UNITS: PSI
+    (q_psi_drift) is scale-free, KS (q_ks_test) only sees the worst
+    point, EMD integrates |CDF1 - CDF2| so it reports HOW MUCH value
+    mass moved HOW FAR (in currency units) — the number a
+    drift-triggered retraining policy can threshold meaningfully.
+    The KS statistic rides along from the same CDFs for free.
+
+    In 1-D the optimal transport has the closed-form CDF integral —
+    no Sinkhorn iterations: one conditional scan to the bin histogram,
+    deterministic-order cumulative windows per type (integer counts,
+    so the CDFs are exact ratios), per-bin terms round to 9 dp before
+    the DECIMAL sum.  Bin-boundary quantization biases EMD by at most
+    one bin width — the bound a monitoring threshold absorbs."""
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.groupBy(
+        "event_type",
+        F.floor(F.col("value") / F.lit(_EMD_BIN).cast("double"))
+        .cast("long")
+        .alias("bin"),
+    ).agg(
+        F.sum(
+            F.when(F.col("ts") < F.lit("2024-01-16"), 1).otherwise(0)
+        )
+        .cast("double")
+        .alias("c1"),
+        F.sum(
+            F.when(F.col("ts") >= F.lit("2024-01-16"), 1).otherwise(
+                0
+            )
+        )
+        .cast("double")
+        .alias("c2"),
+    )
+    t = b.groupBy("event_type").agg(
+        F.sum("c1").alias("n1"), F.sum("c2").alias("n2")
+    )
+    wc = (
+        Window.partitionBy("event_type")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cdf = b.join(t, "event_type").select(
+        "event_type",
+        "bin",
+        (F.sum("c1").over(wc) / F.col("n1")).alias("f1"),
+        (F.sum("c2").over(wc) / F.col("n2")).alias("f2"),
+    )
+    diff = F.abs(F.col("f1") - F.col("f2"))
+    return cdf.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_bins"),
+        F.round(
+            F.sum(
+                F.round(
+                    diff * F.lit(_EMD_BIN).cast("double"), 9
+                ).cast("decimal(18,9)")
+            ).cast("double"),
+            6,
+        ).alias("emd"),
+        F.round(F.max(diff), 6).alias("ks_stat"),
+    )
