@@ -822,9 +822,7 @@ def q_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-verified against the unblocked definition.  Coordinates
     round to 6 dp before ALL distance math (both engines see
     identical doubles)."""
-    from clv_data_pipeline_spark.operators.dedup import (
-        connected_components,
-    )
+    from clv_data_pipeline_spark.operators.density import dbscan
 
     od = load_table(spark, sf_dir, "orders")
     pts = od.groupBy(F.col("o_custkey").alias("id")).agg(
@@ -839,134 +837,10 @@ def q_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("x"),
         F.round(F.log(1 + F.count("*")), 6).alias("y"),
     )
-    pts = pts.localCheckpoint()
-    w = 0.06  # cell width = 2 * eps
-    cells = pts.select(
-        "id",
-        "x",
-        "y",
-        F.floor(F.col("x") / w).cast("long").alias("cx"),
-        F.floor(F.col("y") / w).cast("long").alias("cy"),
-    )
-    offsets = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
-    probe = cells.select(
-        F.col("id").alias("ia"),
-        F.col("x").alias("xa"),
-        F.col("y").alias("ya"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        (F.col("cx") + dx).alias("cx"),
-                        (F.col("cy") + dy).alias("cy"),
-                    )
-                    for dx, dy in offsets
-                ]
-            )
-        ).alias("c"),
-    ).select("ia", "xa", "ya", F.col("c.cx").alias("cx"), F.col("c.cy").alias("cy"))
-    build = cells.select(
-        F.col("id").alias("ib"),
-        F.col("x").alias("xb"),
-        F.col("y").alias("yb"),
-        "cx",
-        "cy",
-    )
-    d2 = (F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb")) + (
-        F.col("ya") - F.col("yb")
-    ) * (F.col("ya") - F.col("yb"))
-    nbr = (
-        probe.join(build, ["cx", "cy"])
-        .filter(d2 <= F.lit(_DBSCAN_EPS2).cast("double"))
-        .select("ia", "ib")
-    )
-    nbr = nbr.localCheckpoint()
-    deg = nbr.groupBy(F.col("ia").alias("id")).agg(
-        F.count("*").cast("long").alias("nn")
-    )
-    core = deg.filter(F.col("nn") >= _DBSCAN_MINPTS).select("id")
-    ca = core.select(F.col("id").alias("ia"))
-    cb = core.select(F.col("id").alias("ib"))
-    ce = nbr.join(ca, "ia").join(cb, "ib")
-    # CELL CONTRACTION before connected components: at fine width
-    # 0.02 <= eps/sqrt(2), any two core points sharing a cell are
-    # within eps BY GEOMETRY (max same-cell distance 0.02*sqrt(2) =
-    # 0.028 < eps), so contracting cells to supernodes preserves the
-    # component structure exactly while shrinking the CC input from
-    # ~n*density point-edges to the distinct-cell-pair graph — at
-    # sf0.1 that is 1.8M edges -> ~10k, and the min-label fixpoint
-    # iterations stop dominating the plan.
-    fw = 0.02
-    fcell = (
-        F.floor(F.col("x") / fw).cast("long") * 100000
-        + F.floor(F.col("y") / fw).cast("long")
-    )
-    cmap = core.join(pts, "id").select("id", fcell.alias("cell"))
-    cmap = cmap.localCheckpoint()
-    cell_a = cmap.select(
-        F.col("id").alias("ia"), F.col("cell").alias("cell_a")
-    )
-    cell_b = cmap.select(
-        F.col("id").alias("ib"), F.col("cell").alias("cell_b")
-    )
-    cedges = (
-        ce.join(cell_a, "ia")
-        .join(cell_b, "ib")
-        .select("cell_a", "cell_b")
-        .distinct()
-    )
-    ccomp = connected_components(cedges, "cell_a", "cell_b")
-    # label = MIN core id over the component (the oracle's MIN(reach)):
-    # per-cell min ids roll up over the cell-component, then map back.
-    cell_min = cmap.groupBy("cell").agg(F.min("id").alias("mid"))
-    cell_lab = (
-        cell_min.join(
-            ccomp, cell_min["cell"] == ccomp["node"], "left"
-        )
-        .select(
-            "cell",
-            "mid",
-            F.coalesce(F.col("cluster_id"), F.col("cell")).alias(
-                "cc"
-            ),
-        )
-    )
-    comp_lab = cell_lab.groupBy("cc").agg(
-        F.min("mid").alias("cluster_id")
-    )
-    comp = (
-        cmap.join(F.broadcast(cell_lab.select("cell", "cc")), "cell")
-        .join(F.broadcast(comp_lab), "cc")
-        .select(F.col("id").alias("node"), "cluster_id")
-    )
-    border = (
-        nbr.join(core.select(F.col("id").alias("ia")), "ia", "left_anti")
-        .join(
-            comp.select(
-                F.col("node").alias("ib"), F.col("cluster_id").alias("cl")
-            ),
-            "ib",
-        )
-        .groupBy(F.col("ia").alias("id"))
-        .agg(F.min("cl").alias("cl"))
-    )
-    core_labeled = comp.select(
-        F.col("node").alias("id"),
+    labeled = dbscan(pts, eps=0.03, min_pts=_DBSCAN_MINPTS).select(
         F.col("cluster_id").alias("cl"),
-        F.lit(1).alias("is_core"),
+        F.col("is_core").cast("int").alias("is_core"),
     )
-    border_labeled = border.select("id", "cl", F.lit(0).alias("is_core"))
-    noise = (
-        pts.select("id")
-        .join(core_labeled.select("id"), "id", "left_anti")
-        .join(border_labeled.select("id"), "id", "left_anti")
-        .select(
-            "id",
-            F.lit(-1).cast("long").alias("cl"),
-            F.lit(0).alias("is_core"),
-        )
-    )
-    labeled = core_labeled.unionAll(border_labeled).unionAll(noise)
     return labeled.groupBy(
         F.col("cl").cast("long").alias("cluster_id")
     ).agg(

@@ -50,3 +50,61 @@ def test_item_cf_2m_interactions_vocab_bounded(spark):
     assert agg["n"] == agg["nu"]
     assert agg["nu"] > N_USERS * 0.9
     assert elapsed < 120, f"item_cf took {elapsed:.1f}s on 2M interactions"
+
+
+def test_dbscan_300k_points_grid_bounded(spark):
+    """Grid-blocked DBSCAN at 300k points in 10 well-separated planted
+    blobs: the pair join must stay cell-bounded (~n * avg-neighbors,
+    never n^2), the cell contraction must keep CC off the point graph,
+    and every blob must come out as exactly one cluster."""
+    import time
+
+    import numpy as np
+    import pandas as pd
+
+    from clv_data_pipeline_spark.operators.density import dbscan
+
+    n, blobs = 300_000, 10
+
+    def _gen(batches):
+        for pdf in batches:
+            ids = pdf["id"].to_numpy().astype(np.uint64)
+            blob = (ids % np.uint64(blobs)).astype(np.float64)
+            # fmix64-style hash noise in [-0.5, 0.5)^2 inside each blob
+            def u(salt):
+                x = ids * np.uint64(2654435761) + np.uint64(salt)
+                x ^= x >> np.uint64(33)
+                x *= np.uint64(0xFF51AFD7ED558CCD)
+                x ^= x >> np.uint64(33)
+                return (x % np.uint64(1_000_000)).astype(
+                    np.float64
+                ) / 1_000_000.0 - 0.5
+            cx = (blob % 5) * 3.0
+            cy = (blob // 5) * 3.0
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "x": np.round(cx + u(97), 6),
+                    "y": np.round(cy + u(131), 6),
+                }
+            )
+
+    pts = spark.range(n).mapInPandas(
+        _gen, "id long, x double, y double"
+    )
+    t0 = time.perf_counter()
+    out = dbscan(pts, eps=0.018, min_pts=5)
+    from pyspark.sql import functions as F
+
+    sizes = (
+        out.filter(F.col("cluster_id") >= 0)
+        .groupBy("cluster_id")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > 10_000)
+        .count()
+    )
+    n_noise = out.filter(F.col("cluster_id") == -1).count()
+    elapsed = time.perf_counter() - t0
+    assert sizes == blobs, f"expected {blobs} big clusters, got {sizes}"
+    assert n_noise < n * 0.05
+    assert elapsed < 150, f"dbscan took {elapsed:.1f}s on 300k points"
