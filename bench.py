@@ -195,6 +195,8 @@ HEADLINE = [
     "q_threshold_tuning",
     "q_rec_coverage",
     "q_wasserstein",
+    "q_covariate_balance",
+    "q_qte",
 ]
 
 #: Frozen comparable subsets — apples-to-apples totals across rounds.

@@ -5606,3 +5606,203 @@ def q_wasserstein(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("emd"),
         F.round(F.max(diff), 6).alias("ks_stat"),
     )
+
+
+@query(
+    "q_covariate_balance",
+    oracle="""
+    WITH u AS (
+        SELECT user_id,
+               CAST(MAX(user_id % 2 = 0) AS BIGINT) AS treat,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT)
+                   AS n_days,
+               CAST(SUM(CASE WHEN event_type = 'error'
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_errors
+        FROM events WHERE ts < TIMESTAMP '2024-01-16'
+        GROUP BY user_id),
+    long AS (
+        SELECT treat, 'n_events' AS covariate,
+               CAST(n_events AS DOUBLE) AS v FROM u
+        UNION ALL
+        SELECT treat, 'n_days', CAST(n_days AS DOUBLE) FROM u
+        UNION ALL
+        SELECT treat, 'n_errors', CAST(n_errors AS DOUBLE) FROM u),
+    s AS (
+        SELECT covariate, treat,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(v AS DECIMAL(18,4))) AS DOUBLE) AS sv,
+               CAST(SUM(CAST(v AS DECIMAL(18,4))
+                        * CAST(v AS DECIMAL(18,4))) AS DOUBLE) AS svv
+        FROM long GROUP BY covariate, treat),
+    w AS (
+        SELECT t.covariate,
+               t.sv / t.n AS mt, c.sv / c.n AS mc,
+               (t.svv - t.sv * t.sv / t.n) / (t.n - 1) AS vt,
+               (c.svv - c.sv * c.sv / c.n) / (c.n - 1) AS vc
+        FROM s t JOIN s c ON t.covariate = c.covariate
+        WHERE t.treat = 1 AND c.treat = 0)
+    SELECT covariate,
+           ROUND(mt, 6) AS mean_treat,
+           ROUND(mc, 6) AS mean_control,
+           ROUND((mt - mc) / sqrt((vt + vc) / 2), 6) AS smd,
+           ABS((mt - mc) / sqrt((vt + vc) / 2))
+               <= CAST(0.1 AS DOUBLE) AS balanced
+    FROM w
+    """,
+)
+def q_covariate_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Covariate balance table — the Table-1 check that must pass
+    BEFORE any causal readout is trusted: standardized mean
+    differences (SMD) of pre-period covariates between arms, flagged
+    against the |SMD| <= 0.1 convention.  Unbalanced covariates mean
+    the 'randomization' wasn't (or the observational arms need
+    q_stratified_ate / matching); pairs with q_srm, which checks
+    counts where this checks composition.
+
+    One pre-period scan builds per-user covariates, an unpivot stacks
+    them long-form in the same pass, and DECIMAL sufficient stats per
+    (covariate, arm) feed the textbook pooled-SD SMD on a 3-row
+    frame."""
+    ev = load_table(spark, sf_dir, "events")
+    u = (
+        ev.filter(F.col("ts") < F.lit("2024-01-16"))
+        .groupBy("user_id")
+        .agg(
+            F.max((F.col("user_id") % 2 == 0).cast("long")).alias(
+                "treat"
+            ),
+            F.count("*").cast("long").alias("n_events"),
+            F.countDistinct(F.to_date("ts")).cast("long").alias(
+                "n_days"
+            ),
+            F.sum(
+                F.when(F.col("event_type") == "error", 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_errors"),
+        )
+    )
+    long = u.select(
+        "treat",
+        F.expr(
+            "stack(3, 'n_events', CAST(n_events AS DOUBLE), "
+            "'n_days', CAST(n_days AS DOUBLE), "
+            "'n_errors', CAST(n_errors AS DOUBLE))"
+        ).alias("covariate", "v"),
+    )
+    dv = F.col("v").cast("decimal(18,4)")
+    s = long.groupBy("covariate", "treat").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(dv).cast("double").alias("sv"),
+        F.sum(dv * dv).cast("double").alias("svv"),
+    )
+    t = s.filter(F.col("treat") == 1).drop("treat")
+    c = s.filter(F.col("treat") == 0).drop("treat")
+    w = t.alias("t").join(c.alias("c"), "covariate").select(
+        "covariate",
+        (F.col("t.sv") / F.col("t.n")).alias("mt"),
+        (F.col("c.sv") / F.col("c.n")).alias("mc"),
+        (
+            (F.col("t.svv") - F.col("t.sv") * F.col("t.sv") / F.col("t.n"))
+            / (F.col("t.n") - 1)
+        ).alias("vt"),
+        (
+            (F.col("c.svv") - F.col("c.sv") * F.col("c.sv") / F.col("c.n"))
+            / (F.col("c.n") - 1)
+        ).alias("vc"),
+    )
+    smd = (F.col("mt") - F.col("mc")) / F.sqrt(
+        (F.col("vt") + F.col("vc")) / 2
+    )
+    return w.select(
+        "covariate",
+        F.round("mt", 6).alias("mean_treat"),
+        F.round("mc", 6).alias("mean_control"),
+        F.round(smd, 6).alias("smd"),
+        (F.abs(smd) <= F.lit(0.1).cast("double")).alias("balanced"),
+    )
+
+
+@query(
+    "q_qte",
+    oracle="""
+    WITH v AS (
+        SELECT CAST(user_id % 2 = 0 AS BIGINT) AS treat,
+               value
+        FROM events WHERE event_type = 'purchase'),
+    t AS (SELECT
+            ROUND(CAST(quantile_cont(value, 0.25) AS DOUBLE), 6) AS t0,
+            ROUND(CAST(quantile_cont(value, 0.5) AS DOUBLE), 6) AS t1,
+            ROUND(CAST(quantile_cont(value, 0.75) AS DOUBLE), 6) AS t2,
+            ROUND(CAST(quantile_cont(value, 0.9) AS DOUBLE), 6) AS t3
+          FROM v WHERE treat = 1),
+    c AS (SELECT
+            ROUND(CAST(quantile_cont(value, 0.25) AS DOUBLE), 6) AS c0,
+            ROUND(CAST(quantile_cont(value, 0.5) AS DOUBLE), 6) AS c1,
+            ROUND(CAST(quantile_cont(value, 0.75) AS DOUBLE), 6) AS c2,
+            ROUND(CAST(quantile_cont(value, 0.9) AS DOUBLE), 6) AS c3
+          FROM v WHERE treat = 0)
+    SELECT CAST(0.25 AS DOUBLE) AS q, t0 AS q_treat, c0 AS q_control,
+           ROUND(t0 - c0, 6) AS qte FROM t, c
+    UNION ALL
+    SELECT CAST(0.5 AS DOUBLE), t1, c1, ROUND(t1 - c1, 6) FROM t, c
+    UNION ALL
+    SELECT CAST(0.75 AS DOUBLE), t2, c2, ROUND(t2 - c2, 6) FROM t, c
+    UNION ALL
+    SELECT CAST(0.9 AS DOUBLE), t3, c3, ROUND(t3 - c3, 6) FROM t, c
+    """,
+)
+def q_qte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile treatment effects — where the mean (q_ab_test) hides
+    the story: the arm difference at the 25th/50th/75th/90th
+    percentiles of purchase value shows WHERE in the distribution a
+    treatment acts (a promo that lifts the median but shrinks the
+    tail nets to zero mean effect and two wrong decisions).  The
+    distributional shelf-mate of q_wasserstein: EMD integrates the
+    gap, this localizes it.
+
+    Exact interpolated per-arm quantiles (q_percentiles'
+    quantile_cont parity, one aggregate per arm), crossed with the
+    4-row quantile grid — at extreme scale swap percentile_approx
+    per q_percentiles' note; the comparison shape is unchanged."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.filter(F.col("event_type") == "purchase").select(
+        (F.col("user_id") % 2 == 0).cast("long").alias("treat"),
+        "value",
+    )
+    qs = [0.25, 0.5, 0.75, 0.9]
+    t = v.filter(F.col("treat") == 1).agg(
+        *[
+            F.round(F.percentile("value", q), 6).alias(f"t{i}")
+            for i, q in enumerate(qs)
+        ]
+    )
+    c = v.filter(F.col("treat") == 0).agg(
+        *[
+            F.round(F.percentile("value", q), 6).alias(f"c{i}")
+            for i, q in enumerate(qs)
+        ]
+    )
+    grid = spark.createDataFrame(
+        [(i, q) for i, q in enumerate(qs)], "i int, q double"
+    )
+    joined = grid.crossJoin(F.broadcast(t)).crossJoin(F.broadcast(c))
+    qt = F.coalesce(
+        *[
+            F.when(F.col("i") == i, F.col(f"t{i}"))
+            for i in range(len(qs))
+        ]
+    )
+    qc = F.coalesce(
+        *[
+            F.when(F.col("i") == i, F.col(f"c{i}"))
+            for i in range(len(qs))
+        ]
+    )
+    return joined.select(
+        "q",
+        qt.alias("q_treat"),
+        qc.alias("q_control"),
+        F.round(qt - qc, 6).alias("qte"),
+    )

@@ -102,6 +102,7 @@ _BNLJ_SCALAR_OK = {
     "q_offpolicy_eval",    # 1-row logged-baseline broadcast
     "q_threshold_tuning",  # score-bin containment sweep + 1-row totals
     "q_rec_coverage",      # 1-row interaction-total/catalog broadcasts
+    "q_qte",               # two 1-row per-arm quantile broadcasts x 4-row grid
 }
 
 
