@@ -197,6 +197,7 @@ HEADLINE = [
     "q_wasserstein",
     "q_covariate_balance",
     "q_qte",
+    "q_experiment_readout",
 ]
 
 #: Frozen comparable subsets — apples-to-apples totals across rounds.

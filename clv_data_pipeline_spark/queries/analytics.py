@@ -5806,3 +5806,130 @@ def q_qte(spark: SparkSession, sf_dir: str) -> DataFrame:
         qc.alias("q_control"),
         F.round(qt - qc, 6).alias("qte"),
     )
+
+
+@query(
+    "q_experiment_readout",
+    oracle="""
+    WITH s AS (
+        SELECT event_type,
+               CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_a,
+               CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_b,
+               CAST(SUM(CASE WHEN user_id % 2 = 0
+                    THEN CAST(value AS DECIMAL(18,4))
+                    ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+                   AS sa,
+               CAST(SUM(CASE WHEN user_id % 2 = 0
+                    THEN CAST(value AS DECIMAL(18,4))
+                         * CAST(value AS DECIMAL(18,4))
+                    ELSE CAST(0 AS DECIMAL(36,8)) END) AS DOUBLE)
+                   AS ssa,
+               CAST(SUM(CASE WHEN user_id % 2 = 1
+                    THEN CAST(value AS DECIMAL(18,4))
+                    ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+                   AS sb,
+               CAST(SUM(CASE WHEN user_id % 2 = 1
+                    THEN CAST(value AS DECIMAL(18,4))
+                         * CAST(value AS DECIMAL(18,4))
+                    ELSE CAST(0 AS DECIMAL(36,8)) END) AS DOUBLE)
+                   AS ssb
+        FROM events GROUP BY event_type),
+    m AS (
+        SELECT event_type, n_a, n_b,
+               (n_a - (n_a + n_b) / CAST(2 AS DOUBLE))
+               * (n_a - (n_a + n_b) / CAST(2 AS DOUBLE))
+               / ((n_a + n_b) / CAST(2 AS DOUBLE))
+               + (n_b - (n_a + n_b) / CAST(2 AS DOUBLE))
+               * (n_b - (n_a + n_b) / CAST(2 AS DOUBLE))
+               / ((n_a + n_b) / CAST(2 AS DOUBLE)) AS chi2,
+               sa / n_a - sb / n_b AS diff,
+               (sa / n_a - sb / n_b)
+               / sqrt((ssa - sa * sa / n_a) / (n_a - 1) / n_a
+                      + (ssb - sb * sb / n_b) / (n_b - 1) / n_b)
+                   AS t
+        FROM s)
+    SELECT event_type, n_a, n_b,
+           ROUND(chi2, 6) AS srm_chi2,
+           chi2 > CAST(3.841 AS DOUBLE) AS srm_flag,
+           ROUND(diff, 6) AS mean_diff,
+           ROUND(t, 6) AS t_stat,
+           CASE WHEN chi2 > CAST(3.841 AS DOUBLE)
+                THEN 'invalid_srm'
+                WHEN ABS(t) >= CAST(1.96 AS DOUBLE) AND diff > 0
+                THEN 'ship'
+                WHEN ABS(t) >= CAST(1.96 AS DOUBLE)
+                THEN 'regress'
+                ELSE 'inconclusive' END AS verdict
+    FROM m
+    """,
+)
+def q_experiment_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed experiment-decision DAG — q_corpus_curate's role
+    for the experimentation shelf: per metric (event type), ONE
+    conditionally-aggregated scan feeds the SRM validity gate
+    (q_srm's chi-square), the Welch effect readout (q_ab_test's
+    sufficient-stats t), and the shipping verdict — invalid_srm
+    trumps everything (a significant effect on a broken randomizer
+    is still invalid), then ship / regress / inconclusive at the
+    two-sided 5% level.  This is the artifact an experimentation
+    platform renders per metric; the deeper diagnostics (q_cuped
+    variance reduction, q_qte distributional effects, q_msprt
+    always-valid monitoring, q_covariate_balance composition) hang
+    off the same sufficient-stats scan shape.
+
+    All gates and verdict branches are integer/DECIMAL-exact inputs
+    into identical IEEE expressions, so the DECISION STRING itself
+    is hash-verified — not just the statistics."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.col("value").cast("decimal(18,4)")
+    a = F.col("user_id") % 2 == 0
+    z4, z8 = (
+        F.lit(0).cast("decimal(18,4)"),
+        F.lit(0).cast("decimal(36,8)"),
+    )
+    s = ev.groupBy("event_type").agg(
+        F.sum(F.when(a, 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(~a, 1).otherwise(0)).cast("long").alias("n_b"),
+        F.sum(F.when(a, v).otherwise(z4)).cast("double").alias("sa"),
+        F.sum(F.when(a, v * v).otherwise(z8))
+        .cast("double")
+        .alias("ssa"),
+        F.sum(F.when(~a, v).otherwise(z4)).cast("double").alias("sb"),
+        F.sum(F.when(~a, v * v).otherwise(z8))
+        .cast("double")
+        .alias("ssb"),
+    )
+    n_a, n_b = F.col("n_a"), F.col("n_b")
+    e = (n_a + n_b) / F.lit(2).cast("double")
+    chi2 = (n_a - e) * (n_a - e) / e + (n_b - e) * (n_b - e) / e
+    diff = F.col("sa") / n_a - F.col("sb") / n_b
+    t = diff / F.sqrt(
+        (F.col("ssa") - F.col("sa") * F.col("sa") / n_a)
+        / (n_a - 1)
+        / n_a
+        + (F.col("ssb") - F.col("sb") * F.col("sb") / n_b)
+        / (n_b - 1)
+        / n_b
+    )
+    thr = F.lit(3.841).cast("double")
+    verdict = (
+        F.when(chi2 > thr, "invalid_srm")
+        .when(
+            (F.abs(t) >= F.lit(1.96).cast("double")) & (diff > 0),
+            "ship",
+        )
+        .when(F.abs(t) >= F.lit(1.96).cast("double"), "regress")
+        .otherwise("inconclusive")
+    )
+    return s.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        F.round(chi2, 6).alias("srm_chi2"),
+        (chi2 > thr).alias("srm_flag"),
+        F.round(diff, 6).alias("mean_diff"),
+        F.round(t, 6).alias("t_stat"),
+        verdict.alias("verdict"),
+    )
