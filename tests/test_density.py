@@ -1,0 +1,72 @@
+"""operators/density.py: pointer-jump CC and grid-blocked DBSCAN.
+
+The long-chain case is the regression that motivated cc_pointer_jump:
+linear min-label propagation needs diameter-many iterations, so a
+path graph longer than the iteration cap fragments — pointer jumping
+must converge in O(log diameter)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from clv_data_pipeline_spark.operators.density import (
+    cc_pointer_jump,
+    dbscan,
+)
+
+
+def test_cc_pointer_jump_long_chain(spark):
+    """A 500-node path graph (diameter 499) must collapse to ONE
+    component labeled by its minimum node — far beyond what 20 linear
+    propagation rounds could reach."""
+    edges = spark.range(499).select(
+        F.col("id").alias("a"), (F.col("id") + 1).alias("b")
+    )
+    out = cc_pointer_jump(edges, "a", "b")
+    labels = [r["cluster_id"] for r in out.collect()]
+    assert len(labels) == 500
+    assert set(labels) == {0}
+
+
+def test_cc_pointer_jump_multiple_components(spark):
+    """Disjoint chains keep distinct min labels."""
+    e1 = spark.range(10).select(
+        F.col("id").alias("a"), (F.col("id") + 1).alias("b")
+    )
+    e2 = spark.range(10).select(
+        (F.col("id") + 100).alias("a"), (F.col("id") + 101).alias("b")
+    )
+    out = cc_pointer_jump(e1.unionAll(e2), "a", "b")
+    got = {
+        r["node"]: r["cluster_id"] for r in out.collect()
+    }
+    assert all(got[n] == 0 for n in range(11))
+    assert all(got[n] == 100 for n in range(100, 111))
+
+
+def test_dbscan_two_blobs_and_noise(spark):
+    """Two tight 10-point blobs separated far beyond eps, plus one
+    isolated point: two clusters labeled by their min ids, the
+    isolated point is noise, all blob points are core."""
+    rows = []
+    for i in range(10):
+        rows.append((i, 0.0 + 0.001 * i, 0.0))          # blob A
+        rows.append((100 + i, 5.0 + 0.001 * i, 5.0))    # blob B
+    rows.append((999, 50.0, 50.0))                      # noise
+    pts = spark.createDataFrame(rows, "id long, x double, y double")
+    out = dbscan(pts, eps=0.05, min_pts=5).collect()
+    got = {r["id"]: (r["cluster_id"], r["is_core"]) for r in out}
+    assert all(got[i] == (0, True) for i in range(10))
+    assert all(got[100 + i] == (100, True) for i in range(10))
+    assert got[999] == (-1, False)
+
+
+def test_dbscan_border_attaches_to_min_cluster(spark):
+    """A point within eps of a dense blob but itself below min_pts
+    density on its own side is a BORDER point: clustered, not core."""
+    rows = [(i, 0.001 * i, 0.0) for i in range(8)]  # dense core run
+    rows.append((50, 0.056, 0.0))  # within eps of the run edge only
+    pts = spark.createDataFrame(rows, "id long, x double, y double")
+    out = dbscan(pts, eps=0.05, min_pts=8).collect()
+    got = {r["id"]: (r["cluster_id"], r["is_core"]) for r in out}
+    assert got[50][0] == 0 and got[50][1] is False
