@@ -198,6 +198,7 @@ HEADLINE = [
     "q_covariate_balance",
     "q_qte",
     "q_experiment_readout",
+    "q_random_walks",
 ]
 
 #: Frozen comparable subsets — apples-to-apples totals across rounds.

@@ -31,7 +31,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from clv_data_pipeline_spark.registry import query
@@ -847,4 +847,157 @@ def q_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_points"),
         F.sum("is_core").cast("long").alias("n_core"),
         F.sum(1 - F.col("is_core")).cast("long").alias("n_border"),
+    )
+
+
+_WALK_STEPS = 6
+_WALKS_PER_NODE = 4
+
+
+def _walk_oracle(steps: int = _WALK_STEPS) -> str:
+    """Unrolled weighted random-walk chain: each step inverse-CDFs the
+    current node's neighbor distribution with an md5 coin keyed by
+    (start, walk, step) — the whole trajectory set is hash-verified."""
+    parts = []
+    prev = "wk0"
+    for t in range(1, steps + 1):
+        parts.append(f"""
+    wk{t} AS MATERIALIZED (
+        SELECT w.start, w.wid, arg_min(c.dst, c.cum) AS node
+        FROM {prev} w JOIN cdf c
+          ON c.src = w.node
+         AND CAST(c.cum AS DOUBLE) >=
+             ((('0x' || substr(md5(w.start || '|'
+                || CAST(w.wid AS VARCHAR) || '|{t}'), 1, 8))::BIGINT
+               + 0.5) / 4294967296.0) * c.tot
+        GROUP BY w.start, w.wid)""")
+        prev = f"wk{t}"
+    union = "\n    UNION ALL ".join(
+        f"SELECT start, wid, {t} AS step, node FROM wk{t}"
+        for t in range(0, steps + 1)
+    )
+    return f"""
+    WITH ob AS (
+        SELECT DISTINCT l.l_orderkey, p.p_brand
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+    edges AS (
+        SELECT a.p_brand AS src, b.p_brand AS dst,
+               CAST(COUNT(*) AS BIGINT) AS w
+        FROM ob a JOIN ob b
+          ON a.l_orderkey = b.l_orderkey
+         AND a.p_brand <> b.p_brand
+        GROUP BY 1, 2),
+    cdf AS MATERIALIZED (
+        SELECT src, dst,
+               SUM(w) OVER (PARTITION BY src ORDER BY dst) AS cum,
+               SUM(w) OVER (PARTITION BY src) AS tot
+        FROM edges),
+    starts AS (SELECT DISTINCT src AS start FROM edges),
+    wk0 AS (
+        SELECT s.start, g.wid, s.start AS node
+        FROM starts s CROSS JOIN
+             (SELECT UNNEST(generate_series(0, {_WALKS_PER_NODE - 1}))
+                  AS wid) g),
+    {','.join(parts)}
+    SELECT start, CAST(wid AS BIGINT) AS wid,
+           CAST(step AS BIGINT) AS step, node
+    FROM ({union}) t
+    """
+
+
+@query("q_random_walks", oracle=_walk_oracle())
+def q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted random-walk corpus over the brand co-purchase graph —
+    the DeepWalk/node2vec DATA-GENERATION stage: every brand launches
+    {walks} walks of {steps} steps, each step sampling the next node
+    from the current node's co-purchase-weight distribution; the walk
+    sentences feed q_skipgram_pairs' pair/negative generator to train
+    graph embeddings exactly as text does word2vec.
+
+    RNG-free and fully in-plan: the step-t coin is an md5 hash of
+    (start, walk id, t), the neighbor CDF is an integer cumulative
+    window per source (vocabulary-bounded, broadcast), and each step
+    is one containment join + arg-min — so every trajectory is
+    reproducible across engines/partitionings and the oracle unrolls
+    all {steps} steps.  At graph scale the same loop runs with the
+    frontier frame partitioned by current node against the
+    edge-partitioned CDF — cost is walks x steps join probes, never a
+    materialized transition matrix."""
+    ob = _order_brand_sets(spark, sf_dir)
+    pairs = (
+        ob.select(F.explode("brands").alias("src"), "brands")
+        .select("src", F.explode("brands").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count("*").cast("long").alias("w"))
+    )
+    wc = (
+        Window.partitionBy("src")
+        .orderBy("dst")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wp = Window.partitionBy("src")
+    cdf = pairs.select(
+        "src",
+        "dst",
+        F.sum("w").over(wc).alias("cum"),
+        F.sum("w").over(wp).alias("tot"),
+    ).localCheckpoint()
+    starts = cdf.select(F.col("src").alias("start")).distinct()
+    cur = starts.select(
+        "start",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(_WALKS_PER_NODE - 1))
+        ).alias("wid"),
+    ).withColumn("node", F.col("start"))
+    out = [
+        cur.select(
+            "start", "wid", F.lit(0).alias("step"), "node"
+        )
+    ]
+    for t in range(1, _WALK_STEPS + 1):
+        h = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("start"),
+                        F.lit("|"),
+                        F.col("wid").cast("string"),
+                        F.lit(f"|{t}"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        u = (h + F.lit(0.5)) / F.lit(4294967296.0)
+        cur = (
+            cur.join(
+                F.broadcast(cdf), F.col("node") == F.col("src")
+            )
+            .filter(
+                F.col("cum").cast("double") >= u * F.col("tot")
+            )
+            .groupBy("start", "wid")
+            .agg(
+                F.min_by("dst", F.col("cum").cast("double")).alias(
+                    "node"
+                )
+            )
+        )
+        out.append(
+            cur.select(
+                "start", "wid", F.lit(t).alias("step"), "node"
+            )
+        )
+    walks = out[0]
+    for df in out[1:]:
+        walks = walks.unionAll(df)
+    return walks.select(
+        "start",
+        F.col("wid").cast("long").alias("wid"),
+        F.col("step").cast("long").alias("step"),
+        "node",
     )
