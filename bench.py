@@ -199,6 +199,7 @@ HEADLINE = [
     "q_qte",
     "q_experiment_readout",
     "q_random_walks",
+    "q_modularity",
 ]
 
 #: Frozen comparable subsets — apples-to-apples totals across rounds.

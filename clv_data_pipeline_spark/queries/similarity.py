@@ -287,6 +287,50 @@ def _lpa_oracle(iters: int = 3, k: int = 5) -> str:
     )
 
 
+def _modularity_oracle(iters: int = 3, k: int = 5) -> str:
+    """q_modularity's oracle: the exact q_communities LPA chain, then
+    Newman modularity of the resulting partition over the same
+    symmetric kNN edge list — per-community internal-edge and degree
+    shares as integer ratios, contributions 9 dp-rounded into the
+    DECIMAL Q sum."""
+    lpa = _lpa_oracle(iters, k)
+    prefix = lpa[: lpa.rindex("SELECT node AS vec_id")].rstrip()
+    return (
+        prefix
+        + f""",
+    final AS (SELECT node, lab FROM l{iters}),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS e2 FROM und),
+    nodes AS (
+        SELECT f.lab, CAST(COUNT(*) AS BIGINT) AS n_nodes
+        FROM final f GROUP BY f.lab),
+    deg AS (
+        SELECT f.lab, CAST(COUNT(*) AS BIGINT) AS d_c
+        FROM und u JOIN final f ON u.a = f.node GROUP BY f.lab),
+    internal AS (
+        SELECT fa.lab, CAST(COUNT(*) AS BIGINT) AS int2
+        FROM und u JOIN final fa ON u.a = fa.node
+        JOIN final fb ON u.b = fb.node
+        WHERE fa.lab = fb.lab GROUP BY fa.lab)
+    SELECT n.lab AS community, n.n_nodes,
+           COALESCE(i.int2, 0) / 2 AS internal_edges,
+           d.d_c AS degree_sum,
+           ROUND(CAST(COALESCE(i.int2, 0) AS DOUBLE) / t.e2
+                 - (CAST(d.d_c AS DOUBLE) / t.e2)
+                   * (CAST(d.d_c AS DOUBLE) / t.e2), 9)
+               AS contribution,
+           CAST(SUM(CAST(ROUND(
+               CAST(COALESCE(i.int2, 0) AS DOUBLE) / t.e2
+               - (CAST(d.d_c AS DOUBLE) / t.e2)
+                 * (CAST(d.d_c AS DOUBLE) / t.e2), 9)
+               AS DECIMAL(18,9))) OVER () AS DOUBLE) AS modularity
+    FROM nodes n
+    JOIN deg d ON n.lab = d.lab
+    LEFT JOIN internal i ON n.lab = i.lab
+    CROSS JOIN tot t
+    """
+    )
+
+
 @query("q_communities", oracle=_lpa_oracle())
 def q_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Graph communities of the embedding space: exact 5-NN graph ->
@@ -1345,4 +1389,91 @@ def q_geometric_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(F.broadcast(n), "label")
         .select("label", "n_vecs", "shift_l2", "gm_norm")
+    )
+
+
+@query("q_modularity", oracle=_modularity_oracle())
+def q_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the q_communities partition — the
+    "measure your clustering" audit for graphs (q_semdedup_eval's
+    role for communities): per community, its internal-edge share
+    minus its expected share under the degree-preserving null model,
+    and the partition's total Q (Q > 0.3 = real community structure,
+    Q ~ 0 = the LPA labels are noise).  A monitoring hook: if Q drops
+    release-over-release, the embedding space lost its topical
+    geometry.
+
+    Reuses q_communities' exact edge build + LPA labels, then three
+    label-keyed aggregations over the symmetric edge list — all
+    integer counts, with per-community contributions 9 dp-rounded
+    into a DECIMAL window sum, so Q itself is hash-verified.  The
+    whole LPA trajectory re-verifies inside this oracle too (the
+    chain is embedded)."""
+    from clv_data_pipeline_spark.operators.graph import (
+        label_propagation,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    edges = cosine_topk_sharded(emb, k=5, num_shards=1).select(
+        F.col("vec_id").alias("src"),
+        F.col("neighbor_id").alias("dst"),
+    )
+    labels = label_propagation(edges, iters=3).select(
+        F.col("node"), F.col("lab")
+    )
+    labels = labels.localCheckpoint()
+    und = (
+        edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .unionAll(
+            edges.select(
+                F.col("dst").alias("a"), F.col("src").alias("b")
+            )
+        )
+        .distinct()
+    )
+    und = und.localCheckpoint()
+    tot = und.agg(F.count("*").cast("long").alias("e2"))
+    fa = labels.select(
+        F.col("node").alias("a"), F.col("lab").alias("lab_a")
+    )
+    fb = labels.select(
+        F.col("node").alias("b"), F.col("lab").alias("lab_b")
+    )
+    nodes = labels.groupBy(F.col("lab")).agg(
+        F.count("*").cast("long").alias("n_nodes")
+    )
+    deg = (
+        und.join(F.broadcast(fa), "a")
+        .groupBy(F.col("lab_a").alias("lab"))
+        .agg(F.count("*").cast("long").alias("d_c"))
+    )
+    internal = (
+        und.join(F.broadcast(fa), "a")
+        .join(F.broadcast(fb), "b")
+        .filter(F.col("lab_a") == F.col("lab_b"))
+        .groupBy(F.col("lab_a").alias("lab"))
+        .agg(F.count("*").cast("long").alias("int2"))
+    )
+    j = (
+        nodes.join(deg, "lab")
+        .join(internal, "lab", "left")
+        .crossJoin(F.broadcast(tot))
+    )
+    int2 = F.coalesce(F.col("int2"), F.lit(0))
+    contrib = F.round(
+        int2.cast("double") / F.col("e2")
+        - (F.col("d_c").cast("double") / F.col("e2"))
+        * (F.col("d_c").cast("double") / F.col("e2")),
+        9,
+    )
+    return j.select(
+        F.col("lab").alias("community"),
+        "n_nodes",
+        (int2 / 2).alias("internal_edges"),
+        F.col("d_c").alias("degree_sum"),
+        contrib.alias("contribution"),
+        F.sum(contrib.cast("decimal(18,9)"))
+        .over(Window.partitionBy())
+        .cast("double")
+        .alias("modularity"),
     )
