@@ -200,6 +200,7 @@ HEADLINE = [
     "q_experiment_readout",
     "q_random_walks",
     "q_modularity",
+    "q_stream_drift",
 ]
 
 #: Frozen comparable subsets — apples-to-apples totals across rounds.

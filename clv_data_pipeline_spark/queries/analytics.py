@@ -5511,9 +5511,9 @@ def q_threshold_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
 _EMD_BIN = 2.0  # value-histogram bin width for the 1-D EMD
 
 
-@query(
-    "q_wasserstein",
-    oracle=f"""
+#: Shared 1-D EMD oracle (batch q_wasserstein and its streaming twin
+#: q_stream_drift compute the identical result).
+_EMD_ORACLE = f"""
     WITH b AS (
         SELECT event_type,
                CAST(FLOOR(value / CAST({_EMD_BIN} AS DOUBLE))
@@ -5541,8 +5541,10 @@ _EMD_BIN = 2.0  # value-histogram bin width for the 1-D EMD
                AS DECIMAL(18,9))) AS DOUBLE), 6) AS emd,
            ROUND(MAX(ABS(f1 - f2)), 6) AS ks_stat
     FROM cdf GROUP BY event_type
-    """,
-)
+    """
+
+
+@query("q_wasserstein", oracle=_EMD_ORACLE)
 def q_wasserstein(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1-D Wasserstein (earth mover's) distance between each event
     type's first- and second-half value distributions — completing
@@ -5932,4 +5934,107 @@ def q_experiment_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(diff, 6).alias("mean_diff"),
         F.round(t, 6).alias("t_stat"),
         verdict.alias("verdict"),
+    )
+
+
+@query("q_stream_drift", oracle=_EMD_ORACLE)
+def q_stream_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The EMD drift monitor computed by the REAL Structured
+    Streaming engine — q_wasserstein's streaming twin and the shape a
+    production drift alarm actually runs: the event stream folds into
+    per-(type, period, bin) histogram counts incrementally (histogram
+    aggregation is mergeable, so the streaming state is bins x types,
+    never rows), and the bounded CDF/EMD finish runs on the completed
+    histogram.  Same oracle as the batch twin: streaming and batch
+    must agree bit-for-bit.
+
+    In production the period split is a sliding reference-vs-current
+    window and the finish runs per trigger; availableNow + a fixed
+    cut keeps the parity proof deterministic here."""
+    import tempfile
+    import uuid
+
+    path_dir = sf_dir
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(
+        f"{sf_dir}/events.parquet"
+    ).schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(path_dir)
+    )
+    if dict(
+        (f.name, f.dataType.simpleString()) for f in raw_schema
+    ).get("ts") == "bigint":
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    hist = (
+        stream.groupBy(
+            "event_type",
+            F.floor(
+                F.col("value") / F.lit(_EMD_BIN).cast("double")
+            )
+            .cast("long")
+            .alias("bin"),
+        )
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("ts") < F.lit("2024-01-16"), 1
+                ).otherwise(0)
+            )
+            .cast("double")
+            .alias("c1"),
+            F.sum(
+                F.when(
+                    F.col("ts") >= F.lit("2024-01-16"), 1
+                ).otherwise(0)
+            )
+            .cast("double")
+            .alias("c2"),
+        )
+    )
+    sink = f"stream_drift_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="q_stream_drift_")
+    q = (
+        hist.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    b = spark.table(sink)
+    t = (
+        spark.table(sink)
+        .groupBy(F.col("event_type").alias("et"))
+        .agg(F.sum("c1").alias("n1"), F.sum("c2").alias("n2"))
+    )
+    t = t.withColumnRenamed("et", "event_type")
+    wc = (
+        Window.partitionBy("event_type")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cdf = b.join(t, "event_type").select(
+        "event_type",
+        "bin",
+        (F.sum("c1").over(wc) / F.col("n1")).alias("f1"),
+        (F.sum("c2").over(wc) / F.col("n2")).alias("f2"),
+    )
+    diff = F.abs(F.col("f1") - F.col("f2"))
+    return cdf.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_bins"),
+        F.round(
+            F.sum(
+                F.round(
+                    diff * F.lit(_EMD_BIN).cast("double"), 9
+                ).cast("decimal(18,9)")
+            ).cast("double"),
+            6,
+        ).alias("emd"),
+        F.round(F.max(diff), 6).alias("ks_stat"),
     )
