@@ -201,6 +201,7 @@ HEADLINE = [
     "q_random_walks",
     "q_modularity",
     "q_stream_drift",
+    "q_item_cf_incremental",
 ]
 
 #: Frozen comparable subsets — apples-to-apples totals across rounds.

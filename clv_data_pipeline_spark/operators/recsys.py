@@ -451,3 +451,129 @@ def item_cf_recommend(ui: DataFrame) -> DataFrame:
         F.col("rb").alias("rec_brand"),
         "score",
     )
+
+
+def item_cf_incremental(
+    ui_base: DataFrame,
+    delta_ui: DataFrame,
+    touched_users: DataFrame | None = None,
+) -> DataFrame:
+    """O(delta) item-item CF maintenance: fold a day's new distinct
+    (user, item) interactions into stored co-occurrence/item-count
+    state and re-score ONLY the touched users.
+
+    Exactness argument (the oracle checks it as full-recompute
+    equality): the global co-occurrence count co(i, j) is the number
+    of users holding both items, so a user u adding new-item set N
+    against an existing set B adds exactly N x B (both directions)
+    plus N x N (i != j, already both directions) — nothing else in
+    the matrix moves, and item counts grow by |N| per item.  The
+    updated similarity table is vocab^2-bounded as ever; scoring
+    probes the stored per-user sets for DELTA USERS ONLY, so the
+    recompute cost follows the delta, never the corpus.  Backs
+    q_item_cf_incremental."""
+    new_pairs = delta_ui.join(
+        ui_base, ["u", "b"], "left_anti"
+    ).localCheckpoint()
+    # re-score every user the delta TOUCHED, not just those adding new
+    # pairs: global count updates can shift any touched user's ranking.
+    # Callers may widen the set (e.g. users whose delta events carried
+    # no item rows but whose ranking the count updates still move).
+    du = (
+        touched_users
+        if touched_users is not None
+        else delta_ui.select("u").distinct()
+    )
+    base_u = ui_base.join(du, "u", "left_semi")
+    full_u = base_u.unionAll(new_pairs).localCheckpoint()
+    a = new_pairs.select("u", F.col("b").alias("i"))
+    base_j = base_u.select("u", F.col("b").alias("j"))
+    new_j = new_pairs.select("u", F.col("b").alias("j"))
+    nb = a.join(base_j, "u")
+    nn = a.join(new_j, "u").filter(F.col("i") != F.col("j"))
+    co_delta = (
+        nb.select("i", "j")
+        .unionAll(
+            nb.select(F.col("j").alias("i"), F.col("i").alias("j"))
+        )
+        .unionAll(nn.select("i", "j"))
+        .groupBy("i", "j")
+        .agg(F.count("*").cast("double").alias("dco"))
+    )
+    co_base = (
+        ui_base.alias("x")
+        .join(
+            ui_base.alias("y"),
+            (F.col("x.u") == F.col("y.u"))
+            & (F.col("x.b") != F.col("y.b")),
+        )
+        .groupBy(
+            F.col("x.b").alias("i"), F.col("y.b").alias("j")
+        )
+        .agg(F.count("*").cast("double").alias("co"))
+    )
+    co = (
+        co_base.join(co_delta, ["i", "j"], "full_outer")
+        .select(
+            "i",
+            "j",
+            (
+                F.coalesce(F.col("co"), F.lit(0.0))
+                + F.coalesce(F.col("dco"), F.lit(0.0))
+            ).alias("co"),
+        )
+    )
+    n_base = ui_base.groupBy("b").agg(
+        F.count("*").cast("double").alias("n")
+    )
+    n_delta = new_pairs.groupBy("b").agg(
+        F.count("*").cast("double").alias("dn")
+    )
+    cnt = (
+        n_base.join(n_delta, "b", "full_outer")
+        .select(
+            "b",
+            (
+                F.coalesce(F.col("n"), F.lit(0.0))
+                + F.coalesce(F.col("dn"), F.lit(0.0))
+            ).alias("n"),
+        )
+    )
+    ni = cnt.select(F.col("b").alias("i"), F.col("n").alias("n_i"))
+    nj = cnt.select(F.col("b").alias("j"), F.col("n").alias("n_j"))
+    sim = (
+        co.join(F.broadcast(ni), "i")
+        .join(F.broadcast(nj), "j")
+        .select(
+            "i",
+            "j",
+            F.round(
+                F.col("co") / F.sqrt(F.col("n_i") * F.col("n_j")), 9
+            ).alias("s"),
+        )
+    )
+    scores = (
+        full_u.join(F.broadcast(sim), full_u["b"] == sim["i"])
+        .groupBy("u", F.col("j").alias("rb"))
+        .agg(
+            F.sum(F.col("s").cast("decimal(18,9)"))
+            .cast("double")
+            .alias("score")
+        )
+    )
+    unseen = scores.join(
+        full_u,
+        (scores["u"] == full_u["u"]) & (scores["rb"] == full_u["b"]),
+        "left_anti",
+    )
+    best = unseen.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("u").orderBy(F.desc("score"), "rb")
+        ),
+    ).filter(F.col("rn") == 1)
+    return best.select(
+        F.col("u").alias("customer_id"),
+        F.col("rb").alias("rec_brand"),
+        "score",
+    )

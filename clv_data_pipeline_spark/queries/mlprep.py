@@ -4701,3 +4701,77 @@ def q_rec_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_novelty_bits"
         ),
     )
+
+
+@query(
+    "q_item_cf_incremental",
+    oracle=f"""{_ITEM_CF_CTES},
+    stats AS (
+        SELECT MAX(o_orderkey)
+               - CAST(FLOOR(COUNT(*) / 10.0) AS BIGINT) AS cut
+        FROM orders),
+    du AS (
+        SELECT DISTINCT o.o_custkey AS u
+        FROM orders o CROSS JOIN stats
+        WHERE o.o_orderkey > stats.cut)
+    SELECT b.u AS customer_id, b.b AS rec_brand, b.score
+    FROM best b JOIN du ON b.u = du.u
+    WHERE b.rn = 1
+    """,
+)
+def q_item_cf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O(delta) item-CF maintenance — the incremental-family twin for
+    the recommender (same discipline as q_dedup_incremental /
+    q_minhash_incremental / q_rfm_incremental): the newest ~10% of
+    orders are 'today's interactions'; their truly-new (user, brand)
+    pairs fold into the STORED co-occurrence and item-count state by
+    pure addition (a user adding set N against existing set B moves
+    exactly the N x B and N x N cells — see
+    operators/recsys.item_cf_incremental), the vocab^2 similarity
+    table rebuilds from the updated counts, and ONLY delta users
+    re-score.
+
+    The oracle is the strongest possible check: a full-corpus item-CF
+    recompute restricted to delta users must be byte-identical —
+    proving the state updates are exact, not approximate.  Cost
+    follows the delta: the stored interaction index is probed by user
+    key, never re-shuffled."""
+    from clv_data_pipeline_spark.operators.recsys import (
+        item_cf_incremental,
+    )
+    from clv_data_pipeline_spark.sources.io import (
+        materialize_temp,
+        source_key,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    stats = o.agg(
+        (
+            F.max("o_orderkey")
+            - F.floor(F.count("*") / F.lit(10.0)).cast("long")
+        ).alias("cut")
+    ).persist()
+    ow = o.crossJoin(F.broadcast(stats))
+    ui_of = lambda orders_df: (
+        orders_df.join(li, orders_df["o_orderkey"] == li["l_orderkey"])
+        .join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .select(
+            F.col("o_custkey").alias("u"), F.col("p_brand").alias("b")
+        )
+        .distinct()
+    )
+    base_ui = materialize_temp(
+        ui_of(ow.filter(F.col("o_orderkey") <= F.col("cut")).drop("cut")),
+        "item_cf_ui_",
+        key=source_key(sf_dir, "orders") + ":item_cf_base",
+    )
+    delta_orders = ow.filter(F.col("o_orderkey") > F.col("cut")).drop(
+        "cut"
+    )
+    delta_ui = ui_of(delta_orders)
+    touched = delta_orders.select(
+        F.col("o_custkey").alias("u")
+    ).distinct()
+    return item_cf_incremental(base_ui, delta_ui, touched)

@@ -104,6 +104,7 @@ _BNLJ_SCALAR_OK = {
     "q_rec_coverage",      # 1-row interaction-total/catalog broadcasts
     "q_qte",               # two 1-row per-arm quantile broadcasts x 4-row grid
     "q_modularity",        # 1-row edge-total broadcast
+    "q_item_cf_incremental",  # 1-row delta-cut threshold broadcast
 }
 
 
