@@ -453,10 +453,34 @@ def item_cf_recommend(ui: DataFrame) -> DataFrame:
     )
 
 
+def item_cf_base_state(ui_base: DataFrame):
+    """The stored state backing :func:`item_cf_incremental`: the base
+    co-occurrence matrix (vocab^2) and per-item counts.  Built once
+    per source version and persisted by the caller (q_item_cf_
+    incremental materializes both as parquet artifacts) — the
+    incremental path then never re-shuffles base interactions."""
+    co_base = (
+        ui_base.alias("x")
+        .join(
+            ui_base.alias("y"),
+            (F.col("x.u") == F.col("y.u"))
+            & (F.col("x.b") != F.col("y.b")),
+        )
+        .groupBy(F.col("x.b").alias("i"), F.col("y.b").alias("j"))
+        .agg(F.count("*").cast("double").alias("co"))
+    )
+    n_base = ui_base.groupBy("b").agg(
+        F.count("*").cast("double").alias("n")
+    )
+    return co_base, n_base
+
+
 def item_cf_incremental(
     ui_base: DataFrame,
     delta_ui: DataFrame,
     touched_users: DataFrame | None = None,
+    co_base: DataFrame | None = None,
+    n_base: DataFrame | None = None,
 ) -> DataFrame:
     """O(delta) item-item CF maintenance: fold a day's new distinct
     (user, item) interactions into stored co-occurrence/item-count
@@ -500,18 +524,8 @@ def item_cf_incremental(
         .groupBy("i", "j")
         .agg(F.count("*").cast("double").alias("dco"))
     )
-    co_base = (
-        ui_base.alias("x")
-        .join(
-            ui_base.alias("y"),
-            (F.col("x.u") == F.col("y.u"))
-            & (F.col("x.b") != F.col("y.b")),
-        )
-        .groupBy(
-            F.col("x.b").alias("i"), F.col("y.b").alias("j")
-        )
-        .agg(F.count("*").cast("double").alias("co"))
-    )
+    if co_base is None or n_base is None:
+        co_base, n_base = item_cf_base_state(ui_base)
     co = (
         co_base.join(co_delta, ["i", "j"], "full_outer")
         .select(
@@ -522,9 +536,6 @@ def item_cf_incremental(
                 + F.coalesce(F.col("dco"), F.lit(0.0))
             ).alias("co"),
         )
-    )
-    n_base = ui_base.groupBy("b").agg(
-        F.count("*").cast("double").alias("n")
     )
     n_delta = new_pairs.groupBy("b").agg(
         F.count("*").cast("double").alias("dn")

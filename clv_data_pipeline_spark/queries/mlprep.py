@@ -4774,4 +4774,18 @@ def q_item_cf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     touched = delta_orders.select(
         F.col("o_custkey").alias("u")
     ).distinct()
-    return item_cf_incremental(base_ui, delta_ui, touched)
+    from clv_data_pipeline_spark.operators.recsys import (
+        item_cf_base_state,
+    )
+
+    co0, n0 = item_cf_base_state(base_ui)
+    skey = source_key(sf_dir, "orders")
+    co_base = materialize_temp(
+        co0, "item_cf_co_", key=skey + ":item_cf_co"
+    )
+    n_base = materialize_temp(
+        n0, "item_cf_n_", key=skey + ":item_cf_n"
+    )
+    return item_cf_incremental(
+        base_ui, delta_ui, touched, co_base=co_base, n_base=n_base
+    )
