@@ -202,6 +202,7 @@ HEADLINE = [
     "q_modularity",
     "q_stream_drift",
     "q_item_cf_incremental",
+    "q_hits",
 ]
 
 #: Frozen comparable subsets — apples-to-apples totals across rounds.

@@ -4789,3 +4789,127 @@ def q_item_cf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return item_cf_incremental(
         base_ui, delta_ui, touched, co_base=co_base, n_base=n_base
     )
+
+
+_HITS_ITERS = 3
+
+
+def _hits_oracle(iters: int = _HITS_ITERS) -> str:
+    """Unrolled bipartite HITS: alternating hub/authority sums with
+    9 dp-rounded scores and DECIMAL sum-normalization each half-step —
+    the whole mutual-reinforcement trajectory is hash-verified."""
+    steps = []
+    prev_h = "h0"
+    for t in range(1, iters + 1):
+        steps.append(f"""
+    ar{t} AS (
+        SELECT ui.b,
+               CAST(SUM(CAST(h.h AS DECIMAL(28,9))) AS DOUBLE) AS s
+        FROM ui JOIN {prev_h} h ON ui.u = h.u GROUP BY ui.b),
+    a{t} AS MATERIALIZED (
+        SELECT b, ROUND(s / CAST(SUM(CAST(s AS DECIMAL(28,9)))
+                               OVER () AS DOUBLE), 9) AS a
+        FROM ar{t}),
+    hr{t} AS (
+        SELECT ui.u,
+               CAST(SUM(CAST(a.a AS DECIMAL(28,9))) AS DOUBLE) AS s
+        FROM ui JOIN a{t} a ON ui.b = a.b GROUP BY ui.u),
+    h{t} AS MATERIALIZED (
+        SELECT u, ROUND(s / CAST(SUM(CAST(s AS DECIMAL(28,9)))
+                               OVER () AS DOUBLE), 9) AS h
+        FROM hr{t})""")
+        prev_h = f"h{t}"
+    return f"""
+    WITH ui AS MATERIALIZED (
+        SELECT DISTINCT o.o_custkey AS u, p.p_brand AS b
+        FROM orders o
+        JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        JOIN part p ON l.l_partkey = p.p_partkey),
+    nu AS (SELECT CAST(COUNT(DISTINCT u) AS DOUBLE) AS n FROM ui),
+    h0 AS (SELECT DISTINCT u, ROUND(1 / nu.n, 9) AS h
+           FROM ui CROSS JOIN nu),
+    {','.join(steps)}
+    SELECT a.b AS brand,
+           a.a AS authority,
+           CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM a{iters} a JOIN ui ON ui.b = a.b
+    GROUP BY a.b, a.a
+    """
+
+
+@query("q_hits", oracle=_hits_oracle())
+def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bipartite HITS (Kleinberg) on the customer-brand interaction
+    graph: brands earn AUTHORITY from the hub weight of the customers
+    who buy them, customers earn HUB weight from the authority of the
+    brands they buy — mutual reinforcement that separates 'bought by
+    broad, high-engagement customers' from merely 'bought often'
+    (q_pagerank ranks the brand projection; HITS keeps the two roles
+    distinct, which is the point on bipartite data).  Output: each
+    brand's converged authority share.
+
+    Three unrolled iterations, each one edge-keyed shuffle per
+    direction with 9 dp-rounded scores inside DECIMAL sums and
+    sum-normalization over the bounded score frames (brands: 25 rows;
+    users: one partial-agg pass) — the oracle replays the whole
+    trajectory.  Scale: cost is O(edges) per half-step, state is one
+    score per node, exactly pagerank's shape."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    ui = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .select(
+            F.col("o_custkey").alias("u"), F.col("p_brand").alias("b")
+        )
+        .distinct()
+    )
+    ui = ui.localCheckpoint()
+    nu = ui.select("u").distinct().count()
+    h = ui.select("u").distinct().withColumn(
+        "h", F.round(F.lit(1) / F.lit(float(nu)), 9)
+    )
+    a = None
+    for _ in range(_HITS_ITERS):
+        ar = (
+            ui.join(h, "u")
+            .groupBy("b")
+            .agg(
+                F.sum(F.col("h").cast("decimal(28,9)"))
+                .cast("double")
+                .alias("s")
+            )
+        )
+        at = ar.agg(
+            F.sum(F.col("s").cast("decimal(28,9)"))
+            .cast("double")
+            .alias("tot")
+        )
+        a = ar.crossJoin(F.broadcast(at)).select(
+            "b",
+            F.round(F.col("s") / F.col("tot"), 9).alias("a"),
+        )
+        hr = (
+            ui.join(F.broadcast(a), "b")
+            .groupBy("u")
+            .agg(
+                F.sum(F.col("a").cast("decimal(28,9)"))
+                .cast("double")
+                .alias("s")
+            )
+        )
+        ht = hr.agg(
+            F.sum(F.col("s").cast("decimal(28,9)"))
+            .cast("double")
+            .alias("tot")
+        )
+        h = hr.crossJoin(F.broadcast(ht)).select(
+            "u",
+            F.round(F.col("s") / F.col("tot"), 9).alias("h"),
+        )
+    return (
+        a.join(ui, "b")
+        .groupBy(F.col("b").alias("brand"), F.col("a").alias("authority"))
+        .agg(F.count("*").cast("long").alias("n_customers"))
+    )

@@ -253,7 +253,7 @@ _R6_NEW: set[str] = {
     "q_growth_accounting", "q_threshold_tuning", "q_rec_coverage",
     "q_wasserstein", "q_covariate_balance", "q_qte",
     "q_experiment_readout", "q_random_walks", "q_modularity",
-    "q_stream_drift", "q_item_cf_incremental",
+    "q_stream_drift", "q_item_cf_incremental", "q_hits",
 }
 
 

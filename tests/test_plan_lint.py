@@ -105,6 +105,7 @@ _BNLJ_SCALAR_OK = {
     "q_qte",               # two 1-row per-arm quantile broadcasts x 4-row grid
     "q_modularity",        # 1-row edge-total broadcast
     "q_item_cf_incremental",  # 1-row delta-cut threshold broadcast
+    "q_hits",              # 1-row normalization-total broadcasts
 }
 
 
