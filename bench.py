@@ -203,6 +203,7 @@ HEADLINE = [
     "q_stream_drift",
     "q_item_cf_incremental",
     "q_hits",
+    "q_abc_analysis",
 ]
 
 #: Frozen comparable subsets — apples-to-apples totals across rounds.

@@ -6038,3 +6038,115 @@ def q_stream_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("emd"),
         F.round(F.max(diff), 6).alias("ks_stat"),
     )
+
+
+@query(
+    "q_abc_analysis",
+    oracle="""
+    WITH rev AS (
+        SELECT p.p_partkey,
+               CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4)))
+                    AS DECIMAL(18,4)) AS revenue
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY p.p_partkey),
+    tot AS (SELECT SUM(revenue) AS t FROM rev),
+    ranked AS (
+        SELECT p_partkey, revenue,
+               SUM(revenue) OVER (
+                   ORDER BY revenue DESC, p_partkey) AS cum
+        FROM rev),
+    tagged AS (
+        SELECT r.p_partkey,
+               CAST(r.revenue AS DOUBLE) AS revenue,
+               ROUND(CAST(r.cum AS DOUBLE) / CAST(t.t AS DOUBLE), 9)
+                   AS cum_share
+        FROM ranked r CROSS JOIN tot t)
+    SELECT CASE WHEN cum_share <= CAST(0.7 AS DOUBLE) THEN 'A'
+                WHEN cum_share <= CAST(0.9 AS DOUBLE) THEN 'B'
+                ELSE 'C' END AS abc_class,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           ROUND(CAST(SUM(CAST(revenue AS DECIMAL(18,4)))
+                 AS DOUBLE), 2) AS class_revenue,
+           ROUND(MIN(cum_share), 9) AS min_cum_share,
+           ROUND(MAX(cum_share), 9) AS max_cum_share
+    FROM tagged GROUP BY 1
+    """,
+)
+def q_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC inventory classification — the Pareto workhorse of supply
+    chains: parts ranked by revenue, class A = the head covering 70%
+    of cumulative revenue, B to 90%, C the long tail (each class gets
+    its own stocking/audit policy).  The named business op on top of
+    q_lorenz_gini's raw concentration curve.
+
+    The cumulative share runs WITHOUT a global sort: parts bucket by
+    a revenue-band coarse key, per-bucket DECIMAL subtotals cumulate
+    on the bounded bucket frame (the q_prefix_sum / Blelloch shape),
+    and each part adds its within-bucket running sum to its bucket's
+    offset — one dimension-sized shuffle, windows only over bucket
+    partitions.  All sums are exact DECIMAL, so the class boundaries
+    are engine-deterministic."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    rev = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy("p_partkey")
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,4)"))
+            .cast("decimal(18,4)")
+            .alias("revenue")
+        )
+    )
+    rev = rev.localCheckpoint()
+    tot = rev.agg(F.sum("revenue").alias("t"))
+    # coarse revenue bands keep cumulation distributed: global order =
+    # (band asc == revenue desc band, then revenue desc, partkey)
+    band = (-F.floor(F.col("revenue") / 10000)).cast("long")
+    banded = rev.withColumn("band", band)
+    offsets = (
+        banded.groupBy("band")
+        .agg(F.sum("revenue").alias("bsum"))
+        .withColumn(
+            "offset",
+            F.coalesce(
+                F.sum("bsum").over(
+                    Window.orderBy("band").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0).cast("decimal(18,4)"),
+            ),
+        )
+        .select("band", "offset")
+    )
+    wb = (
+        Window.partitionBy("band")
+        .orderBy(F.desc("revenue"), "p_partkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ranked = (
+        banded.join(F.broadcast(offsets), "band")
+        .withColumn("cum", F.col("offset") + F.sum("revenue").over(wb))
+    )
+    tagged = ranked.crossJoin(F.broadcast(tot)).select(
+        F.col("revenue").cast("double").alias("revenue"),
+        F.round(
+            F.col("cum").cast("double") / F.col("t").cast("double"), 9
+        ).alias("cum_share"),
+    )
+    cls = (
+        F.when(F.col("cum_share") <= F.lit(0.7).cast("double"), "A")
+        .when(F.col("cum_share") <= F.lit(0.9).cast("double"), "B")
+        .otherwise("C")
+    )
+    return tagged.groupBy(cls.alias("abc_class")).agg(
+        F.count("*").cast("long").alias("n_parts"),
+        F.round(
+            F.sum(F.col("revenue").cast("decimal(18,4)")).cast(
+                "double"
+            ),
+            2,
+        ).alias("class_revenue"),
+        F.round(F.min("cum_share"), 9).alias("min_cum_share"),
+        F.round(F.max("cum_share"), 9).alias("max_cum_share"),
+    )

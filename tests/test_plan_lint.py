@@ -106,6 +106,7 @@ _BNLJ_SCALAR_OK = {
     "q_modularity",        # 1-row edge-total broadcast
     "q_item_cf_incremental",  # 1-row delta-cut threshold broadcast
     "q_hits",              # 1-row normalization-total broadcasts
+    "q_abc_analysis",      # 1-row revenue-total broadcast
 }
 
 
