@@ -70,3 +70,41 @@ def test_dbscan_border_attaches_to_min_cluster(spark):
     out = dbscan(pts, eps=0.05, min_pts=8).collect()
     got = {r["id"]: (r["cluster_id"], r["is_core"]) for r in out}
     assert got[50][0] == 0 and got[50][1] is False
+
+
+def test_item_cf_incremental_equals_full_recompute(spark):
+    """The incremental-CF exactness invariant at operator level (the
+    oracle proves it end-to-end): folding a delta into stored state
+    must equal full recompute restricted to delta-touched users —
+    including a user whose 'new' interaction repeats an existing pair
+    (no count moves, but their ranking still re-scores)."""
+    from clv_data_pipeline_spark.operators.recsys import (
+        item_cf_incremental,
+        item_cf_recommend,
+    )
+
+    base = spark.createDataFrame(
+        [
+            (1, "x"), (1, "y"),
+            (2, "x"), (2, "z"),
+            (3, "y"), (3, "z"),
+            (4, "x"),
+        ],
+        "u long, b string",
+    )
+    # delta: user 4 adds z (new pair), user 2 re-buys x (no new pair),
+    # user 5 is brand-new with one item
+    delta = spark.createDataFrame(
+        [(4, "z"), (2, "x"), (5, "y")], "u long, b string"
+    )
+    full_ui = base.unionAll(delta).distinct()
+    expected = {
+        (r["customer_id"], r["rec_brand"], r["score"])
+        for r in item_cf_recommend(full_ui).collect()
+        if r["customer_id"] in (2, 4, 5)
+    }
+    got = {
+        (r["customer_id"], r["rec_brand"], r["score"])
+        for r in item_cf_incremental(base, delta).collect()
+    }
+    assert got == expected
