@@ -204,6 +204,7 @@ HEADLINE = [
     "q_item_cf_incremental",
     "q_hits",
     "q_abc_analysis",
+    "q_causal_impact",
 ]
 
 #: Frozen comparable subsets — apples-to-apples totals across rounds.

@@ -6150,3 +6150,178 @@ def q_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("cum_share"), 9).alias("min_cum_share"),
         F.round(F.max("cum_share"), 9).alias("max_cum_share"),
     )
+
+
+@query(
+    "q_causal_impact",
+    oracle="""
+    WITH daily AS MATERIALIZED (
+        SELECT CAST(date_diff('day', DATE '2024-01-01',
+                    CAST(ts AS DATE)) AS BIGINT) AS day,
+               ROUND(CAST(SUM(CASE WHEN event_type = 'purchase'
+                    THEN CAST(ROUND(value, 6) AS DECIMAL(18,6))
+                    ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE), 6)
+                   AS y,
+               ROUND(CAST(SUM(CASE WHEN event_type = 'view'
+                    THEN CAST(ROUND(value, 6) AS DECIMAL(18,6))
+                    ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE), 6)
+                   AS x1,
+               ROUND(CAST(SUM(CASE WHEN event_type = 'click'
+                    THEN CAST(ROUND(value, 6) AS DECIMAL(18,6))
+                    ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE), 6)
+                   AS x2
+        FROM events GROUP BY 1),
+    s AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM(CAST(ROUND(x1, 6) AS DECIMAL(28,6)))
+                    AS DOUBLE) AS sx1,
+               CAST(SUM(CAST(ROUND(x2, 6) AS DECIMAL(28,6)))
+                    AS DOUBLE) AS sx2,
+               CAST(SUM(CAST(ROUND(y, 6) AS DECIMAL(28,6)))
+                    AS DOUBLE) AS sy,
+               CAST(SUM(CAST(ROUND(x1 * x1, 6) AS DECIMAL(28,6)))
+                    AS DOUBLE) AS s11,
+               CAST(SUM(CAST(ROUND(x1 * x2, 6) AS DECIMAL(28,6)))
+                    AS DOUBLE) AS s12,
+               CAST(SUM(CAST(ROUND(x2 * x2, 6) AS DECIMAL(28,6)))
+                    AS DOUBLE) AS s22,
+               CAST(SUM(CAST(ROUND(x1 * y, 6) AS DECIMAL(28,6)))
+                    AS DOUBLE) AS s1y,
+               CAST(SUM(CAST(ROUND(x2 * y, 6) AS DECIMAL(28,6)))
+                    AS DOUBLE) AS s2y
+        FROM daily WHERE day < 15),
+    inv AS (
+        SELECT sy, s1y, s2y,
+               (m22 * m33 - m23 * m23) / det AS a11,
+               (m13 * m23 - m12 * m33) / det AS a12,
+               (m12 * m23 - m13 * m22) / det AS a13,
+               (m11 * m33 - m13 * m13) / det AS a22,
+               (m13 * m12 - m11 * m23) / det AS a23,
+               (m11 * m22 - m12 * m12) / det AS a33
+        FROM (SELECT *,
+                     m11 * (m22 * m33 - m23 * m23)
+                     - m12 * (m12 * m33 - m23 * m13)
+                     + m13 * (m12 * m23 - m22 * m13) AS det
+              FROM (SELECT n AS m11, sx1 AS m12, sx2 AS m13,
+                           s11 AS m22, s12 AS m23, s22 AS m33,
+                           sy, s1y, s2y
+                    FROM s) m) d),
+    beta AS MATERIALIZED (
+        SELECT ROUND(a11 * sy + a12 * s1y + a13 * s2y, 9) AS b0,
+               ROUND(a12 * sy + a22 * s1y + a23 * s2y, 9) AS b1,
+               ROUND(a13 * sy + a23 * s1y + a33 * s2y, 9) AS b2
+        FROM inv),
+    post AS (
+        SELECT d.day, d.y AS actual,
+               ROUND(b.b0 + b.b1 * d.x1 + b.b2 * d.x2, 6)
+                   AS predicted
+        FROM daily d CROSS JOIN beta b WHERE d.day >= 15)
+    SELECT day, actual, predicted,
+           ROUND(actual - predicted, 6) AS effect,
+           CAST(SUM(CAST(ROUND(actual - predicted, 6)
+                    AS DECIMAL(18,6))) OVER (ORDER BY day)
+                AS DOUBLE) AS cum_effect
+    FROM post
+    """,
+)
+def q_causal_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic-control incrementality (CausalImpact-lite) — the
+    counterfactual readout when there is NO holdout: fit the treated
+    series (daily purchase revenue) on control series (view / click
+    revenue, channels the intervention shouldn't touch) over the
+    PRE-period, project the counterfactual through the post-period,
+    and read pointwise + cumulative effects off the gap.  Completes
+    the quasi-experimental pair with q_did (DiD needs a control
+    COHORT; this needs only control SERIES).
+
+    The pre-period OLS is the q_ridge/q_mahalanobis adjugate solve
+    (3x3 normal equations from DECIMAL sufficient stats over the
+    bounded daily frame, identical formula text both engines, betas
+    rounded to 9 dp); post-period prediction is scalar math and the
+    cumulative effect a DECIMAL running window over 15 rows.  One
+    scan of the log, everything after is days-sized."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def series(t):
+        return F.round(
+            F.sum(
+                F.when(
+                    F.col("event_type") == t,
+                    F.round(F.col("value"), 6).cast("decimal(18,6)"),
+                ).otherwise(F.lit(0).cast("decimal(18,6)"))
+            ).cast("double"),
+            6,
+        )
+
+    daily = ev.groupBy(
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
+        .cast("long")
+        .alias("day")
+    ).agg(
+        series("purchase").alias("y"),
+        series("view").alias("x1"),
+        series("click").alias("x2"),
+    )
+    daily = daily.localCheckpoint()
+
+    def dsum(c):
+        return F.sum(F.round(c, 6).cast("decimal(28,6)")).cast(
+            "double"
+        )
+
+    s = (
+        daily.filter(F.col("day") < 15)
+        .agg(
+            F.count("*").cast("double").alias("n"),
+            dsum(F.col("x1")).alias("sx1"),
+            dsum(F.col("x2")).alias("sx2"),
+            dsum(F.col("y")).alias("sy"),
+            dsum(F.col("x1") * F.col("x1")).alias("s11"),
+            dsum(F.col("x1") * F.col("x2")).alias("s12"),
+            dsum(F.col("x2") * F.col("x2")).alias("s22"),
+            dsum(F.col("x1") * F.col("y")).alias("s1y"),
+            dsum(F.col("x2") * F.col("y")).alias("s2y"),
+        )
+        .collect()[0]
+    )
+    m11, m12, m13 = s["n"], s["sx1"], s["sx2"]
+    m22, m23, m33 = s["s11"], s["s12"], s["s22"]
+    sy, s1y, s2y = s["sy"], s["s1y"], s["s2y"]
+    det = (
+        m11 * (m22 * m33 - m23 * m23)
+        - m12 * (m12 * m33 - m23 * m13)
+        + m13 * (m12 * m23 - m22 * m13)
+    )
+    a11 = (m22 * m33 - m23 * m23) / det
+    a12 = (m13 * m23 - m12 * m33) / det
+    a13 = (m12 * m23 - m13 * m22) / det
+    a22 = (m11 * m33 - m13 * m13) / det
+    a23 = (m13 * m12 - m11 * m23) / det
+    a33 = (m11 * m22 - m12 * m12) / det
+    b0 = round(a11 * sy + a12 * s1y + a13 * s2y, 9)
+    b1 = round(a12 * sy + a22 * s1y + a23 * s2y, 9)
+    b2 = round(a13 * sy + a23 * s1y + a33 * s2y, 9)
+    pred = F.round(
+        F.lit(b0) + F.lit(b1) * F.col("x1") + F.lit(b2) * F.col("x2"),
+        6,
+    )
+    post = daily.filter(F.col("day") >= 15).select(
+        "day",
+        F.col("y").alias("actual"),
+        pred.alias("predicted"),
+    )
+    eff = F.round(F.col("actual") - F.col("predicted"), 6)
+    return post.select(
+        "day",
+        "actual",
+        "predicted",
+        eff.alias("effect"),
+        F.sum(eff.cast("decimal(18,6)"))
+        .over(
+            Window.orderBy("day").rowsBetween(
+                Window.unboundedPreceding, 0
+            )
+        )
+        .cast("double")
+        .alias("cum_effect"),
+    )

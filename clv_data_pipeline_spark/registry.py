@@ -254,7 +254,7 @@ _R6_NEW: set[str] = {
     "q_wasserstein", "q_covariate_balance", "q_qte",
     "q_experiment_readout", "q_random_walks", "q_modularity",
     "q_stream_drift", "q_item_cf_incremental", "q_hits",
-    "q_abc_analysis",
+    "q_abc_analysis", "q_causal_impact",
 }
 
 
