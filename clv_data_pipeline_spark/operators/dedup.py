@@ -656,62 +656,25 @@ def connected_components(
     dst: str = "id_b",
     max_iter: int = 25,
 ) -> DataFrame:
-    """Exact duplicate clustering: connected components by iterative
-    min-label propagation, the audit-grade alternative to the greedy
-    one-pass in :func:`dedup_minhash` (ref: the reference pipeline has
-    no clustering at all — this serves SURVEY.md §2's dedup extension).
+    """Exact duplicate clustering: connected components returning
+    ``(node, cluster_id)`` where ``cluster_id`` is the smallest node id
+    reachable from ``node`` — the canonical representative of its
+    component (transitive closure, unlike the greedy one-pass in
+    :func:`dedup_minhash`; ref: the reference pipeline has no
+    clustering at all — this serves SURVEY.md §2's dedup extension).
 
-    Returns ``(node, cluster_id)`` where ``cluster_id`` is the smallest
-    node id reachable from ``node`` — the canonical representative of
-    its component (transitive closure, unlike the greedy pass).
-
-    Scale design:
-
-    - each iteration is ONE shuffle: neighbor labels flow along edges
-      (join on the neighbor side) and fold with ``min`` per node;
-    - labels only decrease, so ``SUM(label)`` is strictly monotone and
-      a scalar sum comparison detects the fixpoint — no join-based
-      diffing, one cheap action per iteration;
-    - ``localCheckpoint`` after every step truncates lineage — without
-      it the plan doubles per iteration and Catalyst analysis time
-      explodes long before data size matters;
-    - iterations needed = graph diameter.  Corpus-dedup graphs are
-      near-cliques around shared fingerprints/buckets (diameter 2-4),
-      so the loop count is small and independent of corpus size.
+    Implementation is POINTER-JUMPING min-label propagation
+    (:func:`clv_data_pipeline_spark.operators.density.cc_pointer_jump`)
+    — O(log diameter) rounds, not O(diameter).  Corpus-dedup graphs
+    are usually near-cliques around shared fingerprints (diameter
+    2-4), but boilerplate families chain near-dups thousands deep;
+    linear propagation under an iteration cap silently over-fragments
+    those, pointer jumping converges in ~12 rounds even at diameter
+    4000 (pinned by ``tests/test_density.py``'s >25-hop chain test).
     """
-    e = edges.select(F.col(src).alias("node"), F.col(dst).alias("nbr"))
-    sym = e.union(
-        e.select(F.col("nbr").alias("node"), F.col("node").alias("nbr"))
-    ).filter(F.col("node") != F.col("nbr"))
-    sym = sym.distinct().localCheckpoint(eager=False)
-    labels = (
-        sym.select("node")
-        .distinct()
-        .withColumn("label", F.col("node"))
-        .localCheckpoint(eager=False)
-    )
-    prev_sum = None
-    for _ in range(max_iter):
-        msgs = sym.join(
-            labels.select(
-                F.col("node").alias("nbr"), F.col("label")
-            ),
-            "nbr",
-        ).select("node", "label")
-        labels = (
-            labels.select("node", "label")
-            .union(msgs)
-            .groupBy("node")
-            .agg(F.min("label").alias("label"))
-            .localCheckpoint(eager=False)
-        )
-        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
-        if cur_sum == prev_sum:
-            break
-        prev_sum = cur_sum
-    return labels.select(
-        F.col("node"), F.col("label").alias("cluster_id")
-    )
+    from clv_data_pipeline_spark.operators.density import cc_pointer_jump
+
+    return cc_pointer_jump(edges, src, dst, max_iter=max_iter)
 
 
 def cluster_documents(

@@ -2083,7 +2083,9 @@ _WV_V = 64  # vocabulary = context dimensions (top words by frequency)
         SELECT g.word, g.j, COALESCE(t.micro, 0) AS v
         FROM grid g LEFT JOIN trip t ON t.w = g.word AND t.j = g.j),
     vecs AS (
-        SELECT word, list(v ORDER BY j) AS vec FROM dr GROUP BY word)
+        SELECT word,
+               string_agg(CAST(v AS VARCHAR), ',' ORDER BY j) AS vec
+        FROM dr GROUP BY word)
     SELECT v.word, v.vec, n.nn_word, n.nn_sim
     FROM vecs v
     LEFT JOIN (SELECT word, nn_word, nn_sim FROM nn WHERE r = 1) n
@@ -2235,9 +2237,12 @@ def q_word_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("word", "j", F.coalesce("micro", F.lit(0)).alias("v"))
         .groupBy("word")
         .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("j", "v"))),
-                lambda s: s["v"],
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("j", "v"))),
+                    lambda s: s["v"].cast("string"),
+                ),
+                ",",
             ).alias("vec")
         )
     )

@@ -191,9 +191,37 @@ _R5_VERIFIED: frozenset[str] = frozenset(
     }
 )
 
+#: Queries the driver checked in round 6 (``CORRECTNESS_r06.json``):
+#: 49 of 50 sampled names green (33 hash-match + 16 rows-only-by-
+#: contract).  The 50th, ``q_word_vectors``, ERRORED in the driver's
+#: canonicalizer (array column) — it is deliberately NOT listed here so
+#: it stays in tier 0 and re-samples first in round 7 with the fixed
+#: string-vector output.
+_R6_VERIFIED: frozenset[str] = frozenset(
+    {
+        "q_adamic_adar", "q_als_eval", "q_als_recommend", "q_ann_ivf_pq",
+        "q_ann_pq_incremental", "q_assign_ids", "q_assign_ids_incremental",
+        "q_attribution_linear", "q_auc_sliced", "q_best_split",
+        "q_bitext_mining", "q_bm25_retrieval", "q_bootstrap_auc",
+        "q_calibration", "q_churn_labels", "q_clv_compare",
+        "q_conversion_lag", "q_dedup_substring",
+        "q_dedup_substring_incremental", "q_dsir", "q_group_split",
+        "q_grouped_bootstrap", "q_isotonic_calibration",
+        "q_join_explosion_audit", "q_ks_test", "q_late_events",
+        "q_lateral_topk", "q_mannwhitney", "q_mmr_diversify",
+        "q_naive_bayes", "q_pareto_nbd", "q_point_in_time", "q_prefix_sum",
+        "q_quantiles_incremental", "q_rake", "q_recursive_cte",
+        "q_scd2_stream", "q_semdedup", "q_semdedup_eval",
+        "q_shard_manifest", "q_small_files", "q_sql_udf",
+        "q_stream_assign_ids", "q_stream_dedup_substring",
+        "q_stream_quantiles", "q_t_closeness", "q_target_encode",
+        "q_tokenizer_fertility", "q_unigram_tokenize",
+    }
+)
+
 _VERIFIED: frozenset[str] = (
     _R1_VERIFIED | _R2_VERIFIED | _R3_VERIFIED | _R4_VERIFIED
-    | _R5_VERIFIED
+    | _R5_VERIFIED | _R6_VERIFIED
 )
 
 #: Queries REGISTERED during round 5 itself.  VERDICT r4's top ask is
@@ -258,6 +286,14 @@ _R6_NEW: set[str] = {
 }
 
 
+#: Queries REGISTERED during round 7.  VERDICT r6's top ask: the 63
+#: round-6 registrations that never got a driver row (plus the fixed
+#: q_word_vectors) must fill CORRECTNESS_r07 first; round-7 additions
+#: sort behind them within tier 0 and take their driver row in round 8
+#: if the budget cuts.
+_R7_NEW: set[str] = set()
+
+
 def _ordered_names() -> list[str]:
     """Registration order tiered by driver-verification staleness.
 
@@ -271,7 +307,9 @@ def _ordered_names() -> list[str]:
     names = list(_REGISTRY)
     tier = {}
     for n in names:
-        if n in _R5_VERIFIED:
+        if n in _R6_VERIFIED:
+            tier[n] = 6
+        elif n in _R5_VERIFIED:
             tier[n] = 5
         elif n in _R4_VERIFIED:
             tier[n] = 4
@@ -292,7 +330,7 @@ def _ordered_names() -> list[str]:
         names,
         key=lambda n: (
             tier[n],
-            1 if (tier[n] == 0 and n in _R6_NEW) else 0,
+            1 if (tier[n] == 0 and n in _R7_NEW) else 0,
             0 if _REGISTRY[n].oracle is not None else 1,
             order[n],
         ),

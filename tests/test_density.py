@@ -28,6 +28,25 @@ def test_cc_pointer_jump_long_chain(spark):
     assert set(labels) == {0}
 
 
+def test_connected_components_long_chain(spark):
+    """The shared dedup-facade CC (q_dedup_clusters,
+    q_entity_resolution, q_minhash_clusters, q_semantic_clusters) must
+    also survive >25-hop chains — it now delegates to pointer jumping
+    (VERDICT r6 ask 3: linear propagation's 25-round cap silently
+    over-fragmented long boilerplate chains)."""
+    from clv_data_pipeline_spark.operators.dedup import (
+        connected_components,
+    )
+
+    edges = spark.range(199).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+    )
+    out = connected_components(edges, "id_a", "id_b")
+    labels = [r["cluster_id"] for r in out.collect()]
+    assert len(labels) == 200
+    assert set(labels) == {0}
+
+
 def test_cc_pointer_jump_multiple_components(spark):
     """Disjoint chains keep distinct min labels."""
     e1 = spark.range(10).select(

@@ -118,6 +118,29 @@ def _plan(spark, name: str) -> str:
     return buf.getvalue()
 
 
+@pytest.mark.parametrize("name", sorted(registry.all_oracles()))
+def test_oracle_output_schema_is_driver_hashable(spark, name):
+    """Every oracle-checked query must emit only scalar columns.
+
+    The driver's canonicalizer hashes result rows through a pandas
+    sort; ArrayType/MapType/StructType values are unhashable there and
+    crash the comparison (the round-6 ``q_word_vectors`` failure mode:
+    ``TypeError: unhashable type: 'list'``).  Complex outputs must be
+    serialized (``array_join``) or emitted long-form on BOTH sides."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    df = registry.all_queries()[name](spark, SF_SMOKE)
+    bad = [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+    assert not bad, (
+        f"{name}: oracle-checked query returns non-hashable column(s) "
+        f"{bad} — the driver canonicalizer cannot hash these"
+    )
+
+
 @pytest.mark.parametrize("name", sorted(registry.all_queries()))
 def test_plan_has_no_scale_killers(spark, name):
     plan = _plan(spark, name)
