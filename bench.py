@@ -437,16 +437,19 @@ def main() -> None:
             out[key] = round(sum(timings[n] for n in names), 3)
     if regressions:
         out["regressions"] = regressions
-    # Round 5's full record (109 queries, one ~4 KB JSON line) overran
-    # the driver's bounded output capture and BENCH_r05.parsed came
-    # back null.  Emit a COMPACT summary line FIRST (always parseable
-    # on its own), then the full per-query record, and persist the
-    # full record to BENCH_LOCAL.json so per-query baselines survive
-    # regardless of what the capture window keeps.
+    # The driver records only a ~2 KB TAIL of stdout and parses the
+    # final JSON line (BENCH_r06.parsed came back null because the full
+    # ~5 KB per-query record was printed LAST: its tail is the middle
+    # of a JSON object, and the compact summary printed before it was
+    # pushed out of the window).  So: full per-query record FIRST (for
+    # humans / local logs), compact ~300-byte summary as the FINAL
+    # line — always inside the capture window, always parseable.  The
+    # full record also persists to BENCH_LOCAL.json so per-query
+    # baselines survive regardless of what the capture keeps.
     summary = {k: v for k, v in out.items() if k != "queries"}
     summary["n_queries"] = len(timings)
-    print(json.dumps(summary), flush=True)
     print(json.dumps(out), flush=True)
+    print(json.dumps(summary), flush=True)
     try:
         here = os.path.dirname(os.path.abspath(__file__))
         with open(os.path.join(here, "BENCH_LOCAL.json"), "w") as f:
@@ -460,24 +463,27 @@ def main() -> None:
 def _baseline_queries(
     sf: float | str | None = None,
 ) -> tuple[dict[str, float], str] | None:
-    """Newest usable per-query baseline from BENCH_r*.json, or None.
+    """Merged per-query regression baseline, or None.
 
-    Driver-recorded BENCH_r*.json wraps our JSON line in "parsed"; a
-    crashed round records "parsed": null, and a round benched at a
-    different scale factor is not comparable — skip back past BOTH
-    until a valid same-sf baseline is found.
+    Driver-recorded BENCH_r*.json rounds are AUTHORITATIVE: newest
+    round wins per query name.  BENCH_LOCAL.json (rewritten by every
+    local bench run) only fills names NO driver record has ever timed
+    — preferring it wholesale would rebase the baseline to the
+    previous run and let a gradual slowdown (each step under the
+    1.5x/0.4s threshold) creep in unflagged.  A crashed round records
+    "parsed": null and a round benched at a different scale factor is
+    not comparable — both are skipped.
     """
     import glob
 
     here = os.path.dirname(os.path.abspath(__file__))
     candidates = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")),
                         reverse=True)
-    # BENCH_LOCAL.json (written by the previous bench run here) is the
-    # freshest per-query record — driver BENCH_r*.json may hold only
-    # the compact summary line (no "queries"), which is skipped below.
     local = os.path.join(here, "BENCH_LOCAL.json")
     if os.path.exists(local):
-        candidates.insert(0, local)
+        candidates.append(local)
+    merged: dict[str, float] = {}
+    sources: list[str] = []
     for path in candidates:
         try:
             with open(path) as f:
@@ -489,8 +495,16 @@ def _baseline_queries(
             continue
         if sf is not None and rec.get("sf") != sf:
             continue
-        return rec["queries"], path
-    return None
+        added = False
+        for name, sec in rec["queries"].items():
+            if name not in merged:
+                merged[name] = sec
+                added = True
+        if added:
+            sources.append(os.path.basename(path))
+    if not merged:
+        return None
+    return merged, "+".join(sources)
 
 
 def _regressions(

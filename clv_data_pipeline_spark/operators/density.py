@@ -153,10 +153,13 @@ def dbscan(pts: DataFrame, eps: float, min_pts: int) -> DataFrame:
     cb = core.select(F.col("id").alias("ib"))
     ce = nbr.join(ca, "ia").join(cb, "ib")
     fw = eps / math.sqrt(2)
-    fcell = (
-        F.floor(F.col("x") / fw).cast("long") * 100000
-        + F.floor(F.col("y") / fw).cast("long")
-    )
+    # collision-free fine-cell key: bit-pack (cx, cy) as cx<<32 | low32
+    # of cy — unique for any cx, cy in int32 range, including negative
+    # coordinates (a base-N composite like cx*100000+cy collides when
+    # cy is negative or |cy| >= N, silently merging distant cells)
+    fcx = F.floor(F.col("x") / fw).cast("long")
+    fcy = F.floor(F.col("y") / fw).cast("long")
+    fcell = F.shiftleft(fcx, 32) + fcy.bitwiseAND(F.lit(0xFFFFFFFF))
     cmap = core.join(pts, "id").select("id", fcell.alias("cell"))
     cmap = cmap.localCheckpoint()
     cell_a = cmap.select(

@@ -391,17 +391,48 @@ def bradley_terry(
     )
 
 
-def item_cf_recommend(ui: DataFrame) -> DataFrame:
+def item_cf_recommend(
+    ui: DataFrame,
+    top_k: int | None = None,
+    broadcast_sim: bool = True,
+    max_per_user: int | None = None,
+) -> DataFrame:
     """Item-item collaborative filtering: top-1 unseen item per user.
 
     ``ui`` is the distinct (u, b) user-item incidence frame.  Cosine
     over item incidence vectors computed from co-occurrence counts:
     sim(i, j) = co(i, j) / sqrt(n_i * n_j), rounded to 9 dp before
     the per-(user, item) DECIMAL score sums so accumulation is
-    order-free.  Scale shape: the co-occurrence self-join keys on the
-    user (per-user fan-out bounded by the item vocabulary — cap heavy
-    users upstream), the vocab^2-bounded similarity matrix BROADCASTS,
-    and scoring shuffles once on the user key.  Backs q_item_cf."""
+    order-free.  Backs q_item_cf.
+
+    Scale shape — nothing about the catalog ever touches the driver:
+
+    - co-occurrence is an INVERTED-INDEX join keyed on the user (never
+      an item cross product); ``max_per_user`` caps heavy-user fan-out
+      by keeping each user's ``max_per_user`` smallest-md5 items — the
+      deterministic DIMSUM-style sampling cut (a 10k-item power user
+      contributes 10^8 pairs uncapped);
+    - ``top_k`` prunes the similarity matrix to each item's k nearest
+      neighbors (one item-keyed window), bounding it to vocab x k rows
+      instead of vocab^2 — the standard sparsification for open item
+      catalogs, where most co-occurrence mass is noise anyway;
+    - ``broadcast_sim=True`` (default) broadcasts the similarity table
+      — right for bounded vocabularies (brands, categories).  At a
+      10^6-item catalog set it False: scoring becomes a plain hash
+      shuffle join on the item key, which holds at any catalog size.
+
+    Defaults reproduce the exact full-similarity answer (q_item_cf's
+    oracle); the pruned/shuffled path is smoke-tested at 100k items in
+    tests/test_scale_smoke_r7.py."""
+    if max_per_user is not None:
+        wu = Window.partitionBy("u").orderBy(
+            F.md5(F.concat_ws("\x1f", F.col("u"), F.col("b")))
+        )
+        ui = (
+            ui.withColumn("rn_u", F.row_number().over(wu))
+            .filter(F.col("rn_u") <= max_per_user)
+            .drop("rn_u")
+        )
     cnt = ui.groupBy("b").agg(F.count("*").cast("double").alias("n"))
     a, c = ui.alias("a"), ui.alias("c")
     co = (
@@ -426,8 +457,16 @@ def item_cf_recommend(ui: DataFrame) -> DataFrame:
             ).alias("s"),
         )
     )
+    if top_k is not None:
+        wi = Window.partitionBy("i").orderBy(F.desc("s"), "j")
+        sim = (
+            sim.withColumn("rn_i", F.row_number().over(wi))
+            .filter(F.col("rn_i") <= top_k)
+            .drop("rn_i")
+        )
+    sim_side = F.broadcast(sim) if broadcast_sim else sim
     scores = (
-        ui.join(F.broadcast(sim), ui["b"] == sim["i"])
+        ui.join(sim_side, ui["b"] == sim["i"])
         .groupBy("u", F.col("j").alias("rb"))
         .agg(
             F.sum(F.col("s").cast("decimal(18,9)"))

@@ -74,18 +74,26 @@ def skyline_2d(
         F.col("_cum_prev").isNull()
         | (F.col(max_col) >= F.col("_cum_prev"))
     )
-    # exact within-bucket resolution: running max over smaller min_col
-    # inside the bucket (cross-bucket domination is fully covered by
-    # _cum_prev because any lower bucket's min_col is strictly smaller)
+    # exact within-bucket resolution: running max over STRICTLY smaller
+    # min_col inside the bucket (cross-bucket domination is fully
+    # covered by _cum_prev because any lower bucket's min_col is
+    # strictly smaller).  The running max aggregates per DISTINCT
+    # min_col first, then windows with rowsBetween over that distinct
+    # frame — a rangeBetween(..., -1) over raw rows frames values
+    # <= current-1, which misses dominators in (v-1, v) whenever
+    # min_col is non-integer (cost/balance/quality uses).
     w_lt = (
         Window.partitionBy("_bkt")
         .orderBy(min_col)
-        .rangeBetween(Window.unboundedPreceding, -1)
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
-    w_eq = Window.partitionBy("_bkt", min_col)
+    per_val = (
+        pruned.groupBy("_bkt", min_col)
+        .agg(F.max(max_col).alias("_m_eq"))
+        .withColumn("_m_lt", F.max("_m_eq").over(w_lt))
+    )
     out = (
-        pruned.withColumn("_m_lt", F.max(max_col).over(w_lt))
-        .withColumn("_m_eq", F.max(max_col).over(w_eq))
+        pruned.join(per_val, ["_bkt", min_col])
         .filter(
             (F.col("_m_lt").isNull() | (F.col(max_col) > F.col("_m_lt")))
             & (F.col(max_col) >= F.col("_m_eq"))

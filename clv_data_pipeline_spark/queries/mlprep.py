@@ -2332,38 +2332,135 @@ def q_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_isotonic_calibration")  # rows-only: PAV is a sequential fold
+_ISO_CAL_BINS_SQL = r"""
+    q AS (
+        SELECT doc_id,
+               ROUND(
+                 LEAST(CAST(length(text) AS DOUBLE) / 200.0, 1.0)
+                 * GREATEST(0.0, 1.0 -
+                     (CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g'))
+                           AS DOUBLE)
+                      / GREATEST(length(text), 1)) * 5.0)
+                 * GREATEST(0.0, 1.0 -
+                     (CAST(length(regexp_replace(text, '[^0-9]', '', 'g'))
+                           AS DOUBLE)
+                      / GREATEST(length(text), 1)) * 5.0)
+                 * (CASE WHEN (CAST(length(trim(text)) AS DOUBLE)
+                               / GREATEST(len(regexp_extract_all(trim(text),
+                                              '\S+', 0)), 1))
+                              BETWEEN 3.0 AND 12.0
+                         THEN 1.0 ELSE 0.5 END),
+               6) AS score
+        FROM documents),
+    toks AS (
+        SELECT doc_id, unnest(string_split(
+                   trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '))
+                   AS term
+        FROM documents),
+    tf AS (
+        SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM toks WHERE term <> '' GROUP BY doc_id, term),
+    e AS (
+        SELECT doc_id,
+               ROUND(log2(CAST(SUM(tf) AS DOUBLE))
+                     - CAST(SUM(CAST(ROUND(tf * log2(CAST(tf AS DOUBLE)), 9)
+                                AS DECIMAL(28,9))) AS DOUBLE) / SUM(tf), 6)
+                   AS entropy
+        FROM tf GROUP BY doc_id),
+    pts AS (
+        SELECT LEAST(CAST(FLOOR(q.score * 10) AS BIGINT), 9) AS bin,
+               CAST(q.score AS DECIMAL(18,6)) AS score,
+               CASE WHEN e.entropy >= 4.4 THEN 1 ELSE 0 END AS pos
+        FROM q JOIN e USING (doc_id)),
+    binagg AS (
+        SELECT bin,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(pos) AS BIGINT) AS n_pos,
+               SUM(score) AS sum_score
+        FROM pts GROUP BY bin),
+    cal AS (
+        SELECT bin, n_docs,
+               ROUND(CAST(sum_score AS DOUBLE) / n_docs, 6) AS conf,
+               ROUND(CAST(n_pos AS DOUBLE) / n_docs, 6) AS acc
+        FROM binagg)
+"""
+
+
+@query(
+    "q_isotonic_calibration",
+    oracle=f"""
+    WITH {_ISO_CAL_BINS_SQL},
+    ym AS (
+        SELECT bin, n_docs, conf, acc,
+               CAST(ROUND(acc * 1000000, 0) AS BIGINT) AS ymicro
+        FROM cal),
+    pairs AS (
+        SELECT j.bin AS j, k.bin AS k,
+               ROUND(CAST(SUM(l.n_docs * l.ymicro) AS DOUBLE)
+                     / (CAST(SUM(l.n_docs) AS DOUBLE) * 1000000.0),
+                     9) AS av
+        FROM ym j JOIN ym k ON j.bin <= k.bin
+        JOIN ym l ON l.bin BETWEEN j.bin AND k.bin
+        GROUP BY j.bin, k.bin),
+    mn AS (
+        SELECT i.bin AS bin, p.j, MIN(p.av) AS mnav
+        FROM ym i JOIN pairs p ON p.j <= i.bin AND p.k >= i.bin
+        GROUP BY i.bin, p.j),
+    fit AS (SELECT bin, MAX(mnav) AS f FROM mn GROUP BY bin)
+    SELECT c.bin, c.n_docs, c.conf, c.acc AS raw_acc,
+           ROUND(fit.f, 6) AS calibrated
+    FROM cal c JOIN fit USING (bin)
+    """,
+)
 def q_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Isotonic recalibration of the quality score — the FIX for what
-    q_calibration measures: Pool-Adjacent-Violators fits the best
-    monotone mapping from score bins to observed positive rates, so a
-    threshold on the calibrated output means what it says.  PAV runs
-    driver-side over the 10-row bin frame (a bounded barrier — the
-    fitter's input is the aggregate, never examples); the calibrated
-    table then broadcasts wherever scores need mapping.  Monotonicity,
-    block-mean preservation, and parity with an independent O(n^2)
-    reference are pinned in tests/test_mlprep.py."""
-    from clv_data_pipeline_spark.operators.features import pav_isotonic
+    q_calibration measures: the best monotone mapping from score bins
+    to observed positive rates, so a threshold on the calibrated
+    output means what it says.  The fit runs driver-side over the
+    10-row bin frame (a bounded barrier — the fitter's input is the
+    aggregate, never examples); the calibrated table then broadcasts
+    wherever scores need mapping.
 
+    The fit is computed by the MINIMAX characterization of weighted-L2
+    isotonic regression — fit(i) = max over j<=i of min over k>=i of
+    the weighted mean of bins j..k — which is PAV's exact solution
+    (Robertson/Wright/Dykstra, Order Restricted Statistical Inference)
+    expressed as bounded max/min algebra, so the DuckDB oracle unrolls
+    it over the <=10x10x10 bin grid.  Determinism: accuracies enter as
+    exact 1e-6 integer units, each block mean is ONE division rounded
+    to 9 dp on both engines, and max/min commute with monotone
+    rounding.  Parity with the sequential pool-adjacent-violators
+    operator is pinned in tests/test_mlprep.py."""
     bins = (
         q_calibration(spark, sf_dir)
         .select("bin", "n_docs", "n_pos", "conf", "acc")
         .orderBy("bin")
         .collect()
     )
-    fitted = pav_isotonic(
-        [r["acc"] for r in bins], [float(r["n_docs"]) for r in bins]
-    )
-    rows = [
-        (
-            int(r["bin"]),
-            int(r["n_docs"]),
-            float(r["conf"]),
-            float(r["acc"]),
-            round(float(v), 6),
+    y = [int(round(float(r["acc"]) * 1e6)) for r in bins]
+    w = [int(r["n_docs"]) for r in bins]
+    nb = len(bins)
+    av: dict[tuple[int, int], float] = {}
+    for j in range(nb):
+        swy = sw = 0
+        for k in range(j, nb):
+            swy += w[k] * y[k]
+            sw += w[k]
+            av[(j, k)] = round(swy / (sw * 1e6), 9)
+    rows = []
+    for i, r in enumerate(bins):
+        fit = max(
+            min(av[(j, k)] for k in range(i, nb)) for j in range(i + 1)
         )
-        for r, v in zip(bins, fitted)
-    ]
+        rows.append(
+            (
+                int(r["bin"]),
+                int(r["n_docs"]),
+                float(r["conf"]),
+                float(r["acc"]),
+                round(fit, 6),
+            )
+        )
     return spark.createDataFrame(
         rows,
         "bin long, n_docs long, conf double, raw_acc double, "
@@ -2371,7 +2468,130 @@ def q_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_mmr_diversify")  # rows-only: greedy selection is sequential
+def _mmr_oracle() -> str:
+    """Unroll the 5-step greedy MMR selection as chained CTEs over the
+    bm25 top-5 candidate frame.  Every arithmetic step is the same
+    IEEE expression the Spark side evaluates (one min-max normalize,
+    integer-ratio Jaccards, 0.5-weighted combination — all exactly
+    representable), so argmax ties resolve identically."""
+    head = f"""
+    WITH q(query_id, qtext) AS (VALUES {_RETRIEVAL_VALUES}),
+    qt AS (
+        SELECT query_id, unnest(string_split(qtext, ' ')) AS term FROM q),
+    toks AS (
+        SELECT doc_id, unnest({_TOKENIZE_SQL}) AS term FROM documents),
+    tf AS (
+        SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM toks WHERE term <> '' GROUP BY doc_id, term),
+    dl AS (
+        SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+    df AS (
+        SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+        FROM tf GROUP BY term),
+    corpus AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CAST(dl AS DECIMAL(18,0))) AS DOUBLE) / COUNT(*)
+                   AS avgdl
+        FROM dl),
+    scored AS (
+        SELECT qt.query_id, tf.doc_id,
+               SUM(CAST(ROUND(
+                 ln(1 + (CAST(corpus.n_docs AS DOUBLE) - df.df + 0.5)
+                        / (df.df + 0.5))
+                 * (tf.tf * ({_BM25_K1} + 1.0))
+                 / (tf.tf + {_BM25_K1}
+                    * (1.0 - {_BM25_B} + {_BM25_B} * dl.dl / corpus.avgdl)),
+                 6) AS DECIMAL(18,6))) AS s
+        FROM qt JOIN tf USING (term) JOIN df USING (term)
+        JOIN dl ON tf.doc_id = dl.doc_id
+        CROSS JOIN corpus
+        GROUP BY qt.query_id, tf.doc_id),
+    cands AS MATERIALIZED (
+        SELECT CAST(query_id AS BIGINT) AS query_id,
+               CAST(doc_id AS BIGINT) AS doc_id,
+               CAST(s AS DOUBLE) AS score
+        FROM (SELECT query_id, doc_id, s,
+                     ROW_NUMBER() OVER (PARTITION BY query_id
+                         ORDER BY s DESC, doc_id) AS rnk
+              FROM scored) r
+        WHERE rnk <= 5),
+    nrm AS MATERIALIZED (
+        SELECT query_id, doc_id,
+               CASE WHEN mx > mn THEN (score - mn) / (mx - mn)
+                    ELSE CAST(1.0 AS DOUBLE) END AS ns
+        FROM (SELECT c.*,
+                     MAX(score) OVER (PARTITION BY query_id) AS mx,
+                     MIN(score) OVER (PARTITION BY query_id) AS mn
+              FROM cands c) x),
+    dterm AS MATERIALIZED (
+        SELECT DISTINCT t.doc_id, t.term FROM toks t
+        JOIN (SELECT DISTINCT doc_id FROM cands) cd USING (doc_id)
+        WHERE t.term <> ''),
+    dsz AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz
+        FROM dterm GROUP BY doc_id),
+    inter AS (
+        SELECT a.query_id, a.doc_id AS i, b.doc_id AS j,
+               CAST(COUNT(*) AS BIGINT) AS ic
+        FROM cands a
+        JOIN cands b ON a.query_id = b.query_id AND a.doc_id <> b.doc_id
+        JOIN dterm ta ON ta.doc_id = a.doc_id
+        JOIN dterm tb ON tb.doc_id = b.doc_id AND tb.term = ta.term
+        GROUP BY a.query_id, a.doc_id, b.doc_id),
+    jac AS MATERIALIZED (
+        SELECT inter.query_id, i, j,
+               CAST(ic AS DOUBLE)
+                   / GREATEST(sa.sz + sb.sz - ic, 1) AS jv
+        FROM inter
+        JOIN dsz sa ON sa.doc_id = i
+        JOIN dsz sb ON sb.doc_id = j),
+    p1 AS (
+        SELECT query_id, doc_id, CAST(0.5 AS DOUBLE) * ns AS v FROM nrm),
+    c1 AS (
+        SELECT query_id, doc_id, v FROM (
+            SELECT p1.*, ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY v DESC, doc_id) AS rn
+            FROM p1) x WHERE rn = 1),
+    ch1 AS (
+        SELECT query_id, doc_id, CAST(1 AS BIGINT) AS mmr_rank, v
+        FROM c1)"""
+    steps = []
+    for t in range(2, 6):
+        steps.append(f""",
+    cd{t} AS (
+        SELECT n.* FROM nrm n
+        LEFT JOIN ch{t - 1} c
+          ON c.query_id = n.query_id AND c.doc_id = n.doc_id
+        WHERE c.doc_id IS NULL),
+    dv{t} AS (
+        SELECT cd.query_id, cd.doc_id, cd.ns,
+               COALESCE(MAX(j.jv), CAST(0 AS DOUBLE)) AS dv
+        FROM cd{t} cd
+        JOIN ch{t - 1} ch ON ch.query_id = cd.query_id
+        LEFT JOIN jac j ON j.query_id = cd.query_id
+          AND j.i = cd.doc_id AND j.j = ch.doc_id
+        GROUP BY cd.query_id, cd.doc_id, cd.ns),
+    p{t} AS (
+        SELECT query_id, doc_id,
+               CAST(0.5 AS DOUBLE) * ns - CAST(0.5 AS DOUBLE) * dv AS v
+        FROM dv{t}),
+    c{t} AS (
+        SELECT query_id, doc_id, v FROM (
+            SELECT p{t}.*, ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY v DESC, doc_id) AS rn
+            FROM p{t}) x WHERE rn = 1),
+    ch{t} AS (
+        SELECT * FROM ch{t - 1}
+        UNION ALL
+        SELECT query_id, doc_id, CAST({t} AS BIGINT), v FROM c{t})""")
+    tail = """
+    SELECT query_id, doc_id, mmr_rank, ROUND(v, 6) AS mmr_score
+    FROM ch5
+    """
+    return head + "".join(steps) + tail
+
+
+@query("q_mmr_diversify", oracle=_mmr_oracle())
 def q_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maximal Marginal Relevance re-ranking of retrieval results —
     the diversity pass a RAG stack runs after BM25: from each query's
@@ -2383,7 +2603,14 @@ def q_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
     <= 20 candidates: one applyInPandas group per query, candidates
     arrive pre-cut by the retrieval top-k, so the Python stage is
     O(queries x k^2) regardless of corpus size.  Greedy-vs-brute
-    parity on small cases is pinned in tests/test_mlprep.py."""
+    parity on small cases is pinned in tests/test_mlprep.py.
+
+    Oracle-checked (r7): every quantity in the greedy argmax is an
+    exact IEEE expression on both engines — the normalize is one
+    subtract/divide of identical doubles, Jaccard is an integer
+    ratio, and 0.5 weights are exactly representable — so the DuckDB
+    oracle unrolls the 5 selection steps as chained CTEs and matches
+    hash-for-hash (comparisons are exact, ties break on doc_id)."""
     import pandas as pd
 
     from clv_data_pipeline_spark.registry import ensure_worker_imports
@@ -2426,9 +2653,12 @@ def q_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
                     )
                 else:
                     div = 0.0
+                # exact comparisons (no epsilon): the oracle replays
+                # this argmax with the identical IEEE expression, so
+                # ties are exact equality and break on smaller doc_id
                 v = lam * scores[i] - (1 - lam) * div
-                if best_v is None or v > best_v + 1e-12 or (
-                    abs(v - best_v) <= 1e-12 and ids[i] < ids[best_i]
+                if best_v is None or v > best_v or (
+                    v == best_v and ids[i] < ids[best_i]
                 ):
                     best_i, best_v = i, v
             chosen.append(best_i)
@@ -3658,11 +3888,12 @@ def q_lm_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the corpus-sized work is the (w1, w2) bigram count
     shuffle + one rank window electing each token's successor — both
-    partial-aggregable; the {_LM_STEPS}-step walk then probes the
-    checkpointed successor table with 1-row lookups (each a bounded
-    job), exactly how a decode step consults a materialized n-gram
-    model.  A token with no successor ends the walk early on both
-    engines."""
+    partial-aggregable; the successor table is vocabulary-bounded, so
+    it collects ONCE and the {_LM_STEPS}-step argmax walk replays at
+    the driver (the UCB/EM/IPF pattern — an in-plan loop of 1-row
+    probe jobs costs ~10 s of pure scheduler overhead for a bounded
+    dict lookup).  A token with no successor ends the walk early on
+    both engines."""
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(
         F.split(normalize_text(F.col("text")), " ").alias("ts")
@@ -3685,8 +3916,8 @@ def q_lm_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
         big.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("w1", "w2")
-        .localCheckpoint(eager=True)
     )
+    succ = {r["w1"]: r["w2"] for r in nxt.collect()}
     uni = (
         d.select(
             F.explode(
@@ -3703,10 +3934,9 @@ def q_lm_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = [(1, seed)]
     cur = seed
     for step in range(2, _LM_STEPS + 1):
-        row = nxt.filter(F.col("w1") == cur).collect()
-        if not row:
+        cur = succ.get(cur)
+        if cur is None:
             break
-        cur = row[0]["w2"]
         path.append((step, cur))
     return spark.createDataFrame(path, "step long, tok string")
 

@@ -177,13 +177,17 @@ def dedup_admission_sink(
     them.  Work per trigger is O(batch): the batch's fingerprints
     broadcast to probe the stored index map-side, exactly like the
     batch operator, so a 100 TB index is scanned (pruned, if
-    partitioned by fingerprint prefix), never shuffled.  Replay safety:
-    once a batch's fingerprints land in the index, replaying that batch
-    admits nothing (the probe rejects every doc), so the sink is
-    idempotent except for a crash BETWEEN the two appends — closing
-    that window needs the appends atomic, i.e. a transactional table
-    format (Delta/Iceberg) where both become one commit keyed by
-    ``batch_id``.
+    partitioned by fingerprint prefix), never shuffled.
+
+    Replay safety — BOTH appends are idempotent on plain parquet, so a
+    crash anywhere inside the trigger followed by Structured
+    Streaming's batch replay changes nothing: the admission recomputes
+    against the stored index exactly as before (the index append is
+    LAST, so a replayed batch sees the same index state), the admitted
+    append anti-joins out ids already landed, and the index append
+    anti-joins out fingerprints already landed.  On a transactional
+    format (Delta/Iceberg) the two appends would instead be one commit
+    keyed by ``batch_id``.
     """
     from clv_data_pipeline_spark.operators.dedup import (
         dedup_incremental,
@@ -201,10 +205,27 @@ def dedup_admission_sink(
         admitted = dedup_incremental(
             index, batch_df, text_col, id_col
         ).localCheckpoint(eager=True)
-        admitted.write.mode("append").saveAsTable(admitted_table)
-        fingerprint_index(admitted, text_col, id_col).localCheckpoint(
-            eager=True
-        ).write.mode("append").saveAsTable(index_table)
+        to_append = admitted
+        if spark.catalog.tableExists(admitted_table):
+            # idempotent under batch replay: drop rows a previous
+            # (crashed-after-append) attempt already landed
+            to_append = admitted.join(
+                spark.table(admitted_table).select(id_col),
+                id_col,
+                "left_anti",
+            ).localCheckpoint(eager=True)
+        to_append.write.mode("append").saveAsTable(admitted_table)
+        # grams come from the FULL admission result, not the replay-
+        # filtered append set — a replay after a crash between the two
+        # appends must still land the batch's fingerprints
+        grams = fingerprint_index(admitted, text_col, id_col)
+        if spark.catalog.tableExists(index_table):
+            grams = grams.join(
+                spark.table(index_table).select("_fp"), "_fp", "left_anti"
+            )
+        grams.localCheckpoint(eager=True).write.mode("append").saveAsTable(
+            index_table
+        )
 
     return _fn
 
@@ -227,9 +248,13 @@ def substring_audit_sink(
     map-side, never shuffling it.  With chronological arrival (ids
     ascending across triggers) the accumulated audit equals the batch
     q_dedup_substring recompute bit-for-bit — the oracle states
-    exactly that.  Same replay story as dedup_admission_sink: replayed
-    batches re-emit identical rows; atomicity of the two appends is a
-    transactional-format concern.
+    exactly that.  Same replay story as dedup_admission_sink: BOTH
+    appends are idempotent on plain parquet — the stats recompute
+    against the stored index exactly as before (the index append is
+    LAST, so a replayed batch sees the same index state) and anti-join
+    out docs already landed; the gram append anti-joins out grams
+    already landed — so a crash anywhere inside the trigger followed
+    by batch replay duplicates nothing.
     """
     from clv_data_pipeline_spark.operators.dedup import (
         substring_dedup_incremental,
@@ -249,6 +274,14 @@ def substring_audit_sink(
         stats = substring_dedup_incremental(
             index, batch_df, text_col, id_col, window
         ).localCheckpoint(eager=True)
+        if spark.catalog.tableExists(out_table):
+            # idempotent under batch replay: a previous crashed-after-
+            # append attempt emitted identical per-doc rows
+            stats = stats.join(
+                spark.table(out_table).select(id_col),
+                id_col,
+                "left_anti",
+            ).localCheckpoint(eager=True)
         stats.write.mode("append").saveAsTable(out_table)
         bg = substring_gram_index(batch_df, text_col, id_col, window)
         bg.join(index, "_g", "left_anti").localCheckpoint(

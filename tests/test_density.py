@@ -63,6 +63,27 @@ def test_cc_pointer_jump_multiple_components(spark):
     assert all(got[n] == 100 for n in range(100, 111))
 
 
+def test_dbscan_negative_coord_cell_keys_do_not_collide(spark):
+    """Two tight blobs ~100k apart in y, one at a negative fine-cell
+    coordinate engineered so the old base-100000 composite key
+    (cx*100000 + cy) collided: (1, -100000) == (0, 0).  A collision
+    merges the blobs' fine cells into one CC supernode and labels them
+    as ONE cluster; the bit-packed key must keep them separate."""
+    import math
+
+    eps = math.sqrt(2)  # fine width = eps/sqrt(2) = 1.0 exactly
+    rows = [(i, 0.3 + 0.1 * i, 0.3 + 0.1 * i) for i in range(5)]
+    rows += [
+        (10 + i, 1.3 + 0.1 * i, -99999.7 + 0.1 * i) for i in range(5)
+    ]
+    pts = spark.createDataFrame(rows, "id long, x double, y double")
+    out = dbscan(pts, eps=eps, min_pts=3).collect()
+    labels = {r["id"]: r["cluster_id"] for r in out}
+    assert labels[0] == 0 and labels[10] == 10, labels
+    assert all(labels[i] == 0 for i in range(5))
+    assert all(labels[10 + i] == 10 for i in range(5))
+
+
 def test_dbscan_two_blobs_and_noise(spark):
     """Two tight 10-point blobs separated far beyond eps, plus one
     isolated point: two clusters labeled by their min ids, the

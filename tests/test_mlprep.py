@@ -43,6 +43,45 @@ def test_knn_label_ignores_null_neighbor_labels(spark):
         assert all(r["pred_label"] is not None for r in rows), name
 
 
+def test_isotonic_minimax_matches_pav():
+    """The minimax formula q_isotonic_calibration now computes (and
+    unrolls in its oracle) must equal sequential PAV to 6 dp — the
+    classical equivalence, exercised over random weighted inputs."""
+    import numpy as np
+
+    from clv_data_pipeline_spark.operators.features import pav_isotonic
+
+    rng = np.random.RandomState(11)
+    for _ in range(25):
+        n = rng.randint(2, 12)
+        y = [int(v) for v in rng.randint(0, 1_000_001, size=n)]
+        w = [int(v) for v in rng.randint(1, 500, size=n)]
+        av = {}
+        for j in range(n):
+            swy = sw = 0
+            for k in range(j, n):
+                swy += w[k] * y[k]
+                sw += w[k]
+                av[(j, k)] = round(swy / (sw * 1e6), 9)
+        mm = [
+            round(
+                max(
+                    min(av[(j, k)] for k in range(i, n))
+                    for j in range(i + 1)
+                ),
+                6,
+            )
+            for i in range(n)
+        ]
+        pav = [
+            round(v, 6)
+            for v in pav_isotonic(
+                [yi / 1e6 for yi in y], [float(wi) for wi in w]
+            )
+        ]
+        assert mm == pav, (y, w, mm, pav)
+
+
 def test_pav_matches_quadratic_reference_and_invariants():
     """PAV output must be monotone, preserve the global weighted mean,
     and equal an independently-written O(n^2) repeated-scan PAV."""
@@ -283,6 +322,32 @@ def test_skyline_planted_points(spark):
             ).collect()
         )
         assert got == [1, 2, 3, 6], got
+
+
+def test_skyline_fractional_min_col(spark):
+    """Non-integer minimized dimension: a dominator whose min_col sits
+    within 1.0 of the dominated row's (e.g. 0.5 vs 0.9) must still
+    dominate.  Regression for the rangeBetween(..., -1) framing bug:
+    that frame only saw values <= current-1, so fractional dominators
+    in (v-1, v) were invisible and dominated rows leaked through."""
+    from clv_data_pipeline_spark.operators.skyline import skyline_2d
+
+    rows = [
+        (1, 0.5, 10.0),  # frontier
+        (2, 0.9, 9.0),   # dominated by 1 (0.5 < 0.9, 10 > 9)
+        (3, 0.9, 12.0),  # frontier (higher spend)
+        (4, 2.5, 12.0),  # dominated by 3 (worse cost, equal value)
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, cost double, value double"
+    )
+    for part in (df, df.repartition(5)):
+        got = sorted(
+            r["id"]
+            for r in skyline_2d(part, "cost", "value", n_buckets=4)
+            .collect()
+        )
+        assert got == [1, 3], got
 
 
 def test_label_noise_positive_control(spark, tmp_path):
