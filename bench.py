@@ -205,6 +205,14 @@ HEADLINE = [
     "q_hits",
     "q_abc_analysis",
     "q_causal_impact",
+    # round 7
+    "q_iv_2sls",
+    "q_rdd",
+    "q_propensity_matching",
+    "q_stl_decompose",
+    "q_bayes_ab",
+    "q_bh_fdr",
+    "q_stream_topk",
 ]
 
 #: Frozen comparable subsets — apples-to-apples totals across rounds.

@@ -6325,3 +6325,596 @@ def q_causal_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("cum_effect"),
     )
+
+
+@query(
+    "q_iv_2sls",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               CAST(user_id % 2 AS BIGINT) AS z,
+               CAST(SUM(CASE WHEN value > 50 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS x,
+               SUM(CAST(value AS DECIMAL(18,4))) AS y
+        FROM events GROUP BY user_id),
+    s AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM(z) AS DOUBLE) AS sz,
+               CAST(SUM(x) AS DOUBLE) AS sx,
+               CAST(SUM(y) AS DOUBLE) AS sy,
+               CAST(SUM(z * x) AS DOUBLE) AS szx,
+               CAST(SUM(z * y) AS DOUBLE) AS szy
+        FROM per_user)
+    SELECT CAST(n AS BIGINT) AS n_users,
+           ROUND((n * szx - sz * sx) / (n * sz - sz * sz), 6)
+               AS first_stage,
+           ROUND((n * szy - sz * sy) / (n * sz - sz * sz), 6)
+               AS reduced_form,
+           ROUND((n * szy - sz * sy) / (n * szx - sz * sx), 6)
+               AS beta_iv
+    FROM s
+    """,
+)
+def q_iv_2sls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Instrumental-variable effect estimation (Wald / single-
+    instrument 2SLS): when exposure is self-selected (how many
+    high-value events a user generates) but an ENCOURAGEMENT was
+    randomized (the user_id parity assignment the experiment shelf
+    uses throughout), beta_IV = cov(z, y) / cov(z, x) recovers the
+    causal effect of one extra exposure on the outcome — the
+    noncompliance-robust estimator q_ab_test (ITT) and
+    q_stratified_ate (observational) both lack.  Also reports the
+    first stage (instrument strength — a weak instrument makes the
+    ratio explode) and the reduced form (ITT).
+
+    Scale shape: one user-keyed aggregation compresses the event log
+    to per-user (z, x, y) triples, then ONE global sufficient-stats
+    aggregate (all sums exact: z, x are integers, y a DECIMAL) feeds
+    closed-form ratios of identical IEEE expressions — no joins, no
+    iteration, two shuffles total regardless of log size."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("value") > 50, 1).otherwise(0))
+        .cast("long")
+        .alias("x"),
+        F.sum(F.col("value").cast("decimal(18,4)")).alias("y"),
+    ).select(
+        (F.col("user_id") % 2).cast("long").alias("z"), "x", "y"
+    )
+    s = per_user.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("z").cast("double").alias("sz"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("z") * F.col("x")).cast("double").alias("szx"),
+        # z is 0/1, so z*y == conditional sum — avoids the DECIMAL
+        # precision blow-up of an actual decimal product
+        F.sum(F.when(F.col("z") == 1, F.col("y")).otherwise(F.lit(0)))
+        .cast("double")
+        .alias("szy"),
+    )
+    n, sz, sx, sy = F.col("n"), F.col("sz"), F.col("sx"), F.col("sy")
+    szx, szy = F.col("szx"), F.col("szy")
+    return s.select(
+        n.cast("long").alias("n_users"),
+        F.round((n * szx - sz * sx) / (n * sz - sz * sz), 6).alias(
+            "first_stage"
+        ),
+        F.round((n * szy - sz * sy) / (n * sz - sz * sz), 6).alias(
+            "reduced_form"
+        ),
+        F.round((n * szy - sz * sy) / (n * szx - sz * sx), 6).alias(
+            "beta_iv"
+        ),
+    )
+
+
+@query(
+    "q_rdd",
+    oracle="""
+    WITH cust AS (
+        SELECT c_custkey, CAST(c_acctbal AS DECIMAL(18,2)) AS r
+        FROM customer
+        WHERE c_acctbal >= -1000.0 AND c_acctbal < 1000.0),
+    y AS (
+        SELECT o_custkey AS c_custkey,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS y
+        FROM orders GROUP BY o_custkey),
+    pts AS (
+        SELECT cust.r,
+               COALESCE(y.y, CAST(0 AS DECIMAL(18,2))) AS y,
+               CASE WHEN cust.r >= 0 THEN 1 ELSE 0 END AS side
+        FROM cust LEFT JOIN y USING (c_custkey)),
+    s AS (
+        SELECT side,
+               CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM(r) AS DOUBLE) AS sr,
+               CAST(SUM(CAST(r AS DECIMAL(36,4))
+                        * CAST(r AS DECIMAL(36,4))) AS DOUBLE) AS srr,
+               CAST(SUM(y) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(r AS DECIMAL(36,4))
+                        * CAST(y AS DECIMAL(36,4))) AS DOUBLE) AS sry
+        FROM pts GROUP BY side),
+    fit AS (
+        SELECT side, n,
+               (n * sry - sr * sy) / (n * srr - sr * sr) AS slope,
+               (sy - (n * sry - sr * sy) / (n * srr - sr * sr) * sr) / n
+                   AS icpt
+        FROM s),
+    l AS (SELECT * FROM fit WHERE side = 0),
+    rt AS (SELECT * FROM fit WHERE side = 1)
+    SELECT CAST(l.n AS BIGINT) AS n_left,
+           CAST(rt.n AS BIGINT) AS n_right,
+           ROUND(l.icpt, 6) AS intercept_left,
+           ROUND(rt.icpt, 6) AS intercept_right,
+           ROUND(l.slope, 6) AS slope_left,
+           ROUND(rt.slope, 6) AS slope_right,
+           ROUND(rt.icpt - l.icpt, 6) AS rdd_effect
+    FROM l CROSS JOIN rt
+    """,
+)
+def q_rdd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sharp regression discontinuity: customers cross a policy
+    cutoff at account balance 0 (credit hold lifts), so the jump in
+    expected order revenue AT the cutoff identifies the policy effect
+    — fit a local linear regression on each side of the cutoff within
+    a +-1000 bandwidth and difference the intercepts (Imbens &
+    Lemieux 2008's workhorse estimator).  Completes the
+    quasi-experimental shelf next to q_did (parallel trends) and
+    q_causal_impact (synthetic control): RDD needs neither a pre
+    period nor a control market, only local randomization at the
+    threshold.
+
+    Scale shape: the bandwidth filter pushes to the customer scan,
+    the outcome join is one key-partitioned hash join, and each
+    side's OLS collapses to a 2-row sufficient-stats aggregate (all
+    sums exact DECIMAL — balances and prices are 2 dp), so the
+    closed-form slopes/intercepts are identical IEEE expressions.
+    The final 1x1 cross join attaches two 1-row fits."""
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter(
+            (F.col("c_acctbal") >= -1000.0) & (F.col("c_acctbal") < 1000.0)
+        )
+        .select(
+            "c_custkey", F.col("c_acctbal").cast("decimal(18,2)").alias("r")
+        )
+    )
+    y = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("y"))
+    )
+    pts = cust.join(y, "c_custkey", "left").select(
+        "r",
+        F.coalesce(F.col("y"), F.lit(0).cast("decimal(18,2)")).alias("y"),
+        F.when(F.col("r") >= 0, 1).otherwise(0).alias("side"),
+    )
+    # tight DECIMAL widths keep every product under Spark's 38-digit
+    # cap WITHOUT precision-loss scale reduction: r fits (9,2) inside
+    # the +-1000 bandwidth, r*r is (19,4), r*y is (38,4) — all exact
+    rn = F.col("r").cast("decimal(9,2)")
+    s = pts.groupBy("side").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("r").cast("double").alias("sr"),
+        F.sum(rn * rn).cast("double").alias("srr"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(rn * F.col("y")).cast("double").alias("sry"),
+    )
+    n, sr, srr, sy, sry = (
+        F.col("n"), F.col("sr"), F.col("srr"), F.col("sy"), F.col("sry"),
+    )
+    slope = (n * sry - sr * sy) / (n * srr - sr * sr)
+    icpt = (sy - slope * sr) / n
+    fit = s.select("side", "n", slope.alias("slope"), icpt.alias("icpt"))
+    lf = fit.filter(F.col("side") == 0).select(
+        F.col("n").alias("nl"),
+        F.col("icpt").alias("il"),
+        F.col("slope").alias("sl"),
+    )
+    rf = fit.filter(F.col("side") == 1).select(
+        F.col("n").alias("nr"),
+        F.col("icpt").alias("ir"),
+        F.col("slope").alias("sr2"),
+    )
+    return lf.crossJoin(rf).select(
+        F.col("nl").cast("long").alias("n_left"),
+        F.col("nr").cast("long").alias("n_right"),
+        F.round("il", 6).alias("intercept_left"),
+        F.round("ir", 6).alias("intercept_right"),
+        F.round("sl", 6).alias("slope_left"),
+        F.round("sr2", 6).alias("slope_right"),
+        F.round(F.col("ir") - F.col("il"), 6).alias("rdd_effect"),
+    )
+
+
+@query(
+    "q_propensity_matching",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               CAST(user_id % 2 = 0 AS INT) AS treat,
+               CAST(COUNT(*) AS BIGINT) AS score,
+               SUM(CAST(value AS DECIMAL(18,4))) AS y
+        FROM events GROUP BY user_id),
+    cgrp AS (
+        SELECT score, SUM(y) AS cy, CAST(COUNT(*) AS BIGINT) AS cn
+        FROM per_user WHERE treat = 0 GROUP BY score),
+    tset AS (
+        SELECT DISTINCT score FROM per_user WHERE treat = 1),
+    frame AS (
+        SELECT score, 0 AS ic, CAST(NULL AS BIGINT) AS cs FROM tset
+        UNION ALL
+        SELECT score, 1 AS ic, score AS cs FROM cgrp),
+    nn AS (
+        SELECT score, ic,
+               last_value(cs IGNORE NULLS) OVER (
+                   ORDER BY score, ic DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS prev_c,
+               first_value(cs IGNORE NULLS) OVER (
+                   ORDER BY score, ic DESC
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                   AS next_c
+        FROM frame),
+    match AS (
+        SELECT score,
+               CASE WHEN prev_c IS NULL THEN next_c
+                    WHEN next_c IS NULL THEN prev_c
+                    WHEN score - prev_c <= next_c - score THEN prev_c
+                    ELSE next_c END AS m
+        FROM nn WHERE ic = 0),
+    diffs AS (
+        SELECT t.user_id, t.score, m.m,
+               CAST(t.y AS DOUBLE)
+                   - CAST(c.cy AS DOUBLE) / c.cn AS diff
+        FROM per_user t
+        JOIN match m ON m.score = t.score
+        JOIN cgrp c ON c.score = m.m
+        WHERE t.treat = 1)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_treated,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM per_user
+            WHERE treat = 0) AS n_controls,
+           ROUND(CAST(SUM(CAST(ROUND(diff, 9) AS DECIMAL(28,9)))
+                      AS DOUBLE) / COUNT(*), 6) AS att,
+           ROUND(CAST(SUM(ABS(score - m)) AS DOUBLE) / COUNT(*), 6)
+               AS mean_score_gap
+    FROM diffs
+    """,
+)
+def q_propensity_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-neighbor matching on a balancing score — the third leg
+    of the observational-causal shelf (q_stratified_ate coarsens into
+    strata, q_iv_2sls needs an instrument; matching needs neither):
+    each treated user matches the control SCORE GROUP nearest to its
+    own activity score (1-NN with replacement, distance ties prefer
+    the lower score), and ATT = mean(y_treated - mean y of matched
+    controls).  Also reports the mean matched-score gap — the balance
+    diagnostic that says whether the estimate is trustworthy.
+
+    Scale shape: the corpus-sized work is ONE user-keyed aggregation;
+    matching then runs on the DISTINCT-SCORE frame (bounded by the
+    max per-user activity, hundreds of rows at any corpus size) via
+    two IGNORE-NULLS running windows over the interleaved
+    treated/control score sets — the sort-merge formulation of 1-NN
+    on a scalar, never a pairwise distance join.  Per-treated diffs
+    round to 9 dp and accumulate in DECIMAL (order-free)."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("score"),
+        F.sum(F.col("value").cast("decimal(18,4)")).alias("y"),
+    ).select(
+        "user_id",
+        (F.col("user_id") % 2 == 0).cast("int").alias("treat"),
+        "score",
+        "y",
+    )
+    cgrp = (
+        per_user.filter(F.col("treat") == 0)
+        .groupBy("score")
+        .agg(F.sum("y").alias("cy"), F.count("*").cast("long").alias("cn"))
+    )
+    tset = (
+        per_user.filter(F.col("treat") == 1).select("score").distinct()
+    )
+    frame = tset.select(
+        "score", F.lit(0).alias("ic"), F.lit(None).cast("long").alias("cs")
+    ).unionAll(
+        cgrp.select("score", F.lit(1).alias("ic"), F.col("score").alias("cs"))
+    )
+    wp = (
+        Window.orderBy(F.col("score"), F.desc("ic"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wn = (
+        Window.orderBy(F.col("score"), F.desc("ic"))
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    nn = frame.select(
+        "score",
+        "ic",
+        F.last("cs", ignorenulls=True).over(wp).alias("prev_c"),
+        F.first("cs", ignorenulls=True).over(wn).alias("next_c"),
+    )
+    match = nn.filter(F.col("ic") == 0).select(
+        "score",
+        F.when(F.col("prev_c").isNull(), F.col("next_c"))
+        .when(F.col("next_c").isNull(), F.col("prev_c"))
+        .when(
+            F.col("score") - F.col("prev_c")
+            <= F.col("next_c") - F.col("score"),
+            F.col("prev_c"),
+        )
+        .otherwise(F.col("next_c"))
+        .alias("m"),
+    )
+    diffs = (
+        per_user.filter(F.col("treat") == 1)
+        .join(F.broadcast(match), "score")
+        .join(
+            F.broadcast(cgrp.select(F.col("score").alias("m"), "cy", "cn")),
+            "m",
+        )
+        .select(
+            "score",
+            "m",
+            (
+                F.col("y").cast("double")
+                - F.col("cy").cast("double") / F.col("cn")
+            ).alias("diff"),
+        )
+    )
+    n_controls = per_user.filter(F.col("treat") == 0).agg(
+        F.count("*").cast("long").alias("n_controls")
+    )
+    agg = diffs.agg(
+        F.count("*").cast("long").alias("n_treated"),
+        F.round(
+            F.sum(F.round(F.col("diff"), 9).cast("decimal(28,9)"))
+            .cast("double")
+            / F.count("*"),
+            6,
+        ).alias("att"),
+        F.round(
+            F.sum(F.abs(F.col("score") - F.col("m"))).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("mean_score_gap"),
+    )
+    return agg.crossJoin(F.broadcast(n_controls)).select(
+        "n_treated", "n_controls", "att", "mean_score_gap"
+    )
+
+
+def _bayes_ab_oracle() -> str:
+    from clv_data_pipeline_spark.functions.stats import std_normal_cdf_sql
+
+    z = (
+        "((mu_b - mu_a) / sqrt("
+        "(CAST(1 AS DOUBLE) + s_a) * (CAST(1 AS DOUBLE) + n_a - s_a)"
+        " / ((2 + n_a) * (2 + n_a) * (3 + n_a))"
+        " + (CAST(1 AS DOUBLE) + s_b) * (CAST(1 AS DOUBLE) + n_b - s_b)"
+        " / ((2 + n_b) * (2 + n_b) * (3 + n_b))))"
+    )
+    return f"""
+    WITH arms AS (
+        SELECT CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
+                    AS DOUBLE) AS n_a,
+               CAST(SUM(CASE WHEN user_id % 2 = 1 AND value > 50
+                    THEN 1 ELSE 0 END) AS DOUBLE) AS s_a,
+               CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+                    AS DOUBLE) AS n_b,
+               CAST(SUM(CASE WHEN user_id % 2 = 0 AND value > 50
+                    THEN 1 ELSE 0 END) AS DOUBLE) AS s_b
+        FROM events),
+    post AS (
+        SELECT n_a, s_a, n_b, s_b,
+               (CAST(1 AS DOUBLE) + s_a) / (2 + n_a) AS mu_a,
+               (CAST(1 AS DOUBLE) + s_b) / (2 + n_b) AS mu_b
+        FROM arms)
+    SELECT CAST(n_a AS BIGINT) AS n_a, CAST(s_a AS BIGINT) AS conv_a,
+           CAST(n_b AS BIGINT) AS n_b, CAST(s_b AS BIGINT) AS conv_b,
+           ROUND(mu_b - mu_a, 6) AS expected_lift,
+           ROUND({std_normal_cdf_sql(z)}, 6) AS p_b_beats_a,
+           CASE WHEN ROUND({std_normal_cdf_sql(z)}, 6) > 0.95
+                    THEN 'ship_b'
+                WHEN ROUND({std_normal_cdf_sql(z)}, 6) < 0.05
+                    THEN 'ship_a'
+                ELSE 'continue' END AS decision
+    FROM post
+    """
+
+
+@query("q_bayes_ab", oracle=_bayes_ab_oracle())
+def q_bayes_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bayesian A/B readout: Beta(1+s, 1+f) posteriors per arm and
+    P(B beats A) — the decision-facing number stakeholders actually
+    ask for, complementing the frequentist shelf (q_ab_test's t,
+    q_srm's guard, q_msprt's sequential boundary).  The posterior
+    probability uses the moment-matched normal approximation of the
+    Beta difference, with Φ from the Abramowitz-Stegun 7.1.26
+    rational erf (functions/stats.py: |error| < 1.5e-7, the one exp()
+    rounded to 12 dp on both engines) — so the DuckDB oracle
+    reproduces the probability bit-for-bit at 6 dp.
+
+    Scale shape: ONE conditionally-aggregated scan of the event log
+    produces four integers; everything downstream is 1-row scalar
+    algebra."""
+    from clv_data_pipeline_spark.functions.stats import std_normal_cdf
+
+    ev = load_table(spark, sf_dir, "events")
+    arms = ev.agg(
+        F.sum(F.when(F.col("user_id") % 2 == 1, 1).otherwise(0))
+        .cast("double")
+        .alias("n_a"),
+        F.sum(
+            F.when((F.col("user_id") % 2 == 1) & (F.col("value") > 50), 1)
+            .otherwise(0)
+        )
+        .cast("double")
+        .alias("s_a"),
+        F.sum(F.when(F.col("user_id") % 2 == 0, 1).otherwise(0))
+        .cast("double")
+        .alias("n_b"),
+        F.sum(
+            F.when((F.col("user_id") % 2 == 0) & (F.col("value") > 50), 1)
+            .otherwise(0)
+        )
+        .cast("double")
+        .alias("s_b"),
+    )
+    one = F.lit(1.0)
+    mu_a = (one + F.col("s_a")) / (2 + F.col("n_a"))
+    mu_b = (one + F.col("s_b")) / (2 + F.col("n_b"))
+    var_a = (
+        (one + F.col("s_a"))
+        * (one + F.col("n_a") - F.col("s_a"))
+        / ((2 + F.col("n_a")) * (2 + F.col("n_a")) * (3 + F.col("n_a")))
+    )
+    var_b = (
+        (one + F.col("s_b"))
+        * (one + F.col("n_b") - F.col("s_b"))
+        / ((2 + F.col("n_b")) * (2 + F.col("n_b")) * (3 + F.col("n_b")))
+    )
+    p = F.round(
+        std_normal_cdf((mu_b - mu_a) / F.sqrt(var_a + var_b)), 6
+    )
+    return arms.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("s_a").cast("long").alias("conv_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.col("s_b").cast("long").alias("conv_b"),
+        F.round(mu_b - mu_a, 6).alias("expected_lift"),
+        p.alias("p_b_beats_a"),
+        F.when(p > 0.95, F.lit("ship_b"))
+        .when(p < 0.05, F.lit("ship_a"))
+        .otherwise(F.lit("continue"))
+        .alias("decision"),
+    )
+
+
+def _bh_fdr_oracle() -> str:
+    from clv_data_pipeline_spark.functions.stats import std_normal_cdf_sql
+
+    z = "(zval)"
+    phi = std_normal_cdf_sql("(ABS(zval))")
+    return f"""
+    WITH s AS (
+        SELECT c.c_nationkey AS nk,
+               CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2)))
+                    AS DOUBLE) AS sy,
+               CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))
+                        * CAST(o.o_totalprice AS DECIMAL(18,2)))
+                    AS DOUBLE) AS syy
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        GROUP BY c.c_nationkey),
+    g AS (
+        SELECT s.*,
+               SUM(sy) OVER () / SUM(n) OVER () AS mu0,
+               CAST(COUNT(*) OVER () AS DOUBLE) AS m
+        FROM s),
+    zt AS (
+        SELECT nk, CAST(n AS BIGINT) AS n_orders, m,
+               (sy / n - mu0)
+                   / sqrt((syy - sy * sy / n) / (n - 1) / n) AS zval
+        FROM g WHERE n >= 2),
+    pv AS (
+        SELECT nk, n_orders, m, ROUND(zval, 6) AS z,
+               ROUND(2 * (CAST(1.0 AS DOUBLE) - {phi}), 9) AS p
+        FROM zt),
+    rk AS (
+        SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY p, nk) AS BIGINT)
+                   AS rnk
+        FROM pv),
+    cut AS (
+        SELECT *, MAX(CASE WHEN p <= CAST('0.1' AS DOUBLE) * rnk / m
+                           THEN rnk END) OVER () AS kstar
+        FROM rk)
+    SELECT CAST(nk AS BIGINT) AS nationkey, n_orders, z,
+           ROUND(p, 6) AS p_value, rnk AS p_rank,
+           COALESCE(rnk <= kstar, FALSE) AS rejected
+    FROM cut
+    """
+
+
+@query("q_bh_fdr", oracle=_bh_fdr_oracle())
+def q_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg FDR control over a family of z-tests — the
+    multiple-testing correction every metrics platform needs the
+    moment it tests 25 segments at once (uncorrected, ~2.5 false
+    "significant" nations per sweep at alpha=0.1): per nation, test
+    whether mean order value differs from the global mean, rank
+    p-values ascending, and reject exactly the prefix whose p stays
+    under alpha*rank/m.  p-values via the deterministic Φ of
+    functions/stats.py; rounded to 9 dp BEFORE ranking so the ranking
+    — and therefore the rejection set — is engine-exact.
+
+    Scale shape: one broadcast join + one nation-keyed aggregation
+    compress the fact table to 25 sufficient-stat rows; the global
+    mean, ranks, and the BH cutoff all run as windows over that
+    25-row frame."""
+    from clv_data_pipeline_spark.functions.stats import std_normal_cdf
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_nationkey"
+    )
+    yd = F.col("o_totalprice").cast("decimal(18,2)")
+    s = (
+        o.join(F.broadcast(c), "o_custkey")
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(
+            F.count("*").cast("double").alias("n"),
+            F.sum(yd).cast("double").alias("sy"),
+            F.sum(yd * yd).cast("double").alias("syy"),
+        )
+    )
+    wall = Window.partitionBy(F.lit(1))
+    g = s.select(
+        "*",
+        (F.sum("sy").over(wall) / F.sum("n").over(wall)).alias("mu0"),
+        F.count("*").over(wall).cast("double").alias("m"),
+    )
+    n, sy, syy = F.col("n"), F.col("sy"), F.col("syy")
+    zval = (sy / n - F.col("mu0")) / F.sqrt(
+        (syy - sy * sy / n) / (n - 1) / n
+    )
+    zt = g.filter(n >= 2).select(
+        "nk",
+        n.cast("long").alias("n_orders"),
+        "m",
+        zval.alias("zval"),
+    )
+    pv = zt.select(
+        "nk",
+        "n_orders",
+        "m",
+        F.round("zval", 6).alias("z"),
+        F.round(
+            2 * (F.lit(1.0) - std_normal_cdf(F.abs(F.col("zval")))), 9
+        ).alias("p"),
+    )
+    rk = pv.withColumn(
+        "rnk",
+        F.row_number().over(Window.orderBy("p", "nk")).cast("long"),
+    )
+    cut = rk.withColumn(
+        "kstar",
+        F.max(
+            F.when(
+                F.col("p") <= F.lit(0.1) * F.col("rnk") / F.col("m"),
+                F.col("rnk"),
+            )
+        ).over(wall),
+    )
+    return cut.select(
+        F.col("nk").cast("long").alias("nationkey"),
+        "n_orders",
+        "z",
+        F.round("p", 6).alias("p_value"),
+        F.col("rnk").alias("p_rank"),
+        F.coalesce(
+            F.col("rnk") <= F.col("kstar"), F.lit(False)
+        ).alias("rejected"),
+    )

@@ -1863,3 +1863,78 @@ def q_lift_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("cum_gain"),
     )
+
+
+@query(
+    "q_stream_topk",
+    oracle="""
+    WITH counts AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events GROUP BY user_id),
+    ranked AS (
+        SELECT user_id, n_events,
+               CAST(ROW_NUMBER() OVER (
+                   ORDER BY n_events DESC, user_id) AS BIGINT) AS rnk
+        FROM counts)
+    SELECT CAST(user_id AS BIGINT) AS user_id, n_events, rnk
+    FROM ranked WHERE rnk <= 10
+    """,
+)
+def q_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming heavy hitters — the THIRTEENTH streaming/batch parity
+    proof: three chronological triggers fold micro-batch per-user
+    count partials into a stored count table by ADDITION
+    (streaming/ingest.py count_merge_sink — counts are the canonical
+    mergeable summary), then the top-10 users read off the merged
+    state.  The oracle computes the same top-10 over all events in
+    one batch pass, so the driver hash-verifies merge-as-you-go
+    equals compute-at-once.  At an open key domain the same sink
+    would cap state with a count-min sketch + candidate set; the
+    bounded user domain keeps the parity proof exact."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from clv_data_pipeline_spark.streaming.ingest import count_merge_sink
+
+    ev = load_table(spark, sf_dir, "events").select("ts", "user_id")
+    src = tempfile.mkdtemp(prefix="q_stream_topk_") + "/arrivals"
+    cuts = ("2024-01-11", "2024-01-21")
+    slices = (
+        ev.filter(F.col("ts") < cuts[0]),
+        ev.filter((F.col("ts") >= cuts[0]) & (F.col("ts") < cuts[1])),
+        ev.filter(F.col("ts") >= cuts[1]),
+    )
+    for s in slices:
+        s.coalesce(1).write.mode("append").parquet(src)
+
+    target_table = f"topk_stream_{uuid.uuid4().hex[:8]}"
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("pathGlobFilter", "*.parquet")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    ckpt = tempfile.mkdtemp(prefix="q_stream_topk_ckpt_")
+    q = (
+        stream.writeStream.foreachBatch(count_merge_sink(target_table))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    from pyspark.sql.window import Window as W
+
+    state = spark.table(target_table)
+    ranked = state.select(
+        F.col("k").cast("long").alias("user_id"),
+        F.col("cnt").cast("long").alias("n_events"),
+        F.row_number()
+        .over(W.orderBy(F.desc("cnt"), "k"))
+        .cast("long")
+        .alias("rnk"),
+    )
+    out = ranked.filter(F.col("rnk") <= 10).localCheckpoint(eager=True)
+    spark.sql(f"DROP TABLE IF EXISTS {target_table}")
+    return out

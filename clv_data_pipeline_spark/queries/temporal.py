@@ -2229,3 +2229,104 @@ def q_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("rev").over(wrows).cast("double").alias("rev_7row"),
         F.count("*").over(wrange).cast("long").alias("days_present"),
     )
+
+
+@query(
+    "q_stl_decompose",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               SUM(CAST(value AS DECIMAL(18,4))) AS x
+        FROM events GROUP BY day),
+    tr AS (
+        SELECT day, x,
+               ROUND(CAST(SUM(x) OVER w AS DOUBLE)
+                     / COUNT(*) OVER w, 9) AS trend,
+               CAST(strftime(day, '%w') AS BIGINT) AS dow
+        FROM daily
+        WINDOW w AS (ORDER BY day
+                     ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+    dt AS (
+        SELECT *, ROUND(CAST(x AS DOUBLE) - trend, 9) AS d FROM tr),
+    seas AS (
+        SELECT dow,
+               ROUND(CAST(SUM(CAST(d AS DECIMAL(28,9))) AS DOUBLE)
+                     / COUNT(*), 9) AS seasonal
+        FROM dt GROUP BY dow),
+    dec AS (
+        SELECT dt.day, dt.x, dt.trend, seas.seasonal,
+               ROUND(CAST(dt.x AS DOUBLE) - dt.trend - seas.seasonal, 6)
+                   AS resid
+        FROM dt JOIN seas USING (dow)),
+    mad AS (
+        SELECT quantile_cont(ABS(resid), 0.5) AS mad FROM dec)
+    SELECT strftime(dec.day, '%Y-%m-%d') AS day,
+           ROUND(CAST(dec.x AS DOUBLE), 6) AS revenue,
+           ROUND(dec.trend, 6) AS trend,
+           ROUND(dec.seasonal, 6) AS seasonal,
+           dec.resid,
+           CAST(ABS(dec.resid) > 3 * mad.mad AS BOOLEAN) AS is_anomaly
+    FROM dec CROSS JOIN mad
+    """,
+)
+def q_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive seasonal-trend decomposition of the daily revenue
+    series (the classical-decomposition core of STL): trend = centered
+    7-day moving average, seasonal = day-of-week mean of the
+    detrended series, residual = what neither explains — plus a
+    robust anomaly flag (|residual| > 3 x median-absolute-residual),
+    the standard revenue-monitoring readout a metrics platform runs
+    nightly.
+
+    Scale shape: ONE shuffle folds the event log to the
+    calendar-bounded daily frame; every window/aggregate after that
+    (7-day moving sum, 7-row day-of-week means, the 1-row MAD
+    broadcast) runs on series-length rows regardless of event volume.
+    Determinism: daily revenue is an exact DECIMAL sum; the trend is
+    one division rounded to 9; detrended values re-enter DECIMAL
+    before the seasonal means — so every emitted component is an
+    identical IEEE expression on both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(F.col("value").cast("decimal(18,4)")).alias("x")
+    )
+    w7 = Window.orderBy("day").rowsBetween(-3, 3)
+    tr = daily.select(
+        "day",
+        "x",
+        F.round(
+            F.sum("x").over(w7).cast("double") / F.count("*").over(w7), 9
+        ).alias("trend"),
+        (F.dayofweek("day") - 1).cast("long").alias("dow"),
+    )
+    dt = tr.withColumn(
+        "d", F.round(F.col("x").cast("double") - F.col("trend"), 9)
+    )
+    seas = dt.groupBy("dow").agg(
+        F.round(
+            F.sum(F.col("d").cast("decimal(28,9)")).cast("double")
+            / F.count("*"),
+            9,
+        ).alias("seasonal")
+    )
+    dec = dt.join(F.broadcast(seas), "dow").select(
+        "day",
+        "x",
+        "trend",
+        "seasonal",
+        F.round(
+            F.col("x").cast("double") - F.col("trend") - F.col("seasonal"),
+            6,
+        ).alias("resid"),
+    )
+    mad = dec.agg(
+        F.expr("percentile(abs(resid), 0.5)").alias("mad")
+    )
+    return dec.crossJoin(F.broadcast(mad)).select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.round(F.col("x").cast("double"), 6).alias("revenue"),
+        F.round("trend", 6).alias("trend"),
+        F.round("seasonal", 6).alias("seasonal"),
+        "resid",
+        (F.abs(F.col("resid")) > 3 * F.col("mad")).alias("is_anomaly"),
+    )

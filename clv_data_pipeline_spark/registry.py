@@ -291,7 +291,10 @@ _R6_NEW: set[str] = {
 #: q_word_vectors) must fill CORRECTNESS_r07 first; round-7 additions
 #: sort behind them within tier 0 and take their driver row in round 8
 #: if the budget cuts.
-_R7_NEW: set[str] = set()
+_R7_NEW: set[str] = {
+    "q_iv_2sls", "q_rdd", "q_propensity_matching", "q_stl_decompose",
+    "q_bayes_ab", "q_bh_fdr", "q_stream_topk",
+}
 
 
 def _ordered_names() -> list[str]:

@@ -497,3 +497,38 @@ def histogram_merge_sink(
         merged.write.mode("overwrite").saveAsTable(target_table)
 
     return _sink
+
+
+def count_merge_sink(target_table: str, key_col: str = "user_id"):
+    """Build a ``foreachBatch`` body maintaining mergeable per-key
+    counts — the streaming form of heavy-hitter tracking: each trigger
+    folds its micro-batch to (key, cnt) partials and MERGES into the
+    stored count table by addition (counts are the canonical
+    mergeable summary).  State is one row per distinct key; at open
+    key domains, production would cap it with a count-min sketch +
+    candidate set — here the key domain (users) is bounded, so exact
+    counts keep the parity proof sharp.  Work per trigger is
+    O(batch + state): one batch aggregation, one key-partitioned
+    merge, one overwrite (a transactional MERGE on Delta/Iceberg)."""
+    from pyspark.sql import functions as F
+
+    def _sink(batch_df, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if batch_df.isEmpty():
+            return
+        partial = batch_df.groupBy(F.col(key_col).alias("k")).agg(
+            F.count("*").alias("cnt")
+        )
+        if spark.catalog.tableExists(target_table):
+            merged = (
+                spark.table(target_table)
+                .unionByName(partial)
+                .groupBy("k")
+                .agg(F.sum("cnt").alias("cnt"))
+                .localCheckpoint(eager=True)
+            )
+        else:
+            merged = partial
+        merged.write.mode("overwrite").saveAsTable(target_table)
+
+    return _sink

@@ -107,6 +107,9 @@ _BNLJ_SCALAR_OK = {
     "q_item_cf_incremental",  # 1-row delta-cut threshold broadcast
     "q_hits",              # 1-row normalization-total broadcasts
     "q_abc_analysis",      # 1-row revenue-total broadcast
+    "q_rdd",               # 1x1 cross of the two per-side OLS fits
+    "q_propensity_matching",  # 1-row control-count scalar attach
+    "q_stl_decompose",     # 1-row MAD threshold broadcast
 }
 
 
