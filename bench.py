@@ -213,6 +213,9 @@ HEADLINE = [
     "q_bayes_ab",
     "q_bh_fdr",
     "q_stream_topk",
+    "q_filter_funnel",
+    "q_simpson",
+    "q_mediation",
 ]
 
 #: Frozen comparable subsets — apples-to-apples totals across rounds.

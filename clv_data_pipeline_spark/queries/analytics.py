@@ -6918,3 +6918,185 @@ def q_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rnk") <= F.col("kstar"), F.lit(False)
         ).alias("rejected"),
     )
+
+
+@query(
+    "q_simpson",
+    oracle="""
+    WITH cells AS (
+        SELECT event_type,
+               CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+                    AS DOUBLE) AS nt,
+               CAST(SUM(CASE WHEN user_id % 2 = 0
+                    THEN CAST(value AS DECIMAL(18,4))
+                    ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS st,
+               CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
+                    AS DOUBLE) AS nc,
+               CAST(SUM(CASE WHEN user_id % 2 = 1
+                    THEN CAST(value AS DECIMAL(18,4))
+                    ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS sc
+        FROM events GROUP BY event_type),
+    g AS (
+        SELECT event_type, nt, st, nc, sc,
+               SUM(st) OVER () / SUM(nt) OVER ()
+               - SUM(sc) OVER () / SUM(nc) OVER () AS pooled
+        FROM cells)
+    SELECT event_type,
+           CAST(nt + nc AS BIGINT) AS n,
+           ROUND(st / nt, 6) AS treat_mean,
+           ROUND(sc / nc, 6) AS ctrl_mean,
+           ROUND(st / nt - sc / nc, 6) AS seg_diff,
+           ROUND(pooled, 6) AS pooled_diff,
+           CAST(SIGN(st / nt - sc / nc) <> SIGN(pooled) AS BOOLEAN)
+               AS sign_flip
+    FROM g
+    """,
+)
+def q_simpson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson's-paradox audit: per segment, the treated-vs-control
+    mean difference NEXT TO the pooled difference, with a flag where
+    the segment-level effect sign contradicts the pooled sign — the
+    aggregation trap every self-serve metrics dashboard eventually
+    springs (q_stratified_ate fixes the estimate; this SURFACES where
+    pooling lies).  ONE conditionally-aggregated scan produces the
+    per-segment sufficient stats; the pooled difference derives from
+    window sums over the 5-row segment frame, so no second scan.  All
+    means divide exact DECIMAL sums — the sign comparison is
+    engine-exact."""
+    ev = load_table(spark, sf_dir, "events")
+    z4 = F.lit(0).cast("decimal(18,4)")
+    v = F.col("value").cast("decimal(18,4)")
+    treat = F.col("user_id") % 2 == 0
+    cells = ev.groupBy("event_type").agg(
+        F.sum(F.when(treat, 1).otherwise(0)).cast("double").alias("nt"),
+        F.sum(F.when(treat, v).otherwise(z4)).cast("double").alias("st"),
+        F.sum(F.when(~treat, 1).otherwise(0)).cast("double").alias("nc"),
+        F.sum(F.when(~treat, v).otherwise(z4)).cast("double").alias("sc"),
+    )
+    wall = Window.partitionBy(F.lit(1))
+    g = cells.select(
+        "*",
+        (
+            F.sum("st").over(wall) / F.sum("nt").over(wall)
+            - F.sum("sc").over(wall) / F.sum("nc").over(wall)
+        ).alias("pooled"),
+    )
+    seg = F.col("st") / F.col("nt") - F.col("sc") / F.col("nc")
+    return g.select(
+        "event_type",
+        (F.col("nt") + F.col("nc")).cast("long").alias("n"),
+        F.round(F.col("st") / F.col("nt"), 6).alias("treat_mean"),
+        F.round(F.col("sc") / F.col("nc"), 6).alias("ctrl_mean"),
+        F.round(seg, 6).alias("seg_diff"),
+        F.round("pooled", 6).alias("pooled_diff"),
+        (F.signum(seg) != F.signum(F.col("pooled"))).alias("sign_flip"),
+    )
+
+
+@query(
+    "q_mediation",
+    oracle="""
+    WITH per_user AS (
+        SELECT CAST(user_id % 2 AS BIGINT) AS z,
+               CAST(COUNT(*) AS BIGINT) AS m,
+               SUM(CAST(value AS DECIMAL(18,4))) AS y
+        FROM events GROUP BY user_id),
+    s AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM(z) AS DOUBLE) AS sz,
+               CAST(SUM(m) AS DOUBLE) AS sm,
+               CAST(SUM(y) AS DOUBLE) AS sy,
+               CAST(SUM(z * m) AS DOUBLE) AS szm,
+               CAST(SUM(CASE WHEN z = 1 THEN y
+                        ELSE CAST(0 AS DECIMAL(38,4)) END) AS DOUBLE)
+                   AS szy,
+               CAST(SUM(m * m) AS DOUBLE) AS smm,
+               CAST(SUM(m * y) AS DOUBLE) AS smy
+        FROM per_user),
+    c AS (
+        SELECT n,
+               n * sz - sz * sz AS czz,
+               n * szm - sz * sm AS czm,
+               n * smm - sm * sm AS cmm,
+               n * szy - sz * sy AS czy,
+               n * smy - sm * sy AS cmy
+        FROM s),
+    fit AS (
+        SELECT n,
+               czm / czz AS a_path,
+               (czz * cmy - czm * czy) / (czz * cmm - czm * czm)
+                   AS b_path,
+               czy / czz AS c_total,
+               (cmm * czy - czm * cmy) / (czz * cmm - czm * czm)
+                   AS c_direct
+        FROM c)
+    SELECT CAST(n AS BIGINT) AS n_users,
+           ROUND(a_path, 6) AS a_path,
+           ROUND(b_path, 6) AS b_path,
+           ROUND(c_total, 6) AS total_effect,
+           ROUND(c_direct, 6) AS direct_effect,
+           ROUND(a_path * b_path, 6) AS indirect_effect,
+           ROUND(a_path * b_path / c_total, 6) AS prop_mediated
+    FROM fit
+    """,
+)
+def q_mediation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Causal mediation analysis (Baron-Kenny product-of-coefficients):
+    does the randomized assignment move the outcome THROUGH the
+    mediator (activity volume) or directly?  a = effect of z on the
+    mediator, (b, c') = the mediator and direct coefficients from the
+    two-regressor OLS of y on (z, m), indirect = a*b, and the
+    proportion mediated — the decomposition that says whether an
+    engagement lift is the mechanism behind a revenue lift.  Completes
+    the causal shelf's mechanism axis (q_iv_2sls handles
+    noncompliance, q_rdd thresholds, this one pathways).
+
+    Scale shape: one user-keyed compression, one exact sufficient-
+    stats aggregate (z 0/1, m integer counts, y DECIMAL — the z*y
+    cross-sum is a conditional sum, dodging DECIMAL-product widening),
+    then closed-form 2x2 normal equations as identical IEEE
+    expressions on a 1-row frame."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("m"),
+        F.sum(F.col("value").cast("decimal(18,4)")).alias("y"),
+    ).select((F.col("user_id") % 2).cast("long").alias("z"), "m", "y")
+    s = per_user.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("z").cast("double").alias("sz"),
+        F.sum("m").cast("double").alias("sm"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("z") * F.col("m")).cast("double").alias("szm"),
+        F.sum(F.when(F.col("z") == 1, F.col("y")).otherwise(F.lit(0)))
+        .cast("double")
+        .alias("szy"),
+        F.sum(F.col("m") * F.col("m")).cast("double").alias("smm"),
+        # m fits (9,0); (9,0) x y's (28,4) = (38,4) — exact at the cap,
+        # no precision-loss scale reduction
+        F.sum(F.col("m").cast("decimal(9,0)") * F.col("y"))
+        .cast("double")
+        .alias("smy"),
+    )
+    n, sz, sm, sy = F.col("n"), F.col("sz"), F.col("sm"), F.col("sy")
+    szm, szy, smm, smy = (
+        F.col("szm"), F.col("szy"), F.col("smm"), F.col("smy"),
+    )
+    czz = n * sz - sz * sz
+    czm = n * szm - sz * sm
+    cmm = n * smm - sm * sm
+    czy = n * szy - sz * sy
+    cmy = n * smy - sm * sy
+    a = czm / czz
+    det = czz * cmm - czm * czm
+    b = (czz * cmy - czm * czy) / det
+    c_tot = czy / czz
+    c_dir = (cmm * czy - czm * cmy) / det
+    return s.select(
+        n.cast("long").alias("n_users"),
+        F.round(a, 6).alias("a_path"),
+        F.round(b, 6).alias("b_path"),
+        F.round(c_tot, 6).alias("total_effect"),
+        F.round(c_dir, 6).alias("direct_effect"),
+        F.round(a * b, 6).alias("indirect_effect"),
+        F.round(a * b / c_tot, 6).alias("prop_mediated"),
+    )

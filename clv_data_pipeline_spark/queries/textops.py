@@ -3440,3 +3440,116 @@ def q_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 10)
         .select("phrase", "n_occ", "n_words", "score")
     )
+
+
+@query(
+    "q_filter_funnel",
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id,
+               regexp_extract_all(trim(text), '\S+') AS toks,
+               length(text) - length(replace(text, '#', '')) AS n_hash,
+               CAST((length(text) - length(replace(text, '...', ''))) / 3
+                    AS BIGINT) AS n_ellipsis
+        FROM documents),
+    m AS (
+        SELECT doc_id,
+               CAST(len(toks) AS BIGINT) AS n_words,
+               ROUND(CAST(list_sum(list_transform(toks, x -> length(x)))
+                          AS DOUBLE)
+                     / GREATEST(len(toks), 1), 6) AS mean_word_len,
+               ROUND(CAST(len(list_filter(toks,
+                          x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+                     / GREATEST(len(toks), 1), 6) AS alpha_frac,
+               ROUND(CAST(n_hash + n_ellipsis AS DOUBLE)
+                     / GREATEST(len(toks), 1), 6) AS symbol_ratio,
+               CAST(len(list_intersect(
+                        list_transform(toks, x -> lower(x)),
+                        ['the','be','to','of','and','that','have','with']))
+                    AS BIGINT) AS stop_hits
+        FROM t),
+    f AS (
+        SELECT CAST(n_words BETWEEN 50 AND 100000 AS BIGINT) AS r1,
+               CAST(mean_word_len BETWEEN 3 AND 10 AS BIGINT) AS r2,
+               CAST(symbol_ratio <= 0.1 AS BIGINT) AS r3,
+               CAST(alpha_frac >= 0.8 AS BIGINT) AS r4,
+               CAST(stop_hits >= 2 AS BIGINT) AS r5
+        FROM m),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n0,
+               CAST(SUM(r1) AS BIGINT) AS s1,
+               CAST(SUM(r1 * r2) AS BIGINT) AS s2,
+               CAST(SUM(r1 * r2 * r3) AS BIGINT) AS s3,
+               CAST(SUM(r1 * r2 * r3 * r4) AS BIGINT) AS s4,
+               CAST(SUM(r1 * r2 * r3 * r4 * r5) AS BIGINT) AS s5
+        FROM f)
+    SELECT * FROM (
+        SELECT CAST(1 AS BIGINT) AS stage, 'word_count' AS rule,
+               n0 AS n_in, s1 AS n_out, n0 - s1 AS n_removed,
+               ROUND(CAST(s1 AS DOUBLE) / n0, 6) AS cum_survival
+        FROM s
+        UNION ALL
+        SELECT 2, 'word_len', s1, s2, s1 - s2,
+               ROUND(CAST(s2 AS DOUBLE) / n0, 6) FROM s
+        UNION ALL
+        SELECT 3, 'symbols', s2, s3, s2 - s3,
+               ROUND(CAST(s3 AS DOUBLE) / n0, 6) FROM s
+        UNION ALL
+        SELECT 4, 'alpha', s3, s4, s3 - s4,
+               ROUND(CAST(s4 AS DOUBLE) / n0, 6) FROM s
+        UNION ALL
+        SELECT 5, 'stopwords', s4, s5, s4 - s5,
+               ROUND(CAST(s5 AS DOUBLE) / n0, 6) FROM s) x
+    """,
+)
+def q_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation-pipeline funnel audit: apply the five Gopher
+    quality rules IN SEQUENCE and report per-stage survivors, removals
+    and cumulative survival — the readout a corpus curator reads
+    before shipping a filter config (which rule does the work, which
+    is dead weight, what fraction of the corpus survives the whole
+    battery).  Composes q_gopher_rules' per-doc flags; ONE aggregate
+    computes every prefix-conjunction count in a single scan, and the
+    5-row funnel unpivots from that 1-row frame with stack() — no
+    per-stage rescans."""
+    g = q_gopher_rules(spark, sf_dir)
+    s = g.agg(
+        F.count("*").cast("long").alias("n0"),
+        F.sum("r_word_count").cast("long").alias("s1"),
+        F.sum(F.col("r_word_count") * F.col("r_word_len"))
+        .cast("long")
+        .alias("s2"),
+        F.sum(
+            F.col("r_word_count") * F.col("r_word_len") * F.col("r_symbols")
+        )
+        .cast("long")
+        .alias("s3"),
+        F.sum(
+            F.col("r_word_count")
+            * F.col("r_word_len")
+            * F.col("r_symbols")
+            * F.col("r_alpha")
+        )
+        .cast("long")
+        .alias("s4"),
+        F.sum("pass_gopher").cast("long").alias("s5"),
+    )
+    return s.selectExpr(
+        """stack(5,
+            CAST(1 AS BIGINT), 'word_count', n0, s1,
+            CAST(2 AS BIGINT), 'word_len',   s1, s2,
+            CAST(3 AS BIGINT), 'symbols',    s2, s3,
+            CAST(4 AS BIGINT), 'alpha',      s3, s4,
+            CAST(5 AS BIGINT), 'stopwords',  s4, s5
+        ) AS (stage, rule, n_in, n_out)""",
+        "n0",
+    ).select(
+        "stage",
+        "rule",
+        "n_in",
+        "n_out",
+        (F.col("n_in") - F.col("n_out")).alias("n_removed"),
+        F.round(
+            F.col("n_out").cast("double") / F.col("n0"), 6
+        ).alias("cum_survival"),
+    )
