@@ -216,6 +216,9 @@ HEADLINE = [
     "q_filter_funnel",
     "q_simpson",
     "q_mediation",
+    "q_stream_funnel",
+    "q_anova",
+    "q_dataset_card",
 ]
 
 #: Frozen comparable subsets — apples-to-apples totals across rounds.

@@ -7100,3 +7100,91 @@ def q_mediation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(a * b, 6).alias("indirect_effect"),
         F.round(a * b / c_tot, 6).alias("prop_mediated"),
     )
+
+
+@query(
+    "q_anova",
+    oracle="""
+    WITH g AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(CAST(value AS DECIMAL(18,4))) AS s,
+               SUM(CAST(value AS DECIMAL(18,4))
+                   * CAST(value AS DECIMAL(18,4))) AS ss
+        FROM events GROUP BY event_type),
+    t AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS k,
+               CAST(SUM(n) AS DOUBLE) AS n,
+               CAST(SUM(s) AS DOUBLE) AS s,
+               CAST(SUM(ss) AS DOUBLE) AS ss,
+               CAST(SUM(CAST(ROUND(CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                                   / n, 9) AS DECIMAL(38,9)))
+                    AS DOUBLE) AS sgm
+        FROM g),
+    f AS (
+        SELECT k, n,
+               sgm - s * s / n AS ssb,
+               ss - sgm AS ssw,
+               ss - s * s / n AS sst
+        FROM t)
+    SELECT CAST(k AS BIGINT) AS k_groups,
+           CAST(n AS BIGINT) AS n_rows,
+           CAST(k - 1 AS BIGINT) AS df_between,
+           CAST(n - k AS BIGINT) AS df_within,
+           ROUND((ssb / (k - 1)) / (ssw / (n - k)), 6) AS f_stat,
+           ROUND(ssb / sst, 6) AS eta_sq
+    FROM f
+    """,
+)
+def q_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA of event value across event types — does the
+    metric differ across MORE than two groups at once, the question
+    the pairwise shelf (q_ab_test Welch t, q_mannwhitney U) answers
+    only one pair at a time.  Reports the F statistic and eta-squared
+    effect size (share of variance the grouping explains) with both
+    degrees of freedom for table lookup.
+
+    Scale shape: ONE group-keyed aggregation compresses the log to
+    k sufficient-stat rows (exact DECIMAL sums), one 1-row fold
+    computes SSB/SSW/SST in identical IEEE expressions — the textbook
+    partition of variance, no second scan."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.col("value").cast("decimal(18,4)")
+    # group sums stay DECIMAL through the second fold (exact in any
+    # order); the one per-group double ratio rounds to 9 before its
+    # DECIMAL sum — no accumulation-order exposure anywhere
+    g = ev.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(v).alias("s"),
+        F.sum(v * v).alias("ss"),
+    )
+    t = g.agg(
+        F.count("*").cast("double").alias("k"),
+        F.sum("n").cast("double").alias("n"),
+        F.sum("s").cast("double").alias("s"),
+        F.sum("ss").cast("double").alias("ss"),
+        F.sum(
+            F.round(
+                F.col("s").cast("double")
+                * F.col("s").cast("double")
+                / F.col("n"),
+                9,
+            ).cast("decimal(38,9)")
+        )
+        .cast("double")
+        .alias("sgm"),
+    )
+    k, n, s, ss, sgm = (
+        F.col("k"), F.col("n"), F.col("s"), F.col("ss"), F.col("sgm"),
+    )
+    ssb = sgm - s * s / n
+    ssw = ss - sgm
+    sst = ss - s * s / n
+    return t.select(
+        k.cast("long").alias("k_groups"),
+        n.cast("long").alias("n_rows"),
+        (k - 1).cast("long").alias("df_between"),
+        (n - k).cast("long").alias("df_within"),
+        F.round((ssb / (k - 1)) / (ssw / (n - k)), 6).alias("f_stat"),
+        F.round(ssb / sst, 6).alias("eta_sq"),
+    )

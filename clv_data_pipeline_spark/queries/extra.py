@@ -1938,3 +1938,99 @@ def q_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = ranked.filter(F.col("rnk") <= 10).localCheckpoint(eager=True)
     spark.sql(f"DROP TABLE IF EXISTS {target_table}")
     return out
+
+
+@query(
+    "q_stream_funnel",
+    oracle="""
+    WITH pu AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'view' THEN ts END) AS tv,
+               MIN(CASE WHEN event_type = 'click' THEN ts END) AS tc,
+               MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS tp
+        FROM events GROUP BY user_id)
+    SELECT CAST(COUNT(tv) AS BIGINT) AS step1_view,
+           CAST(COUNT(CASE WHEN tc >= tv THEN 1 END) AS BIGINT)
+               AS step2_click,
+           CAST(COUNT(CASE WHEN tc >= tv AND tp >= tc THEN 1 END)
+                AS BIGINT) AS step3_purchase
+    FROM pu
+    """,
+)
+def q_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming first-touch funnel — the FOURTEENTH streaming/batch
+    parity proof: three chronological triggers fold per-(user, step)
+    FIRST-event times into stored state by MIN
+    (streaming/ingest.py min_ts_merge_sink — min is mergeable AND
+    idempotent, the friendliest streaming state there is), then the
+    strict-min ordered funnel (first click at-or-after first view,
+    first purchase at-or-after first click) reads off the merged
+    state.  This is the funnel semantic a streaming system CAN
+    maintain exactly with O(users x steps) state — q_funnel's
+    post-click purchase refinement needs the full per-user purchase
+    history, which is why the batch and streaming funnels are
+    separate, documented semantics.  The oracle computes the same
+    min-based funnel over all events in one batch pass."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from clv_data_pipeline_spark.streaming.ingest import min_ts_merge_sink
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "ts", "user_id", "event_type"
+    )
+    src = tempfile.mkdtemp(prefix="q_stream_funnel_") + "/arrivals"
+    cuts = ("2024-01-11", "2024-01-21")
+    slices = (
+        ev.filter(F.col("ts") < cuts[0]),
+        ev.filter((F.col("ts") >= cuts[0]) & (F.col("ts") < cuts[1])),
+        ev.filter(F.col("ts") >= cuts[1]),
+    )
+    for s in slices:
+        s.coalesce(1).write.mode("append").parquet(src)
+
+    target_table = f"funnel_stream_{uuid.uuid4().hex[:8]}"
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("pathGlobFilter", "*.parquet")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    ckpt = tempfile.mkdtemp(prefix="q_stream_funnel_ckpt_")
+    q = (
+        stream.writeStream.foreachBatch(min_ts_merge_sink(target_table))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    state = spark.table(target_table)
+    pu = state.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "view", F.col("min_ts"))
+        ).alias("tv"),
+        F.min(
+            F.when(F.col("event_type") == "click", F.col("min_ts"))
+        ).alias("tc"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("min_ts"))
+        ).alias("tp"),
+    )
+    out = pu.agg(
+        F.count("tv").cast("long").alias("step1_view"),
+        F.count(F.when(F.col("tc") >= F.col("tv"), 1))
+        .cast("long")
+        .alias("step2_click"),
+        F.count(
+            F.when(
+                (F.col("tc") >= F.col("tv")) & (F.col("tp") >= F.col("tc")),
+                1,
+            )
+        )
+        .cast("long")
+        .alias("step3_purchase"),
+    ).localCheckpoint(eager=True)
+    spark.sql(f"DROP TABLE IF EXISTS {target_table}")
+    return out

@@ -3553,3 +3553,119 @@ def q_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_out").cast("double") / F.col("n0"), 6
         ).alias("cum_survival"),
     )
+
+
+@query(
+    "q_dataset_card",
+    oracle=r"""
+    WITH q AS (
+        SELECT doc_id,
+               ROUND(
+                 LEAST(CAST(length(text) AS DOUBLE) / 200.0, 1.0)
+                 * GREATEST(0.0, 1.0 -
+                     (CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g'))
+                           AS DOUBLE)
+                      / GREATEST(length(text), 1)) * 5.0)
+                 * GREATEST(0.0, 1.0 -
+                     (CAST(length(regexp_replace(text, '[^0-9]', '', 'g'))
+                           AS DOUBLE)
+                      / GREATEST(length(text), 1)) * 5.0)
+                 * (CASE WHEN (CAST(length(trim(text)) AS DOUBLE)
+                               / GREATEST(len(regexp_extract_all(trim(text),
+                                              '\S+', 0)), 1))
+                              BETWEEN 3.0 AND 12.0
+                         THEN 1.0 ELSE 0.5 END),
+               6) AS quality,
+               CAST(len(regexp_extract_all(trim(text), '\S+'))
+                    AS BIGINT) AS n_toks,
+               CAST(length(text) AS BIGINT) AS n_chars,
+               md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+                   AS fp,
+               regexp_extract_all(trim(text), '\S+') AS toks
+        FROM documents),
+    g AS (
+        SELECT doc_id, quality, n_toks, n_chars, fp,
+               CASE WHEN CAST(len(toks) AS BIGINT)
+                             BETWEEN 50 AND 100000
+                     AND ROUND(CAST(list_sum(list_transform(toks,
+                                   x -> length(x))) AS DOUBLE)
+                               / GREATEST(len(toks), 1), 6)
+                             BETWEEN 3 AND 10
+                     AND ROUND(CAST((length_hash + n_ellipsis) AS DOUBLE)
+                               / GREATEST(len(toks), 1), 6) <= 0.1
+                     AND ROUND(CAST(len(list_filter(toks,
+                                   x -> regexp_matches(x, '[A-Za-z]')))
+                                   AS DOUBLE)
+                               / GREATEST(len(toks), 1), 6) >= 0.8
+                     AND CAST(len(list_intersect(
+                              list_transform(toks, x -> lower(x)),
+                              ['the','be','to','of','and','that','have',
+                               'with'])) AS BIGINT) >= 2
+                    THEN 1 ELSE 0 END AS pass_gopher
+        FROM (SELECT q.*,
+                     length(text) - length(replace(text, '#', ''))
+                         AS length_hash,
+                     CAST((length(text) - length(replace(text, '...', '')))
+                          / 3 AS BIGINT) AS n_ellipsis
+              FROM q JOIN documents USING (doc_id)) x)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
+           ROUND(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 6)
+               AS mean_doc_chars,
+           ROUND(1.0 - CAST(COUNT(DISTINCT fp) AS DOUBLE) / COUNT(*), 6)
+               AS dup_rate,
+           ROUND(CAST(SUM(pass_gopher) AS DOUBLE) / COUNT(*), 6)
+               AS gopher_pass_rate,
+           ROUND(CAST(SUM(CAST(quality AS DECIMAL(18,6))) AS DOUBLE)
+                 / COUNT(*), 6) AS mean_quality
+    FROM g
+    """,
+)
+def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one-row corpus datasheet (Gebru et al.'s "Datasheets for
+    Datasets" reduced to its quantitative core): document and token
+    counts, mean document length, exact-duplicate rate, Gopher-rule
+    pass rate, and mean heuristic quality — the summary a data-card
+    generator stamps on every published training-data snapshot, and
+    the at-a-glance regression check between snapshots.
+
+    Composes three existing per-doc surfaces (q_quality_score's
+    compressed score, q_gopher_rules' conjunctive pass flag, the md5
+    fingerprint) in ONE aggregate over one joined frame — counts and
+    token sums are integers, the quality mean accumulates rounded
+    6 dp scores through DECIMAL, so the card is engine-exact."""
+    from clv_data_pipeline_spark.functions.text import (
+        fingerprint,
+        quality_score,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    g = q_gopher_rules(spark, sf_dir).select("doc_id", "pass_gopher")
+    toks = F.filter(
+        F.split(F.trim(F.col("text")), r"\s+"), lambda x: x != ""
+    )
+    base = d.select(
+        "doc_id",
+        quality_score(F.col("text")).alias("quality"),
+        F.size(toks).cast("long").alias("n_toks"),
+        F.length("text").cast("long").alias("n_chars"),
+        fingerprint(F.col("text")).alias("fp"),
+    ).join(g, "doc_id")
+    return base.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_toks").cast("long").alias("total_tokens"),
+        F.round(
+            F.sum("n_chars").cast("double") / F.count("*"), 6
+        ).alias("mean_doc_chars"),
+        F.round(
+            1.0 - F.countDistinct("fp").cast("double") / F.count("*"), 6
+        ).alias("dup_rate"),
+        F.round(
+            F.sum("pass_gopher").cast("double") / F.count("*"), 6
+        ).alias("gopher_pass_rate"),
+        F.round(
+            F.sum(F.col("quality").cast("decimal(18,6)")).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("mean_quality"),
+    )

@@ -532,3 +532,41 @@ def count_merge_sink(target_table: str, key_col: str = "user_id"):
         merged.write.mode("overwrite").saveAsTable(target_table)
 
     return _sink
+
+
+def min_ts_merge_sink(
+    target_table: str,
+    key_cols: tuple[str, ...] = ("user_id", "event_type"),
+    ts_col: str = "ts",
+):
+    """Build a ``foreachBatch`` body maintaining per-key MINIMUM event
+    times — the mergeable state behind first-touch funnels, first-seen
+    audits, and arrival-order dedup: each trigger folds its micro-batch
+    to per-key mins and MERGES into the stored table by MIN (idempotent
+    AND replay-safe for free: re-merging the same batch changes
+    nothing, so this sink needs no anti-join discipline).  State is one
+    row per distinct key tuple."""
+    from pyspark.sql import functions as F
+
+    keys = list(key_cols)
+
+    def _sink(batch_df, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if batch_df.isEmpty():
+            return
+        partial = batch_df.groupBy(*keys).agg(
+            F.min(ts_col).alias("min_ts")
+        )
+        if spark.catalog.tableExists(target_table):
+            merged = (
+                spark.table(target_table)
+                .unionByName(partial)
+                .groupBy(*keys)
+                .agg(F.min("min_ts").alias("min_ts"))
+                .localCheckpoint(eager=True)
+            )
+        else:
+            merged = partial
+        merged.write.mode("overwrite").saveAsTable(target_table)
+
+    return _sink
