@@ -219,6 +219,9 @@ HEADLINE = [
     "q_stream_funnel",
     "q_anova",
     "q_dataset_card",
+    "q_coreset",
+    "q_overdispersion",
+    "q_price_index",
 ]
 
 #: Frozen comparable subsets — apples-to-apples totals across rounds.

@@ -7188,3 +7188,187 @@ def q_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((ssb / (k - 1)) / (ssw / (n - k)), 6).alias("f_stat"),
         F.round(ssb / sst, 6).alias("eta_sq"),
     )
+
+
+@query(
+    "q_overdispersion",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY user_id),
+    s AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM(c) AS DOUBLE) AS sc,
+               CAST(SUM(c * c) AS DOUBLE) AS scc
+        FROM per_user),
+    m AS (
+        SELECT n, sc / n AS mu,
+               (scc - sc * sc / n) / (n - 1) AS v
+        FROM s)
+    SELECT CAST(n AS BIGINT) AS n_users,
+           ROUND(mu, 6) AS mean_events,
+           ROUND(v, 6) AS var_events,
+           ROUND(v / mu, 6) AS dispersion_index,
+           CAST(v / mu > 1.5 AS BOOLEAN) AS overdispersed,
+           ROUND(CASE WHEN v > mu THEN mu * mu / (v - mu) END, 6)
+               AS nb_r,
+           ROUND(CASE WHEN v > mu THEN mu / v END, 6) AS nb_p
+    FROM m
+    """,
+)
+def q_overdispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-model diagnostics for per-user event counts: the
+    variance-to-mean dispersion index (Poisson says 1; real behavior
+    almost never does) and, when overdispersed, the method-of-moments
+    Negative Binomial (r, p) — the distributional check that decides
+    whether a Poisson rate model (and every SE derived from it) is
+    lying, and the same mean/variance compression the BG/NBD frequency
+    margin builds on.  One user-keyed compression, one exact
+    integer-sum fold, closed-form moments."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    s = per_user.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("c").cast("double").alias("sc"),
+        F.sum(F.col("c") * F.col("c")).cast("double").alias("scc"),
+    )
+    n, sc, scc = F.col("n"), F.col("sc"), F.col("scc")
+    mu = sc / n
+    v = (scc - sc * sc / n) / (n - 1)
+    return s.select(
+        n.cast("long").alias("n_users"),
+        F.round(mu, 6).alias("mean_events"),
+        F.round(v, 6).alias("var_events"),
+        F.round(v / mu, 6).alias("dispersion_index"),
+        (v / mu > 1.5).alias("overdispersed"),
+        F.round(
+            F.when(v > mu, mu * mu / (v - mu)), 6
+        ).alias("nb_r"),
+        F.round(F.when(v > mu, mu / v), 6).alias("nb_p"),
+    )
+
+
+@query(
+    "q_price_index",
+    oracle="""
+    WITH li AS (
+        SELECT l.l_partkey AS pk,
+               CASE WHEN o.o_orderdate <  TIMESTAMP '2024-01-16'
+                    THEN 0 ELSE 1 END AS period,
+               CAST(l.l_quantity AS DECIMAL(18,2)) AS q,
+               CAST(l.l_extendedprice AS DOUBLE)
+                   / CAST(l.l_quantity AS DOUBLE) AS unit
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey),
+    pp AS (
+        SELECT pk, period,
+               CAST(SUM(q) AS DOUBLE) AS qty,
+               ROUND(CAST(SUM(CAST(ROUND(unit * CAST(q AS DOUBLE), 6)
+                                   AS DECIMAL(28,6))) AS DOUBLE)
+                     / CAST(SUM(q) AS DOUBLE), 6) AS price
+        FROM li GROUP BY pk, period),
+    b AS (
+        SELECT p0.pk, p0.qty AS q0, p0.price AS pr0,
+               p1.qty AS q1, p1.price AS pr1
+        FROM pp p0 JOIN pp p1
+          ON p0.pk = p1.pk AND p0.period = 0 AND p1.period = 1),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_parts,
+               CAST(SUM(CAST(ROUND(pr1 * q0, 6) AS DECIMAL(28,6)))
+                    AS DOUBLE) AS l_num,
+               CAST(SUM(CAST(ROUND(pr0 * q0, 6) AS DECIMAL(28,6)))
+                    AS DOUBLE) AS l_den,
+               CAST(SUM(CAST(ROUND(pr1 * q1, 6) AS DECIMAL(28,6)))
+                    AS DOUBLE) AS p_num,
+               CAST(SUM(CAST(ROUND(pr0 * q1, 6) AS DECIMAL(28,6)))
+                    AS DOUBLE) AS p_den
+        FROM b)
+    SELECT n_parts,
+           ROUND(l_num / l_den, 6) AS laspeyres,
+           ROUND(p_num / p_den, 6) AS paasche,
+           ROUND(sqrt((l_num / l_den) * (p_num / p_den)), 6) AS fisher
+    FROM s
+    """,
+)
+def q_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price-index construction over the order book: Laspeyres
+    (base-period basket), Paasche (current basket), and the Fisher
+    ideal (their geometric mean) comparing per-part unit prices
+    between the two halves of the window — the inflation-tracking op
+    of revenue analytics, answering "did prices move or did the MIX
+    move" where a raw revenue ratio confounds both.
+
+    Scale shape: one fact-fact hash join (orders dates onto lineitem),
+    one (part, period)-keyed aggregation to per-part quantities and
+    quantity-weighted mean unit prices, a part-keyed self-join of the
+    two-period frame (dimension-sized), and a 1-row index fold.
+    Unit-price x quantity terms round to 6 dp before DECIMAL sums, so
+    every index is engine- and partition-exact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"),
+        F.when(
+            F.col("o_orderdate") < F.lit("2024-01-16").cast("timestamp"), 0
+        )
+        .otherwise(1)
+        .alias("period"),
+    )
+    q = F.col("l_quantity").cast("decimal(18,2)")
+    # unit price divides as DOUBLE on both engines (DECIMAL division
+    # scale/rounding rules differ between Spark and DuckDB)
+    unit = (
+        F.col("l_extendedprice").cast("double")
+        / F.col("l_quantity").cast("double")
+    )
+    base = li.join(o, "l_orderkey").select(
+        F.col("l_partkey").alias("pk"),
+        "period",
+        q.alias("q"),
+        unit.alias("unit"),
+    )
+    pp = base.groupBy("pk", "period").agg(
+        F.sum("q").cast("double").alias("qty"),
+        F.round(
+            F.sum(
+                F.round(
+                    F.col("unit") * F.col("q").cast("double"), 6
+                ).cast("decimal(28,6)")
+            ).cast("double")
+            / F.sum("q").cast("double"),
+            6,
+        ).alias("price"),
+    )
+    p0 = pp.filter(F.col("period") == 0).select(
+        "pk", F.col("qty").alias("q0"), F.col("price").alias("pr0")
+    )
+    p1 = pp.filter(F.col("period") == 1).select(
+        "pk", F.col("qty").alias("q1"), F.col("price").alias("pr1")
+    )
+    b = p0.join(p1, "pk")
+
+    def term(a, c):
+        return F.sum(
+            F.round(F.col(a) * F.col(c), 6).cast("decimal(28,6)")
+        ).cast("double")
+
+    s = b.agg(
+        F.count("*").cast("long").alias("n_parts"),
+        term("pr1", "q0").alias("l_num"),
+        term("pr0", "q0").alias("l_den"),
+        term("pr1", "q1").alias("p_num"),
+        term("pr0", "q1").alias("p_den"),
+    )
+    return s.select(
+        "n_parts",
+        F.round(F.col("l_num") / F.col("l_den"), 6).alias("laspeyres"),
+        F.round(F.col("p_num") / F.col("p_den"), 6).alias("paasche"),
+        F.round(
+            F.sqrt(
+                (F.col("l_num") / F.col("l_den"))
+                * (F.col("p_num") / F.col("p_den"))
+            ),
+            6,
+        ).alias("fisher"),
+    )

@@ -1477,3 +1477,92 @@ def q_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("modularity"),
     )
+
+
+_CORESET_K = 5
+
+
+def _coreset_oracle(k: int = _CORESET_K) -> str:
+    """Unrolled Gonzalez k-center selection: each step's centers are
+    the union of all prior picks, the farthest point (min of the
+    rounded max-cosine to any center, ties to the smaller vec_id)
+    joins the set — the whole selection trajectory is hash-verified."""
+    parts = ["c1 AS (SELECT MIN(vec_id) AS id FROM embeddings)"]
+    union = "SELECT id FROM c1"
+    for t in range(2, k + 1):
+        parts.append(f"""
+    s{t} AS (
+        SELECT e.vec_id,
+               MAX(ROUND(list_cosine_similarity(
+                   CAST(e.embedding AS DOUBLE[]),
+                   CAST(c.embedding AS DOUBLE[])), 6)) AS sim
+        FROM embeddings e
+        JOIN embeddings c ON c.vec_id IN ({union})
+        WHERE e.vec_id NOT IN ({union})
+        GROUP BY e.vec_id),
+    c{t} AS (
+        SELECT vec_id AS id, ROUND(1 - sim, 6) AS dist
+        FROM s{t} ORDER BY sim ASC, vec_id ASC LIMIT 1)""")
+        union += f" UNION ALL SELECT id FROM c{t}"
+    steps = ["SELECT CAST(1 AS BIGINT) AS step, id AS vec_id,"
+             " CAST(NULL AS DOUBLE) AS dist FROM c1"]
+    for t in range(2, k + 1):
+        steps.append(
+            f"SELECT CAST({t} AS BIGINT), id, dist FROM c{t}"
+        )
+    return (
+        "\n    WITH " + ",".join(parts)
+        + "\n    SELECT * FROM (" + " UNION ALL ".join(steps) + ") z"
+    )
+
+
+@query("q_coreset", oracle=_coreset_oracle())
+def q_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset selection (Gonzalez 1985) over the
+    embedding table — the diversity-first subset picker of a
+    data-curation loop (seed the labeling budget, pick prompts for
+    eval, cap a dedup cluster): start from the smallest vec_id,
+    repeatedly add the point FARTHEST from the chosen set (smallest
+    max-cosine), k=5 rounds, 2-approximation of the optimal cover
+    radius by the classic argument.  Returns the selection trajectory
+    (step, vec_id, dist to prior centers).
+
+    Scale shape: each round is ONE map-only BLAS pass of the corpus
+    against the <=k-row broadcast center matrix (the
+    _cosine_topk_against_index kernel ANN queries use) + a TakeOrdered
+    argmax — never a pairwise corpus join; k bounded rounds is exactly
+    how FAISS seeds k-means++.  Cosines round to 6 dp before every
+    comparison, so the trajectory is engine-exact (the
+    q_decontaminate_semantic determinism precedent)."""
+    from clv_data_pipeline_spark.operators.similarity import (
+        _cosine_topk_against_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    first = emb.agg(F.min("vec_id").alias("id")).collect()[0]["id"]
+    centers = [int(first)]
+    rows: list[tuple] = [(1, int(first), None)]
+    for step in range(2, _CORESET_K + 1):
+        cdf = emb.filter(F.col("vec_id").isin(centers))
+        sims = _cosine_topk_against_index(
+            emb.filter(~F.col("vec_id").isin(centers)),
+            cdf,
+            1,
+            "vec_id",
+            "embedding",
+            6,
+        )
+        far = (
+            sims.orderBy(F.col("sim").asc(), F.col("vec_id").asc())
+            .limit(1)
+            .collect()[0]
+        )
+        centers.append(int(far["vec_id"]))
+        rows.append(
+            (step, int(far["vec_id"]), round(1 - far["sim"], 6))
+        )
+    return spark.createDataFrame(
+        rows, "step long, vec_id long, dist double"
+    )

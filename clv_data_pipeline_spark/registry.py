@@ -295,7 +295,7 @@ _R7_NEW: set[str] = {
     "q_iv_2sls", "q_rdd", "q_propensity_matching", "q_stl_decompose",
     "q_bayes_ab", "q_bh_fdr", "q_stream_topk", "q_filter_funnel",
     "q_simpson", "q_mediation", "q_stream_funnel", "q_anova",
-    "q_dataset_card",
+    "q_dataset_card", "q_coreset", "q_overdispersion", "q_price_index",
 }
 
 
