@@ -222,6 +222,9 @@ HEADLINE = [
     "q_coreset",
     "q_overdispersion",
     "q_price_index",
+    "q_kmeans",
+    "q_icc_deff",
+    "q_gaussian_mixture",
 ]
 
 #: Frozen comparable subsets — apples-to-apples totals across rounds.

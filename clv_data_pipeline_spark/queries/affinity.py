@@ -1001,3 +1001,202 @@ def q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("step").cast("long").alias("step"),
         "node",
     )
+
+
+_KMEANS_ITERS = 3
+
+
+def _kmeans_oracle(iters: int = _KMEANS_ITERS) -> str:
+    """Unrolled Lloyd iterations over the 2-D spend/frequency plane:
+    md5-seeded deterministic init, per-round assignments by rounded
+    squared distance (ties to the smaller cluster id), DECIMAL-mean
+    center updates (empty clusters keep their center) — the whole
+    trajectory is hash-verified."""
+    init = """
+    pts AS MATERIALIZED (
+        SELECT o_custkey AS id,
+               ROUND(ln(1 + CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                                 AS DOUBLE)), 9) AS x,
+               ROUND(ln(1 + COUNT(*)), 9) AS y,
+               md5('a' || CAST(o_custkey AS VARCHAR)) AS ha,
+               md5('b' || CAST(o_custkey AS VARCHAR)) AS hb,
+               md5('c' || CAST(o_custkey AS VARCHAR)) AS hc
+        FROM orders GROUP BY o_custkey),
+    c0 AS MATERIALIZED (
+        SELECT 0 AS k, arg_min(x, ha) AS cx, arg_min(y, ha) AS cy
+        FROM pts
+        UNION ALL
+        SELECT 1, arg_min(x, hb), arg_min(y, hb) FROM pts
+        UNION ALL
+        SELECT 2, arg_min(x, hc), arg_min(y, hc) FROM pts)"""
+    steps = []
+    prev = "c0"
+    for t in range(1, iters + 1):
+        steps.append(f"""
+    a{t} AS MATERIALIZED (
+        SELECT id, x, y, k FROM (
+            SELECT p.id, p.x, p.y, c.k,
+                   ROW_NUMBER() OVER (PARTITION BY p.id ORDER BY
+                       ROUND((p.x - c.cx) * (p.x - c.cx)
+                             + (p.y - c.cy) * (p.y - c.cy), 9) ASC,
+                       c.k ASC) AS rn
+            FROM pts p JOIN {prev} c ON TRUE) z
+        WHERE rn = 1),
+    c{t} AS MATERIALIZED (
+        SELECT o.k,
+               COALESCE(u.cx, o.cx) AS cx,
+               COALESCE(u.cy, o.cy) AS cy
+        FROM {prev} o LEFT JOIN (
+            SELECT k,
+                   ROUND(CAST(SUM(CAST(x AS DECIMAL(28,9))) AS DOUBLE)
+                         / COUNT(*), 9) AS cx,
+                   ROUND(CAST(SUM(CAST(y AS DECIMAL(28,9))) AS DOUBLE)
+                         / COUNT(*), 9) AS cy
+            FROM a{t} GROUP BY k) u ON u.k = o.k)""")
+        prev = f"c{t}"
+    return f"""
+    WITH {init},
+    {','.join(steps)},
+    af AS (
+        SELECT id, x, y, k FROM (
+            SELECT p.id, p.x, p.y, c.k,
+                   ROW_NUMBER() OVER (PARTITION BY p.id ORDER BY
+                       ROUND((p.x - c.cx) * (p.x - c.cx)
+                             + (p.y - c.cy) * (p.y - c.cy), 9) ASC,
+                       c.k ASC) AS rn
+            FROM pts p JOIN {prev} c ON TRUE) z
+        WHERE rn = 1),
+    final AS (
+        SELECT a.k, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(ROUND((a.x - c.cx) * (a.x - c.cx)
+                       + (a.y - c.cy) * (a.y - c.cy), 9)
+                       AS DECIMAL(28,9))) AS DOUBLE) AS inert
+        FROM af a JOIN {prev} c ON c.k = a.k
+        GROUP BY a.k)
+    SELECT CAST(f.k AS BIGINT) AS cluster,
+           f.n AS n_customers,
+           ROUND(c.cx, 6) AS center_x,
+           ROUND(c.cy, 6) AS center_y,
+           ROUND(f.inert, 6) AS inertia
+    FROM final f JOIN {prev} c ON c.k = f.k
+    """
+
+
+@query("q_kmeans", oracle=_kmeans_oracle())
+def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means customer segmentation (k=3, 3 Lloyd iterations) on the
+    ln-spend x ln-order-count plane — the unsupervised twin of
+    q_rfm_segments' rule cuts, and the TRAINED-CLUSTERING headline
+    next to q_dbscan's density form: assignments by squared distance
+    (rounded to 9 dp before the argmin, ties to the smaller cluster
+    id), centers update as DECIMAL means, empty clusters keep their
+    center.  Init is md5-seeded arg_min — deterministic, no RNG, no
+    global sort — and the DuckDB oracle replays the ENTIRE Lloyd
+    trajectory, so the trained centers themselves are hash-verified
+    (q_geometric_median's discipline applied to k-means).
+
+    Scale shape: per iteration ONE customer-keyed aggregation feeds a
+    3-row broadcast of centers; the assignment is pure map-side column
+    math (k=3 CASE argmin); nothing about the corpus ever reaches the
+    driver but the 3x2 center matrix."""
+    o = load_table(spark, sf_dir, "orders")
+    pts = o.groupBy(F.col("o_custkey").alias("id")).agg(
+        F.round(
+            F.log(
+                1
+                + F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast(
+                    "double"
+                )
+            ),
+            9,
+        ).alias("x"),
+        F.round(F.log(1 + F.count("*")), 9).alias("y"),
+    ).withColumns(
+        {
+            "ha": F.md5(F.concat(F.lit("a"), F.col("id").cast("string"))),
+            "hb": F.md5(F.concat(F.lit("b"), F.col("id").cast("string"))),
+            "hc": F.md5(F.concat(F.lit("c"), F.col("id").cast("string"))),
+        }
+    ).localCheckpoint()
+    seeds = pts.agg(
+        F.min_by("x", "ha").alias("x0"), F.min_by("y", "ha").alias("y0"),
+        F.min_by("x", "hb").alias("x1"), F.min_by("y", "hb").alias("y1"),
+        F.min_by("x", "hc").alias("x2"), F.min_by("y", "hc").alias("y2"),
+    ).collect()[0]
+    centers = [
+        (seeds["x0"], seeds["y0"]),
+        (seeds["x1"], seeds["y1"]),
+        (seeds["x2"], seeds["y2"]),
+    ]
+
+    def assign(cs):
+        d = [
+            F.round(
+                (F.col("x") - F.lit(cx)) * (F.col("x") - F.lit(cx))
+                + (F.col("y") - F.lit(cy)) * (F.col("y") - F.lit(cy)),
+                9,
+            )
+            for cx, cy in cs
+        ]
+        best = F.when((d[0] <= d[1]) & (d[0] <= d[2]), 0).otherwise(
+            F.when(d[1] <= d[2], 1).otherwise(2)
+        )
+        return best
+
+    for _ in range(_KMEANS_ITERS):
+        upd = {
+            r["k"]: (r["cx"], r["cy"])
+            for r in pts.withColumn("k", assign(centers))
+            .groupBy("k")
+            .agg(
+                F.round(
+                    F.sum(F.col("x").cast("decimal(28,9)")).cast("double")
+                    / F.count("*"),
+                    9,
+                ).alias("cx"),
+                F.round(
+                    F.sum(F.col("y").cast("decimal(28,9)")).cast("double")
+                    / F.count("*"),
+                    9,
+                ).alias("cy"),
+            )
+            .collect()
+        }
+        centers = [upd.get(k, centers[k]) for k in range(3)]
+    d_final = [
+        F.round(
+            (F.col("x") - F.lit(cx)) * (F.col("x") - F.lit(cx))
+            + (F.col("y") - F.lit(cy)) * (F.col("y") - F.lit(cy)),
+            9,
+        )
+        for cx, cy in centers
+    ]
+    assigned = pts.withColumn("k", assign(centers)).withColumn(
+        "d",
+        F.when(F.col("k") == 0, d_final[0])
+        .when(F.col("k") == 1, d_final[1])
+        .otherwise(d_final[2]),
+    )
+    agg = assigned.groupBy("k").agg(
+        F.count("*").cast("long").alias("n_customers"),
+        F.sum(F.col("d").cast("decimal(28,9)"))
+        .cast("double")
+        .alias("inert"),
+    )
+    rows = {r["k"]: r for r in agg.collect()}
+    out = [
+        (
+            k,
+            int(rows[k]["n_customers"]) if k in rows else 0,
+            round(centers[k][0], 6),
+            round(centers[k][1], 6),
+            round(rows[k]["inert"], 6) if k in rows else 0.0,
+        )
+        for k in range(3)
+        if k in rows
+    ]
+    return spark.createDataFrame(
+        out,
+        "cluster long, n_customers long, center_x double, "
+        "center_y double, inertia double",
+    )

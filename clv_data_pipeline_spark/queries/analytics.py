@@ -7372,3 +7372,255 @@ def q_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("fisher"),
     )
+
+
+@query(
+    "q_icc_deff",
+    oracle="""
+    WITH g AS (
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS m,
+               SUM(CAST(value AS DECIMAL(18,4))) AS s,
+               SUM(CAST(value AS DECIMAL(18,4))
+                   * CAST(value AS DECIMAL(18,4))) AS ss
+        FROM events GROUP BY user_id),
+    t AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS k,
+               CAST(SUM(m) AS DOUBLE) AS n,
+               CAST(SUM(s) AS DOUBLE) AS s,
+               CAST(SUM(ss) AS DOUBLE) AS ss,
+               CAST(SUM(CAST(ROUND(CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                                   / m, 9) AS DECIMAL(38,9)))
+                    AS DOUBLE) AS sgm,
+               CAST(SUM(m * m) AS DOUBLE) AS smm
+        FROM g),
+    ms AS (
+        SELECT k, n,
+               (sgm - s * s / n) / (k - 1) AS msb,
+               (ss - sgm) / (n - k) AS msw,
+               (n - smm / n) / (k - 1) AS m0
+        FROM t),
+    icc AS (
+        SELECT k, n, msb, msw, m0,
+               (msb - msw) / (msb + (m0 - 1) * msw) AS rho
+        FROM ms)
+    SELECT CAST(k AS BIGINT) AS n_clusters,
+           CAST(n AS BIGINT) AS n_rows,
+           ROUND(msb, 6) AS ms_between,
+           ROUND(msw, 6) AS ms_within,
+           ROUND(rho, 6) AS icc,
+           ROUND(1 + (n / k - 1) * rho, 6) AS design_effect,
+           ROUND(n / (1 + (n / k - 1) * rho), 6) AS effective_n
+    FROM icc
+    """,
+)
+def q_icc_deff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intraclass correlation + design effect for user-clustered
+    observations (one-way random-effects ANOVA estimator, ANOVA
+    method-of-moments): events from the same user are correlated, so
+    every per-EVENT test (q_ab_test on raw events) overstates its
+    effective sample size by DEFF = 1 + (m-1)*ICC — this query
+    measures by HOW MUCH, and reports the honest effective n.  The
+    experiment-design companion to q_grouped_bootstrap's empirical
+    fix and q_power_analysis's planning step.
+
+    Scale shape: one user-keyed compression (exact DECIMAL sums), one
+    fold with the q_anova discipline (group sums stay DECIMAL; the
+    one per-group double ratio rounds to 9 dp before its DECIMAL
+    sum); everything after is 1-row scalar algebra."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.col("value").cast("decimal(18,4)")
+    g = ev.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("m"),
+        F.sum(v).alias("s"),
+        F.sum(v * v).alias("ss"),
+    )
+    t = g.agg(
+        F.count("*").cast("double").alias("k"),
+        F.sum("m").cast("double").alias("n"),
+        F.sum("s").cast("double").alias("s"),
+        F.sum("ss").cast("double").alias("ss"),
+        F.sum(
+            F.round(
+                F.col("s").cast("double")
+                * F.col("s").cast("double")
+                / F.col("m"),
+                9,
+            ).cast("decimal(38,9)")
+        )
+        .cast("double")
+        .alias("sgm"),
+        F.sum(F.col("m") * F.col("m")).cast("double").alias("smm"),
+    )
+    k, n, s, ss = F.col("k"), F.col("n"), F.col("s"), F.col("ss")
+    sgm, smm = F.col("sgm"), F.col("smm")
+    msb = (sgm - s * s / n) / (k - 1)
+    msw = (ss - sgm) / (n - k)
+    m0 = (n - smm / n) / (k - 1)
+    rho = (msb - msw) / (msb + (m0 - 1) * msw)
+    deff = 1 + (n / k - 1) * rho
+    return t.select(
+        k.cast("long").alias("n_clusters"),
+        n.cast("long").alias("n_rows"),
+        F.round(msb, 6).alias("ms_between"),
+        F.round(msw, 6).alias("ms_within"),
+        F.round(rho, 6).alias("icc"),
+        F.round(deff, 6).alias("design_effect"),
+        F.round(n / deff, 6).alias("effective_n"),
+    )
+
+
+_GMM_ITERS = 4
+
+
+def _gmm_oracle(iters: int = _GMM_ITERS) -> str:
+    """Unrolled binned EM for the 2-component Gaussian mixture: each
+    iteration's responsibilities (libm exp rounded to 12 dp; the
+    shared 1/sqrt(2*pi) factor cancels), weighted-sum updates (terms
+    rounded to 9 dp into DECIMAL sums), and variance floors are
+    replayed as CTEs — the fitted mixture's whole trajectory is
+    hash-verified."""
+    steps = []
+    prev = "g0"
+    for t in range(1, iters + 1):
+        steps.append(f"""
+    r{t} AS MATERIALIZED (
+        SELECT b, x, cnt,
+               CASE WHEN p1 + p2 > 0 THEN ROUND(p1 / (p1 + p2), 12)
+                    ELSE CAST(0.5 AS DOUBLE) END AS r
+        FROM (SELECT h.b, h.x, h.cnt,
+                     g.pi1 * ROUND(exp(-(h.x - g.mu1) * (h.x - g.mu1)
+                                       / (2 * g.v1)), 12)
+                         / sqrt(g.v1) AS p1,
+                     (1 - g.pi1)
+                         * ROUND(exp(-(h.x - g.mu2) * (h.x - g.mu2)
+                                     / (2 * g.v2)), 12)
+                         / sqrt(g.v2) AS p2
+              FROM hist h CROSS JOIN {prev} g) z),
+    g{t} AS MATERIALIZED (
+        SELECT ROUND(w1 / n, 12) AS pi1,
+               mu1, GREATEST(ROUND(sxx1 / w1 - mu1 * mu1, 9),
+                             CAST(0.01 AS DOUBLE)) AS v1,
+               mu2, GREATEST(ROUND(sxx2 / w2 - mu2 * mu2, 9),
+                             CAST(0.01 AS DOUBLE)) AS v2
+        FROM (SELECT
+                 CAST(SUM(cnt) AS DOUBLE) AS n,
+                 CAST(SUM(CAST(ROUND(cnt * r, 9) AS DECIMAL(28,9)))
+                      AS DOUBLE) AS w1,
+                 CAST(SUM(CAST(ROUND(cnt * (1 - r), 9)
+                      AS DECIMAL(28,9))) AS DOUBLE) AS w2,
+                 ROUND(CAST(SUM(CAST(ROUND(cnt * r * x, 9)
+                       AS DECIMAL(28,9))) AS DOUBLE)
+                       / CAST(SUM(CAST(ROUND(cnt * r, 9)
+                       AS DECIMAL(28,9))) AS DOUBLE), 9) AS mu1,
+                 CAST(SUM(CAST(ROUND(cnt * r * x * x, 9)
+                      AS DECIMAL(38,9))) AS DOUBLE) AS sxx1,
+                 ROUND(CAST(SUM(CAST(ROUND(cnt * (1 - r) * x, 9)
+                       AS DECIMAL(28,9))) AS DOUBLE)
+                       / CAST(SUM(CAST(ROUND(cnt * (1 - r), 9)
+                       AS DECIMAL(28,9))) AS DOUBLE), 9) AS mu2,
+                 CAST(SUM(CAST(ROUND(cnt * (1 - r) * x * x, 9)
+                      AS DECIMAL(38,9))) AS DOUBLE) AS sxx2
+              FROM r{t}) u)""")
+        prev = f"g{t}"
+    return f"""
+    WITH hist AS MATERIALIZED (
+        SELECT b, (b + CAST(0.5 AS DOUBLE)) * 2.0 AS x,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM (SELECT LEAST(GREATEST(CAST(FLOOR(value / 2.0) AS BIGINT),
+                                    0), 255) AS b
+              FROM events) e
+        GROUP BY b),
+    g0 AS (
+        SELECT CAST(0.5 AS DOUBLE) AS pi1,
+               CAST(25 AS DOUBLE) AS mu1, CAST(2500 AS DOUBLE) AS v1,
+               CAST(100 AS DOUBLE) AS mu2, CAST(2500 AS DOUBLE) AS v2),
+    {','.join(steps)},
+    n AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_events FROM hist)
+    SELECT n.n_events,
+           ROUND(g.pi1, 6) AS pi1,
+           ROUND(g.mu1, 6) AS mu1,
+           ROUND(sqrt(g.v1), 6) AS sd1,
+           ROUND(1 - g.pi1, 6) AS pi2,
+           ROUND(g.mu2, 6) AS mu2,
+           ROUND(sqrt(g.v2), 6) AS sd2
+    FROM {prev} g CROSS JOIN n
+    """
+
+
+@query("q_gaussian_mixture", oracle=_gmm_oracle())
+def q_gaussian_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-component Gaussian mixture over event values, fit by
+    binned EM ({_GMM_ITERS} iterations) — the unsupervised density
+    decomposition behind "is this metric one population or two"
+    (organic vs bot traffic, retail vs wholesale order sizes), and
+    the continuous-data sibling of q_fellegi_sunter's discrete EM.
+
+    Scale shape: the corpus folds ONCE into a 256-bin fixed-boundary
+    histogram (the q_stream_quantiles sketch); EM then runs at the
+    driver over the bounded bin frame (the model-fit barrier:
+    BG/NBD / Bradley-Terry / Fellegi-Sunter discipline) with every
+    responsibility and weighted sum mirrored in exact integer
+    nano-units, and the DuckDB oracle replays the ENTIRE trajectory
+    (libm exp rounds to 12 dp; the shared normalizing constant
+    cancels inside responsibilities)."""
+    import math as _math
+
+    ev = load_table(spark, sf_dir, "events")
+    hist = (
+        ev.select(
+            F.least(
+                F.greatest(
+                    F.floor(F.col("value") / 2.0).cast("long"), F.lit(0)
+                ),
+                F.lit(255),
+            ).alias("b")
+        )
+        .groupBy("b")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .collect()
+    )
+    bins = [((r["b"] + 0.5) * 2.0, int(r["cnt"])) for r in hist]
+    n = sum(c for _, c in bins)
+    pi1, mu1, v1, mu2, v2 = 0.5, 25.0, 2500.0, 100.0, 2500.0
+
+    def nano(v: float) -> int:
+        return int(round(round(v, 9) * 1e9))
+
+    for _ in range(_GMM_ITERS):
+        w1 = w2 = sx1 = sx2 = sxx1 = sxx2 = 0
+        for x, cnt in bins:
+            p1 = pi1 * round(
+                _math.exp(-(x - mu1) * (x - mu1) / (2 * v1)), 12
+            ) / _math.sqrt(v1)
+            p2 = (1 - pi1) * round(
+                _math.exp(-(x - mu2) * (x - mu2) / (2 * v2)), 12
+            ) / _math.sqrt(v2)
+            r = round(p1 / (p1 + p2), 12) if p1 + p2 > 0 else 0.5
+            w1 += nano(cnt * r)
+            w2 += nano(cnt * (1 - r))
+            sx1 += nano(cnt * r * x)
+            sx2 += nano(cnt * (1 - r) * x)
+            sxx1 += nano(cnt * r * x * x)
+            sxx2 += nano(cnt * (1 - r) * x * x)
+        w1f, w2f = w1 / 1e9, w2 / 1e9
+        mu1 = round((sx1 / 1e9) / w1f, 9)
+        mu2 = round((sx2 / 1e9) / w2f, 9)
+        v1 = max(round((sxx1 / 1e9) / w1f - mu1 * mu1, 9), 0.01)
+        v2 = max(round((sxx2 / 1e9) / w2f - mu2 * mu2, 9), 0.01)
+        pi1 = round(w1f / n, 12)
+    return spark.createDataFrame(
+        [
+            (
+                n,
+                round(pi1, 6),
+                round(mu1, 6),
+                round(_math.sqrt(v1), 6),
+                round(1 - pi1, 6),
+                round(mu2, 6),
+                round(_math.sqrt(v2), 6),
+            )
+        ],
+        "n_events long, pi1 double, mu1 double, sd1 double, "
+        "pi2 double, mu2 double, sd2 double",
+    )
