@@ -225,6 +225,7 @@ HEADLINE = [
     "q_kmeans",
     "q_icc_deff",
     "q_gaussian_mixture",
+    "q_stream_mixture",
 ]
 
 #: Frozen comparable subsets — apples-to-apples totals across rounds.

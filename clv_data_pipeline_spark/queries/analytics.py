@@ -7548,40 +7548,14 @@ def _gmm_oracle(iters: int = _GMM_ITERS) -> str:
     """
 
 
-@query("q_gaussian_mixture", oracle=_gmm_oracle())
-def q_gaussian_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two-component Gaussian mixture over event values, fit by
-    binned EM ({_GMM_ITERS} iterations) — the unsupervised density
-    decomposition behind "is this metric one population or two"
-    (organic vs bot traffic, retail vs wholesale order sizes), and
-    the continuous-data sibling of q_fellegi_sunter's discrete EM.
 
-    Scale shape: the corpus folds ONCE into a 256-bin fixed-boundary
-    histogram (the q_stream_quantiles sketch); EM then runs at the
-    driver over the bounded bin frame (the model-fit barrier:
-    BG/NBD / Bradley-Terry / Fellegi-Sunter discipline) with every
-    responsibility and weighted sum mirrored in exact integer
-    nano-units, and the DuckDB oracle replays the ENTIRE trajectory
-    (libm exp rounds to 12 dp; the shared normalizing constant
-    cancels inside responsibilities)."""
+def _fit_gmm_from_bins(bins, n):
+    """Driver-side binned EM shared by q_gaussian_mixture and
+    q_stream_mixture — every weighted sum accumulates in exact integer
+    nano-units so the replay is partition- and engine-exact (mirrors
+    the unrolled oracle token-for-token)."""
     import math as _math
 
-    ev = load_table(spark, sf_dir, "events")
-    hist = (
-        ev.select(
-            F.least(
-                F.greatest(
-                    F.floor(F.col("value") / 2.0).cast("long"), F.lit(0)
-                ),
-                F.lit(255),
-            ).alias("b")
-        )
-        .groupBy("b")
-        .agg(F.count("*").cast("long").alias("cnt"))
-        .collect()
-    )
-    bins = [((r["b"] + 0.5) * 2.0, int(r["cnt"])) for r in hist]
-    n = sum(c for _, c in bins)
     pi1, mu1, v1, mu2, v2 = 0.5, 25.0, 2500.0, 100.0, 2500.0
 
     def nano(v: float) -> int:
@@ -7609,18 +7583,113 @@ def q_gaussian_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         v1 = max(round((sxx1 / 1e9) / w1f - mu1 * mu1, 9), 0.01)
         v2 = max(round((sxx2 / 1e9) / w2f - mu2 * mu2, 9), 0.01)
         pi1 = round(w1f / n, 12)
-    return spark.createDataFrame(
-        [
-            (
-                n,
-                round(pi1, 6),
-                round(mu1, 6),
-                round(_math.sqrt(v1), 6),
-                round(1 - pi1, 6),
-                round(mu2, 6),
-                round(_math.sqrt(v2), 6),
-            )
-        ],
-        "n_events long, pi1 double, mu1 double, sd1 double, "
-        "pi2 double, mu2 double, sd2 double",
+    return [
+        (
+            n,
+            round(pi1, 6),
+            round(mu1, 6),
+            round(_math.sqrt(v1), 6),
+            round(1 - pi1, 6),
+            round(mu2, 6),
+            round(_math.sqrt(v2), 6),
+        )
+    ]
+
+
+_GMM_SCHEMA = (
+    "n_events long, pi1 double, mu1 double, sd1 double, "
+    "pi2 double, mu2 double, sd2 double"
+)
+
+
+@query("q_gaussian_mixture", oracle=_gmm_oracle())
+def q_gaussian_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-component Gaussian mixture over event values, fit by
+    binned EM ({_GMM_ITERS} iterations) — the unsupervised density
+    decomposition behind "is this metric one population or two"
+    (organic vs bot traffic, retail vs wholesale order sizes), and
+    the continuous-data sibling of q_fellegi_sunter's discrete EM.
+
+    Scale shape: the corpus folds ONCE into a 256-bin fixed-boundary
+    histogram (the q_stream_quantiles sketch); EM then runs at the
+    driver over the bounded bin frame (the model-fit barrier:
+    BG/NBD / Bradley-Terry / Fellegi-Sunter discipline) with every
+    responsibility and weighted sum mirrored in exact integer
+    nano-units, and the DuckDB oracle replays the ENTIRE trajectory
+    (libm exp rounds to 12 dp; the shared normalizing constant
+    cancels inside responsibilities)."""
+    ev = load_table(spark, sf_dir, "events")
+    hist = (
+        ev.select(
+            F.least(
+                F.greatest(
+                    F.floor(F.col("value") / 2.0).cast("long"), F.lit(0)
+                ),
+                F.lit(255),
+            ).alias("b")
+        )
+        .groupBy("b")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .collect()
     )
+    bins = [((r["b"] + 0.5) * 2.0, int(r["cnt"])) for r in hist]
+    n = sum(c for _, c in bins)
+    return spark.createDataFrame(_fit_gmm_from_bins(bins, n), _GMM_SCHEMA)
+
+
+@query("q_stream_mixture", oracle=_gmm_oracle())
+def q_stream_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming model training — the FIFTEENTH streaming/batch parity
+    proof, and the first that trains a MODEL off streaming state:
+    three chronological triggers fold micro-batch histograms into the
+    stored 256-bin summary by addition (histogram_merge_sink, the
+    q_stream_quantiles state), then the SAME binned-EM Gaussian
+    mixture fit as q_gaussian_mixture runs off the merged state.
+    Because the fit consumes only the histogram — a mergeable
+    sufficient statistic for the binned likelihood — train-on-stream
+    equals train-at-once BIT FOR BIT, which is exactly the claim a
+    nightly incremental training pipeline rests on.  Shares
+    q_gaussian_mixture's oracle."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from clv_data_pipeline_spark.streaming.ingest import (
+        histogram_merge_sink,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("ts", "value")
+    src = tempfile.mkdtemp(prefix="q_stream_gmm_") + "/arrivals"
+    cuts = ("2024-01-11", "2024-01-21")
+    slices = (
+        ev.filter(F.col("ts") < cuts[0]),
+        ev.filter((F.col("ts") >= cuts[0]) & (F.col("ts") < cuts[1])),
+        ev.filter(F.col("ts") >= cuts[1]),
+    )
+    for s in slices:
+        s.coalesce(1).write.mode("append").parquet(src)
+    target_table = f"gmm_stream_{uuid.uuid4().hex[:8]}"
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("pathGlobFilter", "*.parquet")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    ckpt = tempfile.mkdtemp(prefix="q_stream_gmm_ckpt_")
+    q = (
+        stream.writeStream.foreachBatch(
+            histogram_merge_sink(
+                target_table, lo=0.0, hi=512.0, n_bins=256
+            )
+        )
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    hist = spark.table(target_table).collect()
+    spark.sql(f"DROP TABLE IF EXISTS {target_table}")
+    bins = [((r["bin"] + 0.5) * 2.0, int(r["cnt"])) for r in hist]
+    n = sum(c for _, c in bins)
+    return spark.createDataFrame(_fit_gmm_from_bins(bins, n), _GMM_SCHEMA)
