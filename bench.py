@@ -226,6 +226,7 @@ HEADLINE = [
     "q_icc_deff",
     "q_gaussian_mixture",
     "q_stream_mixture",
+    "q_learning_curve",
 ]
 
 #: Frozen comparable subsets — apples-to-apples totals across rounds.

@@ -1529,21 +1529,24 @@ def q_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _nb_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Shared Naive Bayes train+score pipeline: md5-80%-split training
-    (Laplace-smoothed DECIMAL log-probs), held-out scoring; returns
-    the per-(doc, class) score frame backing q_naive_bayes (argmax ->
-    confusion matrix) and q_active_learning (top-2 margin)."""
+def _nb_scored(
+    spark: SparkSession, sf_dir: str, train_below: str = "cc"
+) -> DataFrame:
+    """Shared Naive Bayes train+score pipeline: md5-split training
+    (Laplace-smoothed DECIMAL log-probs; docs whose 2-hex md5 prefix
+    is < ``train_below`` train — 'cc' = the canonical 80%), scoring on
+    the FIXED >= 'cc' held-out set; returns the per-(doc, class)
+    score frame backing q_naive_bayes (argmax -> confusion matrix),
+    q_active_learning (top-2 margin), and q_learning_curve (accuracy
+    vs nested training fractions over the same eval set)."""
     d = load_table(spark, sf_dir, "documents")
     toks = F.split(normalize_text(F.col("text")), " ")
-    is_train = (
-        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < "cc"
-    )
+    pref = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
     docs = d.select(
-        "doc_id", "lang", toks.alias("toks"), is_train.alias("is_train")
+        "doc_id", "lang", toks.alias("toks"), pref.alias("pref")
     )
-    train = docs.filter(F.col("is_train"))
-    test = docs.filter(~F.col("is_train"))
+    train = docs.filter(F.col("pref") < train_below)
+    test = docs.filter(F.col("pref") >= "cc")
 
     ttok = train.select("lang", F.explode("toks").alias("tok"))
     cc = ttok.groupBy("lang", "tok").agg(F.count("*").alias("c"))
@@ -5186,3 +5189,139 @@ def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("b").alias("brand"), F.col("a").alias("authority"))
         .agg(F.count("*").cast("long").alias("n_customers"))
     )
+
+
+_LC_THRESHOLDS = ["33", "66", "99", "cc"]  # ~20/40/60/80% md5 prefixes
+
+
+def _learning_curve_oracle() -> str:
+    """One NB train+eval block per nested training fraction, all
+    scored on the FIXED >= 'cc' held-out set — the whole curve is
+    hash-verified."""
+    blocks = []
+    selects = []
+    for t in _LC_THRESHOLDS:
+        s = t
+        blocks.append(f"""
+    ttok_{s} AS (
+        SELECT lang, unnest(toks) AS tok FROM docs WHERE pref < '{t}'),
+    cc_{s} AS (
+        SELECT lang, tok, COUNT(*) AS c FROM ttok_{s}
+        GROUP BY lang, tok),
+    ct_{s} AS (SELECT lang, COUNT(*) AS tot FROM ttok_{s}
+               GROUP BY lang),
+    v_{s} AS (SELECT COUNT(DISTINCT tok) AS vsz FROM ttok_{s}),
+    ntr_{s} AS (SELECT COUNT(*) AS n_train FROM docs
+                WHERE pref < '{t}'),
+    pri_{s} AS (
+        SELECT lang AS cls,
+               CAST(ROUND(ln(COUNT(*) * 1.0 / ntr_{s}.n_train), 9)
+                    AS DECIMAL(20,9)) AS lp0
+        FROM docs, ntr_{s} WHERE pref < '{t}'
+        GROUP BY lang, ntr_{s}.n_train),
+    lp_{s} AS (
+        SELECT cc_{s}.lang AS cls, cc_{s}.tok,
+               CAST(ROUND(ln((cc_{s}.c + 1.0)
+                             / (ct_{s}.tot + v_{s}.vsz)), 9)
+                    AS DECIMAL(20,9)) AS lp
+        FROM cc_{s} JOIN ct_{s} ON cc_{s}.lang = ct_{s}.lang, v_{s}),
+    oov_{s} AS (
+        SELECT ct_{s}.lang AS cls,
+               CAST(ROUND(ln(1.0 / (ct_{s}.tot + v_{s}.vsz)), 9)
+                    AS DECIMAL(20,9)) AS lpo
+        FROM ct_{s}, v_{s}),
+    scored_{s} AS (
+        SELECT t.doc_id, t.true_lang, o.cls,
+               SUM(COALESCE(lp_{s}.lp, o.lpo)) AS sc
+        FROM ttest t
+        CROSS JOIN oov_{s} o
+        LEFT JOIN lp_{s} ON lp_{s}.tok = t.tok AND lp_{s}.cls = o.cls
+        GROUP BY t.doc_id, t.true_lang, o.cls),
+    pred_{s} AS (
+        SELECT doc_id, true_lang, cls,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                   ORDER BY sc + lp0 DESC, cls) AS rn
+        FROM (SELECT s.*, p.lp0 FROM scored_{s} s
+              JOIN pri_{s} p ON p.cls = s.cls) x),
+    acc_{s} AS (
+        SELECT '{t}' AS train_prefix,
+               (SELECT CAST(n_train AS BIGINT) FROM ntr_{s}) AS n_train,
+               CAST(COUNT(*) AS BIGINT) AS n_test,
+               CAST(SUM(CASE WHEN cls = true_lang THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_correct
+        FROM pred_{s} WHERE rn = 1)""")
+        selects.append(
+            f"SELECT train_prefix, n_train, n_test, n_correct, "
+            f"ROUND(CAST(n_correct AS DOUBLE) / n_test, 6) AS accuracy "
+            f"FROM acc_{s}"
+        )
+    return f"""
+    WITH docs AS MATERIALIZED (
+        SELECT doc_id, lang, {_TOKENIZE_SQL} AS toks,
+               substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS pref
+        FROM documents),
+    ttest AS MATERIALIZED (
+        SELECT doc_id, lang AS true_lang, unnest(toks) AS tok
+        FROM docs WHERE pref >= 'cc'),
+    {','.join(blocks)}
+    SELECT * FROM ({' UNION ALL '.join(selects)}) z
+    """
+
+
+@query("q_learning_curve", oracle=_learning_curve_oracle())
+def q_learning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The data-scaling readout: classifier accuracy as a function of
+    training-set size — Naive Bayes trained on nested md5 fractions
+    (~20/40/60/80% of the corpus) and evaluated on the SAME fixed
+    held-out 20%, so the only moving part is data volume.  The curve
+    answers the curation team's core budget question ("is more data
+    still buying accuracy, or did we saturate?") with in-engine
+    training, and its shape is itself a data-quality diagnostic (a
+    flat curve under 80% means label noise or leakage, not
+    saturation).
+
+    Scale shape: each fraction is one independent train+score NB
+    pipeline (vocabulary-bounded model tables broadcast; the test
+    explode is shared), unioned lazily — 4 pipelines, no driver
+    barrier anywhere.  Nested-by-construction splits (prefix < t) mean
+    each bigger model strictly contains the smaller's data, the
+    textbook learning-curve design."""
+    rows = []
+    for t in _LC_THRESHOLDS:
+        final = _nb_scored(spark, sf_dir, train_below=t)
+        w = Window.partitionBy("doc_id").orderBy(
+            F.desc("score"), F.col("cls")
+        )
+        pred = (
+            final.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .agg(
+                F.count("*").cast("long").alias("n_test"),
+                F.sum(
+                    F.when(F.col("cls") == F.col("true_lang"), 1)
+                    .otherwise(0)
+                )
+                .cast("long")
+                .alias("n_correct"),
+            )
+        )
+        d = load_table(spark, sf_dir, "documents")
+        ntr = d.filter(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < t
+        ).agg(F.count("*").cast("long").alias("n_train"))
+        rows.append(
+            pred.crossJoin(F.broadcast(ntr)).select(
+                F.lit(t).alias("train_prefix"),
+                "n_train",
+                "n_test",
+                "n_correct",
+                F.round(
+                    F.col("n_correct").cast("double") / F.col("n_test"),
+                    6,
+                ).alias("accuracy"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out

@@ -110,6 +110,8 @@ _BNLJ_SCALAR_OK = {
     "q_rdd",               # 1x1 cross of the two per-side OLS fits
     "q_propensity_matching",  # 1-row control-count scalar attach
     "q_stl_decompose",     # 1-row MAD threshold broadcast
+    "q_learning_curve",    # inherits NB's class-grid/vocab scalars
+                           # + a 1-row n_train attach per fraction
 }
 
 
