@@ -227,6 +227,9 @@ HEADLINE = [
     "q_gaussian_mixture",
     "q_stream_mixture",
     "q_learning_curve",
+    "q_uplift",
+    "q_metric_decomposition",
+    "q_cross_validation",
 ]
 
 #: Frozen comparable subsets — apples-to-apples totals across rounds.

@@ -7693,3 +7693,233 @@ def q_stream_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     bins = [((r["bin"] + 0.5) * 2.0, int(r["cnt"])) for r in hist]
     n = sum(c for _, c in bins)
     return spark.createDataFrame(_fit_gmm_from_bins(bins, n), _GMM_SCHEMA)
+
+
+@query(
+    "q_uplift",
+    oracle="""
+    WITH base AS (
+        SELECT event_type,
+               CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 0 ELSE 1 END
+                   AS period,
+               CAST(user_id % 2 = 0 AS INT) AS treat,
+               CASE WHEN value > 50 THEN 1 ELSE 0 END AS conv
+        FROM events),
+    cells AS (
+        SELECT event_type, period, treat,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(conv) AS BIGINT) AS s
+        FROM base GROUP BY event_type, period, treat),
+    seg AS (
+        SELECT event_type,
+               MAX(CASE WHEN period = 0 AND treat = 1
+                   THEN CAST(s AS DOUBLE) / n END) AS p_t0,
+               MAX(CASE WHEN period = 0 AND treat = 0
+                   THEN CAST(s AS DOUBLE) / n END) AS p_c0,
+               MAX(CASE WHEN period = 1 AND treat = 1 THEN n END) AS nt,
+               MAX(CASE WHEN period = 1 AND treat = 1 THEN s END) AS st,
+               MAX(CASE WHEN period = 1 AND treat = 0 THEN n END) AS nc,
+               MAX(CASE WHEN period = 1 AND treat = 0 THEN s END) AS sc
+        FROM cells GROUP BY event_type),
+    ranked AS (
+        SELECT event_type,
+               ROUND(p_t0 - p_c0, 9) AS uplift_hat,
+               nt, st, nc, sc,
+               ROW_NUMBER() OVER (
+                   ORDER BY ROUND(p_t0 - p_c0, 9) DESC, event_type)
+                   AS rnk
+        FROM seg),
+    cum AS (
+        SELECT event_type, rnk, uplift_hat, nt, st, nc, sc,
+               SUM(st) OVER w AS cst, SUM(nt) OVER w AS cnt_t,
+               SUM(sc) OVER w AS csc, SUM(nc) OVER w AS cnt_c
+        FROM ranked
+        WINDOW w AS (ORDER BY rnk ROWS UNBOUNDED PRECEDING))
+    SELECT event_type,
+           CAST(rnk AS BIGINT) AS rnk,
+           ROUND(uplift_hat, 6) AS uplift_hat,
+           ROUND(CAST(st AS DOUBLE) / nt - CAST(sc AS DOUBLE) / nc, 6)
+               AS uplift_actual,
+           ROUND(cst - CAST(csc AS DOUBLE) * cnt_t / cnt_c, 6)
+               AS cum_incremental
+    FROM cum
+    """,
+)
+def q_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uplift (incremental-response) evaluation — the targeting
+    question the ATE cannot answer: WHICH segments should get the
+    treatment?  Segment-level uplift estimates train on the first
+    half of the window (treated-minus-control conversion per event
+    type), segments rank by predicted uplift, and the SECOND half
+    scores them: realized uplift per segment plus the cumulative
+    incremental-conversions curve (the Qini numerator — treated
+    conversions minus exposure-scaled control conversions in rank
+    order).  Leak-free by the time split; a decreasing realized-uplift
+    sequence validates the targeting.
+
+    Scale shape: ONE conditionally-aggregated scan produces every
+    (segment, period, arm) cell; ranking and the cumulative curve are
+    windows over the 5-row segment frame.  All rates divide exact
+    integers — rank, curve, and flags are engine-exact."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        F.when(
+            F.col("ts") < F.lit("2024-01-16").cast("timestamp"), 0
+        )
+        .otherwise(1)
+        .alias("period"),
+        (F.col("user_id") % 2 == 0).cast("int").alias("treat"),
+        F.when(F.col("value") > 50, 1).otherwise(0).alias("conv"),
+    )
+    cells = base.groupBy("event_type", "period", "treat").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("conv").cast("long").alias("s"),
+    )
+
+    def cell(p, t, col):
+        return F.max(
+            F.when(
+                (F.col("period") == p) & (F.col("treat") == t), F.col(col)
+            )
+        )
+
+    seg = cells.groupBy("event_type").agg(
+        (
+            cell(0, 1, "s").cast("double") / cell(0, 1, "n")
+        ).alias("p_t0"),
+        (
+            cell(0, 0, "s").cast("double") / cell(0, 0, "n")
+        ).alias("p_c0"),
+        cell(1, 1, "n").alias("nt"),
+        cell(1, 1, "s").alias("st"),
+        cell(1, 0, "n").alias("nc"),
+        cell(1, 0, "s").alias("sc"),
+    )
+    ranked = seg.select(
+        "event_type",
+        F.round(F.col("p_t0") - F.col("p_c0"), 9).alias("uplift_hat"),
+        "nt", "st", "nc", "sc",
+    ).withColumn(
+        "rnk",
+        F.row_number().over(
+            Window.orderBy(F.desc("uplift_hat"), "event_type")
+        ),
+    )
+    w = Window.orderBy("rnk").rowsBetween(Window.unboundedPreceding, 0)
+    cum = ranked.select(
+        "*",
+        F.sum("st").over(w).alias("cst"),
+        F.sum("nt").over(w).alias("cnt_t"),
+        F.sum("sc").over(w).alias("csc"),
+        F.sum("nc").over(w).alias("cnt_c"),
+    )
+    return cum.select(
+        "event_type",
+        F.col("rnk").cast("long").alias("rnk"),
+        F.round("uplift_hat", 6).alias("uplift_hat"),
+        F.round(
+            F.col("st").cast("double") / F.col("nt")
+            - F.col("sc").cast("double") / F.col("nc"),
+            6,
+        ).alias("uplift_actual"),
+        F.round(
+            F.col("cst")
+            - F.col("csc").cast("double") * F.col("cnt_t") / F.col("cnt_c"),
+            6,
+        ).alias("cum_incremental"),
+    )
+
+
+@query(
+    "q_metric_decomposition",
+    oracle="""
+    WITH halves AS (
+        SELECT event_type,
+               CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 0 ELSE 1 END
+                   AS period,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(CAST(value AS DECIMAL(18,4))) AS s
+        FROM events GROUP BY event_type, period),
+    seg AS (
+        SELECT event_type,
+               MAX(CASE WHEN period = 0 THEN n END) AS n0,
+               MAX(CASE WHEN period = 1 THEN n END) AS n1,
+               CAST(MAX(CASE WHEN period = 0 THEN s END) AS DOUBLE)
+                   AS s0,
+               CAST(MAX(CASE WHEN period = 1 THEN s END) AS DOUBLE)
+                   AS s1
+        FROM halves GROUP BY event_type),
+    dec AS (
+        SELECT event_type, n0, n1, s0, s1,
+               s0 / n0 AS a0, s1 / n1 AS a1,
+               (n1 - n0) * (s0 / n0) AS volume_effect,
+               n1 * (s1 / n1 - s0 / n0) AS rate_effect
+        FROM seg),
+    tot AS (
+        SELECT SUM(CAST(ROUND(s1 - s0, 6) AS DECIMAL(28,6))) AS td
+        FROM dec)
+    SELECT event_type,
+           ROUND(s1 - s0, 6) AS delta,
+           ROUND(volume_effect, 6) AS volume_effect,
+           ROUND(rate_effect, 6) AS rate_effect,
+           ROUND((s1 - s0) / CAST(tot.td AS DOUBLE), 6)
+               AS share_of_total_delta
+    FROM dec CROSS JOIN tot
+    """,
+)
+def q_metric_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metric-delta root-cause decomposition: the period-over-period
+    revenue change per segment split into a VOLUME effect (event-count
+    change at the old per-event rate) and a RATE effect (per-event
+    value change at the new volume) — the "why did the metric move"
+    drill every metrics platform runs before anyone gets paged, with
+    each segment's share of the total delta.  volume + rate = delta
+    exactly (the standard two-factor decomposition identity).
+
+    Scale shape: ONE conditionally-aggregated scan to (segment,
+    period) cells; the decomposition and the 1-row total are scalar
+    algebra over the segment frame.  DECIMAL sums make every effect
+    engine-exact."""
+    ev = load_table(spark, sf_dir, "events")
+    halves = ev.groupBy(
+        "event_type",
+        F.when(F.col("ts") < F.lit("2024-01-16").cast("timestamp"), 0)
+        .otherwise(1)
+        .alias("period"),
+    ).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,4)")).alias("s"),
+    )
+
+    def cell(p, col):
+        return F.max(F.when(F.col("period") == p, F.col(col)))
+
+    seg = halves.groupBy("event_type").agg(
+        cell(0, "n").alias("n0"),
+        cell(1, "n").alias("n1"),
+        cell(0, "s").cast("double").alias("s0"),
+        cell(1, "s").cast("double").alias("s1"),
+    )
+    n0, n1, s0, s1 = (
+        F.col("n0"), F.col("n1"), F.col("s0"), F.col("s1"),
+    )
+    dec = seg.select(
+        "event_type",
+        "n0", "n1", "s0", "s1",
+        ((n1 - n0) * (s0 / n0)).alias("volume_effect"),
+        (n1 * (s1 / n1 - s0 / n0)).alias("rate_effect"),
+    )
+    wall = Window.partitionBy(F.lit(1))
+    tot = F.sum(
+        F.round(s1 - s0, 6).cast("decimal(28,6)")
+    ).over(wall)
+    return dec.select(
+        "event_type",
+        F.round(s1 - s0, 6).alias("delta"),
+        F.round("volume_effect", 6).alias("volume_effect"),
+        F.round("rate_effect", 6).alias("rate_effect"),
+        F.round((s1 - s0) / tot.cast("double"), 6).alias(
+            "share_of_total_delta"
+        ),
+    )

@@ -297,7 +297,8 @@ _R7_NEW: set[str] = {
     "q_simpson", "q_mediation", "q_stream_funnel", "q_anova",
     "q_dataset_card", "q_coreset", "q_overdispersion", "q_price_index",
     "q_kmeans", "q_icc_deff", "q_gaussian_mixture", "q_stream_mixture",
-    "q_learning_curve",
+    "q_learning_curve", "q_uplift", "q_metric_decomposition",
+    "q_cross_validation",
 }
 
 

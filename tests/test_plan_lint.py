@@ -112,6 +112,7 @@ _BNLJ_SCALAR_OK = {
     "q_stl_decompose",     # 1-row MAD threshold broadcast
     "q_learning_curve",    # inherits NB's class-grid/vocab scalars
                            # + a 1-row n_train attach per fraction
+    "q_cross_validation",  # same NB scalar attaches, one per fold
 }
 
 
