@@ -506,3 +506,87 @@ def test_distributed_scans_edge_cases(spark):
         for r in distributed_prefix_sum(ties, "k", "v").collect()
     )
     assert vals[-1] == 6
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=40),
+            st.integers(min_value=0, max_value=40),
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_cc_pointer_jump_equals_union_find_property(spark, edges):
+    """Pointer-jumping connected components must match a driver-side
+    union-find on arbitrary random graphs (self-loops, duplicates,
+    chains, stars — whatever hypothesis draws): every node labeled by
+    its component's minimum id."""
+    from clv_data_pipeline_spark.operators.density import cc_pointer_jump
+
+    parent: dict[int, int] = {}
+
+    def find(a):
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    nodes = set()
+    for a, b in edges:
+        nodes.update((a, b))
+    for v in nodes:
+        parent[v] = v
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {v: find(v) for v in nodes}
+
+    df = spark.createDataFrame(edges, "a long, b long")
+    got = {
+        r["node"]: r["cluster_id"]
+        for r in cc_pointer_jump(df, "a", "b").collect()
+    }
+    assert got == expected, (edges, got, expected)
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    pts=st.lists(
+        st.tuples(
+            st.floats(
+                min_value=-50, max_value=50,
+                allow_nan=False, allow_infinity=False,
+            ),
+            st.floats(
+                min_value=-50, max_value=50,
+                allow_nan=False, allow_infinity=False,
+            ),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_skyline_equals_brute_force_property(spark, pts):
+    """Bucket-pruned skyline must equal the textbook NOT EXISTS
+    domination check on arbitrary float point sets (including the
+    fractional min_col values the round-6 rangeBetween bug missed)."""
+    from clv_data_pipeline_spark.operators.skyline import skyline_2d
+
+    rows = [(i, x, y) for i, (x, y) in enumerate(pts)]
+    expected = sorted(
+        i
+        for i, x, y in rows
+        if not any(
+            (x2 <= x and y2 >= y and (x2 < x or y2 > y))
+            for _, x2, y2 in rows
+        )
+    )
+    df = spark.createDataFrame(rows, "id long, mn double, mx double")
+    got = sorted(
+        r["id"] for r in skyline_2d(df, "mn", "mx", n_buckets=8).collect()
+    )
+    assert got == expected, (rows, got, expected)
