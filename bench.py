@@ -230,6 +230,9 @@ HEADLINE = [
     "q_uplift",
     "q_metric_decomposition",
     "q_cross_validation",
+    "q_good_turing",
+    "q_heaps_law",
+    "q_capture_recapture",
 ]
 
 #: Frozen comparable subsets — apples-to-apples totals across rounds.

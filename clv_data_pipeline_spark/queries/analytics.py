@@ -7923,3 +7923,68 @@ def q_metric_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
             "share_of_total_delta"
         ),
     )
+
+
+@query(
+    "q_capture_recapture",
+    oracle="""
+    WITH caps AS (
+        SELECT user_id,
+               MAX(CASE WHEN ts < TIMESTAMP '2024-01-16'
+                   THEN 1 ELSE 0 END) AS c1,
+               MAX(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                   THEN 1 ELSE 0 END) AS c2
+        FROM events GROUP BY user_id),
+    s AS (
+        SELECT CAST(SUM(c1) AS DOUBLE) AS n1,
+               CAST(SUM(c2) AS DOUBLE) AS n2,
+               CAST(SUM(c1 * c2) AS DOUBLE) AS m,
+               CAST(COUNT(*) AS BIGINT) AS observed
+        FROM caps)
+    SELECT CAST(n1 AS BIGINT) AS n_first_half,
+           CAST(n2 AS BIGINT) AS n_second_half,
+           CAST(m AS BIGINT) AS n_both,
+           observed,
+           ROUND((n1 + 1) * (n2 + 1) / (m + 1) - 1, 6)
+               AS chapman_estimate,
+           ROUND(CAST(observed AS DOUBLE)
+                 / ((n1 + 1) * (n2 + 1) / (m + 1) - 1), 6)
+               AS coverage
+    FROM s
+    """,
+)
+def q_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capture-recapture population estimation (Chapman's
+    bias-corrected Lincoln-Petersen): the two halves of the window are
+    two 'captures' of the user population; the overlap estimates how
+    many users EXIST that the log never saw — the coverage question
+    behind "is our event pipeline dropping users" and dedup-corpus
+    population sizing, answered without any external census.  Reports
+    the Chapman estimate and observed/estimated coverage.
+
+    Scale shape: ONE user-keyed fold to per-user capture flags, one
+    1-row sufficient-stats aggregate — exact integers divided once."""
+    ev = load_table(spark, sf_dir, "events")
+    cut = F.lit("2024-01-16").cast("timestamp")
+    caps = ev.groupBy("user_id").agg(
+        F.max(F.when(F.col("ts") < cut, 1).otherwise(0)).alias("c1"),
+        F.max(F.when(F.col("ts") >= cut, 1).otherwise(0)).alias("c2"),
+    )
+    s = caps.agg(
+        F.sum("c1").cast("double").alias("n1"),
+        F.sum("c2").cast("double").alias("n2"),
+        F.sum(F.col("c1") * F.col("c2")).cast("double").alias("m"),
+        F.count("*").cast("long").alias("observed"),
+    )
+    n1, n2, m = F.col("n1"), F.col("n2"), F.col("m")
+    chapman = (n1 + 1) * (n2 + 1) / (m + 1) - 1
+    return s.select(
+        n1.cast("long").alias("n_first_half"),
+        n2.cast("long").alias("n_second_half"),
+        m.cast("long").alias("n_both"),
+        "observed",
+        F.round(chapman, 6).alias("chapman_estimate"),
+        F.round(
+            F.col("observed").cast("double") / chapman, 6
+        ).alias("coverage"),
+    )

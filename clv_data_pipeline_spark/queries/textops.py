@@ -17,6 +17,7 @@ from clv_data_pipeline_spark.functions.text import (
     fingerprint,
     lang_id,
     mean_word_length,
+    normalize_text,
     punct_ratio,
     quality_score,
     whitespace_token_count,
@@ -3668,4 +3669,259 @@ def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count("*"),
             6,
         ).alias("mean_quality"),
+    )
+
+
+
+#: DuckDB twin of the Spark tokenizer (normalize_text + split on space)
+#: — local copy for the corpus-statistics queries below.
+_TOKENIZE_SQL = (
+    "string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),"
+    " ' ')"
+)
+
+
+@query(
+    "q_good_turing",
+    oracle=f"""
+    WITH ts0 AS (
+        SELECT {_TOKENIZE_SQL} AS ts FROM documents),
+    toks AS (
+        SELECT unnest(list_transform(range(1, len(ts)),
+                   i -> ts[i] || ' ' || ts[i + 1])) AS term
+        FROM ts0 WHERE len(ts) >= 2),
+    tf AS (
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS r
+        FROM toks WHERE term NOT LIKE '%  %' GROUP BY term),
+    freqfreq AS (
+        SELECT r, CAST(COUNT(*) AS BIGINT) AS nr
+        FROM tf GROUP BY r),
+    tot AS (
+        SELECT CAST(SUM(r * nr) AS BIGINT) AS n_tokens,
+               CAST(SUM(nr) AS BIGINT) AS vocab
+        FROM freqfreq),
+    gt AS (
+        SELECT f.r, f.nr,
+               ROUND(CAST((f.r + 1) * COALESCE(f2.nr, 0) AS DOUBLE)
+                     / f.nr, 6) AS r_star
+        FROM freqfreq f
+        LEFT JOIN freqfreq f2 ON f2.r = f.r + 1
+        WHERE f.r <= 5)
+    SELECT gt.r, gt.nr, gt.r_star,
+           t.n_tokens, t.vocab,
+           ROUND(CAST((SELECT nr FROM freqfreq WHERE r = 1) AS DOUBLE)
+                 / t.n_tokens, 6) AS p_unseen
+    FROM gt CROSS JOIN tot t
+    """,
+)
+def q_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Good-Turing frequency-of-frequencies analysis over BIGRAMS:
+    the estimated probability mass of UNSEEN events (N1/N — how much
+    of the language this corpus has not yet captured, the coverage
+    number a corpus-growth decision needs) plus the adjusted counts
+    r* = (r+1)N_{{r+1}}/N_r for the rare-count rows LM smoothing
+    actually modifies.  Bigrams, not unigrams, because rare-event
+    mass lives in the combinatorial space (this corpus's unigram
+    vocabulary is fully saturated — every word is frequent — exactly
+    the regime where unigram Good-Turing degenerates to zero).
+    Pairs with q_zipf_fit (shape) and q_heaps_law (growth) as the
+    corpus-statistics triptych.
+
+    Scale shape: bigram counts fold corpus-wide (one shuffle), the
+    frequency-of-frequencies table is at most max-count rows, and the
+    r<=5 band the output keeps is 5 rows — all ratios are exact
+    integers divided once."""
+    d = load_table(spark, sf_dir, "documents")
+    ts = d.select(
+        F.split(normalize_text(F.col("text")), " ").alias("ts")
+    ).filter(F.size("ts") >= 2)
+    toks = ts.select(
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("ts"), 1, F.size("ts") - 1),
+                F.slice(F.col("ts"), 2, F.size("ts") - 1),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            )
+        ).alias("term")
+    ).filter(~F.col("term").contains("  "))
+    tf = toks.groupBy("term").agg(F.count("*").cast("long").alias("r"))
+    ff = tf.groupBy("r").agg(F.count("*").cast("long").alias("nr"))
+    tot = ff.agg(
+        F.sum(F.col("r") * F.col("nr")).cast("long").alias("n_tokens"),
+        F.sum("nr").cast("long").alias("vocab"),
+    )
+    n1 = ff.filter(F.col("r") == 1).select(
+        F.col("nr").alias("n1")
+    )
+    f2 = ff.select(F.col("r").alias("r2"), F.col("nr").alias("nr2"))
+    gt = (
+        ff.filter(F.col("r") <= 5)
+        .join(F.broadcast(f2), F.col("r2") == F.col("r") + 1, "left")
+        .select(
+            "r",
+            "nr",
+            F.round(
+                ((F.col("r") + 1) * F.coalesce(F.col("nr2"), F.lit(0)))
+                .cast("double")
+                / F.col("nr"),
+                6,
+            ).alias("r_star"),
+        )
+    )
+    return (
+        gt.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(n1))
+        .select(
+            "r",
+            "nr",
+            "r_star",
+            "n_tokens",
+            "vocab",
+            F.round(
+                F.col("n1").cast("double") / F.col("n_tokens"), 6
+            ).alias("p_unseen"),
+        )
+    )
+
+
+@query(
+    "q_heaps_law",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_TOKENIZE_SQL}) AS term
+        FROM documents),
+    firstdoc AS (
+        SELECT term, MIN(doc_id) AS fd
+        FROM toks WHERE term <> '' GROUP BY term),
+    ndocs AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM documents),
+    ranked AS (
+        SELECT doc_id,
+               CAST(ROW_NUMBER() OVER (ORDER BY doc_id) AS BIGINT)
+                   AS pos
+        FROM documents),
+    ck AS (
+        SELECT g.i AS decile, r.doc_id AS cut_doc,
+               CAST(r.pos AS BIGINT) AS n_docs
+        FROM range(1, 11) g(i)
+        JOIN ndocs n ON TRUE
+        JOIN ranked r
+          ON r.pos = CAST(FLOOR(g.i * n.nd / 10.0) AS BIGINT)),
+    dtok AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS ntok
+        FROM toks WHERE term <> '' GROUP BY doc_id),
+    cumtok AS (
+        SELECT ck.decile, ck.cut_doc, ck.n_docs,
+               CAST(SUM(d.ntok) AS BIGINT) AS n_tokens
+        FROM ck JOIN dtok d ON d.doc_id <= ck.cut_doc
+        GROUP BY ck.decile, ck.cut_doc, ck.n_docs),
+    vocabat AS (
+        SELECT ck.decile,
+               CAST(COUNT(*) AS BIGINT) AS vocab
+        FROM ck JOIN firstdoc f ON f.fd <= ck.cut_doc
+        GROUP BY ck.decile),
+    pts AS (
+        SELECT c.decile, c.n_docs, c.n_tokens, v.vocab,
+               ROUND(ln(c.n_tokens), 9) AS lx,
+               ROUND(ln(v.vocab), 9) AS ly
+        FROM cumtok c JOIN vocabat v ON v.decile = c.decile),
+    fit AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM(CAST(lx AS DECIMAL(18,9))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(ly AS DECIMAL(18,9))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(ROUND(lx * lx, 9) AS DECIMAL(28,9)))
+                    AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(ROUND(lx * ly, 9) AS DECIMAL(28,9)))
+                    AS DOUBLE) AS sxy
+        FROM pts)
+    SELECT p.decile, p.n_docs, p.n_tokens, p.vocab,
+           ROUND((f.n * f.sxy - f.sx * f.sy)
+                 / (f.n * f.sxx - f.sx * f.sx), 6) + 0.0 AS beta,
+           ROUND(exp((f.sy - (f.n * f.sxy - f.sx * f.sy)
+                      / (f.n * f.sxx - f.sx * f.sx) * f.sx) / f.n),
+                 6) AS k
+    FROM pts p CROSS JOIN fit f
+    """,
+)
+def q_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth: distinct vocabulary as a function
+    of cumulative tokens at ten document-order checkpoints, with the
+    log-log OLS fit V = k*N^beta — the growth-curve answer to "how
+    much NEW vocabulary does the next batch of data buy", next to
+    q_zipf_fit's frequency shape and q_good_turing's unseen mass.
+
+    Scale shape: each term contributes ONE (term, first-doc) row (the
+    q_ngram_novelty first-occurrence trick — never a per-checkpoint
+    distinct count over the corpus); checkpoints bound every later
+    join to 10 rows; ln terms round to 9 dp before DECIMAL sums so
+    the fitted exponent is engine-exact."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(normalize_text(F.col("text")), " ")).alias(
+            "term"
+        ),
+    ).filter(F.col("term") != "")
+    firstdoc = toks.groupBy("term").agg(F.min("doc_id").alias("fd"))
+    nd = d.count()
+    ranked = (
+        d.select("doc_id")
+        .withColumn(
+            "pos",
+            F.row_number().over(Window.orderBy("doc_id")).cast("long"),
+        )
+    )
+    cuts = [int(i * nd / 10.0) for i in range(1, 11)]
+    ck = (
+        ranked.filter(F.col("pos").isin(cuts))
+        .select(
+            (F.col("pos") * 10 / nd).cast("long").alias("decile"),
+            F.col("doc_id").alias("cut_doc"),
+            F.col("pos").alias("n_docs"),
+        )
+    )
+    dtok = toks.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("ntok")
+    )
+    cumtok = (
+        ck.join(dtok, dtok["doc_id"] <= ck["cut_doc"])
+        .groupBy("decile", "cut_doc", "n_docs")
+        .agg(F.sum("ntok").cast("long").alias("n_tokens"))
+    )
+    vocabat = (
+        ck.join(firstdoc, firstdoc["fd"] <= ck["cut_doc"])
+        .groupBy("decile")
+        .agg(F.count("*").cast("long").alias("vocab"))
+    )
+    pts = cumtok.join(vocabat, "decile").select(
+        "decile",
+        "n_docs",
+        "n_tokens",
+        "vocab",
+        F.round(F.log("n_tokens"), 9).alias("lx"),
+        F.round(F.log("vocab"), 9).alias("ly"),
+    )
+    fit = pts.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(F.col("lx").cast("decimal(18,9)")).cast("double").alias("sx"),
+        F.sum(F.col("ly").cast("decimal(18,9)")).cast("double").alias("sy"),
+        F.sum(F.round(F.col("lx") * F.col("lx"), 9).cast("decimal(28,9)"))
+        .cast("double")
+        .alias("sxx"),
+        F.sum(F.round(F.col("lx") * F.col("ly"), 9).cast("decimal(28,9)"))
+        .cast("double")
+        .alias("sxy"),
+    )
+    n, sx, sy, sxx, sxy = (
+        F.col("n"), F.col("sx"), F.col("sy"), F.col("sxx"), F.col("sxy"),
+    )
+    beta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return pts.crossJoin(F.broadcast(fit)).select(
+        "decile",
+        "n_docs",
+        "n_tokens",
+        "vocab",
+        # + 0.0 canonicalizes a -0.0 slope (saturated vocabulary at
+        # tiny SF) to +0.0 on both engines
+        (F.round(beta, 6) + F.lit(0.0)).alias("beta"),
+        F.round(F.exp((sy - beta * sx) / n), 6).alias("k"),
     )

@@ -298,7 +298,8 @@ _R7_NEW: set[str] = {
     "q_dataset_card", "q_coreset", "q_overdispersion", "q_price_index",
     "q_kmeans", "q_icc_deff", "q_gaussian_mixture", "q_stream_mixture",
     "q_learning_curve", "q_uplift", "q_metric_decomposition",
-    "q_cross_validation",
+    "q_cross_validation", "q_good_turing", "q_heaps_law",
+    "q_capture_recapture",
 }
 
 

@@ -113,6 +113,7 @@ _BNLJ_SCALAR_OK = {
     "q_learning_curve",    # inherits NB's class-grid/vocab scalars
                            # + a 1-row n_train attach per fraction
     "q_cross_validation",  # same NB scalar attaches, one per fold
+    "q_heaps_law",         # 10-row checkpoint-grid containment sweep
 }
 
 
