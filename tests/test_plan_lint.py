@@ -114,6 +114,7 @@ _BNLJ_SCALAR_OK = {
                            # + a 1-row n_train attach per fraction
     "q_cross_validation",  # same NB scalar attaches, one per fold
     "q_heaps_law",         # 10-row checkpoint-grid containment sweep
+    "q_good_turing",       # two 1-row corpus-total attaches
 }
 
 
