@@ -487,3 +487,86 @@ def test_dedup_admission_sink_admits_first_seen_only(spark, tmp_path):
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {admitted_table}")
         spark.sql(f"DROP TABLE IF EXISTS {index_table}")
+
+
+def test_dedup_admission_sink_replay_is_idempotent(spark):
+    """Structured Streaming replays a micro-batch after any crash
+    inside the trigger; both of the sink's appends must be idempotent
+    on plain parquet (ADVICE r6 #4).  Covers full replay (crash after
+    both appends) AND the partial-crash window (admitted landed, index
+    append lost): the replay must not duplicate admitted rows and must
+    still land the batch's fingerprints."""
+    import uuid
+
+    from clv_data_pipeline_spark.streaming.ingest import (
+        dedup_admission_sink,
+    )
+
+    suffix = uuid.uuid4().hex[:8]
+    index_table = f"t_replay_idx_{suffix}"
+    admitted_table = f"t_replay_adm_{suffix}"
+    sink = dedup_admission_sink(index_table, admitted_table)
+    schema = "doc_id long, text string"
+    batch = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "alpha")], schema
+    )
+    try:
+        sink(batch, 0)
+        adm1 = sorted(
+            r["doc_id"] for r in spark.table(admitted_table).collect()
+        )
+        idx1 = spark.table(index_table).count()
+        assert adm1 == [1, 2] and idx1 == 2
+
+        # full replay: crash after both appends -> rerun changes nothing
+        sink(batch, 0)
+        assert sorted(
+            r["doc_id"] for r in spark.table(admitted_table).collect()
+        ) == [1, 2]
+        assert spark.table(index_table).count() == 2
+
+        # partial crash: admitted landed but the index append was lost
+        spark.sql(f"DROP TABLE {index_table}")
+        sink(batch, 0)
+        assert sorted(
+            r["doc_id"] for r in spark.table(admitted_table).collect()
+        ) == [1, 2], "replay after partial crash duplicated admissions"
+        assert spark.table(index_table).count() == 2, (
+            "replay after partial crash must still land fingerprints"
+        )
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {admitted_table}")
+        spark.sql(f"DROP TABLE IF EXISTS {index_table}")
+
+
+def test_substring_audit_sink_replay_is_idempotent(spark):
+    """Same replay contract for the substring-audit sink: per-doc
+    stats rows must not duplicate under batch replay, and the gram
+    index must converge to the same state."""
+    import uuid
+
+    from clv_data_pipeline_spark.streaming.ingest import (
+        substring_audit_sink,
+    )
+
+    suffix = uuid.uuid4().hex[:8]
+    index_table = f"t_sub_idx_{suffix}"
+    out_table = f"t_sub_out_{suffix}"
+    words = " ".join(f"w{i}" for i in range(60))
+    sink = substring_audit_sink(index_table, out_table, window=50)
+    schema = "doc_id long, text string"
+    batch = spark.createDataFrame(
+        [(1, words), (2, words + " tail")], schema
+    )
+    try:
+        sink(batch, 0)
+        n_out = spark.table(out_table).count()
+        n_idx = spark.table(index_table).count()
+        assert n_out == 2 and n_idx > 0
+
+        sink(batch, 0)  # full replay
+        assert spark.table(out_table).count() == n_out
+        assert spark.table(index_table).count() == n_idx
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {out_table}")
+        spark.sql(f"DROP TABLE IF EXISTS {index_table}")
