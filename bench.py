@@ -233,6 +233,7 @@ HEADLINE = [
     "q_good_turing",
     "q_heaps_law",
     "q_capture_recapture",
+    "q_markov_ltv",
 ]
 
 #: Frozen comparable subsets — apples-to-apples totals across rounds.

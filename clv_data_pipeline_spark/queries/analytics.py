@@ -7988,3 +7988,204 @@ def q_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("observed").cast("double") / chapman, 6
         ).alias("coverage"),
     )
+
+
+_MLTV_PERIODS = 3
+_MLTV_GAMMA = "0.9"  # per-period discount, literal on both engines
+
+
+@query(
+    "q_markov_ltv",
+    oracle=f"""
+    WITH u AS MATERIALIZED (
+        SELECT user_id,
+               CAST(SUM(CASE WHEN event_type = 'purchase'
+                        AND ts < TIMESTAMP '2024-01-16'
+                        THEN 1 ELSE 0 END) AS BIGINT) AS p1,
+               CAST(SUM(CASE WHEN event_type = 'purchase'
+                        AND ts >= TIMESTAMP '2024-01-16'
+                        THEN 1 ELSE 0 END) AS BIGINT) AS p2,
+               SUM(CASE WHEN event_type = 'purchase'
+                   AND ts >= TIMESTAMP '2024-01-16'
+                   THEN CAST(value AS DECIMAL(18,4))
+                   ELSE CAST(0 AS DECIMAL(18,4)) END) AS r2
+        FROM events GROUP BY user_id),
+    cuts AS (
+        SELECT (SELECT ROUND(CAST(quantile_cont(p1, 0.5) AS DOUBLE), 6)
+                FROM u WHERE p1 > 0) AS m1,
+               (SELECT ROUND(CAST(quantile_cont(p2, 0.5) AS DOUBLE), 6)
+                FROM u WHERE p2 > 0) AS m2),
+    tagged AS MATERIALIZED (
+        SELECT CASE WHEN p1 = 0 THEN 'none'
+                    WHEN p1 > m1 THEN 'high' ELSE 'low' END
+                   AS from_segment,
+               CASE WHEN p2 = 0 THEN 'none'
+                    WHEN p2 > m2 THEN 'high' ELSE 'low' END
+                   AS to_segment,
+               r2
+        FROM u CROSS JOIN cuts),
+    p AS MATERIALIZED (
+        SELECT from_segment, to_segment,
+               ROUND(CAST(COUNT(*) AS DOUBLE)
+                     / SUM(COUNT(*)) OVER (PARTITION BY from_segment),
+                     9) AS share
+        FROM tagged GROUP BY from_segment, to_segment),
+    rev AS MATERIALIZED (
+        SELECT to_segment AS seg,
+               ROUND(CAST(SUM(r2) AS DOUBLE) / COUNT(*), 9) AS rev
+        FROM tagged GROUP BY to_segment),
+    v1 AS MATERIALIZED (
+        SELECT p.from_segment AS seg,
+               ROUND(CAST(SUM(CAST(ROUND(p.share * r.rev, 9)
+                    AS DECIMAL(28,9))) AS DOUBLE), 9) AS v
+        FROM p JOIN rev r ON r.seg = p.to_segment
+        GROUP BY p.from_segment),
+    v2 AS MATERIALIZED (
+        SELECT p.from_segment AS seg,
+               ROUND(CAST(SUM(CAST(ROUND(p.share * r.v, 9)
+                    AS DECIMAL(28,9))) AS DOUBLE), 9) AS v
+        FROM p JOIN v1 r ON r.seg = p.to_segment
+        GROUP BY p.from_segment),
+    v3 AS MATERIALIZED (
+        SELECT p.from_segment AS seg,
+               ROUND(CAST(SUM(CAST(ROUND(p.share * r.v, 9)
+                    AS DECIMAL(28,9))) AS DOUBLE), 9) AS v
+        FROM p JOIN v2 r ON r.seg = p.to_segment
+        GROUP BY p.from_segment),
+    n AS (
+        SELECT from_segment AS seg, CAST(COUNT(*) AS BIGINT) AS n_users
+        FROM tagged GROUP BY from_segment)
+    SELECT n.seg AS segment, n.n_users,
+           ROUND(v1.v, 6) AS rev_p1,
+           ROUND(v2.v, 6) AS rev_p2,
+           ROUND(v3.v, 6) AS rev_p3,
+           ROUND(v1.v + CAST('{_MLTV_GAMMA}' AS DOUBLE) * v2.v
+                 + CAST('{_MLTV_GAMMA}' AS DOUBLE)
+                   * CAST('{_MLTV_GAMMA}' AS DOUBLE) * v3.v, 6)
+               AS ltv_3p
+    FROM n
+    JOIN v1 ON v1.seg = n.seg
+    JOIN v2 ON v2.seg = n.seg
+    JOIN v3 ON v3.seg = n.seg
+    """,
+)
+def q_markov_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov-chain LTV projection — the model q_segment_migration's
+    empirical transition matrix exists to feed: per current activity
+    tier (high/low/none), expected revenue one, two, and three
+    periods out under the observed migration dynamics (v_k = P^k *
+    rev), plus the {_MLTV_GAMMA}-discounted 3-period LTV.  The
+    discrete-state complement to the parametric BG/NBD lifetime model
+    — no distributional assumption, just the chain the data already
+    exhibits (Pfeifer & Carraway 2000's customer-relationship Markov
+    model).
+
+    Scale shape: one user-keyed conditional scan builds both periods'
+    counts AND second-half revenue; the transition matrix, reward
+    vector, and all three propagation steps live on <=9-cell frames
+    (matrix-vector products as join+group-by with 9 dp-rounded terms
+    in DECIMAL sums) — the whole projection trajectory is
+    hash-verified."""
+    ev = load_table(spark, sf_dir, "events")
+    cut = F.lit("2024-01-16").cast("timestamp")
+    is_p = F.col("event_type") == "purchase"
+    u = ev.groupBy("user_id").agg(
+        F.sum(F.when(is_p & (F.col("ts") < cut), 1).otherwise(0))
+        .cast("long")
+        .alias("p1"),
+        F.sum(F.when(is_p & (F.col("ts") >= cut), 1).otherwise(0))
+        .cast("long")
+        .alias("p2"),
+        F.sum(
+            F.when(
+                is_p & (F.col("ts") >= cut),
+                F.col("value").cast("decimal(18,4)"),
+            ).otherwise(F.lit(0).cast("decimal(18,4)"))
+        ).alias("r2"),
+    ).localCheckpoint()
+    m1 = u.filter(F.col("p1") > 0).agg(
+        F.round(F.percentile("p1", 0.5), 6).alias("m1")
+    )
+    m2 = u.filter(F.col("p2") > 0).agg(
+        F.round(F.percentile("p2", 0.5), 6).alias("m2")
+    )
+    tagged = (
+        u.crossJoin(F.broadcast(m1))
+        .crossJoin(F.broadcast(m2))
+        .select(
+            F.when(F.col("p1") == 0, "none")
+            .when(F.col("p1") > F.col("m1"), "high")
+            .otherwise("low")
+            .alias("from_segment"),
+            F.when(F.col("p2") == 0, "none")
+            .when(F.col("p2") > F.col("m2"), "high")
+            .otherwise("low")
+            .alias("to_segment"),
+            "r2",
+        )
+        .localCheckpoint()
+    )
+    wfrom = Window.partitionBy("from_segment")
+    p_rows = (
+        tagged.groupBy("from_segment", "to_segment")
+        .agg(F.count("*").alias("n"))
+        .select(
+            "from_segment",
+            "to_segment",
+            F.round(
+                F.col("n").cast("double") / F.sum("n").over(wfrom), 9
+            ).alias("share"),
+        )
+        .collect()
+    )
+    rev_rows = (
+        tagged.groupBy("to_segment")
+        .agg(
+            F.round(
+                F.sum("r2").cast("double") / F.count("*"), 9
+            ).alias("rev")
+        )
+        .collect()
+    )
+    n_rows = (
+        tagged.groupBy("from_segment")
+        .agg(F.count("*").cast("long").alias("n_users"))
+        .collect()
+    )
+    P = {(r["from_segment"], r["to_segment"]): r["share"] for r in p_rows}
+    segs = sorted({a for a, _ in P})
+    v = {r["to_segment"]: r["rev"] for r in rev_rows}
+    gamma = float(_MLTV_GAMMA)
+
+    def step(vec):
+        out = {}
+        for a in segs:
+            units = sum(
+                int(round(round(P[(a, b)] * vec.get(b, 0.0), 9) * 1e9))
+                for b in sorted(
+                    bb for (aa, bb) in P if aa == a
+                )
+            )
+            out[a] = round(units / 1e9, 9)
+        return out
+
+    v1 = step(v)
+    v2 = step(v1)
+    v3 = step(v2)
+    nmap = {r["from_segment"]: int(r["n_users"]) for r in n_rows}
+    rows = [
+        (
+            s,
+            nmap[s],
+            round(v1[s], 6),
+            round(v2[s], 6),
+            round(v3[s], 6),
+            round(v1[s] + gamma * v2[s] + gamma * gamma * v3[s], 6),
+        )
+        for s in segs
+    ]
+    return spark.createDataFrame(
+        rows,
+        "segment string, n_users long, rev_p1 double, rev_p2 double, "
+        "rev_p3 double, ltv_3p double",
+    )
