@@ -234,6 +234,8 @@ HEADLINE = [
     "q_heaps_law",
     "q_capture_recapture",
     "q_markov_ltv",
+    "q_hhi",
+    "q_evalue",
 ]
 
 #: Frozen comparable subsets — apples-to-apples totals across rounds.

@@ -7255,7 +7255,7 @@ def q_overdispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH li AS (
         SELECT l.l_partkey AS pk,
-               CASE WHEN o.o_orderdate <  TIMESTAMP '2024-01-16'
+               CASE WHEN o.o_orderdate <  TIMESTAMP '1998-07-01'
                     THEN 0 ELSE 1 END AS period,
                CAST(l.l_quantity AS DECIMAL(18,2)) AS q,
                CAST(l.l_extendedprice AS DOUBLE)
@@ -7310,7 +7310,7 @@ def q_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").select(
         F.col("o_orderkey").alias("l_orderkey"),
         F.when(
-            F.col("o_orderdate") < F.lit("2024-01-16").cast("timestamp"), 0
+            F.col("o_orderdate") < F.lit("1998-07-01").cast("timestamp"), 0
         )
         .otherwise(1)
         .alias("period"),
@@ -8188,4 +8188,171 @@ def q_markov_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows,
         "segment string, n_users long, rev_p1 double, rev_p2 double, "
         "rev_p3 double, ltv_3p double",
+    )
+
+
+@query(
+    "q_hhi",
+    oracle="""
+    WITH li AS (
+        SELECT p.p_brand AS brand,
+               CASE WHEN o.o_orderdate < TIMESTAMP '1998-07-01'
+                    THEN 0 ELSE 1 END AS period,
+               CAST(l.l_extendedprice AS DECIMAL(18,2)) AS rev
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN part p ON p.p_partkey = l.l_partkey),
+    b AS (
+        SELECT period, brand, SUM(rev) AS rev
+        FROM li GROUP BY period, brand),
+    s AS (
+        SELECT period, brand,
+               ROUND(CAST(rev AS DOUBLE)
+                     / CAST(SUM(rev) OVER (PARTITION BY period)
+                            AS DOUBLE), 9) AS share
+        FROM b),
+    h AS (
+        SELECT period,
+               CAST(COUNT(*) AS BIGINT) AS n_brands,
+               ROUND(CAST(SUM(CAST(ROUND(share * share * 10000, 9)
+                    AS DECIMAL(28,9))) AS DOUBLE), 6) AS hhi
+        FROM s GROUP BY period)
+    SELECT period, n_brands, hhi,
+           CASE WHEN hhi < 1500 THEN 'competitive'
+                WHEN hhi < 2500 THEN 'moderate'
+                ELSE 'concentrated' END AS regime
+    FROM h
+    """,
+)
+def q_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman revenue concentration per period — the
+    antitrust-grade market-structure number (sum of squared shares,
+    scaled to the conventional 0-10000 points, with the DOJ regime
+    bands): is brand revenue diversifying or concentrating between
+    the window's halves?  The distribution-shape complement to
+    q_lorenz_gini's customer-side concentration.
+
+    Scale shape: one fact-fact join + one (period, brand)-keyed
+    DECIMAL aggregation; shares and the squared-share sums live on
+    the brand-bounded frame (terms round to 9 dp before DECIMAL
+    sums)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"),
+        F.when(
+            F.col("o_orderdate") < F.lit("1998-07-01").cast("timestamp"), 0
+        )
+        .otherwise(1)
+        .alias("period"),
+    )
+    p = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"),
+        F.col("p_brand").alias("brand"),
+    )
+    b = (
+        li.join(o, "l_orderkey")
+        .join(F.broadcast(p), "l_partkey")
+        .groupBy("period", "brand")
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias(
+                "rev"
+            )
+        )
+    )
+    wp = Window.partitionBy("period")
+    s = b.select(
+        "period",
+        "brand",
+        F.round(
+            F.col("rev").cast("double")
+            / F.sum("rev").over(wp).cast("double"),
+            9,
+        ).alias("share"),
+    )
+    h = s.groupBy("period").agg(
+        F.count("*").cast("long").alias("n_brands"),
+        F.round(
+            F.sum(
+                F.round(
+                    F.col("share") * F.col("share") * 10000, 9
+                ).cast("decimal(28,9)")
+            ).cast("double"),
+            6,
+        ).alias("hhi"),
+    )
+    return h.select(
+        "period",
+        "n_brands",
+        "hhi",
+        F.when(F.col("hhi") < 1500, "competitive")
+        .when(F.col("hhi") < 2500, "moderate")
+        .otherwise("concentrated")
+        .alias("regime"),
+    )
+
+
+@query(
+    "q_evalue",
+    oracle="""
+    WITH arms AS (
+        SELECT CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+                    AS DOUBLE) AS nt,
+               CAST(SUM(CASE WHEN user_id % 2 = 0 AND value > 50
+                    THEN 1 ELSE 0 END) AS DOUBLE) AS st,
+               CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
+                    AS DOUBLE) AS nc,
+               CAST(SUM(CASE WHEN user_id % 2 = 1 AND value > 50
+                    THEN 1 ELSE 0 END) AS DOUBLE) AS sc
+        FROM events),
+    rrr AS (
+        SELECT CAST(nt AS BIGINT) AS n_treat,
+               CAST(nc AS BIGINT) AS n_ctrl,
+               ROUND(st / nt, 6) AS rate_treat,
+               ROUND(sc / nc, 6) AS rate_ctrl,
+               CASE WHEN st / nt >= sc / nc
+                    THEN (st / nt) / (sc / nc)
+                    ELSE (sc / nc) / (st / nt) END AS rr
+        FROM arms)
+    SELECT n_treat, n_ctrl, rate_treat, rate_ctrl,
+           ROUND(rr, 6) AS risk_ratio,
+           ROUND(rr + sqrt(rr * (rr - 1)), 6) AS e_value
+    FROM rrr
+    """,
+)
+def q_evalue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E-value sensitivity analysis (VanderWeele & Ding 2017): how
+    strong would an UNMEASURED confounder have to be — on the
+    risk-ratio scale, with both the treatment and the outcome — to
+    explain away the observed effect entirely?  E = RR + sqrt(RR(RR-1))
+    on the effect direction's risk ratio.  The robustness stamp every
+    observational estimate on the causal shelf (q_stratified_ate,
+    q_propensity_matching, q_iv_2sls's reduced form) should carry:
+    an E-value near 1 means a whisper of confounding kills the
+    finding.
+
+    Scale shape: ONE conditionally-aggregated scan to four integers,
+    then 1-row closed-form scalar algebra (sqrt is IEEE-exact)."""
+    ev = load_table(spark, sf_dir, "events")
+    treat = F.col("user_id") % 2 == 0
+    conv = F.col("value") > 50
+    arms = ev.agg(
+        F.sum(F.when(treat, 1).otherwise(0)).cast("double").alias("nt"),
+        F.sum(F.when(treat & conv, 1).otherwise(0))
+        .cast("double")
+        .alias("st"),
+        F.sum(F.when(~treat, 1).otherwise(0)).cast("double").alias("nc"),
+        F.sum(F.when((~treat) & conv, 1).otherwise(0))
+        .cast("double")
+        .alias("sc"),
+    )
+    nt, st, nc, sc = F.col("nt"), F.col("st"), F.col("nc"), F.col("sc")
+    rt, rc = st / nt, sc / nc
+    rr = F.when(rt >= rc, rt / rc).otherwise(rc / rt)
+    return arms.select(
+        nt.cast("long").alias("n_treat"),
+        nc.cast("long").alias("n_ctrl"),
+        F.round(rt, 6).alias("rate_treat"),
+        F.round(rc, 6).alias("rate_ctrl"),
+        F.round(rr, 6).alias("risk_ratio"),
+        F.round(rr + F.sqrt(rr * (rr - 1)), 6).alias("e_value"),
     )

@@ -299,7 +299,7 @@ _R7_NEW: set[str] = {
     "q_kmeans", "q_icc_deff", "q_gaussian_mixture", "q_stream_mixture",
     "q_learning_curve", "q_uplift", "q_metric_decomposition",
     "q_cross_validation", "q_good_turing", "q_heaps_law",
-    "q_capture_recapture", "q_markov_ltv",
+    "q_capture_recapture", "q_markov_ltv", "q_hhi", "q_evalue",
 }
 
 
