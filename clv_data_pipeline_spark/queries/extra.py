@@ -204,13 +204,19 @@ def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_anti_join",
     oracle="""
     SELECT c_custkey, c_name FROM customer
-    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                            WHERE o_orderpriority = '1-URGENT')
     """,
 )
 def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left-anti join (NOT EXISTS): customers with no orders."""
+    """Left-anti join (NOT EXISTS): customers with no URGENT-priority
+    order.  The urgent filter keeps the result non-empty on the
+    driver testdata (every customer has SOME order, so the unfiltered
+    form verified anti-join semantics only vacuously — 0 == 0)."""
     c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
     return c.join(
         o, c.c_custkey == o.o_custkey, "left_anti"
     ).select("c_custkey", "c_name")
