@@ -219,10 +219,7 @@ _R6_VERIFIED: frozenset[str] = frozenset(
     }
 )
 
-_VERIFIED: frozenset[str] = (
-    _R1_VERIFIED | _R2_VERIFIED | _R3_VERIFIED | _R4_VERIFIED
-    | _R5_VERIFIED | _R6_VERIFIED
-)
+_VERIFIED: frozenset[str]  # assigned below _R7_VERIFIED
 
 #: Queries REGISTERED during round 5 itself.  VERDICT r4's top ask is
 #: that the 41 registered-but-never-driver-sampled round-4 names all
@@ -303,20 +300,73 @@ _R7_NEW: set[str] = {
 }
 
 
+#: Queries the driver checked in round 7 (``CORRECTNESS_r07.json``):
+#: all 50 sampled names hash-green, 0 errors — the first fully-clean
+#: driver sample since round 4.  Folding them in points round 8's
+#: budget at the 44 registrations the driver has never seen plus the
+#: graduated-but-stale re-sample tier below.
+_R7_VERIFIED: frozenset[str] = frozenset(
+    {
+        "q_ndcg", "q_jl_projection", "q_geometric_median", "q_modularity",
+        "q_observe", "q_binary_ingest", "q_freshness", "q_lift_curve",
+        "q_holt_winters", "q_markov_attribution", "q_interval_join",
+        "q_range_window", "q_bradley_terry", "q_logreg", "q_skyline",
+        "q_null_safe_join", "q_adaboost_stumps", "q_label_noise",
+        "q_lm_generate", "q_dp_quantiles", "q_mahalanobis", "q_msprt",
+        "q_ridge", "q_woe_iv", "q_did", "q_shapley_attribution",
+        "q_conformal", "q_changepoint", "q_item_cf", "q_srm",
+        "q_power_analysis", "q_stratified_ate", "q_ucb_bandit",
+        "q_ipf_raking", "q_active_learning", "q_spearman", "q_tail_index",
+        "q_segment_migration", "q_price_elasticity", "q_offpolicy_eval",
+        "q_growth_accounting", "q_threshold_tuning", "q_wasserstein",
+        "q_covariate_balance", "q_qte", "q_experiment_readout",
+        "q_abc_analysis", "q_causal_impact", "q_stream_drift",
+        "q_word_vectors",
+    }
+)
+
+#: Queries that GRADUATED from rows-only to oracle-backed after their
+#: last driver sample (VERDICT r7 "what's missing" item 2): the driver
+#: row on file is a weak rows-only check but the registry now carries a
+#: full oracle.  They re-sample ahead of every verified tier (but
+#: behind the never-sampled backlog) so CORRECTNESS_r08 records the
+#: hash-match.  Listed in judge-priority order — the driver budget cuts
+#: from the back.
+_GRADUATED_STALE: tuple[str, ...] = (
+    "q_csv_roundtrip", "q_jsonl_roundtrip", "q_orc_roundtrip",
+    "q_isotonic_calibration", "q_mmr_diversify", "q_minhash_candidates",
+    "q_minhash_clusters", "q_approx_distinct", "q_approx_percentiles",
+    "q_hll_merge", "q_pca_variance",
+)
+
+_VERIFIED = (
+    _R1_VERIFIED | _R2_VERIFIED | _R3_VERIFIED | _R4_VERIFIED
+    | _R5_VERIFIED | _R6_VERIFIED | _R7_VERIFIED
+)
+
+#: Queries REGISTERED during round 8.  VERDICT r7's top ask: the 44
+#: never-sampled + 11 graduated-stale names must fill CORRECTNESS_r08
+#: first (55 names vs a ~50-row budget) — round-8 additions sort behind
+#: both backlogs within tier 0 and take their driver row in round 9.
+_R8_NEW: set[str] = set()
+
+
 def _ordered_names() -> list[str]:
     """Registration order tiered by driver-verification staleness.
 
     The driver's per-round oracle budget covers ~50 names in dict
-    order, so ordering is scheduling.  Round 4's front of the queue =
-    never-driver-checked queries (new this round), then the round-1
-    cohort (their rows are now two rounds stale), then round-2, with
-    the just-verified round-3 cohort at the back.  A name's tier is the
-    LATEST round that sampled it, so nothing re-verifies ahead of
-    something staler."""
+    order, so ordering is scheduling.  Round 8's front of the queue =
+    the 44 never-driver-checked registrations, then the
+    graduated-but-stale re-sample tier, then verified cohorts oldest
+    first.  A name's tier is the LATEST round that sampled it, so
+    nothing re-verifies ahead of something staler."""
     names = list(_REGISTRY)
+    graduated_rank = {n: i for i, n in enumerate(_GRADUATED_STALE)}
     tier = {}
     for n in names:
-        if n in _R6_VERIFIED:
+        if n in _R7_VERIFIED:
+            tier[n] = 7
+        elif n in _R6_VERIFIED:
             tier[n] = 6
         elif n in _R5_VERIFIED:
             tier[n] = 5
@@ -330,6 +380,8 @@ def _ordered_names() -> list[str]:
             tier[n] = 1
         else:
             tier[n] = 0  # never sampled — always first
+        if n in graduated_rank and tier[n] > 0:
+            tier[n] = 0.5  # stale rows-only driver row + fresh oracle
     order = {n: i for i, n in enumerate(names)}
     # Within a staleness tier, oracle-checked names outrank rows-only
     # ones: an oracle row is a hash-verified result, a rows-only row
@@ -339,7 +391,8 @@ def _ordered_names() -> list[str]:
         names,
         key=lambda n: (
             tier[n],
-            1 if (tier[n] == 0 and n in _R7_NEW) else 0,
+            1 if (tier[n] == 0 and n in _R8_NEW) else 0,
+            graduated_rank.get(n, 0),
             0 if _REGISTRY[n].oracle is not None else 1,
             order[n],
         ),
