@@ -7659,7 +7659,8 @@ def q_stream_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     ev = load_table(spark, sf_dir, "events").select("ts", "value")
-    src = tempfile.mkdtemp(prefix="q_stream_gmm_") + "/arrivals"
+    src_root = tempfile.mkdtemp(prefix="q_stream_gmm_")
+    src = src_root + "/arrivals"
     cuts = ("2024-01-11", "2024-01-21")
     slices = (
         ev.filter(F.col("ts") < cuts[0]),
@@ -7688,6 +7689,7 @@ def q_stream_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(300)
     shutil.rmtree(ckpt, ignore_errors=True)
+    shutil.rmtree(src_root, ignore_errors=True)
     hist = spark.table(target_table).collect()
     spark.sql(f"DROP TABLE IF EXISTS {target_table}")
     bins = [((r["bin"] + 0.5) * 2.0, int(r["cnt"])) for r in hist]

@@ -1430,7 +1430,8 @@ def q_stream_assign_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select("doc_id")
     n = d.count()
     c1, c2 = n // 3, (2 * n) // 3
-    src = tempfile.mkdtemp(prefix="q_stream_ids_") + "/arrivals"
+    src_root = tempfile.mkdtemp(prefix="q_stream_ids_")
+    src = src_root + "/arrivals"
     slices = (
         d.filter(F.col("doc_id") < c1),
         d.filter((F.col("doc_id") >= c1) & (F.col("doc_id") < c2)),
@@ -1455,6 +1456,7 @@ def q_stream_assign_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(300)
     shutil.rmtree(ckpt, ignore_errors=True)
+    shutil.rmtree(src_root, ignore_errors=True)
     out = (
         spark.table(target_table)
         .select("doc_id", "new_id")
@@ -1508,7 +1510,8 @@ def q_stream_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     ev = load_table(spark, sf_dir, "events").select("ts", "value")
-    src = tempfile.mkdtemp(prefix="q_stream_q_") + "/arrivals"
+    src_root = tempfile.mkdtemp(prefix="q_stream_q_")
+    src = src_root + "/arrivals"
     cuts = ("2024-01-11", "2024-01-21")
     slices = (
         ev.filter(F.col("ts") < cuts[0]),
@@ -1536,6 +1539,7 @@ def q_stream_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(300)
     shutil.rmtree(ckpt, ignore_errors=True)
+    shutil.rmtree(src_root, ignore_errors=True)
     hist = spark.table(target_table)
     from pyspark.sql.window import Window as W
 
@@ -1904,7 +1908,8 @@ def q_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from clv_data_pipeline_spark.streaming.ingest import count_merge_sink
 
     ev = load_table(spark, sf_dir, "events").select("ts", "user_id")
-    src = tempfile.mkdtemp(prefix="q_stream_topk_") + "/arrivals"
+    src_root = tempfile.mkdtemp(prefix="q_stream_topk_")
+    src = src_root + "/arrivals"
     cuts = ("2024-01-11", "2024-01-21")
     slices = (
         ev.filter(F.col("ts") < cuts[0]),
@@ -1930,6 +1935,7 @@ def q_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(300)
     shutil.rmtree(ckpt, ignore_errors=True)
+    shutil.rmtree(src_root, ignore_errors=True)
     from pyspark.sql.window import Window as W
 
     state = spark.table(target_table)
@@ -1986,7 +1992,8 @@ def q_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "ts", "user_id", "event_type"
     )
-    src = tempfile.mkdtemp(prefix="q_stream_funnel_") + "/arrivals"
+    src_root = tempfile.mkdtemp(prefix="q_stream_funnel_")
+    src = src_root + "/arrivals"
     cuts = ("2024-01-11", "2024-01-21")
     slices = (
         ev.filter(F.col("ts") < cuts[0]),
@@ -2012,6 +2019,7 @@ def q_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(300)
     shutil.rmtree(ckpt, ignore_errors=True)
+    shutil.rmtree(src_root, ignore_errors=True)
     state = spark.table(target_table)
     pu = state.groupBy("user_id").agg(
         F.min(

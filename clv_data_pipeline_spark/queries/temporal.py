@@ -514,7 +514,8 @@ def q_scd2_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # files (the shape real daily arrivals already have).  Sequential
     # single-file writes give strictly increasing mtimes, which is the
     # file source's processing order at maxFilesPerTrigger=1.
-    src = tempfile.mkdtemp(prefix="q_scd2_stream_") + "/arrivals"
+    src_root = tempfile.mkdtemp(prefix="q_scd2_stream_")
+    src = src_root + "/arrivals"
     cuts = ("2024-01-11", "2024-01-21")
     slices = (
         ev.filter(F.col("ts") < cuts[0]),
@@ -540,6 +541,7 @@ def q_scd2_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(300)
     shutil.rmtree(ckpt, ignore_errors=True)
+    shutil.rmtree(src_root, ignore_errors=True)
     out = (
         spark.table(target_table)
         .select("user_id", "event_type", "valid_from", "valid_to",

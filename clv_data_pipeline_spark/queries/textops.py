@@ -2776,7 +2776,8 @@ def q_stream_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     # so arrival order == doc_id order and the oracle can model it.
     stats = d.agg(F.max("doc_id").alias("mx")).collect()[0]
     c1, c2 = stats["mx"] // 3, 2 * stats["mx"] // 3
-    src = tempfile.mkdtemp(prefix="q_stream_mix_") + "/arrivals"
+    src_root = tempfile.mkdtemp(prefix="q_stream_mix_")
+    src = src_root + "/arrivals"
     for lo, hi in ((None, c1), (c1, c2), (c2, None)):
         s = d
         if lo is not None:
@@ -2805,6 +2806,7 @@ def q_stream_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(300)
     shutil.rmtree(ckpt, ignore_errors=True)
+    shutil.rmtree(src_root, ignore_errors=True)
     out = (
         spark.table(admitted_table)
         .select("doc_id", "source", F.col("n_chars").cast("long"))
@@ -2812,7 +2814,6 @@ def q_stream_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     spark.sql(f"DROP TABLE IF EXISTS {admitted_table}")
     spark.sql(f"DROP TABLE IF EXISTS {state_table}")
-    shutil.rmtree(src, ignore_errors=True)
     return out
 
 
@@ -3287,7 +3288,8 @@ def q_stream_dedup_substring(
     )
     ids = d.agg(F.max("doc_id").alias("mx")).collect()[0]["mx"]
     c1, c2 = ids // 3, (2 * ids) // 3
-    src = tempfile.mkdtemp(prefix="q_stream_substr_") + "/arrivals"
+    src_root = tempfile.mkdtemp(prefix="q_stream_substr_")
+    src = src_root + "/arrivals"
     for lo, hi in ((None, c1), (c1, c2), (c2, None)):
         sl = d
         if lo is not None:
@@ -3315,6 +3317,7 @@ def q_stream_dedup_substring(
     )
     q.awaitTermination(300)
     shutil.rmtree(ckpt, ignore_errors=True)
+    shutil.rmtree(src_root, ignore_errors=True)
     out = spark.table(out_table).localCheckpoint(eager=True)
     spark.sql(f"DROP TABLE IF EXISTS {out_table}")
     spark.sql(f"DROP TABLE IF EXISTS {index_table}")

@@ -42,6 +42,25 @@ def ensure_event_time(df: DataFrame, ts_col: str = "ts") -> DataFrame:
     return df
 
 
+def _replay_anti_join(batch: DataFrame, stored: DataFrame, key: str) -> DataFrame:
+    """Drop batch rows whose ``key`` already landed in ``stored`` —
+    O(batch) per trigger, never shuffling the stored table.
+
+    The naive ``batch.join(stored, key, "left_anti")`` plans a shuffle
+    join with the FULL stored table on the build side — at 100 TB that
+    re-shuffles the whole corpus every trigger.  The semi-probe pattern
+    (same shape as ``operators.dedup.dedup_incremental``): the batch's
+    distinct keys broadcast so the stored table is scanned map-side,
+    emitting only the (tiny) hit set, which then broadcasts into the
+    actual anti-join.  Two broadcasts of batch-sized frames; the stored
+    table is read once, map-side, with the key column pruned.
+    """
+    hits = stored.select(key).join(
+        F.broadcast(batch.select(key).distinct()), key, "left_semi"
+    )
+    return batch.join(F.broadcast(hits), key, "left_anti")
+
+
 def ingest_stream(
     spark: SparkSession,
     source_dir: str,
@@ -208,11 +227,10 @@ def dedup_admission_sink(
         to_append = admitted
         if spark.catalog.tableExists(admitted_table):
             # idempotent under batch replay: drop rows a previous
-            # (crashed-after-append) attempt already landed
-            to_append = admitted.join(
-                spark.table(admitted_table).select(id_col),
-                id_col,
-                "left_anti",
+            # (crashed-after-append) attempt already landed.  Semi-probe
+            # so the stored table is scanned map-side, never shuffled.
+            to_append = _replay_anti_join(
+                admitted, spark.table(admitted_table), id_col
             ).localCheckpoint(eager=True)
         to_append.write.mode("append").saveAsTable(admitted_table)
         # grams come from the FULL admission result, not the replay-
@@ -220,9 +238,7 @@ def dedup_admission_sink(
         # appends must still land the batch's fingerprints
         grams = fingerprint_index(admitted, text_col, id_col)
         if spark.catalog.tableExists(index_table):
-            grams = grams.join(
-                spark.table(index_table).select("_fp"), "_fp", "left_anti"
-            )
+            grams = _replay_anti_join(grams, spark.table(index_table), "_fp")
         grams.localCheckpoint(eager=True).write.mode("append").saveAsTable(
             index_table
         )
@@ -276,15 +292,14 @@ def substring_audit_sink(
         ).localCheckpoint(eager=True)
         if spark.catalog.tableExists(out_table):
             # idempotent under batch replay: a previous crashed-after-
-            # append attempt emitted identical per-doc rows
-            stats = stats.join(
-                spark.table(out_table).select(id_col),
-                id_col,
-                "left_anti",
+            # append attempt emitted identical per-doc rows.  Semi-probe
+            # so the stored table is scanned map-side, never shuffled.
+            stats = _replay_anti_join(
+                stats, spark.table(out_table), id_col
             ).localCheckpoint(eager=True)
         stats.write.mode("append").saveAsTable(out_table)
         bg = substring_gram_index(batch_df, text_col, id_col, window)
-        bg.join(index, "_g", "left_anti").localCheckpoint(
+        _replay_anti_join(bg, index, "_g").localCheckpoint(
             eager=True
         ).write.mode("append").saveAsTable(index_table)
 
@@ -509,7 +524,17 @@ def count_merge_sink(target_table: str, key_col: str = "user_id"):
     candidate set — here the key domain (users) is bounded, so exact
     counts keep the parity proof sharp.  Work per trigger is
     O(batch + state): one batch aggregation, one key-partitioned
-    merge, one overwrite (a transactional MERGE on Delta/Iceberg)."""
+    merge, one overwrite (a transactional MERGE on Delta/Iceberg).
+
+    Replay safety — addition is NOT idempotent (unlike
+    min_ts_merge_sink's MIN), so the state table carries ``_bid``, the
+    last batch id merged, and a replayed batch (crash between the state
+    overwrite and the checkpoint commit) is skipped when
+    ``batch_id <= _bid``.  Remaining caveat, by design of plain
+    parquet: ``mode("overwrite")`` itself is non-atomic, so a crash
+    MID-overwrite can lose the state table — production runs this on a
+    transactional format (Delta/Iceberg) where the overwrite is a
+    single-commit MERGE and ``_bid`` rides in the commit metadata."""
     from pyspark.sql import functions as F
 
     def _sink(batch_df, batch_id: int) -> None:
@@ -520,16 +545,22 @@ def count_merge_sink(target_table: str, key_col: str = "user_id"):
             F.count("*").alias("cnt")
         )
         if spark.catalog.tableExists(target_table):
+            stored = spark.table(target_table)
+            last = stored.agg(F.max("_bid")).first()[0]
+            if last is not None and batch_id <= last:
+                return  # replayed batch: already merged, skip
             merged = (
-                spark.table(target_table)
+                stored.select("k", "cnt")
                 .unionByName(partial)
                 .groupBy("k")
                 .agg(F.sum("cnt").alias("cnt"))
                 .localCheckpoint(eager=True)
             )
         else:
-            merged = partial
-        merged.write.mode("overwrite").saveAsTable(target_table)
+            merged = partial.localCheckpoint(eager=True)
+        merged.withColumn("_bid", F.lit(batch_id).cast("long")).write.mode(
+            "overwrite"
+        ).saveAsTable(target_table)
 
     return _sink
 
