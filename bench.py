@@ -479,16 +479,49 @@ def main() -> None:
     # baselines survive regardless of what the capture keeps.
     summary = {k: v for k, v in out.items() if k != "queries"}
     summary["n_queries"] = len(timings)
+    # Give the driver-recorded summary SOME per-query signal within its
+    # ~2 KB budget: the 10 slowest queries (the ones worth reading).
+    summary["slowest"] = dict(
+        sorted(timings.items(), key=lambda kv: -kv[1])[:10]
+    )
     print(json.dumps(out), flush=True)
     print(json.dumps(summary), flush=True)
     try:
         here = os.path.dirname(os.path.abspath(__file__))
         with open(os.path.join(here, "BENCH_LOCAL.json"), "w") as f:
             json.dump(out, f)
+        # Per-round snapshot: rewritten freely DURING round N, never
+        # touched by later rounds (they write their own), so previous
+        # rounds' snapshots are immutable baselines.  _baseline_queries
+        # merges BENCH_r*.json (driver, authoritative) then PRIOR
+        # rounds' snapshots — never the continuously-rewritten
+        # BENCH_LOCAL.json, which would self-rebase the baseline and
+        # let sub-threshold slowdowns creep in across runs.
+        snap = os.path.join(here, f"BENCH_LOCAL_r{_current_round():02d}.json")
+        with open(snap, "w") as f:
+            json.dump(out, f)
     except OSError:
         pass
     if regressions and "--check" in sys.argv:
         sys.exit(1)
+
+
+def _current_round() -> int:
+    """The in-progress round number: one past the newest driver record.
+
+    The driver writes BENCH_r{N}.json at the END of round N, so while
+    round N runs, the newest on disk is r{N-1}.
+    """
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    rounds = [
+        int(m.group(1))
+        for p in glob.glob(os.path.join(here, "BENCH_r*.json"))
+        if (m := re.search(r"BENCH_r(\d+)\.json$", p))
+    ]
+    return (max(rounds) + 1) if rounds else 1
 
 
 def _baseline_queries(
@@ -497,22 +530,32 @@ def _baseline_queries(
     """Merged per-query regression baseline, or None.
 
     Driver-recorded BENCH_r*.json rounds are AUTHORITATIVE: newest
-    round wins per query name.  BENCH_LOCAL.json (rewritten by every
-    local bench run) only fills names NO driver record has ever timed
-    — preferring it wholesale would rebase the baseline to the
-    previous run and let a gradual slowdown (each step under the
-    1.5x/0.4s threshold) creep in unflagged.  A crashed round records
-    "parsed": null and a round benched at a different scale factor is
-    not comparable — both are skipped.
+    round wins per query name.  Since round 7 the driver's final-line
+    summary carries no per-query timings (tail budget), so the gap
+    tier is PRIOR rounds' BENCH_LOCAL_r{N}.json snapshots — each
+    rewritten only during its own round, hence immutable once the
+    round closes.  The continuously-rewritten BENCH_LOCAL.json is
+    deliberately NOT merged: preferring it would rebase the baseline
+    to the previous run and let a gradual slowdown (each step under
+    the 1.5x/0.4s threshold) creep in unflagged.  A crashed round
+    records "parsed": null and a round benched at a different scale
+    factor is not comparable — both are skipped.
     """
     import glob
+    import re
 
     here = os.path.dirname(os.path.abspath(__file__))
     candidates = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")),
                         reverse=True)
-    local = os.path.join(here, "BENCH_LOCAL.json")
-    if os.path.exists(local):
-        candidates.append(local)
+    cur = _current_round()
+    snaps = [
+        (int(m.group(1)), p)
+        for p in glob.glob(os.path.join(here, "BENCH_LOCAL_r*.json"))
+        if (m := re.search(r"BENCH_LOCAL_r(\d+)\.json$", p))
+    ]
+    candidates.extend(
+        p for n, p in sorted(snaps, reverse=True) if n < cur
+    )
     merged: dict[str, float] = {}
     sources: list[str] = []
     for path in candidates:
