@@ -153,23 +153,44 @@ def fit_bgnbd(
 
 
 def fit_gamma_gamma(
-    features: DataFrame, penalizer: float = PENALIZER
+    features: DataFrame,
+    penalizer: float = PENALIZER,
+    monetary_scale: int = 2,
 ) -> GammaGammaParams:
     """M3: Gamma-Gamma MLE over returning customers (frequency > 0,
     monetary > 0 — the reference filters before fitting,
-    dags/clv_models.py:53).  Monetary is continuous so rows don't
-    compress; the collect is 2 columns of 1-row-per-customer data.
+    dags/clv_models.py:53).
+
+    Distributed compression first, same shape as ``fit_bgnbd``: the
+    likelihood depends on (frequency, monetary) only, and monetary is
+    currency — the pipeline rounds it to cents before scoring
+    (queries/clvq.py ``_features``), so grouping by
+    ``(frequency, round(monetary, 2))`` with count weights is LOSSLESS
+    on the production path and the driver collect is bounded by
+    distinct (frequency, cents) pairs, not customers.  At 10⁸
+    customers the old 1-row-per-customer ``toPandas()`` was a multi-GB
+    barrier; the grouped form collects at most
+    |distinct frequency| × |distinct cents| rows.  ``_gg_nll`` is the
+    weighted NLL, so the fit is bit-identical up to summation order
+    (pinned ≤1e-9 in tests/test_clv_logic.py).  Callers feeding
+    monetary with more than ``monetary_scale`` decimals get a
+    cents-quantized fit — standard currency practice; pass a larger
+    scale to trade compression for precision.
     """
-    pdf = (
+    stats = (
         features.filter((F.col("frequency") > 0) & (F.col("monetary") > 0))
-        .select("frequency", "monetary")
+        .groupBy(
+            "frequency",
+            F.round(F.col("monetary"), monetary_scale).alias("monetary"),
+        )
+        .agg(F.count("*").alias("w"))
         .toPandas()
     )
-    if pdf.empty:
+    if stats.empty:
         raise ValueError("No returning customers to fit Gamma-Gamma on")
-    x = pdf["frequency"].to_numpy(dtype=np.float64)
-    m = pdf["monetary"].to_numpy(dtype=np.float64)
-    w = np.ones_like(x)
+    x = stats["frequency"].to_numpy(dtype=np.float64)
+    m = stats["monetary"].to_numpy(dtype=np.float64)
+    w = stats["w"].to_numpy(dtype=np.float64)
     x0 = np.log(np.array([1.0, 1.0, 1.0]))
     best, _ = nelder_mead(lambda lp: _gg_nll(lp, x, m, w, penalizer), x0)
     p, q, v = np.exp(best)
