@@ -3542,7 +3542,7 @@ def q_mahalanobis(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_MSPRT_ALPHA = 20.0  # 1/alpha: crossing Lambda >= 20 <=> alpha = 0.05
+_MSPRT_LOG_THRESH = 2.995732  # ln(20) 6dp: log-Lambda crossing <=> alpha = 0.05
 
 
 @query(
@@ -3551,7 +3551,8 @@ _MSPRT_ALPHA = 20.0  # 1/alpha: crossing Lambda >= 20 <=> alpha = 0.05
     WITH daily AS (
         SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
                CAST(SUM(CASE WHEN user_id % 2 = 0
-                    THEN CAST(ROUND(value, 6) AS DECIMAL(18,6))
+                    THEN CAST(ROUND(value * CAST(1.05 AS DOUBLE), 6)
+                              AS DECIMAL(18,6))
                     ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
                    AS sa,
                CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
@@ -3588,24 +3589,29 @@ _MSPRT_ALPHA = 20.0  # 1/alpha: crossing Lambda >= 20 <=> alpha = 0.05
         FROM diffs),
     lam AS (
         SELECT w.day, w.t,
-               ROUND(sqrt(v.s2 / (v.s2 + w.t * v.s2))
-                     * exp((w.cs / w.t) * (w.cs / w.t) * w.t * w.t
+               ROUND(ROUND(0.5 * ln(v.s2 / (v.s2 + w.t * v.s2)), 9)
+                     + ROUND((w.cs / w.t) * (w.cs / w.t) * w.t * w.t
                            * v.s2
-                           / (2 * v.s2 * (v.s2 + w.t * v.s2))), 6)
-                   AS lambda
+                           / (2 * v.s2 * (v.s2 + w.t * v.s2)), 9), 6)
+                   AS log_lambda
         FROM walk w CROSS JOIN var v)
-    SELECT day, CAST(t AS BIGINT) AS t, lambda,
-           (lambda >= CAST(20.0 AS DOUBLE)) AS crossed
+    SELECT day, CAST(t AS BIGINT) AS t, log_lambda,
+           (log_lambda >= CAST(2.995732 AS DOUBLE)) AS crossed
     FROM lam
     """,
 )
 def q_msprt(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Always-valid sequential A/B monitoring via the mixture SPRT
     (Robbins; Johari et al.'s "peeking problem" fix): the day-by-day
-    likelihood-ratio trajectory for the A-vs-B difference in mean
-    event value (deterministic user-parity assignment), with mixture
-    variance tau^2 = sigma^2 and the alpha = 0.05 crossing flag per
-    day.  Unlike q_ab_test's fixed-horizon t-test, this readout stays
+    LOG-likelihood-ratio trajectory for the A-vs-B difference in mean
+    event value (deterministic user-parity assignment; variant A
+    carries a planted +5% uplift — the raw split is null-true, so the
+    crossing flag was constant-False and the trajectory vacuously
+    flat: round-8 degeneracy audit), with mixture variance
+    tau^2 = sigma^2 and the alpha = 0.05 crossing flag
+    (log-Lambda >= ln 20) per day.  Log space keeps the output
+    hash-stable once the planted effect sends Lambda past 1e9 —
+    each libm term rounds at 9 dp before the sum.  Unlike q_ab_test's fixed-horizon t-test, this readout stays
     valid under continuous monitoring — the experimentation-platform
     primitive for early stopping.
 
@@ -3624,7 +3630,9 @@ def q_msprt(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(
             F.when(
                 F.col("user_id") % 2 == 0,
-                F.round(F.col("value"), 6).cast("decimal(18,6)"),
+                F.round(F.col("value") * F.lit(1.05), 6).cast(
+                    "decimal(18,6)"
+                ),
             ).otherwise(F.lit(0).cast("decimal(18,6)"))
         )
         .cast("double")
@@ -3691,10 +3699,15 @@ def q_msprt(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day",
         "t",
         F.round(
-            F.sqrt(
-                F.col("s2") / (F.col("s2") + F.col("t") * F.col("s2"))
+            F.round(
+                0.5
+                * F.log(
+                    F.col("s2")
+                    / (F.col("s2") + F.col("t") * F.col("s2"))
+                ),
+                9,
             )
-            * F.exp(
+            + F.round(
                 (F.col("cs") / F.col("t"))
                 * (F.col("cs") / F.col("t"))
                 * F.col("t")
@@ -3704,18 +3717,20 @@ def q_msprt(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.lit(2)
                     * F.col("s2")
                     * (F.col("s2") + F.col("t") * F.col("s2"))
-                )
+                ),
+                9,
             ),
             6,
-        ).alias("lambda"),
+        ).alias("log_lambda"),
     )
     return lam.select(
         "day",
         F.col("t").cast("long").alias("t"),
-        "lambda",
-        (F.col("lambda") >= F.lit(_MSPRT_ALPHA).cast("double")).alias(
-            "crossed"
-        ),
+        "log_lambda",
+        (
+            F.col("log_lambda")
+            >= F.lit(_MSPRT_LOG_THRESH).cast("double")
+        ).alias("crossed"),
     )
 
 
@@ -5023,12 +5038,18 @@ def q_segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_price_elasticity",
     oracle="""
-    WITH obs AS (
+    WITH raw AS (
         SELECT p.p_brand AS brand,
                ROUND(ln(l.l_extendedprice / l.l_quantity), 9) AS x,
-               ROUND(ln(CAST(l.l_quantity AS DOUBLE)), 9) AS y
+               ROUND(ln(CAST(l.l_quantity AS DOUBLE)), 9) AS y0
         FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
         WHERE l.l_quantity > 0 AND l.l_extendedprice > 0),
+    obs AS (
+        SELECT brand, x,
+               CASE WHEN ('0x' || substr(md5(brand), 1, 8))::BIGINT
+                         % 2 = 0
+                    THEN ROUND(y0 - 1.5 * x, 9) ELSE y0 END AS y
+        FROM raw),
     s AS (
         SELECT brand,
                CAST(COUNT(*) AS BIGINT) AS n,
@@ -5054,7 +5075,9 @@ def q_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-brand price elasticity of demand — the log-log OLS
     (ln quantity on ln unit price) whose slope is THE pricing-team
     number: elasticity < -1 means revenue rises when price drops
-    (flagged), > -1 means the brand tolerates increases.  The
+    (flagged), > -1 means the brand tolerates increases; md5-even
+    brands carry a planted -1.5 demand response so the flag is
+    non-vacuous on the synthetic data.  The
     econometric twin of q_trend's time OLS, on economic axes.
 
     One join + one grouped sufficient-stats scan: per-observation ln
@@ -5077,8 +5100,26 @@ def q_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("x"),
             F.round(
                 F.log(F.col("l_quantity").cast("double")), 9
-            ).alias("y"),
+            ).alias("y0"),
         )
+    )
+    # planted demand response: md5-even brands get y -= 1.5x, giving
+    # them a true elasticity near -1.5.  TPC-H's l_extendedprice is
+    # quantity * retailprice, so the raw slope is ~0 for every brand
+    # and elastic_flag was constant-False (round-8 degeneracy audit).
+    obs = obs.select(
+        "brand",
+        "x",
+        F.when(
+            F.conv(F.substring(F.md5("brand"), 1, 8), 16, 10).cast(
+                "long"
+            )
+            % 2
+            == 0,
+            F.round(F.col("y0") - F.lit(1.5) * F.col("x"), 9),
+        )
+        .otherwise(F.col("y0"))
+        .alias("y"),
     )
 
     def d9(c):
@@ -5392,7 +5433,8 @@ def q_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
                         THEN 1 ELSE 0 END) AS BIGINT) AS score,
                CAST(MAX(CASE WHEN event_type = 'purchase'
                         AND ts >= TIMESTAMP '2024-01-16'
-                        THEN 1 ELSE 0 END) AS BIGINT) AS label
+                        AND value >= 150 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS label
         FROM events GROUP BY user_id),
     bins AS (
         SELECT score, CAST(COUNT(*) AS BIGINT) AS n,
@@ -5429,7 +5471,10 @@ def q_threshold_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
     (probability trust) don't answer: sweep every candidate cut of
     the score, report the confusion counts / precision / recall /
     F1 at each, and flag the F1-argmax (ties to the higher, more
-    conservative threshold).  F1 = 2TP/(2TP+FP+FN) written as one
+    conservative threshold).  The positive label is a HIGH-VALUE
+    (>=150) second-half purchase — an any-purchase label is
+    constant-1 on the testdata, making fp/precision vacuous (round-8
+    degeneracy audit).  F1 = 2TP/(2TP+FP+FN) written as one
     integer-ratio expression.
 
     Scores compress to a value-bounded bin frame in one scan; the
@@ -5450,7 +5495,8 @@ def q_threshold_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(
             F.when(
                 (F.col("event_type") == "purchase")
-                & (F.col("ts") >= F.lit("2024-01-16")),
+                & (F.col("ts") >= F.lit("2024-01-16"))
+                & (F.col("value") >= 150),
                 1,
             ).otherwise(0)
         )
@@ -6799,16 +6845,21 @@ def _bh_fdr_oracle() -> str:
     z = "(zval)"
     phi = std_normal_cdf_sql("(ABS(zval))")
     return f"""
-    WITH s AS (
+    WITH y0 AS (
         SELECT c.c_nationkey AS nk,
+               CAST(ROUND(o.o_totalprice
+                          * CASE WHEN c.c_nationkey < 5
+                                 THEN CAST(1.10 AS DOUBLE)
+                                 ELSE CAST(1.0 AS DOUBLE) END, 2)
+                    AS DECIMAL(18,2)) AS y
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey),
+    s AS (
+        SELECT nk,
                CAST(COUNT(*) AS DOUBLE) AS n,
-               CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2)))
-                    AS DOUBLE) AS sy,
-               CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))
-                        * CAST(o.o_totalprice AS DECIMAL(18,2)))
-                    AS DOUBLE) AS syy
-        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
-        GROUP BY c.c_nationkey),
+               CAST(SUM(y) AS DOUBLE) AS sy,
+               CAST(SUM(y * y) AS DOUBLE) AS syy
+        FROM y0
+        GROUP BY nk),
     g AS (
         SELECT s.*,
                SUM(sy) OVER () / SUM(n) OVER () AS mu0,
@@ -6860,7 +6911,18 @@ def q_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("o_custkey"), "c_nationkey"
     )
-    yd = F.col("o_totalprice").cast("decimal(18,2)")
+    # planted-effect validation: nations 0-4 carry a deterministic
+    # +10% uplift on the tested metric, so the family has TRUE
+    # positives and the BH rejection prefix actually fires — on the
+    # raw null-true testdata every p > alpha/m and `rejected` was
+    # constant-False (round-8 degeneracy audit).
+    yd = F.round(
+        F.col("o_totalprice")
+        * F.when(F.col("c_nationkey") < 5, F.lit(1.10)).otherwise(
+            F.lit(1.0)
+        ),
+        2,
+    ).cast("decimal(18,2)")
     s = (
         o.join(F.broadcast(c), "o_custkey")
         .groupBy(F.col("c_nationkey").alias("nk"))

@@ -859,9 +859,15 @@ def q_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_cusum",
     oracle="""
-    WITH daily AS (
-        SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n
+    WITH raw AS (
+        SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n0
         FROM events GROUP BY day),
+    daily AS (
+        SELECT day,
+               CAST(n0 + CASE WHEN day >= DATE '2024-01-21'
+                              THEN CAST(FLOOR(n0 * 0.25) AS BIGINT)
+                              ELSE 0 END AS BIGINT) AS n
+        FROM raw),
     stats AS (
         SELECT day, n,
                CAST(SUM(n) OVER () AS DOUBLE) / COUNT(*) OVER () AS mu,
@@ -894,7 +900,8 @@ def q_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-sided CUSUM changepoint detection on the daily event volume
     (slack k = 0.5 sigma, threshold h = 4 sigma — the standard tabular
     CUSUM): flags sustained level shifts that single-day z-scores
-    (q_anomaly_days) miss.  The reset recursion
+    (q_anomaly_days) miss; a deterministic +25% volume shift is
+    planted from 2024-01-21 so the alarm column is non-vacuous.  The reset recursion
     S_t = max(0, S_{t-1} + dev_t) is NOT directly window-expressible;
     it runs as the identity S_t = prefix_t - min(0, running_min of
     prefix) — two ordered windows, no recursion.
@@ -906,8 +913,24 @@ def q_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window as W
 
     ev = load_table(spark, sf_dir, "events")
-    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
-        F.count("*").cast("long").alias("n")
+    raw = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count("*").cast("long").alias("n0")
+    )
+    # planted level shift: +25% daily volume from 2024-01-21 on — the
+    # raw testdata volume is stable, so the 4-sigma alarm was
+    # constant-False (round-8 degeneracy audit); the shift gives the
+    # detector a true changepoint to find.
+    daily = raw.select(
+        "day",
+        (
+            F.col("n0")
+            + F.when(
+                F.col("day") >= F.lit("2024-01-21").cast("date"),
+                F.floor(F.col("n0") * 0.25),
+            ).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("n"),
     )
     wall = W.partitionBy(F.lit(1))
     mu = F.sum("n").over(wall).cast("double") / F.count("*").over(wall)
@@ -1527,7 +1550,7 @@ def q_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
                            THEN 1 END) AS BIGINT) AS n_events,
            CAST(CASE WHEN COUNT(CASE WHEN event_type = 'purchase'
                      AND ts >  TIMESTAMP '2024-01-16 00:00:00'
-                     AND ts <= TIMESTAMP '2024-01-30 00:00:00'
+                     AND ts <= TIMESTAMP '2024-01-19 00:00:00'
                     THEN 1 END) = 0 THEN 1 ELSE 0 END AS BIGINT)
                AS churned
     FROM events
@@ -1542,7 +1565,10 @@ def q_churn_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     label-generation step every supervised pipeline runs and the
     classic place temporal leakage sneaks in: features may only see
     events up to the cutoff (2024-01-16), the label only the window
-    AFTER it (no purchase in the next 14 days = churned).  Both sides
+    AFTER it (no purchase in the next 3 days = churned — at the
+    testdata's purchase rate a 14-day horizon labels nobody churned
+    and the label column is vacuous; the degeneracy audit pins ~25%
+    positives instead).  Both sides
     are CASE-gated aggregates over ONE user shuffle of ONE scan — the
     cutoff is enforced per-expression, so no join, no second pass,
     and no way for a future event to contaminate a feature column.
@@ -1550,7 +1576,7 @@ def q_churn_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     pre-cutoff purchase drop (nothing to featurize)."""
     ev = load_table(spark, sf_dir, "events")
     cut = F.lit("2024-01-16 00:00:00").cast("timestamp")
-    horizon = F.lit("2024-01-30 00:00:00").cast("timestamp")
+    horizon = F.lit("2024-01-19 00:00:00").cast("timestamp")
     is_purchase = F.col("event_type") == "purchase"
     pre = F.col("ts") <= cut
     fut = is_purchase & (F.col("ts") > cut) & (F.col("ts") <= horizon)
@@ -2238,7 +2264,9 @@ def q_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH daily AS (
         SELECT CAST(ts AS DATE) AS day,
-               SUM(CAST(value AS DECIMAL(18,4))) AS x
+               SUM(CAST(CASE WHEN CAST(ts AS DATE) = DATE '2024-01-25'
+                             THEN value * 2 ELSE value END
+                        AS DECIMAL(18,4))) AS x
         FROM events GROUP BY day),
     tr AS (
         SELECT day, x,
@@ -2278,7 +2306,8 @@ def q_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     detrended series, residual = what neither explains — plus a
     robust anomaly flag (|residual| > 3 x median-absolute-residual),
     the standard revenue-monitoring readout a metrics platform runs
-    nightly.
+    nightly; a deterministic 2x spike is planted on 2024-01-25 so the
+    flag has a true anomaly to find.
 
     Scale shape: ONE shuffle folds the event log to the
     calendar-bounded daily frame; every window/aggregate after that
@@ -2289,8 +2318,16 @@ def q_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     before the seasonal means — so every emitted component is an
     identical IEEE expression on both engines."""
     ev = load_table(spark, sf_dir, "events")
+    # planted anomaly: double every value on 2024-01-25 (x2 is
+    # float-exact) — the synthetic revenue series is smooth enough
+    # that |resid| > 3*MAD never fired and is_anomaly was
+    # constant-False (round-8 degeneracy audit).
+    spike = F.when(
+        F.to_date("ts") == F.lit("2024-01-25").cast("date"),
+        F.col("value") * 2,
+    ).otherwise(F.col("value"))
     daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
-        F.sum(F.col("value").cast("decimal(18,4)")).alias("x")
+        F.sum(spike.cast("decimal(18,4)")).alias("x")
     )
     w7 = Window.orderBy("day").rowsBetween(-3, 3)
     tr = daily.select(
