@@ -125,8 +125,9 @@ def expectations(df: DataFrame, rules: list[dict]) -> DataFrame:
 
     Each rule is ``{"rule": str, "column": str, "kind": ..., ...}``
     with kinds: ``not_null``, ``unique``, ``min`` (param: exclusive
-    lower bound), ``accepted_values`` (param: list), ``regex``
-    (param: pattern, must fully anchor itself).
+    lower bound), ``max`` (param: inclusive upper bound),
+    ``accepted_values`` (param: list), ``regex`` (param: pattern, must
+    fully anchor itself).
 
     Scale shape: EVERY rule compiles to a conditional-count expression
     in ONE aggregate over ONE scan — adding rules never adds passes;
@@ -145,6 +146,8 @@ def expectations(df: DataFrame, rules: list[dict]) -> DataFrame:
             v = F.count(c) - F.count_distinct(c)
         elif kind == "min":
             v = F.count(F.when(c <= r["param"], 1))
+        elif kind == "max":
+            v = F.count(F.when(c > r["param"], 1))
         elif kind == "accepted_values":
             v = F.count(F.when(~c.isin(*r["param"]), 1))
         elif kind == "regex":

@@ -2507,7 +2507,7 @@ def q_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(*) AS BIGINT) AS group_size,
            CAST(COUNT(DISTINCT FLOOR(c_acctbal / 2000.0)) AS BIGINT)
                AS l_distinct,
-           COUNT(DISTINCT FLOOR(c_acctbal / 2000.0)) >= 3 AS diverse
+           COUNT(DISTINCT FLOOR(c_acctbal / 2000.0)) >= 5 AS diverse
     FROM customer
     GROUP BY c_nationkey, c_mktsegment
     """,
@@ -2517,8 +2517,10 @@ def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     quasi-identifier group can be large (k-safe) yet still leak if
     everyone in it shares the same sensitive value.  Reports every
     (nation, segment) group with the distinct-value count of its
-    sensitive attribute (account-balance band) and the l >= 3
-    verdict — the full audit table, so the release decision (and the
+    sensitive attribute (account-balance band) and the l >= 5
+    verdict (l = 3 is vacuously met by every group even at sf0.01 —
+    round-8 degeneracy audit; at larger SFs every group genuinely
+    saturates all bands, which is the true answer, not a bug) — the full audit table, so the release decision (and the
     driver hash) sees passing and failing groups alike.  Same single
     partial-aggregated group-by shape as q_k_anonymity, with the
     distinct-count folded into the aggregate."""
@@ -2535,7 +2537,7 @@ def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_mktsegment",
             "group_size",
             "l_distinct",
-            (F.col("l_distinct") >= 3).alias("diverse"),
+            (F.col("l_distinct") >= 5).alias("diverse"),
         )
     )
 

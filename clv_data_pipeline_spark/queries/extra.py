@@ -985,7 +985,9 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         CAST(COUNT(*) FILTER (WHERE o_orderstatus NOT IN ('O', 'F', 'P'))
              AS BIGINT) AS v3,
         CAST(COUNT(*) FILTER (WHERE NOT regexp_matches(o_orderpriority,
-             '^[1-5]-')) AS BIGINT) AS v4
+             '^[1-5]-')) AS BIGINT) AS v4,
+        CAST(COUNT(*) FILTER (WHERE o_totalprice > 300000) AS BIGINT)
+            AS v5
         FROM orders)
     SELECT r.rule, r."column", r.n_violations, r.n_violations = 0 AS passed
     FROM a, LATERAL (VALUES
@@ -993,14 +995,16 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ('key_unique',      'o_orderkey',      a.v1),
         ('price_positive',  'o_totalprice',    a.v2),
         ('status_domain',   'o_orderstatus',   a.v3),
-        ('priority_format', 'o_orderpriority', a.v4)
+        ('priority_format', 'o_orderpriority', a.v4),
+        ('price_under_cap', 'o_totalprice',    a.v5)
     ) AS r(rule, "column", n_violations)
     """,
 )
 def q_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Declarative expectations suite over orders — five rules
+    """Declarative expectations suite over orders — six rules
     (not-null key, unique key, positive price, status domain, priority
-    format) compiled by operators/validate.py expectations() into ONE
+    format, and a price cap that the data deliberately violates)
+    compiled by operators/validate.py expectations() into ONE
     aggregate over ONE scan, then unpivoted to a per-rule report.  The
     generalization of the reference's hard-coded firewall
     (dags/validate_features.py) into the rules-as-data shape quality
@@ -1018,6 +1022,11 @@ def q_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
          "kind": "accepted_values", "param": ["O", "F", "P"]},
         {"rule": "priority_format", "column": "o_orderpriority",
          "kind": "regex", "param": "^[1-5]-"},
+        # deliberately violated on the testdata (~40% of orders exceed
+        # the cap) so the report exercises BOTH outcomes — an all-pass
+        # suite proves only the plumbing (round-8 degeneracy audit).
+        {"rule": "price_under_cap", "column": "o_totalprice",
+         "kind": "max", "param": 300000},
     ]
     return expectations(o, rules)
 

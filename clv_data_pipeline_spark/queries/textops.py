@@ -2248,7 +2248,7 @@ def q_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT a.id AS id_a, b.id AS id_b,
            CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo))
                 AS BIGINT) AS hamming,
-           bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 10
+           bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 28
                AS near_dup
     FROM hashes a JOIN hashes b ON b.id = a.id + 3
     """,
@@ -2262,8 +2262,10 @@ def q_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the decode + resample + gradient pipeline bit-for-bit — multimodal
     near-dup detection with the same candidate-pair scheme as
     q_ngram_jaccard (at scale: band the hash bytes into an LSH-style
-    bucket join, q_simhash's pigeonhole trick — 2 of 8 bytes must
-    match at Hamming<=10).
+    bucket join, q_simhash's pigeonhole trick).  The dup cut sits at
+    Hamming<=28 — the synthetic hash family's pair distances span
+    20-46 with median 31, so 10 never fired (constant-False near_dup,
+    round-8 degeneracy audit) and 28 splits the pairs ~1:3.
 
     Scale shape: hashing is one Arrow pass over image rows (the
     media_type filter precedes Python); pairing joins 16 bytes per
@@ -2295,7 +2297,7 @@ def q_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "id_a",
             "id_b",
             hamming.alias("hamming"),
-            (hamming <= 10).alias("near_dup"),
+            (hamming <= 28).alias("near_dup"),
         )
     )
 
@@ -2326,16 +2328,23 @@ def q_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM bits GROUP BY id)
     SELECT a.id AS id_a, b.id AS id_b,
            CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming,
-           bit_count(xor(a.fp, b.fp)) <= 6 AS near_dup
-    FROM fps a JOIN fps b ON b.id = a.id + 3
+           bit_count(xor(a.fp, b.fp)) <= 3 AS near_dup
+    FROM fps a
+    CROSS JOIN (SELECT unnest([3, 6]) AS off) o
+    JOIN fps b ON b.id = a.id + o.off
     """,
 )
 def q_audio_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Waveform-fingerprint audio dedup: REAL RIFF/WAVE payloads decode
     (chunk walk + PCM16 frombuffer), the first channel's first 33
     samples hash by sign-of-derivative into a 32-bit fingerprint, and
-    consecutive audio pairs compare by Hamming distance — the audio
-    analogue of q_image_dedup, gain-invariant by construction.  The
+    stride-3 AND stride-6 pairs compare by Hamming distance — the
+    audio analogue of q_image_dedup, gain-invariant by construction.
+    The synthesis alternates TWO signals by doc parity, so stride-3
+    pairs always cross signals (constant Hamming 6, constant-True
+    near_dup at the old <=6 cut — round-8 degeneracy audit); stride-6
+    pairs hit the SAME signal (Hamming 0, true duplicates) and the
+    <=3 cut separates the classes.  The
     oracle recomputes every fingerprint ANALYTICALLY from the known
     byte formula ((i*7) % 251 as little-endian PCM16, stride = channel
     count), so a hash match certifies the real decode end to end.
@@ -2349,16 +2358,20 @@ def q_audio_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = attach_real_payload(load_table(spark, sf_dir, "documents"))
     fps = audio_fingerprint(d)
-    a = fps.select(F.col("doc_id").alias("id_a"), F.col("fp").alias("_fa"))
+    a = fps.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("fp").alias("_fa"),
+        F.explode(F.array(F.lit(3), F.lit(6))).alias("_off"),
+    )
     b = fps.select(F.col("doc_id").alias("id_b"), F.col("fp").alias("_fb"))
     hamming = F.bit_count(F.col("_fa").bitwiseXOR(F.col("_fb"))).cast("long")
     return (
-        a.join(b, F.col("id_b") == F.col("id_a") + 3)
+        a.join(b, F.col("id_b") == F.col("id_a") + F.col("_off"))
         .select(
             "id_a",
             "id_b",
             hamming.alias("hamming"),
-            (hamming <= 6).alias("near_dup"),
+            (hamming <= 3).alias("near_dup"),
         )
     )
 
