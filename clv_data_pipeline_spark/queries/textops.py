@@ -885,9 +885,26 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return meta.select("doc_id", "media_type", "width", "height")
 
 
-@query("q_frame_sample")  # rows-only: cardinality-changing mapInPandas
+@query(
+    "q_frame_sample",
+    oracle="""
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(t.i AS INT) AS frame_idx,
+           CAST(64 AS BIGINT) AS frame_bytes
+    FROM documents,
+         LATERAL unnest(range(LEAST(8, octet_length(encode(text)) // 64)))
+             t(i)
+    """,
+)
 def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame-sampling shape: byte-stride slices, 0..8 rows per doc."""
+    """Frame-sampling shape: byte-stride slices, 0..8 rows per doc.
+
+    Graduated from rows-only in round 8: the payload is the UTF-8 text
+    and the sampler is a fixed 64-byte stride capped at 8 frames, so
+    the (doc_id, frame_idx, frame_bytes) cardinality and values are
+    ANALYTICALLY reconstructible — the oracle unnests
+    range(min(8, octet_length/64)) per doc, proving the
+    cardinality-changing mapInPandas emits exactly the right rows."""
     d = attach_fake_payload(load_table(spark, sf_dir, "documents"))
     frames = sample_frames(d)
     return frames.select(
