@@ -818,12 +818,60 @@ def q_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_simhash")  # rows-only
+@query(
+    "q_simhash",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(string_split_regex(trim(regexp_replace(lower(text),
+                   '\s+', ' ', 'g')), ' ')) AS t
+        FROM documents),
+    th AS (
+        SELECT doc_id,
+               CAST(list_reduce(
+                   list_transform(range(1, length(t) + 1),
+                       i -> CAST(ascii(substring(t, i, 1)) AS HUGEINT)),
+                   (acc, b) -> (acc * 257 + b) % 2305843009213693951)
+               AS BIGINT) AS h
+        FROM toks),
+    bits AS (
+        SELECT doc_id, b.b,
+               SUM(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END)
+                   AS tally
+        FROM th CROSS JOIN (SELECT unnest(range(61)) AS b) b
+        GROUP BY doc_id, b.b),
+    sig AS (
+        SELECT doc_id,
+               CAST(COALESCE(SUM(CASE WHEN tally > 0
+                    THEN (1::BIGINT << b) ELSE 0 END), 0) AS BIGINT)
+                   AS simhash
+        FROM bits GROUP BY doc_id),
+    d AS (SELECT simhash AS sh, CAST(COUNT(*) AS BIGINT) AS m
+          FROM sig GROUP BY simhash),
+    cc AS (
+        SELECT COALESCE(SUM(a.m * b.m), 0) AS c
+        FROM d a JOIN d b ON a.sh < b.sh
+        WHERE bit_count(xor(a.sh, b.sh)) <= 3),
+    wi AS (SELECT COALESCE(SUM(m * (m - 1) // 2), 0) AS w FROM d)
+    SELECT s.doc_id, s.simhash,
+           CAST(cc.c + wi.w AS BIGINT) AS n_near_dup_pairs
+    FROM sig s CROSS JOIN cc CROSS JOIN wi
+    """,
+)
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash signatures + Hamming<=3 candidate pairs count.
     The pair count rides along as a lazy 1-row broadcast cross join —
     no eager driver-side action at plan-construction time, so building
-    the query stays free and both legs run in one job."""
+    the query stays free and both legs run in one job.
+
+    Graduated from rows-only in round 8: the per-token hash is a pure
+    polynomial roll (h = h*257 + byte mod 2^61-1) over the normalized
+    token bytes, so DuckDB replays it exactly with a HUGEINT
+    list_reduce — bit tallies, the sign signature (bits 61-63 are
+    structurally zero, so no sign wrap), and the unblocked quadratic
+    Hamming<=3 pair count all reproduce; a hash match therefore
+    proves signatures AND the pigeonhole-bucketed pair join
+    end-to-end."""
     from clv_data_pipeline_spark.sources.io import (
         materialize_temp,
         source_key,

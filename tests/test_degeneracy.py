@@ -112,6 +112,7 @@ CONSTANT_OK: frozenset[tuple[str, str]] = frozenset(
         ("q_modularity", "modularity"),
         ("q_lift_curve", "n_users"),
         ("q_frame_sample", "frame_bytes"),
+        ("q_simhash", "n_near_dup_pairs"),
         ("q_holt_winters", "n_days"),
         ("q_changepoint", "n_days"),
     }
