@@ -337,6 +337,7 @@ _GRADUATED_STALE: tuple[str, ...] = (
     "q_isotonic_calibration", "q_mmr_diversify", "q_minhash_candidates",
     "q_minhash_clusters", "q_approx_distinct", "q_approx_percentiles",
     "q_hll_merge", "q_pca_variance", "q_frame_sample", "q_simhash",
+    "q_predicted_purchases",
 )
 
 _VERIFIED = (
