@@ -5188,9 +5188,17 @@ def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
             .alias("tot")
         )
-        a = ar.crossJoin(F.broadcast(at)).select(
-            "b",
-            F.round(F.col("s") / F.col("tot"), 9).alias("a"),
+        # lineage break: each broadcast-total build is its own job and
+        # would otherwise re-execute every earlier iteration's chain
+        # from the scan (O(iters^2) shuffles); checkpointed score
+        # frames keep the whole trajectory O(iters).
+        a = (
+            ar.crossJoin(F.broadcast(at))
+            .select(
+                "b",
+                F.round(F.col("s") / F.col("tot"), 9).alias("a"),
+            )
+            .localCheckpoint(eager=False)
         )
         hr = (
             ui.join(F.broadcast(a), "b")
@@ -5206,9 +5214,13 @@ def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
             .alias("tot")
         )
-        h = hr.crossJoin(F.broadcast(ht)).select(
-            "u",
-            F.round(F.col("s") / F.col("tot"), 9).alias("h"),
+        h = (
+            hr.crossJoin(F.broadcast(ht))
+            .select(
+                "u",
+                F.round(F.col("s") / F.col("tot"), 9).alias("h"),
+            )
+            .localCheckpoint(eager=False)
         )
     return (
         a.join(ui, "b")

@@ -333,11 +333,16 @@ _R7_VERIFIED: frozenset[str] = frozenset(
 #: hash-match.  Listed in judge-priority order — the driver budget cuts
 #: from the back.
 _GRADUATED_STALE: tuple[str, ...] = (
+    # judge-named round-7 priorities first
     "q_csv_roundtrip", "q_jsonl_roundtrip", "q_orc_roundtrip",
-    "q_isotonic_calibration", "q_mmr_diversify", "q_minhash_candidates",
-    "q_minhash_clusters", "q_approx_distinct", "q_approx_percentiles",
-    "q_hll_merge", "q_pca_variance", "q_frame_sample", "q_simhash",
-    "q_predicted_purchases",
+    "q_isotonic_calibration", "q_mmr_diversify",
+    # round-8 graduations: brand-new oracles the driver has never
+    # exercised (2F1 recursive CTE, polynomial simhash replay,
+    # analytic frame cardinality) — higher information value than
+    # re-sampling the long-stable sketch/minhash pairs below
+    "q_predicted_purchases", "q_simhash", "q_frame_sample",
+    "q_minhash_candidates", "q_minhash_clusters", "q_approx_distinct",
+    "q_approx_percentiles", "q_hll_merge", "q_pca_variance",
 )
 
 _VERIFIED = (
