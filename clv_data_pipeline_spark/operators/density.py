@@ -31,7 +31,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 def cc_pointer_jump(
-    edges: DataFrame, src: str, dst: str, max_iter: int = 20
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    max_iter: int = 20,
+    check_every: int = 2,
 ) -> DataFrame:
     """Min-label connected components with POINTER JUMPING — for
     long-diameter graphs where plain propagation
@@ -42,8 +46,12 @@ def cc_pointer_jump(
     AND one pointer jump (label := label's label), halving the
     longest chain — convergence in O(log diameter) rounds instead of
     O(diameter).  Labels only decrease, so the scalar SUM(label)
-    fixpoint test from the linear variant still applies.  Returns
-    (node, cluster_id = min reachable node id)."""
+    fixpoint test from the linear variant still applies; it runs
+    every ``check_every`` rounds because each test is a driver action
+    (a whole job) while an extra converged round is a no-op pass over
+    an already-tiny label frame — at ~6 rounds typical, checking
+    every 2 halves the job-boundary overhead for at most one wasted
+    round.  Returns (node, cluster_id = min reachable node id)."""
     e = edges.select(F.col(src).alias("node"), F.col(dst).alias("nbr"))
     sym = (
         e.union(
@@ -64,7 +72,7 @@ def cc_pointer_jump(
         eager=False
     )
     prev_sum = None
-    for _ in range(max_iter):
+    for it in range(max_iter):
         msgs = sym.join(
             labels.select(F.col("node").alias("nbr"), "label"), "nbr"
         ).select("node", "label")
@@ -87,10 +95,11 @@ def cc_pointer_jump(
             )
             .localCheckpoint(eager=False)
         )
-        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
-        if cur_sum == prev_sum:
-            break
-        prev_sum = cur_sum
+        if (it + 1) % check_every == 0 or it == max_iter - 1:
+            cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+            if cur_sum == prev_sum:
+                break
+            prev_sum = cur_sum
     return labels.select("node", F.col("label").alias("cluster_id"))
 
 
