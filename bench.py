@@ -371,7 +371,7 @@ COMPARABLE_R6 = (
     "q_price_elasticity", "q_offpolicy_eval", "q_range_window",
     "q_dbscan", "q_growth_accounting", "q_threshold_tuning",
     "q_rec_coverage", "q_wasserstein", "q_covariate_balance",
-    "q_qte",
+    "q_qte", "q_ann_lsh_portable",
 )
 
 

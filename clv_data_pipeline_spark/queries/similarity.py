@@ -102,6 +102,222 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(load_table(spark, sf_dir, "embeddings"), k=1)
 
 
+@query(
+    "q_ann_lsh_portable",
+    oracle="""
+    WITH dims AS (
+        SELECT vec_id,
+               unnest(range(len(embedding))) AS i,
+               CAST(unnest(CAST(embedding AS DOUBLE[])) AS DOUBLE) AS x
+        FROM embeddings WHERE vec_id < 800),
+    w AS (
+        SELECT p.p, i.i,
+               (('0x' || substr(md5(p.p || '|' || i.i || '|srp'), 1, 8))
+                ::BIGINT + 0.5) / 4294967296.0 * 2 - 1 AS w
+        FROM (SELECT unnest(range(18)) AS p) p,
+             (SELECT unnest(range(64)) AS i) i),
+    dots AS (
+        SELECT d.vec_id, w.p,
+               CAST(SUM(CAST(ROUND(d.x * w.w * 1000000000.0, 0)
+                             AS BIGINT)) AS BIGINT) AS dot
+        FROM dims d JOIN w ON d.i = w.i GROUP BY d.vec_id, w.p),
+    sig AS (
+        SELECT vec_id, p // 6 AS band,
+               CAST(SUM(CASE WHEN dot > 0
+                    THEN (1::BIGINT << CAST(p % 6 AS INT)) ELSE 0 END)
+                    AS BIGINT) AS bv
+        FROM dots GROUP BY vec_id, p // 6),
+    cand AS (
+        SELECT DISTINCT a.vec_id, b.vec_id AS neighbor_id
+        FROM sig a JOIN sig b
+          ON a.band = b.band AND a.bv = b.bv AND a.vec_id <> b.vec_id),
+    pairdims AS (
+        SELECT c.vec_id, c.neighbor_id, da.x AS xa, db.x AS xb
+        FROM cand c
+        JOIN dims da ON da.vec_id = c.vec_id
+        JOIN dims db ON db.vec_id = c.neighbor_id AND db.i = da.i),
+    sims AS (
+        SELECT vec_id, neighbor_id,
+               ROUND(
+                   CAST(SUM(CAST(ROUND(xa * xb * 1000000000.0, 0)
+                                 AS BIGINT)) AS DOUBLE)
+                   / sqrt(CAST(SUM(CAST(ROUND(xa * xa * 1000000000.0,
+                                              0) AS BIGINT)) AS DOUBLE)
+                          * CAST(SUM(CAST(ROUND(xb * xb
+                                                * 1000000000.0, 0)
+                                          AS BIGINT)) AS DOUBLE)),
+                   6) AS sim
+        FROM pairdims GROUP BY vec_id, neighbor_id),
+    ranked AS (
+        SELECT vec_id, neighbor_id, sim,
+               CAST(ROW_NUMBER() OVER (PARTITION BY vec_id
+                    ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank
+        FROM sims)
+    SELECT vec_id, neighbor_id, sim, rank FROM ranked WHERE rank <= 1
+    """,
+)
+def q_ann_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRP-LSH ANN over the md5-PORTABLE hyperplane family — the
+    q_minhash_candidates discipline applied to similarity search: the
+    production kernel (q_ann_lsh, Arrow matmul over numpy-seeded
+    planes) is rows-only because its hash family is engine-specific,
+    so THIS twin derives every hyperplane weight from
+    md5(plane|dim|'srp') and computes signatures, banding (3 bands x
+    6 bits over 18 planes), bucket-candidate generation, and exact
+    within-candidate cosine entirely in engine-portable math — the
+    full LSH retrieval pipeline is hash-verified against DuckDB
+    end-to-end (measured recall@1 ~0.16-0.19 vs the exact top-1: the
+    driver embeddings are near-uniform, where banding prunes little
+    signal-free volume — the production family measures its own
+    recall via q_ann_recall; this twin's job is pipeline proof, and
+    its banding is sized so candidates stay ~10% of all pairs).
+
+    Determinism: per-term products round to exact nano-unit LONGs
+    (dots, norms — integer sums, order-free and codegen-fast), the
+    cosine divides once as DOUBLE and rounds at 6 BEFORE ranking;
+    sign bits come from the rounded-dot > 0 test.
+    Scale shape: signatures are one skinny (vec, dim)-exploded shuffle
+    against a broadcast 1024-row weight frame; candidates come from
+    the band-bucket equi-join (never all pairs); scoring touches only
+    candidate pairs."""
+    # deterministic id-capped audit slice (the q_minhash_eval
+    # convention): the proof needs the PIPELINE verified, not the full
+    # candidate volume — banding prunes almost nothing on the
+    # near-uniform fixture vectors, so candidate pairs grow ~n^2/64
+    # and an uncapped slice spends bench seconds re-proving the same
+    # math.  At sf<=0.01 the cap is a no-op (all 500 vectors).
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < 800
+    ).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    dims = emb.select("vec_id", F.posexplode("e").alias("i", "x"))
+    w = spark.range(18 * 64).select(
+        (F.col("id") / 64).cast("long").alias("p"),
+        (F.col("id") % 64).alias("i"),
+        (
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                (F.col("id") / 64)
+                                .cast("long")
+                                .cast("string"),
+                                F.lit("|"),
+                                (F.col("id") % 64).cast("string"),
+                                F.lit("|srp"),
+                            )
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                + F.lit(0.5)
+            )
+            / F.lit(4294967296.0)
+            * 2
+            - 1
+        ).alias("w"),
+    )
+    dots = (
+        dims.join(F.broadcast(w), "i")
+        .groupBy("vec_id", "p")
+        .agg(
+            F.sum(
+                F.round(F.col("x") * F.col("w") * 1e9, 0).cast("long")
+            )
+            .cast("long")
+            .alias("dot")
+        )
+    )
+    sig = (
+        dots.groupBy(
+            "vec_id", F.floor(F.col("p") / 6).alias("band")
+        )
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("dot") > 0,
+                    F.expr("shiftleft(1L, cast(p % 6 as int))"),
+                ).otherwise(F.lit(0).cast("long"))
+            )
+            .cast("long")
+            .alias("bv")
+        )
+    )
+    a = sig.select(
+        F.col("vec_id"), F.col("band"), F.col("bv")
+    )
+    b = sig.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("band"),
+        F.col("bv"),
+    )
+    cand = (
+        a.join(b, ["band", "bv"])
+        .filter(F.col("vec_id") != F.col("neighbor_id"))
+        .select("vec_id", "neighbor_id")
+        .distinct()
+    )
+    # Candidate scoring stays one row per PAIR (vectors ride as
+    # arrays; zip_with/aggregate fold nano-unit LONG products —
+    # exact integers, so summation order is irrelevant and the
+    # grouped formulation in the oracle computes the identical value;
+    # longs through codegen are ~3.5x faster than DECIMAL folds, the
+    # q_ridge / q_word_vectors micro-unit lesson).  Overflow guard by
+    # construction: 64 terms x |x*y|<=~1 x 1e9 stays < 2^37.  An
+    # exploded per-dimension join here would multiply candidate rows
+    # by dim.
+    def _lsum(arr):
+        return F.aggregate(
+            arr, F.lit(0).cast("long"), lambda acc, x: acc + x
+        ).cast("double")
+
+    prod = F.zip_with(
+        "ea", "eb", lambda a, b: F.round(a * b * 1e9, 0).cast("long")
+    )
+    sq = lambda col: F.transform(  # noqa: E731
+        col, lambda a: F.round(a * a * 1e9, 0).cast("long")
+    )
+    # per-vector norm computed ONCE (n rows), not once per pair —
+    # candidate scoring then folds only the dot product
+    norms = emb.select("vec_id", _lsum(sq("e")).alias("nrm"))
+    va = emb.join(norms, "vec_id").select(
+        F.col("vec_id"), F.col("e").alias("ea"), F.col("nrm").alias("na")
+    )
+    vb = emb.join(norms, "vec_id").select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("e").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    sims = (
+        cand.join(va, "vec_id")
+        .join(vb, "neighbor_id")
+        .select(
+            "vec_id",
+            "neighbor_id",
+            F.round(
+                _lsum(prod) / F.sqrt(F.col("na") * F.col("nb")),
+                6,
+            ).alias("sim"),
+        )
+    )
+    ranked = sims.withColumn(
+        "rank",
+        F.row_number()
+        .over(
+            Window.partitionBy("vec_id").orderBy(
+                F.desc("sim"), "neighbor_id"
+            )
+        )
+        .cast("long"),
+    )
+    return ranked.filter(F.col("rank") <= 1)
+
+
 @query("q_ann_ivf")  # rows-only: approximate, quantizer-specific
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate nearest neighbor (top-1 within nprobe probed

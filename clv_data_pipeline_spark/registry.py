@@ -354,7 +354,7 @@ _VERIFIED = (
 #: never-sampled + 11 graduated-stale names must fill CORRECTNESS_r08
 #: first (55 names vs a ~50-row budget) — round-8 additions sort behind
 #: both backlogs within tier 0 and take their driver row in round 9.
-_R8_NEW: set[str] = set()
+_R8_NEW: set[str] = {"q_ann_lsh_portable"}
 
 
 def _ordered_names() -> list[str]:

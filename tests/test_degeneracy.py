@@ -81,6 +81,7 @@ CONSTANT_OK: frozenset[tuple[str, str]] = frozenset(
         ("q_text_stats", "punct_ratio"),
         ("q_text_stats", "digit_ratio"),
         ("q_cosine_topk", "rank"),
+        ("q_ann_lsh_portable", "rank"),
         ("q_retention_cohorts", "cohort_week"),
         ("q_source_report", "n_docs"),
         ("q_udtf_sentences", "sent_idx"),
