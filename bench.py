@@ -236,6 +236,8 @@ HEADLINE = [
     "q_markov_ltv",
     "q_hhi",
     "q_evalue",
+    # round 8 (additions frozen by design; the one exception)
+    "q_ann_lsh_portable",
 ]
 
 #: Frozen comparable subsets — apples-to-apples totals across rounds.
@@ -371,7 +373,7 @@ COMPARABLE_R6 = (
     "q_price_elasticity", "q_offpolicy_eval", "q_range_window",
     "q_dbscan", "q_growth_accounting", "q_threshold_tuning",
     "q_rec_coverage", "q_wasserstein", "q_covariate_balance",
-    "q_qte", "q_ann_lsh_portable",
+    "q_qte",
 )
 
 
