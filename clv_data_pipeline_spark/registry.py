@@ -325,36 +325,59 @@ _R7_VERIFIED: frozenset[str] = frozenset(
     }
 )
 
+#: Queries the driver checked in round 8 (``CORRECTNESS_r08.json``):
+#: all 50 sampled names hash-green, 0 errors — the second consecutive
+#: fully-clean driver sample.  Folding them in (VERDICT r8 "do this"
+#: item 1) points round 9's budget at the 9 graduated-but-stale names
+#: below instead of re-verifying fresh greens.
+_R8_VERIFIED: frozenset[str] = frozenset(
+    {
+        "q_filter_funnel", "q_dataset_card", "q_good_turing",
+        "q_heaps_law", "q_coreset", "q_stream_topk", "q_stream_funnel",
+        "q_stl_decompose", "q_iv_2sls", "q_rdd", "q_propensity_matching",
+        "q_bayes_ab", "q_bh_fdr", "q_simpson", "q_mediation", "q_anova",
+        "q_overdispersion", "q_price_index", "q_icc_deff",
+        "q_gaussian_mixture", "q_stream_mixture", "q_uplift",
+        "q_metric_decomposition", "q_capture_recapture", "q_markov_ltv",
+        "q_hhi", "q_evalue", "q_kneser_ney", "q_skipgram_pairs",
+        "q_rec_coverage", "q_item_cf_incremental", "q_hits",
+        "q_learning_curve", "q_cross_validation", "q_fellegi_sunter",
+        "q_dbscan", "q_random_walks", "q_kmeans", "q_tpch_q2_derived",
+        "q_tpch_q9_derived", "q_tpch_q11_derived", "q_tpch_q16_derived",
+        "q_tpch_q20_derived", "q_tpch_q21_derived", "q_ann_lsh_portable",
+        "q_csv_roundtrip", "q_jsonl_roundtrip", "q_orc_roundtrip",
+        "q_isotonic_calibration", "q_mmr_diversify",
+    }
+)
+
 #: Queries that GRADUATED from rows-only to oracle-backed after their
-#: last driver sample (VERDICT r7 "what's missing" item 2): the driver
-#: row on file is a weak rows-only check but the registry now carries a
+#: last driver sample (VERDICT r7/r8 "what's missing"): the driver row
+#: on file is a weak rows-only check but the registry now carries a
 #: full oracle.  They re-sample ahead of every verified tier (but
-#: behind the never-sampled backlog) so CORRECTNESS_r08 records the
-#: hash-match.  Listed in judge-priority order — the driver budget cuts
-#: from the back.
+#: behind any never-sampled backlog) so CORRECTNESS_r09 records the
+#: hash-match.  The 5 round-7 priorities (roundtrip trio, isotonic,
+#: MMR) got green r8 rows and moved to _R8_VERIFIED; these 9 survive.
+#: Listed in judge-priority order — the driver budget cuts from the
+#: back.
 _GRADUATED_STALE: tuple[str, ...] = (
-    # judge-named round-7 priorities first
-    "q_csv_roundtrip", "q_jsonl_roundtrip", "q_orc_roundtrip",
-    "q_isotonic_calibration", "q_mmr_diversify",
     # round-8 graduations: brand-new oracles the driver has never
     # exercised (2F1 recursive CTE, polynomial simhash replay,
-    # analytic frame cardinality) — higher information value than
-    # re-sampling the long-stable sketch/minhash pairs below
+    # analytic frame cardinality) — highest information value
     "q_predicted_purchases", "q_simhash", "q_frame_sample",
+    # earlier graduations whose oracle post-dates their driver row
     "q_minhash_candidates", "q_minhash_clusters", "q_approx_distinct",
     "q_approx_percentiles", "q_hll_merge", "q_pca_variance",
 )
 
 _VERIFIED = (
     _R1_VERIFIED | _R2_VERIFIED | _R3_VERIFIED | _R4_VERIFIED
-    | _R5_VERIFIED | _R6_VERIFIED | _R7_VERIFIED
+    | _R5_VERIFIED | _R6_VERIFIED | _R7_VERIFIED | _R8_VERIFIED
 )
 
-#: Queries REGISTERED during round 8.  VERDICT r7's top ask: the 44
-#: never-sampled + 11 graduated-stale names must fill CORRECTNESS_r08
-#: first (55 names vs a ~50-row budget) — round-8 additions sort behind
-#: both backlogs within tier 0 and take their driver row in round 9.
-_R8_NEW: set[str] = {"q_ann_lsh_portable"}
+#: Queries REGISTERED during round 9 — sort behind the graduated-stale
+#: re-sample tier within tier 0 is no longer needed (backlog is zero);
+#: new registrations are genuinely never-sampled and lead the queue.
+_R9_NEW: set[str] = set()
 
 
 def _ordered_names() -> list[str]:
@@ -370,7 +393,9 @@ def _ordered_names() -> list[str]:
     graduated_rank = {n: i for i, n in enumerate(_GRADUATED_STALE)}
     tier = {}
     for n in names:
-        if n in _R7_VERIFIED:
+        if n in _R8_VERIFIED:
+            tier[n] = 8
+        elif n in _R7_VERIFIED:
             tier[n] = 7
         elif n in _R6_VERIFIED:
             tier[n] = 6
@@ -397,7 +422,7 @@ def _ordered_names() -> list[str]:
         names,
         key=lambda n: (
             tier[n],
-            1 if (tier[n] == 0 and n in _R8_NEW) else 0,
+            1 if (tier[n] == 0 and n in _R9_NEW) else 0,
             graduated_rank.get(n, 0),
             0 if _REGISTRY[n].oracle is not None else 1,
             order[n],
