@@ -243,6 +243,27 @@ def expected_purchases_udf(params: BetaGeoParams, t: float):
     return _udf
 
 
+def pnbd_expected_purchases_udf(params: "ParetoNBDParams", t: float):
+    """Pareto/NBD conditional expected purchases as an Arrow-vectorized
+    pandas UDF — the Pareto/NBD twin of ``expected_purchases_udf``.
+    The frozen 4-param model rides the closure; execution is map-only
+    over (frequency, recency, T) batches.
+    """
+
+    @pandas_udf("double")
+    def _udf(x: pd.Series, t_x: pd.Series, T: pd.Series) -> pd.Series:
+        out = pnbd_expected_purchases_np(
+            params,
+            t,
+            x.to_numpy(dtype=np.float64),
+            t_x.to_numpy(dtype=np.float64),
+            T.to_numpy(dtype=np.float64),
+        )
+        return pd.Series(out)
+
+    return _udf
+
+
 def prob_alive_col(
     params: BetaGeoParams,
     frequency: Column | str = "frequency",

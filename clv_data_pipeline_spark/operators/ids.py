@@ -123,6 +123,7 @@ def distributed_prefix_max(
     value_col: str,
     out_col: str = "running_max",
     n_buckets: int = 2048,
+    tiebreak_col: str | None = None,
 ) -> DataFrame:
     """Global running MAX over ``order_col`` — same Blelloch
     decomposition as :func:`distributed_prefix_sum` with (max,
@@ -131,7 +132,14 @@ def distributed_prefix_max(
     back.  Max is idempotent and exact on any orderable type, so the
     recomposition equals the sequential scan with no numeric caveats —
     this is the streaming-watermark computation (running max event
-    time) in batch form."""
+    time) in batch form.
+
+    When ``order_col`` has duplicates the intra-tie scan order is
+    nondeterministic, so the running max AT a tied row can differ
+    between runs whenever tied rows carry different values; pass a
+    unique ``tiebreak_col`` to pin it (equal ``order_col`` values land
+    in the same bucket, so the tiebreak composes exactly with the
+    bucket decomposition)."""
     stats = df.agg(
         F.min(order_col).alias("_lo"), F.max(order_col).alias("_hi")
     )
@@ -148,9 +156,12 @@ def distributed_prefix_max(
         )
         .drop("_lo", "_hi")
     )
+    order_keys = (
+        [order_col] if tiebreak_col is None else [order_col, tiebreak_col]
+    )
     wr = (
         Window.partitionBy("_bk")
-        .orderBy(order_col)
+        .orderBy(*order_keys)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     local = b.withColumn("_run", F.max(value_col).over(wr))

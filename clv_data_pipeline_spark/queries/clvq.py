@@ -18,10 +18,12 @@ from pyspark.sql import functions as F
 from clv_data_pipeline_spark.operators.clv import (
     BetaGeoParams,
     GammaGammaParams,
+    ParetoNBDParams,
     expected_avg_value_col,
     expected_purchases_udf,
     fit_bgnbd,
     fit_gamma_gamma,
+    pnbd_expected_purchases_udf,
     predictions_projection,
     score_customers,
 )
@@ -483,32 +485,176 @@ def q_pareto_nbd(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_clv_compare")  # rows-only: two own-MLE fits, not SQL
+#: Frozen scoring params for q_clv_compare — all exact in binary so
+#: every downstream op is bit-deterministic, and purchase-rate-matched
+#: to the corpus (the synthetic event log transacts ~1/customer-day;
+#: r/alpha = 1 keeps predictions on the actuals' scale so holdout
+#: errors are mixed-sign, not a uniform underprediction that would
+#: collapse mae to |bias|).  The two models share the rate prior but
+#: price dropout differently (BG: after-purchase coin flip a/b;
+#: Pareto: exponential death mu ~ Gamma(5/8, 23/2)), so they genuinely
+#: disagree on the holdout.  alpha < beta for _PN, so the A0
+#: hypergeometric argument is z = (beta-alpha)/(beta + t) and its
+#: second parameter is r + x (Fader-Hardie 2005 "A Note on Deriving
+#: the Pareto/NBD Model", alpha<beta branch).
+_BG_CMP = BetaGeoParams(r=1.0, alpha=1.0, a=0.75, b=2.5)
+_PN = ParetoNBDParams(r=1.0, alpha=1.0, s=0.625, beta=11.5)
+
+#: 2F1 series replay fragment shared by the two q_clv_compare models:
+#: DuckDB iterates term_{n+1} = term_n * (a+n)(b+n)/((c+n)(n+1)) * z
+#: with the SAME IEEE double ops in the SAME order as
+#: functions/special.hyp2f1, with the same adaptive 1e-12 stop — the
+#: pattern hash-verified bit-exact for q_predicted_purchases in r8.
+_SER_STEP = """
+               term * ((a + n) * (b + n) / ((c + n) * (n + 1.0)) * z),
+               total + CASE WHEN active
+                   THEN term * ((a + n) * (b + n)
+                                / ((c + n) * (n + 1.0)) * z)
+                   ELSE 0.0 END,
+               active AND abs(term * ((a + n) * (b + n)
+                                      / ((c + n) * (n + 1.0)) * z))
+                   > 1e-12 * abs(total + CASE WHEN active
+                       THEN term * ((a + n) * (b + n)
+                                    / ((c + n) * (n + 1.0)) * z)
+                       ELSE 0.0 END)
+"""
+
+
+@query(
+    "q_clv_compare",
+    oracle=f"""
+    WITH RECURSIVE rfm AS MATERIALIZED (
+        SELECT user_id AS customer_id,
+               CAST(COUNT(DISTINCT CAST(ts AS DATE)) - 1 AS DOUBLE) AS x,
+               CAST(date_diff('day', CAST(MIN(ts) AS DATE),
+                    CAST(MAX(ts) AS DATE)) AS DOUBLE) AS t_x,
+               CAST(date_diff('day', CAST(MIN(ts) AS DATE),
+                    DATE '2024-01-16') AS DOUBLE) AS T
+        FROM events WHERE ts <= TIMESTAMP '2024-01-16 00:00:00'
+        GROUP BY user_id),
+    act AS (
+        SELECT user_id AS customer_id,
+               CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS DOUBLE) AS actual_n
+        FROM events
+        WHERE ts > TIMESTAMP '2024-01-16 00:00:00'
+          AND ts <= TIMESTAMP '2024-01-30 00:00:00'
+        GROUP BY user_id),
+    base AS MATERIALIZED (
+        SELECT r.customer_id, r.x, r.t_x, r.T,
+               COALESCE(a.actual_n, 0.0) AS actual_n
+        FROM rfm r LEFT JOIN act a USING (customer_id)),
+    bgargs AS (
+        SELECT customer_id, 1.0 + x AS a, 2.5 + x AS b,
+               0.75 + 2.5 + x - 1.0 AS c, 14.0 / (1.0 + T + 14.0) AS z
+        FROM base),
+    bgser(customer_id, a, b, c, z, n, term, total, active) AS (
+        SELECT customer_id, a, b, c, z, 0,
+               CAST(1.0 AS DOUBLE), CAST(1.0 AS DOUBLE), TRUE
+        FROM bgargs
+        UNION ALL
+        SELECT customer_id, a, b, c, z, n + 1,{_SER_STEP}
+        FROM bgser WHERE active AND n < 4000),
+    bghyp AS (SELECT customer_id, arg_max(total, n) AS hyp
+              FROM bgser GROUP BY customer_id),
+    pnargs AS (
+        SELECT customer_id, which, 1.625 + x AS a, 1.0 + x AS b,
+               1.625 + x + 1.0 AS c, 10.5 / (11.5 + tv) AS z
+        FROM (SELECT customer_id, x, t_x AS tv, 0 AS which FROM base
+              UNION ALL
+              SELECT customer_id, x, T AS tv, 1 AS which FROM base)),
+    pnser(customer_id, which, a, b, c, z, n, term, total, active) AS (
+        SELECT customer_id, which, a, b, c, z, 0,
+               CAST(1.0 AS DOUBLE), CAST(1.0 AS DOUBLE), TRUE
+        FROM pnargs
+        UNION ALL
+        SELECT customer_id, which, a, b, c, z, n + 1,{_SER_STEP}
+        FROM pnser WHERE active AND n < 4000),
+    pnhyp AS (
+        SELECT customer_id,
+               arg_max(total, n) FILTER (which = 0) AS hyp_tx,
+               arg_max(total, n) FILTER (which = 1) AS hyp_T
+        FROM pnser GROUP BY customer_id),
+    scored AS (
+        SELECT b.actual_n,
+               ROUND(
+                 ((0.75 + 2.5 + b.x - 1.0) / (0.75 - 1.0))
+                 * (1.0 - g.hyp * POWER((1.0 + b.T) / (1.0 + b.T + 14.0),
+                                        1.0 + b.x))
+                 / (1.0 + CASE WHEN b.x > 0 THEN 1.0 ELSE 0.0 END
+                          * (0.75 / (2.5 + GREATEST(b.x, 1.0) - 1.0))
+                          * POWER((1.0 + b.T) / (1.0 + b.t_x),
+                                  1.0 + b.x)), 9) AS pred_bg,
+               ROUND(
+                 (1.0 + b.x) * (11.5 + b.T) / (1.0 + b.T)
+                 * ((1.0 - POWER((11.5 + b.T) / (11.5 + b.T + 14.0),
+                                 -0.375)) / (-0.375))
+                 * CASE WHEN b.t_x >= b.T THEN 1.0 ELSE
+                     1.0 / (1.0 + exp(
+                       ln(0.625) - ln(1.625 + b.x)
+                       + (1.0 + b.x) * ln(1.0 + b.T)
+                       + 0.625 * ln(11.5 + b.T)
+                       + (ln(p.hyp_tx) - (1.625 + b.x) * ln(11.5 + b.t_x))
+                       + ln(1.0 - exp(LEAST(
+                           (ln(p.hyp_T) - (1.625 + b.x) * ln(11.5 + b.T))
+                           - (ln(p.hyp_tx)
+                              - (1.625 + b.x) * ln(11.5 + b.t_x)),
+                           0.0)))))
+                   END, 9) AS pred_pn
+        FROM base b
+        JOIN bghyp g USING (customer_id)
+        JOIN pnhyp p USING (customer_id)),
+    sums AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(ROUND(ABS(pred_bg - actual_n)
+                    * 1000000000.0, 0) AS BIGINT)) AS BIGINT) AS sa_bg,
+               CAST(SUM(CAST(ROUND((pred_bg - actual_n)
+                    * 1000000000.0, 0) AS BIGINT)) AS BIGINT) AS s_bg,
+               CAST(SUM(CAST(ROUND(ABS(pred_pn - actual_n)
+                    * 1000000000.0, 0) AS BIGINT)) AS BIGINT) AS sa_pn,
+               CAST(SUM(CAST(ROUND((pred_pn - actual_n)
+                    * 1000000000.0, 0) AS BIGINT)) AS BIGINT) AS s_pn
+        FROM scored)
+    SELECT 'bg_nbd' AS model, n AS n_customers,
+           ROUND(CAST(sa_bg AS DOUBLE) / 1000000000.0 / n, 6) AS mae,
+           ROUND(CAST(s_bg AS DOUBLE) / 1000000000.0 / n, 6) AS bias
+    FROM sums
+    UNION ALL
+    SELECT 'pareto_nbd', n,
+           ROUND(CAST(sa_pn AS DOUBLE) / 1000000000.0 / n, 6),
+           ROUND(CAST(s_pn AS DOUBLE) / 1000000000.0 / n, 6)
+    FROM sums
+    """,
+)
 def q_clv_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Holdout model validation: fit BG/NBD AND Pareto/NBD on the
-    calibration half of the event log (features as of 2024-01-16,
-    leakage-safe by construction), predict each customer's holdout
-    transactions, and report per-model MAE/bias against what actually
-    happened — the which-model-should-score-production readout the
-    reference pipeline implies but never runs.  Both fits use the
-    grouped-triple compression barrier; scoring is one Arrow pass
-    with both 4-param models broadcast; the comparison is 2 rows."""
-    import pandas as pd
+    """Holdout model validation: score BG/NBD AND Pareto/NBD (both
+    with production-frozen params — the fit-weekly / score-daily
+    lifecycle, fits verified separately by ``q_clv_scores`` +
+    tests/test_clv_logic.py parameter recovery) on calibration-window
+    features as of 2024-01-16, predict each customer's transactions in
+    the matched 14-day holdout window, and report per-model MAE/bias —
+    the which-model-should-score-production readout the reference
+    pipeline implies but never runs (dags/clv_models.py fits one model
+    unconditionally).
 
-    from clv_data_pipeline_spark.operators.clv import (
-        expected_purchases_np,
-        fit_bgnbd,
-        fit_pareto_nbd,
-        pnbd_expected_purchases_np,
-    )
-    from clv_data_pipeline_spark.registry import ensure_worker_imports
+    Graduated from rows-only in round 9: with frozen params both
+    predictions are closed forms over one 2F1 series each (BG: eq. 10
+    of Fader-Hardie-Lee 2005; Pareto/NBD: E[Y] x P(alive) with the
+    log-space A0 difference), and the oracle replays the SAME series
+    iteration bit-exactly in DuckDB recursive CTEs, rounds each
+    prediction at 9 dp to absorb libm-last-bit differences in
+    POWER/ln/exp, then aggregates via exact integer sums (x 1e9) so
+    MAE/bias are accumulation-order independent on both engines.
 
-    ensure_worker_imports(spark)
+    Scale shape: two corpus-sized aggregations (calibration RFM +
+    holdout counts, both partial-aggregable) -> one hash join on
+    customer_id -> map-only Arrow scoring with the 4-float models in
+    the closures -> one exact-integer aggregate to a single row.  No
+    driver collect of per-customer data."""
     ev = load_table(spark, sf_dir, "events")
     cut = F.lit("2024-01-16 00:00:00").cast("timestamp")
-    cal = ev.filter(F.col("ts") <= cut)
+    hold_end = F.lit("2024-01-30 00:00:00").cast("timestamp")
     f = rfm_features(
-        cal,
+        ev.filter(F.col("ts") <= cut),
         customer_col="user_id",
         ts_col="ts",
         amount_col="value",
@@ -520,7 +666,7 @@ def q_clv_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("T").cast("double").alias("T"),
     )
     actual = (
-        ev.filter(F.col("ts") > cut)
+        ev.filter((F.col("ts") > cut) & (F.col("ts") <= hold_end))
         .groupBy(F.col("user_id").alias("customer_id"))
         .agg(
             F.countDistinct(F.to_date("ts")).cast("double").alias("actual_n")
@@ -529,53 +675,47 @@ def q_clv_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = f.join(actual, "customer_id", "left").na.fill(
         {"actual_n": 0.0}
     )
-    bg = fit_bgnbd(f.withColumnRenamed("T", "t"))
-    pn = fit_pareto_nbd(f.withColumnRenamed("T", "t"))
-    horizon = 14.0
-    bc = spark.sparkContext.broadcast((bg, pn, horizon))
-
-    def _score(batches):
-        b, p, t = bc.value
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            x = pdf["frequency"].to_numpy()
-            t_x = pdf["recency"].to_numpy()
-            T = pdf["T"].to_numpy()
-            yield pd.DataFrame(
-                {
-                    "actual_n": pdf["actual_n"],
-                    "pred_bg": expected_purchases_np(b, t, x, t_x, T),
-                    "pred_pn": pnbd_expected_purchases_np(p, t, x, t_x, T),
-                }
-            )
-
-    scored = joined.mapInPandas(
-        _score, "actual_n double, pred_bg double, pred_pn double"
+    p_bg = expected_purchases_udf(_BG_CMP, 14.0)
+    p_pn = pnbd_expected_purchases_udf(_PN, 14.0)
+    x, t_x, T = F.col("frequency"), F.col("recency"), F.col("T")
+    scored = joined.select(
+        "actual_n",
+        F.round(p_bg(x, t_x, T), 9).alias("pred_bg"),
+        F.round(p_pn(x, t_x, T), 9).alias("pred_pn"),
     )
-    # one aggregate pass scores BOTH models — a per-model .agg would
-    # re-execute the fit-feature-join subtree once per model
-    agg = scored.agg(
-        F.count("*").alias("n"),
-        F.avg(F.abs(F.col("pred_bg") - F.col("actual_n"))).alias("mae_bg"),
-        F.avg(F.col("pred_bg") - F.col("actual_n")).alias("bias_bg"),
-        F.avg(F.abs(F.col("pred_pn") - F.col("actual_n"))).alias("mae_pn"),
-        F.avg(F.col("pred_pn") - F.col("actual_n")).alias("bias_pn"),
-    ).collect()[0]
-    rows = [
-        (
-            "bg_nbd",
-            int(agg["n"]),
-            round(float(agg["mae_bg"]), 6),
-            round(float(agg["bias_bg"]), 6),
-        ),
-        (
-            "pareto_nbd",
-            int(agg["n"]),
-            round(float(agg["mae_pn"]), 6),
-            round(float(agg["bias_pn"]), 6),
-        ),
-    ]
-    return spark.createDataFrame(
-        rows, "model string, n_customers long, mae double, bias double"
+
+    def _sums(pred: str) -> list:
+        e = F.col(pred) - F.col("actual_n")
+        scale = F.lit(1000000000.0)
+        return [
+            F.sum(F.round(F.abs(e) * scale, 0).cast("long")).alias(
+                f"sa_{pred[5:]}"
+            ),
+            F.sum(F.round(e * scale, 0).cast("long")).alias(
+                f"s_{pred[5:]}"
+            ),
+        ]
+
+    one = scored.agg(
+        F.count("*").alias("n"), *_sums("pred_bg"), *_sums("pred_pn")
     )
+
+    def _row(name: str, sa: str, s: str):
+        denom = F.lit(1000000000.0)
+        return F.struct(
+            F.lit(name).alias("model"),
+            F.col("n").alias("n_customers"),
+            F.round(F.col(sa).cast("double") / denom / F.col("n"), 6).alias(
+                "mae"
+            ),
+            F.round(F.col(s).cast("double") / denom / F.col("n"), 6).alias(
+                "bias"
+            ),
+        )
+
+    return one.select(
+        F.explode(
+            F.array(_row("bg_nbd", "sa_bg", "s_bg"),
+                    _row("pareto_nbd", "sa_pn", "s_pn"))
+        ).alias("r")
+    ).select("r.*")

@@ -1300,8 +1300,16 @@ def q_late_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = ev.withColumn(
         "arr", F.col("us") + jitter_s * F.lit(1_000_000)
     )
+    # arr ties are COMMON (second-granularity timestamps + integer-
+    # second jitter), and the running max at a tied row depends on the
+    # intra-tie order — event_id pins it to the oracle's
+    # ORDER BY arr, event_id exactly.
     wm = distributed_prefix_max(
-        ev, order_col="arr", value_col="us", out_col="wm"
+        ev,
+        order_col="arr",
+        value_col="us",
+        out_col="wm",
+        tiebreak_col="event_id",
     )
     return (
         wm.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))

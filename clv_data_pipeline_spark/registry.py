@@ -367,6 +367,9 @@ _GRADUATED_STALE: tuple[str, ...] = (
     # earlier graduations whose oracle post-dates their driver row
     "q_minhash_candidates", "q_minhash_clusters", "q_approx_distinct",
     "q_approx_percentiles", "q_hll_merge", "q_pca_variance",
+    # round-9 graduation (VERDICT r8 item 2, third time named): both
+    # lifetimes models replay in DuckDB; last driver row rows-only@r6
+    "q_clv_compare",
 )
 
 _VERIFIED = (

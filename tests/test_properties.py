@@ -443,6 +443,43 @@ def test_distributed_prefix_scans_equal_sequential(spark, ids, vals):
 
 @settings(max_examples=8, deadline=None)
 @given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5),  # order key, MANY ties
+            st.integers(min_value=-100, max_value=100),
+        ),
+        min_size=1, max_size=40,
+    )
+)
+def test_prefix_max_tiebreak_matches_sequential(spark, rows):
+    """With duplicate order keys, tiebreak_col must reproduce the
+    sequential scan ordered by (k, id) exactly — the q_late_events
+    watermark contract (ADVICE r8: tied arrivals made wm
+    nondeterministic without it)."""
+    from pyspark.sql import Window
+
+    from clv_data_pipeline_spark.operators.ids import (
+        distributed_prefix_max,
+    )
+
+    data = [(i, k, v) for i, (k, v) in enumerate(rows)]
+    df = spark.createDataFrame(data, "id long, k long, v long").repartition(5)
+    w = Window.orderBy("k", "id").rowsBetween(Window.unboundedPreceding, 0)
+    naive = {
+        r["id"]: r["m"]
+        for r in df.select("id", F.max("v").over(w).alias("m")).collect()
+    }
+    got = {
+        r["id"]: r["running_max"]
+        for r in distributed_prefix_max(
+            df, "k", "v", n_buckets=3, tiebreak_col="id"
+        ).collect()
+    }
+    assert got == naive
+
+
+@settings(max_examples=8, deadline=None)
+@given(
     ids=st.lists(
         st.integers(min_value=0, max_value=100_000),
         min_size=1, max_size=60, unique=True,
