@@ -107,7 +107,7 @@ def cc_bounded_driver(
     edges: DataFrame,
     src: str,
     dst: str,
-    max_edges: int = 2_000_000,
+    max_edges: int = 250_000,
 ) -> DataFrame:
     """Min-label connected components for GEOMETRICALLY BOUNDED graphs
     via a driver-side union-find — the bounded-barrier pattern the
@@ -118,7 +118,12 @@ def cc_bounded_driver(
     distributed pointer jumping spend seconds of job latency on data a
     driver dict unions in milliseconds.  Falls back to
     :func:`cc_pointer_jump` if the edge count exceeds ``max_edges`` —
-    the guard that keeps an unbounded caller scale-safe.  Identical
+    the guard that keeps an unbounded caller scale-safe.  The default
+    cap is sized to the intended bounded-graph scale (~5x q_dbscan's
+    cell graph): the probe collects up to max_edges+1 Row objects, so
+    the cap bounds DRIVER MEMORY, not just the union-find's work —
+    2M Rows would be hundreds of MB of Python object overhead, at
+    odds with the milliseconds premise (ADVICE r8).  Identical
     result contract: (node, cluster_id = min reachable node id)."""
     e = edges.select(
         F.col(src).alias("a"), F.col(dst).alias("b")

@@ -827,10 +827,30 @@ def q_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
                    '\s+', ' ', 'g')), ' ')) AS t
         FROM documents),
     th AS (
+        -- fold over the token's UTF-8 BYTES (code points decomposed
+        -- arithmetically), matching the Spark kernel's
+        -- t.encode('utf-8') exactly on non-ASCII text; the prepended
+        -- 0 seeds the fold so an empty token reduces to 0 instead of
+        -- erroring on an empty list (ADVICE r8)
         SELECT doc_id,
                CAST(list_reduce(
-                   list_transform(range(1, length(t) + 1),
-                       i -> CAST(ascii(substring(t, i, 1)) AS HUGEINT)),
+                   list_prepend(CAST(0 AS HUGEINT),
+                     flatten(list_transform(
+                       list_transform(range(1, length(t) + 1),
+                           i -> CAST(unicode(substring(t, i, 1))
+                                     AS HUGEINT)),
+                       u -> CASE
+                           WHEN u < 128 THEN [u]
+                           WHEN u < 2048 THEN
+                               [192 + u // 64, 128 + u % 64]
+                           WHEN u < 65536 THEN
+                               [224 + u // 4096, 128 + (u // 64) % 64,
+                                128 + u % 64]
+                           ELSE
+                               [240 + u // 262144,
+                                128 + (u // 4096) % 64,
+                                128 + (u // 64) % 64, 128 + u % 64]
+                           END))),
                    (acc, b) -> (acc * 257 + b) % 2305843009213693951)
                AS BIGINT) AS h
         FROM toks),

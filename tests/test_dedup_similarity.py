@@ -540,6 +540,44 @@ def test_simhash_pair_count_equals_materialized_pairs(spark):
     assert n_pairs > 0  # fixture has near-dups; the equality is not vacuous
 
 
+def test_simhash_oracle_parity_non_ascii_and_empty(spark):
+    """The q_simhash DuckDB oracle must reproduce the Spark kernel's
+    signatures on non-ASCII and empty documents — the kernel hashes
+    UTF-8 BYTES, so the oracle's code-point -> UTF-8 decomposition and
+    the empty-token 0-seed are load-bearing (ADVICE r8: the previous
+    per-character oracle silently diverged on any non-ASCII doc and
+    errored on empty ones)."""
+    import duckdb
+
+    from clv_data_pipeline_spark.operators.dedup import (
+        simhash_signatures_vectorized,
+    )
+    from clv_data_pipeline_spark import registry
+
+    rows = [
+        (1, "héllo wörld héllo"),
+        (2, "€uro zone 𝄞 clef"),
+        (3, ""),
+        (4, "plain ascii text only"),
+        (5, "mixed ascii und übermäßig 日本語"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    spark_sigs = {
+        r["doc_id"]: r["_sh"]
+        for r in simhash_signatures_vectorized(df).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    oracle_sigs = {
+        doc_id: sig
+        for doc_id, sig, _ in con.execute(
+            registry.all_oracles()["q_simhash"]
+        ).fetchall()
+    }
+    assert oracle_sigs == spark_sigs
+
+
 def test_semdedup_matches_bruteforce_greedy(spark):
     """With one cell, semdedup's within-cell admission must equal an
     independent numpy brute-force greedy pass over ids ascending."""

@@ -129,3 +129,37 @@ def test_ivf_pq_output_contract(spark):
     assert all(r["rank"] == 1 for r in rows)
     assert all(r["vec_id"] != r["neighbor_id"] for r in rows)
     assert all(-1.0 <= r["sim"] <= 1.0 for r in rows)
+
+
+def test_ann_lsh_portable_recall_floor(spark):
+    """Pin the measured recall@1 of the portable SRP-LSH twin against
+    exact brute-force top-1 (ADVICE r8: docstring said ~0.16-0.19,
+    SURVEY said ~0.49 — re-measured at sf0.01: 0.16, with every query
+    answered).  Low recall is the documented property of 3x6-bit
+    banding on near-uniform vectors; this floor catches silent
+    pipeline regressions (a broken band join would crater it), the
+    ceiling catches an accidental all-pairs fallback."""
+    from clv_data_pipeline_spark import registry
+
+    emb_pdf = (
+        load_table(spark, "/root/testdata/sf0.01", "embeddings")
+        .filter("vec_id < 800")
+        .toPandas()
+    )
+    ids = emb_pdf["vec_id"].to_numpy()
+    X = np.stack(emb_pdf["embedding"].to_numpy()).astype(np.float64)
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    S = Xn @ Xn.T
+    np.fill_diagonal(S, -np.inf)
+    exact_top1 = {
+        int(ids[i]): int(ids[int(np.argmax(S[i]))]) for i in range(len(ids))
+    }
+    res = registry.all_queries()["q_ann_lsh_portable"](
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    got = {int(r["vec_id"]): int(r["neighbor_id"]) for r in res}
+    assert len(got) == len(ids)  # every query answered
+    recall = sum(
+        1 for v, n in got.items() if exact_top1[v] == n
+    ) / len(ids)
+    assert 0.12 <= recall <= 0.60, recall
