@@ -60,21 +60,23 @@ def als_fit(
         F.col(item_col).alias("item"),
         F.col(rating_col).cast("double").alias("rating"),
     )
-    items = [row["item"] for row in r.select("item").distinct().collect()]
-    # Hard scale guard (VERDICT r5): this implementation's item step
-    # collects items x k factors to the driver and broadcasts them each
-    # iteration — sound for bounded vocabularies (brands, categories,
-    # genres), UNSOUND for open item spaces (SKUs, documents).  Fail
-    # loudly instead of degrading: the fix at high item cardinality is
-    # a symmetric join-shaped item step (mirror the user step's
-    # mapInPandas over item-grouped observations with user factors
-    # joined in), not a bigger broadcast.
+    items = [
+        row["item"]
+        for row in r.select("item").distinct().limit(max_items + 1).collect()
+    ]
+    # Path selector (VERDICT r8 item 4, demoting the r5 hard guard):
+    # this path collects items x k factors to the driver and
+    # broadcasts them each iteration — the fast shape for bounded
+    # vocabularies (brands, categories, genres), where the broadcast
+    # is a few MB and the user step pays zero shuffle.  Open item
+    # spaces (SKUs, documents) switch to the fully join-shaped
+    # :func:`als_fit_joined`, whose factors never visit the driver.
+    # NOTE the return type follows the path: dict item factors here,
+    # DataFrame item factors on the scale path.
     if len(items) > max_items:
-        raise ValueError(
-            f"als_fit: {len(items)} distinct items exceeds max_items="
-            f"{max_items}; the driver-side item-factor broadcast only "
-            "holds for bounded item vocabularies. Raise max_items "
-            "deliberately or add a join-shaped item step."
+        return als_fit_joined(
+            ratings, k=k, iters=iters, reg=reg,
+            user_col=user_col, item_col=item_col, rating_col=rating_col,
         )
     Y = _init_item_factors(items, k)
 
@@ -136,6 +138,186 @@ def als_fit(
         )
         Y = {row["item"]: np.array(row["yf"]) for row in yrows}
     return uf_df, Y
+
+
+def _grouped_ridge_solve(
+    obs: DataFrame,
+    group_col: str,
+    feat_col: str,
+    k: int,
+    reg: float,
+    out_col: str,
+    order_col: str,
+) -> DataFrame:
+    """Solve one k x k ridge system per ``group_col`` value over
+    ``obs(group, feat array<double>, rating, order)`` — the shared
+    half-step of join-shaped ALS.
+
+    Scale shape: one hash shuffle on the group key, then a map-only
+    Arrow pass.  Groups are made CONTIGUOUS by sortWithinPartitions
+    and each partition solves ALL its groups in one vectorized batch:
+    np.add.reduceat segment-sums the feature outer products and
+    targets, then one batched np.linalg.solve factors every system at
+    once — no per-group pandas overhead, so a million single-
+    observation groups cost one reduceat, not a million applies.
+    Deterministic: rows sort by (group, order) before the segment
+    sums, so summation order is fixed regardless of scheduling."""
+    import pandas as pd
+
+    def _solve_partition(batches):
+        # one partition = one concat; partition size is already
+        # bounded by maxPartitionBytes upstream, and the reduceat
+        # formulation needs each group contiguous in ONE frame
+        pdfs = [p for p in batches if not p.empty]
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True)
+        g = pdf[group_col].to_numpy()
+        U = np.stack(pdf[feat_col].to_numpy()).astype(np.float64)
+        rv = pdf["rating"].to_numpy(dtype=np.float64)
+        starts = np.flatnonzero(np.r_[True, g[1:] != g[:-1]])
+        outer = U[:, :, None] * U[:, None, :]
+        A = np.add.reduceat(outer, starts, axis=0) + reg * np.eye(k)
+        b = np.add.reduceat(U * rv[:, None], starts, axis=0)
+        x = np.linalg.solve(A, b)
+        yield pd.DataFrame(
+            {group_col: g[starts], out_col: [row.tolist() for row in x]}
+        )
+
+    gt = obs.schema[group_col].dataType.simpleString()
+    return (
+        obs.repartition(F.col(group_col))
+        .sortWithinPartitions(group_col, order_col)
+        .mapInPandas(
+            _solve_partition,
+            f"{group_col} {gt}, {out_col} array<double>",
+        )
+    )
+
+
+def als_fit_joined(
+    ratings: DataFrame,
+    k: int = 8,
+    iters: int = 4,
+    reg: float = 0.1,
+    user_col: str = "user",
+    item_col: str = "item",
+    rating_col: str = "rating",
+):
+    """Fully join-shaped ALS: BOTH half-steps join the factor table to
+    the interaction list and group-solve — no factor matrix ever
+    visits the driver, so item cardinality is unbounded (the scale
+    path :func:`als_fit` selects above ``max_items``).
+
+    Each iteration is two shuffle-join + grouped-solve jobs (the
+    canonical distributed ALS shape); half-step outputs localCheckpoint
+    so the lineage stays one iteration deep.  Init matches
+    :func:`_init_item_factors` exactly (md5-derived, computed
+    executor-side), so at bounded vocabularies the two paths converge
+    to the same factors (parity pinned in tests to ~1e-8 — the solves
+    accumulate in different orders, BLAS gram vs segment reduceat, so
+    bit-equality is not the contract).
+
+    Returns (user_factors DataFrame [user, uf], item_factors DataFrame
+    [item, yf])."""
+    import hashlib
+
+    import pandas as pd
+
+    r = ratings.select(
+        F.col(user_col).alias("user"),
+        F.col(item_col).alias("item"),
+        F.col(rating_col).cast("double").alias("rating"),
+    ).localCheckpoint(eager=True)
+
+    def _init_partition(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            vals = []
+            for it in pdf["item"]:
+                h = hashlib.md5(str(it).encode()).digest()
+                vals.append(
+                    [(h[j] / 255.0 - 0.5) * 0.2 + 0.1 for j in range(k)]
+                )
+            yield pd.DataFrame({"item": pdf["item"], "yf": vals})
+
+    it_type = r.schema["item"].dataType.simpleString()
+    yf_df = (
+        r.select("item")
+        .distinct()
+        .mapInPandas(_init_partition, f"item {it_type}, yf array<double>")
+        .localCheckpoint(eager=True)
+    )
+    uf_df = None
+    for _ in range(iters):
+        uf_df = _grouped_ridge_solve(
+            r.join(yf_df, "item").select("user", "rating", "item", "yf"),
+            group_col="user",
+            feat_col="yf",
+            k=k,
+            reg=reg,
+            out_col="uf",
+            order_col="item",
+        ).localCheckpoint(eager=True)
+        yf_df = _grouped_ridge_solve(
+            r.join(uf_df, "user").select("item", "rating", "user", "uf"),
+            group_col="item",
+            feat_col="uf",
+            k=k,
+            reg=reg,
+            out_col="yf",
+            order_col="user",
+        ).localCheckpoint(eager=True)
+    return uf_df, yf_df
+
+
+def als_objective_df(
+    ratings: DataFrame,
+    uf_df: DataFrame,
+    yf_df: DataFrame,
+    reg: float = 0.1,
+) -> float:
+    """Join-shaped twin of :func:`als_objective` for DataFrame item
+    factors: both factor tables join the interactions (no broadcast of
+    either), errors fold executor-side."""
+    import pandas as pd
+
+    def _err(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            U = np.stack(pdf["uf"].to_numpy())
+            V = np.stack(pdf["yf"].to_numpy())
+            e = (
+                pdf["rating"].to_numpy() - np.einsum("ij,ij->i", U, V)
+            ) ** 2
+            yield pd.DataFrame({"se": [float(e.sum())]})
+
+    se = (
+        ratings.join(uf_df, "user")
+        .join(yf_df, "item")
+        .select("rating", "uf", "yf")
+        .mapInPandas(_err, "se double")
+        .agg(F.sum("se"))
+        .collect()[0][0]
+    ) or 0.0
+
+    def _norm(df: DataFrame, col: str) -> float:
+        return (
+            df.select(
+                F.aggregate(
+                    F.transform(col, lambda v: v * v),
+                    F.lit(0.0),
+                    lambda a, b: a + b,
+                ).alias("n2")
+            )
+            .agg(F.sum("n2"))
+            .collect()[0][0]
+            or 0.0
+        )
+
+    return float(se + reg * (_norm(uf_df, "uf") + _norm(yf_df, "yf")))
 
 
 def als_fit_cached(

@@ -221,8 +221,10 @@ def test_als_objective_decreases_and_is_deterministic(spark):
 def test_als_fit_cached_roundtrip_and_item_guard(spark):
     """als_fit_cached must (a) serve the SAME factors from the stored
     artifact as a fresh fit, (b) skip retraining on the second call,
-    and (c) als_fit must refuse item vocabularies beyond max_items
-    instead of silently building an oversized driver broadcast."""
+    and (c) als_fit must SWITCH to the join-shaped path (DataFrame
+    item factors, no driver broadcast) beyond max_items instead of
+    silently building an oversized driver broadcast (VERDICT r8 item
+    4 demoted the r5 hard failure to a path selector)."""
     import uuid
 
     import pytest
@@ -263,8 +265,60 @@ def test_als_fit_cached_roundtrip_and_item_guard(spark):
     assert {i: v.tolist() for i, v in y2.items()} == {
         i: v.tolist() for i, v in y1.items()
     }
-    with pytest.raises(ValueError, match="max_items"):
-        als_fit(ratings, k=3, iters=1, reg=0.05, max_items=3)
+    from pyspark.sql import DataFrame as SparkDataFrame
+
+    uf_j, yf_j = als_fit(ratings, k=3, iters=1, reg=0.05, max_items=3)
+    assert isinstance(yf_j, SparkDataFrame)  # scale path selected
+    assert yf_j.count() == 6
+
+
+def test_als_joined_parity_and_monotone_objective(spark):
+    """The join-shaped path must converge to the SAME factors as the
+    broadcast path (same md5 init, same ridge systems — solves
+    accumulate in different orders, BLAS gram vs segment reduceat, so
+    the contract is ~1e-8 agreement, not bit equality) and its
+    objective must decrease monotonically."""
+    import numpy as np
+
+    from clv_data_pipeline_spark.operators.recsys import (
+        als_fit,
+        als_fit_joined,
+        als_objective,
+        als_objective_df,
+    )
+
+    rng = np.random.RandomState(7)
+    U = rng.rand(30, 3)
+    V = rng.rand(10, 3)
+    R = U @ V.T + rng.rand(30, 10) * 0.05
+    rows = [
+        (u, f"i{i}", float(R[u, i]))
+        for u in range(30)
+        for i in range(10)
+        if (u + i) % 3 != 0
+    ]
+    ratings = spark.createDataFrame(
+        rows, "user long, item string, rating double"
+    )
+    uf_b, Y_b = als_fit(ratings, k=3, iters=3, reg=0.05)
+    uf_j, yf_j = als_fit_joined(ratings, k=3, iters=3, reg=0.05)
+    yj = {r["item"]: np.array(r["yf"]) for r in yf_j.collect()}
+    assert set(yj) == set(Y_b)
+    for i in Y_b:
+        np.testing.assert_allclose(yj[i], Y_b[i], atol=1e-8)
+    ub = {r["user"]: np.array(r["uf"]) for r in uf_b.collect()}
+    uj = {r["user"]: np.array(r["uf"]) for r in uf_j.collect()}
+    for u in ub:
+        np.testing.assert_allclose(uj[u], ub[u], atol=1e-8)
+    # objective parity + monotone descent on the join path
+    objs = []
+    for it in (1, 2, 3):
+        uf_i, yf_i = als_fit_joined(ratings, k=3, iters=it, reg=0.05)
+        objs.append(als_objective_df(ratings, uf_i, yf_i, reg=0.05))
+    assert objs[0] > objs[1] > objs[2], objs
+    np.testing.assert_allclose(
+        objs[-1], als_objective(ratings, uf_b, Y_b, reg=0.05), rtol=1e-9
+    )
 
 
 def test_als_loo_detects_planted_structure(spark):
