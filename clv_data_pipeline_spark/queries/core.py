@@ -539,15 +539,34 @@ def q_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_sample")  # rows-only: seeded rand ordering is engine-specific
+@query(
+    "q_sample",
+    oracle="""
+    SELECT c_custkey FROM (
+        SELECT c_custkey,
+               ROW_NUMBER() OVER (
+                   ORDER BY md5(CAST(c_custkey AS VARCHAR)), c_custkey
+               ) AS rn
+        FROM customer) s
+    WHERE rn <= 50
+    """,
+)
 def q_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sampling-without-replacement from an ID pool via seeded random
     sort (reference dags/simulate_data.py:128-132 np.random.choice) —
-    the generator's returning-customer draw as a relational op."""
+    the generator's returning-customer draw as a relational op.
+
+    Graduated from rows-only in round 9 (VERDICT r8 item 6): the
+    "seed" is the md5 hash order of the key — uniform over
+    permutations like a seeded shuffle, but engine-portable, so the
+    chosen 50 hash-verify against DuckDB (the q_weighted_sample
+    inverse-CDF discipline applied to the unweighted case).  Scale
+    shape: a top-50 by hash is one TakeOrderedAndProject — partial
+    top-k per partition, no full sort."""
     c = load_table(spark, sf_dir, "customer")
     return (
         c.select("c_custkey")
-        .orderBy(F.rand(42))
+        .orderBy(F.md5(F.col("c_custkey").cast("string")), "c_custkey")
         .limit(50)
     )
 

@@ -1698,6 +1698,99 @@ def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SUBSTR_EVAL_TH = 120  # char-level truth span; ~20-25 tokens
+
+
+@query("q_dedup_substring_eval")  # rows-only: suffix-array truth kernel
+def q_dedup_substring_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall/precision for the token-window ExactSubstr
+    detector — the suffix-array eval harness VERDICT r8 item 7 asked
+    for, applying q_minhash_eval's "measure, don't guess" discipline
+    to the substring tier: ground truth is the CHAR-level repeat set
+    from a sorted-suffix scan (a doc is truly duplicated if it shares
+    a verbatim >= {TH}-char normalized span with an earlier doc —
+    maximal LCP blocks over the sample's suffix order, the paper's
+    suffix-array view of the corpus), and the production flag is
+    q_dedup_substring's stride-1 50-token window scan.  Recall shows
+    what the coarser token granularity misses (sub-50-token verbatim
+    spans); precision ~1.0 is the md5-window soundness check.
+
+    Scale shape: like q_minhash_eval, truth discovery runs on a
+    deterministic id-capped SAMPLE by design (the suffix sort is the
+    single-node exact algorithm whose cost motivates the window
+    scan); it executes in ONE executor-side Arrow pass over the
+    sample, never on the driver.  The production path being audited
+    stays its normal distributed shape."""
+    import pandas as pd
+
+    from clv_data_pipeline_spark.operators.dedup import (
+        substring_duplicate_windows,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 800
+    ).select(F.col("doc_id").cast("long").alias("doc_id"), "text")
+    prod = substring_duplicate_windows(
+        docs, text_col="text", id_col="doc_id", window=_SUBSTR_W
+    ).select("doc_id", F.col("substring_dup").cast("long").alias("p"))
+
+    norm = docs.select(
+        "doc_id", normalize_text(F.col("text")).alias("t")
+    )
+
+    def _truth(batches):
+        th = _SUBSTR_EVAL_TH
+        pdfs = [p for p in batches if not p.empty]
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True)
+        texts = dict(zip(pdf["doc_id"], pdf["t"]))
+        entries = [
+            (did, i) for did, t in texts.items() for i in range(len(t))
+        ]
+        entries.sort(key=lambda e: texts[e[0]][e[1]:])
+
+        def lcp_ge(a, b) -> bool:
+            ta, tb = texts[a[0]][a[1]:], texts[b[0]][b[1]:]
+            if len(ta) < th or len(tb) < th:
+                return False
+            return ta[:th] == tb[:th]
+
+        true_dup: set = set()
+        block = {entries[0][0]} if entries else set()
+        for idx in range(1, len(entries)):
+            if lcp_ge(entries[idx - 1], entries[idx]):
+                block.add(entries[idx][0])
+            else:
+                if len(block) > 1:
+                    mn = min(block)
+                    true_dup.update(x for x in block if x > mn)
+                block = {entries[idx][0]}
+        if len(block) > 1:
+            mn = min(block)
+            true_dup.update(x for x in block if x > mn)
+        yield pd.DataFrame({"doc_id": sorted(true_dup)})
+
+    truth = (
+        norm.coalesce(1)
+        .mapInPandas(_truth, "doc_id long")
+        .withColumn("t", F.lit(1).cast("long"))
+    )
+    j = prod.join(truth, "doc_id", "full").na.fill({"p": 0, "t": 0})
+    hits = F.sum(F.col("p") * F.col("t"))
+    return j.agg(
+        F.sum("t").cast("long").alias("n_true"),
+        F.sum("p").cast("long").alias("n_flagged"),
+        hits.cast("long").alias("hits"),
+        F.round(
+            hits / F.greatest(F.sum("t"), F.lit(1)).cast("double"), 6
+        ).alias("recall"),
+        F.round(
+            hits / F.greatest(F.sum("p"), F.lit(1)).cast("double"), 6
+        ).alias("precision"),
+    )
+
+
 _CURATE_QUALITY_FLOOR = 0.5
 _CURATE_CONTAM_MIN_GRAMS = 2
 
@@ -3140,6 +3233,155 @@ def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(targets), "source")
         .filter(F.col("rn") <= F.col("target_n"))
         .select(F.col("doc_id").cast("long").alias("doc_id"), "source")
+    )
+
+
+@query(
+    "q_min_pieces_tokenize",
+    oracle=r"""
+    WITH RECURSIVE toks AS MATERIALIZED (
+        SELECT doc_id,
+               string_split_regex(trim(regexp_replace(lower(text),
+                   '\s+', ' ', 'g')), ' ') AS ts
+        FROM documents),
+    dwf AS MATERIALIZED (
+        SELECT doc_id, w FROM (
+            SELECT doc_id, unnest(ts) AS w FROM toks)
+        WHERE w <> ''),
+    words AS MATERIALIZED (SELECT DISTINCT w FROM dwf),
+    spans AS (
+        SELECT w, l.l, unnest(range(1, length(w) - l.l + 2)) AS s
+        FROM words CROSS JOIN (SELECT unnest([2, 3, 4]) AS l) l
+        WHERE length(w) >= l.l),
+    vocab AS MATERIALIZED (
+        SELECT piece FROM (
+            SELECT substring(w, CAST(s AS INT), CAST(l AS INT)) AS piece,
+                   COUNT(DISTINCT w) AS nw
+            FROM spans GROUP BY 1) x
+        WHERE nw >= 2),
+    dp(w, n, d) AS (
+        SELECT w, 0, [0] FROM words
+        UNION ALL
+        SELECT t.w, t.n + 1,
+               list_append(t.d, LEAST(
+                   t.d[t.n + 1] + 1,
+                   CASE WHEN v2.piece IS NOT NULL THEN t.d[t.n] + 1
+                        ELSE 1000000 END,
+                   CASE WHEN v3.piece IS NOT NULL THEN t.d[t.n - 1] + 1
+                        ELSE 1000000 END,
+                   CASE WHEN v4.piece IS NOT NULL THEN t.d[t.n - 2] + 1
+                        ELSE 1000000 END))
+        FROM dp t
+        LEFT JOIN vocab v2
+          ON t.n >= 1 AND v2.piece = substring(t.w, t.n, 2)
+        LEFT JOIN vocab v3
+          ON t.n >= 2 AND v3.piece = substring(t.w, t.n - 1, 3)
+        LEFT JOIN vocab v4
+          ON t.n >= 3 AND v4.piece = substring(t.w, t.n - 2, 4)
+        WHERE t.n < length(t.w)),
+    dpw AS (
+        SELECT w, arg_max(d, n)[length(w) + 1] AS np
+        FROM dp GROUP BY w)
+    SELECT f.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(p.np) AS BIGINT) AS n_pieces,
+           ROUND(CAST(SUM(p.np) AS DOUBLE) / COUNT(*), 6) AS fertility
+    FROM dwf f JOIN dpw p ON p.w = f.w
+    GROUP BY f.doc_id
+    """,
+)
+def q_min_pieces_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum-segmentation tokenization, fully oracle-checked — the
+    distinct-word Viterbi replay VERDICT r8 item 7 asked for next to
+    the rows-only tokenizer kernels: the piece vocabulary is every
+    2-4-char substring occurring in >= 2 distinct corpus words (plus
+    the implicit single-character fallback), and each distinct word
+    gets its MINIMUM piece count by exact integer DP — the fewest-
+    tokens objective (WordPiece's greedy ideal), which unlike
+    unigram-LM max-likelihood has NO float scores, so both engines
+    agree exactly: DuckDB replays the DP as a recursive CTE carrying
+    the prefix-cost LIST, with piece-membership LEFT JOINs per
+    transition length.
+
+    Per-doc output (n_words, n_pieces, fertility = pieces/word, the
+    q_tokenizer_fertility metric now with a hash-verified decoder).
+
+    Scale shape: one word-frequency shuffle; the span explosion and
+    DP run over DISTINCT WORDS (vocabulary-bounded, the
+    q_unigram_tokenize barrier); the piece vocab is repeat-substring
+    filtered and broadcast; per-doc counts come from a broadcast
+    piece-count join back onto the exploded (doc, word) frame —
+    corpus-sized work is two shuffles, both partial-aggregable."""
+    d = load_table(spark, sf_dir, "documents")
+    dwf = d.select(
+        "doc_id",
+        F.explode(F.split(normalize_text(F.col("text")), " ")).alias("w"),
+    ).filter(F.col("w") != "")
+    words = dwf.select("w").distinct()
+    spans = (
+        words.select(
+            "w", F.explode(F.array(F.lit(2), F.lit(3), F.lit(4))).alias("l")
+        )
+        .filter(F.length("w") >= F.col("l"))
+        .select(
+            "w",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(w) - l + 1),"
+                    " s -> substring(w, s, l))"
+                )
+            ).alias("piece"),
+        )
+    )
+    vocab_rows = (
+        spans.groupBy("piece")
+        .agg(F.countDistinct("w").alias("nw"))
+        .filter(F.col("nw") >= 2)
+        .select("piece")
+        .collect()
+    )
+    vocab = {r["piece"] for r in vocab_rows}
+    bc = spark.sparkContext.broadcast(vocab)
+
+    def _dp(batches):
+        import pandas as pd
+
+        v = bc.value
+        inf = 10**6
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            nps = []
+            for w in pdf["w"]:
+                D = [0] + [inf] * len(w)
+                for i in range(1, len(w) + 1):
+                    best = D[i - 1] + 1  # single-char fallback
+                    for ln in (2, 3, 4):
+                        j = i - ln
+                        if j >= 0 and w[j:i] in v:
+                            cand = D[j] + 1
+                            if cand < best:
+                                best = cand
+                    D[i] = best
+                nps.append(D[len(w)])
+            yield pd.DataFrame({"w": pdf["w"], "np": nps})
+
+    dpw = words.mapInPandas(_dp, "w string, np long")
+    return (
+        dwf.join(F.broadcast(dpw), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.sum("np").cast("long").alias("n_pieces"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "n_pieces",
+            F.round(
+                F.col("n_pieces").cast("double") / F.col("n_words"), 6
+            ).alias("fertility"),
+        )
     )
 
 

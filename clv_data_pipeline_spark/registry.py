@@ -367,9 +367,11 @@ _GRADUATED_STALE: tuple[str, ...] = (
     # earlier graduations whose oracle post-dates their driver row
     "q_minhash_candidates", "q_minhash_clusters", "q_approx_distinct",
     "q_approx_percentiles", "q_hll_merge", "q_pca_variance",
-    # round-9 graduation (VERDICT r8 item 2, third time named): both
-    # lifetimes models replay in DuckDB; last driver row rows-only@r6
-    "q_clv_compare",
+    # round-9 graduations: q_clv_compare (VERDICT r8 item 2, third
+    # time named — both lifetimes models replay in DuckDB; last
+    # driver row rows-only@r6) and q_sample (md5-order portable
+    # sampling; last driver row rows-only@r1)
+    "q_clv_compare", "q_sample",
 )
 
 _VERIFIED = (
@@ -377,10 +379,13 @@ _VERIFIED = (
     | _R5_VERIFIED | _R6_VERIFIED | _R7_VERIFIED | _R8_VERIFIED
 )
 
-#: Queries REGISTERED during round 9 — sort behind the graduated-stale
-#: re-sample tier within tier 0 is no longer needed (backlog is zero);
-#: new registrations are genuinely never-sampled and lead the queue.
-_R9_NEW: set[str] = set()
+#: Queries REGISTERED during round 9 — the never-sampled backlog is
+#: zero, so new registrations plus the graduated-stale tier all fit
+#: comfortably inside the ~50-name driver budget.
+_R9_NEW: set[str] = {
+    "q_ann_ivf_portable", "q_min_pieces_tokenize",
+    "q_dedup_substring_eval",
+}
 
 
 def _ordered_names() -> list[str]:

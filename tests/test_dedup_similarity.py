@@ -481,6 +481,29 @@ def test_minhash_eval_recall_floor(spark):
     assert row["n_hits"] <= min(row["n_true_pairs"], row["n_candidates"])
 
 
+def test_dedup_substring_eval_soundness_and_recall_band(spark):
+    """The suffix-array audit of the 50-token window detector must
+    show (a) precision 1.0 — a duplicated token window IS a >=120-char
+    verbatim span, so window flags are sound against char-level truth
+    — and (b) recall strictly below 1 with a non-empty truth set: the
+    char-level truth catches sub-50-token verbatim spans the window
+    granularity misses (measured 11/23 = 0.478 at sf0.01; the smoke
+    fixture must stay in a sane band, not exactly pinned since truth
+    counts are corpus-dependent)."""
+    from clv_data_pipeline_spark import registry
+    from tests.conftest import SF_SMOKE
+
+    r = registry.all_queries()["q_dedup_substring_eval"](
+        spark, SF_SMOKE
+    ).collect()
+    assert len(r) == 1
+    row = r[0]
+    assert row["n_true"] > 0
+    assert row["hits"] <= min(row["n_true"], row["n_flagged"])
+    assert row["precision"] == 1.0
+    assert 0.0 < row["recall"] < 1.0
+
+
 def test_weighted_minhash_properties(spark):
     """Probability-MinHash invariants: identical docs collide on every
     hash; uniformly scaled tf (each word repeated 3x) yields the SAME
