@@ -155,15 +155,336 @@ def cc_bounded_driver(
     )
 
 
+_DBSCAN_CHUNK = 4096  # probe rows per numpy block inside a cell group
+
+#: candidate-pair budget for the pair-join plan: below it the
+#: materialized neighbor join is faster end-to-end (fewer jobs, ~4 s
+#: at sf0.1's 9.7M candidates); above it shuffled pair rows dominate
+#: and the cell-kernel plan's flat O(9 x nodes) shuffle wins (sf0.3's
+#: 87M candidates already took >30 s on the pair join).
+_DBSCAN_PAIR_BUDGET = 30_000_000
+#: occupied-coarse-cell cap for the driver-side pair estimate — the
+#: same geometrically-bounded-frame premise as cc_bounded_driver;
+#: past it, skip estimating and take the scale path directly.
+_DBSCAN_MAX_CELLS = 500_000
+
+
 def dbscan(pts: DataFrame, eps: float, min_pts: int) -> DataFrame:
     """Cluster ``pts(id, x, y)``; returns (id, cluster_id, is_core).
 
     ``cluster_id`` is the minimum member core id, -1 for noise.
     ``pts`` coordinates should be pre-rounded by the caller if the
-    result must be engine/rerun-exact."""
+    result must be engine/rerun-exact.
+
+    Cost-based plan selector (round 9, after the scaling bench caught
+    the pair-join plan going quadratic in shuffled rows: a fixed
+    coordinate plane means density — and the eps-neighbor pair count —
+    grows with the corpus, hitting ~10^9 candidate rows at 10x sf0.1):
+    a driver-side estimate over the bounded occupied-cell histogram
+    picks the materialized pair-join plan under _DBSCAN_PAIR_BUDGET
+    candidates (fewer jobs — wins at small scale) and the cell-kernel
+    plan above it (flat shuffle volume — wins at scale).  Both plans
+    are exact and agree row-for-row (parity-pinned in
+    tests/test_density.py)."""
+    pts = pts.localCheckpoint()
+    w = 2 * eps
+    hist = (
+        pts.groupBy(
+            F.floor(F.col("x") / w).cast("long").alias("cx"),
+            F.floor(F.col("y") / w).cast("long").alias("cy"),
+        )
+        .agg(F.count("*").alias("m"))
+        .limit(_DBSCAN_MAX_CELLS + 1)
+        .collect()
+    )
+    if len(hist) <= _DBSCAN_MAX_CELLS:
+        cells = {(r["cx"], r["cy"]): r["m"] for r in hist}
+        cand = sum(
+            m
+            * sum(
+                cells.get((a + dx, b + dy), 0)
+                for dx in (-1, 0, 1)
+                for dy in (-1, 0, 1)
+            )
+            for (a, b), m in cells.items()
+        )
+        if cand <= _DBSCAN_PAIR_BUDGET:
+            return _dbscan_pair_join(pts, eps, min_pts)
+    return _dbscan_cell_kernel(pts, eps, min_pts)
+
+
+def _dbscan_cell_kernel(
+    pts: DataFrame, eps: float, min_pts: int
+) -> DataFrame:
+    """The scale plan: exact multiplicity compression + per-cell numpy
+    kernels (see :func:`dbscan` for selection).
+
+    Scale shape (rebuilt in round 9 after the scaling bench caught the
+    prior edge-list formulation going quadratic IN SHUFFLED ROWS: a
+    fixed coordinate plane means density — and the eps-neighbor pair
+    count — grows with the corpus; at 10x sf0.1 the materialized
+    neighbor list hit ~10^9 rows in 2 AQE-coalesced partitions):
+
+    1. EXACT multiplicity compression: points collapse to distinct
+       (x, y) NODES with weight = point count and min_id.  Coincident
+       points share every neighborhood, degree, core flag, and label,
+       so all downstream math runs on nodes — the classic weighted-
+       DBSCAN reduction (pre-rounded coordinates make collisions
+       common at scale).
+    2. Per-cell NUMPY KERNELS instead of a pair join: nodes hash-
+       shuffle once per pass on the 2*eps coarse cell (9 build
+       replicas each), and an applyInPandas kernel does the O(|probe|
+       x |build|) distance work as chunked vectorized flops, emitting
+       only aggregates — weighted degrees (pass A), distinct fine-
+       cell adjacencies between core nodes (pass B), per-noncore-node
+       min neighbor cluster label (pass C).  Candidate pairs never
+       exist as rows, so the shuffle volume is O(9 x nodes) per pass
+       regardless of density.
+    3. Core-core connectivity still contracts to the eps/sqrt(2)
+       fine-cell graph (bounded by the coordinate grid, not the
+       corpus) and unions on the driver via cc_bounded_driver, with
+       the distributed pointer-jump fallback past the edge cap.
+
+    Exactness is unchanged: every distance test is the same
+    d^2 <= eps^2 on the same doubles; only the execution shape moved
+    from shuffled pair rows to in-kernel flops."""
+    import pandas as pd
+
     eps2 = eps * eps
     w = 2 * eps
-    pts = pts.localCheckpoint()
+    fw = eps / math.sqrt(2)
+    # collision-free bit-packed cell keys (cx<<32 | low32(cy)) — a
+    # base-N composite collides for negative or large cy
+    nodes = (
+        pts.groupBy("x", "y")
+        .agg(
+            F.count("*").cast("long").alias("wt"),
+            F.min("id").alias("min_id"),
+        )
+        .select(
+            F.monotonically_increasing_id().alias("nid"),
+            "x",
+            "y",
+            "wt",
+            "min_id",
+            F.floor(F.col("x") / w).cast("long").alias("cx"),
+            F.floor(F.col("y") / w).cast("long").alias("cy"),
+            (
+                F.shiftleft(F.floor(F.col("x") / fw).cast("long"), 32)
+                + F.floor(F.col("y") / fw)
+                .cast("long")
+                .bitwiseAND(F.lit(0xFFFFFFFF))
+            ).alias("fcell"),
+        )
+        .localCheckpoint()
+    )
+    offsets = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
+
+    def _grouped(df: DataFrame) -> DataFrame:
+        """9 replicas per node; the (0,0) replica doubles as the probe
+        row (probe set = rows whose own cell IS the group cell), so
+        one exploded frame feeds each kernel — no probe/build union,
+        half the shuffle lineage."""
+        return df.select(
+            "*",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            (F.col("cx") + dx).alias("gx"),
+                            (F.col("cy") + dy).alias("gy"),
+                        )
+                        for dx, dy in offsets
+                    ]
+                )
+            ).alias("g"),
+        ).select(
+            *df.columns, F.col("g.gx").alias("gx"),
+            F.col("g.gy").alias("gy"),
+        )
+
+    def _split(pdf: pd.DataFrame):
+        own = (pdf["cx"] == pdf["gx"]) & (pdf["cy"] == pdf["gy"])
+        return pdf[own], pdf
+
+    def _cell_kernel(df: DataFrame, fn, schema: str) -> DataFrame:
+        """Run a per-cell kernel over hash-partitioned cell groups via
+        mapInPandas: one Arrow conversion per PARTITION (~32), not per
+        cell group (~hundreds) — applyInPandas' per-group conversion
+        overhead was 20x the numpy flops at sf0.1.  Hash partitioning
+        on (gx, gy) co-locates each cell's rows; the kernel groups
+        them back with a pandas groupby."""
+
+        def _runner(batches):
+            pdfs = [p for p in batches if not p.empty]
+            if not pdfs:
+                return
+            pdf = pd.concat(pdfs, ignore_index=True)
+            outs = [
+                fn(sub) for _, sub in pdf.groupby(["gx", "gy"], sort=False)
+            ]
+            outs = [o for o in outs if not o.empty]
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+        return _grouped(df).repartition(
+            F.col("gx"), F.col("gy")
+        ).mapInPandas(_runner, schema)
+
+    # ---- pass A: weighted degrees -> core flags -------------------
+    def _degrees(pdf: pd.DataFrame) -> pd.DataFrame:
+        p, b = _split(pdf)
+        if p.empty:
+            return pd.DataFrame({"nid": [], "nn": []}).astype(
+                {"nid": "int64", "nn": "int64"}
+            )
+        bx = b["x"].to_numpy()
+        by = b["y"].to_numpy()
+        bw = b["wt"].to_numpy()
+        out_n, out_nn = [], []
+        for s in range(0, len(p), _DBSCAN_CHUNK):
+            ch = p.iloc[s : s + _DBSCAN_CHUNK]
+            dx = ch["x"].to_numpy()[:, None] - bx[None, :]
+            dy = ch["y"].to_numpy()[:, None] - by[None, :]
+            m = (dx * dx + dy * dy) <= eps2
+            out_n.extend(ch["nid"].tolist())
+            out_nn.extend((m @ bw).tolist())
+        return pd.DataFrame({"nid": out_n, "nn": out_nn}).astype(
+            {"nid": "int64", "nn": "int64"}
+        )
+
+    deg = _cell_kernel(
+        nodes.select("nid", "x", "y", "wt", "cx", "cy"),
+        _degrees,
+        "nid long, nn long",
+    )
+    cnodes = (
+        nodes.join(deg.filter(F.col("nn") >= min_pts), "nid")
+        .localCheckpoint()
+    )
+
+    # ---- pass B: distinct fine-cell edges between core nodes ------
+    def _cell_edges(pdf: pd.DataFrame) -> pd.DataFrame:
+        p, b = _split(pdf)
+        if p.empty or b.empty:
+            return pd.DataFrame(
+                {"cell_a": [], "cell_b": []}
+            ).astype({"cell_a": "int64", "cell_b": "int64"})
+        bx = b["x"].to_numpy()
+        by = b["y"].to_numpy()
+        bf = b["fcell"].to_numpy()
+        pairs = set()
+        for s in range(0, len(p), _DBSCAN_CHUNK):
+            ch = p.iloc[s : s + _DBSCAN_CHUNK]
+            dx = ch["x"].to_numpy()[:, None] - bx[None, :]
+            dy = ch["y"].to_numpy()[:, None] - by[None, :]
+            ii, jj = ((dx * dx + dy * dy) <= eps2).nonzero()
+            pf = ch["fcell"].to_numpy()
+            import numpy as np
+
+            uq = np.unique(
+                np.stack([pf[ii], bf[jj]], axis=1), axis=0
+            )
+            pairs.update(map(tuple, uq.tolist()))
+        a, c = zip(*pairs) if pairs else ((), ())
+        return pd.DataFrame({"cell_a": a, "cell_b": c}).astype(
+            {"cell_a": "int64", "cell_b": "int64"}
+        )
+
+    core_cols = cnodes.select("nid", "x", "y", "fcell", "cx", "cy")
+    cedges = _cell_kernel(
+        core_cols, _cell_edges, "cell_a long, cell_b long"
+    ).distinct()
+    ccomp = cc_bounded_driver(cedges, "cell_a", "cell_b")
+    cell_min = cnodes.groupBy("fcell").agg(
+        F.min("min_id").alias("mid")
+    )
+    cell_lab = cell_min.join(
+        ccomp, cell_min["fcell"] == ccomp["node"], "left"
+    ).select(
+        "fcell",
+        "mid",
+        F.coalesce(F.col("cluster_id"), F.col("fcell")).alias("cc"),
+    )
+    comp_lab = cell_lab.groupBy("cc").agg(
+        F.min("mid").alias("cluster_id")
+    )
+    core_labeled_nodes = (
+        cnodes.join(
+            F.broadcast(cell_lab.select("fcell", "cc")), "fcell"
+        )
+        .join(F.broadcast(comp_lab), "cc")
+        .select("nid", "x", "y", "cluster_id")
+        .localCheckpoint()
+    )
+
+    # ---- pass C: border labels for non-core nodes -----------------
+    def _border(pdf: pd.DataFrame) -> pd.DataFrame:
+        p, b = _split(pdf)
+        p = p[p["cluster_id"].isna()]
+        b = b[b["cluster_id"].notna()]
+        if p.empty or b.empty:
+            return pd.DataFrame({"nid": [], "cl": []}).astype(
+                {"nid": "int64", "cl": "int64"}
+            )
+        import numpy as np
+
+        bx = b["x"].to_numpy()
+        by = b["y"].to_numpy()
+        bl = b["cluster_id"].to_numpy(dtype=np.int64)
+        out_n, out_l = [], []
+        big = np.iinfo(np.int64).max
+        for s in range(0, len(p), _DBSCAN_CHUNK):
+            ch = p.iloc[s : s + _DBSCAN_CHUNK]
+            dx = ch["x"].to_numpy()[:, None] - bx[None, :]
+            dy = ch["y"].to_numpy()[:, None] - by[None, :]
+            m = (dx * dx + dy * dy) <= eps2
+            lab = np.where(m, bl[None, :], big).min(axis=1)
+            keep = lab != big
+            out_n.extend(ch["nid"].to_numpy()[keep].tolist())
+            out_l.extend(lab[keep].tolist())
+        return pd.DataFrame({"nid": out_n, "cl": out_l}).astype(
+            {"nid": "int64", "cl": "int64"}
+        )
+
+    all_with_lab = nodes.select("nid", "x", "y", "cx", "cy").join(
+        core_labeled_nodes.select("nid", "cluster_id"), "nid", "left"
+    )
+    border_nodes = _cell_kernel(all_with_lab, _border, "nid long, cl long")
+
+    # ---- expand node labels back to points ------------------------
+    node_lab = (
+        nodes.select("nid", "x", "y")
+        .join(
+            core_labeled_nodes.select(
+                "nid", F.col("cluster_id").alias("core_cl")
+            ),
+            "nid",
+            "left",
+        )
+        .join(border_nodes, "nid", "left")
+        .select(
+            "x",
+            "y",
+            F.coalesce(
+                F.col("core_cl"), F.col("cl"), F.lit(-1).cast("long")
+            ).alias("cluster_id"),
+            F.col("core_cl").isNotNull().alias("is_core"),
+        )
+    )
+    return pts.join(node_lab, ["x", "y"]).select(
+        "id", "cluster_id", "is_core"
+    )
+
+
+def _dbscan_pair_join(
+    pts: DataFrame, eps: float, min_pts: int
+) -> DataFrame:
+    """The small-scale plan: materialized 3x3 cell pair join (see
+    :func:`dbscan` for selection).  Quadratic in candidate pairs —
+    only chosen under _DBSCAN_PAIR_BUDGET."""
+    eps2 = eps * eps
+    w = 2 * eps
     cells = pts.select(
         "id",
         "x",

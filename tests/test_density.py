@@ -112,6 +112,51 @@ def test_dbscan_border_attaches_to_min_cluster(spark):
     assert got[50][0] == 0 and got[50][1] is False
 
 
+def test_dbscan_both_plans_agree_exactly(spark):
+    """The cost-selected plans must be row-for-row identical: the
+    pair-join plan (chosen under the candidate budget) and the
+    cell-kernel plan (the scale path) implement the same exact
+    d^2 <= eps^2 semantics — on the sf0.01 customer point set AND on
+    a duplicate-heavy synthetic (coincident points exercise the
+    kernel plan's multiplicity compression)."""
+    from pyspark.sql import functions as F
+
+    from clv_data_pipeline_spark.operators.density import (
+        _dbscan_cell_kernel,
+        _dbscan_pair_join,
+    )
+    from clv_data_pipeline_spark.sources.io import load_table
+    from tests.conftest import SF_SMOKE
+
+    orders = load_table(spark, SF_SMOKE, "orders")
+    pts = orders.groupBy(F.col("o_custkey").alias("id")).agg(
+        F.round(
+            F.log1p(
+                F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast(
+                    "double"
+                )
+            ),
+            6,
+        ).alias("x"),
+        F.round(F.log1p(F.count("*")), 6).alias("y"),
+    ).localCheckpoint()
+    a = sorted(map(tuple, _dbscan_pair_join(pts, 0.03, 5).collect()))
+    b = sorted(map(tuple, _dbscan_cell_kernel(pts, 0.03, 5).collect()))
+    assert a == b and len(a) > 0
+
+    rows = [(i, 0.001 * (i % 7), 0.0) for i in range(40)]  # dups
+    rows += [(100 + i, 5.0 + 0.001 * i, 5.0) for i in range(6)]
+    rows.append((999, 50.0, 50.0))
+    dup_pts = spark.createDataFrame(
+        rows, "id long, x double, y double"
+    ).localCheckpoint()
+    a = sorted(map(tuple, _dbscan_pair_join(dup_pts, 0.05, 5).collect()))
+    b = sorted(
+        map(tuple, _dbscan_cell_kernel(dup_pts, 0.05, 5).collect())
+    )
+    assert a == b
+
+
 def test_item_cf_incremental_equals_full_recompute(spark):
     """The incremental-CF exactness invariant at operator level (the
     oracle proves it end-to-end): folding a delta into stored state
