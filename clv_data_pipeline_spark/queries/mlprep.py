@@ -4080,29 +4080,48 @@ def q_ridge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     cols = [x1, x2, y, x1 * x1, x1 * x2, x2 * x2, x1 * y, x2 * y]
+    names = ["sx1", "sx2", "sy", "s11", "s12", "s22", "s1y", "s2y"]
     s = li.agg(
         F.count("*").cast("double").alias("n"),
-        *[
-            F.sum(micro(c)).alias(a)
-            for c, a in zip(
-                cols,
-                ["sx1", "sx2", "sy", "s11", "s12", "s22", "s1y", "s2y"],
-            )
-        ],
+        *[F.sum(micro(c)).alias(a) for c, a in zip(cols, names)],
         F.max(F.greatest(*[F.abs(micro(c)) for c in cols])).alias("mx"),
     ).collect()[0]
     if s["mx"] is not None and s["n"] * s["mx"] >= float(2**62):
-        raise ValueError(
-            "q_ridge: micro-unit long sums would overflow at this "
-            "scale (n * max|element| >= 2^62) — switch the sufficient "
-            "stats to DECIMAL accumulators."
+        # LONG micro-unit sums could wrap past this bound (first hit
+        # at ~2M lineitem rows in the round-9 scaling bench) — redo
+        # the sufficient stats with exact DECIMAL accumulators: same
+        # 6-dp element rounding, so the downstream math is identical,
+        # just without codegen's primitive-long fast path.  The guard
+        # is conservative (n * max|element|), so the switch happens
+        # well before any actual wraparound.
+        sd = li.agg(
+            F.count("*").cast("double").alias("n"),
+            *[
+                F.sum(
+                    F.round(c, 6).cast("decimal(28,6)")
+                ).alias(a)
+                for c, a in zip(cols, names)
+            ],
+        ).collect()[0]
+        n = sd["n"]
+        sy, s1y, s2y = (
+            float(sd["sy"]), float(sd["s1y"]), float(sd["s2y"])
         )
-    n = s["n"]
-    sy, s1y, s2y = s["sy"] / 1e6, s["s1y"] / 1e6, s["s2y"] / 1e6
-    m11, m12, m13 = n, s["sx1"] / 1e6, s["sx2"] / 1e6
-    m22 = s["s11"] / 1e6 + _RIDGE_LAMBDA
-    m23 = s["s12"] / 1e6
-    m33 = s["s22"] / 1e6 + _RIDGE_LAMBDA
+        sx1, sx2 = float(sd["sx1"]), float(sd["sx2"])
+        s11, s12, s22 = (
+            float(sd["s11"]), float(sd["s12"]), float(sd["s22"])
+        )
+    else:
+        n = s["n"]
+        sy, s1y, s2y = s["sy"] / 1e6, s["s1y"] / 1e6, s["s2y"] / 1e6
+        sx1, sx2 = s["sx1"] / 1e6, s["sx2"] / 1e6
+        s11, s12, s22 = (
+            s["s11"] / 1e6, s["s12"] / 1e6, s["s22"] / 1e6
+        )
+    m11, m12, m13 = n, sx1, sx2
+    m22 = s11 + _RIDGE_LAMBDA
+    m23 = s12
+    m33 = s22 + _RIDGE_LAMBDA
     det = (
         m11 * (m22 * m33 - m23 * m23)
         - m12 * (m12 * m33 - m23 * m13)

@@ -31,7 +31,7 @@ QUERIES = [
     "q_adaboost_stumps", "q_ann_lsh_portable", "q_word_vectors",
     "q_semdedup_eval", "q_conformal",
     # VERDICT watchlist + flagship
-    "q_semdedup", "q_rfm", "q_minhash_dedup", "q_tpch_q9",
+    "q_semdedup", "q_rfm", "q_minhash_dedup", "q_tpch_q9_derived",
 ]
 
 SF_DIRS = {
@@ -49,7 +49,13 @@ def main() -> None:
         app_name="clv-bench-scaling",
         master="local[32]",
         shuffle_partitions=32,
-        extra_conf={"spark.ui.enabled": "false"},
+        extra_conf={
+            "spark.ui.enabled": "false",
+            # sf1.0 is 10x the bench SF; the 1g local default heap
+            # OOMs in q_als_eval's factor joins — size like a real
+            # driver+executor container would be
+            "spark.driver.memory": "48g",
+        },
     )
     spark.sparkContext.setLogLevel("ERROR")
     from clv_data_pipeline_spark import registry
@@ -80,6 +86,9 @@ def main() -> None:
             else:
                 results[name][str(sf)] = round(best, 3)
                 print(f"sf{sf} {name}: {best:.2f}s", flush=True)
+            # checkpoint partial results — a crash keeps the points
+            with open(out_path + ".partial", "w") as f:
+                json.dump(results, f, indent=1, sort_keys=True)
 
     def slope(n: str, a: float, b: float) -> float | None:
         ta, tb = results[n].get(str(a)), results[n].get(str(b))
