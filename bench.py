@@ -242,6 +242,7 @@ HEADLINE = [
     "q_ann_ivf_portable",
     "q_min_pieces_tokenize",
     "q_dedup_substring_eval",
+    "q_self_influence",
 ]
 
 #: Frozen comparable subsets — apples-to-apples totals across rounds.

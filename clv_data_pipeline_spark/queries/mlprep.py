@@ -3973,10 +3973,83 @@ def q_lm_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
 _RIDGE_LAMBDA = 100.0  # L2 penalty on the two slope terms (not intercept)
 
 
-@query(
-    "q_ridge",
-    oracle=f"""
-    WITH s AS MATERIALIZED (
+def _ridge_fit(li: DataFrame) -> dict:
+    """Shared sufficient-stats fit for q_ridge / q_self_influence:
+    exact micro-unit LONG sums (DECIMAL past the overflow bound), the
+    3x3 adjugate inverse, betas rounded at 9 dp.  Every float op here
+    mirrors the oracle SQL's formula text exactly (the q_mahalanobis
+    discipline), so downstream per-row expressions built from these
+    constants reproduce bit-for-bit."""
+    x1, x2, y = F.col("l_quantity"), F.col("l_discount"), F.col(
+        "l_extendedprice"
+    )
+
+    def micro(c):
+        return F.round(c * 1e6, 0).cast("long")
+
+    cols = [x1, x2, y, x1 * x1, x1 * x2, x2 * x2, x1 * y, x2 * y]
+    names = ["sx1", "sx2", "sy", "s11", "s12", "s22", "s1y", "s2y"]
+    s = li.agg(
+        F.count("*").cast("double").alias("n"),
+        *[F.sum(micro(c)).alias(a) for c, a in zip(cols, names)],
+        F.max(F.greatest(*[F.abs(micro(c)) for c in cols])).alias("mx"),
+    ).collect()[0]
+    if s["mx"] is not None and s["n"] * s["mx"] >= float(2**62):
+        # LONG micro-unit sums could wrap past this bound (first hit
+        # at ~2M lineitem rows in the round-9 scaling bench) — redo
+        # the sufficient stats with exact DECIMAL accumulators: same
+        # 6-dp element rounding, so the downstream math is identical,
+        # just without codegen's primitive-long fast path.  The guard
+        # is conservative (n * max|element|), so the switch happens
+        # well before any actual wraparound.
+        sd = li.agg(
+            F.count("*").cast("double").alias("n"),
+            *[
+                F.sum(F.round(c, 6).cast("decimal(28,6)")).alias(a)
+                for c, a in zip(cols, names)
+            ],
+        ).collect()[0]
+        n = sd["n"]
+        vals = {a: float(sd[a]) for a in names}
+    else:
+        n = s["n"]
+        vals = {a: s[a] / 1e6 for a in names}
+    sy, s1y, s2y = vals["sy"], vals["s1y"], vals["s2y"]
+    m11, m12, m13 = n, vals["sx1"], vals["sx2"]
+    m22 = vals["s11"] + _RIDGE_LAMBDA
+    m23 = vals["s12"]
+    m33 = vals["s22"] + _RIDGE_LAMBDA
+    det = (
+        m11 * (m22 * m33 - m23 * m23)
+        - m12 * (m12 * m33 - m23 * m13)
+        + m13 * (m12 * m23 - m22 * m13)
+    )
+    a11 = (m22 * m33 - m23 * m23) / det
+    a12 = (m13 * m23 - m12 * m33) / det
+    a13 = (m12 * m23 - m13 * m22) / det
+    a22 = (m11 * m33 - m13 * m13) / det
+    a23 = (m13 * m12 - m11 * m23) / det
+    a33 = (m11 * m22 - m12 * m12) / det
+    return {
+        "n": n,
+        "sy": sy,
+        "b0": round(a11 * sy + a12 * s1y + a13 * s2y, 9),
+        "b1": round(a12 * sy + a22 * s1y + a23 * s2y, 9),
+        "b2": round(a13 * sy + a23 * s1y + a33 * s2y, 9),
+        "a11": a11,
+        "a12": a12,
+        "a13": a13,
+        "a22": a22,
+        "a23": a23,
+        "a33": a33,
+    }
+
+
+
+#: shared oracle fragment: exact micro-unit sufficient stats -> 3x3
+#: adjugate inverse -> betas rounded at 9 dp (mirrors _ridge_fit's
+#: float ops formula-text-identically)
+_RIDGE_FIT_SQL = f"""s AS MATERIALIZED (
         SELECT CAST(COUNT(*) AS DOUBLE) AS n,
                CAST(SUM(CAST(ROUND(l_quantity * 1000000, 0)
                     AS BIGINT)) AS DOUBLE) / 1000000.0 AS sx1,
@@ -4022,7 +4095,13 @@ _RIDGE_LAMBDA = 100.0  # L2 penalty on the two slope terms (not intercept)
                ROUND(a11 * sy + a12 * s1y + a13 * s2y, 9) AS b0,
                ROUND(a12 * sy + a22 * s1y + a23 * s2y, 9) AS b1,
                ROUND(a13 * sy + a23 * s1y + a33 * s2y, 9) AS b2
-        FROM inv),
+        FROM inv)"""
+
+
+@query(
+    "q_ridge",
+    oracle=f"""
+    WITH {_RIDGE_FIT_SQL},
     resid AS (
         SELECT CAST(SUM(CAST(ROUND(
                  (l.l_extendedprice
@@ -4071,71 +4150,14 @@ def q_ridge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_extendedprice"
     )
 
-    def micro(c):
-        return F.round(c * 1e6, 0).cast("long")
-
     def dsum(c, sc=6, p=18):
         return F.sum(F.round(c, sc).cast(f"decimal({p},{sc})")).cast(
             "double"
         )
 
-    cols = [x1, x2, y, x1 * x1, x1 * x2, x2 * x2, x1 * y, x2 * y]
-    names = ["sx1", "sx2", "sy", "s11", "s12", "s22", "s1y", "s2y"]
-    s = li.agg(
-        F.count("*").cast("double").alias("n"),
-        *[F.sum(micro(c)).alias(a) for c, a in zip(cols, names)],
-        F.max(F.greatest(*[F.abs(micro(c)) for c in cols])).alias("mx"),
-    ).collect()[0]
-    if s["mx"] is not None and s["n"] * s["mx"] >= float(2**62):
-        # LONG micro-unit sums could wrap past this bound (first hit
-        # at ~2M lineitem rows in the round-9 scaling bench) — redo
-        # the sufficient stats with exact DECIMAL accumulators: same
-        # 6-dp element rounding, so the downstream math is identical,
-        # just without codegen's primitive-long fast path.  The guard
-        # is conservative (n * max|element|), so the switch happens
-        # well before any actual wraparound.
-        sd = li.agg(
-            F.count("*").cast("double").alias("n"),
-            *[
-                F.sum(
-                    F.round(c, 6).cast("decimal(28,6)")
-                ).alias(a)
-                for c, a in zip(cols, names)
-            ],
-        ).collect()[0]
-        n = sd["n"]
-        sy, s1y, s2y = (
-            float(sd["sy"]), float(sd["s1y"]), float(sd["s2y"])
-        )
-        sx1, sx2 = float(sd["sx1"]), float(sd["sx2"])
-        s11, s12, s22 = (
-            float(sd["s11"]), float(sd["s12"]), float(sd["s22"])
-        )
-    else:
-        n = s["n"]
-        sy, s1y, s2y = s["sy"] / 1e6, s["s1y"] / 1e6, s["s2y"] / 1e6
-        sx1, sx2 = s["sx1"] / 1e6, s["sx2"] / 1e6
-        s11, s12, s22 = (
-            s["s11"] / 1e6, s["s12"] / 1e6, s["s22"] / 1e6
-        )
-    m11, m12, m13 = n, sx1, sx2
-    m22 = s11 + _RIDGE_LAMBDA
-    m23 = s12
-    m33 = s22 + _RIDGE_LAMBDA
-    det = (
-        m11 * (m22 * m33 - m23 * m23)
-        - m12 * (m12 * m33 - m23 * m13)
-        + m13 * (m12 * m23 - m22 * m13)
-    )
-    a11 = (m22 * m33 - m23 * m23) / det
-    a12 = (m13 * m23 - m12 * m33) / det
-    a13 = (m12 * m23 - m13 * m22) / det
-    a22 = (m11 * m33 - m13 * m13) / det
-    a23 = (m13 * m12 - m11 * m23) / det
-    a33 = (m11 * m22 - m12 * m12) / det
-    b0 = round(a11 * sy + a12 * s1y + a13 * s2y, 9)
-    b1 = round(a12 * sy + a22 * s1y + a23 * s2y, 9)
-    b2 = round(a13 * sy + a23 * s1y + a33 * s2y, 9)
+    fit = _ridge_fit(li)
+    n, sy = fit["n"], fit["sy"]
+    b0, b1, b2 = fit["b0"], fit["b1"], fit["b2"]
     pred = F.lit(b0) + F.lit(b1) * x1 + F.lit(b2) * x2
     ybar = F.lit(sy) / F.lit(n)
     # residual sums stay DECIMAL: squared price residuals at 4 dp run
@@ -4157,6 +4179,95 @@ def q_ridge(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ],
         "b0 double, b1 double, b2 double, rmse double, r2 double",
+    )
+
+
+@query(
+    "q_self_influence",
+    oracle=f"""
+    WITH {_RIDGE_FIT_SQL},
+    infl AS (
+        SELECT CAST(l.l_orderkey AS BIGINT) AS l_orderkey,
+               CAST(l.l_linenumber AS BIGINT) AS l_linenumber,
+               ROUND(
+                 (l.l_extendedprice
+                  - (b.b0 + b.b1 * l.l_quantity
+                     + b.b2 * l.l_discount))
+                 * (l.l_extendedprice
+                    - (b.b0 + b.b1 * l.l_quantity
+                       + b.b2 * l.l_discount))
+                 * (i.a11
+                    + 2.0 * i.a12 * l.l_quantity
+                    + 2.0 * i.a13 * l.l_discount
+                    + i.a22 * l.l_quantity * l.l_quantity
+                    + 2.0 * i.a23 * l.l_quantity * l.l_discount
+                    + i.a33 * l.l_discount * l.l_discount), 6)
+                   AS self_influence
+        FROM lineitem l CROSS JOIN inv i CROSS JOIN beta b),
+    ranked AS (
+        SELECT *, CAST(ROW_NUMBER() OVER (
+                   ORDER BY self_influence DESC,
+                            l_orderkey, l_linenumber) AS BIGINT)
+                   AS rank
+        FROM infl)
+    SELECT l_orderkey, l_linenumber, self_influence, rank
+    FROM ranked WHERE rank <= 20
+    """,
+)
+def q_self_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data attribution via closed-form influence functions
+    (Koh & Liang 2017): for the ridge price model, each training
+    row's SELF-influence r_i^2 x x_i'(X'X + lambda I)^-1 x_i — the
+    leverage-weighted squared residual that TracIn-style mislabel /
+    outlier detection ranks training data by.  Top-20 most
+    self-influential lineitems: the rows whose removal would move the
+    fit most, i.e. the first candidates a data-curation pass audits.
+    This is the data-VALUATION op next to the data-SELECTION shelf
+    (q_dsir, q_coreset, q_active_learning).
+
+    Hash-verified end-to-end: the fit constants come from
+    :func:`_ridge_fit` (exact integer sufficient stats + formula-
+    text-identical adjugate inverse, the q_mahalanobis discipline),
+    the per-row expression text matches the oracle character-for-
+    character, and the influence rounds at 6 dp before ranking with
+    (l_orderkey, l_linenumber) tiebreaks.
+
+    Scale shape: one stats scan (partial-aggregable, bounded 1-row
+    collect), then a map-only scoring pass with 9 float constants in
+    the plan; the global top-20 is TakeOrderedAndProject (per-
+    partition heaps, no global sort or single-reducer window) and the
+    rank column attaches on the 20-row result."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x1, x2, y = F.col("l_quantity"), F.col("l_discount"), F.col(
+        "l_extendedprice"
+    )
+    f = _ridge_fit(li)
+    r = y - (F.lit(f["b0"]) + F.lit(f["b1"]) * x1 + F.lit(f["b2"]) * x2)
+    quad = (
+        F.lit(f["a11"])
+        + F.lit(2.0) * F.lit(f["a12"]) * x1
+        + F.lit(2.0) * F.lit(f["a13"]) * x2
+        + F.lit(f["a22"]) * x1 * x1
+        + F.lit(2.0) * F.lit(f["a23"]) * x1 * x2
+        + F.lit(f["a33"]) * x2 * x2
+    )
+    scored = li.select(
+        F.col("l_orderkey").cast("long").alias("l_orderkey"),
+        F.col("l_linenumber").cast("long").alias("l_linenumber"),
+        F.round(r * r * quad, 6).alias("self_influence"),
+    )
+    top = scored.orderBy(
+        F.desc("self_influence"), "l_orderkey", "l_linenumber"
+    ).limit(20)
+    return top.withColumn(
+        "rank",
+        F.row_number()
+        .over(
+            Window.orderBy(
+                F.desc("self_influence"), "l_orderkey", "l_linenumber"
+            )
+        )
+        .cast("long"),
     )
 
 
