@@ -243,6 +243,7 @@ HEADLINE = [
     "q_min_pieces_tokenize",
     "q_dedup_substring_eval",
     "q_self_influence",
+    "q_domain_reweight",
 ]
 
 #: Frozen comparable subsets — apples-to-apples totals across rounds.

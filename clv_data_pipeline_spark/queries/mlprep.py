@@ -4271,6 +4271,159 @@ def q_self_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: DoReMi exponentiated-gradient step size.  Production runs use
+#: eta ~ 1 on real excess-loss scales (0.1-1 nats); the synthetic
+#: corpus's languages share most of their vocabulary, so per-lang
+#: excess sits at 0.001-0.004 nats — eta is scaled up so the SAME
+#: update rule moves weights visibly on the REAL (not planted)
+#: per-language signal (en 0.0011 vs fr 0.0042 measured at sf0.01).
+_DOREMI_ETA = 200.0
+
+
+@query(
+    "q_domain_reweight",
+    oracle=f"""
+    WITH toks AS MATERIALIZED (
+        SELECT lang, unnest(string_split_regex(trim(regexp_replace(
+                   lower(text), '\\s+', ' ', 'g')), ' ')) AS term
+        FROM documents),
+    tf AS MATERIALIZED (
+        SELECT lang, term, CAST(COUNT(*) AS BIGINT) AS c
+        FROM toks WHERE term <> '' GROUP BY lang, term),
+    nl AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS n
+           FROM tf GROUP BY lang),
+    gt AS (SELECT term, CAST(SUM(c) AS BIGINT) AS g FROM tf
+           GROUP BY term),
+    gv AS (SELECT CAST(SUM(g) AS BIGINT) AS gtot,
+                  CAST(COUNT(*) AS BIGINT) AS v FROM gt),
+    nd AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+           FROM documents GROUP BY lang),
+    nll AS (
+        SELECT t.lang,
+               CAST(SUM(CAST(ROUND(t.c * -ln(
+                    (t.c + 1) / CAST(n.n + g.v AS DOUBLE)), 9)
+                    AS DECIMAL(28,9))) AS DOUBLE) AS nll_in,
+               CAST(SUM(CAST(ROUND(t.c * -ln(
+                    (w.g + 1) / CAST(g.gtot + g.v AS DOUBLE)), 9)
+                    AS DECIMAL(28,9))) AS DOUBLE) AS nll_g
+        FROM tf t
+        JOIN nl n USING (lang)
+        JOIN gt w USING (term)
+        CROSS JOIN gv g
+        GROUP BY t.lang),
+    ex AS (
+        SELECT l.lang, d.n_docs, l2.n AS n_tokens,
+               ROUND(GREATEST(
+                   ROUND(l.nll_g / l2.n, 9)
+                   - ROUND(l.nll_in / l2.n, 9), 0.0), 6) AS excess
+        FROM nll l JOIN nl l2 USING (lang) JOIN nd d USING (lang)),
+    w AS (
+        SELECT lang, n_docs, n_tokens, excess,
+               n_docs * exp({_DOREMI_ETA} * excess) AS w_raw
+        FROM ex),
+    z AS (SELECT CAST(SUM(CAST(ROUND(w_raw, 9) AS DECIMAL(28,9)))
+                 AS DOUBLE) AS z FROM w)
+    SELECT lang, n_docs, n_tokens, excess,
+           ROUND(w_raw / z.z, 6) AS weight
+    FROM w CROSS JOIN z
+    """,
+)
+def q_domain_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi-style domain reweighting (Xie et al. 2023): one
+    exponentiated-gradient step over per-domain EXCESS LOSS — how much
+    worse the generalist (corpus-global) unigram LM models a domain
+    than its in-domain LM — starting from the baseline document-share
+    weights.  Domains whose text a generalist underfits get
+    up-weighted in the next training mix; the op that closes the loop
+    between the mixing shelf (q_mix_budget / q_temperature_mix) and
+    the measurement shelf (perplexity family).
+
+    Deterministic end-to-end: integer counts, per-term cnt x -ln(p)
+    rounded at 9 and DECIMAL-accumulated (the perplexity idiom), avg
+    NLLs rounded at 9 before the clamped difference rounds at 6,
+    normalizer summed as DECIMAL over the bounded domain frame.
+
+    Scale shape: one (lang, term) count shuffle (partial-aggregable),
+    one term-keyed join against the global LM (both sides term-
+    partitioned), domain-grain everything after — the weight frame is
+    domains-bounded and the normalizer is a broadcast scalar attach."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "lang",
+        F.explode(F.split(normalize_text(F.col("text")), " ")).alias(
+            "term"
+        ),
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy("lang", "term").agg(F.count("*").alias("c"))
+    nl = tf.groupBy("lang").agg(F.sum("c").alias("n"))
+    gt = tf.groupBy("term").agg(F.sum("c").alias("g"))
+    gv = gt.agg(
+        F.sum("g").alias("gtot"), F.count("*").alias("v")
+    )
+    nd = d.groupBy("lang").agg(F.count("*").cast("long").alias("n_docs"))
+
+    def _nll(num, den):
+        return F.sum(
+            F.round(
+                F.col("c")
+                * -F.log(num / den.cast("double")),
+                9,
+            ).cast("decimal(28,9)")
+        )
+
+    nll = (
+        tf.join(nl, "lang")
+        .join(gt, "term")
+        .crossJoin(F.broadcast(gv))
+        .groupBy("lang")
+        .agg(
+            _nll(F.col("c") + 1, F.col("n") + F.col("v")).alias(
+                "nll_in"
+            ),
+            _nll(F.col("g") + 1, F.col("gtot") + F.col("v")).alias(
+                "nll_g"
+            ),
+        )
+    )
+    ex = (
+        nll.join(nl, "lang")
+        .join(nd, "lang")
+        .select(
+            "lang",
+            "n_docs",
+            F.col("n").alias("n_tokens"),
+            F.round(
+                F.greatest(
+                    F.round(
+                        F.col("nll_g").cast("double") / F.col("n"), 9
+                    )
+                    - F.round(
+                        F.col("nll_in").cast("double") / F.col("n"), 9
+                    ),
+                    F.lit(0.0),
+                ),
+                6,
+            ).alias("excess"),
+        )
+    )
+    w = ex.withColumn(
+        "w_raw",
+        F.col("n_docs") * F.exp(F.lit(_DOREMI_ETA) * F.col("excess")),
+    )
+    z = w.agg(
+        F.sum(F.round(F.col("w_raw"), 9).cast("decimal(28,9)"))
+        .cast("double")
+        .alias("z")
+    )
+    return w.crossJoin(F.broadcast(z)).select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        "excess",
+        F.round(F.col("w_raw") / F.col("z"), 6).alias("weight"),
+    )
+
+
 @query(
     "q_woe_iv",
     oracle="""

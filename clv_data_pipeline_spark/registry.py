@@ -384,7 +384,7 @@ _VERIFIED = (
 #: comfortably inside the ~50-name driver budget.
 _R9_NEW: set[str] = {
     "q_ann_ivf_portable", "q_min_pieces_tokenize",
-    "q_dedup_substring_eval", "q_self_influence",
+    "q_dedup_substring_eval", "q_self_influence", "q_domain_reweight",
 }
 
 

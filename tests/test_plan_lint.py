@@ -61,6 +61,7 @@ _BNLJ_SCALAR_OK = {
     "q_embedding_drift",   # 1-row half-split cut broadcast
     "q_perplexity",        # 1-row corpus-total broadcast
     "q_perplexity_bigram", # 1-row corpus-total broadcast
+    "q_domain_reweight",   # 1-row (gtot, V) + 1-row normalizer attaches
     "q_ann_recall",        # two 1-row count scalars attach per method
     "q_minhash_eval",      # three 1-row audit counts attach
     "q_market_basket",     # 1-row order-count (support denominator) broadcast
