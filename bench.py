@@ -244,6 +244,7 @@ HEADLINE = [
     "q_dedup_substring_eval",
     "q_self_influence",
     "q_domain_reweight",
+    "q_dp_histogram",
 ]
 
 #: Frozen comparable subsets — apples-to-apples totals across rounds.

@@ -3257,6 +3257,89 @@ _DPQ_BIN = 0.25
 
 
 @query(
+    "q_dp_histogram",
+    oracle="""
+    WITH c AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM documents GROUP BY source),
+    h AS (
+        SELECT source, n_docs,
+               ('0x' || substr(md5(source || '|dp'), 1, 8))::BIGINT
+                   AS h1,
+               ('0x' || substr(md5(source || '|dp'), 9, 8))::BIGINT
+                   AS h2
+        FROM c),
+    noised AS (
+        SELECT source, n_docs,
+               LEAST(bit_count((h1 & -h1) - 1), 32)
+               - LEAST(bit_count((h2 & -h2) - 1), 32) AS noise
+        FROM h)
+    SELECT source, n_docs, CAST(noise AS BIGINT) AS noise,
+           CAST(GREATEST(n_docs + noise, 0) AS BIGINT) AS noisy_count,
+           ROUND(ln(2.0), 6) AS epsilon
+    FROM noised
+    """,
+)
+def q_dp_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private histogram release (per-source document
+    counts) under the two-sided GEOMETRIC mechanism — the discrete
+    twin of Laplace noise, and the right one for counts because the
+    release stays integral: noise = Geom(1/2) - Geom(1/2), a discrete
+    Laplace with alpha = 1/2, giving epsilon = ln 2 per unit
+    sensitivity.  Negative releases clamp to 0 (standard
+    post-processing, privacy-free).
+
+    Engine-portable by construction: the geometric draws are the
+    TRAILING-ZERO counts of two md5-derived 32-bit integers
+    (P(tz = k) = 2^-(k+1) exactly), so the whole mechanism is integer
+    arithmetic — bit_count((h & -h) - 1) — with zero float ops to
+    disagree on.  The fixed seed makes the release replayable for
+    this audit (and hash-verifiable against DuckDB); a production
+    release would draw the seed per publication.
+
+    Scale shape: one partial-aggregable count shuffle; the noise is a
+    per-group column expression — map-only after the agg, no driver
+    involvement at any cardinality."""
+    d = load_table(spark, sf_dir, "documents")
+    c = d.groupBy("source").agg(F.count("*").cast("long").alias("n_docs"))
+    h = c.select(
+        "source",
+        "n_docs",
+        F.conv(
+            F.substring(F.md5(F.concat(F.col("source"), F.lit("|dp"))), 1, 8),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("h1"),
+        F.conv(
+            F.substring(F.md5(F.concat(F.col("source"), F.lit("|dp"))), 9, 8),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("h2"),
+    )
+    tz = "least(bit_count(({0} & -{0}) - 1), 32)"
+    noised = h.select(
+        "source",
+        "n_docs",
+        (
+            F.expr(tz.format("h1")) - F.expr(tz.format("h2"))
+        ).cast("long").alias("noise"),
+    )
+    return noised.select(
+        "source",
+        "n_docs",
+        "noise",
+        F.greatest(F.col("n_docs") + F.col("noise"), F.lit(0))
+        .cast("long")
+        .alias("noisy_count"),
+        F.round(F.log(F.lit(2.0)), 6).alias("epsilon"),
+    )
+
+
+@query(
     "q_dp_quantiles",
     oracle=f"""
     WITH b AS (

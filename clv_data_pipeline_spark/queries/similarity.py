@@ -359,7 +359,7 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT vec_id,
                unnest(range(len(embedding))) AS i,
                CAST(unnest(CAST(embedding AS DOUBLE[])) AS DOUBLE) AS x
-        FROM embeddings WHERE vec_id < 800),
+        FROM embeddings WHERE vec_id < 500),
     w AS (
         SELECT c.c, i.i,
                (('0x' || substr(md5(c.c || '|' || i.i || '|ivf'), 1, 8))
@@ -429,7 +429,7 @@ def q_ann_ivf_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     never all pairs; scoring touches only candidate pairs with
     per-vector norms computed once."""
     emb = load_table(spark, sf_dir, "embeddings").filter(
-        F.col("vec_id") < 800
+        F.col("vec_id") < 500
     ).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )

@@ -83,6 +83,7 @@ CONSTANT_OK: frozenset[tuple[str, str]] = frozenset(
         ("q_cosine_topk", "rank"),
         ("q_ann_lsh_portable", "rank"),
         ("q_ann_ivf_portable", "rank"),  # top-1 contract: rank == 1
+        ("q_dp_histogram", "epsilon"),  # mechanism parameter constant
         ("q_retention_cohorts", "cohort_week"),
         ("q_source_report", "n_docs"),
         ("q_udtf_sentences", "sent_idx"),
