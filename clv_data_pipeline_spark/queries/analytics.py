@@ -3260,29 +3260,31 @@ _DPQ_BIN = 0.25
     "q_dp_histogram",
     oracle="""
     WITH c AS (
-        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
-        FROM documents GROUP BY source),
+        SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM documents GROUP BY lang, source),
     h AS (
-        SELECT source, n_docs,
-               ('0x' || substr(md5(source || '|dp'), 1, 8))::BIGINT
-                   AS h1,
-               ('0x' || substr(md5(source || '|dp'), 9, 8))::BIGINT
-                   AS h2
+        SELECT lang, source, n_docs,
+               ('0x' || substr(md5(lang || '|' || source || '|dp'),
+                               1, 8))::BIGINT AS h1,
+               ('0x' || substr(md5(lang || '|' || source || '|dp'),
+                               9, 8))::BIGINT AS h2
         FROM c),
     noised AS (
-        SELECT source, n_docs,
+        SELECT lang, source, n_docs,
                LEAST(bit_count((h1 & -h1) - 1), 32)
                - LEAST(bit_count((h2 & -h2) - 1), 32) AS noise
         FROM h)
-    SELECT source, n_docs, CAST(noise AS BIGINT) AS noise,
+    SELECT lang, source, n_docs, CAST(noise AS BIGINT) AS noise,
            CAST(GREATEST(n_docs + noise, 0) AS BIGINT) AS noisy_count,
            ROUND(ln(2.0), 6) AS epsilon
     FROM noised
     """,
 )
 def q_dp_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Differentially-private histogram release (per-source document
-    counts) under the two-sided GEOMETRIC mechanism — the discrete
+    """Differentially-private histogram release (per-(lang, source)
+    contingency cell counts — the per-source marginal is uniform by
+    synthesis, so the cell grid is the release whose counts actually
+    vary) under the two-sided GEOMETRIC mechanism — the discrete
     twin of Laplace noise, and the right one for counts because the
     release stays integral: noise = Geom(1/2) - Geom(1/2), a discrete
     Laplace with alpha = 1/2, giving epsilon = ln 2 per unit
@@ -3301,27 +3303,22 @@ def q_dp_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-group column expression — map-only after the agg, no driver
     involvement at any cardinality."""
     d = load_table(spark, sf_dir, "documents")
-    c = d.groupBy("source").agg(F.count("*").cast("long").alias("n_docs"))
+    c = d.groupBy("lang", "source").agg(
+        F.count("*").cast("long").alias("n_docs")
+    )
+    seed = F.md5(
+        F.concat(F.col("lang"), F.lit("|"), F.col("source"), F.lit("|dp"))
+    )
     h = c.select(
+        "lang",
         "source",
         "n_docs",
-        F.conv(
-            F.substring(F.md5(F.concat(F.col("source"), F.lit("|dp"))), 1, 8),
-            16,
-            10,
-        )
-        .cast("long")
-        .alias("h1"),
-        F.conv(
-            F.substring(F.md5(F.concat(F.col("source"), F.lit("|dp"))), 9, 8),
-            16,
-            10,
-        )
-        .cast("long")
-        .alias("h2"),
+        F.conv(F.substring(seed, 1, 8), 16, 10).cast("long").alias("h1"),
+        F.conv(F.substring(seed, 9, 8), 16, 10).cast("long").alias("h2"),
     )
     tz = "least(bit_count(({0} & -{0}) - 1), 32)"
     noised = h.select(
+        "lang",
         "source",
         "n_docs",
         (
@@ -3329,6 +3326,7 @@ def q_dp_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long").alias("noise"),
     )
     return noised.select(
+        "lang",
         "source",
         "n_docs",
         "noise",
