@@ -245,6 +245,7 @@ HEADLINE = [
     "q_self_influence",
     "q_domain_reweight",
     "q_dp_histogram",
+    "q_pca_portable",
 ]
 
 #: Frozen comparable subsets — apples-to-apples totals across rounds.

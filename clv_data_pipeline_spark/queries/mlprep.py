@@ -713,6 +713,213 @@ def q_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pca_variance_audit(emb)
 
 
+_PCA_DIM = 64      # embedding dimensionality (all testdata SFs)
+_PCA_QS = 10_000   # fixed-point quantization scale for components
+_PCA_FP = 4096     # fixed-point scale for the iterate / matrix rescale
+_PCA_ITERS = 32    # fixed power-iteration step count (NOT to convergence)
+
+
+@query(
+    "q_pca_portable",
+    oracle=f"""
+    WITH RECURSIVE
+    dims AS (
+        SELECT vec_id,
+               CAST(unnest(range(len(embedding))) AS BIGINT) AS i,
+               CAST(ROUND(CAST(unnest(embedding) AS DOUBLE)
+                          * {_PCA_QS}.0, 0) AS BIGINT) AS q
+        FROM embeddings),
+    nn AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n FROM embeddings),
+    svec AS (SELECT i, CAST(SUM(q) AS HUGEINT) AS s
+             FROM dims GROUP BY i),
+    gram AS (
+        SELECT a.i AS i, b.i AS j, CAST(SUM(a.q * b.q) AS HUGEINT) AS g
+        FROM dims a JOIN dims b USING (vec_id) GROUP BY a.i, b.i),
+    cint AS (
+        SELECT g.i, g.j, nn.n * g.g - sa.s * sb.s AS c
+        FROM gram g CROSS JOIN nn
+        JOIN svec sa ON sa.i = g.i JOIN svec sb ON sb.i = g.j),
+    mx AS (SELECT MAX(ABS(c)) // {_PCA_FP} + 1 AS dnm FROM cint),
+    cp AS (
+        SELECT i, j,
+               CAST((ABS(c) // dnm)
+                    * (CASE WHEN c >= 0 THEN 1 ELSE -1 END)
+                    AS BIGINT) AS cp
+        FROM cint CROSS JOIN mx),
+    cmat AS (
+        SELECT list(rl ORDER BY i) AS cl
+        FROM (SELECT i, list(cp ORDER BY j) AS rl
+              FROM cp GROUP BY i)),
+    it AS (
+        SELECT 0 AS t,
+               list_transform(range({_PCA_DIM}),
+                   k -> CAST(CASE WHEN k = 0 THEN {_PCA_FP} ELSE 0 END
+                             AS BIGINT)) AS v
+        UNION ALL
+        SELECT t, list_transform(w,
+                   x -> CASE WHEN x >= 0 THEN (x * {_PCA_FP}) // mw
+                             ELSE -(((-x) * {_PCA_FP}) // mw) END) AS v
+        FROM (SELECT t, w,
+                     GREATEST(list_max(list_transform(w,
+                                           x -> ABS(x))), 1) AS mw
+              FROM (SELECT t + 1 AS t,
+                           list_transform(range({_PCA_DIM}),
+                               i -> list_reduce(
+                                        list_transform(
+                                            range({_PCA_DIM}),
+                                            j -> cl[i + 1][j + 1]
+                                                 * v[j + 1]),
+                                        (a, b) -> a + b)) AS w
+                    FROM it, cmat WHERE t < {_PCA_ITERS}))),
+    vfin AS (SELECT v FROM it WHERE t = {_PCA_ITERS}),
+    sg AS (
+        SELECT CASE WHEN x >= 0 THEN 1 ELSE -1 END AS sgn
+        FROM (SELECT unnest(v) AS x,
+                     CAST(unnest(range(len(v))) AS BIGINT) AS k
+              FROM vfin)
+        ORDER BY ABS(x) DESC, k LIMIT 1),
+    vs AS (SELECT list_transform(v, x -> x * sgn) AS v
+           FROM vfin, sg),
+    sv AS (SELECT CAST(SUM(s * v[i + 1]) AS HUGEINT) AS sv
+           FROM svec, vs),
+    lam AS (
+        SELECT CAST(SUM(cp * v[i + 1] * v[j + 1]) AS BIGINT)
+                   AS lam_num,
+               (SELECT CAST(list_reduce(
+                                list_transform(v, x -> x * x),
+                                (a, b) -> a + b) AS BIGINT)
+                FROM vs) AS lam_den
+        FROM cp, vs)
+    SELECT d.vec_id,
+           CAST(nn.n * SUM(d.q * v[d.i + 1]) - MIN(sv.sv)
+                AS BIGINT) AS proj,
+           MIN(lam.lam_num) AS lam_num,
+           MIN(lam.lam_den) AS lam_den
+    FROM dims d CROSS JOIN nn CROSS JOIN vs
+         CROSS JOIN sv CROSS JOIN lam
+    GROUP BY d.vec_id, nn.n
+    """,
+)
+def q_pca_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-PORTABLE top-principal-direction fit + projection — the
+    q_ann_lsh_portable discipline applied to the eigen path that kept
+    q_pca_project rows-only (VERDICT r8: "eigendecomposition is not
+    SQL-expressible ... power iteration cannot reach rounding tolerance
+    at gap ratios ~0.99").  The fix is to stop chasing float
+    convergence and hash-verify a FIXED-STEP integer mechanism instead:
+
+    - components quantize to 1e-4 units (`ROUND(x*1e4) AS BIGINT`, the
+      nano-unit idiom at a coarser scale so every downstream product
+      stays in BIGINT range);
+    - the centered scatter matrix is exact integers via the n-scaled
+      identity  C = n*Sum(qq^T) - s s^T  (no float mean subtraction);
+    - C rescales to |C'| <= 4096 by truncated division with an
+      explicit sign split (both engines then truncate nonnegative
+      numerators only — no floor-vs-trunc ambiguity);
+    - 32 power-iteration steps in 4096-unit fixed point, renormalizing
+      by max-abs with the same sign-split truncation; the iterate is
+      deterministic INTEGER state, so both engines compute the
+      IDENTICAL vector regardless of the spectrum's 0.987 gap ratio
+      (alignment with the true numpy eigenvector is ~0.97 at sf0.01 —
+      pinned as a floor in tests/test_pca.py, but correctness here is
+      bit-equality of the mechanism, not convergence);
+    - sign convention: the largest-|component| entry (lowest index on
+      ties) is made positive;
+    - per-vector scores use the n-scaled projection
+      proj = n*(q . v) - (s . v)  — exact integers, hash-stable — and
+      the Rayleigh quotient ships as an exact integer ratio
+      (lam_num, lam_den) instead of a rounded float.
+
+    A hash match proves quantization, the Gram/centering algebra, the
+    matvec + renormalization loop, the sign fix, and the projection
+    end-to-end against DuckDB's independent recursive-CTE replay.
+
+    Scale shape: ALL sufficient statistics (n, s, Gram) come from ONE
+    posexplode of the flattened 64x64 outer product (+ s and n slots)
+    with map-side combine onto d^2 + d + 1 = 4161 keys (partial
+    aggregation makes the shuffle ~4161 rows per partition,
+    independent of corpus size); the iteration runs on the
+    driver over the collected 4096-entry matrix in exact Python ints
+    (the bounded d^2 barrier every PCA fit has, cf. operators/pca.py);
+    the projection is a map-only zip_with against 64 broadcast
+    literals.  Spark-side BIGINT bounds: q*q <= 1e8 so the Gram sum
+    holds to ~9e10 vectors; n*(q.v) <= n * 2.6e9 holds to n ~ 3.5e9 —
+    past either, swap the sums to DECIMAL exactly as q_ridge does."""
+    d = _PCA_DIM
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: F.round(x * _PCA_QS, 0).cast("long"),
+        ).alias("q"),
+    )
+    # one aggregation pass yields ALL sufficient statistics: positions
+    # [0, d^2) carry the flattened outer product qq^T, [d^2, d^2+d) the
+    # component sums s, and the last slot a 1 per row summing to n —
+    # map-side combine collapses the explode onto d^2+d+1 keys.
+    outer = F.flatten(
+        F.transform(
+            F.col("q"),
+            lambda a: F.transform(F.col("q"), lambda b: a * b),
+        )
+    )
+    stats = F.concat(outer, F.col("q"), F.array(F.lit(1).cast("long")))
+    stat_rows = (
+        emb.select(F.posexplode(stats).alias("pos", "val"))
+        .groupBy("pos")
+        .agg(F.sum("val").alias("t"))
+        .collect()
+    )
+    s = [0] * d
+    G = [[0] * d for _ in range(d)]
+    n = 0
+    for r in stat_rows:
+        pos, t = r["pos"], int(r["t"])
+        if pos < d * d:
+            G[pos // d][pos % d] = t
+        elif pos < d * d + d:
+            s[pos - d * d] = t
+        else:
+            n = t
+    # exact big-int centering, rescale, and fixed-step iteration on the
+    # bounded d^2 frame (Python ints are arbitrary precision, mirroring
+    # the oracle's HUGEINT path bit for bit)
+    c_mat = [[n * G[i][j] - s[i] * s[j] for j in range(d)] for i in range(d)]
+    dnm = max(abs(c_mat[i][j]) for i in range(d) for j in range(d)) // _PCA_FP + 1
+    cp = [
+        [(abs(c_mat[i][j]) // dnm) * (1 if c_mat[i][j] >= 0 else -1)
+         for j in range(d)]
+        for i in range(d)
+    ]
+    v = [_PCA_FP] + [0] * (d - 1)
+    for _ in range(_PCA_ITERS):
+        w = [sum(cp[i][j] * v[j] for j in range(d)) for i in range(d)]
+        mw = max(max(abs(x) for x in w), 1)
+        v = [((abs(x) * _PCA_FP) // mw) * (1 if x >= 0 else -1) for x in w]
+    mi = max(range(d), key=lambda k: (abs(v[k]), -k))
+    if v[mi] < 0:
+        v = [-x for x in v]
+    sv = sum(s[i] * v[i] for i in range(d))
+    lam_num = sum(
+        cp[i][j] * v[i] * v[j] for i in range(d) for j in range(d)
+    )
+    lam_den = sum(x * x for x in v)
+    vlit = F.array(*[F.lit(x).cast("long") for x in v])
+    qdotv = F.aggregate(
+        F.zip_with(F.col("q"), vlit, lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return emb.select(
+        "vec_id",
+        (F.lit(n).cast("long") * qdotv - F.lit(sv).cast("long"))
+        .cast("long")
+        .alias("proj"),
+        F.lit(lam_num).cast("long").alias("lam_num"),
+        F.lit(lam_den).cast("long").alias("lam_den"),
+    )
+
+
 _LAMBDA_BIGRAM = 0.7  # interpolation weight on the bigram ML estimate
 
 

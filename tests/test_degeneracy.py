@@ -84,6 +84,11 @@ CONSTANT_OK: frozenset[tuple[str, str]] = frozenset(
         ("q_ann_lsh_portable", "rank"),
         ("q_ann_ivf_portable", "rank"),  # top-1 contract: rank == 1
         ("q_dp_histogram", "epsilon"),  # mechanism parameter constant
+        # Rayleigh quotient of the shared iterate — one ratio for the
+        # whole fit, attached as broadcast scalar audit columns; the
+        # per-row proj column is variance-checked normally
+        ("q_pca_portable", "lam_num"),
+        ("q_pca_portable", "lam_den"),
         ("q_retention_cohorts", "cohort_week"),
         ("q_source_report", "n_docs"),
         ("q_udtf_sentences", "sent_idx"),

@@ -86,3 +86,27 @@ def test_variance_of_constant_embeddings_is_zero_not_crash(spark):
     )
     rows = pca_explained_variance(emb, n_components=2).collect()
     assert [r["explained_pct"] for r in rows] == [0.0, 0.0]
+
+
+def test_portable_twin_aligns_with_numpy_pc1(spark):
+    """q_pca_portable's fixed-step integer iterate is NOT run to float
+    convergence (that's the point — bit-equality across engines instead
+    of tolerance), but it must still land near the true top principal
+    direction or the twin verifies a vacuous mechanism.  Floor: the
+    per-vector integer projections correlate >= 0.9 in absolute value
+    with the numpy PC1 scores (measured ~0.97 at 32 iterations), and
+    are genuinely non-constant."""
+    from clv_data_pipeline_spark.registry import all_queries
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    ids, x = _collect_matrix(emb)
+    mu_n, w_n, _ = _numpy_pca(x, 1)
+    pc1 = (x - mu_n) @ w_n[:, 0]
+
+    rows = all_queries()["q_pca_portable"](spark, SF_SMOKE).collect()
+    got = {r["vec_id"]: r["proj"] for r in rows}
+    proj = np.array([got[i] for i in ids], dtype=np.float64)
+    assert rows[0]["lam_den"] > 0
+    assert proj.std() > 0
+    corr = abs(float(np.corrcoef(proj, pc1)[0, 1]))
+    assert corr >= 0.9, corr
