@@ -246,6 +246,7 @@ HEADLINE = [
     "q_domain_reweight",
     "q_dp_histogram",
     "q_pca_portable",
+    "q_ann_pq_portable",
 ]
 
 #: Frozen comparable subsets — apples-to-apples totals across rounds.

@@ -574,6 +574,245 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PQ_M = 8        # subspaces
+_PQ_K = 16       # codewords per subspace
+_PQ_DSUB = 8     # dims per subspace (8 x 8 = 64)
+_PQ_SHORT = 32   # ADC shortlist re-ranked exactly (~6% scan fraction)
+_PQ_NQ = 128     # deterministic id-capped query audit slice
+
+
+@query(
+    "q_ann_pq_portable",
+    oracle=f"""
+    WITH dims AS (
+        SELECT vec_id,
+               CAST(unnest(range(len(embedding))) AS BIGINT) AS i,
+               CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 10000.0,
+                          0) AS BIGINT) AS q
+        FROM embeddings),
+    cw AS (
+        SELECT m, k, m * {_PQ_DSUB} + d AS i,
+               ('0x' || substr(md5(m || '|' || k || '|' || d || '|pq'),
+                               1, 8))::BIGINT % 20001 - 10000 AS c
+        FROM (SELECT unnest(range({_PQ_M})) AS m),
+             (SELECT unnest(range({_PQ_K})) AS k),
+             (SELECT unnest(range({_PQ_DSUB})) AS d)),
+    dist AS (
+        SELECT dm.vec_id, cw.m, cw.k,
+               CAST(SUM((dm.q - cw.c) * (dm.q - cw.c)) AS BIGINT)
+                   AS dist
+        FROM dims dm JOIN cw ON cw.i = dm.i
+        GROUP BY dm.vec_id, cw.m, cw.k),
+    codes AS (
+        SELECT vec_id AS neighbor_id, m, k AS code
+        FROM (SELECT vec_id, m, k,
+                     ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                        ORDER BY dist, k) AS rn
+              FROM dist)
+        WHERE rn = 1),
+    dtab AS (SELECT vec_id, m, k, dist FROM dist
+             WHERE vec_id < {_PQ_NQ}),
+    adc AS (
+        SELECT dt.vec_id, c.neighbor_id,
+               CAST(SUM(dt.dist) AS BIGINT) AS adc
+        FROM dtab dt JOIN codes c ON c.m = dt.m AND c.code = dt.k
+        WHERE dt.vec_id <> c.neighbor_id
+        GROUP BY dt.vec_id, c.neighbor_id),
+    short AS (
+        SELECT vec_id, neighbor_id, adc
+        FROM (SELECT vec_id, neighbor_id, adc,
+                     ROW_NUMBER() OVER (PARTITION BY vec_id
+                                        ORDER BY adc, neighbor_id)
+                         AS rn
+              FROM adc)
+        WHERE rn <= {_PQ_SHORT}),
+    ed AS (SELECT vec_id, unnest(embedding) AS x,
+                  unnest(range(len(embedding))) AS i
+           FROM embeddings),
+    sims AS (
+        SELECT s.vec_id, s.neighbor_id, s.adc,
+               ROUND(
+                   CAST(SUM(CAST(ROUND(da.x * db.x * 1000000000.0, 0)
+                                 AS BIGINT)) AS DOUBLE)
+                   / sqrt(CAST(SUM(CAST(ROUND(da.x * da.x
+                                              * 1000000000.0, 0)
+                                        AS BIGINT)) AS DOUBLE)
+                          * CAST(SUM(CAST(ROUND(db.x * db.x
+                                                * 1000000000.0, 0)
+                                          AS BIGINT)) AS DOUBLE)),
+                   6) AS sim
+        FROM short s
+        JOIN ed da ON da.vec_id = s.vec_id
+        JOIN ed db ON db.vec_id = s.neighbor_id AND db.i = da.i
+        GROUP BY s.vec_id, s.neighbor_id, s.adc),
+    ranked AS (
+        SELECT vec_id, neighbor_id, adc, sim,
+               CAST(ROW_NUMBER() OVER (PARTITION BY vec_id
+                    ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank
+        FROM sims)
+    SELECT vec_id, neighbor_id, adc, sim, rank FROM ranked
+    WHERE rank <= 1
+    """,
+)
+def q_ann_pq_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN over md5-PORTABLE codebooks — the
+    third leg of the portable ANN twin set (SRP-LSH banding @ r8, IVF
+    probe @ r9, now PQ's encode -> ADC -> shortlist -> re-rank): 8
+    subspaces x 16 codewords derive from md5(m|k|d|'pq') as integers
+    in [-10000, 10000], vectors quantize to the same 1e-4 grid, so
+    encoding (argmin exact integer squared distance, lowest-k ties),
+    the per-query ADC distance table, the table-lookup scan, and the
+    32-deep shortlist are ALL exact integer arithmetic both engines
+    replay identically; the final exact-cosine re-rank reuses the lsh
+    twin's nano-unit integer formulation.  Codebook TRAINING (k-means)
+    is exactly why the production q_ann_pq stays rows-only; random
+    codebooks cost recall (measured recall@1 = 0.23 vs exact at
+    sf0.01, floor 0.15 pinned in tests/test_pq.py) but buy an
+    end-to-end hash proof of the retrieval mechanics.
+
+    Scale shape: encoding is one skinny explode against a broadcast
+    1024-row codeword frame with map-side combine onto (vec, m, k);
+    the ADC scan is the honest PQ shape — a table-LOOKUP equi-join of
+    the 128-query distance tables against the n x 8 code index (PQ's
+    point is that the scan touches 1-byte codes, never raw vectors);
+    full vectors are touched only for the 32-per-query shortlist.
+    Never an all-pairs vector join; the query slice is the bounded
+    audit window, exactly as q_ann_ivf_portable's."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    dims = emb.select(
+        "vec_id", F.posexplode("e").alias("i", "x")
+    ).select(
+        "vec_id",
+        F.col("i").cast("long").alias("i"),
+        F.round(F.col("x") * 10000, 0).cast("long").alias("q"),
+    )
+    n_cw = _PQ_M * _PQ_K * _PQ_DSUB
+    cw = spark.range(n_cw).select(
+        (F.col("id") / (_PQ_K * _PQ_DSUB)).cast("long").alias("m"),
+        ((F.col("id") / _PQ_DSUB) % _PQ_K).cast("long").alias("k"),
+        (F.col("id") % _PQ_DSUB).cast("long").alias("d"),
+    )
+    cw = cw.select(
+        "m",
+        "k",
+        (F.col("m") * _PQ_DSUB + F.col("d")).alias("i"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            "|",
+                            F.col("m").cast("string"),
+                            F.col("k").cast("string"),
+                            F.col("d").cast("string"),
+                            F.lit("pq"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 20001
+            - 10000
+        ).alias("c"),
+    )
+    diff = F.col("q") - F.col("c")
+    dist = (
+        dims.join(F.broadcast(cw), "i")
+        .groupBy("vec_id", "m", "k")
+        .agg(F.sum(diff * diff).cast("long").alias("dist"))
+    )
+    codes = (
+        dist.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("vec_id", "m").orderBy("dist", "k")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("vec_id").alias("neighbor_id"),
+            "m",
+            F.col("k").alias("code"),
+        )
+    )
+    dtab = dist.filter(F.col("vec_id") < _PQ_NQ).select(
+        "vec_id",
+        F.col("m").alias("dm"),
+        F.col("k").alias("dk"),
+        "dist",
+    )
+    adc = (
+        dtab.join(
+            codes,
+            (F.col("dm") == codes["m"]) & (F.col("dk") == codes["code"]),
+        )
+        .filter(F.col("vec_id") != F.col("neighbor_id"))
+        .groupBy("vec_id", "neighbor_id")
+        .agg(F.sum("dist").cast("long").alias("adc"))
+    )
+    short = (
+        adc.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(
+                    "adc", "neighbor_id"
+                )
+            ),
+        )
+        .filter(F.col("rn") <= _PQ_SHORT)
+        .select("vec_id", "neighbor_id", "adc")
+    )
+
+    def _lsum(arr):
+        return F.aggregate(
+            arr, F.lit(0).cast("long"), lambda acc, x: acc + x
+        ).cast("double")
+
+    prod = F.zip_with(
+        "ea", "eb", lambda a, b: F.round(a * b * 1e9, 0).cast("long")
+    )
+    sq = lambda col: F.transform(  # noqa: E731
+        col, lambda a: F.round(a * a * 1e9, 0).cast("long")
+    )
+    norms = emb.select("vec_id", _lsum(sq("e")).alias("nrm"))
+    va = emb.join(norms, "vec_id").select(
+        F.col("vec_id"), F.col("e").alias("ea"), F.col("nrm").alias("na")
+    )
+    vb = emb.join(norms, "vec_id").select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("e").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    sims = (
+        short.join(va, "vec_id")
+        .join(vb, "neighbor_id")
+        .select(
+            "vec_id",
+            "neighbor_id",
+            "adc",
+            F.round(
+                _lsum(prod) / F.sqrt(F.col("na") * F.col("nb")), 6
+            ).alias("sim"),
+        )
+    )
+    ranked = sims.withColumn(
+        "rank",
+        F.row_number()
+        .over(
+            Window.partitionBy("vec_id").orderBy(
+                F.desc("sim"), "neighbor_id"
+            )
+        )
+        .cast("long"),
+    )
+    return ranked.filter(F.col("rank") <= 1)
+
+
 @query("q_ann_ivf_pq")  # rows-only: approximate, quantizer+codebook-specific
 def q_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ approximate nearest neighbor (top-1) — the production

@@ -83,6 +83,7 @@ CONSTANT_OK: frozenset[tuple[str, str]] = frozenset(
         ("q_cosine_topk", "rank"),
         ("q_ann_lsh_portable", "rank"),
         ("q_ann_ivf_portable", "rank"),  # top-1 contract: rank == 1
+        ("q_ann_pq_portable", "rank"),  # top-1 contract: rank == 1
         ("q_dp_histogram", "epsilon"),  # mechanism parameter constant
         # Rayleigh quotient of the shared iterate — one ratio for the
         # whole fit, attached as broadcast scalar audit columns; the

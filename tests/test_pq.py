@@ -163,3 +163,34 @@ def test_ann_lsh_portable_recall_floor(spark):
         1 for v, n in got.items() if exact_top1[v] == n
     ) / len(ids)
     assert 0.12 <= recall <= 0.60, recall
+
+
+def test_ann_pq_portable_recall_floor(spark):
+    """Pin the measured recall@1 of the portable PQ twin (md5-derived
+    codebooks, ADC shortlist 32, exact re-rank) against brute-force
+    top-1 — measured 0.23 at sf0.01.  Random codebooks cost recall vs
+    the trained production q_ann_pq (~1.0 with re-rank); the floor
+    catches a broken encode/ADC join, the ceiling an accidental
+    all-pairs fallback (shortlist 32 of 499 caps what re-rank can
+    recover)."""
+    from clv_data_pipeline_spark import registry
+
+    emb_pdf = (
+        load_table(spark, "/root/testdata/sf0.01", "embeddings")
+        .toPandas()
+    )
+    ids = emb_pdf["vec_id"].to_numpy()
+    X = np.stack(emb_pdf["embedding"].to_numpy()).astype(np.float64)
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    S = Xn @ Xn.T
+    np.fill_diagonal(S, -np.inf)
+    exact_top1 = {
+        int(ids[i]): int(ids[int(np.argmax(S[i]))]) for i in range(len(ids))
+    }
+    res = registry.all_queries()["q_ann_pq_portable"](
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    got = {int(r["vec_id"]): int(r["neighbor_id"]) for r in res}
+    assert len(got) == 128  # every audit-slice query answered
+    recall = sum(1 for v, n in got.items() if exact_top1[v] == n) / len(got)
+    assert 0.15 <= recall <= 0.60, recall
