@@ -49,6 +49,14 @@ from clv_data_pipeline_spark.operators.multimodal import (
 from clv_data_pipeline_spark.registry import query
 from clv_data_pipeline_spark.sources.io import load_table
 
+#: DuckDB twin of the Spark tokenizer (normalize_text + split on space)
+#: — defined up top because both the BPE-training oracle and the
+#: corpus-statistics queries below interpolate it.
+_TOKENIZE_SQL = (
+    "string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),"
+    " ' ')"
+)
+
 
 @query(
     "q_dedup_exact",
@@ -136,7 +144,102 @@ def _delta_split(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
     return base, delta
 
 
-@query("q_bpe_merges")  # rows-only: iterative greedy loop, not SQL
+def _bpe_match_sql(idx: str, syms: str = "ws.syms") -> str:
+    """SQL for: 0-based position ``idx`` of ``syms`` matches the
+    current best pair (syms[idx] = l AND syms[idx+1] = r)."""
+    return (
+        f"(({idx}) < len({syms}) - 1 AND {syms}[({idx}) + 1] = best.l "
+        f"AND {syms}[({idx}) + 2] = best.r)"
+    )
+
+
+def _bpe_taken_sql(idx: str) -> str:
+    """SQL for: the match at 0-based ``idx`` is TAKEN by the
+    leftmost-nonoverlapping merge scan.  Within a maximal run of
+    consecutive matches (runs longer than 1 only occur when l = r,
+    e.g. pair (a,a) in 'aaaa') the scan takes even offsets from the
+    run start; the run start is (last non-match index before idx)+1.
+    Pure list arithmetic — no let-binding in SQL, so the match
+    predicate inlines everywhere it is needed."""
+    lastfalse = (
+        f"COALESCE(list_max(list_filter(range({idx}), "
+        f"k -> NOT {_bpe_match_sql('k')})), -1)"
+    )
+    return (
+        f"({_bpe_match_sql(idx)} AND "
+        f"((({idx}) - ({lastfalse} + 1)) % 2 = 0))"
+    )
+
+
+#: one leftmost-nonoverlapping merge pass over a word's symbol list
+_BPE_MERGED_SQL = (
+    "flatten(list_transform(range(len(ws.syms)), i -> "
+    "CASE WHEN " + _bpe_taken_sql("i") + " THEN [best.l || best.r] "
+    "WHEN i > 0 AND " + _bpe_taken_sql("i - 1") + " THEN [] "
+    "ELSE [ws.syms[i + 1]] END))"
+)
+
+_BPE_NUM_MERGES = 20
+
+#: shared recursive-CTE prefix replaying the full BPE training loop:
+#: the entire word->symbols state travels as ONE row (a list of
+#: (word, freq, syms) structs, vocabulary-bounded exactly like the
+#: driver loop); both the merge-table and the tokenize oracles append
+#: their own final SELECT.
+_BPE_IT_SQL = f"""
+    WITH RECURSIVE
+    words AS (
+        SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS freq
+        FROM (SELECT unnest({{tok}}) AS w FROM documents)
+        WHERE w <> '' GROUP BY w),
+    init AS (
+        SELECT list(struct_pack(
+                   word := word,
+                   freq := freq,
+                   syms := list_append(string_split(word, ''), '</w>'))
+               ORDER BY word) AS st
+        FROM words),
+    it AS (
+        SELECT 0 AS t, CAST(NULL AS VARCHAR) AS l,
+               CAST(NULL AS VARCHAR) AS r,
+               CAST(NULL AS BIGINT) AS cnt, st
+        FROM init
+        UNION ALL
+        SELECT t, best.l, best.r, -best.negc,
+               list_transform(st, ws -> struct_pack(
+                   word := ws.word,
+                   freq := ws.freq, syms := {{merged}})) AS st
+        FROM (
+            SELECT t + 1 AS t, st,
+                   list_sort(list_transform(ap, p -> struct_pack(
+                       negc := -list_reduce(list_transform(ap,
+                                  q -> CASE WHEN q.l = p.l
+                                                AND q.r = p.r
+                                            THEN q.f
+                                            ELSE CAST(0 AS BIGINT)
+                                       END), (a, b) -> a + b),
+                       l := p.l, r := p.r)))[1] AS best
+            FROM (
+                SELECT t, st,
+                       flatten(list_transform(st, ws ->
+                           list_transform(range(len(ws.syms) - 1),
+                               i -> struct_pack(
+                                        l := ws.syms[i + 1],
+                                        r := ws.syms[i + 2],
+                                        f := ws.freq)))) AS ap
+                FROM it WHERE t < {_BPE_NUM_MERGES})))
+""".replace("{tok}", _TOKENIZE_SQL).replace("{merged}", _BPE_MERGED_SQL)
+
+
+@query(
+    "q_bpe_merges",
+    oracle=_BPE_IT_SQL
+    + """
+    SELECT CAST(t AS BIGINT) AS merge_rank, l AS left, r AS right,
+           cnt AS pair_count
+    FROM it WHERE t >= 1
+    """,
+)
 def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer training (top-20 merges) — the missing first step
     of the tokenize/chunk/pack chain.  The corpus contributes exactly
@@ -145,7 +248,22 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/corpus.py bpe_train; at 100 TB the vocabulary is still
     ~1e5 rows).  Deterministic: highest pair count, ties
     lexicographic; tests pin the merges against an independent
-    reference BPE on a fixture corpus."""
+    reference BPE on a fixture corpus.
+
+    GRADUATED (round 9, was "rows-only: iterative greedy loop, not
+    SQL"): the iterative training loop IS SQL after all — the DuckDB
+    oracle carries the entire word->symbols state as one row (a list
+    of (freq, syms) structs, vocabulary-bounded exactly like the
+    driver loop) through a {_BPE_NUM_MERGES}-step recursive CTE.
+    Each step replays the greedy argmax (occurrence-wise pair counts
+    summed by lambda, struct-sorted by (-count, left, right) so the
+    tie rule is byte-identical) and the leftmost-nonoverlapping merge
+    pass (run-parity index arithmetic — see _bpe_taken_sql).  A hash
+    match proves the trained merge table end to end against an
+    independent engine.  The oracle omits bpe_train's 50k vocab_cap
+    (the gate corpora have ~31 distinct words); at a real-corpus
+    vocabulary the cap would need the same top-N clause in the words
+    CTE."""
     from clv_data_pipeline_spark.operators.corpus import bpe_train
 
     docs = load_table(spark, sf_dir, "documents")
@@ -156,7 +274,30 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_bpe_tokenize")  # rows-only: learned-merge segmentation
+@query(
+    "q_bpe_tokenize",
+    oracle=_BPE_IT_SQL
+    + f"""
+    , fin AS (SELECT unnest(st) AS ws FROM it
+              WHERE t = {_BPE_NUM_MERGES}),
+    wtok AS (SELECT ws.word AS word,
+                    CAST(len(ws.syms) AS BIGINT) AS n_tok FROM fin),
+    docw AS (
+        SELECT doc_id, w
+        FROM (SELECT doc_id, unnest({_TOKENIZE_SQL}) AS w
+              FROM documents)
+        WHERE w <> ''),
+    agg AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+               CAST(SUM(n_tok) AS BIGINT) AS n_bpe_tokens
+        FROM docw JOIN wtok ON docw.w = wtok.word
+        GROUP BY doc_id)
+    SELECT d.doc_id,
+           COALESCE(a.n_words, 0) AS n_words,
+           COALESCE(a.n_bpe_tokens, 0) AS n_bpe_tokens
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    """,
+)
 def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train-then-apply BPE: learn 20 merges from the corpus
     (q_bpe_merges' path), broadcast them, and tokenize every document
@@ -164,7 +305,18 @@ def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     counting with a real learned tokenizer, at scan speed with zero
     corpus shuffles (operators/corpus.py bpe_segment_counts).
     n_bpe_tokens <= characters and >= n_words by construction; the
-    ratio is the compression the tokenizer achieves."""
+    ratio is the compression the tokenizer achieves.
+
+    GRADUATED (round 9, was "rows-only: learned-merge segmentation"):
+    the oracle reuses q_bpe_merges' recursive training CTE and reads
+    per-word piece counts straight off the FINAL training state —
+    valid because greedy-by-rank application reproduces the training
+    segmentation for every in-vocabulary word (each learned pair's
+    elements were created by strictly earlier merges, so the apply
+    scan can never unlock an earlier-rank merge training missed), and
+    train/apply share one corpus here so every word is in-vocabulary.
+    Zero-word documents ride the LEFT JOIN with 0/0 counts, matching
+    the Arrow pass's empty-split rows."""
     from clv_data_pipeline_spark.operators.corpus import (
         bpe_segment_counts,
         bpe_train,
@@ -4014,14 +4166,6 @@ def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("mean_quality"),
     )
 
-
-
-#: DuckDB twin of the Spark tokenizer (normalize_text + split on space)
-#: — local copy for the corpus-statistics queries below.
-_TOKENIZE_SQL = (
-    "string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),"
-    " ' ')"
-)
 
 
 @query(

@@ -372,6 +372,11 @@ _GRADUATED_STALE: tuple[str, ...] = (
     # driver row rows-only@r6) and q_sample (md5-order portable
     # sampling; last driver row rows-only@r1)
     "q_clv_compare", "q_sample",
+    # round-9 graduations, batch 2: the BPE training loop replays in
+    # a recursive CTE carrying the whole vocab state as one row, and
+    # tokenize reads piece counts off the final training state —
+    # both had rows-only driver rows before this oracle existed
+    "q_bpe_merges", "q_bpe_tokenize",
 )
 
 _VERIFIED = (
