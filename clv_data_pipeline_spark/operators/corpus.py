@@ -262,7 +262,7 @@ def unigram_train(
     max_piece_len: int = 5,
     word_cap: int = 20_000,
     text_col: str = "text",
-) -> dict[str, float]:
+) -> dict[str, int]:
     """Train a unigram-LM tokenizer vocabulary — the SentencePiece
     family (Kudo 2018), the other production tokenizer beside BPE.
     Simplified but faithful shape: substring candidates are counted
@@ -326,17 +326,28 @@ def unigram_train(
     chars = counts.filter(F.col("l") == 1)
     rows = top.unionByName(chars).select("piece", "count").collect()
     total = sum(r["count"] for r in rows)
-    return {r["piece"]: math.log(r["count"] / total) for r in rows}
+    # log-probs quantize to exact NANO-NAT INTEGERS (half away from
+    # zero, matching ROUND(ln(c/total) * 1e9, 0) in SQL): Viterbi then
+    # sums and compares exact integers, so segmentation is
+    # deterministic AND engine-portable — the quantization that let
+    # q_unigram_tokenize graduate to oracle-checked (round 9)
+    out: dict[str, int] = {}
+    for r in rows:
+        v = math.log(r["count"] / total)
+        out[r["piece"]] = int(math.copysign(math.floor(abs(v) * 1e9 + 0.5), v))
+    return out
 
 
 #: log-prob charged to a character absent from the vocabulary (cannot
 #: happen after unigram_train's single-char coverage, but keeps the
 #: segmenter total on unseen alphabets).
-_UNK_LOGP = -20.0
+#: nano-nat penalty for a character absent from the vocabulary —
+#: same 1e9 scale as unigram_train's quantized log-probs
+_UNK_LOGP = -20 * 10**9
 
 
 def viterbi_segment(
-    word: str, logp: dict[str, float], max_piece_len: int = 5
+    word: str, logp: dict[str, int], max_piece_len: int = 5
 ) -> list[str]:
     """Maximum-likelihood segmentation of one word under piece
     log-probs — the unigram-LM decoder.  O(|word| x max_piece_len)
@@ -368,7 +379,7 @@ def viterbi_segment(
 
 def unigram_tokenize_counts(
     documents: DataFrame,
-    logp: dict[str, float],
+    logp: dict[str, int],
     max_piece_len: int = 5,
     text_col: str = "text",
     id_col: str = "doc_id",

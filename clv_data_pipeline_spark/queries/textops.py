@@ -181,16 +181,20 @@ _BPE_MERGED_SQL = (
 
 _BPE_NUM_MERGES = 20
 
-#: shared recursive-CTE prefix replaying the full BPE training loop:
-#: the entire word->symbols state travels as ONE row (a list of
-#: (word, freq, syms) structs, vocabulary-bounded exactly like the
-#: driver loop); both the merge-table and the tokenize oracles append
-#: their own final SELECT.
-_BPE_IT_SQL = f"""
+def _bpe_it_sql(num_merges: int) -> str:
+    """Recursive-CTE prefix replaying the full BPE training loop for
+    ``num_merges`` steps: the entire word->symbols state travels as
+    ONE row (a list of (word, freq, syms) structs, vocabulary-bounded
+    exactly like the driver loop); callers append their own final
+    SELECT (merge table, final-state piece counts, ...)."""
+    return _BPE_IT_TEMPLATE.replace("{n}", str(num_merges))
+
+
+_BPE_IT_TEMPLATE = """
     WITH RECURSIVE
     words AS (
         SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS freq
-        FROM (SELECT unnest({{tok}}) AS w FROM documents)
+        FROM (SELECT unnest({tok}) AS w FROM documents)
         WHERE w <> '' GROUP BY w),
     init AS (
         SELECT list(struct_pack(
@@ -208,7 +212,7 @@ _BPE_IT_SQL = f"""
         SELECT t, best.l, best.r, -best.negc,
                list_transform(st, ws -> struct_pack(
                    word := ws.word,
-                   freq := ws.freq, syms := {{merged}})) AS st
+                   freq := ws.freq, syms := {merged})) AS st
         FROM (
             SELECT t + 1 AS t, st,
                    list_sort(list_transform(ap, p -> struct_pack(
@@ -227,8 +231,107 @@ _BPE_IT_SQL = f"""
                                         l := ws.syms[i + 1],
                                         r := ws.syms[i + 2],
                                         f := ws.freq)))) AS ap
-                FROM it WHERE t < {_BPE_NUM_MERGES})))
+                FROM it WHERE t < {n})))
 """.replace("{tok}", _TOKENIZE_SQL).replace("{merged}", _BPE_MERGED_SQL)
+
+_BPE_IT_SQL = _bpe_it_sql(_BPE_NUM_MERGES)
+
+
+#: unigram tokenizer: vocabulary CTEs shared by the tokenize and
+#: fertility oracles — substring candidates over the word-frequency
+#: dict, top-256 multi-char pieces + single-char coverage, log-probs
+#: quantized to exact nano-nat BIGINTs (operators/corpus.unigram_train
+#: applies the identical half-away-from-zero quantization)
+_UNI_VOCAB_SQL = f"""
+    uwords AS (
+        SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS freq
+        FROM (SELECT unnest({_TOKENIZE_SQL}) AS w FROM documents)
+        WHERE w <> '' GROUP BY w),
+    usubs AS (
+        SELECT substring(word, CAST(i AS INT), CAST(ul AS INT)) AS piece,
+               freq, ul
+        FROM uwords,
+             LATERAL (SELECT unnest(range(1, LEAST(length(word), 5) + 1))
+                          AS ul),
+             LATERAL (SELECT unnest(range(1, length(word) - ul + 2))
+                          AS i)),
+    ucounts AS (SELECT piece, ul, CAST(SUM(freq) AS BIGINT) AS cnt
+                FROM usubs GROUP BY piece, ul),
+    uvocab AS (
+        SELECT piece, cnt FROM (
+            SELECT piece, cnt FROM ucounts WHERE ul > 1
+            ORDER BY cnt DESC, piece LIMIT 256)
+        UNION ALL
+        SELECT piece, cnt FROM ucounts WHERE ul = 1),
+    utot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM uvocab),
+    uvlist AS (
+        SELECT list(struct_pack(
+                   p := piece,
+                   lp := CAST(ROUND(ln(CAST(cnt AS DOUBLE) / total)
+                                    * 1000000000.0, 0) AS BIGINT)))
+                   AS vc
+        FROM uvocab CROSS JOIN utot)
+"""
+
+
+def _uni_best_sql(jx: str) -> str:
+    """SQL for the winning Viterbi step at 1-based position ``jx`` of
+    ``ws.word``: among piece lengths l = 1..min(5, jx) whose suffix
+    piece is in the vocabulary, maximize (prefix score + piece score),
+    ties to the LARGEST l — exactly viterbi_segment's `cand >= dp[j]`
+    ascending-l scan.  Scores are exact nano-nat BIGINTs so the
+    comparison is integer arithmetic on both engines.  Returns a
+    struct (s := -score, nl := -l, k := piece count)."""
+    look = (
+        f"list_filter(vc, v -> v.p = substring(ws.word, "
+        f"CAST(({jx}) - l + 1 AS INT), CAST(l AS INT)))"
+    )
+    return (
+        "list_sort(list_transform("
+        f"list_filter(range(1, LEAST(5, {jx}) + 1),"
+        f" l -> len({look}) > 0),"
+        " l -> struct_pack("
+        f"s := -(ws.dp[CAST(({jx}) - l AS INT) + 1] + {look}[1].lp),"
+        " nl := -l,"
+        f" k := ws.kp[CAST(({jx}) - l AS INT) + 1] + 1)))[1]"
+    )
+
+
+#: recursive Viterbi DP over the distinct-word dictionary: the whole
+#: dictionary state (per-word dp score list + piece-count list)
+#: travels as one row; step j appends position j's best score/count.
+#: Backtracking is unnecessary — the piece COUNT rides the DP.
+_UNI_IT_SQL = f"""
+    uinit AS (
+        SELECT 0 AS j,
+               (SELECT MAX(length(word)) FROM uwords) AS maxn,
+               vc,
+               (SELECT list(struct_pack(word := word,
+                            dp := [CAST(0 AS BIGINT)],
+                            kp := [CAST(0 AS BIGINT)]) ORDER BY word)
+                FROM uwords) AS st
+        FROM uvlist),
+    uit AS (
+        SELECT j, maxn, vc, st FROM uinit
+        UNION ALL
+        SELECT j + 1, maxn, vc,
+               list_transform(st, ws -> CASE
+                   WHEN j + 1 > length(ws.word) THEN ws
+                   ELSE struct_pack(
+                       word := ws.word,
+                       dp := list_append(ws.dp,
+                                 -({_uni_best_sql("j + 1")}).s),
+                       kp := list_append(ws.kp,
+                                 ({_uni_best_sql("j + 1")}).k))
+                   END) AS st
+        FROM uit WHERE j < maxn),
+    ufin AS (SELECT unnest(st) AS ws FROM uit
+             WHERE j = (SELECT MAX(j) FROM uit)),
+    uwtok AS (SELECT ws.word AS word,
+                     CAST(ws.kp[length(ws.word) + 1] AS BIGINT)
+                         AS n_pieces
+              FROM ufin)
+"""
 
 
 @query(
@@ -3293,7 +3396,29 @@ def q_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("doc_id").cast("long").alias("doc_id"), "stage", "pos")
 
 
-@query("q_unigram_tokenize")  # rows-only: Viterbi DP is not SQL
+@query(
+    "q_unigram_tokenize",
+    oracle="WITH RECURSIVE\n"
+    + _UNI_VOCAB_SQL
+    + ",\n"
+    + _UNI_IT_SQL
+    + f"""
+    , docw AS (
+        SELECT doc_id, w
+        FROM (SELECT doc_id, unnest({_TOKENIZE_SQL}) AS w
+              FROM documents)
+        WHERE w <> ''),
+    agg AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+               CAST(SUM(n_pieces) AS BIGINT) AS n_pieces
+        FROM docw JOIN uwtok ON docw.w = uwtok.word
+        GROUP BY doc_id)
+    SELECT d.doc_id,
+           COALESCE(a.n_words, 0) AS n_words,
+           COALESCE(a.n_pieces, 0) AS n_pieces
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    """,
+)
 def q_unigram_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram-LM (SentencePiece-family) tokenization end-to-end:
     train the piece vocabulary on the corpus (one word-frequency
@@ -3303,7 +3428,19 @@ def q_unigram_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     production tokenizer pair next to q_bpe_merges/q_bpe_tokenize.
     Per-doc output (n_words, n_pieces); maximum-likelihood parity of
     the decoder against exhaustive enumeration is pinned in
-    tests/test_corpus.py."""
+    tests/test_corpus.py.
+
+    GRADUATED (round 9, was "rows-only: Viterbi DP is not SQL"): piece
+    log-probs now quantize to exact nano-nat INTEGERS (unigram_train,
+    half away from zero = ROUND(ln(c/total)*1e9, 0)), which makes the
+    Viterbi DP pure integer arithmetic — the DuckDB oracle replays it
+    in a recursive CTE that carries the whole distinct-word
+    dictionary's (dp, piece-count) state as one list-of-structs row,
+    stepping one character position per iteration with the tie rule
+    (max score, then longest piece) struct-sorted identically.  No
+    backtracking: the piece COUNT rides the DP.  A hash match proves
+    vocabulary selection, quantization, and max-likelihood
+    segmentation end to end against an independent engine."""
     from clv_data_pipeline_spark.operators.corpus import (
         unigram_tokenize_counts,
         unigram_train,
@@ -3537,7 +3674,47 @@ def q_min_pieces_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_tokenizer_fertility")  # rows-only: both tokenizers are kernels
+@query(
+    "q_tokenizer_fertility",
+    oracle=_bpe_it_sql(30)
+    + ",\n"
+    + _UNI_VOCAB_SQL
+    + ",\n"
+    + _UNI_IT_SQL
+    + f"""
+    , bfin AS (SELECT unnest(st) AS ws FROM it WHERE t = 30),
+    bwtok AS (SELECT ws.word AS word,
+                     CAST(len(ws.syms) AS BIGINT) AS n_tok FROM bfin),
+    docw AS (
+        SELECT doc_id, w
+        FROM (SELECT doc_id, unnest({_TOKENIZE_SQL}) AS w
+              FROM documents)
+        WHERE w <> ''),
+    perdoc AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+               CAST(SUM(b.n_tok) AS BIGINT) AS n_bpe_tokens,
+               CAST(SUM(u.n_pieces) AS BIGINT) AS n_uni_pieces
+        FROM docw
+        JOIN bwtok b ON docw.w = b.word
+        JOIN uwtok u ON docw.w = u.word
+        GROUP BY doc_id),
+    bylang AS (
+        SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(COALESCE(p.n_words, 0)) AS BIGINT) AS n_words,
+               CAST(SUM(COALESCE(p.n_bpe_tokens, 0)) AS BIGINT)
+                   AS n_bpe_tokens,
+               CAST(SUM(COALESCE(p.n_uni_pieces, 0)) AS BIGINT)
+                   AS n_uni_pieces
+        FROM documents d LEFT JOIN perdoc p USING (doc_id)
+        GROUP BY d.lang)
+    SELECT lang, n_docs, n_words, n_bpe_tokens, n_uni_pieces,
+           ROUND(CAST(n_bpe_tokens AS DOUBLE) / n_words, 6)
+               AS bpe_fertility,
+           ROUND(CAST(n_uni_pieces AS DOUBLE) / n_words, 6)
+               AS uni_fertility
+    FROM bylang
+    """,
+)
 def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer fertility (pieces per word) per language for BOTH
     in-engine tokenizers — the eval a tokenizer choice is actually
@@ -3549,7 +3726,15 @@ def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     One pass per tokenizer (each a broadcast-table Arrow kernel with
     zero shuffles), one doc-level join, one lang-grain aggregate;
-    integer piece counts make the ratios engine-stable."""
+    integer piece counts make the ratios engine-stable.
+
+    GRADUATED (round 9, was "rows-only: both tokenizers are
+    kernels"): with the BPE training CTE (30 merges here) and the
+    nano-nat Viterbi DP CTE both engine-replayable, the whole
+    side-by-side eval is too — the oracle reads both tokenizers' per-
+    word counts off their final training states and re-aggregates at
+    language grain.  The one float op (fertility ratio) is a single
+    division of exact integers rounded at 6 on both sides."""
     from clv_data_pipeline_spark.operators.corpus import (
         bpe_segment_counts,
         bpe_train,

@@ -377,6 +377,11 @@ _GRADUATED_STALE: tuple[str, ...] = (
     # tokenize reads piece counts off the final training state —
     # both had rows-only driver rows before this oracle existed
     "q_bpe_merges", "q_bpe_tokenize",
+    # round-9 graduations, batch 3: nano-nat integer log-probs make
+    # the unigram Viterbi DP engine-portable (recursive CTE stepping
+    # one char position per iteration); fertility composes both
+    # tokenizer CTEs
+    "q_unigram_tokenize", "q_tokenizer_fertility",
 )
 
 _VERIFIED = (
