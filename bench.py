@@ -247,6 +247,7 @@ HEADLINE = [
     "q_dp_histogram",
     "q_pca_portable",
     "q_ann_pq_portable",
+    "q_semdedup_portable",
 ]
 
 #: Frozen comparable subsets — apples-to-apples totals across rounds.

@@ -1443,6 +1443,292 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semdedup(emb, n_cells=16, threshold=0.92)
 
 
+def greedy_admission(
+    pairs: list[tuple[int, int]],
+) -> dict[int, int]:
+    """Greedy ascending-id admission over a (lo, hi) near-dup pair
+    list (lo < hi always): scanning ids ascending, a vertex is DROPPED
+    iff some already-KEPT lower neighbor exists; its absorber is the
+    lowest such keeper.  The cascade matters: a dropped vertex must
+    NOT disqualify later ones — a naive EXISTS anti-join gets that
+    wrong.  Exact mirror of the q_semdedup_portable oracle's recursive
+    scan; returns {dropped_id: absorber_id}."""
+    by_hi: dict[int, list[int]] = {}
+    for lo, hi in pairs:
+        by_hi.setdefault(hi, []).append(lo)
+    dropped: dict[int, int] = {}
+    for hi in sorted(by_hi):
+        keepers = sorted(lo for lo in by_hi[hi] if lo not in dropped)
+        if keepers:
+            dropped[hi] = keepers[0]
+    return dropped
+
+
+#: twin admission threshold — NOT q_semdedup's 0.92: the synthetic
+#: embeddings are near-isotropic with a max pairwise cosine of ~0.51
+#: (no true near-dups exist), so 0.92 never fires at any gate SF and
+#: would make the twin vacuous.  0.30 sits in the distribution tail
+#: where the decision path genuinely exercises: at sf0.01 it yields
+#: 166 contested pairs, 104 drops, and 24 cascade-saves (vectors kept
+#: BECAUSE their only absorber was itself dropped — the semantics the
+#: recursive greedy exists to verify).
+_SD_THRESHOLD = 0.30
+_SD_CELLS = 16
+_SD_PAIR_CAP = 200_000  # driver greedy-frame guard (bounded like cc_bounded_driver)
+
+
+@query(
+    "q_semdedup_portable",
+    oracle=f"""
+    WITH RECURSIVE
+    dims AS (
+        SELECT vec_id,
+               CAST(unnest(range(len(embedding))) AS BIGINT) AS i,
+               CAST(unnest(embedding) AS DOUBLE) AS x
+        FROM embeddings),
+    w AS (
+        SELECT c, d AS i,
+               (('0x' || substr(md5(c || '|' || d || '|sd'),
+                                1, 8))::BIGINT + 0.5)
+                   / 4294967296.0 * 2 - 1 AS w
+        FROM (SELECT unnest(range({_SD_CELLS})) AS c),
+             (SELECT unnest(range(64)) AS d)),
+    cdots AS (
+        SELECT dm.vec_id, w.c,
+               CAST(SUM(CAST(ROUND(dm.x * w.w * 1000000000.0, 0)
+                             AS BIGINT)) AS BIGINT) AS dot
+        FROM dims dm JOIN w ON w.i = dm.i
+        GROUP BY dm.vec_id, w.c),
+    assign AS (
+        SELECT vec_id, c AS cell
+        FROM (SELECT vec_id, c,
+                     ROW_NUMBER() OVER (PARTITION BY vec_id
+                                        ORDER BY dot DESC, c) AS rn
+              FROM cdots)
+        WHERE rn = 1),
+    pairdims AS (
+        SELECT a.vec_id AS lo, b.vec_id AS hi,
+               da.x AS xa, db.x AS xb
+        FROM assign a JOIN assign b
+          ON a.cell = b.cell AND a.vec_id < b.vec_id
+        JOIN dims da ON da.vec_id = a.vec_id
+        JOIN dims db ON db.vec_id = b.vec_id AND db.i = da.i),
+    qp AS (
+        SELECT lo, hi
+        FROM (
+            SELECT lo, hi,
+                   ROUND(
+                       CAST(SUM(CAST(ROUND(xa * xb * 1000000000.0, 0)
+                                     AS BIGINT)) AS DOUBLE)
+                       / sqrt(CAST(SUM(CAST(ROUND(xa * xa
+                                                  * 1000000000.0, 0)
+                                            AS BIGINT)) AS DOUBLE)
+                              * CAST(SUM(CAST(ROUND(xb * xb
+                                                    * 1000000000.0, 0)
+                                              AS BIGINT)) AS DOUBLE)),
+                       6) AS sim
+            FROM pairdims GROUP BY lo, hi)
+        WHERE sim >= {_SD_THRESHOLD}),
+    ginit AS (
+        SELECT 0 AS i,
+               COALESCE((SELECT list(hi ORDER BY hi)
+                         FROM (SELECT DISTINCT hi FROM qp)),
+                        CAST([] AS BIGINT[])) AS cs,
+               COALESCE((SELECT list(struct_pack(lo := lo, hi := hi))
+                         FROM qp),
+                        CAST([] AS STRUCT(lo BIGINT, hi BIGINT)[]))
+                   AS ps,
+               CAST([] AS BIGINT[]) AS dropped,
+               CAST([] AS STRUCT(v BIGINT, dup_of BIGINT)[]) AS dl),
+    git AS (
+        SELECT i, cs, ps, dropped, dl FROM ginit
+        UNION ALL
+        SELECT i + 1, cs, ps,
+               CASE WHEN len(list_filter(ps,
+                        p -> p.hi = cs[i + 1]
+                             AND NOT list_contains(dropped, p.lo)))
+                        > 0
+                    THEN list_append(dropped, cs[i + 1])
+                    ELSE dropped END,
+               CASE WHEN len(list_filter(ps,
+                        p -> p.hi = cs[i + 1]
+                             AND NOT list_contains(dropped, p.lo)))
+                        > 0
+                    THEN list_append(dl, struct_pack(
+                        v := cs[i + 1],
+                        dup_of := list_sort(list_transform(
+                            list_filter(ps,
+                                p -> p.hi = cs[i + 1]
+                                     AND NOT list_contains(dropped,
+                                                           p.lo)),
+                            p -> p.lo))[1]))
+                    ELSE dl END
+        FROM git WHERE i < len(cs)),
+    gfin AS (SELECT dl FROM git WHERE i = (SELECT MAX(i) FROM git)),
+    dmap AS (SELECT d.v AS vec_id, d.dup_of
+             FROM (SELECT unnest(dl) AS d FROM gfin)),
+    out AS (
+        SELECT a.vec_id, a.cell,
+               (m.vec_id IS NULL) AS kept,
+               m.dup_of
+        FROM assign a LEFT JOIN dmap m USING (vec_id))
+    SELECT vec_id, CAST(cell AS BIGINT) AS cell, kept,
+           CAST(dup_of AS BIGINT) AS dup_of
+    FROM out
+    """,
+)
+def q_semdedup_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over an md5-PORTABLE quantizer — the portable-twin
+    discipline extended from retrieval (LSH/IVF/PQ twins) to the
+    DEDUP DECISION path: cells come from the q_ann_ivf_portable
+    dot-product quantizer (salt '|sd'), within-cell pairs score the
+    exact nano-unit integer cosine rounded at 6, and the greedy
+    ascending-id admission (a vector is dropped iff some already-KEPT
+    lower-id cellmate scores >= {_SD_THRESHOLD}; its absorber is the
+    lowest such keeper) replays in DuckDB as a recursive scan over
+    the contested-id list.  K-means training is exactly why the
+    production q_semdedup stays rows-only; the twin hash-verifies
+    assignment, pair scoring, thresholding, and the admission
+    CASCADE (a dropped vector must NOT disqualify later ones — the
+    semantics a naive EXISTS anti-join gets wrong) end to end.
+
+    Scale shape: assignment is a skinny explode against a broadcast
+    1024-row direction frame; pairs are within-cell only (sum|cell|^2
+    ~ n^2/k, the SemDeDup bound); the greedy frame is the CONTESTED
+    subgraph only (pairs >= threshold — near-dup-density-bounded,
+    {_SD_PAIR_CAP} cap with a loud error, cc_bounded_driver's
+    contract), and the verdict map broadcasts back.  Fully
+    deterministic: no k-means seed, no float accumulation ambiguity.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    dims = emb.select("vec_id", F.posexplode("e").alias("i", "x"))
+    w = spark.range(_SD_CELLS * 64).select(
+        (F.col("id") / 64).cast("long").alias("c"),
+        (F.col("id") % 64).alias("i"),
+        (
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                (F.col("id") / 64)
+                                .cast("long")
+                                .cast("string"),
+                                F.lit("|"),
+                                (F.col("id") % 64).cast("string"),
+                                F.lit("|sd"),
+                            )
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                + F.lit(0.5)
+            )
+            / F.lit(4294967296.0)
+            * 2
+            - 1
+        ).alias("w"),
+    )
+    cdots = (
+        dims.join(F.broadcast(w), "i")
+        .groupBy("vec_id", "c")
+        .agg(
+            F.sum(
+                F.round(F.col("x") * F.col("w") * 1e9, 0).cast("long")
+            )
+            .cast("long")
+            .alias("dot")
+        )
+    )
+    assign = (
+        cdots.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(F.desc("dot"), "c")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("c").alias("cell"))
+    )
+    assign.persist()
+
+    def _lsum(arr):
+        return F.aggregate(
+            arr, F.lit(0).cast("long"), lambda acc, x: acc + x
+        ).cast("double")
+
+    prod = F.zip_with(
+        "ea", "eb", lambda a, b: F.round(a * b * 1e9, 0).cast("long")
+    )
+    sq = lambda col: F.transform(  # noqa: E731
+        col, lambda a: F.round(a * a * 1e9, 0).cast("long")
+    )
+    norms = emb.select("vec_id", _lsum(sq("e")).alias("nrm"))
+    va = (
+        assign.join(emb, "vec_id")
+        .join(norms, "vec_id")
+        .select(
+            F.col("vec_id").alias("lo"),
+            "cell",
+            F.col("e").alias("ea"),
+            F.col("nrm").alias("na"),
+        )
+    )
+    vb = (
+        assign.join(emb, "vec_id")
+        .join(norms, "vec_id")
+        .select(
+            F.col("vec_id").alias("hi"),
+            F.col("cell").alias("cellb"),
+            F.col("e").alias("eb"),
+            F.col("nrm").alias("nb"),
+        )
+    )
+    qp = (
+        va.join(
+            vb,
+            (F.col("cell") == F.col("cellb"))
+            & (F.col("lo") < F.col("hi")),
+        )
+        .select(
+            "lo",
+            "hi",
+            F.round(
+                _lsum(prod) / F.sqrt(F.col("na") * F.col("nb")), 6
+            ).alias("sim"),
+        )
+        .filter(F.col("sim") >= _SD_THRESHOLD)
+        .select("lo", "hi")
+    )
+    pair_rows = qp.limit(_SD_PAIR_CAP + 1).collect()
+    if len(pair_rows) > _SD_PAIR_CAP:
+        raise ValueError(
+            f"q_semdedup_portable: contested near-dup graph exceeds "
+            f"{_SD_PAIR_CAP} pairs — raise the threshold or n_cells, "
+            f"or use the distributed production q_semdedup"
+        )
+    dropped = greedy_admission(
+        [(int(r["lo"]), int(r["hi"])) for r in pair_rows]
+    )
+    dmap = spark.createDataFrame(
+        [(v, d) for v, d in dropped.items()] or [],
+        "vec_id long, dup_of long",
+    )
+    out = assign.join(dmap, "vec_id", "left").select(
+        "vec_id",
+        F.col("cell").cast("long").alias("cell"),
+        F.col("dup_of").isNull().alias("kept"),
+        F.col("dup_of").cast("long").alias("dup_of"),
+    )
+    assign.unpersist()
+    return out
+
+
 @query("q_semdedup_eval")  # rows-only: audits the engine-specific kernel
 def q_semdedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Measured recall/precision of SemDeDup's cell approximation —

@@ -752,3 +752,45 @@ def test_substring_incremental_equals_full_recompute(spark):
         .collect()
     }
     assert inc == full and len(inc) == 6
+
+
+def test_greedy_admission_cascade_semantics():
+    """The q_semdedup_portable admission rule on a hand-built chain
+    a < b < c with (a,b) and (b,c) contested but NOT (a,c): a kept,
+    b dropped (absorbed by a), and c KEPT — b, being dropped, must not
+    disqualify c.  A naive EXISTS anti-join would wrongly drop c.
+    Plus: absorber is the LOWEST kept neighbor, and a diamond where
+    both absorbers are dropped saves the sink."""
+    from clv_data_pipeline_spark.queries.similarity import (
+        greedy_admission,
+    )
+
+    # chain: 1-2, 2-3  ->  2 dropped by 1; 3 saved (its only lower
+    # neighbor 2 is dropped)
+    assert greedy_admission([(1, 2), (2, 3)]) == {2: 1}
+    # lowest-keeper absorption: 3 contested by both 1 and 2 (kept)
+    assert greedy_admission([(1, 3), (2, 3)]) == {3: 1}
+    # diamond: 2 and 3 both dropped by 1; 4's only neighbors are
+    # 2 and 3 -> cascade-saved
+    assert greedy_admission([(1, 2), (1, 3), (2, 4), (3, 4)]) == {
+        2: 1,
+        3: 1,
+    }
+    assert greedy_admission([]) == {}
+
+
+def test_semdedup_portable_fires_and_cascade_saves_on_gate_data(spark):
+    """Non-vacuity floor for the portable twin at sf0.01: the 0.30
+    tail threshold must actually drop vectors (measured 104 of 500)
+    AND produce at least one cascade-save (measured 24) — the two
+    facts that make the recursive-greedy oracle verify something."""
+    from clv_data_pipeline_spark import registry
+
+    rows = registry.all_queries()["q_semdedup_portable"](
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    dropped = {r["vec_id"]: r["dup_of"] for r in rows if not r["kept"]}
+    kept = {r["vec_id"] for r in rows if r["kept"]}
+    assert 50 <= len(dropped) <= 250, len(dropped)
+    # every absorber must itself be kept (the cascade invariant)
+    assert all(d in kept for d in dropped.values())
