@@ -1047,10 +1047,17 @@ def q_communities_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("q_dedup_embedding")  # rows-only
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup removal at 0.95 — greedy min-id winner
-    over LSH candidates."""
+    """Embedding-cosine near-dup removal — greedy min-id winner over
+    LSH candidates.  Threshold 0.38 matches
+    q_dedup_embedding_incremental's, and for the same round-9
+    de-vacuation reason the SemDeDup pair got: the synthetic
+    embeddings' max pairwise cosine is ~0.51, so the original 0.95
+    dropped NOTHING at any gate SF and the query returned the corpus
+    unchanged.  At 0.38 the drop path genuinely fires (429 of 500
+    admitted at sf0.01); a real deployment tunes this to its
+    embedding space."""
     e = load_table(spark, sf_dir, "embeddings")
-    return dedup_embedding(e, threshold=0.95).select("vec_id", "label")
+    return dedup_embedding(e, threshold=0.38).select("vec_id", "label")
 
 
 @query(
@@ -1435,12 +1442,20 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     one Arrow batch each), greedy-by-id admission keeps the decision
     deterministic, and only (id, cell, verdict) rows leave the kernel.
     The within-cell exactness is pinned against a numpy brute-force
-    in tests/test_dedup_similarity.py; threshold 0.92 flags the
-    planted-style extremes of the synthetic embedding distribution."""
+    in tests/test_dedup_similarity.py.
+
+    Threshold de-vacuation (round 9): the synthetic embeddings' max
+    pairwise cosine is ~0.51, so the original 0.92 NEVER dropped a
+    vector at any gate SF — kept was constant-true, invisible to the
+    degeneracy audit because rows-only queries carry no oracle to
+    scan.  0.30 sits in the distribution tail where the admission
+    path genuinely fires (154 of 2000 dropped at sf0.01); a real
+    LLM-embedding deployment would use ~0.92-0.95 (the operator
+    default stays 0.95)."""
     from clv_data_pipeline_spark.operators.similarity import semdedup
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return semdedup(emb, n_cells=16, threshold=0.92)
+    return semdedup(emb, n_cells=16, threshold=_SD_THRESHOLD)
 
 
 def greedy_admission(
@@ -1737,13 +1752,22 @@ def q_semdedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     greedy (n_cells=1, every pair scored) on a deterministic 2000-id
     sample, reporting how many true near-dups the quantizer boundary
     loses.  An operator tunes n_cells with this number, not a hope;
-    the recall floor is pinned in tests/test_dedup_similarity.py."""
+    the recall floor is pinned in tests/test_dedup_similarity.py.
+
+    De-vacuated with q_semdedup (round 9): at the old 0.92 threshold
+    ZERO duplicates existed on gate data, so recall and precision
+    were constant 1.0 and the pinned floor was silently guarded out.
+    At the 0.30 tail threshold the eval finally measures the
+    quantizer boundary: recall 0.466, precision 0.903 at sf0.01 —
+    tail-strength pairs straddle cells far more often than true
+    near-dups would, which is exactly the cost signal this table
+    exists to report."""
     from clv_data_pipeline_spark.operators.similarity import semdedup
 
     emb = load_table(spark, sf_dir, "embeddings").filter(
         F.col("vec_id") < 2000
     )
-    thr = 0.92
+    thr = _SD_THRESHOLD
     cells = semdedup(emb, n_cells=16, threshold=thr)
     exact = semdedup(emb, n_cells=1, threshold=thr)
     c_dups = cells.filter(~F.col("kept")).select("vec_id")
