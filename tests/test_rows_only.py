@@ -15,6 +15,29 @@ def _rows_only_names() -> list[str]:
     return sorted(set(qs) - set(oracles))
 
 
+#: Reviewed constant columns in rows-only results (the rows-only
+#: analog of test_degeneracy.CONSTANT_OK — this tier escapes the
+#: oracle-side audit, which is exactly how the round-9 semdedup /
+#: dedup_embedding threshold vacuities hid).  Everything else that is
+#: single-valued across a multi-row result fails below.
+ROWS_ONLY_CONSTANT_OK: frozenset[tuple[str, str]] = frozenset(
+    {
+        # top-1 retrieval contract: rank == 1 on every row
+        ("q_ann_ivf", "rank"),
+        ("q_ann_ivf_pq", "rank"),
+        ("q_ann_lsh", "rank"),
+        ("q_ann_pq", "rank"),
+        ("q_ann_pq_incremental", "rank"),
+        # BG/NBD x Gamma-Gamma CLV is nonnegative by construction, so
+        # the reference's (misspelled, faithfully ported) quality
+        # flags only fire on data errors — constant-false mirrors the
+        # reference's own behavior on clean data
+        ("q_clv_scores", "negatif_clv_flag"),
+        ("q_clv_scores", "outliners_flag"),
+    }
+)
+
+
 @pytest.mark.parametrize("name", _rows_only_names())
 def test_rows_only_query_runs(spark, name):
     df = registry.all_queries()[name](spark, SF_SMOKE)
@@ -27,6 +50,21 @@ def test_rows_only_query_runs(spark, name):
     # near-dup removal must never return MORE rows than input
     if name in ("q_minhash_dedup", "q_dedup_embedding"):
         assert 0 < len(rows) <= 500
+    # constant-column vacuity scan (multi-row results only; <5 rows
+    # is too few to call anything degenerate)
+    if len(rows) >= 5:
+        cols = rows[0].asDict().keys()
+        bad = [
+            c
+            for c in cols
+            if len({str(r[c]) for r in rows}) == 1
+            and (name, c) not in ROWS_ONLY_CONSTANT_OK
+        ]
+        assert not bad, (
+            f"{name}: unexplained constant columns {bad} — fix the "
+            "query (planted signal / tail threshold) or whitelist "
+            "with a reviewed reason"
+        )
 
 
 def test_approx_percentiles_near_exact(spark):
