@@ -248,6 +248,7 @@ HEADLINE = [
     "q_pca_portable",
     "q_ann_pq_portable",
     "q_semdedup_portable",
+    "q_topic_anchors",
 ]
 
 #: Frozen comparable subsets — apples-to-apples totals across rounds.

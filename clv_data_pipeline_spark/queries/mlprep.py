@@ -4631,6 +4631,199 @@ def q_domain_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TA_K = 5            # number of anchor topics
+_TA_FP = 4096        # fixed-point row rescale
+_TA_QSH = 1 << 40    # quantized-cosine shift
+_TA_VOCAB_CAP = 20_000  # scale bound on the co-occurrence vocabulary
+
+#: quantized cosine^2 between two rescaled co-occurrence rows {r} and
+#: {a}: (dot^2 * 2^40) // (n_r * n_a) — exact HUGEINT arithmetic, so
+#: anchor selection and assignment order identically in both engines
+_TA_QC_SQL = (
+    "((list_reduce(list_transform(range(len({r}.vec)), "
+    "i -> {r}.vec[i + 1] * {a}.vec[i + 1]), (x, y) -> x + y) "
+    "* list_reduce(list_transform(range(len({r}.vec)), "
+    "i -> {r}.vec[i + 1] * {a}.vec[i + 1]), (x, y) -> x + y) "
+    f"* CAST({_TA_QSH} AS HUGEINT)) // ({{r}}.n * {{a}}.n))"
+)
+
+
+def _ta_qc(r: str, a: str) -> str:
+    return _TA_QC_SQL.replace("{r}", r).replace("{a}", a)
+
+
+_TA_AVEC = "list_filter(rs, r2 -> r2.w = {a})[1]"
+_TA_MAXQC = (
+    "list_max(list_transform(anchors, a -> "
+    + _ta_qc("r", _TA_AVEC.replace("{a}", "a"))
+    + "))"
+)
+_TA_ARGMIN = (
+    "list_sort(list_transform(list_filter(rs, "
+    "r -> NOT list_contains(anchors, r.w)), "
+    "r -> struct_pack(mq := " + _TA_MAXQC + ", w := r.w)))[1].w"
+)
+_TA_ARGMAX = (
+    "list_sort(list_transform(range(len(anchors)), k -> "
+    "struct_pack(nq := -"
+    + _ta_qc("r", _TA_AVEC.replace("{a}", "anchors[k + 1]"))
+    + ", k := k)))[1]"
+)
+
+
+@query(
+    "q_topic_anchors",
+    oracle=f"""
+    WITH RECURSIVE
+    wc AS (
+        SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS c
+        FROM (SELECT doc_id, unnest({_TOKENIZE_SQL}) AS w
+              FROM documents)
+        WHERE w <> '' GROUP BY doc_id, w),
+    vocab AS (SELECT DISTINCT w FROM wc),
+    qp AS (
+        SELECT a.w AS wi, b.w AS wj,
+               CAST(SUM(CASE WHEN a.w = b.w THEN a.c * (a.c - 1)
+                             ELSE a.c * b.c END) AS BIGINT) AS q
+        FROM wc a JOIN wc b USING (doc_id)
+        GROUP BY a.w, b.w),
+    dense AS (
+        SELECT vi.w AS wi, vj.w AS wj, COALESCE(qp.q, 0) AS q
+        FROM vocab vi CROSS JOIN vocab vj
+        LEFT JOIN qp ON qp.wi = vi.w AND qp.wj = vj.w),
+    rmax AS (SELECT wi, GREATEST(MAX(q), 1) AS m
+             FROM dense GROUP BY wi),
+    resc AS (SELECT d.wi, d.wj,
+                    CAST((d.q * {_TA_FP}) // r.m AS HUGEINT) AS e
+             FROM dense d JOIN rmax r USING (wi)),
+    rws AS (
+        SELECT wi AS w, list(e ORDER BY wj) AS vec,
+               CAST(SUM(e * e) AS HUGEINT) AS n
+        FROM resc GROUP BY wi),
+    rawn AS (SELECT wi AS w,
+                    CAST(SUM(CAST(q AS HUGEINT) * q) AS HUGEINT)
+                        AS rn
+             FROM dense GROUP BY wi),
+    state0 AS (
+        SELECT list(struct_pack(w := r.w, vec := r.vec, n := r.n)
+                    ORDER BY r.w) AS rs,
+               [(SELECT w FROM rawn
+                 ORDER BY rn DESC, w LIMIT 1)] AS anchors
+        FROM rws r),
+    it AS (
+        SELECT 1 AS t, rs, anchors FROM state0
+        UNION ALL
+        SELECT t + 1, rs, list_append(anchors, {_TA_ARGMIN})
+        FROM it WHERE t < {_TA_K}),
+    fin AS (SELECT rs, anchors FROM it WHERE t = {_TA_K}),
+    ex AS (SELECT unnest(rs) AS r, anchors, rs FROM fin)
+    SELECT r.w AS word,
+           CAST({_TA_ARGMAX}.k + 1 AS BIGINT) AS topic,
+           list_contains(anchors, r.w) AS is_anchor,
+           CAST(-{_TA_ARGMAX}.nq AS BIGINT) AS affinity
+    FROM ex
+    """,
+)
+def q_topic_anchors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unsupervised domain discovery by anchor-word co-occurrence
+    clustering — the missing upstream of the mixing shelf: DoReMi
+    reweighting (q_domain_reweight) and temperature mixing assume
+    domain labels EXIST, but a crawled corpus arrives unlabeled, and
+    the standard practice is to cluster it first.  The method is the
+    k-center skeleton of anchor-word topic recovery (Arora et al.
+    2013, arXiv:1212.4777): build the word-word co-occurrence matrix
+    Q (the corpus's only contribution — one pair shuffle with
+    map-side combine onto vocab^2 keys), pick K=5 anchors by farthest
+    -point traversal (first anchor = max raw row norm, then
+    iteratively the word MINIMIZING max cosine to chosen anchors),
+    and hard-assign every word to its max-cosine anchor.
+
+    Engine-portable by the q_pca_portable discipline: rows rescale to
+    4096-unit fixed point by truncated division, and every cosine
+    comparison is the exact integer quantity (dot^2 << 40) // (n_u
+    n_v) — no float ops anywhere, so DuckDB replays anchor selection
+    (a {_TA_K}-step recursive CTE carrying the anchor list) and
+    assignment bit for bit.  Ties: anchor selection and assignment
+    break to the lexicographically-smallest word / lowest anchor
+    ordinal.
+
+    Scale shape: wc is one (doc, word) aggregation; the pair join is
+    per-document vocab-bounded with partial aggregation onto at most
+    vocab^2 keys; the driver barrier is the dense Q matrix —
+    vocabulary-sized, NOT corpus-sized (cap {_TA_VOCAB_CAP} top words
+    like bpe_train's vocab_cap; the gate corpora have 31).  On this
+    synthetic corpus topics are frequency-profile clusters (documents
+    are single-language, so co-occurrence reflects per-language word
+    propensities); a real crawl yields semantic domains."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(normalize_text(F.col("text")), " ")).alias("w"),
+    ).filter(F.col("w") != "")
+    wc = toks.groupBy("doc_id", "w").agg(F.count("*").alias("c"))
+    top = (
+        wc.groupBy("w")
+        .agg(F.sum("c").alias("n"))
+        .orderBy(F.desc("n"), "w")
+        .limit(_TA_VOCAB_CAP)
+        .select("w")
+    )
+    wc = wc.join(F.broadcast(top), "w")
+    a = wc.select("doc_id", F.col("w").alias("wi"), F.col("c").alias("ci"))
+    b = wc.select("doc_id", F.col("w").alias("wj"), F.col("c").alias("cj"))
+    qp_rows = (
+        a.join(b, "doc_id")
+        .groupBy("wi", "wj")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("wi") == F.col("wj"),
+                    F.col("ci") * (F.col("ci") - 1),
+                ).otherwise(F.col("ci") * F.col("cj"))
+            ).alias("q")
+        )
+        .collect()
+    )
+    words = sorted({r["wi"] for r in qp_rows})
+    v = len(words)
+    widx = {w: i for i, w in enumerate(words)}
+    q_mat = [[0] * v for _ in range(v)]
+    for r in qp_rows:
+        q_mat[widx[r["wi"]]][widx[r["wj"]]] = int(r["q"])
+    # driver-side exact-integer mirror of the oracle (Python ints are
+    # arbitrary precision = DuckDB's HUGEINT path)
+    e_mat = []
+    for i in range(v):
+        m = max(max(q_mat[i]), 1)
+        e_mat.append([(x * _TA_FP) // m for x in q_mat[i]])
+    n_vec = [sum(x * x for x in e_mat[i]) for i in range(v)]
+    rawn = [sum(x * x for x in q_mat[i]) for i in range(v)]
+
+    def qc(u: int, av: int) -> int:
+        d = sum(e_mat[u][t] * e_mat[av][t] for t in range(v))
+        return (d * d * _TA_QSH) // max(n_vec[u] * n_vec[av], 1)
+
+    anchors = [sorted(range(v), key=lambda i: (-rawn[i], words[i]))[0]]
+    while len(anchors) < _TA_K:
+        cand = sorted(
+            (max(qc(w_, a_) for a_ in anchors), words[w_], w_)
+            for w_ in range(v)
+            if w_ not in anchors
+        )
+        anchors.append(cand[0][2])
+    out_rows = []
+    aset = set(anchors)
+    for w_ in range(v):
+        nq, k = sorted(
+            (-qc(w_, a_), k) for k, a_ in enumerate(anchors)
+        )[0]
+        out_rows.append((words[w_], k + 1, w_ in aset, -nq))
+    return spark.createDataFrame(
+        out_rows,
+        "word string, topic long, is_anchor boolean, affinity long",
+    )
+
+
 @query(
     "q_woe_iv",
     oracle="""
