@@ -249,6 +249,7 @@ HEADLINE = [
     "q_ann_pq_portable",
     "q_semdedup_portable",
     "q_topic_anchors",
+    "q_stream_semdedup",
 ]
 
 #: Frozen comparable subsets — apples-to-apples totals across rounds.

@@ -46,6 +46,143 @@ def cosine(a: Column, b: Column) -> Column:
 MAX_INDEX_ROWS_PER_SHARD = 100_000
 
 
+def portable_cell_assign(
+    emb_e: DataFrame, n_cells: int, salt: str, dim: int = 64
+) -> DataFrame:
+    """md5-PORTABLE dot-product coarse quantizer shared by the
+    portable-twin queries and the streaming admission sink: cell
+    directions derive from md5(cell|dim|salt), assignment is the
+    argmax nano-unit integer dot with (dot DESC, cell) ties — exactly
+    replayable in DuckDB SQL (see q_ann_ivf_portable /
+    q_semdedup_portable oracles).  Input (vec_id, e: array<double>);
+    output (vec_id, cell)."""
+    spark = emb_e.sparkSession
+    dims = emb_e.select("vec_id", F.posexplode("e").alias("i", "x"))
+    w = spark.range(n_cells * dim).select(
+        (F.col("id") / dim).cast("long").alias("c"),
+        (F.col("id") % dim).alias("i"),
+        (
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                (F.col("id") / dim)
+                                .cast("long")
+                                .cast("string"),
+                                F.lit("|"),
+                                (F.col("id") % dim).cast("string"),
+                                F.lit(salt),
+                            )
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                + F.lit(0.5)
+            )
+            / F.lit(4294967296.0)
+            * 2
+            - 1
+        ).alias("w"),
+    )
+    cdots = (
+        dims.join(F.broadcast(w), "i")
+        .groupBy("vec_id", "c")
+        .agg(
+            F.sum(
+                F.round(F.col("x") * F.col("w") * 1e9, 0).cast("long")
+            )
+            .cast("long")
+            .alias("dot")
+        )
+    )
+    return (
+        cdots.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(F.desc("dot"), "c")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("c").alias("cell"))
+    )
+
+
+def int_cosine_sim(
+    cand: DataFrame,
+    lo_vecs: DataFrame,
+    hi_vecs: DataFrame,
+    lo: str = "lo",
+    hi: str = "hi",
+) -> DataFrame:
+    """Attach the exact nano-unit INTEGER cosine (rounded at 6 — the
+    portable-twin formulation DuckDB replays bit for bit) to a
+    candidate pair frame.  ``lo_vecs``/``hi_vecs`` carry (<key>, e:
+    array<double>); scoring touches only candidate pairs, with
+    per-vector norms computed inline."""
+
+    def _lsum(arr):
+        return F.aggregate(
+            arr, F.lit(0).cast("long"), lambda acc, x: acc + x
+        ).cast("double")
+
+    sq = lambda col: F.transform(  # noqa: E731
+        col, lambda a: F.round(a * a * 1e9, 0).cast("long")
+    )
+    prod = F.zip_with(
+        "ea", "eb", lambda a, b: F.round(a * b * 1e9, 0).cast("long")
+    )
+    va = lo_vecs.select(
+        F.col("vec_id").alias(lo),
+        F.col("e").alias("ea"),
+        _lsum(sq("e")).alias("na"),
+    )
+    vb = hi_vecs.select(
+        F.col("vec_id").alias(hi),
+        F.col("e").alias("eb"),
+        _lsum(sq("e")).alias("nb"),
+    )
+    return (
+        cand.join(va, lo)
+        .join(vb, hi)
+        .withColumn(
+            "sim",
+            F.round(
+                _lsum(prod) / F.sqrt(F.col("na") * F.col("nb")), 6
+            ),
+        )
+        .drop("ea", "eb", "na", "nb")
+    )
+
+
+def greedy_admission(
+    pairs: list[tuple[int, int]],
+) -> dict[int, int]:
+    """Greedy ascending-id admission over a (lo, hi) near-dup pair
+    list (lo < hi always): scanning ids ascending, a vertex is DROPPED
+    iff some already-KEPT lower neighbor exists; its absorber is the
+    lowest such keeper.  The cascade matters: a dropped vertex must
+    NOT disqualify later ones — a naive EXISTS anti-join gets that
+    wrong.  Exact mirror of the q_semdedup_portable oracle's recursive
+    scan; returns {dropped_id: absorber_id}.  Ids that only appear as
+    ``lo`` (e.g. already-admitted state in the streaming sink) are
+    never dropped — they act as standing keepers."""
+    by_hi: dict[int, list[int]] = {}
+    for lo_id, hi_id in pairs:
+        by_hi.setdefault(hi_id, []).append(lo_id)
+    dropped: dict[int, int] = {}
+    for hi_id in sorted(by_hi):
+        keepers = sorted(
+            lo_id for lo_id in by_hi[hi_id] if lo_id not in dropped
+        )
+        if keepers:
+            dropped[hi_id] = keepers[0]
+    return dropped
+
+
 def cosine_topk(
     embeddings: DataFrame,
     k: int = 1,

@@ -14,8 +14,11 @@ from clv_data_pipeline_spark.operators.similarity import (
     cosine,
     cosine_topk_sharded,
     dedup_embedding,
+    greedy_admission,
+    int_cosine_sim,
     ivf_topk,
     lsh_topk,
+    portable_cell_assign,
 )
 from clv_data_pipeline_spark.registry import query
 from clv_data_pipeline_spark.sources.io import load_table
@@ -1458,27 +1461,6 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semdedup(emb, n_cells=16, threshold=_SD_THRESHOLD)
 
 
-def greedy_admission(
-    pairs: list[tuple[int, int]],
-) -> dict[int, int]:
-    """Greedy ascending-id admission over a (lo, hi) near-dup pair
-    list (lo < hi always): scanning ids ascending, a vertex is DROPPED
-    iff some already-KEPT lower neighbor exists; its absorber is the
-    lowest such keeper.  The cascade matters: a dropped vertex must
-    NOT disqualify later ones — a naive EXISTS anti-join gets that
-    wrong.  Exact mirror of the q_semdedup_portable oracle's recursive
-    scan; returns {dropped_id: absorber_id}."""
-    by_hi: dict[int, list[int]] = {}
-    for lo, hi in pairs:
-        by_hi.setdefault(hi, []).append(lo)
-    dropped: dict[int, int] = {}
-    for hi in sorted(by_hi):
-        keepers = sorted(lo for lo in by_hi[hi] if lo not in dropped)
-        if keepers:
-            dropped[hi] = keepers[0]
-    return dropped
-
-
 #: twin admission threshold — NOT q_semdedup's 0.92: the synthetic
 #: embeddings are near-isotropic with a max pairwise cosine of ~0.51
 #: (no true near-dups exist), so 0.92 never fires at any gate SF and
@@ -1490,17 +1472,25 @@ def greedy_admission(
 _SD_THRESHOLD = 0.30
 _SD_CELLS = 16
 _SD_PAIR_CAP = 200_000  # driver greedy-frame guard (bounded like cc_bounded_driver)
+#: deterministic id-capped audit slice (the q_ann_pq_portable /
+#: q_ann_ivf_portable convention): both gate SFs have 500 vectors so
+#: the slice is a no-op there, and above them it bounds the twin's
+#: within-cell pair work at a constant — the sf0.3/sf1.0 scaling run
+#: showed the UNBOUNDED twin going n^2/k quadratic (73.9 s at sf0.3,
+#: pair-cap guard tripping at sf1.0).  Full-corpus semantic dedup is
+#: the production q_semdedup's job, which scales via n_cells.
+_SD_AUDIT_IDS = 1000
 
-
-@query(
-    "q_semdedup_portable",
-    oracle=f"""
+#: shared by q_semdedup_portable AND its streaming parity proof
+#: q_stream_semdedup — online and offline admission must hash-match
+#: the same independent DuckDB replay
+_SD_ORACLE_SQL = f"""
     WITH RECURSIVE
     dims AS (
         SELECT vec_id,
                CAST(unnest(range(len(embedding))) AS BIGINT) AS i,
                CAST(unnest(embedding) AS DOUBLE) AS x
-        FROM embeddings),
+        FROM embeddings WHERE vec_id < {_SD_AUDIT_IDS}),
     w AS (
         SELECT c, d AS i,
                (('0x' || substr(md5(c || '|' || d || '|sd'),
@@ -1590,8 +1580,10 @@ _SD_PAIR_CAP = 200_000  # driver greedy-frame guard (bounded like cc_bounded_dri
     SELECT vec_id, CAST(cell AS BIGINT) AS cell, kept,
            CAST(dup_of AS BIGINT) AS dup_of
     FROM out
-    """,
-)
+    """
+
+
+@query("q_semdedup_portable", oracle=_SD_ORACLE_SQL)
 def q_semdedup_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup over an md5-PORTABLE quantizer — the portable-twin
     discipline extended from retrieval (LSH/IVF/PQ twins) to the
@@ -1615,108 +1607,26 @@ def q_semdedup_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     contract), and the verdict map broadcasts back.  Fully
     deterministic: no k-means seed, no float accumulation ambiguity.
     """
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("e")
-    )
-    dims = emb.select("vec_id", F.posexplode("e").alias("i", "x"))
-    w = spark.range(_SD_CELLS * 64).select(
-        (F.col("id") / 64).cast("long").alias("c"),
-        (F.col("id") % 64).alias("i"),
-        (
-            (
-                F.conv(
-                    F.substring(
-                        F.md5(
-                            F.concat(
-                                (F.col("id") / 64)
-                                .cast("long")
-                                .cast("string"),
-                                F.lit("|"),
-                                (F.col("id") % 64).cast("string"),
-                                F.lit("|sd"),
-                            )
-                        ),
-                        1,
-                        8,
-                    ),
-                    16,
-                    10,
-                ).cast("long")
-                + F.lit(0.5)
-            )
-            / F.lit(4294967296.0)
-            * 2
-            - 1
-        ).alias("w"),
-    )
-    cdots = (
-        dims.join(F.broadcast(w), "i")
-        .groupBy("vec_id", "c")
-        .agg(
-            F.sum(
-                F.round(F.col("x") * F.col("w") * 1e9, 0).cast("long")
-            )
-            .cast("long")
-            .alias("dot")
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < _SD_AUDIT_IDS)
+        .select(
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("e"),
         )
     )
-    assign = (
-        cdots.withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("vec_id").orderBy(F.desc("dot"), "c")
-            ),
-        )
-        .filter(F.col("rn") == 1)
-        .select("vec_id", F.col("c").alias("cell"))
-    )
+    assign = portable_cell_assign(emb, _SD_CELLS, "|sd")
     assign.persist()
-
-    def _lsum(arr):
-        return F.aggregate(
-            arr, F.lit(0).cast("long"), lambda acc, x: acc + x
-        ).cast("double")
-
-    prod = F.zip_with(
-        "ea", "eb", lambda a, b: F.round(a * b * 1e9, 0).cast("long")
+    aa = assign.select(F.col("vec_id").alias("lo"), "cell")
+    bb = assign.select(
+        F.col("vec_id").alias("hi"), F.col("cell").alias("cellb")
     )
-    sq = lambda col: F.transform(  # noqa: E731
-        col, lambda a: F.round(a * a * 1e9, 0).cast("long")
-    )
-    norms = emb.select("vec_id", _lsum(sq("e")).alias("nrm"))
-    va = (
-        assign.join(emb, "vec_id")
-        .join(norms, "vec_id")
-        .select(
-            F.col("vec_id").alias("lo"),
-            "cell",
-            F.col("e").alias("ea"),
-            F.col("nrm").alias("na"),
-        )
-    )
-    vb = (
-        assign.join(emb, "vec_id")
-        .join(norms, "vec_id")
-        .select(
-            F.col("vec_id").alias("hi"),
-            F.col("cell").alias("cellb"),
-            F.col("e").alias("eb"),
-            F.col("nrm").alias("nb"),
-        )
-    )
+    cand = aa.join(
+        bb,
+        (F.col("cell") == F.col("cellb")) & (F.col("lo") < F.col("hi")),
+    ).select("lo", "hi")
     qp = (
-        va.join(
-            vb,
-            (F.col("cell") == F.col("cellb"))
-            & (F.col("lo") < F.col("hi")),
-        )
-        .select(
-            "lo",
-            "hi",
-            F.round(
-                _lsum(prod) / F.sqrt(F.col("na") * F.col("nb")), 6
-            ).alias("sim"),
-        )
+        int_cosine_sim(cand, emb, emb)
         .filter(F.col("sim") >= _SD_THRESHOLD)
         .select("lo", "hi")
     )
@@ -1741,6 +1651,84 @@ def q_semdedup_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("dup_of").cast("long").alias("dup_of"),
     )
     assign.unpersist()
+    return out
+
+
+@query("q_stream_semdedup", oracle=_SD_ORACLE_SQL)
+def q_stream_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONLINE SemDeDup admission on the real Structured Streaming
+    engine — the 17th streaming/batch parity proof, and the first for
+    the EMBEDDING dedup tier: the vector corpus arrives as three
+    id-ordered micro-batches, each trigger admits against the
+    TABLE-persisted kept-vector state
+    (streaming/ingest.py semdedup_admission_sink), and the
+    accumulated verdicts must hash-match the SAME DuckDB oracle as
+    the one-shot q_semdedup_portable — online and offline admission
+    agree bit for bit, greedy cascade included (a vector dropped in
+    trigger 1 must not disqualify a trigger-3 cellmate; stored kept
+    vectors act as standing keepers in each trigger's combined
+    greedy scan).
+
+    Id-ordered arrival is the append-only ingest contract the other
+    admission sinks share; under it incremental admission equals the
+    batch greedy exactly.  Per-trigger work: O(batch) assignment
+    against the broadcast direction frame, a cell equi-join probe of
+    the stored kept table (cells prune it — never a full shuffle),
+    candidate-pair-only scoring, and a contested-subgraph driver
+    greedy.  uuid-suffixed state tables are dropped afterwards."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from clv_data_pipeline_spark.streaming.ingest import (
+        semdedup_admission_sink,
+    )
+
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < _SD_AUDIT_IDS)
+        .select(F.col("vec_id").cast("long").alias("vec_id"), "embedding")
+    )
+    mx = e.agg(F.max("vec_id").alias("mx")).collect()[0]["mx"]
+    c1, c2 = mx // 3, (2 * mx) // 3
+    src_root = tempfile.mkdtemp(prefix="q_stream_semdedup_")
+    src = src_root + "/arrivals"
+    for lo, hi in ((None, c1), (c1, c2), (c2, None)):
+        sl = e
+        if lo is not None:
+            sl = sl.filter(F.col("vec_id") >= lo)
+        if hi is not None:
+            sl = sl.filter(F.col("vec_id") < hi)
+        sl.coalesce(1).write.mode("append").parquet(src)
+    suffix = uuid.uuid4().hex[:8]
+    kept_table = f"semdedup_stream_kept_{suffix}"
+    out_table = f"semdedup_stream_out_{suffix}"
+    stream = (
+        spark.readStream.schema(e.schema)
+        .option("pathGlobFilter", "*.parquet")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    ckpt = tempfile.mkdtemp(prefix="q_stream_semdedup_ckpt_")
+    q = (
+        stream.writeStream.foreachBatch(
+            semdedup_admission_sink(
+                kept_table,
+                out_table,
+                threshold=_SD_THRESHOLD,
+                n_cells=_SD_CELLS,
+            )
+        )
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    shutil.rmtree(src_root, ignore_errors=True)
+    out = spark.table(out_table).localCheckpoint(eager=True)
+    spark.sql(f"DROP TABLE IF EXISTS {out_table}")
+    spark.sql(f"DROP TABLE IF EXISTS {kept_table}")
     return out
 
 

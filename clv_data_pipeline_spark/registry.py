@@ -396,7 +396,7 @@ _R9_NEW: set[str] = {
     "q_ann_ivf_portable", "q_min_pieces_tokenize",
     "q_dedup_substring_eval", "q_self_influence", "q_domain_reweight",
     "q_dp_histogram", "q_pca_portable", "q_ann_pq_portable",
-    "q_semdedup_portable", "q_topic_anchors",
+    "q_semdedup_portable", "q_topic_anchors", "q_stream_semdedup",
 }
 
 

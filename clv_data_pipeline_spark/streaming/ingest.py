@@ -601,3 +601,127 @@ def min_ts_merge_sink(
         merged.write.mode("overwrite").saveAsTable(target_table)
 
     return _sink
+
+
+def semdedup_admission_sink(
+    kept_table: str,
+    out_table: str,
+    threshold: float,
+    n_cells: int = 16,
+    salt: str = "|sd",
+    pair_cap: int = 200_000,
+):
+    """``foreachBatch`` body for ONLINE SemDeDup admission — the
+    streaming form of q_semdedup_portable's greedy ascending-id
+    cascade, against a TABLE-persisted kept-vector state.  Assumes
+    id-ordered arrival (each trigger's ids exceed all stored ids —
+    the append-only ingest contract the other admission sinks share);
+    under it, incremental admission equals the one-shot batch greedy
+    exactly: a batch vector's candidate absorbers are stored kept
+    cellmates (all lower-id) plus in-batch kept cellmates, so feeding
+    BOTH pair sets to one greedy_admission scan reproduces the batch
+    decision, cascade included (stored ids only ever appear as ``lo``
+    and act as standing keepers).
+
+    Per-trigger work: assignment is O(batch) against the broadcast
+    direction frame; the stored kept table is probed by a cell
+    equi-join (never shuffled whole — cells prune it); scoring
+    touches candidate pairs only; the greedy frame is the contested
+    subgraph (``pair_cap`` guard, cc_bounded_driver's contract).
+    Replay safety: both appends anti-join on vec_id, and admission
+    recomputes identically against the unchanged stored state because
+    the kept append is idempotent."""
+    from clv_data_pipeline_spark.operators.similarity import (
+        greedy_admission,
+        int_cosine_sim,
+        portable_cell_assign,
+    )
+
+    def _fn(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if batch_df.isEmpty():
+            return
+        emb = batch_df.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("e")
+        )
+        assign = portable_cell_assign(emb, n_cells, salt).localCheckpoint(
+            eager=True
+        )
+        bb = assign.select(
+            F.col("vec_id").alias("hi"), F.col("cell").alias("cellb")
+        )
+        # in-batch candidates (lo < hi within cell)
+        aa = assign.select(F.col("vec_id").alias("lo"), "cell")
+        cand = aa.join(
+            bb,
+            (F.col("cell") == F.col("cellb"))
+            & (F.col("lo") < F.col("hi")),
+        ).select("lo", "hi")
+        qp = (
+            int_cosine_sim(cand, emb, emb)
+            .filter(F.col("sim") >= threshold)
+            .select("lo", "hi")
+        )
+        pair_rows = qp.limit(pair_cap + 1).collect()
+        if spark.catalog.tableExists(kept_table):
+            stored = spark.table(kept_table)
+            scand = (
+                stored.select(F.col("vec_id").alias("lo"), "cell")
+                .join(bb, F.col("cell") == F.col("cellb"))
+                .filter(F.col("lo") < F.col("hi"))
+                .select("lo", "hi")
+            )
+            sqp = (
+                int_cosine_sim(
+                    scand,
+                    stored.select("vec_id", "e"),
+                    emb,
+                )
+                .filter(F.col("sim") >= threshold)
+                .select("lo", "hi")
+            )
+            pair_rows = pair_rows + sqp.limit(pair_cap + 1).collect()
+        if len(pair_rows) > pair_cap:
+            raise ValueError(
+                f"semdedup_admission_sink: contested graph exceeds "
+                f"{pair_cap} pairs in one trigger — raise the "
+                f"threshold or n_cells"
+            )
+        dropped = greedy_admission(
+            [(int(r["lo"]), int(r["hi"])) for r in pair_rows]
+        )
+        dmap = spark.createDataFrame(
+            [(v, d) for v, d in dropped.items()] or [],
+            "vec_id long, dup_of long",
+        )
+        verdicts = (
+            assign.join(dmap, "vec_id", "left")
+            .select(
+                "vec_id",
+                F.col("cell").cast("long").alias("cell"),
+                F.col("dup_of").isNull().alias("kept"),
+                F.col("dup_of").cast("long").alias("dup_of"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        out_append = verdicts
+        if spark.catalog.tableExists(out_table):
+            out_append = _replay_anti_join(
+                verdicts, spark.table(out_table), "vec_id"
+            ).localCheckpoint(eager=True)
+        out_append.write.mode("append").saveAsTable(out_table)
+        kept_rows = (
+            verdicts.filter(F.col("kept"))
+            .select("vec_id", "cell")
+            .join(emb, "vec_id")
+            .select("vec_id", "cell", "e")
+        )
+        if spark.catalog.tableExists(kept_table):
+            kept_rows = _replay_anti_join(
+                kept_rows, spark.table(kept_table), "vec_id"
+            )
+        kept_rows.localCheckpoint(eager=True).write.mode(
+            "append"
+        ).saveAsTable(kept_table)
+
+    return _fn
