@@ -250,6 +250,7 @@ HEADLINE = [
     "q_semdedup_portable",
     "q_topic_anchors",
     "q_stream_semdedup",
+    "q_data_shapley",
 ]
 
 #: Frozen comparable subsets — apples-to-apples totals across rounds.

@@ -1741,6 +1741,7 @@ def _nb_scored(
     sf_dir: str,
     train_below: str = "cc",
     fold: int | None = None,
+    source_mask: tuple[int, ...] | None = None,
 ) -> DataFrame:
     """Shared Naive Bayes train+score pipeline: md5-split training
     (Laplace-smoothed DECIMAL log-probs; docs whose 2-hex md5 prefix
@@ -1755,11 +1756,21 @@ def _nb_scored(
     d = load_table(spark, sf_dir, "documents")
     toks = F.split(normalize_text(F.col("text")), " ")
     pref = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    grp = F.ascii(F.substring(F.md5(F.col("source")), 1, 1)) % 3
     docs = d.select(
-        "doc_id", "lang", toks.alias("toks"), pref.alias("pref")
+        "doc_id",
+        "lang",
+        toks.alias("toks"),
+        pref.alias("pref"),
+        grp.alias("grp"),
     )
     if fold is None:
         train = docs.filter(F.col("pref") < train_below)
+        if source_mask is not None:
+            # data-Shapley utility: train only on the coalition's
+            # source groups; the held-out eval set stays FIXED so
+            # utilities are comparable across coalitions
+            train = train.filter(F.col("grp").isin(*source_mask))
         test = docs.filter(F.col("pref") >= "cc")
     else:
         fcol = F.ascii(F.substring(F.col("pref"), 1, 1)) % 5
@@ -6144,6 +6155,306 @@ def _cv_oracle(k: int = 5) -> str:
            s.mean_acc, s.sd_acc
     FROM folds f CROSS JOIN stats s
     """
+
+
+#: the 7 non-empty coalitions of the 3 source groups — exact Shapley
+#: needs every one, and U(empty) = 0 by convention
+_DS_MASKS: list[tuple[int, ...]] = [
+    (0,), (1,), (2,), (0, 1), (0, 2), (1, 2), (0, 1, 2),
+]
+
+
+def _ds_tag(mask: tuple[int, ...]) -> str:
+    return "".join(str(g) for g in mask)
+
+
+def _shapley_oracle() -> str:
+    """One NB train+eval block per source-group coalition (7 of them),
+    all scored on the SAME fixed >= 'cc' held-out set, then the exact
+    3-player Shapley value of each group in INTEGER correct-counts:
+    6*phi_g = 2*C({g}) + sum_h [C({g,h}) - C({h})] + 2*[C(P) -
+    C(P minus g)] — only the final per-test division leaves integers."""
+    blocks = []
+    for m in _DS_MASKS:
+        s = _ds_tag(m)
+        inlist = ", ".join(str(g) for g in m)
+        blocks.append(f"""
+    ttok_{s} AS (
+        SELECT lang, unnest(toks) AS tok FROM docs
+        WHERE pref < 'cc' AND grp IN ({inlist})),
+    cc_{s} AS (
+        SELECT lang, tok, COUNT(*) AS c FROM ttok_{s}
+        GROUP BY lang, tok),
+    ct_{s} AS (SELECT lang, COUNT(*) AS tot FROM ttok_{s}
+               GROUP BY lang),
+    v_{s} AS (SELECT COUNT(DISTINCT tok) AS vsz FROM ttok_{s}),
+    ntr_{s} AS (SELECT COUNT(*) AS n_train FROM docs
+                WHERE pref < 'cc' AND grp IN ({inlist})),
+    pri_{s} AS (
+        SELECT lang AS cls,
+               CAST(ROUND(ln(COUNT(*) * 1.0 / ntr_{s}.n_train), 9)
+                    AS DECIMAL(20,9)) AS lp0
+        FROM docs, ntr_{s} WHERE pref < 'cc' AND grp IN ({inlist})
+        GROUP BY lang, ntr_{s}.n_train),
+    lp_{s} AS (
+        SELECT cc_{s}.lang AS cls, cc_{s}.tok,
+               CAST(ROUND(ln((cc_{s}.c + 1.0)
+                             / (ct_{s}.tot + v_{s}.vsz)), 9)
+                    AS DECIMAL(20,9)) AS lp
+        FROM cc_{s} JOIN ct_{s} ON cc_{s}.lang = ct_{s}.lang, v_{s}),
+    oov_{s} AS (
+        SELECT ct_{s}.lang AS cls,
+               CAST(ROUND(ln(1.0 / (ct_{s}.tot + v_{s}.vsz)), 9)
+                    AS DECIMAL(20,9)) AS lpo
+        FROM ct_{s}, v_{s}),
+    scored_{s} AS (
+        SELECT t.doc_id, t.true_lang, o.cls,
+               SUM(COALESCE(lp_{s}.lp, o.lpo)) AS sc
+        FROM tt t
+        CROSS JOIN oov_{s} o
+        LEFT JOIN lp_{s} ON lp_{s}.tok = t.tok AND lp_{s}.cls = o.cls
+        GROUP BY t.doc_id, t.true_lang, o.cls),
+    pred_{s} AS (
+        SELECT doc_id, true_lang, cls,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                   ORDER BY sc + lp0 DESC, cls) AS rn
+        FROM (SELECT x.*, p.lp0 FROM scored_{s} x
+              JOIN pri_{s} p ON p.cls = x.cls) y),
+    corr_{s} AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_test,
+               CAST(SUM(CASE WHEN cls = true_lang THEN 1 ELSE 0 END)
+                    AS BIGINT) AS c
+        FROM pred_{s} WHERE rn = 1)""")
+
+    def c(mask: tuple[int, ...]) -> str:
+        return f"(SELECT c FROM corr_{_ds_tag(mask)})"
+
+    group_rows = []
+    for g in range(3):
+        others = [h for h in range(3) if h != g]
+        full = (0, 1, 2)
+        rest = tuple(sorted(others))
+        pair_terms = " + ".join(
+            f"({c(tuple(sorted((g, h))))} - {c((h,))})" for h in others
+        )
+        shap6 = (
+            f"2 * {c((g,))} + {pair_terms} "
+            f"+ 2 * ({c(full)} - {c(rest)})"
+        )
+        group_rows.append(f"""
+    SELECT CAST({g} AS BIGINT) AS grp,
+           (SELECT CAST(COUNT(DISTINCT source) AS BIGINT) FROM gdocs
+            WHERE grp = {g}) AS n_sources,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM gdocs
+            WHERE grp = {g} AND pref < 'cc') AS n_train_docs,
+           {c((g,))} AS solo_correct,
+           CAST({shap6} AS BIGINT) AS shap6_correct,
+           (SELECT n_test FROM corr_012) AS n_test,
+           ROUND(CAST({shap6} AS DOUBLE)
+                 / (6.0 * (SELECT n_test FROM corr_012)), 6)
+               AS shapley""")
+    return f"""
+    WITH docs AS MATERIALIZED (
+        SELECT doc_id, lang, source, {_TOKENIZE_SQL} AS toks,
+               substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS pref,
+               ascii(substr(md5(source), 1, 1)) % 3 AS grp
+        FROM documents),
+    gdocs AS (SELECT source, grp, pref FROM docs),
+    tt AS (
+        SELECT doc_id, lang AS true_lang, unnest(toks) AS tok
+        FROM docs WHERE pref >= 'cc'),
+    {','.join(blocks)}
+    {' UNION ALL '.join(group_rows)}
+    """
+
+
+@query("q_data_shapley", oracle=_shapley_oracle())
+def q_data_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact data-Shapley valuation of the corpus's SOURCE GROUPS —
+    the coalition-level companion to q_self_influence's per-row
+    attribution, and the principled answer to "which data supplier is
+    actually buying us accuracy?"  (Ghorbani & Zou 2019 define the
+    value; with 3 deterministic source groups the 2^3 coalition
+    utilities are computed EXACTLY, no Monte Carlo.)  Utility U(S) =
+    held-out accuracy of the in-engine Naive Bayes lang classifier
+    trained only on coalition S's documents (the q_cross_validation
+    training idiom); the eval set is FIXED (md5 prefix >= 'cc') so
+    utilities are comparable, and U(empty) = 0 by convention.
+
+    Exactness: the test set is shared, so Shapley combines INTEGER
+    correct-counts — 6*phi_g = 2*C({{g}}) + sum_h [C({{g,h}}) -
+    C({{h}})] + 2*[C(P) - C(P minus g)] — and only the final
+    /(6*n_test) leaves integers (rounded at 6 on both sides).
+    Efficiency property sum_g phi_g = U(P) holds exactly in the
+    integer domain and is pinned in tests/test_mlprep_models.py.
+
+    Scale shape: 7 independent NB pipelines (vocabulary-bounded model
+    tables broadcast, shared test explode), lazily unioned — one
+    action, no driver barrier; group count is the scale lever (k
+    groups = 2^k - 1 fits, so coalition grain stays coarse by
+    design)."""
+    masks = _DS_MASKS
+    d0 = load_table(spark, sf_dir, "documents")
+    docs = d0.select(
+        "doc_id",
+        "lang",
+        F.split(normalize_text(F.col("text")), " ").alias("toks"),
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2).alias(
+            "pref"
+        ),
+        (F.ascii(F.substring(F.md5(F.col("source")), 1, 1)) % 3).alias(
+            "grp"
+        ),
+    ).persist()
+    ttest = docs.filter(F.col("pref") >= "cc").select(
+        "doc_id",
+        F.col("lang").alias("true_lang"),
+        F.explode("toks").alias("tok"),
+    ).persist()
+    dec = "decimal(20,9)"
+    per_mask = []
+    for m in masks:
+        train = docs.filter(
+            (F.col("pref") < "cc") & F.col("grp").isin(*m)
+        )
+        ttok = train.select("lang", F.explode("toks").alias("tok"))
+        cc = ttok.groupBy("lang", "tok").agg(F.count("*").alias("c"))
+        ct = ttok.groupBy("lang").agg(F.count("*").alias("tot"))
+        v = ttok.agg(F.countDistinct("tok").alias("vsz"))
+        ntr = train.agg(F.count("*").alias("n_train"))
+        pri = (
+            train.groupBy("lang")
+            .agg(F.count("*").alias("nd"))
+            .crossJoin(F.broadcast(ntr))
+            .select(
+                F.col("lang").alias("cls"),
+                F.round(
+                    F.log(F.col("nd") * 1.0 / F.col("n_train")), 9
+                )
+                .cast(dec)
+                .alias("lp0"),
+            )
+        )
+        lp = (
+            cc.join(ct, "lang")
+            .crossJoin(F.broadcast(v))
+            .select(
+                F.col("lang").alias("cls"),
+                "tok",
+                F.round(
+                    F.log(
+                        (F.col("c") + F.lit(1.0))
+                        / (F.col("tot") + F.col("vsz"))
+                    ),
+                    9,
+                )
+                .cast(dec)
+                .alias("lp"),
+            )
+        )
+        oov = (
+            ct.crossJoin(F.broadcast(v))
+            .select(
+                F.col("lang").alias("cls"),
+                F.round(
+                    F.log(F.lit(1.0) / (F.col("tot") + F.col("vsz"))),
+                    9,
+                )
+                .cast(dec)
+                .alias("lpo"),
+            )
+        )
+        scored = (
+            ttest.crossJoin(F.broadcast(oov))
+            .join(F.broadcast(lp), ["tok", "cls"], "left")
+            .groupBy("doc_id", "true_lang", "cls")
+            .agg(F.sum(F.coalesce(F.col("lp"), F.col("lpo"))).alias("s"))
+            .join(F.broadcast(pri), "cls")
+            .withColumn("score", F.col("s") + F.col("lp0"))
+        )
+        w = Window.partitionBy("doc_id").orderBy(
+            F.desc("score"), F.col("cls")
+        )
+        agg = (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .agg(
+                F.count("*").cast("long").alias("n_test"),
+                F.sum(
+                    F.when(F.col("cls") == F.col("true_lang"), 1)
+                    .otherwise(0)
+                )
+                .cast("long")
+                .alias("c"),
+            )
+            .select(F.lit(_ds_tag(m)).alias("mask"), "n_test", "c")
+        )
+        per_mask.append(agg)
+    util = per_mask[0]
+    for u in per_mask[1:]:
+        util = util.unionAll(u)
+    rows = {r["mask"]: r for r in util.collect()}
+    n_test = int(rows["012"]["n_test"])
+    cvals = {m: int(rows[_ds_tag(m)]["c"]) for m in masks}
+    d = d0.select(
+        "source",
+        (F.ascii(F.substring(F.md5(F.col("source")), 1, 1)) % 3).alias(
+            "grp"
+        ),
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2).alias(
+            "pref"
+        ),
+    )
+    meta = {
+        r["grp"]: r
+        for r in d.groupBy("grp")
+        .agg(
+            F.countDistinct("source").cast("long").alias("n_sources"),
+            F.sum(
+                F.when(F.col("pref") < "cc", 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_train_docs"),
+        )
+        .collect()
+    }
+    docs.unpersist()
+    ttest.unpersist()
+    out = []
+    for g in range(3):
+        others = [h for h in range(3) if h != g]
+        shap6 = (
+            2 * cvals[(g,)]
+            + sum(
+                cvals[tuple(sorted((g, h)))] - cvals[(h,)]
+                for h in others
+            )
+            + 2 * (cvals[(0, 1, 2)] - cvals[tuple(sorted(others))])
+        )
+        shapley = shap6 / (6.0 * n_test)
+        # half-away-from-zero at 6, matching DuckDB ROUND (python
+        # round() banker-rounds; shapley can be negative)
+        shapley = (
+            math.copysign(math.floor(abs(shapley) * 1e6 + 0.5), shapley)
+            / 1e6
+        )
+        out.append(
+            (
+                g,
+                int(meta[g]["n_sources"]),
+                int(meta[g]["n_train_docs"]),
+                cvals[(g,)],
+                shap6,
+                n_test,
+                shapley,
+            )
+        )
+    return spark.createDataFrame(
+        out,
+        "grp long, n_sources long, n_train_docs long, "
+        "solo_correct long, shap6_correct long, n_test long, "
+        "shapley double",
+    )
 
 
 @query("q_cross_validation", oracle=_cv_oracle())

@@ -434,3 +434,34 @@ def test_label_noise_positive_control(spark, tmp_path):
     assert {4, 11, 22, 37} <= flagged, flagged
     # clean docs: no more than a stray handful flagged
     assert len(flagged - {4, 11, 22, 37}) <= 4, flagged
+
+
+def test_data_shapley_efficiency_property(spark):
+    """Exact Shapley must satisfy efficiency: sum_g phi_g = U(P) -
+    U(empty) — in the integer correct-count domain, sum of
+    shap6_correct = 6 * C(full coalition), exactly.  Also: every
+    group's value must be defined (3 rows), n_test shared, and the
+    reported shapley ratio must equal its integer definition."""
+    import math
+
+    from clv_data_pipeline_spark.registry import all_queries
+
+    rows = all_queries()["q_data_shapley"](
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    assert len(rows) == 3
+    n_test = {r["n_test"] for r in rows}
+    assert len(n_test) == 1 and rows[0]["n_test"] > 0
+    total6 = sum(r["shap6_correct"] for r in rows)
+    assert total6 % 6 == 0
+    c_full = total6 // 6
+    assert 0 < c_full <= rows[0]["n_test"]
+    for r in rows:
+        expect = r["shap6_correct"] / (6.0 * r["n_test"])
+        expect = (
+            math.copysign(
+                math.floor(abs(expect) * 1e6 + 0.5), expect
+            )
+            / 1e6
+        )
+        assert r["shapley"] == expect, r
