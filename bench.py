@@ -251,6 +251,7 @@ HEADLINE = [
     "q_topic_anchors",
     "q_stream_semdedup",
     "q_data_shapley",
+    "q_knn_label_portable",
 ]
 
 #: Frozen comparable subsets — apples-to-apples totals across rounds.

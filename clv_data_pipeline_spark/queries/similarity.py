@@ -1732,6 +1732,165 @@ def q_stream_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+@query(
+    "q_knn_label_portable",
+    oracle=f"""
+    WITH dims AS (
+        SELECT vec_id,
+               CAST(unnest(range(len(embedding))) AS BIGINT) AS i,
+               CAST(unnest(embedding) AS DOUBLE) AS x
+        FROM embeddings WHERE vec_id < {_SD_AUDIT_IDS}),
+    w AS (
+        SELECT c, d AS i,
+               (('0x' || substr(md5(c || '|' || d || '|knn'),
+                                1, 8))::BIGINT + 0.5)
+                   / 4294967296.0 * 2 - 1 AS w
+        FROM (SELECT unnest(range({_SD_CELLS})) AS c),
+             (SELECT unnest(range(64)) AS d)),
+    cdots AS (
+        SELECT dm.vec_id, w.c,
+               CAST(SUM(CAST(ROUND(dm.x * w.w * 1000000000.0, 0)
+                             AS BIGINT)) AS BIGINT) AS dot
+        FROM dims dm JOIN w ON w.i = dm.i
+        GROUP BY dm.vec_id, w.c),
+    assign AS (
+        SELECT vec_id, c AS cell
+        FROM (SELECT vec_id, c,
+                     ROW_NUMBER() OVER (PARTITION BY vec_id
+                                        ORDER BY dot DESC, c) AS rn
+              FROM cdots)
+        WHERE rn = 1),
+    cand AS (
+        SELECT a.vec_id, b.vec_id AS neighbor_id
+        FROM assign a JOIN assign b
+          ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+    sims AS (
+        SELECT c.vec_id, c.neighbor_id,
+               ROUND(
+                   CAST(SUM(CAST(ROUND(da.x * db.x * 1000000000.0, 0)
+                                 AS BIGINT)) AS DOUBLE)
+                   / sqrt(CAST(SUM(CAST(ROUND(da.x * da.x
+                                              * 1000000000.0, 0)
+                                        AS BIGINT)) AS DOUBLE)
+                          * CAST(SUM(CAST(ROUND(db.x * db.x
+                                                * 1000000000.0, 0)
+                                          AS BIGINT)) AS DOUBLE)),
+                   6) AS sim
+        FROM cand c
+        JOIN dims da ON da.vec_id = c.vec_id
+        JOIN dims db ON db.vec_id = c.neighbor_id AND db.i = da.i
+        GROUP BY c.vec_id, c.neighbor_id),
+    top5 AS (
+        SELECT vec_id, neighbor_id
+        FROM (SELECT vec_id, neighbor_id,
+                     ROW_NUMBER() OVER (PARTITION BY vec_id
+                         ORDER BY sim DESC, neighbor_id) AS rn
+              FROM sims)
+        WHERE rn <= 5),
+    votes AS (
+        SELECT t.vec_id, CAST(e.label AS BIGINT) AS label,
+               COUNT(*) AS cnt
+        FROM top5 t JOIN embeddings e ON e.vec_id = t.neighbor_id
+        GROUP BY t.vec_id, e.label),
+    pred AS (
+        SELECT vec_id, label AS pred_label
+        FROM (SELECT vec_id, label,
+                     ROW_NUMBER() OVER (PARTITION BY vec_id
+                         ORDER BY cnt DESC, label) AS rn
+              FROM votes)
+        WHERE rn = 1)
+    SELECT p.vec_id, p.pred_label,
+           CAST(e.label AS BIGINT) AS true_label,
+           (p.pred_label = CAST(e.label AS BIGINT)) AS correct
+    FROM pred p JOIN embeddings e ON e.vec_id = p.vec_id
+    """,
+)
+def q_knn_label_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN label prediction over the md5-PORTABLE IVF kernel — the
+    twin that hash-verifies what q_knn_label_ann keeps rows-only: the
+    exact brute-force q_knn_label is already oracle-backed, but the
+    SUB-QUADRATIC production path (cell-restricted candidates) relies
+    on the k-means quantizer, so its vote pipeline was only
+    agreement-pinned.  Here cells come from the md5 dot-product
+    quantizer (salt '|knn'), candidates are cellmates only, top-5
+    neighbors rank by the exact integer cosine, and the majority vote
+    (ties to the smaller label — q_knn_label's rule) is replayed by
+    DuckDB end to end: assignment, candidate generation, ranking, AND
+    the vote.
+
+    Scale shape: identical to q_semdedup_portable — broadcast
+    direction frame, within-cell pairs only (n^2/k), and the same
+    {_SD_AUDIT_IDS}-id audit slice keeping the twin's work constant
+    above the gate SFs (the production q_knn_label_ann scales via
+    IVF nprobe/cells)."""
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < _SD_AUDIT_IDS)
+        .select(
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("e"),
+            F.col("label").cast("long").alias("label"),
+        )
+    )
+    ev = emb.select("vec_id", "e")
+    assign = portable_cell_assign(ev, _SD_CELLS, "|knn")
+    assign.persist()
+    aa = assign.select(F.col("vec_id").alias("lo"), "cell")
+    bb = assign.select(
+        F.col("vec_id").alias("hi"), F.col("cell").alias("cellb")
+    )
+    cand = aa.join(
+        bb,
+        (F.col("cell") == F.col("cellb")) & (F.col("lo") != F.col("hi")),
+    ).select("lo", "hi")
+    sims = int_cosine_sim(cand, ev, ev).select(
+        F.col("lo").alias("vec_id"),
+        F.col("hi").alias("neighbor_id"),
+        "sim",
+    )
+    top5 = (
+        sims.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(
+                    F.desc("sim"), "neighbor_id"
+                )
+            ),
+        )
+        .filter(F.col("rn") <= 5)
+        .select("vec_id", "neighbor_id")
+    )
+    labels = emb.select(
+        F.col("vec_id").alias("neighbor_id"), "label"
+    )
+    votes = (
+        top5.join(F.broadcast(labels), "neighbor_id")
+        .groupBy("vec_id", "label")
+        .agg(F.count("*").alias("cnt"))
+    )
+    pred = (
+        votes.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(
+                    F.desc("cnt"), "label"
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("label").alias("pred_label"))
+    )
+    truth = emb.select("vec_id", F.col("label").alias("true_label"))
+    out = pred.join(truth, "vec_id").select(
+        "vec_id",
+        "pred_label",
+        "true_label",
+        (F.col("pred_label") == F.col("true_label")).alias("correct"),
+    )
+    assign.unpersist()
+    return out
+
+
 @query("q_semdedup_eval")  # rows-only: audits the engine-specific kernel
 def q_semdedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Measured recall/precision of SemDeDup's cell approximation —

@@ -397,7 +397,7 @@ _R9_NEW: set[str] = {
     "q_dedup_substring_eval", "q_self_influence", "q_domain_reweight",
     "q_dp_histogram", "q_pca_portable", "q_ann_pq_portable",
     "q_semdedup_portable", "q_topic_anchors", "q_stream_semdedup",
-    "q_data_shapley",
+    "q_data_shapley", "q_knn_label_portable",
 }
 
 
