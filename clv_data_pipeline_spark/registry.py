@@ -360,33 +360,44 @@ _R8_VERIFIED: frozenset[str] = frozenset(
 #: Listed in judge-priority order — the driver budget cuts from the
 #: back.
 _GRADUATED_STALE: tuple[str, ...] = (
-    # round-8 graduations: brand-new oracles the driver has never
-    # exercised (2F1 recursive CTE, polynomial simhash replay,
-    # analytic frame cardinality) — highest information value
-    "q_predicted_purchases", "q_simhash", "q_frame_sample",
-    # earlier graduations whose oracle post-dates their driver row
-    "q_minhash_candidates", "q_minhash_clusters", "q_approx_distinct",
-    "q_approx_percentiles", "q_hll_merge", "q_pca_variance",
-    # round-9 graduations: q_clv_compare (VERDICT r8 item 2, third
-    # time named — both lifetimes models replay in DuckDB; last
-    # driver row rows-only@r6) and q_sample (md5-order portable
-    # sampling; last driver row rows-only@r1)
-    "q_clv_compare", "q_sample",
-    # round-9 graduations, batch 2: the BPE training loop replays in
-    # a recursive CTE carrying the whole vocab state as one row, and
-    # tokenize reads piece counts off the final training state —
-    # both had rows-only driver rows before this oracle existed
-    "q_bpe_merges", "q_bpe_tokenize",
-    # round-9 graduations, batch 3: nano-nat integer log-probs make
-    # the unigram Viterbi DP engine-portable (recursive CTE stepping
-    # one char position per iteration); fertility composes both
-    # tokenizer CTEs
-    "q_unigram_tokenize", "q_tokenizer_fertility",
+    # round-10 graduations: q_pca_project pins the sf-keyed eigenbasis
+    # artifact (q_pca_portable's integer discipline) and q_als_recommend
+    # / q_als_eval replay the md5-seeded fixed-iteration factor model —
+    # all three had rows-only driver rows before these oracles existed.
+    "q_pca_project", "q_als_recommend", "q_als_eval",
+)
+
+#: Queries the driver checked in round 9 (``CORRECTNESS_r09.json``):
+#: 49 of 50 sampled names hash-green, the 50th is the
+#: rows-only-by-design ``q_dedup_substring_eval`` which executed clean
+#: — the third consecutive fully-clean driver sample.  Folding them in
+#: (VERDICT r9 "do this" item 1) points round 10's budget at the
+#: r1–r5-stale cohorts plus this round's graduations.
+_R9_VERIFIED: frozenset[str] = frozenset(
+    {
+        "q_ann_ivf_portable", "q_ann_pq_portable", "q_anti_join",
+        "q_approx_distinct", "q_approx_percentiles", "q_array_funcs",
+        "q_bpe_merges", "q_bpe_tokenize", "q_clv_compare", "q_corr",
+        "q_corr_subquery", "q_cube", "q_data_shapley",
+        "q_dedup_substring_eval", "q_domain_reweight", "q_dp_histogram",
+        "q_except", "q_explode", "q_frame_sample", "q_grouping_sets",
+        "q_hll_merge", "q_intersect", "q_json_extract",
+        "q_knn_label_portable", "q_min_pieces_tokenize",
+        "q_minhash_candidates", "q_minhash_clusters", "q_ntile_lead",
+        "q_pca_portable", "q_pca_variance", "q_percent_rank",
+        "q_percentiles", "q_pivot", "q_predicted_purchases", "q_rfm",
+        "q_rfm_window", "q_rollup", "q_sample", "q_scan_full",
+        "q_self_influence", "q_semdedup_portable", "q_semi_join",
+        "q_simhash", "q_sql_rfm", "q_stream_semdedup", "q_string_funcs",
+        "q_tokenizer_fertility", "q_topic_anchors", "q_tpch_q6",
+        "q_unigram_tokenize",
+    }
 )
 
 _VERIFIED = (
     _R1_VERIFIED | _R2_VERIFIED | _R3_VERIFIED | _R4_VERIFIED
     | _R5_VERIFIED | _R6_VERIFIED | _R7_VERIFIED | _R8_VERIFIED
+    | _R9_VERIFIED
 )
 
 #: Queries REGISTERED during round 9 — the never-sampled backlog is
@@ -399,6 +410,10 @@ _R9_NEW: set[str] = {
     "q_semdedup_portable", "q_topic_anchors", "q_stream_semdedup",
     "q_data_shapley", "q_knn_label_portable",
 }
+
+#: Queries REGISTERED during round 10 — never driver-sampled, so they
+#: sort at the very front (tier 0) behind nothing: the backlog is zero.
+_R10_NEW: set[str] = set()
 
 
 def _ordered_names() -> list[str]:
@@ -414,7 +429,9 @@ def _ordered_names() -> list[str]:
     graduated_rank = {n: i for i, n in enumerate(_GRADUATED_STALE)}
     tier = {}
     for n in names:
-        if n in _R8_VERIFIED:
+        if n in _R9_VERIFIED:
+            tier[n] = 9
+        elif n in _R8_VERIFIED:
             tier[n] = 8
         elif n in _R7_VERIFIED:
             tier[n] = 7
