@@ -4645,17 +4645,28 @@ def q_domain_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TA_K = 5            # number of anchor topics
 _TA_FP = 4096        # fixed-point row rescale
 _TA_QSH = 1 << 40    # quantized-cosine shift
-_TA_VOCAB_CAP = 20_000  # scale bound on the co-occurrence vocabulary
+#: Scale bound on the co-occurrence vocabulary.  Sized to what the
+#: driver barrier actually sustains: the dense Q matrix is v^2 int64
+#: cells (4096^2 * 8 B = 134 MB) and the collect is <= v^2 pair rows,
+#: and the numpy dot kernels below are O(K * v^2) int64 MACs per
+#: anchor step — all comfortable at 4096, all catastrophic at the old
+#: 20k advertisement (3.2 GB + 1e12 pure-Python ops; ADVICE r9).
+_TA_VOCAB_CAP = 4096
 
 #: quantized cosine^2 between two rescaled co-occurrence rows {r} and
-#: {a}: (dot^2 * 2^40) // (n_r * n_a) — exact HUGEINT arithmetic, so
-#: anchor selection and assignment order identically in both engines
+#: {a}: (dot^2 * 2^40) // max(n_r * n_a, 1) — exact HUGEINT
+#: arithmetic, so anchor selection and assignment order identically
+#: in both engines.  The GREATEST guard mirrors the Python twin's
+#: max(.., 1): an all-zero co-occurrence row (a word that only ever
+#: appears alone) has n = 0 and would otherwise divide by zero in
+#: DuckDB while Spark returns the guarded value (ADVICE r9).
 _TA_QC_SQL = (
     "((list_reduce(list_transform(range(len({r}.vec)), "
     "i -> {r}.vec[i + 1] * {a}.vec[i + 1]), (x, y) -> x + y) "
     "* list_reduce(list_transform(range(len({r}.vec)), "
     "i -> {r}.vec[i + 1] * {a}.vec[i + 1]), (x, y) -> x + y) "
-    f"* CAST({_TA_QSH} AS HUGEINT)) // ({{r}}.n * {{a}}.n))"
+    f"* CAST({_TA_QSH} AS HUGEINT)) "
+    "// GREATEST({r}.n * {a}.n, 1))"
 )
 
 
@@ -4691,12 +4702,15 @@ _TA_ARGMAX = (
         FROM (SELECT doc_id, unnest({_TOKENIZE_SQL}) AS w
               FROM documents)
         WHERE w <> '' GROUP BY doc_id, w),
-    vocab AS (SELECT DISTINCT w FROM wc),
+    vocab AS (SELECT w FROM wc GROUP BY w
+              ORDER BY SUM(c) DESC, w LIMIT {_TA_VOCAB_CAP}),
+    wcv AS (SELECT wc.doc_id, wc.w, wc.c
+            FROM wc JOIN vocab USING (w)),
     qp AS (
         SELECT a.w AS wi, b.w AS wj,
                CAST(SUM(CASE WHEN a.w = b.w THEN a.c * (a.c - 1)
                              ELSE a.c * b.c END) AS BIGINT) AS q
-        FROM wc a JOIN wc b USING (doc_id)
+        FROM wcv a JOIN wcv b USING (doc_id)
         GROUP BY a.w, b.w),
     dense AS (
         SELECT vi.w AS wi, vj.w AS wj, COALESCE(qp.q, 0) AS q
@@ -4795,38 +4809,54 @@ def q_topic_anchors(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .collect()
     )
+    import numpy as np
+
     words = sorted({r["wi"] for r in qp_rows})
     v = len(words)
     widx = {w: i for i, w in enumerate(words)}
-    q_mat = [[0] * v for _ in range(v)]
+    # driver-side exact-integer mirror of the oracle.  Dot products
+    # vectorize in int64 numpy without overflow (each term <= FP^2 =
+    # 1.67e7, v <= 4096 terms => dot <= 6.9e10); the final quotient
+    # (dot^2 << 40, ~1e33) runs per-pair in arbitrary-precision
+    # Python ints = DuckDB's HUGEINT path.  Only rawn (sum of raw q^2,
+    # unbounded) stays pure-Python, accumulated sparsely off the
+    # collected pair rows.
+    q_mat = np.zeros((v, v), dtype=np.int64)
+    rawn = [0] * v
     for r in qp_rows:
-        q_mat[widx[r["wi"]]][widx[r["wj"]]] = int(r["q"])
-    # driver-side exact-integer mirror of the oracle (Python ints are
-    # arbitrary precision = DuckDB's HUGEINT path)
-    e_mat = []
-    for i in range(v):
-        m = max(max(q_mat[i]), 1)
-        e_mat.append([(x * _TA_FP) // m for x in q_mat[i]])
-    n_vec = [sum(x * x for x in e_mat[i]) for i in range(v)]
-    rawn = [sum(x * x for x in q_mat[i]) for i in range(v)]
+        qv = int(r["q"])
+        i = widx[r["wi"]]
+        q_mat[i, widx[r["wj"]]] = qv
+        rawn[i] += qv * qv
+    m = np.maximum(q_mat.max(axis=1), 1)
+    e_mat = (q_mat * _TA_FP) // m[:, None]
+    n_vec = (e_mat * e_mat).sum(axis=1)
 
-    def qc(u: int, av: int) -> int:
-        d = sum(e_mat[u][t] * e_mat[av][t] for t in range(v))
-        return (d * d * _TA_QSH) // max(n_vec[u] * n_vec[av], 1)
+    def qc_row(dots: "np.ndarray", u: int, aidx: list[int]) -> list[int]:
+        return [
+            (int(d) * int(d) * _TA_QSH)
+            // max(int(n_vec[u]) * int(n_vec[a_]), 1)
+            for d, a_ in zip(dots, aidx)
+        ]
 
-    anchors = [sorted(range(v), key=lambda i: (-rawn[i], words[i]))[0]]
+    anchors = [
+        sorted(range(v), key=lambda i: (-rawn[i], words[i]))[0]
+    ]
     while len(anchors) < _TA_K:
+        dmat = e_mat @ e_mat[anchors].T  # v x |anchors| int64
         cand = sorted(
-            (max(qc(w_, a_) for a_ in anchors), words[w_], w_)
+            (max(qc_row(dmat[w_], w_, anchors)), words[w_], w_)
             for w_ in range(v)
             if w_ not in anchors
         )
         anchors.append(cand[0][2])
     out_rows = []
     aset = set(anchors)
+    dmat = e_mat @ e_mat[anchors].T
     for w_ in range(v):
         nq, k = sorted(
-            (-qc(w_, a_), k) for k, a_ in enumerate(anchors)
+            (-q_, k)
+            for k, q_ in enumerate(qc_row(dmat[w_], w_, anchors))
         )[0]
         out_rows.append((words[w_], k + 1, w_ in aset, -nq))
     return spark.createDataFrame(
@@ -6227,7 +6257,11 @@ def _shapley_oracle() -> str:
         FROM pred_{s} WHERE rn = 1)""")
 
     def c(mask: tuple[int, ...]) -> str:
-        return f"(SELECT c FROM corr_{_ds_tag(mask)})"
+        # COALESCE: an empty coalition (a source group with no training
+        # docs) aggregates SUM over zero rows to NULL — by the
+        # U(empty)=0 convention its correct-count is 0, matching the
+        # Spark side's explicit guard (ADVICE r9).
+        return f"(SELECT COALESCE(c, 0) FROM corr_{_ds_tag(mask)})"
 
     group_rows = []
     for g in range(3):
@@ -6251,7 +6285,8 @@ def _shapley_oracle() -> str:
            CAST({shap6} AS BIGINT) AS shap6_correct,
            (SELECT n_test FROM corr_012) AS n_test,
            ROUND(CAST({shap6} AS DOUBLE)
-                 / (6.0 * (SELECT n_test FROM corr_012)), 6)
+                 / (6.0 * GREATEST((SELECT n_test FROM corr_012), 1)),
+                 6)
                AS shapley""")
     return f"""
     WITH docs AS MATERIALIZED (
@@ -6395,7 +6430,12 @@ def q_data_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
         util = util.unionAll(u)
     rows = {r["mask"]: r for r in util.collect()}
     n_test = int(rows["012"]["n_test"])
-    cvals = {m: int(rows[_ds_tag(m)]["c"]) for m in masks}
+    # empty coalition => SUM over zero rows is NULL => correct-count 0
+    # by the U(empty)=0 convention (mirrored by the oracle's COALESCE;
+    # ADVICE r9: int(None) used to TypeError here)
+    cvals = {
+        m: int(rows[_ds_tag(m)]["c"] or 0) for m in masks
+    }
     d = d0.select(
         "source",
         (F.ascii(F.substring(F.md5(F.col("source")), 1, 1)) % 3).alias(
@@ -6431,18 +6471,19 @@ def q_data_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             + 2 * (cvals[(0, 1, 2)] - cvals[tuple(sorted(others))])
         )
-        shapley = shap6 / (6.0 * n_test)
+        shapley = shap6 / (6.0 * max(n_test, 1))
         # half-away-from-zero at 6, matching DuckDB ROUND (python
         # round() banker-rounds; shapley can be negative)
         shapley = (
             math.copysign(math.floor(abs(shapley) * 1e6 + 0.5), shapley)
             / 1e6
         )
+        gm = meta.get(g)  # group with zero sources: no groupBy row
         out.append(
             (
                 g,
-                int(meta[g]["n_sources"]),
-                int(meta[g]["n_train_docs"]),
+                int(gm["n_sources"]) if gm else 0,
+                int(gm["n_train_docs"]) if gm else 0,
                 cvals[(g,)],
                 shap6,
                 n_test,

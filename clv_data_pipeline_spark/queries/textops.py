@@ -241,16 +241,27 @@ _BPE_IT_SQL = _bpe_it_sql(_BPE_NUM_MERGES)
 #: fertility oracles — substring candidates over the word-frequency
 #: dict, top-256 multi-char pieces + single-char coverage, log-probs
 #: quantized to exact nano-nat BIGINTs (operators/corpus.unigram_train
-#: applies the identical half-away-from-zero quantization)
+#: applies the identical half-away-from-zero quantization).  TRAINING
+#: words cap at unigram_train's word_cap default (utwords, ORDER BY
+#: freq DESC, word — ADVICE r9: the uncapped CTE silently diverged
+#: past 20k distinct words); SEGMENTATION still covers every distinct
+#: word, so the DP needs the same unknown-single-char fallback the
+#: Python decoder has (_UNK_LOGP, -20 nano-nats) for characters that
+#: only occur in words outside the training cap.
+_UNI_WORD_CAP = 20_000
+_UNI_UNK_LOGP = -20 * 10**9
 _UNI_VOCAB_SQL = f"""
     uwords AS (
         SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS freq
         FROM (SELECT unnest({_TOKENIZE_SQL}) AS w FROM documents)
         WHERE w <> '' GROUP BY w),
+    utwords AS (
+        SELECT word, freq FROM uwords
+        ORDER BY freq DESC, word LIMIT {_UNI_WORD_CAP}),
     usubs AS (
         SELECT substring(word, CAST(i AS INT), CAST(ul AS INT)) AS piece,
                freq, ul
-        FROM uwords,
+        FROM utwords,
              LATERAL (SELECT unnest(range(1, LEAST(length(word), 5) + 1))
                           AS ul),
              LATERAL (SELECT unnest(range(1, length(word) - ul + 2))
@@ -286,12 +297,16 @@ def _uni_best_sql(jx: str) -> str:
         f"list_filter(vc, v -> v.p = substring(ws.word, "
         f"CAST(({jx}) - l + 1 AS INT), CAST(l AS INT)))"
     )
+    lp = (
+        f"(CASE WHEN len({look}) > 0 THEN {look}[1].lp "
+        f"ELSE CAST({_UNI_UNK_LOGP} AS BIGINT) END)"
+    )
     return (
         "list_sort(list_transform("
         f"list_filter(range(1, LEAST(5, {jx}) + 1),"
-        f" l -> len({look}) > 0),"
+        f" l -> len({look}) > 0 OR l = 1),"
         " l -> struct_pack("
-        f"s := -(ws.dp[CAST(({jx}) - l AS INT) + 1] + {look}[1].lp),"
+        f"s := -(ws.dp[CAST(({jx}) - l AS INT) + 1] + {lp}),"
         " nl := -l,"
         f" k := ws.kp[CAST(({jx}) - l AS INT) + 1] + 1)))[1]"
     )

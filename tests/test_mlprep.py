@@ -465,3 +465,46 @@ def test_data_shapley_efficiency_property(spark):
             / 1e6
         )
         assert r["shapley"] == expect, r
+
+
+def test_data_shapley_empty_group_parity(spark, tmp_path):
+    """ADVICE r9: a corpus whose sources hash into only 2 of the 3
+    groups used to crash on BOTH sides (int(None) TypeError on Spark,
+    ln(x/0) + NULL shap6 in DuckDB, meta KeyError).  With the
+    U(empty)=0 guards the empty group must value to exactly 0 and the
+    two engines must still agree row for row."""
+    import pandas as pd
+
+    from clv_data_pipeline_spark.registry import all_queries
+    from tests.oracle import check_query
+
+    # md5-first-hex-char % 3: 'code' -> group 0, 'books' -> group 1;
+    # no source lands in group 2.
+    texts = {
+        "en": "the cat sat on the mat and the dog ran",
+        "de": "der hund lief schnell durch den wald heute",
+    }
+    rows = []
+    for i in range(1, 41):
+        lang = "en" if i % 2 == 0 else "de"
+        rows.append(
+            {
+                "doc_id": i,
+                "text": texts[lang] + f" extra{i % 5}",
+                "lang": lang,
+                "source": "code" if i % 3 == 0 else "books",
+                "n_chars": 40,
+            }
+        )
+    pdf = pd.DataFrame(rows)
+    pdf.to_parquet(tmp_path / "documents.parquet", index=False)
+    check_query(spark, "q_data_shapley", str(tmp_path))
+    out = {
+        r["grp"]: r
+        for r in all_queries()["q_data_shapley"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert out[2]["n_sources"] == 0
+    assert out[2]["n_train_docs"] == 0
+    assert out[2]["solo_correct"] == 0
