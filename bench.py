@@ -412,6 +412,54 @@ ARTIFACT_WARMUP = (
 )
 
 
+def _calibrate(spark) -> dict[str, float]:
+    """Fixed-workload box-speed probe, best-of-3 per component.
+
+    BENCH_r09 recorded +16% on every frozen subset at once — including
+    queries whose code had not changed since r8 — which is the
+    signature of ambient box slowness (co-tenant load, page cache,
+    cpu throttling), not plan regressions.  A recorded total can only
+    defend itself if the SAME file carries a box-speed reference, so
+    every snapshot now embeds three probes chosen to cover the three
+    execution substrates whose speed can drift independently:
+    ``jvm`` (whole-stage-codegen arithmetic), ``shuffle`` (exchange +
+    hash agg), ``python`` (Arrow + pandas-UDF worker round-trip).
+    Compare probes across BENCH_r*.json before attributing a total
+    delta to code."""
+    import time as _t
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _inc(s: pd.Series) -> pd.Series:
+        return s + 1
+
+    probes = {
+        "jvm": lambda: spark.range(100_000_000)
+        .select(F.sum((F.col("id") * 2 + 1) % 97))
+        .collect(),
+        "shuffle": lambda: spark.range(10_000_000)
+        .groupBy((F.col("id") % 100_000).alias("k"))
+        .count()
+        .select(F.sum("count"))
+        .collect(),
+        "python": lambda: spark.range(2_000_000)
+        .select(F.sum(_inc(F.col("id"))))
+        .collect(),
+    }
+    out = {}
+    for name, fn in probes.items():
+        best = float("inf")
+        for _ in range(3):
+            t0 = _t.perf_counter()
+            fn()
+            best = min(best, _t.perf_counter() - t0)
+        out[name] = round(best, 3)
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -441,6 +489,8 @@ def main() -> None:
     queries["q_ann_ivf"](spark, "/root/testdata/sf0.001").count()
     queries["q_clv_scores"](spark, "/root/testdata/sf0.001").count()
     spark.range(1_000_000).select(F_sum_id()).count()
+
+    calib_start = _calibrate(spark)
 
     # Best-of-N per query (default 3): single-shot timing at sf0.1 has
     # ~0.1-0.4 s of noise (GC, JIT, page-cache state) that masquerades
@@ -497,6 +547,10 @@ def main() -> None:
         # untimed pass building keyed artifacts (stored models/indexes)
         # before the timed reps — timings measure the warm path
         "artifact_warmup_sec": warm_sec,
+        # fixed-workload box-speed probes (see _calibrate): compare
+        # across rounds BEFORE attributing a total delta to code
+        "calib_start": calib_start,
+        "calib_end": _calibrate(spark),
     }
     # The headline set GROWS as operators land (r4 added q_dedup_lines
     # and q_corpus_curate), so the raw total is not comparable across
