@@ -110,3 +110,51 @@ def test_portable_twin_aligns_with_numpy_pc1(spark):
     assert proj.std() > 0
     corr = abs(float(np.corrcoef(proj, pc1)[0, 1]))
     assert corr >= 0.9, corr
+
+
+def test_pca_project_basis_aligns_with_numpy(spark):
+    """GRADUATED q_pca_project (round 10): the 4-component deflating
+    integer fit must land near the true leading eigenbasis or the
+    oracle verifies a vacuous mechanism.  The synthetic embeddings
+    have a nearly FLAT spectrum (top-8 eigenvalue shares 0.14..0.11
+    at sf0.001), so per-component identity is only well-posed for the
+    leading components; deeper ones live in a near-degenerate shell
+    where any rotation is equally principal.  Floors measured on that
+    geometry: |correlation| with the matching numpy PC >= 0.95/0.8/
+    0.75 for PC1-3; PC4 must lie in the numpy top-8 subspace with
+    R^2 >= 0.85 AND be essentially PC1-free (|corr| <= 0.2); every
+    component non-constant; integer directions near-orthogonal
+    (|cos| <= 0.25) — an exact-deflation mechanism property."""
+    from itertools import combinations
+
+    from clv_data_pipeline_spark.registry import all_queries
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    ids, x = _collect_matrix(emb)
+    mu_n, w_n, _ = _numpy_pca(x, 8)
+    ref = (x - mu_n) @ w_n[:, :8]
+
+    rows = all_queries()["q_pca_project"](spark, SF_SMOKE).collect()
+    got = {r["vec_id"]: [r[f"pc{c + 1}"] for c in range(4)] for r in rows}
+    proj = np.array([got[i] for i in ids], dtype=np.float64)
+    for c, floor in enumerate([0.95, 0.8, 0.75]):
+        assert proj[:, c].std() > 0, c
+        corr = abs(float(np.corrcoef(proj[:, c], ref[:, c])[0, 1]))
+        assert corr >= floor, (c, corr)
+    # PC4: inside the top-8 shell, orthogonal to PC1
+    p4 = proj[:, 3]
+    assert p4.std() > 0
+    coef, res, *_ = np.linalg.lstsq(ref, p4 - p4.mean(), rcond=None)
+    sse = (
+        float(res[0])
+        if len(res)
+        else float((((p4 - p4.mean()) - ref @ coef) ** 2).sum())
+    )
+    r2 = 1.0 - sse / float(((p4 - p4.mean()) ** 2).sum())
+    assert r2 >= 0.85, r2
+    assert abs(float(np.corrcoef(p4, ref[:, 0])[0, 1])) <= 0.2
+    # the integer directions themselves: near-orthogonal after the
+    # three deflations
+    u = proj / np.linalg.norm(proj, axis=0)
+    for a, b in combinations(range(4), 2):
+        assert abs(float(u[:, a] @ u[:, b])) <= 0.25, (a, b)

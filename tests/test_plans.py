@@ -449,10 +449,15 @@ def test_tree_paths_uses_hash_joins(spark):
     assert "CartesianProduct" not in plan
 
 
-def test_pca_projection_is_arrow_only(spark):
+def test_pca_projection_is_jvm_only(spark):
+    """GRADUATED q_pca_project projects via zip_with against broadcast
+    integer literals — the per-row path must be pure JVM (no Python
+    worker of any kind); the one Arrow pass lives in the FIT job
+    (_pca_int_stats), not in the returned plan."""
     plan = plan_of(spark, "q_pca_project")
     assert "BatchEvalPython" not in plan
-    assert "MapInPandas" in plan or "ArrowEvalPython" in plan
+    assert "MapInPandas" not in plan
+    assert "ArrowEvalPython" not in plan
 
 
 def test_q_bucketed_join_plan_is_exchange_free(spark):
