@@ -238,6 +238,8 @@ HEADLINE = [
     "q_evalue",
     # round 8 (additions frozen by design; the one exception)
     "q_ann_lsh_portable",
+    # round 10 additions
+    "q_dedup_substring_chars",
     # round 9 additions
     "q_ann_ivf_portable",
     "q_min_pieces_tokenize",

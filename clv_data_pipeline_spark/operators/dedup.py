@@ -106,6 +106,82 @@ def substring_duplicate_windows(
     )
 
 
+def substring_duplicate_char_windows(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    width: int = 120,
+    stride: int = 4,
+) -> DataFrame:
+    """CHARACTER-window exact-substring dedup — the fine tier below
+    :func:`substring_duplicate_windows`: flag every document sharing a
+    verbatim ``>= width + stride - 1``-char normalized span with an
+    earlier (smaller-id) document.  The 50-token window cannot see
+    verbatim spans in the ~20-49-token range (the round-9 eval
+    harness measured its recall at 0.478 against a 120-char
+    suffix-array truth); md5-hashed ``width``-char windows at char
+    stride ``stride`` close exactly that gap: any common normalized
+    span of length >= width + stride - 1 contains an aligned window
+    on both sides, so detection is GUARANTEED above that length, and
+    a shared window IS a >= width-char verbatim span, so precision is
+    1.0 by construction (modulo md5 collisions).
+
+    Same scale shape as the token tier: O(total chars / stride) grams
+    from pure column expressions, ONE shuffle on 16-byte hashes to
+    elect each gram's keeper, one re-join + per-doc aggregate —
+    nothing pairwise, skew bounded (m sharers cost m rows).  Stride
+    trades shuffle volume against the detection floor: stride 1 makes
+    the floor exactly ``width`` at ~5x the token tier's gram count;
+    the default 4 floors at width+3 chars for a quarter of that.
+
+    Returns one row per doc with >= 1 full window: ``doc_id,
+    n_windows, dup_windows, dup_ratio, substring_dup``.
+    """
+    t = df.select(
+        F.col(id_col), normalize_text(F.col(text_col)).alias("_t")
+    ).withColumn("_n", F.length("_t"))
+    grams = (
+        t.filter(F.col("_n") >= width)
+        .select(
+            id_col,
+            F.explode(
+                F.sequence(
+                    F.lit(1),
+                    F.col("_n") - F.lit(width - 1),
+                    F.lit(stride),
+                )
+            ).alias("_i"),
+            "_t",
+        )
+        .select(
+            id_col,
+            F.md5(
+                F.expr(f"substring(_t, _i, {width})").cast("binary")
+            ).alias("_g"),
+        )
+    )
+    keepers = grams.groupBy("_g").agg(F.min(id_col).alias("_keeper"))
+    return (
+        grams.join(keepers, "_g")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_windows"),
+            F.sum(
+                (F.col(id_col) > F.col("_keeper")).cast("long")
+            ).alias("dup_windows"),
+        )
+        .select(
+            id_col,
+            "n_windows",
+            "dup_windows",
+            F.round(
+                F.col("dup_windows") / F.col("n_windows"), 6
+            ).alias("dup_ratio"),
+            (F.col("dup_windows") > 0).alias("substring_dup"),
+        )
+    )
+
+
 def _substring_grams(
     df: DataFrame, text_col: str, id_col: str, window: int
 ) -> DataFrame:

@@ -3369,29 +3369,190 @@ def q_bootstrap_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_als_recommend")  # rows-only: iterative factorization
-def q_als_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ALS matrix-factorization recommendations — the canonical
-    collaborative-filtering workload, trained in-engine from first
-    principles (operators/recsys.py): user x brand implicit feedback
-    (log1p of purchase-line counts from lineitem x part x orders),
-    4 alternating half-iterations, then each user's TOP UNPURCHASED
-    brand by factor dot product — the next-best-offer column a CRM
-    pipeline joins onto the CLV scores.
+# --- portable exact-integer ALS (GRADUATED q_als_recommend/q_als_eval) ---
+_ALS_FQ = 512                       # factor fixed-point scale (init range)
+_ALS_RQ = 1024                      # rating quantization: ROUND(ln(1+c)*1024)
+_ALS_L = (_ALS_FQ * _ALS_FQ) // 10  # integer ridge == reg ~0.1 in nat units
+_ALS_ASCALE = 1 << 20               # normal-equation rescale bound
+_ALS_CLAMP = 4096                   # factor saturation bound (8*FQ)
+_ALS_K = 4                          # latent dimensions
+_ALS_ITEM_CAP = 1000                # broadcast-item path guard (brands: 25)
 
-    Scale shapes are split by side: the item step joins the BIG
-    user-factor table to interactions (hash shuffle, holds at 1B
-    users) while the user step broadcasts the tiny item matrix; the
-    recommendation scan is map-only with the item matrix broadcast.
-    Monotone objective descent and rerun determinism are pinned in
-    tests/test_mlprep.py."""
+_ALS_UPPER = [(i, j) for i in range(1, 5) for j in range(i, 5)]
+
+
+def _als_y0(item: str, f: int) -> int:
+    """md5-seeded deterministic init in [-FQ, FQ] — same arithmetic as
+    the oracle's ('0x' || substr(md5(it || '|f|als'), 1, 4))::BIGINT
+    % (2*FQ + 1) - FQ (both operands nonnegative, so Python % and
+    DuckDB % agree)."""
+    import hashlib
+
+    h = int(
+        hashlib.md5(f"{item}|{f}|als".encode()).hexdigest()[:4], 16
+    )
+    return h % (2 * _ALS_FQ + 1) - _ALS_FQ
+
+
+def _als_signdiv(a: int, d: int) -> int:
+    """Truncate-toward-zero division with explicit sign split — the
+    //-on-magnitudes idiom every portable kernel here shares, valid
+    for either sign of numerator or denominator."""
+    s = 1 if (a >= 0) == (d >= 0) else -1
+    return s * (abs(a) // abs(d))
+
+
+def _det4_int(m: list[list[int]]) -> int:
+    """Exact 4x4 determinant by cofactor expansion (Python ints)."""
+    def det3(a):
+        return (
+            a[0][0] * (a[1][1] * a[2][2] - a[1][2] * a[2][1])
+            - a[0][1] * (a[1][0] * a[2][2] - a[1][2] * a[2][0])
+            + a[0][2] * (a[1][0] * a[2][1] - a[1][1] * a[2][0])
+        )
+
+    tot = 0
+    for c in range(4):
+        minor = [
+            [m[r][cc] for cc in range(4) if cc != c]
+            for r in range(1, 4)
+        ]
+        tot += (1 if c % 2 == 0 else -1) * m[0][c] * det3(minor)
+    return tot
+
+
+def _als_solve(arow: list[int], b: list[int]) -> list[int]:
+    """One exact-integer ridge solve: rescale (A|b) jointly to
+    |entries| <= ASCALE by truncated division, Cramer with exact
+    determinants, x_f = trunc(FQ^2 * N_f / (RQ * D)) saturated to
+    [-CLAMP, CLAMP]; a (truncation-)singular system deterministically
+    yields the zero vector.  ``arow`` is the 10 upper-triangular
+    entries of A with the ridge already on the diagonal."""
+    m = [[0] * 4 for _ in range(4)]
+    for (i, j), v in zip(_ALS_UPPER, arow):
+        m[i - 1][j - 1] = m[j - 1][i - 1] = v
+    mx = max(max(abs(x) for x in arow), max(abs(x) for x in b), 1)
+    dnm = mx // _ALS_ASCALE + 1
+    mp = [[_als_signdiv(m[i][j], dnm) for j in range(4)] for i in range(4)]
+    bp = [_als_signdiv(x, dnm) for x in b]
+    dd = _det4_int(mp)
+    if dd == 0:
+        return [0, 0, 0, 0]
+    out = []
+    for f in range(4):
+        mf = [
+            [bp[i] if j == f else mp[i][j] for j in range(4)]
+            for i in range(4)
+        ]
+        x = _als_signdiv(
+            _ALS_FQ * _ALS_FQ * _det4_int(mf), _ALS_RQ * dd
+        )
+        out.append(max(-_ALS_CLAMP, min(_ALS_CLAMP, x)))
+    return out
+
+
+def _als_ydf(spark: SparkSession, Y: dict[str, list[int]]) -> DataFrame:
+    return spark.createDataFrame(
+        [(it, *v) for it, v in sorted(Y.items())],
+        "it string, y1 long, y2 long, y3 long, y4 long",
+    )
+
+
+def _als_agg_cols(fcol: str, rcol: str = "rq") -> list:
+    """The 14 sufficient-stat aggregates of one half-step: 10 upper
+    Gram sums (ridge on the diagonal) + 4 rating-weighted sums."""
+    cols = []
+    for i, j in _ALS_UPPER:
+        e = F.sum(F.col(f"{fcol}{i}") * F.col(f"{fcol}{j}"))
+        if i == j:
+            e = e + F.lit(_ALS_L)
+        cols.append(e.alias(f"a{i}{j}"))
+    for f in range(1, 5):
+        cols.append(
+            F.sum(F.col(rcol) * F.col(f"{fcol}{f}")).alias(f"b{f}")
+        )
+    return cols
+
+
+def _als_user_step(rq_df: DataFrame, ydf: DataFrame) -> DataFrame:
     import pandas as pd
 
-    from clv_data_pipeline_spark.operators.recsys import als_fit_cached
-    from clv_data_pipeline_spark.registry import ensure_worker_imports
-    from clv_data_pipeline_spark.sources.io import source_key
+    g = rq_df.join(F.broadcast(ydf), "it").groupBy("u").agg(
+        *_als_agg_cols("y")
+    )
 
-    ensure_worker_imports(spark)
+    def _solve_rows(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            xs = [
+                _als_solve(
+                    [int(pdf[f"a{i}{j}"].iloc[r]) for i, j in _ALS_UPPER],
+                    [int(pdf[f"b{f}"].iloc[r]) for f in range(1, 5)],
+                )
+                for r in range(len(pdf))
+            ]
+            out = pd.DataFrame(xs, columns=["x1", "x2", "x3", "x4"])
+            out.insert(0, "u", pdf["u"].values)
+            yield out
+
+    return g.mapInPandas(
+        _solve_rows, "u long, x1 long, x2 long, x3 long, x4 long"
+    )
+
+
+def _als_item_step(
+    rq_df: DataFrame, xdf: DataFrame, items: list[str]
+) -> dict[str, list[int]]:
+    rows = (
+        rq_df.join(xdf, "u")
+        .groupBy("it")
+        .agg(*_als_agg_cols("x"))
+        .collect()
+    )
+    Y = {
+        r["it"]: _als_solve(
+            [int(r[f"a{i}{j}"]) for i, j in _ALS_UPPER],
+            [int(r[f"b{f}"]) for f in range(1, 5)],
+        )
+        for r in rows
+    }
+    for it in items:  # unrated items keep a zero factor (unreachable
+        Y.setdefault(it, [0, 0, 0, 0])  # when items derive from rq_df)
+    return Y
+
+
+def _als_portable_fit(
+    spark: SparkSession, rq_df: DataFrame
+) -> tuple[DataFrame, dict[str, list[int]], DataFrame]:
+    """2 alternations (x1=U(y0), y1=I(x1), x2=U(y1), y2=I(x2)) of the
+    exact-integer half-step; returns (x2 frame, y2 dict, pinned
+    ratings).  Item factors cross the driver (the als_fit broadcast
+    path — bounded item vocabularies; _ALS_ITEM_CAP guards the
+    contract loudly); user factors never do."""
+    rq_df = rq_df.localCheckpoint(eager=True)
+    items = sorted(
+        r["it"] for r in rq_df.select("it").distinct().collect()
+    )
+    if len(items) > _ALS_ITEM_CAP:
+        raise ValueError(
+            f"als portable kernel: {len(items)} items exceeds the "
+            f"broadcast-item cap {_ALS_ITEM_CAP}; use operators/"
+            f"recsys.als_fit_joined for open item spaces"
+        )
+    Y = {
+        it: [_als_y0(it, f) for f in range(1, 5)] for it in items
+    }
+    xdf = None
+    for _ in range(2):
+        xdf = _als_user_step(rq_df, _als_ydf(spark, Y)).localCheckpoint(
+            eager=True
+        )
+        Y = _als_item_step(rq_df, xdf, items)
+    return xdf, Y, rq_df
+
+
+def _als_ratings_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey"
     )
@@ -3399,59 +3560,290 @@ def q_als_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
     od = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey"
     )
-    ratings = (
+    return (
         li.join(F.broadcast(pt), li["l_partkey"] == pt["p_partkey"])
         .join(od, li["l_orderkey"] == od["o_orderkey"])
         .groupBy(
-            F.col("o_custkey").alias("user"),
-            F.col("p_brand").alias("item"),
+            F.col("o_custkey").alias("u"),
+            F.col("p_brand").alias("it"),
         )
-        .agg(F.log1p(F.count("*")).alias("rating"))
-    ).localCheckpoint(eager=True)
-    # stored-model lifecycle: train once per source version, then every
-    # later call (bench reps, repeated driver runs) scores against the
-    # published factor tables — the production split of train vs serve
-    uf, Y = als_fit_cached(
-        ratings,
-        key=source_key(sf_dir, "lineitem"),
-        k=8, iters=4, reg=0.1,
-    )
-    seen = ratings.groupBy("user").agg(
-        F.collect_set("item").alias("seen")
-    )
-    bc = spark.sparkContext.broadcast(
-        {i: v.tolist() for i, v in Y.items()}
+        .agg(
+            F.round(F.log(F.count("*") + F.lit(1.0)) * _ALS_RQ, 0)
+            .cast("long")
+            .alias("rq")
+        )
     )
 
-    def _rec(batches):
-        import numpy as np
 
-        yb = {i: np.array(v) for i, v in bc.value.items()}
-        names = sorted(yb)
-        M = np.stack([yb[n] for n in names])
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            out_u, out_b, out_s = [], [], []
-            for u, vec, sn in zip(pdf["user"], pdf["uf"], pdf["seen"]):
-                scores = M @ np.array(vec)
-                mask = np.array([n in set(sn) for n in names])
-                scores = np.where(mask, -np.inf, scores)
-                j = int(np.argmax(scores))
-                out_u.append(u)
-                out_b.append(names[j])
-                out_s.append(round(float(scores[j]), 6))
-            yield pd.DataFrame(
-                {"user_id": out_u, "brand": out_b, "score": out_s}
-            )
+def _als_det4_sql(m) -> str:
+    """24-term permutation expansion of a 4x4 determinant over SQL
+    column expressions; ``m(i, j)`` names the (i, j) entry."""
+    from itertools import permutations
 
+    terms = []
+    for p in permutations(range(4)):
+        inv = sum(
+            1 for a in range(4) for b in range(a + 1, 4) if p[a] > p[b]
+        )
+        fac = " * ".join(m(i, p[i]) for i in range(4))
+        terms.append(("+ " if inv % 2 == 0 else "- ") + fac)
+    return "(" + " ".join(terms) + ")"
+
+
+def _als_solve_sql(src: str, key: str, pfx: str, out_f: str) -> str:
+    """Two CTEs replaying _als_solve for every row of ``src`` (which
+    carries ``key``, a11..a44, b1..b4): ``{pfx}p`` rescales (A|b)
+    jointly into HUGEINT c/d columns, ``{pfx}x`` emits the clamped
+    Cramer solution as {out_f}1..{out_f}4."""
+    absl = ", ".join(f"ABS(a{i}{j})" for i, j in _ALS_UPPER)
+    absb = ", ".join(f"ABS(b{f})" for f in range(1, 5))
+    prim = ",\n           ".join(
+        f"CAST(CASE WHEN a{i}{j} >= 0 THEN a{i}{j} // dnm "
+        f"ELSE -((-a{i}{j}) // dnm) END AS HUGEINT) AS c{i}{j}"
+        for i, j in _ALS_UPPER
+    )
+    primb = ",\n           ".join(
+        f"CAST(CASE WHEN b{f} >= 0 THEN b{f} // dnm "
+        f"ELSE -((-b{f}) // dnm) END AS HUGEINT) AS d{f}"
+        for f in range(1, 5)
+    )
+
+    def c(i, j):
+        return f"c{min(i, j) + 1}{max(i, j) + 1}"
+
+    dd = _als_det4_sql(c)
+    nums = ",\n               ".join(
+        _als_det4_sql(
+            lambda i, j, f=f: f"d{i + 1}" if j == f else c(i, j)
+        )
+        + f" AS n{f + 1}"
+        for f in range(4)
+    )
+    fq2, rq, cl = _ALS_FQ * _ALS_FQ, _ALS_RQ, _ALS_CLAMP
+    xcols = ",\n           ".join(
+        f"CASE WHEN dd = 0 THEN CAST(0 AS BIGINT) ELSE "
+        f"CAST(LEAST(GREATEST("
+        f"CASE WHEN ({fq2} * n{f} >= 0) = (dd >= 0) "
+        f"THEN ABS({fq2} * n{f}) // ABS({rq} * dd) "
+        f"ELSE -(ABS({fq2} * n{f}) // ABS({rq} * dd)) END, "
+        f"-{cl}), {cl}) AS BIGINT) END AS {out_f}{f}"
+        for f in range(1, 5)
+    )
+    return f"""
+    {pfx}p AS (
+        SELECT {key},
+           {prim},
+           {primb}
+        FROM (SELECT *, GREATEST({absl}, {absb}, 1)
+                        // {_ALS_ASCALE} + 1 AS dnm
+              FROM {src})),
+    {pfx}x AS (
+        SELECT {key},
+           {xcols}
+        FROM (SELECT {key}, {dd} AS dd,
+               {nums}
+              FROM {pfx}p) z)"""
+
+
+def _als_step_sql(train: str, n: int, ytab: str) -> str:
+    """One full alternation n: user aggregate+solve (ua{n}/uq{n}p/
+    uq{n}x) against item table ``ytab`` (cols y1..y4), then item
+    aggregate+solve (ia{n}/iq{n}p/iq{n}x) against the fresh user
+    factors, renamed to iy{n} (cols y1..y4)."""
+    ua_a = ",\n           ".join(
+        f"CAST(SUM(y.y{i} * y.y{j})"
+        + (f" + {_ALS_L}" if i == j else "")
+        + f" AS BIGINT) AS a{i}{j}"
+        for i, j in _ALS_UPPER
+    )
+    ua_b = ",\n           ".join(
+        f"CAST(SUM(t.rq * y.y{f}) AS BIGINT) AS b{f}"
+        for f in range(1, 5)
+    )
+    ia_a = ",\n           ".join(
+        f"CAST(SUM(x.x{i} * x.x{j})"
+        + (f" + {_ALS_L}" if i == j else "")
+        + f" AS BIGINT) AS a{i}{j}"
+        for i, j in _ALS_UPPER
+    )
+    ia_b = ",\n           ".join(
+        f"CAST(SUM(t.rq * x.x{f}) AS BIGINT) AS b{f}"
+        for f in range(1, 5)
+    )
+    return f"""
+    ua{n} AS (
+        SELECT t.u,
+           {ua_a},
+           {ua_b}
+        FROM {train} t JOIN {ytab} y USING (it) GROUP BY t.u),
+    {_als_solve_sql(f"ua{n}", "u", f"uq{n}", "x").strip()},
+    ia{n} AS (
+        SELECT t.it,
+           {ia_a},
+           {ia_b}
+        FROM {train} t JOIN uq{n}x x USING (u) GROUP BY t.it),
+    {_als_solve_sql(f"ia{n}", "it", f"iq{n}", "x").strip()},
+    iy{n} AS (SELECT it, x1 AS y1, x2 AS y2, x3 AS y3, x4 AS y4
+              FROM iq{n}x)"""
+
+
+_ALS_RATIN_SQL = f"""
+    ratin AS MATERIALIZED (
+        SELECT o.o_custkey AS u, p.p_brand AS it,
+               CAST(ROUND(ln(1 + COUNT(*)) * {_ALS_RQ}.0, 0)
+                    AS BIGINT) AS rq
+        FROM lineitem l
+        JOIN part p ON l.l_partkey = p.p_partkey
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_custkey, p.p_brand)"""
+
+_ALS_Y0_COLS = ",\n           ".join(
+    f"CAST(('0x' || substr(md5(it || '|{f}|als'), 1, 4))::BIGINT "
+    f"% {2 * _ALS_FQ + 1} - {_ALS_FQ} AS BIGINT) AS y{f}"
+    for f in range(1, 5)
+)
+
+
+def _als_recommend_oracle() -> str:
+    return f"""
+    WITH {_ALS_RATIN_SQL.strip()},
+    train AS (SELECT * FROM ratin),
+    items AS (SELECT DISTINCT it FROM train),
+    y0 AS (SELECT it,
+           {_ALS_Y0_COLS}
+        FROM items),
+    {_als_step_sql("train", 1, "y0").strip()},
+    {_als_step_sql("train", 2, "iy1").strip()},
+    cand AS (
+        SELECT x.u, y.it,
+               x.x1 * y.y1 + x.x2 * y.y2 + x.x3 * y.y3 + x.x4 * y.y4
+                   AS dot
+        FROM uq2x x CROSS JOIN iy2 y
+        LEFT JOIN train t ON t.u = x.u AND t.it = y.it
+        WHERE t.u IS NULL)
+    SELECT u AS user_id, it AS brand, CAST(dot AS BIGINT) AS score_q
+    FROM (SELECT u, it, dot,
+                 ROW_NUMBER() OVER (PARTITION BY u
+                     ORDER BY dot DESC, it) AS rn
+          FROM cand) r
+    WHERE rn = 1
+    """
+
+
+def _als_eval_oracle() -> str:
+    return f"""
+    WITH {_ALS_RATIN_SQL.strip()},
+    hold AS (
+        SELECT u, it FROM (
+            SELECT u, it,
+                   ROW_NUMBER() OVER (PARTITION BY u
+                       ORDER BY md5(CAST(u AS VARCHAR) || '|' || it)
+                           DESC) AS rn,
+                   COUNT(*) OVER (PARTITION BY u) AS cnt
+            FROM ratin) h
+        WHERE rn = 1 AND cnt >= 2),
+    train AS MATERIALIZED (
+        SELECT r.* FROM ratin r
+        LEFT JOIN hold h ON h.u = r.u AND h.it = r.it
+        WHERE h.u IS NULL),
+    items AS (SELECT DISTINCT it FROM train),
+    y0 AS (SELECT it,
+           {_ALS_Y0_COLS}
+        FROM items),
+    {_als_step_sql("train", 1, "y0").strip()},
+    {_als_step_sql("train", 2, "iy1").strip()},
+    cand AS (
+        SELECT x.u, y.it,
+               x.x1 * y.y1 + x.x2 * y.y2 + x.x3 * y.y3 + x.x4 * y.y4
+                   AS dot
+        FROM uq2x x CROSS JOIN iy2 y
+        LEFT JOIN train t ON t.u = x.u AND t.it = y.it
+        WHERE t.u IS NULL),
+    ranked AS (
+        SELECT u, it,
+               ROW_NUMBER() OVER (PARTITION BY u
+                   ORDER BY dot DESC, it) AS rn,
+               COUNT(*) OVER (PARTITION BY u) AS nuns
+        FROM cand),
+    hit AS (SELECT h.u, r.rn, r.nuns
+            FROM hold h JOIN ranked r ON r.u = h.u AND r.it = h.it)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           ROUND(CAST(SUM(CASE WHEN rn <= 5 THEN 1 ELSE 0 END)
+                      AS DOUBLE) / GREATEST(COUNT(*), 1), 6)
+               AS hit_rate_5,
+           ROUND(CAST(SUM(CAST(ROUND(CAST(1 AS DOUBLE) / rn, 9)
+                              AS DECIMAL(18,9))) AS DOUBLE)
+                 / GREATEST(COUNT(*), 1), 6) AS mrr,
+           ROUND(CAST(SUM(CAST(ROUND(LEAST(CAST(1 AS DOUBLE),
+                                           CAST(5 AS DOUBLE) / nuns),
+                                     9) AS DECIMAL(18,9))) AS DOUBLE)
+                 / GREATEST(COUNT(*), 1), 6) AS random_baseline
+    FROM hit
+    """
+
+
+@query("q_als_recommend", oracle=_als_recommend_oracle())
+def q_als_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALS matrix-factorization recommendations — the canonical
+    collaborative-filtering workload: user x brand implicit feedback
+    (quantized ln(1+purchase-line-count) from lineitem x part x
+    orders), 2 exact alternations, then each user's TOP UNPURCHASED
+    brand by factor dot product — the next-best-offer column a CRM
+    pipeline joins onto the CLV scores.
+
+    GRADUATED (round 10, was "rows-only: iterative factorization"):
+    the fit is an EXACT-INTEGER ALS — md5-seeded item factors in
+    [-512, 512], ratings quantized to ROUND(ln(1+c)*1024), and each
+    ridge half-step solved by Cramer on the jointly-rescaled normal
+    equations (A|b truncated to |entries| <= 2^20, 24-term exact
+    determinants, x = trunc(FQ^2*N_f/(RQ*D)) saturated to +-4096).
+    The rescale-before-solve is what makes the kernel SCALE-FREE: A
+    grows with a user's (or item's) observation count, but the
+    truncated division renormalizes it into a fixed integer box, so
+    every determinant stays inside HUGEINT at ANY corpus size.  The
+    DuckDB oracle replays all four half-steps (generated 4x4 Cramer
+    SQL) and the anti-join + argmax recommendation; a hash match
+    proves init, quantization, both solve shapes, saturation, and
+    tie-breaks end to end.  The float production ALS (k=8 normal-
+    equation solves, monotone-descent-pinned) remains in operators/
+    recsys.py for callers that want unquantized factors — the
+    q_pca_project graduation trade.
+
+    Scale shapes split by side exactly as before: the user step
+    broadcasts the tiny item matrix (bounded vocabularies; the
+    _ALS_ITEM_CAP guard names als_fit_joined for open item spaces)
+    and solves per-user rows in one Arrow pass; the item step joins
+    the BIG user-factor table to interactions (hash shuffle, holds at
+    1B users) and only item-grain sufficient stats cross the driver;
+    the recommendation is a cross join against <= 25 broadcast brand
+    rows, anti-joined on purchases, one per-user window."""
+    from clv_data_pipeline_spark.registry import ensure_worker_imports
+
+    ensure_worker_imports(spark)
+    rq = _als_ratings_q(spark, sf_dir)
+    xdf, Y, rq_c = _als_portable_fit(spark, rq)
+    ydf = _als_ydf(spark, Y)
+    dot = sum(
+        F.col(f"x{f}") * F.col(f"y{f}") for f in range(1, 5)
+    ).alias("dot")
+    cand = (
+        xdf.crossJoin(F.broadcast(ydf))
+        .select("u", "it", dot)
+        .join(rq_c.select("u", "it"), ["u", "it"], "left_anti")
+    )
+    w = Window.partitionBy("u").orderBy(F.desc("dot"), "it")
     return (
-        uf.join(seen, "user")
-        .mapInPandas(_rec, "user_id long, brand string, score double")
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("u").cast("long").alias("user_id"),
+            F.col("it").alias("brand"),
+            F.col("dot").cast("long").alias("score_q"),
+        )
     )
 
 
-@query("q_als_eval")  # rows-only: trained-model eval
+@query("q_als_eval", oracle=_als_eval_oracle())
 def q_als_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leave-one-out evaluation of the ALS recommender (hit-rate@5,
     MRR, and the random baseline E[min(1, 5/|unseen|)] the hit rate
@@ -3461,40 +3853,82 @@ def q_als_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     lands at ~the random baseline — which is the honest answer, and
     exactly what the harness should say about structureless data.
     The POSITIVE control lives in tests/test_mlprep.py: on planted
-    block-preference data the same harness reports hit-rate >> the
-    baseline, proving the metric detects structure when it exists.
-    Holdout choice is max md5 of (user, item) — an unbiased,
-    reproducible draw."""
-    from clv_data_pipeline_spark.operators.recsys import (
-        als_leave_one_out,
-    )
+    block-preference data both the float and the portable integer
+    kernels report hit-rate >> the baseline, proving the metric (and
+    the integer fit) detects structure when it exists.  Holdout
+    choice is max md5(user || '|' || item) — an unbiased,
+    reproducible draw.
+
+    GRADUATED (round 10, was "rows-only: trained-model eval"): the
+    fit is the q_als_recommend exact-integer kernel trained on
+    ratings-minus-holdout, the holdout ranks among the user's unseen
+    brands by exact integer dot product, and hit/MRR/baseline
+    aggregate through ROUND(.,9)-quantized DECIMAL sums — the DuckDB
+    oracle replays holdout selection, the four Cramer half-steps, the
+    ranking, and all three metrics bit for bit."""
     from clv_data_pipeline_spark.registry import ensure_worker_imports
-    from clv_data_pipeline_spark.sources.io import source_key
 
     ensure_worker_imports(spark)
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_partkey"
+    ratin = _als_ratings_q(spark, sf_dir).localCheckpoint(eager=True)
+    hw = Window.partitionBy("u").orderBy(
+        F.desc(F.md5(F.concat(F.col("u").cast("string"),
+                              F.lit("|"), F.col("it"))))
     )
-    pt = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    od = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_custkey"
+    cw = Window.partitionBy("u")
+    marked = ratin.select(
+        "u", "it", "rq",
+        F.row_number().over(hw).alias("hrn"),
+        F.count("*").over(cw).alias("hcnt"),
     )
-    ratings = (
-        li.join(F.broadcast(pt), li["l_partkey"] == pt["p_partkey"])
-        .join(od, li["l_orderkey"] == od["o_orderkey"])
-        .groupBy(
-            F.col("o_custkey").alias("user"),
-            F.col("p_brand").alias("item"),
-        )
-        .agg(F.log1p(F.count("*")).alias("rating"))
+    hold = marked.filter(
+        (F.col("hrn") == 1) & (F.col("hcnt") >= 2)
+    ).select("u", "it")
+    train = marked.filter(
+        (F.col("hrn") != 1) | (F.col("hcnt") < 2)
+    ).select("u", "it", "rq")
+    xdf, Y, train_c = _als_portable_fit(spark, train)
+    ydf = _als_ydf(spark, Y)
+    dot = sum(
+        F.col(f"x{f}") * F.col(f"y{f}") for f in range(1, 5)
+    ).alias("dot")
+    cand = (
+        xdf.crossJoin(F.broadcast(ydf))
+        .select("u", "it", dot)
+        .join(train_c.select("u", "it"), ["u", "it"], "left_anti")
     )
-    n, hr, mrr, base = als_leave_one_out(
-        ratings, k=8, iters=4, reg=0.1,
-        key=source_key(sf_dir, "lineitem"),
+    rw = Window.partitionBy("u").orderBy(F.desc("dot"), "it")
+    ranked = cand.select(
+        "u", "it",
+        F.row_number().over(rw).alias("rn"),
+        F.count("*").over(Window.partitionBy("u")).alias("nuns"),
     )
-    return spark.createDataFrame(
-        [(n, hr, mrr, base)],
-        "n_users long, hit_rate_5 double, mrr double, random_baseline double",
+    hits = hold.join(ranked, ["u", "it"])
+    dec = "decimal(18,9)"
+    return hits.agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("rn") <= 5, 1).otherwise(0)).alias("h"),
+        F.sum(
+            F.round(F.lit(1.0) / F.col("rn"), 9).cast(dec)
+        ).alias("srr"),
+        F.sum(
+            F.round(
+                F.least(F.lit(1.0), F.lit(5.0) / F.col("nuns")), 9
+            ).cast(dec)
+        ).alias("sb"),
+    ).select(
+        F.col("n").cast("long").alias("n_users"),
+        F.round(
+            F.col("h").cast("double")
+            / F.greatest(F.col("n"), F.lit(1)), 6
+        ).alias("hit_rate_5"),
+        F.round(
+            F.col("srr").cast("double")
+            / F.greatest(F.col("n"), F.lit(1)), 6
+        ).alias("mrr"),
+        F.round(
+            F.col("sb").cast("double")
+            / F.greatest(F.col("n"), F.lit(1)), 6
+        ).alias("random_baseline"),
     )
 
 

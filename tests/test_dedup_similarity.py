@@ -798,3 +798,27 @@ def test_semdedup_portable_fires_and_cascade_saves_on_gate_data(spark):
     assert 50 <= len(dropped) <= 250, len(dropped)
     # every absorber must itself be kept (the cascade invariant)
     assert all(d in kept for d in dropped.values())
+
+
+def test_substring_eval_two_tier_recall_floors(spark):
+    """VERDICT r9 item 3: the shipped two-tier ExactSubstr union must
+    clear recall 0.75 at precision >= 0.95 against the 120-char
+    suffix-array truth (measured 1.0/1.0 at sf0.001 and sf0.01 —
+    guaranteed char-tier floor is width + stride - 1 = 123 chars).
+    The token tier's own row stays in the readout as the honest gap
+    that motivated the char tier."""
+    from clv_data_pipeline_spark.registry import all_queries
+
+    rows = {
+        r["tier"]: r
+        for r in all_queries()["q_dedup_substring_eval"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    assert set(rows) == {"token50", "char120", "union"}
+    assert rows["union"]["n_true"] > 0
+    assert rows["union"]["recall"] >= 0.75
+    assert rows["union"]["precision"] >= 0.95
+    assert rows["char120"]["precision"] >= 0.95
+    # the union can only improve on the token tier
+    assert rows["union"]["recall"] >= rows["token50"]["recall"]

@@ -508,3 +508,53 @@ def test_data_shapley_empty_group_parity(spark, tmp_path):
     assert out[2]["n_sources"] == 0
     assert out[2]["n_train_docs"] == 0
     assert out[2]["solo_correct"] == 0
+
+
+def test_portable_int_als_detects_planted_structure(spark):
+    """Positive control for the GRADUATED exact-integer ALS kernel
+    (round 10): on planted block-preference ratings (two user groups,
+    disjoint preferred item blocks), the top unpurchased
+    recommendation must land in the user's own block for >= 80% of
+    users — quantization, the joint (A|b) rescale, and the +-4096
+    saturation must not destroy the latent structure the float ALS
+    finds."""
+    import math
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from clv_data_pipeline_spark.queries.mlprep import (
+        _als_portable_fit,
+        _als_ydf,
+    )
+
+    rows = []
+    for u in range(60):
+        block = u % 2
+        items = [f"b{block}_{j}" for j in range(8)]
+        keep = [items[(u + j) % 8] for j in range(6)]
+        for it in keep:
+            rows.append((u, it, round(math.log(1 + 50) * 1024)))
+        rows.append(
+            (u, f"b{1 - block}_{u % 8}", round(math.log(1 + 1) * 1024))
+        )
+    rq = spark.createDataFrame(rows, "u long, it string, rq long")
+    xdf, Y, rq_c = _als_portable_fit(spark, rq)
+    ydf = _als_ydf(spark, Y)
+    dot = sum(F.col(f"x{f}") * F.col(f"y{f}") for f in range(1, 5))
+    cand = (
+        xdf.crossJoin(F.broadcast(ydf))
+        .select("u", "it", dot.alias("dot"))
+        .join(rq_c.select("u", "it"), ["u", "it"], "left_anti")
+    )
+    w = Window.partitionBy("u").orderBy(F.desc("dot"), "it")
+    top = (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .collect()
+    )
+    assert len(top) == 60
+    in_block = sum(
+        1 for r in top if r["it"].startswith(f"b{r['u'] % 2}_")
+    )
+    assert in_block >= 48, in_block
