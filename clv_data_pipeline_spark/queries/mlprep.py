@@ -2106,9 +2106,10 @@ _RETRIEVAL_VALUES = ", ".join(
 )
 
 
-@query(
-    "q_bm25_retrieval",
-    oracle=f"""
+#: shared BM25 CTE chain (through ``ranked``) — q_bm25_retrieval's
+#: final SELECT cuts it at top-5; the reranker's shortlist stage cuts
+#: the SAME ranking at top-{_RERANK_SHORTLIST}
+_BM25_ORACLE_CTES = f"""
     WITH q(query_id, qtext) AS (VALUES {_RETRIEVAL_VALUES}),
     qt AS (
         SELECT query_id, unnest(string_split(qtext, ' ')) AS term FROM q),
@@ -2145,7 +2146,13 @@ _RETRIEVAL_VALUES = ", ".join(
                CAST(ROW_NUMBER() OVER (
                    PARTITION BY query_id ORDER BY s DESC, doc_id) AS BIGINT)
                    AS rnk
-        FROM scored)
+        FROM scored)"""
+
+
+@query(
+    "q_bm25_retrieval",
+    oracle=_BM25_ORACLE_CTES
+    + """
     SELECT CAST(query_id AS BIGINT) AS query_id,
            CAST(doc_id AS BIGINT) AS doc_id, score, rnk
     FROM ranked WHERE rnk <= 5
@@ -2167,6 +2174,15 @@ def q_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     only ~5 rows per map task, not the candidate set.  Per-term scores
     round to 6 then accumulate as DECIMAL so the sum — and therefore
     the ranking — is identical across engines and partitionings."""
+    return _bm25_shortlist(spark, sf_dir, 5)
+
+
+def _bm25_shortlist(
+    spark: SparkSession, sf_dir: str, top: int
+) -> DataFrame:
+    """(query_id, doc_id, score, rnk) — BM25 top-``top`` per fixed
+    query; the q_bm25_retrieval kernel, shared with the reranker's
+    shortlist stage."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id",
@@ -2216,12 +2232,221 @@ def q_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(F.desc("s"), "doc_id")
     return (
         scored.withColumn("rnk", F.row_number().over(w).cast("long"))
-        .filter(F.col("rnk") <= 5)
+        .filter(F.col("rnk") <= top)
         .select(
             F.col("query_id").cast("long").alias("query_id"),
             F.col("doc_id").cast("long").alias("doc_id"),
             F.col("s").cast("double").alias("score"),
             "rnk",
+        )
+    )
+
+
+_RERANK_SHORTLIST = 20  #: BM25 candidates per query fed to the reranker
+_RERANK_OCC_CAP = 32    #: tf-mass feature saturation
+_RERANK_POS_CAP = 64    #: first-match-position feature saturation
+
+
+@query(
+    "q_rerank_cross",
+    oracle=_BM25_ORACLE_CTES
+    + f""",
+    short AS (SELECT query_id, doc_id, rnk FROM ranked
+              WHERE rnk <= {_RERANK_SHORTLIST}),
+    qtd AS (SELECT DISTINCT query_id, term FROM qt),
+    nq AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS nq
+           FROM qtd GROUP BY query_id),
+    sdocs AS (SELECT doc_id, {_TOKENIZE_SQL} AS ts FROM documents
+              WHERE doc_id IN (SELECT doc_id FROM short)),
+    dtoks AS (
+        SELECT doc_id, unnest(ts) AS term,
+               CAST(unnest(range(len(ts))) AS BIGINT) AS pos
+        FROM sdocs),
+    dstat AS (
+        SELECT s.query_id, s.doc_id,
+               CAST(COUNT(DISTINCT d.term) AS BIGINT) AS matched,
+               LEAST(CAST(COUNT(*) AS BIGINT), {_RERANK_OCC_CAP})
+                   AS occs,
+               LEAST(MIN(d.pos), {_RERANK_POS_CAP}) AS fpos
+        FROM short s
+        JOIN qtd ON qtd.query_id = s.query_id
+        JOIN dtoks d ON d.doc_id = s.doc_id AND d.term = qtd.term
+        GROUP BY s.query_id, s.doc_id),
+    dbg AS (
+        SELECT DISTINCT doc_id, t1, t2 FROM (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(ts)),
+                                         i -> ts[i])) AS t1,
+                   unnest(list_transform(range(1, len(ts)),
+                                         i -> ts[i + 1])) AS t2
+            FROM sdocs WHERE len(ts) >= 2) x),
+    qb AS (
+        SELECT query_id,
+               unnest(list_transform(range(1, len(qs)),
+                                     i -> qs[i])) AS t1,
+               unnest(list_transform(range(1, len(qs)),
+                                     i -> qs[i + 1])) AS t2
+        FROM (SELECT query_id, string_split(qtext, ' ') AS qs
+              FROM q) y),
+    bghit AS (
+        SELECT s.query_id, s.doc_id, CAST(COUNT(*) AS BIGINT) AS bg
+        FROM short s
+        JOIN qb ON qb.query_id = s.query_id
+        JOIN dbg ON dbg.doc_id = s.doc_id
+               AND dbg.t1 = qb.t1 AND dbg.t2 = qb.t2
+        GROUP BY s.query_id, s.doc_id),
+    feats AS (
+        SELECT s.query_id, s.doc_id, s.rnk AS rnk_bm25,
+               5000 * ds.matched
+               + (CASE WHEN ds.matched = nq.nq THEN 8000 ELSE 0 END)
+               + 3000 * COALESCE(b.bg, 0)
+               + 150 * ds.occs
+               - 40 * ds.fpos
+               - 8 * (dl.dl // 64) AS score_rerank
+        FROM short s
+        JOIN dstat ds ON ds.query_id = s.query_id
+                     AND ds.doc_id = s.doc_id
+        JOIN nq ON nq.query_id = s.query_id
+        JOIN dl ON dl.doc_id = s.doc_id
+        LEFT JOIN bghit b ON b.query_id = s.query_id
+                         AND b.doc_id = s.doc_id)
+    SELECT * FROM (
+        SELECT CAST(query_id AS BIGINT) AS query_id,
+               CAST(doc_id AS BIGINT) AS doc_id,
+               CAST(rnk_bm25 AS BIGINT) AS rnk_bm25,
+               CAST(score_rerank AS BIGINT) AS score_rerank,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY score_rerank DESC, rnk_bm25, doc_id)
+                    AS BIGINT) AS rnk_rerank
+        FROM feats) z
+    WHERE rnk_rerank <= 5
+    """,
+)
+def q_rerank_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-encoder-STYLE reranking over the BM25 shortlist — the
+    retrieval stage the shelf lacked (VERDICT r9 item 8): production
+    RAG retrieval is recall-stage (BM25/ANN, query and doc encoded
+    independently) then precision-stage (a scorer that sees the
+    query-document PAIR jointly).  Stage 1 is the q_bm25_retrieval
+    kernel cut at top-{_RERANK_SHORTLIST}; stage 2 scores each
+    (query, doc) pair with integer-quantized weights over joint
+    features no bi-encoder stage can express — distinct-term
+    coverage, full-coverage bonus, exact adjacent-bigram (phrase)
+    hits, capped query-term occurrence mass, capped first-match
+    position, and a length penalty — and the final ranking is
+    (score DESC, BM25 rank, doc_id), top-5.  The integer-weight
+    discipline is q_quality_classifier's: a frozen quantized linear
+    scorer whose arithmetic both engines replay exactly, standing in
+    for the quantized cross-encoder a production stack would broadcast.
+
+    Scale shape — the defining property of the two-stage design: the
+    pair scorer touches ONLY shortlist pairs (|queries| x
+    {_RERANK_SHORTLIST}), never the corpus; shortlist docs semi-join
+    the token/bigram tables so feature extraction is
+    O(shortlist x doclen); query-side tables broadcast.  The BM25
+    stage keeps its verified one-shuffle shape."""
+    docs0 = load_table(spark, sf_dir, "documents")
+    short = _bm25_shortlist(spark, sf_dir, _RERANK_SHORTLIST).select(
+        "query_id", "doc_id", F.col("rnk").alias("rnk_bm25")
+    ).localCheckpoint(eager=True)
+    sdocs = docs0.join(
+        F.broadcast(short.select("doc_id").distinct()), "doc_id"
+    ).select(
+        "doc_id",
+        F.split(normalize_text(F.col("text")), " ").alias("ts"),
+    )
+    dtoks = sdocs.select(
+        "doc_id", F.posexplode("ts").alias("pos", "term")
+    )
+    dl = (
+        dtoks.filter(F.col("term") != "")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("dl"))
+    )
+    qterms = [
+        (i, t) for i, q_ in _RETRIEVAL_QUERIES for t in set(q_.split())
+    ]
+    qtd = spark.createDataFrame(qterms, "query_id long, term string")
+    nqd = spark.createDataFrame(
+        [(i, len(set(q_.split()))) for i, q_ in _RETRIEVAL_QUERIES],
+        "query_id long, nq long",
+    )
+    qbil = [
+        (i, a, b)
+        for i, q_ in _RETRIEVAL_QUERIES
+        for a, b in zip(q_.split(), q_.split()[1:])
+    ]
+    qb = spark.createDataFrame(qbil, "query_id long, t1 string, t2 string")
+    ds = (
+        dtoks.join(F.broadcast(qtd), "term")
+        .join(short.select("query_id", "doc_id"), ["query_id", "doc_id"])
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.countDistinct("term").alias("matched"),
+            F.least(F.count("*"), F.lit(_RERANK_OCC_CAP)).alias("occs"),
+            F.least(
+                F.min("pos").cast("long"), F.lit(_RERANK_POS_CAP)
+            ).alias("fpos"),
+        )
+    )
+    dbg = (
+        sdocs.filter(F.size("ts") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.arrays_zip(
+                    F.slice("ts", 1, F.size("ts") - 1),
+                    F.slice("ts", 2, F.size("ts") - 1),
+                )
+            ).alias("p"),
+        )
+        .select(
+            "doc_id",
+            F.col("p.0").alias("t1"),
+            F.col("p.1").alias("t2"),
+        )
+        .distinct()
+    )
+    bg = (
+        dbg.join(F.broadcast(qb), ["t1", "t2"])
+        .join(short.select("query_id", "doc_id"), ["query_id", "doc_id"])
+        .groupBy("query_id", "doc_id")
+        .agg(F.count("*").alias("bg"))
+    )
+    feats = (
+        short.join(ds, ["query_id", "doc_id"])
+        .join(F.broadcast(nqd), "query_id")
+        .join(bg, ["query_id", "doc_id"], "left")
+        .join(dl, "doc_id")
+        .select(
+            "query_id",
+            "doc_id",
+            "rnk_bm25",
+            (
+                F.lit(5000) * F.col("matched")
+                + F.when(F.col("matched") == F.col("nq"), 8000)
+                .otherwise(0)
+                + F.lit(3000) * F.coalesce(F.col("bg"), F.lit(0))
+                + F.lit(150) * F.col("occs")
+                - F.lit(40) * F.col("fpos")
+                - F.lit(8) * F.expr("dl div 64")
+            ).alias("score_rerank"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score_rerank"), "rnk_bm25", "doc_id"
+    )
+    return (
+        feats.withColumn(
+            "rnk_rerank", F.row_number().over(w).cast("long")
+        )
+        .filter(F.col("rnk_rerank") <= 5)
+        .select(
+            F.col("query_id").cast("long").alias("query_id"),
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("rnk_bm25").cast("long").alias("rnk_bm25"),
+            F.col("score_rerank").cast("long").alias("score_rerank"),
+            "rnk_rerank",
         )
     )
 

@@ -9,6 +9,13 @@ fixed ~0.3-0.6 s of per-query scheduler overhead at local[32] biases
 small-point slopes DOWN, so the 0.3->1.0 segment is the honest one.
 
 Usage: python tools/bench_scaling.py [out.json]
+       python tools/bench_scaling.py out.json \\
+           --queries q_a,q_b --sfs 1.0:/dir1,3.0:/dir2
+
+The second form runs a focused octave (VERDICT r9 item 7: one more
+measured point for the steepest queries — sf1.0 -> sf3.0 via
+`python tools/gen_scale_data.py 30 /tmp/scaledata/sf3.0`); slopes are
+reported for every adjacent SF pair present.
 """
 
 from __future__ import annotations
@@ -42,7 +49,17 @@ SF_DIRS = {
 
 
 def main() -> None:
-    out_path = sys.argv[1] if len(sys.argv) > 1 else "BENCH_SCALING.json"
+    args = sys.argv[1:]
+    out_path = args[0] if args and not args[0].startswith("--") else "BENCH_SCALING.json"
+    queries_sel = list(QUERIES)
+    sf_dirs = dict(SF_DIRS)
+    if "--queries" in args:
+        queries_sel = args[args.index("--queries") + 1].split(",")
+    if "--sfs" in args:
+        sf_dirs = {
+            float(p.split(":", 1)[0]): p.split(":", 1)[1]
+            for p in args[args.index("--sfs") + 1].split(",")
+        }
     from clv_data_pipeline_spark.session import get_spark
 
     spark = get_spark(
@@ -64,9 +81,9 @@ def main() -> None:
     queries["q_rfm"](spark, "/root/testdata/sf0.001").count()
     queries["q_minhash_dedup"](spark, "/root/testdata/sf0.001").count()
 
-    results: dict[str, dict[str, float]] = {n: {} for n in QUERIES}
-    for sf, sf_dir in SF_DIRS.items():
-        for i, name in enumerate(QUERIES):
+    results: dict[str, dict[str, float]] = {n: {} for n in queries_sel}
+    for sf, sf_dir in sorted(sf_dirs.items()):
+        for i, name in enumerate(queries_sel):
             best = float("inf")
             err = None
             for _ in range(2):
@@ -96,13 +113,17 @@ def main() -> None:
             return None
         return round(math.log(tb / ta) / math.log(b / a), 2)
 
+    sfs = sorted(sf_dirs)
     summary = {
-        n: {
-            "sec": results[n],
-            "slope_03_10": slope(n, 0.3, 1.0),
-            "slope_01_10": slope(n, 0.1, 1.0),
-        }
-        for n in QUERIES
+        n: dict(
+            sec=results[n],
+            **{
+                f"slope_{str(a).replace('.', '')}_{str(b).replace('.', '')}":
+                    slope(n, a, b)
+                for a, b in zip(sfs, sfs[1:])
+            },
+        )
+        for n in queries_sel
     }
     with open(out_path, "w") as f:
         json.dump(summary, f, indent=1, sort_keys=True)
