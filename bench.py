@@ -240,6 +240,7 @@ HEADLINE = [
     "q_ann_lsh_portable",
     # round 10 additions
     "q_dedup_substring_chars",
+    "q_rerank_cross",
     # round 9 additions
     "q_ann_ivf_portable",
     "q_min_pieces_tokenize",

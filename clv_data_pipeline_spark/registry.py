@@ -413,7 +413,7 @@ _R9_NEW: set[str] = {
 
 #: Queries REGISTERED during round 10 — never driver-sampled, so they
 #: sort at the very front (tier 0) behind nothing: the backlog is zero.
-_R10_NEW: set[str] = {"q_dedup_substring_chars"}
+_R10_NEW: set[str] = {"q_dedup_substring_chars", "q_rerank_cross"}
 
 
 def _ordered_names() -> list[str]:
