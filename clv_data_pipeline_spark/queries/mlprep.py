@@ -3707,15 +3707,16 @@ def _als_user_step(rq_df: DataFrame, ydf: DataFrame) -> DataFrame:
     )
 
     def _solve_rows(batches):
+        acols = [f"a{i}{j}" for i, j in _ALS_UPPER]
+        bcols = [f"b{f}" for f in range(1, 5)]
         for pdf in batches:
             if pdf.empty:
                 continue
+            cols = [pdf[c].tolist() for c in acols + bcols]
             xs = [
-                _als_solve(
-                    [int(pdf[f"a{i}{j}"].iloc[r]) for i, j in _ALS_UPPER],
-                    [int(pdf[f"b{f}"].iloc[r]) for f in range(1, 5)],
-                )
-                for r in range(len(pdf))
+                _als_solve([int(v) for v in row[:10]],
+                           [int(v) for v in row[10:]])
+                for row in zip(*cols)
             ]
             out = pd.DataFrame(xs, columns=["x1", "x2", "x3", "x4"])
             out.insert(0, "u", pdf["u"].values)

@@ -116,6 +116,13 @@ _BNLJ_SCALAR_OK = {
     "q_cross_validation",  # same NB scalar attaches, one per fold
     "q_heaps_law",         # 10-row checkpoint-grid containment sweep
     "q_good_turing",       # two 1-row corpus-total attaches
+    # round 10: the graduated integer-ALS pair scores users against
+    # the broadcast item-factor table (<= 25 brand rows here; hard
+    # _ALS_ITEM_CAP guard with a ValueError naming als_fit_joined for
+    # open item spaces) — a vocabulary-bounded broadcast cross, the
+    # same class as the scalar attaches above
+    "q_als_recommend",
+    "q_als_eval",
 }
 
 
