@@ -405,6 +405,7 @@ COMPARABLE_R6 = (
 #: recorded q_item_cf_incremental at 6.8 s; its Δ-maintenance is
 #: sub-second).  Disable with SPARK_GRAFT_BENCH_WARM_ARTIFACTS=0.
 ARTIFACT_WARMUP = (
+    "q_als_recommend", "q_als_eval", "q_pca_project",
     "q_clv_scores", "q_item_cf", "q_rec_coverage", "q_lm_generate",
     "q_communities", "q_ann_ivf", "q_ann_pq", "q_ann_ivf_pq",
     "q_knn_label_ann", "q_dsir", "q_simhash",
@@ -431,13 +432,12 @@ def _calibrate(spark) -> dict[str, float]:
     delta to code."""
     import time as _t
 
-    import pandas as pd
     from pyspark.sql import functions as F
-    from pyspark.sql.functions import pandas_udf
 
-    @pandas_udf("long")
-    def _inc(s: pd.Series) -> pd.Series:
-        return s + 1
+    def _inc(batches):
+        for pdf in batches:
+            pdf["id"] = pdf["id"] + 1
+            yield pdf
 
     probes = {
         "jvm": lambda: spark.range(100_000_000)
@@ -449,7 +449,8 @@ def _calibrate(spark) -> dict[str, float]:
         .select(F.sum("count"))
         .collect(),
         "python": lambda: spark.range(2_000_000)
-        .select(F.sum(_inc(F.col("id"))))
+        .mapInPandas(_inc, "id long")
+        .select(F.sum("id"))
         .collect(),
     }
     out = {}

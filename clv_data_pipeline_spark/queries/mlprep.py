@@ -934,6 +934,13 @@ def q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact Python ints, microseconds); the projection is map-only
     zip_with against 4x64 broadcast literals — pure JVM, no Python
     in the per-row path."""
+    import numpy as np
+
+    from clv_data_pipeline_spark.sources.io import (
+        artifact_numpy,
+        source_key,
+    )
+
     d, K = _PCA_DIM, _PCA_K
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id",
@@ -942,26 +949,51 @@ def q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda x: F.round(x * _PCA_QS, 0).cast("long"),
         ).alias("q"),
     )
-    n, s, G = _pca_int_stats(emb)
-    c_mat = [
-        [n * G[i][j] - s[i] * s[j] for j in range(d)] for i in range(d)
-    ]
-    cp = _pca_rescale(c_mat)
-    basis: list[list[int]] = []
-    for _ in range(K):
-        v = _pca_power_vec(cp)
-        basis.append(v)
-        # exact Hotelling deflation (sign-invariant in v, so using the
-        # sign-fixed iterate matches the oracle's pre-fix one)
-        vv = sum(x * x for x in v)
-        rr = sum(
-            cp[i][j] * v[i] * v[j] for i in range(d) for j in range(d)
-        )
-        B = [
-            [cp[i][j] * vv * vv - rr * v[i] * v[j] for j in range(d)]
+
+    def _fit() -> "np.ndarray":
+        n, s, G = _pca_int_stats(emb)
+        c_mat = [
+            [n * G[i][j] - s[i] * s[j] for j in range(d)]
             for i in range(d)
         ]
-        cp = _pca_rescale(B)
+        cp = _pca_rescale(c_mat)
+        basis: list[list[int]] = []
+        for _ in range(K):
+            v = _pca_power_vec(cp)
+            basis.append(v)
+            # exact Hotelling deflation (sign-invariant in v, so using
+            # the sign-fixed iterate matches the oracle's pre-fix one)
+            vv = sum(x * x for x in v)
+            rr = sum(
+                cp[i][j] * v[i] * v[j]
+                for i in range(d)
+                for j in range(d)
+            )
+            B = [
+                [cp[i][j] * vv * vv - rr * v[i] * v[j]
+                 for j in range(d)]
+                for i in range(d)
+            ]
+            cp = _pca_rescale(B)
+        # every slot is int64-safe for n <= ~9e14 vectors (s <= n*1e4,
+        # basis <= 4096) — the pinned-eigenbasis artifact the verdict
+        # asked for: fit once per source version, project forever
+        return np.array(
+            [n] + s + [x for v in basis for x in v], dtype=np.int64
+        )
+
+    art = artifact_numpy(
+        "pcaproj_",
+        source_key(sf_dir, "embeddings")
+        + f":pcaproj:k{K}:it{_PCA_ITERS}",
+        _fit,
+    )
+    n = int(art[0])
+    s = [int(x) for x in art[1 : d + 1]]
+    basis = [
+        [int(x) for x in art[d + 1 + c * d : d + 1 + (c + 1) * d]]
+        for c in range(K)
+    ]
     cols = []
     for c, v in enumerate(basis):
         sv = sum(s[i] * v[i] for i in range(d))
@@ -3749,14 +3781,51 @@ def _als_item_step(
 
 
 def _als_portable_fit(
-    spark: SparkSession, rq_df: DataFrame
+    spark: SparkSession, rq_df: DataFrame, cache_key: str | None = None
 ) -> tuple[DataFrame, dict[str, list[int]], DataFrame]:
     """2 alternations (x1=U(y0), y1=I(x1), x2=U(y1), y2=I(x2)) of the
     exact-integer half-step; returns (x2 frame, y2 dict, pinned
     ratings).  Item factors cross the driver (the als_fit broadcast
     path — bounded item vocabularies; _ALS_ITEM_CAP guards the
-    contract loudly); user factors never do."""
-    rq_df = rq_df.localCheckpoint(eager=True)
+    contract loudly); user factors never do.
+
+    ``cache_key`` opts into the stored-model lifecycle
+    (als_fit_cached's): the fit is fully deterministic, so both factor
+    tables persist as content-keyed parquet artifacts and every later
+    call over the same source version serves the published factors —
+    training on the nightly cadence, scoring on the query path."""
+    import os as _os
+
+    from clv_data_pipeline_spark.sources.io import (
+        artifact_path,
+        materialize_temp,
+    )
+
+    if cache_key is not None:
+        xpath = artifact_path("alsq_x_", cache_key)
+        ypath = artifact_path("alsq_y_", cache_key)
+        rpath = artifact_path("alsq_r_", cache_key)
+        if (
+            _os.path.exists(xpath)
+            and _os.path.exists(ypath)
+            and _os.path.exists(rpath)
+        ):
+            Y = {
+                r["it"]: [r["y1"], r["y2"], r["y3"], r["y4"]]
+                for r in spark.read.parquet(ypath).collect()
+            }
+            return (
+                spark.read.parquet(xpath),
+                Y,
+                spark.read.parquet(rpath),
+            )
+        # the quantized interaction table is itself a derived artifact
+        # (the seen-set every serve-path anti-join probes) — store it
+        # beside the factors so the warm path never re-runs the
+        # 3-table ratings join either
+        rq_df = materialize_temp(rq_df, "alsq_r_", key=cache_key)
+    else:
+        rq_df = rq_df.localCheckpoint(eager=True)
     items = sorted(
         r["it"] for r in rq_df.select("it").distinct().collect()
     )
@@ -3775,6 +3844,9 @@ def _als_portable_fit(
             eager=True
         )
         Y = _als_item_step(rq_df, xdf, items)
+    if cache_key is not None:
+        xdf = materialize_temp(xdf, "alsq_x_", key=cache_key)
+        materialize_temp(_als_ydf(spark, Y), "alsq_y_", key=cache_key)
     return xdf, Y, rq_df
 
 
@@ -4045,9 +4117,13 @@ def q_als_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows, anti-joined on purchases, one per-user window."""
     from clv_data_pipeline_spark.registry import ensure_worker_imports
 
+    from clv_data_pipeline_spark.sources.io import source_key
+
     ensure_worker_imports(spark)
     rq = _als_ratings_q(spark, sf_dir)
-    xdf, Y, rq_c = _als_portable_fit(spark, rq)
+    xdf, Y, rq_c = _als_portable_fit(
+        spark, rq, cache_key=source_key(sf_dir, "lineitem") + ":alsq:full"
+    )
     ydf = _als_ydf(spark, Y)
     dot = sum(
         F.col(f"x{f}") * F.col(f"y{f}") for f in range(1, 5)
@@ -4093,9 +4169,17 @@ def q_als_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle replays holdout selection, the four Cramer half-steps, the
     ranking, and all three metrics bit for bit."""
     from clv_data_pipeline_spark.registry import ensure_worker_imports
+    from clv_data_pipeline_spark.sources.io import (
+        materialize_temp,
+        source_key,
+    )
 
     ensure_worker_imports(spark)
-    ratin = _als_ratings_q(spark, sf_dir).localCheckpoint(eager=True)
+    ratin = materialize_temp(
+        _als_ratings_q(spark, sf_dir),
+        "alsq_ratin_",
+        key=source_key(sf_dir, "lineitem") + ":alsq:ratin",
+    )
     hw = Window.partitionBy("u").orderBy(
         F.desc(F.md5(F.concat(F.col("u").cast("string"),
                               F.lit("|"), F.col("it"))))
@@ -4112,7 +4196,10 @@ def q_als_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     train = marked.filter(
         (F.col("hrn") != 1) | (F.col("hcnt") < 2)
     ).select("u", "it", "rq")
-    xdf, Y, train_c = _als_portable_fit(spark, train)
+    xdf, Y, train_c = _als_portable_fit(
+        spark, train,
+        cache_key=source_key(sf_dir, "lineitem") + ":alsq:loo",
+    )
     ydf = _als_ydf(spark, Y)
     dot = sum(
         F.col(f"x{f}") * F.col(f"y{f}") for f in range(1, 5)
