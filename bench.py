@@ -241,6 +241,7 @@ HEADLINE = [
     # round 10 additions
     "q_dedup_substring_chars",
     "q_rerank_cross",
+    "q_lsh_param_sweep",
     # round 9 additions
     "q_ann_ivf_portable",
     "q_min_pieces_tokenize",

@@ -960,6 +960,200 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_pairs(d, pairs, shingle_size=3)
 
 
+_LSH_SWEEP_N = 128     #: MinHash budget being allocated into bands
+_LSH_SWEEP_T = 0.5     #: design threshold (the repo banding's target)
+_LSH_SWEEP_DF = 50     #: shingle doc-frequency cap (boilerplate cut)
+_LSH_SWEEP_IDS = 800   #: audit-slice bound (the eval-harness idiom)
+_LSH_SWEEP_GRID = [(1, 128), (2, 64), (4, 32), (8, 16),
+                   (16, 8), (32, 4), (64, 2), (128, 1)]
+
+
+@query(
+    "q_lsh_param_sweep",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id,
+               trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+                   AS norm
+        FROM documents WHERE doc_id < {_LSH_SWEEP_IDS}),
+    sh0 AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   range(1, GREATEST(length(norm) - 2, 1) + 1),
+                   i -> substring(norm, CAST(i AS INT), 3)))) AS sh
+        FROM d),
+    df AS (SELECT sh, COUNT(*) AS df FROM sh0 GROUP BY sh),
+    shk AS (SELECT s0.doc_id, s0.sh
+            FROM sh0 s0 JOIN df USING (sh)
+            WHERE df.df <= {_LSH_SWEEP_DF}),
+    sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+           FROM shk GROUP BY doc_id),
+    pr AS (SELECT a.doc_id AS lo, b.doc_id AS hi,
+                  CAST(COUNT(*) AS BIGINT) AS inter
+           FROM shk a JOIN shk b
+             ON a.sh = b.sh AND a.doc_id < b.doc_id
+           GROUP BY a.doc_id, b.doc_id),
+    sim AS (SELECT pr.lo, pr.hi,
+                   CAST(pr.inter AS DOUBLE)
+                       / (sa.n + sb.n - pr.inter) AS s
+            FROM pr JOIN sz sa ON sa.doc_id = pr.lo
+                    JOIN sz sb ON sb.doc_id = pr.hi),
+    grid(b, r) AS (VALUES {", ".join(f"({b}, {r})" for b, r in _LSH_SWEEP_GRID)}),
+    pp AS (SELECT g.b, g.r, sim.s,
+                  CAST(ROUND(1 - pow(1 - pow(sim.s, g.r), g.b), 9)
+                       AS DECIMAL(12,9)) AS p
+           FROM sim CROSS JOIN grid g),
+    agg AS (
+        SELECT b, r,
+               CAST(SUM(CASE WHEN s >= {_LSH_SWEEP_T} THEN 1 ELSE 0
+                        END) AS BIGINT) AS n_true_pairs,
+               CAST(SUM(CASE WHEN s < {_LSH_SWEEP_T} THEN 1 ELSE 0
+                        END) AS BIGINT) AS n_sub_pairs,
+               ROUND(CAST(SUM(CASE WHEN s >= {_LSH_SWEEP_T} THEN p
+                                   ELSE 0 END) AS DOUBLE)
+                     / GREATEST(SUM(CASE WHEN s >= {_LSH_SWEEP_T}
+                                         THEN 1 ELSE 0 END), 1), 6)
+                   AS exp_recall,
+               ROUND(CAST(SUM(CASE WHEN s < {_LSH_SWEEP_T} THEN p
+                                   ELSE 0 END) AS DOUBLE)
+                     / GREATEST(SUM(CASE WHEN s < {_LSH_SWEEP_T}
+                                         THEN 1 ELSE 0 END), 1), 6)
+                   AS fp_rate
+        FROM pp GROUP BY b, r)
+    SELECT CAST(b AS BIGINT) AS b, CAST(r AS BIGINT) AS r,
+           ROUND(pow(CAST(1 AS DOUBLE) / b, CAST(1 AS DOUBLE) / r), 6)
+               AS implied_threshold,
+           n_true_pairs, n_sub_pairs, exp_recall, fp_rate,
+           ROUND(exp_recall - fp_rate, 6) AS utility,
+           (ROW_NUMBER() OVER (
+               ORDER BY ROUND(exp_recall - fp_rate, 6) DESC, b) = 1)
+               AS chosen
+    FROM agg
+    """,
+)
+def q_lsh_param_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH banding DESIGN sweep — pick (bands, rows) for a
+    fixed {_LSH_SWEEP_N}-hash budget from the corpus's OWN measured
+    pair-similarity distribution instead of folklore defaults: for
+    every divisor split b*r = {_LSH_SWEEP_N}, score the closed-form
+    S-curve  P(s) = 1 - (1 - s^r)^b  against the exact 3-gram-Jaccard
+    pairs of an audit slice, and report expected recall over true
+    pairs (J >= {_LSH_SWEEP_T}), expected false-candidate rate over
+    the observed sub-threshold co-candidate population, the implied
+    threshold (1/b)^(1/r), and the utility-argmax row.  This is the
+    missing DESIGN step in front of q_minhash_dedup (which runs a
+    chosen banding) and q_minhash_eval (which audits it empirically):
+    the sweep says which banding to run BEFORE paying for signatures.
+
+    Determinism: similarities are exact integer ratios (df-capped
+    shingle space, cap {_LSH_SWEEP_DF} — boilerplate shingles would
+    otherwise both blow up the pair join and poison J), the S-curve
+    value rounds to 9 dp before the DECIMAL sum (the q_woe_iv libm
+    discipline), and the argmax orders by (rounded utility, b).
+
+    Scale shape: truth discovery uses the eval-harness audit slice
+    (doc_id < {_LSH_SWEEP_IDS}) — the design decision needs a sample,
+    not the corpus; within the slice the pair join is inverted-index
+    shaped (shared-shingle only, df-capped, never all-pairs), and the
+    sweep itself is pairs x 8 grid rows with map-side partial
+    aggregation onto 8 keys."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < _LSH_SWEEP_IDS)
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            normalize_text(F.col("text")).alias("norm"),
+        )
+    )
+    sh0 = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(1, greatest(length(norm) - 2,"
+                    " 1)), i -> substring(norm, i, 3))"
+                )
+            )
+        ).alias("sh"),
+    )
+    df = sh0.groupBy("sh").agg(F.count("*").alias("df"))
+    shk = sh0.join(
+        df.filter(F.col("df") <= _LSH_SWEEP_DF).select("sh"), "sh"
+    )
+    sz = shk.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = shk.select(F.col("doc_id").alias("lo"), "sh")
+    b_ = shk.select(F.col("doc_id").alias("hi"), "sh")
+    pr = (
+        a.join(b_, "sh")
+        .filter(F.col("lo") < F.col("hi"))
+        .groupBy("lo", "hi")
+        .agg(F.count("*").alias("inter"))
+    )
+    sim = (
+        pr.join(sz.select(F.col("doc_id").alias("lo"),
+                          F.col("n").alias("na")), "lo")
+        .join(sz.select(F.col("doc_id").alias("hi"),
+                        F.col("n").alias("nb")), "hi")
+        .select(
+            (
+                F.col("inter").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("inter"))
+            ).alias("s")
+        )
+    )
+    grid = spark.createDataFrame(_LSH_SWEEP_GRID, "b long, r long")
+    p = F.round(
+        1 - F.pow(1 - F.pow(F.col("s"), F.col("r")), F.col("b")), 9
+    ).cast("decimal(12,9)")
+    zero = F.lit(0).cast("decimal(12,9)")
+    t = _LSH_SWEEP_T
+    agg = (
+        sim.crossJoin(F.broadcast(grid))
+        .groupBy("b", "r")
+        .agg(
+            F.sum(F.when(F.col("s") >= t, 1).otherwise(0))
+            .cast("long")
+            .alias("n_true_pairs"),
+            F.sum(F.when(F.col("s") < t, 1).otherwise(0))
+            .cast("long")
+            .alias("n_sub_pairs"),
+            F.round(
+                F.sum(F.when(F.col("s") >= t, p).otherwise(zero))
+                .cast("double")
+                / F.greatest(
+                    F.sum(F.when(F.col("s") >= t, 1).otherwise(0)),
+                    F.lit(1),
+                ),
+                6,
+            ).alias("exp_recall"),
+            F.round(
+                F.sum(F.when(F.col("s") < t, p).otherwise(zero))
+                .cast("double")
+                / F.greatest(
+                    F.sum(F.when(F.col("s") < t, 1).otherwise(0)),
+                    F.lit(1),
+                ),
+                6,
+            ).alias("fp_rate"),
+        )
+    )
+    utility = F.round(F.col("exp_recall") - F.col("fp_rate"), 6)
+    w = Window.orderBy(F.desc(utility), "b")
+    return agg.select(
+        "b",
+        "r",
+        F.round(
+            F.pow(F.lit(1.0) / F.col("b"), F.lit(1.0) / F.col("r")), 6
+        ).alias("implied_threshold"),
+        "n_true_pairs",
+        "n_sub_pairs",
+        "exp_recall",
+        "fp_rate",
+        utility.alias("utility"),
+        (F.row_number().over(w) == 1).alias("chosen"),
+    )
+
+
 @query(
     "q_vocab_top",
     oracle="""

@@ -413,7 +413,9 @@ _R9_NEW: set[str] = {
 
 #: Queries REGISTERED during round 10 — never driver-sampled, so they
 #: sort at the very front (tier 0) behind nothing: the backlog is zero.
-_R10_NEW: set[str] = {"q_dedup_substring_chars", "q_rerank_cross"}
+_R10_NEW: set[str] = {
+    "q_dedup_substring_chars", "q_rerank_cross", "q_lsh_param_sweep",
+}
 
 
 def _ordered_names() -> list[str]:
