@@ -85,6 +85,11 @@ CONSTANT_OK: frozenset[tuple[str, str]] = frozenset(
         ("q_ann_ivf_portable", "rank"),  # top-1 contract: rank == 1
         ("q_ann_pq_portable", "rank"),  # top-1 contract: rank == 1
         ("q_dp_histogram", "epsilon"),  # mechanism parameter constant
+        # the measured pair population is shared by every (b, r) grid
+        # row by construction — the sweep varies the S-curve, not the
+        # sample; exp_recall/fp_rate/utility are variance-checked
+        ("q_lsh_param_sweep", "n_true_pairs"),
+        ("q_lsh_param_sweep", "n_sub_pairs"),
         # Rayleigh quotient of the shared iterate — one ratio for the
         # whole fit, attached as broadcast scalar audit columns; the
         # per-row proj column is variance-checked normally

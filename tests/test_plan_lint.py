@@ -123,6 +123,7 @@ _BNLJ_SCALAR_OK = {
     # same class as the scalar attaches above
     "q_als_recommend",
     "q_als_eval",
+    "q_lsh_param_sweep",  # 8-row (b, r) design-grid broadcast cross
 }
 
 
