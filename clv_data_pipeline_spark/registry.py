@@ -354,17 +354,18 @@ _R8_VERIFIED: frozenset[str] = frozenset(
 #: last driver sample (VERDICT r7/r8 "what's missing"): the driver row
 #: on file is a weak rows-only check but the registry now carries a
 #: full oracle.  They re-sample ahead of every verified tier (but
-#: behind any never-sampled backlog) so CORRECTNESS_r09 records the
-#: hash-match.  The 5 round-7 priorities (roundtrip trio, isotonic,
-#: MMR) got green r8 rows and moved to _R8_VERIFIED; these 9 survive.
-#: Listed in judge-priority order — the driver budget cuts from the
-#: back.
+#: behind any never-sampled backlog) so the next CORRECTNESS file
+#: records the hash-match.  The round-10 trio (q_pca_project,
+#: q_als_recommend, q_als_eval) got green r10 rows and moved to
+#: _R10_VERIFIED.  Listed in judge-priority order — the driver budget
+#: cuts from the back.
 _GRADUATED_STALE: tuple[str, ...] = (
-    # round-10 graduations: q_pca_project pins the sf-keyed eigenbasis
-    # artifact (q_pca_portable's integer discipline) and q_als_recommend
-    # / q_als_eval replay the md5-seeded fixed-iteration factor model —
-    # all three had rows-only driver rows before these oracles existed.
-    "q_pca_project", "q_als_recommend", "q_als_eval",
+    # round-11 graduations: q_pareto_nbd pins fitted (r, alpha, s,
+    # beta) as a content-keyed artifact and replays the scoring path as
+    # a 2F1 recursive CTE (the q_clv_compare discipline);
+    # q_pca_incremental hash-verifies its O(delta) refreshed basis
+    # against the q_pca_project integer-basis artifact.
+    "q_pareto_nbd", "q_pca_incremental",
 )
 
 #: Queries the driver checked in round 9 (``CORRECTNESS_r09.json``):
@@ -394,28 +395,42 @@ _R9_VERIFIED: frozenset[str] = frozenset(
     }
 )
 
+#: Queries the driver checked in round 10 (``CORRECTNESS_r10.json``):
+#: 49 of 50 sampled names hash-green, the 50th is the
+#: rows-only-by-contract ``q_clv_scores`` which executed clean (150
+#: rows) — the fourth consecutive fully-clean driver sample.  Folding
+#: them in (VERDICT r10 "do this" item 1) points round 11's budget at
+#: the r2–r5-stale cohorts plus this round's graduations.
+_R10_VERIFIED: frozenset[str] = frozenset(
+    {
+        "q_lsh_param_sweep", "q_dedup_substring_chars", "q_rerank_cross",
+        "q_pca_project", "q_als_recommend", "q_als_eval", "q_project",
+        "q_total_purchase", "q_filter_returning", "q_sanity_count",
+        "q_ratio_counts", "q_max_id", "q_flags", "q_clip", "q_cast",
+        "q_avg_value", "q_flag_sums", "q_scan_parquet", "q_avg_clv",
+        "q_clv_formula", "q_rfm_salted", "q_rfm_incremental",
+        "q_join_features_preds", "q_upsert", "q_gamma_gamma_value",
+        "q_prob_alive", "q_distinct", "q_stream_daily", "q_events_daily",
+        "q_tpch_q10", "q_tpch_q18", "q_tpch_q12", "q_tpch_q14",
+        "q_tpch_q4", "q_tpch_q13", "q_tpch_q17", "q_tpch_q19",
+        "q_tpch_q7", "q_tpch_q22", "q_tpch_q8", "q_tpch_q15",
+        "q_dedup_exact", "q_dedup_clusters", "q_lang_id", "q_text_stats",
+        "q_quality_score", "q_fingerprint", "q_ngram_jaccard",
+        "q_vocab_top",
+    }
+)
+
 _VERIFIED = (
     _R1_VERIFIED | _R2_VERIFIED | _R3_VERIFIED | _R4_VERIFIED
     | _R5_VERIFIED | _R6_VERIFIED | _R7_VERIFIED | _R8_VERIFIED
-    | _R9_VERIFIED
+    | _R9_VERIFIED | _R10_VERIFIED
 )
 
-#: Queries REGISTERED during round 9 — the never-sampled backlog is
-#: zero, so new registrations plus the graduated-stale tier all fit
-#: comfortably inside the ~50-name driver budget.
-_R9_NEW: set[str] = {
-    "q_ann_ivf_portable", "q_min_pieces_tokenize",
-    "q_dedup_substring_eval", "q_self_influence", "q_domain_reweight",
-    "q_dp_histogram", "q_pca_portable", "q_ann_pq_portable",
-    "q_semdedup_portable", "q_topic_anchors", "q_stream_semdedup",
-    "q_data_shapley", "q_knn_label_portable",
-}
-
-#: Queries REGISTERED during round 10 — never driver-sampled, so they
-#: sort at the very front (tier 0) behind nothing: the backlog is zero.
-_R10_NEW: set[str] = {
-    "q_dedup_substring_chars", "q_rerank_cross", "q_lsh_param_sweep",
-}
+#: Queries REGISTERED during round 11 — never driver-sampled.  They
+#: sort at the very front of tier 0 but BEHIND any older never-sampled
+#: backlog (ADVICE r10: the tie-break must reference the CURRENT
+#: round's new set, not a dead prior-round one).
+_R11_NEW: set[str] = set()
 
 
 def _ordered_names() -> list[str]:
@@ -431,7 +446,9 @@ def _ordered_names() -> list[str]:
     graduated_rank = {n: i for i, n in enumerate(_GRADUATED_STALE)}
     tier = {}
     for n in names:
-        if n in _R9_VERIFIED:
+        if n in _R10_VERIFIED:
+            tier[n] = 10
+        elif n in _R9_VERIFIED:
             tier[n] = 9
         elif n in _R8_VERIFIED:
             tier[n] = 8
@@ -462,7 +479,7 @@ def _ordered_names() -> list[str]:
         names,
         key=lambda n: (
             tier[n],
-            1 if (tier[n] == 0 and n in _R9_NEW) else 0,
+            1 if (tier[n] == 0 and n in _R11_NEW) else 0,
             graduated_rank.get(n, 0),
             0 if _REGISTRY[n].oracle is not None else 1,
             order[n],
