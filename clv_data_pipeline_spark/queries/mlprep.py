@@ -3850,6 +3850,18 @@ def _als_portable_fit(
     return xdf, Y, rq_df
 
 
+def _als_source_key(sf_dir: str) -> str:
+    """Artifact cache key for the ALS ratings lineage.  The ratings
+    derive from lineitem AND part AND orders (ADVICE r10: keying on
+    lineitem alone served stale factors when either dimension table
+    was republished without touching lineitem)."""
+    from clv_data_pipeline_spark.sources.io import source_key
+
+    return "|".join(
+        source_key(sf_dir, t) for t in ("lineitem", "part", "orders")
+    )
+
+
 def _als_ratings_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey"
@@ -4117,12 +4129,10 @@ def q_als_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows, anti-joined on purchases, one per-user window."""
     from clv_data_pipeline_spark.registry import ensure_worker_imports
 
-    from clv_data_pipeline_spark.sources.io import source_key
-
     ensure_worker_imports(spark)
     rq = _als_ratings_q(spark, sf_dir)
     xdf, Y, rq_c = _als_portable_fit(
-        spark, rq, cache_key=source_key(sf_dir, "lineitem") + ":alsq:full"
+        spark, rq, cache_key=_als_source_key(sf_dir) + ":alsq:full"
     )
     ydf = _als_ydf(spark, Y)
     dot = sum(
@@ -4169,16 +4179,13 @@ def q_als_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle replays holdout selection, the four Cramer half-steps, the
     ranking, and all three metrics bit for bit."""
     from clv_data_pipeline_spark.registry import ensure_worker_imports
-    from clv_data_pipeline_spark.sources.io import (
-        materialize_temp,
-        source_key,
-    )
+    from clv_data_pipeline_spark.sources.io import materialize_temp
 
     ensure_worker_imports(spark)
     ratin = materialize_temp(
         _als_ratings_q(spark, sf_dir),
         "alsq_ratin_",
-        key=source_key(sf_dir, "lineitem") + ":alsq:ratin",
+        key=_als_source_key(sf_dir) + ":alsq:ratin",
     )
     hw = Window.partitionBy("u").orderBy(
         F.desc(F.md5(F.concat(F.col("u").cast("string"),
@@ -4198,7 +4205,7 @@ def q_als_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("u", "it", "rq")
     xdf, Y, train_c = _als_portable_fit(
         spark, train,
-        cache_key=source_key(sf_dir, "lineitem") + ":alsq:loo",
+        cache_key=_als_source_key(sf_dir) + ":alsq:loo",
     )
     ydf = _als_ydf(spark, Y)
     dot = sum(
@@ -5831,6 +5838,16 @@ def q_topic_anchors(spark: SparkSession, sf_dir: str) -> DataFrame:
         i = widx[r["wi"]]
         q_mat[i, widx[r["wj"]]] = qv
         rawn[i] += qv * qv
+    # Overflow sentinel (ADVICE r10): q_mat * _TA_FP below wraps
+    # silently in int64 if any co-occurrence count exceeds
+    # 2^63 // _TA_FP (~2.25e15), diverging from the oracle's HUGEINT
+    # path.  Fail loudly instead of hash-mismatching.
+    if int(q_mat.max(initial=0)) >= (2**63) // _TA_FP:
+        raise OverflowError(
+            "q_topic_anchors: co-occurrence count "
+            f"{int(q_mat.max())} would overflow int64 under the "
+            f"_TA_FP={_TA_FP} rescale; widen to object dtype"
+        )
     m = np.maximum(q_mat.max(axis=1), 1)
     e_mat = (q_mat * _TA_FP) // m[:, None]
     n_vec = (e_mat * e_mat).sum(axis=1)

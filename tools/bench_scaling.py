@@ -114,14 +114,22 @@ def main() -> None:
         return round(math.log(tb / ta) / math.log(b / a), 2)
 
     sfs = sorted(sf_dirs)
+
+    def _tag(a: float, b: float) -> str:
+        return f"slope_{str(a).replace('.', '')}_{str(b).replace('.', '')}"
+
+    # Adjacent-SF slopes plus the full-range endpoints slope — ADVICE
+    # r10: cross-round consumers key on the endpoints series (e.g.
+    # slope_01_10), which the adjacent-only schema silently dropped.
     summary = {
         n: dict(
             sec=results[n],
-            **{
-                f"slope_{str(a).replace('.', '')}_{str(b).replace('.', '')}":
-                    slope(n, a, b)
-                for a, b in zip(sfs, sfs[1:])
-            },
+            **{_tag(a, b): slope(n, a, b) for a, b in zip(sfs, sfs[1:])},
+            **(
+                {_tag(sfs[0], sfs[-1]): slope(n, sfs[0], sfs[-1])}
+                if len(sfs) > 2
+                else {}
+            ),
         )
         for n in queries_sel
     }
