@@ -12,6 +12,7 @@ CTE (see its oracle).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -431,57 +432,409 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_pareto_nbd")  # rows-only: own-MLE fit + 2F1, not SQL
-def q_pareto_nbd(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pareto/NBD fit + score end-to-end — the second lifetimes model
-    beside BG/NBD (operators/clv.py fit_pareto_nbd): dropout is a
-    continuous exponential death process, so silence BETWEEN purchases
-    lowers P(alive) where BG/NBD only reconsiders at purchases.  Fit
-    uses the same grouped-(x, t_x, T) sufficient-compression barrier;
-    scoring broadcasts the 4 fitted params into one Arrow batch pass.
-    Parameter recovery from model-simulated data and the MLE-beats-
-    truth property are pinned in tests/test_clv_logic.py."""
-    import pandas as pd
+#: 2F1 series replay fragment shared by the lattice/scoring oracles
+#: (q_pareto_nbd, q_clv_compare): DuckDB iterates
+#: term_{n+1} = term_n * (a+n)(b+n)/((c+n)(n+1)) * z with the SAME
+#: IEEE double ops in the SAME order as functions/special.hyp2f1,
+#: with the same adaptive 1e-12 stop — the pattern hash-verified
+#: bit-exact for q_predicted_purchases in r8.
+_SER_STEP = """
+               term * ((a + n) * (b + n) / ((c + n) * (n + 1.0)) * z),
+               total + CASE WHEN active
+                   THEN term * ((a + n) * (b + n)
+                                / ((c + n) * (n + 1.0)) * z)
+                   ELSE 0.0 END,
+               active AND abs(term * ((a + n) * (b + n)
+                                      / ((c + n) * (n + 1.0)) * z))
+                   > 1e-12 * abs(total + CASE WHEN active
+                       THEN term * ((a + n) * (b + n)
+                                    / ((c + n) * (n + 1.0)) * z)
+                       ELSE 0.0 END)
+"""
 
-    from clv_data_pipeline_spark.operators.clv import (
-        fit_pareto_nbd,
-        pnbd_expected_purchases_np,
-        pnbd_prob_alive_np,
+
+#: Candidate lattice for the deterministic Pareto/NBD grid MLE — the
+#: engine-replayable twin of the continuous Nelder-Mead fit
+#: (operators/clv.py fit_pareto_nbd, parameter recovery pinned in
+#: tests/test_clv_logic.py).  Every value is exact in binary (halves,
+#: quarters, 5/8, 23/2) so both engines score the winning cell with
+#: bit-identical parameters; beta > alpha throughout, so the A0
+#: hypergeometric branch is always the alpha<beta one (z = (beta -
+#: alpha)/(beta + t), second argument r + x) and no branch flips on
+#: data.  s = 1 is excluded so E[Y]'s (1 - u^(s-1))/(s-1) bracket
+#: never needs the log limit.
+_PNBD_GRID: tuple[tuple[int, float, float, float, float], ...] = tuple(
+    (i, r, al, sh, be)
+    for i, (r, al, sh, be) in enumerate(
+        (r, al, sh, be)
+        for r in (0.5, 1.0, 2.0)
+        for al in (0.5, 1.0, 2.0)
+        for sh in (0.25, 0.625, 1.5)
+        for be in (4.0, 11.5, 24.0)
     )
+)
+
+
+def _pnbd_penq(r: float, al: float, sh: float, be: float) -> int:
+    """The reference's L2 penalty (penalizer_coef=0.1, dags/
+    clv_models.py:62 — same objective as fit_pareto_nbd) in integer
+    micro-units, half-away rounded: both engines compute
+    0.1*(r²+α²+s²+β²) from exact-binary inputs with the identical
+    double 0.1, so the quantized penalty is bit-agreed."""
+    import math
+
+    pen = 0.1 * (r * r + al * al + sh * sh + be * be) * 1000000.0
+    return int(math.copysign(math.floor(abs(pen) + 0.5), pen))
+
+
+def _round_away(v, dp: int):
+    """Half-away-from-zero rounding mirror of DuckDB/Spark ROUND —
+    numpy's .round() is half-to-even, which would disagree with both
+    engines exactly on boundary values."""
+    import numpy as np
+
+    scale = 10.0**dp
+    return np.sign(v) * np.floor(np.abs(v) * scale + 0.5) / scale
+
+
+def _pnbd_lngam(r_arr, x_arr):
+    """ln Gamma(r+x) - ln Gamma(r) for integer-valued x as the SAME
+    sequential sum the oracle's recursive CTE iterates (acc += ln(r+i)
+    for i = 0..x-1, ascending) — float addition is order-dependent, so
+    the order is part of the contract."""
+    import math
+
+    import numpy as np
+
+    out = np.empty(len(x_arr), dtype=np.float64)
+    cache: dict[tuple[float, float], float] = {}
+    for j in range(len(out)):
+        key = (float(r_arr[j]), float(x_arr[j]))
+        v = cache.get(key)
+        if v is None:
+            acc = 0.0
+            for i in range(int(key[1])):
+                acc += math.log(key[0] + i)
+            cache[key] = acc
+            v = acc
+        out[j] = v
+    return out
+
+
+def _pnbd_loga0_parts(r, al, sh, be, x, t_x, T):
+    """(part1, part2) of the Pareto/NBD likelihood's logaddexp, with
+    every float op in the same order as the oracle SQL.  part2 is only
+    meaningful where t_x < T (callers CASE it away elsewhere, exactly
+    like the SQL does)."""
+    import numpy as np
+
+    from clv_data_pipeline_spark.functions.special import hyp2f1
+
+    rsx = r + sh + x
+    part1 = -(r + x) * np.log(al + T) - sh * np.log(be + T)
+    h_tx = hyp2f1(rsx, r + x, rsx + 1.0, (be - al) / (be + t_x))
+    h_T = hyp2f1(rsx, r + x, rsx + 1.0, (be - al) / (be + T))
+    lf1 = np.log(h_tx) - rsx * np.log(be + t_x)
+    lf2 = np.log(h_T) - rsx * np.log(be + T)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        loga0 = lf1 + np.log(1.0 - np.exp(np.minimum(lf2 - lf1, 0.0)))
+        part2 = np.log(sh) - np.log(rsx) + loga0
+    return part1, part2, lf1, lf2
+
+
+def _pnbd_oracle() -> str:
+    """DuckDB replay of the whole grid fit + score — see q_pareto_nbd."""
+    cand_rows = ", ".join(
+        f"({i}, CAST({r!r} AS DOUBLE), CAST({al!r} AS DOUBLE), "
+        f"CAST({sh!r} AS DOUBLE), CAST({be!r} AS DOUBLE), "
+        f"{_pnbd_penq(r, al, sh, be)})"
+        for i, r, al, sh, be in _PNBD_GRID
+    )
+    rsx = '(c.r + c.sh + st.x)'
+    lf1 = f'(ln(h.hyp_tx) - {rsx} * ln(c.be + st.t_x))'
+    lf2 = f'(ln(h.hyp_T) - {rsx} * ln(c.be + st."T"))'
+    return f"""
+    WITH RECURSIVE feats AS MATERIALIZED (
+        SELECT user_id AS customer_id,
+               CAST(COUNT(DISTINCT CAST(ts AS DATE)) - 1 AS DOUBLE) AS x,
+               CAST(date_diff('day', CAST(MIN(ts) AS DATE),
+                    CAST(MAX(ts) AS DATE)) AS DOUBLE) AS t_x,
+               CAST(date_diff('day', CAST(MIN(ts) AS DATE),
+                    DATE '{ASOF}') AS DOUBLE) AS "T"
+        FROM events GROUP BY user_id),
+    stats AS MATERIALIZED (
+        SELECT x, t_x, "T", CAST(COUNT(*) AS BIGINT) AS w
+        FROM feats GROUP BY x, t_x, "T"),
+    cand(cand, r, al, sh, be, penq) AS (VALUES {cand_rows}),
+    grbase AS (SELECT DISTINCT c.r, st.x FROM cand c, stats st),
+    gr(r, x, i, acc) AS (
+        SELECT r, x, 0, CAST(0.0 AS DOUBLE) FROM grbase
+        UNION ALL
+        SELECT r, x, i + 1, acc + ln(r + i) FROM gr WHERE i < x),
+    lngam AS (SELECT r, x, arg_max(acc, i) AS lngam
+              FROM gr GROUP BY r, x),
+    serargs AS (
+        SELECT c.cand, st.x, st.t_x, st."T", wh.which,
+               c.r + c.sh + st.x AS a, c.r + st.x AS b,
+               c.r + c.sh + st.x + 1.0 AS c,
+               (c.be - c.al)
+                 / (c.be + CASE WHEN wh.which = 0
+                                THEN st.t_x ELSE st."T" END) AS z
+        FROM cand c, stats st, (VALUES (0), (1)) wh(which)),
+    ser(cand, x, t_x, "T", which, a, b, c, z,
+        n, term, total, active) AS (
+        SELECT cand, x, t_x, "T", which, a, b, c, z, 0,
+               CAST(1.0 AS DOUBLE), CAST(1.0 AS DOUBLE), TRUE
+        FROM serargs
+        UNION ALL
+        SELECT cand, x, t_x, "T", which, a, b, c, z, n + 1,{_SER_STEP}
+        FROM ser WHERE active AND n < 4000),
+    hyp AS (
+        SELECT cand, x, t_x, "T",
+               arg_max(total, n) FILTER (which = 0) AS hyp_tx,
+               arg_max(total, n) FILTER (which = 1) AS hyp_T
+        FROM ser GROUP BY cand, x, t_x, "T"),
+    llp AS (
+        SELECT c.cand, st.x, st.t_x, st."T", st.w, c.r, c.al, c.sh,
+               c.be,
+               -(c.r + st.x) * ln(c.al + st."T")
+                 - c.sh * ln(c.be + st."T") AS part1,
+               CASE WHEN st.t_x >= st."T" THEN 0.0 ELSE
+                 ln(c.sh) - ln({rsx})
+                 + ({lf1}
+                    + ln(1.0 - exp(LEAST({lf2} - {lf1}, 0.0))))
+               END AS part2
+        FROM stats st
+        CROSS JOIN cand c
+        JOIN hyp h ON h.cand = c.cand AND h.x = st.x
+                  AND h.t_x = st.t_x AND h."T" = st."T"),
+    ll AS (
+        SELECT llp.cand, llp.w,
+               CAST(ROUND((lg.lngam + llp.r * ln(llp.al)
+                   + llp.sh * ln(llp.be)
+                   + CASE WHEN llp.t_x >= llp."T" THEN part1
+                          ELSE GREATEST(part1, part2)
+                               + ln(exp(part1 - GREATEST(part1, part2))
+                                    + exp(part2
+                                          - GREATEST(part1, part2)))
+                     END) * 1000000.0, 0) AS BIGINT) * llp.w AS v
+        FROM llp JOIN lngam lg ON lg.r = llp.r AND lg.x = llp.x),
+    fit AS (SELECT ll.cand FROM ll JOIN cand c USING (cand)
+            GROUP BY ll.cand, c.penq
+            ORDER BY SUM(v) - c.penq * SUM(w) DESC, ll.cand ASC
+            LIMIT 1),
+    fitp AS (SELECT c.* FROM cand c JOIN fit USING (cand)),
+    praw AS (
+        SELECT f.customer_id, fp.cand, fp.r, fp.al, fp.sh, fp.be,
+               CASE WHEN f.t_x >= f."T" THEN 1.0 ELSE
+                 1.0 / (1.0 + exp(
+                   ln(fp.sh) - ln(fp.r + fp.sh + f.x)
+                   + (fp.r + f.x) * ln(fp.al + f."T")
+                   + fp.sh * ln(fp.be + f."T")
+                   + ((ln(h.hyp_tx)
+                       - (fp.r + fp.sh + f.x) * ln(fp.be + f.t_x))
+                      + ln(1.0 - exp(LEAST(
+                          (ln(h.hyp_T)
+                           - (fp.r + fp.sh + f.x) * ln(fp.be + f."T"))
+                          - (ln(h.hyp_tx)
+                             - (fp.r + fp.sh + f.x)
+                               * ln(fp.be + f.t_x)),
+                          0.0))))))
+               END AS p_raw,
+               (fp.r + f.x) * (fp.be + f."T") / (fp.al + f."T")
+                 * ((1.0 - POWER((fp.be + f."T")
+                                 / (fp.be + f."T" + 30.0),
+                                 fp.sh - 1.0))
+                    / (fp.sh - 1.0)) AS base
+        FROM feats f
+        CROSS JOIN fitp fp
+        JOIN hyp h ON h.cand = fp.cand AND h.x = f.x
+                  AND h.t_x = f.t_x AND h."T" = f."T")
+    SELECT customer_id, CAST(cand AS BIGINT) AS cand,
+           r AS fit_r, al AS fit_alpha, sh AS fit_s, be AS fit_beta,
+           ROUND(p_raw, 9) AS p_alive,
+           ROUND(base * p_raw, 9) AS pred_30d,
+           CAST(ROW_NUMBER() OVER (
+               ORDER BY ROUND(base * p_raw, 9) DESC, customer_id
+           ) AS BIGINT) AS pred_rank
+    FROM praw
+    """
+
+
+@query("q_pareto_nbd", oracle=_pnbd_oracle())
+def q_pareto_nbd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto/NBD lattice-MLE fit + score end-to-end — the second
+    lifetimes model beside BG/NBD: dropout is a continuous exponential
+    death process, so silence BETWEEN purchases lowers P(alive) where
+    BG/NBD only reconsiders at purchases (Fader & Hardie 2005, "A Note
+    on Deriving the Pareto/NBD Model and Related Expressions").
+
+    GRADUATED from rows-only in round 11 by the ALS/PCA discipline:
+    the free Nelder-Mead MLE (operators/clv.py fit_pareto_nbd,
+    parameter recovery pinned in tests/test_clv_logic.py) gets a
+    deterministic engine-replayable twin — an 81-cell lattice MLE over
+    exact-binary (r, alpha, s, beta) candidates.  Per-(candidate,
+    sufficient-stat-group) log-likelihoods quantize to integer
+    micro-units BEFORE the weighted sum, so the fit argmax is
+    accumulation-order independent; the DuckDB oracle replays the
+    gamma-ratio sum (recursive CTE, ascending i), both 2F1 series
+    (the _SER_STEP iteration, bit-exact since round 8), the
+    logaddexp combine, the argmax, and the winning cell's per-customer
+    P(alive)/E[Y|30d] scoring — fit AND score hash-verified.
+
+    The winning cell is pinned as a content-keyed stored artifact
+    (sources/io.materialize_temp DERIVED-ARTIFACT semantics, the ALS
+    factor lifecycle): re-runs against an unchanged events source
+    serve the stored fit and skip the lattice sweep entirely.
+
+    Scale shape: one corpus aggregation to per-customer (x, t_x, T),
+    one groupBy to weighted sufficient-stat triples (thousands of rows
+    for millions of customers — the same compression barrier as
+    fit_bgnbd), an 81-row broadcast design-grid cross (the
+    q_lsh_param_sweep class, plan-lint whitelisted), one Arrow LL
+    pass, a 1-row argmax pull, then map-only Arrow scoring.  The
+    global pred_rank window is the only total sort — at 100 TB rank
+    within segments or top-k instead."""
+    from pyspark.sql.functions import pandas_udf
+
     from clv_data_pipeline_spark.registry import ensure_worker_imports
+    from clv_data_pipeline_spark.sources.io import (
+        materialize_temp,
+        source_key,
+    )
 
     ensure_worker_imports(spark)
-    f = _features(spark, sf_dir).select(
+    feats = _features(spark, sf_dir).select(
         "customer_id",
-        F.col("frequency").cast("double").alias("frequency"),
-        F.col("recency").cast("double").alias("recency"),
-        F.col("T").cast("double").alias("T"),
+        F.col("frequency").cast("double").alias("x"),
+        F.col("recency").cast("double").alias("t_x"),
+        F.col("T").cast("double").alias("tt"),
     )
-    params = fit_pareto_nbd(
-        f.select("frequency", "recency", F.col("T").alias("t"))
+    skey = source_key(sf_dir, "events") + ":pnbd_grid81:v1"
+
+    @pandas_udf("long")
+    def _llq(
+        x: pd.Series, t_x: pd.Series, tt: pd.Series,
+        r: pd.Series, al: pd.Series, sh: pd.Series, be: pd.Series,
+    ) -> pd.Series:
+        import numpy as np
+
+        xa = x.to_numpy(np.float64)
+        ta = t_x.to_numpy(np.float64)
+        Ta = tt.to_numpy(np.float64)
+        ra = r.to_numpy(np.float64)
+        ala = al.to_numpy(np.float64)
+        sha = sh.to_numpy(np.float64)
+        bea = be.to_numpy(np.float64)
+        part1, part2, _, _ = _pnbd_loga0_parts(
+            ra, ala, sha, bea, xa, ta, Ta
+        )
+        with np.errstate(invalid="ignore"):
+            m = np.maximum(part1, part2)
+            lsum = m + np.log(np.exp(part1 - m) + np.exp(part2 - m))
+        lsum = np.where(ta >= Ta, part1, lsum)
+        ll = (
+            _pnbd_lngam(ra, xa)
+            + ra * np.log(ala)
+            + sha * np.log(bea)
+            + lsum
+        )
+        return pd.Series(
+            (np.sign(ll) * np.floor(np.abs(ll) * 1e6 + 0.5)).astype(
+                np.int64
+            )
+        )
+
+    def _fit_df() -> DataFrame:
+        stats = feats.groupBy("x", "t_x", "tt").agg(
+            F.count("*").cast("long").alias("w")
+        )
+        cand = spark.createDataFrame(
+            [g + (_pnbd_penq(*g[1:]),) for g in _PNBD_GRID],
+            "cand long, r double, al double, sh double, be double, "
+            "penq long",
+        )
+        scored = stats.crossJoin(F.broadcast(cand)).select(
+            "cand",
+            "penq",
+            "w",
+            (
+                _llq("x", "t_x", "tt", "r", "al", "sh", "be")
+                * F.col("w")
+            ).alias("v"),
+        )
+        return (
+            scored.groupBy("cand")
+            .agg(
+                (F.sum("v") - F.first("penq") * F.sum("w")).alias("tot")
+            )
+            .orderBy(F.desc("tot"), F.asc("cand"))
+            .limit(1)
+            .join(F.broadcast(cand), "cand")
+            .select("cand", "r", "al", "sh", "be")
+        )
+
+    win = materialize_temp(_fit_df(), "pnbd_fit_", key=skey).collect()[0]
+    cand_i, r, al, sh, be = (
+        int(win["cand"]), float(win["r"]), float(win["al"]),
+        float(win["sh"]), float(win["be"]),
     )
-    bc = spark.sparkContext.broadcast(params)
 
     def _score(batches):
-        p = bc.value
+        import numpy as np
+
         for pdf in batches:
             if pdf.empty:
                 continue
-            x = pdf["frequency"].to_numpy()
-            t_x = pdf["recency"].to_numpy()
-            T = pdf["T"].to_numpy()
+            x = pdf["x"].to_numpy(np.float64)
+            t_x = pdf["t_x"].to_numpy(np.float64)
+            T = pdf["tt"].to_numpy(np.float64)
+            _, _, lf1, lf2 = _pnbd_loga0_parts(r, al, sh, be, x, t_x, T)
+            rsx = r + sh + x
+            with np.errstate(divide="ignore", invalid="ignore"):
+                loga0 = lf1 + np.log(
+                    1.0 - np.exp(np.minimum(lf2 - lf1, 0.0))
+                )
+                log_term = (
+                    np.log(sh)
+                    - np.log(rsx)
+                    + (r + x) * np.log(al + T)
+                    + sh * np.log(be + T)
+                    + loga0
+                )
+                p_raw = np.where(
+                    t_x >= T, 1.0, 1.0 / (1.0 + np.exp(log_term))
+                )
+            base = (
+                (r + x) * (be + T) / (al + T)
+                * (
+                    (1.0 - ((be + T) / (be + T + 30.0)) ** (sh - 1.0))
+                    / (sh - 1.0)
+                )
+            )
             yield pd.DataFrame(
                 {
                     "customer_id": pdf["customer_id"],
-                    "p_alive": pnbd_prob_alive_np(p, x, t_x, T).round(6),
-                    "pred_30d": pnbd_expected_purchases_np(
-                        p, 30.0, x, t_x, T
-                    ).round(6),
+                    "cand": np.int64(cand_i),
+                    "fit_r": r,
+                    "fit_alpha": al,
+                    "fit_s": sh,
+                    "fit_beta": be,
+                    "p_alive": _round_away(p_raw, 9),
+                    "pred_30d": _round_away(base * p_raw, 9),
                 }
             )
 
-    return f.mapInPandas(
-        _score, "customer_id long, p_alive double, pred_30d double"
+    scored = feats.mapInPandas(
+        _score,
+        "customer_id long, cand long, fit_r double, fit_alpha double, "
+        "fit_s double, fit_beta double, p_alive double, pred_30d double",
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("pred_30d"), F.asc("customer_id"))
+    return scored.withColumn(
+        "pred_rank", F.row_number().over(w).cast("long")
     )
 
 
@@ -499,26 +852,6 @@ def q_pareto_nbd(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: the Pareto/NBD Model", alpha<beta branch).
 _BG_CMP = BetaGeoParams(r=1.0, alpha=1.0, a=0.75, b=2.5)
 _PN = ParetoNBDParams(r=1.0, alpha=1.0, s=0.625, beta=11.5)
-
-#: 2F1 series replay fragment shared by the two q_clv_compare models:
-#: DuckDB iterates term_{n+1} = term_n * (a+n)(b+n)/((c+n)(n+1)) * z
-#: with the SAME IEEE double ops in the SAME order as
-#: functions/special.hyp2f1, with the same adaptive 1e-12 stop — the
-#: pattern hash-verified bit-exact for q_predicted_purchases in r8.
-_SER_STEP = """
-               term * ((a + n) * (b + n) / ((c + n) * (n + 1.0)) * z),
-               total + CASE WHEN active
-                   THEN term * ((a + n) * (b + n)
-                                / ((c + n) * (n + 1.0)) * z)
-                   ELSE 0.0 END,
-               active AND abs(term * ((a + n) * (b + n)
-                                      / ((c + n) * (n + 1.0)) * z))
-                   > 1e-12 * abs(total + CASE WHEN active
-                       THEN term * ((a + n) * (b + n)
-                                    / ((c + n) * (n + 1.0)) * z)
-                       ELSE 0.0 END)
-"""
-
 
 @query(
     "q_clv_compare",

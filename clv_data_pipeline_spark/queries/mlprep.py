@@ -767,10 +767,50 @@ def _pca_power_vec(cp: list[list[int]]) -> list[int]:
         v = [-x for x in v]
     return v
 
-def _pca_project_oracle() -> str:
-    """4-component deflating replay of the q_pca_portable mechanism:
-    same quantization/centering/rescale/power-iteration CTEs, plus a
-    component loop carried IN the recursion — when a component's 32
+def _pca_int_fit_basis(
+    n: int, s: list[int], G: list[list[int]]
+) -> list[list[int]]:
+    """The exact-integer 4-component deflating fit from sufficient
+    stats (the q_pca_project driver loop, shared with
+    q_pca_incremental's base/merged refits): n-scaled integer scatter
+    -> 4096-unit rescale -> per component 32 power steps, sign fix,
+    exact Hotelling deflation B = C*(v.v)^2 - (v'Cv)*(v v'),
+    rescale."""
+    d, K = _PCA_DIM, _PCA_K
+    c_mat = [
+        [n * G[i][j] - s[i] * s[j] for j in range(d)]
+        for i in range(d)
+    ]
+    cp = _pca_rescale(c_mat)
+    basis: list[list[int]] = []
+    for _ in range(K):
+        v = _pca_power_vec(cp)
+        basis.append(v)
+        # exact Hotelling deflation (sign-invariant in v, so using
+        # the sign-fixed iterate matches the oracle's pre-fix one)
+        vv = sum(x * x for x in v)
+        rr = sum(
+            cp[i][j] * v[i] * v[j]
+            for i in range(d)
+            for j in range(d)
+        )
+        B = [
+            [cp[i][j] * vv * vv - rr * v[i] * v[j]
+             for j in range(d)]
+            for i in range(d)
+        ]
+        cp = _pca_rescale(B)
+    return basis
+
+
+def _pca_fit_ctes(sfx: str, src: str) -> str:
+    """CTE chain replaying the exact-integer 4-component deflating fit
+    over ``src`` (a table or parenthesized subquery yielding (vec_id,
+    embedding)), every CTE name suffixed with ``sfx`` so two fits can
+    share one WITH RECURSIVE (q_pca_incremental's stale-vs-refreshed
+    pair).  Mechanism per component: quantize 1e-4 -> n-scaled integer
+    scatter -> 4096-unit rescale -> 32 power steps -> sign fix; the
+    component loop is carried IN the recursion — when a component's 32
     steps finish, the state row sign-fixes the iterate into ``done``,
     Hotelling-deflates the matrix exactly (B = C*(v.v)^2 -
     (v'Cv)*(v v') — all HUGEINT), rescales by truncated division, and
@@ -780,46 +820,38 @@ def _pca_project_oracle() -> str:
         f"list_transform(range({d}), kk -> CAST(CASE WHEN kk = 0 "
         f"THEN {fp} ELSE 0 END AS BIGINT))"
     )
-    proj_cols = ",\n           ".join(
-        f"CAST(nn.n * SUM(d.q * done[{c + 1}][d.i + 1]) - MIN(sv{c + 1}) "
-        f"AS BIGINT) AS pc{c + 1}"
-        for c in range(k)
-    )
-    sv_cols = ",\n        ".join(
-        f"CAST(SUM(s * done[{c + 1}][i + 1]) AS HUGEINT) AS sv{c + 1}"
-        for c in range(k)
-    )
     return f"""
-    WITH RECURSIVE
-    dims AS (
+    dims{sfx} AS (
         SELECT vec_id,
                CAST(unnest(range(len(embedding))) AS BIGINT) AS i,
                CAST(ROUND(CAST(unnest(embedding) AS DOUBLE)
                           * {_PCA_QS}.0, 0) AS BIGINT) AS q
-        FROM embeddings),
-    nn AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n FROM embeddings),
-    svec AS (SELECT i, CAST(SUM(q) AS HUGEINT) AS s
-             FROM dims GROUP BY i),
-    gram AS (
+        FROM {src}),
+    nn{sfx} AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n FROM {src}),
+    svec{sfx} AS (SELECT i, CAST(SUM(q) AS HUGEINT) AS s
+             FROM dims{sfx} GROUP BY i),
+    gram{sfx} AS (
         SELECT a.i AS i, b.i AS j, CAST(SUM(a.q * b.q) AS HUGEINT) AS g
-        FROM dims a JOIN dims b USING (vec_id) GROUP BY a.i, b.i),
-    cint AS (
-        SELECT g.i, g.j, nn.n * g.g - sa.s * sb.s AS c
-        FROM gram g CROSS JOIN nn
-        JOIN svec sa ON sa.i = g.i JOIN svec sb ON sb.i = g.j),
-    mx AS (SELECT MAX(ABS(c)) // {fp} + 1 AS dnm FROM cint),
-    cp AS (
+        FROM dims{sfx} a JOIN dims{sfx} b USING (vec_id)
+        GROUP BY a.i, b.i),
+    cint{sfx} AS (
+        SELECT g.i, g.j, nn{sfx}.n * g.g - sa.s * sb.s AS c
+        FROM gram{sfx} g CROSS JOIN nn{sfx}
+        JOIN svec{sfx} sa ON sa.i = g.i
+        JOIN svec{sfx} sb ON sb.i = g.j),
+    mx{sfx} AS (SELECT MAX(ABS(c)) // {fp} + 1 AS dnm FROM cint{sfx}),
+    cp{sfx} AS (
         SELECT i, j,
                CAST((ABS(c) // dnm)
                     * (CASE WHEN c >= 0 THEN 1 ELSE -1 END)
                     AS BIGINT) AS cp
-        FROM cint CROSS JOIN mx),
-    cmat AS (
+        FROM cint{sfx} CROSS JOIN mx{sfx}),
+    cmat{sfx} AS (
         SELECT list(rl ORDER BY i) AS cl
         FROM (SELECT i, list(cp ORDER BY j) AS rl
-              FROM cp GROUP BY i)),
-    it AS (
-        SELECT 0 AS k, 0 AS t, (SELECT cl FROM cmat) AS cl,
+              FROM cp{sfx} GROUP BY i)),
+    it{sfx} AS (
+        SELECT 0 AS k, 0 AS t, (SELECT cl FROM cmat{sfx}) AS cl,
                {e1} AS v, CAST([] AS BIGINT[][]) AS done
         UNION ALL
         SELECT CASE WHEN s3.fin THEN s3.k + 1 ELSE s3.k END,
@@ -857,35 +889,54 @@ def _pca_project_oracle() -> str:
                                    * s1.v[i2 + 1] * s1.v[j2 + 1]))
                            AS bm
                 FROM (
-                    SELECT it.k, it.t, it.cl, it.v, it.done,
-                           it.t >= {iters} AS fin,
+                    SELECT it{sfx}.k, it{sfx}.t, it{sfx}.cl,
+                           it{sfx}.v, it{sfx}.done,
+                           it{sfx}.t >= {iters} AS fin,
                            list_transform(range({d}), i2 ->
                                list_reduce(list_transform(range({d}),
-                                   j2 -> it.cl[i2 + 1][j2 + 1]
-                                         * it.v[j2 + 1]),
+                                   j2 -> it{sfx}.cl[i2 + 1][j2 + 1]
+                                         * it{sfx}.v[j2 + 1]),
                                    (a, b) -> a + b)) AS w,
-                           CAST(list_reduce(list_transform(it.v,
+                           CAST(list_reduce(list_transform(it{sfx}.v,
                                     x -> x * x), (a, b) -> a + b)
                                 AS HUGEINT) AS vv,
                            list_reduce(list_transform(range({d}), i2 ->
-                               it.v[i2 + 1] * list_reduce(
+                               it{sfx}.v[i2 + 1] * list_reduce(
                                    list_transform(range({d}),
-                                       j2 -> it.cl[i2 + 1][j2 + 1]
-                                             * it.v[j2 + 1]),
+                                       j2 -> it{sfx}.cl[i2 + 1][j2 + 1]
+                                             * it{sfx}.v[j2 + 1]),
                                    (a, b) -> a + b)),
                                (a, b) -> a + b) AS rr,
                            list_sort(list_transform(range({d}),
                                kk -> struct_pack(
-                                   na := -ABS(it.v[kk + 1]),
+                                   na := -ABS(it{sfx}.v[kk + 1]),
                                    kk := kk,
-                                   sg := CASE WHEN it.v[kk + 1] >= 0
+                                   sg := CASE WHEN it{sfx}.v[kk + 1] >= 0
                                          THEN 1 ELSE -1 END)))[1].sg
                                AS sgn
-                    FROM it WHERE it.k < {k}
+                    FROM it{sfx} WHERE it{sfx}.k < {k}
                 ) s1
             ) s2
         ) s3),
-    vfin AS (SELECT done FROM it WHERE k = {k}),
+    vfin{sfx} AS (SELECT done FROM it{sfx} WHERE k = {k})"""
+
+
+def _pca_project_oracle() -> str:
+    """Full-corpus replay: one _pca_fit_ctes chain plus the n-scaled
+    projection readout pc_k = n*(q.v_k) - (s.v_k)."""
+    k = _PCA_K
+    proj_cols = ",\n           ".join(
+        f"CAST(nn.n * SUM(d.q * done[{c + 1}][d.i + 1]) - MIN(sv{c + 1}) "
+        f"AS BIGINT) AS pc{c + 1}"
+        for c in range(k)
+    )
+    sv_cols = ",\n        ".join(
+        f"CAST(SUM(s * done[{c + 1}][i + 1]) AS HUGEINT) AS sv{c + 1}"
+        for c in range(k)
+    )
+    return f"""
+    WITH RECURSIVE
+    {_pca_fit_ctes("", "embeddings")},
     svs AS (SELECT
         {sv_cols}
         FROM svec, vfin)
@@ -952,29 +1003,7 @@ def q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def _fit() -> "np.ndarray":
         n, s, G = _pca_int_stats(emb)
-        c_mat = [
-            [n * G[i][j] - s[i] * s[j] for j in range(d)]
-            for i in range(d)
-        ]
-        cp = _pca_rescale(c_mat)
-        basis: list[list[int]] = []
-        for _ in range(K):
-            v = _pca_power_vec(cp)
-            basis.append(v)
-            # exact Hotelling deflation (sign-invariant in v, so using
-            # the sign-fixed iterate matches the oracle's pre-fix one)
-            vv = sum(x * x for x in v)
-            rr = sum(
-                cp[i][j] * v[i] * v[j]
-                for i in range(d)
-                for j in range(d)
-            )
-            B = [
-                [cp[i][j] * vv * vv - rr * v[i] * v[j]
-                 for j in range(d)]
-                for i in range(d)
-            ]
-            cp = _pca_rescale(B)
+        basis = _pca_int_fit_basis(n, s, G)
         # every slot is int64-safe for n <= ~9e14 vectors (s <= n*1e4,
         # basis <= 4096) — the pinned-eigenbasis artifact the verdict
         # asked for: fit once per source version, project forever
@@ -1370,92 +1399,125 @@ def q_applyinarrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_pca_incremental")  # rows-only: eigendecomposition, self-auditing
+def _pca_incremental_oracle() -> str:
+    """Two _pca_fit_ctes chains (stale base-only vs merged-refresh)
+    plus the per-component drift readout — see q_pca_incremental."""
+    d, k = _PCA_DIM, _PCA_K
+    return f"""
+    WITH RECURSIVE
+    cutq AS (SELECT MAX(vec_id) - COUNT(*) // 10 AS cut
+             FROM embeddings),
+    {_pca_fit_ctes(
+        "_b",
+        "(SELECT e.* FROM embeddings e, cutq WHERE e.vec_id <= cut)",
+    )},
+    {_pca_fit_ctes("_m", "embeddings")}
+    SELECT CAST(cc + 1 AS BIGINT) AS component,
+           CAST(list_reduce(list_transform(range({d}), i2 ->
+               ABS(m.done[cc + 1][i2 + 1] - b.done[cc + 1][i2 + 1])),
+               (a, b) -> a + b) AS BIGINT) AS drift_l1,
+           CAST(list_reduce(list_transform(range({d}), i2 ->
+               m.done[cc + 1][i2 + 1] * b.done[cc + 1][i2 + 1]),
+               (a, b) -> a + b) AS BIGINT) AS align_q,
+           (SELECT CAST(n AS BIGINT) FROM nn_b) AS n_base,
+           (SELECT CAST(n AS BIGINT) FROM nn_m)
+               - (SELECT CAST(n AS BIGINT) FROM nn_b) AS n_delta
+    FROM (SELECT unnest(range({k})) AS cc) g, vfin_m m, vfin_b b
+    """
+
+
+@query("q_pca_incremental", oracle=_pca_incremental_oracle())
 def q_pca_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """O(delta) PCA model maintenance: the newest ~10% of vectors (the
-    daily delta) contribute ONE sufficient-stats pass that merges into
-    the stored base stats by pure addition (operators/pca.py
-    merge_pca_stats) — the corpus is never rescanned, completing the
-    incremental family (exact/MinHash/embedding dedup, RFM, SCD2, now
-    the embedding model).
+    """O(delta) PCA model maintenance in the exact-integer discipline:
+    the newest ~10% of vectors (the daily delta) contribute ONE
+    sufficient-stats pass that merges into the stored base stats by
+    pure INTEGER addition — and because integer addition is exactly
+    associative, the merged stats are bit-identical to a full-corpus
+    rescan, so the refreshed basis IS the q_pca_project basis (the two
+    queries share one content-keyed eigenbasis artifact: whichever
+    runs first pins it, the other serves it).
 
-    Self-auditing output, q_ann_recall style: the scree of the MERGED
-    model plus, per component, the max |projection difference| vs a
-    full refit over the whole table — additivity means the two models
-    differ only by float summation order, so max_proj_diff ~ 1e-12
-    certifies the merge IS the full fit.  Each row: (component,
-    explained_var, explained_pct, max_proj_diff)."""
+    GRADUATED from rows-only in round 11 (was: float
+    eigendecomposition with a ~1e-12 summation-order audit — the
+    integer twin makes the merge-equals-refit claim EXACT, so the
+    informative readout becomes the model DRIFT the delta caused):
+    per component, the L1 drift and the quantized alignment between
+    the stale base-only basis and the refreshed merged basis — the
+    republish-or-not decision a daily embedding pipeline actually
+    makes.  The DuckDB oracle replays BOTH deflating fits (two
+    _pca_fit_ctes recursive chains over base and full rows) and the
+    drift algebra; a hash match proves the split point, both
+    quantized Gram/sum/count stat passes, 2 x 4 x 32 power steps +
+    deflations, and the drift readout end to end.
+
+    Scale shape: two _pca_int_stats Arrow passes over disjoint row
+    sets (together one corpus scan, 4161-row shuffles each), a 1-row
+    scalar cut pull, two driver-side integer fits (microseconds), and
+    a 4-row result — no per-row Python, no d^2 explode.  The float
+    scree/merge operators remain in operators/pca.py for callers that
+    want numpy-grade components (tests/test_pca.py pins both)."""
     import numpy as np
-    import pandas as pd
 
-    from clv_data_pipeline_spark.operators.pca import (
-        eig_from_stats,
-        merge_pca_stats,
-        pca_sufficient_stats,
+    from clv_data_pipeline_spark.sources.io import (
+        artifact_numpy,
+        source_key,
     )
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    stats = emb.agg(
-        (
-            F.max("vec_id")
-            - F.floor(F.count("*") / F.lit(10.0)).cast("long")
-        ).alias("cut")
+    d, K = _PCA_DIM, _PCA_K
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: F.round(x * _PCA_QS, 0).cast("long"),
+        ).alias("q"),
     )
-    with_cut = emb.crossJoin(F.broadcast(stats))
-    base = with_cut.filter(F.col("vec_id") <= F.col("cut")).drop("cut")
-    delta = with_cut.filter(F.col("vec_id") > F.col("cut")).drop("cut")
+    cut_row = emb.agg(
+        F.max("vec_id").alias("mx"), F.count("*").alias("n")
+    ).collect()[0]
+    cut = int(cut_row["mx"]) - int(cut_row["n"]) // 10
 
-    merged = merge_pca_stats(
-        pca_sufficient_stats(base), pca_sufficient_stats(delta)
+    nb, sb, Gb = _pca_int_stats(emb.filter(F.col("vec_id") <= cut))
+    nd, sd, Gd = _pca_int_stats(emb.filter(F.col("vec_id") > cut))
+    # O(delta) merge: exact integer addition == full-corpus stats
+    nm = nb + nd
+    sm = [a + b for a, b in zip(sb, sd)]
+    Gm = [
+        [Gb[i][j] + Gd[i][j] for j in range(d)] for i in range(d)
+    ]
+
+    def _fit_merged() -> "np.ndarray":
+        basis = _pca_int_fit_basis(nm, sm, Gm)
+        return np.array(
+            [nm] + sm + [x for v in basis for x in v], dtype=np.int64
+        )
+
+    art = artifact_numpy(
+        "pcaproj_",
+        source_key(sf_dir, "embeddings")
+        + f":pcaproj:k{K}:it{_PCA_ITERS}",
+        _fit_merged,
     )
-    full = pca_sufficient_stats(emb)
-    k = 4
-
-    def model(stats_tuple):
-        mu, evals, evecs = eig_from_stats(*stats_tuple)
-        order = np.argsort(evals)[::-1][:k]
-        w = evecs[:, order]
-        flip = np.sign(w[np.abs(w).argmax(axis=0), np.arange(k)])
-        flip[flip == 0] = 1.0
-        return mu, w * flip, evals[order], float(evals.sum())
-
-    mu_m, w_m, ev_m, trace_m = model(merged)
-    mu_f, w_f, ev_f, _ = model(full)
-
-    def diffs(it):
-        for pdf in it:
-            if not len(pdf):
-                continue
-            x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-            d = np.abs((x - mu_m) @ w_m - (x - mu_f) @ w_f).max(axis=0)
-            yield pd.DataFrame({"c": list(range(1, k + 1)), "d": d})
-
-    max_diff = {
-        r["c"]: r["md"]
-        for r in emb.select("embedding")
-        .mapInPandas(diffs, "c int, d double")
-        .groupBy("c")
-        .agg(F.max("d").alias("md"))
-        .collect()
-    }
+    basis_new = [
+        [int(x) for x in art[d + 1 + c * d : d + 1 + (c + 1) * d]]
+        for c in range(K)
+    ]
+    basis_old = _pca_int_fit_basis(nb, sb, Gb)
     rows = [
         (
-            i + 1,
-            round(float(v), 6),
-            round(float(v) / trace_m * 100.0, 4) if trace_m > 0 else 0.0,
-            float(max_diff[i + 1]),
+            c + 1,
+            sum(
+                abs(basis_new[c][i] - basis_old[c][i]) for i in range(d)
+            ),
+            sum(basis_new[c][i] * basis_old[c][i] for i in range(d)),
+            nb,
+            nd,
         )
-        for i, v in enumerate(ev_m)
+        for c in range(K)
     ]
     return spark.createDataFrame(
         rows,
-        "component int, explained_var double, explained_pct double, "
-        "max_proj_diff double",
-    ).select(
-        F.col("component").cast("long").alias("component"),
-        "explained_var",
-        "explained_pct",
-        "max_proj_diff",
+        "component long, drift_l1 long, align_q long, n_base long, "
+        "n_delta long",
     )
 
 

@@ -129,6 +129,15 @@ CONSTANT_OK: frozenset[tuple[str, str]] = frozenset(
         ("q_simhash", "n_near_dup_pairs"),
         ("q_holt_winters", "n_days"),
         ("q_changepoint", "n_days"),
+        # the lattice-MLE winning cell is ONE model shared by every
+        # scored customer — constant by construction (scalar-attach
+        # class, like q_pca_portable's lam_num/lam_den); p_alive /
+        # pred_30d / pred_rank are variance-checked normally
+        ("q_pareto_nbd", "cand"),
+        ("q_pareto_nbd", "fit_r"),
+        ("q_pareto_nbd", "fit_alpha"),
+        ("q_pareto_nbd", "fit_s"),
+        ("q_pareto_nbd", "fit_beta"),
     }
 )
 
