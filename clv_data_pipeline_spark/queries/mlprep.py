@@ -7405,18 +7405,25 @@ def q_data_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
     Efficiency property sum_g phi_g = U(P) holds exactly in the
     integer domain and is pinned in tests/test_mlprep_models.py.
 
-    Scale shape (VERDICT r9 item 5): ONE persisted tokenized train
-    explode shared by all 7 coalition fits (the masks only filter
-    grp), per-coalition model tables with SMALL broadcasts, lazily
-    unioned into one action.  Two fancier rewrites were measured and
-    REJECTED on this box: (a) fusing all 7 scores into one mask-keyed
-    shuffle (7x-wide lp broadcast hash table cost ~2x the per-job
-    overhead it saved), and (b) per-group sufficient statistics with
-    derived coalition aggregates (21 extra vocab-sized shuffles +
-    serialized eager materialization lost to 7 concurrent explodes
-    inside one job DAG).  Group count is the scale lever (k groups =
-    2^k - 1 model tables, so coalition grain stays coarse by
-    design)."""
+    Scale shape (VERDICT r10 item 3): the 7 coalition NB models are
+    built by ADDITION from ONE (grp x class x token) grouped aggregate
+    — multinomial-NB sufficient statistics are additive over source
+    groups, so the train explode is scanned ONCE (previously 7 model
+    fits re-aggregated the persisted explode per coalition).  The
+    grouped counts collect at the bounded (groups x classes x vocab)
+    model-table grain, the coalition sums and log-prob quantization
+    run driver-side in exact mirrors of the old JVM expressions
+    (java BigDecimal HALF_UP == decimal.ROUND_HALF_UP; double division
+    and libm log are the ops DuckDB replays), and the 7 scoring jobs
+    keep their SMALL broadcast model tables, lazily unioned into one
+    action — hashes unchanged.  A fused single-shuffle scorer was
+    measured and REJECTED in round 10 (7x-wide lp broadcast hash table
+    cost ~2x the per-job overhead it saved).  Group count is the scale
+    lever (k groups = 2^k - 1 model tables, so coalition grain stays
+    coarse by design)."""
+    import math as _math
+    from decimal import ROUND_HALF_UP, Decimal
+
     masks = _DS_MASKS
     d0 = load_table(spark, sf_dir, "documents")
     docs = d0.select(
@@ -7435,60 +7442,72 @@ def q_data_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lang").alias("true_lang"),
         F.explode("toks").alias("tok"),
     ).persist()
-    # ONE tokenized train explode shared by all 7 coalition fits — the
-    # masks only filter grp, so exploding per-mask re-did the same
-    # normalize+split+explode seven times (VERDICT r9 item 5)
-    ttrain_all = docs.filter(F.col("pref") < "cc").select(
-        "lang", "grp", F.explode("toks").alias("tok")
-    ).persist()
+    # ONE tokenized train explode, aggregated ONCE to the additive
+    # (grp, lang, tok) sufficient-statistic grain (VERDICT r10 item 3)
+    gcc = {
+        (r["grp"], r["lang"], r["tok"]): int(r["c"])
+        for r in docs.filter(F.col("pref") < "cc")
+        .select("lang", "grp", F.explode("toks").alias("tok"))
+        .groupBy("grp", "lang", "tok")
+        .agg(F.count("*").alias("c"))
+        .collect()
+    }
+    gdc = {
+        (r["grp"], r["lang"]): int(r["nd"])
+        for r in docs.filter(F.col("pref") < "cc")
+        .groupBy("grp", "lang")
+        .agg(F.count("*").alias("nd"))
+        .collect()
+    }
+
+    def _q9(v: float) -> Decimal:
+        # exact mirror of the old JVM F.round(double, 9): BigDecimal
+        # of the exact binary double, HALF_UP at scale 9
+        return Decimal(v).quantize(
+            Decimal("0.000000001"), rounding=ROUND_HALF_UP
+        )
+
     dec = "decimal(20,9)"
     per_mask = []
     for m in masks:
-        train = docs.filter(
-            (F.col("pref") < "cc") & F.col("grp").isin(*m)
+        # coalition stats by pure addition of the per-group counts
+        cc: dict[tuple[str, str], int] = {}
+        for (g, lang, tok), c in gcc.items():
+            if g in m:
+                cc[(lang, tok)] = cc.get((lang, tok), 0) + c
+        ct: dict[str, int] = {}
+        for (lang, _t), c in cc.items():
+            ct[lang] = ct.get(lang, 0) + c
+        vsz = len({t for (_l, t) in cc})
+        nd: dict[str, int] = {}
+        for (g, lang), c in gdc.items():
+            if g in m:
+                nd[lang] = nd.get(lang, 0) + c
+        n_train = sum(nd.values())
+        if n_train == 0:
+            # empty coalition: U(empty) = 0 by convention — no model,
+            # no scoring job (the oracle's COALESCE(c, 0) twin)
+            continue
+        pri = spark.createDataFrame(
+            [
+                (lang, _q9(_math.log(c * 1.0 / n_train)))
+                for lang, c in nd.items()
+            ],
+            f"cls string, lp0 {dec}",
         )
-        ttok = ttrain_all.filter(F.col("grp").isin(*m))
-        cc = ttok.groupBy("lang", "tok").agg(F.count("*").alias("c"))
-        ct = ttok.groupBy("lang").agg(F.count("*").alias("tot"))
-        v = ttok.agg(F.countDistinct("tok").alias("vsz"))
-        ntr = train.agg(F.count("*").alias("n_train"))
-        pri = (
-            train.groupBy("lang")
-            .agg(F.count("*").alias("nd"))
-            .crossJoin(F.broadcast(ntr))
-            .select(
-                F.col("lang").alias("cls"),
-                F.round(
-                    F.log(F.col("nd") * 1.0 / F.col("n_train")), 9
-                )
-                .cast(dec)
-                .alias("lp0"),
-            )
+        lp = spark.createDataFrame(
+            [
+                (lang, tok, _q9(_math.log((c + 1.0) / (ct[lang] + vsz))))
+                for (lang, tok), c in cc.items()
+            ],
+            f"cls string, tok string, lp {dec}",
         )
-        lp = (
-            cc.join(ct, "lang")
-            .crossJoin(F.broadcast(v))
-            .select(
-                F.col("lang").alias("cls"),
-                "tok",
-                F.round(
-                    F.log(
-                        (F.col("c") + F.lit(1.0))
-                        / (F.col("tot") + F.col("vsz"))
-                    ),
-                    9,
-                )
-                .cast(dec)
-                .alias("lp"),
-            )
-        )
-        oov = ct.crossJoin(F.broadcast(v)).select(
-            F.col("lang").alias("cls"),
-            F.round(
-                F.log(F.lit(1.0) / (F.col("tot") + F.col("vsz"))), 9
-            )
-            .cast(dec)
-            .alias("lpo"),
+        oov = spark.createDataFrame(
+            [
+                (lang, _q9(_math.log(1.0 / (tot + vsz))))
+                for lang, tot in ct.items()
+            ],
+            f"cls string, lpo {dec}",
         )
         scored = (
             ttest.crossJoin(F.broadcast(oov))
@@ -7516,11 +7535,13 @@ def q_data_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.lit(_ds_tag(m)).alias("mask"), "n_test", "c")
         )
         per_mask.append(agg)
-    util = per_mask[0]
-    for u in per_mask[1:]:
-        util = util.unionAll(u)
-    rows = {r["mask"]: r for r in util.collect()}
-    ttrain_all.unpersist()
+    if per_mask:
+        util = per_mask[0]
+        for u in per_mask[1:]:
+            util = util.unionAll(u)
+        rows = {r["mask"]: r for r in util.collect()}
+    else:
+        rows = {}
     n_test = int(rows["012"]["n_test"]) if "012" in rows else 0
     # empty coalition => no scored rows => no util row for that mask
     # => correct-count 0 by the U(empty)=0 convention (mirrored by

@@ -123,7 +123,7 @@ _BNLJ_SCALAR_OK = {
     # same class as the scalar attaches above
     "q_als_recommend",
     "q_als_eval",
-    "q_lsh_param_sweep",  # 8-row (b, r) design-grid broadcast cross
+    "q_lsh_param_sweep",  # 7-row (b, r) design-grid broadcast cross
     # round 11: the graduated Pareto/NBD lattice MLE crosses the
     # weighted sufficient-stat triples against the 81-cell broadcast
     # candidate grid — the q_lsh_param_sweep design-grid class
