@@ -2545,6 +2545,256 @@ def q_rerank_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SPLADE_E = 4          #: expansion terms kept per query term
+_SPLADE_Q = 1_000_000  #: integer weight scale (direct term weight)
+
+
+@query(
+    "q_splade_retrieval",
+    oracle=f"""
+    WITH q(query_id, qtext) AS (VALUES {_RETRIEVAL_VALUES}),
+    qt AS (SELECT DISTINCT query_id,
+                  unnest(string_split(qtext, ' ')) AS term FROM q),
+    toks AS (
+        SELECT doc_id, unnest({_TOKENIZE_SQL}) AS term FROM documents),
+    tf AS (
+        SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM toks WHERE term <> '' GROUP BY doc_id, term),
+    df AS (
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+        FROM tf GROUP BY term),
+    corpus AS (
+        SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+        FROM tf),
+    cooc AS (
+        SELECT a.term AS t1, b.term AS t2, CAST(COUNT(*) AS BIGINT) AS c
+        FROM tf a
+        JOIN (SELECT DISTINCT term FROM qt) x ON a.term = x.term
+        JOIN tf b ON a.doc_id = b.doc_id AND a.term <> b.term
+        GROUP BY a.term, b.term),
+    pmi AS (
+        SELECT c.t1, c.t2,
+               CAST(ROUND(ln(CAST(c.c AS DOUBLE) * corpus.n_docs
+                             / (d1.df * d2.df)) * 1000000.0, 0)
+                    AS BIGINT) AS pmi_q
+        FROM cooc c JOIN df d1 ON d1.term = c.t1
+        JOIN df d2 ON d2.term = c.t2
+        CROSS JOIN corpus
+        WHERE CAST(c.c AS DOUBLE) * corpus.n_docs
+              / (d1.df * d2.df) > 1.0),
+    expn AS (
+        SELECT t1, t2, pmi_q // 4 AS w,
+               ROW_NUMBER() OVER (PARTITION BY t1
+                                  ORDER BY pmi_q DESC, t2) AS rn
+        FROM pmi),
+    qw AS (
+        SELECT query_id, term, CAST(SUM(w) AS BIGINT) AS qw,
+               MAX(isd) AS isd
+        FROM (
+            SELECT query_id, term, {_SPLADE_Q} AS w, 1 AS isd FROM qt
+            UNION ALL
+            SELECT qt.query_id, e.t2 AS term, e.w, 0 AS isd
+            FROM qt JOIN expn e ON e.t1 = qt.term
+                               AND e.rn <= {_SPLADE_E}) u
+        GROUP BY query_id, term),
+    dw AS (
+        SELECT tf.doc_id, tf.term,
+               CAST(ROUND(ln(1.0 + tf.tf)
+                    * ln(1.0 + (CAST(corpus.n_docs AS DOUBLE)
+                                - df.df + 0.5) / (df.df + 0.5))
+                    * 1000000.0, 0) AS BIGINT) AS dw
+        FROM tf JOIN df USING (term) CROSS JOIN corpus),
+    sc AS (
+        SELECT qw.query_id, dw.doc_id,
+               CAST(SUM(qw.qw * dw.dw) AS BIGINT) AS score_q,
+               CAST(SUM(CASE WHEN qw.isd = 0 THEN qw.qw * dw.dw
+                             ELSE 0 END) AS BIGINT) AS score_exp,
+               CAST(SUM(CASE WHEN qw.isd = 1 THEN qw.qw * dw.dw
+                             ELSE 0 END) AS BIGINT) AS sd
+        FROM qw JOIN dw USING (term)
+        GROUP BY qw.query_id, dw.doc_id)
+    SELECT query_id, doc_id, score_q, score_exp, rnk, rnk_direct
+    FROM (
+        SELECT query_id, doc_id, score_q, score_exp,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY score_q DESC, doc_id) AS BIGINT) AS rnk,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY sd DESC, doc_id) AS BIGINT) AS rnk_direct
+        FROM sc) z
+    WHERE rnk <= 5
+    """,
+)
+def q_splade_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned-sparse retrieval (SPLADE-style, Formal et al. 2021) —
+    the third leg of the retrieval triptych beside dense ANN and the
+    cross-encoder reranker (VERDICT r10 item 8): queries retrieve
+    through an inverted index of TERM WEIGHTS rather than raw terms,
+    with the signature two ingredients of learned-sparse scoring:
+    log-saturated term importance (doc weight = ln(1+tf) * BM25-idf,
+    SPLADE's log-activation shape) and TERM EXPANSION — each query
+    term adds its top-{_SPLADE_E} corpus co-occurrence neighbours
+    (positive PMI, quarter weight), so a document can match, and be
+    reranked by, vocabulary it shares with the query only
+    distributionally.  Standing in for the learned MLM head, the
+    expansion weights derive deterministically from the corpus's own
+    co-occurrence statistics — the same frozen-quantized-model
+    discipline as q_rerank_cross.
+
+    All weights are integer-quantized (x1e6, half-away) BEFORE the
+    dot product, so scores are exact integer sums — ranking is
+    engine- and partitioning-exact, and the oracle replays PMI
+    selection, expansion capping, both weight tables, and the final
+    dual ranking (rnk vs rnk_direct exposes where expansion reorders
+    the direct-only ranking; at sf0.01 it genuinely does).
+
+    Scale shape: co-occurrence is computed ONLY for query terms
+    (broadcast semi-filter on tf before the doc_id self-join), so the
+    pair grid is |query terms| x vocab, never vocab^2; the query
+    weight table (|terms| x (1+{_SPLADE_E}) rows) broadcasts into the
+    inverted tf index exactly like _bm25_shortlist's query table, one
+    (query, doc) shuffle with map-side partial sums; top-5 is a
+    WindowGroupLimit."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.split(normalize_text(F.col("text")), " ")
+        ).alias("term"),
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    corpus = tf.agg(F.countDistinct("doc_id").alias("n_docs"))
+    qt = (
+        spark.createDataFrame(
+            _RETRIEVAL_QUERIES, "query_id long, qtext string"
+        )
+        .select(
+            "query_id", F.explode(F.split("qtext", " ")).alias("term")
+        )
+        .distinct()
+    )
+    qterms = qt.select("term").distinct()
+    cooc = (
+        tf.join(F.broadcast(qterms), "term")
+        .select(F.col("doc_id"), F.col("term").alias("t1"))
+        .join(
+            tf.select(F.col("doc_id"), F.col("term").alias("t2")),
+            "doc_id",
+        )
+        .filter(F.col("t1") != F.col("t2"))
+        .groupBy("t1", "t2")
+        .agg(F.count("*").alias("c"))
+    )
+    ratio = (
+        F.col("c").cast("double")
+        * F.col("n_docs")
+        / (F.col("df1") * F.col("df2"))
+    )
+    pmi = (
+        cooc.join(
+            F.broadcast(
+                df.select(
+                    F.col("term").alias("t1"), F.col("df").alias("df1")
+                )
+            ),
+            "t1",
+        )
+        .join(
+            df.select(
+                F.col("term").alias("t2"), F.col("df").alias("df2")
+            ),
+            "t2",
+        )
+        .crossJoin(F.broadcast(corpus))
+        .filter(ratio > 1.0)
+        .select(
+            "t1",
+            "t2",
+            F.round(F.log(ratio) * 1000000.0, 0)
+            .cast("long")
+            .alias("pmi_q"),
+        )
+    )
+    we = Window.partitionBy("t1").orderBy(F.desc("pmi_q"), "t2")
+    expn = (
+        pmi.withColumn("rn", F.row_number().over(we))
+        .filter(F.col("rn") <= _SPLADE_E)
+        .select("t1", "t2", F.expr("pmi_q div 4").alias("w"))
+    )
+    qw = (
+        qt.select(
+            "query_id",
+            "term",
+            F.lit(_SPLADE_Q).cast("long").alias("w"),
+            F.lit(1).alias("isd"),
+        )
+        .unionAll(
+            qt.join(expn, qt["term"] == expn["t1"]).select(
+                "query_id",
+                F.col("t2").alias("term"),
+                F.col("w"),
+                F.lit(0).alias("isd"),
+            )
+        )
+        .groupBy("query_id", "term")
+        .agg(
+            F.sum("w").cast("long").alias("qw"),
+            F.max("isd").alias("isd"),
+        )
+    )
+    dwq = F.round(
+        F.log(F.lit(1.0) + F.col("tf"))
+        * F.log(
+            F.lit(1.0)
+            + (F.col("n_docs").cast("double") - F.col("df") + 0.5)
+            / (F.col("df") + 0.5)
+        )
+        * 1000000.0,
+        0,
+    ).cast("long")
+    sc = (
+        tf.join(F.broadcast(qw), "term")
+        .join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(corpus))
+        .withColumn("dw", dwq)
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.sum(F.col("qw") * F.col("dw")).cast("long").alias(
+                "score_q"
+            ),
+            F.sum(
+                F.when(
+                    F.col("isd") == 0, F.col("qw") * F.col("dw")
+                ).otherwise(F.lit(0).cast("long"))
+            )
+            .cast("long")
+            .alias("score_exp"),
+            F.sum(
+                F.when(
+                    F.col("isd") == 1, F.col("qw") * F.col("dw")
+                ).otherwise(F.lit(0).cast("long"))
+            )
+            .cast("long")
+            .alias("sd"),
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.desc("score_q"), "doc_id"
+    )
+    wd = Window.partitionBy("query_id").orderBy(F.desc("sd"), "doc_id")
+    return (
+        sc.select(
+            F.col("query_id").cast("long").alias("query_id"),
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "score_q",
+            "score_exp",
+            F.row_number().over(wr).cast("long").alias("rnk"),
+            F.row_number().over(wd).cast("long").alias("rnk_direct"),
+        )
+        .filter(F.col("rnk") <= 5)
+    )
+
+
 @query(
     "q_calibration",
     oracle=r"""

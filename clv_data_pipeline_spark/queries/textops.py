@@ -3706,6 +3706,142 @@ def q_padding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Sequence-budget ladder swept by q_pack_eval
+_PACK_EVAL_GRID = [64, 128, 256, 512, 1024]
+
+
+@query(
+    "q_pack_eval",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, source,
+               CAST(len(string_split_regex(trim(text), '\\s+'))
+                    AS BIGINT) AS n
+        FROM documents),
+    c AS (
+        SELECT source, n,
+               SUM(n) OVER (PARTITION BY source ORDER BY doc_id
+                            ROWS UNBOUNDED PRECEDING) AS e
+        FROM t),
+    st AS (SELECT source, CAST(MAX(e) AS BIGINT) AS st_tokens
+           FROM c GROUP BY source),
+    grid(l) AS (VALUES {", ".join(f"({L})" for L in _PACK_EVAL_GRID)}),
+    docstats AS (
+        SELECT g.l,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(c.n) AS BIGINT) AS total_tokens,
+               CAST(SUM(CASE WHEN (c.e - c.n) // g.l <> (c.e - 1) // g.l
+                             THEN 1 ELSE 0 END) AS BIGINT) AS split_docs
+        FROM c CROSS JOIN grid g GROUP BY g.l),
+    seqstats AS (
+        SELECT g.l,
+               CAST(SUM((st.st_tokens + g.l - 1) // g.l) AS BIGINT)
+                   AS n_seqs,
+               CAST(SUM((st.st_tokens + g.l - 1) // g.l * g.l
+                        - st.st_tokens) AS BIGINT) AS pad_tokens
+        FROM st CROSS JOIN grid g GROUP BY g.l),
+    j AS (
+        SELECT d.l AS budget, d.n_docs, d.total_tokens, d.split_docs,
+               s.n_seqs, s.pad_tokens,
+               ROUND(CAST(d.split_docs AS DOUBLE) / d.n_docs, 6)
+                   AS split_frac,
+               ROUND(CAST(s.pad_tokens AS DOUBLE) / (s.n_seqs * d.l), 6)
+                   AS pad_frac
+        FROM docstats d JOIN seqstats s ON s.l = d.l)
+    SELECT budget, n_docs, total_tokens, split_docs, n_seqs,
+           pad_tokens, split_frac, pad_frac,
+           (ROW_NUMBER() OVER (ORDER BY split_frac + pad_frac ASC,
+                                        budget) = 1) AS chosen
+    FROM j
+    """,
+)
+def q_pack_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-packing quality eval (VERDICT r10 item 8): the
+    padding-waste vs boundary-contamination tradeoff readout that
+    composes q_pack_documents (the GPT-style per-stream concatenation
+    packer — same token count, same doc_id order, same cumsum) with
+    q_padding_audit's waste accounting, swept over a
+    {{{", ".join(str(L) for L in _PACK_EVAL_GRID)}}} budget ladder.
+    Per budget L: a doc is CONTAMINATED if its token interval in the
+    stream concatenation crosses a multiple-of-L boundary (it would be
+    split across training sequences — exactly q_pack_documents'
+    quotient bins changing mid-doc), and the stream's final partial
+    sequence is PADDING waste.  Larger L -> fewer boundaries (less
+    contamination) but a longer padded tail per stream: the chosen row
+    is the (split_frac + pad_frac)-argmin — the L a training pipeline
+    should pack at, decided from the corpus's own length distribution
+    (the q_lsh_param_sweep design-step pattern).
+
+    Scale shape: one per-stream running-sum window over (doc_id,
+    n_tokens) rows (token arrays never shuffle), a 5-row broadcast
+    design-grid cross, and integer sums — both fracs are ratios of
+    exact integers rounded at 6, so the argmin is engine-exact."""
+    d = load_table(spark, sf_dir, "documents")
+    n = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = d.select("doc_id", "source", n.alias("n")).withColumn(
+        "e", F.sum("n").over(w)
+    )
+    st = c.groupBy("source").agg(F.max("e").alias("st_tokens"))
+    grid = spark.createDataFrame(
+        [(L,) for L in _PACK_EVAL_GRID], "l long"
+    )
+    docstats = (
+        c.crossJoin(F.broadcast(grid))
+        .groupBy("l")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n").cast("long").alias("total_tokens"),
+            F.sum(
+                F.when(
+                    F.expr("(e - n) div l") != F.expr("(e - 1) div l"),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("split_docs"),
+        )
+    )
+    seqstats = (
+        st.crossJoin(F.broadcast(grid))
+        .groupBy("l")
+        .agg(
+            F.sum(F.expr("(st_tokens + l - 1) div l"))
+            .cast("long")
+            .alias("n_seqs"),
+            F.sum(
+                F.expr("(st_tokens + l - 1) div l * l - st_tokens")
+            )
+            .cast("long")
+            .alias("pad_tokens"),
+        )
+    )
+    j = docstats.join(seqstats, "l").select(
+        F.col("l").alias("budget"),
+        "n_docs",
+        "total_tokens",
+        "split_docs",
+        "n_seqs",
+        "pad_tokens",
+        F.round(
+            F.col("split_docs").cast("double") / F.col("n_docs"), 6
+        ).alias("split_frac"),
+        F.round(
+            F.col("pad_tokens").cast("double")
+            / (F.col("n_seqs") * F.col("l")),
+            6,
+        ).alias("pad_frac"),
+    )
+    wch = Window.orderBy(
+        F.col("split_frac") + F.col("pad_frac"), "budget"
+    )
+    return j.withColumn("chosen", F.row_number().over(wch) == 1)
+
+
 @query(
     "q_curriculum",
     oracle=f"""

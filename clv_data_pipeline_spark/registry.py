@@ -430,7 +430,9 @@ _VERIFIED = (
 #: sort at the very front of tier 0 but BEHIND any older never-sampled
 #: backlog (ADVICE r10: the tie-break must reference the CURRENT
 #: round's new set, not a dead prior-round one).
-_R11_NEW: set[str] = set()
+_R11_NEW: set[str] = {
+    "q_splade_retrieval", "q_pack_eval",
+}
 
 
 def _ordered_names() -> list[str]:

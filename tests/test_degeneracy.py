@@ -138,6 +138,12 @@ CONSTANT_OK: frozenset[tuple[str, str]] = frozenset(
         ("q_pareto_nbd", "fit_alpha"),
         ("q_pareto_nbd", "fit_s"),
         ("q_pareto_nbd", "fit_beta"),
+        # corpus totals shared by every budget row of the packing
+        # sweep by construction (the q_lsh_param_sweep
+        # shared-pair-population class); split/pad fracs and the
+        # argmin are variance-checked normally
+        ("q_pack_eval", "n_docs"),
+        ("q_pack_eval", "total_tokens"),
     }
 )
 

@@ -128,6 +128,8 @@ _BNLJ_SCALAR_OK = {
     # weighted sufficient-stat triples against the 81-cell broadcast
     # candidate grid — the q_lsh_param_sweep design-grid class
     "q_pareto_nbd",
+    "q_splade_retrieval",  # 1-row n_docs corpus-stats broadcast
+    "q_pack_eval",         # 5-row budget-ladder design-grid cross
 }
 
 
