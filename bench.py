@@ -238,6 +238,9 @@ HEADLINE = [
     "q_evalue",
     # round 8 (additions frozen by design; the one exception)
     "q_ann_lsh_portable",
+    # round 11 additions
+    "q_splade_retrieval",
+    "q_pack_eval",
     # round 10 additions
     "q_dedup_substring_chars",
     "q_rerank_cross",
@@ -407,6 +410,10 @@ COMPARABLE_R6 = (
 #: sub-second).  Disable with SPARK_GRAFT_BENCH_WARM_ARTIFACTS=0.
 ARTIFACT_WARMUP = (
     "q_als_recommend", "q_als_eval", "q_pca_project",
+    # round 11: the Pareto/NBD lattice-fit artifact and the LSH
+    # sweep-chosen banding artifact (consumed by q_minhash_dedup /
+    # q_minhash_eval)
+    "q_pareto_nbd", "q_minhash_dedup",
     "q_clv_scores", "q_item_cf", "q_rec_coverage", "q_lm_generate",
     "q_communities", "q_ann_ivf", "q_ann_pq", "q_ann_ivf_pq",
     "q_knn_label_ann", "q_dsir", "q_simhash",
