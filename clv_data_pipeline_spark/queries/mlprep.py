@@ -2090,8 +2090,6 @@ def _nb_scored(
     spark: SparkSession,
     sf_dir: str,
     train_below: str = "cc",
-    fold: int | None = None,
-    source_mask: tuple[int, ...] | None = None,
 ) -> DataFrame:
     """Shared Naive Bayes train+score pipeline: md5-split training
     (Laplace-smoothed DECIMAL log-probs; docs whose 2-hex md5 prefix
@@ -2099,34 +2097,21 @@ def _nb_scored(
     the FIXED >= 'cc' held-out set; returns the per-(doc, class)
     score frame backing q_naive_bayes (argmax -> confusion matrix),
     q_active_learning (top-2 margin), and q_learning_curve (accuracy
-    vs nested training fractions over the same eval set).  With
-    ``fold`` set, the split is instead the 5-fold assignment
-    (ascii(md5[0]) % 5 — q_group_split's fold function): train on the
-    other four folds, score fold ``fold`` (q_cross_validation)."""
+    vs nested training fractions over the same eval set).  The former
+    ``fold`` / ``source_mask`` variants moved to the additive-stats
+    idiom (q_cross_validation by subtraction, q_data_shapley by
+    addition — see _nb_model_tables)."""
     d = load_table(spark, sf_dir, "documents")
     toks = F.split(normalize_text(F.col("text")), " ")
     pref = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
-    grp = F.ascii(F.substring(F.md5(F.col("source")), 1, 1)) % 3
     docs = d.select(
         "doc_id",
         "lang",
         toks.alias("toks"),
         pref.alias("pref"),
-        grp.alias("grp"),
     )
-    if fold is None:
-        train = docs.filter(F.col("pref") < train_below)
-        if source_mask is not None:
-            # data-Shapley utility: train only on the coalition's
-            # source groups; the held-out eval set stays FIXED so
-            # utilities are comparable across coalitions
-            train = train.filter(F.col("grp").isin(*source_mask))
-        test = docs.filter(F.col("pref") >= "cc")
-    else:
-        fcol = F.ascii(F.substring(F.col("pref"), 1, 1)) % 5
-        docs = docs.withColumn("fold", fcol)
-        train = docs.filter(F.col("fold") != fold)
-        test = docs.filter(F.col("fold") == fold)
+    train = docs.filter(F.col("pref") < train_below)
+    test = docs.filter(F.col("pref") >= "cc")
 
     ttok = train.select("lang", F.explode("toks").alias("tok"))
     cc = ttok.groupBy("lang", "tok").agg(F.count("*").alias("c"))
@@ -2184,6 +2169,57 @@ def _nb_scored(
     return scored.join(F.broadcast(pri), "cls").withColumn(
         "score", F.col("s") + F.col("lp0")
     )
+
+
+def _nb_model_tables(spark: SparkSession, cc: dict, nd: dict):
+    """Broadcastable NB model tables (pri, lp, oov) built DRIVER-SIDE
+    from additive count dicts — exact mirrors of _nb_scored's JVM
+    expressions (libm log; java BigDecimal HALF_UP at scale 9 ==
+    decimal.ROUND_HALF_UP on the exact binary double), used by the
+    additive-sufficient-statistics rewrites: q_data_shapley builds 7
+    coalition models by ADDING per-group counts, q_cross_validation
+    builds 5 fold models by SUBTRACTING a fold's counts from the
+    totals.  Sound because multinomial-NB sufficient statistics are
+    additive over disjoint row sets; bounded because the count grain
+    is (classes x vocab).  ``cc`` maps (lang, tok) -> count (zero
+    entries must be DROPPED by the caller — vocabulary membership is
+    count > 0), ``nd`` maps lang -> training doc count."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def q9(v: float) -> Decimal:
+        return Decimal(v).quantize(
+            Decimal("0.000000001"), rounding=ROUND_HALF_UP
+        )
+
+    ct: dict[str, int] = {}
+    for (lang, _t), c in cc.items():
+        ct[lang] = ct.get(lang, 0) + c
+    vsz = len({t for (_l, t) in cc})
+    n_train = sum(nd.values())
+    dec = "decimal(20,9)"
+    pri = spark.createDataFrame(
+        [
+            (lang, q9(math.log(c * 1.0 / n_train)))
+            for lang, c in nd.items()
+        ],
+        f"cls string, lp0 {dec}",
+    )
+    lp = spark.createDataFrame(
+        [
+            (lang, tok, q9(math.log((c + 1.0) / (ct[lang] + vsz))))
+            for (lang, tok), c in cc.items()
+        ],
+        f"cls string, tok string, lp {dec}",
+    )
+    oov = spark.createDataFrame(
+        [
+            (lang, q9(math.log(1.0 / (tot + vsz))))
+            for lang, tot in ct.items()
+        ],
+        f"cls string, lpo {dec}",
+    )
+    return pri, lp, oov
 
 
 #: Fixed retrieval query set (terms drawn from the corpus vocabulary) —
@@ -7671,9 +7707,6 @@ def q_data_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
     cost ~2x the per-job overhead it saved).  Group count is the scale
     lever (k groups = 2^k - 1 model tables, so coalition grain stays
     coarse by design)."""
-    import math as _math
-    from decimal import ROUND_HALF_UP, Decimal
-
     masks = _DS_MASKS
     d0 = load_table(spark, sf_dir, "documents")
     docs = d0.select(
@@ -7710,14 +7743,6 @@ def q_data_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     }
 
-    def _q9(v: float) -> Decimal:
-        # exact mirror of the old JVM F.round(double, 9): BigDecimal
-        # of the exact binary double, HALF_UP at scale 9
-        return Decimal(v).quantize(
-            Decimal("0.000000001"), rounding=ROUND_HALF_UP
-        )
-
-    dec = "decimal(20,9)"
     per_mask = []
     for m in masks:
         # coalition stats by pure addition of the per-group counts
@@ -7725,40 +7750,15 @@ def q_data_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
         for (g, lang, tok), c in gcc.items():
             if g in m:
                 cc[(lang, tok)] = cc.get((lang, tok), 0) + c
-        ct: dict[str, int] = {}
-        for (lang, _t), c in cc.items():
-            ct[lang] = ct.get(lang, 0) + c
-        vsz = len({t for (_l, t) in cc})
         nd: dict[str, int] = {}
         for (g, lang), c in gdc.items():
             if g in m:
                 nd[lang] = nd.get(lang, 0) + c
-        n_train = sum(nd.values())
-        if n_train == 0:
+        if sum(nd.values()) == 0:
             # empty coalition: U(empty) = 0 by convention — no model,
             # no scoring job (the oracle's COALESCE(c, 0) twin)
             continue
-        pri = spark.createDataFrame(
-            [
-                (lang, _q9(_math.log(c * 1.0 / n_train)))
-                for lang, c in nd.items()
-            ],
-            f"cls string, lp0 {dec}",
-        )
-        lp = spark.createDataFrame(
-            [
-                (lang, tok, _q9(_math.log((c + 1.0) / (ct[lang] + vsz))))
-                for (lang, tok), c in cc.items()
-            ],
-            f"cls string, tok string, lp {dec}",
-        )
-        oov = spark.createDataFrame(
-            [
-                (lang, _q9(_math.log(1.0 / (tot + vsz))))
-                for lang, tot in ct.items()
-            ],
-            f"cls string, lpo {dec}",
-        )
+        pri, lp, oov = _nb_model_tables(spark, cc, nd)
         scored = (
             ttest.crossJoin(F.broadcast(oov))
             .join(F.broadcast(lp), ["tok", "cls"], "left")
@@ -7871,24 +7871,87 @@ def q_cross_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_group_split's hash assignment so the whole CV design is
     deterministic and leakage-free by construction.
 
-    Scale shape: five independent train+score NB pipelines (each
-    vocabulary-bounded model broadcasts; each fold's test explode is
-    ~1/5 of the corpus), unioned lazily, with the mean/sd fold as a
-    5-row window — no driver barrier anywhere."""
+    Scale shape (the q_data_shapley additive idiom): leave-one-fold-out
+    NB sufficient statistics are the TOTALS minus the fold's own
+    counts, so ONE (fold x class x token) grouped aggregate over the
+    train explode builds all five models by driver-side subtraction at
+    the bounded model-table grain — the explode is scanned once, not
+    five times.  The five fold-test scoring jobs keep their SMALL
+    broadcast model tables (each fold's test explode is ~1/5 of the
+    corpus), unioned lazily, with the mean/sd fold as a 5-row window —
+    hashes unchanged vs the per-fold-refit implementation."""
+    d = load_table(spark, sf_dir, "documents")
+    pref = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    fcol = F.ascii(F.substring(pref, 1, 1)) % 5
+    docs = d.select(
+        "doc_id",
+        "lang",
+        F.split(normalize_text(F.col("text")), " ").alias("toks"),
+        fcol.alias("fold"),
+    ).persist()
+    gcc = {
+        (r["fold"], r["lang"], r["tok"]): int(r["c"])
+        for r in docs.select(
+            "fold", "lang", F.explode("toks").alias("tok")
+        )
+        .groupBy("fold", "lang", "tok")
+        .agg(F.count("*").alias("c"))
+        .collect()
+    }
+    gdc = {
+        (r["fold"], r["lang"]): int(r["nd"])
+        for r in docs.groupBy("fold", "lang")
+        .agg(F.count("*").alias("nd"))
+        .collect()
+    }
+    tot_cc: dict[tuple[str, str], int] = {}
+    for (_f, lang, tok), c in gcc.items():
+        tot_cc[(lang, tok)] = tot_cc.get((lang, tok), 0) + c
+    tot_nd: dict[str, int] = {}
+    for (_f, lang), c in gdc.items():
+        tot_nd[lang] = tot_nd.get(lang, 0) + c
     rows = []
     for f in range(5):
-        final = _nb_scored(spark, sf_dir, fold=f)
+        # leave-one-fold-out stats by exact subtraction; zero entries
+        # drop — vocabulary membership is count > 0
+        cc = {
+            k: v
+            for k, v in (
+                (
+                    (lang, tok),
+                    c - gcc.get((f, lang, tok), 0),
+                )
+                for (lang, tok), c in tot_cc.items()
+            )
+            if v > 0
+        }
+        nd = {
+            lang: v
+            for lang, v in (
+                (lang, c - gdc.get((f, lang), 0))
+                for lang, c in tot_nd.items()
+            )
+            if v > 0
+        }
+        pri, lp, oov = _nb_model_tables(spark, cc, nd)
+        ttest = docs.filter(F.col("fold") == f).select(
+            "doc_id",
+            F.col("lang").alias("true_lang"),
+            F.explode("toks").alias("tok"),
+        )
+        final = (
+            ttest.crossJoin(F.broadcast(oov))
+            .join(F.broadcast(lp), ["tok", "cls"], "left")
+            .groupBy("doc_id", "true_lang", "cls")
+            .agg(
+                F.sum(F.coalesce(F.col("lp"), F.col("lpo"))).alias("s")
+            )
+            .join(F.broadcast(pri), "cls")
+            .withColumn("score", F.col("s") + F.col("lp0"))
+        )
         w = Window.partitionBy("doc_id").orderBy(
             F.desc("score"), F.col("cls")
         )
-        d = load_table(spark, sf_dir, "documents")
-        ntr = d.filter(
-            F.ascii(
-                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
-            )
-            % 5
-            != f
-        ).agg(F.count("*").cast("long").alias("n_train"))
         rows.append(
             final.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1)
@@ -7904,10 +7967,9 @@ def q_cross_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
                     6,
                 ).alias("accuracy"),
             )
-            .crossJoin(F.broadcast(ntr))
             .select(
                 F.lit(f).cast("long").alias("fold"),
-                "n_train",
+                F.lit(sum(nd.values())).cast("long").alias("n_train"),
                 "n_test",
                 "accuracy",
             )
