@@ -7712,6 +7712,7 @@ def q_data_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = d0.select(
         "doc_id",
         "lang",
+        "source",
         F.split(normalize_text(F.col("text")), " ").alias("toks"),
         F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2).alias(
             "pref"
@@ -7726,22 +7727,40 @@ def q_data_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode("toks").alias("tok"),
     ).persist()
     # ONE tokenized train explode, aggregated ONCE to the additive
-    # (grp, lang, tok) sufficient-statistic grain (VERDICT r10 item 3)
-    gcc = {
-        (r["grp"], r["lang"], r["tok"]): int(r["c"])
-        for r in docs.filter(F.col("pref") < "cc")
-        .select("lang", "grp", F.explode("toks").alias("tok"))
+    # (grp, lang, tok) sufficient-statistic grain (VERDICT r10 item 3);
+    # the train-doc counts and the per-group distinct-source meta ride
+    # the SAME action as tagged union legs (NULL tok / NULL lang), so
+    # the whole driver pull is one bounded model-grain job
+    nulls = F.lit(None).cast("string")
+    train = docs.filter(F.col("pref") < "cc")
+    stat_rows = (
+        train.select("lang", "grp", F.explode("toks").alias("tok"))
         .groupBy("grp", "lang", "tok")
         .agg(F.count("*").alias("c"))
+        .unionByName(
+            train.groupBy("grp", "lang")
+            .agg(F.count("*").alias("c"))
+            .select("grp", "lang", nulls.alias("tok"), "c")
+        )
+        .unionByName(
+            docs.groupBy("grp")
+            .agg(F.countDistinct("source").alias("c"))
+            .select(
+                "grp", nulls.alias("lang"), nulls.alias("tok"), "c"
+            )
+        )
         .collect()
-    }
-    gdc = {
-        (r["grp"], r["lang"]): int(r["nd"])
-        for r in docs.filter(F.col("pref") < "cc")
-        .groupBy("grp", "lang")
-        .agg(F.count("*").alias("nd"))
-        .collect()
-    }
+    )
+    gcc: dict[tuple[int, str, str], int] = {}
+    gdc: dict[tuple[int, str], int] = {}
+    nsrc: dict[int, int] = {}
+    for r in stat_rows:
+        if r["tok"] is not None:
+            gcc[(r["grp"], r["lang"], r["tok"])] = int(r["c"])
+        elif r["lang"] is not None:
+            gdc[(r["grp"], r["lang"])] = int(r["c"])
+        else:
+            nsrc[r["grp"]] = int(r["c"])
 
     per_mask = []
     for m in masks:
@@ -7800,28 +7819,12 @@ def q_data_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
         m: int(rows[_ds_tag(m)]["c"] or 0) if _ds_tag(m) in rows else 0
         for m in masks
     }
-    d = d0.select(
-        "source",
-        (F.ascii(F.substring(F.md5(F.col("source")), 1, 1)) % 3).alias(
-            "grp"
-        ),
-        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2).alias(
-            "pref"
-        ),
-    )
-    meta = {
-        r["grp"]: r
-        for r in d.groupBy("grp")
-        .agg(
-            F.countDistinct("source").cast("long").alias("n_sources"),
-            F.sum(
-                F.when(F.col("pref") < "cc", 1).otherwise(0)
-            )
-            .cast("long")
-            .alias("n_train_docs"),
-        )
-        .collect()
-    }
+    # group meta derives from the fused stats pull: n_sources from the
+    # distinct-source union leg, n_train_docs = sum of the per-lang
+    # train-doc counts (no extra corpus scan)
+    ntrd: dict[int, int] = {}
+    for (g, _lang), c in gdc.items():
+        ntrd[g] = ntrd.get(g, 0) + c
     docs.unpersist()
     ttest.unpersist()
     out = []
@@ -7842,12 +7845,11 @@ def q_data_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
             math.copysign(math.floor(abs(shapley) * 1e6 + 0.5), shapley)
             / 1e6
         )
-        gm = meta.get(g)  # group with zero sources: no groupBy row
         out.append(
             (
                 g,
-                int(gm["n_sources"]) if gm else 0,
-                int(gm["n_train_docs"]) if gm else 0,
+                nsrc.get(g, 0),  # group with zero sources: no row
+                ntrd.get(g, 0),
                 cvals[(g,)],
                 shap6,
                 n_test,
