@@ -401,6 +401,56 @@ def minhash_signatures_vectorized(
     )
 
 
+def minhash_banded(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_size: int = 5,
+    seed: int = 42,
+    vectorized: bool = True,
+) -> DataFrame:
+    """(id, band, band_hash) LSH bucket keys from banded MinHash
+    signatures — the shared first stage of the pair-enumeration path
+    (:func:`minhash_candidates`) and the pair-free greedy dedup
+    (:func:`dedup_minhash`)."""
+    rows_per_band = num_hashes // bands
+    if vectorized:
+        sig = minhash_signatures_vectorized(
+            df, text_col, id_col, num_hashes, shingle_size, seed
+        )
+    else:
+        sig = df.select(
+            F.col(id_col),
+            minhash_signature(
+                F.col(text_col), num_hashes, shingle_size, seed
+            ).alias("_sig"),
+        )
+    # Exchange barrier: banding references _sig 16 times (and the
+    # candidate path joins it against itself) — without a
+    # materialization point, projection collapse would recompute the
+    # signature per reference.  The shuffle moves only (id, 64xlong)
+    # rows and downstream joins reuse the exchange.
+    sig = sig.repartition(id_col)
+    return sig.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.xxhash64(
+                            F.slice(F.col("_sig"), i * rows_per_band + 1, rows_per_band)
+                        ).alias("bh"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
+
+
 def minhash_candidates(
     df: DataFrame,
     text_col: str = "text",
@@ -417,42 +467,17 @@ def minhash_candidates(
     Each doc explodes to 16 (band_idx, band_hash) keys; a self-join per
     bucket yields candidates.  Bucket sizes are bounded in practice;
     a skewed bucket (boilerplate spam) is exactly what AQE skew-join
-    handles.
+    handles.  NOTE pair enumeration is inherently quadratic in bucket
+    size — callers that only need the greedy survivor set must use
+    :func:`dedup_minhash`'s pair-free bucket-min path instead (the
+    sf10 scaling study measured the difference: 100-copy near-dup
+    clusters make pair counts grow quadratically while bucket-min
+    stays linear).
     """
-    rows_per_band = num_hashes // bands
-    if vectorized:
-        sig = minhash_signatures_vectorized(
-            df, text_col, id_col, num_hashes, shingle_size, seed
-        )
-    else:
-        sig = df.select(
-            F.col(id_col),
-            minhash_signature(
-                F.col(text_col), num_hashes, shingle_size, seed
-            ).alias("_sig"),
-        )
-    # Exchange barrier: banding references _sig 16 times and joins it
-    # against itself — without a materialization point, projection
-    # collapse would recompute the signature per reference.  The
-    # shuffle moves only (id, 64xlong) rows and the self-join reuses
-    # the exchange on both sides.
-    sig = sig.repartition(id_col)
-    banded = sig.select(
-        id_col,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band"),
-                        F.xxhash64(
-                            F.slice(F.col("_sig"), i * rows_per_band + 1, rows_per_band)
-                        ).alias("bh"),
-                    )
-                    for i in range(bands)
-                ]
-            )
-        ).alias("bk"),
-    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
+    banded = minhash_banded(
+        df, text_col, id_col, num_hashes, bands, shingle_size, seed,
+        vectorized,
+    )
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -718,11 +743,30 @@ def dedup_minhash(
     **kwargs,
 ) -> DataFrame:
     """Greedy near-dup removal: drop every doc that shares an LSH bucket
-    with a smaller id.  One anti-join against the candidate pairs —
-    no iterative clustering.
+    with a smaller id — WITHOUT enumerating candidate pairs.
+
+    A doc is dropped iff some bucket it belongs to contains a smaller
+    id, i.e. iff it is not the bucket-min in every one of its 16
+    buckets — so the survivor set needs only MIN per (band, bh), a
+    partial-aggregable map-side combine, plus one equi-join back.
+    Identical survivors to the former pair-enumeration + anti-join
+    formulation, but the cost is O(n x bands) at ANY duplication
+    density: the round-11 sf10 octave measured the pair path going
+    super-linear (slope 1.47 over sf3 -> sf10) because 100-copy
+    near-dup clusters make per-bucket pairs quadratic, while
+    bucket-min stays linear (heavy boilerplate buckets in a real
+    corpus are the same failure mode).  Pair enumeration remains
+    available via :func:`minhash_candidates` for callers that need
+    the actual pairs (recall eval, clustering).
     """
-    cands = minhash_candidates(df, text_col, id_col, **kwargs)
-    losers = cands.select(F.col("id_b").alias(id_col)).distinct()
+    banded = minhash_banded(df, text_col, id_col, **kwargs)
+    mins = banded.groupBy("band", "bh").agg(F.min(id_col).alias("_mn"))
+    losers = (
+        banded.join(mins, ["band", "bh"])
+        .filter(F.col(id_col) != F.col("_mn"))
+        .select(id_col)
+        .distinct()
+    )
     return df.join(losers, id_col, "left_anti")
 
 

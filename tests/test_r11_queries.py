@@ -196,6 +196,32 @@ def test_splade_expansion_reorders_and_scores_decompose(spark):
         assert sorted(rnks) == [1, 2, 3, 4, 5], (q, rnks)
 
 
+def test_dedup_minhash_bucket_min_equals_pair_formulation(spark):
+    """The pair-free bucket-min greedy dedup must keep EXACTLY the
+    docs the former pair-enumeration + anti-join formulation kept —
+    the rewrite is a complexity-class change (sf10 measured the pair
+    path super-linear on dense near-dup clusters), not a semantics
+    change."""
+    from clv_data_pipeline_spark.operators.dedup import (
+        dedup_minhash,
+        minhash_candidates,
+    )
+    from clv_data_pipeline_spark.sources.io import load_table
+
+    df = load_table(spark, SF, "documents")
+    new = {
+        r["doc_id"]
+        for r in dedup_minhash(df).select("doc_id").collect()
+    }
+    losers = {
+        r["id_b"]
+        for r in minhash_candidates(df).select("id_b").distinct().collect()
+    }
+    all_ids = {r["doc_id"] for r in df.select("doc_id").collect()}
+    assert new == all_ids - losers
+    assert 0 < len(new) < len(all_ids)
+
+
 def test_pack_eval_tradeoff_is_monotone(spark):
     """The tradeoff must have its defining shape: contamination
     (split_docs) non-increasing in the budget, padding (pad_tokens)
