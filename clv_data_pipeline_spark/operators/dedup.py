@@ -720,16 +720,16 @@ def dedup_minhash_incremental(
         .select(id_col)
         .distinct()
     )
-    a = delta_keys.alias("a")
-    b = delta_keys.alias("b")
+    # within-delta greedy: pair-free bucket-min, like dedup_minhash —
+    # a dense delta (a re-crawl batch full of boilerplate) would make
+    # the former within-delta pair join quadratic per bucket
+    mins = delta_keys.groupBy("band", "bh").agg(
+        F.min(id_col).alias("_mn")
+    )
     dropped_in_delta = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bh") == F.col("b.bh"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(F.col(f"b.{id_col}").alias(id_col))
+        delta_keys.join(mins, ["band", "bh"])
+        .filter(F.col(id_col) != F.col("_mn"))
+        .select(id_col)
         .distinct()
     )
     losers = dropped_vs_index.unionByName(dropped_in_delta).distinct()
