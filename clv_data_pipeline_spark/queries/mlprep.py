@@ -7421,19 +7421,77 @@ def q_learning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     flat curve under 80% means label noise or leakage, not
     saturation).
 
-    Scale shape: each fraction is one independent train+score NB
-    pipeline (vocabulary-bounded model tables broadcast; the test
-    explode is shared), unioned lazily — 4 pipelines, no driver
-    barrier anywhere.  Nested-by-construction splits (prefix < t) mean
-    each bigger model strictly contains the smaller's data, the
-    textbook learning-curve design."""
+    Scale shape (the q_data_shapley / q_cross_validation additive
+    idiom): nested splits make NB sufficient statistics CUMULATIVE —
+    counts(prefix < t_k) = sum of per-band counts for bands 1..k — so
+    ONE (band x class x token) grouped aggregate over the train
+    explode builds all four models by driver-side prefix-sum at the
+    bounded model-table grain.  The four scoring jobs share one
+    persisted test explode and their SMALL broadcast model tables,
+    unioned lazily — the train corpus is scanned once, not four
+    times."""
+    d = load_table(spark, sf_dir, "documents")
+    pref = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    band = F.when(F.col("pref") < _LC_THRESHOLDS[0], 0)
+    for i, t in enumerate(_LC_THRESHOLDS[1:], start=1):
+        band = band.when(F.col("pref") < t, i)
+    docs = d.select(
+        "doc_id",
+        "lang",
+        F.split(normalize_text(F.col("text")), " ").alias("toks"),
+        pref.alias("pref"),
+    ).withColumn("band", band).persist()
+    ttest = docs.filter(F.col("pref") >= "cc").select(
+        "doc_id",
+        F.col("lang").alias("true_lang"),
+        F.explode("toks").alias("tok"),
+    )
+    train = docs.filter(F.col("band").isNotNull())
+    stat_rows = (
+        train.select("band", "lang", F.explode("toks").alias("tok"))
+        .groupBy("band", "lang", "tok")
+        .agg(F.count("*").alias("c"))
+        .unionByName(
+            train.groupBy("band", "lang")
+            .agg(F.count("*").alias("c"))
+            .select(
+                "band",
+                "lang",
+                F.lit(None).cast("string").alias("tok"),
+                "c",
+            )
+        )
+        .collect()
+    )
     rows = []
-    for t in _LC_THRESHOLDS:
-        final = _nb_scored(spark, sf_dir, train_below=t)
+    cc: dict[tuple[str, str], int] = {}
+    nd: dict[str, int] = {}
+    for k, t in enumerate(_LC_THRESHOLDS):
+        # cumulative prefix-sum: band k's counts extend the running
+        # nested model (prefix < t_k contains every smaller split)
+        for r in stat_rows:
+            if r["band"] != k:
+                continue
+            if r["tok"] is not None:
+                key = (r["lang"], r["tok"])
+                cc[key] = cc.get(key, 0) + int(r["c"])
+            else:
+                nd[r["lang"]] = nd.get(r["lang"], 0) + int(r["c"])
+        pri, lp, oov = _nb_model_tables(spark, dict(cc), dict(nd))
+        final = (
+            ttest.crossJoin(F.broadcast(oov))
+            .join(F.broadcast(lp), ["tok", "cls"], "left")
+            .groupBy("doc_id", "true_lang", "cls")
+            .agg(
+                F.sum(F.coalesce(F.col("lp"), F.col("lpo"))).alias("s")
+            )
+            .join(F.broadcast(pri), "cls")
+            .withColumn("score", F.col("s") + F.col("lp0"))
+        )
         w = Window.partitionBy("doc_id").orderBy(
             F.desc("score"), F.col("cls")
         )
-        pred = (
+        rows.append(
             final.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1)
             .agg(
@@ -7445,15 +7503,9 @@ def q_learning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .cast("long")
                 .alias("n_correct"),
             )
-        )
-        d = load_table(spark, sf_dir, "documents")
-        ntr = d.filter(
-            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < t
-        ).agg(F.count("*").cast("long").alias("n_train"))
-        rows.append(
-            pred.crossJoin(F.broadcast(ntr)).select(
+            .select(
                 F.lit(t).alias("train_prefix"),
-                "n_train",
+                F.lit(sum(nd.values())).cast("long").alias("n_train"),
                 "n_test",
                 "n_correct",
                 F.round(
