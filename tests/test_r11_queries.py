@@ -222,6 +222,49 @@ def test_dedup_minhash_bucket_min_equals_pair_formulation(spark):
     assert 0 < len(new) < len(all_ids)
 
 
+def test_dedup_minhash_stays_fast_on_dense_near_dup_clusters(spark):
+    """The regime the sf10 octave exposed: a corpus that is k families
+    of ~1000 near-identical docs makes per-bucket candidate PAIRS
+    quadratic (~k * 10^6), while the bucket-min path stays O(n x
+    bands).  10k docs in 10 dense families must dedup to exactly the
+    10 family minima in seconds, not minutes."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from clv_data_pipeline_spark.operators.dedup import dedup_minhash
+
+    # family-specific vocabulary everywhere — md5-derived words so
+    # even the CHARACTER 5-gram shingles are family-disjoint
+    # (cross-family Jaccard ~ 0) — plus a per-copy suffix
+    # (within-family Jaccard ~ 1)
+    fam = (F.col("id") % 10).cast("string")
+    body = F.concat_ws(
+        " ",
+        *[
+            F.substring(
+                F.md5(F.concat(F.lit(f"w{i}|"), fam)), 1, 12
+            )
+            for i in range(30)
+        ],
+    )
+    docs = spark.range(10_000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            body, F.lit(" copy"), F.col("id").cast("string")
+        ).alias("text"),
+    )
+    t0 = time.perf_counter()
+    kept = dedup_minhash(docs).select("doc_id").collect()
+    elapsed = time.perf_counter() - t0
+    kept_ids = sorted(r["doc_id"] for r in kept)
+    # greedy min-id: each family's smallest id survives; near-identical
+    # texts within a family must collide in at least one band
+    assert kept_ids[:10] == list(range(10)), kept_ids[:20]
+    assert len(kept_ids) < 200, len(kept_ids)
+    assert elapsed < 120, f"dense-cluster dedup took {elapsed:.0f}s"
+
+
 def test_pack_eval_tradeoff_is_monotone(spark):
     """The tradeoff must have its defining shape: contamination
     (split_docs) non-increasing in the budget, padding (pad_tokens)
