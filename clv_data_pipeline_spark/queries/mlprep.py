@@ -685,20 +685,40 @@ def _pca_int_stats(emb) -> tuple[int, list[int], list[list[int]]]:
 
     ``emb`` must have columns (vec_id, q: array<long>).  Returns
     (n, s[d], G[d][d]) as exact Python ints."""
-    import pandas as pd
-
     d = _PCA_DIM
+    # Parallelism guard: a single-file parquet source splits by row
+    # group, and an uneven layout hands one task most of the Gram work
+    # (sf10 measured 13 scan partitions with one straggler carrying
+    # ~90% of rows — 10.5 s vs ~2 s balanced).  The exchange moves
+    # only (id, d x int64) rows and the 4161-row-per-partition output
+    # is unaffected; integer sums are partition-count independent, so
+    # results are bit-identical.  Skipped when the source already has
+    # enough splits.
+    spark = emb.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if emb.rdd.getNumPartitions() < target:
+        emb = emb.repartition(target)
 
     def _acc(batches):
+        # mapInArrow, not mapInPandas: the list<int64> column flattens
+        # to one contiguous int64 buffer and reshapes to (rows, d)
+        # without materializing per-row Python objects — at sf10
+        # (200k x 64) the pandas object-array stack was ~10x the cost
+        # of the Gram matmul itself
         import numpy as np
+        import pyarrow as pa
 
         gram = None
         svec = None
         n = 0
-        for pdf in batches:
-            if pdf.empty:
+        for b in batches:
+            if b.num_rows == 0:
                 continue
-            Q = np.stack(pdf["q"].values).astype(np.int64)
+            la = b.column(0)
+            flat = la.flatten().to_numpy(zero_copy_only=False)
+            Q = flat.astype(np.int64, copy=False).reshape(
+                b.num_rows, d
+            )
             gb = Q.T @ Q
             sb = Q.sum(axis=0)
             if gram is None:
@@ -706,20 +726,26 @@ def _pca_int_stats(emb) -> tuple[int, list[int], list[list[int]]]:
             else:
                 gram += gb
                 svec += sb
-            n += len(pdf)
+            n += b.num_rows
         if n == 0:
             return
         vals = np.concatenate(
             [gram.reshape(-1), svec, np.array([n], dtype=np.int64)]
         )
-        yield pd.DataFrame(
-            {"pos": np.arange(d * d + d + 1, dtype=np.int64),
-             "val": vals}
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(
+                    np.arange(d * d + d + 1, dtype=np.int64),
+                    type=pa.int64(),
+                ),
+                pa.array(vals, type=pa.int64()),
+            ],
+            names=["pos", "val"],
         )
 
     stat_rows = (
         emb.select("q")
-        .mapInPandas(_acc, "pos long, val long")
+        .mapInArrow(_acc, "pos long, val long")
         .groupBy("pos")
         .agg(F.sum("val").alias("t"))
         .collect()
