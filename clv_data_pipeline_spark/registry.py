@@ -358,14 +358,20 @@ _R8_VERIFIED: frozenset[str] = frozenset(
 #: records the hash-match.  The round-10 trio (q_pca_project,
 #: q_als_recommend, q_als_eval) got green r10 rows and moved to
 #: _R10_VERIFIED.  Listed in judge-priority order — the driver budget
-#: cuts from the back.
-_GRADUATED_STALE: tuple[str, ...] = (
-    # round-11 graduations: q_pareto_nbd pins fitted (r, alpha, s,
-    # beta) as a content-keyed artifact and replays the scoring path as
-    # a 2F1 recursive CTE (the q_clv_compare discipline);
-    # q_pca_incremental hash-verifies its O(delta) refreshed basis
-    # against the q_pca_project integer-basis artifact.
-    "q_pareto_nbd", "q_pca_incremental",
+#: cuts from the back.  The round-11 pair (q_pareto_nbd,
+#: q_pca_incremental) got green r11 rows and moved to _R11_VERIFIED.
+_GRADUATED_STALE: tuple[str, ...] = ()
+
+#: Queries whose BEHAVIOR (output values or load-bearing constants)
+#: changed after their last driver sample (ADVICE r11 item 2: the
+#: _GRADUATED_STALE idea generalized — a changed query must not keep a
+#: stale "verified" status).  Same tier-0.5 priority as graduations:
+#: re-sample ahead of every verified cohort, behind the never-sampled
+#: backlog.  Drop a name once a later CORRECTNESS round re-greens it.
+_CHANGED_SINCE_SAMPLE: tuple[str, ...] = (
+    # round-11 constant change: _LSH_SWEEP_N 128 -> 64 altered
+    # q_lsh_param_sweep's output after its r10 sample (ADVICE r11).
+    "q_lsh_param_sweep",
 )
 
 #: Queries the driver checked in round 9 (``CORRECTNESS_r09.json``):
@@ -420,19 +426,44 @@ _R10_VERIFIED: frozenset[str] = frozenset(
     }
 )
 
+#: Queries the driver checked in round 11 (``CORRECTNESS_r11.json``):
+#: 47 of 50 sampled names hash-green, the other 3 are
+#: rows-only-by-contract (``q_clv_scores`` 150 rows,
+#: ``q_minhash_dedup`` 147, ``q_ann_lsh`` 500 — all executed clean) —
+#: the fifth consecutive fully-clean driver sample.  Folding them in
+#: (VERDICT r11 "do this" item 2) points round 12's budget at the
+#: remaining stale cohorts plus this round's graduations.
+_R11_VERIFIED: frozenset[str] = frozenset(
+    {
+        "q_argmax", "q_asof_join", "q_bigram_counts", "q_centroids",
+        "q_chunk_documents", "q_concurrency", "q_cosine_topk",
+        "q_date_funcs", "q_decontaminate", "q_embedding_class_sim",
+        "q_event_gaps", "q_event_sequences", "q_funnel",
+        "q_heavy_hitters", "q_histogram", "q_moving_avg",
+        "q_multimodal_meta", "q_pack_documents", "q_pack_eval",
+        "q_pagerank", "q_pareto_nbd", "q_pca_incremental",
+        "q_pii_scrub", "q_quantize_embeddings", "q_range_join",
+        "q_repetition", "q_retention_cohorts", "q_scd2",
+        "q_scd2_merge", "q_sessionize", "q_set_similarity_join",
+        "q_sliding_windows", "q_source_mix", "q_splade_retrieval",
+        "q_stratified_sample", "q_tfidf_top_terms", "q_topk",
+        "q_tpch_q1", "q_tpch_q3", "q_tpch_q5", "q_train_split",
+        "q_transitions", "q_union", "q_window_dedup", "q_window_rank",
+        "q_zorder", "q_zscore",
+    }
+)
+
 _VERIFIED = (
     _R1_VERIFIED | _R2_VERIFIED | _R3_VERIFIED | _R4_VERIFIED
     | _R5_VERIFIED | _R6_VERIFIED | _R7_VERIFIED | _R8_VERIFIED
-    | _R9_VERIFIED | _R10_VERIFIED
+    | _R9_VERIFIED | _R10_VERIFIED | _R11_VERIFIED
 )
 
-#: Queries REGISTERED during round 11 — never driver-sampled.  They
+#: Queries REGISTERED during round 12 — never driver-sampled.  They
 #: sort at the very front of tier 0 but BEHIND any older never-sampled
 #: backlog (ADVICE r10: the tie-break must reference the CURRENT
 #: round's new set, not a dead prior-round one).
-_R11_NEW: set[str] = {
-    "q_splade_retrieval", "q_pack_eval",
-}
+_R12_NEW: set[str] = set()
 
 
 def _ordered_names() -> list[str]:
@@ -445,10 +476,15 @@ def _ordered_names() -> list[str]:
     first.  A name's tier is the LATEST round that sampled it, so
     nothing re-verifies ahead of something staler."""
     names = list(_REGISTRY)
-    graduated_rank = {n: i for i, n in enumerate(_GRADUATED_STALE)}
+    graduated_rank = {
+        n: i
+        for i, n in enumerate(_GRADUATED_STALE + _CHANGED_SINCE_SAMPLE)
+    }
     tier = {}
     for n in names:
-        if n in _R10_VERIFIED:
+        if n in _R11_VERIFIED:
+            tier[n] = 11
+        elif n in _R10_VERIFIED:
             tier[n] = 10
         elif n in _R9_VERIFIED:
             tier[n] = 9
@@ -481,7 +517,7 @@ def _ordered_names() -> list[str]:
         names,
         key=lambda n: (
             tier[n],
-            1 if (tier[n] == 0 and n in _R11_NEW) else 0,
+            1 if (tier[n] == 0 and n in _R12_NEW) else 0,
             graduated_rank.get(n, 0),
             0 if _REGISTRY[n].oracle is not None else 1,
             order[n],
