@@ -2199,9 +2199,14 @@ def _nb_scored(
 
 def _nb_model_tables(spark: SparkSession, cc: dict, nd: dict):
     """Broadcastable NB model tables (pri, lp, oov) built DRIVER-SIDE
-    from additive count dicts — exact mirrors of _nb_scored's JVM
-    expressions (libm log; java BigDecimal HALF_UP at scale 9 ==
-    decimal.ROUND_HALF_UP on the exact binary double), used by the
+    from additive count dicts — mirrors of _nb_scored's JVM
+    expressions, verified equal on all test data (ADVICE r11: java's
+    round-to-decimal goes through BigDecimal.valueOf — shortest
+    decimal repr — while Decimal(v).quantize uses the exact binary
+    expansion, and libm vs java Math.log may differ by 1 ulp, so a
+    log-prob sitting within ~1e-18 of a .5*1e-9 tie COULD quantize
+    differently; no testdata value does, and the oracle gate would
+    catch one), used by the
     additive-sufficient-statistics rewrites: q_data_shapley builds 7
     coalition models by ADDING per-group counts, q_cross_validation
     builds 5 fold models by SUBTRACTING a fold's counts from the
@@ -2246,6 +2251,84 @@ def _nb_model_tables(spark: SparkSession, cc: dict, nd: dict):
         f"cls string, lpo {dec}",
     )
     return pri, lp, oov
+
+
+#: Heaps-law guard for the additive-NB driver pull (VERDICT r11 item
+#: 1): the (grain x class x token) sufficient-statistic aggregate
+#: behind q_data_shapley / q_cross_validation / q_learning_curve is
+#: collected driver-side — "vocabulary-bounded", which holds on a
+#: curated corpus but NOT on a 100-TB web corpus whose Heaps-law
+#: distinct-token count reaches 10^8-10^9.  The fix (the _TA_VOCAB_CAP
+#: / q_feature_hash precedent): cap the MODEL vocabulary at the
+#: top-_NB_VOCAB_CAP training tokens by (frequency DESC, token ASC — a
+#: deterministic total order both engines share) and fold every other
+#: token into one _NB_UNK pseudo-token BEFORE the grouped aggregate,
+#: so the driver pull is bounded by (grain x classes x (cap+1)) at ANY
+#: corpus size.  The top-K is a TakeOrderedAndProject (per-partition
+#: heap + driver merge, no global sort — O(cap) per partition) and the
+#: remap is a broadcast left join on the token stream.  The cap is far
+#: above the testdata vocabulary (31 distinct tokens at every SF), so
+#: when it does not fire the plan is UNCHANGED (remap skipped, hashes
+#: identical); the cap-fires path is pinned by
+#: tests/test_r12_queries.py with a tiny cap against a same-cap DuckDB
+#: oracle.
+_NB_VOCAB_CAP = 4096
+_NB_UNK = "<unk>"
+
+
+def _nb_capped_vocab(spark: SparkSession, ttok: DataFrame):
+    """Top-``_NB_VOCAB_CAP`` training tokens of the 1-column ``tok``
+    stream, or ``None`` when the full vocabulary already fits the cap
+    (the remap is then skipped entirely — zero plan change).  Collects
+    at most cap+1 rows: bounded by construction."""
+    cap = _NB_VOCAB_CAP
+    top = (
+        ttok.groupBy("tok")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.desc("c"), F.asc("tok"))
+        .limit(cap + 1)
+        .collect()
+    )
+    if len(top) <= cap:
+        return None
+    return spark.createDataFrame(
+        [(r["tok"],) for r in top[:cap]], "tok string"
+    )
+
+
+def _nb_remap_tok(df: DataFrame, vocab) -> DataFrame:
+    """Fold tokens outside the capped ``vocab`` into ``_NB_UNK``
+    (broadcast left join; identity when ``vocab`` is None)."""
+    if vocab is None:
+        return df
+    kept = F.broadcast(vocab.withColumn("_kept", F.lit(1)))
+    return (
+        df.join(kept, "tok", "left")
+        .withColumn(
+            "tok",
+            F.when(F.col("_kept").isNotNull(), F.col("tok")).otherwise(
+                F.lit(_NB_UNK)
+            ),
+        )
+        .drop("_kept")
+    )
+
+
+def _nb_vocab_ctes(train_src: str, extra_cols: str = "") -> str:
+    """Shared oracle CTE pair mirroring the vocabulary cap: vocab_top
+    = the same (COUNT DESC, tok ASC) top-K, rtok = the remapped token
+    stream carrying ``extra_cols`` through.  When the corpus
+    vocabulary fits the cap the LEFT JOIN matches every token and the
+    CASE is the identity — exactly the Spark side's skipped remap."""
+    cols = (extra_cols + ", ") if extra_cols else ""
+    return f"""
+    vocab_top AS MATERIALIZED (
+        SELECT tok FROM ({train_src})
+        GROUP BY tok ORDER BY COUNT(*) DESC, tok LIMIT {_NB_VOCAB_CAP}),
+    rtok AS MATERIALIZED (
+        SELECT {cols}CASE WHEN v.tok IS NOT NULL THEN r.tok
+                    ELSE '{_NB_UNK}' END AS tok
+        FROM rtok_raw r LEFT JOIN vocab_top v ON v.tok = r.tok)"""
 
 
 #: Fixed retrieval query set (terms drawn from the corpus vocabulary) —
@@ -7371,7 +7454,7 @@ def _learning_curve_oracle() -> str:
         s = t
         blocks.append(f"""
     ttok_{s} AS (
-        SELECT lang, unnest(toks) AS tok FROM docs WHERE pref < '{t}'),
+        SELECT lang, tok FROM rtok WHERE pref < '{t}'),
     cc_{s} AS (
         SELECT lang, tok, COUNT(*) AS c FROM ttok_{s}
         GROUP BY lang, tok),
@@ -7427,9 +7510,13 @@ def _learning_curve_oracle() -> str:
         SELECT doc_id, lang, {_TOKENIZE_SQL} AS toks,
                substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS pref
         FROM documents),
+    rtok_raw AS MATERIALIZED (
+        SELECT doc_id, lang, pref, unnest(toks) AS tok FROM docs),
+    {_nb_vocab_ctes("SELECT tok FROM rtok_raw WHERE pref < 'cc'",
+                    "doc_id, lang, pref")},
     ttest AS MATERIALIZED (
-        SELECT doc_id, lang AS true_lang, unnest(toks) AS tok
-        FROM docs WHERE pref >= 'cc'),
+        SELECT doc_id, lang AS true_lang, tok
+        FROM rtok WHERE pref >= 'cc'),
     {','.join(blocks)}
     SELECT * FROM ({' UNION ALL '.join(selects)}) z
     """
@@ -7467,14 +7554,23 @@ def q_learning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.split(normalize_text(F.col("text")), " ").alias("toks"),
         pref.alias("pref"),
     ).withColumn("band", band).persist()
-    ttest = docs.filter(F.col("pref") >= "cc").select(
-        "doc_id",
-        F.col("lang").alias("true_lang"),
-        F.explode("toks").alias("tok"),
-    )
+    # vocabulary cap (VERDICT r11 item 1): over the FULL training
+    # universe (pref < 'cc') so the remap is band-independent and the
+    # nested prefix-sums stay exact; bounds the (band x class x token)
+    # pull at (bands x classes x (cap+1)); no-op when vocab fits
     train = docs.filter(F.col("band").isNotNull())
+    ttok = train.select("band", "lang", F.explode("toks").alias("tok"))
+    vocab = _nb_capped_vocab(spark, ttok.select("tok"))
+    ttest = _nb_remap_tok(
+        docs.filter(F.col("pref") >= "cc").select(
+            "doc_id",
+            F.col("lang").alias("true_lang"),
+            F.explode("toks").alias("tok"),
+        ),
+        vocab,
+    )
     stat_rows = (
-        train.select("band", "lang", F.explode("toks").alias("tok"))
+        _nb_remap_tok(ttok, vocab)
         .groupBy("band", "lang", "tok")
         .agg(F.count("*").alias("c"))
         .unionByName(
@@ -7556,7 +7652,7 @@ def _cv_oracle(k: int = 5) -> str:
         s = f
         blocks.append(f"""
     ttok_{s} AS (
-        SELECT lang, unnest(toks) AS tok FROM docs WHERE fold <> {f}),
+        SELECT lang, tok FROM rtok WHERE fold <> {f}),
     cc_{s} AS (
         SELECT lang, tok, COUNT(*) AS c FROM ttok_{s}
         GROUP BY lang, tok),
@@ -7583,8 +7679,8 @@ def _cv_oracle(k: int = 5) -> str:
                     AS DECIMAL(20,9)) AS lpo
         FROM ct_{s}, v_{s}),
     tt_{s} AS (
-        SELECT doc_id, lang AS true_lang, unnest(toks) AS tok
-        FROM docs WHERE fold = {f}),
+        SELECT doc_id, lang AS true_lang, tok
+        FROM rtok WHERE fold = {f}),
     scored_{s} AS (
         SELECT t.doc_id, t.true_lang, o.cls,
                SUM(COALESCE(lp_{s}.lp, o.lpo)) AS sc
@@ -7613,6 +7709,10 @@ def _cv_oracle(k: int = 5) -> str:
                ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) % 5
                    AS fold
         FROM documents),
+    rtok_raw AS MATERIALIZED (
+        SELECT doc_id, fold, lang, unnest(toks) AS tok FROM docs),
+    {_nb_vocab_ctes("SELECT tok FROM rtok_raw",
+                    "doc_id, fold, lang")},
     {','.join(blocks)},
     folds AS ({' UNION ALL '.join(selects)}),
     stats AS (
@@ -7656,7 +7756,7 @@ def _shapley_oracle() -> str:
         inlist = ", ".join(str(g) for g in m)
         blocks.append(f"""
     ttok_{s} AS (
-        SELECT lang, unnest(toks) AS tok FROM docs
+        SELECT lang, tok FROM rtok
         WHERE pref < 'cc' AND grp IN ({inlist})),
     cc_{s} AS (
         SELECT lang, tok, COUNT(*) AS c FROM ttok_{s}
@@ -7741,9 +7841,13 @@ def _shapley_oracle() -> str:
                ascii(substr(md5(source), 1, 1)) % 3 AS grp
         FROM documents),
     gdocs AS (SELECT source, grp, pref FROM docs),
+    rtok_raw AS MATERIALIZED (
+        SELECT doc_id, lang, pref, grp, unnest(toks) AS tok FROM docs),
+    {_nb_vocab_ctes("SELECT tok FROM rtok_raw WHERE pref < 'cc'",
+                    "doc_id, lang, pref, grp")},
     tt AS (
-        SELECT doc_id, lang AS true_lang, unnest(toks) AS tok
-        FROM docs WHERE pref >= 'cc'),
+        SELECT doc_id, lang AS true_lang, tok
+        FROM rtok WHERE pref >= 'cc'),
     {','.join(blocks)}
     {' UNION ALL '.join(group_rows)}
     """
@@ -7799,10 +7903,22 @@ def q_data_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
             "grp"
         ),
     ).persist()
-    ttest = docs.filter(F.col("pref") >= "cc").select(
-        "doc_id",
-        F.col("lang").alias("true_lang"),
-        F.explode("toks").alias("tok"),
+    # vocabulary cap (VERDICT r11 item 1): top-_NB_VOCAB_CAP train
+    # tokens, everything else folded into _NB_UNK BEFORE the grouped
+    # aggregate, so the driver pull below is (groups x classes x
+    # (cap+1))-bounded at any corpus size; no-op (vocab is None, remap
+    # skipped) whenever the corpus vocabulary fits the cap
+    train = docs.filter(F.col("pref") < "cc")
+    ttok = train.select("grp", "lang", F.explode("toks").alias("tok"))
+    vocab = _nb_capped_vocab(spark, ttok.select("tok"))
+    ttok = _nb_remap_tok(ttok, vocab)
+    ttest = _nb_remap_tok(
+        docs.filter(F.col("pref") >= "cc").select(
+            "doc_id",
+            F.col("lang").alias("true_lang"),
+            F.explode("toks").alias("tok"),
+        ),
+        vocab,
     ).persist()
     # ONE tokenized train explode, aggregated ONCE to the additive
     # (grp, lang, tok) sufficient-statistic grain (VERDICT r10 item 3);
@@ -7810,10 +7926,8 @@ def q_data_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the SAME action as tagged union legs (NULL tok / NULL lang), so
     # the whole driver pull is one bounded model-grain job
     nulls = F.lit(None).cast("string")
-    train = docs.filter(F.col("pref") < "cc")
     stat_rows = (
-        train.select("lang", "grp", F.explode("toks").alias("tok"))
-        .groupBy("grp", "lang", "tok")
+        ttok.groupBy("grp", "lang", "tok")
         .agg(F.count("*").alias("c"))
         .unionByName(
             train.groupBy("grp", "lang")
@@ -7969,12 +8083,19 @@ def q_cross_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.split(normalize_text(F.col("text")), " ").alias("toks"),
         fcol.alias("fold"),
     ).persist()
+    # vocabulary cap (VERDICT r11 item 1): computed ONCE over the full
+    # token stream (every row trains 4 of the 5 fold models, so the
+    # cap is fold-independent — required for subtraction to stay
+    # exact); bounds the (fold x class x token) pull at (5 x classes x
+    # (cap+1)); no-op when the vocabulary fits the cap
+    rtok_raw = docs.select(
+        "doc_id", "fold", "lang", F.explode("toks").alias("tok")
+    )
+    vocab = _nb_capped_vocab(spark, rtok_raw.select("tok"))
+    rtok = _nb_remap_tok(rtok_raw, vocab)
     gcc = {
         (r["fold"], r["lang"], r["tok"]): int(r["c"])
-        for r in docs.select(
-            "fold", "lang", F.explode("toks").alias("tok")
-        )
-        .groupBy("fold", "lang", "tok")
+        for r in rtok.groupBy("fold", "lang", "tok")
         .agg(F.count("*").alias("c"))
         .collect()
     }
@@ -8014,10 +8135,8 @@ def q_cross_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
             if v > 0
         }
         pri, lp, oov = _nb_model_tables(spark, cc, nd)
-        ttest = docs.filter(F.col("fold") == f).select(
-            "doc_id",
-            F.col("lang").alias("true_lang"),
-            F.explode("toks").alias("tok"),
+        ttest = rtok.filter(F.col("fold") == f).select(
+            "doc_id", F.col("lang").alias("true_lang"), "tok"
         )
         final = (
             ttest.crossJoin(F.broadcast(oov))
