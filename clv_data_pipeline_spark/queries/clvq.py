@@ -490,7 +490,17 @@ def _pnbd_penq(r: float, al: float, sh: float, be: float) -> int:
 def _round_away(v, dp: int):
     """Half-away-from-zero rounding mirror of DuckDB/Spark ROUND —
     numpy's .round() is half-to-even, which would disagree with both
-    engines exactly on boundary values."""
+    engines exactly on boundary values.
+
+    Pairing note (ADVICE r11): floor(|v|*scale + 0.5) differs from
+    DuckDB's std::round for doubles within 2^-54 BELOW a .5 tie (the
+    0.49999999999999994 class, where |v|*scale + 0.5 rounds UP to the
+    tie in binary before floor) — so the mirror is empirically
+    verified on all driver/test data (q_pareto_nbd hash-green), not
+    exact over all doubles.  The p_alive / pred_30d values rounded
+    here come out of smooth transcendental pipelines with no mass at
+    representable near-tie points, and the oracle gate would surface a
+    flip as a hash mismatch rather than silent wrongness."""
     import numpy as np
 
     scale = 10.0**dp

@@ -2897,9 +2897,18 @@ def q_splade_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         * 1000000.0,
         0,
     ).cast("long")
+    # ADVICE r11: the rows surviving the broadcast(qw) join carry only
+    # query+expansion terms, so broadcasting the FULL vocabulary-sized
+    # df table buys nothing at large SF — semi-restrict df to qw's
+    # term set first, bounding the broadcast at |queries| x (1 + E)
+    # terms regardless of corpus vocabulary (no output change: the
+    # equi-join on term already discards every other df row)
+    df_q = df.join(
+        F.broadcast(qw.select("term").distinct()), "term", "left_semi"
+    )
     sc = (
         tf.join(F.broadcast(qw), "term")
-        .join(F.broadcast(df), "term")
+        .join(F.broadcast(df_q), "term")
         .crossJoin(F.broadcast(corpus))
         .withColumn("dw", dwq)
         .groupBy("query_id", "doc_id")
