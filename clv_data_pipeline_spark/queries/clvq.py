@@ -16,17 +16,15 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pyspark.sql.functions import pandas_udf
+
 from clv_data_pipeline_spark.operators.clv import (
     BetaGeoParams,
     GammaGammaParams,
     ParetoNBDParams,
     expected_avg_value_col,
     expected_purchases_udf,
-    fit_bgnbd,
-    fit_gamma_gamma,
     pnbd_expected_purchases_udf,
-    predictions_projection,
-    score_customers,
 )
 from clv_data_pipeline_spark.operators.features import (
     normalize_for_model,
@@ -209,37 +207,6 @@ def q_predicted_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
             12,
         ).alias("predicted_purchases"),
     )
-
-
-@query("q_clv_scores")  # rows-only: includes the MLE fit barrier
-def q_clv_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M1-M6 end-to-end: fit BG/NBD + Gamma-Gamma on the events-derived
-    features, score, quality-fix, project the reference's 6 output
-    columns (reference dags/clv_models.py:39-97).
-    """
-    from clv_data_pipeline_spark.sources.io import (
-        materialize_temp,
-        source_key,
-    )
-
-    f = _features(spark, sf_dir)
-    # one row per returning customer, consumed by BOTH fit collects and
-    # the scoring job.  Materialized once as a content-keyed derived
-    # artifact (the features table a production run stores anyway — the
-    # reference persists exactly this, dags/clv_data_dag.py:80) so the
-    # RFM aggregation over the event history runs once per source
-    # version AND nothing stays resident in executor cache — the
-    # round-4 persist() here leaked blocks in long-lived sessions, and
-    # plain unpersist-after-fit re-aggregated the event log per
-    # consumer (measured +0.6 s at sf0.1).
-    returning = materialize_temp(
-        f.filter((F.col("frequency") > 0) & (F.col("monetary") > 0)),
-        "clv_features_",
-        key=source_key(sf_dir, "events"),
-    )
-    bg = fit_bgnbd(returning)
-    gg = fit_gamma_gamma(returning)
-    return predictions_projection(score_customers(returning, bg, gg))
 
 
 @query(
@@ -1062,3 +1029,475 @@ def q_clv_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
                     _row("pareto_nbd", "sa_pn", "s_pn"))
         ).alias("r")
     ).select("r.*")
+
+
+# ---------------------------------------------------------------------------
+# q_clv_scores — the reference's flagship M1-M6 output, GRADUATED from
+# rows-only in round 12 by the q_pareto_nbd discipline (clvq.py:
+# q_pareto_nbd): both free Nelder-Mead MLEs (operators/clv.py
+# fit_bgnbd / fit_gamma_gamma, parameter recovery pinned in
+# tests/test_clv_logic.py and still serving run_clv_logic, the
+# reference-verbatim path) get deterministic engine-replayable twins —
+# bounded lattice MLEs over exact-binary candidate cells bracketing
+# the free fit (BG/NBD at testdata SFs: r~1.20 al~1.07 a~0.31 b~1.29).
+#
+# Why the BG/NBD + Gamma-Gamma lattice is EASIER than Pareto/NBD's:
+# neither likelihood needs a hypergeometric.  BG/NBD's gamma terms are
+# all integer-offset ratios (Gamma(r+x)/Gamma(r), Gamma(b+x)/Gamma(b),
+# Gamma(a+b+x)/Gamma(a+b) with integer data x) — ascending ln-sum
+# recursions both engines replay in identical order — and Gamma-Gamma
+# gets the same property by RESTRICTING q TO INTEGER CELLS:
+# Gamma(p*x+q)/Gamma(p*x) is then a finite q-term product and
+# ln(Gamma(q)) = ln((q-1)!) is a shared literal.  The 2F1 series
+# appears only in SCORING, and only for the one winning cell (the
+# q_predicted_purchases / q_clv_compare recursive-CTE pairing,
+# bit-exact since round 8).
+
+#: BG/NBD candidate lattice — all values exact in binary; a != 1 so
+#: the E[X(t)] prefactor (a+b+x-1)/(a-1) is defined on every cell.
+_BG_GRID: tuple[tuple[int, float, float, float, float], ...] = tuple(
+    (i, r, al, a, b)
+    for i, (r, al, a, b) in enumerate(
+        (r, al, a, b)
+        for r in (0.5, 1.0, 2.0)
+        for al in (0.5, 1.0, 2.0)
+        for a in (0.25, 0.375, 0.5)
+        for b in (1.0, 1.25, 1.5)
+    )
+)
+
+#: Gamma-Gamma candidate lattice — q integer >= 2 (see above; also
+#: keeps the population mean v*p/(q-1) defined), everything exact in
+#: binary.
+_GG_GRID: tuple[tuple[int, float, float, float], ...] = tuple(
+    (i, p, q, v)
+    for i, (p, q, v) in enumerate(
+        (p, q, v)
+        for p in (0.5, 1.0, 2.0)
+        for q in (2.0, 3.0, 4.0)
+        for v in (1.0, 2.0, 4.0)
+    )
+)
+
+#: ln(Gamma(q)) = ln((q-1)!) for the integer-q cells, computed ONCE in
+#: Python and embedded as the identical double literal in the oracle's
+#: candidate VALUES — no cross-engine libm dependence.
+_GG_LGQ: dict[float, float] = {}
+
+
+def _init_gg_lgq() -> None:
+    import math
+
+    for _i, _p, q, _v in _GG_GRID:
+        _GG_LGQ[q] = math.log(float(math.factorial(int(q) - 1)))
+
+
+_init_gg_lgq()
+
+
+def _lat_penq(vals) -> int:
+    """The reference's L2 penalty (penalizer_coef=0.1,
+    dags/clv_models.py:62,65) in integer micro-units, half-away
+    rounded — an exact integer literal shared by both engines (the
+    _pnbd_penq discipline)."""
+    import math
+
+    pen = 0.1 * sum(v * v for v in vals) * 1000000.0
+    return int(math.copysign(math.floor(abs(pen) + 0.5), pen))
+
+
+def _bg_llq_udf():
+    """Integer-micro-unit BG/NBD log-likelihood per (candidate,
+    sufficient-stat-group) row — every float op in the same order as
+    the oracle SQL (Fader-Hardie-Lee 2005 'Counting Your Customers the
+    Easy Way'; same formulation as operators/clv._bgnbd_nll)."""
+
+    @pandas_udf("long")
+    def _bg_llq(
+        x: pd.Series, t_x: pd.Series, T: pd.Series,
+        r: pd.Series, al: pd.Series, a: pd.Series, b: pd.Series,
+    ) -> pd.Series:
+        import numpy as np
+
+        xa = x.to_numpy(np.float64)
+        ta = t_x.to_numpy(np.float64)
+        Ta = T.to_numpy(np.float64)
+        ra = r.to_numpy(np.float64)
+        ala = al.to_numpy(np.float64)
+        aa = a.to_numpy(np.float64)
+        ba = b.to_numpy(np.float64)
+        a12 = (
+            _pnbd_lngam(ra, xa)
+            + ra * np.log(ala)
+            + (_pnbd_lngam(ba, xa) - _pnbd_lngam(aa + ba, xa))
+        )
+        a3 = -(ra + xa) * np.log(ala + Ta)
+        # x >= 1 on the returning-customer grain, so the x=0 -inf
+        # branch of _bgnbd_nll never arises here
+        a4 = (
+            np.log(aa)
+            - np.log(ba + xa - 1.0)
+            - (ra + xa) * np.log(ta + ala)
+        )
+        mm = np.maximum(a3, a4)
+        ll = a12 + (mm + np.log(np.exp(a3 - mm) + np.exp(a4 - mm)))
+        return pd.Series(
+            (np.sign(ll) * np.floor(np.abs(ll) * 1e6 + 0.5)).astype(
+                np.int64
+            )
+        )
+
+    return _bg_llq
+
+
+def _gg_llq_udf():
+    """Integer-micro-unit Gamma-Gamma log-likelihood per (candidate,
+    (frequency, cents)-group) row (Fader & Hardie 2013; same
+    formulation as operators/clv._gg_nll) — the q-term gamma-ratio
+    product accumulates ascending exactly like the oracle's
+    recursion."""
+
+    @pandas_udf("long")
+    def _gg_llq(
+        x: pd.Series, m: pd.Series,
+        p: pd.Series, q: pd.Series, v: pd.Series, lgq: pd.Series,
+    ) -> pd.Series:
+        import math
+
+        out = []
+        cache: dict[tuple[float, float, float], float] = {}
+        for xi, mi, pi, qi, vi, li in zip(
+            x.astype(float), m.astype(float), p.astype(float),
+            q.astype(float), v.astype(float), lgq.astype(float),
+        ):
+            px = pi * xi
+            key = (pi, qi, xi)
+            gr = cache.get(key)
+            if gr is None:
+                acc = 0.0
+                for i in range(int(qi)):
+                    acc += math.log(px + i)
+                cache[key] = acc
+                gr = acc
+            ll = (
+                gr
+                - li
+                + qi * math.log(vi)
+                + (px - 1.0) * math.log(mi)
+                + px * math.log(xi)
+                - (px + qi) * math.log(vi + mi * xi)
+            )
+            out.append(
+                int(math.copysign(math.floor(abs(ll) * 1e6 + 0.5), ll))
+            )
+        return pd.Series(out, dtype="int64")
+
+    return _gg_llq
+
+
+def _clv_scores_oracle() -> str:
+    """DuckDB replay of both lattice fits + the winning cells' full
+    scoring — see q_clv_scores."""
+    bg_rows = ", ".join(
+        f"({i}, CAST({r!r} AS DOUBLE), CAST({al!r} AS DOUBLE), "
+        f"CAST({a!r} AS DOUBLE), CAST({b!r} AS DOUBLE), "
+        f"{_lat_penq((r, al, a, b))})"
+        for i, r, al, a, b in _BG_GRID
+    )
+    gg_rows = ", ".join(
+        f"({i}, CAST({p!r} AS DOUBLE), CAST({q!r} AS DOUBLE), "
+        f"CAST({v!r} AS DOUBLE), CAST({_GG_LGQ[q]!r} AS DOUBLE), "
+        f"{_lat_penq((p, q, v))})"
+        for i, p, q, v in _GG_GRID
+    )
+    return f"""
+    WITH RECURSIVE rfm AS MATERIALIZED (
+        SELECT user_id AS customer_id,
+               CAST(COUNT(DISTINCT CAST(ts AS DATE)) - 1 AS DOUBLE) AS x,
+               CAST(date_diff('day', CAST(MIN(ts) AS DATE),
+                    CAST(MAX(ts) AS DATE)) AS DOUBLE) AS t_x,
+               CAST(date_diff('day', CAST(MIN(ts) AS DATE),
+                    DATE '{ASOF}') AS DOUBLE) AS "T",
+               ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+                     / COUNT(value), 2) AS m
+        FROM events GROUP BY user_id),
+    rbase AS MATERIALIZED (SELECT * FROM rfm WHERE x > 0 AND m > 0),
+    bstats AS MATERIALIZED (
+        SELECT x, t_x, "T", CAST(COUNT(*) AS BIGINT) AS w
+        FROM rbase GROUP BY x, t_x, "T"),
+    bcand(bc, r, al, a, b, penq) AS (VALUES {bg_rows}),
+    glbase AS (
+        SELECT DISTINCT base, x FROM (
+            SELECT c.r AS base, st.x FROM bcand c, bstats st
+            UNION
+            SELECT c.b AS base, st.x FROM bcand c, bstats st
+            UNION
+            SELECT c.a + c.b AS base, st.x FROM bcand c, bstats st) u),
+    gl(base, x, i, acc) AS (
+        SELECT base, x, 0, CAST(0.0 AS DOUBLE) FROM glbase
+        UNION ALL
+        SELECT base, x, i + 1, acc + ln(base + i) FROM gl WHERE i < x),
+    lng AS (SELECT base, x, arg_max(acc, i) AS lg
+            FROM gl GROUP BY base, x),
+    bllp AS (
+        SELECT c.bc, st.w,
+               l1.lg + c.r * ln(c.al) + (l2.lg - l3.lg) AS a12,
+               -(c.r + st.x) * ln(c.al + st."T") AS a3,
+               ln(c.a) - ln(c.b + st.x - 1.0)
+                 - (c.r + st.x) * ln(st.t_x + c.al) AS a4
+        FROM bstats st
+        CROSS JOIN bcand c
+        JOIN lng l1 ON l1.base = c.r AND l1.x = st.x
+        JOIN lng l2 ON l2.base = c.b AND l2.x = st.x
+        JOIN lng l3 ON l3.base = c.a + c.b AND l3.x = st.x),
+    bll AS (
+        SELECT bc, w,
+               CAST(ROUND((a12 + (GREATEST(a3, a4)
+                   + ln(exp(a3 - GREATEST(a3, a4))
+                        + exp(a4 - GREATEST(a3, a4)))))
+                   * 1000000.0, 0) AS BIGINT) * w AS v
+        FROM bllp),
+    bfit AS (SELECT bll.bc FROM bll JOIN bcand c USING (bc)
+             GROUP BY bll.bc, c.penq
+             ORDER BY SUM(v) - c.penq * SUM(w) DESC, bll.bc ASC
+             LIMIT 1),
+    bfp AS (SELECT c.* FROM bcand c JOIN bfit USING (bc)),
+    gstats AS MATERIALIZED (
+        SELECT x, m, CAST(COUNT(*) AS BIGINT) AS w
+        FROM rbase GROUP BY x, m),
+    gcand(gc, p, q, v, lgq, penq) AS (VALUES {gg_rows}),
+    ggrbase AS (SELECT DISTINCT c.p, c.q, st.x
+                FROM gcand c, gstats st),
+    ggr(p, q, x, i, acc) AS (
+        SELECT p, q, x, 0, CAST(0.0 AS DOUBLE) FROM ggrbase
+        UNION ALL
+        SELECT p, q, x, i + 1, acc + ln(p * x + i) FROM ggr
+        WHERE i < q),
+    ggl AS (SELECT p, q, x, arg_max(acc, i) AS gr
+            FROM ggr GROUP BY p, q, x),
+    gll AS (
+        SELECT c.gc, st.w,
+               CAST(ROUND((g.gr - c.lgq + c.q * ln(c.v)
+                   + (c.p * st.x - 1.0) * ln(st.m)
+                   + c.p * st.x * ln(st.x)
+                   - (c.p * st.x + c.q) * ln(c.v + st.m * st.x))
+                   * 1000000.0, 0) AS BIGINT) * st.w AS v
+        FROM gstats st
+        CROSS JOIN gcand c
+        JOIN ggl g ON g.p = c.p AND g.q = c.q AND g.x = st.x),
+    gfit AS (SELECT gll.gc FROM gll JOIN gcand c USING (gc)
+             GROUP BY gll.gc, c.penq
+             ORDER BY SUM(gll.v) - c.penq * SUM(gll.w) DESC, gll.gc ASC
+             LIMIT 1),
+    gfp AS (SELECT c.* FROM gcand c JOIN gfit USING (gc)),
+    serargs AS (
+        SELECT sb.x, sb."T", h.hz,
+               fp.r + sb.x AS a, fp.b + sb.x AS b,
+               fp.a + fp.b + sb.x - 1.0 AS c,
+               h.hz / (fp.al + sb."T" + h.hz) AS z
+        FROM (SELECT DISTINCT x, "T" FROM rbase) sb
+        CROSS JOIN bfp fp
+        CROSS JOIN (VALUES (CAST(30.0 AS DOUBLE)),
+                           (CAST(365.0 AS DOUBLE))) h(hz)),
+    ser(x, "T", hz, a, b, c, z, n, term, total, active) AS (
+        SELECT x, "T", hz, a, b, c, z, 0,
+               CAST(1.0 AS DOUBLE), CAST(1.0 AS DOUBLE), TRUE
+        FROM serargs
+        UNION ALL
+        SELECT x, "T", hz, a, b, c, z, n + 1,{_SER_STEP}
+        FROM ser WHERE active AND n < 4000),
+    hyp AS (SELECT x, "T", hz, arg_max(total, n) AS hyp
+            FROM ser GROUP BY x, "T", hz),
+    praw AS (
+        SELECT f.customer_id,
+               ((fp.a + fp.b + f.x - 1.0) / (fp.a - 1.0))
+                 * (1.0 - h30.hyp
+                        * POWER((fp.al + f."T") / (fp.al + f."T" + 30.0),
+                                fp.r + f.x))
+                 / (1.0 + (fp.a / (fp.b + GREATEST(f.x, 1.0) - 1.0))
+                        * POWER((fp.al + f."T") / (fp.al + f.t_x),
+                                fp.r + f.x)) AS p30,
+               ((fp.a + fp.b + f.x - 1.0) / (fp.a - 1.0))
+                 * (1.0 - h365.hyp
+                        * POWER((fp.al + f."T") / (fp.al + f."T" + 365.0),
+                                fp.r + f.x))
+                 / (1.0 + (fp.a / (fp.b + GREATEST(f.x, 1.0) - 1.0))
+                        * POWER((fp.al + f."T") / (fp.al + f.t_x),
+                                fp.r + f.x)) AS p365,
+               (1.0 - (gp.p * f.x) / (gp.p * f.x + gp.q - 1.0))
+                 * (gp.v * gp.p / (gp.q - 1.0))
+                 + ((gp.p * f.x) / (gp.p * f.x + gp.q - 1.0)) * f.m
+                 AS avg_raw
+        FROM rbase f
+        CROSS JOIN bfp fp
+        CROSS JOIN gfp gp
+        JOIN hyp h30 ON h30.x = f.x AND h30."T" = f."T"
+                    AND h30.hz = 30.0
+        JOIN hyp h365 ON h365.x = f.x AND h365."T" = f."T"
+                     AND h365.hz = 365.0),
+    fin AS (
+        SELECT customer_id,
+               ROUND(p30, 9) AS predicted_purchases,
+               ROUND(avg_raw, 9) AS predicted_avg_value,
+               ROUND(p365 * avg_raw * 0.99, 9) AS clv_r
+        FROM praw)
+    SELECT customer_id, predicted_purchases, predicted_avg_value,
+           GREATEST(clv_r, 0.0) AS clv,
+           CAST(CASE WHEN clv_r < 0 THEN 1 ELSE 0 END AS BIGINT)
+               AS negatif_clv_flag,
+           CAST(CASE WHEN clv_r > 1000000.0 THEN 1 ELSE 0 END AS BIGINT)
+               AS outliners_flag
+    FROM fin
+    """
+
+
+@query("q_clv_scores", oracle=_clv_scores_oracle())
+def q_clv_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1-M6 end-to-end: fit BG/NBD + Gamma-Gamma on the
+    events-derived features, score, quality-fix, project the
+    reference's 6 output columns (reference dags/clv_models.py:39-97).
+
+    GRADUATED from rows-only in round 12 (see the block comment above
+    _BG_GRID): both fits are bounded lattice MLEs whose per-(candidate,
+    sufficient-stat-group) log-likelihoods quantize to integer
+    micro-units BEFORE the weighted sum, so each argmax is
+    accumulation-order independent and the DuckDB oracle replays fit
+    AND score hash-exactly.  Scoring rounds the three value columns at
+    9 dp (the q_clv_compare discipline) to absorb libm last-bit
+    differences in POWER/ln/exp; the quality flags and the clip
+    evaluate on the ROUNDED clv on both engines, so a flag can never
+    disagree over a sub-nano discrepancy.
+
+    The winning (BG cell x GG cell) pair is pinned as a content-keyed
+    stored artifact (sources/io.materialize_temp DERIVED-ARTIFACT
+    semantics — the q_pareto_nbd winning-cell lifecycle): re-runs
+    against an unchanged events source serve the stored fit and skip
+    both lattice sweeps.
+
+    Scale shape: one corpus aggregation to per-customer RFM-T+monetary
+    (partial-aggregable), two groupBys to weighted sufficient-stat
+    grains — (x, t_x, T) triples for BG/NBD, (frequency, cents) pairs
+    for Gamma-Gamma, thousands of rows for millions of customers —
+    81/27-row broadcast design-grid crosses (plan-lint whitelisted),
+    one Arrow LL pass each, a 1-row argmax pull, then map-only scoring
+    with the 7 winning floats in the closures.  No per-customer driver
+    collect anywhere."""
+    from clv_data_pipeline_spark.sources.io import (
+        materialize_temp,
+        source_key,
+    )
+
+    f = _features(spark, sf_dir)
+    # one row per returning customer, consumed by the fit jobs and the
+    # scoring job.  Materialized once as a content-keyed derived
+    # artifact (the features table a production run stores anyway —
+    # the reference persists exactly this, dags/clv_data_dag.py:80).
+    returning = materialize_temp(
+        f.filter((F.col("frequency") > 0) & (F.col("monetary") > 0)),
+        "clv_features_",
+        key=source_key(sf_dir, "events"),
+    )
+    skey = source_key(sf_dir, "events") + ":bg81_gg27:v1"
+
+    def _fit_df() -> DataFrame:
+        bstats = (
+            returning.select(
+                F.col("frequency").cast("double").alias("x"),
+                F.col("recency").cast("double").alias("t_x"),
+                F.col("t").cast("double").alias("tt"),
+            )
+            .groupBy("x", "t_x", "tt")
+            .agg(F.count("*").cast("long").alias("w"))
+        )
+        bcand = spark.createDataFrame(
+            [g + (_lat_penq(g[1:]),) for g in _BG_GRID],
+            "bc long, r double, al double, a double, b double, "
+            "penq long",
+        )
+        bv = bstats.crossJoin(F.broadcast(bcand)).select(
+            "bc",
+            "penq",
+            "w",
+            (
+                _bg_llq_udf()("x", "t_x", "tt", "r", "al", "a", "b")
+                * F.col("w")
+            ).alias("v"),
+        )
+        bwin = (
+            bv.groupBy("bc")
+            .agg((F.sum("v") - F.first("penq") * F.sum("w")).alias("tot"))
+            .orderBy(F.desc("tot"), F.asc("bc"))
+            .limit(1)
+            .join(F.broadcast(bcand), "bc")
+            .select("bc", "r", "al", "a", "b")
+        )
+        gstats = (
+            returning.select(
+                F.col("frequency").cast("double").alias("x"),
+                F.col("monetary").cast("double").alias("m"),
+            )
+            .groupBy("x", "m")
+            .agg(F.count("*").cast("long").alias("w"))
+        )
+        gcand = spark.createDataFrame(
+            [g + (_GG_LGQ[g[2]], _lat_penq(g[1:])) for g in _GG_GRID],
+            "gc long, p double, q double, v double, lgq double, "
+            "penq long",
+        )
+        gv = gstats.crossJoin(F.broadcast(gcand)).select(
+            "gc",
+            "penq",
+            "w",
+            (
+                _gg_llq_udf()("x", "m", "p", "q", "v", "lgq")
+                * F.col("w")
+            ).alias("v"),
+        )
+        gwin = (
+            gv.groupBy("gc")
+            .agg((F.sum("v") - F.first("penq") * F.sum("w")).alias("tot"))
+            .orderBy(F.desc("tot"), F.asc("gc"))
+            .limit(1)
+            .join(F.broadcast(gcand), "gc")
+            .select("gc", "p", "q", "v")
+        )
+        return bwin.crossJoin(gwin)
+
+    win = materialize_temp(_fit_df(), "clv_fit_", key=skey).collect()[0]
+    bg = BetaGeoParams(
+        float(win["r"]), float(win["al"]), float(win["a"]),
+        float(win["b"]),
+    )
+    gg = GammaGammaParams(
+        float(win["p"]), float(win["q"]), float(win["v"])
+    )
+    p30 = expected_purchases_udf(bg, 30.0)
+    p365 = expected_purchases_udf(bg, 365.0)
+    x = F.col("frequency").cast("double")
+    t_x = F.col("recency").cast("double")
+    T = F.col("t").cast("double")
+    scored = returning.select(
+        "customer_id",
+        F.round(p30(x, t_x, T), 9).alias("predicted_purchases"),
+        F.round(expected_avg_value_col(gg), 9).alias(
+            "predicted_avg_value"
+        ),
+        F.round(
+            p365(x, t_x, T) * expected_avg_value_col(gg) * F.lit(0.99),
+            9,
+        ).alias("clv_r"),
+    )
+    return scored.select(
+        "customer_id",
+        "predicted_purchases",
+        "predicted_avg_value",
+        F.greatest(F.col("clv_r"), F.lit(0.0)).alias("clv"),
+        F.when(F.col("clv_r") < 0, F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("negatif_clv_flag"),
+        F.when(F.col("clv_r") > 1_000_000.0, F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("outliners_flag"),
+    )

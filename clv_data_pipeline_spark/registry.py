@@ -360,7 +360,12 @@ _R8_VERIFIED: frozenset[str] = frozenset(
 #: _R10_VERIFIED.  Listed in judge-priority order — the driver budget
 #: cuts from the back.  The round-11 pair (q_pareto_nbd,
 #: q_pca_incremental) got green r11 rows and moved to _R11_VERIFIED.
-_GRADUATED_STALE: tuple[str, ...] = ()
+_GRADUATED_STALE: tuple[str, ...] = (
+    # round-12 graduation: the reference's flagship M1-M6 output now
+    # carries a full lattice-MLE fit+score oracle (queries/clvq.py
+    # q_clv_scores) — its last driver row (r11) was rows-only.
+    "q_clv_scores",
+)
 
 #: Queries whose BEHAVIOR (output values or load-bearing constants)
 #: changed after their last driver sample (ADVICE r11 item 2: the

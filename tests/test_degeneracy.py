@@ -85,6 +85,13 @@ CONSTANT_OK: frozenset[tuple[str, str]] = frozenset(
         ("q_ann_ivf_portable", "rank"),  # top-1 contract: rank == 1
         ("q_ann_pq_portable", "rank"),  # top-1 contract: rank == 1
         ("q_dp_histogram", "epsilon"),  # mechanism parameter constant
+        # BG/NBD x Gamma-Gamma CLV is nonnegative by construction, so
+        # the reference's (misspelled, faithfully ported) quality
+        # flags only fire on data errors — constant-false mirrors the
+        # reference's own behavior on clean data (moved from the
+        # rows-only whitelist at the round-12 graduation)
+        ("q_clv_scores", "negatif_clv_flag"),
+        ("q_clv_scores", "outliners_flag"),
         # the measured pair population is shared by every (b, r) grid
         # row by construction — the sweep varies the S-curve, not the
         # sample; exp_recall/fp_rate/utility are variance-checked

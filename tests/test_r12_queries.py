@@ -108,3 +108,94 @@ def test_nb_cap_fires_parity(spark, monkeypatch, qname, builder):
     spark_pdf = fn(spark, SF_SMOKE).toPandas()
     oracle_pdf = run_oracle(sql, SF_SMOKE)
     compare_frames(spark_pdf, oracle_pdf)
+
+
+def test_clv_scores_lattice_cells_are_penalized_ll_argmax(spark):
+    """q_clv_scores' winning BG/NBD and Gamma-Gamma lattice cells must
+    truly be the penalized-LL argmaxes: re-scoring every cell with the
+    independent float NLLs (operators/clv._bgnbd_nll / _gg_nll — the
+    free Nelder-Mead objectives) must rank the chosen cells first, so
+    each lattice argmax is an MLE restricted to its grid, not an
+    arbitrary pick (the q_pareto_nbd pin, extended to both models)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from clv_data_pipeline_spark.operators.clv import _bgnbd_nll, _gg_nll
+    from clv_data_pipeline_spark.queries.clvq import (
+        _BG_GRID,
+        _GG_GRID,
+        _features,
+    )
+
+    ret = (
+        _features(spark, SF)
+        .filter((F.col("frequency") > 0) & (F.col("monetary") > 0))
+        .select("customer_id", "frequency", "recency", "t", "monetary")
+        .toPandas()
+    )
+    x = ret["frequency"].to_numpy(np.float64)
+    t_x = ret["recency"].to_numpy(np.float64)
+    T = ret["t"].to_numpy(np.float64)
+    m = ret["monetary"].to_numpy(np.float64)
+    w = np.ones_like(x)
+
+    def nll_bg(cell):
+        _i, r, al, a, b = cell
+        return _bgnbd_nll(
+            np.log(np.array([r, al, a, b])), x, t_x, T, w, 0.1
+        )
+
+    def nll_gg(cell):
+        _i, p, q, v = cell
+        return _gg_nll(np.log(np.array([p, q, v])), x, m, w, 0.1)
+
+    bg_best = min(_BG_GRID, key=nll_bg)
+    gg_best = min(_GG_GRID, key=nll_gg)
+
+    from clv_data_pipeline_spark import registry
+
+    rows = registry.all_queries()["q_clv_scores"](spark, SF)
+    # recover the winning cells from the stored artifact by re-running
+    # the fit path: the scoring params are captured in closures, so
+    # assert via output equality instead — recompute the expected
+    # output with the independently-argmaxed cells and compare one
+    # high-frequency customer's predicted_avg_value
+    from clv_data_pipeline_spark.operators.clv import (
+        BetaGeoParams,
+        GammaGammaParams,
+        expected_avg_value_col,
+        expected_purchases_udf,
+    )
+
+    _ib, rr, al, a, b = bg_best
+    _ig, p, q, v = gg_best
+    got = {r["customer_id"]: r for r in rows.collect()}
+    exp_bg = BetaGeoParams(r=rr, alpha=al, a=a, b=b)
+    exp_gg = GammaGammaParams(p=p, q=q, v=v)
+    p30 = expected_purchases_udf(exp_bg, 30.0)
+    chk = (
+        _features(spark, SF)
+        .filter((F.col("frequency") > 0) & (F.col("monetary") > 0))
+        .select(
+            "customer_id",
+            F.round(expected_avg_value_col(exp_gg), 9).alias("eav"),
+            F.round(
+                p30(
+                    F.col("frequency").cast("double"),
+                    F.col("recency").cast("double"),
+                    F.col("t").cast("double"),
+                ),
+                9,
+            ).alias("ep30"),
+        )
+        .collect()
+    )
+    for r_ in chk:
+        assert got[r_["customer_id"]]["predicted_avg_value"] == r_["eav"], (
+            "Gamma-Gamma lattice argmax disagrees with the independent "
+            f"float-NLL argmax cell {gg_best}"
+        )
+        assert got[r_["customer_id"]]["predicted_purchases"] == r_["ep30"], (
+            "BG/NBD lattice argmax disagrees with the independent "
+            f"float-NLL argmax cell {bg_best}"
+        )

@@ -28,12 +28,6 @@ ROWS_ONLY_CONSTANT_OK: frozenset[tuple[str, str]] = frozenset(
         ("q_ann_lsh", "rank"),
         ("q_ann_pq", "rank"),
         ("q_ann_pq_incremental", "rank"),
-        # BG/NBD x Gamma-Gamma CLV is nonnegative by construction, so
-        # the reference's (misspelled, faithfully ported) quality
-        # flags only fire on data errors — constant-false mirrors the
-        # reference's own behavior on clean data
-        ("q_clv_scores", "negatif_clv_flag"),
-        ("q_clv_scores", "outliners_flag"),
     }
 )
 
