@@ -2282,7 +2282,89 @@ def q_dedup_substring_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SUBSTR_EVAL_TH = 120  # char-level truth span; ~20-25 tokens
 
 
-@query("q_dedup_substring_eval")  # rows-only: suffix-array truth kernel
+def _substr_eval_oracle() -> str:
+    """DuckDB replay of the whole eval harness — GRADUATED round 12.
+
+    The Python truth kernel sorts every suffix of the normalized
+    sample and marks maximal runs whose ADJACENT pairs share their
+    first ``_SUBSTR_EVAL_TH`` chars; because that predicate is exact
+    equality of a fixed-length prefix it is transitive along a sorted
+    run, so a block is precisely the set of docs owning one identical
+    120-char substring — i.e. the suffix sort computes GROUP BY the
+    stride-1 120-char gram (raw string, no hashing: the Python kernel
+    compares characters).  Short suffixes (< th chars) never satisfy
+    the predicate and can never sort inside an equal-prefix run (a
+    string between two strings sharing prefix P must itself start
+    with P, hence be >= |P| long), so excluding them is exact.  The
+    detector tiers replay the q_dedup_substring /
+    q_dedup_substring_chars oracle shapes reduced to per-doc flags."""
+    w, cw, cs, th = _SUBSTR_W, _SUBSTR_CW, _SUBSTR_CS, _SUBSTR_EVAL_TH
+    tier_rows = []
+    for tier, pcol in (("token50", "pt"), (f"char{cw}", "pc"),
+                       ("union", "pu")):
+        tier_rows.append(f"""
+    SELECT '{tier}' AS tier,
+           CAST(SUM(t) AS BIGINT) AS n_true,
+           CAST(SUM({pcol}) AS BIGINT) AS n_flagged,
+           CAST(SUM({pcol} * t) AS BIGINT) AS hits,
+           ROUND(CAST(SUM({pcol} * t) AS DOUBLE)
+                 / CAST(GREATEST(SUM(t), 1) AS DOUBLE), 6) AS recall,
+           ROUND(CAST(SUM({pcol} * t) AS DOUBLE)
+                 / CAST(GREATEST(SUM({pcol}), 1) AS DOUBLE), 6)
+               AS precision
+    FROM ub""")
+    return f"""
+    WITH docs AS MATERIALIZED (
+        SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents
+        WHERE doc_id < 800),
+    tt AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
+           FROM docs),
+    tg AS (SELECT doc_id,
+                  md5(array_to_string(toks[i : i + {w - 1}], ' ')) AS g
+           FROM tt, UNNEST(generate_series(1, len(toks) - {w - 1}))
+                AS u(i)
+           WHERE len(toks) >= {w}),
+    tk AS (SELECT g, MIN(doc_id) AS keeper FROM tg GROUP BY g),
+    ptt AS (SELECT tg.doc_id,
+                   CAST(MAX(CASE WHEN tg.doc_id > tk.keeper
+                            THEN 1 ELSE 0 END) AS BIGINT) AS pt
+            FROM tg JOIN tk USING (g) GROUP BY tg.doc_id),
+    ct AS (SELECT doc_id,
+                  trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+                      AS tn
+           FROM docs),
+    cg AS (SELECT doc_id,
+                  md5(substr(tn, CAST(i AS INT), {cw})) AS g
+           FROM ct, UNNEST(generate_series(1, len(tn) - {cw - 1},
+                                           {cs})) AS u(i)
+           WHERE len(tn) >= {cw}),
+    ck AS (SELECT g, MIN(doc_id) AS keeper FROM cg GROUP BY g),
+    pcc AS (SELECT cg.doc_id,
+                   CAST(MAX(CASE WHEN cg.doc_id > ck.keeper
+                            THEN 1 ELSE 0 END) AS BIGINT) AS pc
+            FROM cg JOIN ck USING (g) GROUP BY cg.doc_id),
+    sg AS (SELECT doc_id, substr(tn, CAST(i AS INT), {th}) AS g
+           FROM ct, UNNEST(generate_series(1, len(tn) - {th - 1}))
+                AS u(i)
+           WHERE len(tn) >= {th}),
+    sk AS (SELECT g, MIN(doc_id) AS mn FROM sg GROUP BY g),
+    tr AS (SELECT DISTINCT s.doc_id
+           FROM sg s JOIN sk USING (g) WHERE s.doc_id > sk.mn),
+    ub AS (
+        SELECT d.doc_id,
+               COALESCE(ptt.pt, 0) AS pt,
+               COALESCE(pcc.pc, 0) AS pc,
+               GREATEST(COALESCE(ptt.pt, 0), COALESCE(pcc.pc, 0)) AS pu,
+               CASE WHEN tr.doc_id IS NOT NULL THEN 1 ELSE 0 END AS t
+        FROM docs d
+        LEFT JOIN ptt USING (doc_id)
+        LEFT JOIN pcc USING (doc_id)
+        LEFT JOIN tr USING (doc_id))
+    {' UNION ALL '.join(tier_rows)}
+    """
+
+
+@query("q_dedup_substring_eval", oracle=_substr_eval_oracle())
 def q_dedup_substring_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Measured recall/precision for BOTH ExactSubstr detector tiers
     — the suffix-array eval harness VERDICT r8 item 7 asked for,

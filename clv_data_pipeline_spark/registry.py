@@ -361,10 +361,13 @@ _R8_VERIFIED: frozenset[str] = frozenset(
 #: cuts from the back.  The round-11 pair (q_pareto_nbd,
 #: q_pca_incremental) got green r11 rows and moved to _R11_VERIFIED.
 _GRADUATED_STALE: tuple[str, ...] = (
-    # round-12 graduation: the reference's flagship M1-M6 output now
+    # round-12 graduations: the reference's flagship M1-M6 output now
     # carries a full lattice-MLE fit+score oracle (queries/clvq.py
-    # q_clv_scores) — its last driver row (r11) was rows-only.
+    # q_clv_scores), and the substring-dedup eval harness carries a
+    # full detector+suffix-truth oracle (queries/textops.py
+    # _substr_eval_oracle) — both last driver rows were rows-only.
     "q_clv_scores",
+    "q_dedup_substring_eval",
 )
 
 #: Queries whose BEHAVIOR (output values or load-bearing constants)
