@@ -322,15 +322,11 @@ def cosine_topk_sharded(
     )
 
 
-def spread_partitions(df: DataFrame) -> DataFrame:
-    """Widen a frame to the cluster's parallelism when the source gave
-    it fewer partitions (a single parquet file -> 1-2 tasks -> a
-    single-threaded Python kernel).  No-op when already at or above
-    ``defaultParallelism`` — at 100 TB the input is thousands of
-    partitions and this never shuffles; it only rescues the small-file
-    case where an Arrow kernel would otherwise serialize."""
-    p = df.sparkSession.sparkContext.defaultParallelism
-    return df.repartition(p) if df.rdd.getNumPartitions() < p else df
+# spread_partitions moved to sources/io.py (round 12: the shared
+# parallelism guard) — re-exported here for existing callers.
+from clv_data_pipeline_spark.sources.io import (  # noqa: E402,F401
+    spread_partitions,
+)
 
 
 def _cosine_topk_against_index(

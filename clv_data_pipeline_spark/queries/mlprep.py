@@ -542,7 +542,15 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    from clv_data_pipeline_spark.sources.io import spread_partitions
+
+    # parallelism guard (round 12): the md5 feature-hash + matmul
+    # kernel reads the scan directly, so a single-file source with an
+    # uneven row-group layout would serialize it (the _pca_int_stats
+    # exposure); per-row scoring is partitioning-independent
+    docs = spread_partitions(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     bc = spark.sparkContext.broadcast(_qc_weights())
 
     def _score(batches):
@@ -686,18 +694,14 @@ def _pca_int_stats(emb) -> tuple[int, list[int], list[list[int]]]:
     ``emb`` must have columns (vec_id, q: array<long>).  Returns
     (n, s[d], G[d][d]) as exact Python ints."""
     d = _PCA_DIM
-    # Parallelism guard: a single-file parquet source splits by row
-    # group, and an uneven layout hands one task most of the Gram work
-    # (sf10 measured 13 scan partitions with one straggler carrying
-    # ~90% of rows — 10.5 s vs ~2 s balanced).  The exchange moves
-    # only (id, d x int64) rows and the 4161-row-per-partition output
-    # is unaffected; integer sums are partition-count independent, so
-    # results are bit-identical.  Skipped when the source already has
-    # enough splits.
-    spark = emb.sparkSession
-    target = spark.sparkContext.defaultParallelism
-    if emb.rdd.getNumPartitions() < target:
-        emb = emb.repartition(target)
+    # Parallelism guard (sources/io.spread_partitions — the shared
+    # helper this fix was generalized into, VERDICT r11 item 7): the
+    # exchange moves only (id, d x int64) rows and the 4161-row
+    # per-partition output is unaffected; integer sums are
+    # partition-count independent, so results are bit-identical.
+    from clv_data_pipeline_spark.sources.io import spread_partitions
+
+    emb = spread_partitions(emb)
 
     def _acc(batches):
         # mapInArrow, not mapInPandas: the list<int64> column flattens

@@ -1423,6 +1423,7 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from clv_data_pipeline_spark.sources.io import (
         materialize_temp,
         source_key,
+        spread_partitions,
     )
 
     d = load_table(spark, sf_dir, "documents")
@@ -1438,9 +1439,7 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # at sf0.1).  The kernel input repartitions so Arrow batches spread
     # across cores instead of following the source file count.
     sh = materialize_temp(
-        simhash_signatures_vectorized(
-            d.repartition(spark.sparkContext.defaultParallelism)
-        ),
+        simhash_signatures_vectorized(spread_partitions(d)),
         "simhash_sigs_",
         key=source_key(sf_dir, "documents"),
     )
