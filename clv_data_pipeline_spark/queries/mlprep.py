@@ -596,6 +596,191 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: caption-alignment keep threshold: cosine >= 0.05, enforced as the
+#: integer-exact inequality 400*dot^2 >= na*nb (with dot > 0) so the
+#: verdict never rides a rounded float
+_CA_DIM = 64
+
+
+@query(
+    "q_caption_align",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_TOKENIZE_SQL}) AS term FROM documents),
+    tf AS (
+        SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM toks WHERE term <> '' GROUP BY doc_id, term),
+    hx AS (
+        SELECT doc_id, tf,
+               CAST('0x' || substr(md5(term), 1, 8) AS BIGINT) AS h
+        FROM tf),
+    cvec AS (
+        SELECT doc_id, h % {_CA_DIM} AS j,
+               CAST(SUM(tf * (CASE WHEN (h // {_CA_DIM}) % 2 = 0
+                              THEN 1 ELSE -1 END)) AS BIGINT) AS c
+        FROM hx GROUP BY doc_id, h % {_CA_DIM}),
+    nbv AS (SELECT doc_id, CAST(SUM(c * c) AS BIGINT) AS nb
+            FROM cvec GROUP BY doc_id),
+    ntok AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens
+             FROM tf GROUP BY doc_id),
+    dims AS (
+        SELECT vec_id AS doc_id,
+               CAST(unnest(range(len(embedding))) AS BIGINT) AS j,
+               CAST(ROUND(CAST(unnest(embedding) AS DOUBLE)
+                          * 10000.0, 0) AS BIGINT) AS q
+        FROM embeddings),
+    nav AS (SELECT doc_id, CAST(SUM(q * q) AS BIGINT) AS na
+            FROM dims GROUP BY doc_id),
+    dots AS (
+        SELECT d.doc_id, CAST(SUM(d.q * c.c) AS BIGINT) AS dot
+        FROM dims d JOIN cvec c ON c.doc_id = d.doc_id AND c.j = d.j
+        GROUP BY d.doc_id),
+    base AS (
+        SELECT doc.doc_id,
+               COALESCE(nt.n_tokens, 0) AS n_tokens,
+               COALESCE(dt.dot, 0) AS dot,
+               na.na AS na,
+               COALESCE(nb.nb, 0) AS nb
+        FROM documents doc
+        JOIN nav na ON na.doc_id = doc.doc_id
+        LEFT JOIN ntok nt ON nt.doc_id = doc.doc_id
+        LEFT JOIN nbv nb ON nb.doc_id = doc.doc_id
+        LEFT JOIN dots dt ON dt.doc_id = doc.doc_id)
+    SELECT doc_id, n_tokens, dot,
+           CASE WHEN na * nb = 0 THEN 0.0
+                ELSE ROUND(CAST(dot AS DOUBLE)
+                           / sqrt(CAST(na * nb AS DOUBLE)), 6)
+           END AS align_score,
+           CAST(dot > 0 AND 400 * CAST(dot AS HUGEINT) * dot
+                >= CAST(na AS HUGEINT) * nb AS BIGINT) AS keep
+    FROM base
+    """,
+)
+def q_caption_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paired image-text curation (the LAION/CLIP-filtering shape):
+    score each (image embedding, caption) pair's alignment and emit a
+    keep/drop verdict — the curation step a paired multimodal dataset
+    needs beyond the per-modality dedup/quality shelf.  The production
+    analog scores CLIP-cosine between the image embedding and a text
+    encoder's caption embedding and drops pairs under ~0.28 (LAION-5B's
+    filter); here the text encoder is the deterministic stand-in the
+    multimodal shelf already uses (q_quality_classifier's md5
+    feature-hash discipline): tokens hash into the embedding's
+    {_CA_DIM} dimensions with a +/-1 sign bit off the same hash, so
+    the caption projects to an integer vector both engines reproduce
+    exactly — swap in a trained text tower and everything downstream
+    (pair join, integer cosine, exact verdict) is unchanged.
+
+    Determinism is the q_quality_classifier + PCA recipe end to end:
+    the stored embedding quantizes to 1e-4 integer units JVM-side
+    (F.round = BigDecimal HALF_UP, replayed by DuckDB ROUND), the
+    caption vector is integer by construction, dot and both norms are
+    exact int64, and the keep verdict is the INTEGER inequality
+    400*dot^2 >= na*nb (cosine >= 0.05, decided in DECIMAL(38,0) /
+    HUGEINT — never on a rounded float).  Only the reported
+    align_score touches doubles, identically on both engines.
+
+    Scale shape: one equi-join pairs captions with embeddings (both
+    sides partial-aggregable sources; co-partition or bucket by id at
+    scale), then ONE map-only Arrow kernel computes the caption
+    projection + integer dot per pair (token-hash cache per batch,
+    spread_partitions guard against thin sources) — no shuffle after
+    the pair join, no driver collect; the verdict and score are
+    column arithmetic on the kernel's bounded integer outputs."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from clv_data_pipeline_spark.sources.io import spread_partitions
+
+    d = _CA_DIM
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    )
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"),
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: F.round(x * 10000, 0).cast("long"),
+        ).alias("q"),
+    )
+    pairs = spread_partitions(docs.join(emb, "doc_id"))
+
+    def _enc(batches):
+        import re as _re
+
+        cache: dict[str, tuple[int, int]] = {}
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            dots, nas, nbs, nts = [], [], [], []
+            for text, qv in zip(pdf["text"], pdf["q"]):
+                toks = [
+                    t
+                    for t in _re.sub(r"\s+", " ", text.lower())
+                    .strip()
+                    .split(" ")
+                    if t
+                ]
+                c = np.zeros(d, dtype=np.int64)
+                for t in toks:
+                    e = cache.get(t)
+                    if e is None:
+                        h = int(
+                            hashlib.md5(t.encode("utf-8")).hexdigest()[
+                                :8
+                            ],
+                            16,
+                        )
+                        e = cache[t] = (
+                            h % d,
+                            1 if (h // d) % 2 == 0 else -1,
+                        )
+                    c[e[0]] += e[1]
+                qa = np.asarray(qv, dtype=np.int64)
+                dots.append(int(qa @ c))
+                nas.append(int(qa @ qa))
+                nbs.append(int(c @ c))
+                nts.append(len(toks))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].to_numpy(),
+                    "n_tokens": np.asarray(nts, dtype=np.int64),
+                    "dot": np.asarray(dots, dtype=np.int64),
+                    "na": np.asarray(nas, dtype=np.int64),
+                    "nb": np.asarray(nbs, dtype=np.int64),
+                }
+            )
+
+    enc = pairs.mapInPandas(
+        _enc, "doc_id long, n_tokens long, dot long, na long, nb long"
+    )
+
+    def dec(c: str):
+        return F.col(c).cast("decimal(38,0)")
+
+    keep = (F.col("dot") > 0) & (
+        dec("dot") * dec("dot") * F.lit(400) >= dec("na") * dec("nb")
+    )
+    align = F.when(
+        (F.col("na") == 0) | (F.col("nb") == 0), F.lit(0.0)
+    ).otherwise(
+        F.round(
+            F.col("dot").cast("double")
+            / F.sqrt((F.col("na") * F.col("nb")).cast("double")),
+            6,
+        )
+    )
+    return enc.select(
+        "doc_id",
+        "n_tokens",
+        "dot",
+        align.alias("align_score"),
+        keep.cast("long").alias("keep"),
+    )
+
+
 @query(
     "q_perplexity",
     oracle=f"""
