@@ -380,6 +380,18 @@ _CHANGED_SINCE_SAMPLE: tuple[str, ...] = (
     # round-11 constant change: _LSH_SWEEP_N 128 -> 64 altered
     # q_lsh_param_sweep's output after its r10 sample (ADVICE r11).
     "q_lsh_param_sweep",
+    # round-12 plan changes (outputs unchanged — local oracles green —
+    # but the executed plan differs from what the driver last
+    # verified): the additive-NB vocabulary cap rewired the token
+    # stream of these three (mlprep._nb_capped_vocab), the SPLADE
+    # scoring stage semi-restricts its df broadcast, and the shared
+    # spread_partitions guard re-landed under these two kernels.
+    "q_data_shapley",
+    "q_cross_validation",
+    "q_learning_curve",
+    "q_splade_retrieval",
+    "q_quality_classifier",
+    "q_simhash",
 )
 
 #: Queries the driver checked in round 9 (``CORRECTNESS_r09.json``):
