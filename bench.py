@@ -238,6 +238,8 @@ HEADLINE = [
     "q_evalue",
     # round 8 (additions frozen by design; the one exception)
     "q_ann_lsh_portable",
+    # round 12 additions
+    "q_caption_align",
     # round 11 additions
     "q_splade_retrieval",
     "q_pack_eval",
