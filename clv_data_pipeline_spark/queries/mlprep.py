@@ -2465,16 +2465,22 @@ _NB_VOCAB_CAP = 4096
 _NB_UNK = "<unk>"
 
 
-def _nb_capped_vocab(spark: SparkSession, ttok: DataFrame):
-    """Top-``_NB_VOCAB_CAP`` training tokens of the 1-column ``tok``
-    stream, or ``None`` when the full vocabulary already fits the cap
-    (the remap is then skipped entirely — zero plan change).  Collects
-    at most cap+1 rows: bounded by construction."""
+def _nb_capped_vocab(spark: SparkSession, tok_counts: DataFrame):
+    """Top-``_NB_VOCAB_CAP`` training tokens from a ``(tok, c)``
+    count frame, or ``None`` when the full vocabulary already fits
+    the cap (the remap is then skipped entirely — zero plan change).
+    Collects at most cap+1 rows: bounded by construction.
+
+    Callers pass the token counts DERIVED FROM the full-grain
+    sufficient-statistic aggregate they compute anyway (sum ``c``
+    over the grain/class dimensions), not a fresh aggregate of the
+    raw token stream — so the cap adds a small aggregate-grain job,
+    never a second full-corpus explode (the round-12 probe-fusion
+    follow-up; the counts are identical either way, so the chosen
+    top-K and every hash are unchanged)."""
     cap = _NB_VOCAB_CAP
     top = (
-        ttok.groupBy("tok")
-        .agg(F.count("*").alias("c"))
-        .orderBy(F.desc("c"), F.asc("tok"))
+        tok_counts.orderBy(F.desc("c"), F.asc("tok"))
         .limit(cap + 1)
         .collect()
     )
@@ -7758,7 +7764,26 @@ def q_learning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pull at (bands x classes x (cap+1)); no-op when vocab fits
     train = docs.filter(F.col("band").isNotNull())
     ttok = train.select("band", "lang", F.explode("toks").alias("tok"))
-    vocab = _nb_capped_vocab(spark, ttok.select("tok"))
+    # ONE full-grain aggregate, persisted: the cap probe sums ITS
+    # counts over (band x lang) instead of re-exploding the corpus
+    # (identical counts, hashes unchanged; refold skipped when the
+    # vocab fits)
+    agg_tok = (
+        ttok.groupBy("band", "lang", "tok")
+        .agg(F.count("*").alias("c"))
+        .persist()
+    )
+    vocab = _nb_capped_vocab(
+        spark, agg_tok.groupBy("tok").agg(F.sum("c").alias("c"))
+    )
+    if vocab is not None:
+        stat_tok = (
+            _nb_remap_tok(agg_tok, vocab)
+            .groupBy("band", "lang", "tok")
+            .agg(F.sum("c").alias("c"))
+        )
+    else:
+        stat_tok = agg_tok
     ttest = _nb_remap_tok(
         docs.filter(F.col("pref") >= "cc").select(
             "doc_id",
@@ -7768,10 +7793,7 @@ def q_learning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         vocab,
     )
     stat_rows = (
-        _nb_remap_tok(ttok, vocab)
-        .groupBy("band", "lang", "tok")
-        .agg(F.count("*").alias("c"))
-        .unionByName(
+        stat_tok.unionByName(
             train.groupBy("band", "lang")
             .agg(F.count("*").alias("c"))
             .select(
@@ -7783,6 +7805,7 @@ def q_learning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .collect()
     )
+    agg_tok.unpersist()
     rows = []
     cc: dict[tuple[str, str], int] = {}
     nd: dict[str, int] = {}
@@ -8108,8 +8131,27 @@ def q_data_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
     # skipped) whenever the corpus vocabulary fits the cap
     train = docs.filter(F.col("pref") < "cc")
     ttok = train.select("grp", "lang", F.explode("toks").alias("tok"))
-    vocab = _nb_capped_vocab(spark, ttok.select("tok"))
-    ttok = _nb_remap_tok(ttok, vocab)
+    # ONE full-grain aggregate, persisted: the vocabulary-cap probe
+    # derives its counts from THIS frame (sum over grp x lang) instead
+    # of re-exploding the corpus, and the remap-and-refold runs at the
+    # bounded aggregate grain (skipped entirely when the vocab fits —
+    # the counts are identical either way, so hashes are unchanged)
+    agg_tok = (
+        ttok.groupBy("grp", "lang", "tok")
+        .agg(F.count("*").alias("c"))
+        .persist()
+    )
+    vocab = _nb_capped_vocab(
+        spark, agg_tok.groupBy("tok").agg(F.sum("c").alias("c"))
+    )
+    if vocab is not None:
+        stat_tok = (
+            _nb_remap_tok(agg_tok, vocab)
+            .groupBy("grp", "lang", "tok")
+            .agg(F.sum("c").alias("c"))
+        )
+    else:
+        stat_tok = agg_tok
     ttest = _nb_remap_tok(
         docs.filter(F.col("pref") >= "cc").select(
             "doc_id",
@@ -8125,9 +8167,7 @@ def q_data_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the whole driver pull is one bounded model-grain job
     nulls = F.lit(None).cast("string")
     stat_rows = (
-        ttok.groupBy("grp", "lang", "tok")
-        .agg(F.count("*").alias("c"))
-        .unionByName(
+        stat_tok.unionByName(
             train.groupBy("grp", "lang")
             .agg(F.count("*").alias("c"))
             .select("grp", "lang", nulls.alias("tok"), "c")
@@ -8141,6 +8181,7 @@ def q_data_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .collect()
     )
+    agg_tok.unpersist()
     gcc: dict[tuple[int, str, str], int] = {}
     gdc: dict[tuple[int, str], int] = {}
     nsrc: dict[int, int] = {}
@@ -8289,14 +8330,32 @@ def q_cross_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
     rtok_raw = docs.select(
         "doc_id", "fold", "lang", F.explode("toks").alias("tok")
     )
-    vocab = _nb_capped_vocab(spark, rtok_raw.select("tok"))
+    # ONE full-grain aggregate, persisted: the cap probe sums ITS
+    # counts over (fold x lang) instead of re-exploding the corpus;
+    # remap-and-refold runs at the bounded aggregate grain, skipped
+    # when the vocab fits (identical counts, hashes unchanged)
+    agg_tok = (
+        rtok_raw.groupBy("fold", "lang", "tok")
+        .agg(F.count("*").alias("c"))
+        .persist()
+    )
+    vocab = _nb_capped_vocab(
+        spark, agg_tok.groupBy("tok").agg(F.sum("c").alias("c"))
+    )
+    if vocab is not None:
+        stat_tok = (
+            _nb_remap_tok(agg_tok, vocab)
+            .groupBy("fold", "lang", "tok")
+            .agg(F.sum("c").alias("c"))
+        )
+    else:
+        stat_tok = agg_tok
     rtok = _nb_remap_tok(rtok_raw, vocab)
     gcc = {
         (r["fold"], r["lang"], r["tok"]): int(r["c"])
-        for r in rtok.groupBy("fold", "lang", "tok")
-        .agg(F.count("*").alias("c"))
-        .collect()
+        for r in stat_tok.collect()
     }
+    agg_tok.unpersist()
     gdc = {
         (r["fold"], r["lang"]): int(r["nd"])
         for r in docs.groupBy("fold", "lang")

@@ -46,7 +46,8 @@ def test_nb_vocab_cap_noop_when_vocab_fits(spark):
         spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
         .select(F.explode(F.split(F.lower("text"), " ")).alias("tok"))
     )
-    assert m._nb_capped_vocab(spark, toks) is None
+    counts = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    assert m._nb_capped_vocab(spark, counts) is None
     out = m._nb_remap_tok(toks, None)
     assert out is toks  # identity, not merely equal
 
@@ -64,7 +65,9 @@ def test_nb_vocab_cap_bounds_distinct_tokens(spark, monkeypatch):
         .persist()
     )
     n_before = toks.count()
-    vocab = m._nb_capped_vocab(spark, toks)
+    vocab = m._nb_capped_vocab(
+        spark, toks.groupBy("tok").agg(F.count("*").alias("c"))
+    )
     assert vocab is not None
     kept = {r["tok"] for r in vocab.collect()}
     assert len(kept) == TINY_CAP
