@@ -542,15 +542,14 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    from clv_data_pipeline_spark.sources.io import spread_partitions
-
-    # parallelism guard (round 12): the md5 feature-hash + matmul
-    # kernel reads the scan directly, so a single-file source with an
-    # uneven row-group layout would serialize it (the _pca_int_stats
-    # exposure); per-row scoring is partitioning-independent
-    docs = spread_partitions(
-        load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    )
+    # NO spread_partitions guard here, deliberately (round 12 audit):
+    # the per-batch work is one light int64 matmul, so an exchange of
+    # the full text column would cost more than the row-group skew it
+    # rescues — and the map-only plan (scored at scan speed, pinned by
+    # tests/test_plans.py) is the property worth keeping.  The guard
+    # belongs on kernels whose Python work dominates their input
+    # exchange (PCA Gram stats, simhash signatures).
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     bc = spark.sparkContext.broadcast(_qc_weights())
 
     def _score(batches):
@@ -602,10 +601,10 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CA_DIM = 64
 
 
-@query(
-    "q_caption_align",
-    oracle=f"""
-    WITH toks AS (
+#: Shared oracle CTE chain producing the per-pair integer stats
+#: frame `base` = (doc_id, n_tokens, dot, na, nb) — consumed by
+#: q_caption_align (per-pair readout) and q_pair_curate (funnel).
+_CA_PAIR_SQL = f"""toks AS (
         SELECT doc_id, unnest({_TOKENIZE_SQL}) AS term FROM documents),
     tf AS (
         SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
@@ -645,7 +644,13 @@ _CA_DIM = 64
         JOIN nav na ON na.doc_id = doc.doc_id
         LEFT JOIN ntok nt ON nt.doc_id = doc.doc_id
         LEFT JOIN nbv nb ON nb.doc_id = doc.doc_id
-        LEFT JOIN dots dt ON dt.doc_id = doc.doc_id)
+        LEFT JOIN dots dt ON dt.doc_id = doc.doc_id)"""
+
+
+@query(
+    "q_caption_align",
+    oracle=f"""
+    WITH {_CA_PAIR_SQL}
     SELECT doc_id, n_tokens, dot,
            CASE WHEN na * nb = 0 THEN 0.0
                 ELSE ROUND(CAST(dot AS DOUBLE)

@@ -384,13 +384,13 @@ _CHANGED_SINCE_SAMPLE: tuple[str, ...] = (
     # but the executed plan differs from what the driver last
     # verified): the additive-NB vocabulary cap rewired the token
     # stream of these three (mlprep._nb_capped_vocab), the SPLADE
-    # scoring stage semi-restricts its df broadcast, and the shared
-    # spread_partitions guard re-landed under these two kernels.
+    # scoring stage semi-restricts its df broadcast, and q_simhash's
+    # unconditional kernel repartition became the shared conditional
+    # spread_partitions guard.
     "q_data_shapley",
     "q_cross_validation",
     "q_learning_curve",
     "q_splade_retrieval",
-    "q_quality_classifier",
     "q_simhash",
 )
 

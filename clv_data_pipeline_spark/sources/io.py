@@ -219,11 +219,13 @@ def spread_partitions(df: DataFrame) -> DataFrame:
     small/skewed-file case where an Arrow kernel would otherwise
     serialize.  Only apply ahead of kernels whose per-row Python work
     dominates an exchange of their input columns (PCA sufficient
-    stats, simhash signatures, feature-hash scoring); JVM
-    whole-stage-codegen aggregates (q_ridge, q_word_vectors,
-    q_adaboost_stumps) and kernels that already sit behind a shuffle
-    (the ALS half-steps' groupBy) gain nothing from it — audited in
-    round 12.
+    stats, simhash signatures); JVM whole-stage-codegen aggregates
+    (q_ridge, q_word_vectors, q_adaboost_stumps), kernels that
+    already sit behind a shuffle (the ALS half-steps' groupBy), and
+    LIGHT scan-fed kernels whose map-only plan is itself a pinned
+    contract (q_quality_classifier: one int64 matmul per batch,
+    scored at scan speed) gain nothing from it — audited in round
+    12.
     """
     p = df.sparkSession.sparkContext.defaultParallelism
     return df.repartition(p) if df.rdd.getNumPartitions() < p else df
