@@ -240,6 +240,7 @@ HEADLINE = [
     "q_ann_lsh_portable",
     # round 12 additions
     "q_caption_align",
+    "q_pair_curate",
     # round 11 additions
     "q_splade_retrieval",
     "q_pack_eval",

@@ -601,6 +601,84 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CA_DIM = 64
 
 
+def _caption_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared per-pair integer stats frame (doc_id, n_tokens, dot, na,
+    nb) behind q_caption_align (per-pair readout) and q_pair_curate
+    (curation funnel) — see q_caption_align for the determinism
+    contract and scale shape.  Mirrored by the oracle CTE chain
+    ``_CA_PAIR_SQL``."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from clv_data_pipeline_spark.sources.io import spread_partitions
+
+    d = _CA_DIM
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"),
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: F.round(x * 10000, 0).cast("long"),
+        ).alias("q"),
+    )
+    pairs = spread_partitions(docs.join(emb, "doc_id"))
+
+    def _enc(batches):
+        import re as _re
+
+        cache: dict[str, tuple[int, int]] = {}
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            dots, nas, nbs, nts = [], [], [], []
+            for text, qv in zip(pdf["text"], pdf["q"]):
+                toks = [
+                    t
+                    for t in _re.sub(r"\s+", " ", text.lower())
+                    .strip()
+                    .split(" ")
+                    if t
+                ]
+                c = np.zeros(d, dtype=np.int64)
+                for t in toks:
+                    e = cache.get(t)
+                    if e is None:
+                        h = int(
+                            hashlib.md5(t.encode("utf-8")).hexdigest()[
+                                :8
+                            ],
+                            16,
+                        )
+                        e = cache[t] = (
+                            h % d,
+                            1 if (h // d) % 2 == 0 else -1,
+                        )
+                    c[e[0]] += e[1]
+                qa = np.asarray(qv, dtype=np.int64)
+                dots.append(int(qa @ c))
+                nas.append(int(qa @ qa))
+                nbs.append(int(c @ c))
+                nts.append(len(toks))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].to_numpy(),
+                    "n_tokens": np.asarray(nts, dtype=np.int64),
+                    "dot": np.asarray(dots, dtype=np.int64),
+                    "na": np.asarray(nas, dtype=np.int64),
+                    "nb": np.asarray(nbs, dtype=np.int64),
+                }
+            )
+
+    return pairs.mapInPandas(
+        _enc, "doc_id long, n_tokens long, dot long, na long, nb long"
+    )
+
+
 #: Shared oracle CTE chain producing the per-pair integer stats
 #: frame `base` = (doc_id, n_tokens, dot, na, nb) — consumed by
 #: q_caption_align (per-pair readout) and q_pair_curate (funnel).
@@ -692,75 +770,7 @@ def q_caption_align(spark: SparkSession, sf_dir: str) -> DataFrame:
     spread_partitions guard against thin sources) — no shuffle after
     the pair join, no driver collect; the verdict and score are
     column arithmetic on the kernel's bounded integer outputs."""
-    import hashlib
-
-    import numpy as np
-    import pandas as pd
-
-    from clv_data_pipeline_spark.sources.io import spread_partitions
-
-    d = _CA_DIM
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "text"
-    )
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        F.col("vec_id").alias("doc_id"),
-        F.transform(
-            F.col("embedding").cast("array<double>"),
-            lambda x: F.round(x * 10000, 0).cast("long"),
-        ).alias("q"),
-    )
-    pairs = spread_partitions(docs.join(emb, "doc_id"))
-
-    def _enc(batches):
-        import re as _re
-
-        cache: dict[str, tuple[int, int]] = {}
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            dots, nas, nbs, nts = [], [], [], []
-            for text, qv in zip(pdf["text"], pdf["q"]):
-                toks = [
-                    t
-                    for t in _re.sub(r"\s+", " ", text.lower())
-                    .strip()
-                    .split(" ")
-                    if t
-                ]
-                c = np.zeros(d, dtype=np.int64)
-                for t in toks:
-                    e = cache.get(t)
-                    if e is None:
-                        h = int(
-                            hashlib.md5(t.encode("utf-8")).hexdigest()[
-                                :8
-                            ],
-                            16,
-                        )
-                        e = cache[t] = (
-                            h % d,
-                            1 if (h // d) % 2 == 0 else -1,
-                        )
-                    c[e[0]] += e[1]
-                qa = np.asarray(qv, dtype=np.int64)
-                dots.append(int(qa @ c))
-                nas.append(int(qa @ qa))
-                nbs.append(int(c @ c))
-                nts.append(len(toks))
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"].to_numpy(),
-                    "n_tokens": np.asarray(nts, dtype=np.int64),
-                    "dot": np.asarray(dots, dtype=np.int64),
-                    "na": np.asarray(nas, dtype=np.int64),
-                    "nb": np.asarray(nbs, dtype=np.int64),
-                }
-            )
-
-    enc = pairs.mapInPandas(
-        _enc, "doc_id long, n_tokens long, dot long, na long, nb long"
-    )
+    enc = _caption_pair_stats(spark, sf_dir)
 
     def dec(c: str):
         return F.col(c).cast("decimal(38,0)")
@@ -784,6 +794,124 @@ def q_caption_align(spark: SparkSession, sf_dir: str) -> DataFrame:
         align.alias("align_score"),
         keep.cast("long").alias("keep"),
     )
+
+
+#: q_pair_curate stage thresholds — caption token bounds an alt-text
+#: pipeline would ship, an embedding-norm validity window (quantized
+#: units: ||e|| in [0.5, 2] -> na in [0.25e8, 4e8]), then the
+#: q_caption_align integer alignment verdict.
+_PC_MIN_TOKENS = 5
+_PC_MAX_TOKENS = 64
+_PC_NA_LO = 25_000_000
+_PC_NA_HI = 400_000_000
+
+
+def _pair_curate_oracle() -> str:
+    rules = [
+        ("caption_min_tokens", f"n_tokens >= {_PC_MIN_TOKENS}"),
+        ("caption_max_tokens", f"n_tokens <= {_PC_MAX_TOKENS}"),
+        ("embedding_norm",
+         f"na BETWEEN {_PC_NA_LO} AND {_PC_NA_HI}"),
+        ("aligned",
+         "dot > 0 AND 400 * CAST(dot AS HUGEINT) * dot"
+         " >= CAST(na AS HUGEINT) * nb"),
+    ]
+    flags = ",\n               ".join(
+        f"CAST({cond} AS BIGINT) AS r{i + 1}"
+        for i, (_n, cond) in enumerate(rules)
+    )
+    sums = ",\n               ".join(
+        "CAST(SUM("
+        + " * ".join(f"r{j + 1}" for j in range(i + 1))
+        + f") AS BIGINT) AS s{i + 1}"
+        for i in range(len(rules))
+    )
+    stages = " UNION ALL ".join(
+        f"""
+        SELECT CAST({i + 1} AS BIGINT) AS stage, '{name}' AS rule,
+               {'n0' if i == 0 else f's{i}'} AS n_in, s{i + 1} AS n_out,
+               {'n0' if i == 0 else f's{i}'} - s{i + 1} AS n_removed,
+               ROUND(CAST(s{i + 1} AS DOUBLE) / n0, 6) AS cum_survival
+        FROM s"""
+        for i, (name, _c) in enumerate(rules)
+    )
+    return f"""
+    WITH {{ctes}},
+    f AS (
+        SELECT {flags}
+        FROM base),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n0,
+               {sums}
+        FROM f)
+    SELECT * FROM ({stages}) z
+    """.format(ctes=_CA_PAIR_SQL)
+
+
+@query("q_pair_curate", oracle=_pair_curate_oracle())
+def q_pair_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pair-level curation FUNNEL — q_filter_funnel's
+    config-readout idiom applied to the paired image-text shelf: the
+    four rules an alt-text pipeline ships (caption length floor and
+    cap, embedding-norm validity window, then q_caption_align's
+    integer alignment verdict) applied in sequence, with per-stage
+    survivors / removals / cumulative survival so a curator sees
+    exactly where pairs die before committing the config.
+
+    Every prefix-conjunction count comes from ONE aggregate over the
+    shared `_caption_pair_stats` frame (the flags are 0/1 ints and
+    stage k's cumulative count is SUM(r1*...*rk)), unpivoted to four
+    stage rows — no per-stage scans, no shuffle beyond the pair join
+    inside the stats helper.  The alignment rule reuses the exact
+    integer inequality (DECIMAL(38,0) / HUGEINT), so the funnel's
+    numbers are engine-exact end to end."""
+    st = _caption_pair_stats(spark, sf_dir)
+
+    def dec(c: str):
+        return F.col(c).cast("decimal(38,0)")
+
+    rules = [
+        ("caption_min_tokens", F.col("n_tokens") >= _PC_MIN_TOKENS),
+        ("caption_max_tokens", F.col("n_tokens") <= _PC_MAX_TOKENS),
+        (
+            "embedding_norm",
+            F.col("na").between(_PC_NA_LO, _PC_NA_HI),
+        ),
+        (
+            "aligned",
+            (F.col("dot") > 0)
+            & (
+                dec("dot") * dec("dot") * F.lit(400)
+                >= dec("na") * dec("nb")
+            ),
+        ),
+    ]
+    aggs = [F.count("*").cast("long").alias("n0")]
+    prefix = None
+    for i, (_name, cond) in enumerate(rules):
+        flag = cond.cast("long")
+        prefix = flag if prefix is None else prefix * flag
+        aggs.append(F.sum(prefix).cast("long").alias(f"s{i + 1}"))
+    one = st.agg(*aggs)
+    stage_structs = []
+    for i, (name, _cond) in enumerate(rules):
+        n_in = F.col("n0") if i == 0 else F.col(f"s{i}")
+        n_out = F.col(f"s{i + 1}")
+        stage_structs.append(
+            F.struct(
+                F.lit(i + 1).cast("long").alias("stage"),
+                F.lit(name).alias("rule"),
+                n_in.alias("n_in"),
+                n_out.alias("n_out"),
+                (n_in - n_out).alias("n_removed"),
+                F.round(
+                    n_out.cast("double") / F.col("n0"), 6
+                ).alias("cum_survival"),
+            )
+        )
+    return one.select(
+        F.explode(F.array(*stage_structs)).alias("r")
+    ).select("r.*")
 
 
 @query(
