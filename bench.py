@@ -241,6 +241,7 @@ HEADLINE = [
     # round 12 additions
     "q_caption_align",
     "q_pair_curate",
+    "q_stream_pair_curate",
     # round 11 additions
     "q_splade_retrieval",
     "q_pack_eval",

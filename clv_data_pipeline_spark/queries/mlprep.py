@@ -603,10 +603,31 @@ _CA_DIM = 64
 
 def _caption_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared per-pair integer stats frame (doc_id, n_tokens, dot, na,
-    nb) behind q_caption_align (per-pair readout) and q_pair_curate
-    (curation funnel) — see q_caption_align for the determinism
-    contract and scale shape.  Mirrored by the oracle CTE chain
-    ``_CA_PAIR_SQL``."""
+    nb) behind q_caption_align (per-pair readout), q_pair_curate
+    (curation funnel), and q_stream_pair_curate (the streaming parity
+    twin) — see q_caption_align for the determinism contract and
+    scale shape.  Mirrored by the oracle CTE chain ``_CA_PAIR_SQL``."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    )
+    return _pair_stats_frames(docs, _ca_quantized_emb(spark, sf_dir))
+
+
+def _ca_quantized_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 1e-4-quantized embedding side of the pair join."""
+    return load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"),
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: F.round(x * 10000, 0).cast("long"),
+        ).alias("q"),
+    )
+
+
+def _pair_stats_frames(docs: DataFrame, emb: DataFrame) -> DataFrame:
+    """Pair-stats core over explicit (doc_id, text) x (doc_id, q)
+    frames — lets the streaming twin feed micro-batch doc slices
+    through the identical kernel."""
     import hashlib
 
     import numpy as np
@@ -615,17 +636,6 @@ def _caption_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from clv_data_pipeline_spark.sources.io import spread_partitions
 
     d = _CA_DIM
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "text"
-    )
-
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        F.col("vec_id").alias("doc_id"),
-        F.transform(
-            F.col("embedding").cast("array<double>"),
-            lambda x: F.round(x * 10000, 0).cast("long"),
-        ).alias("q"),
-    )
     pairs = spread_partitions(docs.join(emb, "doc_id"))
 
     def _enc(batches):
@@ -806,6 +816,68 @@ _PC_NA_LO = 25_000_000
 _PC_NA_HI = 400_000_000
 
 
+def _pc_rules() -> list:
+    """The four curation rules as (name, Column predicate) over the
+    pair-stats columns — shared verbatim by q_pair_curate and
+    q_stream_pair_curate so the batch and streaming funnels apply the
+    IDENTICAL flags (incl. the exact DECIMAL(38,0) alignment
+    inequality)."""
+
+    def dec(c: str):
+        return F.col(c).cast("decimal(38,0)")
+
+    return [
+        ("caption_min_tokens", F.col("n_tokens") >= _PC_MIN_TOKENS),
+        ("caption_max_tokens", F.col("n_tokens") <= _PC_MAX_TOKENS),
+        ("embedding_norm", F.col("na").between(_PC_NA_LO, _PC_NA_HI)),
+        (
+            "aligned",
+            (F.col("dot") > 0)
+            & (
+                dec("dot") * dec("dot") * F.lit(400)
+                >= dec("na") * dec("nb")
+            ),
+        ),
+    ]
+
+
+def _pc_counter_aggs() -> list:
+    """n0 + the prefix-conjunction sums s1..s4 — additive integer
+    counters (the mergeable state of the streaming twin)."""
+    rules = _pc_rules()
+    aggs = [F.count("*").cast("long").alias("n0")]
+    prefix = None
+    for i, (_name, cond) in enumerate(rules):
+        flag = cond.cast("long")
+        prefix = flag if prefix is None else prefix * flag
+        aggs.append(F.sum(prefix).cast("long").alias(f"s{i + 1}"))
+    return aggs
+
+
+def _pc_stage_rows(one: DataFrame) -> DataFrame:
+    """Unpivot the 1-row counter frame to the four funnel stage rows."""
+    rules = _pc_rules()
+    stage_structs = []
+    for i, (name, _cond) in enumerate(rules):
+        n_in = F.col("n0") if i == 0 else F.col(f"s{i}")
+        n_out = F.col(f"s{i + 1}")
+        stage_structs.append(
+            F.struct(
+                F.lit(i + 1).cast("long").alias("stage"),
+                F.lit(name).alias("rule"),
+                n_in.alias("n_in"),
+                n_out.alias("n_out"),
+                (n_in - n_out).alias("n_removed"),
+                F.round(n_out.cast("double") / F.col("n0"), 6).alias(
+                    "cum_survival"
+                ),
+            )
+        )
+    return one.select(
+        F.explode(F.array(*stage_structs)).alias("r")
+    ).select("r.*")
+
+
 def _pair_curate_oracle() -> str:
     rules = [
         ("caption_min_tokens", f"n_tokens >= {_PC_MIN_TOKENS}"),
@@ -865,53 +937,89 @@ def q_pair_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     inside the stats helper.  The alignment rule reuses the exact
     integer inequality (DECIMAL(38,0) / HUGEINT), so the funnel's
     numbers are engine-exact end to end."""
-    st = _caption_pair_stats(spark, sf_dir)
+    one = _caption_pair_stats(spark, sf_dir).agg(*_pc_counter_aggs())
+    return _pc_stage_rows(one)
 
-    def dec(c: str):
-        return F.col(c).cast("decimal(38,0)")
 
-    rules = [
-        ("caption_min_tokens", F.col("n_tokens") >= _PC_MIN_TOKENS),
-        ("caption_max_tokens", F.col("n_tokens") <= _PC_MAX_TOKENS),
-        (
-            "embedding_norm",
-            F.col("na").between(_PC_NA_LO, _PC_NA_HI),
+@query("q_stream_pair_curate", oracle=_pair_curate_oracle())
+def q_stream_pair_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming pair-curation funnel — the EIGHTEENTH streaming/batch
+    parity proof, extending the discipline to the paired image-text
+    shelf: documents arrive in three micro-batches (doc_id-sliced), a
+    REAL Structured Streaming query enriches each batch against the
+    static quantized-embedding side, scores the batch's pairs through
+    the IDENTICAL kernel and rule predicates as q_pair_curate
+    (_pair_stats_frames + _pc_rules), and folds the five funnel
+    counters (n0, s1..s4) into stored state by ADDITION
+    (streaming/ingest.counter_merge_sink — prefix-conjunction sums
+    over disjoint doc slices are exactly mergeable, so streaming ==
+    batch to the integer).  The readout derives the same four stage
+    rows from the merged counters and shares q_pair_curate's oracle —
+    a hash match proves the whole streaming maintenance loop computes
+    the batch funnel bit-for-bit.
+
+    Scale shape: per trigger the work is O(batch) (one stream-static
+    equi-join + one map-only Arrow kernel + one 1-row aggregate) plus
+    an O(1) state merge; state is FIVE integers regardless of corpus
+    size — the cheapest possible exactly-mergeable monitoring state."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from clv_data_pipeline_spark.streaming.ingest import (
+        counter_merge_sink,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    )
+    emb = _ca_quantized_emb(spark, sf_dir)
+    src_root = tempfile.mkdtemp(prefix="q_stream_pair_curate_")
+    src = src_root + "/arrivals"
+    cuts = docs.agg(
+        F.expr("percentile_approx(doc_id, 0.33)").alias("c1"),
+        F.expr("percentile_approx(doc_id, 0.66)").alias("c2"),
+    ).first()
+    slices = (
+        docs.filter(F.col("doc_id") <= cuts["c1"]),
+        docs.filter(
+            (F.col("doc_id") > cuts["c1"])
+            & (F.col("doc_id") <= cuts["c2"])
         ),
-        (
-            "aligned",
-            (F.col("dot") > 0)
-            & (
-                dec("dot") * dec("dot") * F.lit(400)
-                >= dec("na") * dec("nb")
-            ),
-        ),
-    ]
-    aggs = [F.count("*").cast("long").alias("n0")]
-    prefix = None
-    for i, (_name, cond) in enumerate(rules):
-        flag = cond.cast("long")
-        prefix = flag if prefix is None else prefix * flag
-        aggs.append(F.sum(prefix).cast("long").alias(f"s{i + 1}"))
-    one = st.agg(*aggs)
-    stage_structs = []
-    for i, (name, _cond) in enumerate(rules):
-        n_in = F.col("n0") if i == 0 else F.col(f"s{i}")
-        n_out = F.col(f"s{i + 1}")
-        stage_structs.append(
-            F.struct(
-                F.lit(i + 1).cast("long").alias("stage"),
-                F.lit(name).alias("rule"),
-                n_in.alias("n_in"),
-                n_out.alias("n_out"),
-                (n_in - n_out).alias("n_removed"),
-                F.round(
-                    n_out.cast("double") / F.col("n0"), 6
-                ).alias("cum_survival"),
-            )
+        docs.filter(F.col("doc_id") > cuts["c2"]),
+    )
+    for sl in slices:
+        sl.coalesce(1).write.mode("append").parquet(src)
+
+    target_table = f"pair_curate_stream_{uuid.uuid4().hex[:8]}"
+
+    def _agg(batch_df):
+        return _pair_stats_frames(batch_df, emb).agg(
+            *_pc_counter_aggs()
         )
-    return one.select(
-        F.explode(F.array(*stage_structs)).alias("r")
-    ).select("r.*")
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("pathGlobFilter", "*.parquet")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    ckpt = tempfile.mkdtemp(prefix="q_stream_pair_curate_ckpt_")
+    q = (
+        stream.writeStream.foreachBatch(
+            counter_merge_sink(target_table, _agg)
+        )
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    shutil.rmtree(src_root, ignore_errors=True)
+    one = spark.table(target_table).select(
+        "n0", "s1", "s2", "s3", "s4"
+    )
+    return _pc_stage_rows(one)
 
 
 @query(

@@ -483,7 +483,9 @@ _VERIFIED = (
 #: sort at the very front of tier 0 but BEHIND any older never-sampled
 #: backlog (ADVICE r10: the tie-break must reference the CURRENT
 #: round's new set, not a dead prior-round one).
-_R12_NEW: set[str] = {"q_caption_align", "q_pair_curate"}
+_R12_NEW: set[str] = {
+    "q_caption_align", "q_pair_curate", "q_stream_pair_curate"
+}
 
 
 def _ordered_names() -> list[str]:

@@ -725,3 +725,45 @@ def semdedup_admission_sink(
         ).saveAsTable(kept_table)
 
     return _fn
+
+
+def counter_merge_sink(target_table: str, agg_fn):
+    """Build a ``foreachBatch`` body maintaining ONE row of named
+    additive BIGINT counters — the smallest mergeable state there is:
+    ``agg_fn(batch_df)`` reduces the micro-batch to a 1-row counter
+    frame and the sink MERGES it into the stored row by columnwise
+    addition.  Same replay discipline as :func:`count_merge_sink`
+    (addition is not idempotent, so the state carries ``_bid`` and a
+    replayed batch is skipped); same plain-parquet overwrite caveat
+    (production puts this on a transactional table format)."""
+    from pyspark.sql import functions as F
+
+    def _sink(batch_df, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if batch_df.isEmpty():
+            return
+        partial = agg_fn(batch_df)
+        cols = partial.columns
+        if spark.catalog.tableExists(target_table):
+            stored = spark.table(target_table)
+            last = stored.agg(F.max("_bid")).first()[0]
+            if last is not None and batch_id <= last:
+                return  # replayed batch: already merged, skip
+            merged = (
+                stored.select(*cols)
+                .unionByName(partial)
+                .agg(
+                    *[
+                        F.sum(c).cast("long").alias(c)
+                        for c in cols
+                    ]
+                )
+                .localCheckpoint(eager=True)
+            )
+        else:
+            merged = partial.localCheckpoint(eager=True)
+        merged.withColumn(
+            "_bid", F.lit(batch_id).cast("long")
+        ).write.mode("overwrite").saveAsTable(target_table)
+
+    return _sink
