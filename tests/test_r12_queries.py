@@ -202,3 +202,47 @@ def test_clv_scores_lattice_cells_are_penalized_ll_argmax(spark):
             "BG/NBD lattice argmax disagrees with the independent "
             f"float-NLL argmax cell {bg_best}"
         )
+
+
+def test_counter_merge_sink_replay_safe(spark):
+    """counter_merge_sink must be replay-safe: addition is not
+    idempotent, so re-delivering an already-merged batch id (the
+    crash-between-overwrite-and-checkpoint case) must be a no-op,
+    while a NEW batch id merges by columnwise addition."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from clv_data_pipeline_spark.streaming.ingest import (
+        counter_merge_sink,
+    )
+
+    t = f"ctr_sink_test_{uuid.uuid4().hex[:8]}"
+
+    def agg(df):
+        return df.agg(
+            F.count("*").cast("long").alias("n0"),
+            F.sum((F.col("v") > 0).cast("long")).cast("long").alias("s1"),
+        )
+
+    sink = counter_merge_sink(t, agg)
+    b1 = spark.createDataFrame([(1,), (2,), (-1,)], "v long")
+    b2 = spark.createDataFrame([(3,), (-2,)], "v long")
+    sink(b1, 0)
+    sink(b2, 1)
+    row = spark.table(t).first()
+    assert (row["n0"], row["s1"]) == (5, 3)
+    # replay of batch 1 (same id): must be skipped
+    sink(b2, 1)
+    row = spark.table(t).first()
+    assert (row["n0"], row["s1"]) == (5, 3)
+    # empty batch: no-op
+    sink(spark.createDataFrame([], "v long"), 2)
+    row = spark.table(t).first()
+    assert (row["n0"], row["s1"]) == (5, 3)
+    # a genuinely new batch still merges (b1 again under a NEW id:
+    # +3 rows, +2 positives)
+    sink(b1, 3)
+    row = spark.table(t).first()
+    assert (row["n0"], row["s1"]) == (8, 5)
+    spark.sql(f"DROP TABLE IF EXISTS {t}")
