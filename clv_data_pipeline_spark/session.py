@@ -59,6 +59,32 @@ def get_spark(
     if master:
         builder = builder.master(master)
     conf = dict(DEFAULT_CONF)
+    if master and master.startswith("local"):
+        # Local mode runs driver + all executor tasks in ONE JVM whose
+        # heap defaults to 1g — 32 concurrent tasks' execution memory,
+        # broadcast blocks, and localCheckpoint blocks all compete in
+        # it, so long sessions degrade under GC pressure (measured:
+        # calibration probes 1.5-2.5x slower by the end of a 229-query
+        # bench run at 1g; healthy start-to-end at 8g).  Size the heap
+        # to the workload (env-overridable; only effective for the
+        # process's FIRST session, before the JVM launches).  Measured
+        # same-box sweep (fresh session, best-of-2, sf0.1): G1 (the
+        # JDK17 default) develops a large-heap cliff on the
+        # string-churning queries (q_min_pieces_tokenize 1.09 s at 1g
+        # -> 3.65 s at 16g; q_splade_retrieval 4.37 -> 6.07), while
+        # ParallelGC is flat-or-better at every size and beats G1 on
+        # both workload clusters (q_min_pieces 0.89, q_als_eval 1.41
+        # vs G1's best 1.78) — the classic throughput-collector call
+        # for batch ETL.  Cluster deploys size memory/GC in the deploy
+        # config and never hit this branch.
+        conf.setdefault(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+        )
+        conf.setdefault(
+            "spark.driver.extraJavaOptions",
+            os.environ.get("SPARK_GRAFT_GC", "-XX:+UseParallelGC"),
+        )
     conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions or 32)
     if extra_conf:
         conf.update(extra_conf)
