@@ -2683,6 +2683,127 @@ def _nb_model_tables(spark: SparkSession, cc: dict, nd: dict):
     return pri, lp, oov
 
 
+def _nb_fused_correct(
+    spark: SparkSession,
+    ttest: DataFrame,
+    models: list,
+    key_cols: tuple = ("doc_id", "true_lang"),
+) -> DataFrame:
+    """Score an exploded test-token stream against MULTIPLE NB models
+    in ONE pass — the round-12 fusion of the additive-stats family's
+    scoring stage (guide §2.3/§2.4: one shuffle of |docs| wide rows
+    replaces per-model |tokens|x|classes| crossJoin blowups, window
+    sorts, and per-model job scheduling).
+
+    ``models`` is a list of ``(tag, cc, nd)`` with the same dict
+    contract as :func:`_nb_model_tables`.  Instead of per-model tall
+    (cls, tok, lp) broadcast tables joined against a test stream
+    crossJoined with the class list, ONE wide broadcast table maps
+    each vocabulary token to a DECIMAL(20,9) log-prob column per
+    (model, class); per-doc class scores are decimal SUMs of those
+    columns (exact, order-independent — the identical addend multiset
+    the tall plan summed, so results are bit-equal), and the winning
+    class replays the old ``row_number() over (ORDER BY score DESC,
+    cls)`` pick via a greatest-of-structs with an inverted class
+    index for the min-cls tie-break.  Returns one row per ``key_cols``
+    group with a ``win_{tag}`` winning-class column per model.
+
+    Scale shape: the wide table is (vocab-cap+1) rows x (sum of model
+    class counts) decimal columns — bounded by the _NB_VOCAB_CAP
+    discipline at any corpus size; the single exchange carries one row
+    per test doc."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def q9(v: float) -> Decimal:
+        return Decimal(v).quantize(
+            Decimal("0.000000001"), rounding=ROUND_HALF_UP
+        )
+
+    dec = "decimal(20,9)"
+    metas = []
+    vocab_tokens: set = set()
+    for tag, cc, nd in models:
+        ct: dict = {}
+        for (lang, tok), c in cc.items():
+            ct[lang] = ct.get(lang, 0) + c
+            vocab_tokens.add(tok)
+        vsz = len({t for (_l, t) in cc})
+        n_train = sum(nd.values())
+        # effective class set = classes with token mass (matches the
+        # tall plan, where scoring crossJoins the oov table built
+        # from ct and the pri inner join keeps only scored classes)
+        classes = sorted(ct)
+        lp0 = {
+            lang: q9(math.log(nd[lang] * 1.0 / n_train))
+            for lang in classes
+        }
+        lpo = {
+            lang: q9(math.log(1.0 / (ct[lang] + vsz)))
+            for lang in classes
+        }
+        lp_map = {
+            (lang, tok): q9(math.log((c + 1.0) / (ct[lang] + vsz)))
+            for (lang, tok), c in cc.items()
+        }
+        metas.append((tag, classes, lp0, lpo, lp_map))
+
+    fields = ["tok string"]
+    for mi, (_tag, classes, *_r) in enumerate(metas):
+        fields.extend(
+            f"lp_{mi}_{ci} {dec}" for ci in range(len(classes))
+        )
+    wide_rows = []
+    for t in sorted(vocab_tokens):
+        row: list = [t]
+        for _tag, classes, _lp0, _lpo, lp_map in metas:
+            row.extend(lp_map.get((cls, t)) for cls in classes)
+        wide_rows.append(tuple(row))
+    wide = spark.createDataFrame(wide_rows, ", ".join(fields))
+
+    joined = ttest.join(F.broadcast(wide), "tok", "left")
+    aggs = []
+    for mi, (_tag, classes, _lp0, lpo, _lp) in enumerate(metas):
+        for ci, cls in enumerate(classes):
+            aggs.append(
+                F.sum(
+                    F.coalesce(
+                        F.col(f"lp_{mi}_{ci}"),
+                        F.lit(lpo[cls]).cast(dec),
+                    )
+                ).alias(f"s_{mi}_{ci}")
+            )
+    g = joined.groupBy(*key_cols).agg(*aggs)
+
+    sel = [F.col(c) for c in key_cols]
+    for mi, (tag, classes, lp0, _lpo, _lp) in enumerate(metas):
+        k = len(classes)
+        scores = [
+            F.col(f"s_{mi}_{ci}") + F.lit(lp0[cls]).cast(dec)
+            for ci, cls in enumerate(classes)
+        ]
+        if k == 1:
+            win = F.lit(classes[0])
+        else:
+            # max score, ties -> smallest class: greatest over
+            # (score, k-1-index) structs, classes sorted ascending
+            best = F.greatest(
+                *[
+                    F.struct(
+                        s.alias("s"),
+                        F.lit(k - 1 - ci).alias("j"),
+                    )
+                    for ci, s in enumerate(scores)
+                ]
+            )
+            win = F.element_at(
+                F.array(*[F.lit(cls) for cls in classes]),
+                (F.lit(k) - best.getField("j")).cast("int"),
+            )
+        sel.append(win.alias(f"win_{tag}"))
+    return g.select(*sel)
+
+
 #: Heaps-law guard for the additive-NB driver pull (VERDICT r11 item
 #: 1): the (grain x class x token) sufficient-statistic aggregate
 #: behind q_data_shapley / q_cross_validation / q_learning_curve is
@@ -8047,7 +8168,8 @@ def q_learning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     )
     agg_tok.unpersist()
-    rows = []
+    models = []
+    ntrain: dict[str, int] = {}
     cc: dict[tuple[str, str], int] = {}
     nd: dict[str, int] = {}
     for k, t in enumerate(_LC_THRESHOLDS):
@@ -8061,47 +8183,42 @@ def q_learning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
                 cc[key] = cc.get(key, 0) + int(r["c"])
             else:
                 nd[r["lang"]] = nd.get(r["lang"], 0) + int(r["c"])
-        pri, lp, oov = _nb_model_tables(spark, dict(cc), dict(nd))
-        final = (
-            ttest.crossJoin(F.broadcast(oov))
-            .join(F.broadcast(lp), ["tok", "cls"], "left")
-            .groupBy("doc_id", "true_lang", "cls")
-            .agg(
-                F.sum(F.coalesce(F.col("lp"), F.col("lpo"))).alias("s")
+        ntrain[t] = sum(nd.values())
+        models.append((t, dict(cc), dict(nd)))
+    # round-12 fusion (guide §2.3/§2.4): the 4 threshold scoring jobs
+    # over the SAME fixed eval set collapse into ONE pass — see
+    # _nb_fused_correct; the curve rows unpivot from the single
+    # counter row exactly like the old per-threshold aggs
+    fused = _nb_fused_correct(spark, ttest, models)
+    aggs = [F.count("*").cast("long").alias("n_test")]
+    for t in _LC_THRESHOLDS:
+        aggs.append(
+            F.sum(
+                F.when(
+                    F.col(f"win_{t}") == F.col("true_lang"), 1
+                ).otherwise(0)
             )
-            .join(F.broadcast(pri), "cls")
-            .withColumn("score", F.col("s") + F.col("lp0"))
+            .cast("long")
+            .alias(f"c_{t}")
         )
-        w = Window.partitionBy("doc_id").orderBy(
-            F.desc("score"), F.col("cls")
-        )
-        rows.append(
-            final.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .agg(
-                F.count("*").cast("long").alias("n_test"),
-                F.sum(
-                    F.when(F.col("cls") == F.col("true_lang"), 1)
-                    .otherwise(0)
-                )
-                .cast("long")
-                .alias("n_correct"),
-            )
-            .select(
+    one = fused.agg(*aggs)
+    stage_structs = []
+    for t in _LC_THRESHOLDS:
+        stage_structs.append(
+            F.struct(
                 F.lit(t).alias("train_prefix"),
-                F.lit(sum(nd.values())).cast("long").alias("n_train"),
-                "n_test",
-                "n_correct",
+                F.lit(ntrain[t]).cast("long").alias("n_train"),
+                F.col("n_test").alias("n_test"),
+                F.col(f"c_{t}").alias("n_correct"),
                 F.round(
-                    F.col("n_correct").cast("double") / F.col("n_test"),
+                    F.col(f"c_{t}").cast("double") / F.col("n_test"),
                     6,
                 ).alias("accuracy"),
             )
         )
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionAll(r)
-    return out
+    return one.select(
+        F.explode(F.array(*stage_structs)).alias("r")
+    ).select("r.*")
 
 
 def _cv_oracle(k: int = 5) -> str:
@@ -8400,7 +8517,7 @@ def q_data_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode("toks").alias("tok"),
         ),
         vocab,
-    ).persist()
+    )
     # ONE tokenized train explode, aggregated ONCE to the additive
     # (grp, lang, tok) sufficient-statistic grain (VERDICT r10 item 3);
     # the train-doc counts and the per-group distinct-source meta ride
@@ -8434,7 +8551,7 @@ def q_data_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
         else:
             nsrc[r["grp"]] = int(r["c"])
 
-    per_mask = []
+    models = []
     for m in masks:
         # coalition stats by pure addition of the per-group counts
         cc: dict[tuple[str, str], int] = {}
@@ -8447,50 +8564,40 @@ def q_data_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
                 nd[lang] = nd.get(lang, 0) + c
         if sum(nd.values()) == 0:
             # empty coalition: U(empty) = 0 by convention — no model,
-            # no scoring job (the oracle's COALESCE(c, 0) twin)
+            # no scored columns (the oracle's COALESCE(c, 0) twin)
             continue
-        pri, lp, oov = _nb_model_tables(spark, cc, nd)
-        scored = (
-            ttest.crossJoin(F.broadcast(oov))
-            .join(F.broadcast(lp), ["tok", "cls"], "left")
-            .groupBy("doc_id", "true_lang", "cls")
-            .agg(F.sum(F.coalesce(F.col("lp"), F.col("lpo"))).alias("s"))
-            .join(F.broadcast(pri), "cls")
-            .withColumn("score", F.col("s") + F.col("lp0"))
-        )
-        w = Window.partitionBy("doc_id").orderBy(
-            F.desc("score"), F.col("cls")
-        )
-        agg = (
-            scored.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .agg(
-                F.count("*").cast("long").alias("n_test"),
+        models.append((_ds_tag(m), cc, nd))
+    # round-12 fusion (guide §2.3/§2.4): the 7 coalition scoring jobs
+    # — each a |test tokens| x |classes| crossJoin, a (doc, cls)
+    # shuffle, and a window sort — collapse into ONE pass over the
+    # test explode with per-(coalition, class) decimal-sum columns
+    # and a greatest-of-structs argmax; decimal sums make the fused
+    # scores bit-equal to the tall plan's (same addend multiset)
+    if models:
+        fused = _nb_fused_correct(spark, ttest, models)
+        aggs = [F.count("*").cast("long").alias("n_test")]
+        for tag, _cc, _nd in models:
+            aggs.append(
                 F.sum(
-                    F.when(F.col("cls") == F.col("true_lang"), 1)
-                    .otherwise(0)
+                    F.when(
+                        F.col(f"win_{tag}") == F.col("true_lang"), 1
+                    ).otherwise(0)
                 )
                 .cast("long")
-                .alias("c"),
+                .alias(f"c_{tag}")
             )
-            .select(F.lit(_ds_tag(m)).alias("mask"), "n_test", "c")
-        )
-        per_mask.append(agg)
-    if per_mask:
-        util = per_mask[0]
-        for u in per_mask[1:]:
-            util = util.unionAll(u)
-        rows = {r["mask"]: r for r in util.collect()}
+        urow = fused.agg(*aggs).collect()[0]
+        n_test = int(urow["n_test"])
+        present = {tag for tag, _cc, _nd in models}
+        cvals = {
+            m: int(urow[f"c_{_ds_tag(m)}"] or 0)
+            if _ds_tag(m) in present
+            else 0
+            for m in masks
+        }
     else:
-        rows = {}
-    n_test = int(rows["012"]["n_test"]) if "012" in rows else 0
-    # empty coalition => no scored rows => no util row for that mask
-    # => correct-count 0 by the U(empty)=0 convention (mirrored by
-    # the oracle's COALESCE; ADVICE r9: int(None) used to TypeError)
-    cvals = {
-        m: int(rows[_ds_tag(m)]["c"] or 0) if _ds_tag(m) in rows else 0
-        for m in masks
-    }
+        n_test = 0
+        cvals = {m: 0 for m in masks}
     # group meta derives from the fused stats pull: n_sources from the
     # distinct-source union leg, n_train_docs = sum of the per-lang
     # train-doc counts (no extra corpus scan)
@@ -8498,7 +8605,6 @@ def q_data_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
     for (g, _lang), c in gdc.items():
         ntrd[g] = ntrd.get(g, 0) + c
     docs.unpersist()
-    ttest.unpersist()
     out = []
     for g in range(3):
         others = [h for h in range(3) if h != g]
@@ -8609,7 +8715,8 @@ def q_cross_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot_nd: dict[str, int] = {}
     for (_f, lang), c in gdc.items():
         tot_nd[lang] = tot_nd.get(lang, 0) + c
-    rows = []
+    models = []
+    ntrain: dict[int, int] = {}
     for f in range(5):
         # leave-one-fold-out stats by exact subtraction; zero entries
         # drop — vocabulary membership is count > 0
@@ -8632,48 +8739,56 @@ def q_cross_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             if v > 0
         }
-        pri, lp, oov = _nb_model_tables(spark, cc, nd)
-        ttest = rtok.filter(F.col("fold") == f).select(
-            "doc_id", F.col("lang").alias("true_lang"), "tok"
+        ntrain[f] = sum(nd.values())
+        models.append((str(f), cc, nd))
+    # round-12 fusion (guide §2.3/§2.4): the 5 fold-test scoring jobs
+    # collapse into ONE pass over the full token explode (each doc
+    # scored by its own fold's model columns) — see _nb_fused_correct
+    fused = _nb_fused_correct(
+        spark,
+        rtok.select(
+            "doc_id", F.col("lang").alias("true_lang"), "fold", "tok"
+        ),
+        models,
+        key_cols=("doc_id", "true_lang", "fold"),
+    )
+    correct = F.lit(None).cast("int")
+    for f in range(5):
+        correct = F.when(
+            F.col("fold") == f,
+            F.when(
+                F.col(f"win_{f}") == F.col("true_lang"), 1
+            ).otherwise(0),
+        ).otherwise(correct)
+    per_fold = fused.groupBy("fold").agg(
+        F.count("*").cast("long").alias("n_test"),
+        F.round(
+            F.sum(correct).cast("double") / F.count("*"), 6
+        ).alias("accuracy"),
+    )
+    # literal 5-row frame keeps the old per-fold-agg contract (a fold
+    # with no docs still emits its row, n_test 0 / accuracy NULL)
+    folds = (
+        spark.createDataFrame(
+            [(f, ntrain[f]) for f in range(5)],
+            "fold long, n_train long",
         )
-        final = (
-            ttest.crossJoin(F.broadcast(oov))
-            .join(F.broadcast(lp), ["tok", "cls"], "left")
-            .groupBy("doc_id", "true_lang", "cls")
-            .agg(
-                F.sum(F.coalesce(F.col("lp"), F.col("lpo"))).alias("s")
-            )
-            .join(F.broadcast(pri), "cls")
-            .withColumn("score", F.col("s") + F.col("lp0"))
+        .join(
+            F.broadcast(per_fold.withColumn(
+                "fold", F.col("fold").cast("long")
+            )),
+            "fold",
+            "left",
         )
-        w = Window.partitionBy("doc_id").orderBy(
-            F.desc("score"), F.col("cls")
+        .select(
+            "fold",
+            "n_train",
+            F.coalesce(F.col("n_test"), F.lit(0).cast("long")).alias(
+                "n_test"
+            ),
+            "accuracy",
         )
-        rows.append(
-            final.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .agg(
-                F.count("*").cast("long").alias("n_test"),
-                F.round(
-                    F.sum(
-                        F.when(
-                            F.col("cls") == F.col("true_lang"), 1
-                        ).otherwise(0)
-                    ).cast("double")
-                    / F.count("*"),
-                    6,
-                ).alias("accuracy"),
-            )
-            .select(
-                F.lit(f).cast("long").alias("fold"),
-                F.lit(sum(nd.values())).cast("long").alias("n_train"),
-                "n_test",
-                "accuracy",
-            )
-        )
-    folds = rows[0]
-    for r in rows[1:]:
-        folds = folds.unionAll(r)
+    )
     wall = Window.partitionBy(F.lit(1))
     acc = F.col("accuracy")
     mean_acc = F.round(

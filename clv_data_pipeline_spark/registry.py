@@ -383,9 +383,11 @@ _CHANGED_SINCE_SAMPLE: tuple[str, ...] = (
     # round-12 plan changes (outputs unchanged — local oracles green —
     # but the executed plan differs from what the driver last
     # verified): the additive-NB vocabulary cap rewired the token
-    # stream of these three (mlprep._nb_capped_vocab), the SPLADE
-    # scoring stage semi-restricts its df broadcast, and q_simhash's
-    # unconditional kernel repartition became the shared conditional
+    # stream of these three (mlprep._nb_capped_vocab) and the
+    # optimization round then fused their per-model scoring jobs into
+    # one pass (mlprep._nb_fused_correct); the SPLADE scoring stage
+    # semi-restricts its df broadcast, and q_simhash's unconditional
+    # kernel repartition became the shared conditional
     # spread_partitions guard.
     "q_data_shapley",
     "q_cross_validation",

@@ -246,3 +246,71 @@ def test_counter_merge_sink_replay_safe(spark):
     row = spark.table(t).first()
     assert (row["n0"], row["s1"]) == (8, 5)
     spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_nb_fused_correct_matches_tall_scorer(spark):
+    """The round-12 fused multi-model NB scorer must reproduce the
+    tall formulation (crossJoin(oov) + left join lp + decimal sum +
+    row_number argmax) bit-for-bit — including the score-tie case,
+    where row_number's (score DESC, cls ASC) order must map to the
+    fused greatest-of-structs inverted-index tie-break (winner = the
+    LEXICOGRAPHICALLY SMALLEST class among ties)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from clv_data_pipeline_spark.queries.mlprep import (
+        _nb_fused_correct,
+        _nb_model_tables,
+    )
+
+    # two models; model "m1" engineered so doc 2's classes tie: both
+    # classes see only OOV tokens for that doc and share (tot + vsz)
+    # and lp0 (equal doc/token counts) -> identical scores -> the
+    # tie-break decides
+    cc1 = {("de", "der"): 3, ("en", "the"): 3}
+    nd1 = {"de": 2, "en": 2}
+    cc2 = {("de", "der"): 5, ("en", "the"): 1, ("en", "cat"): 2}
+    nd2 = {"de": 3, "en": 4}
+    ttest = spark.createDataFrame(
+        [
+            (1, "en", "the"),
+            (1, "en", "cat"),
+            (2, "de", "zzz"),  # OOV everywhere -> tie in m1
+            (3, "de", "der"),
+            (3, "de", "zzz"),
+        ],
+        "doc_id long, true_lang string, tok string",
+    )
+    fused = _nb_fused_correct(
+        spark, ttest, [("m1", cc1, nd1), ("m2", cc2, nd2)]
+    )
+    got = {r["doc_id"]: (r["win_m1"], r["win_m2"]) for r in fused.collect()}
+
+    # tall reference, per model
+    expected = {}
+    for tag, cc, nd in (("m1", cc1, nd1), ("m2", cc2, nd2)):
+        pri, lp, oov = _nb_model_tables(spark, cc, nd)
+        scored = (
+            ttest.crossJoin(F.broadcast(oov))
+            .join(F.broadcast(lp), ["tok", "cls"], "left")
+            .groupBy("doc_id", "true_lang", "cls")
+            .agg(F.sum(F.coalesce(F.col("lp"), F.col("lpo"))).alias("s"))
+            .join(F.broadcast(pri), "cls")
+            .withColumn("score", F.col("s") + F.col("lp0"))
+        )
+        w = Window.partitionBy("doc_id").orderBy(
+            F.desc("score"), F.col("cls")
+        )
+        for r in (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .collect()
+        ):
+            expected.setdefault(r["doc_id"], {})[tag] = r["cls"]
+
+    assert set(got) == set(expected)
+    for doc_id, (w1, w2) in got.items():
+        assert w1 == expected[doc_id]["m1"], f"doc {doc_id} model m1"
+        assert w2 == expected[doc_id]["m2"], f"doc {doc_id} model m2"
+    # the engineered tie must actually be a tie AND resolve to 'de'
+    assert got[2][0] == "de"
