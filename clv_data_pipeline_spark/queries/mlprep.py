@@ -3363,6 +3363,15 @@ def q_splade_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.split(normalize_text(F.col("text")), " ")
         ).alias("term"),
     ).filter(F.col("term") != "")
+    # NOTE (round 12): the plan references tf 5x / df 3x, re-running
+    # the corpus explode at each reference (37 Exchanges in one
+    # action).  Persisting tf (or tf+df) was measured and REJECTED:
+    # 3.68 s -> 5.6-5.7 s at sf0.1 — the InMemoryRelation defeats the
+    # scan-side stats the downstream broadcast planning relies on and
+    # costs more than the duplicated subtrees.  At real scale the
+    # production stance is materializing the (doc, term, tf) index
+    # once to storage (it IS the inverted index the retrieval shelf
+    # serves from), not an in-memory cache.
     tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     df = tf.groupBy("term").agg(F.count("*").alias("df"))
     corpus = tf.agg(F.countDistinct("doc_id").alias("n_docs"))
@@ -3904,17 +3913,28 @@ def q_word_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("freq"))
     )
     wj = Window.orderBy(F.desc("freq"), "word")
+    # persist the three vocabulary-bounded frames (topv: 64 rows,
+    # counts/trip: <= vocab^2): each is referenced 3-4x downstream,
+    # and without a materialization point the optimizer inlines the
+    # WHOLE corpus explode + count subtree at every reference — the
+    # measured plan ran 80 Exchanges / ~12 corpus explodes for one
+    # action (guide §2.4 / §3.3: materialize to truncate repeated
+    # subtrees; persist over localCheckpoint because the RDD
+    # conversion serializes rows and measured SLOWER than the
+    # duplicated subtrees at bench scale — 6.8 s vs persist's 2.3 s)
     topv = (
         wf.orderBy(F.desc("freq"), "word")
         .limit(_WV_V)
         .withColumn("j", (F.row_number().over(wj) - 1).cast("long"))
         .select("word", "j")
+        .persist()
     )
     counts = (
         sym.join(F.broadcast(topv.select(F.col("word").alias("w"))), "w")
         .join(F.broadcast(topv.select(F.col("word").alias("c"), "j")), "c")
         .groupBy("w", "c", "j")
         .agg(F.count("*").alias("n"))
+        .persist()
     )
     marg = counts.groupBy("w").agg(F.sum("n").alias("nw"))
     tot = counts.agg(F.sum("n").alias("t"))
@@ -3946,6 +3966,7 @@ def q_word_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("micro"),
         )
         .filter(F.col("micro") > 0)
+        .persist()
     )
     norms = trip.groupBy("w").agg(
         F.sum(F.col("micro") * F.col("micro")).alias("ss")
