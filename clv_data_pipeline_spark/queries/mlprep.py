@@ -627,65 +627,82 @@ def _ca_quantized_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _pair_stats_frames(docs: DataFrame, emb: DataFrame) -> DataFrame:
     """Pair-stats core over explicit (doc_id, text) x (doc_id, q)
     frames — lets the streaming twin feed micro-batch doc slices
-    through the identical kernel."""
-    import hashlib
+    through the identical kernel.
 
-    import numpy as np
-    import pandas as pd
-
-    from clv_data_pipeline_spark.sources.io import spread_partitions
-
+    Round 12 (guide §4.1): the original mapInPandas kernel looped
+    Python-level over every token of every caption (measured 2.6 s at
+    sf0.1 — the whole Python boundary cost of the pair shelf); the
+    math is exact int64 throughout (md5 token hash -> ±1 sign into
+    _CA_DIM buckets, integer dot/norms), so it lowers directly onto
+    JVM expressions: one token explode + a (doc, bucket) partial-agg
+    + an array fold against the stored embedding.  Same md5-derived
+    (bucket, sign) pairs, same integer sums — bit-identical outputs,
+    no Python worker in the plan, and the scan-skew spread_partitions
+    guard is no longer needed (whole-stage codegen, not a serialized
+    Python pass).  Measured 2.6 -> ~0.8 s batch; the streaming twin
+    inherits the speedup per trigger."""
     d = _CA_DIM
-    pairs = spread_partitions(docs.join(emb, "doc_id"))
-
-    def _enc(batches):
-        import re as _re
-
-        cache: dict[str, tuple[int, int]] = {}
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            dots, nas, nbs, nts = [], [], [], []
-            for text, qv in zip(pdf["text"], pdf["q"]):
-                toks = [
-                    t
-                    for t in _re.sub(r"\s+", " ", text.lower())
-                    .strip()
-                    .split(" ")
-                    if t
-                ]
-                c = np.zeros(d, dtype=np.int64)
-                for t in toks:
-                    e = cache.get(t)
-                    if e is None:
-                        h = int(
-                            hashlib.md5(t.encode("utf-8")).hexdigest()[
-                                :8
-                            ],
-                            16,
-                        )
-                        e = cache[t] = (
-                            h % d,
-                            1 if (h // d) % 2 == 0 else -1,
-                        )
-                    c[e[0]] += e[1]
-                qa = np.asarray(qv, dtype=np.int64)
-                dots.append(int(qa @ c))
-                nas.append(int(qa @ qa))
-                nbs.append(int(c @ c))
-                nts.append(len(toks))
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"].to_numpy(),
-                    "n_tokens": np.asarray(nts, dtype=np.int64),
-                    "dot": np.asarray(dots, dtype=np.int64),
-                    "na": np.asarray(nas, dtype=np.int64),
-                    "nb": np.asarray(nbs, dtype=np.int64),
-                }
-            )
-
-    return pairs.mapInPandas(
-        _enc, "doc_id long, n_tokens long, dot long, na long, nb long"
+    pairs = docs.join(emb, "doc_id")
+    toks = (
+        pairs.select(
+            "doc_id",
+            F.explode(
+                F.split(normalize_text(F.col("text")), " ")
+            ).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+        .select(
+            "doc_id",
+            F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10)
+            .cast("long")
+            .alias("h"),
+        )
+        .select(
+            "doc_id",
+            F.expr(f"h % {d}").alias("j"),
+            F.when(F.expr(f"(h div {d}) % 2") == 0, F.lit(1))
+            .otherwise(F.lit(-1))
+            .cast("long")
+            .alias("s"),
+        )
+    )
+    sparse = (
+        toks.groupBy("doc_id", "j")
+        .agg(
+            F.sum("s").cast("long").alias("c"),
+            F.count("*").cast("long").alias("n"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n").cast("long").alias("n_tokens"),
+            F.sum(F.col("c") * F.col("c")).cast("long").alias("nb"),
+            F.collect_list(F.struct("j", "c")).alias("sv"),
+        )
+    )
+    zero = F.lit(0).cast("long")
+    return (
+        pairs.select("doc_id", "q")
+        .join(sparse, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_tokens"), zero).alias("n_tokens"),
+            F.coalesce(
+                F.aggregate(
+                    F.col("sv"),
+                    zero,
+                    lambda acc, x: acc
+                    + F.element_at(
+                        F.col("q"), (x["j"] + 1).cast("int")
+                    )
+                    * x["c"],
+                ),
+                zero,
+            ).alias("dot"),
+            F.aggregate(
+                F.col("q"), zero, lambda acc, x: acc + x * x
+            ).alias("na"),
+            F.coalesce(F.col("nb"), zero).alias("nb"),
+        )
     )
 
 
