@@ -1,8 +1,14 @@
 #!/usr/bin/env python
 """Benchmark the headline queries at $SPARK_GRAFT_SF_DIR (default
-/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE JSON
-line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
+compact JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"sf": ..., "slowest": {name: sec}, ...}; the full per-query dict
+{name: sec} for every headline query is written to BENCH_LOCAL.json
+(+ the per-round BENCH_LOCAL_r{N}.json snapshot) because the driver
+keeps only a ~2 KB stdout tail, which a 229-entry dict cannot fit
+(VERDICT r12 item 2a).  Set SPARK_GRAFT_BENCH_STDOUT=full to also
+print the full record as a first line.  The timed query set itself is
+append-only across rounds (HEADLINE below).
 
 Queries execute via count() — full plan execution without collect
 transfer.  The set covers every workload family: the flagship RFM agg,
@@ -427,6 +433,60 @@ ARTIFACT_WARMUP = (
     "q_item_cf_incremental", "q_ann_pq_incremental",
 )
 
+#: Round-13 (VERDICT r12 item 7): the warmup pass is untimed but it is
+#: real driver wall-clock (~45 s sequential), and its 24 queries are
+#: mutually independent jobs — exactly guide §2.6's "overlap
+#: independent jobs" case, so the pass runs them from a small thread
+#: pool (one thread per lane; Spark's FIFO scheduler back-fills each
+#: job's straggler tail with the next lane's tasks).  The lanes
+#: PARTITION ARTIFACT_WARMUP (pinned by tests/test_bench_contract.py):
+#: queries that share a derived artifact stay in ONE lane so no two
+#: threads race to build the same key (materialize_temp's staging
+#: rename makes such a race safe but wasteful).  The warmed list is
+#: unchanged — same 24 queries, same artifacts, only scheduled
+#: concurrently.  SPARK_GRAFT_BENCH_WARM_LANES=1 restores the
+#: sequential pass.
+WARMUP_LANES = (
+    # ALS model + CLV lattice fit + PCA basis + one-off signatures
+    ("q_als_recommend", "q_als_eval", "q_pareto_nbd", "q_clv_scores",
+     "q_pca_project", "q_simhash", "q_dsir"),
+    # ANN codebooks/cells + embedding-side incrementals
+    ("q_ann_ivf", "q_ann_pq", "q_ann_ivf_pq", "q_knn_label_ann",
+     "q_ann_pq_incremental", "q_dedup_embedding_incremental",
+     "q_communities"),
+    # minhash banding + item-CF state + text/id incrementals
+    ("q_minhash_dedup", "q_minhash_incremental", "q_item_cf",
+     "q_rec_coverage", "q_item_cf_incremental", "q_lm_generate",
+     "q_dedup_incremental", "q_dedup_substring_incremental",
+     "q_assign_ids_incremental", "q_quantiles_incremental"),
+)
+
+
+def warm_artifacts(spark, queries, sf_dir: str) -> float:
+    """Run the untimed artifact-warmup pass (see ARTIFACT_WARMUP /
+    WARMUP_LANES); returns elapsed seconds."""
+    t0 = time.perf_counter()
+    lanes = WARMUP_LANES
+    if os.environ.get("SPARK_GRAFT_BENCH_WARM_LANES") == "1":
+        lanes = (ARTIFACT_WARMUP,)
+
+    def _lane(names) -> None:
+        for name in names:
+            if name in queries:
+                queries[name](spark, sf_dir).count()
+
+    if len(lanes) == 1:
+        _lane(lanes[0])
+    else:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=len(lanes)) as pool:
+            # list() propagates the first exception, like the
+            # sequential loop did
+            list(pool.map(_lane, lanes))
+    spark.catalog.clearCache()
+    return round(time.perf_counter() - t0, 3)
+
 
 def _calibrate(spark) -> dict[str, float]:
     """Fixed-workload box-speed probe, best-of-3 per component.
@@ -522,12 +582,7 @@ def main() -> None:
     # (production) path — see ARTIFACT_WARMUP.
     warm_sec = 0.0
     if os.environ.get("SPARK_GRAFT_BENCH_WARM_ARTIFACTS", "1") != "0":
-        t0 = time.perf_counter()
-        for name in ARTIFACT_WARMUP:
-            if name in queries:
-                queries[name](spark, sf_dir).count()
-        spark.catalog.clearCache()
-        warm_sec = round(time.perf_counter() - t0, 3)
+        warm_sec = warm_artifacts(spark, queries, sf_dir)
     timings: dict[str, float] = {}
     for i, name in enumerate(HEADLINE):
         best = float("inf")
@@ -590,14 +645,19 @@ def main() -> None:
     if regressions:
         out["regressions"] = regressions
     # The driver records only a ~2 KB TAIL of stdout and parses the
-    # final JSON line (BENCH_r06.parsed came back null because the full
-    # ~5 KB per-query record was printed LAST: its tail is the middle
-    # of a JSON object, and the compact summary printed before it was
-    # pushed out of the window).  So: full per-query record FIRST (for
-    # humans / local logs), compact ~300-byte summary as the FINAL
-    # line — always inside the capture window, always parseable.  The
-    # full record also persists to BENCH_LOCAL.json so per-query
-    # baselines survive regardless of what the capture keeps.
+    # final JSON line.  Through round 12 the full per-query record was
+    # printed FIRST and the compact summary LAST; the giant first line
+    # (~6 KB — it cannot fit any tail window that must also hold the
+    # summary) made the driver's own per-query diff come back empty
+    # two rounds running (PERF_r12: n_common 0, *_bench_ok false).
+    # VERDICT r12 item 2a therefore slims stdout to ONE compact JSON
+    # line — totals + frozen-subset comparables + the slowest-K
+    # queries — always inside the capture window, always parseable.
+    # The FULL per-query dict is not dropped: it persists to
+    # BENCH_LOCAL.json and the per-round BENCH_LOCAL_r{N}.json
+    # snapshot (both committed), which is where every cross-round
+    # per-query baseline has been read from since round 7 anyway.
+    # SPARK_GRAFT_BENCH_STDOUT=full restores the old two-line form.
     summary = {k: v for k, v in out.items() if k != "queries"}
     summary["n_queries"] = len(timings)
     # Give the driver-recorded summary SOME per-query signal within its
@@ -605,7 +665,9 @@ def main() -> None:
     summary["slowest"] = dict(
         sorted(timings.items(), key=lambda kv: -kv[1])[:10]
     )
-    print(json.dumps(out), flush=True)
+    summary["per_query_file"] = "BENCH_LOCAL.json"
+    if os.environ.get("SPARK_GRAFT_BENCH_STDOUT") == "full":
+        print(json.dumps(out), flush=True)
     print(json.dumps(summary), flush=True)
     try:
         here = os.path.dirname(os.path.abspath(__file__))

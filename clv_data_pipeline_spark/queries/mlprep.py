@@ -636,8 +636,13 @@ def _pair_stats_frames(docs: DataFrame, emb: DataFrame) -> DataFrame:
     _CA_DIM buckets, integer dot/norms), so it lowers directly onto
     JVM expressions: one token explode + a (doc, bucket) partial-agg
     + an array fold against the stored embedding.  Same md5-derived
-    (bucket, sign) pairs, same integer sums — bit-identical outputs,
-    no Python worker in the plan, and the scan-skew spread_partitions
+    (bucket, sign) pairs, same integer sums — outputs identical for
+    ASCII-whitespace text, which is what normalize_text's Java regexp
+    \\s (ASCII-only) tokenizes; the removed Python kernel's \\s was
+    Unicode-aware, so text containing U+00A0 etc. tokenized
+    differently THERE — the JVM path matches the DuckDB/RE2 oracle's
+    \\s semantics, i.e. the old kernel was the outlier (ADVICE r12).
+    No Python worker in the plan, and the scan-skew spread_partitions
     guard is no longer needed (whole-stage codegen, not a serialized
     Python pass).  Measured 2.6 -> ~0.8 s batch; the streaming twin
     inherits the speedup per trigger."""
@@ -962,7 +967,7 @@ def q_pair_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_stream_pair_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming pair-curation funnel — the EIGHTEENTH streaming/batch
     parity proof, extending the discipline to the paired image-text
-    shelf: documents arrive in three micro-batches (doc_id-sliced), a
+    shelf: documents arrive in two micro-batches (doc_id-sliced), a
     REAL Structured Streaming query enriches each batch against the
     static quantized-embedding side, scores the batch's pairs through
     the IDENTICAL kernel and rule predicates as q_pair_curate
@@ -973,7 +978,14 @@ def q_stream_pair_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch to the integer).  The readout derives the same four stage
     rows from the merged counters and shares q_pair_curate's oracle —
     a hash match proves the whole streaming maintenance loop computes
-    the batch funnel bit-for-bit.
+    the batch funnel bit-for-bit.  TWO micro-batches, not three
+    (round 13, the r9 q_stream_semdedup precedent VERDICT r12 item 3
+    re-invokes): one stored-state boundary already exercises the
+    cross-trigger merge (trigger 2 folds into trigger 1's persisted
+    counters), every extra trigger costs a full engine cycle, and the
+    merged counters — sums over disjoint doc slices — are identical
+    under any slicing, so the oracle hash is unchanged by
+    construction.
 
     Scale shape: per trigger the work is O(batch) (one stream-static
     equi-join + one map-only Arrow kernel + one 1-row aggregate) plus
@@ -994,16 +1006,11 @@ def q_stream_pair_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     src_root = tempfile.mkdtemp(prefix="q_stream_pair_curate_")
     src = src_root + "/arrivals"
     cuts = docs.agg(
-        F.expr("percentile_approx(doc_id, 0.33)").alias("c1"),
-        F.expr("percentile_approx(doc_id, 0.66)").alias("c2"),
+        F.expr("percentile_approx(doc_id, 0.5)").alias("c1"),
     ).first()
     slices = (
         docs.filter(F.col("doc_id") <= cuts["c1"]),
-        docs.filter(
-            (F.col("doc_id") > cuts["c1"])
-            & (F.col("doc_id") <= cuts["c2"])
-        ),
-        docs.filter(F.col("doc_id") > cuts["c2"]),
+        docs.filter(F.col("doc_id") > cuts["c1"]),
     )
     for sl in slices:
         sl.coalesce(1).write.mode("append").parquet(src)
@@ -2799,7 +2806,16 @@ def _nb_fused_correct(
             F.col(f"s_{mi}_{ci}") + F.lit(lp0[cls]).cast(dec)
             for ci, cls in enumerate(classes)
         ]
-        if k == 1:
+        if k == 0:
+            # Degenerate model: nd nonempty but cc empty (e.g. a
+            # coalition/threshold prefix whose docs share no
+            # capped-vocab token).  The tall plan degraded gracefully
+            # to zero scored rows and a 0 correct-count; mirror it
+            # with a NULL winner — callers' equality checks against
+            # the true label are null-safe-false, so the correct
+            # count is 0 (ADVICE r12).
+            win = F.lit(None)
+        elif k == 1:
             win = F.lit(classes[0])
         else:
             # max score, ties -> smallest class: greatest over
@@ -3190,9 +3206,20 @@ def q_rerank_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
         for a, b in zip(q_.split(), q_.split()[1:])
     ]
     qb = spark.createDataFrame(qbil, "query_id long, t1 string, t2 string")
+    # Round 13 (VERDICT r12 item 6): the AQE-FINAL plan still ran five
+    # SortMergeJoins here — every one against a shortlist-bounded
+    # frame (short: |queries| x shortlist = 60 rows; ds/bg/dl:
+    # shortlist-grain aggregates of it).  Static stats could not see
+    # that (aggregates of a localCheckpoint), so hint the broadcasts
+    # explicitly; each replaces an Exchange+Sort pair on the big(ger)
+    # side.  Bounded at any corpus size: the query set is fixed and
+    # the shortlist is top-20 per query by construction.
     ds = (
         dtoks.join(F.broadcast(qtd), "term")
-        .join(short.select("query_id", "doc_id"), ["query_id", "doc_id"])
+        .join(
+            F.broadcast(short.select("query_id", "doc_id")),
+            ["query_id", "doc_id"],
+        )
         .groupBy("query_id", "doc_id")
         .agg(
             F.countDistinct("term").alias("matched"),
@@ -3222,15 +3249,18 @@ def q_rerank_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bg = (
         dbg.join(F.broadcast(qb), ["t1", "t2"])
-        .join(short.select("query_id", "doc_id"), ["query_id", "doc_id"])
+        .join(
+            F.broadcast(short.select("query_id", "doc_id")),
+            ["query_id", "doc_id"],
+        )
         .groupBy("query_id", "doc_id")
         .agg(F.count("*").alias("bg"))
     )
     feats = (
-        short.join(ds, ["query_id", "doc_id"])
+        short.join(F.broadcast(ds), ["query_id", "doc_id"])
         .join(F.broadcast(nqd), "query_id")
-        .join(bg, ["query_id", "doc_id"], "left")
-        .join(dl, "doc_id")
+        .join(F.broadcast(bg), ["query_id", "doc_id"], "left")
+        .join(F.broadcast(dl), "doc_id")
         .select(
             "query_id",
             "doc_id",
@@ -3380,16 +3410,28 @@ def q_splade_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.split(normalize_text(F.col("text")), " ")
         ).alias("term"),
     ).filter(F.col("term") != "")
-    # NOTE (round 12): the plan references tf 5x / df 3x, re-running
-    # the corpus explode at each reference (37 Exchanges in one
-    # action).  Persisting tf (or tf+df) was measured and REJECTED:
-    # 3.68 s -> 5.6-5.7 s at sf0.1 — the InMemoryRelation defeats the
-    # scan-side stats the downstream broadcast planning relies on and
-    # costs more than the duplicated subtrees.  At real scale the
-    # production stance is materializing the (doc, term, tf) index
-    # once to storage (it IS the inverted index the retrieval shelf
-    # serves from), not an in-memory cache.
-    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    # Round 13 (VERDICT r12 item 1, guide §8.4): the lazy plan
+    # referenced tf 5x / df 3x, re-running the corpus explode +
+    # (doc, term) aggregate at each reference (37 Exchanges in one
+    # action).  Round 12 measured PERSIST and rejected it (3.68 ->
+    # 5.6-5.7 s: the InMemoryRelation defeats scan-side stats and
+    # costs more than the duplicated subtrees), noting the production
+    # stance is materializing the (doc, term, tf) index ONCE TO
+    # STORAGE — it IS the inverted index the retrieval shelf serves
+    # from.  This round does exactly that: one explode + one aggregate
+    # + one parquet write per invocation (materialize_temp, unkeyed —
+    # rebuilt from the source every run, nothing cached across runs),
+    # and every downstream reference (cooc both sides, df, corpus,
+    # the scoring join) is a columnar scan WITH real file stats, so
+    # the broadcast planning persist() broke stays intact.  Scores
+    # are exact integer sums, so regrouping identical addends cannot
+    # change any value — output unchanged (oracle hash green).
+    from clv_data_pipeline_spark.sources.io import materialize_temp
+
+    tf = materialize_temp(
+        toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf")),
+        "splade_tf_",
+    )
     df = tf.groupBy("term").agg(F.count("*").alias("df"))
     corpus = tf.agg(F.countDistinct("doc_id").alias("n_docs"))
     qt = (
@@ -3938,7 +3980,15 @@ def q_word_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     # action (guide §2.4 / §3.3: materialize to truncate repeated
     # subtrees; persist over localCheckpoint because the RDD
     # conversion serializes rows and measured SLOWER than the
-    # duplicated subtrees at bench scale — 6.8 s vs persist's 2.3 s)
+    # duplicated subtrees at bench scale — 6.8 s vs persist's 2.3 s).
+    # CACHE LIFETIME (ADVICE r12): these persists are deliberately not
+    # unpersisted in-query — the blocks must stay live until the
+    # caller's ACTION runs, so ownership sits with the run loop:
+    # bench.py / the oracle suite call spark.catalog.clearCache()
+    # between queries.  A long-lived session calling this repeatedly
+    # outside that convention would accumulate ~vocab^2 cached rows
+    # per call and should clearCache (or unpersist via a post-action
+    # hook) itself.
     topv = (
         wf.orderBy(F.desc("freq"), "word")
         .limit(_WV_V)

@@ -259,8 +259,12 @@ def q_ann_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("band"),
         F.col("bv"),
     )
+    # Round 13 (VERDICT r12 item 6): the band self-join was the one
+    # SMJ left in the AQE-final plan — both sides the audit slice's
+    # (vec, band) signatures, bounded at any SF, so broadcast the
+    # build side explicitly.
     cand = (
-        a.join(b, ["band", "bv"])
+        a.join(F.broadcast(b), ["band", "bv"])
         .filter(F.col("vec_id") != F.col("neighbor_id"))
         .select("vec_id", "neighbor_id")
         .distinct()
@@ -285,20 +289,24 @@ def q_ann_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     sq = lambda col: F.transform(  # noqa: E731
         col, lambda a: F.round(a * a * 1e9, 0).cast("long")
     )
-    # per-vector norm computed ONCE (n rows), not once per pair —
-    # candidate scoring then folds only the dot product
-    norms = emb.select("vec_id", _lsum(sq("e")).alias("nrm"))
-    va = emb.join(norms, "vec_id").select(
-        F.col("vec_id"), F.col("e").alias("ea"), F.col("nrm").alias("na")
+    # Round 13 (VERDICT r12 item 6): norms inline per side (same fold,
+    # bit-identical value) instead of a norms frame + self-join — the
+    # join output had no size estimate, pushing the scoring joins to
+    # SMJ at runtime; the twin's 500-vector audit slice makes the
+    # broadcast build sides constant at any SF.
+    va = emb.select(
+        F.col("vec_id"),
+        F.col("e").alias("ea"),
+        _lsum(sq("e")).alias("na"),
     )
-    vb = emb.join(norms, "vec_id").select(
+    vb = emb.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("e").alias("eb"),
-        F.col("nrm").alias("nb"),
+        _lsum(sq("e")).alias("nb"),
     )
     sims = (
-        cand.join(va, "vec_id")
-        .join(vb, "neighbor_id")
+        cand.join(F.broadcast(va), "vec_id")
+        .join(F.broadcast(vb), "neighbor_id")
         .select(
             "vec_id",
             "neighbor_id",
@@ -490,8 +498,13 @@ def q_ann_ivf_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = rc.filter(F.col("rn") <= 4).select(
         "vec_id", F.col("c").alias("cell")
     )
+    # Round 13 (VERDICT r12 item 6): the AQE-final plan ran three
+    # SortMergeJoins on audit-slice-bounded frames (assign: 500 rows;
+    # va/vb: the 500-vector slice with inline norms) — broadcast them
+    # explicitly.  The twin's fixed-size slice makes every build side
+    # constant at any SF, so the hints are scale-safe by construction.
     cand = (
-        probes.join(assign, "cell")
+        probes.join(F.broadcast(assign), "cell")
         .filter(F.col("vec_id") != F.col("neighbor_id"))
         .select("vec_id", "neighbor_id")
     )
@@ -507,18 +520,23 @@ def q_ann_ivf_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     sq = lambda col: F.transform(  # noqa: E731
         col, lambda a: F.round(a * a * 1e9, 0).cast("long")
     )
-    norms = emb.select("vec_id", _lsum(sq("e")).alias("nrm"))
-    va = emb.join(norms, "vec_id").select(
-        F.col("vec_id"), F.col("e").alias("ea"), F.col("nrm").alias("na")
+    # norms computed INLINE per side (same fold, bit-identical value)
+    # instead of a separate norms frame + self-join: the join output
+    # had no size estimate, which is what pushed the scoring joins to
+    # SMJ in the first place — and two joins disappear outright.
+    va = emb.select(
+        F.col("vec_id"),
+        F.col("e").alias("ea"),
+        _lsum(sq("e")).alias("na"),
     )
-    vb = emb.join(norms, "vec_id").select(
+    vb = emb.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("e").alias("eb"),
-        F.col("nrm").alias("nb"),
+        _lsum(sq("e")).alias("nb"),
     )
     sims = (
-        cand.join(va, "vec_id")
-        .join(vb, "neighbor_id")
+        cand.join(F.broadcast(va), "vec_id")
+        .join(F.broadcast(vb), "neighbor_id")
         .select(
             "vec_id",
             "neighbor_id",
@@ -749,9 +767,12 @@ def q_ann_pq_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("k").alias("dk"),
         "dist",
     )
+    # Round 13 (VERDICT r12 item 6): the ADC probe-code join was the
+    # one SMJ left in the AQE-final plan — codes is the audit slice's
+    # (vec, m, code) table, bounded at any SF, so broadcast it.
     adc = (
         dtab.join(
-            codes,
+            F.broadcast(codes),
             (F.col("dm") == codes["m"]) & (F.col("dk") == codes["code"]),
         )
         .filter(F.col("vec_id") != F.col("neighbor_id"))
@@ -782,18 +803,22 @@ def q_ann_pq_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     sq = lambda col: F.transform(  # noqa: E731
         col, lambda a: F.round(a * a * 1e9, 0).cast("long")
     )
-    norms = emb.select("vec_id", _lsum(sq("e")).alias("nrm"))
-    va = emb.join(norms, "vec_id").select(
-        F.col("vec_id"), F.col("e").alias("ea"), F.col("nrm").alias("na")
+    # Round 13 (VERDICT r12 item 6): norms inline per side (same fold,
+    # bit-identical value) + explicit broadcasts of the audit-slice
+    # vector sides — see q_ann_ivf_portable for the SMJ evidence.
+    va = emb.select(
+        F.col("vec_id"),
+        F.col("e").alias("ea"),
+        _lsum(sq("e")).alias("na"),
     )
-    vb = emb.join(norms, "vec_id").select(
+    vb = emb.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("e").alias("eb"),
-        F.col("nrm").alias("nb"),
+        _lsum(sq("e")).alias("nb"),
     )
     sims = (
-        short.join(va, "vec_id")
-        .join(vb, "neighbor_id")
+        short.join(F.broadcast(va), "vec_id")
+        .join(F.broadcast(vb), "neighbor_id")
         .select(
             "vec_id",
             "neighbor_id",
@@ -1843,8 +1868,12 @@ def q_knn_label_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     bb = assign.select(
         F.col("vec_id").alias("hi"), F.col("cell").alias("cellb")
     )
+    # Round 13 (VERDICT r12 item 6): the one SMJ surviving in the
+    # AQE-final plan was this cell self-join — both sides the 500-row
+    # audit-slice assignment, so broadcast the build side explicitly
+    # (bounded at any SF by the twin contract).
     cand = aa.join(
-        bb,
+        F.broadcast(bb),
         (F.col("cell") == F.col("cellb")) & (F.col("lo") != F.col("hi")),
     ).select("lo", "hi")
     sims = int_cosine_sim(cand, ev, ev).select(

@@ -361,13 +361,10 @@ _R8_VERIFIED: frozenset[str] = frozenset(
 #: cuts from the back.  The round-11 pair (q_pareto_nbd,
 #: q_pca_incremental) got green r11 rows and moved to _R11_VERIFIED.
 _GRADUATED_STALE: tuple[str, ...] = (
-    # round-12 graduations: the reference's flagship M1-M6 output now
-    # carries a full lattice-MLE fit+score oracle (queries/clvq.py
-    # q_clv_scores), and the substring-dedup eval harness carries a
-    # full detector+suffix-truth oracle (queries/textops.py
-    # _substr_eval_oracle) — both last driver rows were rows-only.
-    "q_clv_scores",
-    "q_dedup_substring_eval",
+    # (empty since round 13: the round-12 graduations q_clv_scores and
+    # q_dedup_substring_eval both came back hash-green in the driver's
+    # r12 sample — CORRECTNESS_r12.json — and folded into
+    # _R12_VERIFIED.)
 )
 
 #: Queries whose BEHAVIOR (output values or load-bearing constants)
@@ -377,23 +374,15 @@ _GRADUATED_STALE: tuple[str, ...] = (
 #: re-sample ahead of every verified cohort, behind the never-sampled
 #: backlog.  Drop a name once a later CORRECTNESS round re-greens it.
 _CHANGED_SINCE_SAMPLE: tuple[str, ...] = (
-    # round-11 constant change: _LSH_SWEEP_N 128 -> 64 altered
-    # q_lsh_param_sweep's output after its r10 sample (ADVICE r11).
-    "q_lsh_param_sweep",
-    # round-12 plan changes (outputs unchanged — local oracles green —
-    # but the executed plan differs from what the driver last
-    # verified): the additive-NB vocabulary cap rewired the token
-    # stream of these three (mlprep._nb_capped_vocab) and the
-    # optimization round then fused their per-model scoring jobs into
-    # one pass (mlprep._nb_fused_correct); the SPLADE scoring stage
-    # semi-restricts its df broadcast, and q_simhash's unconditional
-    # kernel repartition became the shared conditional
-    # spread_partitions guard.
-    "q_data_shapley",
-    "q_cross_validation",
-    "q_learning_curve",
-    "q_splade_retrieval",
-    "q_simhash",
+    # (the round-12 entries — q_lsh_param_sweep, the fused-NB trio,
+    # q_splade_retrieval, q_simhash — all came back hash-green in the
+    # driver's r12 sample and folded into _R12_VERIFIED.)
+    #
+    # round-12 plan change missed by the r12 list (ADVICE r12 item 1):
+    # q_word_vectors gained three persist() materialization points —
+    # output unchanged (local oracle green) but the executed plan
+    # differs from what the driver last verified.
+    "q_word_vectors",
 )
 
 #: Queries the driver checked in round 9 (``CORRECTNESS_r09.json``):
@@ -475,19 +464,40 @@ _R11_VERIFIED: frozenset[str] = frozenset(
     }
 )
 
+#: Queries the driver checked in round 12 (``CORRECTNESS_r12.json``):
+#: 45 of 50 sampled names hash-green, the other 5 are
+#: rows-only-by-contract (``q_minhash_dedup`` 147 rows, ``q_ann_lsh``
+#: 500, ``q_ann_ivf`` 500, ``q_dedup_embedding`` 429,
+#: ``q_semantic_clusters`` 500 — all executed clean) — the sixth
+#: consecutive fully-clean driver sample.  Folding them in points
+#: round 13's budget at the remaining stale cohorts plus this round's
+#: plan-changed re-samples.
+_R12_VERIFIED: frozenset[str] = frozenset(
+    {
+        "q_caption_align", "q_pair_curate", "q_stream_pair_curate",
+        "q_clv_scores", "q_dedup_substring_eval", "q_lsh_param_sweep",
+        "q_data_shapley", "q_cross_validation", "q_learning_curve",
+        "q_splade_retrieval", "q_simhash", "q_minhash_dedup",
+        "q_ann_lsh", "q_skew_report", "q_profile", "q_source_report",
+        "q_anomaly_days", "q_python_datasource", "q_variant_extract",
+        "q_udtf_sentences", "q_cogroup_reconcile", "q_bm25",
+        "q_token_entropy", "q_knn_label", "q_unpivot", "q_winsorize",
+        "q_mapinarrow", "q_ann_ivf", "q_dedup_embedding",
+        "q_semantic_clusters", "q_ewma", "q_stream_sessions",
+        "q_stream_rfm", "q_stream_join", "q_dedup_incremental",
+        "q_stream_dedup", "q_image_features", "q_image_resize",
+        "q_audio_features", "q_media_curate", "q_dedup_lines",
+        "q_corpus_curate", "q_minhash_weighted", "q_containment",
+        "q_vocab_oov", "q_zipf_fit", "q_burstiness", "q_image_dedup",
+        "q_audio_dedup", "q_cdc_chunks",
+    }
+)
+
 _VERIFIED = (
     _R1_VERIFIED | _R2_VERIFIED | _R3_VERIFIED | _R4_VERIFIED
     | _R5_VERIFIED | _R6_VERIFIED | _R7_VERIFIED | _R8_VERIFIED
-    | _R9_VERIFIED | _R10_VERIFIED | _R11_VERIFIED
+    | _R9_VERIFIED | _R10_VERIFIED | _R11_VERIFIED | _R12_VERIFIED
 )
-
-#: Queries REGISTERED during round 12 — never driver-sampled.  They
-#: sort at the very front of tier 0 but BEHIND any older never-sampled
-#: backlog (ADVICE r10: the tie-break must reference the CURRENT
-#: round's new set, not a dead prior-round one).
-_R12_NEW: set[str] = {
-    "q_caption_align", "q_pair_curate", "q_stream_pair_curate"
-}
 
 
 def _ordered_names() -> list[str]:
@@ -506,7 +516,9 @@ def _ordered_names() -> list[str]:
     }
     tier = {}
     for n in names:
-        if n in _R11_VERIFIED:
+        if n in _R12_VERIFIED:
+            tier[n] = 12
+        elif n in _R11_VERIFIED:
             tier[n] = 11
         elif n in _R10_VERIFIED:
             tier[n] = 10
@@ -537,11 +549,13 @@ def _ordered_names() -> list[str]:
     # ones: an oracle row is a hash-verified result, a rows-only row
     # only proves execution — when the budget cuts a tier, spend it on
     # the stronger check first.
+    # (round 13 registered no new queries, so the prior rounds'
+    # "new this round sorts behind older never-sampled backlog"
+    # tie-break is dead code and was dropped.)
     return sorted(
         names,
         key=lambda n: (
             tier[n],
-            1 if (tier[n] == 0 and n in _R12_NEW) else 0,
             graduated_rank.get(n, 0),
             0 if _REGISTRY[n].oracle is not None else 1,
             order[n],

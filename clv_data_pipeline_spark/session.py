@@ -40,6 +40,20 @@ DEFAULT_CONF: dict[str, str] = {
 }
 
 
+def _available_gib() -> float:
+    """MemAvailable from /proc/meminfo in GiB (0.0 if unreadable) —
+    gates the local-mode heap default so memory-constrained containers
+    keep the stock JVM default instead of an un-backable 8g."""
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemAvailable:"):
+                    return int(line.split()[1]) / (1024 * 1024)
+    except (OSError, ValueError, IndexError):
+        pass
+    return 0.0
+
+
 def get_spark(
     app_name: str = "clv_data_pipeline_spark",
     master: str | None = None,
@@ -77,10 +91,17 @@ def get_spark(
         # vs G1's best 1.78) — the classic throughput-collector call
         # for batch ETL.  Cluster deploys size memory/GC in the deploy
         # config and never hit this branch.
-        conf.setdefault(
-            "spark.driver.memory",
-            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
-        )
+        # ADVICE r12: don't hand every local caller (tests, small CI
+        # containers) an 8g heap the box can't back — the JVM would be
+        # OOM-killed under load.  The 8g default applies only when the
+        # machine visibly has the headroom (>=16 GiB available); below
+        # that, Spark's stock default stands.  Env override wins
+        # either way.
+        mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM")
+        if mem is None and _available_gib() >= 16:
+            mem = "8g"
+        if mem is not None:
+            conf.setdefault("spark.driver.memory", mem)
         conf.setdefault(
             "spark.driver.extraJavaOptions",
             os.environ.get("SPARK_GRAFT_GC", "-XX:+UseParallelGC"),

@@ -74,15 +74,12 @@ def main() -> None:
     if "--warm-artifacts" in args:
         import bench
 
-        for name in bench.ARTIFACT_WARMUP:
-            if name in queries:
-                queries[name](spark, sf_dir).count()
-        spark.catalog.clearCache()
+        bench.warm_artifacts(spark, queries, sf_dir)
 
     plans_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "plans",
-        "r12",
+        opt("--plans-round", "r13"),
     )
     if plan_tag:
         os.makedirs(plans_dir, exist_ok=True)
@@ -93,6 +90,15 @@ def main() -> None:
         spark.sparkContext.setJobDescription(f"opt: {name}")
         if plan_tag:
             df = fn(spark, sf_dir)
+            if "--runtime" in args:
+                # VERDICT r12 item 6: static explain shows the
+                # AQE-INITIAL plan (isFinalPlan=false); to see what
+                # actually ran (AQEShuffleRead coalescing, SMJ ->
+                # broadcast conversions) the plan must be captured
+                # AFTER an action on this very DataFrame (collect()
+                # runs df's own QueryExecution; count() wraps it in a
+                # new one and leaves this plan un-finalized).
+                df.collect()
             plan = df._sc._jvm.PythonSQLUtils.explainString(
                 df._jdf.queryExecution(), "formatted"
             )
