@@ -163,6 +163,11 @@ _DBSCAN_CHUNK = 4096  # probe rows per numpy block inside a cell group
 #: and the cell-kernel plan's flat O(9 x nodes) shuffle wins (sf0.3's
 #: 87M candidates already took >30 s on the pair join).
 _DBSCAN_PAIR_BUDGET = 30_000_000
+#: point-count cap under which the pair-join plan's core/label frames
+#: broadcast (ids + labels, ~16 B/row — 1M points ≈ 16 MB per build
+#: side, inside executor broadcast budgets); above it those joins
+#: stay shuffled and only the cell-bounded frames broadcast.
+_DBSCAN_BCAST_POINTS = 1_000_000
 #: occupied-coarse-cell cap for the driver-side pair estimate — the
 #: same geometrically-bounded-frame premise as cc_bounded_driver;
 #: past it, skip estimating and take the scale path directly.
@@ -209,7 +214,22 @@ def dbscan(pts: DataFrame, eps: float, min_pts: int) -> DataFrame:
             for (a, b), m in cells.items()
         )
         if cand <= _DBSCAN_PAIR_BUDGET:
-            return _dbscan_pair_join(pts, eps, min_pts)
+            # Round 13: the histogram the selector already collected
+            # also bounds the POINT count, so the pair plan can know
+            # its core/label frames are broadcastable (VERDICT r12
+            # item 6's runtime-plan discipline applied here: the
+            # AQE-final pair plan ran 14 SortMergeJoins, all against
+            # point- or cell-bounded frames).  The forced cell-kernel
+            # A/B at sf0.1 (9.7M candidates) measured 7.8 s vs the
+            # pair plan's 5.5 s same-session, so the deferred
+            # "per-cell kernel under the pair budget" third plan is
+            # measured and REJECTED — the Python boundary dominates
+            # below the budget.
+            n_points = sum(m for m in (r["m"] for r in hist))
+            return _dbscan_pair_join(
+                pts, eps, min_pts,
+                small_n=n_points <= _DBSCAN_BCAST_POINTS,
+            )
     return _dbscan_cell_kernel(pts, eps, min_pts)
 
 
@@ -478,11 +498,22 @@ def _dbscan_cell_kernel(
 
 
 def _dbscan_pair_join(
-    pts: DataFrame, eps: float, min_pts: int
+    pts: DataFrame, eps: float, min_pts: int, small_n: bool = False
 ) -> DataFrame:
     """The small-scale plan: materialized 3x3 cell pair join (see
     :func:`dbscan` for selection).  Quadratic in candidate pairs —
-    only chosen under _DBSCAN_PAIR_BUDGET."""
+    only chosen under _DBSCAN_PAIR_BUDGET.
+
+    ``small_n`` (round 13): the caller's occupied-cell histogram also
+    counts the points, so when they fit _DBSCAN_BCAST_POINTS the
+    point-bounded frames (core ids, component labels, border labels)
+    carry explicit broadcast hints — the AQE-final plan otherwise ran
+    them as SortMergeJoins against the 9.7M-row candidate frame
+    (runtime stats arrive too late for joins planned off a
+    localCheckpoint's aggregates).  Cell-bounded frames (the
+    union-find labels — geometric bound, see cc_bounded_driver)
+    broadcast unconditionally."""
+    bc = F.broadcast if small_n else (lambda df: df)
     eps2 = eps * eps
     w = 2 * eps
     cells = pts.select(
@@ -533,7 +564,7 @@ def _dbscan_pair_join(
     core = deg.filter(F.col("nn") >= min_pts).select("id")
     ca = core.select(F.col("id").alias("ia"))
     cb = core.select(F.col("id").alias("ib"))
-    ce = nbr.join(ca, "ia").join(cb, "ib")
+    ce = nbr.join(bc(ca), "ia").join(bc(cb), "ib")
     fw = eps / math.sqrt(2)
     # collision-free fine-cell key: bit-pack (cx, cy) as cx<<32 | low32
     # of cy — unique for any cx, cy in int32 range, including negative
@@ -551,8 +582,8 @@ def _dbscan_pair_join(
         F.col("id").alias("ib"), F.col("cell").alias("cell_b")
     )
     cedges = (
-        ce.join(cell_a, "ia")
-        .join(cell_b, "ib")
+        ce.join(bc(cell_a), "ia")
+        .join(bc(cell_b), "ib")
         .select("cell_a", "cell_b")
         .distinct()
     )
@@ -562,8 +593,10 @@ def _dbscan_pair_join(
     # back to cc_pointer_jump past its edge cap.
     ccomp = cc_bounded_driver(cedges, "cell_a", "cell_b")
     cell_min = cmap.groupBy("cell").agg(F.min("id").alias("mid"))
+    # ccomp is fine-cell-bounded (geometric, not corpus) — broadcast
+    # unconditionally
     cell_lab = cell_min.join(
-        ccomp, cell_min["cell"] == ccomp["node"], "left"
+        F.broadcast(ccomp), cell_min["cell"] == ccomp["node"], "left"
     ).select(
         "cell",
         "mid",
@@ -578,11 +611,15 @@ def _dbscan_pair_join(
         .select(F.col("id").alias("node"), "cluster_id")
     )
     border = (
-        nbr.join(core.select(F.col("id").alias("ia")), "ia", "left_anti")
+        nbr.join(
+            bc(core.select(F.col("id").alias("ia"))), "ia", "left_anti"
+        )
         .join(
-            comp.select(
-                F.col("node").alias("ib"),
-                F.col("cluster_id").alias("cl"),
+            bc(
+                comp.select(
+                    F.col("node").alias("ib"),
+                    F.col("cluster_id").alias("cl"),
+                )
             ),
             "ib",
         )
@@ -599,8 +636,8 @@ def _dbscan_pair_join(
     )
     noise = (
         pts.select("id")
-        .join(core_labeled.select("id"), "id", "left_anti")
-        .join(border_labeled.select("id"), "id", "left_anti")
+        .join(bc(core_labeled.select("id")), "id", "left_anti")
+        .join(bc(border_labeled.select("id")), "id", "left_anti")
         .select(
             "id",
             F.lit(-1).cast("long").alias("cluster_id"),

@@ -754,29 +754,28 @@ def item_cf_incremental(
     )
     if co_base is None or n_base is None:
         co_base, n_base = item_cf_base_state(ui_base)
+    # Round 13: the stored-state merges were FULL OUTER joins, which
+    # cannot broadcast — the AQE-final plan ran five SortMergeJoins
+    # (sort + exchange each) on these vocab^2-/vocab-bounded frames.
+    # union + group-sum computes the identical merge (x + 0.0 == x
+    # for the nonnegative counts here, and at most one addend per
+    # side per key) with one hash aggregate and no sort.
     co = (
-        co_base.join(co_delta, ["i", "j"], "full_outer")
-        .select(
-            "i",
-            "j",
-            (
-                F.coalesce(F.col("co"), F.lit(0.0))
-                + F.coalesce(F.col("dco"), F.lit(0.0))
-            ).alias("co"),
+        co_base.select("i", "j", "co")
+        .unionAll(
+            co_delta.select("i", "j", F.col("dco").alias("co"))
         )
+        .groupBy("i", "j")
+        .agg(F.sum("co").alias("co"))
     )
     n_delta = new_pairs.groupBy("b").agg(
         F.count("*").cast("double").alias("dn")
     )
     cnt = (
-        n_base.join(n_delta, "b", "full_outer")
-        .select(
-            "b",
-            (
-                F.coalesce(F.col("n"), F.lit(0.0))
-                + F.coalesce(F.col("dn"), F.lit(0.0))
-            ).alias("n"),
-        )
+        n_base.select("b", "n")
+        .unionAll(n_delta.select("b", F.col("dn").alias("n")))
+        .groupBy("b")
+        .agg(F.sum("n").alias("n"))
     )
     ni = cnt.select(F.col("b").alias("i"), F.col("n").alias("n_i"))
     nj = cnt.select(F.col("b").alias("j"), F.col("n").alias("n_j"))

@@ -297,11 +297,18 @@ def substring_audit_sink(
             stats = _replay_anti_join(
                 stats, spark.table(out_table), id_col
             ).localCheckpoint(eager=True)
-        stats.write.mode("append").saveAsTable(out_table)
+        # §6 I/O (round 13): the per-doc stats of ONE micro-batch are a
+        # few thousand rows, but the checkpointed frame carries the
+        # session's 32 shuffle partitions — each append committed 32
+        # tiny part files.  One file per trigger is the right output
+        # sizing for micro-batch-bounded state (production puts this
+        # state on a transactional table format anyway); the compute
+        # above stays parallel — only the write coalesces.
+        stats.coalesce(1).write.mode("append").saveAsTable(out_table)
         bg = substring_gram_index(batch_df, text_col, id_col, window)
         _replay_anti_join(bg, index, "_g").localCheckpoint(
             eager=True
-        ).write.mode("append").saveAsTable(index_table)
+        ).coalesce(1).write.mode("append").saveAsTable(index_table)
 
     return _fn
 
@@ -709,7 +716,11 @@ def semdedup_admission_sink(
             out_append = _replay_anti_join(
                 verdicts, spark.table(out_table), "vec_id"
             ).localCheckpoint(eager=True)
-        out_append.write.mode("append").saveAsTable(out_table)
+        # §6 I/O (round 13): micro-batch-bounded state — one part file
+        # per trigger instead of 32 tiny ones (see substring_audit_sink)
+        out_append.coalesce(1).write.mode("append").saveAsTable(
+            out_table
+        )
         kept_rows = (
             verdicts.filter(F.col("kept"))
             .select("vec_id", "cell")
@@ -720,7 +731,7 @@ def semdedup_admission_sink(
             kept_rows = _replay_anti_join(
                 kept_rows, spark.table(kept_table), "vec_id"
             )
-        kept_rows.localCheckpoint(eager=True).write.mode(
+        kept_rows.localCheckpoint(eager=True).coalesce(1).write.mode(
             "append"
         ).saveAsTable(kept_table)
 
@@ -762,8 +773,9 @@ def counter_merge_sink(target_table: str, agg_fn):
             )
         else:
             merged = partial.localCheckpoint(eager=True)
+        # §6 I/O (round 13): one counter row — one part file
         merged.withColumn(
             "_bid", F.lit(batch_id).cast("long")
-        ).write.mode("overwrite").saveAsTable(target_table)
+        ).coalesce(1).write.mode("overwrite").saveAsTable(target_table)
 
     return _sink
