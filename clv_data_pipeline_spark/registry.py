@@ -383,6 +383,24 @@ _CHANGED_SINCE_SAMPLE: tuple[str, ...] = (
     # output unchanged (local oracle green) but the executed plan
     # differs from what the driver last verified.
     "q_word_vectors",
+    # round-13 plan-only changes (outputs unchanged — every one
+    # re-verified hash-identical against the DuckDB oracle in a
+    # driver-style session this round): splade's materialized
+    # inverted index; broadcast hints / inline norms in the reranker
+    # and the portable ANN twins; q_dbscan's pair-plan broadcasts;
+    # item-CF's union+group-sum state merge; the streaming trio's
+    # trigger trims and one-file state commits.
+    "q_splade_retrieval",
+    "q_rerank_cross",
+    "q_ann_lsh_portable",
+    "q_ann_ivf_portable",
+    "q_ann_pq_portable",
+    "q_knn_label_portable",
+    "q_dbscan",
+    "q_item_cf_incremental",
+    "q_stream_pair_curate",
+    "q_stream_dedup_substring",
+    "q_stream_semdedup",
 )
 
 #: Queries the driver checked in round 9 (``CORRECTNESS_r09.json``):

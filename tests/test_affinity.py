@@ -6,6 +6,8 @@ definition they optimize), plus structural invariants.
 
 from __future__ import annotations
 
+import pytest
+
 import itertools
 
 from pyspark.sql import functions as F
@@ -30,6 +32,7 @@ def _levenshtein(a: str, b: str) -> int:
     return prev[-1]
 
 
+@pytest.mark.slowsuite  # brute-force comparison; see pytest.ini
 def test_fuzzy_join_blocking_misses_nothing(spark):
     """The length-band equi-join must return EXACTLY the naive
     all-pairs result — blocking is a pruning strategy, not an
@@ -53,6 +56,7 @@ def test_fuzzy_join_blocking_misses_nothing(spark):
     assert got == expected
 
 
+@pytest.mark.slowsuite  # brute-force comparison; see pytest.ini
 def test_market_basket_matches_bruteforce(spark):
     """Recompute the association rules naively in pandas (explicit
     per-order brand sets, explicit pair enumeration) and compare every
@@ -91,6 +95,7 @@ def test_market_basket_matches_bruteforce(spark):
         assert abs(gl - lift) < 1e-12
 
 
+@pytest.mark.slowsuite  # brute-force comparison; see pytest.ini
 def test_triangles_match_bruteforce(spark):
     """Triangle participation per node must equal the naive
     enumerate-all-3-subsets count over the same edge set."""

@@ -21,6 +21,8 @@ import duckdb
 import pytest
 
 from clv_data_pipeline_spark import registry
+pytestmark = pytest.mark.slowsuite  # excluded from the default (driver) run; see pytest.ini
+
 
 SF_DIR = "/root/testdata/sf0.01"
 TABLES = [

@@ -4,6 +4,8 @@ contract that justifies swapping IVF in at 100 TB."""
 
 from __future__ import annotations
 
+import pytest
+
 from clv_data_pipeline_spark import registry
 from tests.conftest import SF_SMOKE
 
@@ -172,6 +174,7 @@ def test_mmr_greedy_order_prefers_diversity(spark):
     assert order == [10, 12, 11], order
 
 
+@pytest.mark.slowsuite  # brute-force comparison; see pytest.ini
 def test_als_objective_decreases_and_is_deterministic(spark):
     """Alternating ridge minimization must decrease the regularized
     objective each full iteration, and rerunning with the same inputs
@@ -272,6 +275,7 @@ def test_als_fit_cached_roundtrip_and_item_guard(spark):
     assert yf_j.count() == 6
 
 
+@pytest.mark.slowsuite  # brute-force comparison; see pytest.ini
 def test_als_joined_parity_and_monotone_objective(spark):
     """The join-shaped path must converge to the SAME factors as the
     broadcast path (same md5 init, same ridge systems — solves
@@ -436,6 +440,7 @@ def test_label_noise_positive_control(spark, tmp_path):
     assert len(flagged - {4, 11, 22, 37}) <= 4, flagged
 
 
+@pytest.mark.slowsuite  # brute-force comparison; see pytest.ini
 def test_data_shapley_efficiency_property(spark):
     """Exact Shapley must satisfy efficiency: sum_g phi_g = U(P) -
     U(empty) — in the integer correct-count domain, sum of
@@ -467,6 +472,7 @@ def test_data_shapley_efficiency_property(spark):
         assert r["shapley"] == expect, r
 
 
+@pytest.mark.slowsuite  # brute-force comparison; see pytest.ini
 def test_data_shapley_empty_group_parity(spark, tmp_path):
     """ADVICE r9: a corpus whose sources hash into only 2 of the 3
     groups used to crash on BOTH sides (int(None) TypeError on Spark,
@@ -510,6 +516,7 @@ def test_data_shapley_empty_group_parity(spark, tmp_path):
     assert out[2]["solo_correct"] == 0
 
 
+@pytest.mark.slowsuite  # brute-force comparison; see pytest.ini
 def test_portable_int_als_detects_planted_structure(spark):
     """Positive control for the GRADUATED exact-integer ALS kernel
     (round 10): on planted block-preference ratings (two user groups,

@@ -244,6 +244,7 @@ def test_bpe_train_matches_reference_property(spark, words, n_merges):
     ),
     cut_frac=st.floats(min_value=0.1, max_value=0.9),
 )
+@pytest.mark.slowsuite  # brute-force comparison; see pytest.ini
 def test_dedup_incremental_equals_full_property(spark, texts, cut_frac):
     """For ANY corpus with duplicates and ANY id-ordered base/delta cut,
     incremental admission against the fingerprint index must equal the
@@ -287,6 +288,7 @@ def test_dedup_incremental_equals_full_property(spark, texts, cut_frac):
     ),
     cut_min=st.integers(min_value=0, max_value=1000),
 )
+@pytest.mark.slowsuite  # brute-force comparison; see pytest.ini
 def test_scd2_merge_equals_rebuild_property(spark, events, cut_min):
     """For ANY change-event stream and ANY time cut, folding the
     post-cut delta into the pre-cut interval table must produce exactly
@@ -403,6 +405,7 @@ def test_lpa_fixed_iteration_reference_property(spark, edges):
     ),
     vals=st.data(),
 )
+@pytest.mark.slowsuite  # brute-force comparison; see pytest.ini
 def test_distributed_prefix_scans_equal_sequential(spark, ids, vals):
     from pyspark.sql import Window
 
@@ -451,6 +454,7 @@ def test_distributed_prefix_scans_equal_sequential(spark, ids, vals):
         min_size=1, max_size=40,
     )
 )
+@pytest.mark.slowsuite  # brute-force comparison; see pytest.ini
 def test_prefix_max_tiebreak_matches_sequential(spark, rows):
     """With duplicate order keys, tiebreak_col must reproduce the
     sequential scan ordered by (k, id) exactly — the q_late_events
@@ -485,6 +489,7 @@ def test_prefix_max_tiebreak_matches_sequential(spark, rows):
         min_size=1, max_size=60, unique=True,
     )
 )
+@pytest.mark.slowsuite  # brute-force comparison; see pytest.ini
 def test_distributed_row_number_equals_sequential(spark, ids):
     from pyspark.sql import Window
 
@@ -556,6 +561,7 @@ def test_distributed_scans_edge_cases(spark):
         max_size=60,
     )
 )
+@pytest.mark.slowsuite  # brute-force comparison; see pytest.ini
 def test_cc_pointer_jump_equals_union_find_property(spark, edges):
     """Pointer-jumping connected components must match a driver-side
     union-find on arbitrary random graphs (self-loops, duplicates,
@@ -607,6 +613,7 @@ def test_cc_pointer_jump_equals_union_find_property(spark, edges):
         max_size=40,
     )
 )
+@pytest.mark.slowsuite  # brute-force comparison; see pytest.ini
 def test_skyline_equals_brute_force_property(spark, pts):
     """Bucket-pruned skyline must equal the textbook NOT EXISTS
     domination check on arbitrary float point sets (including the

@@ -314,3 +314,33 @@ def test_nb_fused_correct_matches_tall_scorer(spark):
         assert w2 == expected[doc_id]["m2"], f"doc {doc_id} model m2"
     # the engineered tie must actually be a tie AND resolve to 'de'
     assert got[2][0] == "de"
+
+def test_nb_fused_correct_empty_class_model_degrades(spark):
+    """ADVICE r12: a model whose nd is nonempty but cc is EMPTY (e.g.
+    a coalition/threshold prefix whose docs share no capped-vocab
+    token) must not raise at plan-build time; the fused scorer emits a
+    NULL winner so callers' equality checks count 0 correct — the same
+    degradation the tall plan had (zero scored rows)."""
+    from pyspark.sql import functions as F
+
+    from clv_data_pipeline_spark.queries.mlprep import _nb_fused_correct
+
+    cc_ok = {("de", "der"): 3, ("en", "the"): 3}
+    nd_ok = {"de": 2, "en": 2}
+    ttest = spark.createDataFrame(
+        [(1, "en", "the"), (2, "de", "der")],
+        "doc_id long, true_lang string, tok string",
+    )
+    fused = _nb_fused_correct(
+        spark, ttest, [("good", cc_ok, nd_ok), ("empty", {}, {"de": 2})]
+    )
+    rows = fused.collect()
+    assert {r["doc_id"] for r in rows} == {1, 2}
+    for r in rows:
+        assert r["win_empty"] is None
+    correct = fused.agg(
+        F.sum(
+            F.when(F.col("win_empty") == F.col("true_lang"), 1).otherwise(0)
+        ).alias("c")
+    ).first()["c"]
+    assert correct == 0

@@ -5,12 +5,15 @@ operators whose cost or memory curve would not survive a scale-up
 
 from __future__ import annotations
 
+import pytest
 import time
 
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from clv_data_pipeline_spark.operators.features import rfm_features
+pytestmark = pytest.mark.slowsuite  # excluded from the default (driver) run; see pytest.ini
+
 
 N_ROWS = 3_000_000
 N_USERS = 200_000

@@ -6,10 +6,13 @@ banding) by bounding wall time on local[4]."""
 
 from __future__ import annotations
 
+import pytest
 import time
 
 import pandas as pd
 from pyspark.sql import functions as F
+pytestmark = pytest.mark.slowsuite  # excluded from the default (driver) run; see pytest.ini
+
 
 N_DOCS = 100_000
 N_VECS = 20_000

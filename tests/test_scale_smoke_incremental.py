@@ -24,6 +24,8 @@ import time
 
 import pytest
 from pyspark.sql import functions as F
+pytestmark = pytest.mark.slowsuite  # excluded from the default (driver) run; see pytest.ini
+
 
 N_DOCS = 3_000_000
 N_DELTA = 10_000

@@ -8,10 +8,13 @@ cell bound)."""
 
 from __future__ import annotations
 
+import pytest
 import time
 
 import pandas as pd
 from pyspark.sql import functions as F
+pytestmark = pytest.mark.slowsuite  # excluded from the default (driver) run; see pytest.ini
+
 
 N_ROWS = 3_000_000
 N_KEYS = 200_000

@@ -8,9 +8,12 @@ shuffle once on the user key)."""
 
 from __future__ import annotations
 
+import pytest
 import time
 
 from pyspark.sql import functions as F
+pytestmark = pytest.mark.slowsuite  # excluded from the default (driver) run; see pytest.ini
+
 
 N_INTERACTIONS = 2_000_000
 N_USERS = 200_000

@@ -9,9 +9,12 @@ shared box catches cost curves that would not survive a scale-up."""
 
 from __future__ import annotations
 
+import pytest
 import time
 
 from pyspark.sql import functions as F
+pytestmark = pytest.mark.slowsuite  # excluded from the default (driver) run; see pytest.ini
+
 
 N_USERS = 50_000
 N_ITEMS = 100_000

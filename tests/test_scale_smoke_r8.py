@@ -9,10 +9,13 @@ cents-precision, which the production path guarantees).
 
 from __future__ import annotations
 
+import pytest
 import time
 
 import numpy as np
 from pyspark.sql import functions as F
+pytestmark = pytest.mark.slowsuite  # excluded from the default (driver) run; see pytest.ini
+
 
 N_CUSTOMERS = 1_000_000
 MAX_FREQ = 20

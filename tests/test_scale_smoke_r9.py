@@ -10,10 +10,13 @@ vectorized pass per partition).
 
 from __future__ import annotations
 
+import pytest
 import time
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+pytestmark = pytest.mark.slowsuite  # excluded from the default (driver) run; see pytest.ini
+
 
 N_ITEMS = 1_000_000
 N_USERS = 1_000
